@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextMapReduce
+
+class TextMapReduceSpec extends SparkSpec {
+
+  test("wordCount totals equal total token count") {
+    val wc = TextMapReduce.wordCount(spark, sf).cache()
+    assert(wc.count() > 0)
+    val totalFromCounts =
+      wc.agg(sum("cnt")).head().getLong(0)
+    val totalTokens =
+      TextMapReduce.words(Tables.documents(spark, sf)).count()
+    assert(totalFromCounts == totalTokens)
+  }
+
+  test("wordCount API variant matches DataFrame variant exactly") {
+    val a = TextMapReduce.wordCount(spark, sf)
+    val b = TextMapReduce.wordCountViaApi(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("invertedIndex: docs list is sorted, distinct, and n_docs-consistent") {
+    val ii = TextMapReduce.invertedIndex(spark, sf).cache()
+    assert(ii.count() > 0)
+    val bad = ii.filter(
+      size(split(col("docs"), ",")) =!= col("n_docs") ||
+        array_sort(split(col("docs"), ",")) =!= split(col("docs"), ","))
+    assert(bad.isEmpty)
+  }
+
+  test("grep only returns matching docs") {
+    val hits = TextMapReduce.grep(spark, sf, "the").count()
+    val direct = Tables.documents(spark, sf)
+      .filter(col("text").contains("the")).count()
+    assert(hits == direct)
+  }
+
+  test("sortedWordCount rank is a dense 1..n total order by word") {
+    val s = TextMapReduce.sortedWordCount(spark, sf)
+      .orderBy("rnk").collect()
+    assert(s.map(_.getLong(2)).toSeq == (1L to s.length).toSeq)
+    val ws = s.map(_.getString(0)).toSeq
+    assert(ws == ws.sorted)
+  }
+
+  test("topWords is count-desc, word-asc and bounded") {
+    val t = TextMapReduce.topWords(spark, sf, 10).collect()
+    assert(t.length <= 10)
+    val pairs = t.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(pairs == pairs.sorted)
+  }
+}
