@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational/analytics layer — the reference's map/shuffle/reduce
+  * generalized to declarative multi-table plans (SURVEY §2.B).
+  *
+  * Engine-portability rules (oracle hash-match, SURVEY §5):
+  *  - money math in decimal(18,2) (exact, identical in DuckDB), final
+  *    cast to double;
+  *  - timestamps leave oracle-gated outputs as UTC-formatted strings
+  *    (parquet TZ annotation differences can't bite);
+  *  - every LIMIT is preceded by a total order with unique tiebreak.
+  *
+  * Scale notes: `region`/`nation` are fixed-cardinality → broadcast
+  * hints; all other joins stay shuffle-based so the same plan survives
+  * 1000-executor / 100 TB inputs (AQE converts to broadcast at
+  * runtime when a side is actually small).
+  */
+object Relational {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** TPC-H Q1-shape pricing summary. One shuffle; partial aggregation
+    * map-side keeps shuffle rows = groups × partitions.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+          * (lit(1) + money(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shape: top-10 undelivered orders by revenue. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shape: revenue per nation for one region+year, 6-way
+    * join. region/nation broadcast (fixed cardinality at any SF).
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey")
+        && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q6-shape: highly selective scan + single agg — the
+    * pushdown showcase (filters reach the parquet reader).
+    */
+  def q6RevenueDelta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Top-3 orders per customer by price — window top-k, the
+    * "reduce with per-key state" shape.
+    */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** ROLLUP aggregation (hierarchical subtotals in one pass). */
+  def rollupSales(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Left-semi + left-anti in one result (EXISTS / NOT EXISTS). */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val ok = Tables.orders(spark, sfDir).select("o_custkey")
+    val has = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_orders"))
+    val none = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    has.unionAll(none)
+  }
+
+  /** Exact distinct users per event type (two-level agg, one query). */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n"))
+
+  /** Continuous quartiles of quantity per returnflag. */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+
+  /** Hourly event rollup — batch twin of the streaming windowed agg
+    * (graft.streaming.EventStreams.hourlyCounts).
+    */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("hour", date_format(col("hour"), TsFmt))
+
+  /** Gaps-and-islands sessionization, 30-minute inactivity gap.
+    * Batch twin of the flatMapGroupsWithState streaming session
+    * builder. One shuffle on user_id; both windows share it.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        date_format(min(col("ts")), TsFmt).as("session_start"),
+        date_format(max(col("ts")), TsFmt).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** JSON property extraction from the events.props payload. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"))
+}
