@@ -38,6 +38,23 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
+    // C. Deduplication
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // D. Similarity search
+    "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    // E. Text analysis
+    "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // F. Multimodal
+    "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "mm_features" -> ((s, d) => Multimodal.features(s, d)),
   )
 
   /** Regex valid with identical semantics in Java regex (Spark rlike)
@@ -179,5 +196,86 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // C/D/E/F — minhash/simhash/lsh variants are rows-only (xxhash64
+    // isn't reproducible in DuckDB); the exact baselines are gated.
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    "ann_topk_brute" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               e.vec_id) AS BIGINT) AS rnk
+        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rnk <= 10""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+        |    / CAST(nullif(length(text), 0) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / CAST(nullif(len(w), 0) AS DOUBLE) AS stop_ratio,
+        |  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |    / CAST(nullif(len(w), 0) AS DOUBLE) AS mean_word_len
+        |FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |      FROM documents)""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, x -> x IN ('el','los','que','y','una'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, x -> x IN ('le','les','et','une','des'))) AS BIGINT) AS s_fr
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |        FROM documents))""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_head,
+        |  CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS BIGINT) AS n_shingles
+        |FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |      FROM documents)""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  substring(hex(encode(text)), 1, 8) AS magic
+        |FROM documents""".stripMargin,
   )
 }

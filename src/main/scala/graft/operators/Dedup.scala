@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication family for training-data curation (SURVEY §2.C).
+  *
+  * Scale design: the oracle-gated exact and n-gram-Jaccard variants
+  * are correctness baselines; the MinHash-LSH and SimHash variants are
+  * the 100 TB paths — their shuffles are keyed on small band
+  * signatures (16×8 minhash bands, 4×16-bit simhash chunks) so the
+  * candidate join never goes quadratic. All hashing is
+  * `xxhash64`/affine-modular arithmetic through codegen'd higher-order
+  * functions — no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 grouping, canonical = min doc_id per group.
+    * One window shuffle on the fingerprint.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** (doc_id, shingles) with per-doc distinct word-3-grams. */
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1 shingle,
+    * jaccard = |∩|/|∪| ≥ threshold. Integer-exact arithmetic → the
+    * final division is bit-identical in DuckDB (oracle-gated).
+    *
+    * Correctness baseline: the shingle self-join is fine while no
+    * single shingle is ultra-frequent; at 100 TB use minhashLsh.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(spark, sfDir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  // ---- MinHash + banded LSH ------------------------------------------
+
+  /** 2^32-domain prime for the affine permutation family. */
+  private val P = 4294967311L
+  val NumPerms = 128
+  val Bands = 16
+  val Rows = 8 // NumPerms / Bands
+
+  /** Deterministic affine permutation coefficients (seeded). */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPerms)((1L + rnd.nextInt(Int.MaxValue).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** minhash signature (array<long> of NumPerms) from a shingle array.
+    * Shingle ids are xxhash64 folded into the 32-bit domain so
+    * a*x+b never overflows a long.
+    */
+  def minhashSignature(sh: Column): Column = {
+    val ids = transform(sh, s => pmod(xxhash64(s), lit(1L << 32)))
+    val permArr = typedLit(perms.map { case (a, b) => Seq(a, b) })
+    transform(permArr, p =>
+      array_min(transform(ids, x =>
+        pmod(element_at(p, 1) * x + element_at(p, 2), lit(P)))))
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard.
+    *
+    * Pipeline: signature → 16 band keys per doc → shuffle on
+    * (band, key) → candidate pairs from same-bucket self-join →
+    * exact-Jaccard verification. Band key space is tiny per band, so
+    * the shuffle stays balanced at any corpus size; the verify join is
+    * proportional to the candidate count, not n².
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sig = docShingles(spark, sfDir)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = sig.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), b * Rows + 1, lit(Rows)),
+                _.cast("string")))).as("key"))))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docShingles(spark, sfDir)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** Token-hash array for SimHash. */
+  def tokenHashes(text: Column): Column =
+    transform(
+      filter(split(text, TextMapReduce.WordSplit), w => w =!= ""),
+      t => xxhash64(t))
+
+  /** 64-bit SimHash from a token-hash array: bit j is set when the
+    * majority of tokens have bit j set. The 64 bit tests are built at
+    * plan time (literal shift amounts) so everything stays codegen'd.
+    */
+  def simhashCol(hashes: Column): Column =
+    (0 until 64).map { j =>
+      when(
+        size(filter(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2
+          >= size(hashes),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxDist.
+    *
+    * Candidate generation by the pigeonhole trick: split the 64-bit
+    * hash into 4 16-bit chunks; any pair within Hamming ≤ 3 agrees on
+    * ≥1 chunk, so the join is keyed on (chunk_idx, chunk_value) —
+    * linear shuffle, no n² compare.
+    */
+  def simhash(spark: SparkSession, sfDir: String,
+      maxDist: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), simhashCol(col("hs")).as("sh64"))
+    val chunked = docs.select(
+        col("doc_id"), col("sh64"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sh64"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cval"))
+        }: _*)).as("ck"))
+      .select(col("doc_id"), col("sh64"),
+        col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh64").as("ha"), col("y.sh64").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs (brute baseline; ann_lsh is the
+    * scale path). Cosine in double, left-to-right summation.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY §2.F): media as opaque `binary`
+  * columns with typed metadata, batch-wise feature extraction.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB; everything around it — schema,
+  * binary handling, partition-wise batching, feature vector shape — is
+  * real and is what matters for the 100 TB design (binary payloads
+  * never leave the executor; only small feature rows shuffle).
+  */
+object Multimodal {
+
+  /** A "media" view over documents: payload = UTF-8 bytes standing in
+    * for an image blob. On a real corpus this column is the raw file
+    * bytes column of a parquet/LanceDB-style media table.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Typed metadata straight off the binary column — byte length and
+    * a magic-byte sniff (what a format dispatcher keys on).
+    */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic"))
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, features: Array[Double])
+
+  /** STUB decode: a real deployment calls an image codec here
+    * (per-partition, batched, executor-local). The fake is
+    * deterministic on the payload bytes so tests are stable; the
+    * mapPartitions plumbing (iterator-in/iterator-out, no
+    * per-row setup cost) is the production shape.
+    */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+    val w = 1 + (payload.headOption.getOrElse(0: Byte) & 0x7f)
+    val h = 1 + (payload.lastOption.getOrElse(0: Byte) & 0x7f)
+    val feats = Array.tabulate(8) { i =>
+      if (payload.isEmpty) 0.0
+      else payload(i * payload.length / 8).toDouble / 128.0
+    }
+    (w, h, feats)
+  }
+
+  /** Partition-wise feature extraction over media batches. */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init (codec handles, model weights) goes here
+        rows.map { r =>
+          val (w, h, f) = decodeStub(r.payload)
+          FeatureRow(r.doc_id, r.payload.length.toLong, w, h, f)
+        }
+      }
+      .toDF()
+  }
+}

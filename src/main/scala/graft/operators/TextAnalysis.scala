@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for a training-data pipeline (SURVEY §2.E): token
+  * counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (split /
+  * regexp_extract_all / higher-order functions) — no UDFs — so the
+  * operators stay inside whole-stage codegen and scale linearly with
+  * input bytes. Ratios are emitted as a single double division with a
+  * `nullif`-style zero guard so the DuckDB oracle reproduces them
+  * bit-exactly (SURVEY §5).
+  */
+object TextAnalysis {
+
+  import TextMapReduce.WordSplit
+
+  /** Whitespace-token column (empties removed). */
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single
+    * punctuation — the GPT-2-style splitting shape, portable between
+    * Java regex and RE2.
+    */
+  val BpeIsh = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document token counts: whitespace words and BPE-ish tokens. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(BpeIsh), lit(0)))
+        .cast("long").as("n_bpe"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def safeDiv(num: Column, den: Column): Column =
+    num.cast("double") / when(den === 0, lit(null)).otherwise(den).cast("double")
+
+  /** Quality metrics: length, punctuation ratio, stopword ratio, mean
+    * word length — the standard cheap quality filters for LLM corpus
+    * curation.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = wsTokens(col("text"))
+    val stops = typedLit(Stopwords)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(words).cast("long").as("n_words"),
+      safeDiv(
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")),
+        length(col("text"))).as("punct_ratio"),
+      safeDiv(
+        size(filter(words, w => array_contains(stops, w))),
+        size(words)).as("stop_ratio"),
+      safeDiv(
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")),
+        size(words)).as("mean_word_len"))
+  }
+
+  /** Stopword profiles per language for the n-gram-free language
+    * scorer. Deliberately small and public-knowledge (most frequent
+    * function words).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "une", "des"))
+
+  /** Language ID: score = stopword-profile hits per language, argmax
+    * with fixed tie order (en > de > es > fr).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = wsTokens(lower(col("text")))
+    val scored = Tables.documents(spark, sfDir).select(
+      (col("doc_id") +:
+        LangProfiles.map { case (lang, prof) =>
+          size(filter(words, w => array_contains(typedLit(prof), w)))
+            .cast("long").as(s"s_$lang")
+        }): _*)
+    val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"s_${p._1}"))
+    scored.withColumn("pred_lang",
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr"))
+  }
+
+  /** Word-3-gram shingle array per document (empty below 3 words).
+    * Shared by fingerprinting and the dedup family.
+    */
+  def shingles(text: Column): Column = {
+    val words = filter(split(text, WordSplit), w => w =!= "")
+    val n = size(words)
+    array_distinct(
+      when(n >= 3,
+        transform(sequence(lit(0), n - lit(3)), i =>
+          concat_ws(" ",
+            element_at(words, i + 1),
+            element_at(words, i + 2),
+            element_at(words, i + 3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Content fingerprint: md5 (the one hash both engines share
+    * bit-exactly) + distinct-shingle count; `fp_head` is the bucket
+    * prefix a rolling-hash sharder would use.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      substring(md5(col("text")), 1, 8).as("fp_head"),
+      size(shingles(col("text"))).cast("long").as("n_shingles"))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: every doc keeps a canonical, no false dups") {
+    val e = Dedup.exact(spark, sf).cache()
+    assert(e.count() == Tables.documents(spark, sf).count())
+    // canonical is always <= doc_id and from the same fp group
+    assert(e.filter(col("canonical_id") > col("doc_id")).isEmpty)
+    // corpus has no exact dups → everyone is their own canonical
+    assert(e.filter(col("is_dup")).count() ==
+      e.count() - e.select("fp").distinct().count())
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs") {
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.5).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
+    assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).isEmpty)
+  }
+
+  test("minhash LSH recalls every jaccard>=0.9 pair") {
+    val truth = Dedup.ngramJaccard(spark, sf, 0.9)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.minhashLsh(spark, sf, 0.8).select("doc_a", "doc_b")
+    val missed = truth.exceptAll(lsh)
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.count()} of ${truth.count()} true pairs")
+  }
+
+  test("minhash LSH has no false positives below threshold") {
+    val lsh = Dedup.minhashLsh(spark, sf, 0.8)
+    assert(lsh.filter(col("jaccard") < 0.8).isEmpty)
+  }
+
+  test("simhash pairs are within the hamming bound and ordered") {
+    val s = Dedup.simhash(spark, sf, 3).cache()
+    assert(s.filter(col("hamming") > 3).isEmpty)
+    assert(s.filter(col("doc_a") >= col("doc_b")).isEmpty)
+  }
+
+  test("embedding near-dup pairs respect the cosine threshold") {
+    val e = Dedup.embeddingNearDup(spark, sf, 0.45).cache()
+    assert(e.filter(col("cos") < 0.45 || col("cos") > lit(1.0000001)).isEmpty)
+    assert(e.filter(col("vec_a") >= col("vec_b")).isEmpty)
+  }
+}

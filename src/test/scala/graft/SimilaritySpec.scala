@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute top-k returns k ranked neighbors per query") {
+    val t = Similarity.annTopkBrute(spark, sf, k = 10, nQueries = 5).cache()
+    assert(t.count() == 50)
+    assert(t.groupBy("query_id").count().filter(col("count") =!= 10).isEmpty)
+    assert(t.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    // ranks are dense 1..k per query
+    val ranks = t.filter(col("query_id") === 0)
+      .orderBy("rnk").select("rnk").collect().map(_.getLong(0)).toSeq
+    assert(ranks == (1L to 10L))
+  }
+
+  test("rank-1 neighbor is the true argmax (cross-check)") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val best = e.filter(col("vec_id") =!= 0).crossJoin(q0)
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id").head().getLong(0)
+    val got = Similarity.annTopkBrute(spark, sf, k = 1, nQueries = 1)
+      .head()
+    assert(got.getLong(1) == best)
+  }
+
+  test("LSH pairs share a bucket and pass the cosine threshold") {
+    val l = Similarity.annLsh(spark, sf, 0.3).cache()
+    assert(l.filter(col("cos") < 0.3).isEmpty)
+    assert(l.filter(col("vec_a") >= col("vec_b")).isEmpty)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming hourly counts equal the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 1, "click", 4.0))
+    input.addData(events: _*)
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly_out")
+      .select("hour", "event_type", "n", "sum_value")
+    val want = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming sessionization closes sessions at the 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then 40-min gap
+    // → second session; a far-future event advances the watermark so
+    // both of user 1's sessions time out and get emitted.
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(50), 1, "click", 1.0))
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    input.addData(Event(99, ts(600), 2, "click", 1.0)) // watermark push
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .orderBy("session_start").collect()
+    assert(got.length == 2, s"expected 2 closed sessions, got ${got.length}")
+    assert(got(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(got(0).getAs[Timestamp]("session_end") == ts(10))
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(1).getAs[Timestamp]("session_start") == ts(50))
+    assert(got(1).getAs[Long]("n_events") == 1)
+  }
+}

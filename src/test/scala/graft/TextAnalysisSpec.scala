@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counts are positive and bpe >= ws for word text") {
+    val t = TextAnalysis.tokens(spark, sf).cache()
+    assert(t.count() == 500)
+    assert(t.filter(col("n_ws") <= 0).isEmpty)
+    assert(t.filter(col("n_bpe") < col("n_ws")).isEmpty)
+  }
+
+  test("quality ratios are bounded") {
+    val q = TextAnalysis.quality(spark, sf).cache()
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).isEmpty)
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).isEmpty)
+    assert(q.filter(col("mean_word_len") <= 0).isEmpty)
+  }
+
+  test("langid predicts a known language with consistent scores") {
+    val l = TextAnalysis.langId(spark, sf).cache()
+    assert(l.filter(!col("pred_lang").isin("en", "de", "es", "fr")).isEmpty)
+    // predicted language's score is the max score
+    val bad = l.filter(
+      greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")) =!=
+        when(col("pred_lang") === "en", col("s_en"))
+          .when(col("pred_lang") === "de", col("s_de"))
+          .when(col("pred_lang") === "es", col("s_es"))
+          .otherwise(col("s_fr")))
+    assert(bad.isEmpty)
+  }
+
+  test("fingerprint is 32-hex md5 with consistent head") {
+    val f = TextAnalysis.fingerprint(spark, sf).cache()
+    assert(f.filter(length(col("fp")) =!= 32).isEmpty)
+    assert(f.filter(substring(col("fp"), 1, 8) =!= col("fp_head")).isEmpty)
+    assert(f.filter(col("n_shingles") < 0).isEmpty)
+  }
+}
