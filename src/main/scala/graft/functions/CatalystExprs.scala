@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot loops the built-in
+  * higher-order functions can't run fast.
+  *
+  * Spark's `transform`/`filter`/`aggregate` are interpreted (no
+  * whole-stage codegen) and re-evaluate captured subtrees per element,
+  * which turns nested-lambda pipelines (shingle → hash → 128
+  * minhashes) into accidental O(n²)+ work. Each expression here
+  * evaluates its children once and runs a tight JVM loop — the
+  * per-row `eval` call overhead is negligible against that.
+  *
+  * All hashing uses xxHash64(seed=42) via Spark's own XXH64 so results
+  * are consistent with the `xxhash64()` builtin.
+  */
+object CatalystExprs {
+
+  private val XX = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  /** Distinct word n-grams ("a b c") from an array<string> of words. */
+  case class WordNGrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      val words = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { words(i) = arr.getUTF8String(i); i += 1 }
+      val space = UTF8String.fromString(" ")
+      i = 0
+      while (i <= len - n) {
+        val parts = new Array[UTF8String](2 * n - 1)
+        var j = 0
+        while (j < n) {
+          parts(2 * j) = words(i + j)
+          if (j < n - 1) parts(2 * j + 1) = space
+          j += 1
+        }
+        seen.add(UTF8String.concat(parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+    override protected def withNewChildInternal(c: Expression): WordNGrams = copy(child = c)
+  }
+
+  /** xxhash64(seed 42) of every element of an array<string> → array<long>. */
+  case class XxHashArray(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](arr.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) = XX.hash(arr.getUTF8String(i), StringType, 42L)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): XxHashArray = copy(child = c)
+  }
+
+  /** MinHash signature: for each affine permutation (a,b), min over
+    * shingle-hash ids of (a·x + b) mod prime, ids folded into 2^32.
+    */
+  case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
+      prime: Long) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ids = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        ids(i) = arr.getLong(i) & 0xFFFFFFFFL // fold into 2^32 domain
+        i += 1
+      }
+      val out = new Array[Long](as.length)
+      var p = 0
+      while (p < as.length) {
+        var mn = Long.MaxValue
+        var k = 0
+        while (k < m) {
+          val h = (as(p) * ids(k) + bs(p)) % prime
+          if (h < mn) mn = h
+          k += 1
+        }
+        out(p) = if (m == 0) 0L else mn
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** LSH band keys from a minhash signature: key b = xxhash64 fold of
+    * rows [b·rows, (b+1)·rows). One pass, replaces 16 interpreted
+    * slice/transform/concat trees per row.
+    */
+  case class BandKeys(child: Expression, bands: Int, rows: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 42L
+        var k = 0
+        while (k < rows) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(sig.getLong(b * rows + k), h)
+          k += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+  }
+
+  /** 64-bit SimHash from an array<long> of token hashes: bit j set
+    * when ≥ half the tokens have bit j set.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < m) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        if (counts(j) * 2 >= m) out |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Dot product of two array<double>, left-to-right summation —
+    * bit-identical to `aggregate(zip_with(a,b,*), 0.0, +)` and to
+    * DuckDB's sequential list arithmetic (keeps the ANN oracle green).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val m = math.min(a.numElements(), b.numElements())
+      var acc = 0.0d
+      var i = 0
+      while (i < m) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** Sign-random-projection bucket: bit p of the result is the sign of
+    * ⟨v, plane_p⟩ for a fixed seeded plane matrix.
+    */
+  case class SrpBucket(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      var code = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var acc = 0.0d
+        var i = 0
+        val m = math.min(dim, plane.length)
+        while (i < m) { acc += v.getDouble(i) * plane(i); i += 1 }
+        if (acc >= 0) code |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(code)
+    }
+    override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
+  }
+
+  // ---- Column-level wrappers -----------------------------------------
+
+  private def asCol(e: Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e)
+
+  def word_ngrams(words: Column, n: Int): Column =
+    asCol(WordNGrams(expression(words), n))
+  def xxhash_array(arr: Column): Column =
+    asCol(XxHashArray(expression(arr)))
+  def minhash_sig(ids: Column, as: Array[Long], bs: Array[Long], prime: Long): Column =
+    asCol(MinHashSig(expression(ids), as, bs, prime))
+  def band_keys(sig: Column, bands: Int, rows: Int): Column =
+    asCol(BandKeys(expression(sig), bands, rows))
+  def simhash64(hashes: Column): Column =
+    asCol(SimHash64(expression(hashes)))
+  def dot_product(a: Column, b: Column): Column =
+    asCol(DotProduct(expression(a), expression(b)))
+  def srp_bucket(v: Column, planes: Array[Array[Double]]): Column =
+    asCol(SrpBucket(expression(v), planes))
+
+  private def expression(c: Column): Expression =
+    org.apache.spark.sql.GraftBridge.expression(c)
+}

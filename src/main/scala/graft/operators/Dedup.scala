@@ -29,9 +29,14 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
-  /** (doc_id, shingles) with per-doc distinct word-3-grams. */
+  /** (doc_id, shingles) with per-doc distinct word-3-grams.
+    * Repartitioned first: a small parquet arrives as one partition and
+    * the per-doc shingle/signature work is the expensive part — at any
+    * scale it should spread over the cluster.
+    */
   private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1 shingle,
@@ -81,15 +86,14 @@ object Dedup {
 
   /** minhash signature (array<long> of NumPerms) from a shingle array.
     * Shingle ids are xxhash64 folded into the 32-bit domain so
-    * a*x+b never overflows a long.
+    * a*x+b never overflows a long. Custom Catalyst expressions (one
+    * tight pass per row) — the HOF formulation re-evaluates nested
+    * lambda subtrees per element and is orders of magnitude slower.
     */
-  def minhashSignature(sh: Column): Column = {
-    val ids = transform(sh, s => pmod(xxhash64(s), lit(1L << 32)))
-    val permArr = typedLit(perms.map { case (a, b) => Seq(a, b) })
-    transform(permArr, p =>
-      array_min(transform(ids, x =>
-        pmod(element_at(p, 1) * x + element_at(p, 2), lit(P)))))
-  }
+  def minhashSignature(sh: Column): Column =
+    graft.functions.CatalystExprs.minhash_sig(
+      graft.functions.CatalystExprs.xxhash_array(sh),
+      perms.map(_._1).toArray, perms.map(_._2).toArray, P)
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -104,15 +108,12 @@ object Dedup {
     val sig = docShingles(spark, sfDir)
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh")))
-    val banded = sig.select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-          struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("sig"), b * Rows + 1, lit(Rows)),
-                _.cast("string")))).as("key"))))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = sig
+      .select(col("doc_id"),
+        posexplode(graft.functions.CatalystExprs.band_keys(
+          col("sig"), Bands, Rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key")
           && col("x.doc_id") < col("y.doc_id"))
@@ -131,23 +132,16 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** Token-hash array for SimHash. */
+  /** Token-hash array for SimHash (custom one-pass expression). */
   def tokenHashes(text: Column): Column =
-    transform(
-      filter(split(text, TextMapReduce.WordSplit), w => w =!= ""),
-      t => xxhash64(t))
+    graft.functions.CatalystExprs.xxhash_array(
+      filter(split(text, TextMapReduce.WordSplit), w => w =!= ""))
 
   /** 64-bit SimHash from a token-hash array: bit j is set when the
-    * majority of tokens have bit j set. The 64 bit tests are built at
-    * plan time (literal shift amounts) so everything stays codegen'd.
+    * majority of tokens have bit j set (custom one-pass expression).
     */
   def simhashCol(hashes: Column): Column =
-    (0 until 64).map { j =>
-      when(
-        size(filter(hashes, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2
-          >= size(hashes),
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.CatalystExprs.simhash64(hashes)
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxDist.
     *
@@ -159,6 +153,7 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String,
       maxDist: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), simhashCol(col("hs")).as("sh64"))
     val chunked = docs.select(
@@ -185,12 +180,15 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val e = Similarity.vecs(spark, sfDir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        graft.functions.CatalystExprs.dot_product(col("va"), col("vb"))
+          / col("na") / col("nb"))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.CatalystExprs.{dot_product, srp_bucket}
 
 /** Approximate-nearest-neighbor search over the embeddings table
   * (SURVEY §2.D).
@@ -16,25 +17,24 @@ import graft.Tables
   * by a 16-bit code; the self-join shuffles on bucket codes instead of
   * comparing n² pairs.
   *
-  * Cosine is computed in double via `zip_with` + left-fold
-  * `aggregate` — sequential summation order, which DuckDB's
-  * `list_cosine_similarity` reproduces bit-for-bit, keeping the brute
-  * variant oracle-gated.
+  * Dot products run in a custom Catalyst expression (one tight loop,
+  * left-to-right double summation — bit-identical to DuckDB's
+  * sequential list arithmetic, keeping the brute variant
+  * oracle-gated). Norms are computed once per vector, not once per
+  * pair.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns (codegen'd HOFs,
-    * left-to-right summation).
-    */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot_product(a, b) / sqrt(dot_product(a, a)) / sqrt(dot_product(b, b))
 
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  /** (vec_id, v double[], norm) — norm precomputed once per vector. */
+  private[operators] def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
 
   /** Exact top-k neighbors for the first nQueries vectors.
     * Output (query_id, neighbor_id, rnk); the similarity value itself
@@ -45,9 +45,10 @@ object Similarity {
       k: Int = 10, nQueries: Int = 20): DataFrame = {
     val all = vecs(spark, sfDir)
     val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
     val joined = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     joined
@@ -58,22 +59,17 @@ object Similarity {
 
   val NumPlanes = 16
 
-  /** Deterministic pseudo-random hyperplanes: component d of plane p
-    * is derived from xxhash64 of "p:d" mapped into [-0.5, 0.5).
-    * Derivation happens in-plan (codegen'd), no driver-side state.
+  /** Deterministic seeded hyperplanes (16 × 64, components in
+    * [-0.5, 0.5)). Generated once at plan time; shipped to executors
+    * inside the expression.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(concat_ws(":", lit(p), d)), lit(100000L)).cast("double")
-      / 100000.0d) - 0.5d
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(777)
+    Array.fill(NumPlanes, 64)(rnd.nextDouble() - 0.5)
+  }
 
   /** 16-bit sign-random-projection bucket code for a vector column. */
-  def lshBucket(v: Column): Column =
-    (0 until NumPlanes).map { p =>
-      val proj = aggregate(
-        transform(v, (x, i) => x * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshBucket(v: Column): Column = srp_bucket(v, planes)
 
   /** LSH-bucketed near-neighbor pairs: vectors sharing a bucket code,
     * verified by exact cosine ≥ threshold. The shuffle key is the
@@ -86,7 +82,8 @@ object Similarity {
     coded.as("x").join(coded.as("y"),
         col("x.bucket") === col("y.bucket")
           && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", cosine(col("x.v"), col("y.v")))
+      .withColumn("cos",
+        dot_product(col("x.v"), col("y.v")) / col("x.norm") / col("y.norm"))
       .filter(col("cos") >= threshold)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.bucket").as("bucket"), col("cos"))

@@ -93,21 +93,15 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
-  /** Word-3-gram shingle array per document (empty below 3 words).
-    * Shared by fingerprinting and the dedup family.
+  /** Word-3-gram distinct shingle array per document (empty below 3
+    * words). Shared by fingerprinting and the dedup family. Custom
+    * Catalyst expression: the HOF formulation (transform over indices
+    * + element_at) re-evaluates the word-split per element under
+    * interpreted eval — quadratic per document.
     */
-  def shingles(text: Column): Column = {
-    val words = filter(split(text, WordSplit), w => w =!= "")
-    val n = size(words)
-    array_distinct(
-      when(n >= 3,
-        transform(sequence(lit(0), n - lit(3)), i =>
-          concat_ws(" ",
-            element_at(words, i + 1),
-            element_at(words, i + 2),
-            element_at(words, i + 3))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shingles(text: Column): Column =
+    graft.functions.CatalystExprs.word_ngrams(
+      filter(split(text, WordSplit), w => w =!= ""), 3)
 
   /** Content fingerprint: md5 (the one hash both engines share
     * bit-exactly) + distinct-shingle count; `fp_head` is the bucket
