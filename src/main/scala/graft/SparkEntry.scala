@@ -38,6 +38,11 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
+    "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
+    "q_cube_sales" -> ((s, d) => Relational.cubeSales(s, d)),
+    "q_salted_agg" -> ((s, d) => Relational.saltedUserAgg(s, d)),
+    "q_big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
     // C. Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -196,6 +201,40 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_running_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w_all AS DOUBLE) AS running_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        |    / count(*) OVER w3 AS avg3
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |WINDOW
+        |  w_all AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING),
+        |  w3 AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_cube_sales" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_big_spenders" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |   FROM orders) * 4""".stripMargin,
     // C/D/E/F — minhash/simhash/lsh variants are rows-only (xxhash64
     // isn't reproducible in DuckDB); the exact baselines are gated.
     "dedup_exact" ->

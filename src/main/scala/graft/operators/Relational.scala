@@ -180,6 +180,76 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** Running aggregates per supplier over ship time: cumulative
+    * quantity and 3-row moving average — the ordered-window shape.
+    */
+  def runningWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), money(col("l_quantity")).as("qty"))
+      .withColumn("running_qty",
+        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("avg3",
+        (sum(col("qty")).over(w.rowsBetween(-2, 0)).cast("double")
+          / count(lit(1)).over(w.rowsBetween(-2, 0))))
+      .withColumn("qty", col("qty").cast("double"))
+      .drop("l_shipdate")
+  }
+
+  /** CUBE aggregation over two dimensions (all 4 grouping sets). */
+  def cubeSales(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+
+  /** Skew-resistant two-phase aggregation: pre-aggregate on a salted
+    * key (user_id, salt) so one hot user spreads over 8 reducers, then
+    * merge partials. Result is identical to the plain groupBy — which
+    * is exactly what the oracle checks.
+    */
+  def saltedUserAgg(spark: SparkSession, sfDir: String,
+      saltBuckets: Int = 8): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(saltBuckets)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(money(col("value"))).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("sum_value"))
+
+  /** Scalar + correlated subquery shape: customers whose total spend
+    * exceeds 4× the global average order price.
+    */
+  def bigSpenders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val globalAvg = o.agg(
+      (sum(money(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("g")).select("g")
+    val perCust = o.groupBy("o_custkey")
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("spend"),
+        count(lit(1)).as("n_orders"))
+    perCust.crossJoin(globalAvg)
+      .filter(col("spend") > col("g") * 4)
+      .select(col("o_custkey"), col("spend"), col("n_orders"))
+  }
+
+  /** Sketch-based distinct counting (HyperLogLog++): the approximate
+    * twin of `distinctUsers` for the 100 TB path where exact distinct
+    * is a full shuffle of the key space. rows-gated; the spec checks
+    * the estimate against the exact count within rsd bounds.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_value"))
+
   /** JSON property extraction from the events.props payload. */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalExtSpec extends SparkSpec {
+
+  test("running window is monotone per supplier") {
+    val r = Relational.runningWindow(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("running_qty") < col("qty")).isEmpty)
+    assert(r.filter(col("avg3") <= 0).isEmpty)
+  }
+
+  test("cube emits all four grouping sets") {
+    val c = Relational.cubeSales(spark, sf).cache()
+    assert(c.filter(col("o_orderstatus").isNull
+      && col("o_orderpriority").isNull).count() == 1)
+    val statuses = Tables.orders(spark, sf)
+      .select("o_orderstatus").distinct().count()
+    assert(c.filter(col("o_orderstatus").isNotNull
+      && col("o_orderpriority").isNull).count() == statuses)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    val salted = Relational.saltedUserAgg(spark, sf)
+    val plain = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("approx distinct is within 10% of exact") {
+    val a = Relational.approxDistinctUsers(spark, sf)
+    val e = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val joined = a.join(e, "event_type")
+      .withColumn("err",
+        abs(col("approx_users") - col("exact")) / col("exact"))
+    assert(joined.filter(col("err") > 0.10).isEmpty)
+  }
+
+  test("big spenders all exceed 4x the global average") {
+    val g = Tables.orders(spark, sf)
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        / count(lit(1))).as("g")).head().getDouble(0)
+    val b = Relational.bigSpenders(spark, sf)
+    assert(b.filter(col("spend") <= g * 4).isEmpty)
+  }
+}
