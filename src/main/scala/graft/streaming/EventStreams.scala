@@ -36,6 +36,15 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids within the
+    * watermark horizon — the streaming twin of `Dedup.exact`. State
+    * is bounded by (ids seen inside the watermark window).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Event-time session windows with a 30-minute inactivity gap via
     * flatMapGroupsWithState. Sessions are emitted when the watermark
     * passes end+gap (event-time timeout), exactly mirroring the batch

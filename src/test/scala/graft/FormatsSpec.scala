@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Formats
+
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("parquet round-trip with partitioning preserves data") {
+    val dir = tmp("graft-parquet")
+    val src = Tables.orders(spark, sf)
+    Formats.writeParquet(src, dir, partitionBy = Seq("o_orderstatus"))
+    val back = Formats.readParquet(spark, dir)
+    assert(back.count() == src.count())
+    // partition pruning: reading one status scans one directory
+    val one = back.filter(col("o_orderstatus") === "O")
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(one.count() ==
+      src.filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("csv round-trip with explicit schema") {
+    val dir = tmp("graft-csv")
+    val src = Tables.nation(spark, sf)
+    Formats.writeCsv(src, dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val back = Formats.readCsv(spark, dir, schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("jsonl round-trip with explicit schema") {
+    val dir = tmp("graft-json")
+    val src = Tables.region(spark, sf)
+    Formats.writeJsonl(src, dir)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    val back = Formats.readJsonl(spark, dir, schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+}

@@ -36,6 +36,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup drops repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // dup id within watermark
+      Event(2, ts(2), 1, "view", 2.0))
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() == 2)
+    assert(got.select("event_id").distinct().count() == 2)
+  }
+
   test("streaming sessionization closes sessions at the 30-min gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
