@@ -43,6 +43,20 @@ object SparkEntry {
     "q_salted_agg" -> ((s, d) => Relational.saltedUserAgg(s, d)),
     "q_big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
+    "q_asof_join" -> ((s, d) => AsOf.purchaseWithLastClick(s, d)),
+    "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
+    "agg_welford" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      Tables.events(s, d)
+        .select(col("event_type"), col("value")).as[(String, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.WelfordAgg.aggOn[(String, Double)](_._2)
+          .toColumn.name("stats"))
+        .select(col("key").as("event_type"),
+          col("stats.n").as("n"), col("stats.mean").as("mean"),
+          col("stats.variance").as("variance"))
+    }),
     // C. Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -235,6 +249,22 @@ object SparkEntry {
         |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
         |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |   FROM orders) * 4""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
     // C/D/E/F — minhash/simhash/lsh variants are rows-only (xxhash64
     // isn't reproducible in DuckDB); the exact baselines are gated.
     "dedup_exact" ->

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.CatalystExprs._
+
+/** SQL-surface registration of the custom Catalyst expressions, so
+  * `spark.sql("SELECT simhash64(xxhash_array(...))")` works.
+  *
+  * Two entry points: `GraftExtensions` for
+  * `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  * build (the cluster deployment path), and `register(spark)` for an
+  * already-running session (tests, notebooks).
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_ngrams" -> (es => WordNGrams(es.head, if (es.size > 1) litInt(es(1)) else 3)),
+    "xxhash_array" -> (es => XxHashArray(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "band_keys" -> (es => BandKeys(es.head, litInt(es(1)), litInt(es(2)))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** Session-extension hook: inject the graft SQL functions at session
+  * construction (`.withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions` conf).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.CatalystExprs", name),
+        builder))
+    }
+}

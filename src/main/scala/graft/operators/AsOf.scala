@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of (point-in-time) join — an operator Spark's DataFrame API
+  * lacks. Composed from built-ins (preference (a) of the extension
+  * ladder): tag both sides, union, and take the last right-side row at
+  * or before each left timestamp with an ordered window — one shuffle
+  * on (key), no range explosion, skew bounded by per-key event counts.
+  *
+  * Equivalent to DuckDB's `ASOF LEFT JOIN ... ON l.key = r.key AND
+  * l.ts >= r.ts` (inclusive), which is exactly what the oracle runs.
+  */
+object AsOf {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** For every purchase event: the user's most recent click at or
+    * before it (null if none yet).
+    */
+  def purchaseWithLastClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
+        col("event_id"),
+        col("event_id").as("p_click_id"), col("ts").as("p_click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
+        col("event_id"),
+        lit(null).cast("long").as("p_click_id"),
+        lit(null).cast("timestamp").as("p_click_ts"))
+    // side=0 sorts before side=1 at equal t → same-instant click counts
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionAll(purchases)
+      .withColumn("click_id", last(col("p_click_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(col("p_click_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("t"), TsFmt).as("ts"),
+        col("click_id"),
+        date_format(col("click_ts"), TsFmt).as("click_ts"))
+  }
+
+  /** Per-user event-type pivot (counts), fixed column set. */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, WelfordAgg}
+import graft.operators.AsOf
+
+class FunctionsSpec extends SparkSpec {
+
+  test("welford aggregator matches built-in avg/var_samp") {
+    import spark.implicits._
+    val got = SparkEntry.queries("agg_welford")(spark, sf)
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"),
+        var_samp("value").as("variance"))
+    val joined = got.as("g").join(want.as("w"), "event_type")
+    val bad = joined.filter(
+      abs(col("g.mean") - col("w.mean")) > 1e-9 ||
+        abs(col("g.variance") - col("w.variance")) > 1e-9 ||
+        col("g.n") =!= col("w.n"))
+    assert(bad.isEmpty)
+  }
+
+  test("asof join: click is at-or-before purchase, and the latest one") {
+    val a = AsOf.purchaseWithLastClick(spark, sf).cache()
+    assert(a.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+    assert(a.filter(col("click_ts") > col("ts")).isEmpty)
+  }
+
+  test("pivot counts sum to total events per user") {
+    val p = AsOf.eventPivot(spark, sf).cache()
+    val totals = p.withColumn("tot",
+      coalesce(col("click"), lit(0L)) + coalesce(col("view"), lit(0L))
+        + coalesce(col("purchase"), lit(0L)) + coalesce(col("signup"), lit(0L))
+        + coalesce(col("error"), lit(0L)))
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("want"))
+    assert(totals.join(want, "user_id")
+      .filter(col("tot") =!= col("want")).isEmpty)
+  }
+
+  test("SQL-registered custom functions work end to end") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  simhash64(xxhash_array(split(text, ' '))) AS sh,
+        |  size(word_ngrams(split(text, ' '), 3)) AS n_sh,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |FROM docs_v""".stripMargin)
+    val row = r.head()
+    assert(row.getDouble(3) == 11.0)
+    assert(r.count() == 500)
+  }
+}
