@@ -66,8 +66,10 @@ object SparkEntry {
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -292,6 +294,50 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_clusters" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM edges
+        |  UNION SELECT doc_b, doc_a FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT a, b FROM sym
+        |    UNION
+        |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+        |  ) SELECT * FROM r)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(least(d.doc_id, min(r.b)), d.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, word, tf, df,
+        |  tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+        |FROM tf JOIN df USING (word) CROSS JOIN n""".stripMargin,
     "ann_topk_brute" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -69,6 +69,49 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Connected components over the near-dup pair graph → per-document
+    * cluster assignment (cluster id = min doc_id reachable; singletons
+    * map to themselves). This is what a curation pipeline actually
+    * consumes: "keep one doc per cluster".
+    *
+    * Iterative min-label propagation, driver-coordinated like any
+    * Spark graph algorithm: converges in graph-diameter rounds (dedup
+    * clusters are shallow — near-dup graphs are cliques-ish), each
+    * round one shuffle keyed on doc_id.
+    */
+  def clusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val edges = ngramJaccard(spark, sfDir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_lbl")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("dst_lbl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   // ---- MinHash + banded LSH ------------------------------------------
 
   /** 2^32-domain prime for the affine permutation family. */

@@ -103,6 +103,28 @@ object TextAnalysis {
     graft.functions.CatalystExprs.word_ngrams(
       filter(split(text, WordSplit), w => w =!= ""), 3)
 
+  /** TF-IDF per (document, word): tf = raw term count, df = docs
+    * containing the term, tfidf = tf · (ln((N+1)/(df+1)) + 1)
+    * (smoothed). Two aggregations sharing the token explode; the
+    * corpus size joins in as a 1-row broadcast, keeping the plan fully
+    * declarative (no driver-side collect).
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), WordSplit), w => w =!= "")).as("word"))
+    val tf = tok.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .select("doc_id", "word", "tf", "df", "tfidf")
+  }
+
   /** Content fingerprint: md5 (the one hash both engines share
     * bit-exactly) + distinct-shingle count; `fp_head` is the bucket
     * prefix a rolling-hash sharder would use.

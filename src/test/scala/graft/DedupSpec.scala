@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh.filter(col("jaccard") < 0.8).isEmpty)
   }
 
+  test("clusters: members of a pair share a cluster, singletons are their own") {
+    val cl = Dedup.clusters(spark, sf).cache()
+    assert(cl.count() == Tables.documents(spark, sf).count())
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.5)
+    val a = cl.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("cluster_id", "ca")
+    val b = cl.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("cluster_id", "cb")
+    assert(pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("ca") =!= col("cb")).isEmpty)
+    // cluster id is always the minimum member
+    assert(cl.filter(col("cluster_id") > col("doc_id")).isEmpty)
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)

@@ -33,6 +33,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("tfidf: df bounded by corpus size, tf sums to token count") {
+    val t = TextAnalysis.tfidf(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(t.filter(col("df") > n || col("df") < 1).isEmpty)
+    assert(t.filter(col("tfidf") <= 0).isEmpty)
+    val totalTf = t.agg(sum("tf")).head().getLong(0)
+    val totalTokens = graft.operators.TextMapReduce
+      .words(Tables.documents(spark, sf)).count()
+    assert(totalTf == totalTokens)
+  }
+
   test("fingerprint is 32-hex md5 with consistent head") {
     val f = TextAnalysis.fingerprint(spark, sf).cache()
     assert(f.filter(length(col("fp")) =!= 32).isEmpty)
