@@ -40,11 +40,20 @@ object TextMapReduce {
         explode(split(col("text"), WordSplit)).as("word"))
       .filter(col("word") =!= "")
 
-  /** wc.go: (word, total occurrences across all documents). */
-  def wordCount(spark: SparkSession, sfDir: String): DataFrame =
-    words(Tables.documents(spark, sfDir))
+  /** wc.go semantics over any DataFrame with a `text` column —
+    * including the reference's own Project Gutenberg inputs read via
+    * `spark.read.text` (see TextMapReduceSpec "books parity").
+    */
+  def wordCountOver(text: DataFrame): DataFrame =
+    text
+      .select(explode(split(col("text"), WordSplit)).as("word"))
+      .filter(col("word") =!= "")
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
+
+  /** wc.go: (word, total occurrences across all documents). */
+  def wordCount(spark: SparkSession, sfDir: String): DataFrame =
+    wordCountOver(Tables.documents(spark, sfDir).select("text"))
 
   /** wordCount through the reference-shaped generic API
     * (MapReduceLib.reduceByKeyAlg ≙ Sequential(mapF, reduceF) with a

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Dedup, Relational, TextMapReduce}
+
+/** Plan-hygiene gates: these hold at any scale factor, so they are the
+  * checks that predict 100 TB behavior — pushdown reaches the scan,
+  * fixed-size dims broadcast, aggregations are partial before the
+  * exchange, and no operator degenerates into a cartesian product.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6: all three filters are pushed to the parquet scan") {
+    val p = plan(Relational.q6RevenueDelta(spark, sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q6: scan reads only the four needed columns") {
+    val p = plan(Relational.q6RevenueDelta(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("q5: fixed-cardinality dims broadcast, fact joins shuffle") {
+    val p = plan(Relational.q5LocalSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("wordcount aggregates partially before the exchange") {
+    val p = plan(TextMapReduce.wordCount(spark, sf))
+    // partial + final HashAggregate around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange".r.findAllIn(p).size >= 1)
+  }
+
+  test("minhash LSH candidate join is a hash join, not cartesian") {
+    val p = plan(Dedup.minhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("simhash candidate join is keyed, not cartesian") {
+    val p = plan(Dedup.simhash(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("wordcount whole-stage codegen covers the tokenize+agg path") {
+    // AQE's toString hides codegen stage markers pre-execution;
+    // disable it for this single inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = TextMapReduce.wordCount(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"no codegen stages in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -46,6 +46,22 @@ class TextMapReduceSpec extends SparkSpec {
     assert(ws == ws.sorted)
   }
 
+  test("books parity: wordcount over the reference's own Gutenberg inputs") {
+    // The reference's test-wc.sh runs wc.go over pg-*.txt; same
+    // computation here through the Spark-native operator.
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val books = spark.read.text("/root/reference/src/main/pg-being_ernest.txt",
+        "/root/reference/src/main/pg-metamorphosis.txt")
+      .withColumnRenamed("value", "text")
+    val wc = TextMapReduce.wordCountOver(books).cache()
+    assert(wc.count() > 1000)
+    // spot-check against an independent line-level count
+    val theCount = wc.filter(col("word") === "the").head().getLong(1)
+    val direct = books.collect().iterator
+      .flatMap(_.getString(0).split("[^\\p{L}]+")).count(_ == "the")
+    assert(theCount == direct)
+  }
+
   test("topWords is count-desc, word-asc and bounded") {
     val t = TextMapReduce.topWords(spark, sf, 10).collect()
     assert(t.length <= 10)
