@@ -31,6 +31,11 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, d) => Relational.q5LocalSupplier(s, d)),
     "q6_revenue_delta" -> ((s, d) => Relational.q6RevenueDelta(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.topkPerGroup(s, d)),
+    "q_topk_custom" -> ((s, d) => graft.plans.TopKPerKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keyCols = Seq("o_custkey"),
+      orderBy = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = 3)),
     "q_rollup_sales" -> ((s, d) => Relational.rollupSales(s, d)),
     "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),
     "q_distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
@@ -162,6 +167,15 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_quantity < 24""".stripMargin,
     "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    // identical semantics through the custom TopKPerKey operator —
+    // a hash-match here is end-to-end proof of the custom exec
+    "q_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("custom TopKPerKey matches the window formulation exactly") {
+    val got = SparkEntry.queries("q_topk_custom")(spark, sf)
+    val want = graft.operators.Relational.topkPerGroup(spark, sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("physical plan is partial → exchange → final, not a window sort") {
+    val df = SparkEntry.queries("q_topk_custom")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"))
+    assert(p.contains("TopKPerKey "))
+    assert(!p.contains("WindowExec") && !p.contains("Window "))
+    assert(p.contains("Exchange"))
+  }
+
+  test("partial phase bounds shuffle rows to k per key per partition") {
+    // total rows reaching the final phase ≤ k × keys × input partitions
+    val df = TopKPerKey(
+      Tables.orders(spark, sf).repartition(4)
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+    val keys = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(df.count() <= 2 * keys)
+    assert(df.filter(col("rnk") > 2).isEmpty)
+  }
+
+  test("ascending order and rank-1-per-key invariants") {
+    val df = TopKPerKey(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq("o_orderkey" -> false), 1)
+    // k=1 ascending by orderkey == min orderkey per customer
+    val want = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(min("o_orderkey").as("o_orderkey"))
+    val got = df.select("o_custkey", "o_orderkey")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
