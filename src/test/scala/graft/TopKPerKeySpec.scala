@@ -32,6 +32,33 @@ class TopKPerKeySpec extends SparkSpec {
     assert(df.filter(col("rnk") > 2).isEmpty)
   }
 
+  test("optimizer rule rewrites window top-k into the custom operator") {
+    import graft.plans.{RewriteWindowTopK, TopKStrategy}
+    val exp = spark.experimental
+    val prevOpt = exp.extraOptimizations
+    val prevStrat = exp.extraStrategies
+    try {
+      exp.extraOptimizations = prevOpt :+ RewriteWindowTopK
+      if (!prevStrat.contains(TopKStrategy))
+        exp.extraStrategies = prevStrat :+ TopKStrategy
+      // the plain WINDOW formulation...
+      val viaWindow = graft.operators.Relational.topkPerGroup(spark, sf)
+      // ...now plans through the custom operator
+      val p = viaWindow.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyPartial"), s"rule did not fire:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+        s"window machinery still present:\n$p")
+      // and still produces the identical result
+      exp.extraOptimizations = prevOpt
+      val want = graft.operators.Relational.topkPerGroup(spark, sf)
+      exp.extraOptimizations = prevOpt :+ RewriteWindowTopK
+      assert(viaWindow.exceptAll(want).isEmpty && want.exceptAll(viaWindow).isEmpty)
+    } finally {
+      exp.extraOptimizations = prevOpt
+      exp.extraStrategies = prevStrat
+    }
+  }
+
   test("ascending order and rank-1-per-key invariants") {
     val df = TopKPerKey(
       Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
