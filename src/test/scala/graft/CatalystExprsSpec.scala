@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.CatalystExprs._
+
+class CatalystExprsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("word_ngrams: distinct 3-gram count is ≤ max(0, n-2), empty below 3") {
+    val cases = Seq(
+      "", "one", "one two", "one two three", "a b c d e",
+      "x x x x", "ü ö ä ß mixed unicode tokens")
+    val df = cases.toDF("text")
+      .select(col("text"),
+        size(word_ngrams(filter(split(col("text"), "[^\\p{L}]+"), w => w =!= ""), 3))
+          .as("n_sh"),
+        size(filter(split(col("text"), "[^\\p{L}]+"), w => w =!= "")).as("n_w"))
+    df.collect().foreach { r =>
+      val (nsh, nw) = (r.getInt(1), r.getInt(2))
+      assert(nsh <= math.max(0, nw - 2),
+        s"'${r.getString(0)}' → $nsh shingles from $nw words")
+      if (nw < 3) assert(nsh == 0)
+    }
+  }
+
+  test("dot_product equals a driver-side computation (property)") {
+    val gen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+    val samples = (0 until 10).flatMap { i =>
+      for {
+        a <- gen(Gen.Parameters.default, Seed(i * 2L))
+        b <- gen(Gen.Parameters.default, Seed(i * 2L + 1))
+      } yield (a, b)
+    }
+    val df = samples.toDF("a", "b")
+      .select(col("a"), col("b"), dot_product(col("a"), col("b")).as("dp"))
+    df.collect().foreach { r =>
+      val a = r.getSeq[Double](0)
+      val b = r.getSeq[Double](1)
+      // same left-to-right order as the expression's loop
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(r.getDouble(2) == want)
+    }
+  }
+
+  test("xxhash_array matches the builtin xxhash64 per element") {
+    val df = Seq(Seq("alpha", "beta", "gamma")).toDF("arr")
+      .select(xxhash_array(col("arr")).as("got"),
+        transform(col("arr"), e => xxhash64(e)).as("want"))
+    val r = df.head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("simhash64 of identical token sets is identical; empty is stable") {
+    val df = Seq(
+      ("a", Seq("x", "y", "z")),
+      ("b", Seq("x", "y", "z")),
+      ("c", Seq.empty[String])).toDF("id", "toks")
+      .select(col("id"), simhash64(xxhash_array(col("toks"))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    // empty input: every bit satisfies 0*2 >= 0 → all ones, stable
+    assert(m("c") == -1L)
+  }
+
+  test("band_keys: same signature → same keys; different → some differ") {
+    val sig1 = Seq.tabulate(128)(i => i.toLong)
+    val sig2 = Seq.tabulate(128)(i => i.toLong + 1)
+    val df = Seq(("a", sig1), ("b", sig1), ("c", sig2)).toDF("id", "sig")
+      .select(col("id"), band_keys(col("sig"), 16, 8).as("bk"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+    assert(m("a").size == 16)
+  }
+
+  test("minhash signature similarity approximates Jaccard (sanity)") {
+    import graft.operators.Dedup
+    // two 80%-overlapping shingle sets
+    val s1 = (0 until 100).map(i => s"sh$i")
+    val s2 = (20 until 120).map(i => s"sh$i")
+    val df = Seq(("a", s1), ("b", s2)).toDF("id", "sh")
+      .select(col("id"), Dedup.minhashSignature(col("sh")).as("sig"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree = rows("a").zip(rows("b")).count { case (x, y) => x == y }
+    val est = agree.toDouble / 128
+    val trueJ = 80.0 / 120.0
+    assert(math.abs(est - trueJ) < 0.15, s"minhash est $est vs true $trueJ")
+  }
+}
