@@ -58,6 +58,8 @@ object Similarity {
   }
 
   val NumPlanes = 16
+  val SrpBands = 4
+  val PlanesPerBand = 4 // NumPlanes / SrpBands
 
   /** Deterministic seeded hyperplanes (16 × 64, components in
     * [-0.5, 0.5)). Generated once at plan time; shipped to executors
@@ -71,21 +73,39 @@ object Similarity {
   /** 16-bit sign-random-projection bucket code for a vector column. */
   def lshBucket(v: Column): Column = srp_bucket(v, planes)
 
-  /** LSH-bucketed near-neighbor pairs: vectors sharing a bucket code,
-    * verified by exact cosine ≥ threshold. The shuffle key is the
-    * 16-bit code — linear in corpus size.
+  /** Banded SRP near-neighbor pairs: the 16 sign bits split into 4
+    * bands of 4; a pair is a candidate when ANY band agrees (standard
+    * OR-of-ANDs LSH amplification — far better recall than requiring
+    * all 16 bits equal), then verified by exact cosine ≥ threshold.
+    * The shuffle keys are (band, 4-bit code) — linear in corpus size,
+    * candidates deduped before the verify.
     */
   def annLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
     val coded = vecs(spark, sfDir)
       .withColumn("bucket", lshBucket(col("v")))
-    coded.as("x").join(coded.as("y"),
-        col("x.bucket") === col("y.bucket")
+    val banded = coded.select(
+        col("vec_id"),
+        explode(array((0 until SrpBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("bucket"), b * PlanesPerBand)
+              .bitwiseAND(lit((1 << PlanesPerBand) - 1)).as("code"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.code").as("code"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.code") === col("y.code")
           && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val side = vecs(spark, sfDir)
+    cand
+      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na")), "vec_a")
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb")), "vec_b")
       .withColumn("cos",
-        dot_product(col("x.v"), col("y.v")) / col("x.norm") / col("y.norm"))
+        dot_product(col("va"), col("vb")) / col("na") / col("nb"))
       .filter(col("cos") >= threshold)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.bucket").as("bucket"), col("cos"))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 }

@@ -32,9 +32,12 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(1) == best)
   }
 
-  test("LSH pairs share a bucket and pass the cosine threshold") {
+  test("banded LSH pairs pass the cosine threshold and find candidates") {
     val l = Similarity.annLsh(spark, sf, 0.3).cache()
+    assert(l.count() > 0)
     assert(l.filter(col("cos") < 0.3).isEmpty)
     assert(l.filter(col("vec_a") >= col("vec_b")).isEmpty)
+    // no duplicate pairs after the band-level dedup
+    assert(l.select("vec_a", "vec_b").distinct().count() == l.count())
   }
 }

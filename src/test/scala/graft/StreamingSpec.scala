@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 2)
   }
 
+  test("file-source streaming over parquet matches the batch rollup") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-stream-src").toString
+    val batch = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir)
+    val q = graft.streaming.EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_hourly").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("file_hourly")
+    val want = batch
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming sessionization closes sessions at the 30-min gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
