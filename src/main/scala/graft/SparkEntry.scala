@@ -49,6 +49,9 @@ object SparkEntry {
     "q_big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
     "q_asof_join" -> ((s, d) => AsOf.purchaseWithLastClick(s, d)),
+    "q_trailing_30d" -> ((s, d) => Relational.trailing30d(s, d)),
+    "q_first_last" -> ((s, d) => Relational.firstLastOrders(s, d)),
+    "q_det_sample" -> ((s, d) => Relational.deterministicSample(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "agg_welford" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -273,6 +276,27 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_trailing_30d" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(epoch(l_shipdate) AS BIGINT) AS ep,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_det_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,

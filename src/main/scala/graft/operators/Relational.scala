@@ -250,6 +250,46 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         expr("approx_percentile(value, 0.5, 1000)").as("p50_value"))
 
+  /** Trailing 30-day quantity sum per supplier — RANGE window frame
+    * over event time (epoch-seconds ordering so the frame arithmetic
+    * is engine-portable).
+    */
+  def trailing30d(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ep"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ep"),
+        money(col("l_quantity")).as("qty"))
+      .withColumn("qty_30d", sum(col("qty")).over(w).cast("double"))
+      .drop("qty")
+  }
+
+  /** first/last/nth value window functions per customer order history. */
+  def firstLastOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("first_order", first(col("o_orderkey")).over(w))
+      .withColumn("last_order", last(col("o_orderkey")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+        col("first_order"), col("last_order"))
+  }
+
+  /** Deterministic ~1/16 sample via md5 prefix — the reproducible
+    * sampling a pipeline needs (same rows on every engine and every
+    * run, unlike RNG-based Bernoulli sampling).
+    */
+  def deterministicSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
   /** JSON property extraction from the events.props payload. */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
