@@ -244,10 +244,10 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         |WINDOW
         |  w_all AS (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2))
         |    ROWS UNBOUNDED PRECEDING),
         |  w3 AS (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2))
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_cube_sales" ->
       """SELECT o_orderstatus, o_orderpriority,
@@ -374,7 +374,7 @@ object SparkEntry {
         |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT doc_id, word, tf, df,
-        |  tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN df USING (word) CROSS JOIN n""".stripMargin,
     "ann_topk_brute" ->
       """SELECT query_id, neighbor_id, rnk FROM (

@@ -184,8 +184,13 @@ object Relational {
     * quantity and 3-row moving average — the ordered-window shape.
     */
   def runningWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    // qty as final tiebreaker: (orderkey, linenumber) is NOT unique in
+    // the generated data, and a tied sort key with differing qty makes
+    // running sums order-dependent across engines. With qty pinned,
+    // any remaining ties produce identical output rows.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("qty"))
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

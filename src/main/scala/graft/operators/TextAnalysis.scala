@@ -120,8 +120,10 @@ object TextAnalysis {
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
     tf.join(df, "word")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      // rounded to 6 decimals: JVM and libm ln() disagree in the last
+      // ulp for some arguments, which would break cross-engine hashing
+      .withColumn("tfidf", round(
+        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
       .select("doc_id", "word", "tf", "df", "tfidf")
   }
 

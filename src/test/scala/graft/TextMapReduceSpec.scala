@@ -46,6 +46,29 @@ class TextMapReduceSpec extends SparkSpec {
     assert(ws == ws.sorted)
   }
 
+  test("generic mapReduce API runs ii.go's mapF/reduceF ported verbatim") {
+    // ii.go mapF (ii.go:22-36): emit (word, document) per token;
+    // reduceF (ii.go:41-66): "<count> <sorted distinct docs joined by ,>"
+    import spark.implicits._
+    import graft.operators.MapReduceLib
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)]
+    val splitter = TextMapReduce.WordSplit.r
+    val ported = MapReduceLib.mapReduce[(String, String), String, String, (String, String)](
+      docs,
+      { case (document, value) =>
+        splitter.split(value).iterator.filter(_.nonEmpty).map(w => (w, document)) },
+      (key, values) => {
+        val sorted = values.toSet.toArray.sorted
+        (key, s"${sorted.length} ${sorted.mkString(",")}")
+      })
+    val got = ported.toDF("word", "out")
+    val want = TextMapReduce.invertedIndex(spark, sf)
+      .select(col("word"),
+        concat_ws(" ", col("n_docs"), col("docs")).as("out"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("books parity: wordcount over the reference's own Gutenberg inputs") {
     // The reference's test-wc.sh runs wc.go over pg-*.txt; same
     // computation here through the Spark-native operator.
