@@ -53,6 +53,20 @@ object SparkEntry {
     "q_first_last" -> ((s, d) => Relational.firstLastOrders(s, d)),
     "q_det_sample" -> ((s, d) => Relational.deterministicSample(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
+    "agg_freq_items" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // top-5 words per language via the Misra–Gries sketch; k=64 ≥
+      // vocabulary, so retained counts are exact and oracle-checkable
+      Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang")
+        .agg(graft.functions.FreqItemsSketch.freq_items(col("word"), 64).as("sk"))
+        .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
+        .select(col("lang"), col("col.item").as("word"),
+          col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rnk"))
+    }),
     "agg_welford" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       import s.implicits._
@@ -276,6 +290,17 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "agg_freq_items" ->
+      """SELECT lang, word, cnt, rnk FROM (
+        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, word) AS BIGINT) AS rnk
+        |  FROM (SELECT lang,
+        |          unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''
+        |  GROUP BY lang, word)
+        |WHERE rnk <= 5""".stripMargin,
     "q_trailing_30d" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(epoch(l_shipdate) AS BIGINT) AS ep,

@@ -47,21 +47,24 @@ object TextAnalysis {
     * curation.
     */
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = wsTokens(col("text"))
     val stops = typedLit(Stopwords)
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(words).cast("long").as("n_words"),
-      safeDiv(
-        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")),
-        length(col("text"))).as("punct_ratio"),
-      safeDiv(
-        size(filter(words, w => array_contains(stops, w))),
-        size(words)).as("stop_ratio"),
-      safeDiv(
-        length(regexp_replace(col("text"), "[^\\p{L}]", "")),
-        size(words)).as("mean_word_len"))
+    // materialize the token array once — inlining it into every ratio
+    // would re-run the split per expression under interpreted HOF eval
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), wsTokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_words"),
+        safeDiv(
+          length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")),
+          length(col("text"))).as("punct_ratio"),
+        safeDiv(
+          size(filter(col("w"), w => array_contains(stops, w))),
+          size(col("w"))).as("stop_ratio"),
+        safeDiv(
+          length(regexp_replace(col("text"), "[^\\p{L}]", "")),
+          size(col("w"))).as("mean_word_len"))
   }
 
   /** Stopword profiles per language for the n-gram-free language
@@ -78,13 +81,14 @@ object TextAnalysis {
     * with fixed tie order (en > de > es > fr).
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = wsTokens(lower(col("text")))
-    val scored = Tables.documents(spark, sfDir).select(
-      (col("doc_id") +:
-        LangProfiles.map { case (lang, prof) =>
-          size(filter(words, w => array_contains(typedLit(prof), w)))
-            .cast("long").as(s"s_$lang")
-        }): _*)
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("w"))
+      .select(
+        (col("doc_id") +:
+          LangProfiles.map { case (lang, prof) =>
+            size(filter(col("w"), w => array_contains(typedLit(prof), w)))
+              .cast("long").as(s"s_$lang")
+          }): _*)
     val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"s_${p._1}"))
     scored.withColumn("pred_lang",
       when(en >= de && en >= es && en >= fr, "en")

@@ -72,18 +72,21 @@ object TextMapReduce {
       .toDF("word", "cnt")
   }
 
-  /** ii.go: word → (distinct-doc count, comma-joined sorted docs). */
+  /** ii.go: word → (distinct-doc count, comma-joined sorted docs).
+    * Single shuffle: per-document dedup happens in the array domain
+    * before the explode, cross-document dedup inside `collect_set` —
+    * no separate `distinct` pass.
+    */
   def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      // distinct (word, source) in the array domain before the shuffle
       .select(col("source"),
         explode(array_distinct(split(col("text"), WordSplit))).as("word"))
       .filter(col("word") =!= "")
-      .distinct() // (source, word) pairs — sources hold many documents
       .groupBy("word")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        array_join(array_sort(collect_set(col("source"))), ",").as("docs"))
+      .agg(collect_set(col("source")).as("srcs"))
+      .select(col("word"),
+        size(col("srcs")).cast("long").as("n_docs"),
+        array_join(array_sort(col("srcs")), ",").as("docs"))
 
   /** Map-only job (the framework with nReduce=0 → identity reduce):
     * distributed grep over documents.
