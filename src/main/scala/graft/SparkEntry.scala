@@ -98,6 +98,7 @@ object SparkEntry {
     // F. Multimodal
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
+    "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
   )
 
   /** Regex valid with identical semantics in Java regex (Spark rlike)
@@ -450,6 +451,14 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
         |      FROM documents)""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, frame_idx, n_frames,
+        |  substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |  LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

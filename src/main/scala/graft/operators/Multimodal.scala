@@ -34,6 +34,25 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       hex(substring(col("payload"), 1, 4)).as("magic"))
 
+  val FrameBytes = 32
+
+  /** Frame sampling: the binary payload split into fixed 32-byte
+    * frames (the video-frame / audio-window batch shape), one row per
+    * frame with its hex fingerprint. All arithmetic on the binary
+    * column itself — at scale the payload never round-trips through
+    * strings except for the emitted fingerprint.
+    */
+  def frames(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"),
+        ceil(length(col("payload")) / lit(FrameBytes.toDouble))
+          .cast("long").as("n_frames"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_hex",
+        hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
+      .select("doc_id", "frame_idx", "n_frames", "frame_hex")
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, features: Array[Double])

@@ -36,6 +36,26 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding hour. Both sides watermarked so
+    * state is bounded; the time-range predicate lets Spark expire
+    * click state once the watermark passes.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") <= col("p_ts"))
+  }
+
   /** Streaming exact dedup: drop repeated event_ids within the
     * watermark horizon — the streaming twin of `Dedup.exact`. State
     * is bounded by (ids seen inside the watermark window).

@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval join pairs purchases with prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(30), 1, "purchase", 5.0), // joins click 1 (30m before)
+      Event(3, ts(200), 1, "purchase", 5.0), // no click within 1h
+      Event(4, ts(10), 2, "click", 1.0),
+      Event(5, ts(100), 2, "purchase", 5.0)) // click 90m before → no join
+    val q = EventStreams.purchaseClickJoin(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L)))
+  }
+
   test("streaming sessionization closes sessions at the 30-min gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
