@@ -167,9 +167,13 @@ object CatalystExprs {
   /** Dot product of two array<double>, left-to-right summation —
     * bit-identical to `aggregate(zip_with(a,b,*), 0.0, +)` and to
     * DuckDB's sequential list arithmetic (keeps the ANN oracle green).
+    *
+    * Implements `doGenCode`, so unlike the HOF formulation it runs
+    * INSIDE whole-stage codegen — the loop compiles into the fused
+    * stage with no per-row boxing.
     */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -180,6 +184,23 @@ object CatalystExprs {
       while (i < m) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
       java.lang.Double.valueOf(acc)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
   }
