@@ -52,6 +52,10 @@ object SparkEntry {
     "q_trailing_30d" -> ((s, d) => Relational.trailing30d(s, d)),
     "q_first_last" -> ((s, d) => Relational.firstLastOrders(s, d)),
     "q_det_sample" -> ((s, d) => Relational.deterministicSample(s, d)),
+    "q_set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_having" -> ((s, d) => Relational.bigOrders(s, d)),
+    "q_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
+    "q_date_parts" -> ((s, d) => Relational.dateParts(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "agg_freq_items" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -323,6 +327,35 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    "q_set_ops" ->
+      """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |c97 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)""".stripMargin,
+    "q_having" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(*) >= 5""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS upper_name,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS edit_dist
+        |FROM customer
+        |WHERE c_custkey <= 100""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,

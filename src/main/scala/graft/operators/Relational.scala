@@ -295,6 +295,51 @@ object Relational {
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** INTERSECT / EXCEPT set semantics: customers ordering in both
+    * years vs only the first.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    def custsIn(year: Int) = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit(s"${year + 1}-01-01 00:00:00").cast("timestamp"))
+      .select("o_custkey")
+    val both = custsIn(1996).intersect(custsIn(1997))
+      .withColumn("tag", lit("both"))
+    val only96 = custsIn(1996).except(custsIn(1997))
+      .withColumn("tag", lit("only_1996"))
+    both.unionAll(only96)
+  }
+
+  /** GROUP BY + HAVING shape: orders with at least 5 line items. */
+  def bigOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("n_items") >= 5)
+
+  /** String-function suite incl. Levenshtein edit distance. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 100)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast("long")
+          .as("edit_dist"))
+
+  /** Datetime-part extraction rollup (year/month grain). */
+  def dateParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("o_totalprice"))).cast("double").as("total"))
+
   /** JSON property extraction from the events.props payload. */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
