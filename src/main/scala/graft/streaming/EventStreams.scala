@@ -22,7 +22,20 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
+  /** Session bounds in epoch MICROseconds — `Timestamp.getTime` is
+    * millis and would silently truncate event-time precision, making
+    * streaming sessions diverge from the batch operator.
+    */
   case class SessionState(start: Long, end: Long, n: Long)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
 
   /** Watermarked hourly tumbling-window aggregation. Late data beyond
     * 2 hours is dropped; state is bounded by (windows in watermark) ×
@@ -78,24 +91,22 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
-          val gapMs = gapSec * 1000
+          val gapUs = gapSec * 1000000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n))
+            Iterator(SessionOut(userId, toTs(s.start), toTs(s.end), s.n))
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapUs =>
                   cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
-                  closed += SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n)
+                  closed += SessionOut(userId, toTs(s.start), toTs(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -103,7 +114,8 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout API is millis; round up so it never fires early
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000 + 1)
             }
             closed.result().iterator
           }

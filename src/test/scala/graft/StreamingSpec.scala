@@ -75,6 +75,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sessionize equals batch sessionize on the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[Event]
+    input.addData(events.toSeq: _*)
+    val q = graft.streaming.EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_full").start()
+    q.processAllAvailable()
+    // sentinel far past every session end → watermark closes them all
+    val sentinel = Event(-1L,
+      new Timestamp(events.last.ts.getTime + 365L * 86400 * 1000), -1L, "x", 0.0)
+    input.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_full")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+    val want = graft.operators.Relational.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"streaming sessions diverge from batch: got=${got.count()} want=${want.count()}")
+  }
+
   test("stream-stream interval join pairs purchases with prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
