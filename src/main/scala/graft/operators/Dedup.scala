@@ -102,7 +102,12 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+      // near-dup components are clique-ish and converge in 1-2 rounds;
+      // skip the convergence action on round one and fold it into the
+      // materialization afterwards
+      if (iter == 0) { next.count(); changed = 1L }
+      else changed = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
       labels = next
