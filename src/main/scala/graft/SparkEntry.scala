@@ -93,6 +93,8 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
+    "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -109,6 +111,45 @@ object SparkEntry {
     * and RE2 (DuckDB regexp_matches): unanchored contains.
     */
   val GrepPattern = "vector [a-z]+ merge"
+
+  /** Shared CTE chain: shingle → jaccard edges → recursive-CTE
+    * connected components (`clusters(doc_id, cluster_id)`), reused by
+    * dedup_clusters and pipeline_curate oracles.
+    */
+  private val clusterCtes =
+    """words AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                          for i in range(1, len(w) - 1)])) AS s
+      |  FROM words),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT doc_a, doc_b
+      |  FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5),
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM edges
+      |  UNION SELECT doc_b, doc_a FROM edges),
+      |reach AS (
+      |  WITH RECURSIVE r(a, b) AS (
+      |    SELECT a, b FROM sym
+      |    UNION
+      |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
+      |  ) SELECT * FROM r),
+      |clusters AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(least(d.doc_id, min(r.b)), d.doc_id) AS BIGINT) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
 
   private val wordcountSql =
     """SELECT word, count(*) AS cnt
@@ -392,38 +433,36 @@ object SparkEntry {
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_clusters" ->
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                          for i in range(1, len(w) - 1)])) AS s
-        |  FROM words),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(count(*) AS BIGINT) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT doc_a, doc_b
-        |  FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5),
-        |sym AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM edges
-        |  UNION SELECT doc_b, doc_a FROM edges),
-        |reach AS (
-        |  WITH RECURSIVE r(a, b) AS (
-        |    SELECT a, b FROM sym
-        |    UNION
-        |    SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a <> s.b
-        |  ) SELECT * FROM r)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(least(d.doc_id, min(r.b)), d.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin,
+      s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    "pipeline_curate" ->
+      s"""WITH $clusterCtes,
+         |q AS (SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+         |  FROM (SELECT doc_id,
+         |    len(list_filter(lw, x -> x IN ('the','a','of','and','to'))) AS s_en,
+         |    len(list_filter(lw, x -> x IN ('der','die','das','und','ein'))) AS s_de,
+         |    len(list_filter(lw, x -> x IN ('el','los','que','y','una'))) AS s_es,
+         |    len(list_filter(lw, x -> x IN ('le','les','et','une','des'))) AS s_fr
+         |    FROM (SELECT doc_id,
+         |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw
+         |          FROM documents)))
+         |SELECT c.doc_id, q.n_words, l.pred_lang
+         |FROM clusters c
+         |JOIN q ON c.doc_id = q.doc_id
+         |JOIN l ON c.doc_id = l.doc_id
+         |WHERE c.cluster_id = c.doc_id AND q.n_words >= 20 AND l.pred_lang = 'en'""".stripMargin,
+    "q_vector_stats" ->
+      """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
+        |FROM (SELECT label,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))) AS norm
+        |      FROM embeddings)
+        |GROUP BY label""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
