@@ -536,5 +536,23 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS magic
         |FROM documents""".stripMargin,
+    // decode stub mirrored in SQL: the corpus is all-ASCII (verified at
+    // every SF), so byte k of the UTF-8 payload == ord of char k and the
+    // stub's signed-byte arithmetic is exactly reproducible in DuckDB.
+    "mm_features" -> {
+      val fCols = (0 until 8).map { i =>
+        s"""  CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE ord(substr(text, ($i * length(text)) // 8 + 1, 1)) / 128.0
+           |  END AS f$i""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(CASE WHEN length(text) = 0 THEN 1
+         |    ELSE 1 + (ord(substr(text, 1, 1)) & 127) END AS INT) AS width,
+         |  CAST(CASE WHEN length(text) = 0 THEN 1
+         |    ELSE 1 + (ord(substr(text, length(text), 1)) & 127) END AS INT) AS height,
+         |$fCols
+         |FROM documents""".stripMargin
+    },
   )
 }

@@ -47,6 +47,9 @@ object Multimodal {
       .select(col("doc_id"), col("payload"),
         ceil(length(col("payload")) / lit(FrameBytes.toDouble))
           .cast("long").as("n_frames"))
+      // empty payload ⇒ n_frames = 0 and sequence(0, -1) would emit the
+      // descending [0, -1] — guard so zero-frame rows produce no frames
+      .filter(col("n_frames") >= 1)
       .select(col("doc_id"), col("payload"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
       .withColumn("frame_hex",
@@ -73,10 +76,16 @@ object Multimodal {
     (w, h, feats)
   }
 
-  /** Partition-wise feature extraction over media batches. */
+  /** Partition-wise feature extraction over media batches.
+    *
+    * The fixed-width feature vector is projected to scalar `f0..f7`
+    * doubles at the edge: a flat schema every engine (and the driver's
+    * pandas sort) can order and hash, while the extraction itself still
+    * moves one array per row between stages.
+    */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, sfDir).as[MediaRow]
+    val raw = mediaTable(spark, sfDir).as[MediaRow]
       .mapPartitions { rows =>
         // per-partition init (codec handles, model weights) goes here
         rows.map { r =>
@@ -85,5 +94,8 @@ object Multimodal {
         }
       }
       .toDF()
+    raw.select(
+      Seq(col("doc_id"), col("n_bytes"), col("width"), col("height")) ++
+        (0 until 8).map(i => col("features")(i).as(s"f$i")): _*)
   }
 }

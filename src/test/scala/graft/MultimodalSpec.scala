@@ -17,11 +17,13 @@ class MultimodalSpec extends SparkSpec {
     assert(m.filter(length(col("magic")) =!= 8).isEmpty)
   }
 
-  test("feature extraction is deterministic with fixed shape") {
+  test("feature extraction is deterministic with fixed flat shape") {
     val a = Multimodal.features(spark, sf).cache()
     assert(a.count() == 500)
-    assert(a.filter(size(col("features")) =!= 8).isEmpty)
+    assert(a.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height") ++ (0 until 8).map(i => s"f$i"))
     assert(a.filter(col("width") < 1 || col("width") > 128).isEmpty)
+    assert(a.filter(col("f0") < -1.0 || col("f0") > 1.0).isEmpty)
     val b = Multimodal.features(spark, sf)
     assert(a.exceptAll(b).isEmpty)
   }
