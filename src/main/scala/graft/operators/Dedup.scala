@@ -38,6 +38,12 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+      // tokenize+shingle dominates every consumer; persist so candidate
+      // generation and verification share ONE pass (Spark's cache
+      // manager matches the identical plan across ngramJaccard /
+      // minhashLsh / clusters in a session). MEMORY_AND_DISK spills
+      // rather than recomputing at cluster scale.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1 shingle,
     * jaccard = |∩|/|∪| ≥ threshold. Integer-exact arithmetic → the
@@ -48,11 +54,13 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(spark, sfDir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val docs = docShingles(spark, sfDir)
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // per-doc shingle count straight off the array — no second explode
+    // and no extra groupBy shuffle
+    val counts = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val common = a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -80,15 +88,44 @@ object Dedup {
     * round one shuffle keyed on doc_id.
     */
   def clusters(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
-    val edges = ngramJaccard(spark, sfDir, threshold)
-      .select(col("doc_a"), col("doc_b"))
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
+    componentsOver(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("doc_id").as("cluster_id")),
+      ngramJaccard(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Same clustering over MinHash-LSH verified pairs — the 100 TB
+    * path: candidate edges come from the banded signature join, never
+    * an all-pairs shingle self-join.
+    */
+  def clustersLsh(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
+    componentsOver(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("doc_id").as("cluster_id")),
+      minhashLsh(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Min-label connected components over an arbitrary edge set.
+    *
+    * Each round: (1) propagate the min neighbor label (one shuffle
+    * keyed on doc_id), (2) pointer-jump `l(v) := l(l(v))` so chains
+    * collapse in O(log diameter) rounds instead of O(diameter). The
+    * convergence check is folded into the round's single materializing
+    * action (a `chg` flag counted on the same cached result — no extra
+    * join+count pass), and lineage is truncated with `localCheckpoint`
+    * every few rounds so the plan stays bounded however many rounds
+    * run. Exits LOUDLY on non-convergence: a silently-capped iteration
+    * would surface only as an unexplained wrong cluster_id downstream.
+    */
+  private[graft] def componentsOver(verts: DataFrame, edges: DataFrame,
+      maxIters: Int): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .cache()
+    var labels = verts
+    var cached: DataFrame = null
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -96,25 +133,46 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_lbl")), "dst")
         .groupBy(col("src"))
         .agg(min(col("dst_lbl")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id")).as("chg"))
+      // pointer jumping: labels are vertex ids, so l(l(v)) is a plain
+      // self-join on the label value. `chg` covers BOTH the propagation
+      // and the jump — the loop only exits from a verified fixed point
+      // of the combined operator, which is the propagation fixed point
+      // (= correct component minima).
+      val next = stepped.as("s")
+        .join(stepped.select(col("doc_id").as("lbl_id"),
+          col("cluster_id").as("lbl_lbl")).as("t"),
+          col("s.cluster_id") === col("t.lbl_id"), "left")
+        .select(col("s.doc_id").as("doc_id"),
+          coalesce(col("lbl_lbl"), col("s.cluster_id")).as("cluster_id"),
+          (col("s.chg") ||
+            coalesce(col("lbl_lbl"), col("s.cluster_id")) < col("s.cluster_id"))
+            .as("chg"))
         .cache()
-      // near-dup components are clique-ish and converge in 1-2 rounds;
-      // skip the convergence action on round one and fold it into the
-      // materialization afterwards
-      if (iter == 0) { next.count(); changed = 1L }
-      else changed = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count() // materialize + converge-check
+      if (cached != null) cached.unpersist()
+      cached = next
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
+      if (iter % 4 == 0) {
+        labels = labels.localCheckpoint() // bound plan depth
+        cached.unpersist()
+        cached = null
+      }
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters")
+    val out = labels.localCheckpoint() // cut lineage before caches go away
+    if (cached != null) cached.unpersist()
     sym.unpersist()
-    labels
+    out
   }
 
   // ---- MinHash + banded LSH ------------------------------------------
@@ -153,7 +211,8 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame = {
-    val sig = docShingles(spark, sfDir)
+    val shd = docShingles(spark, sfDir)
+    val sig = shd
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh")))
     val banded = sig
@@ -167,10 +226,9 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = docShingles(spark, sfDir)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -226,18 +284,15 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (brute baseline; ann_lsh is the
     * scale path). Cosine in double, left-to-right summation.
     */
+  /** Embedding-cosine near-dup pairs on the scale path: candidates
+    * come from the banded sign-random-projection join (linear shuffle
+    * keyed on (band, code) — never an all-pairs comparison), then the
+    * exact cosine verifies each candidate. Approximate by design: a
+    * pair disagreeing on every band is not surfaced, the standard
+    * LSH recall trade (tune bands/planes for recall at scale).
+    */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.45): DataFrame = {
-    val e = Similarity.vecs(spark, sfDir)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("norm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        graft.functions.CatalystExprs.dot_product(col("va"), col("vb"))
-          / col("na") / col("nb"))
-      .filter(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "cos")
-  }
+      threshold: Double = 0.45): DataFrame =
+    Similarity.annLsh(spark, sfDir, threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
 }

@@ -16,7 +16,10 @@ object Pipeline {
 
   def curate(spark: SparkSession, sfDir: String,
       minWords: Long = 20): DataFrame = {
-    val canonical = Dedup.clusters(spark, sfDir)
+    // near-dup edges come from the MinHash-LSH path (threshold-matched
+    // to the exact-Jaccard oracle): at 100 TB the candidate join is
+    // keyed on band signatures, never an all-pairs shingle self-join
+    val canonical = Dedup.clustersLsh(spark, sfDir)
       .filter(col("doc_id") === col("cluster_id"))
       .select("doc_id")
     val quality = TextAnalysis.quality(spark, sfDir)

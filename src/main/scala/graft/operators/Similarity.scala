@@ -35,6 +35,9 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      // cast + norm computed once; bucket generation and the verify
+      // join both read the persisted copy instead of re-scanning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact top-k neighbors for the first nQueries vectors.
     * Output (query_id, neighbor_id, rnk); the similarity value itself
@@ -97,7 +100,7 @@ object Similarity {
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val side = vecs(spark, sfDir)
+    val side = coded.select(col("vec_id"), col("v"), col("norm"))
     cand
       .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("norm").as("na")), "vec_a")

@@ -100,12 +100,25 @@ object TextMapReduce {
     * Spark's range-partitioned sort reproduces the master's merge of
     * per-reducer sorted files — rank makes the total order a
     * first-class, oracle-checkable column.
+    *
+    * The rank is assigned with the zipWithIndex pattern, NOT a
+    * global `row_number()` window (which would move every row to a
+    * single partition): after the range sort, one metadata-sized job
+    * counts rows per partition (one long per partition crosses the
+    * driver), and each partition then adds its cumulative offset to a
+    * local counter in place. The data itself never funnels through
+    * one task — this is exactly the reference master's merge of
+    * per-reducer sorted files, expressed as offsets.
     */
   def sortedWordCount(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    wordCount(spark, sfDir)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("word"))).cast("long"))
+    import spark.implicits._
+    val sorted = wordCount(spark, sfDir)
+      .select(col("word"), col("cnt"))
+      .orderBy(col("word")) // range-partitioned total sort
+    val indexed = sorted.as[(String, Long)].rdd
+      .zipWithIndex()
+      .map { case ((w, c), i) => (w, c, i + 1L) }
+    spark.createDataset(indexed).toDF("word", "cnt", "rnk")
   }
 
   /** Top-k words: the groupBy+orderBy+limit shape, k small enough to
