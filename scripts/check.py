@@ -47,7 +47,12 @@ def main():
             print(f"  [FAIL-oracle-sql] {name}: {e}")
             n_fail += 1
             continue
-        g, e = normalize(got), normalize(exp)
+        try:
+            g, e = normalize(got), normalize(exp)
+        except Exception as ex:
+            print(f"  [FAIL-normalize] {name}: {ex}")
+            n_fail += 1
+            continue
         ok_schema = list(g.columns) == list(e.columns)
         ok_rows = len(g) == len(e)
         ok_vals = False

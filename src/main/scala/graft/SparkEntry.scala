@@ -56,6 +56,9 @@ object SparkEntry {
     "q_having" -> ((s, d) => Relational.bigOrders(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q_date_parts" -> ((s, d) => Relational.dateParts(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q17_small_qty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
+    "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "agg_freq_items" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -105,6 +108,33 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
+    // G/H. Gated source + streaming + SQL-surface paths
+    "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
+    "stream_events_hourly" ->
+      ((s, d) => graft.streaming.EventStreams.hourlyCountsFromFiles(s, d)),
+    // SQL-authored plans through the registered custom expressions —
+    // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
+    // end-to-end under the same hash gate as the DataFrame API.
+    "sql_vector_stats" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sqlv")
+      s.sql("""SELECT label, count(*) AS n,
+              |  min(norm) AS min_norm, max(norm) AS max_norm
+              |FROM (SELECT label,
+              |        sqrt(dot_product(transform(embedding, x -> CAST(x AS DOUBLE)),
+              |                         transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+              |      FROM embeddings_sqlv)
+              |GROUP BY label""".stripMargin)
+    }),
+    "sql_ngram_profile" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_sqlv")
+      s.sql("""SELECT doc_id,
+              |  CAST(size(word_ngrams(
+              |    filter(split(text, '[^\\p{L}]+'), w -> w != ''), 3)) AS BIGINT)
+              |    AS n_shingles
+              |FROM documents_sqlv""".stripMargin)
+    }),
   )
 
   /** Regex valid with identical semantics in Java regex (Spark rlike)
@@ -150,6 +180,22 @@ object SparkEntry {
       |    CAST(coalesce(least(d.doc_id, min(r.b)), d.doc_id) AS BIGINT) AS cluster_id
       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
       |  GROUP BY d.doc_id)""".stripMargin
+
+  private val vectorStatsSql =
+    """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
+      |FROM (SELECT label,
+      |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                              CAST(embedding AS DOUBLE[]))) AS norm
+      |      FROM embeddings)
+      |GROUP BY label""".stripMargin
+
+  private val eventsHourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
 
   private val wordcountSql =
     """SELECT word, count(*) AS cnt
@@ -266,13 +312,11 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_events_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        |  min(value) AS min_value, max(value) AS max_value
-        |FROM events
-        |GROUP BY 1, 2""".stripMargin,
+    "q_events_hourly" -> eventsHourlySql,
+    // same oracle: the JSONL round-trip and the file-stream
+    // materialization must land on the identical hourly rollup
+    "q_jsonl_hourly" -> eventsHourlySql,
+    "stream_events_hourly" -> eventsHourlySql,
     "q_sessionize" ->
       """SELECT user_id, session_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
@@ -397,6 +441,38 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS m,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) * 100.0
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM (SELECT l_partkey, l_quantity, l_extendedprice,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+        |          / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        |      FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < 0.2 * avg_qty
+        |GROUP BY p_brand""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND contains(p_name, 'gear')
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
@@ -456,13 +532,15 @@ object SparkEntry {
          |JOIN q ON c.doc_id = q.doc_id
          |JOIN l ON c.doc_id = l.doc_id
          |WHERE c.cluster_id = c.doc_id AND q.n_words >= 20 AND l.pred_lang = 'en'""".stripMargin,
-    "q_vector_stats" ->
-      """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
-        |FROM (SELECT label,
-        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                              CAST(embedding AS DOUBLE[]))) AS norm
-        |      FROM embeddings)
-        |GROUP BY label""".stripMargin,
+    "q_vector_stats" -> vectorStatsSql,
+    "sql_vector_stats" -> vectorStatsSql,
+    "sql_ngram_profile" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS BIGINT) AS n_shingles
+        |FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |      FROM documents)""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -29,8 +29,17 @@ object Tables {
     * ~1.7e18 ns), matching DuckDB's ns→µs truncation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // scope the legacy flag to THIS load: the schema conversion happens
+    // eagerly at read time (verified: the returned frame still executes
+    // after restore), so the session-wide interpretation of other
+    // nanos-timestamp parquet reads is left untouched
+    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    val raw = try load(s, d, "events")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",

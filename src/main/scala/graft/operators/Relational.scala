@@ -150,7 +150,13 @@ object Relational {
     * (graft.streaming.EventStreams.hourlyCounts).
     */
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    eventsHourlyOver(Tables.events(spark, sfDir))
+
+  /** Same hourly rollup over any events-shaped input (parquet, JSONL,
+    * or a materialized stream) — the source never changes the plan.
+    */
+  def eventsHourlyOver(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(money(col("value"))).cast("double").as("sum_value"),
@@ -340,12 +346,79 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(money(col("o_totalprice"))).cast("double").as("total"))
 
-  /** JSON property extraction from the events.props payload. */
+  /** JSON property extraction from the events.props payload.
+    * `try_cast` (not a plain cast): under ANSI mode a malformed "k"
+    * value must degrade to null, not kill the job — mirrored by the
+    * oracle's regexp_extract null-on-no-match semantics.
+    */
   def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"),
         count(col("k")).as("n_with_k"))
+
+  // ---- part-joining TPC-H shapes -------------------------------------
+
+  /** TPC-H Q14-shape promo revenue: conditional aggregation over the
+    * part⋈lineitem join, per ship month of 1997. The part side is a
+    * dimension at this schema's scale — Spark/AQE picks broadcast when
+    * it fits; the plan stays a keyed shuffle join otherwise, so the
+    * same code survives a part table too big to broadcast.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("m"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)).cast("double").as("promo_rev"),
+        sum(rev).cast("double").as("total_rev"))
+      .withColumn("promo_pct",
+        col("promo_rev") * lit(100.0) / col("total_rev"))
+  }
+
+  /** TPC-H Q17-shape small-quantity revenue per brand: lineitems whose
+    * quantity is under 20% of their part's average. The per-part
+    * average is a window over l_partkey — ONE scan of lineitem, one
+    * shuffle keyed on partkey, instead of a groupBy + re-join that
+    * reads the fact table twice.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty",
+        sum(money(col("l_quantity"))).over(byPart).cast("double")
+          / count(lit(1)).over(byPart))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q9-shape product profit per (nation, order year): lineitem
+    * ⋈ orders ⋈ part ⋈ supplier ⋈ nation, margin = revenue − retail
+    * cost of the shipped quantity (this schema has no partsupp, so
+    * p_retailprice stands in for ps_supplycost). Fixed-cardinality
+    * nation broadcasts; the fact⋈fact joins shuffle on their keys.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val amount = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))) -
+      money(col("p_retailprice")) * money(col("l_quantity"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_name").contains("gear")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"))
+  }
 }

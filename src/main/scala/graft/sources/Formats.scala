@@ -35,9 +35,33 @@ object Formats {
       .schema(schema)
       .csv(path)
 
-  def writeJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+  def writeJsonl(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite).options(options).json(path)
 
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.schema(schema).options(options).json(path)
+
+  /** Microsecond-precision timestamp format for JSONL round-trips —
+    * Spark's default JSON timestamp pattern is millisecond-grained and
+    * would silently truncate event times.
+    */
+  val JsonlTsOptions: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** The driver's hourly-events query fed from JSONL instead of
+    * parquet: events round-trip through a schema-explicit JSONL
+    * write/read (a user's first pipeline usually starts from JSONL),
+    * then run the exact same declarative rollup. One write per call —
+    * the point is proving the source path end-to-end, not caching it.
+    */
+  def eventsHourlyFromJsonl(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables.events(spark, sfDir)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_events_jsonl_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    writeJsonl(events, path, JsonlTsOptions)
+    graft.operators.Relational.eventsHourlyOver(
+      readJsonl(spark, path, events.schema, JsonlTsOptions))
+  }
 }

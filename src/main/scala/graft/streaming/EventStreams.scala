@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Structured Streaming twins of the batch event operators
   * (SURVEY §2.G): the same logical computation as
@@ -22,11 +23,12 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
-  /** Session bounds in epoch MICROseconds — `Timestamp.getTime` is
-    * millis and would silently truncate event-time precision, making
-    * streaming sessions diverge from the batch operator.
+  /** Buffered per-user event times in epoch MICROseconds —
+    * `Timestamp.getTime` is millis and would silently truncate
+    * event-time precision, making streaming sessions diverge from the
+    * batch operator.
     */
-  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionState(times: Seq[Long])
 
   private def micros(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
@@ -79,9 +81,19 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Event-time session windows with a 30-minute inactivity gap via
-    * flatMapGroupsWithState. Sessions are emitted when the watermark
-    * passes end+gap (event-time timeout), exactly mirroring the batch
-    * gaps-and-islands result for closed sessions.
+    * flatMapGroupsWithState.
+    *
+    * Events BUFFER in state and sessionization happens at timeout
+    * emission — so arbitrarily out-of-order arrivals inside the
+    * watermark horizon (a late event extending a session backwards, or
+    * forming its own earlier session) produce exactly the batch
+    * gaps-and-islands result. Eager per-batch merging can't do that:
+    * it would fold a too-early event into the current session and
+    * never split it back out. State is bounded by the watermark
+    * horizon: once the watermark passes (max buffered time + gap), no
+    * admissible future event can merge with anything buffered (Spark
+    * drops rows older than the watermark in stateful ops), so ALL
+    * buffered sessions are closed and the buffer empties.
     */
   def sessionize(events: Dataset[Event],
       gapSec: Long = 1800): Dataset[SessionOut] = {
@@ -92,33 +104,93 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
           val gapUs = gapSec * 1000000L
+          def sessions(times: Seq[Long]): Seq[SessionOut] = {
+            val sorted = times.sorted
+            val out = Seq.newBuilder[SessionOut]
+            var start = sorted.head
+            var end = start
+            var n = 0L
+            sorted.foreach { t =>
+              if (t - end > gapUs) {
+                out += SessionOut(userId, toTs(start), toTs(end), n)
+                start = t; end = t; n = 1L
+              } else { end = t; n += 1 }
+            }
+            out += SessionOut(userId, toTs(start), toTs(end), n)
+            out.result()
+          }
           if (state.hasTimedOut) {
-            val s = state.get
+            val buffered = state.get.times
             state.remove()
-            Iterator(SessionOut(userId, toTs(s.start), toTs(s.end), s.n))
+            sessions(buffered).iterator
           } else {
-            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = micros(e.ts)
-              cur match {
-                case Some(s) if t - s.end <= gapUs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, toTs(s.start), toTs(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // timeout API is millis; round up so it never fires early
-              state.setTimeoutTimestamp((s.end + gapUs) / 1000 + 1)
-            }
-            closed.result().iterator
+            val times = state.getOption.map(_.times).getOrElse(Seq.empty) ++
+              batch.map(e => micros(e.ts))
+            state.update(SessionState(times))
+            // timeout API is millis; round up so it never fires early
+            state.setTimeoutTimestamp((times.max + gapUs) / 1000 + 1)
+            Iterator.empty
           }
         })
+  }
+
+  /** Oracle-shaped hourly rollup (streaming twin of
+    * `Relational.eventsHourly`, full column set, decimal money math).
+    */
+  def hourlyCountsFull(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hour"),
+        col("event_type"), col("n"), col("sum_value"),
+        col("min_value"), col("max_value"))
+
+  /** The streaming path behind the driver's batch hash gate: read the
+    * events parquet through the FILE-STREAM source, run the unbounded
+    * hourly plan, materialize via a memory sink (complete mode — a
+    * finite input's trailing windows never cross the watermark in
+    * append mode), and hand the result back as a DataFrame matching
+    * the q_events_hourly oracle.
+    */
+  def hourlyCountsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    // the legacy flag must hold for the whole (bounded) stream run —
+    // file splits convert the parquet schema as they are read; restore
+    // it once the query stops
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      // the file-stream source monitors a DIRECTORY; expose the single
+      // driver-generated file through a symlink dir (at deployment the
+      // landing zone is a directory already)
+      val dir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stream_src_" + java.lang.Integer.toHexString(path.hashCode)))
+      val link = dir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(path))
+      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      val events = raw.schema("ts").dataType match {
+        case LongType => stream0.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val name = "graft_stream_hourly_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = hourlyCountsFull(events).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 }

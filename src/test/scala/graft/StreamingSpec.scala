@@ -107,6 +107,47 @@ class StreamingSpec extends SparkSpec {
       s"streaming sessions diverge from batch: got=${got.count()} want=${want.count()}")
   }
 
+  test("streaming sessionize equals batch on OUT-OF-ORDER input") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect()
+    // deterministic shuffle WITHIN the watermark horizon: deliver in
+    // 30-min buckets, events inside each bucket reversed — late events
+    // that extend sessions backwards or split earlier sessions
+    val scrambled = events
+      .groupBy(_.ts.getTime / (30 * 60 * 1000))
+      .toSeq.sortBy(_._1)
+      .flatMap(_._2.sortBy(e => (-e.ts.getTime, e.event_id)))
+    val input = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    scrambled.grouped(500).foreach { chunk =>
+      input.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val sentinel = Event(-1L,
+      new Timestamp(events.map(_.ts.getTime).max + 365L * 86400 * 1000),
+      -1L, "x", 0.0)
+    input.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_ooo")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+    val want = graft.operators.Relational.sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"OOO streaming sessions diverge: got=${got.count()} want=${want.count()}")
+  }
+
   test("stream-stream interval join pairs purchases with prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
