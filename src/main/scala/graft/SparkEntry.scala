@@ -56,6 +56,23 @@ object SparkEntry {
     "q_having" -> ((s, d) => Relational.bigOrders(s, d)),
     "q_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q_date_parts" -> ((s, d) => Relational.dateParts(s, d)),
+    "q_window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
+    "q_cond_agg" -> ((s, d) => Relational.condAgg(s, d)),
+    // GROUPING SETS has no DataFrame API — the SQL surface is the
+    // native Spark path for it, with grouping() disambiguating the
+    // superaggregate null rows
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sqlv")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+              |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  count(*) AS n
+              |FROM lineitem_sqlv
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_returnflag), ())""".stripMargin)
+    }),
+    "q_csv_orders" -> ((s, d) => graft.sources.Formats.ordersFromCsv(s, d)),
     "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
@@ -95,6 +112,7 @@ object SparkEntry {
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
@@ -441,6 +459,38 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN value > 100 THEN 1 END) AS n_high,
+        |  CAST(sum(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_high,
+        |  bool_and(value > 0) AS all_positive,
+        |  bool_or(value > 500) AS any_huge
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
+    "q_csv_orders" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS first_date
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT CAST(month(l_shipdate) AS BIGINT) AS m,
         |  CAST(sum(CASE WHEN p_type = 'PROMO'
@@ -561,6 +611,34 @@ object SparkEntry {
         |               e.vec_id) AS BIGINT) AS rnk
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id < 20)
+        |WHERE rnk <= 10""".stripMargin,
+    // IVF oracle: same deterministic codebook (vec_id < 16), same
+    // argmin assignment / 4-probe / within-cell exact rank
+    "ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |               c.cid) AS crank
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               cand.vec_id) AS BIGINT) AS rnk
+        |  FROM cand
+        |  JOIN embeddings e ON cand.vec_id = e.vec_id
+        |  JOIN embeddings q ON cand.query_id = q.vec_id)
         |WHERE rnk <= 10""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

@@ -90,8 +90,7 @@ object Dedup {
   def clusters(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
     componentsOver(
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("doc_id").as("cluster_id")),
+      Tables.documents(spark, sfDir).select(col("doc_id")),
       ngramJaccard(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
       maxIters)
 
@@ -102,8 +101,7 @@ object Dedup {
   def clustersLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
     componentsOver(
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("doc_id").as("cluster_id")),
+      Tables.documents(spark, sfDir).select(col("doc_id")),
       minhashLsh(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
       maxIters)
 
@@ -124,7 +122,11 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = verts
+    // only edge-active vertices ride the loop: at corpus scale near-dup
+    // components cover a small fraction of documents, and a singleton
+    // needs no propagation — it rejoins as its own cluster at the end
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var cached: DataFrame = null
     var iter = 0
     var changed = 1L
@@ -169,10 +171,12 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters")
-    val out = labels.localCheckpoint() // cut lineage before caches go away
+    val active = labels.localCheckpoint() // cut lineage before caches go away
     if (cached != null) cached.unpersist()
     sym.unpersist()
-    out
+    verts
+      .join(active.withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   // ---- MinHash + banded LSH ------------------------------------------

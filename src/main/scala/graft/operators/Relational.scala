@@ -359,6 +359,37 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"),
         count(col("k")).as("n_with_k"))
 
+  /** Windowed ranking/navigation suite: quartile (ntile), 2nd order
+    * (nth_value over the full frame — the default running frame would
+    * make early rows nondeterministic vs engines that differ on it),
+    * prev/next (lag/lead). One shuffle; all four share the window.
+    */
+  def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+  }
+
+  /** Conditional-aggregation suite over events: filtered counts/sums
+    * and boolean aggregates — all map-side-combinable, one shuffle.
+    */
+  def condAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") > 100, lit(1))).as("n_high"),
+        sum(when(col("value") > 100, money(col("value")))).cast("double")
+          .as("sum_high"),
+        bool_and(col("value") > 0).as("all_positive"),
+        bool_or(col("value") > 500).as("any_huge"))
+
   // ---- part-joining TPC-H shapes -------------------------------------
 
   /** TPC-H Q14-shape promo revenue: conditional aggregation over the

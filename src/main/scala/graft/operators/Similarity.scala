@@ -60,6 +60,59 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * cells; queries probe only the nearest few cells and rank
+    * exactly within them.
+    *
+    * The "codebook" here is the first `IvfCells` corpus vectors — a
+    * deterministic stand-in for offline-trained k-means centroids
+    * (training is a batch job, not a query concern), which keeps the
+    * whole operator oracle-checkable. Shape of the plan at 100 TB:
+    * the centroid set broadcasts (it is small BY DESIGN), the corpus
+    * streams through assignment once (cells become the partition
+    * key), and each query touches `IvfProbes/IvfCells` of the data
+    * instead of all of it.
+    */
+  def annIvf(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val cent = all.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    // similarity of every vector to every centroid (broadcast cross
+    // join over the small codebook), ranked per vector
+    val simToCent = all.join(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val ranked = simToCent
+      .select(col("vec_id"), col("cid"), row_number().over(byVec).as("crank"))
+    val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(col("crank") <= IvfProbes
+        && col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    // candidates: corpus vectors living in any probed cell
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("norm").as("qnorm"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(all, "vec_id")
+      .join(broadcast(q.filter(col("query_id") < nQueries)), "query_id")
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+      .withColumn("rnk", row_number().over(byQuery).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
   val NumPlanes = 16
   val SrpBands = 4
   val PlanesPerBand = 4 // NumPlanes / SrpBands

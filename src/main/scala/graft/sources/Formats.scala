@@ -56,6 +56,29 @@ object Formats {
     * then run the exact same declarative rollup. One write per call —
     * the point is proving the source path end-to-end, not caching it.
     */
+  /** Per-status order totals fed from a schema-explicit CSV
+    * round-trip — the CSV twin of the JSONL path below, same
+    * microsecond-timestamp discipline.
+    */
+  def ordersFromCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val orders = graft.Tables.orders(spark, sfDir)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_csv_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    val opts = Map("header" -> "true",
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    orders.write.mode(SaveMode.Overwrite).options(opts).csv(path)
+    spark.read.options(opts).schema(orders.schema).csv(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"),
+        min(col("o_orderdate")).as("first_date"))
+      .withColumn("first_date",
+        date_format(col("first_date"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+  }
+
   def eventsHourlyFromJsonl(spark: SparkSession, sfDir: String): DataFrame = {
     val events = graft.Tables.events(spark, sfDir)
     val path = s"${sys.props("java.io.tmpdir")}/graft_events_jsonl_" +

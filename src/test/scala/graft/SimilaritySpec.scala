@@ -32,6 +32,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(1) == best)
   }
 
+  test("IVF returns ranked in-cell neighbors that agree with brute force where cells align") {
+    val ivf = Similarity.annIvf(spark, sf, k = 10, nQueries = 20).cache()
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    assert(ivf.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
+    // ranks are dense 1..n per query
+    assert(ivf.groupBy("query_id").agg(
+        count(lit(1)).as("c"), max(col("rnk")).as("m"))
+      .filter(col("c") =!= col("m")).isEmpty)
+    // every IVF result appears in the brute ranking, in consistent
+    // relative order (IVF is brute restricted to probed cells)
+    val brute = Similarity.annTopkBrute(spark, sf, k = 2000, nQueries = 20)
+      .withColumnRenamed("rnk", "brute_rnk")
+    val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "left").cache()
+    assert(joined.filter(col("brute_rnk").isNull).isEmpty,
+      "IVF produced a neighbor brute force never saw")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rnk")
+    assert(joined
+      .withColumn("prev", lag(col("brute_rnk"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("brute_rnk")).isEmpty,
+      "IVF rank order disagrees with true cosine order")
+  }
+
   test("banded LSH pairs pass the cosine threshold and find candidates") {
     val l = Similarity.annLsh(spark, sf, 0.3).cache()
     assert(l.count() > 0)
