@@ -116,6 +116,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
+    "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
+    "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
+    "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -560,6 +563,26 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, h FROM (
+        |  SELECT doc_id, lang,
+        |    substring(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents)
+        |WHERE h < CASE lang WHEN 'en' THEN 'c' WHEN 'de' THEN '8'
+        |                    WHEN 'es' THEN '4' ELSE '2' END""".stripMargin,
+    "q_shard_assign" ->
+      """SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+    "q_leakage_split" ->
+      s"""WITH $clusterCtes
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substring(md5('split1' || CAST(cluster_id AS VARCHAR)), 1, 1) < 'd'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM clusters""".stripMargin,
     "pipeline_curate" ->
       s"""WITH $clusterCtes,
          |q AS (SELECT doc_id,

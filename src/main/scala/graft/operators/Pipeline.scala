@@ -34,6 +34,55 @@ object Pipeline {
       .select("doc_id", "n_words", "pred_lang")
   }
 
+  /** Deterministic stratified sampling: each language keeps a
+    * different fraction, selected by an md5 prefix over a salted
+    * doc_id — reproducible across engines, runs, and cluster sizes
+    * (the property a training-data pipeline needs; `rand()` sampling
+    * is none of those). Hex chars compare identically in every
+    * engine, so the rate is cutoff/16.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = when(col("lang") === "en", lit("c"))  // 12/16
+      .when(col("lang") === "de", lit("8"))            //  8/16
+      .when(col("lang") === "es", lit("4"))            //  4/16
+      .otherwise(lit("2"))                             //  2/16
+    Tables.documents(spark, sfDir)
+      .withColumn("h", substring(md5(concat(lit("strat1"), col("doc_id"))), 1, 1))
+      .filter(col("h") < cutoff)
+      .select(col("doc_id"), col("lang"), col("h"))
+  }
+
+  /** Deterministic content-keyed sharding: doc → one of `nShards`
+    * training shards via an md5-derived hash — balanced, stable under
+    * reordering/rescaling, and identical in any engine. Emits the
+    * assignment plus per-shard composition stats (what a packing job
+    * consumes).
+    */
+  def shardAssign(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % nShards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  /** Near-dup-aware train/eval split: the split is a function of the
+    * CLUSTER id (from the LSH scale path), never the doc, so no
+    * document in eval has a near-duplicate in train — the
+    * contamination guarantee an LLM data pipeline actually needs.
+    * ~13/16 of clusters land in train via the md5 prefix rule.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.clustersLsh(spark, sfDir)
+      .withColumn("split",
+        when(substring(md5(concat(lit("split1"), col("cluster_id"))), 1, 1) < "d",
+          "train").otherwise("eval"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+
   /** Vector-table statistics per label: min/max norm (order-stable
     * extremes — a SUM of norms would be shuffle-order-dependent) and
     * cardinality.

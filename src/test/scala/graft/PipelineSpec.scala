@@ -19,6 +19,34 @@ class PipelineSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("leakage-safe split: no near-dup pair ever spans train/eval") {
+    val split = Pipeline.leakageSafeSplit(spark, sf).cache()
+    assert(split.count() == Tables.documents(spark, sf).count())
+    assert(split.select("split").distinct().count() == 2)
+    // the guarantee: for every near-dup pair, both sides share a split
+    val s = split.select(col("doc_id"), col("split"))
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.5)
+      .join(s.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(s.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+    assert(pairs.filter(col("split_a") =!= col("split_b")).isEmpty,
+      "a near-duplicate pair crossed the train/eval boundary")
+  }
+
+  test("stratified sample rates are deterministic and per-language") {
+    val a = Pipeline.stratifiedSample(spark, sf).cache()
+    val b = Pipeline.stratifiedSample(spark, sf)
+    assert(a.exceptAll(b).isEmpty) // bit-reproducible
+    // en keeps more than fr (12/16 vs 2/16 target rates)
+    val byLang = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en").toDouble / total("en") >
+      byLang.getOrElse("fr", 0L).toDouble / total("fr"))
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)
