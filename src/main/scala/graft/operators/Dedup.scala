@@ -105,11 +105,20 @@ object Dedup {
       minhashLsh(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
       maxIters)
 
-  /** Min-label connected components over an arbitrary edge set.
+  /** Min-label connected components over an arbitrary edge set —
+    * adaptive between two strategies, like any production CC:
     *
-    * Each round: (1) propagate the min neighbor label (one shuffle
-    * keyed on doc_id), (2) pointer-jump `l(v) := l(l(v))` so chains
-    * collapse in O(log diameter) rounds instead of O(diameter). The
+    * SMALL graphs (≤ `DriverEdgeCutoff` edges after dedup candidate
+    * generation — the common case, since near-dup edges are a tiny
+    * fraction of any corpus): union-find with path compression on the
+    * driver. The distributed loop pays several shuffles of fixed
+    * latency per round; for a graph that fits in one task that is
+    * pure overhead. The edge list at the cutoff is ~16 MB.
+    *
+    * LARGE graphs: iterative min-label propagation. Each round:
+    * (1) propagate the min neighbor label (one shuffle keyed on
+    * doc_id), (2) pointer-jump `l(v) := l(l(v))` so chains collapse
+    * in O(log diameter) rounds instead of O(diameter). The
     * convergence check is folded into the round's single materializing
     * action (a `chg` flag counted on the same cached result — no extra
     * join+count pass), and lineage is truncated with `localCheckpoint`
@@ -117,7 +126,45 @@ object Dedup {
     * run. Exits LOUDLY on non-convergence: a silently-capped iteration
     * would surface only as an unexplained wrong cluster_id downstream.
     */
-  private[graft] def componentsOver(verts: DataFrame, edges: DataFrame,
+  val DriverEdgeCutoff: Long = 1L << 20
+
+  private[graft] def componentsOver(verts: DataFrame, edges0: DataFrame,
+      maxIters: Int, driverCutoff: Long = DriverEdgeCutoff): DataFrame = {
+    val spark = verts.sparkSession
+    val edges = edges0.cache()
+    val nEdges = edges.count()
+    if (nEdges <= driverCutoff) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      // explicit long cast: an int32 doc_id column would otherwise
+      // ClassCastException in getLong
+      edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-id root ⇒ representative is the component minimum
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      edges.unpersist()
+      import spark.implicits._
+      val mapping = parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("doc_id", "lbl")
+      return verts
+        .join(broadcast(mapping), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    }
+    componentsDistributed(verts, edges, maxIters)
+  }
+
+  private def componentsDistributed(verts: DataFrame, edges: DataFrame,
       maxIters: Int): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -174,6 +221,7 @@ object Dedup {
     val active = labels.localCheckpoint() // cut lineage before caches go away
     if (cached != null) cached.unpersist()
     sym.unpersist()
+    edges.unpersist()
     verts
       .join(active.withColumnRenamed("cluster_id", "lbl"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))

@@ -51,6 +51,29 @@ class DedupSpec extends SparkSpec {
     assert(cl.filter(col("cluster_id") > col("doc_id")).isEmpty)
   }
 
+  test("distributed CC path matches the driver union-find path") {
+    import org.apache.spark.sql.functions.col
+    val verts = Tables.documents(spark, sf).select(col("doc_id"))
+    val edges = Dedup.ngramJaccard(spark, sf, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val small = Dedup.componentsOver(verts, edges, 20) // driver union-find
+    val dist = Dedup.componentsOver(verts, edges, 20, driverCutoff = 0)
+    assert(small.exceptAll(dist).isEmpty && dist.exceptAll(small).isEmpty,
+      "driver and distributed components disagree")
+  }
+
+  test("both CC paths collapse a diameter-99 chain to one cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val verts = (0L until 100L).toDF("doc_id")
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    for (cutoff <- Seq(0L, 1000L)) { // distributed loop, then union-find
+      val cl = Dedup.componentsOver(verts, edges, 20, driverCutoff = cutoff)
+      assert(cl.filter(col("cluster_id") =!= 0L).isEmpty,
+        s"cutoff=$cutoff: chain not fully collapsed to min id 0")
+    }
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)
