@@ -91,6 +91,24 @@ object SparkEntry {
         .select(col("lang"), col("col.item").as("word"),
           col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rnk"))
     }),
+    "agg_count_min" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-language word-frequency estimation through the mergeable
+      // CMS typed aggregate; width 8192 >> vocabulary, so estimates
+      // are exact and the DuckDB exact-count oracle gates the whole
+      // sketch path (hashing, partial/merge, point estimation)
+      val words = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+        .filter(col("word") =!= "")
+      val sk = words.groupBy("lang")
+        .agg(graft.functions.CountMinSketch.count_min(col("word"), 4, 8192).as("sk"))
+      val vocab = words.select("lang", "word").distinct()
+      vocab.join(sk, "lang")
+        .select(col("lang"), col("word"),
+          graft.functions.CountMinSketch.cms_estimate(
+            col("sk"), col("word"), 4, 8192).as("cnt"))
+    }),
     "agg_welford" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       import s.implicits._
@@ -401,6 +419,13 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "agg_count_min" ->
+      """SELECT lang, word, count(*) AS cnt
+        |FROM (SELECT lang,
+        |        unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |      FROM documents)
+        |WHERE word <> ''
+        |GROUP BY lang, word""".stripMargin,
     "agg_freq_items" ->
       """SELECT lang, word, cnt, rnk FROM (
         |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt,

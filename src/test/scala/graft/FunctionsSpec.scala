@@ -41,6 +41,30 @@ class FunctionsSpec extends SparkSpec {
       .filter(col("tot") =!= col("want")).isEmpty)
   }
 
+  test("count-min sketch never undercounts, even with forced collisions") {
+    import graft.functions.CountMinSketch
+    import graft.operators.TextMapReduce
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+      .filter(col("word") =!= "")
+    val exact = words.groupBy("word").agg(count(lit(1)).as("truth"))
+    // width 8 << vocabulary → every cell collides; CMS must only ever
+    // overcount, and by no more than the total stream size
+    val sk = words.agg(CountMinSketch.count_min(col("word"), 4, 8).as("sk"))
+    val est = exact.crossJoin(sk)
+      .withColumn("est", CountMinSketch.cms_estimate(col("sk"), col("word"), 4, 8))
+      .cache()
+    assert(est.filter(col("est") < col("truth")).isEmpty,
+      "CMS undercounted — impossible for a correct sketch")
+    val total = words.count()
+    assert(est.filter(col("est") > total).isEmpty)
+    // and the wide regime is exact on this vocabulary
+    val wide = exact.crossJoin(
+        words.agg(CountMinSketch.count_min(col("word"), 4, 8192).as("sk")))
+      .withColumn("est", CountMinSketch.cms_estimate(col("sk"), col("word"), 4, 8192))
+    assert(wide.filter(col("est") =!= col("truth")).isEmpty)
+  }
+
   test("SQL-registered custom functions work end to end") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
