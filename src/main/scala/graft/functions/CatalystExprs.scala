@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.lit
@@ -56,20 +56,17 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): WordNGrams = copy(child = c)
   }
 
-  /** xxhash64(seed 42) of every element of an array<string> → array<long>. */
-  case class XxHashArray(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** xxhash64(seed 42) of every element of an array<string> →
+    * array<long>. Codegen: a static kernel call inside the fused
+    * stage (see ExprKernels).
+    */
+  case class XxHashArray(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val out = new Array[Long](arr.numElements())
-      var i = 0
-      while (i < out.length) {
-        out(i) = XX.hash(arr.getUTF8String(i), StringType, 42L)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.xxhashArray(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.xxhashArray($c);")
     override protected def withNewChildInternal(c: Expression): XxHashArray = copy(child = c)
   }
 
@@ -77,31 +74,16 @@ object CatalystExprs {
     * shingle-hash ids of (a·x + b) mod prime, ids folded into 2^32.
     */
   case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
-      prime: Long) extends UnaryExpression with CodegenFallback {
+      prime: Long) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val ids = new Array[Long](m)
-      var i = 0
-      while (i < m) {
-        ids(i) = arr.getLong(i) & 0xFFFFFFFFL // fold into 2^32 domain
-        i += 1
-      }
-      val out = new Array[Long](as.length)
-      var p = 0
-      while (p < as.length) {
-        var mn = Long.MaxValue
-        var k = 0
-        while (k < m) {
-          val h = (as(p) * ids(k) + bs(p)) % prime
-          if (h < mn) mn = h
-          k += 1
-        }
-        out(p) = if (m == 0) 0L else mn
-        p += 1
-      }
-      new GenericArrayData(out)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.minhashSig(input.asInstanceOf[ArrayData], as, bs, prime)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // coefficient arrays ride along as compiled-class references
+      val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.minhashSig($c, $asRef, $bsRef, ${prime}L);")
     }
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
@@ -111,56 +93,27 @@ object CatalystExprs {
     * slice/transform/concat trees per row.
     */
   case class BandKeys(child: Expression, bands: Int, rows: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val sig = input.asInstanceOf[ArrayData]
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var h = 42L
-        var k = 0
-        while (k < rows) {
-          h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashLong(sig.getLong(b * rows + k), h)
-          k += 1
-        }
-        out(b) = h
-        b += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.bandKeys(input.asInstanceOf[ArrayData], bands, rows)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.bandKeys($c, $bands, $rows);")
     override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
   }
 
   /** 64-bit SimHash from an array<long> of token hashes: bit j set
     * when ≥ half the tokens have bit j set.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val counts = new Array[Int](64)
-      var i = 0
-      while (i < m) {
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) counts(j) += 1
-          j += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var j = 0
-      while (j < 64) {
-        if (counts(j) * 2 >= m) out |= (1L << j)
-        j += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        ExprKernels.simhash64(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.simhash64($c);")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
