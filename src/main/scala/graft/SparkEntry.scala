@@ -77,6 +77,20 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
+    "q_range_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // 30 deterministic 8-hour windows, one per January day — a
+      // keyless point-in-interval join, bucketized to an hourly slot
+      // equi-join (see AsOf.rangeJoinBucketed)
+      val windows = s.range(30).select(col("id").as("window_id"),
+          expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00')").as("ws"))
+        .withColumn("we", expr("timestampadd(HOUR, 8, ws)"))
+      AsOf.rangeJoinBucketed(Tables.events(s, d), "ts", windows, "ws", "we", 3600L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+    }),
     "agg_freq_items" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // top-5 words per language via the Misra–Gries sketch; k=64 ≥
@@ -419,6 +433,15 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_range_join" ->
+      """WITH w AS (SELECT k AS window_id,
+        |  TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 1 DAY AS ws,
+        |  TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 1 DAY + INTERVAL 8 HOUR AS we
+        |  FROM range(30) t(k))
+        |SELECT window_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN w ON ts >= ws AND ts < we
+        |GROUP BY 1""".stripMargin,
     "agg_count_min" ->
       """SELECT lang, word, count(*) AS cnt
         |FROM (SELECT lang,

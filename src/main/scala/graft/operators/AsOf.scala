@@ -54,4 +54,33 @@ object AsOf {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
+
+  /** Point-in-interval range join WITHOUT an equi key — the shape
+    * Spark otherwise plans as a broadcast nested loop over all
+    * (point, interval) pairs. Scale path: bucketize time at `slotSec`
+    * granularity; each interval explodes to the slots it covers
+    * (bounded by length/slotSec rows per interval), each point maps to
+    * exactly ONE slot, and the join becomes an equi-join on the slot
+    * key plus the exact containment filter. The shuffle is keyed and
+    * linear in |points| + |interval-slots|; a point matches an
+    * interval at most once because its single slot appears once per
+    * interval.
+    *
+    * Containment is `start <= ts < end` (half-open, the window
+    * convention everywhere else in this engine).
+    */
+  def rangeJoinBucketed(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      slotSec: Long): DataFrame = {
+    val slotted = intervals.withColumn("slot",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol)) / slotSec).cast("long"),
+        floor(unix_timestamp(col(endCol)) / slotSec).cast("long"))))
+    points
+      .withColumn("slot",
+        floor(unix_timestamp(col(tsCol)) / slotSec).cast("long"))
+      .join(slotted, "slot")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("slot")
+  }
 }
