@@ -77,6 +77,7 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
+    "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_range_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // 30 deterministic 8-hour windows, one per January day — a
@@ -104,6 +105,20 @@ object SparkEntry {
         .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
         .select(col("lang"), col("col.item").as("word"),
           col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rnk"))
+    }),
+    "agg_kmv_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // deterministic 5-word sample of each language's vocabulary via
+      // the order-free KMV aggregate; md5 ordering reproduces in DuckDB
+      Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang")
+        .agg(graft.functions.KmvSample.kmv_sample(col("word"), 5).as("sample"))
+        .select(col("lang"), posexplode(col("sample")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col").as("word"))
     }),
     "agg_count_min" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -433,6 +448,11 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_range_join" ->
       """WITH w AS (SELECT k AS window_id,
         |  TIMESTAMP '2024-01-01 00:00:00' + k * INTERVAL 1 DAY AS ws,
@@ -442,6 +462,16 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN w ON ts >= ws AND ts < we
         |GROUP BY 1""".stripMargin,
+    "agg_kmv_sample" ->
+      """SELECT lang, rnk, word FROM (
+        |  SELECT lang, word,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(word)) AS BIGINT) AS rnk
+        |  FROM (SELECT DISTINCT lang, word
+        |        FROM (SELECT lang,
+        |                unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |              FROM documents)
+        |        WHERE word <> ''))
+        |WHERE rnk <= 5""".stripMargin,
     "agg_count_min" ->
       """SELECT lang, word, count(*) AS cnt
         |FROM (SELECT lang,

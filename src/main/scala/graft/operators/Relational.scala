@@ -390,6 +390,37 @@ object Relational {
         bool_and(col("value") > 0).as("all_positive"),
         bool_or(col("value") > 500).as("any_huge"))
 
+  /** Skew-resistant equi-join: a hot fact key lands every row in one
+    * task under a plain shuffle join; salting spreads it over `salts`
+    * tasks — the fact side gets a deterministic salt from a
+    * high-entropy column, the dim side replicates each row across the
+    * salt range, and the join keys on (key, salt). Result set is
+    * IDENTICAL to the plain join (the oracle checks exactly that);
+    * dim-side cost is a bounded ×salts blowup of the (small) side.
+    * Complements AQE's runtime skew split with a plan-level guarantee.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFrom: Column, salts: Int): DataFrame = {
+    val sf = fact.withColumn("_salt", pmod(xxhash64(saltFrom), lit(salts)))
+    val sd = dim.withColumn("_salt",
+      explode(sequence(lit(0).cast("long"), lit(salts - 1).cast("long"))))
+    sf.join(sd, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** events⋈customer through the salted join, aggregated per market
+    * segment — the driver gate proves salted == plain-join semantics.
+    */
+  def skewJoinSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = Tables.events(spark, sfDir)
+      .select(col("user_id").as("k"), col("event_id"), col("value"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    saltedJoin(fact, dim, "k", col("event_id"), 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+  }
+
   // ---- part-joining TPC-H shapes -------------------------------------
 
   /** TPC-H Q14-shape promo revenue: conditional aggregation over the

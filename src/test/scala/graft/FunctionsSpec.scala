@@ -65,6 +65,22 @@ class FunctionsSpec extends SparkSpec {
     assert(wide.filter(col("est") =!= col("truth")).isEmpty)
   }
 
+  test("KMV sample is identical under any partitioning (order-free merge)") {
+    import graft.functions.KmvSample
+    import graft.operators.TextMapReduce
+    def sample(parts: Int) = Tables.documents(spark, sf)
+      .select(col("lang"),
+        explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+      .filter(col("word") =!= "")
+      .repartition(parts)
+      .groupBy("lang")
+      .agg(KmvSample.kmv_sample(col("word"), 7).as("s"))
+    val a = sample(1)
+    val b = sample(23)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sample depends on partitioning — merge is not order-free")
+  }
+
   test("SQL-registered custom functions work end to end") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")

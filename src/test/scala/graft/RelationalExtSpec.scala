@@ -49,4 +49,23 @@ class RelationalExtSpec extends SparkSpec {
     val b = Relational.bigSpenders(spark, sf)
     assert(b.filter(col("spend") <= g * 4).isEmpty)
   }
+
+  test("salted join equals plain join on a 90%-hot-key fact table") {
+    // 10k rows, 90% on key 7 — the shape that stalls a plain shuffle join
+    val fact = spark.range(10000)
+      .select(col("id").as("event_id"),
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+        (col("id") % 97).cast("double").as("value"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("seg_"), col("id") % 5).as("seg"))
+    val salted = Relational.saltedJoin(fact, dim, "k", col("event_id"), 8)
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("value").as("s"))
+    val plain = fact.join(dim, "k")
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("value").as("s"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // hot key preserved exactly once per fact row (9000 of 10000 rows)
+    val spread = Relational.saltedJoin(fact, dim, "k", col("event_id"), 8)
+      .filter(col("k") === 7)
+    assert(spread.count() == 9000)
+  }
 }
