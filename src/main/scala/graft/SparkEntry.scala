@@ -176,6 +176,7 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
+    "mm_frame_dup" -> ((s, d) => Multimodal.frameDup(s, d)),
     // G/H. Gated source + streaming + SQL-surface paths
     "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
     "stream_events_hourly" ->
@@ -793,6 +794,23 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS magic
         |FROM documents""".stripMargin,
+    "mm_frame_dup" ->
+      """WITH fr AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |    FROM documents),
+        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
+        |rare AS (
+        |  SELECT frame_hex FROM fr GROUP BY 1 HAVING count(*) <= 100),
+        |keyed AS (SELECT fr.doc_id, fr.frame_hex FROM fr JOIN rare USING (frame_hex))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM keyed a JOIN keyed b
+        |  ON a.frame_hex = b.frame_hex AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3""".stripMargin,
     // decode stub mirrored in SQL: the corpus is all-ASCII (verified at
     // every SF), so byte k of the UTF-8 payload == ord of char k and the
     // stub's signed-byte arithmetic is exactly reproducible in DuckDB.

@@ -56,6 +56,31 @@ object Multimodal {
         hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
       .select("doc_id", "frame_idx", "n_frames", "frame_hex")
 
+  /** Chunk-level media dedup: two payloads are near-dups when they
+    * share ≥ `minShared` distinct fixed-size frames. The join keys on
+    * the frame fingerprint — a linear keyed shuffle, no pairwise
+    * compare — the standard content-chunking dedup shape for
+    * video/audio corpora. Ultra-frequent frames (boilerplate chunks)
+    * are dropped first, exactly like stop-shingles in text LSH:
+    * without the cap one hot chunk makes the self-join quadratic.
+    */
+  def frameDup(spark: SparkSession, sfDir: String,
+      minShared: Int = 3, maxDf: Int = 100): DataFrame = {
+    val fr = frames(spark, sfDir)
+      .select(col("doc_id"), col("frame_hex")).distinct()
+    val rare = fr.groupBy("frame_hex")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("frame_hex")
+    val keyed = fr.join(rare, "frame_hex")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.frame_hex") === col("b.frame_hex")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, features: Array[Double])
