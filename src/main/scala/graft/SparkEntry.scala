@@ -78,6 +78,8 @@ object SparkEntry {
     "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
+    "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
+    "q_cohort" -> ((s, d) => Relational.cohortRetention(s, d)),
     "q_range_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // 30 deterministic 8-hour windows, one per January day — a
@@ -449,6 +451,23 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_funnel" ->
+      """SELECT strftime(date_trunc('day', c.ts), '%Y-%m-%d %H:%M:%S.%f') AS day,
+        |  count(DISTINCT c.user_id) AS converting_users
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+        |GROUP BY 1""".stripMargin,
+    "q_cohort" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S.%f') AS cohort_week,
+        |  strftime(date_trunc('week', e.ts), '%Y-%m-%d %H:%M:%S.%f') AS activity_week,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN first_seen USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

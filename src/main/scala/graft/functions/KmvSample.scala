@@ -42,9 +42,14 @@ case class KmvSample(
   override def createAggregationBuffer(): mutable.TreeMap[String, String] =
     mutable.TreeMap.empty
 
+  // one digest per task thread — getInstance per row dominates
+  // otherwise (update() is called serially within a task)
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+
   private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    digest.reset()
+    val d = digest.digest(s.getBytes("UTF-8"))
     val sb = new StringBuilder(32)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString

@@ -390,6 +390,40 @@ object Relational {
         bool_and(col("value") > 0).as("all_positive"),
         bool_or(col("value") > 500).as("any_huge"))
 
+  /** Funnel conversion: users whose click converts to a purchase
+    * within the attribution window, counted per click day. The
+    * user-keyed equi-join bounds the pair space; the time predicate
+    * is a post-filter on it (never a keyless interval join).
+    */
+  def funnel(spark: SparkSession, sfDir: String,
+      windowSec: Long = 3600): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    clicks.join(purchases, "user_id")
+      .filter(col("p_ts") > col("click_ts")
+        && col("p_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .groupBy(date_format(date_trunc("day", col("click_ts")), TsFmt).as("day"))
+      .agg(countDistinct(col("user_id")).as("converting_users"))
+  }
+
+  /** Cohort retention matrix: users bucketed by first-seen week,
+    * distinct actives per (cohort week, activity week). Two keyed
+    * shuffles (first-seen agg, then the matrix agg); the join is
+    * user-keyed.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(date_format(col("cohort"), TsFmt).as("cohort_week"),
+        date_format(date_trunc("week", col("ts")), TsFmt).as("activity_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Skew-resistant equi-join: a hot fact key lands every row in one
     * task under a plain shuffle join; salting spreads it over `salts`
     * tasks — the fact side gets a deterministic salt from a
