@@ -166,6 +166,8 @@ object SparkEntry {
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
+    "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
     "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     // E. Text analysis
@@ -668,6 +670,36 @@ object SparkEntry {
         |  FROM documents)
         |WHERE h < CASE lang WHEN 'en' THEN 'c' WHEN 'de' THEN '8'
         |                    WHEN 'es' THEN '4' ELSE '2' END""".stripMargin,
+    "q_decontaminate" -> {
+      val gram13 = (0 until 13).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([$gram13 for i in range(1, len(w) - 11)])) AS g
+         |  FROM words),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 20)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM sh JOIN bench USING (g)
+         |WHERE doc_id >= 20
+         |GROUP BY doc_id""".stripMargin
+    },
+    "q_pack_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT shard, CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c
+        |GROUP BY 1, 2""".stripMargin,
     "q_shard_assign" ->
       """SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
         |  count(*) AS n_docs,

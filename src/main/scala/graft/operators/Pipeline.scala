@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -82,6 +83,53 @@ object Pipeline {
         when(substring(md5(concat(lit("split1"), col("cluster_id"))), 1, 1) < "d",
           "train").otherwise("eval"))
       .select(col("doc_id"), col("cluster_id"), col("split"))
+
+  /** Benchmark decontamination — the 13-gram overlap filter: a corpus
+    * document is contaminated when it shares any 13-word shingle with
+    * the benchmark set. The benchmark's shingle set is SMALL by
+    * definition (eval sets are), so it broadcasts and the corpus
+    * streams through one hash join — at 100 TB the corpus is never
+    * shuffled. Here the "benchmark" is the first `nBench` docs (a
+    * deterministic stand-in for an external eval suite).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      nBench: Long = 20): DataFrame = {
+    val sh13 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.CatalystExprs.word_ngrams(
+          filter(split(col("text"), TextMapReduce.WordSplit), w => w =!= ""),
+          13)).as("g"))
+    val bench = sh13.filter(col("doc_id") < nBench)
+      .select(col("g")).distinct()
+    sh13.filter(col("doc_id") >= nBench)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Token-budget bin packing ("sequential fill"): within each
+    * training shard, documents in deterministic order accumulate into
+    * bins of ~`budget` tokens — bin id = floor(prior-tokens / budget),
+    * so packing is a pure window computation (one shuffle keyed on
+    * shard), reproducible on any cluster. Emits per-bin composition.
+    */
+  def packBins(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, budget: Long = 2000): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+  }
 
   /** Vector-table statistics per label: min/max norm (order-stable
     * extremes — a SUM of norms would be shuffle-order-dependent) and
