@@ -89,8 +89,15 @@ object Similarity {
         dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
+    // one pass over the 16×N centroid similarities; only the slim
+    // (vec_id, cid, crank) rows that either branch needs survive and
+    // persist, so assignment and probing don't each recompute the
+    // cross join
     val ranked = simToCent
       .select(col("vec_id"), col("cid"), row_number().over(byVec).as("crank"))
+      .filter(col("crank") === 1 ||
+        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
     val probes = ranked.filter(col("crank") <= IvfProbes
         && col("vec_id") < nQueries)
