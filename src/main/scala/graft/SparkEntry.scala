@@ -185,6 +185,8 @@ object SparkEntry {
     "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
     "stream_events_hourly" ->
       ((s, d) => graft.streaming.EventStreams.hourlyCountsFromFiles(s, d)),
+    "stream_sessionize" ->
+      ((s, d) => graft.streaming.EventStreams.sessionsFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -261,6 +263,23 @@ object SparkEntry {
       |                              CAST(embedding AS DOUBLE[]))) AS norm
       |      FROM embeddings)
       |GROUP BY label""".stripMargin
+
+  private val sessionizeSql =
+    """SELECT user_id, session_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
 
   private val eventsHourlySql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS hour,
@@ -390,22 +409,9 @@ object SparkEntry {
     // materialization must land on the identical hourly rollup
     "q_jsonl_hourly" -> eventsHourlySql,
     "stream_events_hourly" -> eventsHourlySql,
-    "q_sessionize" ->
-      """SELECT user_id, session_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  count(*) AS n_events
-        |FROM (
-        |  SELECT user_id, ts,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM (
-        |    SELECT user_id, event_id, ts,
-        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |        IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
-        |    FROM events))
-        |GROUP BY user_id, session_id""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
+    // the flatMapGroupsWithState streaming path, same batch oracle
+    "stream_sessionize" -> sessionizeSql,
     "q_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -157,6 +157,71 @@ object EventStreams {
     * append mode), and hand the result back as a DataFrame matching
     * the q_events_hourly oracle.
     */
+  /** The flatMapGroupsWithState session builder behind the driver's
+    * batch hash gate: stream the events parquet through the file
+    * source, then append a far-future sentinel file so the watermark
+    * closes every session (a bounded stream otherwise leaves the last
+    * sessions in state forever). The memory-sink result gets its
+    * per-user ordinal in a batch window so it matches the
+    * q_sessionize oracle exactly.
+    */
+  def sessionsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      val events = (raw.schema("ts").dataType match {
+        case LongType => stream0.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+      val name = "graft_stream_sess_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = sessionize(events).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // sentinel: one far-future event advances the GLOBAL watermark
+        // past every buffered session's timeout; its file must carry
+        // the same physical ts type as the source files
+        val maxTs = raw.agg(max(col("ts"))).head.get(0)
+        val sentinel = raw.schema("ts").dataType match {
+          case LongType =>
+            spark.createDataset(Seq(
+              (-1L, maxTs.asInstanceOf[Long] + 365L * 86400 * 1000000000L,
+                -1L, "x", 0.0)))
+              .toDF("event_id", "ts", "user_id", "event_type", "value")
+          case _ =>
+            val far = new java.sql.Timestamp(
+              maxTs.asInstanceOf[java.sql.Timestamp].getTime + 365L * 86400 * 1000)
+            spark.createDataset(Seq((-1L, far, -1L, "x", 0.0)))
+              .toDF("event_id", "ts", "user_id", "event_type", "value")
+        }
+        sentinel.write.mode("append").parquet(dir.toString)
+        q.processAllAvailable()
+      } finally q.stop()
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_start"))
+      spark.table(name)
+        .filter(col("user_id") =!= -1L)
+        .withColumn("session_id", row_number().over(byUser).cast("long"))
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
   def hourlyCountsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     // the legacy flag must hold for the whole (bounded) stream run —
     // file splits convert the parquet schema as they are read; restore
