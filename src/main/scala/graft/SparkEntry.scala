@@ -176,6 +176,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_c4_filters" -> ((s, d) => TextAnalysis.c4Filters(s, d)),
     // F. Multimodal
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
@@ -831,6 +832,25 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
         |        FROM documents))""".stripMargin,
+    "text_c4_filters" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |  FROM documents),
+        |pw AS (
+        |  SELECT doc_id, word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |    CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT) AS dup_words,
+        |    CAST(sum(cnt * length(word)) AS BIGINT) AS wlen_sum
+        |  FROM pw GROUP BY 1)
+        |SELECT doc_id, n_words, top_cnt, dup_words, wlen_sum,
+        |  top_cnt / n_words AS top_word_ratio,
+        |  wlen_sum / n_words AS mean_wlen,
+        |  (n_words >= 20 AND top_cnt / n_words <= 0.2
+        |    AND wlen_sum / n_words BETWEEN 2 AND 12) AS keep
+        |FROM m""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_head,
         |  CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

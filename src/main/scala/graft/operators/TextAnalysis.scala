@@ -103,6 +103,33 @@ object TextAnalysis {
     * + element_at) re-evaluates the word-split per element under
     * interpreted eval — quadratic per document.
     */
+  /** C4-style repetition/quality filters: per-doc word statistics —
+    * total words, hottest-word count, words occurring ≥2 times,
+    * frequency-weighted mean word length — and the keep verdict
+    * (enough words, not dominated by one token, sane word lengths).
+    * One explode, two keyed aggregations; every metric is exact
+    * integer math until the final divisions.
+    */
+  def c4Filters(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+      .filter(col("word") =!= "")
+    val perWord = w.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+    perWord.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        max(col("cnt")).as("top_cnt"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt"))), lit(0L)).as("dup_words"),
+        sum(col("cnt") * length(col("word"))).as("wlen_sum"))
+      .withColumn("top_word_ratio", col("top_cnt") / col("n_words"))
+      .withColumn("mean_wlen", col("wlen_sum") / col("n_words"))
+      .withColumn("keep",
+        col("n_words") >= 20 && col("top_word_ratio") <= 0.2
+          && col("mean_wlen").between(2, 12))
+  }
+
   def shingles(text: Column): Column =
     graft.functions.CatalystExprs.word_ngrams(
       filter(split(text, WordSplit), w => w =!= ""), 3)
