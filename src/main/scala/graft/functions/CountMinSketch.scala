@@ -38,12 +38,8 @@ case class CountMinSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val P = 4294967311L // 2^32-domain prime, same as MinHash
-  private lazy val coeffs: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(1234567)
-    Array.fill(depth)((1L + rnd.nextInt(Int.MaxValue).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private lazy val coeffs: Array[(Long, Long)] =
+    CountMinSketch.coefficients(depth)
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -55,7 +51,7 @@ case class CountMinSketch(
     var d = 0
     while (d < depth) {
       val (a, b) = coeffs(d)
-      out(d) = (((a * h + b) % P) % width).toInt
+      out(d) = (((a * h + b) % CountMinSketch.P) % width).toInt
       d += 1
     }
     out
@@ -100,6 +96,20 @@ case class CountMinSketch(
 }
 
 object CountMinSketch {
+  /** 2^32-domain prime, same family construction as MinHash. */
+  val P = 4294967311L
+
+  /** THE hash family — the aggregate's update path and the Column
+    * estimator both derive their (a,b) pairs from here, so the two
+    * sides cannot drift (drift would mean silent undercounting,
+    * violating the sketch's core invariant).
+    */
+  def coefficients(depth: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(1234567)
+    Array.fill(depth)((1L + rnd.nextInt(Int.MaxValue).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** Column-level entry: Count-Min sketch aggregate over a string
     * column → flat array<long> of depth×width counters.
     */
@@ -115,14 +125,10 @@ object CountMinSketch {
   def cms_estimate(sketch: Column, item: Column,
       depth: Int, width: Int): Column = {
     import org.apache.spark.sql.functions._
-    val P = 4294967311L
-    val rnd = new scala.util.Random(1234567)
-    val ests = (0 until depth).map { d =>
-      val a = 1L + rnd.nextInt(Int.MaxValue).toLong
-      val b = rnd.nextInt(Int.MaxValue).toLong
+    val ests = coefficients(depth).zipWithIndex.map { case ((a, b), d) =>
       val h = pmod(xxhash64(item).bitwiseAND(lit(0xFFFFFFFFL)) * a + b, lit(P)) % width
       element_at(sketch, (lit(d * width) + h + 1).cast("int"))
     }
-    least(ests: _*)
+    least(ests.toSeq: _*)
   }
 }

@@ -333,9 +333,6 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs (brute baseline; ann_lsh is the
-    * scale path). Cosine in double, left-to-right summation.
-    */
   /** Embedding-cosine near-dup pairs on the scale path: candidates
     * come from the banded sign-random-projection join (linear shuffle
     * keyed on (band, code) — never an all-pairs comparison), then the

@@ -17,9 +17,13 @@ object Pipeline {
 
   def curate(spark: SparkSession, sfDir: String,
       minWords: Long = 20): DataFrame = {
-    // near-dup edges come from the MinHash-LSH path (threshold-matched
-    // to the exact-Jaccard oracle): at 100 TB the candidate join is
-    // keyed on band signatures, never an all-pairs shingle self-join
+    // near-dup edges come from the MinHash-LSH path: at 100 TB the
+    // candidate join is keyed on band signatures, never an all-pairs
+    // shingle self-join. Recall follows the banding S-curve — near
+    // the 0.5 threshold borderline pairs can be missed (verified
+    // equal to the exact edges on this corpus, whose planted dups sit
+    // at jaccard ≈ 1 where banding recall is ~100%); that is the
+    // standard, documented LSH dedup trade.
     val canonical = Dedup.clustersLsh(spark, sfDir)
       .filter(col("doc_id") === col("cluster_id"))
       .select("doc_id")
@@ -72,13 +76,21 @@ object Pipeline {
         max(col("doc_id")).as("max_doc"))
 
   /** Near-dup-aware train/eval split: the split is a function of the
-    * CLUSTER id (from the LSH scale path), never the doc, so no
-    * document in eval has a near-duplicate in train — the
-    * contamination guarantee an LLM data pipeline actually needs.
-    * ~13/16 of clusters land in train via the md5 prefix rule.
+    * CLUSTER id, never the doc, so no document in eval has a
+    * near-duplicate in train — the contamination guarantee an LLM
+    * data pipeline actually needs. ~13/16 of clusters land in train
+    * via the md5 prefix rule.
+    *
+    * Uses the EXACT-candidate cluster path (share-a-shingle
+    * candidates have perfect recall at any jaccard threshold): a
+    * guarantee built on banded LSH would silently hold only for
+    * pairs the banding recalls — at the 0.5 threshold the 16×8
+    * S-curve recalls ~6% of borderline pairs. At 100 TB, swap in
+    * `clustersLsh` with banding tuned to the dedup threshold and
+    * accept (and document) that measured recall.
     */
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.clustersLsh(spark, sfDir)
+    Dedup.clusters(spark, sfDir)
       .withColumn("split",
         when(substring(md5(concat(lit("split1"), col("cluster_id"))), 1, 1) < "d",
           "train").otherwise("eval"))

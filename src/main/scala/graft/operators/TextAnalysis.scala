@@ -97,12 +97,6 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
-  /** Word-3-gram distinct shingle array per document (empty below 3
-    * words). Shared by fingerprinting and the dedup family. Custom
-    * Catalyst expression: the HOF formulation (transform over indices
-    * + element_at) re-evaluates the word-split per element under
-    * interpreted eval — quadratic per document.
-    */
   /** C4-style repetition/quality filters: per-doc word statistics —
     * total words, hottest-word count, words occurring ≥2 times,
     * frequency-weighted mean word length — and the keep verdict
@@ -130,6 +124,12 @@ object TextAnalysis {
           && col("mean_wlen").between(2, 12))
   }
 
+  /** Word-3-gram distinct shingle array per document (empty below 3
+    * words). Shared by fingerprinting and the dedup family. Custom
+    * Catalyst expression: the HOF formulation (transform over indices
+    * + element_at) re-evaluates the word-split per element under
+    * interpreted eval — quadratic per document.
+    */
   def shingles(text: Column): Column =
     graft.functions.CatalystExprs.word_ngrams(
       filter(split(text, WordSplit), w => w =!= ""), 3)

@@ -50,22 +50,18 @@ object Formats {
   val JsonlTsOptions: Map[String, String] =
     Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
-  /** The driver's hourly-events query fed from JSONL instead of
-    * parquet: events round-trip through a schema-explicit JSONL
-    * write/read (a user's first pipeline usually starts from JSONL),
-    * then run the exact same declarative rollup. One write per call —
-    * the point is proving the source path end-to-end, not caching it.
-    */
   /** Per-status order totals fed from a schema-explicit CSV
     * round-trip — the CSV twin of the JSONL path below, same
-    * microsecond-timestamp discipline.
+    * microsecond-timestamp discipline. A fresh per-run directory:
+    * a fixed path would race between concurrent JVMs (one's
+    * Overwrite deleting files mid-read of the other).
     */
   def ordersFromCsv(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
     val orders = graft.Tables.orders(spark, sfDir)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_orders_csv_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_orders_csv").toString
     val opts = Map("header" -> "true",
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     orders.write.mode(SaveMode.Overwrite).options(opts).csv(path)
@@ -79,10 +75,16 @@ object Formats {
         date_format(col("first_date"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
   }
 
+  /** The driver's hourly-events query fed from JSONL instead of
+    * parquet: events round-trip through a schema-explicit JSONL
+    * write/read (a user's first pipeline usually starts from JSONL),
+    * then run the exact same declarative rollup. One write per call —
+    * the point is proving the source path end-to-end, not caching it.
+    */
   def eventsHourlyFromJsonl(spark: SparkSession, sfDir: String): DataFrame = {
     val events = graft.Tables.events(spark, sfDir)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_events_jsonl_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_events_jsonl").toString
     writeJsonl(events, path, JsonlTsOptions)
     graft.operators.Relational.eventsHourlyOver(
       readJsonl(spark, path, events.schema, JsonlTsOptions))

@@ -83,17 +83,22 @@ object EventStreams {
   /** Event-time session windows with a 30-minute inactivity gap via
     * flatMapGroupsWithState.
     *
-    * Events BUFFER in state and sessionization happens at timeout
-    * emission — so arbitrarily out-of-order arrivals inside the
+    * Events BUFFER in state and sessionization happens against the
+    * watermark — so arbitrarily out-of-order arrivals inside the
     * watermark horizon (a late event extending a session backwards, or
     * forming its own earlier session) produce exactly the batch
     * gaps-and-islands result. Eager per-batch merging can't do that:
     * it would fold a too-early event into the current session and
-    * never split it back out. State is bounded by the watermark
-    * horizon: once the watermark passes (max buffered time + gap), no
-    * admissible future event can merge with anything buffered (Spark
-    * drops rows older than the watermark in stateful ops), so ALL
-    * buffered sessions are closed and the buffer empties.
+    * never split it back out.
+    *
+    * State stays bounded even for a continuously-active key: each
+    * batch, sessions whose `end + gap < watermark` are provably final
+    * (Spark drops later-arriving rows older than the watermark, so
+    * nothing can ever merge into them) — they are emitted immediately
+    * and their event times pruned from the buffer. Only the
+    * still-open tail (at most the watermark horizon of events)
+    * remains in state; the event-time timeout flushes it when the key
+    * goes quiet.
     */
   def sessionize(events: Dataset[Event],
       gapSec: Long = 1800): Dataset[SessionOut] = {
@@ -104,33 +109,43 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
           val gapUs = gapSec * 1000000L
-          def sessions(times: Seq[Long]): Seq[SessionOut] = {
-            val sorted = times.sorted
-            val out = Seq.newBuilder[SessionOut]
+          // gaps-and-islands over sorted times → (start, end, n) runs
+          def runs(sorted: Seq[Long]): Seq[(Long, Long, Long)] = {
+            val out = Seq.newBuilder[(Long, Long, Long)]
             var start = sorted.head
             var end = start
             var n = 0L
             sorted.foreach { t =>
               if (t - end > gapUs) {
-                out += SessionOut(userId, toTs(start), toTs(end), n)
-                start = t; end = t; n = 1L
+                out += ((start, end, n)); start = t; end = t; n = 1L
               } else { end = t; n += 1 }
             }
-            out += SessionOut(userId, toTs(start), toTs(end), n)
+            out += ((start, end, n))
             out.result()
           }
-          if (state.hasTimedOut) {
-            val buffered = state.get.times
-            state.remove()
-            sessions(buffered).iterator
-          } else {
-            val times = state.getOption.map(_.times).getOrElse(Seq.empty) ++
-              batch.map(e => micros(e.ts))
-            state.update(SessionState(times))
-            // timeout API is millis; round up so it never fires early
-            state.setTimeoutTimestamp((times.max + gapUs) / 1000 + 1)
-            Iterator.empty
+          def emit(rs: Seq[(Long, Long, Long)]): Seq[SessionOut] =
+            rs.map { case (s, e, n) => SessionOut(userId, toTs(s), toTs(e), n) }
+          // shared step for both branches: emit the provably-final
+          // prefix, keep the open tail, and register the NEXT timeout
+          // at the earliest open session's close point — timeouts
+          // chain, so every session emits as soon as the watermark
+          // passes it, without waiting for new data on this key
+          def step(times: Seq[Long]): Iterator[SessionOut] = {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val all = runs(times)
+            // final = no admissible future event can reach it
+            val (closed, open) = all.partition { case (_, e, _) => e + gapUs < wmUs }
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionState(times.filter(_ >= open.head._1)))
+              // timeout API is millis; round up so it never fires early
+              state.setTimeoutTimestamp((open.head._2 + gapUs) / 1000 + 1)
+            }
+            emit(closed).iterator
           }
+          if (state.hasTimedOut) step(state.get.times.sorted)
+          else step((state.getOption.map(_.times).getOrElse(Seq.empty) ++
+            batch.map(e => micros(e.ts))).sorted)
         })
   }
 
@@ -150,13 +165,6 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"),
         col("min_value"), col("max_value"))
 
-  /** The streaming path behind the driver's batch hash gate: read the
-    * events parquet through the FILE-STREAM source, run the unbounded
-    * hourly plan, materialize via a memory sink (complete mode — a
-    * finite input's trailing windows never cross the watermark in
-    * append mode), and hand the result back as a DataFrame matching
-    * the q_events_hourly oracle.
-    */
   /** The flatMapGroupsWithState session builder behind the driver's
     * batch hash gate: stream the events parquet through the file
     * source, then append a far-future sentinel file so the watermark
@@ -182,8 +190,8 @@ object EventStreams {
         case _ => stream0
       }).select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event]
-      val name = "graft_stream_sess_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
+      val name = "graft_stream_sess"
+      spark.catalog.dropTempView(name)
       val q = sessionize(events).writeStream
         .format("memory").queryName(name).outputMode("append").start()
       try {
@@ -222,6 +230,13 @@ object EventStreams {
     }
   }
 
+  /** The streaming path behind the driver's batch hash gate: read the
+    * events parquet through the FILE-STREAM source, run the unbounded
+    * hourly plan, materialize via a memory sink (complete mode — a
+    * finite input's trailing windows never cross the watermark in
+    * append mode), and hand the result back as a DataFrame matching
+    * the q_events_hourly oracle.
+    */
   def hourlyCountsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     // the legacy flag must hold for the whole (bounded) stream run —
     // file splits convert the parquet schema as they are read; restore
@@ -232,23 +247,22 @@ object EventStreams {
       val path = s"$sfDir/events.parquet"
       val raw = spark.read.parquet(path)
       // the file-stream source monitors a DIRECTORY; expose the single
-      // driver-generated file through a symlink dir (at deployment the
-      // landing zone is a directory already)
-      val dir = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_stream_src_" + java.lang.Integer.toHexString(path.hashCode)))
-      val link = dir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link,
-          java.nio.file.Paths.get(path))
+      // driver-generated file through a per-run symlink dir (at
+      // deployment the landing zone is a directory already; per-run
+      // avoids cross-JVM races on a shared fixed path)
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
       val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
       val events = raw.schema("ts").dataType match {
         case LongType => stream0.withColumn("ts",
           timestamp_micros(expr("ts div 1000")))
         case _ => stream0
       }
-      val name = "graft_stream_hourly_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
+      // fixed sink name, previous view dropped: per-call UUID names
+      // would pin every past run's full result in driver memory
+      val name = "graft_stream_hourly"
+      spark.catalog.dropTempView(name)
       val q = hourlyCountsFull(events).writeStream
         .format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()

@@ -148,6 +148,28 @@ class StreamingSpec extends SparkSpec {
       s"OOO streaming sessions diverge: got=${got.count()} want=${want.count()}")
   }
 
+  test("sessionize emits closed sessions INCREMENTALLY for an always-active user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_inc").start()
+    // the user NEVER goes quiet — closed sessions must still emit
+    // (via chained watermark timeouts), keeping state bounded
+    input.addData(Event(1, ts(0), 1, "c", 1.0), Event(2, ts(10), 1, "c", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(300), 1, "c", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_inc").count() == 1,
+      "first closed session not emitted while user still active")
+    input.addData(Event(4, ts(600), 1, "c", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_inc").count() == 2,
+      "second closed session not emitted while user still active")
+    q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with prior clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
