@@ -135,7 +135,13 @@ object SparkEntry {
       val sk = words.groupBy("lang")
         .agg(graft.functions.CountMinSketch.count_min(col("word"), 4, 8192).as("sk"))
       val vocab = words.select("lang", "word").distinct()
-      vocab.join(sk, "lang")
+      // the per-group sketch table is SMALL by construction (one row
+      // per group), so BROADCAST it: the wide sketch array then never
+      // crosses a shuffle — each vocab partition estimates against the
+      // broadcast copy, and the projection drops the array before any
+      // downstream exchange. (A shuffled join would replicate the
+      // 4×8192-long array onto every vocab row in flight.)
+      vocab.join(broadcast(sk), "lang")
         .select(col("lang"), col("word"),
           graft.functions.CountMinSketch.cms_estimate(
             col("sk"), col("word"), 4, 8192).as("cnt"))
@@ -157,7 +163,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),

@@ -32,14 +32,11 @@ object Tables {
     // scope the legacy flag to THIS load: the schema conversion happens
     // eagerly at read time (verified: the returned frame still executes
     // after restore), so the session-wide interpretation of other
-    // nanos-timestamp parquet reads is left untouched
-    val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = try load(s, d, "events")
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    }
+    // nanos-timestamp parquet reads is left untouched. The save/set/
+    // restore runs under the shared per-JVM flag lock — two concurrent
+    // loads (or overlap with a streaming helper holding the flag for a
+    // whole query) would otherwise interleave and restore a stale value.
+    val raw = withNanosAsLong(s)(load(s, d, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -50,4 +47,27 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Serializes every save/set/restore of the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` flag in this JVM. The flag
+    * lives on the shared session, so unsynchronized scoping from two
+    * threads can restore the wrong value or break the other caller's
+    * schema inference mid-read.
+    */
+  private val nanosFlagLock = new Object
+
+  /** Run `body` with the nanos-as-long flag set, restoring the prior
+    * value after — atomically with respect to every other scoped use
+    * of the flag in this JVM.
+    */
+  private[graft] def withNanosAsLong[T](s: SparkSession)(body: => T): T =
+    nanosFlagLock.synchronized {
+      val prev = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
 }

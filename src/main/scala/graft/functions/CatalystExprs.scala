@@ -2,12 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hot loops the built-in
   * higher-order functions can't run fast.
@@ -26,33 +24,19 @@ object CatalystExprs {
 
   private val XX = org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
-  /** Distinct word n-grams ("a b c") from an array<string> of words. */
+  /** Distinct word n-grams ("a b c") from an array<string> of words.
+    * Codegen: static kernel call inside the fused stage — this is the
+    * hottest text-path expression (every shingle consumer reads it),
+    * so it must not break whole-stage codegen.
+    */
   case class WordNGrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val len = arr.numElements()
-      if (len < n) return new GenericArrayData(Array.empty[Any])
-      val seen = new java.util.LinkedHashSet[UTF8String]()
-      val words = new Array[UTF8String](len)
-      var i = 0
-      while (i < len) { words(i) = arr.getUTF8String(i); i += 1 }
-      val space = UTF8String.fromString(" ")
-      i = 0
-      while (i <= len - n) {
-        val parts = new Array[UTF8String](2 * n - 1)
-        var j = 0
-        while (j < n) {
-          parts(2 * j) = words(i + j)
-          if (j < n - 1) parts(2 * j + 1) = space
-          j += 1
-        }
-        seen.add(UTF8String.concat(parts: _*))
-        i += 1
-      }
-      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
-    }
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.wordNGrams(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.wordNGrams($c, $n);")
     override protected def withNewChildInternal(c: Expression): WordNGrams = copy(child = c)
   }
 
@@ -159,26 +143,20 @@ object CatalystExprs {
   }
 
   /** Sign-random-projection bucket: bit p of the result is the sign of
-    * ⟨v, plane_p⟩ for a fixed seeded plane matrix.
+    * ⟨v, plane_p⟩ for a fixed seeded plane matrix. Codegen: the plane
+    * matrix rides along as a compiled-class reference and the loop is
+    * a static kernel call inside the fused stage.
     */
   case class SrpBucket(child: Expression, planes: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val dim = v.numElements()
-      var code = 0L
-      var p = 0
-      while (p < planes.length) {
-        val plane = planes(p)
-        var acc = 0.0d
-        var i = 0
-        val m = math.min(dim, plane.length)
-        while (i < m) { acc += v.getDouble(i) * plane(i); i += 1 }
-        if (acc >= 0) code |= (1L << p)
-        p += 1
-      }
-      java.lang.Long.valueOf(code)
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        ExprKernels.srpBucket(input.asInstanceOf[ArrayData], planes))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.srpBucket($c, $planesRef);")
     }
     override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
   }

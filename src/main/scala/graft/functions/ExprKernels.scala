@@ -14,6 +14,50 @@ object ExprKernels {
 
   private val XX = org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
+  /** Distinct word n-grams joined by single spaces. Insertion-ordered
+    * set so output order is the first-occurrence order (stable,
+    * engine-independent given the same word array).
+    */
+  def wordNGrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { words(i) = arr.getUTF8String(i); i += 1 }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    i = 0
+    while (i <= len - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = words(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Sign-random-projection bucket: bit p = sign of ⟨v, planes(p)⟩. */
+  def srpBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    val dim = v.numElements()
+    var code = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0d
+      var i = 0
+      val m = math.min(dim, plane.length)
+      while (i < m) { acc += v.getDouble(i) * plane(i); i += 1 }
+      if (acc >= 0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
   def xxhashArray(arr: ArrayData): ArrayData = {
     val out = new Array[Long](arr.numElements())
     var i = 0

@@ -336,11 +336,14 @@ object Dedup {
   /** Embedding-cosine near-dup pairs on the scale path: candidates
     * come from the banded sign-random-projection join (linear shuffle
     * keyed on (band, code) — never an all-pairs comparison), then the
-    * exact cosine verifies each candidate. Approximate by design: a
-    * pair disagreeing on every band is not surfaced, the standard
-    * LSH recall trade (tune bands/planes for recall at scale).
+    * exact cosine verifies each candidate. Approximate BY DESIGN and
+    * named for it: a pair disagreeing on every band is not surfaced,
+    * the standard LSH recall trade (tune bands/planes for recall at
+    * scale). Callers needing exhaustive pairs at small scale should
+    * compose an explicit cross join — this module deliberately does
+    * not offer one under a near-dup name.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String,
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.45): DataFrame =
     Similarity.annLsh(spark, sfDir, threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))

@@ -60,8 +60,7 @@ object Formats {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
     val orders = graft.Tables.orders(spark, sfDir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_orders_csv").toString
+    val path = graft.TempDirs.create("graft_orders_csv").toString
     val opts = Map("header" -> "true",
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     orders.write.mode(SaveMode.Overwrite).options(opts).csv(path)
@@ -83,8 +82,7 @@ object Formats {
     */
   def eventsHourlyFromJsonl(spark: SparkSession, sfDir: String): DataFrame = {
     val events = graft.Tables.events(spark, sfDir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_events_jsonl").toString
+    val path = graft.TempDirs.create("graft_events_jsonl").toString
     writeJsonl(events, path, JsonlTsOptions)
     graft.operators.Relational.eventsHourlyOver(
       readJsonl(spark, path, events.schema, JsonlTsOptions))

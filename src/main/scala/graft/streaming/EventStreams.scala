@@ -175,12 +175,10 @@ object EventStreams {
     */
   def sessionsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
+    val drained = graft.Tables.withNanosAsLong(spark) {
       val path = s"$sfDir/events.parquet"
       val raw = spark.read.parquet(path)
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      val dir = graft.TempDirs.create("graft_stream_sess")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
       val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
@@ -190,8 +188,7 @@ object EventStreams {
         case _ => stream0
       }).select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event]
-      val name = "graft_stream_sess"
-      spark.catalog.dropTempView(name)
+      val name = nextSinkName("graft_stream_sess")
       val q = sessionize(events).writeStream
         .format("memory").queryName(name).outputMode("append").start()
       try {
@@ -215,19 +212,38 @@ object EventStreams {
         sentinel.write.mode("append").parquet(dir.toString)
         q.processAllAvailable()
       } finally q.stop()
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("session_start"))
-      spark.table(name)
-        .filter(col("user_id") =!= -1L)
-        .withColumn("session_id", row_number().over(byUser).cast("long"))
-        .select(col("user_id"), col("session_id"),
-          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
-          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
-          col("n_events"))
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      drainMemorySink(spark, name)
     }
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    drained
+      .filter(col("user_id") =!= -1L)
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+  }
+
+  /** Per-call memory-sink names: a fixed name would let two concurrent
+    * invocations in one session clobber each other's sink and return
+    * mixed/partial results.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def nextSinkName(prefix: String): String =
+    s"${prefix}_${sinkCounter.incrementAndGet()}"
+
+  /** Materialize a memory-sink view and drop it immediately — the
+    * result rows are small by construction (windowed rollups /
+    * session summaries), and dropping the view keeps per-call sink
+    * names from pinning every past run's result in driver memory.
+    */
+  private def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(name)
+    val rows = t.collect()
+    val schema = t.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The streaming path behind the driver's batch hash gate: read the
@@ -237,20 +253,18 @@ object EventStreams {
     * append mode), and hand the result back as a DataFrame matching
     * the q_events_hourly oracle.
     */
-  def hourlyCountsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyCountsFromFiles(spark: SparkSession, sfDir: String): DataFrame =
     // the legacy flag must hold for the whole (bounded) stream run —
-    // file splits convert the parquet schema as they are read; restore
-    // it once the query stops
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
+    // file splits convert the parquet schema as they are read; the
+    // shared flag lock scopes it atomically vs other scoped uses
+    graft.Tables.withNanosAsLong(spark) {
       val path = s"$sfDir/events.parquet"
       val raw = spark.read.parquet(path)
       // the file-stream source monitors a DIRECTORY; expose the single
       // driver-generated file through a per-run symlink dir (at
       // deployment the landing zone is a directory already; per-run
       // avoids cross-JVM races on a shared fixed path)
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      val dir = graft.TempDirs.create("graft_stream_src")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
       val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
@@ -259,17 +273,10 @@ object EventStreams {
           timestamp_micros(expr("ts div 1000")))
         case _ => stream0
       }
-      // fixed sink name, previous view dropped: per-call UUID names
-      // would pin every past run's full result in driver memory
-      val name = "graft_stream_hourly"
-      spark.catalog.dropTempView(name)
+      val name = nextSinkName("graft_stream_hourly")
       val q = hourlyCountsFull(events).writeStream
         .format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-      spark.table(name)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      drainMemorySink(spark, name)
     }
-  }
 }

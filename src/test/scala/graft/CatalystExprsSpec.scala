@@ -77,6 +77,48 @@ class CatalystExprsSpec extends SparkSpec {
     assert(m("a").size == 16)
   }
 
+  test("no custom expression is a CodegenFallback; full hashing + SRP " +
+      "pipeline evaluates under CODEGEN_ONLY") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import graft.operators.{Dedup, Similarity}
+    // direct structural check: every hot-path expression generates
+    // real code (a CodegenFallback would embed an interpreted eval
+    // call inside the generated stage)
+    val words = filter(split(lit("one two three four five"), " "), w => w =!= "")
+    val exprs = Seq(
+      word_ngrams(words, 3),
+      xxhash_array(words),
+      Dedup.minhashSignature(words),
+      band_keys(Dedup.minhashSignature(words), 16, 8),
+      simhash64(xxhash_array(words)),
+      dot_product(array(lit(1.0)), array(lit(2.0))),
+      Similarity.lshBucket(array((0 until 64).map(_ => lit(0.25)): _*)))
+    exprs.foreach { c =>
+      val e = org.apache.spark.sql.GraftBridge.expression(c)
+      assert(!e.isInstanceOf[CodegenFallback], s"CodegenFallback: $e")
+    }
+    // end-to-end: CODEGEN_ONLY forbids the interpreted-projection
+    // fallback, so a compile error in any doGenCode would throw here
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq(("a", "one two three four five six seven"))
+        .toDF("id", "text")
+        .select(col("id"),
+          word_ngrams(filter(split(col("text"), "[^\\p{L}]+"), w => w =!= ""), 3).as("sh"))
+        .select(col("id"), col("sh"),
+          Dedup.minhashSignature(col("sh")).as("sig"))
+        .select(col("id"),
+          band_keys(col("sig"), 16, 8).as("bk"),
+          simhash64(xxhash_array(col("sh"))).as("sh64"))
+      assert(df.head().getSeq[Long](1).size == 16)
+      val srp = Seq(Seq.fill(64)(0.25)).toDF("v")
+        .select(Similarity.lshBucket(col("v")).as("b"),
+          dot_product(col("v"), col("v")).as("dp"))
+      val r = srp.head()
+      assert(r.getDouble(1) == 64 * 0.25 * 0.25)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("minhash signature similarity approximates Jaccard (sanity)") {
     import graft.operators.Dedup
     // two 80%-overlapping shingle sets

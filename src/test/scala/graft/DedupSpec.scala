@@ -81,7 +81,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding near-dup pairs respect the cosine threshold") {
-    val e = Dedup.embeddingNearDup(spark, sf, 0.45).cache()
+    val e = Dedup.embeddingNearDupLsh(spark, sf, 0.45).cache()
     assert(e.filter(col("cos") < 0.45 || col("cos") > lit(1.0000001)).isEmpty)
     assert(e.filter(col("vec_a") >= col("vec_b")).isEmpty)
   }

@@ -10,8 +10,12 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  // local[4, 2]: 4 threads, up to 2 attempts per task — lets the
+  // fault-tolerance spec exercise Spark's task re-issue (the
+  // reference's Part IV behavior) instead of failing the job on the
+  // first injected error.
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
