@@ -224,9 +224,12 @@ object SparkEntry {
     */
   val GrepPattern = "vector [a-z]+ merge"
 
-  /** Shared CTE chain: shingle → jaccard edges → recursive-CTE
-    * connected components (`clusters(doc_id, cluster_id)`), reused by
-    * dedup_clusters and pipeline_curate oracles.
+  /** Shared CTE chain: shingle → df-capped candidates → jaccard edges
+    * → recursive-CTE connected components
+    * (`clusters(doc_id, cluster_id)`), reused by dedup_clusters and
+    * pipeline_curate oracles. Candidate keying drops shingles with
+    * df > 100 (mirrors `Dedup.ngramJaccard`'s stop-shingle cap);
+    * n_common is still the FULL intersection.
     */
   private val clusterCtes =
     """words AS (
@@ -239,10 +242,16 @@ object SparkEntry {
       |                          for i in range(1, len(w) - 1)])) AS s
       |  FROM words),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
+      |  WHERE a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(count(*) AS BIGINT) AS n_common
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
       |  GROUP BY 1, 2),
       |edges AS (
       |  SELECT doc_a, doc_b
@@ -665,10 +674,16 @@ object SparkEntry {
         |                          for i in range(1, len(w) - 1)])) AS s
         |  FROM words),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(count(*) AS BIGINT) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_common,
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard

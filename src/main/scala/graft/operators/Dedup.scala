@@ -29,13 +29,15 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
-  /** (doc_id, shingles) with per-doc distinct word-3-grams.
-    * Repartitioned first: a small parquet arrives as one partition and
-    * the per-doc shingle/signature work is the expensive part — at any
-    * scale it should spread over the cluster.
+  /** Per-doc distinct shingle frame (doc_id, sh) from any
+    * (doc_id, text) frame. Repartitioned first: a small parquet
+    * arrives as one partition and the per-doc shingle/signature work
+    * is the expensive part — at any scale it should spread over the
+    * cluster.
     */
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def shinglesOf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    documents
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
       // tokenize+shingle dominates every consumer; persist so candidate
@@ -44,35 +46,64 @@ object Dedup {
       // minhashLsh / clusters in a session). MEMORY_AND_DISK spills
       // rather than recomputing at cluster scale.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-  /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1 shingle,
-    * jaccard = |∩|/|∪| ≥ threshold. Integer-exact arithmetic → the
-    * final division is bit-identical in DuckDB (oracle-gated).
+  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, sfDir))
+
+  /** Stop-shingle document-frequency cap for exact candidate
+    * generation, mirroring `Multimodal.frameDup`'s hot-chunk cap: a
+    * shingle shared by more than `DefaultMaxDf` documents ("of the
+    * and" in any English corpus) is dropped from candidate KEYING —
+    * without the cap, one hot shingle makes the candidate join
+    * quadratic in its document frequency, which is the plan's
+    * scale-killer at 100 TB.
     *
-    * Correctness baseline: the shingle self-join is fine while no
-    * single shingle is ultra-frequent; at 100 TB use minhashLsh.
+    * The Jaccard itself is still computed on the FULL shingle sets, so
+    * capping only affects which pairs are surfaced as candidates.
+    * Pigeonhole safety: for a pair with jaccard ≥ τ, the shared set
+    * covers ≥ τ·|A| shingles of each side, so the pair can only be
+    * missed when capped shingles make up ≥ τ of a document — at τ=0.5,
+    * a document more than half made of corpus-wide boilerplate, which
+    * is exactly the document a curation pipeline wants handled by the
+    * hot-shingle path (or dropped by quality filters), not by letting
+    * the join go quadratic.
+    */
+  val DefaultMaxDf: Long = 100L
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1
+    * NON-HOT shingle (df ≤ maxDf), jaccard = |∩|/|∪| ≥ threshold over
+    * the full shingle sets. Integer-exact arithmetic → the final
+    * division is bit-identical in DuckDB (oracle-gated).
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val docs = docShingles(spark, sfDir)
+      threshold: Double = 0.5, maxDf: Long = DefaultMaxDf): DataFrame =
+    ngramJaccardOver(docShingles(spark, sfDir), threshold, maxDf)
+
+  /** Same operator over an arbitrary (doc_id, sh) shingle frame. */
+  def ngramJaccardOver(docs: DataFrame, threshold: Double,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    // per-doc shingle count straight off the array — no second explode
-    // and no extra groupBy shuffle
-    val counts = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val common = a.join(b,
+    // df via a count window over the same key the self-join shuffles
+    // on — the exchange is computed once and reused by the join
+    val byShingle = Window.partitionBy(col("s"))
+    val keyed = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "s")
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify on the FULL sets (the cap only gates candidate keying)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double")
-          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
@@ -232,8 +263,23 @@ object Dedup {
   /** 2^32-domain prime for the affine permutation family. */
   private val P = 4294967311L
   val NumPerms = 128
-  val Bands = 16
-  val Rows = 8 // NumPerms / Bands
+
+  /** (bands, rows) matched to the dedup threshold from the banding
+    * S-curve (collision probability 1−(1−s^r)^b; the curve's midpoint
+    * sits near (1/b)^(1/r)):
+    *
+    *   - τ ≥ 0.7 → 16 bands × 8 rows: midpoint ≈ 0.71, recall ≈ 0.96
+    *     at s = 0.8 and ≈ 5% at s = 0.5 (aggressive precision).
+    *   - τ < 0.7 → 32 bands × 4 rows: midpoint ≈ 0.42, recall ≈ 0.87
+    *     at s = 0.5, ≈ 0.99 at s = 0.6 (the 0.5-threshold regime —
+    *     16×8 here would recall only ~6% of borderline pairs).
+    *
+    * Both use all 128 permutations, so the signature is shared and
+    * only the band fold changes. Measured recall on a planted
+    * borderline corpus is pinned in DedupSpec.
+    */
+  def bandingFor(threshold: Double): (Int, Int) =
+    if (threshold >= 0.7) (16, 8) else (32, 4)
 
   /** Deterministic affine permutation coefficients (seeded). */
   private val perms: Seq[(Long, Long)] = {
@@ -255,22 +301,32 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard.
     *
-    * Pipeline: signature → 16 band keys per doc → shuffle on
-    * (band, key) → candidate pairs from same-bucket self-join →
-    * exact-Jaccard verification. Band key space is tiny per band, so
-    * the shuffle stays balanced at any corpus size; the verify join is
-    * proportional to the candidate count, not n².
+    * Pipeline: signature → band keys per doc (banding matched to the
+    * threshold via `bandingFor`) → shuffle on (band, key) → candidate
+    * pairs from same-bucket self-join → exact-Jaccard verification.
+    * Band key space is tiny per band, so the shuffle stays balanced at
+    * any corpus size; the verify join is proportional to the candidate
+    * count, not n².
     */
   def minhashLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
-    val shd = docShingles(spark, sfDir)
+      threshold: Double = 0.8): DataFrame =
+    minhashLshOver(docShingles(spark, sfDir), threshold)
+
+  /** Same operator over an arbitrary (doc_id, sh) shingle frame, with
+    * an optional explicit banding override (the recall spec measures
+    * tuned vs mis-tuned banding on one planted corpus).
+    */
+  def minhashLshOver(shd: DataFrame, threshold: Double,
+      banding: Option[(Int, Int)] = None): DataFrame = {
+    val (bands, rows) = banding.getOrElse(bandingFor(threshold))
+    require(bands * rows == NumPerms, s"banding $bands×$rows != $NumPerms perms")
     val sig = shd
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh")))
     val banded = sig
       .select(col("doc_id"),
         posexplode(graft.functions.CatalystExprs.band_keys(
-          col("sig"), Bands, Rows)))
+          col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
     val cand = banded.as("x").join(banded.as("y"),

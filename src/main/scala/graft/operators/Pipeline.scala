@@ -19,11 +19,12 @@ object Pipeline {
       minWords: Long = 20): DataFrame = {
     // near-dup edges come from the MinHash-LSH path: at 100 TB the
     // candidate join is keyed on band signatures, never an all-pairs
-    // shingle self-join. Recall follows the banding S-curve — near
-    // the 0.5 threshold borderline pairs can be missed (verified
-    // equal to the exact edges on this corpus, whose planted dups sit
-    // at jaccard ≈ 1 where banding recall is ~100%); that is the
-    // standard, documented LSH dedup trade.
+    // shingle self-join. Banding is matched to the 0.5 threshold
+    // (32×4 via Dedup.bandingFor: ~87% recall at jaccard = 0.5,
+    // ~99% at 0.6, measured and pinned on a planted borderline
+    // corpus in DedupSpec); this corpus's planted dups sit at
+    // jaccard ≈ 1 where recall is ~100%, so the result equals the
+    // exact edge set — the standard, now-quantified LSH dedup trade.
     val canonical = Dedup.clustersLsh(spark, sfDir)
       .filter(col("doc_id") === col("cluster_id"))
       .select("doc_id")
@@ -81,16 +82,17 @@ object Pipeline {
     * data pipeline actually needs. ~13/16 of clusters land in train
     * via the md5 prefix rule.
     *
-    * Uses the EXACT-candidate cluster path (share-a-shingle
-    * candidates have perfect recall at any jaccard threshold): a
-    * guarantee built on banded LSH would silently hold only for
-    * pairs the banding recalls — at the 0.5 threshold the 16×8
-    * S-curve recalls ~6% of borderline pairs. At 100 TB, swap in
-    * `clustersLsh` with banding tuned to the dedup threshold and
-    * accept (and document) that measured recall.
+    * Rides the THRESHOLD-MATCHED LSH cluster path (`clustersLsh`,
+    * 32×4 banding at τ=0.5 via `Dedup.bandingFor`) — the 100 TB
+    * shape, candidates keyed on band signatures. The guarantee is
+    * therefore probabilistic with measured recall: ~87% per
+    * borderline pair at jaccard = 0.5, ≳99% from 0.6 up, ≈100% for
+    * true near-dups — pinned by the planted-corpus recall spec in
+    * DedupSpec. (The previous 16×8 banding recalled ~6% of
+    * borderline pairs, which could not support any guarantee.)
     */
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.clusters(spark, sfDir)
+    Dedup.clustersLsh(spark, sfDir)
       .withColumn("split",
         when(substring(md5(concat(lit("split1"), col("cluster_id"))), 1, 1) < "d",
           "train").otherwise("eval"))

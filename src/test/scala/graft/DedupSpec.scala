@@ -74,6 +74,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stop-shingle df-cap bounds candidates under one ultra-hot shingle; " +
+      "jaccard still verified on full sets") {
+    import spark.implicits._
+    // 200 docs ALL sharing one boilerplate shingle; without the cap the
+    // candidate join would emit 200·199/2 ≈ 20k pairs off that single
+    // key. One planted near-dup pair rides rare shingles.
+    val docs = (0 until 200).map { i =>
+      val own =
+        if (i == 0) (0 until 26).map(k => s"shared_$k") ++ Seq("a1", "a2", "a3", "a4")
+        else if (i == 1) (0 until 26).map(k => s"shared_$k") ++ Seq("b1", "b2", "b3", "b4")
+        else (0 until 30).map(k => s"doc${i}_$k")
+      (i.toLong, Seq("hot") ++ own)
+    }
+    val shd = docs.toDF("doc_id", "sh")
+    val pairs = Dedup.ngramJaccardOver(shd, 0.5, maxDf = 100).collect()
+    // only the planted pair survives: the hot shingle (df=200) is
+    // dropped from candidate KEYING, so no hot-only pair is generated
+    assert(pairs.length == 1, s"expected 1 pair, got ${pairs.length}")
+    val r = pairs.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    // n_common counts the FULL intersection including the capped
+    // shingle: 26 shared + hot = 27 of |union| = 35
+    assert(r.getLong(2) == 27L, s"n_common=${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - 27.0 / 35.0) < 1e-12)
+  }
+
+  test("threshold-matched banding: measured recall on planted borderline " +
+      "pairs beats the mis-tuned banding and clears the declared floor") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    val n = 120
+    // shared-count m → jaccard m/(2n−m): spans 0.45..0.76 around τ=0.5
+    val ms = Seq(74, 80, 84, 88, 92, 96, 100, 104)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val truth = scala.collection.mutable.Set.empty[(Long, Long)]
+    var id = 0L
+    for (m <- ms; _ <- 0 until 4) {
+      val universe = Seq.fill(2 * n - m)(s"tok_${rnd.nextLong()}")
+      buf += ((id, universe.take(n)))
+      buf += ((id + 1, universe.takeRight(n)))
+      if (m.toDouble / (2 * n - m) >= 0.5) truth += ((id, id + 1))
+      id += 2
+    }
+    val shd = buf.toSeq.toDF("doc_id", "sh").cache()
+    def recallOf(banding: Option[(Int, Int)]): Double = {
+      val got = Dedup.minhashLshOver(shd, 0.5, banding)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val tuned = recallOf(None) // bandingFor(0.5) = 32×4
+    val misTuned = recallOf(Some((16, 8))) // the τ≈0.8 banding
+    info(f"tuned 32x4 recall=$tuned%.3f, mis-tuned 16x8 recall=$misTuned%.3f " +
+      s"on ${truth.size} borderline pairs")
+    // S-curve predicts ~0.87 per pair at j=0.5 rising to ~0.99 at 0.6
+    // for 32×4, vs ~0.06–0.3 for 16×8; pin the measured floor
+    assert(tuned >= 0.80, f"tuned banding recall $tuned%.3f below floor 0.80")
+    assert(misTuned < 0.5, f"mis-tuned recall $misTuned%.3f unexpectedly high")
+    assert(tuned > misTuned)
+    // precision invariant: every surfaced pair is verified ≥ τ exactly
+    val verified = Dedup.minhashLshOver(shd, 0.5, None)
+    assert(verified.filter(col("jaccard") < 0.5).isEmpty)
+    shd.unpersist()
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)
