@@ -122,23 +122,50 @@ object Pipeline {
   }
 
   /** Token-budget bin packing ("sequential fill"): within each
-    * training shard, documents in deterministic order accumulate into
-    * bins of ~`budget` tokens — bin id = floor(prior-tokens / budget),
-    * so packing is a pure window computation (one shuffle keyed on
-    * shard), reproducible on any cluster. Emits per-bin composition.
+    * training shard, documents in deterministic (doc_id) order
+    * accumulate into bins of ~`budget` tokens — bin id =
+    * floor(prior-tokens / budget). Emits per-bin composition.
+    *
+    * Scale shape (the mr_sort pattern, not a per-shard window): a
+    * single `Window.partitionBy(shard)` would bound parallelism at
+    * `nShards` tasks — ~12 TB per task at 100 TB. Instead the data is
+    * RANGE-partitioned on (shard, doc_id) so each of P tasks owns a
+    * contiguous slice; per-slice token totals (P×nShards tiny rows)
+    * turn into broadcast prefix offsets, and the running sum inside
+    * each slice is a window keyed on (shard, slice) — parallelism
+    * proportional to the data, identical output.
     */
   def packBins(spark: SparkSession, sfDir: String,
       nShards: Int = 8, budget: Long = 2000): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
+    val p = spark.sparkContext.defaultParallelism
+    val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
           .cast("long") % nShards).as("shard"),
         size(filter(split(col("text"), "\\s+"), x => x =!= ""))
           .cast("long").as("n_tokens"))
+    // pid is captured right after the range exchange and persisted, so
+    // both consumers read one deterministic snapshot of the slicing
+    val ranged = base.repartitionByRange(p, col("shard"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = ranged.groupBy("pid", "shard")
+      .agg(sum(col("n_tokens")).as("t"))
+    // offset of a (pid, shard) slice = same-shard tokens in lower pids
+    // (range partitioning ⇒ lower pid ⇔ strictly smaller doc_id);
+    // the window runs over P×nShards rows — driver-trivial
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("offset", coalesce(sum(col("t")).over(wOff), lit(0L)))
+      .select("pid", "shard", "offset")
+    val wRun = Window.partitionBy(col("shard"), col("pid"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), Seq("pid", "shard"))
       .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        col("offset") + coalesce(sum(col("n_tokens")).over(wRun), lit(0L)))
       .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"),

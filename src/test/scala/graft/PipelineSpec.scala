@@ -47,6 +47,27 @@ class PipelineSpec extends SparkSpec {
       byLang.getOrElse("fr", 0L).toDouble / total("fr"))
   }
 
+  test("packBins range-partitioned plan equals the naive per-shard window") {
+    import org.apache.spark.sql.expressions.Window
+    // naive reference: the nShards-parallel window the scalable
+    // implementation replaced — identical output is the contract
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 8).as("shard"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / 2000).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    val scaled = Pipeline.packBins(spark, sf)
+    assert(scaled.exceptAll(naive).isEmpty && naive.exceptAll(scaled).isEmpty,
+      "range-partitioned packing diverged from the sequential-fill contract")
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)

@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("pack_bins: no window is partitioned by shard alone " +
+      "(parallelism must not be bounded by nShards)") {
+    val p = plan(graft.operators.Pipeline.packBins(spark, sf))
+    // every windowspecdefinition over `shard` must also carry the
+    // range-slice id — a shard-only spec caps the stage at 8 tasks
+    val shardOnlyWindow =
+      """windowspecdefinition\(shard#\d+L?, doc_id""".r
+    assert(shardOnlyWindow.findFirstIn(p).isEmpty,
+      s"found an nShards-bounded window in:\n$p")
+    assert(p.contains("pid"), "range-slice id missing from the plan")
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
