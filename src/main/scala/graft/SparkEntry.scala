@@ -146,6 +146,22 @@ object SparkEntry {
           graft.functions.CountMinSketch.cms_estimate(
             col("sk"), col("word"), 4, 8192).as("cnt"))
     }),
+    "agg_kll" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // per-language n_chars quantiles through the mergeable KLL
+      // sketch; k=8192 exceeds every group size at the test SFs, so
+      // the sketch sits in its exact regime and DuckDB's quantile_cont
+      // gates the full path (update, partial buffers, merge, eval);
+      // the compaction regime is spec-pinned (bounded rank error)
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(graft.functions.KllSketch.kll_quantiles(
+          col("n_chars").cast("double"), 8192, Seq(0.25, 0.5, 0.75)).as("qs"))
+        .select(col("lang"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+    }),
     "agg_welford" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       import s.implicits._
@@ -164,6 +180,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -523,6 +540,12 @@ object SparkEntry {
         |      FROM documents)
         |WHERE word <> ''
         |GROUP BY lang, word""".stripMargin,
+    "agg_kll" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |FROM documents GROUP BY lang""".stripMargin,
     "agg_freq_items" ->
       """SELECT lang, word, cnt, rnk FROM (
         |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt,
@@ -691,6 +714,30 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    "dedup_spans" -> {
+      val gram10 = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([$gram10 for i in range(1, len(w) - 8)])) AS span
+         |  FROM words),
+         |df AS (SELECT span, count(*) AS df FROM sp GROUP BY 1),
+         |per AS (
+         |  SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(coalesce(sum(CASE WHEN df.df >= 2 THEN 1 END), 0) AS BIGINT) AS n_dup_spans
+         |  FROM sp JOIN df USING (span)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CASE WHEN coalesce(n_spans, 0) > 0
+         |       THEN CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE)
+         |       ELSE 0.0 END AS dup_ratio
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+    },
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
         |  SELECT doc_id, lang,

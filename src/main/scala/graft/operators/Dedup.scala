@@ -258,6 +258,54 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Text-span dedup — C4's actual repetition-removal signal: for
+    * each document, how many of its `spanWords`-word spans also occur
+    * in ANOTHER document (or again in itself — the span's corpus
+    * frequency is what matters). A doc whose spans are mostly seen
+    * elsewhere is boilerplate or a near-copy; C4 drops the repeated
+    * three-sentence spans, and this emits the per-doc evidence that
+    * decision consumes: (n_spans, n_dup_spans, dup_ratio).
+    *
+    * Plan shape at 100 TB: one shingle pass (distinct spans per doc in
+    * the array domain), one shuffle keyed on the span for the
+    * document-frequency count (a window over the same key the rows
+    * already shuffle on), one aggregation back per doc. No pairwise
+    * join at all — repetition is a property of the span, not of a
+    * document pair, so this scales strictly better than pair dedup.
+    */
+  def spanDedup(spark: SparkSession, sfDir: String,
+      spanWords: Int = 10): DataFrame =
+    spanDedupOver(Tables.documents(spark, sfDir), spanWords)
+
+  /** Same operator over an arbitrary (doc_id, text) frame. */
+  def spanDedupOver(documents: DataFrame, spanWords: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val spans = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.CatalystExprs.word_ngrams(
+          filter(split(col("text"), TextMapReduce.WordSplit), w => w =!= ""),
+          spanWords).as("spans"))
+    val sp = spans.select(col("doc_id"), explode(col("spans")).as("span"))
+    // spans are per-doc distinct, so count-over-span = document
+    // frequency; the window reuses the shuffle the count needs anyway
+    val bySpan = Window.partitionBy(col("span"))
+    val perDoc = sp
+      .withColumn("df", count(lit(1)).over(bySpan))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   // ---- MinHash + banded LSH ------------------------------------------
 
   /** 2^32-domain prime for the affine permutation family. */

@@ -139,6 +139,29 @@ class DedupSpec extends SparkSpec {
     shd.unpersist()
   }
 
+  test("span dedup: planted cross-doc span is counted, unique text is not") {
+    import spark.implicits._
+    // words must be letter-only: the wc.go word split drops digits
+    def ws(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val shared = ws("common", 12).mkString(" ") // 12 words → 3 10-grams
+    val docs = Seq(
+      (0L, shared + " " + ws("alpha", 20).mkString(" ")),
+      (1L, ws("beta", 20).mkString(" ") + " " + shared),
+      (2L, ws("gamma", 30).mkString(" ")), // fully unique
+      (3L, "too short")                    // < spanWords words
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedupOver(docs, 10).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // doc0: 32 words → 23 spans; the 3 spans fully inside the shared
+    // run also occur in doc1 → n_dup_spans = 3
+    assert(r(0L)._1 == 23L && r(0L)._2 == 3L, s"doc0=${r(0L)}")
+    assert(r(1L)._1 == 23L && r(1L)._2 == 3L, s"doc1=${r(1L)}")
+    assert(r(2L) == ((21L, 0L, 0.0)), s"doc2=${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0.0)), s"doc3=${r(3L)}")
+    assert(math.abs(r(0L)._3 - 3.0 / 23.0) < 1e-12)
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)

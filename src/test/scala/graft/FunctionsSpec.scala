@@ -81,6 +81,41 @@ class FunctionsSpec extends SparkSpec {
       "sample depends on partitioning — merge is not order-free")
   }
 
+  test("KLL sketch: exact regime equals linear-interpolation quantiles " +
+      "under any partitioning") {
+    import graft.functions.KllSketch
+    import spark.implicits._
+    // permutation of 0..999 → below k, no compaction ever fires
+    val vals = (0 until 1000).map(i => ((i * 37) % 1000).toDouble)
+    def qs(parts: Int) = vals.toDF("v").repartition(parts)
+      .agg(KllSketch.kll_quantiles(col("v"), 8192, Seq(0.25, 0.5, 0.75)).as("q"))
+      .head().getSeq[Double](0)
+    // sorted values are exactly 0..999, so quantile_cont(p) = p*999
+    val want = Seq(0.25, 0.5, 0.75).map(_ * 999)
+    for (parts <- Seq(1, 13)) {
+      val got = qs(parts)
+      assert(got == want, s"parts=$parts got=$got want=$want")
+    }
+  }
+
+  test("KLL sketch: compaction regime keeps rank error bounded") {
+    import graft.functions.KllSketch
+    import spark.implicits._
+    val n = 100000
+    // fixed permutation of 0..n−1 (48271 is coprime to 100000), so the
+    // true normalized rank of value v is v/(n−1)
+    val vals = (0 until n).map(i => ((i.toLong * 48271) % n).toDouble)
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val got = vals.toDF("v").repartition(8)
+      .agg(KllSketch.kll_quantiles(col("v"), 128, probs).as("q"))
+      .head().getSeq[Double](0)
+    probs.zip(got).foreach { case (p, v) =>
+      val err = math.abs(v / (n - 1) - p)
+      info(f"p=$p est=$v%.1f rank-err=$err%.4f")
+      assert(err <= 0.05, f"rank error $err%.4f exceeds 0.05 at p=$p (k=128, n=$n)")
+    }
+  }
+
   test("SQL-registered custom functions work end to end") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
