@@ -146,6 +146,24 @@ object SparkEntry {
           graft.functions.CountMinSketch.cms_estimate(
             col("sk"), col("word"), 4, 8192).as("cnt"))
     }),
+    "agg_theta" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // distinct users per event type through a TWO-LEVEL sketch
+      // rollup: per-(type, day) sketches, then union re-aggregation —
+      // the raw table is scanned once and the second level only moves
+      // k-bounded sketches, which is why warehouses keep sketches in
+      // rollup tables. k ≫ user cardinality → exact regime, gated
+      // against DuckDB's count(DISTINCT); saturation is spec-pinned.
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("user_id").cast("string").as("uid"))
+        .groupBy("event_type", "day")
+        .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 65536).as("sk"))
+      daily.groupBy("event_type")
+        .agg(graft.functions.ThetaSketch.theta_union(col("sk"), 65536).as("sk"))
+        .select(col("event_type"),
+          graft.functions.ThetaSketch.theta_estimate(col("sk"), 65536).as("users"))
+    }),
     "agg_kll" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-language n_chars quantiles through the mergeable KLL
@@ -540,6 +558,9 @@ object SparkEntry {
         |      FROM documents)
         |WHERE word <> ''
         |GROUP BY lang, word""".stripMargin,
+    "agg_theta" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_kll" ->
       """SELECT lang,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,

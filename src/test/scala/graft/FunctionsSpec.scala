@@ -116,6 +116,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("theta sketch: two-level rollup equals count(DISTINCT); " +
+      "union is order-free") {
+    import graft.functions.ThetaSketch._
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id").cast("string").as("uid"))
+    def rollup(parts: Int) = events.repartition(parts)
+      .groupBy("event_type", "day")
+      .agg(theta_sketch(col("uid"), 65536).as("sk"))
+      .groupBy("event_type")
+      .agg(theta_union(col("sk"), 65536).as("sk"))
+      .select(col("event_type"), theta_estimate(col("sk"), 65536).as("users"))
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"))
+    val got = rollup(4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "sketch rollup diverged from exact count(DISTINCT) in the exact regime")
+    // bottom-k union is a set operation — identical under any layout
+    assert(rollup(1).exceptAll(rollup(17)).isEmpty)
+  }
+
+  test("theta sketch: saturated estimate stays within 3 standard errors") {
+    import spark.implicits._
+    import graft.functions.ThetaSketch._
+    val n = 50000
+    val k = 256
+    val est = (0 until n).map(i => s"user_$i").toDF("uid")
+      .repartition(8)
+      .agg(theta_sketch(col("uid"), k).as("sk"))
+      .select(theta_estimate(col("sk"), k).as("est"))
+      .head().getLong(0)
+    val rse = 1.0 / math.sqrt(k - 2) // KMV relative standard error
+    val relErr = math.abs(est - n).toDouble / n
+    info(f"theta k=$k over $n distinct: est=$est relErr=$relErr%.4f (3*RSE=${3 * rse}%.4f)")
+    assert(relErr <= 3 * rse, f"estimate $est off by $relErr%.3f > 3·RSE")
+  }
+
   test("SQL-registered custom functions work end to end") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")
