@@ -80,30 +80,51 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Long = DefaultMaxDf): DataFrame =
     ngramJaccardOver(docShingles(spark, sfDir), threshold, maxDf)
 
-  /** Same operator over an arbitrary (doc_id, sh) shingle frame. */
+  /** Same operator over an arbitrary (doc_id, sh) shingle frame.
+    *
+    * Plan: every shingle is rare XOR hot, so the FULL intersection
+    * splits as |∩| = shared-rare + shared-hot. Shared-rare comes
+    * straight off the capped self-join as a pair aggregation (no
+    * distinct pass, no per-pair array work — the round-2 shape);
+    * shared-hot intersects the per-doc HOT arrays, which are tiny by
+    * the cap's definition (few shingles in any doc exceed df>maxDf).
+    * An array_intersect over the full shingle arrays per candidate
+    * pair measured 4× slower — candidates number far more than
+    * verified pairs.
+    */
   def ngramJaccardOver(docs: DataFrame, threshold: Double,
       maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    // df via a count window over the same key the self-join shuffles
-    // on — the exchange is computed once and reused by the join
-    val byShingle = Window.partitionBy(col("s"))
-    val keyed = sh
-      .withColumn("df", count(lit(1)).over(byShingle))
-      .filter(col("df") <= maxDf)
-      .select("doc_id", "s")
-    val cand = keyed.as("a").join(keyed.as("b"),
+    // one df aggregation feeds both the rare keying and the hot
+    // arrays; persisted so the second consumer doesn't redo the
+    // full shingle shuffle (one slim (s, df) row per distinct shingle)
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sh.join(dfs.filter(col("df") <= maxDf).select("s"), "s")
+    val rareCommon = keyed.as("a").join(keyed.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verify on the FULL sets (the cap only gates candidate keying)
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_rare_common"))
+    val hotPerDoc = sh.join(dfs.filter(col("df") > maxDf).select("s"), "s")
+      .groupBy("doc_id").agg(collect_list(col("s")).as("hot_sh"))
+    // per-doc shingle count straight off the array — no second explode
+    val counts = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    rareCommon
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+      .join(hotPerDoc.select(col("doc_id").as("doc_a"), col("hot_sh").as("hot_a")),
+        Seq("doc_a"), "left")
+      .join(hotPerDoc.select(col("doc_id").as("doc_b"), col("hot_sh").as("hot_b")),
+        Seq("doc_b"), "left")
       .withColumn("n_common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        col("n_rare_common") +
+          when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
       .withColumn("jaccard",
         col("n_common").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
