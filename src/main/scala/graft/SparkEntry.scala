@@ -76,6 +76,14 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
+    "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    "q10_returned" -> ((s, d) => Relational.q10Returned(s, d)),
+    "q12_priority_class" -> ((s, d) => Relational.q12PriorityClass(s, d)),
+    "q13_custdist" -> ((s, d) => Relational.q13CustDist(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
+    "q_rank_suite" -> ((s, d) => Relational.rankSuite(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
@@ -229,6 +237,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.hourlyCountsFromFiles(s, d)),
     "stream_sessionize" ->
       ((s, d) => graft.streaming.EventStreams.sessionsFromFiles(s, d)),
+    "stream_purchase_click" ->
+      ((s, d) => graft.streaming.EventStreams.purchaseClicksFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -463,6 +473,16 @@ object SparkEntry {
     "q_sessionize" -> sessionizeSql,
     // the flatMapGroupsWithState streaming path, same batch oracle
     "stream_sessionize" -> sessionizeSql,
+    // stream-stream interval join vs the equivalent batch join
+    "stream_purchase_click" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
     "q_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
@@ -692,6 +712,79 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total, count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+    "q_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,

@@ -517,4 +517,147 @@ object Relational {
         year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(amount).cast("double").as("profit"))
   }
+
+  /** TPC-H Q4-shape: orders placed in 1997H1 with at least one line
+    * shipped after the order date, counted per priority. The EXISTS
+    * is a left-semi join — the probe side never duplicates rows, so
+    * the count stays per-order however many lines match.
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey")
+        && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q10-shape: top-20 customers by returned-lineitem revenue
+    * in 1997H2. Total order with unique tiebreak precedes the LIMIT.
+    */
+  def q10Returned(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-07-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12-shape (this schema has no shipmode, so linestatus
+    * plays the mode): per status, how many 1997 shipments belonged to
+    * critical- vs normal-priority orders — one fact⋈fact join, counts
+    * as conditional aggregation.
+    */
+  def q12PriorityClass(spark: SparkSession, sfDir: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_count"))
+  }
+
+  /** TPC-H Q13-shape customer order-count distribution: LEFT OUTER
+    * join so order-less customers appear as c_count = 0, then the
+    * histogram over counts. Two aggregations, each one shuffle.
+    */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q18-shape large-volume orders: orders whose total quantity
+    * exceeds the threshold, with their customer. The qualifying set
+    * comes from a window over l_orderkey — ONE scan of lineitem feeds
+    * both the filter and the output aggregate.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String,
+      minQty: Long = 200): DataFrame = {
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    val big = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("total_qty",
+        sum(money(col("l_quantity"))).over(byOrder).cast("double"))
+      .filter(col("total_qty") > minQty)
+      .groupBy("l_orderkey")
+      .agg(max(col("total_qty")).as("total_qty")) // constant per group
+    big.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), TsFmt).as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  /** TPC-H Q19-shape disjunctive-predicate revenue: OR-of-ANDs over
+    * brand/size/quantity. The per-branch part predicates can't prune
+    * the scan individually, but the OR still pushes to the part read
+    * and the join stays a plain hash join on partkey.
+    */
+  def q19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(1, 35)
+        && col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q22-shape: rich-but-lapsed customers — above-average
+    * balance and no orders since 1998 (anti join), per market
+    * segment. The average threshold compares `bal · n > total` in
+    * EXACT decimal instead of dividing: a floating-point average
+    * could flip boundary rows between engines.
+    */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val stats = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(money(col("c_acctbal"))).as("total"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(money(col("c_acctbal")) * col("n_pos") > col("total"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  /** Ranking-function suite: dense_rank / percent_rank / cume_dist
+    * over one shared per-customer window — complements q_window_suite
+    * (ntile / nth_value / lag / lead), one shuffle total.
+    */
+  def rankSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+  }
 }

@@ -225,6 +225,39 @@ object EventStreams {
         col("n_events"))
   }
 
+  /** The stream-stream interval join behind the driver's batch hash
+    * gate: events stream through the file source on BOTH sides of
+    * `purchaseClickJoin`; an inner stream-stream join emits each match
+    * as soon as both rows are ingested (the watermark only bounds
+    * state), so on a bounded input the append-mode sink holds exactly
+    * the batch join result the DuckDB oracle computes.
+    */
+  def purchaseClicksFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val drained = graft.Tables.withNanosAsLong(spark) {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val dir = graft.TempDirs.create("graft_stream_join")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      val events = raw.schema("ts").dataType match {
+        case LongType => stream0.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val name = nextSinkName("graft_stream_join")
+      val q = purchaseClickJoin(events).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+    }
+    drained.select(
+      col("purchase_id"), col("p_user").as("user_id"),
+      date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"),
+      col("click_id"),
+      date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_ts"))
+  }
+
   /** Per-call memory-sink names: a fixed name would let two concurrent
     * invocations in one session clobber each other's sink and return
     * mixed/partial results.
