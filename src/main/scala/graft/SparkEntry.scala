@@ -776,7 +776,7 @@ object SparkEntry {
         |FROM customer, stats
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY 1""".stripMargin,
     "q_rank_suite" ->
       """SELECT o_custkey, o_orderkey,

@@ -638,7 +638,7 @@ object Relational {
       .agg(sum(money(col("c_acctbal"))).as("total"),
         count(lit(1)).as("n_pos"))
     val recent = Tables.orders(spark, sfDir)
-      .filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1998-06-01 00:00:00").cast("timestamp"))
     c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .crossJoin(broadcast(stats))
       .filter(money(col("c_acctbal")) * col("n_pos") > col("total"))
