@@ -172,6 +172,22 @@ object SparkEntry {
         .select(col("event_type"),
           graft.functions.ThetaSketch.theta_estimate(col("sk"), 65536).as("users"))
     }),
+    "agg_theta_intersect" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // users who BOTH clicked and purchased, via sketch set algebra:
+      // two independent sketches, intersected at the common θ — no
+      // re-scan, no join of raw user sets. Exact regime (k ≫ users)
+      // gates against DuckDB's INTERSECT; saturation is spec-pinned.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 65536).as("ska"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 65536).as("skb"))
+      clicks.crossJoin(purchases)
+        .select(graft.functions.ThetaSketch
+          .theta_intersect(col("ska"), col("skb"), 65536).as("users"))
+    }),
     "agg_kll" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // per-language n_chars quantiles through the mergeable KLL
@@ -581,6 +597,11 @@ object SparkEntry {
     "agg_theta" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+    "agg_theta_intersect" ->
+      """SELECT count(*) AS users FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
     "agg_kll" ->
       """SELECT lang,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,

@@ -195,4 +195,23 @@ object ThetaSketch {
     when(size(sketch) < k, size(sketch).cast("long"))
       .otherwise((lit((k - 1).toDouble) / kth).cast("long"))
   }
+
+  /** Set-INTERSECTION estimate between two sketches — the theta-sketch
+    * operation inclusion-exclusion can't give you robustly: restrict
+    * both sides to the common θ (the smaller of the two k-th hashes),
+    * count shared hashes below it, scale by 1/θ. Below saturation
+    * θ = 1 and both sketches are the full hash sets, so the result is
+    * the EXACT distinct-intersection count — which is what lets the
+    * gated query sit behind DuckDB's INTERSECT oracle.
+    */
+  def theta_intersect(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val cutRaw = least(
+      when(size(a) < k, lit(Long.MaxValue)).otherwise(element_at(a, k)),
+      when(size(b) < k, lit(Long.MaxValue)).otherwise(element_at(b, k)))
+    val common = size(filter(array_intersect(a, b), h => h < cutRaw)).cast("double")
+    val theta = when(cutRaw === Long.MaxValue, lit(1.0))
+      .otherwise(cutRaw.cast("double") / lit(1.8446744073709552E19) + lit(0.5))
+    (common / theta).cast("long")
+  }
 }

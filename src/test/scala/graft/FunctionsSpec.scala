@@ -153,6 +153,28 @@ class FunctionsSpec extends SparkSpec {
     assert(relErr <= 3 * rse, f"estimate $est off by $relErr%.3f > 3·RSE")
   }
 
+  test("theta intersection: exact below saturation, bounded error above") {
+    import spark.implicits._
+    import graft.functions.ThetaSketch._
+    // two 50k-element sets sharing 20k elements
+    val a = (0 until 50000).map(i => s"m_$i")
+    val b = (30000 until 80000).map(i => s"m_$i")
+    def sk(xs: Seq[String], k: Int) = xs.toDF("x").repartition(4)
+      .agg(theta_sketch(col("x"), k).as("sk"))
+    // exact regime: k above both cardinalities → exact 20000
+    val exact = sk(a, 131072).crossJoin(sk(b, 131072).withColumnRenamed("sk", "sk2"))
+      .select(theta_intersect(col("sk"), col("sk2"), 131072).as("n"))
+      .head().getLong(0)
+    assert(exact == 20000L, s"exact-regime intersection $exact != 20000")
+    // saturated: k=1024 → relative error within ~3/sqrt(k) of truth
+    val est = sk(a, 1024).crossJoin(sk(b, 1024).withColumnRenamed("sk", "sk2"))
+      .select(theta_intersect(col("sk"), col("sk2"), 1024).as("n"))
+      .head().getLong(0)
+    val relErr = math.abs(est - 20000L).toDouble / 20000
+    info(f"saturated theta intersect: est=$est relErr=$relErr%.4f")
+    assert(relErr <= 0.15, f"intersection estimate $est off by $relErr%.3f")
+  }
+
   test("SQL-registered custom functions work end to end") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")

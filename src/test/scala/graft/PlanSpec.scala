@@ -61,6 +61,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pid"), "range-slice id missing from the plan")
   }
 
+  test("q4 EXISTS compiles to a left-semi join (no row duplication)") {
+    val p = plan(Relational.q4OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("q18 reads lineitem once (window feeds filter and aggregate)") {
+    val p = plan(Relational.q18LargeOrders(spark, sf))
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+  }
+
+  test("q19 OR-of-ANDs stays a hash join, never a cartesian") {
+    val p = plan(Relational.q19Disjunctive(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
