@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -46,12 +46,15 @@ case class KllSketch(
     probs: Seq[Double],
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllBuffer] {
+  extends TypedImperativeAggregate[KllBuffer] with ExpectsInputTypes {
 
   require(k >= 8, "compactor capacity k must be at least 8")
   require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
 
   override def children: Seq[Expression] = child :: Nil
+  // fail at ANALYSIS time on a wrong-typed column — update() casts to
+  // Double and would otherwise throw mid-job on every executor
+  override def inputTypes = Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -30,11 +30,15 @@ case class KmvSample(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeMap[String, String]] {
+  extends TypedImperativeAggregate[mutable.TreeMap[String, String]]
+  with ExpectsInputTypes {
 
   require(k > 0)
 
   override def children: Seq[Expression] = child :: Nil
+  // fail at ANALYSIS time on a wrong-typed column instead of a
+  // per-executor ClassCastException mid-job
+  override def inputTypes = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)

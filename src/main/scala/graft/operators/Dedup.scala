@@ -97,7 +97,11 @@ object Dedup {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // one df aggregation feeds both the rare keying and the hot
     // arrays; persisted so the second consumer doesn't redo the
-    // full shingle shuffle (one slim (s, df) row per distinct shingle)
+    // full shingle shuffle (one slim (s, df) row per distinct
+    // shingle). Like docShingles, the cache is deliberately left to
+    // Spark's cache manager: repeated calls build the IDENTICAL plan,
+    // which maps onto the same cache entry — one entry per corpus,
+    // not per call.
     val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sh.join(dfs.filter(col("df") <= maxDf).select("s"), "s")
@@ -279,13 +283,15 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
-  /** Text-span dedup — C4's actual repetition-removal signal: for
-    * each document, how many of its `spanWords`-word spans also occur
-    * in ANOTHER document (or again in itself — the span's corpus
-    * frequency is what matters). A doc whose spans are mostly seen
-    * elsewhere is boilerplate or a near-copy; C4 drops the repeated
-    * three-sentence spans, and this emits the per-doc evidence that
-    * decision consumes: (n_spans, n_dup_spans, dup_ratio).
+  /** Text-span dedup — C4's CROSS-DOCUMENT repetition signal: for
+    * each document, how many of its distinct `spanWords`-word spans
+    * also occur in another document. (Spans are per-doc distinct, so
+    * repetition WITHIN one document is invisible here by design —
+    * that is `text_c4_filters`' dup_words statistic.) A doc whose
+    * spans are mostly seen elsewhere is boilerplate or a near-copy;
+    * C4 drops the repeated three-sentence spans, and this emits the
+    * per-doc evidence that decision consumes:
+    * (n_spans, n_dup_spans, dup_ratio).
     *
     * Plan shape at 100 TB: one shingle pass (distinct spans per doc in
     * the array domain), one shuffle keyed on the span for the

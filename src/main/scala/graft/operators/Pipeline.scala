@@ -145,7 +145,9 @@ object Pipeline {
         size(filter(split(col("text"), "\\s+"), x => x =!= ""))
           .cast("long").as("n_tokens"))
     // pid is captured right after the range exchange and persisted, so
-    // both consumers read one deterministic snapshot of the slicing
+    // both consumers read one deterministic snapshot of the slicing.
+    // Cache lifetime is the cache manager's: identical plans across
+    // calls share one entry per corpus (the docShingles convention)
     val ranged = base.repartitionByRange(p, col("shard"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

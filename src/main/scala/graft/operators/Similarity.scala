@@ -143,9 +143,21 @@ object Similarity {
     * pair at angle θ is 1−θ/π, so a cos≈0.3 neighbor agrees on a
     * plane with p≈0.6 — weak discrimination that needs MANY bands:
     * 16 bands × 4 planes puts S-curve recall at ~0.89 for cos=0.3 and
-    * ≳0.97 from cos=0.5 up, while the verify join stays proportional
-    * to the candidate count. (The previous 4×4 banding measured 0.44
+    * ≳0.97 from cos=0.5 up. (The previous 4×4 banding measured 0.44
     * recall against brute-force truth — an untrustworthy default.)
+    *
+    * THE SELECTIVITY TRADE, quantified honestly: unrelated vectors
+    * still agree on a plane with p≈0.5, so a 4-plane band passes
+    * ~1/16 of random pairs and 16 bands pass ~64% of them — at a low
+    * cosine threshold the candidate set is a CONSTANT FRACTION of all
+    * pairs, not a vanishing one (the spec measures it on this
+    * corpus). That is intrinsic to SRP near τ≈0.3: the 0.6-vs-0.5
+    * per-plane gap cannot be amplified selectively. Use this operator
+    * where SRP is strong — high-cosine NEAR-DUP detection (τ ≳ 0.7,
+    * where band agreement for noise pairs vanishes) or recall-first
+    * candidate generation on modest corpora; for scale-path broad
+    * similarity SEARCH, `annIvf` is the right operator (oracle-gated,
+    * probes IvfProbes/IvfCells of the data per query).
     */
   val DefaultSrpBands = 16
   val DefaultPlanesPerBand = 4

@@ -189,6 +189,7 @@ object EventStreams {
       }).select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event]
       val name = nextSinkName("graft_stream_sess")
+      withSink(spark, name) {
       val q = sessionize(events).writeStream
         .format("memory").queryName(name).outputMode("append").start()
       try {
@@ -213,6 +214,7 @@ object EventStreams {
         q.processAllAvailable()
       } finally q.stop()
       drainMemorySink(spark, name)
+      }
     }
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("session_start"))
@@ -246,10 +248,12 @@ object EventStreams {
         case _ => stream0
       }
       val name = nextSinkName("graft_stream_join")
-      val q = purchaseClickJoin(events).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      drainMemorySink(spark, name)
+      withSink(spark, name) {
+        val q = purchaseClickJoin(events).writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        drainMemorySink(spark, name)
+      }
     }
     drained.select(
       col("purchase_id"), col("p_user").as("user_id"),
@@ -279,6 +283,18 @@ object EventStreams {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Run a memory-sink stream body, dropping the per-call view if a
+    * failure prevents the normal drain — a failed run must not pin
+    * its partial result under a name nothing will ever drop.
+    */
+  private def withSink[T](spark: SparkSession, name: String)(body: => T): T =
+    try body
+    catch { case t: Throwable =>
+      try spark.catalog.dropTempView(name)
+      catch { case _: Throwable => () }
+      throw t
+    }
+
   /** The streaming path behind the driver's batch hash gate: read the
     * events parquet through the FILE-STREAM source, run the unbounded
     * hourly plan, materialize via a memory sink (complete mode — a
@@ -307,9 +323,11 @@ object EventStreams {
         case _ => stream0
       }
       val name = nextSinkName("graft_stream_hourly")
-      val q = hourlyCountsFull(events).writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      drainMemorySink(spark, name)
+      withSink(spark, name) {
+        val q = hourlyCountsFull(events).writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        drainMemorySink(spark, name)
+      }
     }
 }

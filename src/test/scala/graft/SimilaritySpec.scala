@@ -92,6 +92,16 @@ class SimilaritySpec extends SparkSpec {
       s"over ${truth.size} above-threshold brute top-10 pairs")
     assert(tuned >= 0.85, f"LSH recall $tuned%.3f below the declared 0.85 floor")
     assert(tuned > old4x4)
+    // SELECTIVITY is the documented trade: threshold = −1 surfaces the
+    // raw candidate set, so this measures what fraction of all pairs
+    // the banding fails to prune (SRP per-plane agreement floors at
+    // 0.5 for unrelated vectors — see the Similarity scaladoc)
+    val n = Tables.embeddings(spark, dir).count()
+    val candFrac = Similarity.annLsh(spark, dir, -1.0,
+      Similarity.DefaultSrpBands, Similarity.DefaultPlanesPerBand).count()
+      .toDouble / (n * (n - 1) / 2)
+    info(f"candidate fraction at default banding: $candFrac%.3f of all pairs")
+    assert(candFrac < 0.75, f"banding prunes almost nothing ($candFrac%.3f)")
   }
 
   test("banded LSH pairs pass the cosine threshold and find candidates") {
