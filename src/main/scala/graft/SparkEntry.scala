@@ -269,6 +269,24 @@ object SparkEntry {
               |      FROM embeddings_sqlv)
               |GROUP BY label""".stripMargin)
     }),
+    "sql_theta_rollup" -> ((s, d) => {
+      // the agg_theta two-level sketch rollup authored entirely in SQL
+      // through the registered aggregates — update, union
+      // re-aggregation, and the KMV estimator are all reachable from
+      // the `spark.sql` surface (estimator = plain SQL arithmetic)
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("events_theta_sqlv")
+      s.sql("""SELECT event_type,
+              |  CASE WHEN size(sk) < 65536 THEN CAST(size(sk) AS BIGINT)
+              |       ELSE CAST(65535.0 /
+              |         (CAST(element_at(sk, 65536) AS DOUBLE) / 1.8446744073709552E19 + 0.5)
+              |         AS BIGINT) END AS users
+              |FROM (SELECT event_type, theta_union(sk, 65536) AS sk
+              |      FROM (SELECT event_type, date_trunc('DAY', ts) AS day,
+              |              theta_sketch(CAST(user_id AS STRING), 65536) AS sk
+              |            FROM events_theta_sqlv GROUP BY 1, 2)
+              |      GROUP BY 1)""".stripMargin)
+    }),
     "sql_ngram_profile" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("documents_sqlv")
@@ -595,6 +613,9 @@ object SparkEntry {
         |WHERE word <> ''
         |GROUP BY lang, word""".stripMargin,
     "agg_theta" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
     "agg_theta_intersect" ->

@@ -19,12 +19,34 @@ object GraftFunctions {
   private def litInt(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
 
+  /** Constant array<double> argument (e.g. `array(0.25, 0.5, 0.75)`)
+    * evaluated at registration time — quantile probabilities are part
+    * of the aggregate's shape, not data.
+    */
+  private def litDoubles(e: Expression): Seq[Double] = {
+    require(e.foldable, s"constant array expected, got $e")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+  }
+
+  /** Scalar custom expressions AND the sketch aggregates — the
+    * analyzer wraps a registered `AggregateFunction` in its
+    * `AggregateExpression` automatically, so `spark.sql("SELECT
+    * theta_sketch(uid, 65536) ... GROUP BY ...")` just works.
+    */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "word_ngrams" -> (es => WordNGrams(es.head, if (es.size > 1) litInt(es(1)) else 3)),
     "xxhash_array" -> (es => XxHashArray(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "band_keys" -> (es => BandKeys(es.head, litInt(es(1)), litInt(es(2)))))
+    "band_keys" -> (es => BandKeys(es.head, litInt(es(1)), litInt(es(2)))),
+    "theta_sketch" -> (es => ThetaSketch(es.head, litInt(es(1)))),
+    "theta_union" -> (es => ThetaUnion(es.head, litInt(es(1)))),
+    "count_min" -> (es => CountMinSketch(es.head, litInt(es(1)), litInt(es(2)))),
+    "freq_items" -> (es => FreqItemsSketch(es.head, litInt(es(1)))),
+    "kmv_sample" -> (es => KmvSample(es.head, litInt(es(1)))),
+    "kll_quantiles" -> (es => KllSketch(es.head, litInt(es(1)), litDoubles(es(2)))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

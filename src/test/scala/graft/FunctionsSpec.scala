@@ -187,5 +187,17 @@ class FunctionsSpec extends SparkSpec {
     val row = r.head()
     assert(row.getDouble(3) == 11.0)
     assert(r.count() == 500)
+    // the sketch AGGREGATES are SQL-reachable too — the analyzer
+    // wraps registered AggregateFunctions automatically
+    val agg = spark.sql(
+      """SELECT lang,
+        |  kll_quantiles(CAST(n_chars AS DOUBLE), 8192, array(0.5d)) AS med,
+        |  size(theta_sketch(CAST(doc_id AS STRING), 1024)) AS n_sk
+        |FROM docs_v GROUP BY lang""".stripMargin).collect()
+    assert(agg.nonEmpty)
+    agg.foreach { a =>
+      assert(a.getSeq[Double](1).size == 1)
+      assert(a.getInt(2) > 0)
+    }
   }
 }
