@@ -38,6 +38,40 @@ class MalformedInputSpec extends SparkSpec {
     assert(df.count() == 3) // nothing dropped, nothing thrown
   }
 
+  test("degenerate corpora: empty / single-doc / all-hot inputs " +
+      "produce empty-but-well-formed dedup results") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // empty corpus
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.spanDedupOver(empty, 10).collect().isEmpty)
+    assert(Dedup.ngramJaccardOver(
+      Seq.empty[(Long, Seq[String])].toDF("doc_id", "sh"), 0.5).collect().isEmpty)
+    // single doc: no pairs, span stats still emitted
+    val one = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu")).toDF("doc_id", "text")
+    val spans = Dedup.spanDedupOver(one, 10).collect()
+    assert(spans.length == 1 && spans.head.getLong(2) == 0L) // no dup spans
+    // maxDf = 0: EVERY shingle is "hot" → zero candidates, no failure
+    val shd = Seq((1L, Seq("x", "y")), (2L, Seq("x", "y"))).toDF("doc_id", "sh")
+    assert(Dedup.ngramJaccardOver(shd, 0.5, maxDf = 0).collect().isEmpty)
+  }
+
+  test("sketch aggregates on empty groups never throw") {
+    import spark.implicits._
+    import graft.functions.{KllSketch, ThetaSketch}
+    // a filter that keeps nothing → agg over zero rows
+    val none = Seq(1.0, 2.0).toDF("v").filter(col("v") > 100)
+    val kll = none.agg(KllSketch.kll_quantiles(col("v"), 64, Seq(0.5)).as("q"))
+      .head().getSeq[Double](0)
+    assert(kll.size == 1 && kll.head.isNaN) // declared empty-group value
+    val th = none.select(col("v").cast("string").as("s"))
+      .agg(ThetaSketch.theta_sketch(col("s"), 64).as("sk"))
+      .select(ThetaSketch.theta_estimate(col("sk"), 64).as("n"))
+      .head().getLong(0)
+    assert(th == 0L)
+  }
+
   test("csv with malformed rows under PERMISSIVE keeps the batch alive") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-badcsv")
