@@ -255,6 +255,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.sessionsFromFiles(s, d)),
     "stream_purchase_click" ->
       ((s, d) => graft.streaming.EventStreams.purchaseClicksFromFiles(s, d)),
+    "stream_dedup" ->
+      ((s, d) => graft.streaming.EventStreams.dedupFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -507,6 +509,11 @@ object SparkEntry {
     "q_sessionize" -> sessionizeSql,
     // the flatMapGroupsWithState streaming path, same batch oracle
     "stream_sessionize" -> sessionizeSql,
+    // streaming dedup of a DOUBLED feed vs the single-copy batch table
+    "stream_dedup" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  user_id, event_type, value
+        |FROM events""".stripMargin,
     // stream-stream interval join vs the equivalent batch join
     "stream_purchase_click" ->
       """SELECT p.event_id AS purchase_id, p.user_id,

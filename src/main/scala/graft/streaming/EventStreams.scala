@@ -262,6 +262,43 @@ object EventStreams {
       date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_ts"))
   }
 
+  /** Streaming exact-dedup behind the driver's batch hash gate: the
+    * file stream is fed TWO copies of the events parquet (two symlinks
+    * to the same file), so `dropDuplicatesWithinWatermark` has real
+    * duplicates to remove — both within a batch and across batches
+    * inside the watermark horizon. The deduped stream must equal the
+    * single-copy batch table, which is exactly what the oracle checks
+    * (a single-copy feed would gate nothing: event_ids are unique).
+    */
+  def dedupFromFiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val dir = graft.TempDirs.create("graft_stream_dedup")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events_b.parquet"), java.nio.file.Paths.get(path))
+      val stream0 = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1") // force a cross-BATCH duplicate
+        .parquet(dir.toString)
+      val events = raw.schema("ts").dataType match {
+        case LongType => stream0.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val name = nextSinkName("graft_stream_dedup")
+      withSink(spark, name) {
+        val q = dedupStream(events).writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        drainMemorySink(spark, name)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+      }
+    }
+
   /** Per-call memory-sink names: a fixed name would let two concurrent
     * invocations in one session clobber each other's sink and return
     * mixed/partial results.
