@@ -19,13 +19,23 @@ object GraftFunctions {
   private def litInt(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
 
-  /** Constant array<double> argument (e.g. `array(0.25, 0.5, 0.75)`)
+  /** Constant numeric-array argument (e.g. `array(0.25, 0.5, 0.75)`)
     * evaluated at registration time — quantile probabilities are part
-    * of the aggregate's shape, not data.
+    * of the aggregate's shape, not data. SQL's natural spelling parses
+    * those literals as DECIMAL, so the array is CAST to array<double>
+    * before reading instead of assuming the element type.
     */
   private def litDoubles(e: Expression): Seq[Double] = {
     require(e.foldable, s"constant array expected, got $e")
-    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val numeric = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        et.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      case _ => false
+    }
+    require(numeric, s"constant NUMERIC array expected, got type ${e.dataType.sql}")
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toDoubleArray().toSeq
   }

@@ -195,12 +195,26 @@ object ThetaSketch {
     * (the sketch holds every distinct hash), KMV estimator at
     * saturation. Plain Column arithmetic, no UDF.
     */
+  /** Mapped-θ quantum: one signed-hash step is 2⁻⁶⁴ of the [0,1)
+    * domain, so the smallest legitimately-positive θ is 2⁻⁶⁴ — the
+    * divisor clamp that keeps a k-th hash of exactly Long.MinValue
+    * (θ→0.0) from producing Infinity.
+    */
+  private val ThetaQuantum = 5.421010862427522e-20
+  /** Estimate cap 2⁶² — far beyond any meaningful distinct count and
+    * exactly representable, keeping the final long cast total under
+    * ANSI (an uncapped degenerate estimate of (k−1)·2⁶⁴ overflows).
+    */
+  private val MaxEstimate = 4.611686018427388e18
+
   def theta_estimate(sketch: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     // signed hash → uniform [0,1): h/2^64 ∈ [−0.5, 0.5), + 0.5
-    val kth = element_at(sketch, k).cast("double") / lit(1.8446744073709552E19) + lit(0.5)
+    val kth = greatest(
+      element_at(sketch, k).cast("double") / lit(1.8446744073709552E19) + lit(0.5),
+      lit(ThetaQuantum))
     when(size(sketch) < k, size(sketch).cast("long"))
-      .otherwise((lit((k - 1).toDouble) / kth).cast("long"))
+      .otherwise(least(lit((k - 1).toDouble) / kth, lit(MaxEstimate)).cast("long"))
   }
 
   /** Set-INTERSECTION estimate between two sketches — the theta-sketch
@@ -217,8 +231,11 @@ object ThetaSketch {
       when(size(a) < k, lit(Long.MaxValue)).otherwise(element_at(a, k)),
       when(size(b) < k, lit(Long.MaxValue)).otherwise(element_at(b, k)))
     val common = size(filter(array_intersect(a, b), h => h < cutRaw)).cast("double")
+    // same Long.MinValue → θ=0.0 guard and overflow cap as theta_estimate
     val theta = when(cutRaw === Long.MaxValue, lit(1.0))
-      .otherwise(cutRaw.cast("double") / lit(1.8446744073709552E19) + lit(0.5))
-    (common / theta).cast("long")
+      .otherwise(greatest(
+        cutRaw.cast("double") / lit(1.8446744073709552E19) + lit(0.5),
+        lit(ThetaQuantum)))
+    least(common / theta, lit(MaxEstimate)).cast("long")
   }
 }

@@ -90,13 +90,23 @@ object Pipeline {
     * true near-dups — pinned by the planted-corpus recall spec in
     * DedupSpec. (The previous 16×8 banding recalled ~6% of
     * borderline pairs, which could not support any guarantee.)
+    *
+    * `exact = true` instead clusters over the exact df-capped
+    * candidate closure (`Dedup.clusters`) — the HARD no-leakage
+    * guarantee the function name implies, for callers who need it and
+    * can afford the exact candidate join at their scale. Both paths
+    * produce identical output on corpora whose near-dups are true
+    * dups (spec-pinned); only the borderline-pair recall differs.
     */
-  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.clustersLsh(spark, sfDir)
-      .withColumn("split",
+  def leakageSafeSplit(spark: SparkSession, sfDir: String,
+      exact: Boolean = false): DataFrame = {
+    val cl = if (exact) Dedup.clusters(spark, sfDir)
+             else Dedup.clustersLsh(spark, sfDir)
+    cl.withColumn("split",
         when(substring(md5(concat(lit("split1"), col("cluster_id"))), 1, 1) < "d",
           "train").otherwise("eval"))
       .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
 
   /** Benchmark decontamination — the 13-gram overlap filter: a corpus
     * document is contaminated when it shares any 13-word shingle with

@@ -307,17 +307,20 @@ object EventStreams {
   private def nextSinkName(prefix: String): String =
     s"${prefix}_${sinkCounter.incrementAndGet()}"
 
-  /** Materialize a memory-sink view and drop it immediately — the
-    * result rows are small by construction (windowed rollups /
-    * session summaries), and dropping the view keeps per-call sink
-    * names from pinning every past run's result in driver memory.
+  /** Materialize a memory-sink view and drop it immediately, spilling
+    * through a per-run temp parquet: the memory sink already holds one
+    * driver copy of the rows, and a collect + createDataFrame would
+    * pin a SECOND for the life of the returned frame. The rollup and
+    * session sinks are small by construction, but the stream-stream
+    * join sink is |purchases| × matching-clicks — spilling keeps peak
+    * driver memory at the sink's own copy and hands back a scan-backed
+    * DataFrame (freed with the dropped view) for every caller.
     */
   private def drainMemorySink(spark: SparkSession, name: String): DataFrame = {
-    val t = spark.table(name)
-    val rows = t.collect()
-    val schema = t.schema
+    val dest = graft.TempDirs.create("graft_sink_drain").resolve("rows").toString
+    spark.table(name).write.mode("overwrite").parquet(dest)
     spark.catalog.dropTempView(name)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    spark.read.parquet(dest)
   }
 
   /** Run a memory-sink stream body, dropping the per-call view if a

@@ -189,15 +189,40 @@ class FunctionsSpec extends SparkSpec {
     assert(r.count() == 500)
     // the sketch AGGREGATES are SQL-reachable too — the analyzer
     // wraps registered AggregateFunctions automatically
+    // SQL's NATURAL spelling: array(0.25, 0.5, 0.75) parses as
+    // DECIMAL literals — litDoubles must cast, not assume double
     val agg = spark.sql(
       """SELECT lang,
-        |  kll_quantiles(CAST(n_chars AS DOUBLE), 8192, array(0.5d)) AS med,
+        |  kll_quantiles(CAST(n_chars AS DOUBLE), 8192, array(0.25, 0.5, 0.75)) AS qs,
         |  size(theta_sketch(CAST(doc_id AS STRING), 1024)) AS n_sk
         |FROM docs_v GROUP BY lang""".stripMargin).collect()
     assert(agg.nonEmpty)
     agg.foreach { a =>
-      assert(a.getSeq[Double](1).size == 1)
+      val qs = a.getSeq[Double](1)
+      assert(qs.size == 3 && qs == qs.sorted)
       assert(a.getInt(2) > 0)
     }
+    // non-numeric constant array must fail loudly at analysis
+    val bad = intercept[Throwable](
+      spark.sql("SELECT kll_quantiles(1.0d, 64, array('a'))"))
+    val chain = Iterator.iterate(bad)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("NUMERIC array expected"), chain)
+  }
+
+  test("theta estimate survives a degenerate k-th hash of Long.MinValue") {
+    import graft.functions.ThetaSketch
+    // all-MinValue sketch of size k: mapped θ is exactly 0.0 without
+    // the quantum clamp — the estimator must stay total (no ANSI cast
+    // failure) and return the documented finite cap
+    val df = spark.range(1)
+      .select(array_repeat(lit(Long.MinValue), 16).as("sk"))
+    val est = df.select(ThetaSketch.theta_estimate(col("sk"), 16).as("e"))
+      .head().getLong(0)
+    assert(est == 4611686018427387904L) // 2^62 cap
+    val inter = df.select(ThetaSketch.theta_intersect(
+        col("sk"), col("sk"), 16).as("i"))
+      .head().getLong(0)
+    assert(inter >= 0 && inter <= 4611686018427387904L)
   }
 }

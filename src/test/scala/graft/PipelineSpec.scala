@@ -34,6 +34,24 @@ class PipelineSpec extends SparkSpec {
       "a near-duplicate pair crossed the train/eval boundary")
   }
 
+  test("leakage-safe split: exact path gives the hard guarantee and " +
+      "matches the LSH path on true-dup corpora") {
+    val exact = Pipeline.leakageSafeSplit(spark, sf, exact = true).cache()
+    val lsh = Pipeline.leakageSafeSplit(spark, sf)
+    // this corpus's near-dups are true dups (jaccard ≈ 1), where LSH
+    // recall is ≈100% — both paths must land on the identical split
+    assert(exact.exceptAll(lsh).isEmpty && lsh.exceptAll(exact).isEmpty)
+    // and the exact path's guarantee is unconditional: every
+    // exact-candidate near-dup pair shares a split
+    val s = exact.select(col("doc_id"), col("split"))
+    val pairs = Dedup.ngramJaccard(spark, sf, 0.5)
+      .join(s.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(s.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+    assert(pairs.filter(col("split_a") =!= col("split_b")).isEmpty)
+  }
+
   test("stratified sample rates are deterministic and per-language") {
     val a = Pipeline.stratifiedSample(spark, sf).cache()
     val b = Pipeline.stratifiedSample(spark, sf)
