@@ -660,4 +660,122 @@ object Relational {
         percent_rank().over(w).as("prnk"),
         cume_dist().over(w).as("cdist"))
   }
+
+  /** TPC-H Q7-shape volume shipping: bilateral trade revenue between
+    * two nations per ship year. The nation dim joins twice (supplier
+    * side, customer side) — both copies broadcast (fixed cardinality
+    * at any SF); the cross-nation pair filter lands on the joined
+    * row, the fact tables shuffle only on their join keys.
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB)
+        || (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q8-shape national market share: the target nation's slice
+    * of one region's part-type market per order year. Numerator and
+    * denominator come out of ONE aggregation over one joined scan
+    * (conditional sum), both in exact decimal; the share is a single
+    * final double division (SURVEY §5).
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String,
+      targetNation: String = "NATION_2", regionName: String = "ASIA",
+      partType: String = "ECONOMY"): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === regionName)
+    val nCust = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val nSupp = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, sfDir).filter(col("p_type") === partType)
+    val vol = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, vol)).cast("double")
+          .as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+  }
+
+  /** TPC-H Q15-shape top supplier: revenue per supplier over one
+    * quarter, keep the max-revenue supplier(s). The max comparison
+    * happens in EXACT decimal (the revenue view is computed once and
+    * self-compared) — a double-domain max could tie-break differently
+    * across engines; the 1-row max broadcasts.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-04-01 00:00:00").cast("timestamp")
+    val revenue = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy("l_suppkey")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("rev"))
+    val top = revenue.agg(max(col("rev")).as("max_rev"))
+    revenue.crossJoin(broadcast(top))
+      .filter(col("rev") === col("max_rev"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q21-shape suppliers who kept orders waiting: for finished
+    * multi-supplier orders, count per supplier the orders where it was
+    * the ONLY supplier to ship late (> `lateDays` after the order
+    * date; the driver schema has no commit/receipt dates, so lateness
+    * is shipdate-based). Q21's classic EXISTS + NOT-EXISTS double
+    * self-join is reformulated as ONE per-order aggregation — supplier
+    * counts and the sole late supplier fall out of a single lineitem
+    * scan, then one small join back to supplier. Same semantics,
+    * one shuffle on l_orderkey instead of three fact self-joins.
+    */
+  def q21WaitingSupplier(spark: SparkSession, sfDir: String,
+      lateDays: Int = 90, topK: Int = 10): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder
+      .join(Tables.supplier(spark, sfDir), col("late_supp") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(topK)
+  }
 }

@@ -78,6 +78,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q21 reads lineitem once (single-aggregation reformulation, " +
+      "no EXISTS self-joins)") {
+    val p = plan(Relational.q21WaitingSupplier(spark, sf))
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q7/q8: both nation-dim copies broadcast, facts never nested-loop") {
+    for (df <- Seq(Relational.q7VolumeShipping(spark, sf),
+        Relational.q8MarketShare(spark, sf))) {
+      val p = plan(df)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q15: max-revenue comparison happens in the decimal domain") {
+    val df = Relational.q15TopSupplier(spark, sf)
+    // the revenue column reaching the max-filter must still be decimal
+    // (a double-domain tie could break differently across engines)
+    val rev = df.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(rev.nonEmpty)
+    assert(df.head().getDouble(2) > 0.0)
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
