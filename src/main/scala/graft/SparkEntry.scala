@@ -88,6 +88,7 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "q_rank_suite" -> ((s, d) => Relational.rankSuite(s, d)),
+    "q_bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
@@ -830,6 +831,14 @@ object SparkEntry {
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
+    // bloom prune + exact confirm ⇒ exactly the plain semi join
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
         |GROUP BY 1""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -54,6 +54,7 @@ object GraftFunctions {
     "theta_sketch" -> (es => ThetaSketch(es.head, litInt(es(1)))),
     "theta_union" -> (es => ThetaUnion(es.head, litInt(es(1)))),
     "count_min" -> (es => CountMinSketch(es.head, litInt(es(1)), litInt(es(2)))),
+    "bloom_filter" -> (es => BloomFilter(es.head, litInt(es(1)), litInt(es(2)))),
     "freq_items" -> (es => FreqItemsSketch(es.head, litInt(es(1)))),
     "kmv_sample" -> (es => KmvSample(es.head, litInt(es(1)))),
     "kll_quantiles" -> (es => KllSketch(es.head, litInt(es(1)), litDoubles(es(2)))))

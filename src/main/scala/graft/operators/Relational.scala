@@ -748,6 +748,37 @@ object Relational {
         col("rev").cast("double").as("total_revenue"))
   }
 
+  /** Bloom-pruned semi join — the sketch-based approximate-join
+    * pattern: build a Bloom filter over the small side's keys (one
+    * tiny aggregate), broadcast the bit array, prune the fact table
+    * with pure-Column probes BEFORE any shuffle, then confirm the
+    * survivors with the exact semi join. No false negatives ⇒ the
+    * result is EXACTLY the plain semi join (the oracle), but at
+    * 100 TB the shuffle moves only the ~selectivity fraction of the
+    * fact table that probes true — the same idea as Spark's own
+    * runtime bloom-filter join pushdown, expressed as first-class
+    * operators.
+    */
+  def bloomPrunedJoin(spark: SparkSession, sfDir: String,
+      segment: String = "BUILDING",
+      numBits: Int = 1 << 16, numHashes: Int = 6): DataFrame = {
+    import graft.functions.BloomFilter._
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val bloom = cust.agg(
+      bloom_filter(col("c_custkey").cast("string"), numBits, numHashes).as("bf"))
+    Tables.orders(spark, sfDir)
+      .crossJoin(broadcast(bloom))
+      .filter(bloom_might_contain(col("bf"),
+        col("o_custkey").cast("string"), numBits, numHashes))
+      .drop("bf")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("o_totalprice"))).cast("double").as("total"))
+  }
+
   /** TPC-H Q21-shape suppliers who kept orders waiting: for finished
     * multi-supplier orders, count per supplier the orders where it was
     * the ONLY supplier to ship late (> `lateDays` after the order

@@ -210,6 +210,53 @@ class FunctionsSpec extends SparkSpec {
     assert(chain.contains("NUMERIC array expected"), chain)
   }
 
+  test("bloom filter: zero false negatives, measured FP rate, " +
+      "partition-invariant merge") {
+    import graft.functions.BloomFilter._
+    val bits = 16384
+    val k = 6
+    val members = spark.range(1000)
+      .select(concat(lit("member_"), col("id")).as("key"))
+    val bloomDf = members.agg(bloom_filter(col("key"), bits, k).as("bf"))
+    // merge is a bitwise OR → the sketch must be IDENTICAL under any
+    // partitioning (the property that makes it a distributed aggregate)
+    val bloom7 = members.repartition(7)
+      .agg(bloom_filter(col("key"), bits, k).as("bf"))
+    assert(bloomDf.head().getSeq[Long](0) == bloom7.head().getSeq[Long](0))
+    // no false negatives — EVERY member must probe true
+    val misses = members.crossJoin(broadcast(bloomDf))
+      .filter(!bloom_might_contain(col("bf"), col("key"), bits, k))
+      .count()
+    assert(misses == 0, s"$misses members probed false — false negatives")
+    // measured FP rate on 10k disjoint probes: theory gives
+    // (1 - e^{-kn/m})^k ≈ 8e-4 at n=1000, m=16384, k=6
+    val nonMembers = spark.range(10000)
+      .select(concat(lit("outsider_"), col("id")).as("key"))
+    val fps = nonMembers.crossJoin(broadcast(bloomDf))
+      .filter(bloom_might_contain(col("bf"), col("key"), bits, k))
+      .count()
+    assert(fps.toDouble / 10000 < 0.01, s"FP rate ${fps / 10000.0}")
+    // the SQL surface builds the same sketch
+    graft.functions.GraftFunctions.register(spark)
+    members.createOrReplaceTempView("bloom_members_v")
+    val sqlBloom = spark.sql(
+      s"SELECT bloom_filter(key, $bits, $k) AS bf FROM bloom_members_v")
+    assert(sqlBloom.head().getSeq[Long](0) == bloomDf.head().getSeq[Long](0))
+  }
+
+  test("bloom-pruned join equals the plain semi join") {
+    val pruned = graft.operators.Relational.bloomPrunedJoin(spark, sf)
+    val cust = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val plain = Tables.orders(spark, sf)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
   test("theta estimate survives a degenerate k-th hash of Long.MinValue") {
     import graft.functions.ThetaSketch
     // all-MinValue sketch of size k: mapped θ is exactly 0.0 without
