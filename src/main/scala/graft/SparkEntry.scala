@@ -73,6 +73,8 @@ object SparkEntry {
               |                        (l_returnflag), ())""".stripMargin)
     }),
     "q_csv_orders" -> ((s, d) => graft.sources.Formats.ordersFromCsv(s, d)),
+    "q_bucketed_join" ->
+      ((s, d) => graft.sources.Formats.bucketedOrdersLineitemJoin(s, d)),
     "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "q17_small_qty" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
     "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
@@ -832,6 +834,12 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+    // the bucketed round-trip must land on the plain-join result
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     // bloom prune + exact confirm ⇒ exactly the plain semi join
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n,

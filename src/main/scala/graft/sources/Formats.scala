@@ -87,4 +87,42 @@ object Formats {
     graft.operators.Relational.eventsHourlyOver(
       readJsonl(spark, path, events.schema, JsonlTsOptions))
   }
+
+  /** Per-call bucketed-table names: saveAsTable registers in the
+    * session catalog, so a fixed name would clobber a concurrent
+    * call's table mid-plan.
+    */
+  private val bucketedCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bucketed co-located fact⋈fact join — THE 100 TB strategy for a
+    * join both sides of which are big and reused: write each side
+    * once, pre-hashed into the same bucket layout on the join key
+    * (`bucketBy` + `sortBy`), and every subsequent join on that key
+    * reads co-located buckets with NO exchange on either side —
+    * the shuffle is paid once at layout time, not per query.
+    * BucketingSpec asserts the no-join-key-exchange plan; the driver
+    * gate checks the result against the plain-join oracle.
+    */
+  def bucketedOrdersLineitemJoin(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = bucketedCounter.incrementAndGet()
+    val warehouse = graft.TempDirs.create("graft_bucketed").toString
+    val oT = s"graft_orders_bkt_$id"
+    val lT = s"graft_lineitem_bkt_$id"
+    graft.Tables.orders(spark, sfDir).write
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$warehouse/$oT")
+      .mode(SaveMode.Overwrite).saveAsTable(oT)
+    graft.Tables.lineitem(spark, sfDir).write
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$warehouse/$lT")
+      .mode(SaveMode.Overwrite).saveAsTable(lT)
+    spark.table(lT)
+      .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+  }
 }
