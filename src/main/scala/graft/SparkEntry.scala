@@ -91,6 +91,8 @@ object SparkEntry {
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "q_rank_suite" -> ((s, d) => Relational.rankSuite(s, d)),
     "q_bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
+    "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
+    "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
@@ -834,6 +836,43 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+    "q_scd2" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id,
+        |    ts
+        |  FROM flagged),
+        |collapsed AS (
+        |  SELECT user_id, run_id, event_type,
+        |    min(ts) AS vf, count(*) AS n_events
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  n_events
+        |FROM collapsed""".stripMargin,
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT word, count(*) AS cf FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(round(tf * ln(CAST(n_total AS DOUBLE) / cf), 6)
+        |                      AS DECIMAL(18,6))) AS DOUBLE)
+        |        / sum(tf), 6) AS avg_nll
+        |FROM tf JOIN cf USING (word) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     // the bucketed round-trip must land on the plain-join result
     "q_bucketed_join" ->
       """SELECT o_orderstatus, l_linestatus, count(*) AS n,

