@@ -433,9 +433,16 @@ object Relational {
     * dim-side cost is a bounded ×salts blowup of the (small) side.
     * Complements AQE's runtime skew split with a plan-level guarantee.
     */
+  /** THE salt: deterministic spread of a hot key over `salts` shuffle
+    * keys, derived from a high-entropy column. Shared by `saltedJoin`
+    * and the skew-evidence measurement so the two cannot drift.
+    */
+  def saltColumn(saltFrom: Column, salts: Int): Column =
+    pmod(xxhash64(saltFrom), lit(salts))
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFrom: Column, salts: Int): DataFrame = {
-    val sf = fact.withColumn("_salt", pmod(xxhash64(saltFrom), lit(salts)))
+    val sf = fact.withColumn("_salt", saltColumn(saltFrom, salts))
     val sd = dim.withColumn("_salt",
       explode(sequence(lit(0).cast("long"), lit(salts - 1).cast("long"))))
     sf.join(sd, Seq(key, "_salt")).drop("_salt")
@@ -668,7 +675,7 @@ object Relational {
     * row, the fact tables shuffle only on their join keys.
     */
   def q7VolumeShipping(spark: SparkSession, sfDir: String,
-      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+      nationA: String = "NATION_18", nationB: String = "NATION_19"): DataFrame = {
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1998-01-01 00:00:00").cast("timestamp")
     val n1 = Tables.nation(spark, sfDir)

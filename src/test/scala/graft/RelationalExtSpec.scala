@@ -69,6 +69,30 @@ class RelationalExtSpec extends SparkSpec {
     assert(spread.count() == 9000)
   }
 
+  test("salting measurably flattens the 90%-hot-key reducer distribution") {
+    // The skew EVIDENCE, measured deterministically: a shuffle join
+    // keys reducers on the join key, so rows-per-key IS the per-task
+    // work distribution (wall-time on a shared box would be noise).
+    val fact = spark.range(10000)
+      .select(col("id").as("event_id"),
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"))
+    // plain join: ONE reducer owns 90% of the probe side
+    val plainMax = fact.groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    assert(plainMax == 9000)
+    // salted join keys on (k, salt) — same salt expression the
+    // operator uses, so this measures the real shuffle keys
+    val saltedMax = fact
+      .withColumn("_salt", Relational.saltColumn(col("event_id"), 8))
+      .groupBy("k", "_salt").count()
+      .agg(max("count")).head().getLong(0)
+    // ideal is 9000/8 = 1125; allow 25% hash-spread slack
+    assert(saltedMax <= 1406, s"hot key still concentrated: $saltedMax")
+    val flattening = plainMax.toDouble / saltedMax
+    assert(flattening >= 6.4, // ≥ 80% of the 8× ideal
+      f"salting flattened the hot key only $flattening%.1f× of the 8× ideal")
+  }
+
   test("scd2 intervals tile each user's timeline without gaps or overlaps") {
     val iv = Relational.scd2Intervals(spark, sf).cache()
     // every event is inside exactly one run
