@@ -92,6 +92,7 @@ object SparkEntry {
     "q_rank_suite" -> ((s, d) => Relational.rankSuite(s, d)),
     "q_bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
+    "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
     "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
+    "q_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -266,6 +268,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.purchaseClicksFromFiles(s, d)),
     "stream_dedup" ->
       ((s, d) => graft.streaming.EventStreams.dedupFromFiles(s, d)),
+    "stream_theta" ->
+      ((s, d) => graft.streaming.EventStreams.thetaFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -361,6 +365,28 @@ object SparkEntry {
       |    CAST(coalesce(least(d.doc_id, min(r.b)), d.doc_id) AS BIGINT) AS cluster_id
       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Shared SCD2 run-collapse CTE chain (`collapsed(user_id, run_id,
+    * event_type, vf, n_events)`), reused by the q_scd2 interval oracle
+    * and the q_scd2_lookup point-in-time join oracle.
+    */
+  private val scd2Ctes =
+    """flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id,
+      |    ts
+      |  FROM flagged),
+      |collapsed AS (
+      |  SELECT user_id, run_id, event_type,
+      |    min(ts) AS vf, count(*) AS n_events
+      |  FROM runs GROUP BY 1, 2, 3)""".stripMargin
 
   private val vectorStatsSql =
     """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
@@ -631,6 +657,11 @@ object SparkEntry {
     "agg_theta" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+    // incrementally-maintained streaming sketch over a DOUBLED feed vs
+    // the single-copy batch distinct (replay-idempotent by design)
+    "stream_theta" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type""".stripMargin,
     "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
@@ -837,28 +868,26 @@ object SparkEntry {
         |                  AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY 1""".stripMargin,
     "q_scd2" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |runs AS (
-        |  SELECT user_id, event_type,
-        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id,
-        |    ts
-        |  FROM flagged),
-        |collapsed AS (
-        |  SELECT user_id, run_id, event_type,
-        |    min(ts) AS vf, count(*) AS n_events
-        |  FROM runs GROUP BY 1, 2, 3)
+      s"""WITH $scd2Ctes
         |SELECT user_id, run_id, event_type,
         |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
         |  strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id),
         |    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
         |  n_events
         |FROM collapsed""".stripMargin,
+    // the window-based lookup must equal the interval join over the
+    // same intervals (tiling makes the match unique)
+    "q_scd2_lookup" ->
+      s"""WITH $scd2Ctes,
+        |iv AS (
+        |  SELECT user_id, run_id, event_type, vf,
+        |    lead(vf) OVER (PARTITION BY user_id ORDER BY run_id) AS vt
+        |  FROM collapsed)
+        |SELECT o_orderkey, o_custkey AS user_id,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate,
+        |  iv.event_type AS state
+        |FROM orders LEFT JOIN iv ON o_custkey = iv.user_id
+        |  AND o_orderdate >= vf AND (vt IS NULL OR o_orderdate < vt)""".stripMargin,
     "text_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1022,6 +1051,16 @@ object SparkEntry {
          |       ELSE 0.0 END AS dup_ratio
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
     },
+    // Efraimidis–Spirakis weighted sample: identical ln-domain keys,
+    // top-k ordering only (the key never reaches the output)
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST(CAST('0x' || substring(md5('wsamp1' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 0.5)
+        |       / 16777216.0) / n_chars AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
         |  SELECT doc_id, lang,

@@ -108,6 +108,34 @@ object Pipeline {
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res):
+    * each doc gets key = ln(u)/w with u an md5-derived uniform and
+    * w its weight (here n_chars); the global top-k by key IS a
+    * weighted sample without replacement — inclusion probability
+    * proportional to weight, the sampler a curriculum/quality-weighted
+    * data mix actually needs. Deterministic for the same reasons as
+    * `stratifiedSample` (md5, not rand()): identical across engines,
+    * runs, and cluster sizes. The ln-domain key keeps the arithmetic
+    * to one libm call whose ORDERING (never its value) matters —
+    * md5-spread keys are never within an ulp of each other, and the
+    * key itself stays out of the output.
+    *
+    * Scale shape: global top-k = TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver) — no global sort, no single-task
+    * funnel.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("n_chars") > 0)
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("wsamp1"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("double") + lit(0.5)) / lit(16777216.0))
+      .withColumn("es_key", log(col("u")) / col("n_chars"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   /** Benchmark decontamination — the 13-gram overlap filter: a corpus
     * document is contaminated when it shares any 13-word shingle with
     * the benchmark set. The benchmark's shingle set is SMALL by

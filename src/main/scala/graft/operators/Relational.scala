@@ -765,10 +765,13 @@ object Relational {
     * the collapsed runs. Two windows, both over the SAME
     * (user, time) partitioning — one shuffle.
     */
-  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The collapsed SCD2 runs (typed timestamps) — shared by the
+    * interval projection and the point-in-time lookup join.
+    */
+  private[graft] def scd2Runs(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val runs = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byUser).isNull
           || lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1)
@@ -778,13 +781,50 @@ object Relational {
           .cast("long"))
       .groupBy("user_id", "run_id", "event_type")
       .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+  }
+
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
     val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-    runs
+    scd2Runs(spark, sfDir)
       .withColumn("vt", lead(col("vf"), 1).over(byRun))
       .select(col("user_id"), col("run_id"), col("event_type"),
         date_format(col("vf"), TsFmt).as("valid_from"),
         date_format(col("vt"), TsFmt).as("valid_to"),
         col("n_events"))
+  }
+
+  /** Point-in-time (temporal) dimension lookup — the consumer side of
+    * SCD2: attach to every order the state interval its user occupied
+    * AT order time. NOT an interval join: dimension-change rows and
+    * fact rows union into one stream, a single last-non-null window
+    * per user carries the state forward, facts keep their row — the
+    * as-of composition (one shuffle on user, zero joins) that scales
+    * where a point-in-interval join would nested-loop. At equal
+    * timestamps the dimension row sorts first (valid_from is
+    * inclusive); facts before a user's first interval (or with no
+    * events at all) keep a null state.
+    */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val runs = scd2Runs(spark, sfDir)
+      .select(col("user_id"), col("vf").as("ts"), col("run_id"), col("event_type"))
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("is_fact", lit(0))
+    val facts = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+        col("o_orderkey"))
+      .withColumn("run_id", lit(null).cast("long"))
+      .withColumn("event_type", lit(null).cast("string"))
+      .withColumn("is_fact", lit(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_fact"),
+        coalesce(col("run_id"), lit(Long.MaxValue)),
+        coalesce(col("o_orderkey"), lit(Long.MaxValue)))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    runs.unionByName(facts)
+      .withColumn("state", last(col("event_type"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+      .select(col("o_orderkey"), col("user_id"),
+        date_format(col("ts"), TsFmt).as("o_orderdate"), col("state"))
   }
 
   /** Bloom-pruned semi join — the sketch-based approximate-join

@@ -370,4 +370,42 @@ object EventStreams {
         drainMemorySink(spark, name)
       }
     }
+
+  /** INCREMENTAL sketch maintenance over a stream: the theta distinct
+    * sketch aggregate runs inside a streaming groupBy, its mergeable
+    * buffer carried across triggers by the state store — the pattern
+    * that keeps always-on distinct counts without ever re-scanning
+    * history. The feed is DOUBLED with maxFilesPerTrigger=1 (the
+    * stream_dedup trick): the sketch state provably survives a batch
+    * boundary AND absorbs the duplicate copy, because distinct
+    * counting is idempotent under replay — which is why the
+    * single-copy batch count(DISTINCT) oracle still gates the result
+    * exactly (k ≫ cardinality ⇒ exact regime).
+    */
+  def thetaFromFiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val dir = graft.TempDirs.create("graft_stream_theta_src")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events_b.parquet"), java.nio.file.Paths.get(path))
+      val stream0 = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+        .parquet(dir.toString)
+      val agg = stream0
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+        .groupBy("event_type")
+        .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 65536).as("sk"))
+      val name = nextSinkName("graft_stream_theta")
+      withSink(spark, name) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        drainMemorySink(spark, name)
+          .select(col("event_type"),
+            graft.functions.ThetaSketch.theta_estimate(col("sk"), 65536).as("users"))
+      }
+    }
 }

@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming theta sketch accumulates across batches and " +
+      "absorbs replayed users") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = input.toDF()
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy("event_type")
+      .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 1024).as("sk"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("theta_out").start()
+    // batch 1: users 1..100; batch 2: users 51..150 — the sketch state
+    // must carry across the trigger AND dedupe the 50-user overlap
+    input.addData((1 to 100).map(u => Event(u.toLong, ts(u % 60), u.toLong, "click", 1.0)): _*)
+    q.processAllAvailable()
+    input.addData((51 to 150).map(u => Event(200L + u, ts(u % 60), u.toLong, "click", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val est = spark.table("theta_out")
+      .select(graft.functions.ThetaSketch.theta_estimate(col("sk"), 1024).as("users"))
+      .head().getLong(0)
+    spark.catalog.dropTempView("theta_out")
+    assert(est == 150, s"expected exact 150 distinct users, got $est")
+  }
+
   test("streaming dedup drops repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
