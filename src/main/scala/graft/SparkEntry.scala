@@ -94,6 +94,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
@@ -888,6 +889,29 @@ object SparkEntry {
         |  iv.event_type AS state
         |FROM orders LEFT JOIN iv ON o_custkey = iv.user_id
         |  AND o_orderdate >= vf AND (vt IS NULL OR o_orderdate < vt)""".stripMargin,
+    "text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+        |  FROM dl),
+        |qtok AS (SELECT doc_id, word FROM tok WHERE word IN ('vector','merge','data')),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM qtok GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6)) AS c
+        |  FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score, count(*) AS n_terms
+        |FROM contrib GROUP BY 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
     "text_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id,

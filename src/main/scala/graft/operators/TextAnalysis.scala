@@ -195,6 +195,52 @@ object TextAnalysis {
         round(col("nll_sum").cast("double") / col("n_tokens"), 6).as("avg_nll"))
   }
 
+  /** BM25 retrieval scoring — rank the corpus against a fixed query
+    * term set (Okapi BM25, Lucene's +1-idf variant so idf is never
+    * negative). The LLM-pipeline use: score-and-keep documents
+    * relevant to a topic seed list, or build weak supervision for a
+    * quality classifier. One token pass feeds tf / df / doclen;
+    * corpus stats (N, avgdl) ride a 1-row broadcast; the query-term
+    * filter prunes tf to ≤|query| rows per doc BEFORE any join.
+    *
+    * Cross-engine discipline: each term's contribution is rounded to
+    * 6 decimals and summed IN DECIMAL (≤|query| terms per doc), so
+    * scores are shuffle-order free and libm ulp noise is absorbed;
+    * the final top-k orders by (score, doc_id) — per-partition heaps,
+    * no global sort.
+    */
+  def bm25(spark: SparkSession, sfDir: String,
+      query: Seq[String] = Seq("vector", "merge", "data"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), WordSplit), w => w =!= "")).as("word"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(sum(col("dl")).as("dl_total"))))
+      .select(col("n_docs"),
+        (col("dl_total").cast("double") / col("n_docs")).as("avgdl"))
+    val qTok = tok.filter(col("word").isin(query: _*))
+    val tf = qTok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = qTok.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("c", round(
+        col("idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast(DecimalType(18, 6)))
+    contrib.groupBy("doc_id")
+      .agg(sum(col("c")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Content fingerprint: md5 (the one hash both engines share
     * bit-exactly) + distinct-shingle count; `fp_head` is the bucket
     * prefix a rolling-hash sharder would use.

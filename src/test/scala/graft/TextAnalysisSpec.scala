@@ -51,6 +51,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.filter(col("n_shingles") < 0).isEmpty)
   }
 
+  test("bm25: top-k scored docs all contain a query term, " +
+      "scores ordered and reproducible") {
+    val r = TextAnalysis.bm25(spark, sf).cache()
+    assert(r.count() == 20)
+    assert(r.filter(col("score") <= 0).isEmpty)
+    assert(r.filter(col("n_terms") < 1 || col("n_terms") > 3).isEmpty)
+    // scored docs really contain a query term
+    val hits = r.join(Tables.documents(spark, sf), "doc_id")
+      .filter(!col("text").rlike("vector|merge|data"))
+    assert(hits.isEmpty)
+    // deterministic rerun (decimal-domain contributions)
+    val again = TextAnalysis.bm25(spark, sf)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+  }
+
   test("perplexity: nll positive, token counts exact, " +
       "decimal sum is partition-order free") {
     val p = TextAnalysis.perplexity(spark, sf).cache()
