@@ -95,6 +95,9 @@ object SparkEntry {
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
+    "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
+    "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
@@ -889,6 +892,51 @@ object SparkEntry {
         |  iv.event_type AS state
         |FROM orders LEFT JOIN iv ON o_custkey = iv.user_id
         |  AND o_orderdate >= vf AND (vt IS NULL OR o_orderdate < vt)""".stripMargin,
+    // EXISTS-chain formulation: equivalent to the window composition
+    // because "latest upstream within window exists" ⟺ "any exists"
+    "q_funnel3" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |qc AS (
+        |  SELECT c.user_id, c.ts FROM c
+        |  WHERE EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+        |                AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 24 HOUR)),
+        |qp AS (
+        |  SELECT p.user_id, p.ts FROM p
+        |  WHERE EXISTS (SELECT 1 FROM qc WHERE qc.user_id = p.user_id
+        |                AND qc.ts <= p.ts AND qc.ts >= p.ts - INTERVAL 24 HOUR))
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f') AS day,
+        |  count(DISTINCT user_id) AS converted_users
+        |FROM qp GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "text_gopher" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(text, '[^#@*&%$+=<>|~^]', '', 'g')) AS DOUBLE)
+        |    / CAST(nullif(len(w), 0) AS DOUBLE) AS symbol_ratio,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |    / CAST(nullif(len(w), 0) AS DOUBLE) AS alpha_frac,
+        |  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |    / CAST(nullif(len(w), 0) AS DOUBLE) AS mean_wlen,
+        |  CAST(len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+        |    ['the','a','of','and','to','in','is'])) AS BIGINT) AS n_stop,
+        |  (len(w) BETWEEN 20 AND 100000
+        |    AND CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE) BETWEEN 2.0 AND 12.0
+        |    AND CAST(length(regexp_replace(text, '[^#@*&%$+=<>|~^]', '', 'g')) AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE) <= 0.1
+        |    AND CAST(len(list_filter(w, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE) >= 0.8
+        |    AND len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+        |      ['the','a','of','and','to','in','is'])) >= 2) AS keep
+        |FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |      FROM documents)""".stripMargin,
     "text_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -765,6 +765,65 @@ object Relational {
     * the collapsed runs. Two windows, both over the SAME
     * (user, time) partitioning — one shuffle.
     */
+  /** Strict three-step funnel (view → click → purchase, each hop
+    * within `hop`): the multi-step generalization of `funnel`. NOT a
+    * chain of joins — each hop is the as-of union+window composition
+    * (step events and candidate events interleave per user; a
+    * last-non-null window carries the latest upstream step forward),
+    * so the event stream is never self-joined and each hop costs one
+    * user-keyed window. A user's purchase converts when its latest
+    * QUALIFIED click (one with a view ≤ hop before it) is ≤ hop
+    * before the purchase — exactly the EXISTS-chain the oracle
+    * states, because "latest within window exists" ⟺ "any within
+    * window exists".
+    */
+  def funnel3(spark: SparkSession, sfDir: String,
+      hop: String = "24 HOUR"): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def step(upstream: DataFrame, events: DataFrame): DataFrame = {
+      // upstream rows carry kind=0 (sort first at ts ties: at-or-before
+      // is inclusive), candidates kind=1; one window per user
+      val unioned = upstream.select(col("user_id"), col("ts"),
+          lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+        .unionByName(events.select(col("user_id"), col("ts"),
+          lit(1).as("kind"), col("event_id")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"),
+          coalesce(col("event_id"), lit(Long.MinValue)))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      unioned
+        .withColumn("up_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1
+          && col("up_ts").isNotNull
+          && col("ts") <= col("up_ts") + expr(s"INTERVAL $hop"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+    }
+    val views = ev.filter(col("event_type") === "view").select("user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val qClicks = step(views, clicks)
+    val converted = step(qClicks.select("user_id", "ts"), purchases)
+    converted
+      .groupBy(date_format(date_trunc("day", col("ts")), TsFmt).as("day"))
+      .agg(countDistinct(col("user_id")).as("converted_users"))
+  }
+
+  /** Fixed-width value histogram per event type — the numeric-binning
+    * primitive (monitoring distributions, feature bucketing). The bin
+    * id is floor(value/step): one IEEE division + floor, identical in
+    * every engine, no width_bucket dependency.
+    */
+  def histogram(spark: SparkSession, sfDir: String,
+      step: Double = 50.0): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("bin", floor(col("value") / step).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+
   /** The collapsed SCD2 runs (typed timestamps) — shared by the
     * interval projection and the point-in-time lookup join.
     */

@@ -195,6 +195,38 @@ object TextAnalysis {
         round(col("nll_sum").cast("double") / col("n_tokens"), 6).as("avg_nll"))
   }
 
+  /** Gopher-style quality rules (the MassiveText filter set, distinct
+    * from the C4 word-repetition filters): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and the ≥2-distinct-stopwords rule — each emitted as
+    * its own column plus the composite keep verdict, so downstream
+    * curation can ablate rules individually. All ratios follow the
+    * single-final-division oracle discipline.
+    */
+  def gopherFilters(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = wsTokens(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), w.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        safeDiv(length(regexp_replace(col("text"), "[^#@*&%$+=<>|~^]", "")),
+          size(col("w"))).as("symbol_ratio"),
+        safeDiv(size(filter(col("w"), t => t.rlike("\\p{L}"))), size(col("w")))
+          .as("alpha_frac"),
+        safeDiv(length(regexp_replace(col("text"), "[^\\p{L}]", "")), size(col("w")))
+          .as("mean_wlen"),
+        size(array_intersect(
+          array_distinct(transform(col("w"), t => lower(t))),
+          array(Stopwords.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(20, 100000)
+          && col("mean_wlen").between(2.0, 12.0)
+          && col("symbol_ratio") <= 0.1
+          && col("alpha_frac") >= 0.8
+          && col("n_stop") >= 2)
+  }
+
   /** BM25 retrieval scoring — rank the corpus against a fixed query
     * term set (Okapi BM25, Lucene's +1-idf variant so idf is never
     * negative). The LLM-pipeline use: score-and-keep documents

@@ -106,6 +106,16 @@ class PlanSpec extends SparkSpec {
     assert(df.head().getDouble(2) > 0.0)
   }
 
+  test("scd2 lookup and funnel3 are pure window compositions — " +
+      "zero joins on the event stream") {
+    val lookup = plan(Relational.scd2Lookup(spark, sf))
+    // the as-of union+window shape: no join operator anywhere
+    assert(!lookup.contains("Join"), s"unexpected join in scd2 lookup:\n$lookup")
+    val f3 = plan(Relational.funnel3(spark, sf))
+    assert(!f3.contains("Join"), s"unexpected join in funnel3:\n$f3")
+    assert(!f3.contains("CartesianProduct"))
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
