@@ -98,6 +98,7 @@ object SparkEntry {
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
+    "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
     "q_pivot" -> ((s, d) => AsOf.eventPivot(s, d)),
     "q_skew_join" -> ((s, d) => Relational.skewJoinSegments(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
@@ -909,6 +910,21 @@ object SparkEntry {
         |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S.%f') AS day,
         |  count(DISTINCT user_id) AS converted_users
         |FROM qp GROUP BY 1""".stripMargin,
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM t, b),
+        |h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+        |  spine.event_type, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM spine LEFT JOIN h USING (hour, event_type)""".stripMargin,
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
         |  count(*) AS n,

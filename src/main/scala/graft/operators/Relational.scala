@@ -811,6 +811,33 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("converted_users"))
   }
 
+  /** Time-series gap filling: the hourly rollup joined onto a dense
+    * calendar SPINE (every hour between the corpus min and max ×
+    * every event type), missing cells zero-filled — the resample
+    * step monitoring/forecasting pipelines need, since a groupBy
+    * silently drops empty buckets. The spine derives from a 1-row
+    * bounds aggregate + the tiny type dim (both broadcast); `sequence`
+    * explodes it without a driver-side loop, and the fact rollup
+    * left-joins on (hour, type).
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .select(date_format(col("hour"), TsFmt).as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Fixed-width value histogram per event type — the numeric-binning
     * primitive (monitoring distributions, feature bucketing). The bin
     * id is floor(value/step): one IEEE division + floor, identical in

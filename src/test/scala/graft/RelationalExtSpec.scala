@@ -93,6 +93,21 @@ class RelationalExtSpec extends SparkSpec {
       f"salting flattened the hot key only $flattening%.1f× of the 8× ideal")
   }
 
+  test("gap fill produces the dense hour × type grid and preserves totals") {
+    val g = Relational.gapFill(spark, sf).cache()
+    val nTypes = Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    // dense grid: every type has the identical number of hours
+    val perType = g.groupBy("event_type").count()
+      .select("count").distinct().collect()
+    assert(perType.length == 1)
+    assert(g.count() == nTypes * perType.head.getLong(0))
+    // zero-filled holes exist, and filled counts sum to the raw total
+    assert(g.filter(col("n") === 0).count() > 0)
+    assert(g.agg(sum("n")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
   test("scd2 intervals tile each user's timeline without gaps or overlaps") {
     val iv = Relational.scd2Intervals(spark, sf).cache()
     // every event is inside exactly one run
