@@ -238,6 +238,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
+    "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -330,7 +331,11 @@ object SparkEntry {
     * df > 100 (mirrors `Dedup.ngramJaccard`'s stop-shingle cap);
     * n_common is still the FULL intersection.
     */
-  private val clusterCtes =
+  /** Shingle → df-capped candidates → jaccard edges → symmetric edge
+    * set (`sym(a, b)`) — the prefix shared by the clustering oracles
+    * and the pagerank oracle.
+    */
+  private val edgeCtes =
     """words AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
@@ -358,7 +363,10 @@ object SparkEntry {
       |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5),
       |sym AS (
       |  SELECT doc_a AS a, doc_b AS b FROM edges
-      |  UNION SELECT doc_b, doc_a FROM edges),
+      |  UNION SELECT doc_b, doc_a FROM edges)""".stripMargin
+
+  private val clusterCtes =
+    s"""$edgeCtes,
       |reach AS (
       |  WITH RECURSIVE r(a, b) AS (
       |    SELECT a, b FROM sym
@@ -1115,6 +1123,39 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    // three power iterations unrolled as CTEs; per-edge contributions
+    // rounded to 9 decimals and summed IN DECIMAL in both engines
+    // (CAST(1.0 AS DOUBLE): DuckDB's bare 1.0 is DECIMAL and would
+    // divide in decimal arithmetic, unlike Spark's double literal)
+    "q_pagerank" ->
+      s"""WITH $edgeCtes,
+        |dg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |pr1 AS (
+        |  SELECT d.doc_id,
+        |    round(0.15 + 0.85 * CAST(coalesce(sum(CAST(round(CAST(1.0 AS DOUBLE) / dg.deg, 9) AS DECIMAL(28,9))), 0) AS DOUBLE), 9) AS pr
+        |  FROM documents d
+        |  LEFT JOIN sym s ON s.b = d.doc_id
+        |  LEFT JOIN dg ON dg.a = s.a
+        |  GROUP BY d.doc_id),
+        |pr2 AS (
+        |  SELECT d.doc_id,
+        |    round(0.15 + 0.85 * CAST(coalesce(sum(CAST(round(p.pr / dg.deg, 9) AS DECIMAL(28,9))), 0) AS DOUBLE), 9) AS pr
+        |  FROM documents d
+        |  LEFT JOIN sym s ON s.b = d.doc_id
+        |  LEFT JOIN dg ON dg.a = s.a
+        |  LEFT JOIN pr1 p ON p.doc_id = s.a
+        |  GROUP BY d.doc_id),
+        |pr3 AS (
+        |  SELECT d.doc_id,
+        |    round(0.15 + 0.85 * CAST(coalesce(sum(CAST(round(p.pr / dg.deg, 9) AS DECIMAL(28,9))), 0) AS DOUBLE), 9) AS pr
+        |  FROM documents d
+        |  LEFT JOIN sym s ON s.b = d.doc_id
+        |  LEFT JOIN dg ON dg.a = s.a
+        |  LEFT JOIN pr2 p ON p.doc_id = s.a
+        |  GROUP BY d.doc_id)
+        |SELECT pr3.doc_id, pr AS pagerank,
+        |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg
+        |FROM pr3 LEFT JOIN dg ON dg.a = pr3.doc_id""".stripMargin,
     "dedup_spans" -> {
       val gram10 = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH words AS (

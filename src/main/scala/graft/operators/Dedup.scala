@@ -478,4 +478,49 @@ object Dedup {
       threshold: Double = 0.45): DataFrame =
     Similarity.annLsh(spark, sfDir, threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+
+  /** PageRank over the near-dup graph — ITERATIVE graph analytics
+    * beyond connected components (centrality picks the canonical
+    * representative of a dup cluster better than min-id when edges
+    * carry meaning). Power iteration as join-based message passing:
+    * each round is one (edges ⋈ deg ⋈ pr) shuffle + a per-node
+    * aggregation — the standard distributed shape, `iters` rounds,
+    * plan depth linear in `iters` (fine for the small fixed count;
+    * the CC operator's checkpoint discipline applies beyond that).
+    *
+    * Determinism across engines AND shuffle orders: per-edge
+    * contributions are rounded to 9 decimals and summed IN DECIMAL,
+    * the damping update rounds back to 9 — every iteration's scores
+    * are bit-identical in Spark and DuckDB (the oracle unrolls the
+    * same three iterations as CTEs). Nodes with no edges hold
+    * pr = 0.15 (teleport only) in both.
+    */
+  def pageRank(spark: SparkSession, sfDir: String,
+      iters: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val sym = e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    var pr = docs.select(col("doc_id"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(deg, "doc_a")
+        .join(pr.select(col("doc_id").as("doc_a"), col("pr")), "doc_a")
+        .select(col("doc_b").as("doc_id"),
+          round(col("pr") / col("deg"), 9)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("s"))
+      pr = docs.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)),
+            9).as("pr"))
+    }
+    pr.join(deg.select(col("doc_a").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pr").as("pagerank"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+  }
 }

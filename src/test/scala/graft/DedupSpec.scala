@@ -173,4 +173,19 @@ class DedupSpec extends SparkSpec {
     assert(e.filter(col("cos") < 0.45 || col("cos") > lit(1.0000001)).isEmpty)
     assert(e.filter(col("vec_a") >= col("vec_b")).isEmpty)
   }
+
+  test("pagerank: isolated docs hold the teleport mass, edges raise it, " +
+      "scores reproduce exactly") {
+    val pr = Dedup.pageRank(spark, sf).cache()
+    assert(pr.count() == Tables.documents(spark, sf).count())
+    // no edges → pr = 0.15 at every iteration, exactly
+    assert(pr.filter(col("deg") === 0 && col("pagerank") =!= 0.15).isEmpty)
+    // connected docs receive real mass on top of the teleport
+    val connected = pr.filter(col("deg") > 0)
+    assert(connected.count() > 0)
+    assert(connected.filter(col("pagerank") <= 0.15).isEmpty)
+    // decimal-domain message passing ⇒ bit-identical rerun
+    val again = Dedup.pageRank(spark, sf)
+    assert(pr.exceptAll(again).isEmpty && again.exceptAll(pr).isEmpty)
+  }
 }
