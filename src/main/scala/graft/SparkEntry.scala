@@ -239,6 +239,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+    "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
+    "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -1190,6 +1193,43 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0)
         |ORDER BY es_key DESC, doc_id
         |LIMIT 100""".stripMargin,
+    "dedup_canonical" ->
+      """SELECT doc_id, canon_fp,
+        |  min(doc_id) OVER (PARTITION BY canon_fp) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY canon_fp) AS is_dup
+        |FROM (SELECT doc_id,
+        |        md5(trim(regexp_replace(
+        |          regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+        |          ' +', ' ', 'g'))) AS canon_fp
+        |      FROM documents)""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    max(o_orderdate) AS last_order_ts,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT c_custkey, last_order_ts, frequency, monetary_dec,
+        |    CAST(ntile(4) OVER (ORDER BY last_order_ts DESC, c_custkey) AS BIGINT) AS r,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT) AS f,
+        |    CAST(ntile(4) OVER (ORDER BY monetary_dec DESC, c_custkey) AS BIGINT) AS m
+        |  FROM base)
+        |SELECT c_custkey,
+        |  strftime(last_order_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_order,
+        |  frequency, CAST(monetary_dec AS DOUBLE) AS monetary,
+        |  r, f, m, r * 100 + f * 10 + m AS rfm
+        |FROM scored""".stripMargin,
+    "q_market_basket" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
         |  SELECT doc_id, lang,

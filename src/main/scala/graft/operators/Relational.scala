@@ -811,6 +811,63 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("converted_users"))
   }
 
+  /** RFM segmentation — recency / frequency / monetary quartiles per
+    * customer, the classic warehouse customer-scoring analytic. One
+    * aggregation pass builds the three measures; each quartile is an
+    * ntile over a TOTAL order (measure + c_custkey tiebreak —
+    * ntile on a partial order would be engine-dependent); the
+    * segment code packs r·100 + f·10 + m.
+    *
+    * Scale note: the unpartitioned ntile windows run over the
+    * CUSTOMER ROLLUP (one row per customer — orders of magnitude
+    * smaller than the fact table), which a single task handles into
+    * the hundreds of millions; for a dimension beyond that, swap
+    * ntile for percentile-threshold binning (different tie semantics,
+    * so it is not the default here where the oracle pins ntile's).
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(money(col("o_totalprice"))).as("monetary_dec"))
+    val rW = Window.orderBy(col("last_order").desc, col("c_custkey"))
+    val fW = Window.orderBy(col("frequency").desc, col("c_custkey"))
+    val mW = Window.orderBy(col("monetary_dec").desc, col("c_custkey"))
+    base
+      .withColumn("r", ntile(4).over(rW).cast("long"))
+      .withColumn("f", ntile(4).over(fW).cast("long"))
+      .withColumn("m", ntile(4).over(mW).cast("long"))
+      .select(col("c_custkey"),
+        date_format(col("last_order"), TsFmt).as("last_order"),
+        col("frequency"),
+        col("monetary_dec").cast("double").as("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+  }
+
+  /** Market-basket pair mining: parts co-ordered on the same order,
+    * counted across orders — the co-occurrence primitive behind
+    * association rules. The self-join keys on l_orderkey, so pair
+    * blowup is bounded by lines-per-order (single digits in any
+    * order-shaped fact), never corpus-quadratic; per-order distinct
+    * parts first so multi-line items don't double-count.
+    */
+  def marketBasket(spark: SparkSession, sfDir: String,
+      minCount: Long = 2, topK: Int = 20): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minCount)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** Time-series gap filling: the hourly rollup joined onto a dense
     * calendar SPINE (every hour between the corpus min and max ×
     * every event type), missing cells zero-filled — the resample
