@@ -517,12 +517,19 @@ object Dedup {
       iters: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // The edge set and degrees are re-read every iteration: compute
+    // them ONCE, eagerly, with truncated lineage (localCheckpoint) —
+    // and checkpoint each iteration's scores so the optimizer never
+    // sees an iters-deep nested plan. The final result is
+    // materialized before returning, so nothing persisted leaks past
+    // this call (the round-4 advisory).
     val sym = e.unionByName(
         e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deg = sym.groupBy("doc_a").agg(count(lit(1)).as("deg"))
-    var pr = docs.select(col("doc_id"), lit(1.0).as("pr"))
+      .localCheckpoint()
+    var pr = docs.select(col("doc_id"), lit(1.0).as("pr")).localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = sym
         .join(deg, "doc_a")
@@ -536,6 +543,7 @@ object Dedup {
         .select(col("doc_id"),
           round(lit(0.15) + lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)),
             9).as("pr"))
+        .localCheckpoint()
     }
     pr.join(deg.select(col("doc_a").as("doc_id"), col("deg")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("pr").as("pagerank"),

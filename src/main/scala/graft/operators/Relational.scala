@@ -782,14 +782,16 @@ object Relational {
     val ev = Tables.events(spark, sfDir)
     def step(upstream: DataFrame, events: DataFrame): DataFrame = {
       // upstream rows carry kind=0 (sort first at ts ties: at-or-before
-      // is inclusive), candidates kind=1; one window per user
+      // is inclusive), candidates kind=1; one window per user. Nulls
+      // in event_id exist only on kind=0 rows, so nulls-first keeps
+      // the order total without a sentinel value a real id could
+      // collide with.
       val unioned = upstream.select(col("user_id"), col("ts"),
           lit(0).as("kind"), lit(null).cast("long").as("event_id"))
         .unionByName(events.select(col("user_id"), col("ts"),
           lit(1).as("kind"), col("event_id")))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"),
-          coalesce(col("event_id"), lit(Long.MinValue)))
+        .orderBy(col("ts"), col("kind"), col("event_id").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, 0)
       unioned
         .withColumn("up_ts",
@@ -958,10 +960,12 @@ object Relational {
       .withColumn("run_id", lit(null).cast("long"))
       .withColumn("event_type", lit(null).cast("string"))
       .withColumn("is_fact", lit(1))
+    // run_id is null exactly on fact rows and o_orderkey exactly on
+    // dimension rows, so nulls-last ordering is total without
+    // sentinel values a real key could collide with
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("is_fact"),
-        coalesce(col("run_id"), lit(Long.MaxValue)),
-        coalesce(col("o_orderkey"), lit(Long.MaxValue)))
+        col("run_id").asc_nulls_last, col("o_orderkey").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, 0)
     runs.unionByName(facts)
       .withColumn("state", last(col("event_type"), ignoreNulls = true).over(w))

@@ -88,11 +88,16 @@ object Formats {
       readJsonl(spark, path, events.schema, JsonlTsOptions))
   }
 
-  /** Per-call bucketed-table names: saveAsTable registers in the
-    * session catalog, so a fixed name would clobber a concurrent
-    * call's table mid-plan.
+  /** One bucketed layout per (sfDir, nBuckets), built under the map
+    * lock on first use and reused by every later call — gate + bench
+    * + BucketingSpec in one JVM share a single on-disk copy instead
+    * of accumulating one per call (the table names encode the key, so
+    * concurrent DIFFERENT keys still can't clobber each other). If a
+    * later SparkSession lost the catalog entries, the same names are
+    * re-registered over the same warehouse path (Overwrite).
     */
-  private val bucketedCounter = new java.util.concurrent.atomic.AtomicLong()
+  private val bucketedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   /** Bucketed co-located fact⋈fact join — THE 100 TB strategy for a
     * join both sides of which are big and reused: write each side
@@ -106,18 +111,27 @@ object Formats {
   def bucketedOrdersLineitemJoin(spark: SparkSession, sfDir: String,
       nBuckets: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
-    val id = bucketedCounter.incrementAndGet()
-    val warehouse = graft.TempDirs.create("graft_bucketed").toString
-    val oT = s"graft_orders_bkt_$id"
-    val lT = s"graft_lineitem_bkt_$id"
-    graft.Tables.orders(spark, sfDir).write
-      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$warehouse/$oT")
-      .mode(SaveMode.Overwrite).saveAsTable(oT)
-    graft.Tables.lineitem(spark, sfDir).write
-      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$warehouse/$lT")
-      .mode(SaveMode.Overwrite).saveAsTable(lT)
+    val keyTag = s"${nBuckets}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+    val oT = s"graft_orders_bkt_$keyTag"
+    val lT = s"graft_lineitem_bkt_$keyTag"
+    bucketedLayouts.compute((sfDir, nBuckets), (_, cached) => {
+      if (cached != null && spark.catalog.tableExists(oT)
+          && spark.catalog.tableExists(lT)) cached
+      else {
+        val warehouse =
+          if (cached != null) cached
+          else graft.TempDirs.create("graft_bucketed").toString
+        graft.Tables.orders(spark, sfDir).write
+          .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$warehouse/$oT")
+          .mode(SaveMode.Overwrite).saveAsTable(oT)
+        graft.Tables.lineitem(spark, sfDir).write
+          .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$warehouse/$lT")
+          .mode(SaveMode.Overwrite).saveAsTable(lT)
+        warehouse
+      }
+    })
     spark.table(lT)
       .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus", "l_linestatus")

@@ -387,10 +387,18 @@ object EventStreams {
       val path = s"$sfDir/events.parquet"
       val raw = spark.read.parquet(path)
       val dir = graft.TempDirs.create("graft_stream_theta_src")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events_b.parquet"), java.nio.file.Paths.get(path))
+      // symlink where the filesystem allows it (zero-copy doubling);
+      // fall back to a real copy where symlink creation is
+      // privilege-restricted (e.g. Windows without developer mode)
+      def linkOrCopy(target: java.nio.file.Path): Unit =
+        try java.nio.file.Files.createSymbolicLink(
+          target, java.nio.file.Paths.get(path))
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(java.nio.file.Paths.get(path), target)
+        }
+      linkOrCopy(dir.resolve("events_a.parquet"))
+      linkOrCopy(dir.resolve("events_b.parquet"))
       val stream0 = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
         .parquet(dir.toString)
