@@ -549,4 +549,47 @@ object Dedup {
       .select(col("doc_id"), col("pr").as("pagerank"),
         coalesce(col("deg"), lit(0L)).as("deg"))
   }
+
+  /** Per-node triangle counts over the near-dup graph — the third
+    * graph analytic (after components and PageRank): triangle
+    * membership separates genuinely mutual dup clusters from chains
+    * of borderline pairs. DEGREE-ORDERED orientation (each edge
+    * points from its lower-(deg, id) endpoint): every node's
+    * out-degree is O(√m), so the wedge self-join below stays bounded
+    * on hub nodes — the standard distributed triangle-counting shape,
+    * two shuffles (wedge build + closing-edge semi check). Each
+    * triangle materializes exactly once because the closing edge of a
+    * wedge (v, w with rank(v) < rank(w), both above u) is necessarily
+    * oriented v→w. The oracle orients by id instead (its canonical
+    * a<b<c 3-way join) — per-node counts are orientation-invariant,
+    * so the two agree row-for-row.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val deg = e.select(col("doc_a").as("id"))
+      .unionByName(e.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withRanks = e
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+    val ra = struct(col("da"), col("doc_a"))
+    val rb = struct(col("db"), col("doc_b"))
+    val d = withRanks.select(
+      when(ra < rb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(ra < rb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(ra < rb, rb).otherwise(ra).as("dst_rank"))
+    val tri = d.as("e1").join(d.as("e2"),
+        col("e1.src") === col("e2.src")
+          && col("e1.dst_rank") < col("e2.dst_rank"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+      .join(d.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
+        "left_semi")
+    tri.select(col("u").as("doc_id"))
+      .unionByName(tri.select(col("v").as("doc_id")))
+      .unionByName(tri.select(col("w").as("doc_id")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -212,6 +212,36 @@ object Pipeline {
         sum(col("n_tokens")).as("bin_tokens"))
   }
 
+  /** Data-MIXTURE weights — the static domain-reweighting step of a
+    * training-data pipeline (DoReMi-style mixing, without the learned
+    * part): given a target of equal token share per language, compute
+    * each language's actual whitespace-token mass, its share, and the
+    * up/down-sampling weight that moves it to target, capped at
+    * `maxUpsample` (unbounded upsampling of a tiny domain just
+    * replays it verbatim). One aggregation over one corpus scan; the
+    * grand total broadcasts back over the per-language rows as a
+    * 1-row cross join. All ratios are single IEEE double divisions of
+    * exact integer masses — bit-identical across engines.
+    */
+  def mixWeights(spark: SparkSession, sfDir: String,
+      maxUpsample: Double = 4.0): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("t"))
+      .groupBy("lang")
+      .agg(sum(col("t")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("weight",
+        least(lit(maxUpsample),
+          (lit(1.0) / col("n_langs").cast("double")) / col("share")))
+      .select(col("lang"), col("n_tokens"), col("share"), col("weight"))
+  }
+
   /** Vector-table statistics per label: min/max norm (order-stable
     * extremes — a SUM of norms would be shuffle-order-dependent) and
     * cardinality.

@@ -1035,4 +1035,51 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(topK)
   }
+
+  /** UNPIVOT (wide → long): one aggregated row per (flag, status)
+    * carrying three measures unpivots into three rows tagged by
+    * measure name — `stack` evaluates per-row with NO shuffle beyond
+    * the one aggregation, and the measure columns are computed once.
+    * The inverse of `q_pivot`; together they close the reshape pair.
+    * All three measures come out of exact decimal sums so the doubles
+    * are bit-identical to the oracle's UNION ALL formulation.
+    */
+  def unpivotLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(money(col("l_discount"))).cast("double").as("sum_disc"))
+    wide.select(col("l_returnflag"), col("l_linestatus"),
+      expr("stack(3, 'qty', sum_qty, 'price', sum_price, 'disc', sum_disc)")
+        .as(Seq("measure", "val")))
+  }
+
+  /** Per-user event-SEQUENCE pattern matching (MATCH_RECOGNIZE-lite):
+    * collapse each user's ordered event stream to a compact
+    * one-char-per-event string, then run ordinary regexes over it —
+    * "viewed, later clicked, later purchased, with no purchase in
+    * between" is `v[^p]*c[^p]*p`. One shuffle (groupBy user); the
+    * per-user string is bounded by events-per-user, so the regex is
+    * cheap per row and the whole match stage is embarrassingly
+    * parallel. Ordering inside the collected array is made total by
+    * sorting (ts, event_id) structs — engine-independent, which is
+    * what lets a DuckDB `string_agg(... ORDER BY ts, event_id)`
+    * oracle gate the result.
+    */
+  def sequenceMatch(spark: SparkSession, sfDir: String,
+      pattern: String = "v[^p]*c[^p]*p"): DataFrame = {
+    val seq = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        e => e.getField("c")), "").as("seq"))
+    seq.select(
+        col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        col("seq").rlike(pattern).as("matched"))
+  }
 }

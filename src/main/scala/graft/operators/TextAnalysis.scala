@@ -21,7 +21,7 @@ object TextAnalysis {
   import TextMapReduce.WordSplit
 
   /** Whitespace-token column (empties removed). */
-  private def wsTokens(text: Column): Column =
+  private[operators] def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single
