@@ -239,9 +239,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+    "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
     "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.unpivotLineitem(s, d)),
+    "q_sequence_match" -> ((s, d) => Relational.sequenceMatch(s, d)),
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -255,6 +258,7 @@ object SparkEntry {
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
     "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     "q_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
+    "q_mix_weights" -> ((s, d) => Pipeline.mixWeights(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -1159,6 +1163,21 @@ object SparkEntry {
         |SELECT pr3.doc_id, pr AS pagerank,
         |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg
         |FROM pr3 LEFT JOIN dg ON dg.a = pr3.doc_id""".stripMargin,
+    // canonical a<b<c triangle enumeration over the same near-dup edge
+    // set; per-node counts are orientation-invariant, so the id-ordered
+    // oracle matches the engine's degree-ordered wedge join row-for-row
+    "q_triangles" ->
+      s"""WITH $edgeCtes,
+        |tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+        |  JOIN edges e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT a AS doc_id FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY doc_id""".stripMargin,
     "dedup_spans" -> {
       val gram10 = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH words AS (
@@ -1230,6 +1249,45 @@ object SparkEntry {
         |HAVING count(*) >= 2
         |ORDER BY n_orders DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
+    // the wide row is aggregated once; the UNION ALL re-reads the same
+    // 6-row CTE, so the three measure branches stay bit-identical to the
+    // engine's stack()
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, 'qty' AS measure, sum_qty AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, l_linestatus, 'price' AS measure, sum_price AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, l_linestatus, 'disc' AS measure, sum_disc AS val FROM wide""".stripMargin,
+    // string_agg(... ORDER BY ts, event_id) rebuilds the same per-user
+    // event string the engine gets from array_sort(collect_list(struct));
+    // (ts, event_id) is a total order and first chars are distinct per type
+    "q_sequence_match" ->
+      """SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  regexp_matches(seq, 'v[^p]*c[^p]*p') AS matched
+        |FROM (SELECT user_id,
+        |        string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |      FROM events GROUP BY user_id)""".stripMargin,
+    // share and weight replicate the engine's exact double-division order:
+    // share = tokens/total, weight = (1/n_langs) / share, capped at 4.0
+    "q_mix_weights" ->
+      """WITH perlang AS (
+        |  SELECT lang,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |               count(*) AS n_langs FROM perlang)
+        |SELECT lang, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  least(CAST(4.0 AS DOUBLE),
+        |        (CAST(1.0 AS DOUBLE) / CAST(n_langs AS DOUBLE)) /
+        |        (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))) AS weight
+        |FROM perlang CROSS JOIN tot""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
         |  SELECT doc_id, lang,

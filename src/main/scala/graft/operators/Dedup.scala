@@ -573,8 +573,8 @@ object Dedup {
     val withRanks = e
       .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
       .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
-    val ra = struct(col("da"), col("doc_a"))
-    val rb = struct(col("db"), col("doc_b"))
+    val ra = struct(col("da").as("d"), col("doc_a").as("id"))
+    val rb = struct(col("db").as("d"), col("doc_b").as("id"))
     val d = withRanks.select(
       when(ra < rb, col("doc_a")).otherwise(col("doc_b")).as("src"),
       when(ra < rb, col("doc_b")).otherwise(col("doc_a")).as("dst"),

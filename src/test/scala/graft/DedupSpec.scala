@@ -188,4 +188,27 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.pageRank(spark, sf)
     assert(pr.exceptAll(again).isEmpty && again.exceptAll(pr).isEmpty)
   }
+
+  test("triangles: degree-ordered wedge count equals the brute-force " +
+      "id-ordered enumeration") {
+    val tri = Dedup.triangles(spark, sf).cache()
+    assert(tri.count() > 0)
+    // each triangle contributes one count at each of its three corners
+    assert(tri.agg(sum("n_tri")).head().getLong(0) % 3 == 0)
+    // brute force: enumerate a<b<c closed triples over the same edges
+    val e = Dedup.ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val t = e.as("e1")
+      .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_a")
+        && col("e2.doc_b") > col("e1.doc_b"))
+      .join(e.as("e3"), col("e3.doc_a") === col("e1.doc_b")
+        && col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    val brute = t.select(col("a").as("doc_id"))
+      .unionByName(t.select(col("b").as("doc_id")))
+      .unionByName(t.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    assert(tri.exceptAll(brute).isEmpty && brute.exceptAll(tri).isEmpty)
+  }
 }

@@ -86,6 +86,20 @@ class PipelineSpec extends SparkSpec {
       "range-partitioned packing diverged from the sequential-fill contract")
   }
 
+  test("mixture weights: shares sum to 1, cap binds exactly when the " +
+      "uncapped weight exceeds it") {
+    val m = Pipeline.mixWeights(spark, sf).cache()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(m.count() == langs)
+    val shareSum = m.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    assert(m.filter(col("weight") <= 0 || col("weight") > 4.0).isEmpty)
+    // weight < cap ⟺ it equals the equal-share target ratio
+    val n = langs.toDouble
+    assert(m.filter(col("weight") < 4.0 &&
+      abs(col("weight") * col("share") * n - 1.0) > 1e-9).isEmpty)
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)

@@ -128,4 +128,45 @@ class RelationalExtSpec extends SparkSpec {
     assert(typed.filter(col("next_type").isNotNull
       && col("event_type") === col("next_type")).isEmpty)
   }
+
+  test("unpivot emits one row per (group, measure) and preserves totals") {
+    val u = Relational.unpivotLineitem(spark, sf).cache()
+    val groups = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    assert(u.count() == groups * 3)
+    // long-form qty total == direct exact-decimal aggregate
+    val qtyLong = u.filter(col("measure") === "qty")
+      .agg(sum("val")).head().getDouble(0)
+    val qtyWide = Tables.lineitem(spark, sf)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(qtyLong - qtyWide) < 1e-6)
+  }
+
+  test("sequence match covers every user and matched implies the " +
+      "v..c..p subsequence with no intervening purchase") {
+    val sm = Relational.sequenceMatch(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(sm.count() == users)
+    assert(sm.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    // cross-check against an independent strict-EXISTS formulation:
+    // some view, a later click with no purchase between, a later purchase
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    ev.createOrReplaceTempView("seq_ev")
+    val expect = spark.sql(
+      """SELECT DISTINCT v.user_id FROM seq_ev v
+        |JOIN seq_ev c ON c.user_id = v.user_id
+        |  AND (c.ts, c.event_id) > (v.ts, v.event_id) AND c.event_type = 'click'
+        |JOIN seq_ev p ON p.user_id = v.user_id
+        |  AND (p.ts, p.event_id) > (c.ts, c.event_id) AND p.event_type = 'purchase'
+        |WHERE v.event_type = 'view'
+        |  AND NOT EXISTS (SELECT 1 FROM seq_ev x
+        |    WHERE x.user_id = v.user_id AND x.event_type = 'purchase'
+        |      AND (x.ts, x.event_id) > (v.ts, v.event_id)
+        |      AND (x.ts, x.event_id) < (p.ts, p.event_id))""".stripMargin)
+    val got = sm.filter(col("matched")).select("user_id")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
 }
