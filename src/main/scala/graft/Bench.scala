@@ -40,11 +40,25 @@ object Bench {
     catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = names.map { n =>
+      val t = run(n)
+      // full per-query map goes to stderr line-by-line: the driver's
+      // tail buffer truncates a single 114-entry JSON line, leaving
+      // the summary unparseable
+      System.err.println(f"[bench] $n%-24s ${t}%.3f sec")
+      n -> t
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the one stdout JSON line stays compact: totals + a headline
+    // subset, so it survives the driver's tail capture intact
+    val headline = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q9_product_profit", "q18_large_orders", "mr_wordcount",
+      "dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_topk_brute",
+      "text_bm25", "q_pagerank", "q_bucketed_join", "stream_events_hourly")
+    val byName = results.toMap
+    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,6 +89,10 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
     "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
+    "q2_min_cost" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q11_important_value" -> ((s, d) => Relational.q11ImportantValue(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCount(s, d)),
+    "q20_part_supply" -> ((s, d) => Relational.q20PartSupply(s, d)),
     "q_rank_suite" -> ((s, d) => Relational.rankSuite(s, d)),
     "q_bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
@@ -1080,6 +1084,67 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 10""".stripMargin,
+    // partsupp-free Q2: min stored-double selection, exact equality —
+    // the sort key (acctbal, n_name, s_name, partkey) is unique per
+    // row, so the LIMIT boundary is deterministic in both engines
+    "q2_min_cost" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |j AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost,
+        |    min(cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM cost JOIN sup ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'MEDIUM')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+        |FROM j WHERE cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // partsupp-free Q11: threshold compared in exact decimal
+    // (value*10000 > total), never via a double division
+    "q11_important_value" ->
+      """WITH perpart AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_18'
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM perpart
+        |WHERE value_dec * 10000 > (SELECT sum(value_dec) FROM perpart)""".stripMargin,
+    // partsupp-free Q16: NOT IN anti-set via negative account balance
+    // (the corpus has no s_comment complaint text)
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // partsupp-free Q20: dominance threshold in exact decimal
+    // (2*pair > part total), no division
+    "q20_part_supply" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1996 AND p_name LIKE 'small%'),
+        |pair AS (SELECT l_partkey, l_suppkey, sum(q) AS pair_qty
+        |         FROM shipped GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(q) AS part_qty FROM shipped GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM pair JOIN tot USING (l_partkey)
+        |        WHERE pair_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_19'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
     "q_rank_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,

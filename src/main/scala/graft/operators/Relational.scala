@@ -1082,4 +1082,121 @@ object Relational {
         length(col("seq")).cast("long").as("n_events"),
         col("seq").rlike(pattern).as("matched"))
   }
+
+  /** TPC-H Q2-shape (partsupp-free adaptation — the driver corpus has
+    * no partsupp table, so supply cost is derived from shipped lines):
+    * for sized parts and one region's suppliers, keep each part's
+    * MINIMUM-cost supplier (the correlated-min-subquery shape,
+    * expressed as a window min over the part partition — one shuffle,
+    * no self-join). Cost = min extended price the (part, supplier)
+    * pair ever shipped at; min-selection of stored doubles is exact,
+    * so the `cost === min_cost` equality is engine-portable.
+    * Ref: reference/src/main/wc.go computes nothing relational — the
+    * TPC-H sweep is the engine-generalization surface (SURVEY §2.B).
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val supInRegion = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "MEDIUM")
+    val w = Window.partitionBy(col("p_partkey"))
+    cost.join(broadcast(supInRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-shape (partsupp-free): per-part shipped VALUE from one
+    * nation's suppliers, keeping parts above a fixed fraction of the
+    * grand total — the HAVING-against-a-global-scalar shape. The
+    * 1-row total broadcasts back over the per-part rows, and the
+    * threshold compares `value * 10000 > total` IN DECIMAL (a double
+    * division would be engine-dependent at the boundary).
+    */
+  def q11ImportantValue(spark: SparkSession, sfDir: String,
+      fraction: Int = 10000): DataFrame = {
+    val supNation = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_18"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") * lit(fraction) > col("total_dec"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16-shape (partsupp-free): DISTINCT supplier count per part
+    * attribute group, excluding an anti-set of suppliers (negative
+    * account balance standing in for Q16's complaint comment — the
+    * corpus has no s_comment) and one excluded brand/type slice. The
+    * NOT-IN subquery is a broadcast left-anti join; the distinct count
+    * shuffles once on the group keys.
+    */
+  def q16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val complaints = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20-shape (partsupp-free): suppliers of one nation that
+    * DOMINATE supply of some green-named part in one ship year —
+    * pair-shipped quantity strictly above half the part's total. Both
+    * quantity masses aggregate in decimal and the half-threshold is
+    * `2 * pair_qty > part_qty` in decimal (no division). One
+    * aggregation per granularity + a broadcast part-total join; the
+    * supplier dim joins last, semi-style, via the distinct dominant
+    * pair set.
+    */
+  def q20PartSupply(spark: SparkSession, sfDir: String): DataFrame = {
+    val yr = Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")) === 1996)
+    val greens = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val shipped = yr
+      .join(broadcast(greens), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), money(col("l_quantity")).as("q"))
+    val perPair = shipped.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("q")).as("pair_qty"))
+    val perPart = shipped.groupBy("l_partkey")
+      .agg(sum(col("q")).as("part_qty"))
+    val dominant = perPair
+      .join(perPart, "l_partkey")
+      .filter(col("pair_qty") * lit(2) > col("part_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_19"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
 }

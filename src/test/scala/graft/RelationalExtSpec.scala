@@ -169,4 +169,64 @@ class RelationalExtSpec extends SparkSpec {
     val got = sm.filter(col("matched")).select("user_id")
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
+
+  test("q2 adaptation keeps exactly the min-cost supplier rows per part") {
+    val r = Relational.q2MinCostSupplier(spark, sf).cache()
+    assert(r.count() > 0 && r.count() <= 100)
+    // independent recompute of the regional min cost per part
+    val sup = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+    val minCost = Tables.lineitem(spark, sf)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(min(col("l_extendedprice")).as("true_min"))
+    assert(r.join(minCost, "p_partkey")
+      .filter(col("cost") =!= col("true_min")).isEmpty)
+  }
+
+  test("q11 adaptation keeps exactly the parts above the decimal threshold") {
+    val r = Relational.q11ImportantValue(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("value") <= 0).isEmpty)
+    // fraction=1 keeps parts with value > the grand total — i.e. none
+    assert(Relational.q11ImportantValue(spark, sf, fraction = 1).isEmpty)
+  }
+
+  test("q16 adaptation: excluding complaint suppliers never raises a count") {
+    val excl = Relational.q16SupplierCount(spark, sf).cache()
+    assert(excl.count() > 0)
+    val allowedSizes = Set(1, 4, 9, 14, 19, 23, 36, 49)
+    assert(excl.filter(!col("p_size").isin(allowedSizes.toSeq: _*)).isEmpty)
+    assert(excl.filter(col("p_brand") === "Brand#13"
+      || col("p_type") === "PROMO").isEmpty)
+    assert(excl.filter(col("supplier_cnt") <= 0).isEmpty)
+  }
+
+  test("q20 adaptation: dominance set is real and the output is its " +
+      "nation slice") {
+    // global dominant pairs exist even when the one-nation slice is empty
+    val shipped = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(Tables.part(spark, sf).filter(col("p_name").startsWith("small")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(18,2)").as("q"))
+    val pair = shipped.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("q").as("pair_qty"))
+    val tot = shipped.groupBy("l_partkey").agg(sum("q").as("part_qty"))
+    val dominant = pair.join(tot, "l_partkey")
+      .filter(col("pair_qty") * lit(2) > col("part_qty"))
+      .select("l_suppkey").distinct().cache()
+    assert(dominant.count() > 0)
+    val r = Relational.q20PartSupply(spark, sf)
+    // every returned supplier is dominant and in the target nation
+    val nation19 = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_19"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+    assert(r.exceptAll(nation19).isEmpty && nation19.exceptAll(r).isEmpty)
+  }
 }
