@@ -73,6 +73,7 @@ object SparkEntry {
               |                        (l_returnflag), ())""".stripMargin)
     }),
     "q_csv_orders" -> ((s, d) => graft.sources.Formats.ordersFromCsv(s, d)),
+    "q_orc_lineitem" -> ((s, d) => graft.sources.Formats.lineitemFromOrc(s, d)),
     "q_bucketed_join" ->
       ((s, d) => graft.sources.Formats.bucketedOrdersLineitemJoin(s, d)),
     "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
@@ -263,6 +265,7 @@ object SparkEntry {
     "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     "q_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
     "q_mix_weights" -> ((s, d) => Pipeline.mixWeights(s, d)),
+    "q_mix_sample" -> ((s, d) => Pipeline.mixSample(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -1338,6 +1341,50 @@ object SparkEntry {
         |FROM (SELECT user_id,
         |        string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
         |      FROM events GROUP BY user_id)""".stripMargin,
+    // ORC round-trip feeds the identical Q6 aggregate, so the parquet
+    // oracle gates the whole source path
+    "q_orc_lineitem" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    // copy counts replicate the engine's weight doubles op-for-op and
+    // its md5-uniform; floor/compare are exact in both engines
+    "q_mix_sample" ->
+      """WITH perlang AS (
+        |  SELECT lang,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |               count(*) AS n_langs FROM perlang),
+        |wts AS (
+        |  SELECT lang,
+        |    least(CAST(4.0 AS DOUBLE),
+        |          (CAST(1.0 AS DOUBLE) / CAST(n_langs AS DOUBLE)) /
+        |          (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))) AS weight
+        |  FROM perlang CROSS JOIN tot)
+        |SELECT doc_id, lang, n_copies FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(floor(w.weight) + CASE WHEN
+        |        (CAST(CAST('0x' || substring(md5('mix1' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0
+        |        < w.weight - floor(w.weight) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM documents d JOIN wts w USING (lang))
+        |WHERE n_copies > 0""".stripMargin,
+    "bpe_pairs" ->
+      """SELECT pair, count(*) AS cnt
+        |FROM (
+        |  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                  x -> x <> '')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2)
+        |GROUP BY pair
+        |ORDER BY cnt DESC, pair
+        |LIMIT 50""".stripMargin,
     // share and weight replicate the engine's exact double-division order:
     // share = tokens/total, weight = (1/n_langs) / share, capped at 4.0
     "q_mix_weights" ->

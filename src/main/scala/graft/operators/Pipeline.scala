@@ -242,6 +242,31 @@ object Pipeline {
       .select(col("lang"), col("n_tokens"), col("share"), col("weight"))
   }
 
+  /** MATERIALIZE the data mixture: apply `mixWeights` to the corpus,
+    * emitting each document's integer copy count for one training
+    * epoch — floor(weight) guaranteed copies plus one more when the
+    * doc's deterministic md5-uniform falls under the fractional part
+    * (so per-language expected mass matches the target exactly,
+    * reproducibly across engines/runs/cluster sizes). The 5-row
+    * weight table broadcasts; the corpus streams through one map —
+    * no shuffle at all beyond the weight aggregation itself.
+    */
+  def mixSample(spark: SparkSession, sfDir: String,
+      maxUpsample: Double = 4.0): DataFrame = {
+    val wts = mixWeights(spark, sfDir, maxUpsample).select("lang", "weight")
+    Tables.documents(spark, sfDir)
+      .join(broadcast(wts), "lang")
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("mix1"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("double") + lit(0.5)) / lit(16777216.0))
+      .withColumn("n_copies",
+        (floor(col("weight"))
+          + when(col("u") < col("weight") - floor(col("weight")), lit(1))
+            .otherwise(lit(0))).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+  }
+
   /** Vector-table statistics per label: min/max norm (order-stable
     * extremes — a SUM of norms would be shuffle-order-dependent) and
     * cardinality.

@@ -91,7 +91,13 @@ object Relational {
     * pushdown showcase (filters reach the parquet reader).
     */
   def q6RevenueDelta(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    q6Over(Tables.lineitem(spark, sfDir))
+
+  /** The Q6 aggregate over any lineitem-shaped frame — shared by the
+    * parquet path and the ORC round-trip source gate.
+    */
+  def q6Over(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
         && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
         && col("l_discount").between(0.02, 0.06)

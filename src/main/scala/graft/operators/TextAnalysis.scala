@@ -283,4 +283,25 @@ object TextAnalysis {
       md5(col("text")).as("fp"),
       substring(md5(col("text")), 1, 8).as("fp_head"),
       size(shingles(col("text"))).cast("long").as("n_shingles"))
+
+  /** BPE merge-candidate induction, round zero: corpus-wide counts of
+    * adjacent CHARACTER pairs inside whitespace tokens — the argmax
+    * is the first merge a byte-pair-encoding trainer would make, and
+    * the top-k list is the seed merge table. One explode + one
+    * count shuffle; per-word pair lists are tiny so the explode
+    * never amplifies beyond total corpus characters. Top-k via
+    * orderBy+limit (k is small; the sort input is the pair
+    * vocabulary, already collapsed by the aggregation).
+    */
+  def bpePairs(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
 }

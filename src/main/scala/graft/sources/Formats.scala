@@ -139,4 +139,20 @@ object Formats {
         sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_qty"))
   }
+
+  /** The Q6 aggregate fed from ORC instead of parquet: lineitem
+    * round-trips through a schema-explicit ORC write/read (Spark's
+    * built-in columnar alternative — same predicate pushdown and
+    * column pruning surface), then runs the identical declarative
+    * aggregate, gated against the parquet-side oracle. A fresh
+    * per-run directory for the same concurrent-JVM reason as the CSV
+    * path above.
+    */
+  def lineitemFromOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val path = graft.TempDirs.create("graft_lineitem_orc").toString
+    li.write.mode(SaveMode.Overwrite).orc(path)
+    graft.operators.Relational.q6Over(
+      spark.read.schema(li.schema).orc(path))
+  }
 }

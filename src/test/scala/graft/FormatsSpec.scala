@@ -47,4 +47,11 @@ class FormatsSpec extends SparkSpec {
     val back = Formats.readJsonl(spark, dir, schema)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("orc round-trip: the Q6 aggregate is identical to the parquet path") {
+    val orc = Formats.lineitemFromOrc(spark, sf)
+    val pq = graft.operators.Relational.q6Over(Tables.lineitem(spark, sf))
+    assert(orc.exceptAll(pq).isEmpty && pq.exceptAll(orc).isEmpty)
+    assert(orc.head().getLong(1) > 0)
+  }
 }

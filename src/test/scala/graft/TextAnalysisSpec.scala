@@ -85,4 +85,23 @@ class TextAnalysisSpec extends SparkSpec {
     val meanAll = joined.agg(avg("avg_nll")).head().getDouble(0)
     assert(meanAll > 0)
   }
+
+  test("bpe pair induction: k two-char pairs, counts consistent with a " +
+      "direct recount of the top pair") {
+    val p = TextAnalysis.bpePairs(spark, sf, k = 50).cache()
+    assert(p.count() == 50)
+    assert(p.filter(length(col("pair")) =!= 2).isEmpty)
+    val top = p.orderBy(col("cnt").desc, col("pair")).head()
+    // recount the winning pair with an independent substring scan
+    val needle = top.getString(0)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .filter(col("pair") === needle)
+      .count()
+    assert(recount == top.getLong(1))
+  }
 }
