@@ -254,6 +254,7 @@ object SparkEntry {
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
@@ -1146,7 +1147,7 @@ object SparkEntry {
         |        WHERE pair_qty * 2 > part_qty)
         |SELECT s_suppkey, s_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |  AND n_name = 'NATION_19'
+        |  AND n_name IN ('NATION_13', 'NATION_15', 'NATION_18')
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
     "q_rank_suite" ->
       """SELECT o_custkey, o_orderkey,
@@ -1335,12 +1336,19 @@ object SparkEntry {
     // string_agg(... ORDER BY ts, event_id) rebuilds the same per-user
     // event string the engine gets from array_sort(collect_list(struct));
     // (ts, event_id) is a total order and first chars are distinct per type
+    // rank-capped prefix mirrors the Spark side's bounded per-user
+    // state (cap 4096 ≫ any test-SF user, so hashes stay equal)
     "q_sequence_match" ->
-      """SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
-        |  regexp_matches(seq, 'v[^p]*c[^p]*p') AS matched
-        |FROM (SELECT user_id,
-        |        string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
-        |      FROM events GROUP BY user_id)""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT user_id, substr(event_type, 1, 1) AS c, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  regexp_matches(string_agg(c, '' ORDER BY ts, event_id),
+        |                 'v[^p]*c[^p]*p') AS matched,
+        |  max(n) > 4096 AS overflow
+        |FROM ranked WHERE rn <= 4096 GROUP BY user_id""".stripMargin,
     // ORC round-trip feeds the identical Q6 aggregate, so the parquet
     // oracle gates the whole source path
     "q_orc_lineitem" ->

@@ -161,6 +161,26 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
   }
 
+  /** Multi-probe SRP: array of 1 + nProbes bucket codes — the main
+    * code plus single-bit flips of the lowest-|margin| planes
+    * (Lv et al., "Multi-Probe LSH", VLDB'07, adapted to sign random
+    * projections). Probing neighbor buckets buys recall WITHOUT
+    * adding hash families, so the same recall needs fewer bands —
+    * i.e. fewer shuffle keys per vector on the 100 TB dedup path.
+    */
+  case class SrpProbes(child: Expression, planes: Array[Array[Double]],
+      nProbes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.srpProbes(input.asInstanceOf[ArrayData], planes, nProbes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.srpProbes($c, $planesRef, $nProbes);")
+    }
+    override protected def withNewChildInternal(c: Expression): SrpProbes = copy(child = c)
+  }
+
   // ---- Column-level wrappers -----------------------------------------
 
   private def asCol(e: Expression): Column =
@@ -180,6 +200,8 @@ object CatalystExprs {
     asCol(DotProduct(expression(a), expression(b)))
   def srp_bucket(v: Column, planes: Array[Array[Double]]): Column =
     asCol(SrpBucket(expression(v), planes))
+  def srp_probes(v: Column, planes: Array[Array[Double]], nProbes: Int): Column =
+    asCol(SrpProbes(expression(v), planes, nProbes))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftBridge.expression(c)

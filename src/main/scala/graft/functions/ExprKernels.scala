@@ -58,6 +58,38 @@ object ExprKernels {
     code
   }
 
+  /** Multi-probe SRP codes: the main bucket plus `nProbes` perturbed
+    * codes, each flipping ONE of the lowest-|margin| bits (the planes
+    * the vector sits closest to — exactly the bits most likely to
+    * disagree for a true near neighbor). Returns 1 + nProbes longs.
+    */
+  def srpProbes(v: ArrayData, planes: Array[Array[Double]],
+      nProbes: Int): ArrayData = {
+    val dim = v.numElements()
+    val nP = planes.length
+    val margins = new Array[Double](nP)
+    var code = 0L
+    var p = 0
+    while (p < nP) {
+      val plane = planes(p)
+      var acc = 0.0d
+      var i = 0
+      val m = math.min(dim, plane.length)
+      while (i < m) { acc += v.getDouble(i) * plane(i); i += 1 }
+      if (acc >= 0) code |= (1L << p)
+      margins(p) = math.abs(acc)
+      p += 1
+    }
+    val q = math.min(nProbes, nP)
+    val out = new Array[Long](1 + q)
+    out(0) = code
+    // selection of the q smallest margins (nP is small: ≤ 64)
+    val order = margins.zipWithIndex.sortBy(_._1).map(_._2)
+    var j = 0
+    while (j < q) { out(j + 1) = code ^ (1L << order(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def xxhashArray(arr: ArrayData): ArrayData = {
     val out = new Array[Long](arr.numElements())
     var i = 0

@@ -1066,27 +1066,48 @@ object Relational {
     * collapse each user's ordered event stream to a compact
     * one-char-per-event string, then run ordinary regexes over it —
     * "viewed, later clicked, later purchased, with no purchase in
-    * between" is `v[^p]*c[^p]*p`. One shuffle (groupBy user); the
-    * per-user string is bounded by events-per-user, so the regex is
-    * cheap per row and the whole match stage is embarrassingly
-    * parallel. Ordering inside the collected array is made total by
-    * sorting (ts, event_id) structs — engine-independent, which is
-    * what lets a DuckDB `string_agg(... ORDER BY ts, event_id)`
-    * oracle gate the result.
+    * between" is `v[^p]*c[^p]*p`. Per-user state is BOUNDED: events
+    * are ranked by a spill-safe window (row_number over ts, event_id)
+    * and only the first `maxEventsPerUser` reach the collect, so a
+    * bot user with 10⁸ events costs at most `cap` structs of executor
+    * memory; the true event count still comes out of the streaming
+    * count, and `overflow` flags every truncated user loudly instead
+    * of silently matching a prefix. Ordering is total ((ts, event_id)
+    * tiebreak), which is what lets a DuckDB `string_agg(... ORDER BY
+    * ts, event_id)` oracle over the same rank-capped prefix gate the
+    * result. One shuffle: the window's hash partitioning on user_id
+    * is reused by the groupBy.
     */
   def sequenceMatch(spark: SparkSession, sfDir: String,
-      pattern: String = "v[^p]*c[^p]*p"): DataFrame = {
-    val seq = Tables.events(spark, sfDir)
-      .select(col("user_id"),
-        struct(col("ts"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("c")).as("e"))
-      .groupBy("user_id")
-      .agg(array_join(transform(array_sort(collect_list(col("e"))),
-        e => e.getField("c")), "").as("seq"))
-    seq.select(
+      pattern: String = "v[^p]*c[^p]*p",
+      maxEventsPerUser: Int = 4096): DataFrame =
+    sequenceMatchOver(Tables.events(spark, sfDir), pattern,
+      maxEventsPerUser)
+
+  /** Same bounded sequence match over any events-shaped input — lets
+    * specs plant a hot user far above the cap and watch the overflow
+    * flag fire with bounded memory.
+    */
+  def sequenceMatchOver(events: DataFrame,
+      pattern: String = "v[^p]*c[^p]*p",
+      maxEventsPerUser: Int = 4096): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ranked = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .withColumn("rn", row_number().over(w))
+    ranked.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") <= maxEventsPerUser,
+            struct(col("rn"), col("c"))))),
+          e => e.getField("c")), "").as("seq"))
+      .select(
         col("user_id"),
-        length(col("seq")).cast("long").as("n_events"),
-        col("seq").rlike(pattern).as("matched"))
+        col("n_events"),
+        col("seq").rlike(pattern).as("matched"),
+        (col("n_events") > maxEventsPerUser).as("overflow"))
   }
 
   /** TPC-H Q2-shape (partsupp-free adaptation — the driver corpus has
@@ -1153,7 +1174,11 @@ object Relational {
     * attribute group, excluding an anti-set of suppliers (negative
     * account balance standing in for Q16's complaint comment — the
     * corpus has no s_comment) and one excluded brand/type slice. The
-    * NOT-IN subquery is a broadcast left-anti join; the distinct count
+    * NOT-IN subquery is a broadcast left-anti join (the complaint set
+    * is a small fraction of the supplier dim, safe to hint). The part
+    * slice keeps ~16% of `part` — too wide to force a broadcast at
+    * 100 TB — so it is projected down to key + the 3 group columns and
+    * the join strategy is left to the planner/AQE; the distinct count
     * shuffles once on the group keys.
     */
   def q16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1162,19 +1187,21 @@ object Relational {
     val p = Tables.part(spark, sfDir)
       .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
         && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
     Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_suppkey")
       .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
         "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }
 
-  /** TPC-H Q20-shape (partsupp-free): suppliers of one nation that
-    * DOMINATE supply of some green-named part in one ship year —
+  /** TPC-H Q20-shape (partsupp-free): suppliers of a small nation set
+    * (chosen populated at every test SF) that DOMINATE supply of some
+    * small-named part in one ship year —
     * pair-shipped quantity strictly above half the part's total. Both
     * quantity masses aggregate in decimal and the half-threshold is
     * `2 * pair_qty > part_qty` in decimal (no division). One
@@ -1199,7 +1226,8 @@ object Relational {
       .filter(col("pair_qty") * lit(2) > col("part_qty"))
       .select("l_suppkey").distinct()
     Tables.supplier(spark, sfDir)
-      .join(Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_19"),
+      .join(Tables.nation(spark, sfDir)
+          .filter(col("n_name").isin("NATION_13", "NATION_15", "NATION_18")),
         col("s_nationkey") === col("n_nationkey"))
       .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))

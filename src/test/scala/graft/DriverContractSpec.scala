@@ -19,6 +19,21 @@ class DriverContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("SURVEY §2 tables list exactly the registered query keys " +
+      "(coverage checklist cannot drift from the registry)") {
+    val lines = scala.io.Source.fromFile("SURVEY.md")("UTF-8")
+      .getLines().toList
+    val s2 = lines
+      .dropWhile(!_.startsWith("## §2"))
+      .takeWhile(l => !l.startsWith("## §3"))
+    val KeyRow = """\|\s*`([a-z0-9_]+)`\s*\|.*""".r
+    val documented = s2.collect { case KeyRow(k) => k }.toSet
+    val registered = SparkEntry.queries.keySet
+    assert(documented == registered,
+      s"SURVEY §2 missing: ${registered -- documented}; " +
+        s"stale rows: ${documented -- registered}")
+  }
+
   test("every query runs and returns rows at sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = try fn(spark, sf).count() catch {

@@ -100,6 +100,31 @@ class PipelineSpec extends SparkSpec {
       abs(col("weight") * col("share") * n - 1.0) > 1e-9).isEmpty)
   }
 
+  test("mix sample: per-doc copies bracket the language weight and " +
+      "per-language mass lands within binomial expectation") {
+    val w = Pipeline.mixWeights(spark, sf)
+      .select(col("lang"), col("weight")).cache()
+    val s = Pipeline.mixSample(spark, sf).cache()
+    // every emitted copy count is floor(weight) or ceil(weight)
+    val bad = s.join(w, "lang")
+      .filter(col("n_copies") < floor(col("weight")) ||
+        col("n_copies") > ceil(col("weight")))
+    assert(bad.isEmpty, "n_copies outside [floor(w), ceil(w)]")
+    // docs with zero copies (downsampled languages) are absent, so
+    // mass must be counted against the FULL per-language doc count
+    val perLang = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(s.groupBy("lang").agg(sum("n_copies").as("mass")), Seq("lang"), "left")
+      .na.fill(0L, Seq("mass"))
+      .join(w, "lang")
+    // E[mass] = n_docs * weight; tolerance = 4σ of the Bernoulli
+    // fractional part (σ² ≤ n/4), floored for tiny languages
+    val off = perLang.filter(
+      abs(col("mass") - col("n_docs") * col("weight")) >
+        greatest(lit(4.0) * sqrt(col("n_docs").cast("double")) / lit(2.0), lit(3.0)))
+    assert(off.isEmpty, s"mixture mass off target: ${off.collect().mkString}")
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)

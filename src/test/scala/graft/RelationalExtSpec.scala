@@ -170,6 +170,30 @@ class RelationalExtSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("sequence match bounds per-user state: a hot user far above the " +
+      "cap completes, keeps its true count, and is flagged overflow") {
+    import spark.implicits._
+    val cap = 16
+    // hot user 1: 50×cap events (all views, then one click+purchase at
+    // the tail the capped prefix can never see); cold user 2: v,c,p
+    val hot = (1 to cap * 50).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d"),
+        1L, if (i == cap * 50) "purchase" else if (i == cap * 50 - 1) "click" else "view"))
+    val cold = Seq(
+      (100001L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L, "view"),
+      (100002L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L, "click"),
+      (100003L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 2L, "purchase"))
+    val ev = (hot ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = Relational.sequenceMatchOver(ev, maxEventsPerUser = cap)
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), row.getBoolean(2), row.getBoolean(3))).toMap
+    assert(r(1L) == ((cap * 50L, false, true)),
+      "hot user: true count, prefix-only match, loud overflow")
+    assert(r(2L) == ((3L, true, false)),
+      "cold user below cap is matched and not flagged")
+  }
+
   test("q2 adaptation keeps exactly the min-cost supplier rows per part") {
     val r = Relational.q2MinCostSupplier(spark, sf).cache()
     assert(r.count() > 0 && r.count() <= 100)
@@ -206,7 +230,8 @@ class RelationalExtSpec extends SparkSpec {
 
   test("q20 adaptation: dominance set is real and the output is its " +
       "nation slice") {
-    // global dominant pairs exist even when the one-nation slice is empty
+    // the nation set is chosen populated at EVERY test SF (sf0.001
+    // included — the driver's empty-result gate runs there)
     val shipped = Tables.lineitem(spark, sf)
       .filter(year(col("l_shipdate")) === 1996)
       .join(Tables.part(spark, sf).filter(col("p_name").startsWith("small")),
@@ -221,12 +246,14 @@ class RelationalExtSpec extends SparkSpec {
       .select("l_suppkey").distinct().cache()
     assert(dominant.count() > 0)
     val r = Relational.q20PartSupply(spark, sf)
-    // every returned supplier is dominant and in the target nation
-    val nation19 = Tables.supplier(spark, sf)
-      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_19"),
+    assert(r.count() > 0, "q20 empty at the smallest SF — driver gate would fail")
+    // every returned supplier is dominant and in the target nation set
+    val expected = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf)
+          .filter(col("n_name").isin("NATION_13", "NATION_15", "NATION_18")),
         col("s_nationkey") === col("n_nationkey"))
       .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
-    assert(r.exceptAll(nation19).isEmpty && nation19.exceptAll(r).isEmpty)
+    assert(r.exceptAll(expected).isEmpty && expected.exceptAll(r).isEmpty)
   }
 }

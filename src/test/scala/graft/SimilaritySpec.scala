@@ -56,15 +56,13 @@ class SimilaritySpec extends SparkSpec {
       "IVF rank order disagrees with true cosine order")
   }
 
-  test("ann_lsh recall vs brute-force truth is measured and pinned") {
-    // sf0.01: enough vectors that banding actually has room to miss —
-    // this is the measured-recall floor that makes the ANN operator
-    // trustworthy (an unmeasured LSH is just a hope)
-    val dir = "/root/testdata/sf0.01"
-    val thr = 0.3
+  /** Above-threshold subset of brute top-10 pairs — the recall target
+    * shared by the single- and multi-probe LSH measurements.
+    */
+  private def bruteTruth(dir: String, thr: Double): Set[(Long, Long)] = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val brutePairs = Similarity.annTopkBrute(spark, dir, k = 10, nQueries = 20)
+    Similarity.annTopkBrute(spark, dir, k = 10, nQueries = 20)
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
       .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
@@ -74,7 +72,16 @@ class SimilaritySpec extends SparkSpec {
       .select(least(col("query_id"), col("neighbor_id")).as("vec_a"),
         greatest(col("query_id"), col("neighbor_id")).as("vec_b"))
       .distinct()
-    val truth = brutePairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("ann_lsh recall vs brute-force truth is measured and pinned") {
+    // sf0.01: enough vectors that banding actually has room to miss —
+    // this is the measured-recall floor that makes the ANN operator
+    // trustworthy (an unmeasured LSH is just a hope)
+    val dir = "/root/testdata/sf0.01"
+    val thr = 0.3
+    val truth = bruteTruth(dir, thr)
     assert(truth.nonEmpty, "no above-threshold brute pairs to measure against")
     def recallOf(bands: Int, planesPerBand: Int): Double = {
       val lsh = Similarity.annLsh(spark, dir, thr, bands, planesPerBand)
@@ -102,6 +109,39 @@ class SimilaritySpec extends SparkSpec {
       .toDouble / (n * (n - 1) / 2)
     info(f"candidate fraction at default banding: $candFrac%.3f of all pairs")
     assert(candFrac < 0.75, f"banding prunes almost nothing ($candFrac%.3f)")
+  }
+
+  test("multi-probe LSH: half the hash families, equal-or-better " +
+      "measured recall AND selectivity than single-probe 16x4 " +
+      "(brute-force truth)") {
+    val dir = "/root/testdata/sf0.01"
+    val thr = 0.3
+    val truth = bruteTruth(dir, thr)
+    assert(truth.nonEmpty)
+    val n = Tables.embeddings(spark, dir).count()
+    val allPairs = n * (n - 1) / 2.0
+    // threshold −1 keeps the raw candidate set so ONE run measures
+    // both axes: recall (above-threshold subset) and candidate load
+    def measure(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val cached = df.cache()
+      val candFrac = cached.count() / allPairs
+      val got = cached.filter(col("cos") >= thr).select("vec_a", "vec_b")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      cached.unpersist()
+      (truth.count(got.contains).toDouble / truth.size, candFrac)
+    }
+    val (sp, spFrac) = measure(Similarity.annLsh(spark, dir, -1.0,
+      Similarity.DefaultSrpBands, Similarity.DefaultPlanesPerBand))
+    val (mp, mpFrac) = measure(Similarity.annLshMultiProbe(spark, dir, -1.0))
+    info(f"multi-probe ${Similarity.DefaultMpBands}x" +
+      f"${Similarity.DefaultMpPlanes}+${Similarity.DefaultMpProbes}p " +
+      f"recall=$mp%.3f candFrac=$mpFrac%.3f vs single-probe 16x4 " +
+      f"recall=$sp%.3f candFrac=$spFrac%.3f over ${truth.size} truth pairs")
+    assert(mp >= sp,
+      f"multi-probe recall $mp%.3f regressed below single-probe $sp%.3f")
+    assert(mp >= 0.85, f"multi-probe recall $mp%.3f below the 0.85 floor")
+    assert(mpFrac <= spFrac,
+      f"multi-probe candidates $mpFrac%.3f worse than single-probe $spFrac%.3f")
   }
 
   test("banded LSH pairs pass the cosine threshold and find candidates") {
