@@ -100,6 +100,7 @@ object SparkEntry {
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
@@ -208,6 +209,29 @@ object SparkEntry {
       clicks.crossJoin(purchases)
         .select(graft.functions.ThetaSketch
           .theta_intersect(col("ska"), col("skb"), 65536).as("users"))
+    }),
+    "agg_theta_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // approximate DISTINCT join: distinct-user overlap for EVERY
+      // event-type pair via a self-join of per-group sketches. G
+      // sketch rows joined G²-wise (G = #types, tiny) replaces the
+      // raw-set alternative — a corpus-sized self-join shuffling every
+      // (user, type) row on user_id. Sketches are mergeable state:
+      // the per-group agg is one shuffle of k-bounded buffers, and the
+      // pairwise intersect never touches raw users again. Exact
+      // regime (k ≫ per-type users at test SFs) gates against
+      // DuckDB's pairwise-INTERSECT; saturation error is spec-pinned
+      // (FunctionsSpec).
+      val sk = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+        .groupBy("event_type")
+        .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 65536).as("sk"))
+      sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          graft.functions.ThetaSketch
+            .theta_intersect(col("a.sk"), col("b.sk"), 65536)
+            .as("common_users"))
     }),
     "agg_kll" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -698,6 +722,21 @@ object SparkEntry {
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         |  INTERSECT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    // pairs with zero overlap must still appear (the sketch join
+    // emits every type pair), hence the cross-of-types + left join
+    "agg_theta_join" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS common_users
+        |      FROM u a JOIN u b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+        |  COALESCE(c.common_users, 0) AS common_users
+        |FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+        |LEFT JOIN c ON c.type_a = t1.event_type
+        |  AND c.type_b = t2.event_type""".stripMargin,
     "agg_kll" ->
       """SELECT lang,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
@@ -1382,6 +1421,50 @@ object SparkEntry {
         |        < w.weight - floor(w.weight) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
         |  FROM documents d JOIN wts w USING (lang))
         |WHERE n_copies > 0""".stripMargin,
+    // iterative BPE: 3 merge rounds unrolled as CTE levels — each
+    // p{i} is the round's argmax pair, each w{i} the re-encoded
+    // vocabulary after that merge (wrapped-symbol encoding makes
+    // replace() exactly non-overlapping left-to-right merging)
+    "bpe_merges" ->
+      """WITH words AS (
+        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                  x -> x <> '')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY 1),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+        |      i -> s[i] || '|' || s[i + 1])) AS pair
+        |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM words))
+        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (
+        |  SELECT replace(enc,
+        |    '<' || split_part(pair, '|', 1) || '><' || split_part(pair, '|', 2) || '>',
+        |    '<' || replace(pair, '|', '') || '>') AS enc, n
+        |  FROM words, p1),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+        |      i -> s[i] || '|' || s[i + 1])) AS pair
+        |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w1))
+        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (
+        |  SELECT replace(enc,
+        |    '<' || split_part(pair, '|', 1) || '><' || split_part(pair, '|', 2) || '>',
+        |    '<' || replace(pair, '|', '') || '>') AS enc, n
+        |  FROM w1, p2),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+        |      i -> s[i] || '|' || s[i + 1])) AS pair
+        |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
+        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS merge_rank, pair, cnt FROM p1
+        |UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM p2
+        |UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM p3""".stripMargin,
     "bpe_pairs" ->
       """SELECT pair, count(*) AS cnt
         |FROM (

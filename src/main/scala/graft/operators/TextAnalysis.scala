@@ -304,4 +304,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
+
+  /** ITERATIVE BPE merge training (Sennrich et al. 2016): N rounds of
+    * count-all-adjacent-pairs → pick the most frequent → merge it
+    * everywhere → recount. `bpePairs` is the one-round statistic; this
+    * is the actual tokenizer-training loop.
+    *
+    * State is the UNIQUE-WORD table (word encoded as wrapped symbols
+    * `<h><e><y>`, weighted by corpus frequency) — vocabulary-sized,
+    * not corpus-sized, so the loop iterates over the small table while
+    * the 100 TB corpus is scanned exactly once. Each round is one
+    * pair-count aggregation plus a 1-row argmax to the driver (the
+    * merge table IS driver-sized output — that's the operator's
+    * contract), then one `replace` over the encodings;
+    * `localCheckpoint` per round bounds plan depth exactly like the
+    * PageRank loop. The `<a><b>` wrapped encoding makes consecutive
+    * matches share zero characters, so the engine's scan-resume
+    * `replace` IS textbook left-to-right non-overlapping BPE merging
+    * in both Spark and DuckDB — which is what lets a 3-level CTE
+    * unroll oracle-gate the loop. Ties break on pair string, so every
+    * round is deterministic.
+    *
+    * Output: (merge_rank, pair "a|b", cnt) — the ordered merge table.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String,
+      nMerges: Int = 3): DataFrame =
+    bpeMergesOver(Tables.documents(spark, sfDir), nMerges)
+
+  /** Same merge loop over any documents-shaped input — lets specs run
+    * a planted corpus against a naive reference implementation.
+    */
+  def bpeMergesOver(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("enc"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (i <- 1 to nMerges) {
+      val top = words
+        .select(col("n"), split(trim(col("enc"), "<>"), "><").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> concat(element_at(s, i), '|', element_at(s, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split("\\|", 2)
+        merges += ((i.toLong, pair, top(0).getLong(1)))
+        // symbols are [a-z]+ by construction — safe to inline
+        words = words.withColumn("enc",
+          expr(s"replace(enc, '<$a><$b>', '<$a$b>')")).localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "cnt")
+  }
 }

@@ -175,6 +175,41 @@ class FunctionsSpec extends SparkSpec {
     assert(relErr <= 0.15, f"intersection estimate $est off by $relErr%.3f")
   }
 
+  test("theta sketch JOIN: per-group sketches self-joined give exact " +
+      "pairwise overlap below saturation, bounded error above") {
+    import spark.implicits._
+    import graft.functions.ThetaSketch._
+    // three overlapping groups: g0 = 0..20k, g1 = 10k..30k, g2 = 25k..45k
+    // → overlaps (g0,g1)=10k, (g1,g2)=5k, (g0,g2)=0
+    val rows = (0 until 20000).map(i => ("g0", s"u_$i")) ++
+      (10000 until 30000).map(i => ("g1", s"u_$i")) ++
+      (25000 until 45000).map(i => ("g2", s"u_$i"))
+    val df = rows.toDF("g", "uid").repartition(8)
+    def overlaps(k: Int): Map[(String, String), Long] = {
+      val sk = df.groupBy("g").agg(theta_sketch(col("uid"), k).as("sk"))
+      sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+        .select(col("a.g"), col("b.g"),
+          theta_intersect(col("a.sk"), col("b.sk"), k).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    val want = Map(("g0", "g1") -> 10000L, ("g1", "g2") -> 5000L,
+      ("g0", "g2") -> 0L)
+    // exact regime: k above every group size → the join IS exact,
+    // including the all-pairs contract (zero-overlap pair present)
+    assert(overlaps(65536) == want)
+    // saturated regime: every pairwise estimate within 15% (≈3·RSE at
+    // k=1024) of truth; the empty overlap stays near zero
+    val est = overlaps(1024)
+    assert(est.keySet == want.keySet, "sketch join lost a type pair")
+    want.foreach { case (p, n) =>
+      val e = est(p)
+      if (n == 0L) assert(e <= 200L, s"phantom overlap $e for $p")
+      else assert(math.abs(e - n).toDouble / n <= 0.15,
+        s"pair $p estimate $e too far from $n")
+    }
+  }
+
   test("SQL-registered custom functions work end to end") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_v")

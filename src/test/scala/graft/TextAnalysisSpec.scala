@@ -104,4 +104,51 @@ class TextAnalysisSpec extends SparkSpec {
       .count()
     assert(recount == top.getLong(1))
   }
+
+  test("bpe merge loop matches a naive reference on a planted corpus " +
+      "and emits a deterministic non-increasing merge table") {
+    import spark.implicits._
+    val text = ("low " * 3 + "lower " * 2 + "newest " * 5 +
+      "widest " * 4 + "x ").trim
+    val docs = Seq((1L, text, "en", "spec", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val n = 4
+    val got = TextAnalysis.bpeMergesOver(docs, n).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    // naive reference: same count → argmax(cnt desc, pair asc) → merge
+    // left-to-right non-overlapping, on a plain Scala word-freq map
+    var freq: Map[Vector[String], Long] = text.split("\\s+")
+      .filter(w => w.length >= 2 && w.matches("[a-z]+"))
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    val expect = (1 to n).flatMap { rank =>
+      val counts = freq.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => (p._1 + "|" + p._2) -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      if (counts.isEmpty) None else {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val Array(a, b) = pair.split("\\|", 2)
+        freq = freq.groupMapReduce { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+        Some((rank.toLong, pair, cnt))
+      }
+    }
+    assert(got == expect, s"spark merges $got != naive reference $expect")
+    // corpus-level invariant: merge counts never increase round-over-round
+    val real = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(real.map(_._1).toSeq == (1L to 3L),
+      "expected exactly 3 ranked merges on the corpus")
+    assert(real.sliding(2).forall(w => w(0)._2 >= w(1)._2),
+      s"merge counts increased: ${real.mkString(",")}")
+  }
 }
