@@ -103,6 +103,8 @@ object SparkEntry {
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
+    "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
+    "q_anomaly_zscore" -> ((s, d) => Relational.anomalyZscore(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -264,6 +266,7 @@ object SparkEntry {
     // C. Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.ngramContainment(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
@@ -315,6 +318,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupFromFiles(s, d)),
     "stream_theta" ->
       ((s, d) => graft.streaming.EventStreams.thetaFromFiles(s, d)),
+    "stream_kll" ->
+      ((s, d) => graft.streaming.EventStreams.kllFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -714,6 +719,15 @@ object SparkEntry {
     "stream_theta" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
+    // incrementally-maintained streaming KLL sketch (single-copy
+    // two-file feed — quantiles are not replay-idempotent) vs the
+    // batch exact quantiles: k ≫ group size ⇒ exact regime
+    "stream_kll" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |FROM documents GROUP BY lang""".stripMargin,
     "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
@@ -1015,6 +1029,49 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
         |      FROM documents)""".stripMargin,
+    // per-(doc,word) tf·ln(tf) terms rounded to 6 decimals and summed
+    // IN DECIMAL (the perplexity discipline); the final ln(n) − sum/n
+    // derives via single IEEE ops and is rounded again
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr,
+        |  round(ln(CAST(sum(tf) AS DOUBLE))
+        |    - CAST(sum(CAST(round(tf * ln(CAST(tf AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(sum(tf) AS DOUBLE), 6) AS entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
+    // moment sums in decimal (order-independent), mean/σ/z via single
+    // IEEE ops on the exact sums, z rounded BEFORE ranking, event_id
+    // tiebreak — top-k per type so the result is non-empty at every SF
+    "q_anomaly_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+        |       FROM ev GROUP BY 1),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sigma
+        |  FROM st),
+        |z AS (
+        |  SELECT e.event_type, e.event_id, CAST(e.v AS DOUBLE) AS value,
+        |    round((CAST(e.v AS DOUBLE) - s.mean) / s.sigma, 6) AS z
+        |  FROM ev e JOIN stats s ON e.event_type = s.event_type)
+        |SELECT event_type, event_id, value, z, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(z) DESC, event_id) AS rnk
+        |      FROM z)
+        |WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
     "text_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1236,6 +1293,34 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // same candidate CTEs as dedup_ngram_jaccard; the verifier divides
+    // by min(|A|,|B|) instead of the union (subset/quote detection)
+    "dedup_containment" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) AS containment
+        |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= 0.8""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
     // three power iterations unrolled as CTEs; per-edge contributions

@@ -93,7 +93,48 @@ object Dedup {
     * verified pairs.
     */
   def ngramJaccardOver(docs: DataFrame, threshold: Double,
-      maxDf: Long = DefaultMaxDf): DataFrame = {
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    pairStats(docs, maxDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+
+  /** Exact n-gram CONTAINMENT near-dup pairs — |∩| / min(|A|,|B|) ≥
+    * threshold. Containment is the subset/quote detector Jaccard
+    * misses: a short document fully embedded in a long one has
+    * containment 1.0 but Jaccard ≈ |short|/|long| → below any usable
+    * Jaccard threshold. Same candidate generation and integer-exact
+    * arithmetic as the Jaccard verifier (shared `pairStats`), so the
+    * final division is bit-identical in DuckDB (oracle-gated).
+    *
+    * Candidate-recall pigeonhole w.r.t. the SMALLER side: containment
+    * ≥ τ means ≥ τ·min(|A|,|B|) shingles are shared, so a pair is only
+    * missed when hot (df > maxDf) shingles make up ≥ τ of the smaller
+    * document — the boilerplate case the hot-shingle path owns.
+    */
+  def ngramContainment(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, maxDf: Long = DefaultMaxDf): DataFrame =
+    ngramContainmentOver(docShingles(spark, sfDir), threshold, maxDf)
+
+  /** Same containment operator over an arbitrary (doc_id, sh) frame. */
+  def ngramContainmentOver(docs: DataFrame, threshold: Double,
+      maxDf: Long = DefaultMaxDf): DataFrame =
+    pairStats(docs, maxDf)
+      .withColumn("containment",
+        col("n_common").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "containment")
+
+  /** Shared candidate-pair intersection stats for the exact near-dup
+    * verifiers: (doc_a, doc_b, n_common, n_a, n_b) for every pair
+    * sharing ≥1 non-hot (df ≤ maxDf) shingle, with n_common computed
+    * over the FULL shingle sets (rare via the pair aggregation, hot
+    * via the tiny per-doc hot arrays).
+    */
+  private def pairStats(docs: DataFrame, maxDf: Long): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // one df aggregation feeds both the rare keying and the hot
     // arrays; persisted so the second consumer doesn't redo the
@@ -126,11 +167,7 @@ object Dedup {
         col("n_rare_common") +
           when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
             .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
-      .withColumn("jaccard",
-        col("n_common").cast("double")
-          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
   }
 
   /** Connected components over the near-dup pair graph → per-document

@@ -1233,4 +1233,53 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"))
       .orderBy(col("s_name"), col("s_suppkey"))
   }
+
+  /** Per-event-type z-score anomaly detection: flag the top-k events
+    * whose `value` deviates most from the type's mean in population-σ
+    * units — the standard data-quality outlier sweep over a metrics
+    * feed.
+    *
+    * Cross-engine discipline: `value` is quantized to decimal (the
+    * `money` cast) so the moment sums (Σx, Σx²) are order-independent
+    * decimal arithmetic; mean/variance/z then derive via single IEEE
+    * ops on those exact sums (deterministic in both engines) and z is
+    * rounded before ranking, ties broken on event_id. Top-k per group,
+    * not a fixed |z| cutoff, so the result is non-empty at every SF.
+    *
+    * Plan: one partial-aggregating moment shuffle (G rows out), the
+    * tiny stats frame broadcast back over the feed, one window shuffle
+    * keyed event_type for the rank — no global sort, no driver math.
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame =
+    anomalyZscoreOver(Tables.events(spark, sfDir), k)
+
+  /** Same operator over any (event_id, event_type, value) frame —
+    * planted-distribution specs pin the ranking.
+    */
+  def anomalyZscoreOver(events: DataFrame, k: Int = 5): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("event_type"),
+        money(col("value")).as("v"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt(col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n"))).as("sigma"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("z")).desc, col("event_id"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round(
+        (col("v").cast("double") - col("mean")) / col("sigma"), 6))
+      .withColumn("rnk", row_number().over(byType))
+      .filter(col("rnk") <= k)
+      .select(col("event_type"), col("event_id"),
+        col("v").cast("double").as("value"), col("z"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
 }

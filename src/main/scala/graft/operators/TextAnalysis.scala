@@ -195,6 +195,41 @@ object TextAnalysis {
         round(col("nll_sum").cast("double") / col("n_tokens"), 6).as("avg_nll"))
   }
 
+  /** Per-document lexical-diversity signals: unigram word entropy and
+    * type-token ratio — the "repetitive boilerplate vs natural prose"
+    * axis used alongside the C4/Gopher rules (low entropy ⇒ a few
+    * tokens dominate ⇒ template/spam-like text).
+    *
+    * H = ln(n) − (Σ tf·ln tf)/n, so only per-(doc,word) `tf·ln tf`
+    * terms ever sum — each rounded to 6 decimals and SUMMED IN DECIMAL
+    * (the perplexity discipline: a raw double sum is
+    * shuffle-order-dependent, and libm/JVM ln() can differ in the last
+    * ulp). One explode + one (doc,word) shuffle + one doc_id shuffle;
+    * no corpus-global state at all, so the operator scales as a pure
+    * map-side pipeline at 100 TB.
+    */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame =
+    entropyOver(Tables.documents(spark, sfDir))
+
+  /** Same operator over any (doc_id, text) frame — planted-corpus
+    * specs check the exact uniform/degenerate entropy values.
+    */
+  def entropyOver(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), WordSplit), w => w =!= "")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("tf") * log(col("tf")), 6).cast(DecimalType(18, 6)))
+          .as("tlt_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(log(col("n_tokens"))
+          - col("tlt_sum").cast("double") / col("n_tokens"), 6).as("entropy"))
+
   /** Gopher-style quality rules (the MassiveText filter set, distinct
     * from the C4 word-repetition filters): word-count bounds, mean
     * word length bounds, symbol-to-word ratio, alphabetic-word

@@ -416,4 +416,41 @@ object EventStreams {
             graft.functions.ThetaSketch.theta_estimate(col("sk"), 65536).as("users"))
       }
     }
+
+  /** INCREMENTAL quantile-sketch maintenance over a stream: the KLL
+    * aggregate's mergeable buffer rides the state store across
+    * triggers, so per-key quantiles stay current without re-scanning
+    * history — `stream_theta`'s pattern for an aggregate that is NOT
+    * replay-idempotent (duplicating the feed shifts interpolated
+    * quantiles), which is why the input here is a SINGLE copy split
+    * into two files with maxFilesPerTrigger=1: the cross-batch state
+    * carry is still forced, and the single-copy batch quantile_cont
+    * oracle gates the result exactly (k ≫ group size ⇒ exact regime;
+    * compaction regime is spec-pinned in FunctionsSpec).
+    */
+  def kllFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars").cast("double").as("n_chars"))
+    // the file-stream source monitors a directory; split the input
+    // into two real files so the second trigger exercises state carry
+    val dir = graft.TempDirs.create("graft_stream_kll_src")
+    docs.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val agg = stream.groupBy("lang")
+      .agg(graft.functions.KllSketch.kll_quantiles(
+        col("n_chars"), 8192, Seq(0.25, 0.5, 0.75)).as("qs"))
+    val name = nextSinkName("graft_stream_kll")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+        .select(col("lang"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+    }
+  }
 }

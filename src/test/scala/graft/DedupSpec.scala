@@ -211,4 +211,28 @@ class DedupSpec extends SparkSpec {
       .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
     assert(tri.exceptAll(brute).isEmpty && brute.exceptAll(tri).isEmpty)
   }
+
+  test("containment catches the planted subset pair that jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 20).map(i => s"sub_$i")
+    val big = small ++ (1 to 80).map(i => s"big_$i")
+    val other = (1 to 60).map(i => s"oth_$i")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "sh")
+    val cont = Dedup.ngramContainmentOver(docs, 0.8).collect()
+    assert(cont.length == 1, s"expected exactly the planted pair: ${cont.toSeq}")
+    assert(cont(0).getLong(0) == 1L && cont(0).getLong(1) == 2L)
+    assert(cont(0).getLong(2) == 20L)     // |∩| = the whole small doc
+    assert(cont(0).getDouble(3) == 1.0)   // containment over min(|A|,|B|)
+    // jaccard on the same corpus: 20/100 = 0.2 — below any usable τ
+    assert(Dedup.ngramJaccardOver(docs, 0.5).isEmpty)
+    // and the real corpus keeps the verifier's ordering + bound contracts
+    val real = Dedup.ngramContainment(spark, sf, 0.8).cache()
+    assert(real.filter(col("doc_a") >= col("doc_b")).isEmpty)
+    assert(real.filter(
+      col("containment") < 0.8 || col("containment") > 1.0).isEmpty)
+    // every jaccard pair is a containment pair at equal-or-lower τ:
+    // |∩|/min ≥ |∩|/union, so jaccard ≥ 0.8 ⊆ containment ≥ 0.8
+    val jac = Dedup.ngramJaccard(spark, sf, 0.8).select("doc_a", "doc_b")
+    assert(jac.exceptAll(real.select("doc_a", "doc_b")).isEmpty)
+  }
 }

@@ -256,4 +256,28 @@ class RelationalExtSpec extends SparkSpec {
       .select("s_suppkey", "s_name")
     assert(r.exceptAll(expected).isEmpty && expected.exceptAll(r).isEmpty)
   }
+
+  test("anomaly z-score ranks the planted outlier first and caps per-type " +
+      "output at k") {
+    import spark.implicits._
+    // type 'a': 99 values at 10.0 plus one at 1000.0 — the outlier must
+    // take rnk=1 at |z| ≈ 9.9σ; type 'b' is a plain 1..50 spread and
+    // exercises the per-type k cap
+    val planted = ((1L to 99L).map(i => (i, "a", 10.0)) :+ (100L, "a", 1000.0)) ++
+      (1L to 50L).map(i => (200L + i, "b", i.toDouble))
+    val got = graft.operators.Relational
+      .anomalyZscoreOver(planted.toDF("event_id", "event_type", "value"))
+      .cache()
+    val topA = got.filter(col("event_type") === "a" && col("rnk") === 1)
+      .collect()
+    assert(topA.length == 1 && topA(0).getLong(1) == 100L)
+    assert(math.abs(topA(0).getDouble(3)) > 9.0) // ~9.95σ on 100 points
+    assert(got.groupBy("event_type").count()
+      .filter(col("count") > 5).isEmpty)
+    // real corpus: exactly 5 rows per type, ranks 1..5, z finite
+    val real = graft.operators.Relational.anomalyZscore(spark, sf).cache()
+    assert(real.groupBy("event_type").count()
+      .filter(col("count") =!= 5).isEmpty)
+    assert(real.filter(col("z").isNull || isnan(col("z"))).isEmpty)
+  }
 }

@@ -243,4 +243,24 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getAs[Timestamp]("session_start") == ts(50))
     assert(got(1).getAs[Long]("n_events") == 1)
   }
+
+  test("streaming KLL quantiles equal the batch exact quantiles " +
+      "(state carried across the two-file feed)") {
+    val got = EventStreams.kllFromFiles(spark, sf)
+    val exp = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(expr(
+        "percentile(CAST(n_chars AS DOUBLE), array(0.25, 0.5, 0.75))")
+        .as("q"))
+      .select(col("lang"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+    val joined = got.join(exp, "lang").cache()
+    assert(joined.count() == exp.count())
+    assert(joined.filter(
+      abs(got("p25") - exp("p25")) > 1e-9 ||
+      abs(got("p50") - exp("p50")) > 1e-9 ||
+      abs(got("p75") - exp("p75")) > 1e-9).isEmpty)
+  }
 }

@@ -151,4 +151,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(real.sliding(2).forall(w => w(0)._2 >= w(1)._2),
       s"merge counts increased: ${real.mkString(",")}")
   }
+
+  test("entropy: planted uniform doc hits ln(n) exactly, degenerate doc " +
+      "hits 0, and the corpus respects the ln(n_types) bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // 4 distinct → H = ln 4
+      (2L, "same same same same"),    // 1 type → H = 0
+      (3L, "aa aa bb bb"))            // uniform over 2 → H = ln 2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.entropyOver(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(4) == math.rint(math.log(4) * 1e6) / 1e6)
+    assert(got(2L).getDouble(4) == 0.0)
+    assert(got(2L).getLong(2) == 1L && got(2L).getDouble(3) == 0.25)
+    assert(got(3L).getDouble(4) == math.rint(math.log(2) * 1e6) / 1e6)
+    val corpus = TextAnalysis.entropy(spark, sf).cache()
+    assert(corpus.filter(col("entropy") < -1e-9).isEmpty)
+    assert(corpus.filter(
+      col("entropy") > log(col("n_types").cast("double")) + lit(1e-6)).isEmpty)
+    assert(corpus.filter(col("ttr") <= 0 || col("ttr") > 1).isEmpty)
+  }
 }
