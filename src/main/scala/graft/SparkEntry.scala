@@ -104,6 +104,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Relational.anomalyZscore(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
@@ -1047,6 +1048,27 @@ object SparkEntry {
         |        AS DECIMAL(18,6))) AS DOUBLE)
         |      / CAST(sum(tf) AS DOUBLE), 6) AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
+    // PMI in ln-expanded form (counts never multiply), five ln terms in
+    // one fixed-order IEEE expression both sides, round-6 absorbs ulps
+    "text_collocations" ->
+      """WITH w AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |uni AS (SELECT unnest(w) AS tok FROM w),
+        |ucnt AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY 1),
+        |bi AS (
+        |  SELECT unnest([w[i] for i in range(1, len(w))]) AS a,
+        |         unnest([w[i+1] for i in range(1, len(w))]) AS b
+        |  FROM w WHERE len(w) >= 2),
+        |bcnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt_ab
+        |         FROM bi GROUP BY 1, 2)
+        |SELECT a, b, cnt_ab,
+        |  round(ln(cnt_ab) + 2 * ln((SELECT count(*) FROM uni))
+        |    - ln((SELECT count(*) FROM bi))
+        |    - ln(x.cnt) - ln(y.cnt), 6) AS pmi
+        |FROM bcnt JOIN ucnt x ON a = x.tok JOIN ucnt y ON b = y.tok
+        |WHERE cnt_ab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin,
     // moment sums in decimal (order-independent), mean/σ/z via single
     // IEEE ops on the exact sums, z rounded BEFORE ranking, event_id
     // tiebreak — top-k per type so the result is non-empty at every SF

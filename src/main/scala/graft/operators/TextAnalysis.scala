@@ -319,6 +319,55 @@ object TextAnalysis {
       substring(md5(col("text")), 1, 8).as("fp_head"),
       size(shingles(col("text"))).cast("long").as("n_shingles"))
 
+  /** PMI collocation mining (phrase extraction for vocabulary /
+    * tokenizer work): adjacent word bigrams scored by pointwise mutual
+    * information ln(p(ab) / (p(a)·p(b))), min-count floored, top-k.
+    * High PMI + enough support = a phrase worth a single vocab slot
+    * ("new york"), which is what phrase-merge passes feed on.
+    *
+    * PMI expands to ln(c_ab) + 2·ln(N) − ln(M) − ln(c_a) − ln(c_b) so
+    * the counts never multiply (c_ab·N² overflows any integer at
+    * 100 TB); the five ln terms combine in one fixed-order IEEE
+    * expression mirrored in the oracle and round-6 absorbs the libm
+    * ulps. Plan: one bigram shuffle + one unigram shuffle; the
+    * vocabulary-sized unigram counts join back onto the bigram table
+    * twice (planner's choice — vocabulary ≪ corpus but can exceed
+    * broadcast size at scale), and the 1-row totals broadcast.
+    */
+  def collocations(spark: SparkSession, sfDir: String, minCount: Long = 5,
+      k: Int = 50): DataFrame =
+    collocationsOver(Tables.documents(spark, sfDir), minCount, k)
+
+  /** Same operator over any (doc_id, text) frame — planted-corpus
+    * specs pin the PMI ranking.
+    */
+  def collocationsOver(docs: DataFrame, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val words = docs
+      .select(filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    val uni = words.select(explode(col("w")).as("tok"))
+    val ucnt = uni.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val nTot = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = words.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val mTot = bi.agg(count(lit(1)).as("m_bi"))
+    bi.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount)
+      .join(ucnt.select(col("tok").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(ucnt.select(col("tok").as("b"), col("cnt").as("cnt_b")), "b")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(mTot))
+      .withColumn("pmi", round(
+        log(col("cnt_ab")) + lit(2) * log(col("n_uni")) - log(col("m_bi"))
+          - log(col("cnt_a")) - log(col("cnt_b")), 6))
+      .select(col("a"), col("b"), col("cnt_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** BPE merge-candidate induction, round zero: corpus-wide counts of
     * adjacent CHARACTER pairs inside whitespace tokens — the argmax
     * is the first merge a byte-pair-encoding trainer would make, and

@@ -172,4 +172,25 @@ class TextAnalysisSpec extends SparkSpec {
       col("entropy") > log(col("n_types").cast("double")) + lit(1e-6)).isEmpty)
     assert(corpus.filter(col("ttr") <= 0 || col("ttr") > 1).isEmpty)
   }
+
+  test("collocations: the always-adjacent planted phrase out-scores the " +
+      "frequent-but-independent pair") {
+    import spark.implicits._
+    // "new york" appears 6×, always adjacent; "big" (24×) and "data"
+    // (18×) co-occur adjacently only 12× — PMI must rank the
+    // deterministic phrase above the frequent diluted pair
+    val line = "new york big data big town data town big data "
+    val docs = (1L to 6L).map(i => (i, line + s"filler$i big dataz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocationsOver(docs, minCount = 5, k = 50)
+      .collect()
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair.contains(("new", "york")))
+    assert(byPair.contains(("big", "data")))
+    val pmiNy = byPair(("new", "york")).getDouble(3)
+    val pmiBd = byPair(("big", "data")).getDouble(3)
+    assert(pmiNy > pmiBd,
+      f"expected planted phrase PMI $pmiNy%.4f > diluted pair $pmiBd%.4f")
+    assert(got.forall(_.getLong(2) >= 5), "min-count floor violated")
+  }
 }
