@@ -329,10 +329,12 @@ object TextAnalysis {
     * the counts never multiply (c_ab·N² overflows any integer at
     * 100 TB); the five ln terms combine in one fixed-order IEEE
     * expression mirrored in the oracle and round-6 absorbs the libm
-    * ulps. Plan: one bigram shuffle + one unigram shuffle; the
-    * vocabulary-sized unigram counts join back onto the bigram table
-    * twice (planner's choice — vocabulary ≪ corpus but can exceed
-    * broadcast size at scale), and the 1-row totals broadcast.
+    * ulps. Plan: exactly TWO corpus scans (one unigram pass, one
+    * bigram pass) — the N/M totals re-aggregate the persisted
+    * vocabulary-sized count tables rather than re-scanning text — then
+    * the unigram counts join back onto the bigram table twice
+    * (planner's choice — vocabulary ≪ corpus but can exceed broadcast
+    * size at scale), and the 1-row totals broadcast.
     */
   def collocations(spark: SparkSession, sfDir: String, minCount: Long = 5,
       k: Int = 50): DataFrame =
@@ -345,17 +347,20 @@ object TextAnalysis {
       k: Int = 50): DataFrame = {
     val words = docs
       .select(filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
-    val uni = words.select(explode(col("w")).as("tok"))
-    val ucnt = uni.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val nTot = uni.agg(count(lit(1)).as("n_uni"))
-    val bi = words.filter(size(col("w")) >= 2)
+    val ucnt = words.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcnt = words.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val mTot = bi.agg(count(lit(1)).as("m_bi"))
-    bi.groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTot = ucnt.agg(sum(col("cnt")).as("n_uni"))
+    val mTot = bcnt.agg(sum(col("cnt_ab")).as("m_bi"))
+    bcnt
       .filter(col("cnt_ab") >= minCount)
       .join(ucnt.select(col("tok").as("a"), col("cnt").as("cnt_a")), "a")
       .join(ucnt.select(col("tok").as("b"), col("cnt").as("cnt_b")), "b")
