@@ -106,6 +106,7 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Relational.anomalyZscore(s, d)),
+    "q_regression" -> ((s, d) => Relational.regression(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -272,6 +273,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
@@ -321,6 +323,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.thetaFromFiles(s, d)),
     "stream_kll" ->
       ((s, d) => graft.streaming.EventStreams.kllFromFiles(s, d)),
+    "stream_cms" ->
+      ((s, d) => graft.streaming.EventStreams.cmsFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -729,6 +733,12 @@ object SparkEntry {
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
         |FROM documents GROUP BY lang""".stripMargin,
+    // incrementally-maintained streaming CMS (single-copy two-file
+    // feed — cell counts are additive, not replay-idempotent) vs the
+    // batch exact counts: width ≫ distinct items ⇒ exact regime
+    "stream_cms" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
     "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,
@@ -1094,6 +1104,29 @@ object SparkEntry {
         |      FROM z)
         |WHERE rnk <= 5
         |ORDER BY event_type, rnk""".stripMargin,
+    // five exact decimal moment sums, each cast to double ONCE, then
+    // the identical closed-form IEEE expression tree in both engines
+    "q_regression" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n0,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM li GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, CAST(n0 AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n, 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
+        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "text_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1417,6 +1450,34 @@ object SparkEntry {
          |       ELSE 0.0 END AS dup_ratio
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
     },
+    // a length-L duplicated substring (L ≥ 32) is L−31 consecutive
+    // duplicated 32-gram start positions; merge consecutive positions
+    // (gaps-and-islands) into maximal spans, then per-doc totals
+    "dedup_substring" ->
+      """WITH pos0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text) - 31)) AS i
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INT), 32) AS sh FROM pos0),
+        |dup AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY sh) AS c FROM pos)
+        |  WHERE c >= 2),
+        |runs AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 31 AS e
+        |  FROM runs GROUP BY doc_id, grp),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     // Efraimidis–Spirakis weighted sample: identical ln-domain keys,
     // top-k ordering only (the key never reaches the output)
     "q_weighted_sample" ->

@@ -629,4 +629,67 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"))
   }
+
+  // ---- Exact-substring (suffix-style) dedup --------------------------
+
+  /** Exact duplicated-SUBSTRING span detection — the character-level
+    * complement of [[spanDedup]]'s word-window repetition check: find,
+    * per document, the maximal character spans every k-gram of which
+    * occurs at least twice in the corpus (across documents or within
+    * one). This is the distributed formulation of suffix-array
+    * training-data dedup: a length-L duplicated substring (L ≥ k)
+    * appears as L−k+1 consecutive duplicated k-gram start positions,
+    * so merging consecutive duplicated positions recovers the maximal
+    * duplicated span and its exact character extent.
+    *
+    * Plan shape at 100 TB: one explode pass emits (doc, pos, hash)
+    * with the k-gram reduced to an 8-byte `xxhash64` BEFORE the
+    * shuffle (the raw 32-char shingle never leaves its scan task); one
+    * shuffle keyed on the hash for the occurrence count (window over
+    * the same key); one shuffle back on doc_id for the
+    * consecutive-run merge; tiny per-doc aggregate out. No suffix
+    * array, no pairwise join — corpus-scale cost is linear in total
+    * characters. Hash collisions (≈ n²/2⁶⁵ for n shingles) can only
+    * over-mark a position as duplicated; at the gated SFs the
+    * probability is < 10⁻⁶ and the DuckDB oracle (raw substrings)
+    * confirms zero collisions in practice.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String, k: Int = 32): DataFrame =
+    substringDedupOver(Tables.documents(spark, sfDir), k)
+
+  /** Same operator over any (doc_id, text) frame — planted shared-
+    * sentence specs pin the exact span arithmetic.
+    */
+  def substringDedupOver(documents: DataFrame, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val pos = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
+    // positions are per-(doc,i) unique, so count-over-hash = total
+    // corpus occurrences of the k-gram (within-doc repeats included)
+    val byH = Window.partitionBy(col("h"))
+    val dup = pos.withColumn("c", count(lit(1)).over(byH))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("i"))
+    // consecutive duplicated start positions share (i − row_number):
+    // the gaps-and-islands fold that turns k-gram hits into maximal
+    // character spans [min i, max i + k − 1]
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = dup
+      .withColumn("grp", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(k - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_chars"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
+  }
 }

@@ -1282,4 +1282,60 @@ object Relational {
         col("rnk").cast("long").as("rnk"))
       .orderBy(col("event_type"), col("rnk"))
   }
+
+  /** Per-group ordinary-least-squares regression: slope, intercept and
+    * Pearson correlation of extendedprice on quantity per
+    * (returnflag, linestatus) — the grouped linear-fit primitive
+    * (`REGR_SLOPE`/`REGR_INTERCEPT`/`CORR` in SQL engines) computed
+    * from first principles so the result is cross-engine
+    * deterministic.
+    *
+    * Cross-engine discipline (the `anomalyZscore` pattern): x and y
+    * quantize to decimal, the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate in exact decimal arithmetic (order-independent under
+    * any shuffle), each sum casts to double ONCE, and the closed-form
+    * slope/intercept/corr derive via the identical IEEE expression
+    * tree in both engines, rounded to 6 places. Built-in `regr_slope`
+    * would float-drift across partitionings; exact sums cannot.
+    *
+    * Plan: one partial-aggregating moment shuffle, G rows out —
+    * the cheapest possible shape at any scale.
+    */
+  def regression(spark: SparkSession, sfDir: String): DataFrame =
+    regressionOver(Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+
+  /** Same operator over any (l_returnflag, l_linestatus, x, y) frame —
+    * planted exact-line specs pin slope/intercept/corr.
+    */
+  def regressionOver(pts: DataFrame): DataFrame = {
+    val li = pts.select(col("l_returnflag"), col("l_linestatus"),
+      money(col("x")).as("x"), money(col("y")).as("y"))
+    val m = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+        sum(col("x") * col("y")).as("sxy0"),
+        sum(col("x") * col("x")).as("sxx0"),
+        sum(col("y") * col("y")).as("syy0"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n0"),
+        col("n0").cast("double").as("n"),
+        col("sx0").cast("double").as("sx"),
+        col("sy0").cast("double").as("sy"),
+        col("sxy0").cast("double").as("sxy"),
+        col("sxx0").cast("double").as("sxx"),
+        col("syy0").cast("double").as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("l_returnflag"), col("l_linestatus"),
+        col("n0").as("n"),
+        round(slope, 6).as("slope"),
+        round(col("sy") / col("n") - slope * col("sx") / col("n"), 6)
+          .as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_xy"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 }

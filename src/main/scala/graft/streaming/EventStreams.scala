@@ -453,4 +453,43 @@ object EventStreams {
           element_at(col("qs"), 3).as("p75"))
     }
   }
+
+  /** INCREMENTAL Count-Min maintenance over a stream: one global CMS
+    * rides the state store across triggers, so per-item frequency
+    * estimates stay current without re-scanning history — the
+    * heavy-hitter companion to [[kllFromFiles]]. CMS cells are
+    * ADDITIVE (replaying the feed doubles every count, unlike
+    * `stream_theta`'s idempotent distinct), so the input is a SINGLE
+    * copy split into two files with maxFilesPerTrigger=1: the
+    * cross-batch state carry is still forced, and the single-copy
+    * batch GROUP BY count oracle gates the result exactly (width ≫
+    * distinct items ⇒ zero collisions ⇒ exact regime; the collision
+    * regime is spec-pinned in FunctionsSpec).
+    *
+    * At 100 TB the sketch is one fixed 4×8192-long state row total —
+    * frequency tracking whose state does not grow with the stream.
+    */
+  def cmsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir).select(col("event_type"))
+    val dir = graft.TempDirs.create("graft_stream_cms_src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val agg = stream.agg(
+      graft.functions.CountMinSketch.count_min(col("event_type"), 4, 8192).as("sk"))
+    val name = nextSinkName("graft_stream_cms")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val sk = drainMemorySink(spark, name)
+      // the final complete-mode sketch is ONE row; broadcast it over
+      // the distinct item set so the wide cell array never shuffles
+      ev.distinct().crossJoin(broadcast(sk))
+        .select(col("event_type"),
+          graft.functions.CountMinSketch.cms_estimate(
+            col("sk"), col("event_type"), 4, 8192).as("cnt"))
+    }
+  }
 }

@@ -162,6 +162,37 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r(0L)._3 - 3.0 / 23.0) < 1e-12)
   }
 
+  test("substring dedup: planted shared 50-char run yields one exact " +
+      "50-char span; within-doc period splits into two islands") {
+    import spark.implicits._
+    // 3-char counter blocks: no accidental 32-gram repeats within or
+    // across differently-prefixed runs
+    def blocks(prefix: Char, n: Int): String =
+      (0 until n).map(i => f"$prefix$i%02d").mkString
+    val shared = blocks('S', 17).take(50)
+    val x = blocks('R', 13) + "!" // 40 chars; X+X is 40-periodic
+    val docs = Seq(
+      // '!'/'?' boundary sentinels: block runs both end in digits, so
+      // without them a shared trailing digit would extend the match
+      (0L, blocks('A', 14) + "!" + shared + "!" + blocks('B', 14)),
+      (1L, blocks('C', 14) + "?" + shared + "?" + blocks('D', 14)),
+      (2L, blocks('E', 30)), // fully unique
+      (3L, "short"),         // < k chars
+      (4L, x + x)            // within-doc repeat, no cross-doc match
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedupOver(docs, 32).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+    // docs 0/1: the 19 consecutive duplicated 32-gram starts inside the
+    // shared run merge to ONE span of exactly the shared 50 chars
+    assert(r(0L) == ((1L, 50L)), s"doc0=${r(0L)}")
+    assert(r(1L) == ((1L, 50L)), s"doc1=${r(1L)}")
+    assert(r(2L) == ((0L, 0L)), s"doc2=${r(2L)}")
+    assert(r(3L) == ((0L, 0L)), s"doc3=${r(3L)}")
+    // doc4 = X+X (|X| = 40): grams at 1..9 match 41..49 (p+71 ≤ 80),
+    // the gap at 10..40 splits the hits into two 40-char islands
+    assert(r(4L) == ((2L, 80L)), s"doc4=${r(4L)}")
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)

@@ -280,4 +280,22 @@ class RelationalExtSpec extends SparkSpec {
       .filter(col("count") =!= 5).isEmpty)
     assert(real.filter(col("z").isNull || isnan(col("z"))).isEmpty)
   }
+
+  test("regression recovers a planted exact line (slope 2, intercept 1, " +
+      "corr 1) and stays in-range on the real corpus") {
+    import spark.implicits._
+    val planted = (1 to 100).map(i => ("A", "x", i.toDouble, 2.0 * i + 1.0))
+      .toDF("l_returnflag", "l_linestatus", "x", "y")
+    val got = graft.operators.Relational.regressionOver(planted).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(2) == 100L)
+    assert(r.getDouble(3) == 2.0, s"slope=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"intercept=${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.0, s"corr=${r.getDouble(5)}")
+    val real = graft.operators.Relational.regression(spark, sf).cache()
+    assert(real.count() >= 4)
+    assert(real.filter(col("corr_xy") < -1.0 || col("corr_xy") > 1.0
+      || col("slope").isNull || isnan(col("slope"))).isEmpty)
+  }
 }

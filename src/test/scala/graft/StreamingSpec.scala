@@ -263,4 +263,13 @@ class StreamingSpec extends SparkSpec {
       abs(got("p50") - exp("p50")) > 1e-9 ||
       abs(got("p75") - exp("p75")) > 1e-9).isEmpty)
   }
+
+  test("streaming CMS counts equal the batch exact counts " +
+      "(additive state carried across the two-file feed)") {
+    val got = EventStreams.cmsFromFiles(spark, sf)
+    val exp = Tables.events(spark, sf).groupBy("event_type").count()
+    val joined = got.join(exp, "event_type").cache()
+    assert(joined.count() == exp.count() && exp.count() > 0)
+    assert(joined.filter(col("cnt") =!= col("count")).isEmpty)
+  }
 }
