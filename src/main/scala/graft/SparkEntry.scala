@@ -107,6 +107,8 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Relational.anomalyZscore(s, d)),
     "q_regression" -> ((s, d) => Relational.regression(s, d)),
+    "q_decay_score" -> ((s, d) => Relational.decayScore(s, d)),
+    "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -1127,6 +1129,34 @@ object SparkEntry {
         |  round((n * sxy - sx * sy)
         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
         |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // decay step is a power of two with integer exponent — an exact
+    // exponent shift in both engines; weights round + quantize to
+    // decimal so the per-user sum is order-independent
+    "q_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(round(value / CAST((CAST(1 AS BIGINT) << CAST(
+        |      floor(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7.0)
+        |      AS INT)) AS DOUBLE), 6) AS DECIMAL(18,6)) AS w
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(w) AS DOUBLE) AS score
+        |FROM ev GROUP BY user_id""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val w = cols.zipWithIndex.map { case (c, i) =>
+        s"count($c) AS nn$i, count(DISTINCT $c) AS nd$i" }.mkString(",\n    ")
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        s"SELECT '$c' AS col_name, n_rows, nn$i AS n_non_null, " +
+          s"n_rows - nn$i AS n_null, nd$i AS n_distinct FROM w" }
+        .mkString("\n", "\nUNION ALL\n", "")
+      s"""WITH w AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    $w
+         |  FROM orders)$rows
+         |ORDER BY col_name""".stripMargin
+    },
     "text_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id,

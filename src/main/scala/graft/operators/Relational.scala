@@ -1301,6 +1301,72 @@ object Relational {
     * Plan: one partial-aggregating moment shuffle, G rows out —
     * the cheapest possible shape at any scale.
     */
+  /** Time-decayed per-user engagement score — the recency-weighting
+    * primitive for training-data sampling and feature pipelines:
+    * score = Σ value·2^(−⌊Δdays/halfLife⌋) as of a reference date.
+    *
+    * Cross-engine discipline: the decay step is a POWER OF TWO with an
+    * integer exponent, so `value / 2^k` is an exact exponent shift
+    * (zero rounding error) in both engines — unlike `exp(−λΔ)`, whose
+    * libm last-ulp can differ across runtimes. Per-event weights round
+    * to 6 places, quantize to decimal and sum order-independently; the
+    * one IEEE division per row is deterministic.
+    *
+    * Plan: single scan, one partial-aggregating shuffle keyed user_id.
+    */
+  def decayScore(spark: SparkSession, sfDir: String,
+      halfLifeDays: Int = 7, asOf: String = "2024-02-01"): DataFrame =
+    decayScoreOver(Tables.events(spark, sfDir), halfLifeDays, asOf)
+
+  /** Same operator over any (user_id, ts, value) frame — planted
+    * exact-weight specs pin the decay arithmetic.
+    */
+  def decayScoreOver(events: DataFrame, halfLifeDays: Int,
+      asOf: String): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("value"),
+        datediff(lit(asOf).cast("date"), col("ts").cast("date")).as("d"))
+      .withColumn("k",
+        floor(col("d").cast("double") / halfLifeDays.toDouble).cast("int"))
+      .withColumn("w",
+        round(col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)"), 6)
+          .cast(DecimalType(18, 6)))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("s"))
+      .select(col("user_id"), col("n_events"),
+        col("s").cast("double").as("score"))
+  }
+
+  /** One-pass per-column data-quality profile over orders: row count,
+    * non-null count, null count and EXACT distinct cardinality for
+    * every column — the schema-audit primitive a curation pipeline
+    * runs before trusting a new drop of data.
+    *
+    * All six distinct counts ride ONE aggregation (Catalyst plans the
+    * multi-distinct via Expand: rows × (columns+1) before the partial
+    * agg — one scan, one shuffle). At 100 TB swap the exact counts for
+    * `approx_count_distinct` (the `q_approx_distinct` path) — the
+    * operator shape is identical. Output is one row per column via
+    * `stack`, all-bigint ⇒ bit-stable across engines.
+    */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val wide = Tables.orders(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    wide.select(
+        expr(s"stack(${cols.size}, $stacked) AS (col_name, n_non_null, n_distinct)"),
+        col("n_rows"))
+      .select(col("col_name"), col("n_rows"),
+        col("n_non_null"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   def regression(spark: SparkSession, sfDir: String): DataFrame =
     regressionOver(Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_linestatus"),

@@ -298,4 +298,43 @@ class RelationalExtSpec extends SparkSpec {
     assert(real.filter(col("corr_xy") < -1.0 || col("corr_xy") > 1.0
       || col("slope").isNull || isnan(col("slope"))).isEmpty)
   }
+
+  test("decay score halves per elapsed half-life exactly and counts " +
+      "every event") {
+    import spark.implicits._
+    // user 10: 4.0 at one day back (k=0 → w=4.0) + 8.0 at 22 days back
+    // (k=3 → w=1.0); user 11: one event 15 days back (k=2 → w=1.5)
+    val planted = Seq(
+      (10L, "2024-01-31 12:00:00", 4.0),
+      (10L, "2024-01-10 00:00:00", 8.0),
+      (11L, "2024-01-17 06:30:00", 6.0)
+    ).toDF("user_id", "ts0", "value")
+      .select(col("user_id"), col("ts0").cast("timestamp").as("ts"), col("value"))
+    val got = graft.operators.Relational
+      .decayScoreOver(planted, 7, "2024-02-01").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) == ((2L, 5.0)), s"u10=${got(10L)}")
+    assert(got(11L) == ((1L, 1.5)), s"u11=${got(11L)}")
+    // real corpus: every user with events appears, scores finite
+    val real = graft.operators.Relational.decayScore(spark, sf).cache()
+    assert(real.count() ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(real.filter(col("score").isNull || isnan(col("score"))).isEmpty)
+  }
+
+  test("profile emits one all-bigint row per column with exact " +
+      "distinct counts") {
+    val got = graft.operators.Relational.profile(spark, sf).cache()
+    assert(got.count() == 6)
+    val o = Tables.orders(spark, sf)
+    val byName = got.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val nRows = o.count()
+    assert(byName("o_orderkey") == ((nRows, nRows, 0L, nRows)))
+    val ndStatus = o.select("o_orderstatus").distinct().count()
+    assert(byName("o_orderstatus")._4 == ndStatus)
+    assert(byName.values.forall { case (n, nn, nul, nd) =>
+      n == nRows && nn + nul == n && nd <= nn })
+  }
 }
