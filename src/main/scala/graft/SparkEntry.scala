@@ -109,6 +109,8 @@ object SparkEntry {
     "q_regression" -> ((s, d) => Relational.regression(s, d)),
     "q_decay_score" -> ((s, d) => Relational.decayScore(s, d)),
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
+    "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
+    "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -1781,6 +1783,49 @@ object SparkEntry {
         |SELECT doc_id, word, tf, df,
         |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN df USING (word) CROSS JOIN n""".stripMargin,
+    // top-3 per doc over the text_tfidf base, (tfidf DESC, word)
+    // total order so the rank is cross-engine stable
+    "text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |base AS (
+        |  SELECT doc_id, word,
+        |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, word, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT doc_id, word, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, word) AS rnk
+        |      FROM base)
+        |WHERE rnk <= 3""".stripMargin,
+    // nearest click by |Δt| per purchase, ties to the backward
+    // (causal) side; distances are exact epoch-microsecond longs
+    "q_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, max(c.us) AS bus
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+        |      GROUP BY 1),
+        |f AS (SELECT p.event_id, min(c.us) AS fus
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.us > p.us
+        |      GROUP BY 1)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN bus IS NOT NULL AND (fus IS NULL OR p.us - bus <= fus - p.us)
+        |         THEN p.us - bus
+        |       ELSE fus - p.us END AS dist_us,
+        |  CASE WHEN bus IS NOT NULL AND (fus IS NULL OR p.us - bus <= fus - p.us)
+        |         THEN 'back'
+        |       WHEN fus IS NOT NULL THEN 'fwd'
+        |       ELSE NULL END AS side
+        |FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
     "ann_topk_brute" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -83,4 +83,54 @@ object AsOf {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("slot")
   }
+
+  /** NEAREST-in-time join (the bidirectional as-of): for every
+    * purchase, the same user's click nearest by absolute time —
+    * backward OR forward — with ties broken toward the backward
+    * (causal) side. The sensor-alignment primitive `ASOF` alone can't
+    * express.
+    *
+    * Composition: one union, one ordered window per user carrying the
+    * last click at-or-before (clicks sort before purchases at equal
+    * timestamps, so backward is inclusive) and the first click
+    * strictly after (rows-following window — equal-ts clicks sorted
+    * BEFORE the purchase, so the following frame is strictly later).
+    * One shuffle on user_id, no join, no range explosion — the
+    * [[purchaseWithLastClick]] scale shape with a second frame.
+    * Distances are exact epoch-microsecond longs: no float, no
+    * truncation mismatch between engines.
+    */
+  def nearestClick(spark: SparkSession, sfDir: String): DataFrame =
+    nearestClickOver(Tables.events(spark, sfDir))
+
+  /** Same operator over any (event_id, user_id, event_type, ts) frame
+    * — planted tie/one-sided/no-click specs pin the selection rule.
+    */
+  def nearestClickOver(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    val order = Seq(col("us"), col("is_click").desc, col("event_id"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val clickUs = when(col("is_click") === 1, col("us"))
+    ev
+      .withColumn("bus", last(clickUs, ignoreNulls = true).over(wB))
+      .withColumn("fus", first(clickUs, ignoreNulls = true).over(wF))
+      .filter(col("is_click") === 0)
+      .withColumn("db", col("us") - col("bus"))
+      .withColumn("df", col("fus") - col("us"))
+      .select(col("event_id"), col("user_id"),
+        when(col("db").isNotNull && (col("df").isNull || col("db") <= col("df")),
+            col("db"))
+          .otherwise(col("df")).as("dist_us"),
+        when(col("db").isNotNull && (col("df").isNull || col("db") <= col("df")),
+            lit("back"))
+          .when(col("df").isNotNull, lit("fwd"))
+          .otherwise(lit(null).cast("string")).as("side"))
+  }
 }

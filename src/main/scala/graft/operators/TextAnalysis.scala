@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -157,6 +158,21 @@ object TextAnalysis {
       .withColumn("tfidf", round(
         col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
       .select("doc_id", "word", "tf", "df", "tfidf")
+  }
+
+  /** Per-document keyword extraction: the top-k terms by tf-idf —
+    * the cheap unsupervised tagger every corpus-exploration pipeline
+    * runs. Pure composition over [[tfidf]] (already cross-engine
+    * deterministic): one additional window shuffle keyed doc_id,
+    * ordered (tfidf DESC, word) so ranks are total and stable.
+    */
+  def keywords(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tfidf(spark, sfDir)
+      .withColumn("rnk", row_number().over(byDoc).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("word"), col("tfidf"), col("rnk"))
   }
 
   /** Unigram language-model scoring — the classic LM quality signal

