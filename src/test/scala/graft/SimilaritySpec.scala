@@ -111,6 +111,21 @@ class SimilaritySpec extends SparkSpec {
     assert(candFrac < 0.75, f"banding prunes almost nothing ($candFrac%.3f)")
   }
 
+  test("sq8 scalar quantization: top-k recall vs brute-force truth is " +
+      "measured and pinned; ranks well-formed") {
+    val dir = "/root/testdata/sf0.01"
+    val truth = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annSq8(spark, dir).cache()
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    info(f"sq8 recall@10 (rerank pool 50) = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.9, f"sq8 recall $recall%.3f below the 0.9 floor")
+    // exactly k ranked rows per query, ranks 1..k
+    assert(got.groupBy("query_id").count().filter(col("count") =!= 10).isEmpty)
+    assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
+  }
+
   test("multi-probe LSH: half the hash families, equal-or-better " +
       "measured recall AND selectivity than single-probe 16x4 " +
       "(brute-force truth)") {
