@@ -330,6 +330,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.kllFromFiles(s, d)),
     "stream_cms" ->
       ((s, d) => graft.streaming.EventStreams.cmsFromFiles(s, d)),
+    "stream_topk" ->
+      ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -744,6 +746,20 @@ object SparkEntry {
     "stream_cms" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+    // incrementally-maintained streaming Misra–Gries top-k
+    // (single-copy two-file feed — retained counts are additive) vs
+    // the batch exact top-5: k ≥ vocabulary ⇒ exact regime
+    "stream_topk" ->
+      """SELECT lang, word, cnt, rnk FROM (
+        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, word) AS BIGINT) AS rnk
+        |  FROM (SELECT lang,
+        |          unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |        FROM documents)
+        |  WHERE word <> ''
+        |  GROUP BY lang, word)
+        |WHERE rnk <= 5""".stripMargin,
     "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,

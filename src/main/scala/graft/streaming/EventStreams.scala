@@ -492,4 +492,41 @@ object EventStreams {
             col("sk"), col("event_type"), 4, 8192).as("cnt"))
     }
   }
+
+  /** INCREMENTAL heavy-hitter maintenance over a stream: per-language
+    * Misra–Gries sketches ride the state store across triggers, so the
+    * top-k word list stays current without re-scanning history — the
+    * streaming twin of `agg_freq_items`, completing the maintained-
+    * sketch family (theta = distinct, KLL = quantiles, CMS =
+    * frequencies, MG = top-k). Retained counts are ADDITIVE (replay
+    * would double them), so the input is a SINGLE copy split into two
+    * files with maxFilesPerTrigger=1; k = 64 ≥ per-language vocabulary
+    * keeps the sketch in the exact regime, and the batch top-5 oracle
+    * gates the result (the eviction regime is spec-pinned in
+    * FreqItemsSpec).
+    */
+  def topkFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(split(col("text"),
+          graft.operators.TextMapReduce.WordSplit)).as("word"))
+      .filter(col("word") =!= "")
+    val dir = graft.TempDirs.create("graft_stream_topk_src")
+    words.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(words.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val agg = stream.groupBy("lang")
+      .agg(graft.functions.FreqItemsSketch.freq_items(col("word"), 64).as("sk"))
+    val name = nextSinkName("graft_stream_topk")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+        .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
+        .select(col("lang"), col("col.item").as("word"),
+          col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rnk"))
+    }
+  }
 }

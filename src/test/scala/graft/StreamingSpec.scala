@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStreams
@@ -262,6 +263,23 @@ class StreamingSpec extends SparkSpec {
       abs(got("p25") - exp("p25")) > 1e-9 ||
       abs(got("p50") - exp("p50")) > 1e-9 ||
       abs(got("p75") - exp("p75")) > 1e-9).isEmpty)
+  }
+
+  test("streaming Misra-Gries top-k equals the batch top-5 per language " +
+      "(sketch state carried across the two-file feed)") {
+    val got = EventStreams.topkFromFiles(spark, sf)
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("count").desc, col("word"))
+    val exp = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"),
+        graft.operators.TextMapReduce.WordSplit)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").count()
+      .withColumn("rnk", row_number().over(byLang).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("word"), col("count").as("cnt"), col("rnk"))
+    assert(got.count() == exp.count() && exp.count() > 0)
+    assert(got.join(exp, Seq("lang", "word", "cnt", "rnk"), "left_anti").isEmpty)
   }
 
   test("streaming CMS counts equal the batch exact counts " +
