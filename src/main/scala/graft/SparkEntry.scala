@@ -1155,7 +1155,7 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT user_id,
         |    CAST(round(value / CAST((CAST(1 AS BIGINT) << CAST(
-        |      floor(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7.0)
+        |      greatest(floor(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7.0), 0)
         |      AS INT)) AS DOUBLE), 6) AS DECIMAL(18,6)) AS w
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

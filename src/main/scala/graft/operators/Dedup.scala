@@ -644,10 +644,14 @@ object Dedup {
     *
     * Plan shape at 100 TB: one explode pass emits (doc, pos, hash)
     * with the k-gram reduced to an 8-byte `xxhash64` BEFORE the
-    * shuffle (the raw 32-char shingle never leaves its scan task); one
-    * shuffle keyed on the hash for the occurrence count (window over
-    * the same key); one shuffle back on doc_id for the
-    * consecutive-run merge; tiny per-doc aggregate out. No suffix
+    * shuffle (the raw 32-char shingle never leaves its scan task); the
+    * occurrence count is `groupBy(h).count()` — map-side partial
+    * aggregation collapses a hot shingle to one row per scan task, and
+    * the join back on `h` is AQE-skew-splittable (a window over the
+    * hash would ship EVERY (doc, pos) row of a corpus-wide boilerplate
+    * shingle — licence headers, navigation chrome, exactly what this
+    * operator hunts — to a single reducer); one shuffle back on doc_id
+    * for the consecutive-run merge; tiny per-doc aggregate out. No suffix
     * array, no pairwise join — corpus-scale cost is linear in total
     * characters. Hash collisions (≈ n²/2⁶⁵ for n shingles) can only
     * over-mark a position as duplicated; at the gated SFs the
@@ -669,11 +673,13 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
-    // positions are per-(doc,i) unique, so count-over-hash = total
-    // corpus occurrences of the k-gram (within-doc repeats included)
-    val byH = Window.partitionBy(col("h"))
-    val dup = pos.withColumn("c", count(lit(1)).over(byH))
+    // positions are per-(doc,i) unique, so count-by-hash = total
+    // corpus occurrences of the k-gram (within-doc repeats included);
+    // partial aggregation keeps hot hashes from funneling raw rows
+    val dupHashes = pos.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
+      .select("h")
+    val dup = pos.join(dupHashes, "h")
       .select(col("doc_id"), col("i"))
     // consecutive duplicated start positions share (i − row_number):
     // the gaps-and-islands fold that turns k-gram hits into maximal

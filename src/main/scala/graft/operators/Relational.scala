@@ -1283,24 +1283,6 @@ object Relational {
       .orderBy(col("event_type"), col("rnk"))
   }
 
-  /** Per-group ordinary-least-squares regression: slope, intercept and
-    * Pearson correlation of extendedprice on quantity per
-    * (returnflag, linestatus) — the grouped linear-fit primitive
-    * (`REGR_SLOPE`/`REGR_INTERCEPT`/`CORR` in SQL engines) computed
-    * from first principles so the result is cross-engine
-    * deterministic.
-    *
-    * Cross-engine discipline (the `anomalyZscore` pattern): x and y
-    * quantize to decimal, the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
-    * accumulate in exact decimal arithmetic (order-independent under
-    * any shuffle), each sum casts to double ONCE, and the closed-form
-    * slope/intercept/corr derive via the identical IEEE expression
-    * tree in both engines, rounded to 6 places. Built-in `regr_slope`
-    * would float-drift across partitionings; exact sums cannot.
-    *
-    * Plan: one partial-aggregating moment shuffle, G rows out —
-    * the cheapest possible shape at any scale.
-    */
   /** Time-decayed per-user engagement score — the recency-weighting
     * primitive for training-data sampling and feature pipelines:
     * score = Σ value·2^(−⌊Δdays/halfLife⌋) as of a reference date.
@@ -1310,7 +1292,12 @@ object Relational {
     * (zero rounding error) in both engines — unlike `exp(−λΔ)`, whose
     * libm last-ulp can differ across runtimes. Per-event weights round
     * to 6 places, quantize to decimal and sum order-independently; the
-    * one IEEE division per row is deterministic.
+    * one IEEE division per row is deterministic. Events AFTER `asOf`
+    * clamp to k = 0 (weight = value, no amplification): a negative k
+    * would hit Spark's masked shift count (`1 << -1` =
+    * Long.MIN_VALUE — silently wrong weights) and DuckDB's unmasked
+    * `<<` disagrees, so the clamp is applied identically in the
+    * operator and the oracle.
     *
     * Plan: single scan, one partial-aggregating shuffle keyed user_id.
     */
@@ -1327,7 +1314,8 @@ object Relational {
       .select(col("user_id"), col("value"),
         datediff(lit(asOf).cast("date"), col("ts").cast("date")).as("d"))
       .withColumn("k",
-        floor(col("d").cast("double") / halfLifeDays.toDouble).cast("int"))
+        greatest(floor(col("d").cast("double") / halfLifeDays.toDouble), lit(0L))
+          .cast("int"))
       .withColumn("w",
         round(col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)"), 6)
           .cast(DecimalType(18, 6)))
@@ -1367,6 +1355,24 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** Per-group ordinary-least-squares regression: slope, intercept and
+    * Pearson correlation of extendedprice on quantity per
+    * (returnflag, linestatus) — the grouped linear-fit primitive
+    * (`REGR_SLOPE`/`REGR_INTERCEPT`/`CORR` in SQL engines) computed
+    * from first principles so the result is cross-engine
+    * deterministic.
+    *
+    * Cross-engine discipline (the `anomalyZscore` pattern): x and y
+    * quantize to decimal, the five moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate in exact decimal arithmetic (order-independent under
+    * any shuffle), each sum casts to double ONCE, and the closed-form
+    * slope/intercept/corr derive via the identical IEEE expression
+    * tree in both engines, rounded to 6 places. Built-in `regr_slope`
+    * would float-drift across partitionings; exact sums cannot.
+    *
+    * Plan: one partial-aggregating moment shuffle, G rows out —
+    * the cheapest possible shape at any scale.
+    */
   def regression(spark: SparkSession, sfDir: String): DataFrame =
     regressionOver(Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_linestatus"),

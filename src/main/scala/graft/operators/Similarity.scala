@@ -279,8 +279,13 @@ object Similarity {
     *
     * Plan shape: the per-dimension bounds are ONE row (posexplode →
     * d-key aggregate → re-fold), broadcast everywhere; both stages
-    * broadcast the query side and stream the corpus — no shuffle
-    * grows with the corpus.
+    * broadcast the query side and stream the corpus, and the
+    * approximate-stage top-`rerank` cut runs through [[graft.plans.TopKPerKey]]
+    * — bounded per-partition heaps, ≤ `rerank` rows per query per map
+    * partition through the shuffle — so no shuffle grows with the
+    * corpus (a `row_number` window keyed only on query_id would sort
+    * corpus × queries rows into nQueries partitions, a straggler AQE
+    * cannot split).
     */
   def annSq8(spark: SparkSession, sfDir: String,
       k: Int = 10, nQueries: Int = 20, rerank: Int = 50): DataFrame = {
@@ -315,24 +320,22 @@ object Similarity {
     val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("acos",
         dot_product(col("qx"), col("xhat")) / col("qxn") / col("xnorm"))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("acos").desc, col("vec_id"))
-    val pool = approx
-      .withColumn("arnk", row_number().over(wA))
-      .filter(col("arnk") <= rerank)
+    val pool = graft.plans.TopKPerKey(
+        approx.select(col("query_id"), col("vec_id"), col("acos")),
+        Seq("query_id"), Seq(("acos", true), ("vec_id", false)), rerank)
       .select(col("query_id"), col("vec_id"))
-    // exact re-rank of the small pool against full-precision vectors
+    // exact re-rank of the small pool (≤ nQueries·rerank rows, bounded
+    // regardless of corpus size) against full-precision vectors
     val exactQ = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    pool
+    val rescored = pool
       .join(all, "vec_id")
       .join(broadcast(exactQ), "query_id")
       .withColumn("cos", dot_product(col("qv"), col("v")) / col("qn") / col("norm"))
-      .withColumn("rnk", row_number().over(wE).cast("long"))
-      .filter(col("rnk") <= k)
+    graft.plans.TopKPerKey(
+        rescored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 }

@@ -193,6 +193,38 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 80L)), s"doc4=${r(4L)}")
   }
 
+  test("substring dedup plan: occurrence count partial-aggregates on " +
+      "the shingle hash; a corpus-wide hot shingle stays correct") {
+    import spark.implicits._
+    // plan shape: the count side must be a hash aggregate keyed on h
+    // (map-side combine collapses a hot shingle to one row per task);
+    // the only window left is the per-doc gaps-and-islands fold
+    val df = Dedup.substringDedup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate(keys=[h#"),
+      s"no partial aggregate on the shingle hash:\n$plan")
+    val winOnH = plan.linesIterator
+      .filter(l => l.contains("Window") && l.matches(""".*\[h#\d+L?\].*"""))
+    assert(winOnH.isEmpty, s"window keyed on h: ${winOnH.mkString("; ")}")
+    // planted boilerplate: ONE 40-char run shared by every doc (the
+    // licence-header case: a single hash key carrying 64 × 9 hits) —
+    // each doc reports exactly that span. The char after the boiler is
+    // UNIQUE per doc ('0'+d, 64 distinct), so the span cannot extend;
+    // the tail's 4-char doc-namespaced counter blocks ("DDII") make
+    // every later 32-gram doc-unique.
+    def blocks(prefix: Char, n: Int): String =
+      (0 until n).map(i => f"$prefix$i%02d").mkString
+    val boiler = blocks('Z', 14).take(40)
+    val docs = (0L until 64L)
+      .map(d => (d, boiler + ('0' + d).toChar +
+        (0 until 20).map(i => f"$d%02d$i%02d").mkString))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringDedupOver(docs, 32).collect()
+    assert(r.length == 64)
+    assert(r.forall(row => row.getLong(1) == 1L && row.getLong(2) == 40L),
+      s"hot-shingle spans wrong: ${r.take(5).mkString(", ")}")
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)

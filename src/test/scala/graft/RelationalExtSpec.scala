@@ -307,7 +307,10 @@ class RelationalExtSpec extends SparkSpec {
     val planted = Seq(
       (10L, "2024-01-31 12:00:00", 4.0),
       (10L, "2024-01-10 00:00:00", 8.0),
-      (11L, "2024-01-17 06:30:00", 6.0)
+      (11L, "2024-01-17 06:30:00", 6.0),
+      // AFTER asOf: clamps to k=0 (w = value) instead of hitting
+      // Spark's masked negative shift (1 << -1 = Long.MIN_VALUE)
+      (12L, "2024-02-15 00:00:00", 3.0)
     ).toDF("user_id", "ts0", "value")
       .select(col("user_id"), col("ts0").cast("timestamp").as("ts"), col("value"))
     val got = graft.operators.Relational
@@ -315,6 +318,7 @@ class RelationalExtSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got(10L) == ((2L, 5.0)), s"u10=${got(10L)}")
     assert(got(11L) == ((1L, 1.5)), s"u11=${got(11L)}")
+    assert(got(12L) == ((1L, 3.0)), s"u12=${got(12L)}")
     // real corpus: every user with events appears, scores finite
     val real = graft.operators.Relational.decayScore(spark, sf).cache()
     assert(real.count() ==

@@ -126,6 +126,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
   }
 
+  test("sq8 plan shape: both rank cuts run through bounded TopKPerKey " +
+      "heaps — no window keyed on query_id anywhere in the plan") {
+    val plan = Similarity.annSq8(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    // a row_number window partitioned only on query_id would sort
+    // corpus x queries rows into nQueries reducers AQE cannot split
+    assert(!plan.contains("Window"), s"window survived in sq8 plan:\n$plan")
+    assert(plan.contains("TopKPerKey"), "bounded-heap operator missing")
+  }
+
   test("multi-probe LSH: half the hash families, equal-or-better " +
       "measured recall AND selectivity than single-probe 16x4 " +
       "(brute-force truth)") {

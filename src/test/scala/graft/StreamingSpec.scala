@@ -267,6 +267,19 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming Misra-Gries top-k equals the batch top-5 per language " +
       "(sketch state carried across the two-file feed)") {
+    // PRECONDITION for exactness, asserted so a corpus change fails
+    // HERE and not as a confusing count mismatch below: Misra-Gries
+    // retained counts are exact only while k=64 >= the per-language
+    // distinct-word vocabulary (no evictions ever fire)
+    val maxVocab = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"),
+        graft.operators.TextMapReduce.WordSplit)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang").agg(countDistinct(col("word")).as("nd"))
+      .agg(max(col("nd"))).head.getLong(0)
+    assert(maxVocab < 64,
+      s"per-language vocabulary $maxVocab >= sketch k=64: topkFromFiles " +
+        "leaves the exact regime; raise k or re-gate as approximate")
     val got = EventStreams.topkFromFiles(spark, sf)
     val byLang = Window.partitionBy(col("lang"))
       .orderBy(col("count").desc, col("word"))
