@@ -111,6 +111,7 @@ object SparkEntry {
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
+    "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -1775,11 +1776,17 @@ object SparkEntry {
          |    FROM (SELECT doc_id,
          |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw
          |          FROM documents)))
-         |SELECT c.doc_id, q.n_words, l.pred_lang
+         |SELECT c.doc_id, q.n_words, l.pred_lang, p.n_pii
          |FROM clusters c
          |JOIN q ON c.doc_id = q.doc_id
          |JOIN l ON c.doc_id = l.doc_id
-         |WHERE c.cluster_id = c.doc_id AND q.n_words >= 20 AND l.pred_lang = 'en'""".stripMargin,
+         |JOIN (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |          + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
+         |          + len(regexp_extract_all(text, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_pii
+         |      FROM documents) p ON c.doc_id = p.doc_id
+         |WHERE c.cluster_id = c.doc_id AND q.n_words >= 20
+         |  AND l.pred_lang = 'en' AND p.n_pii <= 0""".stripMargin,
     "q_vector_stats" -> vectorStatsSql,
     "sql_vector_stats" -> vectorStatsSql,
     "sql_ngram_profile" ->
@@ -1820,6 +1827,25 @@ object SparkEntry {
         |          ORDER BY tfidf DESC, word) AS rnk
         |      FROM base)
         |WHERE rnk <= 3""".stripMargin,
+    // PII planted deterministically from doc_id (corpus carries none)
+    // with the IDENTICAL construction on both sides, so the regex
+    // surface and the mask text are what the hash checks
+    "text_pii" ->
+      s"""WITH probed AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com ph 555-' || lpad(CAST(doc_id % 731 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST(doc_id % 8191 AS VARCHAR), 4, '0')
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' ref 987-65-4321' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.IdRe}', '<ID>', 'g') AS text_clean
+         |FROM probed""".stripMargin,
     // nearest click by |Δt| per purchase, ties to the backward
     // (causal) side; distances are exact epoch-microsecond longs
     "q_asof_nearest" ->

@@ -9,14 +9,14 @@ import graft.functions.CatalystExprs.dot_product
 
 /** End-to-end corpus curation — the composition this engine exists
   * for: near-dup removal (keep one canonical doc per cluster) ∘
-  * quality filter ∘ language filter, in one declarative plan. Each
-  * stage is an already-verified operator; composing them costs no
-  * extra passes because Catalyst fuses the projections.
+  * quality filter ∘ language filter ∘ PII scrub, in one declarative
+  * plan. Each stage is an already-verified operator; composing them
+  * costs no extra passes because Catalyst fuses the projections.
   */
 object Pipeline {
 
   def curate(spark: SparkSession, sfDir: String,
-      minWords: Long = 20): DataFrame = {
+      minWords: Long = 20, maxPii: Long = 0): DataFrame = {
     // near-dup edges come from the MinHash-LSH path: at 100 TB the
     // candidate join is keyed on band signatures, never an all-pairs
     // shingle self-join. Banding is matched to the 0.5 threshold
@@ -34,10 +34,19 @@ object Pipeline {
     val lang = TextAnalysis.langId(spark, sfDir)
       .filter(col("pred_lang") === "en")
       .select(col("doc_id"), col("pred_lang"))
+    // PII scrub: a doc leaking more than `maxPii` matches is dropped
+    // outright (default 0 = strictest). Projection-only stage —
+    // Catalyst fuses it into the same documents scan as quality/lang.
+    val scrubbed = TextAnalysis.piiRedactOver(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        (col("n_email") + col("n_phone") + col("n_id")).as("n_pii"))
+      .filter(col("n_pii") <= maxPii)
     canonical
       .join(quality, "doc_id")
       .join(lang, "doc_id")
-      .select("doc_id", "n_words", "pred_lang")
+      .join(scrubbed, "doc_id")
+      .select("doc_id", "n_words", "pred_lang", "n_pii")
   }
 
   /** Deterministic stratified sampling: each language keeps a

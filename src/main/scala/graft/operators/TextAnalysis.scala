@@ -471,4 +471,65 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("merge_rank", "pair", "cnt")
   }
+
+  // ---- PII detection / redaction --------------------------------------
+
+  /** PII regexes, written in the Java-regex ∩ RE2 dialect both engines
+    * share (character classes, bounded repetition, `\b` — no
+    * lookarounds, which RE2 lacks). Three standard classes every
+    * pretraining-curation pass scrubs:
+    * email, NANP-ish phone (3-3-4 with -/./space separators), and
+    * SSN-shaped 3-2-4 IDs. Phone and ID shapes are disjoint (3-3-4 vs
+    * 3-2-4 digit groups cannot overlap), so redaction order cannot
+    * change counts.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val IdRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** PII detection + redaction over any (doc_id, text) frame: per-doc
+    * counts per class (on the ORIGINAL text) and the masked text.
+    * Pure `regexp_extract_all`/`regexp_replace` — codegen'd built-ins,
+    * one projection, no shuffle at all: the cheapest possible shape,
+    * embarrassingly parallel at any corpus size.
+    *
+    * Emails are masked first so a digit-bearing local part can never
+    * leave a phone-shaped residue for the later passes.
+    */
+  def piiRedactOver(docs: DataFrame): DataFrame = {
+    def n(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      n(EmailRe).as("n_email"),
+      n(PhoneRe).as("n_phone"),
+      n(IdRe).as("n_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IdRe, "<ID>").as("text_clean"))
+  }
+
+  /** Gated entry: the synthetic corpus carries no natural PII (zero
+    * digits or '@' in any doc — verified), so the query plants
+    * deterministic doc_id-derived PII inline (email + phone per doc,
+    * an SSN-shaped ID on every third doc) with the IDENTICAL string
+    * construction in the DuckDB oracle — the gate then checks real
+    * regex hits and masked output, not 500 zero rows.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val probed = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ph 555-"),
+        lpad((col("doc_id") % 731).cast("string"), 3, "0"),
+        lit("-"),
+        lpad((col("doc_id") % 8191).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0, lit(" ref 987-65-4321"))
+          .otherwise(lit(""))).as("text"))
+    piiRedactOver(probed)
+  }
 }

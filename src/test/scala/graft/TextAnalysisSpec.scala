@@ -209,4 +209,30 @@ class TextAnalysisSpec extends SparkSpec {
       f"expected planted phrase PMI $pmiNy%.4f > diluted pair $pmiBd%.4f")
     assert(got.forall(_.getLong(2) >= 5), "min-count floor violated")
   }
+
+  test("pii redaction: counts per class on planted text, masking is " +
+      "complete, email-first order leaves no phone residue") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org and x9@y.co today"),
+      (2L, "call 555-867-5309 or 555.867.5309, id 123-45-6789"),
+      // digit-heavy local part: masked as ONE email, not a phone hit
+      (3L, "reach 555-123-4567x@example.com after 5"),
+      (4L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedactOver(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(1L) == ((2L, 0L, 0L, "mail <EMAIL> and <EMAIL> today")))
+    assert(r(2L) == ((0L, 2L, 1L, "call <PHONE> or <PHONE>, id <ID>")))
+    // n_phone = 0 on the original too: '7x' has no \b, so the digits
+    // inside the local part never count as a phone
+    assert(r(3L) == ((1L, 0L, 0L, "reach <EMAIL> after 5")), s"doc3=${r(3L)}")
+    assert(r(4L) == ((0L, 0L, 0L, "no pii here at all")))
+    // the masked text never retains a match of any class
+    val clean = TextAnalysis.piiRedactOver(docs)
+      .select(col("text_clean").as("text"), col("doc_id"))
+    assert(TextAnalysis.piiRedactOver(clean)
+      .filter(col("n_email") + col("n_phone") + col("n_id") > 0).isEmpty)
+  }
 }
