@@ -203,6 +203,9 @@ object SparkEntry {
         .select(col("event_type"),
           graft.functions.ThetaSketch.theta_estimate(col("sk"), 65536).as("users"))
     }),
+    // persist → reload → re-aggregate round trip; artifacts only, no
+    // raw re-scan in the merge (see operators/SketchStore.scala)
+    "sketch_persist" -> ((s, d) => SketchStore.persistedRollup(s, d)),
     "agg_theta_intersect" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // users who BOTH clicked and purchased, via sketch set algebra:
@@ -790,6 +793,15 @@ object SparkEntry {
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
         |FROM documents GROUP BY lang""".stripMargin,
+    // all four re-merged answers are exact-regime, so the one-shot
+    // aggregate over the full table is the oracle for the round trip
+    "sketch_persist" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |  quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_events_cms
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_freq_items" ->
       """SELECT lang, word, cnt, rnk FROM (
         |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt,

@@ -199,6 +199,91 @@ case class KllSketch(
     copy(child = c.head)
 }
 
+/** KLL aggregate that evals to the SERIALIZED buffer (binary) instead
+  * of quantiles — the persistable artifact form: write per-group rows
+  * to parquet today, `kll_merge_quantiles` them across runs tomorrow
+  * without re-scanning raw data. Update/merge/serialization are
+  * KllSketch's own (composed, not duplicated), so the two forms
+  * cannot drift.
+  */
+case class KllBufferAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with ExpectsInputTypes {
+
+  private lazy val inner = KllSketch(child, k, Seq(0.5))
+
+  override def children: Seq[Expression] = child :: Nil
+  override def inputTypes = Seq(DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllBuffer =
+    inner.createAggregationBuffer()
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer =
+    inner.update(buf, input)
+  override def merge(buf: KllBuffer, other: KllBuffer): KllBuffer =
+    inner.merge(buf, other)
+  override def eval(buf: KllBuffer): Any = inner.serialize(buf)
+  override def serialize(buf: KllBuffer): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllBufferAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllBufferAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllBufferAgg =
+    copy(child = c.head)
+}
+
+/** RE-aggregation of persisted `kll_buffer` rows: deserialize each
+  * binary buffer, merge levelwise, eval quantiles — `theta_union`'s
+  * twin for the quantile sketch. In the exact regime (every
+  * contributing buffer uncompacted and the merged value count < k)
+  * the result equals quantiles over the union of the original raw
+  * data, which is what lets a two-run round trip sit behind the
+  * DuckDB `quantile_cont` gate.
+  */
+case class KllMergeQuantiles(
+    child: Expression,
+    k: Int,
+    probs: Seq[Double],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with ExpectsInputTypes {
+
+  private lazy val inner = KllSketch(child, k, probs)
+
+  override def children: Seq[Expression] = child :: Nil
+  override def inputTypes = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): KllBuffer =
+    inner.createAggregationBuffer()
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) inner.merge(buf, inner.deserialize(v.asInstanceOf[Array[Byte]]))
+    else buf
+  }
+  override def merge(buf: KllBuffer, other: KllBuffer): KllBuffer =
+    inner.merge(buf, other)
+  override def eval(buf: KllBuffer): Any = inner.eval(buf)
+  override def serialize(buf: KllBuffer): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeQuantiles =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeQuantiles =
+    copy(child = c.head)
+}
+
 object KllSketch {
   /** Column-level entry: quantiles of a double column at `probs`,
     * returned as array<double> in `probs` order.
@@ -206,5 +291,17 @@ object KllSketch {
   def kll_quantiles(c: Column, k: Int, probs: Seq[Double]): Column =
     org.apache.spark.sql.GraftBridge.column(
       KllSketch(org.apache.spark.sql.GraftBridge.expression(c), k, probs)
+        .toAggregateExpression())
+
+  /** Column-level entry: the persistable serialized-buffer form. */
+  def kll_buffer(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      KllBufferAgg(org.apache.spark.sql.GraftBridge.expression(c), k)
+        .toAggregateExpression())
+
+  /** Column-level entry: re-aggregate persisted buffers → quantiles. */
+  def kll_merge_quantiles(c: Column, k: Int, probs: Seq[Double]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      KllMergeQuantiles(org.apache.spark.sql.GraftBridge.expression(c), k, probs)
         .toAggregateExpression())
 }

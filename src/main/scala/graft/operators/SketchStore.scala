@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, TempDirs}
+import graft.functions.{CountMinSketch, KllSketch, ThetaSketch}
+
+/** PERSISTED, re-mergeable sketch artifacts (SURVEY §2.B) — the
+  * cross-JOB twin of the streaming sketch maintenance: a daily job
+  * writes per-group sketch ROWS to parquet, and later jobs answer
+  * corpus-wide questions by re-aggregating the artifacts — never
+  * re-scanning raw data. This is why warehouses keep sketch rollup
+  * tables: at 100 TB, "distinct users this quarter" becomes a read of
+  * 90 × G k-bounded rows instead of a quarter-scan.
+  *
+  * Three sketch families ride the same artifact rows, each with its
+  * own re-aggregation:
+  *   - theta (distinct): `theta_union` — set union, keep k smallest;
+  *   - KLL (quantiles): `kll_merge_quantiles` over the serialized
+  *     binary buffers (`kll_buffer`);
+  *   - Count-Min (frequencies): elementwise counter sum, done in pure
+  *     declarative Spark (posexplode → per-cell sum → re-fold) since
+  *     CMS merge IS addition.
+  * Plus the trivially-mergeable exact count, summed alongside.
+  *
+  * Exact-regime gating (k ≫ group cardinality at the gate SF): every
+  * re-merged answer equals the exact answer over the union of both
+  * "days", so DuckDB's count(DISTINCT) / quantile_cont / count(*)
+  * gate the full persist → reload → re-aggregate round trip.
+  */
+object SketchStore {
+
+  val ThetaK = 65536
+  val KllK = 8192
+  val CmsDepth = 4
+  val CmsWidth = 8192
+
+  /** Write one "day"'s artifacts: per-event-type sketch rows plus a
+    * single global CMS row over the type column. In production this
+    * is the end of the daily ingest job; `day` keys the artifact so
+    * runs never clobber each other.
+    */
+  def writeDay(events: DataFrame, dir: String, day: String): Unit = {
+    events
+      .select(col("event_type"), col("user_id").cast("string").as("uid"),
+        col("value").cast("double").as("v"))
+      .groupBy("event_type")
+      .agg(
+        ThetaSketch.theta_sketch(col("uid"), ThetaK).as("sk_users"),
+        KllSketch.kll_buffer(col("v"), KllK).as("sk_value"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(s"$dir/types/day=$day")
+    events
+      .agg(CountMinSketch.count_min(col("event_type"), CmsDepth, CmsWidth)
+        .as("sk_cms"))
+      .write.mode("overwrite").parquet(s"$dir/global/day=$day")
+  }
+
+  /** Re-aggregate persisted artifacts (NO raw-data input): distinct
+    * users (theta union), median value (KLL buffer merge), exact
+    * event counts (sum), CMS-probed event counts (elementwise-summed
+    * matrices) — one row per event type.
+    */
+  def mergeArtifacts(spark: SparkSession, dir: String): DataFrame = {
+    val types = spark.read.parquet(s"$dir/types")
+      .groupBy("event_type")
+      .agg(
+        ThetaSketch.theta_union(col("sk_users"), ThetaK).as("sk_users"),
+        KllSketch.kll_merge_quantiles(col("sk_value"), KllK, Seq(0.5)).as("qs"),
+        sum(col("n_events")).as("n_events"))
+    // CMS re-merge is elementwise addition: explode each day's matrix
+    // to (cell, count), sum per cell, fold back into ONE matrix row.
+    // Matrix size is a constant (depth × width), so this never grows
+    // with data volume — only with the number of persisted runs.
+    val cms = spark.read.parquet(s"$dir/global")
+      .select(posexplode(col("sk_cms")).as(Seq("pos", "c")))
+      .groupBy("pos").agg(sum(col("c")).as("c"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("b"))
+      .select(transform(col("b"), s => s.getField("c")).as("sk_cms"))
+    types.crossJoin(broadcast(cms))
+      .select(col("event_type"),
+        ThetaSketch.theta_estimate(col("sk_users"), ThetaK).as("users"),
+        element_at(col("qs"), 1).as("p50"),
+        col("n_events"),
+        CountMinSketch.cms_estimate(col("sk_cms"), col("event_type"),
+          CmsDepth, CmsWidth).as("n_events_cms"))
+  }
+
+  /** Gated entry: simulate two ingest runs (first vs second half of
+    * the event month), persist each run's artifacts, then answer from
+    * the artifacts alone. The month split is deterministic and covers
+    * every row exactly once, so the merged answers equal one-shot
+    * aggregation over the full table — the DuckDB oracle.
+    */
+  def persistedRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val dir = TempDirs.create("graft_sketch_store").toString
+    writeDay(ev.filter(dayofmonth(col("ts")) <= 15), dir, "d1")
+    writeDay(ev.filter(dayofmonth(col("ts")) > 15), dir, "d2")
+    mergeArtifacts(spark, dir)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchStore
+
+class SketchStoreSpec extends SparkSpec {
+
+  test("persisted sketch artifacts re-merge to the exact one-shot " +
+      "answers across two simulated runs") {
+    val got = SketchStore.persistedRollup(spark, sf).cache()
+    val exp = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        percentile(col("value").cast("double"), lit(0.5)).as("p50"),
+        count(lit(1)).as("n_events"))
+    val j = got.join(exp.withColumnsRenamed(
+      Map("users" -> "e_users", "p50" -> "e_p50", "n_events" -> "e_n")),
+      "event_type").cache()
+    assert(j.count() == exp.count() && exp.count() > 0)
+    assert(j.filter(col("users") =!= col("e_users")).isEmpty, "theta union drifted")
+    assert(j.filter(abs(col("p50") - col("e_p50")) > 1e-9).isEmpty, "KLL merge drifted")
+    assert(j.filter(col("n_events") =!= col("e_n")).isEmpty, "count sum drifted")
+    assert(j.filter(col("n_events_cms") =!= col("e_n")).isEmpty, "CMS sum drifted")
+  }
+
+  test("the merge job reads ONLY the persisted artifacts — no raw " +
+      "events scan in its plan — and artifacts survive for a later run") {
+    val ev = Tables.events(spark, sf)
+    val dir = TempDirs.create("graft_sketch_store_spec").toString
+    SketchStore.writeDay(ev.filter(dayofmonth(col("ts")) <= 15), dir, "d1")
+    SketchStore.writeDay(ev.filter(dayofmonth(col("ts")) > 15), dir, "d2")
+    val merged = SketchStore.mergeArtifacts(spark, dir)
+    // incremental-corpus-stats property: the answer job's scan set is
+    // the artifact store, never the raw table
+    val scans = merged.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("graft_sketch_store_spec"), s"scans:\n$scans")
+    assert(!scans.contains("events.parquet"), s"raw table rescanned:\n$scans")
+    // artifact schema is the documented contract: array<long> theta,
+    // binary KLL buffer, long count — readable by ANY later session
+    val stored = spark.read.parquet(s"$dir/types")
+    assert(stored.schema("sk_users").dataType.typeName == "array")
+    assert(stored.schema("sk_value").dataType.typeName == "binary")
+    // a THIRD run appends without rewriting prior artifacts: merging
+    // d1+d2+d2 double-counts additive stats exactly (counts double)
+    // while the theta distinct set is idempotent under re-union
+    // materialize BEFORE the third write: merged is lazy and would
+    // otherwise re-list the artifact dir after d3 lands
+    val base = merged.select("event_type", "users", "n_events").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    SketchStore.writeDay(ev.filter(dayofmonth(col("ts")) > 15), dir, "d3")
+    val h2 = ev.filter(dayofmonth(col("ts")) > 15)
+      .groupBy("event_type").agg(count(lit(1)).as("n_half2")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = SketchStore.mergeArtifacts(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    base.foreach { case (t, (u1, n1)) =>
+      assert(again(t)._1 == u1,
+        s"theta re-union not idempotent on replayed artifact for $t")
+      assert(again(t)._2 == n1 + h2.getOrElse(t, 0L),
+        s"replayed additive artifact must add exactly its own counts for $t")
+    }
+  }
+}
