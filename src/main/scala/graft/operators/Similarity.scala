@@ -338,4 +338,148 @@ object Similarity {
         Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
+
+  val PqM = 16     // subspaces (64 dims → 4-dim sub-vectors)
+  val PqKs = 16    // centroids per subspace (4-bit codes)
+
+  /** Product-quantization ANN (Jégou et al., TPAMI'11) — the next
+    * rung past SQ8 on the memory-bound path: each vector stores one
+    * 4-bit centroid id per 4-dim SUBSPACE (PqM·log₂(PqKs) = 64 bits
+    * vs SQ8's 64 bytes vs 512 raw — 64× compression), and query
+    * scoring is ADC: per query, precompute the PqM × PqKs table of
+    * sub-dot-products against the codebook once, then every corpus
+    * vector costs PqM table lookups instead of a 64-dim dot product.
+    * The UNIT vector is what gets quantized — cosine depends on
+    * direction only, and spending codebook capacity on norm variance
+    * measured 10+ recall points worse.
+    *
+    * Codebook: per-subspace Lloyd/k-means over a FIXED-SIZE
+    * deterministic sample (the first `PqSample` corpus vectors,
+    * first-`PqKs`-of-sample init, ties to the lower id) — the
+    * driver-side stand-in for the offline training job a real
+    * deployment runs (training is a batch concern, not a query
+    * concern; annIvf sets the precedent). The collect is O(sample),
+    * independent of corpus size; everything per-corpus-row is a pure
+    * projection (encode = argmin per subspace via higher-order
+    * functions, no shuffle), the ADC join broadcasts queries +
+    * tables, and the top-`rerank` cut runs through bounded TopKPerKey
+    * heaps — like annSq8, no shuffle grows with the corpus. Exact
+    * re-rank of the pool recovers what 4-bit quantization loses;
+    * recall vs brute truth is spec-pinned (untrained first-16-rows
+    * codebooks measured 0.67 — training is what buys the floor).
+    */
+  val PqSample = 128
+  val PqLloydIters = 8
+
+  /** Deterministic Lloyd iterations: fixed init (first ks points),
+    * fixed scan order, strict-< argmin (ties to the lower id), empty
+    * cluster keeps its previous centroid. No randomness anywhere, so
+    * codebooks are identical across runs and cluster layouts.
+    */
+  private[operators] def lloyd(pts: Array[Array[Double]], ks: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    var cents = pts.take(ks).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(ks)(new Array[Double](dim))
+      val cnts = new Array[Int](ks)
+      pts.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(ks)(c =>
+        if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c))
+    }
+    cents
+  }
+
+  def annPq(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20, rerank: Int = 100): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val dims = 64
+    val subd = dims / PqM
+    // cosine depends on DIRECTION only, so quantize the unit vector
+    // u = v/|v| — norm variance would otherwise eat codebook capacity
+    val unit = all.withColumn("u", transform(col("v"), x => x / col("norm")))
+    val sample = unit.filter(col("vec_id") < PqSample)
+      .orderBy("vec_id").select("u").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= PqKs, s"corpus smaller than codebook: ${sample.length}")
+    // cb(j)(c) = centroid c of subspace j; nrm2(j)(c) = its |·|²
+    val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map { j =>
+      val sub = sample.map(_.slice(j * subd, (j + 1) * subd))
+      lloyd(sub, PqKs, PqLloydIters).map(_.toSeq).toSeq
+    }
+    val nrm2: Seq[Seq[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
+    val cbLit = typedLit(cb)
+    val nrm2Lit = typedLit(nrm2)
+
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def subdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+    // encode: one 0..PqKs-1 id per subspace, ties to the lowest id —
+    // a projection over the scan, nothing moves
+    val coded = unit.select(col("vec_id"),
+      transform(sequence(lit(0), lit(PqM - 1)), j => {
+        val sub = slice(col("u"), j * subd + 1, lit(subd))
+        aggregate(sequence(lit(0), lit(PqKs - 1)),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+          (acc, c) => {
+            val d = l2(sub, element_at(element_at(cbLit, j + 1), c + 1))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.as("c"))).otherwise(acc)
+          }).getField("c")
+      }).as("code"))
+      // reconstruction norm |û| from the nrm2 table (subspaces are
+      // orthogonal coordinate blocks, so |û|² = Σ_j |cb(j)(code_j)|²)
+      .withColumn("xnorm",
+        sqrt(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(nrm2Lit, j + 1),
+            element_at(col("code"), j + 1) + 1))))
+    // per-query ADC table: tbl(j)(c) = <q̂_sub_j, cb(j)(c)> with q̂
+    // the unit query — the query side is exact, only the corpus side
+    // is quantized
+    val q = unit.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), j =>
+          transform(sequence(lit(0), lit(PqKs - 1)), c =>
+            subdot(slice(col("u"), j * subd + 1, lit(subd)),
+              element_at(element_at(cbLit, j + 1), c + 1)))).as("tbl"))
+    val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("acos",
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(col("tbl"), j + 1),
+            element_at(col("code"), j + 1) + 1))
+          / col("xnorm"))
+    val pool = graft.plans.TopKPerKey(
+        approx.select(col("query_id"), col("vec_id"), col("acos")),
+        Seq("query_id"), Seq(("acos", true), ("vec_id", false)), rerank)
+      .select(col("query_id"), col("vec_id"))
+    val exactQ = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val rescored = pool
+      .join(all, "vec_id")
+      .join(broadcast(exactQ), "query_id")
+      .withColumn("cos", dot_product(col("qv"), col("v")) / col("qn") / col("norm"))
+    graft.plans.TopKPerKey(
+        rescored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
 }

@@ -126,6 +126,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
   }
 
+  test("pq: 4-bit ADC codes + exact re-rank recall vs brute-force " +
+      "truth is measured and pinned; ranks well-formed") {
+    val dir = "/root/testdata/sf0.01"
+    val truth = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annPq(spark, dir).cache()
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    info(f"pq recall@10 (m=${Similarity.PqM}, ks=${Similarity.PqKs}, " +
+      f"rerank 100) = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.9, f"pq recall $recall%.3f below the 0.9 floor")
+    assert(got.groupBy("query_id").count().filter(col("count") =!= 10).isEmpty)
+    assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
+    // same scale contract as sq8: no query-keyed window anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window survived in pq plan")
+  }
+
   test("sq8 plan shape: both rank cuts run through bounded TopKPerKey " +
       "heaps — no window keyed on query_id anywhere in the plan") {
     val plan = Similarity.annSq8(spark, "/root/testdata/sf0.01")
