@@ -225,6 +225,15 @@ object Similarity {
     * recall is the quality bar. (Tuning sweep, same corpus:
     * 8×8+3p → 0.831 recall / 0.368 candidates when recall can be
     * traded for 2× selectivity; 12×8+3p → 0.910 / 0.485.)
+    *
+    * Celebrity-bucket skew: a hot (band, code) key concentrates its
+    * quadratic pair fan-out on one reducer. MEASURED (SimilaritySpec
+    * "celebrity LSH bucket"): AQE skew-splits exactly this self-join
+    * shape at runtime — `SortMergeJoin(skew=true)`, both sides split
+    * — so the candidate join stays UNSALTED; the q_skew_join salting
+    * pattern was evaluated and rejected (it buys the same flattening
+    * by replicating the probe side salt× on every bucket, skewed or
+    * not).
     */
   def annLshMultiProbe(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3,

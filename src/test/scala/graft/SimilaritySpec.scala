@@ -144,6 +144,50 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), "window survived in pq plan")
   }
 
+  test("celebrity LSH bucket: AQE skew-splits the (band, code) " +
+      "candidate self-join at runtime — salting measured unnecessary") {
+    // The multiprobe verify join's hazard: one hot bucket puts every
+    // member pair on ONE (band, code) shuffle key. Measured here on
+    // the exact join shape with a planted 90%-hot bucket: the final
+    // adaptive plan splits the skewed partition on BOTH sides of the
+    // self-join (no exchange reuse blocks it). The q_skew_join
+    // salting pattern was evaluated against this and rejected: it
+    // flattens the same hot key only by replicating the probe side
+    // salt× on EVERY bucket, which AQE's split gets for free and only
+    // where skew actually materializes.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = spark.range(20000).select(col("id").as("vec_id"),
+        lit(0).as("band"),
+        when(col("id") % 10 =!= 0, lit(777))
+          .otherwise(pmod(col("id"), lit(100)).cast("int")).as("code"),
+        md5(col("id").cast("string")).as("pad"))
+      val j = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.code") === col("y.code")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      // execute THIS QueryExecution (df.count() would plan a separate
+      // one and leave this plan unadapted), then read the final plan
+      val pairs = j.queryExecution.toRdd.count()
+      assert(pairs == 162190000L, s"planted pair count drifted: $pairs")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not skew-split the celebrity bucket:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("sq8 plan shape: both rank cuts run through bounded TopKPerKey " +
       "heaps — no window keyed on query_id anywhere in the plan") {
     val plan = Similarity.annSq8(spark, "/root/testdata/sf0.01")
