@@ -299,6 +299,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
+    "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
@@ -1801,6 +1802,17 @@ object SparkEntry {
          |WHERE c.cluster_id = c.doc_id AND q.n_words >= 20
          |  AND l.pred_lang = 'en' AND p.n_pii <= 0""".stripMargin,
     "q_vector_stats" -> vectorStatsSql,
+    // decile cutpoints via quantile_cont (the proven q_percentiles
+    // pairing); ties at a cutpoint land in the lower bucket (strict <)
+    "q_quantile_bucket" -> {
+      val probs = (1 until 10).map(_.toDouble / 10).mkString(", ")
+      s"""WITH cuts AS (
+         |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), [$probs]) AS cs
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+         |  CAST(1 + len(list_filter(cs, c -> c < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
+         |FROM documents CROSS JOIN cuts""".stripMargin
+    },
     "sql_vector_stats" -> vectorStatsSql,
     "sql_ngram_profile" ->
       """SELECT doc_id,

@@ -290,4 +290,36 @@ object Pipeline {
       .agg(count(lit(1)).as("n"),
         min(col("norm")).as("min_norm"),
         max(col("norm")).as("max_norm"))
+
+  /** Quantile-bucket feature binning — the curriculum/quality-tier
+    * primitive ("split the corpus into length deciles, sample tier 9
+    * harder"): cutpoints are the (nBuckets−1) interior quantiles of
+    * the feature, bucket = 1 + #cutpoints strictly below the value
+    * (ties land in the LOWER bucket, deterministically).
+    *
+    * Scale shape: NOT `ntile()` — that is a window over one global
+    * sort (a single-reducer funnel at 100 TB). Cutpoints are one
+    * 1-row aggregate broadcast everywhere, assignment is a pure
+    * projection. Exact `percentile` holds a per-group value buffer —
+    * at 100 TB swap in the KLL path (`agg_kll`, same interpolation
+    * formula) for bounded memory; the operator shape is identical.
+    * Cross-engine: both engines interpolate `lo + frac·(hi−lo)` over
+    * doubles, the same IEEE tree the agg_kll gate already pins.
+    */
+  def quantileBucketsOver(vals: DataFrame, nBuckets: Int): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = vals.agg(
+      percentile(col("x"), typedLit(probs)).as("cuts"))
+    vals.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("x"),
+        (lit(1) + size(filter(col("cuts"), c => c < col("x"))))
+          .cast("long").as("bucket"))
+  }
+
+  def quantileBuckets(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 10): DataFrame =
+    quantileBucketsOver(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars").cast("double").as("x")),
+      nBuckets)
 }

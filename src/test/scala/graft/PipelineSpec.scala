@@ -125,6 +125,34 @@ class PipelineSpec extends SparkSpec {
     assert(off.isEmpty, s"mixture mass off target: ${off.collect().mkString}")
   }
 
+  test("quantile buckets: planted values land in exact deciles, ties " +
+      "at a cutpoint go to the lower bucket, real corpus is balanced") {
+    import spark.implicits._
+    // 1..4 with nBuckets=2: cutpoint = p50 = 2.5 → buckets 1,1,2,2
+    val small = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("doc_id", "x")
+    val got2 = Pipeline.quantileBucketsOver(small, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L), s"$got2")
+    // tie case: 1,2,3 with nBuckets=3 → cuts (p33, p66) = (5/3, 7/3);
+    // x=2 sits strictly between; x exactly ON a cutpoint stays lower:
+    // 1..5, nBuckets=2 → p50 = 3.0, so x=3 (== cutpoint) → bucket 1
+    val tie = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0))
+      .toDF("doc_id", "x")
+    val gotTie = Pipeline.quantileBucketsOver(tie, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotTie(3L) == 1L, s"tie at cutpoint must stay lower: $gotTie")
+    // real corpus: every doc bucketed 1..10, deciles balanced within
+    // the slack duplicated n_chars values force
+    val b = Pipeline.quantileBuckets(spark, sf).cache()
+    assert(b.count() == Tables.documents(spark, sf).count())
+    assert(b.filter(col("bucket") < 1 || col("bucket") > 10).isEmpty)
+    val sizes = b.groupBy("bucket").count().select("count")
+      .collect().map(_.getLong(0))
+    val n = b.count()
+    assert(sizes.max <= (n * 2) / 10 + 1, s"decile wildly unbalanced: ${sizes.toSeq}")
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)
