@@ -300,16 +300,21 @@ object Pipeline {
     * Scale shape: NOT `ntile()` — that is a window over one global
     * sort (a single-reducer funnel at 100 TB). Cutpoints are one
     * 1-row aggregate broadcast everywhere, assignment is a pure
-    * projection. Exact `percentile` holds a per-group value buffer —
-    * at 100 TB swap in the KLL path (`agg_kll`, same interpolation
-    * formula) for bounded memory; the operator shape is identical.
+    * projection. The cutpoint aggregate is the mergeable KLL sketch
+    * (`KllSketch`, O(k)-bounded buffers with map-side partials), NOT
+    * exact `percentile` — exact percentile holds every value in one
+    * aggregation buffer, a 100 TB memory funnel. At the gate SFs
+    * (≤ 5000 docs) k=8192 keeps the sketch in its exact regime, so
+    * DuckDB's `quantile_cont` still gates the full path bit-for-bit.
     * Cross-engine: both engines interpolate `lo + frac·(hi−lo)` over
     * doubles, the same IEEE tree the agg_kll gate already pins.
     */
-  def quantileBucketsOver(vals: DataFrame, nBuckets: Int): DataFrame = {
+  def quantileBucketsOver(vals: DataFrame, nBuckets: Int,
+      kllK: Int = 8192): DataFrame = {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = vals.agg(
-      percentile(col("x"), typedLit(probs)).as("cuts"))
+      graft.functions.KllSketch.kll_quantiles(
+        col("x"), kllK, probs).as("cuts"))
     vals.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("x"),
         (lit(1) + size(filter(col("cuts"), c => c < col("x"))))

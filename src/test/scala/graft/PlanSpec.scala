@@ -37,6 +37,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size >= 1)
   }
 
+  test("quantile_bucket cutpoints are the bounded KLL sketch, not an " +
+      "exact-percentile value buffer") {
+    val p = plan(graft.operators.Pipeline.quantileBuckets(spark, sf))
+    // exact Percentile holds every value in one aggregation buffer —
+    // a single-point memory funnel at 100 TB; the KLL sketch is O(k)
+    assert(!p.contains("percentile("), s"exact percentile in plan:\n$p")
+    assert(p.contains("kllsketch") || p.contains("KllSketch"),
+      s"KLL cutpoint aggregate missing from plan:\n$p")
+  }
+
   test("minhash LSH candidate join is a hash join, not cartesian") {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"))
