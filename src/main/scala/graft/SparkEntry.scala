@@ -1862,15 +1862,20 @@ object SparkEntry {
          |    || '-' || lpad(CAST(doc_id % 8191 AS VARCHAR), 4, '0')
          |    || CASE WHEN doc_id % 3 = 0 THEN ' ref 987-65-4321' ELSE '' END AS text
          |  FROM documents)
+         |, m AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS m1
+         |  FROM probed)
+         |, m2t AS (
+         |  SELECT doc_id, text, m1,
+         |    regexp_replace(m1, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS m2
+         |  FROM m)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phone,
-         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_id,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
-         |    '${TextAnalysis.IdRe}', '<ID>', 'g') AS text_clean
-         |FROM probed""".stripMargin,
+         |  CAST(len(regexp_extract_all(m1, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(m2, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_id,
+         |  regexp_replace(m2, '${TextAnalysis.IdRe}', '<ID>', 'g') AS text_clean
+         |FROM m2t""".stripMargin,
     // nearest click by |Δt| per purchase, ties to the backward
     // (causal) side; distances are exact epoch-microsecond longs
     "q_asof_nearest" ->

@@ -488,27 +488,31 @@ object TextAnalysis {
   val IdRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
   /** PII detection + redaction over any (doc_id, text) frame: per-doc
-    * counts per class (on the ORIGINAL text) and the masked text.
-    * Pure `regexp_extract_all`/`regexp_replace` — codegen'd built-ins,
-    * one projection, no shuffle at all: the cheapest possible shape,
-    * embarrassingly parallel at any corpus size.
+    * counts per class and the masked text. Each class is counted on
+    * the text AFTER the earlier classes were masked (email → phone →
+    * id, the same order the replacement runs), so `n_<class>` always
+    * equals the number of `<CLASS>` tokens emitted — a digit-ending
+    * email local part like `555-123-4567@x.com` is ONE email, never
+    * also a phone. Pure `regexp_extract_all`/`regexp_replace` —
+    * codegen'd built-ins, one projection, no shuffle at all: the
+    * cheapest possible shape, embarrassingly parallel at any corpus
+    * size (Catalyst subexpression elimination evaluates each masking
+    * stage once).
     *
     * Emails are masked first so a digit-bearing local part can never
     * leave a phone-shaped residue for the later passes.
     */
   def piiRedactOver(docs: DataFrame): DataFrame = {
-    def n(re: String) =
-      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    def n(c: Column, re: String) =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val m1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val m2 = regexp_replace(m1, PhoneRe, "<PHONE>")
     docs.select(
       col("doc_id"),
-      n(EmailRe).as("n_email"),
-      n(PhoneRe).as("n_phone"),
-      n(IdRe).as("n_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        IdRe, "<ID>").as("text_clean"))
+      n(col("text"), EmailRe).as("n_email"),
+      n(m1, PhoneRe).as("n_phone"),
+      n(m2, IdRe).as("n_id"),
+      regexp_replace(m2, IdRe, "<ID>").as("text_clean"))
   }
 
   /** Gated entry: the synthetic corpus carries no natural PII (zero

@@ -156,7 +156,8 @@ class SimilaritySpec extends SparkSpec {
     // salt× on EVERY bucket, which AQE's split gets for free and only
     // where skew actually materializes.
     val conf = spark.conf
-    val saved = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    val saved = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.autoBroadcastJoinThreshold")

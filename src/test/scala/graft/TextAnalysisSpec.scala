@@ -218,7 +218,12 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "call 555-867-5309 or 555.867.5309, id 123-45-6789"),
       // digit-heavy local part: masked as ONE email, not a phone hit
       (3L, "reach 555-123-4567x@example.com after 5"),
-      (4L, "no pii here at all")
+      (4L, "no pii here at all"),
+      // boundary case: local part ENDS in a phone shape ('@' supplies
+      // the trailing \b) — on the original text PhoneRe would hit, but
+      // counts run on the email-masked text, so n_phone = 0 and the
+      // counts agree with the single <EMAIL> the mask emits
+      (5L, "wire 555-123-4567@x.com now")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.piiRedactOver(docs).collect()
       .map(x => x.getLong(0) ->
@@ -229,6 +234,7 @@ class TextAnalysisSpec extends SparkSpec {
     // inside the local part never count as a phone
     assert(r(3L) == ((1L, 0L, 0L, "reach <EMAIL> after 5")), s"doc3=${r(3L)}")
     assert(r(4L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(r(5L) == ((1L, 0L, 0L, "wire <EMAIL> now")), s"doc5=${r(5L)}")
     // the masked text never retains a match of any class
     val clean = TextAnalysis.piiRedactOver(docs)
       .select(col("text_clean").as("text"), col("doc_id"))
