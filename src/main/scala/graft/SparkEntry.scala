@@ -101,6 +101,7 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
@@ -462,6 +463,48 @@ object SparkEntry {
       |  SELECT user_id, run_id, event_type,
       |    min(ts) AS vf, count(*) AS n_events
       |  FROM runs GROUP BY 1, 2, 3)""".stripMargin
+
+  // shared CTE chain for the BPE family: unique-word table plus 3
+  // unrolled merge rounds (p{i} = round argmax pair, w{i} = vocabulary
+  // re-encoded after that merge) — bpe_merges SELECTs the merge table,
+  // bpe_apply re-applies the same three replaces to every document
+  private val bpeTrainCtes =
+    """WITH words AS (
+      |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                  x -> x <> '')) AS w
+      |        FROM documents)
+      |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
+      |  GROUP BY 1),
+      |p1 AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+      |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+      |      i -> s[i] || '|' || s[i + 1])) AS pair
+      |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM words))
+      |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      |w1 AS (
+      |  SELECT replace(enc,
+      |    '<' || split_part(pair, '|', 1) || '><' || split_part(pair, '|', 2) || '>',
+      |    '<' || replace(pair, '|', '') || '>') AS enc, n
+      |  FROM words, p1),
+      |p2 AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+      |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+      |      i -> s[i] || '|' || s[i + 1])) AS pair
+      |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w1))
+      |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      |w2 AS (
+      |  SELECT replace(enc,
+      |    '<' || split_part(pair, '|', 1) || '><' || split_part(pair, '|', 2) || '>',
+      |    '<' || replace(pair, '|', '') || '>') AS enc, n
+      |  FROM w1, p2),
+      |p3 AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+      |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+      |      i -> s[i] || '|' || s[i + 1])) AS pair
+      |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
+      |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
 
   private val vectorStatsSql =
     """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
@@ -1657,46 +1700,44 @@ object SparkEntry {
     // p{i} is the round's argmax pair, each w{i} the re-encoded
     // vocabulary after that merge (wrapped-symbol encoding makes
     // replace() exactly non-overlapping left-to-right merging)
-    "bpe_merges" ->
-      """WITH words AS (
-        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS enc,
-        |         CAST(count(*) AS BIGINT) AS n
-        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |                                  x -> x <> '')) AS w
-        |        FROM documents)
-        |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$')
-        |  GROUP BY 1),
-        |p1 AS (
-        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
-        |      i -> s[i] || '|' || s[i + 1])) AS pair
-        |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM words))
-        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
-        |w1 AS (
-        |  SELECT replace(enc,
-        |    '<' || split_part(pair, '|', 1) || '><' || split_part(pair, '|', 2) || '>',
-        |    '<' || replace(pair, '|', '') || '>') AS enc, n
-        |  FROM words, p1),
-        |p2 AS (
-        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
-        |      i -> s[i] || '|' || s[i + 1])) AS pair
-        |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w1))
-        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
-        |w2 AS (
-        |  SELECT replace(enc,
-        |    '<' || split_part(pair, '|', 1) || '><' || split_part(pair, '|', 2) || '>',
-        |    '<' || replace(pair, '|', '') || '>') AS enc, n
-        |  FROM w1, p2),
-        |p3 AS (
-        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-        |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
-        |      i -> s[i] || '|' || s[i + 1])) AS pair
-        |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
-        |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)
-        |SELECT CAST(1 AS BIGINT) AS merge_rank, pair, cnt FROM p1
+    "bpe_merges" -> (bpeTrainCtes + "\n" +
+      """SELECT CAST(1 AS BIGINT) AS merge_rank, pair, cnt FROM p1
         |UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM p2
-        |UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM p3""".stripMargin,
+        |UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM p3""".stripMargin),
+    // train→apply closed: the same three learned merges re-applied to
+    // every doc's wrapped domain words, in rank order; out-of-domain
+    // words are one unknown token apiece
+    "bpe_apply" -> (bpeTrainCtes + ",\n" +
+      """docs AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |enc AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(ws, w -> length(w) >= 2
+        |      AND regexp_matches(w, '^[a-z]+$'))) AS BIGINT) AS n_dom,
+        |    array_to_string(list_transform(
+        |      list_filter(ws, w -> length(w) >= 2
+        |        AND regexp_matches(w, '^[a-z]+$')),
+        |      w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ') AS e0
+        |  FROM docs),
+        |ap AS (
+        |  SELECT doc_id, n_words, n_dom,
+        |    replace(replace(replace(e0,
+        |      '<' || split_part(p1.pair, '|', 1) || '><' || split_part(p1.pair, '|', 2) || '>',
+        |      '<' || replace(p1.pair, '|', '') || '>'),
+        |      '<' || split_part(p2.pair, '|', 1) || '><' || split_part(p2.pair, '|', 2) || '>',
+        |      '<' || replace(p2.pair, '|', '') || '>'),
+        |      '<' || split_part(p3.pair, '|', 1) || '><' || split_part(p3.pair, '|', 2) || '>',
+        |      '<' || replace(p3.pair, '|', '') || '>') AS e
+        |  FROM enc, p1, p2, p3)
+        |SELECT doc_id, n_words,
+        |  CAST(n_words - n_dom + length(e) - length(replace(e, '<', ''))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(length(e) - length(replace(e, '<', ''))
+        |    - len(regexp_extract_all(e, '<[a-z]>')) AS BIGINT) AS n_merged
+        |FROM ap""".stripMargin),
     "bpe_pairs" ->
       """SELECT pair, count(*) AS cnt
         |FROM (

@@ -472,6 +472,62 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "pair", "cnt")
   }
 
+  /** Close the tokenizer train→apply loop: ENCODE the corpus with the
+    * learned merge table. Training emits the driver-sized merge list
+    * (that is its contract); application is one shuffle-free
+    * projection — every doc's trainer-domain words (`[a-z]`, len ≥ 2)
+    * are wrapped `<h><e><y>`, space-joined, and the N merges run as
+    * ordered literal `replace`s (the same scan-resume left-to-right
+    * semantics the trainer pinned; targets never span the space
+    * separator). Out-of-domain words tokenize as one atomic unknown
+    * apiece. Per doc: `n_words` (all whitespace words), `n_tokens`
+    * (unknowns + post-merge symbol count), `n_merged` (multi-char
+    * symbols — the compression the merges bought).
+    *
+    * Scale shape: train once (vocabulary-sized loop), broadcast the
+    * merge list INSIDE the plan as literals, then a single
+    * codegen'd pass over the corpus — embarrassingly parallel, no
+    * shuffle, no per-row driver work.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String,
+      nMerges: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeMergesOver(docs, nMerges).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    bpeApplyOver(docs, merges)
+  }
+
+  /** Encode any documents-shaped frame with an explicit rank-ordered
+    * merge list ("a|b" pairs) — lets specs drive a planted corpus.
+    */
+  def bpeApplyOver(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val e0 = concat_ws(" ", transform(
+      filter(wsTokens(col("text")),
+        w => length(w) >= 2 && w.rlike("^[a-z]+$")),
+      w => regexp_replace(w, "(.)", "<$1>")))
+    val enc = merges.foldLeft(e0) { (e, pair) =>
+      val Array(a, b) = pair.split("\\|", 2)
+      // symbols are [a-z]+ by construction — safe to inline
+      replace(e, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    docs
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_words"),
+        size(filter(wsTokens(col("text")),
+          w => length(w) >= 2 && w.rlike("^[a-z]+$")))
+          .cast("long").as("n_dom"),
+        enc.as("e"))
+      .select(col("doc_id"), col("n_words"),
+        (length(col("e")) - length(replace(col("e"), lit("<")))).as("n_sym"),
+        size(regexp_extract_all(col("e"), lit("<[a-z]>"), lit(0)))
+          .cast("long").as("n_single"),
+        col("n_dom"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - col("n_dom") + col("n_sym"))
+          .cast("long").as("n_tokens"),
+        (col("n_sym") - col("n_single")).cast("long").as("n_merged"))
+  }
+
   // ---- PII detection / redaction --------------------------------------
 
   /** PII regexes, written in the Java-regex ∩ RE2 dialect both engines

@@ -152,6 +152,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"merge counts increased: ${real.mkString(",")}")
   }
 
+  test("bpe apply: planted merges encode docs to hand-computed token " +
+      "counts, out-of-domain words are one unknown apiece") {
+    import spark.implicits._
+    // merges learned elsewhere: e|y then h|ey then hey|y (the chain a
+    // "heyy heyy hey" corpus trains); apply to a doc mixing domain
+    // words, an out-of-domain word (digits) and a 1-char word
+    val docs = Seq(
+      (1L, "heyy hey zz9 a"), // <heyy> <hey> + unk + unk → 4 tokens
+      (2L, "yeh heyy"),       // yeh keeps 3 singles (no <e><y> run),
+                              // heyy collapses to <heyy> → 4 tokens
+      (3L, "")                // empty doc → all zeros
+    ).toDF("doc_id", "text")
+    val merges = Seq("e|y", "h|ey", "hey|y")
+    val r = TextAnalysis.bpeApplyOver(docs, merges).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1: 4 words, domain {heyy, hey} → <heyy> + <hey> = 2 symbols,
+    // both merged; zz9 and a are unknowns → n_tokens = 2 + 2
+    assert(r(1L) == ((4L, 4L, 2L)), s"doc1=${r(1L)}")
+    // doc 2: yeh has no 'ey' adjacency in <y><e><h> (e|y is symbol
+    // order, and replace targets '<e><y>' exactly) → 3 single symbols;
+    // heyy collapses to one merged symbol → n_tokens = 3 + 1
+    assert(r(2L) == ((2L, 4L, 1L)), s"doc2=${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0L)), s"doc3=${r(3L)}")
+    // train→apply on the real corpus: every doc encodes, token counts
+    // land between merged-floor and word-chars, merges never inflate
+    val applied = TextAnalysis.bpeApply(spark, sf).cache()
+    assert(applied.count() == Tables.documents(spark, sf).count())
+    assert(applied.filter(col("n_tokens") < col("n_words")).isEmpty,
+      "a word can never encode to fewer than one token")
+    assert(applied.filter(col("n_merged") < 0).isEmpty)
+    assert(applied.agg(sum("n_merged")).head().getLong(0) > 0,
+      "learned merges never fired on the corpus that trained them")
+  }
+
   test("entropy: planted uniform doc hits ln(n) exactly, degenerate doc " +
       "hits 0, and the corpus respects the ln(n_types) bound") {
     import spark.implicits._
