@@ -276,6 +276,7 @@ object SparkEntry {
     }),
     // C. Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.ngramContainment(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1425,6 +1426,14 @@ object SparkEntry {
     // C/D/E/F — minhash/simhash/lsh variants are rows-only (xxhash64
     // isn't reproducible in DuckDB); the exact baselines are gated.
     "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    // the two-run store composition must equal one-shot exact dedup
+    // bit-for-bit (run 1 holds the smaller ids, so earliest-run-wins
+    // IS global min-id) — the oracle is the one-shot query itself
+    "dedup_incremental" ->
       """SELECT doc_id, md5(text) AS fp,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup

@@ -16,6 +16,61 @@ class DedupSpec extends SparkSpec {
       e.count() - e.select("fp").distinct().count())
   }
 
+  test("incremental dedup: two-run store composition equals one-shot " +
+      "exact dedup, decision job never re-reads run-1 text, and " +
+      "store signatures alone surface a planted cross-run near-dup") {
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    // planted corpus: run 1 (small ids) and run 2 (large ids) with an
+    // exact dup inside run 1, an exact dup across runs, an exact dup
+    // inside run 2, and a near-dup pair across runs
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the rain keeps falling on the quiet gray town all day"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // dup inside run 1
+      (3L, "completely unrelated text about spark plans and shuffles " +
+        "partitions codegen and adaptive execution at massive scale"),
+      (10L, base),                                  // dup of run 1 across runs
+      (11L, base.replace("gray", "grey")),          // near-dup of run 1
+      (12L, "another standalone document with its own words entirely"),
+      (13L, "another standalone document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val dir = TempDirs.create("graft_fp_store_spec").toString
+    val run1 = docs.filter(col("doc_id") < 10)
+    val run2 = docs.filter(col("doc_id") >= 10)
+    IncrementalDedup.writeFingerprints(run1, dir, "r1")
+    val store = spark.read.parquet(s"$dir/fp")
+    val got = IncrementalDedup.decideWithStore(store, run2)
+    // equality with the one-shot rule: canonical = global min per fp
+    val oneShot = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+    assert(got.count() == docs.count())
+    assert(got.except(oneShot).isEmpty && oneShot.except(got).isEmpty,
+      "incremental composition drifted from one-shot exact dedup")
+    // artifact-only property: ONE text scan (the new batch) in the
+    // decision plan — run-1 rows come from the fingerprint store
+    val scans = got.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan")).mkString("\n")
+    assert(scans.contains("graft_fp_store_spec"), s"store not scanned:\n$scans")
+    // near-dup across runs from persisted signatures only (old text
+    // untouched): one word swapped in ~20 flips 3 of ~20 shingles, so
+    // true jaccard ≈ 0.74 — probe at τ=0.5 where recall is certain
+    val near = IncrementalDedup.sigDupAgainstStore(store, run2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 11L)) || near.contains((2L, 11L)),
+      s"planted cross-run near-dup not surfaced: $near")
+    // exact cross-run dup is also a signature dup at agreement 1.0
+    assert(near.exists(_._2 == 10L), s"exact dup missing from sig path: $near")
+    // registry entry end-to-end on the real corpus: same row count as
+    // the corpus, no canonical above its doc
+    val reg = IncrementalDedup.incrementalExact(spark, sf).cache()
+    assert(reg.count() == Tables.documents(spark, sf).count())
+    assert(reg.filter(col("canonical_id") > col("doc_id")).isEmpty)
+  }
+
   test("ngram jaccard finds the planted near-dup pairs") {
     val pairs = Dedup.ngramJaccard(spark, sf, 0.5).cache()
     assert(pairs.count() > 0)
