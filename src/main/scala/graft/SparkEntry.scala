@@ -283,6 +283,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
+    "dedup_span_clean" -> ((s, d) => Dedup.spanClean(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
@@ -464,6 +465,37 @@ object SparkEntry {
       |  SELECT user_id, run_id, event_type,
       |    min(ts) AS vf, count(*) AS n_events
       |  FROM runs GROUP BY 1, 2, 3)""".stripMargin
+
+  // shared CTE chain for span-removal cleaning (sc_-prefixed to avoid
+  // collisions when composed into the curate oracle): positions
+  // covered by a corpus-repeated 10-gram occurrence, per doc
+  private val spanCleanCtes = {
+    val gram10 = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""sc_words AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sc_spg AS (
+       |  SELECT doc_id, i AS p, $gram10 AS g
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+       |        FROM sc_words)),
+       |sc_df AS (
+       |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+       |                 FROM sc_spg GROUP BY 1) WHERE df >= 2),
+       |sc_cv AS (
+       |  SELECT DISTINCT doc_id, c FROM (
+       |    SELECT doc_id, unnest(generate_series(p, p + 9)) AS c
+       |    FROM sc_spg JOIN sc_df USING (g))),
+       |sc_cov AS (SELECT doc_id, list(c) AS cov FROM sc_cv GROUP BY 1)""".stripMargin
+  }
+
+  private val spanCleanSelect =
+    """SELECT w.doc_id,
+      |  CAST(len(w.w) AS BIGINT) AS n_words,
+      |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string([w.w[i] for i in range(1, len(w.w) + 1)
+      |    if NOT coalesce(list_contains(c.cov, i), false)], ' '), '') AS text_clean
+      |FROM sc_words w LEFT JOIN sc_cov c USING (doc_id)""".stripMargin
 
   // shared CTE chain for the BPE family: unique-word table plus 3
   // unrolled merge rounds (p{i} = round argmax pair, w{i} = vocabulary
@@ -1566,6 +1598,10 @@ object SparkEntry {
          |       ELSE 0.0 END AS dup_ratio
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
     },
+    // the acting twin of dedup_spans: every position covered by a
+    // corpus-repeated 10-gram occurrence is dropped from the word
+    // stream; coverage is a position-set union, so both engines agree
+    "dedup_span_clean" -> s"WITH $spanCleanCtes\n$spanCleanSelect",
     // a length-L duplicated substring (L ≥ 32) is L−31 consecutive
     // duplicated 32-gram start positions; merge consecutive positions
     // (gaps-and-islands) into maximal spans, then per-doc totals
@@ -1839,11 +1875,14 @@ object SparkEntry {
          |    len(list_filter(lw, x -> x IN ('le','les','et','une','des'))) AS s_fr
          |    FROM (SELECT doc_id,
          |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw
-         |          FROM documents)))
-         |SELECT c.doc_id, q.n_words, l.pred_lang, p.n_pii
+         |          FROM documents))),
+         |$spanCleanCtes,
+         |sc_clean AS ($spanCleanSelect)
+         |SELECT c.doc_id, q.n_words, l.pred_lang, p.n_pii, sc.text_clean
          |FROM clusters c
          |JOIN q ON c.doc_id = q.doc_id
          |JOIN l ON c.doc_id = l.doc_id
+         |JOIN sc_clean sc ON c.doc_id = sc.doc_id
          |JOIN (SELECT doc_id,
          |        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
          |          + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))

@@ -370,6 +370,64 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Span-removal CLEANING: the acting twin of `spanDedup`'s evidence.
+    * Every word position covered by any corpus-repeated `spanWords`-
+    * gram occurrence is dropped; `text_clean` is the surviving word
+    * stream (word-domain output — tokenization is the same
+    * letter-run split every text operator here uses). Repetition is
+    * per-doc-distinct document frequency ≥ 2, exactly `spanDedup`'s
+    * statistic, so "which spans are boilerplate" agrees between the
+    * evidence and the cleaner. The rule is position-set union —
+    * order-independent, hence deterministic and engine-portable.
+    *
+    * Plan shape at 100 TB: one (pos, gram) explode, one shuffle on
+    * the gram for document frequency, one join back, one per-doc
+    * covered-set aggregation (bounded by doc length). No pairwise
+    * join — same scaling argument as `spanDedup`.
+    */
+  def spanClean(spark: SparkSession, sfDir: String,
+      spanWords: Int = 10): DataFrame =
+    spanCleanOver(Tables.documents(spark, sfDir), spanWords)
+
+  /** Same operator over an arbitrary (doc_id, text) frame. */
+  def spanCleanOver(documents: DataFrame, spanWords: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val words = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        filter(split(col("text"), TextMapReduce.WordSplit), w => w =!= "")
+          .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posGrams = words
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $spanWords
+           |  THEN transform(sequence(0, size(w) - $spanWords),
+           |         i -> struct(i AS p, concat_ws(' ',
+           |           slice(w, i + 1, $spanWords)) AS g))
+           |  ELSE cast(array() as array<struct<p:int,g:string>>) END"""
+        .stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    // per-doc-distinct spans → count = document frequency (the
+    // spanDedup statistic); the join back fans out to every position
+    val dfTab = posGrams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val cov = posGrams
+      .join(dfTab.filter(col("df") >= 2).select("g"), "g")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${spanWords - 1})")).as("c"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("c"))).as("cov"))
+    words.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("cov"), expr("cast(array() as array<int>)")).as("cov"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("w"),
+          (x, i) => !array_contains(col("cov"), i))).as("text_clean"))
+  }
+
   // ---- MinHash + banded LSH ------------------------------------------
 
   /** 2^32-domain prime for the affine permutation family. */

@@ -42,11 +42,17 @@ object Pipeline {
       .select(col("doc_id"),
         (col("n_email") + col("n_phone") + col("n_id")).as("n_pii"))
       .filter(col("n_pii") <= maxPii)
+    // boilerplate-span cleaning: surviving docs carry the word stream
+    // with corpus-repeated 10-grams removed — the text a training run
+    // would actually consume
+    val cleaned = Dedup.spanClean(spark, sfDir)
+      .select(col("doc_id"), col("text_clean"))
     canonical
       .join(quality, "doc_id")
       .join(lang, "doc_id")
       .join(scrubbed, "doc_id")
-      .select("doc_id", "n_words", "pred_lang", "n_pii")
+      .join(cleaned, "doc_id")
+      .select("doc_id", "n_words", "pred_lang", "n_pii", "text_clean")
   }
 
   /** Deterministic stratified sampling: each language keeps a

@@ -217,6 +217,39 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r(0L)._3 - 3.0 / 23.0) < 1e-12)
   }
 
+  test("span clean: planted boilerplate run is excised from both docs, " +
+      "unique and short docs pass through verbatim") {
+    import spark.implicits._
+    def ws(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val shared = ws("common", 12).mkString(" ")
+    val alpha = ws("alpha", 20).mkString(" ")
+    val beta = ws("beta", 20).mkString(" ")
+    val gamma = ws("gamma", 30).mkString(" ")
+    val docs = Seq(
+      (0L, shared + " " + alpha),
+      (1L, beta + " " + shared),
+      (2L, gamma),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanCleanOver(docs, 10).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // the 3 repeated 10-grams of the 12-word shared run cover exactly
+    // its 12 positions — the boilerplate vanishes, the payload stays
+    assert(r(0L) == ((32L, 12L, alpha)), s"doc0=${r(0L)}")
+    assert(r(1L) == ((32L, 12L, beta)), s"doc1=${r(1L)}")
+    assert(r(2L) == ((30L, 0L, gamma)), s"doc2=${r(2L)}")
+    assert(r(3L) == ((2L, 0L, "too short")), s"doc3=${r(3L)}")
+    // real corpus: removal accounting always balances
+    val real = Dedup.spanClean(spark, sf).cache()
+    assert(real.count() == Tables.documents(spark, sf).count())
+    assert(real.filter(
+      size(filter(split(col("text_clean"), "\\s+"), w => w =!= ""))
+        =!= (col("n_words") - col("n_removed"))).isEmpty,
+      "kept-word count != n_words - n_removed")
+  }
+
   test("substring dedup: planted shared 50-char run yields one exact " +
       "50-char span; within-doc period splits into two islands") {
     import spark.implicits._
