@@ -181,6 +181,80 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): SrpProbes = copy(child = c)
   }
 
+  /** PQ encode (vector, norm) → array<int> of per-subspace centroid
+    * ids. The codebook rides along as a compiled-class reference; the
+    * nearest-centroid scan is a static kernel call inside the fused
+    * stage — the corpus-side hot path of `ann_pq`, formerly an
+    * interpreted nested-HOF tree.
+    */
+  case class PqEncode(left: Expression, right: Expression,
+      cb: Array[Array[Array[Double]]]) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, n: Any): Any =
+      ExprKernels.pqEncode(v.asInstanceOf[ArrayData],
+        n.asInstanceOf[Double], cb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (v, n) =>
+        s"${ev.value} = graft.functions.ExprKernels.pqEncode($v, $n, $cbRef);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+      copy(left = l, right = r)
+  }
+
+  /** PQ reconstruction norm from a code array and the per-centroid
+    * squared-norm table.
+    */
+  case class PqReconNorm(child: Expression, nrm2: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(
+        ExprKernels.pqReconNorm(input.asInstanceOf[ArrayData], nrm2))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val nrm2Ref = ctx.addReferenceObj("pqNrm2", nrm2, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.pqReconNorm($c, $nrm2Ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqReconNorm =
+      copy(child = c)
+  }
+
+  /** Per-query ADC lookup table (vector, norm) → array<array<double>>
+    * of ⟨q̂_sub_j, cb(j)(c)⟩ — query-side, one row per query.
+    */
+  case class PqAdcTable(left: Expression, right: Expression,
+      cb: Array[Array[Array[Double]]]) extends BinaryExpression {
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    override def nullSafeEval(v: Any, n: Any): Any =
+      ExprKernels.pqAdcTable(v.asInstanceOf[ArrayData],
+        n.asInstanceOf[Double], cb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCb", cb, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (v, n) =>
+        s"${ev.value} = graft.functions.ExprKernels.pqAdcTable($v, $n, $cbRef);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcTable =
+      copy(left = l, right = r)
+  }
+
+  /** ADC score (table, code) → Σ_j tbl(j)(code_j) — the per-pair hot
+    * loop of the `ann_pq` approximate cut.
+    */
+  case class PqAdc(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(t: Any, c: Any): Any =
+      java.lang.Double.valueOf(
+        ExprKernels.pqAdc(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, c) =>
+        s"${ev.value} = graft.functions.ExprKernels.pqAdc($t, $c);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+      copy(left = l, right = r)
+  }
+
   // ---- Column-level wrappers -----------------------------------------
 
   private def asCol(e: Expression): Column =
@@ -202,6 +276,14 @@ object CatalystExprs {
     asCol(SrpBucket(expression(v), planes))
   def srp_probes(v: Column, planes: Array[Array[Double]], nProbes: Int): Column =
     asCol(SrpProbes(expression(v), planes, nProbes))
+  def pq_encode(v: Column, norm: Column, cb: Array[Array[Array[Double]]]): Column =
+    asCol(PqEncode(expression(v), expression(norm), cb))
+  def pq_recon_norm(code: Column, nrm2: Array[Array[Double]]): Column =
+    asCol(PqReconNorm(expression(code), nrm2))
+  def pq_adc_table(v: Column, norm: Column, cb: Array[Array[Array[Double]]]): Column =
+    asCol(PqAdcTable(expression(v), expression(norm), cb))
+  def pq_adc(tbl: Column, code: Column): Column =
+    asCol(PqAdc(expression(tbl), expression(code)))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftBridge.expression(c)

@@ -163,4 +163,100 @@ object ExprKernels {
     }
     out
   }
+
+  /** PQ encode: per subspace j, the id of the L2-nearest codebook
+    * centroid to the UNIT vector's subspace block (v/norm — division
+    * per element, matching the former column formulation bit-for-bit;
+    * ties to the lowest id via strict `<`).
+    */
+  def pqEncode(v: ArrayData, norm: Double,
+      cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cents = cb(j)
+      val subd = cents(0).length
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < subd) {
+          val t = v.getDouble(off + i) / norm - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += subd
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Reconstruction norm |û| = sqrt(Σ_j |cb(j)(code_j)|²) from the
+    * precomputed per-centroid squared norms (subspaces are orthogonal
+    * coordinate blocks). Summation order j = 0..M−1.
+    */
+  def pqReconNorm(code: ArrayData, nrm2: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < nrm2.length) {
+      s += nrm2(j)(code.getInt(j))
+      j += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Per-query ADC table: tbl(j)(c) = ⟨v/norm restricted to subspace
+    * j, cb(j)(c)⟩, left-to-right summation per entry.
+    */
+  def pqAdcTable(v: ArrayData, norm: Double,
+      cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Any](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cents = cb(j)
+      val subd = cents(0).length
+      val row = new Array[Double](cents.length)
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < subd) {
+          s += v.getDouble(off + i) / norm * cent(i)
+          i += 1
+        }
+        row(c) = s
+        c += 1
+      }
+      out(j) = new GenericArrayData(row)
+      off += subd
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_j tbl(j)(code_j), order j = 0..M−1 — the quantized
+    * dot product, PqM lookups per (query, vector) pair.
+    */
+  def pqAdc(tbl: ArrayData, code: ArrayData): Double = {
+    val m = code.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += tbl.getArray(j).getDouble(code.getInt(j))
+      j += 1
+    }
+    s
+  }
 }

@@ -33,7 +33,10 @@ object Similarity {
   private[operators] def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      // native array cast (codegen'd), NOT transform(_.cast): a
+      // higher-order function never enters whole-stage codegen, and
+      // this cast runs once per corpus vector
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       // cast + norm computed once; bucket generation and the verify
       // join both read the persisted copy instead of re-scanning
@@ -420,61 +423,40 @@ object Similarity {
     val dims = 64
     val subd = dims / PqM
     // cosine depends on DIRECTION only, so quantize the unit vector
-    // u = v/|v| — norm variance would otherwise eat codebook capacity
-    val unit = all.withColumn("u", transform(col("v"), x => x / col("norm")))
-    val sample = unit.filter(col("vec_id") < PqSample)
-      .orderBy("vec_id").select("u").collect()
-      .map(_.getSeq[Double](0).toArray)
+    // u = v/|v| — norm variance would otherwise eat codebook capacity.
+    // Normalization happens INSIDE the kernels (per-element division,
+    // bit-identical to the former u column), so the corpus pass needs
+    // no materialized unit-vector array.
+    val sample = all.filter(col("vec_id") < PqSample)
+      .orderBy("vec_id").select("v", "norm").collect()
+      .map { r =>
+        val n = r.getDouble(1)
+        r.getSeq[Double](0).toArray.map(_ / n)
+      }
     require(sample.length >= PqKs, s"corpus smaller than codebook: ${sample.length}")
     // cb(j)(c) = centroid c of subspace j; nrm2(j)(c) = its |·|²
-    val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map { j =>
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { j =>
       val sub = sample.map(_.slice(j * subd, (j + 1) * subd))
-      lloyd(sub, PqKs, PqLloydIters).map(_.toSeq).toSeq
+      lloyd(sub, PqKs, PqLloydIters)
     }
-    val nrm2: Seq[Seq[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
-    val cbLit = typedLit(cb)
-    val nrm2Lit = typedLit(nrm2)
-
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def subdot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val nrm2: Array[Array[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
+    import graft.functions.CatalystExprs.{pq_encode, pq_recon_norm, pq_adc_table, pq_adc}
 
     // encode: one 0..PqKs-1 id per subspace, ties to the lowest id —
-    // a projection over the scan, nothing moves
-    val coded = unit.select(col("vec_id"),
-      transform(sequence(lit(0), lit(PqM - 1)), j => {
-        val sub = slice(col("u"), j * subd + 1, lit(subd))
-        aggregate(sequence(lit(0), lit(PqKs - 1)),
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-          (acc, c) => {
-            val d = l2(sub, element_at(element_at(cbLit, j + 1), c + 1))
-            when(d < acc.getField("d"),
-              struct(d.as("d"), c.as("c"))).otherwise(acc)
-          }).getField("c")
-      }).as("code"))
-      // reconstruction norm |û| from the nrm2 table (subspaces are
-      // orthogonal coordinate blocks, so |û|² = Σ_j |cb(j)(code_j)|²)
-      .withColumn("xnorm",
-        sqrt(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
-          acc + element_at(element_at(nrm2Lit, j + 1),
-            element_at(col("code"), j + 1) + 1))))
+    // a codegen'd kernel projection over the scan, nothing moves;
+    // reconstruction norm |û| from the nrm2 table (subspaces are
+    // orthogonal coordinate blocks, so |û|² = Σ_j |cb(j)(code_j)|²)
+    val coded = all.select(col("vec_id"),
+        pq_encode(col("v"), col("norm"), cb).as("code"))
+      .withColumn("xnorm", pq_recon_norm(col("code"), nrm2))
     // per-query ADC table: tbl(j)(c) = <q̂_sub_j, cb(j)(c)> with q̂
     // the unit query — the query side is exact, only the corpus side
     // is quantized
-    val q = unit.filter(col("vec_id") < nQueries)
+    val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        transform(sequence(lit(0), lit(PqM - 1)), j =>
-          transform(sequence(lit(0), lit(PqKs - 1)), c =>
-            subdot(slice(col("u"), j * subd + 1, lit(subd)),
-              element_at(element_at(cbLit, j + 1), c + 1)))).as("tbl"))
+        pq_adc_table(col("v"), col("norm"), cb).as("tbl"))
     val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("acos",
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
-          acc + element_at(element_at(col("tbl"), j + 1),
-            element_at(col("code"), j + 1) + 1))
-          / col("xnorm"))
+      .withColumn("acos", pq_adc(col("tbl"), col("code")) / col("xnorm"))
     val pool = graft.plans.TopKPerKey(
         approx.select(col("query_id"), col("vec_id"), col("acos")),
         Seq("query_id"), Seq(("acos", true), ("vec_id", false)), rerank)

@@ -142,6 +142,11 @@ class SimilaritySpec extends SparkSpec {
     // same scale contract as sq8: no query-keyed window anywhere
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "window survived in pq plan")
+    // encode/ADC run as codegen'd kernel expressions: no interpreted
+    // higher-order function ANYWHERE in the pq plan (HOFs never enter
+    // whole-stage codegen, and encode touches every corpus row)
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted HOF survived in pq plan:\n$plan")
   }
 
   test("celebrity LSH bucket: AQE skew-splits the (band, code) " +
