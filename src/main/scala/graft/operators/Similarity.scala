@@ -111,15 +111,18 @@ object Similarity {
       .select("query_id", "vec_id")
     val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("norm").as("qnorm"))
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand
+    val scored = cand
       .join(all, "vec_id")
       .join(broadcast(q.filter(col("query_id") < nQueries)), "query_id")
       .withColumn("cos",
         dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
-      .withColumn("rnk", row_number().over(byQuery).cast("long"))
-      .filter(col("rnk") <= k)
+    // final rank through the bounded TopKPerKey heaps — candidates
+    // are cell-bounded so a query-keyed window would not be a
+    // scale-killer here, but the uniform shape keeps the whole ANN
+    // family free of corpus-fed window sorts
+    graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 

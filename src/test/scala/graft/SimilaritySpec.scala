@@ -54,6 +54,14 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("prev", lag(col("brute_rnk"), 1).over(w))
       .filter(col("prev").isNotNull && col("prev") > col("brute_rnk")).isEmpty,
       "IVF rank order disagrees with true cosine order")
+    // the final rank runs through bounded TopKPerKey heaps like the
+    // rest of the ANN family: the only window left is the 16-row
+    // per-VECTOR centroid rank, never one keyed on query_id
+    val plan = ivf.queryExecution.executedPlan.toString
+    val qidWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("query_id"))
+    assert(qidWindows.isEmpty,
+      s"query-keyed window survived in ivf plan:\n${qidWindows.mkString("\n")}")
   }
 
   /** Above-threshold subset of brute top-10 pairs — the recall target
