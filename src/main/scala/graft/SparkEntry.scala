@@ -282,6 +282,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_semantic" -> ((s, d) => Similarity.semDedup(s, d)),
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
     "dedup_span_clean" -> ((s, d) => Dedup.spanClean(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),

@@ -239,6 +239,24 @@ object CatalystExprs {
       copy(left = l, right = r)
   }
 
+  /** Multi-probe centroid assignment (vector, norm) → array<int> of
+    * the `probes` nearest full-space centroid ids, nearest first.
+    */
+  case class CentroidProbes(left: Expression, right: Expression,
+      cents: Array[Array[Double]], probes: Int) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, n: Any): Any =
+      ExprKernels.centroidProbes(v.asInstanceOf[ArrayData],
+        n.asInstanceOf[Double], cents, probes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("semCents", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, (v, n) =>
+        s"${ev.value} = graft.functions.ExprKernels.centroidProbes($v, $n, $centsRef, $probes);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidProbes =
+      copy(left = l, right = r)
+  }
+
   /** ADC score (table, code) → Σ_j tbl(j)(code_j) — the per-pair hot
     * loop of the `ann_pq` approximate cut.
     */
@@ -284,6 +302,9 @@ object CatalystExprs {
     asCol(PqAdcTable(expression(v), expression(norm), cb))
   def pq_adc(tbl: Column, code: Column): Column =
     asCol(PqAdc(expression(tbl), expression(code)))
+  def centroid_probes(v: Column, norm: Column, cents: Array[Array[Double]],
+      probes: Int): Column =
+    asCol(CentroidProbes(expression(v), expression(norm), cents, probes))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftBridge.expression(c)

@@ -246,6 +246,48 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Top-`p` L2-nearest centroid ids for the UNIT vector (v/norm),
+    * ascending by distance, ties to the lower id (repeated strict-<
+    * argmin scan — p is tiny). Full-space centroids: the multi-probe
+    * cluster assignment of semantic dedup.
+    */
+  def centroidProbes(v: ArrayData, norm: Double,
+      cents: Array[Array[Double]], p: Int): ArrayData = {
+    val k = cents.length
+    val d = new Array[Double](k)
+    val dim = cents(0).length
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val t = v.getDouble(i) / norm - cent(i)
+        s += t * t
+        i += 1
+      }
+      d(c) = s
+      c += 1
+    }
+    val pp = if (p < k) p else k
+    val out = new Array[Int](pp)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < pp) {
+      var best = -1
+      var bd = Double.MaxValue
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && d(c2) < bd) { bd = d(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC score: Σ_j tbl(j)(code_j), order j = 0..M−1 — the quantized
     * dot product, PqM lookups per (query, vector) pair.
     */

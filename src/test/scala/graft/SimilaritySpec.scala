@@ -202,6 +202,67 @@ class SimilaritySpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("semantic dedup: planted cluster geometry drops exactly the " +
+      "near-copies; real-corpus recall vs brute truth measured and " +
+      "no false drops ever") {
+    import spark.implicits._
+    def unitV(parts: (Int, Double)*): Array[Double] = {
+      val v = new Array[Double](64)
+      parts.foreach { case (i, x) => v(i) = x }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // ids ordered so Lloyd's first-k init seeds one centroid per
+    // intended cluster (0 → axis-0 family, 1 → axis-5 family)
+    val planted = Seq(
+      0L -> unitV(0 -> 1.0),               // cluster A canonical
+      1L -> unitV(5 -> 1.0),               // cluster B canonical
+      2L -> unitV(0 -> 0.95, 1 -> 0.05),   // cos≈0.999 to id0 → drop
+      3L -> unitV(0 -> 0.90, 1 -> 0.10),   // cos≈0.994 to id0 → drop
+      4L -> unitV(5 -> 0.95, 6 -> 0.05),   // cos≈0.999 to id1 → drop
+      5L -> unitV(5 -> 1.0, 6 -> 1.0),     // 45° off id1 → KEEP
+      6L -> unitV(10 -> 1.0)               // singleton → KEEP
+    ).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(graft.functions.CatalystExprs
+        .dot_product(col("v"), col("v"))))
+    val got = Similarity.semDedupOver(planted, tau = 0.9, kClusters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    assert(got(2L) == ((Some(0L), true)), s"id2=${got(2L)}")
+    assert(got(3L) == ((Some(0L), true)), s"id3=${got(3L)}")
+    assert(got(4L) == ((Some(1L), true)), s"id4=${got(4L)}")
+    Seq(0L, 1L, 5L, 6L).foreach(i =>
+      assert(got(i) == ((None, false)), s"id$i=${got(i)}"))
+
+    // real corpus at the embedding family's 0.45 near-dup level:
+    // brute truth = every b with some a<b at cos ≥ τ
+    val dir = "/root/testdata/sf0.01"
+    val sem = Similarity.semDedup(spark, dir).cache()
+    val vs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(graft.functions.CatalystExprs
+        .dot_product(col("v"), col("v"))))
+    val lhs = vs.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val rhs = vs.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    val truth = lhs.crossJoin(rhs).filter(col("a") < col("b"))
+      .withColumn("cos", graft.functions.CatalystExprs
+        .dot_product(col("va"), col("vb")) / col("na") / col("nb"))
+      .filter(col("cos") >= Similarity.SemTau)
+      .select(col("a"), col("b")).cache()
+    val truthDrops = truth.select(col("b")).distinct()
+    val gotDrops = sem.filter(col("is_dup")).select(col("vec_id").as("b"))
+    // exactness within clusters: every drop is justified by a true
+    // ≥τ pair with a smaller id — zero false drops at any K
+    assert(gotDrops.join(truthDrops, "b", "left_anti").isEmpty,
+      "semantic dedup dropped a vector with no true ≥τ partner")
+    val recall = gotDrops.join(truthDrops, "b").count().toDouble /
+      math.max(truthDrops.count(), 1L).toDouble
+    info(f"semdedup drop recall @tau=${Similarity.SemTau}%.2f, " +
+      f"K=${Similarity.SemClusters} = $recall%.3f over " +
+      f"${truthDrops.count()} true near-dup vectors")
+    assert(recall >= 0.7, f"cross-cluster miss rate too high: $recall%.3f")
+  }
+
   test("sq8 plan shape: both rank cuts run through bounded TopKPerKey " +
       "heaps — no window keyed on query_id anywhere in the plan") {
     val plan = Similarity.annSq8(spark, "/root/testdata/sf0.01")
