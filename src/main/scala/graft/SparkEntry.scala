@@ -99,6 +99,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -1305,6 +1306,44 @@ object SparkEntry {
         |        / sum(tf), 6) AS avg_nll
         |FROM tf JOIN cf USING (word) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // Stupid Backoff bigram LM, ln-expanded (every term a difference
+    // of ln-counts, +ln 2 on backoff), decimal-summed; the bigram
+    // table prunes singletons so backoff genuinely fires
+    "text_perplexity_bigram" ->
+      """WITH bw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS p, w[i] AS word
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM bw)),
+        |uni AS (SELECT word, count(*) AS cw FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |big AS (
+        |  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM bw)),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM big
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |lead AS (
+        |  SELECT t.doc_id, round(ln(n_total) - ln(u.cw), 6) AS nll, 0 AS backoff
+        |  FROM tok t JOIN uni u USING (word) CROSS JOIN tot
+        |  WHERE t.p = 1),
+        |rest AS (
+        |  SELECT g.doc_id,
+        |    CASE WHEN c.c_ab IS NOT NULL THEN round(ln(ua.cw) - ln(c.c_ab), 6)
+        |         ELSE round(ln(n_total) - ln(ub.cw) + ln(2.0), 6) END AS nll,
+        |    CASE WHEN c.c_ab IS NOT NULL THEN 0 ELSE 1 END AS backoff
+        |  FROM big g
+        |  LEFT JOIN cab c ON g.a = c.a AND g.b = c.b
+        |  JOIN uni ua ON ua.word = g.a
+        |  JOIN uni ub ON ub.word = g.b
+        |  CROSS JOIN tot),
+        |allp AS (SELECT * FROM lead UNION ALL SELECT * FROM rest)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 6) AS avg_nll
+        |FROM allp GROUP BY 1""".stripMargin,
     // the bucketed round-trip must land on the plain-join result
     "q_bucketed_join" ->
       """SELECT o_orderstatus, l_linestatus, count(*) AS n,

@@ -211,6 +211,73 @@ object TextAnalysis {
         round(col("nll_sum").cast("double") / col("n_tokens"), 6).as("avg_nll"))
   }
 
+  /** Bigram LM perplexity with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the
+    * division-free web-scale scheme): score S(b|a) = c(ab)/c(a) when
+    * the PRUNED bigram table holds (ab), else α·c(b)/N with α = 1/2;
+    * doc-leading tokens score unigram c(b)/N. The table prunes
+    * singleton bigrams (min-count 2, standard LM pruning) — that is
+    * also what makes backoff genuinely fire on a corpus-trained model
+    * scoring its own corpus. In ln-expanded form every term is a
+    * difference of ln-counts (+ln 2 on backoff), each rounded to 6
+    * decimals and summed IN DECIMAL — the perplexity/collocations
+    * discipline that keeps cross-engine doubles bit-identical.
+    *
+    * Scale shape: token and bigram counts are partial-agg shuffles on
+    * the word / word-pair; the per-position score is one join against
+    * each count table (broadcast N); per-doc reduce. No corpus-global
+    * state beyond the count tables themselves.
+    */
+  def perplexityBigram(spark: SparkSession, sfDir: String,
+      minCount: Long = 2): DataFrame =
+    perplexityBigramOver(Tables.documents(spark, sfDir), minCount)
+
+  /** Same operator over any (doc_id, text) frame (planted specs). */
+  def perplexityBigramOver(docs: DataFrame, minCount: Long): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), WordSplit), w => w =!= "")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "w")
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    val big = tok.select(col("doc_id"), col("p"), col("w").as("a"))
+      .join(tok.select(col("doc_id"), (col("p") - 1).as("p"),
+        col("w").as("b")), Seq("doc_id", "p"))
+    val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    // per-position NLL: leading token → unigram; seen bigram →
+    // ln c(a) − ln c(ab); pruned bigram → ln N − ln c(b) + ln 2
+    val lead = tok.filter(col("p") === 0)
+      .join(uni.select(col("w"), col("cw").as("c_b")), "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n_total")) - log(col("c_b")), 6).as("nll"),
+        lit(0L).as("backoff"))
+    val rest = big
+      .join(cab, Seq("a", "b"), "left")
+      .join(uni.select(col("w").as("a"), col("cw").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("cw").as("c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c_ab").isNotNull,
+          round(log(col("c_a")) - log(col("c_ab")), 6))
+          .otherwise(
+            round(log(col("n_total")) - log(col("c_b")) + log(lit(2.0)), 6))
+          .as("nll"),
+        when(col("c_ab").isNotNull, 0L).otherwise(1L).as("backoff"))
+    lead.union(rest)
+      .select(col("doc_id"),
+        col("nll").cast(DecimalType(18, 6)).as("nll"), col("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+        round(col("nll_sum").cast("double") / col("n_tokens"), 6)
+          .as("avg_nll"))
+  }
+
   /** Per-document lexical-diversity signals: unigram word entropy and
     * type-token ratio — the "repetitive boilerplate vs natural prose"
     * axis used alongside the C4/Gopher rules (low entropy ⇒ a few

@@ -187,6 +187,44 @@ class TextAnalysisSpec extends SparkSpec {
       "learned merges never fired on the corpus that trained them")
   }
 
+  test("bigram perplexity: planted corpus matches a naive Stupid " +
+      "Backoff reference; backoff fires exactly on pruned bigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),  // bigrams (x,y)×3, (y,x)×2 — all kept
+      (2L, "x z q"),        // (x,z), (z,q) singletons — both back off
+      (3L, "y")             // single token → unigram only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBigramOver(docs, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // naive reference, same ln-expanded + round-6 arithmetic
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val n = 10.0 // total tokens
+    val cw = Map("x" -> 4.0, "y" -> 4.0, "z" -> 1.0, "q" -> 1.0)
+    val ln = math.log _
+    // doc1: lead x: ln10−ln4; (x,y)×3: ln4−ln3; (y,x)×2: ln4−ln2
+    val d1 = Seq(r6(ln(n) - ln(4)), r6(ln(4) - ln(3)), r6(ln(4) - ln(2)),
+      r6(ln(4) - ln(3)), r6(ln(4) - ln(2)), r6(ln(4) - ln(3)))
+    // doc2: lead x: ln10−ln4; backoffs: ln10−ln c(b)+ln2 for b=z,q
+    val d2 = Seq(r6(ln(n) - ln(4)),
+      r6(ln(n) - ln(cw("z")) + ln(2)), r6(ln(n) - ln(cw("q")) + ln(2)))
+    val d3 = Seq(r6(ln(n) - ln(4)))
+    def avg(xs: Seq[Double]) = r6(xs.map(x => r6(x)).sum / xs.size)
+    assert(got(1L)._1 == 6L && got(1L)._2 == 0L, s"doc1=${got(1L)}")
+    assert(math.abs(got(1L)._3 - avg(d1)) < 2e-6, s"doc1=${got(1L)} vs ${avg(d1)}")
+    assert(got(2L)._1 == 3L && got(2L)._2 == 2L, s"doc2=${got(2L)}")
+    assert(math.abs(got(2L)._3 - avg(d2)) < 2e-6, s"doc2=${got(2L)} vs ${avg(d2)}")
+    assert(got(3L) == ((1L, 0L, avg(d3))) ||
+      math.abs(got(3L)._3 - avg(d3)) < 2e-6, s"doc3=${got(3L)}")
+    // real corpus: every doc scored, repeated-phrase docs (low nll)
+    // exist and backoff accounting is within bounds
+    val real = TextAnalysis.perplexityBigram(spark, sf).cache()
+    assert(real.count() == Tables.documents(spark, sf).count())
+    assert(real.filter(col("n_backoff") >= col("n_tokens")).isEmpty)
+    assert(real.filter(col("avg_nll") < 0).isEmpty)
+  }
+
   test("entropy: planted uniform doc hits ln(n) exactly, degenerate doc " +
       "hits 0, and the corpus respects the ln(n_types) bound") {
     import spark.implicits._
