@@ -308,6 +308,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
+    "q_pack_bins_bpe" -> ((s, d) => Pipeline.packBinsBpe(s, d)),
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
     "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     "q_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
@@ -540,6 +541,35 @@ object SparkEntry {
       |      i -> s[i] || '|' || s[i + 1])) AS pair
       |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
       |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+
+  // document re-encode under the learned merges (shared by bpe_apply
+  // and q_pack_bins_bpe): wrapped domain words, the three replaces in
+  // rank order
+  private val bpeApplyCtes =
+    """docs AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |enc AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(ws, w -> length(w) >= 2
+      |      AND regexp_matches(w, '^[a-z]+$'))) AS BIGINT) AS n_dom,
+      |    array_to_string(list_transform(
+      |      list_filter(ws, w -> length(w) >= 2
+      |        AND regexp_matches(w, '^[a-z]+$')),
+      |      w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ') AS e0
+      |  FROM docs),
+      |ap AS (
+      |  SELECT doc_id, n_words, n_dom,
+      |    replace(replace(replace(e0,
+      |      '<' || split_part(p1.pair, '|', 1) || '><' || split_part(p1.pair, '|', 2) || '>',
+      |      '<' || replace(p1.pair, '|', '') || '>'),
+      |      '<' || split_part(p2.pair, '|', 1) || '><' || split_part(p2.pair, '|', 2) || '>',
+      |      '<' || replace(p2.pair, '|', '') || '>'),
+      |      '<' || split_part(p3.pair, '|', 1) || '><' || split_part(p3.pair, '|', 2) || '>',
+      |      '<' || replace(p3.pair, '|', '') || '>') AS e
+      |  FROM enc, p1, p2, p3)""".stripMargin
 
   private val vectorStatsSql =
     """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
@@ -1792,37 +1822,31 @@ object SparkEntry {
     // train→apply closed: the same three learned merges re-applied to
     // every doc's wrapped domain words, in rank order; out-of-domain
     // words are one unknown token apiece
-    "bpe_apply" -> (bpeTrainCtes + ",\n" +
-      """docs AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |enc AS (
-        |  SELECT doc_id,
-        |    CAST(len(ws) AS BIGINT) AS n_words,
-        |    CAST(len(list_filter(ws, w -> length(w) >= 2
-        |      AND regexp_matches(w, '^[a-z]+$'))) AS BIGINT) AS n_dom,
-        |    array_to_string(list_transform(
-        |      list_filter(ws, w -> length(w) >= 2
-        |        AND regexp_matches(w, '^[a-z]+$')),
-        |      w -> regexp_replace(w, '(.)', '<\1>', 'g')), ' ') AS e0
-        |  FROM docs),
-        |ap AS (
-        |  SELECT doc_id, n_words, n_dom,
-        |    replace(replace(replace(e0,
-        |      '<' || split_part(p1.pair, '|', 1) || '><' || split_part(p1.pair, '|', 2) || '>',
-        |      '<' || replace(p1.pair, '|', '') || '>'),
-        |      '<' || split_part(p2.pair, '|', 1) || '><' || split_part(p2.pair, '|', 2) || '>',
-        |      '<' || replace(p2.pair, '|', '') || '>'),
-        |      '<' || split_part(p3.pair, '|', 1) || '><' || split_part(p3.pair, '|', 2) || '>',
-        |      '<' || replace(p3.pair, '|', '') || '>') AS e
-        |  FROM enc, p1, p2, p3)
-        |SELECT doc_id, n_words,
+    "bpe_apply" -> (bpeTrainCtes + ",\n" + bpeApplyCtes + "\n" +
+      """SELECT doc_id, n_words,
         |  CAST(n_words - n_dom + length(e) - length(replace(e, '<', ''))
         |    AS BIGINT) AS n_tokens,
         |  CAST(length(e) - length(replace(e, '<', ''))
         |    - len(regexp_extract_all(e, '<[a-z]>')) AS BIGINT) AS n_merged
         |FROM ap""".stripMargin),
+    // pack-bins over the trained tokenizer's REAL token counts: the
+    // same greedy per-shard packing window, budget measured in BPE
+    // tokens from the bpe_apply chain
+    "q_pack_bins_bpe" -> (bpeTrainCtes + ",\n" + bpeApplyCtes + ",\n" +
+      """d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |    CAST(n_words - n_dom + length(e) - length(replace(e, '<', ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM ap),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT shard, CAST(floor(cum_before / 2000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c
+        |GROUP BY 1, 2""".stripMargin),
     "bpe_pairs" ->
       """SELECT pair, count(*) AS cnt
         |FROM (

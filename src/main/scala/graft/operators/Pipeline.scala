@@ -189,14 +189,38 @@ object Pipeline {
     * proportional to the data, identical output.
     */
   def packBins(spark: SparkSession, sfDir: String,
-      nShards: Int = 8, budget: Long = 2000): DataFrame = {
+      nShards: Int = 8, budget: Long = 2000): DataFrame =
+    packBinsOver(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_tokens")),
+      nShards, budget)
+
+  /** Pack-bins fed by the TRAINED tokenizer's real token counts
+    * (`bpe_apply`), not the whitespace proxy — context-window packing
+    * budgets are token budgets, so this is the composition a training
+    * pipeline actually runs: train merges once, encode the corpus,
+    * pack to the token budget.
+    */
+  def packBinsBpe(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, budget: Long = 2000): DataFrame =
+    packBinsOver(
+      TextAnalysis.bpeApply(spark, sfDir)
+        .select(col("doc_id"), col("n_tokens")),
+      nShards, budget)
+
+  /** Deterministic greedy sequence packing over any (doc_id,
+    * n_tokens) frame. */
+  def packBinsOver(counts: DataFrame, nShards: Int,
+      budget: Long): DataFrame = {
+    val spark = counts.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    val base = Tables.documents(spark, sfDir)
+    val base = counts
       .select(col("doc_id"),
         (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
           .cast("long") % nShards).as("shard"),
-        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
-          .cast("long").as("n_tokens"))
+        col("n_tokens"))
     // pid is captured right after the range exchange and persisted, so
     // both consumers read one deterministic snapshot of the slicing.
     // Cache lifetime is the cache manager's: identical plans across
