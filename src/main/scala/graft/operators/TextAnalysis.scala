@@ -223,7 +223,9 @@ object TextAnalysis {
     * decimals and summed IN DECIMAL — the perplexity/collocations
     * discipline that keeps cross-engine doubles bit-identical.
     *
-    * Scale shape: token and bigram counts are partial-agg shuffles on
+    * Scale shape: bigrams are built ARRAY-SIDE per doc (the
+    * collocations shape — no shuffle of the token stream on
+    * positions); token and bigram counts are partial-agg shuffles on
     * the word / word-pair; the per-position score is one join against
     * each count table (broadcast N); per-doc reduce. No corpus-global
     * state beyond the count tables themselves.
@@ -234,21 +236,24 @@ object TextAnalysis {
 
   /** Same operator over any (doc_id, text) frame (planted specs). */
   def perplexityBigramOver(docs: DataFrame, minCount: Long): DataFrame = {
-    val tok = docs
+    val words = docs
       .select(col("doc_id"),
-        posexplode(filter(split(col("text"), WordSplit), w => w =!= "")))
-      .withColumnRenamed("pos", "p")
-      .withColumnRenamed("col", "w")
+        filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    val tok = words.select(col("doc_id"), explode(col("w")).as("w"))
     val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
     val tot = tok.agg(count(lit(1)).as("n_total"))
-    val big = tok.select(col("doc_id"), col("p"), col("w").as("a"))
-      .join(tok.select(col("doc_id"), (col("p") - 1).as("p"),
-        col("w").as("b")), Seq("doc_id", "p"))
+    val big = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
     val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
     // per-position NLL: leading token → unigram; seen bigram →
     // ln c(a) − ln c(ab); pruned bigram → ln N − ln c(b) + ln 2
-    val lead = tok.filter(col("p") === 0)
+    val lead = words.filter(size(col("w")) >= 1)
+      .select(col("doc_id"), element_at(col("w"), 1).as("w"))
       .join(uni.select(col("w"), col("cw").as("c_b")), "w")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
