@@ -153,6 +153,28 @@ class PipelineSpec extends SparkSpec {
     assert(sizes.max <= (n * 2) / 10 + 1, s"decile wildly unbalanced: ${sizes.toSeq}")
   }
 
+  test("decontamination boundary: a verbatim 13-gram quote is flagged, " +
+      "a 12-word overlap and clean docs are not, benchmark excluded") {
+    import spark.implicits._
+    val bench = ('a' to 'm').map(c => s"$c$c").mkString(" ") // 13 words
+    val twelve = ('a' to 'l').map(c => s"$c$c").mkString(" ")
+    val docs = Seq(
+      (0L, s"benchmark says $bench and more"),
+      (21L, s"a copyist wrote $bench verbatim here"),          // full quote
+      (22L, s"$twelve only"),                                  // 12-word prefix
+      (23L, "entirely unrelated words in this document body"))
+      .toDF("doc_id", "text")
+    val dir = TempDirs.create("graft_decontam_spec").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.decontaminate(spark, dir, nBench = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.get(21L).exists(_ >= 1L), s"quote not flagged: $got")
+    assert(!got.contains(22L), s"12-word overlap flagged: $got")
+    assert(!got.contains(23L) && !got.contains(0L), s"false flag: $got")
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)
