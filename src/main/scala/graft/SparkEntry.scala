@@ -314,6 +314,9 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
     "q_mix_weights" -> ((s, d) => Pipeline.mixWeights(s, d)),
     "q_mix_sample" -> ((s, d) => Pipeline.mixSample(s, d)),
+    "q_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
+    "text_chunk" -> ((s, d) => Pipeline.chunk(s, d)),
+    "q_dsir_select" -> ((s, d) => Pipeline.dsirSelect(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -1873,6 +1876,74 @@ object SparkEntry {
         |        (CAST(1.0 AS DOUBLE) / CAST(n_langs AS DOUBLE)) /
         |        (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))) AS weight
         |FROM perlang CROSS JOIN tot""".stripMargin,
+    // temperature mixing: α is fixed at 1/2 so the power is sqrt
+    // (IEEE-correctly-rounded in both engines, unlike libm pow);
+    // the normalizer sums 9-decimal-rounded sqrt-shares IN DECIMAL
+    "q_mix_temperature" ->
+      """WITH perlang AS (
+        |  SELECT lang,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM perlang),
+        |sc AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS r
+        |  FROM perlang CROSS JOIN tot),
+        |z AS (SELECT sum(r) AS z FROM sc)
+        |SELECT lang, n_tokens, share,
+        |  CAST(r AS DOUBLE) / CAST(z AS DOUBLE) AS temp_share,
+        |  round((CAST(r AS DOUBLE) / CAST(z AS DOUBLE)) / share, 6) AS boost
+        |FROM sc CROSS JOIN z""".stripMargin,
+    // overlapping token windows: chunk count via explicit floor
+    // (raw int CAST rounds half-even in DuckDB but truncates in
+    // Spark); list slice w[a:b] is 1-based inclusive and clamps
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) >= 1),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, CASE WHEN n <= 32 THEN 1
+        |      ELSE 1 + CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) END)) AS chunk_id
+        |  FROM s)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(w[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_words,
+        |  array_to_string(w[(chunk_id*24+1):(chunk_id*24+32)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // DSIR importance selection: md5-hashed unigram buckets (the one
+    // hash both engines compute identically), bucket-level λ rounded
+    // to 6 decimals, per-doc decimal sums, top-k with doc_id tiebreak
+    "q_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(word), 1, 6) AS BIGINT) % 4096 AS bucket
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |        FROM documents)),
+        |raw AS (SELECT bucket, count(*) AS c_raw FROM tok GROUP BY bucket),
+        |tgt AS (SELECT bucket, count(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY bucket),
+        |nr AS (SELECT count(*) AS n_raw FROM tok),
+        |nt AS (SELECT count(*) AS n_tgt FROM tok WHERE lang = 'en'),
+        |lam AS (
+        |  SELECT r.bucket,
+        |    CAST(round(ln(COALESCE(t.c_tgt, 0) + 1) - ln(n_tgt + 4096)
+        |               - ln(r.c_raw + 1) + ln(n_raw + 4096), 6)
+        |      AS DECIMAL(18,6)) AS lam
+        |  FROM raw r LEFT JOIN tgt t USING (bucket)
+        |  CROSS JOIN nr CROSS JOIN nt),
+        |doc AS (
+        |  SELECT doc_id, bucket, count(*) AS tf FROM tok GROUP BY doc_id, bucket),
+        |sc AS (
+        |  SELECT d.doc_id, CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(d.tf * l.lam) AS DOUBLE) / sum(d.tf), 6) AS avg_logratio
+        |  FROM doc d JOIN lam l USING (bucket) GROUP BY d.doc_id)
+        |SELECT doc_id, n_tokens, avg_logratio,
+        |  CAST(row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS BIGINT) AS rnk
+        |FROM sc ORDER BY avg_logratio DESC, doc_id LIMIT 100""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
         |  SELECT doc_id, lang,

@@ -357,4 +357,150 @@ object Pipeline {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("n_chars").cast("double").as("x")),
       nBuckets)
+
+  /** Token-window chunking — the step between curation and packing
+    * in every training pipeline: split each document's word stream
+    * into fixed-size windows with overlap (stride < window), so
+    * context survives window boundaries. Chunk count is
+    * 1 + ceil((n − size)/stride) (always ≥ 1 for a non-empty doc;
+    * the last window is allowed to run short rather than dropping
+    * tail tokens — the lossless convention).
+    *
+    * Scale shape: a pure projection — split, per-doc window math,
+    * `explode` of a bounded chunk-id sequence, `slice`. NO shuffle
+    * at all; chunking 100 TB is exactly one map over the corpus.
+    * Integer window arithmetic goes through explicit `floor` (both
+    * engines truncate identically; raw int CAST does not — DuckDB
+    * rounds half-even).
+    */
+  def chunkOver(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      s"need 1 <= stride <= chunkSize, got $chunkSize/$stride")
+    val words = docs.select(col("doc_id"),
+        filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn("n_chunks",
+        when(size(col("w")) <= chunkSize, lit(1L))
+          .otherwise(lit(1L) + floor(
+            (size(col("w")) - lit(chunkSize) + lit(stride - 1))
+              .cast("double") / lit(stride.toDouble)).cast("long")))
+    words
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("w"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+          .cast("long").as("n_words"),
+        array_join(slice(col("w"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  def chunk(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame =
+    chunkOver(Tables.documents(spark, sfDir), chunkSize, stride)
+
+  /** Temperature-scaled source mixing (the multilingual-sampling
+    * scheme of mT5/XLM-R: q_l ∝ p_l^α with α = 1/2): raises the
+    * sampling share of low-resource languages without the hard
+    * per-language target `q_mix_weights` imposes. α is FIXED at 1/2
+    * so the power is `sqrt` — correctly rounded by IEEE 754 in every
+    * engine, unlike libm `pow` which is not cross-engine safe.
+    *
+    * Cross-engine determinism: each sqrt-share is rounded to 9
+    * decimals and the normalizer is summed IN DECIMAL (order-free);
+    * the remaining arithmetic is IEEE double division of identical
+    * inputs. Scale shape: one corpus scan → per-language aggregate,
+    * two 1-row broadcasts back over the (tiny) language table.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    mixTemperatureOver(Tables.documents(spark, sfDir))
+
+  /** Same operator over any (lang, text) frame (planted specs). */
+  def mixTemperatureOver(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("t"))
+      .groupBy("lang")
+      .agg(sum(col("t")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("total"))
+    val scored = perLang.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("r", round(sqrt(col("share")), 9).cast("decimal(18,9)"))
+    val norm = scored.agg(sum(col("r")).as("z"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n_tokens"), col("share"),
+        (col("r").cast("double") / col("z").cast("double")).as("temp_share"),
+        round((col("r").cast("double") / col("z").cast("double"))
+          / col("share"), 6).as("boost"))
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-like it is under two
+    * hashed unigram bag-of-words LMs — here target = the English
+    * slice, raw = the whole corpus — and keep the top-k. Features
+    * are words hashed into `nBuckets` buckets (md5-derived, the one
+    * hash both engines compute identically), so the model is a FIXED
+    * nBuckets-row table no matter how large the vocabulary grows.
+    * Per-bucket weight λ = ln(cT+1) − ln(NT+B) − ln(cR+1) + ln(NR+B)
+    * (add-one smoothing); a document's importance is its
+    * token-frequency-weighted mean λ.
+    *
+    * Cross-engine: λ is rounded to 6 decimals at the BUCKET level
+    * and per-doc sums run in decimal (the perplexity discipline —
+    * libm ln ulp differences are absorbed by the rounding).
+    *
+    * Scale shape: token→bucket is a projection; the two count
+    * tables are partial-agg shuffles that END at nBuckets rows; the
+    * λ table (nBuckets rows) BROADCASTS into the per-doc
+    * aggregation, so scoring is one corpus scan + one doc-keyed
+    * partial agg. The global top-k runs through the bounded
+    * `TopKPerKey` heaps — ≤ k rows per partition reach the final
+    * merge, never a corpus-wide sort.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 4096, k: Int = 100): DataFrame =
+    dsirSelectOver(Tables.documents(spark, sfDir), nBuckets, k)
+
+  /** Same operator over any (doc_id, lang, text) frame (planted
+    * specs). */
+  def dsirSelectOver(docs: DataFrame,
+      nBuckets: Int, k: Int): DataFrame = {
+    val tokB = docs
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("word")), 1, 6), 16, 10).cast("long")
+          % nBuckets).as("bucket"))
+    val rawCnt = tokB.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = tokB.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val nRaw = tokB.agg(count(lit(1)).as("n_raw"))
+    val nTgt = tokB.filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_tgt"))
+    val lam = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+      .select(col("bucket"),
+        round(log(col("c_tgt") + 1) - log(col("n_tgt") + nBuckets)
+            - log(col("c_raw") + 1) + log(col("n_raw") + nBuckets), 6)
+          .cast("decimal(18,6)").as("lam"))
+    val perDoc = tokB.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(lam), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lam")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens"), 6)
+          .as("avg_logratio"))
+    graft.plans.TopKPerKey(perDoc.withColumn("g", lit(1)),
+        Seq("g"), Seq(("avg_logratio", true), ("doc_id", false)), k)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logratio"),
+        col("rnk"))
+  }
 }

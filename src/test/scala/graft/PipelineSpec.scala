@@ -175,6 +175,68 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains(23L) && !got.contains(0L), s"false flag: $got")
   }
 
+  test("chunking: overlap carries context, tail survives, short doc = one chunk") {
+    import spark.implicits._
+    // WordSplit is [^\p{L}]+ — digits split, so words must be letters
+    def word(i: Int) = "w" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val w80 = (1 to 80).map(word).mkString(" ")
+    val w10 = (1 to 10).map(i => "s" + word(i)).mkString(" ")
+    val docs = Seq((1L, w80), (2L, w10), (3L, "")).toDF("doc_id", "text")
+    val c = Pipeline.chunkOver(docs, chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = c.filter(_.getLong(0) == 1L)
+    // n=80: 1 + ceil(48/24) = 3 chunks at words 1-32, 25-56, 49-80
+    assert(d1.length == 3, s"expected 3 chunks, got ${d1.length}")
+    val texts = d1.map(_.getString(3))
+    assert(texts(0) == (1 to 32).map(word).mkString(" "))
+    assert(texts(1) == (25 to 56).map(word).mkString(" "))
+    assert(texts(2) == (49 to 80).map(word).mkString(" "),
+      "tail tokens dropped")
+    // overlap: last 8 words of chunk 0 = first 8 of chunk 1
+    assert(texts(0).split(" ").takeRight(8).sameElements(
+      texts(1).split(" ").take(8)), "overlap broken")
+    assert(c.count(_.getLong(0) == 2L) == 1, "short doc must be one chunk")
+    assert(!c.exists(_.getLong(0) == 3L), "empty doc must emit nothing")
+    // losslessness: every word position of doc 1 is covered
+    val covered = d1.flatMap(_.getString(3).split(" ")).toSet
+    assert((1 to 80).forall(i => covered(word(i))), "coverage gap")
+  }
+
+  test("temperature mixing boosts low-resource languages, shares sum to 1") {
+    import spark.implicits._
+    val docs = Seq.tabulate(90)(i => (s"big $i words here", "en")) ++
+      Seq.tabulate(10)(i => (s"small $i", "zh"))
+    val m = Pipeline.mixTemperatureOver(
+        docs.toDF("text", "lang")).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (enShare, enTemp, enBoost) = m("en")
+    val (zhShare, zhTemp, zhBoost) = m("zh")
+    assert(math.abs(enTemp + zhTemp - 1.0) < 1e-9, "temp shares must sum to 1")
+    assert(zhBoost > 1.0 && enBoost < 1.0,
+      s"sqrt-temperature must upweight the small slice: $m")
+    assert(zhTemp > zhShare && enTemp < enShare)
+    // α=1/2 flattens but must NOT invert the ordering
+    assert(enTemp > zhTemp, "flattening must preserve rank order")
+  }
+
+  test("DSIR selects target-like raw docs over gibberish") {
+    import spark.implicits._
+    val target = "the quick brown fox jumps over the lazy dog again"
+    // 20 target (en) docs establish the target LM; two scored raw
+    // docs: one written in target vocabulary, one in unique noise
+    val docs = (Seq.tabulate(20)(i => (i.toLong, "en", target)) :+
+      (100L, "fr", "quick brown fox jumps over lazy dog") :+
+      (101L, "fr", "zzq xkcd qwerty asdf zxcv uiop hjkl vbnm"))
+      .toDF("doc_id", "lang", "text")
+    val sel = Pipeline.dsirSelectOver(docs, nBuckets = 4096, k = 21)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sel.contains(100L), "target-like raw doc must be selected")
+    assert(!sel.contains(101L), "gibberish doc must fall below the cut")
+    // scores must rank the target-like doc above every absent doc
+    assert(sel(100L) <= 21L)
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)
