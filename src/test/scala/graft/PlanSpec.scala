@@ -126,6 +126,24 @@ class PlanSpec extends SparkSpec {
     assert(!f3.contains("CartesianProduct"))
   }
 
+  test("text_chunk is a pure projection: zero shuffles, two-column scan") {
+    val p = plan(graft.operators.Pipeline.chunk(spark, sf))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text:\n$p")
+  }
+
+  test("DSIR: the lambda model broadcasts and the top-k is the bounded " +
+      "TopKPerKey operator, not a global sort") {
+    val p = plan(graft.operators.Pipeline.dsirSelect(spark, sf))
+    // the per-doc scoring join against the fixed 4096-row model must
+    // be broadcast — a shuffle join there re-keys the whole corpus
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(p.contains("TopKPerKeyPartial"),
+      s"global top-k must run through bounded heaps:\n$p")
+    assert(!p.contains("window"), s"no window sort in DSIR:\n$p")
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
