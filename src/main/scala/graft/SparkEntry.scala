@@ -317,6 +317,8 @@ object SparkEntry {
     "q_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
     "text_chunk" -> ((s, d) => Pipeline.chunk(s, d)),
     "q_dsir_select" -> ((s, d) => Pipeline.dsirSelect(s, d)),
+    "q_drift_psi" -> ((s, d) => Pipeline.driftPsi(s, d)),
+    "q_corpus_report" -> ((s, d) => Pipeline.corpusReport(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -1944,6 +1946,46 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, avg_logratio,
         |  CAST(row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS BIGINT) AS rnk
         |FROM sc ORDER BY avg_logratio DESC, doc_id LIMIT 100""".stripMargin,
+    // PSI drift between id-ordered halves: baseline deciles from the
+    // first run only; add-half smoothing keeps emptied buckets finite;
+    // ln rounded 6dp before the exact-double multiply, product rounded
+    "q_drift_psi" -> {
+      val probs = (1 until 10).map(_.toDouble / 10).mkString(", ")
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |d AS (
+         |  SELECT CASE WHEN doc_id < CAST(floor((mx + 1) / 2.0) AS BIGINT)
+         |           THEN 1 ELSE 2 END AS run,
+         |         CAST(n_chars AS DOUBLE) AS x
+         |  FROM documents CROSS JOIN mx),
+         |cuts AS (SELECT quantile_cont(x, [$probs]) AS cs FROM d WHERE run = 1),
+         |b AS (
+         |  SELECT run,
+         |    CAST(1 + len(list_filter(cs, c -> c < x)) AS BIGINT) AS bucket
+         |  FROM d CROSS JOIN cuts),
+         |c AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN run = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN run = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM b GROUP BY bucket),
+         |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+         |             CAST(sum(n2) AS BIGINT) AS t2 FROM c)
+         |SELECT bucket, n1, n2,
+         |  round(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0)
+         |         - (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))
+         |    * round(ln(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0))
+         |             / ((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))), 6),
+         |    6) AS psi_term
+         |FROM c CROSS JOIN t""".stripMargin
+    },
+    "q_corpus_report" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS share_en
+        |FROM documents""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang, h FROM (
         |  SELECT doc_id, lang,

@@ -503,4 +503,83 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"), col("avg_logratio"),
         col("rnk"))
   }
+
+  /** Corpus-drift monitoring via the Population Stability Index —
+    * the gate every growing corpus runs between ingest runs ("did
+    * this batch's length/quality distribution shift?"). Runs are the
+    * id-ordered halves (the `dedup_incremental` framing); bucket
+    * edges are the FIRST run's deciles, so drift is measured against
+    * the baseline's own shape. PSI term per bucket =
+    * (p2 − p1)·ln(p2/p1), both shares add-½ smoothed so an emptied
+    * bucket yields a finite, large term instead of ±∞ (the standard
+    * PSI practice). Σterms < 0.1 is the conventional "stable" bar —
+    * asserted in the spec, summed by the caller.
+    *
+    * Scale shape: the baseline's cutpoints come from the mergeable
+    * KLL sketch (O(k) buffers, exact regime at gate SFs so DuckDB's
+    * `quantile_cont` gates bit-for-bit) and broadcast; bucket
+    * assignment is a projection; the only shuffle ends at nBuckets
+    * rows. Cross-engine: ln(p2/p1) rounded to 6 decimals before the
+    * (exact-double) multiply, the product rounded again — the
+    * perplexity discipline.
+    */
+  def driftPsi(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 10, kllK: Int = 8192): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("double").as("x"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val tagged = docs.crossJoin(broadcast(mx))
+      .withColumn("run",
+        when(col("doc_id") <
+          floor((col("mx") + 1) / lit(2.0)).cast("long"), lit(1L))
+          .otherwise(lit(2L)))
+      .select(col("run"), col("x"))
+    val cuts = tagged.filter(col("run") === 1).agg(
+      graft.functions.KllSketch.kll_quantiles(
+        col("x"), kllK, probs).as("cuts"))
+    val counts = tagged.crossJoin(broadcast(cuts))
+      .select(col("run"),
+        (lit(1) + size(filter(col("cuts"), c => c < col("x"))))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("run") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("run") === 2, 1L).otherwise(0L)).as("n2"))
+    val totals = counts.agg(sum(col("n1")).as("t1"),
+      sum(col("n2")).as("t2"))
+    val half = 0.5 * nBuckets
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p1", (col("n1").cast("double") + 0.5)
+        / (col("t1").cast("double") + half))
+      .withColumn("p2", (col("n2").cast("double") + 0.5)
+        / (col("t2").cast("double") + half))
+      .select(col("bucket"), col("n1"), col("n2"),
+        round((col("p2") - col("p1"))
+          * round(log(col("p2") / col("p1")), 6), 6).as("psi_term"))
+  }
+
+  /** One-row corpus health report — the summary stage every pipeline
+    * run emits alongside its output shards: scale, composition,
+    * exact-dup rate, and the English share that drives the curate
+    * defaults. One scan; the three DISTINCT counts share a single
+    * aggregate (Catalyst expands, each distinct is a partial agg).
+    * All values are exact integers or single IEEE divisions —
+    * nothing engine-sensitive.
+    */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("t"),
+        col("text"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_tokens"), col("n_chars"), col("n_dup_docs"),
+        (col("n_en").cast("double") / col("n_docs").cast("double"))
+          .as("share_en"))
 }

@@ -237,6 +237,34 @@ class PipelineSpec extends SparkSpec {
     assert(sel(100L) <= 21L)
   }
 
+  test("drift PSI: identical halves stay under the 0.1 stability bar " +
+      "and every term is finite") {
+    val terms = Pipeline.driftPsi(spark, sf).collect()
+    assert(terms.length == 10, s"expected 10 buckets, got ${terms.length}")
+    val psi = terms.map(r => math.abs(r.getDouble(3))).sum
+    // both halves draw from the same synthetic distribution — the
+    // conventional "stable" verdict must hold
+    assert(psi < 0.1, s"same-distribution corpus flagged as drifted: $psi")
+    assert(terms.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // baseline deciles: run-1 counts are near-equal by construction
+    val n1 = terms.map(_.getLong(1))
+    assert(n1.max - n1.min <= n1.sum / 10 + 1,
+      s"baseline deciles unbalanced: ${n1.toSeq}")
+  }
+
+  test("corpus report matches directly-computed ground truth") {
+    val r = Pipeline.corpusReport(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf).cache()
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.select("lang").distinct().count())
+    assert(r.getLong(5) ==
+      docs.count() - docs.select("text").distinct().count())
+    val shareEn =
+      docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    assert(math.abs(r.getDouble(6) - shareEn) < 1e-12)
+    docs.unpersist()
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)
