@@ -349,6 +349,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.cmsFromFiles(s, d)),
     "stream_topk" ->
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
+    "stream_near_dup" ->
+      ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -879,6 +881,45 @@ object SparkEntry {
         |  WHERE word <> ''
         |  GROUP BY lang, word)
         |WHERE rnk <= 5""".stripMargin,
+    // streaming incremental LSH near-dup: md5-MinHash (the one hash
+    // both engines share) makes this the family's first fully
+    // oracle-gated LSH path; id-ordered arrival ⇒ the stream's
+    // running-bucket-min equals this window replay
+    "stream_near_dup" -> {
+      val perms = graft.streaming.EventStreams.NearDupPerms
+      val rows = graft.streaming.EventStreams.NearDupBandRows
+      val mins = (0 until perms).map { i =>
+        s"    list_min(list_transform(sh, s -> CAST('0x' || substring(md5('$i:' || s), 1, 12) AS BIGINT))) AS mh$i"
+      }.mkString(",\n")
+      val bandSelects = (0 until perms / rows).map { b =>
+        val sig = (0 until rows)
+          .map(r => s"CAST(mh${b * rows + r} AS VARCHAR)")
+          .mkString(" || '-' || ")
+        s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS sh
+         |  FROM words WHERE len(w) >= 3),
+         |mh AS (
+         |  SELECT doc_id,
+         |$mins
+         |  FROM sh),
+         |bands AS (
+         |$bandSelects),
+         |own AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY band, sig ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS owner
+         |  FROM bands)
+         |SELECT doc_id, CAST(min(owner) AS BIGINT) AS near_dup_of
+         |FROM own GROUP BY doc_id""".stripMargin
+    },
     "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,

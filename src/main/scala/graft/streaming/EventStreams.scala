@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -527,6 +529,125 @@ object EventStreams {
         .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
         .select(col("lang"), col("col.item").as("word"),
           col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rnk"))
+    }
+  }
+
+  val NearDupPerms = 16
+  val NearDupBandRows = 4
+
+  /** md5-MinHash LSH band signatures as a pure PROJECTION: 3-word
+    * shingles built array-side, each of the 16 permutation minima an
+    * `array_min` over the shingle array (no explode, no shuffle —
+    * signing 100 TB is one map), 4 bands of 4 rows concatenated into
+    * a string key. md5 is deliberately the hash here, NOT the faster
+    * xxhash64 the batch LSH keys use: md5 is the one hash both
+    * engines compute identically, which makes this the family's
+    * first fully DuckDB-oracle-gated LSH path (the xxhash64 keys are
+    * rows-gated by declared design). Works identically on batch and
+    * streaming frames.
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val w = filter(split(col("text"),
+      graft.operators.TextMapReduce.WordSplit), x => x =!= "")
+    val base = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
+          "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+    val withMins = (0 until NearDupPerms).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh$i", array_min(transform(col("sh"),
+        s => conv(substring(md5(concat(lit(s"$i:"), s)), 1, 12), 16, 10)
+          .cast("long"))))
+    }
+    val nBands = NearDupPerms / NearDupBandRows
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until NearDupBandRows)
+          .map(r => col(s"mh${b * NearDupBandRows + r}")): _*).as("sig"))
+    }
+    withMins
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  case class BandRow(doc_id: Long, band: Int, sig: String)
+
+  /** Streaming INCREMENTAL near-dup detection — the state-store twin
+    * of the batch LSH dedup family: each (band, sig) bucket keeps one
+    * long of state (the minimum doc id ever seen there), every
+    * arriving document is assigned the bucket's running minimum as
+    * its owner, and the per-doc verdict is the min owner across its
+    * bands. With id-ordered arrival (the feed below guarantees it)
+    * this equals the batch canonical-assignment rule "near_dup_of =
+    * min id among bucket-mates with id ≤ mine" — deterministic, so
+    * the DuckDB oracle replays it with a running-min window.
+    *
+    * State is O(#distinct band buckets) longs, watermark-free
+    * (signatures never expire — a year-old duplicate is still a
+    * duplicate; real deployments would TTL the store the same way
+    * the fingerprint store in `dedup_incremental` is compacted).
+    * Downstream per-doc min is an aggregation AFTER
+    * flatMapGroupsWithState in Append mode — the one composition
+    * Structured Streaming allows for exactly this pattern.
+    */
+  def nearDupStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    minhashBands(docs).as[BandRow]
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[BandRow],
+            state: GroupState[Long]) => {
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.map(_.doc_id).toArray.sorted.map { id =>
+            if (id < mn) mn = id
+            (id, mn)
+          }
+          state.update(mn)
+          out.iterator
+        })
+      .toDF("doc_id", "owner")
+      .groupBy("doc_id")
+      .agg(min(col("owner")).as("near_dup_of"))
+  }
+
+  /** The file-fed gate path: documents split into id-ordered halves
+    * (two parquet files with forced modification times, processed
+    * oldest-first one per trigger), so the second batch's docs are
+    * checked against state built by the first — a real cross-batch
+    * incremental dedup, gated bit-for-bit by the batch oracle.
+    */
+  def nearDupFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // feed construction only (not the operator): 1-row bounded agg
+    // for the id cutoff between the two simulated ingest runs
+    val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
+    val feed = graft.TempDirs.create("graft_stream_near_dup")
+    def dump(half: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = feed.resolve(s"${name}_tmp")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      val dest = feed.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // fixed past mtimes: the source processes oldest-first
+    dump(docs.filter(col("doc_id") < cutoff), "run1.parquet", 1000000000000L)
+    dump(docs.filter(col("doc_id") >= cutoff), "run2.parquet", 1000000060000L)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force the cross-batch carry
+      .parquet(feed.toString)
+    val name = nextSinkName("graft_stream_near_dup")
+    withSink(spark, name) {
+      val q = nearDupStream(stream).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+        .select(col("doc_id"), col("near_dup_of"))
     }
   }
 }

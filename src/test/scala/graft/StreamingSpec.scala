@@ -303,4 +303,42 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == exp.count() && exp.count() > 0)
     assert(joined.filter(col("cnt") =!= col("count")).isEmpty)
   }
+
+  test("streaming near-dup: a run-2 copy is caught against run-1 state " +
+      "and the stream equals the batch window replay") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),                                   // run 1 original
+      (1L, "totally different words entirely here unlike anything else"),
+      (2L, base + " phi"),                          // run-1 near-dup of 0
+      (10L, base + " chi psi"),                     // run 2: near-dup of 0
+      (11L, "unique second run content nothing shares these tokens ever"))
+      .toDF("doc_id", "text")
+    val dir = TempDirs.create("graft_stream_neardup_spec").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = EventStreams.nearDupFromFiles(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cutoff = max/2 + 1 = 6: docs 0,1,2 are run 1; 10,11 run 2.
+    // doc 10 shares every 3-shingle prefix with doc 0 → all four
+    // bands collide → owner 0, detected purely from run-1 state
+    assert(got(10L) == 0L, s"cross-batch near-dup missed: $got")
+    assert(got(2L) == 0L, s"within-batch near-dup missed: $got")
+    assert(got(0L) == 0L && got(1L) == 1L && got(11L) == 11L,
+      s"unique docs must own themselves: $got")
+    // full equality vs the batch running-min replay on the real corpus
+    val stream = EventStreams.nearDupFromFiles(spark, sf)
+    val bands = EventStreams.minhashBands(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val batch = bands
+      .withColumn("owner", min(col("doc_id")).over(
+        Window.partitionBy(col("band"), col("sig"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id").agg(min(col("owner")).as("near_dup_of"))
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "stream and batch near-dup assignments diverge")
+  }
 }
