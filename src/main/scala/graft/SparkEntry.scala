@@ -351,6 +351,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     "stream_near_dup" ->
       ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
+    "q_partition_prune" ->
+      ((s, d) => graft.sources.Formats.partitionPrunedEvents(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -920,6 +922,13 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(owner) AS BIGINT) AS near_dup_of
          |FROM own GROUP BY doc_id""".stripMargin
     },
+    // the pruned partitioned-layout read must equal the plain scan
+    "q_partition_prune" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
     "sql_theta_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type""".stripMargin,

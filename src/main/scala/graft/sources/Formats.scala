@@ -155,4 +155,34 @@ object Formats {
     graft.operators.Relational.q6Over(
       spark.read.schema(li.schema).orc(path))
   }
+
+  private val partitionedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Hive-style partition PRUNING — the other half of the layout
+    * story next to bucketing: events written `partitionBy(event_type)`
+    * once, so a query filtering on the partition column never opens
+    * the other partitions' files at all (directory-level pruning —
+    * `PartitionFilters` in the scan, asserted by PlanSpec; at 100 TB
+    * this is the difference between scanning one event type and
+    * scanning all of them). The layout is written once per (JVM,
+    * corpus) and reused; the gate compares the pruned read's daily
+    * rollup against the unpartitioned oracle.
+    */
+  def partitionPrunedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = partitionedLayouts.computeIfAbsent(sfDir, _ => {
+      val d = graft.TempDirs.create("graft_part_events").toString
+      graft.Tables.events(spark, sfDir).write
+        .partitionBy("event_type").mode(SaveMode.Overwrite).parquet(d)
+      d
+    })
+    spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+  }
 }

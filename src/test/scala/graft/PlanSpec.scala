@@ -144,6 +144,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("window"), s"no window sort in DSIR:\n$p")
   }
 
+  test("partitioned layout: the event_type filter prunes at the " +
+      "DIRECTORY level, not per-row") {
+    val p = plan(graft.sources.Formats.partitionPrunedEvents(spark, sf))
+    assert(p.contains("PartitionFilters"), s"no partition pruning:\n$p")
+    // the filter must live in PartitionFilters (directory pruning) —
+    // the data files of other event types are never opened
+    val scan = p.linesIterator.dropWhile(!_.contains("PartitionFilters"))
+      .take(1).mkString
+    assert(scan.contains("event_type"), s"partition filter missing:\n$scan")
+    // event_type is a partition column, so it must NOT be in the
+    // data-file read schema
+    assert(!p.contains("ReadSchema: struct<ts") ||
+      !p.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("event_type")),
+      s"partition column read from data files:\n$p")
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
