@@ -2033,7 +2033,7 @@ object SparkEntry {
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS share_en
         |FROM documents""".stripMargin,
     "q_stratified_sample" ->

@@ -469,19 +469,28 @@ object Pipeline {
     * specs). */
   def dsirSelectOver(docs: DataFrame,
       nBuckets: Int, k: Int): DataFrame = {
-    val tokB = docs
+    // ONE corpus scan: everything downstream (both count tables, both
+    // totals, the per-doc score) derives from this persisted per-doc
+    // term-frequency frame — without it each aggregate would re-read
+    // and re-tokenize the corpus (4 extra full scans at 100 TB). The
+    // tf frame is bounded by Σ distinct (doc, bucket) pairs ≤ token
+    // count, and far smaller in practice.
+    val tf = docs
       .select(col("doc_id"), col("lang"),
         explode(filter(split(col("text"), TextMapReduce.WordSplit),
           w => w =!= "")).as("word"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("word")), 1, 6), 16, 10).cast("long")
           % nBuckets).as("bucket"))
-    val rawCnt = tokB.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
-    val tgtCnt = tokB.filter(col("lang") === "en")
-      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
-    val nRaw = tokB.agg(count(lit(1)).as("n_raw"))
-    val nTgt = tokB.filter(col("lang") === "en")
-      .agg(count(lit(1)).as("n_tgt"))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCnt = tf.groupBy("bucket").agg(sum(col("tf")).as("c_raw"))
+    val tgtCnt = tf.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum(col("tf")).as("c_tgt"))
+    val nRaw = tf.agg(sum(col("tf")).as("n_raw"))
+    val nTgt = tf.filter(col("lang") === "en")
+      .agg(sum(col("tf")).as("n_tgt"))
     val lam = rawCnt.join(tgtCnt, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_tgt"))
       .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
@@ -489,8 +498,7 @@ object Pipeline {
         round(log(col("c_tgt") + 1) - log(col("n_tgt") + nBuckets)
             - log(col("c_raw") + 1) + log(col("n_raw") + nBuckets), 6)
           .cast("decimal(18,6)").as("lam"))
-    val perDoc = tokB.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf
       .join(broadcast(lam), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
@@ -576,7 +584,10 @@ object Pipeline {
         countDistinct(col("source")).as("n_sources"),
         sum(col("t")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        // distinct over md5(text), not text: the distinct shuffle
+        // ships 32-char digests instead of whole documents
+        (count(lit(1)) - countDistinct(md5(col("text"))))
+          .as("n_dup_docs"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
       .select(col("n_docs"), col("n_langs"), col("n_sources"),
         col("n_tokens"), col("n_chars"), col("n_dup_docs"),
