@@ -331,6 +331,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     "mm_frame_dup" -> ((s, d) => Multimodal.frameDup(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // G/H. Gated source + streaming + SQL-surface paths
     "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
     "stream_events_hourly" ->
@@ -2324,6 +2325,27 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS magic
         |FROM documents""".stripMargin,
+    // resize planning: stub dims from the first/last payload byte,
+    // aspect fit into 64², integer-exact letterbox math
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |  WHERE octet_length(encode(text)) >= 1),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    CAST('0x' || substring(hx, 1, 2) AS BIGINT) % 128 + 1 AS w0,
+        |    CAST('0x' || substring(hx, length(hx) - 1, 2) AS BIGINT) % 128 + 1 AS h0
+        |  FROM m),
+        |f AS (
+        |  SELECT doc_id, hx, w0, h0,
+        |    greatest(1, CAST(floor(w0 * 64 / greatest(w0, h0)) AS BIGINT)) AS out_w,
+        |    greatest(1, CAST(floor(h0 * 64 / greatest(w0, h0)) AS BIGINT)) AS out_h
+        |  FROM d)
+        |SELECT doc_id, w0, h0, out_w, out_h,
+        |  64 - out_w AS pad_x, 64 - out_h AS pad_y,
+        |  substring(md5(hx || '-' || CAST(out_w AS VARCHAR)
+        |    || 'x' || CAST(out_h AS VARCHAR)), 1, 16) AS resized_sig
+        |FROM f""".stripMargin,
     "mm_frame_dup" ->
       """WITH fr AS (
         |  SELECT DISTINCT doc_id,

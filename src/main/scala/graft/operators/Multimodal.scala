@@ -123,4 +123,42 @@ object Multimodal {
       Seq(col("doc_id"), col("n_bytes"), col("width"), col("height")) ++
         (0 until 8).map(i => col("features")(i).as(s"f$i")): _*)
   }
+
+  /** Aspect-preserving resize PLANNING — the dims/letterbox math that
+    * fronts every image-normalization stage (fit the decoded w×h into
+    * a `target`² box, longer edge = target, shorter edge scaled and
+    * padded). The decoded dims use the same first-byte/last-byte stub
+    * rule as `decodeStub` but expressed in codegen'd column functions
+    * (`(byte & 0x7f) + 1` = `% 128 + 1` on the hex-decoded byte), so
+    * the whole plan — decode, fit, pad, and the deterministic
+    * resized-payload signature standing in for the resampler — is one
+    * shuffle-free projection the DuckDB oracle replays byte-for-byte.
+    * The real resampler slots into the signature column's place
+    * per-partition exactly like `features`' codec stub.
+    */
+  def resizePlan(spark: SparkSession, sfDir: String,
+      target: Int = 64): DataFrame = {
+    val firstByte = conv(hex(substring(col("payload"), 1, 1)), 16, 10)
+      .cast("long")
+    val lastByte = conv(hex(expr(
+      "substring(payload, length(payload), 1)")), 16, 10).cast("long")
+    mediaTable(spark, sfDir)
+      .filter(length(col("payload")) >= 1)
+      .select(col("doc_id"), col("payload"),
+        (firstByte % 128 + 1).as("w0"), (lastByte % 128 + 1).as("h0"))
+      .withColumn("mx", greatest(col("w0"), col("h0")))
+      .select(col("doc_id"), col("w0"), col("h0"),
+        greatest(lit(1L), floor(col("w0") * target / col("mx")))
+          .cast("long").as("out_w"),
+        greatest(lit(1L), floor(col("h0") * target / col("mx")))
+          .cast("long").as("out_h"),
+        col("payload"))
+      .withColumn("pad_x", lit(target.toLong) - col("out_w"))
+      .withColumn("pad_y", lit(target.toLong) - col("out_h"))
+      .withColumn("resized_sig",
+        substring(md5(concat(hex(col("payload")), lit("-"),
+          col("out_w"), lit("x"), col("out_h"))), 1, 16))
+      .select("doc_id", "w0", "h0", "out_w", "out_h",
+        "pad_x", "pad_y", "resized_sig")
+  }
 }

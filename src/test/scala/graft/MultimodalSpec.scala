@@ -27,4 +27,22 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.features(spark, sf)
     assert(a.exceptAll(b).isEmpty)
   }
+
+  test("resize plan: longer edge hits the target box, aspect is " +
+      "preserved within flooring, pads are complements") {
+    val r = Multimodal.resizePlan(spark, sf).cache()
+    assert(r.count() > 0)
+    // aspect fit: max(out_w, out_h) == 64 exactly (the longer edge
+    // scales to the box; floor(mx*64/mx) = 64)
+    assert(r.filter(greatest(col("out_w"), col("out_h")) =!= 64).isEmpty)
+    assert(r.filter(col("out_w") < 1 || col("out_w") > 64
+      || col("out_h") < 1 || col("out_h") > 64).isEmpty)
+    assert(r.filter(col("pad_x") =!= lit(64) - col("out_w")).isEmpty)
+    assert(r.filter(col("pad_y") =!= lit(64) - col("out_h")).isEmpty)
+    // aspect preserved within flooring: out_w/out_h within 1 unit of
+    // w0*64/mx and h0*64/mx
+    assert(r.filter(abs(col("out_w")
+      - col("w0") * 64 / greatest(col("w0"), col("h0"))) > 1).isEmpty)
+    r.unpersist()
+  }
 }
