@@ -114,6 +114,9 @@ object SparkEntry {
     "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    // rows-gated: zlib output is not reproducible in DuckDB
+    "text_compression" -> ((s, d) => TextAnalysis.compression(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "q_funnel3" -> ((s, d) => Relational.funnel3(s, d)),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -1240,6 +1243,36 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
         |      FROM documents)""".stripMargin,
+    // one most-frequent-bigram / duplicated-5-gram pass per doc; both
+    // fracs divide once in double and round-6, keep tests the rounded
+    // values so the threshold compare is cross-engine exact
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest([array_to_string(w[i:i+n-1], ' ')
+        |            for i in range(1, len(w) - n + 2)]) AS gram
+        |  FROM w, (VALUES (2), (5)) t(n)
+        |  WHERE len(w) >= n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, n, max(cnt) AS top_cnt,
+        |        CAST(sum(cnt) AS BIGINT) AS total,
+        |        CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+        |      FROM c GROUP BY 1, 2),
+        |f AS (SELECT doc_id,
+        |        round(coalesce(max(CASE WHEN n = 2
+        |          THEN CAST(top_cnt AS DOUBLE) / CAST(total AS DOUBLE) END), 0.0), 6)
+        |          AS top2gram_frac,
+        |        round(coalesce(max(CASE WHEN n = 5
+        |          THEN CAST(dup_cnt AS DOUBLE) / CAST(total AS DOUBLE) END), 0.0), 6)
+        |          AS dup5gram_frac
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, top2gram_frac, dup5gram_frac,
+        |  (top2gram_frac <= 0.20 AND dup5gram_frac <= 0.15) AS keep
+        |FROM f""".stripMargin,
     // per-(doc,word) tf·ln(tf) terms rounded to 6 decimals and summed
     // IN DECIMAL (the perplexity discipline); the final ln(n) − sum/n
     // derives via single IEEE ops and is rounded again

@@ -161,6 +161,25 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
   }
 
+  /** DEFLATE'd length of a string — the compression-ratio quality
+    * signal (Gopher/Dolma-style: templated/repetitive text compresses
+    * far below prose). zlib output is JVM-stable but not something
+    * DuckDB can reproduce, so consumers are rows-gated with invariant
+    * specs (the xxhash64 family's regime). Codegen: one static kernel
+    * call, stays inside the fused stage.
+    */
+  case class DeflateLen(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(ExprKernels.deflateLen(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.deflateLen($c);")
+    override protected def withNewChildInternal(c: Expression): DeflateLen =
+      copy(child = c)
+  }
+
   /** Multi-probe SRP: array of 1 + nProbes bucket codes — the main
     * code plus single-bit flips of the lowest-|margin| planes
     * (Lv et al., "Multi-Probe LSH", VLDB'07, adapted to sign random
@@ -305,6 +324,9 @@ object CatalystExprs {
   def centroid_probes(v: Column, norm: Column, cents: Array[Array[Double]],
       probes: Int): Column =
     asCol(CentroidProbes(expression(v), expression(norm), cents, probes))
+
+  def deflate_len(s: Column): Column =
+    asCol(DeflateLen(expression(s)))
 
   private def expression(c: Column): Expression =
     org.apache.spark.sql.GraftBridge.expression(c)

@@ -301,4 +301,23 @@ object ExprKernels {
     }
     s
   }
+
+  /** DEFLATE'd byte length of a UTF-8 string (level 6, raw deflate).
+    * The Deflater is allocated per call and `end()`ed — native zlib
+    * memory does not ride the GC; a thread-local would save the
+    * allocation but leak across Spark's task thread pool.
+    */
+  def deflateLen(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val in = s.getBytes
+    if (in.isEmpty) return 0L
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](math.max(64, in.length / 2))
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }

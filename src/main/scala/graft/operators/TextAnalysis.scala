@@ -664,4 +664,71 @@ object TextAnalysis {
           .otherwise(lit(""))).as("text"))
     piiRedactOver(probed)
   }
+
+  /** Compression-ratio quality signal (Gopher / Dolma filter set):
+    * DEFLATE the text, ratio = compressed/raw bytes. Templated or
+    * repetitive documents compress far below prose (low ratio ⇒ likely
+    * boilerplate/spam; near or above 1 ⇒ high-entropy noise) — the
+    * axis the word-level heuristics in `text_quality`/`text_gopher`
+    * can't see. Projection-only via the codegen'd `DeflateLen`
+    * expression; zlib output is JVM-stable but not reproducible in
+    * DuckDB, so the key is rows-gated with CompressionSpec invariants
+    * (the xxhash64 family's regime).
+    */
+  def compressionOver(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      graft.functions.CatalystExprs.deflate_len(col("text"))
+        .as("n_deflate"))
+      .filter(col("n_bytes") >= 1)
+      .withColumn("ratio",
+        round(col("n_deflate").cast("double") / col("n_bytes"), 6))
+
+  def compression(spark: SparkSession, sfDir: String): DataFrame =
+    compressionOver(Tables.documents(spark, sfDir))
+
+  /** Gopher repetition filters (the MassiveText repetition section,
+    * complementing `text_gopher`'s word-statistics section): the
+    * fraction of word-bigram occurrences taken by the single most
+    * frequent bigram (`top2gram_frac`, Gopher's "most common 2-gram"
+    * rule) and the fraction of word-5-gram occurrences whose 5-gram
+    * repeats within the document (`dup5gram_frac`, Gopher's
+    * "duplicate 5-grams" rule), word-position-weighted (the corpus
+    * has no line structure, so the line-level rules don't apply).
+    *
+    * Plan: one scan; the n∈{2,5} gram streams explode from the same
+    * token array; both aggregations key on (doc_id[, n, gram]) so
+    * partial aggregation runs map-side and no key outgrows a
+    * document. Docs shorter than n words contribute no n-gram rows
+    * and coalesce to 0 (no repetition evidence ⇒ keep).
+    */
+  def repetitionOver(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("w"),
+        explode(typedLit(Seq(2, 5))).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(when(size(col("w")) >= col("n"),
+          transform(sequence(lit(1), size(col("w")) - col("n") + 1),
+            i => array_join(slice(col("w"), i, col("n")), " ")))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+    grams
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(max(col("cnt")).as("top_cnt"),
+        sum(col("cnt")).as("total"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0))).as("dup_cnt"))
+      .groupBy("doc_id")
+      .agg(
+        round(coalesce(max(when(col("n") === 2,
+          col("top_cnt").cast("double") / col("total").cast("double"))),
+          lit(0.0)), 6).as("top2gram_frac"),
+        round(coalesce(max(when(col("n") === 5,
+          col("dup_cnt").cast("double") / col("total").cast("double"))),
+          lit(0.0)), 6).as("dup5gram_frac"))
+      .withColumn("keep",
+        col("top2gram_frac") <= 0.20 && col("dup5gram_frac") <= 0.15)
+  }
+
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionOver(Tables.documents(spark, sfDir))
 }

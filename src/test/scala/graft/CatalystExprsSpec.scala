@@ -92,6 +92,7 @@ class CatalystExprsSpec extends SparkSpec {
       band_keys(Dedup.minhashSignature(words), 16, 8),
       simhash64(xxhash_array(words)),
       dot_product(array(lit(1.0)), array(lit(2.0))),
+      deflate_len(lit("aaaa bbbb aaaa bbbb")),
       Similarity.lshBucket(array((0 until 64).map(_ => lit(0.25)): _*)))
     exprs.foreach { c =>
       val e = org.apache.spark.sql.GraftBridge.expression(c)

@@ -314,4 +314,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.piiRedactOver(clean)
       .filter(col("n_email") + col("n_phone") + col("n_id") > 0).isEmpty)
   }
+
+  test("repetition filters: hand-computed fracs, short-doc coalesce, " +
+      "threshold verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" x3: bigrams a-b,b-a,a-b,b-a,a-b -> top 3/5; 5-grams
+      // "a b a b a","b a b a b" each once -> dup 0
+      (1L, "a b a b a b"),
+      // ten distinct words: top bigram 1/9, no dup 5-grams
+      (2L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      // 2 words: one bigram (frac 1.0), no 5-grams -> coalesce 0
+      (3L, "x y"),
+      // pure spam: all bigrams identical, all 5-grams duplicated
+      (4L, Seq.fill(20)("spam").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionOver(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getBoolean(3))))
+      .toMap
+    assert(r(1L) == ((0.6, 0.0, false)))
+    assert(r(2L) == ((0.111111, 0.0, true)))
+    assert(r(3L) == ((1.0, 0.0, false)))
+    assert(r(4L) == ((1.0, 1.0, false)))
+  }
+
+  test("compression ratio separates repetitive text from prose and " +
+      "noise, deterministically") {
+    import spark.implicits._
+    val rep = Seq.fill(60)("spam spam spam").mkString(" ")
+    // long enough for LZ77 to find the natural word repetitions
+    val prose = Seq.fill(4)("the quick brown fox jumps over the lazy " +
+      "dog while the seventeen jugglers vex the daft wizards and the " +
+      "dog barks at the fox before the wizards depart the meadow")
+      .mkString(" ")
+    // hash bytes mapped onto the full printable range (94 symbols) —
+    // hex digits alone would Huffman-code to ~0.5 and beat prose
+    val noise = (0 until 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes)
+        .map(b => ((b & 0x7f) % 94 + 33).toChar).mkString).mkString
+    val docs = Seq((1L, rep), (2L, prose), (3L, noise)).toDF("doc_id", "text")
+    val r = TextAnalysis.compressionOver(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) < 0.2, s"repetitive text should crush: ${r(1L)}")
+    assert(r(1L) < r(2L) && r(2L) < r(3L),
+      s"ordering repetitive < prose < noise broken: $r")
+    assert(r.values.forall(v => v > 0.0 && v < 1.5), s"ratio bounds: $r")
+    // deterministic across evaluations (JVM-stable zlib)
+    val again = TextAnalysis.compressionOver(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r == again, "deflate must be deterministic")
+    // real corpus: every row finite and positive, schema stable
+    val corpus = TextAnalysis.compression(spark, sf).cache()
+    assert(corpus.count() > 0)
+    assert(corpus.filter(col("ratio") <= 0.0 || col("ratio") > 2.0).isEmpty)
+    corpus.unpersist()
+  }
 }
