@@ -420,16 +420,11 @@ object Similarity {
     cents
   }
 
-  def annPq(spark: SparkSession, sfDir: String,
-      k: Int = 10, nQueries: Int = 20, rerank: Int = 100): DataFrame = {
-    val all = vecs(spark, sfDir)
-    val dims = 64
-    val subd = dims / PqM
-    // cosine depends on DIRECTION only, so quantize the unit vector
-    // u = v/|v| — norm variance would otherwise eat codebook capacity.
-    // Normalization happens INSIDE the kernels (per-element division,
-    // bit-identical to the former u column), so the corpus pass needs
-    // no materialized unit-vector array.
+  /** Deterministic unit-vector training sample (the first `PqSample`
+    * corpus vectors, normalized) — the driver-side stand-in for the
+    * offline codebook-training job. O(sample), corpus-size free.
+    */
+  private def unitSample(all: DataFrame): Array[Array[Double]] = {
     val sample = all.filter(col("vec_id") < PqSample)
       .orderBy("vec_id").select("v", "norm").collect()
       .map { r =>
@@ -437,11 +432,28 @@ object Similarity {
         r.getSeq[Double](0).toArray.map(_ / n)
       }
     require(sample.length >= PqKs, s"corpus smaller than codebook: ${sample.length}")
-    // cb(j)(c) = centroid c of subspace j; nrm2(j)(c) = its |·|²
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(PqM) { j =>
-      val sub = sample.map(_.slice(j * subd, (j + 1) * subd))
-      lloyd(sub, PqKs, PqLloydIters)
+    sample
+  }
+
+  /** Per-subspace PQ codebooks from a unit-vector sample:
+    * cb(j)(c) = centroid c of subspace j.
+    */
+  private def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    val subd = sample(0).length / PqM
+    Array.tabulate(PqM) { j =>
+      lloyd(sample.map(_.slice(j * subd, (j + 1) * subd)), PqKs, PqLloydIters)
     }
+  }
+
+  def annPq(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20, rerank: Int = 100): DataFrame = {
+    val all = vecs(spark, sfDir)
+    // cosine depends on DIRECTION only, so quantize the unit vector
+    // u = v/|v| — norm variance would otherwise eat codebook capacity.
+    // Normalization happens INSIDE the kernels (per-element division,
+    // bit-identical to the former u column), so the corpus pass needs
+    // no materialized unit-vector array.
+    val cb = pqCodebooks(unitSample(all))
     val nrm2: Array[Array[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
     import graft.functions.CatalystExprs.{pq_encode, pq_recon_norm, pq_adc_table, pq_adc}
 
@@ -459,6 +471,80 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         pq_adc_table(col("v"), col("norm"), cb).as("tbl"))
     val approx = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("acos", pq_adc(col("tbl"), col("code")) / col("xnorm"))
+    val pool = graft.plans.TopKPerKey(
+        approx.select(col("query_id"), col("vec_id"), col("acos")),
+        Seq("query_id"), Seq(("acos", true), ("vec_id", false)), rerank)
+      .select(col("query_id"), col("vec_id"))
+    val exactQ = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val rescored = pool
+      .join(all, "vec_id")
+      .join(broadcast(exactQ), "query_id")
+      .withColumn("cos", dot_product(col("qv"), col("v")) / col("qn") / col("norm"))
+    graft.plans.TopKPerKey(
+        rescored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
+  val IvfPqCells = 16
+  val IvfPqProbes = 8
+
+  /** IVF-PQ (Jégou et al., TPAMI'11; the FAISS `IndexIVFPQ` layout)
+    * — the composition that actually runs at 100 TB: the coarse IVF
+    * quantizer prunes the scan to the `nProbe`/`cells` fraction of
+    * the corpus nearest each query, and PQ's ADC makes every
+    * candidate cost `PqM` table lookups on a 64-bit code instead of
+    * a 64-dim dot product. `ann_pq` alone still scans every corpus
+    * code per query; `ann_ivf` alone pays an exact dot product per
+    * candidate — this pays neither.
+    *
+    * Codes are global (FAISS `by_residual=false`): residual encoding
+    * buys accuracy at low bit budgets but couples the codebook to the
+    * cell, so encode would need the assignment first; global codes
+    * keep BOTH the cell id and the PQ code one kernel projection over
+    * the same scan, and the exact re-rank recovers the difference at
+    * this bit budget (recall floor spec-pinned).
+    *
+    * Scale shape: coarse + PQ codebooks train on the bounded
+    * deterministic sample (driver-side, corpus-size free) and ride
+    * into the plan as broadcast kernel constants; the candidate join
+    * keys on `cid`, so per-query work is the probed cells only and
+    * no shuffle grows faster than corpus/cells × nProbe; both rank
+    * stages are bounded `TopKPerKey` heaps. At 100 TB, `cells` grows
+    * with the corpus (FAISS runs √n cells) holding per-cell work
+    * constant. Rows-gated: Lloyd codebooks are not
+    * DuckDB-reproducible (the SRP/PQ family's declared regime).
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20, rerank: Int = 100,
+      cells: Int = IvfPqCells, nProbe: Int = IvfPqProbes): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val sample = unitSample(all)
+    val coarse = lloyd(sample, cells, PqLloydIters)
+    val cb = pqCodebooks(sample)
+    val nrm2: Array[Array[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
+    import graft.functions.CatalystExprs.{pq_encode, pq_recon_norm,
+      pq_adc_table, pq_adc, centroid_probes}
+
+    // corpus side: nearest cell + PQ code, one kernel projection over
+    // the scan — nothing moves until the cid-keyed candidate join
+    val coded = all.select(col("vec_id"),
+        element_at(centroid_probes(col("v"), col("norm"), coarse, 1), 1)
+          .as("cid"),
+        pq_encode(col("v"), col("norm"), cb).as("code"))
+      .withColumn("xnorm", pq_recon_norm(col("code"), nrm2))
+    // query side: nProbe nearest cells each carrying the per-query
+    // ADC table (tiny: nQueries × nProbe rows, broadcast)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(centroid_probes(col("v"), col("norm"), coarse, nProbe))
+          .as("cid"),
+        pq_adc_table(col("v"), col("norm"), cb).as("tbl"))
+    val approx = coded.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("acos", pq_adc(col("tbl"), col("code")) / col("xnorm"))
     val pool = graft.plans.TopKPerKey(
         approx.select(col("query_id"), col("vec_id"), col("acos")),

@@ -134,6 +134,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
   }
 
+  test("ivfpq: coarse-cell pruning + ADC + exact re-rank recall vs " +
+      "brute-force truth is measured and pinned; scan fraction bounded") {
+    val dir = "/root/testdata/sf0.01"
+    val truth = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annIvfPq(spark, dir).cache()
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    info(f"ivfpq recall@10 (cells=${Similarity.IvfPqCells}, " +
+      f"nProbe=${Similarity.IvfPqProbes}, rerank 100) = $recall%.3f " +
+      f"over ${truth.size} truth pairs")
+    assert(recall >= 0.8, f"ivfpq recall $recall%.3f below the 0.8 floor")
+    assert(got.groupBy("query_id").count().filter(col("count") =!= 10).isEmpty)
+    assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
+    // scale contract: no window, no interpreted HOF (the pq discipline)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window survived in ivfpq plan")
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted HOF survived in ivfpq plan:\n$plan")
+  }
+
   test("pq: 4-bit ADC codes + exact re-rank recall vs brute-force " +
       "truth is measured and pinned; ranks well-formed") {
     val dir = "/root/testdata/sf0.01"
