@@ -356,6 +356,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     "stream_near_dup" ->
       ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
+    "stream_curate" ->
+      ((s, d) => graft.streaming.EventStreams.curateFromFiles(s, d)),
     "q_partition_prune" ->
       ((s, d) => graft.sources.Formats.partitionPrunedEvents(s, d)),
     // SQL-authored plans through the registered custom expressions —
@@ -927,6 +929,42 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(owner) AS BIGINT) AS near_dup_of
          |FROM own GROUP BY doc_id""".stripMargin
     },
+    // the stateless streaming curation gate: batch-union-equals-batch,
+    // so the oracle is simply the same gopher-keep + langid-argmax
+    // composition over the full documents table
+    "stream_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^#@*&%$+=<>|~^]', '', 'g')) AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE) AS alpha_frac,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE) AS mean_wlen,
+        |    CAST(len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+        |      ['the','a','of','and','to','in','is'])) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(wl, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(wl, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(wl, x -> x IN ('el','los','que','y','una'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(wl, x -> x IN ('le','les','et','une','des'))) AS BIGINT) AS s_fr
+        |  FROM base)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM s
+        |WHERE n_words BETWEEN 20 AND 100000
+        |  AND mean_wlen BETWEEN 2.0 AND 12.0
+        |  AND symbol_ratio <= 0.1
+        |  AND alpha_frac >= 0.8
+        |  AND n_stop >= 2""".stripMargin,
     // the pruned partitioned-layout read must equal the plain scan
     "q_partition_prune" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

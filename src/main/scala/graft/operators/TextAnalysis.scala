@@ -326,28 +326,64 @@ object TextAnalysis {
     * curation can ablate rules individually. All ratios follow the
     * single-final-division oracle discipline.
     */
+  /** The Gopher word-statistic columns, as a projection over
+    * (text, w) — shared by `gopherFilters` and the stateless
+    * streaming curation gate.
+    */
+  private def gopherStats: Seq[Column] = Seq(
+    size(col("w")).cast("long").as("n_words"),
+    safeDiv(length(regexp_replace(col("text"), "[^#@*&%$+=<>|~^]", "")),
+      size(col("w"))).as("symbol_ratio"),
+    safeDiv(size(filter(col("w"), t => t.rlike("\\p{L}"))), size(col("w")))
+      .as("alpha_frac"),
+    safeDiv(length(regexp_replace(col("text"), "[^\\p{L}]", "")), size(col("w")))
+      .as("mean_wlen"),
+    size(array_intersect(
+      array_distinct(transform(col("w"), t => lower(t))),
+      array(Stopwords.map(lit): _*))).cast("long").as("n_stop"))
+
+  /** The Gopher keep verdict over the `gopherStats` columns. */
+  private def gopherKeep: Column =
+    col("n_words").between(20, 100000) &&
+      col("mean_wlen").between(2.0, 12.0) &&
+      col("symbol_ratio") <= 0.1 &&
+      col("alpha_frac") >= 0.8 &&
+      col("n_stop") >= 2
+
   def gopherFilters(spark: SparkSession, sfDir: String): DataFrame = {
     val w = wsTokens(col("text"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), w.as("w"))
+      .select(col("doc_id") +: gopherStats: _*)
+      .withColumn("keep", gopherKeep)
+  }
+
+  /** Stateless ingest-time curation gate: the Gopher keep rules plus
+    * the stopword-profile language prediction, all as ONE projection
+    * over the scan — zero state, zero shuffle, so the exact same code
+    * curates a 100 TB batch backfill and a live Structured Streaming
+    * feed (`stream_curate` runs it in append mode; the DuckDB oracle
+    * gates the batch-equal output).
+    */
+  def curateGateOver(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("text"), wsTokens(col("text")).as("w"),
+        wsTokens(lower(col("text"))).as("wl"))
       .select(
-        col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        safeDiv(length(regexp_replace(col("text"), "[^#@*&%$+=<>|~^]", "")),
-          size(col("w"))).as("symbol_ratio"),
-        safeDiv(size(filter(col("w"), t => t.rlike("\\p{L}"))), size(col("w")))
-          .as("alpha_frac"),
-        safeDiv(length(regexp_replace(col("text"), "[^\\p{L}]", "")), size(col("w")))
-          .as("mean_wlen"),
-        size(array_intersect(
-          array_distinct(transform(col("w"), t => lower(t))),
-          array(Stopwords.map(lit): _*))).cast("long").as("n_stop"))
-      .withColumn("keep",
-        col("n_words").between(20, 100000)
-          && col("mean_wlen").between(2.0, 12.0)
-          && col("symbol_ratio") <= 0.1
-          && col("alpha_frac") >= 0.8
-          && col("n_stop") >= 2)
+        (col("doc_id") +: gopherStats) ++
+          LangProfiles.map { case (lang, prof) =>
+            size(filter(col("wl"), x => array_contains(typedLit(prof), x)))
+              .cast("long").as(s"s_$lang")
+          }: _*)
+    val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"s_${p._1}"))
+    scored
+      .withColumn("pred_lang",
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr"))
+      .filter(gopherKeep)
+      .select(col("doc_id"), col("n_words"), col("pred_lang"))
   }
 
   /** BM25 retrieval scoring — rank the corpus against a fixed query

@@ -650,4 +650,33 @@ object EventStreams {
         .select(col("doc_id"), col("near_dup_of"))
     }
   }
+
+  /** Streaming ingest-time curation (`stream_curate`): the stateless
+    * Gopher-keep + language-prediction gate
+    * (TextAnalysis.curateGateOver) run in APPEND mode over a
+    * multi-file document feed. The operator carries NO state — the
+    * point being demonstrated: front-line quality curation composes
+    * into Structured Streaming untouched, every batch is independent,
+    * and the union of batch outputs equals the batch run (which is
+    * exactly what the DuckDB oracle checks). maxFilesPerTrigger=1
+    * forces multiple triggers so append-across-batches is what's
+    * gated, not a single-batch degenerate case.
+    */
+  def curateFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dir = graft.TempDirs.create("graft_stream_curate_src")
+    docs.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val name = nextSinkName("graft_stream_curate")
+    withSink(spark, name) {
+      val q = graft.operators.TextAnalysis.curateGateOver(stream)
+        .writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+        .select(col("doc_id"), col("n_words"), col("pred_lang"))
+    }
+  }
 }

@@ -341,4 +341,14 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
       "stream and batch near-dup assignments diverge")
   }
+
+  test("streaming curation gate equals the batch gate (stateless ⇒ " +
+      "append union is batch output)") {
+    val stream = EventStreams.curateFromFiles(spark, sf)
+    val batch = graft.operators.TextAnalysis.curateGateOver(
+      Tables.documents(spark, sf))
+    assert(stream.count() > 0, "gate kept nothing — vacuous")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "stream and batch curation outputs diverge")
+  }
 }
