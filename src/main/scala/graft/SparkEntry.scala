@@ -360,6 +360,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.curateFromFiles(s, d)),
     "q_partition_prune" ->
       ((s, d) => graft.sources.Formats.partitionPrunedEvents(s, d)),
+    "q_binary_source" ->
+      ((s, d) => graft.sources.Formats.binaryDocs(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -965,6 +967,12 @@ object SparkEntry {
         |  AND symbol_ratio <= 0.1
         |  AND alpha_frac >= 0.8
         |  AND n_stop >= 2""".stripMargin,
+    // binaryFile ingest: md5 of the file CONTENT bytes must equal md5
+    // of the source text (files are written as UTF-8 text bytes)
+    "q_binary_source" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
     // the pruned partitioned-layout read must equal the plain scan
     "q_partition_prune" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -185,4 +185,41 @@ object Formats {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"))
   }
+
+  private val binaryLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `binaryFile` ingest — the multimodal on-ramp: opaque per-item
+    * files (image/audio/video in production) read as (path, length,
+    * content) with item identity recovered from the path. Feed
+    * construction writes each document's UTF-8 bytes as one file from
+    * the executors (foreachPartition — no driver collect); the read
+    * side is the real thing: Spark's binaryFile source, glob-filtered,
+    * fingerprinting the CONTENT bytes. Writing text bytes is exactly
+    * what makes a binary ingest path oracle-gateable: md5(content) on
+    * this side must equal DuckDB's md5(text).
+    */
+  def binaryDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = binaryLayouts.computeIfAbsent(sfDir, _ => {
+      val d = graft.TempDirs.create("graft_binary_docs").toString
+      graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      d
+    })
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        md5(col("content")).as("fp"),
+        col("length").as("n_bytes"))
+  }
 }

@@ -48,6 +48,17 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("binaryFile ingest: content-byte fingerprints equal the " +
+      "text-derived ones, identity recovered from paths") {
+    import org.apache.spark.sql.functions._
+    val got = Formats.binaryDocs(spark, sf)
+    val want = Tables.documents(spark, sf).select(col("doc_id"),
+      md5(col("text")).as("fp"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("orc round-trip: the Q6 aggregate is identical to the parquet path") {
     val orc = Formats.lineitemFromOrc(spark, sf)
     val pq = graft.operators.Relational.q6Over(Tables.lineitem(spark, sf))
