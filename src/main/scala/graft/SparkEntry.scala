@@ -309,6 +309,7 @@ object SparkEntry {
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
@@ -2210,6 +2211,18 @@ object SparkEntry {
          |  CAST(1 + len(list_filter(cs, c -> c < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
          |FROM documents CROSS JOIN cuts""".stripMargin
     },
+    // seed-keyed md5 order hash; 6 hex digits → shard; per-shard
+    // row_number in (h, doc_id) order is the materialized position
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 6)
+        |    AS BIGINT) % 8 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 8
+        |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
     "sql_vector_stats" -> vectorStatsSql,
     "sql_ngram_profile" ->
       """SELECT doc_id,

@@ -593,4 +593,31 @@ object Pipeline {
         col("n_tokens"), col("n_chars"), col("n_dup_docs"),
         (col("n_en").cast("double") / col("n_docs").cast("double"))
           .as("share_en"))
+
+  /** Deterministic epoch shuffle — the training ORDER a data loader
+    * materializes: every document gets a seed-keyed md5 order hash;
+    * the hash prefix assigns the shard and the within-shard sort by
+    * (hash, doc_id) gives each document its position. Changing the
+    * seed string reshuffles the epoch; nothing depends on engine,
+    * run, or cluster layout (`rand()` is none of those).
+    *
+    * The per-shard `row_number` window IS the production shape: shard
+    * writers emit their file in shuffle-key order, so the window
+    * partition is one output shard. At 100 TB `nShards` grows with
+    * the corpus to hold the target shard size (and with it the
+    * per-shard sort) constant — the q_pack_bins/IVF discipline; a
+    * GLOBAL position would instead be ntile's full sort, rejected in
+    * q_quantile_bucket for the same reason.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, seed: String = "epoch1"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat(lit(seed + ":"), col("doc_id"))).as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 6), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
 }

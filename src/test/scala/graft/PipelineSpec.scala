@@ -265,6 +265,26 @@ class PipelineSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("epoch shuffle: dense per-shard positions, every doc placed " +
+      "once, reseeding permutes, reruns don't") {
+    val e1 = Pipeline.epochShuffle(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(e1.count() == docs)
+    assert(e1.select("doc_id").distinct().count() == docs)
+    // positions dense 1..shardSize within each shard
+    assert(e1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+      .isEmpty)
+    // deterministic rerun; a different seed produces a different order
+    val e2 = Pipeline.epochShuffle(spark, sf)
+    assert(e1.exceptAll(e2).isEmpty && e2.exceptAll(e1).isEmpty)
+    val e3 = Pipeline.epochShuffle(spark, sf, seed = "epoch2")
+    assert(e1.join(e3, Seq("doc_id", "shard", "pos")).count() < docs)
+    e1.unpersist()
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)
