@@ -279,6 +279,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** k-NN GRAPH construction — every node's top-k cosine neighbors
+    * (the structure SemDeDup clustering, graph dedup (PageRank /
+    * triangles run on exactly such graphs), and label-propagation
+    * curation consume). Candidates come from the tuned multi-probe
+    * SRP path — banded/bucketed generation, never the n² all-pairs
+    * join — verified by exact cosine, symmetrized (an LSH pair is
+    * evidence for both endpoints), and cut to top-k per node with
+    * bounded `TopKPerKey` heaps. Nodes whose every neighbor falls
+    * outside the candidate set have degree < k — that is the LSH
+    * trade; per-node recall vs the all-nodes brute truth is measured
+    * and floor-pinned in the spec. Rows-gated (SRP projections are
+    * not DuckDB-reproducible — the family's declared regime).
+    */
+  def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5,
+      bands: Int = DefaultMpBands,
+      planesPerBand: Int = DefaultMpPlanes,
+      probes: Int = DefaultMpProbes): DataFrame = {
+    // threshold -1: keep every verified candidate pair; the top-k cut
+    // is the selection, not a similarity floor
+    val pairs = annLshMultiProbe(spark, sfDir, threshold = -1.0,
+      bands, planesPerBand, probes)
+    val directed = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
+      .unionAll(pairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+    graft.plans.TopKPerKey(directed,
+        Seq("src"), Seq(("cos", true), ("dst", false)), k)
+      .select(col("src"), col("dst"), col("rnk"))
+  }
+
   /** Scalar-quantized (SQ8) ANN — the MEMORY-bound scale path the
     * LSH/IVF variants don't cover: each dimension compresses to one
     * byte against per-dimension corpus [min, max] bounds, so the

@@ -134,6 +134,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(col("rnk") < 1 || col("rnk") > 10).isEmpty)
   }
 
+  test("knn graph: every-node top-k recall vs all-nodes brute truth " +
+      "is measured and pinned; degrees bounded by k") {
+    val dir = "/root/testdata/sf0.01"
+    val k = 5
+    val truth = Similarity.annTopkBrute(spark, dir, k, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.knnGraph(spark, dir, k).cache()
+    val edges = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(edges.contains).toDouble / truth.size
+    info(f"knn-graph recall@$k (8x6+2 multiprobe candidates) = " +
+      f"$recall%.3f over ${truth.size} truth edges")
+    assert(recall >= 0.85, f"knn recall $recall%.3f below the 0.85 floor")
+    assert(got.groupBy("src").count().filter(col("count") > k).isEmpty)
+    assert(got.filter(col("rnk") < 1 || col("rnk") > k).isEmpty)
+    assert(got.filter(col("src") === col("dst")).isEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window survived in knn-graph plan")
+  }
+
   test("ivfpq: coarse-cell pruning + ADC + exact re-rank recall vs " +
       "brute-force truth is measured and pinned; scan fraction bounded") {
     val dir = "/root/testdata/sf0.01"
