@@ -360,10 +360,14 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
     "stream_curate" ->
       ((s, d) => graft.streaming.EventStreams.curateFromFiles(s, d)),
+    "stream_restart" ->
+      ((s, d) => graft.streaming.EventStreams.dedupRestartFromFiles(s, d)),
     "q_partition_prune" ->
       ((s, d) => graft.sources.Formats.partitionPrunedEvents(s, d)),
     "q_binary_source" ->
       ((s, d) => graft.sources.Formats.binaryDocs(s, d)),
+    "q_schema_evolution" ->
+      ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -933,6 +937,13 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(owner) AS BIGINT) AS near_dup_of
          |FROM own GROUP BY doc_id""".stripMargin
     },
+    // checkpoint recovery: a restarted query over recovered state must
+    // add nothing for a duplicate corpus copy, so the manifest-read
+    // sink equals the single-copy table (stream_dedup's oracle)
+    "stream_restart" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  user_id, event_type, value
+        |FROM events""".stripMargin,
     // the stateless streaming curation gate: batch-union-equals-batch,
     // so the oracle is simply the same gopher-keep + langid-argmax
     // composition over the full documents table
@@ -975,6 +986,16 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // day-1 files predate the source column; the merged read surfaces
+    // them as null and coalesce normalizes — replicated by the
+    // same-cutoff CASE over the unsplit table
+    "q_schema_evolution" ->
+      """WITH c AS (SELECT max(doc_id) // 2 + 1 AS cutoff FROM documents)
+        |SELECT CASE WHEN doc_id < cutoff THEN 'unknown' ELSE source END AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents CROSS JOIN c
+        |GROUP BY 1""".stripMargin,
     // the pruned partitioned-layout read must equal the plain scan
     "q_partition_prune" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -186,6 +186,37 @@ object Formats {
           .cast("double").as("sum_value"))
   }
 
+  /** Parquet schema EVOLUTION across ingest days — the drift every
+    * long-lived 100 TB corpus accumulates: day 1 was written before
+    * the `source` column existed; day 2 carries it. `mergeSchema`
+    * reconciles the layouts at read time (a footer-merge job, no
+    * rewrite of old data), day-1 rows surface the new column as null,
+    * and the aggregate normalizes them with `coalesce` — the
+    * null-vs-absent distinction is exactly what the oracle gate
+    * pins. Partition discovery (`day=N`) rides the same read.
+    */
+  def mergedSchemaDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    // feed construction only: 1-row bounded agg for the day cutoff
+    val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
+    val dir = evolvedLayouts.computeIfAbsent(sfDir, _ => {
+      val d = graft.TempDirs.create("graft_schema_evo").toString
+      docs.filter(col("doc_id") < cutoff).drop("source")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/day=1")
+      docs.filter(col("doc_id") >= cutoff)
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/day=2")
+      d
+    })
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("source"), lit("unknown")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  private val evolvedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val binaryLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

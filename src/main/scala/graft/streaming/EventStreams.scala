@@ -651,6 +651,56 @@ object EventStreams {
     }
   }
 
+  /** CHECKPOINT-RECOVERY streaming dedup (`stream_restart`) — the
+    * fault-tolerance story Structured Streaming actually ships at
+    * 100 TB: source progress and dedup state live in the checkpoint,
+    * the parquet sink commits exactly-once through its manifest log,
+    * and a stopped query RESTARTED over the same checkpoint resumes
+    * where it left off. Run 1 processes the corpus and stops; a full
+    * duplicate copy then lands; run 2 — a fresh query object over the
+    * same checkpoint — must emit NOTHING new, because every arriving
+    * row is either a duplicate of recovered state or behind the
+    * recovered watermark. The sink read-back (through the manifest,
+    * so partial files from a crash would be invisible) must equal
+    * the single-copy batch table — the same oracle as stream_dedup,
+    * now gating recovery semantics instead of in-flight dedup.
+    */
+  def dedupRestartFromFiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val feed = graft.TempDirs.create("graft_stream_restart_src")
+      val ckpt = graft.TempDirs.create("graft_stream_restart_ckpt")
+      val out = graft.TempDirs.create("graft_stream_restart_out")
+      def events = {
+        val s0 = spark.readStream.schema(raw.schema).parquet(feed.toString)
+        raw.schema("ts").dataType match {
+          case LongType => s0.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")))
+          case _ => s0
+        }
+      }
+      def runOnce(): Unit = {
+        val q = dedupStream(events).writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      java.nio.file.Files.createSymbolicLink(
+        feed.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
+      runOnce()
+      // the duplicate copy lands only AFTER the restart boundary
+      java.nio.file.Files.createSymbolicLink(
+        feed.resolve("events_b.parquet"), java.nio.file.Paths.get(path))
+      runOnce()
+      spark.read.parquet(out.toString)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    }
+
   /** Streaming ingest-time curation (`stream_curate`): the stateless
     * Gopher-keep + language-prediction gate
     * (TextAnalysis.curateGateOver) run in APPEND mode over a

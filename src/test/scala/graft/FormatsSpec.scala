@@ -59,6 +59,19 @@ class FormatsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("schema evolution: merged read reconciles a pre-source day-1 " +
+      "layout, nulls normalized, rows conserved") {
+    import org.apache.spark.sql.functions._
+    val got = Formats.mergedSchemaDocs(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(got.filter(col("source") === "unknown").count() > 0,
+      "no day-1 rows surfaced as unknown — evolution not exercised")
+    assert(got.agg(sum("n_docs")).head().getLong(0) == docs.count())
+    assert(got.agg(sum("n_chars")).head().getLong(0) ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    got.unpersist()
+  }
+
   test("orc round-trip: the Q6 aggregate is identical to the parquet path") {
     val orc = Formats.lineitemFromOrc(spark, sf)
     val pq = graft.operators.Relational.q6Over(Tables.lineitem(spark, sf))

@@ -342,6 +342,23 @@ class StreamingSpec extends SparkSpec {
       "stream and batch near-dup assignments diverge")
   }
 
+  test("checkpoint recovery: restarted query over recovered state " +
+      "emits nothing for a duplicate corpus copy; sink equals batch") {
+    val got = EventStreams.dedupRestartFromFiles(spark, sf).cache()
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // equality vs the SINGLE-copy table: if checkpoint state (or the
+    // sink manifest) were lost across the restart, the second copy
+    // would re-emit and double the rows
+    assert(got.count() == want.count(),
+      s"restart re-emitted rows: ${got.count()} vs ${want.count()}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "restart sink diverges from the single-copy batch table")
+    got.unpersist()
+  }
+
   test("streaming curation gate equals the batch gate (stateless ⇒ " +
       "append union is batch output)") {
     val stream = EventStreams.curateFromFiles(spark, sf)
