@@ -905,8 +905,10 @@ object SparkEntry {
     "stream_near_dup" -> {
       val perms = graft.streaming.EventStreams.NearDupPerms
       val rows = graft.streaming.EventStreams.NearDupBandRows
+      // same PermCoef as the engine side — single source of truth
       val mins = (0 until perms).map { i =>
-        s"    list_min(list_transform(sh, s -> CAST('0x' || substring(md5('$i:' || s), 1, 12) AS BIGINT))) AS mh$i"
+        val (a, b, c) = graft.streaming.EventStreams.PermCoef(i)
+        s"    list_min(list_transform(hs, h -> ($a * (h // 16777216) + $b * (h % 16777216) + $c) % 2147483647)) AS mh$i"
       }.mkString(",\n")
       val bandSelects = (0 until perms / rows).map { b =>
         val sig = (0 until rows)
@@ -923,10 +925,14 @@ object SparkEntry {
          |    list_transform(range(1, len(w) - 1),
          |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS sh
          |  FROM words WHERE len(w) >= 3),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    list_transform(sh, s -> CAST('0x' || substring(md5(s), 1, 12) AS BIGINT)) AS hs
+         |  FROM sh),
          |mh AS (
          |  SELECT doc_id,
          |$mins
-         |  FROM sh),
+         |  FROM hashed),
          |bands AS (
          |$bandSelects),
          |own AS (
