@@ -98,6 +98,7 @@ object SparkEntry {
     "q_bloom_join" -> ((s, d) => Relational.bloomPrunedJoin(s, d)),
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
+    "q_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
@@ -1247,6 +1248,19 @@ object SparkEntry {
         |  n_events
         |FROM collapsed""".stripMargin,
     // the window-based lookup must equal the interval join over the
+    // the merge OUTCOME replayed without the join: the change batch is
+    // a pure function of the key, so CASE + the re-keyed insert UNION
+    // reproduce exactly what the full-outer MERGE emits
+    "q_merge_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 17 IN (5, 9) THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 17 IN (5, 9) THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 17 <> 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |FROM orders WHERE o_orderkey % 17 = 7""".stripMargin,
     // same intervals (tiling makes the match unique)
     "q_scd2_lookup" ->
       s"""WITH $scd2Ctes,

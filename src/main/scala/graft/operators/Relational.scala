@@ -980,6 +980,49 @@ object Relational {
         date_format(col("ts"), TsFmt).as("o_orderdate"), col("state"))
   }
 
+  /** General MERGE (the warehouse `MERGE INTO` / CDC-apply shape):
+    * one full-outer join on the merge key resolves a change batch of
+    * insert / update / delete ops against the keyed base table —
+    * matched updates take the change values (`coalesce`), matched
+    * deletes drop, unmatched inserts survive from the change side,
+    * untouched base rows pass through. At 100 TB both sides shuffle
+    * ONCE on the key (or reuse a bucketed layout, q_bucketed_join's
+    * point) and per-key work is O(1); this is the nightly
+    * base-vs-changes reconciliation every incremental corpus runs.
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame, key: String,
+      valueCols: Seq[String]): DataFrame =
+    base.as("b").join(changes.as("c"), Seq(key), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col(key) +: valueCols.map(v =>
+        coalesce(col(s"c.$v"), col(s"b.$v")).as(v)): _*)
+
+  /** Driver query for `mergeApply`: the change batch derives
+    * deterministically from orders (updates for keys ≡ 5,9 (mod 17),
+    * deletes ≡ 3, inserts ≡ 7 re-keyed beyond the key domain), so the
+    * DuckDB oracle replays the merge OUTCOME without the join. The
+    * price update adds 1.0 in plain double — a single IEEE op both
+    * engines perform bit-identically (SURVEY §5 discipline).
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 17
+    val updates = base.filter(m === 5 || m === 9)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+        lit("update").as("op"))
+    val deletes = base.filter(m === 3)
+      .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"), lit("delete").as("op"))
+    val inserts = base.filter(m === 7)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit("insert").as("op"))
+    mergeApply(base, updates.unionByName(deletes).unionByName(inserts),
+      "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+  }
+
   /** Bloom-pruned semi join — the sketch-based approximate-join
     * pattern: build a Bloom filter over the small side's keys (one
     * tiny aggregate), broadcast the bit array, prune the fact table

@@ -341,4 +341,22 @@ class RelationalExtSpec extends SparkSpec {
     assert(byName.values.forall { case (n, nn, nul, nd) =>
       n == nRows && nn + nul == n && nd <= nn })
   }
+
+  test("merge apply: update coalesces in, delete drops, insert " +
+      "survives, untouched rows pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "B", 21.0, "update"),
+      (3L, null.asInstanceOf[String], 0.0, "delete"),
+      (9L, "i", 90.0, "insert"),
+      (7L, "x", 70.0, "delete")) // delete of an absent key: no-op
+      .toDF("k", "s", "v", "op")
+    val got = Relational.mergeApply(base, changes, "k", Seq("s", "v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "B", 21.0),
+      (4L, "d", 40.0), (9L, "i", 90.0)), s"merge semantics broken: $got")
+  }
 }
