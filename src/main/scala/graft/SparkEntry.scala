@@ -363,6 +363,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.curateFromFiles(s, d)),
     "stream_restart" ->
       ((s, d) => graft.streaming.EventStreams.dedupRestartFromFiles(s, d)),
+    "stream_merge" ->
+      ((s, d) => graft.streaming.EventStreams.mergeStreamFromFiles(s, d)),
     "q_partition_prune" ->
       ((s, d) => graft.sources.Formats.partitionPrunedEvents(s, d)),
     "q_binary_source" ->
@@ -944,6 +946,18 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(owner) AS BIGINT) AS near_dup_of
          |FROM own GROUP BY doc_id""".stripMargin
     },
+    // streaming CDC: disjoint change keys across batches make the
+    // version chain's final state equal the one-shot merge outcome
+    "stream_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 17 IN (5, 9) THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 17 IN (5, 9) THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 17 <> 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |FROM orders WHERE o_orderkey % 17 = 7""".stripMargin,
     // checkpoint recovery: a restarted query over recovered state must
     // add nothing for a duplicate corpus copy, so the manifest-read
     // sink equals the single-copy table (stream_dedup's oracle)

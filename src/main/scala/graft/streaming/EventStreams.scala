@@ -676,6 +676,69 @@ object EventStreams {
     }
   }
 
+  /** Streaming CDC apply (`stream_merge`): change batches arriving on
+    * a file stream are resolved against a maintained keyed table via
+    * `foreachBatch` + the batch MERGE operator — each trigger reads
+    * the current table version, merges the batch
+    * (Relational.mergeApply), and commits a NEW immutable version
+    * directory (versioned read-modify-write, the Delta/Iceberg loop
+    * without a table format). Change key sets are disjoint across the
+    * feed's batches, so the version chain's final state equals the
+    * one-shot batch merge — which is exactly the q_merge_upsert
+    * oracle this key is gated by. foreachBatch is the one streaming
+    * surface where arbitrary BATCH operators compose into a stream;
+    * this key pins that surface.
+    */
+  def mergeStreamFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational
+    val base = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val m = col("o_orderkey") % 17
+    val updates = base.filter(m === 5 || m === 9)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+        lit("update").as("op"))
+    val delins = base.filter(m === 3)
+      .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"), lit("delete").as("op"))
+      .unionByName(base.filter(m === 7)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          lit("insert").as("op")))
+    val feed = graft.TempDirs.create("graft_stream_merge_src")
+    def dump(df: org.apache.spark.sql.DataFrame, name: String,
+        mtimeMs: Long): Unit = {
+      val tmp = feed.resolve(s"${name}_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $tmp"))
+      java.nio.file.Files.move(part, feed.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(feed.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // mtime order fixes batch order: updates first, deletes+inserts second
+    dump(updates, "changes1.parquet", 1000000000000L)
+    dump(delins, "changes2.parquet", 1000000060000L)
+    val tbl = graft.TempDirs.create("graft_stream_merge_tbl")
+    base.write.mode("overwrite").parquet(s"$tbl/v0")
+    @volatile var cur = s"$tbl/v0"
+    val stream = spark.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val merged = Relational.mergeApply(spark.read.parquet(cur), batch,
+          "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+        val next = s"$tbl/v${id + 1}"
+        merged.write.mode("overwrite").parquet(next)
+        cur = next
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(cur)
+  }
+
   /** CHECKPOINT-RECOVERY streaming dedup (`stream_restart`) — the
     * fault-tolerance story Structured Streaming actually ships at
     * 100 TB: source progress and dedup state live in the checkpoint,

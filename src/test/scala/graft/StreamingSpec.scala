@@ -342,6 +342,14 @@ class StreamingSpec extends SparkSpec {
       "stream and batch near-dup assignments diverge")
   }
 
+  test("streaming CDC apply equals the one-shot batch merge") {
+    val got = EventStreams.mergeStreamFromFiles(spark, sf)
+    val want = graft.operators.Relational.mergeUpsert(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "versioned foreachBatch merge diverges from the one-shot merge")
+  }
+
   test("checkpoint recovery: restarted query over recovered state " +
       "emits nothing for a duplicate corpus copy; sink equals batch") {
     val got = EventStreams.dedupRestartFromFiles(spark, sf).cache()
