@@ -99,6 +99,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "q_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d)),
+    "q_anomaly_mad" -> ((s, d) => Relational.anomalyMad(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
@@ -1419,6 +1420,30 @@ object SparkEntry {
     // moment sums in decimal (order-independent), mean/σ/z via single
     // IEEE ops on the exact sums, z rounded BEFORE ranking, event_id
     // tiebreak — top-k per type so the result is non-empty at every SF
+    // median/MAD via quantile_cont (the KLL exact-regime pairing);
+    // robust z derives in one fixed-order IEEE chain, round-6, rank
+    // on the rounded value with event_id tie-break
+    "q_anomaly_mad" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |          quantile_cont(CAST(v AS DOUBLE), 0.5) AS med
+        |        FROM ev GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.event_id, e.v, m.med,
+        |          abs(CAST(e.v AS DOUBLE) - m.med) AS adev
+        |        FROM ev e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1),
+        |scored AS (
+        |  SELECT d.event_type, d.event_id, CAST(d.v AS DOUBLE) AS value,
+        |    round(0.6745 * (CAST(d.v AS DOUBLE) - d.med) / m.mad, 6) AS rz
+        |  FROM dev d JOIN mad m ON d.event_type = m.event_type)
+        |SELECT event_type, event_id, value, rz, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(rz) DESC, event_id) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS v

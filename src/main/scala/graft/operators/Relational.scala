@@ -1290,8 +1290,11 @@ object Relational {
     * not a fixed |z| cutoff, so the result is non-empty at every SF.
     *
     * Plan: one partial-aggregating moment shuffle (G rows out), the
-    * tiny stats frame broadcast back over the feed, one window shuffle
-    * keyed event_type for the rank — no global sort, no driver math.
+    * tiny stats frame broadcast back over the feed, and the rank tail
+    * on bounded `TopKPerKey` heaps (≤ k rows per type per map
+    * partition through the shuffle — an event_type-keyed `row_number`
+    * window would sort corpus-sized partitions; the ann-family
+    * discipline applies here too). No global sort, no driver math.
     */
   def anomalyZscore(spark: SparkSession, sfDir: String,
       k: Int = 5): DataFrame =
@@ -1313,16 +1316,59 @@ object Relational {
         sqrt(col("s2").cast("double") / col("n")
           - (col("s1").cast("double") / col("n"))
             * (col("s1").cast("double") / col("n"))).as("sigma"))
-    val byType = Window.partitionBy(col("event_type"))
-      .orderBy(abs(col("z")).desc, col("event_id"))
-    ev.join(broadcast(stats), "event_type")
+    val scored = ev.join(broadcast(stats), "event_type")
       .withColumn("z", round(
         (col("v").cast("double") - col("mean")) / col("sigma"), 6))
-      .withColumn("rnk", row_number().over(byType))
-      .filter(col("rnk") <= k)
-      .select(col("event_type"), col("event_id"),
-        col("v").cast("double").as("value"), col("z"),
-        col("rnk").cast("long").as("rnk"))
+      .withColumn("az", abs(col("z")))
+    graft.plans.TopKPerKey(
+        scored.select(col("event_type"), col("event_id"),
+          col("v").cast("double").as("value"), col("z"), col("az")),
+        Seq("event_type"), Seq(("az", true), ("event_id", false)), k)
+      .select(col("event_type"), col("event_id"), col("value"), col("z"),
+        col("rnk"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** Per-event-type ROBUST anomaly detection (median/MAD instead of
+    * mean/σ): robust z = 0.6745·(x − median)/MAD — the estimator that
+    * doesn't let the outliers it is hunting inflate its own scale
+    * (one extreme value moves mean AND σ; it moves neither median nor
+    * MAD), the standard complement to `q_anomaly_zscore` on heavy-
+    * tailed metric feeds.
+    *
+    * Plan: TWO grouped KLL-sketch quantile aggregates (median, then
+    * median of |x − median| after a broadcast join-back) — mergeable
+    * O(k) buffers in their exact regime at gate SFs so DuckDB's
+    * `quantile_cont` gates bit-for-bit (the agg_kll/q_quantile_bucket
+    * pairing) — and the rank tail on bounded TopKPerKey heaps. No
+    * whole-column percentile buffer, no corpus-keyed window.
+    */
+  def anomalyMad(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame =
+    anomalyMadOver(Tables.events(spark, sfDir), k)
+
+  def anomalyMadOver(events: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val ev = events.select(col("event_id"), col("event_type"),
+      money(col("value")).as("v"))
+    val med = ev.groupBy("event_type")
+      .agg(kll_quantiles(col("v").cast("double"), 8192, Seq(0.5)).as("qs"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("v").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(kll_quantiles(col("adev"), 8192, Seq(0.5)).as("qs"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("mad"))
+    val scored = dev.join(broadcast(mad), "event_type")
+      .withColumn("rz", round(
+        lit(0.6745) * (col("v").cast("double") - col("med")) / col("mad"), 6))
+      .withColumn("arz", abs(col("rz")))
+    graft.plans.TopKPerKey(
+        scored.select(col("event_type"), col("event_id"),
+          col("v").cast("double").as("value"), col("rz"), col("arz")),
+        Seq("event_type"), Seq(("arz", true), ("event_id", false)), k)
+      .select(col("event_type"), col("event_id"), col("value"), col("rz"),
+        col("rnk"))
       .orderBy(col("event_type"), col("rnk"))
   }
 

@@ -342,6 +342,27 @@ class RelationalExtSpec extends SparkSpec {
       n == nRows && nn + nul == n && nd <= nn })
   }
 
+  test("mad anomaly: planted extreme outlier ranks first; rank tail " +
+      "is bounded heaps, not a corpus-keyed window") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, "m", 10.0 + (i % 7) * 0.01)) :+
+      ((999L, "m", 500.0))
+    val got = Relational.anomalyMadOver(
+      rows.toDF("event_id", "event_type", "value"), 3).cache()
+    val top = got.filter(col("rnk") === 1).head()
+    assert(top.getLong(1) == 999L, s"outlier not ranked first: $top")
+    assert(got.count() == 3)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window survived in mad plan")
+    // z-score shares the contract now that its tail moved off row_number
+    val z = Relational.anomalyZscoreOver(
+      rows.toDF("event_id", "event_type", "value"), 3)
+    assert(z.filter(col("rnk") === 1).head().getLong(1) == 999L)
+    assert(!z.queryExecution.executedPlan.toString.contains("Window"),
+      "window survived in zscore plan")
+    got.unpersist()
+  }
+
   test("merge apply: update coalesces in, delete drops, insert " +
       "survives, untouched rows pass through") {
     import spark.implicits._
