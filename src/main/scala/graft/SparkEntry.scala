@@ -404,6 +404,26 @@ object SparkEntry {
               |            FROM events_theta_sqlv GROUP BY 1, 2)
               |      GROUP BY 1)""".stripMargin)
     }),
+    "sql_topk_rewrite" -> ((s, d) => {
+      // a USER-WRITTEN window top-k in plain SQL, planned through the
+      // RewriteWindowTopK rule + TopKStrategy (the GraftExtensions
+      // install): the window sort never runs — bounded per-key heaps
+      // do — while the DuckDB oracle executes the same SQL literally.
+      // Installed add-if-absent and left on: that IS the advertised
+      // session configuration.
+      val exp = s.experimental
+      if (!exp.extraOptimizations.contains(graft.plans.RewriteWindowTopK))
+        exp.extraOptimizations =
+          exp.extraOptimizations :+ graft.plans.RewriteWindowTopK
+      if (!exp.extraStrategies.contains(graft.plans.TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKStrategy
+      Tables.documents(s, d).createOrReplaceTempView("documents_topk_sqlv")
+      s.sql("""SELECT lang, doc_id, n_chars, rnk FROM (
+              |  SELECT lang, doc_id, n_chars,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY n_chars DESC, doc_id) AS rnk
+              |  FROM documents_topk_sqlv) WHERE rnk <= 3""".stripMargin)
+    }),
     "sql_ngram_profile" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("documents_sqlv")
@@ -2305,6 +2325,14 @@ object SparkEntry {
         |    AS BIGINT) AS pos
         |FROM documents""".stripMargin,
     "sql_vector_stats" -> vectorStatsSql,
+    // DuckDB executes the window literally; the engine's plan runs the
+    // rewritten bounded-heap operator — values must match exactly
+    "sql_topk_rewrite" ->
+      """SELECT lang, doc_id, n_chars, rnk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents) WHERE rnk <= 3""".stripMargin,
     "sql_ngram_profile" ->
       """SELECT doc_id,
         |  CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

@@ -59,6 +59,23 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("registry sql_topk_rewrite plans through the operator, not a " +
+      "window (the SQL-authored shape, not just the DataFrame one)") {
+    val exp = spark.experimental
+    val prevOpt = exp.extraOptimizations
+    val prevStrat = exp.extraStrategies
+    try {
+      val df = graft.SparkEntry.queries("sql_topk_rewrite")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyPartial"), s"rule did not fire:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+        s"window machinery still present:\n$p")
+    } finally {
+      exp.extraOptimizations = prevOpt
+      exp.extraStrategies = prevStrat
+    }
+  }
+
   test("ascending order and rank-1-per-key invariants") {
     val df = TopKPerKey(
       Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
