@@ -372,6 +372,8 @@ object SparkEntry {
       ((s, d) => graft.sources.Formats.binaryDocs(s, d)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
+    "q_jsonl_corrupt" ->
+      ((s, d) => graft.sources.Formats.jsonlCorrupt(s, d)),
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
@@ -1028,6 +1030,12 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // 25 planted broken lines quarantine into the corrupt column; every
+    // clean-table row must survive the PERMISSIVE read
+    "q_jsonl_corrupt" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |  CAST(25 AS BIGINT) AS n_bad
+        |FROM events""".stripMargin,
     // day-1 files predate the source column; the merged read surfaces
     // them as null and coalesce normalizes — replicated by the
     // same-cutoff CASE over the unsplit table

@@ -88,6 +88,51 @@ object Formats {
       readJsonl(spark, path, events.schema, JsonlTsOptions))
   }
 
+  /** Malformed-input resilience as a GATED path (MalformedInputSpec
+    * covers the unit level): the JSONL feed carries 25 planted broken
+    * lines; a PERMISSIVE read with `columnNameOfCorruptRecord`
+    * quarantines them into the corrupt column instead of failing the
+    * 100 TB job — every good row survives (count gated vs the clean
+    * table), every bad line is captured, nothing is silently dropped.
+    * FAILFAST would kill the job on one bad byte; DROPMALFORMED would
+    * lose data without a trace — PERMISSIVE + quarantine is the
+    * production dead-letter pattern.
+    */
+  def jsonlCorrupt(spark: SparkSession, sfDir: String,
+      nBad: Int = 25): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.events(spark, sfDir)
+    val path = graft.TempDirs.create("graft_jsonl_corrupt").toString
+    writeJsonl(events, path, JsonlTsOptions)
+    val bad = (0 until nBad).map(i => s"""{"event_id": broken $i""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "bad.json"),
+      String.join("\n", bad: _*).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    // the conditions reference a data column alongside the corrupt
+    // column — Spark disallows plans whose referenced set is ONLY
+    // the corrupt record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    quarantinedJsonl(spark, path, events.schema)
+      .agg(
+        sum(when(col("_corrupt_record").isNull
+          && col("event_id").isNotNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_bad"))
+  }
+
+  /** PERMISSIVE JSONL read with the corrupt-record quarantine column
+    * appended to the expected schema.
+    */
+  def quarantinedJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .options(JsonlTsOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** One bucketed layout per (sfDir, nBuckets), built under the map
     * lock on first use and reused by every later call — gate + bench
     * + BucketingSpec in one JVM share a single on-disk copy instead

@@ -59,6 +59,30 @@ class FormatsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("corrupt jsonl quarantine: planted bad lines captured verbatim, " +
+      "good rows all survive") {
+    import org.apache.spark.sql.functions._
+    val r = Formats.jsonlCorrupt(spark, sf, nBad = 7).head()
+    assert(r.getLong(0) == Tables.events(spark, sf).count(),
+      "good rows lost through the PERMISSIVE read")
+    assert(r.getLong(1) == 7, s"bad-line count wrong: ${r.getLong(1)}")
+    // the captured payloads are the planted lines themselves
+    val events = Tables.events(spark, sf)
+    val dir = tmp("graft-corrupt-verbatim")
+    Formats.writeJsonl(events, dir, Formats.JsonlTsOptions)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.json"),
+      "not json at all\n{\"event_id\": }".getBytes("UTF-8"))
+    // Spark disallows queries whose referenced set is only the corrupt
+    // column — cache the parsed frame first (the documented pattern)
+    val parsed = Formats.quarantinedJsonl(spark, dir, events.schema).cache()
+    val captured = parsed
+      .filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).toSet
+    parsed.unpersist()
+    assert(captured == Set("not json at all", "{\"event_id\": }"),
+      s"quarantine not verbatim: $captured")
+  }
+
   test("schema evolution: merged read reconciles a pre-source day-1 " +
       "layout, nulls normalized, rows conserved") {
     import org.apache.spark.sql.functions._
