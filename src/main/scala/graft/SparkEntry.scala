@@ -339,6 +339,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     "mm_frame_dup" -> ((s, d) => Multimodal.frameDup(s, d)),
+    "mm_scenes" -> ((s, d) => Multimodal.scenes(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // G/H. Gated source + streaming + SQL-surface paths
     "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
@@ -2522,6 +2523,33 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
         |      FROM documents)""".stripMargin,
+    // lead-byte frame deltas segment each media item into scenes; the
+    // lag + running-sum windows are per-doc (bounded), mirrored exactly
+    "mm_scenes" ->
+      """WITH fr AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |    FROM documents),
+        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
+        |b AS (SELECT doc_id, frame_idx,
+        |        CAST('0x' || substring(frame_hex, 1, 2) AS BIGINT) AS b
+        |      FROM fr),
+        |c AS (SELECT doc_id, frame_idx, b,
+        |        CASE WHEN lag(b) OVER w IS NULL
+        |          OR abs(b - lag(b) OVER w) > 32 THEN 1 ELSE 0 END AS cut
+        |      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |s AS (SELECT doc_id, frame_idx,
+        |        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        |      FROM c),
+        |g AS (SELECT doc_id, scene_id, count(*) AS flen FROM s GROUP BY 1, 2)
+        |SELECT doc_id, CAST(max(scene_id) AS BIGINT) AS n_scenes,
+        |  CAST(sum(flen) AS BIGINT) AS n_frames,
+        |  CAST(max(flen) AS BIGINT) AS longest_scene
+        |FROM g GROUP BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, frame_idx, n_frames,
         |  substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex

@@ -161,4 +161,35 @@ object Multimodal {
       .select("doc_id", "w0", "h0", "out_w", "out_h",
         "pad_x", "pad_y", "resized_sig")
   }
+
+  /** Scene segmentation over the frame stream (shot-boundary
+    * detection for video curation — frame-sample dedup and caption
+    * alignment both run per SCENE, not per frame): a cut opens
+    * wherever the inter-frame distance jumps past `tau`, consecutive
+    * frames between cuts collapse into scenes, and each media item
+    * reports its scene count + longest scene. The distance here is
+    * the lead-byte delta of the stub frames (the real corpus would
+    * use a histogram/embedding distance on DECODED frames — the §2.F
+    * stub convention); the SHAPE is the production plan: a lag +
+    * conditional-sum segmentation inside a per-media window (bounded
+    * by frames-per-item, never corpus-keyed) and a two-level
+    * aggregate, all shuffling on doc_id only.
+    */
+  def scenes(spark: SparkSession, sfDir: String, tau: Long = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val cut = frames(spark, sfDir)
+      .withColumn("b",
+        conv(substring(col("frame_hex"), 1, 2), 16, 10).cast("long"))
+      .withColumn("prev", lag(col("b"), 1).over(byDoc))
+      .withColumn("cut", when(col("prev").isNull
+        || abs(col("b") - col("prev")) > tau, 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    cut.groupBy("doc_id", "scene_id").agg(count(lit(1)).as("flen"))
+      .groupBy("doc_id")
+      .agg(max(col("scene_id")).cast("long").as("n_scenes"),
+        sum(col("flen")).as("n_frames"),
+        max(col("flen")).as("longest_scene"))
+  }
 }

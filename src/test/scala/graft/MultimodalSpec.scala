@@ -28,6 +28,25 @@ class MultimodalSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty)
   }
 
+  test("scene segmentation: counts conserve frames, scenes bounded by " +
+      "frames, tau=255 collapses every item to one scene") {
+    val s = Multimodal.scenes(spark, sf).cache()
+    val fr = Multimodal.frames(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // frame conservation per item
+    assert(s.join(fr, "doc_id").filter(col("n_frames") =!= col("nf")).isEmpty)
+    assert(s.filter(col("n_scenes") < 1
+      || col("n_scenes") > col("n_frames")
+      || col("longest_scene") < 1
+      || col("longest_scene") > col("n_frames")).isEmpty)
+    // a threshold no byte delta can exceed ⇒ exactly one scene each
+    assert(Multimodal.scenes(spark, sf, tau = 255)
+      .filter(col("n_scenes") =!= 1).isEmpty)
+    // and the default threshold actually segments something
+    assert(s.filter(col("n_scenes") > 1).count() > 0)
+    s.unpersist()
+  }
+
   test("resize plan: longer edge hits the target box, aspect is " +
       "preserved within flooring, pads are complements") {
     val r = Multimodal.resizePlan(spark, sf).cache()
