@@ -989,6 +989,9 @@ object Relational {
     * ONCE on the key (or reuse a bucketed layout, q_bucketed_join's
     * point) and per-key work is O(1); this is the nightly
     * base-vs-changes reconciliation every incremental corpus runs.
+    * Contract: `key` is unique on BOTH sides (the warehouse `MERGE
+    * INTO` cardinality rule — a change batch with duplicate keys is
+    * the same error SQL MERGE rejects as non-deterministic).
     */
   def mergeApply(base: DataFrame, changes: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame =

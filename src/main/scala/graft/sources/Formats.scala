@@ -274,6 +274,13 @@ object Formats {
     * fingerprinting the CONTENT bytes. Writing text bytes is exactly
     * what makes a binary ingest path oracle-gateable: md5(content) on
     * this side must equal DuckDB's md5(text).
+    *
+    * Scale note: per-item files are the LANDING-ZONE shape only — at
+    * 100 TB the file listing itself becomes the bottleneck (and the
+    * source is not splittable), so this path's job is to fingerprint
+    * and re-pack arrivals into parquet-embedded binary columns
+    * (`mediaTable`/`mm_binary_meta`), which is where every downstream
+    * operator reads from.
     */
   def binaryDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
