@@ -313,6 +313,7 @@ object SparkEntry {
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
     "q_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
+    "q_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
@@ -2265,6 +2266,24 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c
         |GROUP BY 1, 2""".stripMargin,
+    // same prefix-sum CTE as q_pack_bins; the sequence cut is a pure
+    // projection (first seq id, in-sequence position, sequences spanned)
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d WHERE n_tokens >= 1)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 512 AS BIGINT) AS pos,
+        |  CAST(floor((cum_before + n_tokens - 1) / 512.0)
+        |    - floor(cum_before / 512.0) + 1 AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin,
     "q_shard_assign" ->
       """SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
         |  count(*) AS n_docs,

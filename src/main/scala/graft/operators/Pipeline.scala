@@ -213,7 +213,20 @@ object Pipeline {
   /** Deterministic greedy sequence packing over any (doc_id,
     * n_tokens) frame. */
   def packBinsOver(counts: DataFrame, nShards: Int,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    runningOffsets(counts, nShards)
+      .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+
+  /** The distributed prefix sum shared by bin packing and sequence
+    * packing: (doc_id, shard, n_tokens, cum_before) where cum_before
+    * = same-shard tokens of all strictly-smaller doc ids. Two-level:
+    * per-partition running sums + a P×nShards offset window — never a
+    * shard-global sort of the corpus.
+    */
+  private def runningOffsets(counts: DataFrame, nShards: Int): DataFrame = {
     val spark = counts.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val base = counts
@@ -245,11 +258,33 @@ object Pipeline {
       .join(broadcast(offsets), Seq("pid", "shard"))
       .withColumn("cum_before",
         col("offset") + coalesce(sum(col("n_tokens")).over(wRun), lit(0L)))
-      .withColumn("bin", floor(col("cum_before") / budget).cast("long"))
-      .groupBy("shard", "bin")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("bin_tokens"))
+      .select("doc_id", "shard", "n_tokens", "cum_before")
   }
+
+  /** Fixed-length SEQUENCE packing — the layout a causal-LM training
+    * run actually consumes (GPT-style: documents concatenated in
+    * order and sliced into `seqLen`-token sequences, documents
+    * flowing ACROSS sequence boundaries, zero padding): each doc gets
+    * its first sequence id, its token offset within it, and the
+    * number of sequences it spans — a pure projection over the same
+    * distributed prefix sum `q_pack_bins` uses (no extra shuffle).
+    * `q_pack_bins` answers "which docs share a budgeted bin";
+    * this answers "where exactly does my 4096-token window cut".
+    */
+  def packSequences(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, seqLen: Long = 512): DataFrame =
+    runningOffsets(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 1),
+      nShards)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / seqLen).cast("long").as("seq_id"),
+        (col("cum_before") % seqLen).as("pos"),
+        (floor((col("cum_before") + col("n_tokens") - 1) / seqLen)
+          - floor(col("cum_before") / seqLen) + 1).cast("long").as("n_seqs"))
 
   /** Data-MIXTURE weights — the static domain-reweighting step of a
     * training-data pipeline (DoReMi-style mixing, without the learned

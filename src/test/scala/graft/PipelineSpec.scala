@@ -265,6 +265,28 @@ class PipelineSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("sequence packing: placements tile each shard contiguously " +
+      "and span counts match the window") {
+    import org.apache.spark.sql.expressions.Window
+    val L = 512L
+    val got = Pipeline.packSequences(spark, sf, seqLen = L).cache()
+    // absolute start = seq_id*L + pos must equal the same-shard prefix
+    // sum of earlier docs (single-partition window is fine at spec SF)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bad = got
+      .withColumn("start", col("seq_id") * L + col("pos"))
+      .withColumn("want", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("start") =!= col("want"))
+    assert(bad.isEmpty, s"non-contiguous placements: ${bad.count()}")
+    // span count consistent with pos + n_tokens
+    assert(got.filter(col("n_seqs") =!=
+      (floor((col("pos") + col("n_tokens") - 1) / L) + 1)).isEmpty)
+    assert(got.filter(col("pos") < 0 || col("pos") >= L
+      || col("n_seqs") < 1).isEmpty)
+    got.unpersist()
+  }
+
   test("epoch shuffle: dense per-shard positions, every doc placed " +
       "once, reseeding permutes, reruns don't") {
     val e1 = Pipeline.epochShuffle(spark, sf).cache()
