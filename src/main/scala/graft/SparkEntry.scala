@@ -1464,7 +1464,7 @@ object SparkEntry {
         |          abs(CAST(e.v AS DOUBLE) - m.med) AS adev
         |        FROM ev e JOIN med m ON e.event_type = m.event_type),
         |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
-        |        FROM dev GROUP BY 1),
+        |        FROM dev GROUP BY 1 HAVING quantile_cont(adev, 0.5) > 0),
         |scored AS (
         |  SELECT d.event_type, d.event_id, CAST(d.v AS DOUBLE) AS value,
         |    round(0.6745 * (CAST(d.v AS DOUBLE) - d.med) / m.mad, 6) AS rz

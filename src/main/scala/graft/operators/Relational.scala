@@ -997,8 +997,11 @@ object Relational {
       valueCols: Seq[String]): DataFrame =
     base.as("b").join(changes.as("c"), Seq(key), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
+      // keyed on op presence, NOT coalesce: `UPDATE SET v = NULL` must
+      // null the field — coalesce would silently keep the stale value
       .select(col(key) +: valueCols.map(v =>
-        coalesce(col(s"c.$v"), col(s"b.$v")).as(v)): _*)
+        when(col("op").isNotNull, col(s"c.$v"))
+          .otherwise(col(s"b.$v")).as(v)): _*)
 
   /** Driver query for `mergeApply`: the change batch derives
     * deterministically from orders (updates for keys ≡ 5,9 (mod 17),
@@ -1007,9 +1010,18 @@ object Relational {
     * price update adds 1.0 in plain double — a single IEEE op both
     * engines perform bit-identically (SURVEY §5 discipline).
     */
-  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.orders(spark, sfDir)
+  /** The orders base table the merge keys operate on. */
+  def mergeBase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** The deterministic change batches both merge keys derive from the
+    * base (updates ≡ 5,9 (mod 17); deletes ≡ 3; inserts ≡ 7 re-keyed
+    * beyond the domain). ONE definition on purpose: q_merge_upsert and
+    * stream_merge share the same outcome-replay oracle, which is only
+    * sound while both engines apply the identical batch.
+    */
+  def mergeChangeBatches(base: DataFrame): (DataFrame, DataFrame) = {
     val m = col("o_orderkey") % 17
     val updates = base.filter(m === 5 || m === 9)
       .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
@@ -1022,7 +1034,13 @@ object Relational {
       .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"),
         lit("insert").as("op"))
-    mergeApply(base, updates.unionByName(deletes).unionByName(inserts),
+    (updates, deletes.unionByName(inserts))
+  }
+
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = mergeBase(spark, sfDir)
+    val (updates, delins) = mergeChangeBatches(base)
+    mergeApply(base, updates.unionByName(delins),
       "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
   }
 
@@ -1341,10 +1359,14 @@ object Relational {
     *
     * Plan: TWO grouped KLL-sketch quantile aggregates (median, then
     * median of |x − median| after a broadcast join-back) — mergeable
-    * O(k) buffers in their exact regime at gate SFs so DuckDB's
-    * `quantile_cont` gates bit-for-bit (the agg_kll/q_quantile_bucket
-    * pairing) — and the rank tail on bounded TopKPerKey heaps. No
-    * whole-column percentile buffer, no corpus-keyed window.
+    * O(k) buffers; k = 65536 keeps the sketch in its exact regime up
+    * to 65k values PER TYPE, which covers events at sf0.1 (~20k/type,
+    * where 8192 would already have compacted and drifted off DuckDB's
+    * `quantile_cont`) — and the rank tail on bounded TopKPerKey
+    * heaps. No whole-column percentile buffer, no corpus-keyed
+    * window. Types with MAD = 0 (a majority-constant metric) are
+    * excluded in BOTH engines: they have no robust outliers, and
+    * dividing by zero would make NaN/Inf vs NULL cross-engine soup.
     */
   def anomalyMad(spark: SparkSession, sfDir: String,
       k: Int = 5): DataFrame =
@@ -1355,13 +1377,14 @@ object Relational {
     val ev = events.select(col("event_id"), col("event_type"),
       money(col("value")).as("v"))
     val med = ev.groupBy("event_type")
-      .agg(kll_quantiles(col("v").cast("double"), 8192, Seq(0.5)).as("qs"))
+      .agg(kll_quantiles(col("v").cast("double"), 65536, Seq(0.5)).as("qs"))
       .select(col("event_type"), element_at(col("qs"), 1).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("v").cast("double") - col("med")))
     val mad = dev.groupBy("event_type")
-      .agg(kll_quantiles(col("adev"), 8192, Seq(0.5)).as("qs"))
+      .agg(kll_quantiles(col("adev"), 65536, Seq(0.5)).as("qs"))
       .select(col("event_type"), element_at(col("qs"), 1).as("mad"))
+      .filter(col("mad") > 0.0)
     val scored = dev.join(broadcast(mad), "event_type")
       .withColumn("rz", round(
         lit(0.6745) * (col("v").cast("double") - col("med")) / col("mad"), 6))

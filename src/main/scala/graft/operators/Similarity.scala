@@ -300,10 +300,15 @@ object Similarity {
     // is the selection, not a similarity floor
     val pairs = annLshMultiProbe(spark, sfDir, threshold = -1.0,
       bands, planesPerBand, probes)
+    // symmetrize in ONE pass — a unionAll of two selects over `pairs`
+    // would re-run the whole banded-join + verify pipeline twice
     val directed = pairs
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos"))
-      .unionAll(pairs
-        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos")))
+      .select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cos").as("cos"))
     graft.plans.TopKPerKey(directed,
         Seq("src"), Seq(("cos", true), ("dst", false)), k)
       .select(col("src"), col("dst"), col("rnk"))

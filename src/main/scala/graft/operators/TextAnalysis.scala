@@ -79,25 +79,36 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "y", "una"),
     "fr" -> Seq("le", "les", "et", "une", "des"))
 
+  /** Per-language stopword-profile hit counts over a lowercased token
+    * array — one `s_<lang>` column per profile. Shared by `langId`
+    * and the curation gate (ONE definition, so the tie rules can't
+    * desynchronize between them).
+    */
+  private def langScores(wl: Column): Seq[Column] =
+    LangProfiles.map { case (lang, prof) =>
+      size(filter(wl, w => array_contains(typedLit(prof), w)))
+        .cast("long").as(s"s_$lang")
+    }
+
+  /** Argmax over the `s_<lang>` columns with the fixed tie order
+    * (en > de > es > fr).
+    */
+  private def predLang: Column = {
+    val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"s_${p._1}"))
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   /** Language ID: score = stopword-profile hits per language, argmax
     * with fixed tie order (en > de > es > fr).
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = Tables.documents(spark, sfDir)
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), wsTokens(lower(col("text"))).as("w"))
-      .select(
-        (col("doc_id") +:
-          LangProfiles.map { case (lang, prof) =>
-            size(filter(col("w"), w => array_contains(typedLit(prof), w)))
-              .cast("long").as(s"s_$lang")
-          }): _*)
-    val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"s_${p._1}"))
-    scored.withColumn("pred_lang",
-      when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es")
-        .otherwise("fr"))
-  }
+      .select(col("doc_id") +: langScores(col("w")): _*)
+      .withColumn("pred_lang", predLang)
 
   /** C4-style repetition/quality filters: per-doc word statistics —
     * total words, hottest-word count, words occurring ≥2 times,
@@ -365,26 +376,14 @@ object TextAnalysis {
     * feed (`stream_curate` runs it in append mode; the DuckDB oracle
     * gates the batch-equal output).
     */
-  def curateGateOver(docs: DataFrame): DataFrame = {
-    val scored = docs
+  def curateGateOver(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), wsTokens(col("text")).as("w"),
         wsTokens(lower(col("text"))).as("wl"))
-      .select(
-        (col("doc_id") +: gopherStats) ++
-          LangProfiles.map { case (lang, prof) =>
-            size(filter(col("wl"), x => array_contains(typedLit(prof), x)))
-              .cast("long").as(s"s_$lang")
-          }: _*)
-    val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"s_${p._1}"))
-    scored
-      .withColumn("pred_lang",
-        when(en >= de && en >= es && en >= fr, "en")
-          .when(de >= es && de >= fr, "de")
-          .when(es >= fr, "es")
-          .otherwise("fr"))
+      .select((col("doc_id") +: gopherStats) ++ langScores(col("wl")): _*)
+      .withColumn("pred_lang", predLang)
       .filter(gopherKeep)
       .select(col("doc_id"), col("n_words"), col("pred_lang"))
-  }
 
   /** BM25 retrieval scoring — rank the corpus against a fixed query
     * term set (Okapi BM25, Lucene's +1-idf variant so idf is never

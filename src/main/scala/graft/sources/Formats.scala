@@ -243,9 +243,10 @@ object Formats {
   def mergedSchemaDocs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
-    // feed construction only: 1-row bounded agg for the day cutoff
-    val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
     val dir = evolvedLayouts.computeIfAbsent(sfDir, _ => {
+      // feed construction only, INSIDE the once-per-corpus lambda: the
+      // cutoff agg is a corpus scan repeated callers shouldn't pay
+      val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
       val d = graft.TempDirs.create("graft_schema_evo").toString
       docs.filter(col("doc_id") < cutoff).drop("source")
         .write.mode(SaveMode.Overwrite).parquet(s"$d/day=1")
@@ -269,7 +270,10 @@ object Formats {
     * files (image/audio/video in production) read as (path, length,
     * content) with item identity recovered from the path. Feed
     * construction writes each document's UTF-8 bytes as one file from
-    * the executors (foreachPartition — no driver collect); the read
+    * the executors (foreachPartition — no driver collect; the temp
+    * dir stands in for a SHARED landing-zone mount, which is the only
+    * reason executor-side `Files.write` is cluster-valid — on local[n]
+    * every executor sees the driver's disk anyway); the read
     * side is the real thing: Spark's binaryFile source, glob-filtered,
     * fingerprinting the CONTENT bytes. Writing text bytes is exactly
     * what makes a binary ingest path oracle-gateable: md5(content) on

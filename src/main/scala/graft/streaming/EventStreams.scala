@@ -642,6 +642,24 @@ object EventStreams {
     * checked against state built by the first — a real cross-batch
     * incremental dedup, gated bit-for-bit by the batch oracle.
     */
+  /** Feed-construction helper shared by the multi-batch file streams:
+    * write `df` as a single parquet file named `name` under `feed`
+    * with a forced mtime (the source processes oldest-first, so fixed
+    * mtimes fix batch order).
+    */
+  private def dumpFeedFile(feed: java.nio.file.Path, df: DataFrame,
+      name: String, mtimeMs: Long): Unit = {
+    val tmp = feed.resolve(s"${name}_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part under $tmp"))
+    val dest = feed.resolve(name)
+    java.nio.file.Files.move(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   def nearDupFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
@@ -649,20 +667,11 @@ object EventStreams {
     // for the id cutoff between the two simulated ingest runs
     val cutoff = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
     val feed = graft.TempDirs.create("graft_stream_near_dup")
-    def dump(half: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = feed.resolve(s"${name}_tmp")
-      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part under $tmp"))
-      val dest = feed.resolve(name)
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
     // fixed past mtimes: the source processes oldest-first
-    dump(docs.filter(col("doc_id") < cutoff), "run1.parquet", 1000000000000L)
-    dump(docs.filter(col("doc_id") >= cutoff), "run2.parquet", 1000000060000L)
+    dumpFeedFile(feed, docs.filter(col("doc_id") < cutoff),
+      "run1.parquet", 1000000000000L)
+    dumpFeedFile(feed, docs.filter(col("doc_id") >= cutoff),
+      "run2.parquet", 1000000060000L)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1") // force the cross-batch carry
       .parquet(feed.toString)
@@ -691,35 +700,15 @@ object EventStreams {
     */
   def mergeStreamFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Relational
-    val base = graft.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val m = col("o_orderkey") % 17
-    val updates = base.filter(m === 5 || m === 9)
-      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
-        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
-        lit("update").as("op"))
-    val delins = base.filter(m === 3)
-      .select(col("o_orderkey"), lit(null).cast("string").as("o_orderstatus"),
-        lit(null).cast("double").as("o_totalprice"), lit("delete").as("op"))
-      .unionByName(base.filter(m === 7)
-        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), col("o_totalprice"),
-          lit("insert").as("op")))
+    // ONE change-batch definition shared with q_merge_upsert — the
+    // shared outcome-replay oracle is only sound while both keys
+    // apply the identical batch
+    val base = Relational.mergeBase(spark, sfDir)
+    val (updates, delins) = Relational.mergeChangeBatches(base)
     val feed = graft.TempDirs.create("graft_stream_merge_src")
-    def dump(df: org.apache.spark.sql.DataFrame, name: String,
-        mtimeMs: Long): Unit = {
-      val tmp = feed.resolve(s"${name}_tmp")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part under $tmp"))
-      java.nio.file.Files.move(part, feed.resolve(name))
-      java.nio.file.Files.setLastModifiedTime(feed.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
     // mtime order fixes batch order: updates first, deletes+inserts second
-    dump(updates, "changes1.parquet", 1000000000000L)
-    dump(delins, "changes2.parquet", 1000000060000L)
+    dumpFeedFile(feed, updates, "changes1.parquet", 1000000000000L)
+    dumpFeedFile(feed, delins, "changes2.parquet", 1000000060000L)
     val tbl = graft.TempDirs.create("graft_stream_merge_tbl")
     base.write.mode("overwrite").parquet(s"$tbl/v0")
     @volatile var cur = s"$tbl/v0"

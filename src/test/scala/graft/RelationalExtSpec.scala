@@ -371,6 +371,9 @@ class RelationalExtSpec extends SparkSpec {
     val changes = Seq(
       (2L, "B", 21.0, "update"),
       (3L, null.asInstanceOf[String], 0.0, "delete"),
+      // UPDATE SET s = NULL must actually null the field (a coalesce
+      // formulation would silently keep the stale base value)
+      (4L, null.asInstanceOf[String], 41.0, "update"),
       (9L, "i", 90.0, "insert"),
       (7L, "x", 70.0, "delete")) // delete of an absent key: no-op
       .toDF("k", "s", "v", "op")
@@ -378,6 +381,6 @@ class RelationalExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .toSet
     assert(got == Set((1L, "a", 10.0), (2L, "B", 21.0),
-      (4L, "d", 40.0), (9L, "i", 90.0)), s"merge semantics broken: $got")
+      (4L, null, 41.0), (9L, "i", 90.0)), s"merge semantics broken: $got")
   }
 }
