@@ -105,6 +105,7 @@ object SparkEntry {
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
@@ -2067,6 +2068,18 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS merge_rank, pair, cnt FROM p1
         |UNION ALL SELECT CAST(2 AS BIGINT), pair, cnt FROM p2
         |UNION ALL SELECT CAST(3 AS BIGINT), pair, cnt FROM p3""".stripMargin),
+    // the persisted tokenizer artifact: distinct trainer-domain chars
+    // at rank 0 plus one merged symbol per learned merge in rank order
+    "bpe_vocab" -> (bpeTrainCtes + "\n" +
+      """SELECT token, CAST(0 AS BIGINT) AS rank, 'base' AS kind FROM (
+        |  SELECT DISTINCT unnest([w[i] for i in range(1, length(w) + 1)]) AS token
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                  x -> x <> '')) AS w
+        |        FROM documents)
+        |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$'))
+        |UNION ALL SELECT replace(pair, '|', ''), CAST(1 AS BIGINT), 'merged' FROM p1
+        |UNION ALL SELECT replace(pair, '|', ''), CAST(2 AS BIGINT), 'merged' FROM p2
+        |UNION ALL SELECT replace(pair, '|', ''), CAST(3 AS BIGINT), 'merged' FROM p3""".stripMargin),
     // train→apply closed: the same three learned merges re-applied to
     // every doc's wrapped domain words, in rank order; out-of-domain
     // words are one unknown token apiece

@@ -700,6 +700,29 @@ object TextAnalysis {
     piiRedactOver(probed)
   }
 
+  /** The tokenizer ARTIFACT the trainer ships (train → VOCAB → apply
+    * is the whole loop): base symbols = every distinct character of
+    * the trainer domain (rank 0), plus one merged symbol per learned
+    * merge in rank order. This is the table a serving tokenizer
+    * loads; `bpe_apply` is its runtime twin. Base extraction is one
+    * corpus scan (distinct over single chars — a vocabulary-sized
+    * shuffle); the merge list is the trainer's driver-sized output.
+    */
+  def bpeVocab(spark: SparkSession, sfDir: String,
+      nMerges: Int = 3): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .select(explode(split(col("w"), "")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .select(col("token"), lit(0L).as("rank"), lit("base").as("kind"))
+    val merged = bpeMerges(spark, sfDir, nMerges)
+      .select(regexp_replace(col("pair"), "\\|", "").as("token"),
+        col("merge_rank").as("rank"), lit("merged").as("kind"))
+    base.unionByName(merged)
+  }
+
   /** Compression-ratio quality signal (Gopher / Dolma filter set):
     * DEFLATE the text, ratio = compressed/raw bytes. Templated or
     * repetitive documents compress far below prose (low ratio ⇒ likely

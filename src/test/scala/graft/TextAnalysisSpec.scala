@@ -315,6 +315,35 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("n_email") + col("n_phone") + col("n_id") > 0).isEmpty)
   }
 
+  test("bpe vocab: base symbols are exactly the domain's distinct " +
+      "chars, merged symbols decompose over the base set in rank order") {
+    import spark.implicits._
+    val v = TextAnalysis.bpeVocab(spark, sf).cache()
+    val base = v.filter(col("kind") === "base").collect()
+      .map(_.getString(0)).toSet
+    val wantBase = Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), "\\s+"),
+        w => w =!= "")).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(base == wantBase, "base symbol set mismatch")
+    assert(base.forall(_.length == 1))
+    val merged = v.filter(col("kind") === "merged")
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getString(0)))
+    assert(merged.map(_._1).toSeq == Seq(1L, 2L, 3L), s"ranks: ${merged.toSeq}")
+    // every merged symbol spells out in base characters
+    assert(merged.forall { case (_, t) =>
+      t.length >= 2 && t.forall(c => base.contains(c.toString)) })
+    // and matches the trainer's merge table exactly
+    val fromTrainer = TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1).replace("|", ""))).toSeq
+    assert(merged.toSeq == fromTrainer)
+    v.unpersist()
+  }
+
   test("repetition filters: hand-computed fracs, short-doc coalesce, " +
       "threshold verdicts") {
     import spark.implicits._
