@@ -329,6 +329,7 @@ object SparkEntry {
     "q_dsir_select" -> ((s, d) => Pipeline.dsirSelect(s, d)),
     "q_drift_psi" -> ((s, d) => Pipeline.driftPsi(s, d)),
     "q_corpus_report" -> ((s, d) => Pipeline.corpusReport(s, d)),
+    "q_zorder" -> ((s, d) => Layout.zorderEvents(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -2297,6 +2298,25 @@ object SparkEntry {
         |  CAST(floor((cum_before + n_tokens - 1) / 512.0)
         |    - floor(cum_before / 512.0) + 1 AS BIGINT) AS n_seqs
         |FROM c""".stripMargin,
+    // the same four-step mask cascade as Layout.spreadBits, unrolled
+    // as chained CTEs; bucket = z >> 8 pins a 16x16 bounding box
+    "q_zorder" ->
+      """WITH c AS (
+        |  SELECT (user_id & 2047) AS ub,
+        |    (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT & 2047) AS db
+        |  FROM events),
+        |s1 AS (SELECT ub, db,
+        |  (ub | (ub << 8)) & 16711935 AS au, (db | (db << 8)) & 16711935 AS ad FROM c),
+        |s2 AS (SELECT ub, db,
+        |  (au | (au << 4)) & 252645135 AS bu, (ad | (ad << 4)) & 252645135 AS bd FROM s1),
+        |s3 AS (SELECT ub, db,
+        |  (bu | (bu << 2)) & 858993459 AS cu, (bd | (bd << 2)) & 858993459 AS cd FROM s2),
+        |s4 AS (SELECT ub, db,
+        |  ((cu | (cu << 1)) & 1431655765) | (((cd | (cd << 1)) & 1431655765) << 1) AS z FROM s3)
+        |SELECT (z >> 8) AS bucket, count(*) AS n_events,
+        |  min(ub) AS min_u, max(ub) AS max_u, min(db) AS min_d, max(db) AS max_d,
+        |  max(ub) - min(ub) AS u_span, max(db) - min(db) AS d_span
+        |FROM s4 GROUP BY 1""".stripMargin,
     "q_shard_assign" ->
       """SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard,
         |  count(*) AS n_docs,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-dimensional data LAYOUT: Z-order (Morton) clustering.
+  *
+  * A 100 TB fact table is pruned through per-file min/max statistics;
+  * a single `ORDER BY time` layout gives perfect pruning on time and
+  * none on anything else. Interleaving the bits of two dimensions
+  * into one Morton key and range-partitioning + sorting on it gives
+  * every file a SMALL BOUNDING BOX in both dimensions at once — the
+  * layout trick behind Delta/Iceberg `ZORDER BY`, here expressed as
+  * plain declarative Spark: a projection (the bit cascade is pure
+  * column arithmetic, whole-stage-codegen'd), a `repartitionByRange`
+  * on the key, and `sortWithinPartitions`.
+  *
+  * Scale shape: the key is computed per-row with no shuffle; the one
+  * exchange is the range partition that any layout rewrite must pay.
+  * Nothing is collected; file statistics come from the engine's own
+  * parquet footers on the way back in.
+  */
+object Layout {
+
+  /** Number of low bits of each dimension that participate in the
+    * interleave (11 bits covers user_id at every shipped SF without
+    * wrapping; the mask keeps the cascade correct for any input).
+    */
+  private val DimBits = 11
+  private val DimMask = (1L << DimBits) - 1
+
+  /** Spread the low 16 bits of `x` into the even bit positions of a
+    * 32-bit word — the classic mask cascade (public-domain "Bit
+    * Twiddling Hacks" interleave). Four masked shift-or steps, all
+    * plain integer arithmetic, so Catalyst keeps the whole key inside
+    * one codegen'd projection.
+    */
+  private def spreadBits(x: Column): Column = {
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton key: bits of `u` at even positions, bits of `d` at odd. */
+  def mortonZ(u: Column, d: Column): Column =
+    spreadBits(u).bitwiseOR(shiftleft(spreadBits(d), 1))
+
+  /** Events mapped to Z-cells over (user, epoch-day). */
+  private def eventCells(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("user_id").bitwiseAND(lit(DimMask)).as("ub"),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").bitwiseAND(lit(DimMask)).as("db"))
+      .withColumn("z", mortonZ(col("ub"), col("db")))
+
+  /** The gated query: per-Z-bucket occupancy and bounding box.
+    *
+    * `bucket = z >> 8` fixes all but the low 4 bits of EACH
+    * dimension, so every bucket's bounding box is at most 16×16 cells
+    * regardless of data volume — the structural guarantee that makes
+    * the layout prune (asserted as `u_span`/`d_span` ≤ 15 by
+    * LayoutSpec, and hash-gated against the same cascade replayed in
+    * the oracle).
+    */
+  def zorderEvents(spark: SparkSession, sfDir: String): DataFrame =
+    eventCells(spark, sfDir)
+      .withColumn("bucket", shiftright(col("z"), 8).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ub")).as("min_u"), max(col("ub")).as("max_u"),
+        min(col("db")).as("min_d"), max(col("db")).as("max_d"))
+      .withColumn("u_span", col("max_u") - col("min_u"))
+      .withColumn("d_span", col("max_d") - col("min_d"))
+
+  /** Write the Z-ordered layout and return per-FILE bounding boxes
+    * from the re-read — the statistics min/max pruning actually uses.
+    * Spec-gated (file boundaries depend on range sampling, so this is
+    * measured, not oracle-hashed): the mean per-file user span must
+    * beat the natural time-ordered layout by a wide margin.
+    */
+  def zorderFileStats(spark: SparkSession, sfDir: String,
+      nFiles: Int = 16, ordered: Boolean = true): DataFrame = {
+    val cells = eventCells(spark, sfDir)
+    val laid = if (ordered)
+      cells.repartitionByRange(nFiles, col("z")).sortWithinPartitions("z")
+    else cells.repartition(nFiles)
+    val dir = graft.TempDirs.create(
+      if (ordered) "graft_zorder" else "graft_zorder_base").toString
+    laid.write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ub")) - min(col("ub"))).as("u_span"),
+        (max(col("db")) - min(col("db"))).as("d_span"))
+  }
+}
