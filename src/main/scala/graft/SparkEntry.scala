@@ -317,6 +317,7 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "q_decontaminate_fuzzy" -> ((s, d) => Pipeline.decontaminateFuzzy(s, d)),
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
     "q_pack_bins_bpe" -> ((s, d) => Pipeline.packBinsBpe(s, d)),
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
@@ -933,11 +934,11 @@ object SparkEntry {
     // oracle-gated LSH path; id-ordered arrival ⇒ the stream's
     // running-bucket-min equals this window replay
     "stream_near_dup" -> {
-      val perms = graft.streaming.EventStreams.NearDupPerms
-      val rows = graft.streaming.EventStreams.NearDupBandRows
+      val perms = Dedup.NearDupPerms
+      val rows = Dedup.NearDupBandRows
       // same PermCoef as the engine side — single source of truth
       val mins = (0 until perms).map { i =>
-        val (a, b, c) = graft.streaming.EventStreams.PermCoef(i)
+        val (a, b, c) = Dedup.PermCoef(i)
         s"    list_min(list_transform(hs, h -> ($a * (h // 16777216) + $b * (h % 16777216) + $c) % 2147483647)) AS mh$i"
       }.mkString(",\n")
       val bandSelects = (0 until perms / rows).map { b =>
@@ -2250,6 +2251,52 @@ object SparkEntry {
         |  FROM documents)
         |WHERE h < CASE lang WHEN 'en' THEN 'c' WHEN 'de' THEN '8'
         |                    WHEN 'es' THEN '4' ELSE '2' END""".stripMargin,
+    // fuzzy decontamination: the stream_near_dup signature CTEs (same
+    // Dedup.PermCoef source of truth), then corpus×bench band join and
+    // per-pair agreeing-permutation count
+    "q_decontaminate_fuzzy" -> {
+      val mins = (0 until Dedup.NearDupPerms).map { i =>
+        val (a, b, c) = Dedup.PermCoef(i)
+        s"($a * (h >> 24) + $b * (h % 16777216) + $c) % 2147483647"
+      }
+      val minsSel = mins.zipWithIndex.map { case (m, i) =>
+        s"    list_min(list_transform(hs, h -> $m)) AS mh$i"
+      }.mkString(",\n")
+      val sigList = (0 until Dedup.NearDupPerms)
+        .map(i => s"mh$i").mkString("[", ", ", "]")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(1, len(w) - 1),
+         |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
+         |      s -> CAST('0x' || substring(md5(s), 1, 12) AS BIGINT)) AS hs
+         |  FROM words WHERE len(w) >= 3),
+         |sigs AS (
+         |  SELECT doc_id, $sigList AS sig FROM (
+         |    SELECT doc_id,
+         |$minsSel
+         |    FROM hashed)),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], '-') AS bsig
+         |  FROM sigs CROSS JOIN range(4) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT c.doc_id AS doc_id, bn.doc_id AS bench_id
+         |  FROM bands c JOIN bands bn ON c.b = bn.b AND c.bsig = bn.bsig
+         |  WHERE c.doc_id >= 20 AND bn.doc_id < 20),
+         |scored AS (
+         |  SELECT cands.doc_id AS doc_id, cands.bench_id AS bench_id,
+         |    CAST(len([x for x in range(1, 17) if cs.sig[x] = bs.sig[x]]) AS BIGINT) AS n_match
+         |  FROM cands
+         |  JOIN sigs cs ON cs.doc_id = cands.doc_id
+         |  JOIN sigs bs ON bs.doc_id = cands.bench_id)
+         |SELECT doc_id, bench_id, n_match, n_match / 16.0 AS est_jaccard
+         |FROM scored WHERE n_match >= 8""".stripMargin
+    },
     "q_decontaminate" -> {
       val gram13 = (0 until 13).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH words AS (

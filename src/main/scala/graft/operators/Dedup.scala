@@ -756,4 +756,84 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
   }
+
+  // ── md5-MinHash signature family ────────────────────────────────
+  // Shared by the streaming near-dup path (EventStreams.nearDupStream)
+  // and the batch fuzzy-decontamination path (Pipeline
+  // .decontaminateFuzzy). md5 is deliberately the base hash, NOT the
+  // faster xxhash64 the batch LSH keys use: md5 is the one hash both
+  // engines compute identically, which makes these the family's fully
+  // DuckDB-oracle-gated LSH paths.
+
+  val NearDupPerms = 16
+  val NearDupBandRows = 4
+
+  /** Carter–Wegman permutation coefficients for the MinHash family:
+    * mh_i = (a_i·(h div 2²⁴) + b_i·(h mod 2²⁴) + c_i) mod (2³¹−1)
+    * over the 48-bit md5-prefix shingle hash h. ONE md5 per shingle
+    * (md5 is ~the whole projection cost — 16×md5 measured 4.7 s at
+    * sf0.1 vs <1 s for md5-once + arithmetic perms), and every term
+    * stays < 2⁵⁶ so the identical expression runs overflow-free in
+    * DuckDB BIGINT (which errors on wrap — the reason a 64-bit
+    * multiplicative mix can't be the oracle-side hash). Splitting h
+    * keeps products small AND makes the sum wrap the 2³¹−1 modulus,
+    * so the 16 argmins are genuinely independent (a non-wrapping
+    * affine map would rank every permutation identically).
+    */
+  val PermCoef: IndexedSeq[(Long, Long, Long)] =
+    (0 until NearDupPerms).map { i =>
+      (1000003L * (i + 1) % 2147483647L,
+        998244353L * (i + 7) % 2147483647L,
+        777767777L * (i + 13) % 2147483647L)
+    }
+
+  /** The 16-permutation MinHash signature as a pure PROJECTION:
+    * 3-word shingles built array-side, ONE md5 per shingle, the 16
+    * permutation minima `array_min`s of Carter–Wegman affine maps of
+    * that hash (no explode, no shuffle — signing 100 TB is one map).
+    * Docs with fewer than 3 words carry no signature and are dropped.
+    * Works identically on batch and streaming frames.
+    */
+  def minhashSigs(docs: DataFrame): DataFrame = {
+    val w = filter(split(col("text"),
+      TextMapReduce.WordSplit), x => x =!= "")
+    val base = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
+          "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+      .withColumn("hs", transform(col("sh"),
+        s => conv(substring(md5(s), 1, 12), 16, 10).cast("long")))
+    val withMins = (0 until NearDupPerms).foldLeft(base) { (df, i) =>
+      val (a, b, c) = PermCoef(i)
+      df.withColumn(s"mh$i", array_min(transform(col("hs"),
+        h => (lit(a) * shiftright(h, 24) + lit(b) * (h % lit(16777216L))
+          + lit(c)) % lit(2147483647L))))
+    }
+    withMins.select(col("doc_id"),
+      array((0 until NearDupPerms).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys from a signature frame: 4 bands of 4 rows
+    * concatenated into a string key — the join/state key both the
+    * streaming near-dup state store and the decontamination candidate
+    * join shuffle on.
+    */
+  def bandsFromSigs(sigs: DataFrame): DataFrame = {
+    val nBands = NearDupPerms / NearDupBandRows
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until NearDupBandRows)
+          .map(r => element_at(col("sig"), b * NearDupBandRows + r + 1)): _*)
+          .as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+  }
+
+  /** MinHash LSH band signatures straight from documents. */
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsFromSigs(minhashSigs(docs))
 }

@@ -174,6 +174,48 @@ object Pipeline {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** FUZZY decontamination — the near-duplicate complement to the
+    * exact 13-gram gate above: a lightly paraphrased benchmark answer
+    * shares almost no 13-grams with the original but keeps ~all of
+    * its 3-word shingles, so eval contamination surveys (GPT-3
+    * appendix C, PaLM) test n-gram OVERLAP, not exact n-gram
+    * containment. Estimated Jaccard = agreeing fraction of the 16
+    * md5-MinHash permutations (`Dedup.minhashSigs`, the
+    * oracle-gateable signature family), candidates from the 4×4 LSH
+    * band join so nothing quadratic ever forms, flagged at est ≥
+    * `minMatch`/16 (default ½).
+    *
+    * Scale shape: signatures are a pure projection over each side;
+    * the benchmark side is SMALL BY DEFINITION (an eval suite, not a
+    * corpus), so its bands and signatures broadcast — the corpus is
+    * never shuffled at all, and per-pair scoring touches only the
+    * banded candidates. est_jaccard = n_match/16 is an exact binary
+    * fraction, so the double survives the hash gate bit-identically.
+    */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String,
+      nBench: Long = 20, minMatch: Int = 8): DataFrame = {
+    val sigs = Dedup.minhashSigs(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    val bench = sigs.filter(col("doc_id") < nBench)
+    val corpus = sigs.filter(col("doc_id") >= nBench)
+    val cands = Dedup.bandsFromSigs(corpus)
+      .join(broadcast(Dedup.bandsFromSigs(bench)
+        .withColumnRenamed("doc_id", "bench_id")), Seq("band", "sig"))
+      .select("doc_id", "bench_id").distinct()
+    cands
+      .join(corpus, "doc_id")
+      .join(broadcast(bench
+        .select(col("doc_id").as("bench_id"), col("sig").as("bsig"))),
+        "bench_id")
+      .withColumn("n_match", aggregate(
+        zip_with(col("sig"), col("bsig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .filter(col("n_match") >= minMatch)
+      .select(col("doc_id"), col("bench_id"), col("n_match"),
+        (col("n_match") / lit(16.0)).as("est_jaccard"))
+  }
+
   /** Token-budget bin packing ("sequential fill"): within each
     * training shard, documents in deterministic (doc_id) order
     * accumulate into bins of ~`budget` tokens — bin id =

@@ -175,6 +175,52 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains(23L) && !got.contains(0L), s"false flag: $got")
   }
 
+  test("fuzzy decontamination: a paraphrased benchmark doc that defeats " +
+      "the exact 13-gram gate is still flagged; clean docs are not") {
+    import spark.implicits._
+    // 40 distinct words; the "paraphrase" swaps one word per 13-word
+    // stretch, so NO verbatim 13-gram survives but shingle Jaccard
+    // stays high
+    def word(i: Int) = "q" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val benchWords = (1 to 40).map(word)
+    val para = benchWords.zipWithIndex.map {
+      case (w, idx) => if (idx % 13 == 6) w.reverse + "x" else w }
+    val docs = Seq(
+      (0L, benchWords.mkString(" ")),                 // the benchmark doc
+      (21L, para.mkString(" ")),                      // paraphrased copy
+      (22L, (100 to 140).map(word).mkString(" ")))    // clean
+      .toDF("doc_id", "text")
+    val dir = TempDirs.create("graft_fuzzy_decontam_spec").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = Pipeline.decontaminate(spark, dir, nBench = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(21L),
+      s"paraphrase should defeat the exact 13-gram gate: $exact")
+    val fuzzy = Pipeline.decontaminateFuzzy(spark, dir, nBench = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fuzzy.get(21L).exists(_ >= 8L),
+      s"paraphrased near-dup not flagged: $fuzzy")
+    assert(!fuzzy.contains(22L) && !fuzzy.contains(0L),
+      s"false flag: $fuzzy")
+  }
+
+  test("fuzzy decontamination flags the corpus's planted cross-boundary " +
+      "near-dups with near-full signature agreement") {
+    val got = Pipeline.decontaminateFuzzy(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // known planted near-dups across the doc_id<20 benchmark boundary
+    // at sf0.001 (jaccard ≈ 0.95-0.99 measured corpus-side)
+    assert(got.get((369L, 16L)).exists(_ >= 14L), s"369~16 missing: $got")
+    assert(got.get((360L, 8L)).exists(_ >= 14L), s"360~8 missing: $got")
+    assert(got.keys.forall(_._2 < 20L) && got.keys.forall(_._1 >= 20L))
+    val est = Pipeline.decontaminateFuzzy(spark, sf)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(est.forall(e => e >= 0.5 && e <= 1.0))
+  }
+
   test("chunking: overlap carries context, tail survives, short doc = one chunk") {
     import spark.implicits._
     // WordSplit is [^\p{L}]+ — digits split, so words must be letters

@@ -331,7 +331,7 @@ class StreamingSpec extends SparkSpec {
       s"unique docs must own themselves: $got")
     // full equality vs the batch running-min replay on the real corpus
     val stream = EventStreams.nearDupFromFiles(spark, sf)
-    val bands = EventStreams.minhashBands(
+    val bands = graft.operators.Dedup.minhashBands(
       Tables.documents(spark, sf).select(col("doc_id"), col("text")))
     val batch = bands
       .withColumn("owner", min(col("doc_id")).over(
