@@ -302,6 +302,7 @@ object SparkEntry {
     "q_sequence_match" -> ((s, d) => Relational.sequenceMatch(s, d)),
     // D. Similarity search
     "ann_topk_brute" -> ((s, d) => Similarity.annTopkBrute(s, d)),
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_sq8" -> ((s, d) => Similarity.annSq8(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_mix_weights" -> ((s, d) => Pipeline.mixWeights(s, d)),
     "q_mix_sample" -> ((s, d) => Pipeline.mixSample(s, d)),
     "q_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
+    "q_domain_cap" -> ((s, d) => Pipeline.domainCap(s, d)),
     "text_chunk" -> ((s, d) => Pipeline.chunk(s, d)),
     "q_dsir_select" -> ((s, d) => Pipeline.dsirSelect(s, d)),
     "q_drift_psi" -> ((s, d) => Pipeline.driftPsi(s, d)),
@@ -363,6 +365,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.cmsFromFiles(s, d)),
     "stream_topk" ->
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
+    "stream_moments" ->
+      ((s, d) => graft.streaming.EventStreams.momentsFromFiles(s, d)),
     "stream_near_dup" ->
       ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
     "stream_curate" ->
@@ -929,6 +933,24 @@ object SparkEntry {
         |  WHERE word <> ''
         |  GROUP BY lang, word)
         |WHERE rnk <= 5""".stripMargin,
+    // incrementally-maintained exact moments (single-copy two-file
+    // feed — sums are additive) vs the batch exact decimal moment
+    // sums; doubles only in the final projection, q_regression-style
+    "stream_moments" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(v) AS s1, sum(v * v) AS s2, min(v) AS mn, max(v) AS mx
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_samp,
+        |  CAST(mn AS DOUBLE) AS vmin, CAST(mx AS DOUBLE) AS vmax
+        |FROM m""".stripMargin,
     // streaming incremental LSH near-dup: md5-MinHash (the one hash
     // both engines share) makes this the family's first fully
     // oracle-gated LSH path; id-ordered arrival ⇒ the stream's
@@ -2156,6 +2178,25 @@ object SparkEntry {
         |  CAST(r AS DOUBLE) / CAST(z AS DOUBLE) AS temp_share,
         |  round((CAST(r AS DOUBLE) / CAST(z AS DOUBLE)) / share, 6) AS boost
         |FROM sc CROSS JOIN z""".stripMargin,
+    // per-domain token-budget cap: md5-permuted keep order, exact
+    // integer budget total div (2*n_sources) — no doubles anywhere
+    "q_domain_cap" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    md5('cap1' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |               count(DISTINCT source) AS ns FROM base),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM base)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_before,
+        |  c.cum_before < (t.total // (2 * t.ns)) AS kept
+        |FROM cum c CROSS JOIN tot t""".stripMargin,
     // overlapping token windows: chunk count via explicit floor
     // (raw int CAST rounds half-even in DuckDB but truncates in
     // Spark); list slice w[a:b] is 1-based inclusive and clamps
@@ -2536,6 +2577,20 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |  WHERE q.vec_id < 20)
         |WHERE rnk <= 10""".stripMargin,
+    // hard negatives: the brute shape plus a label-mismatch
+    // predicate; ranks only (ordering, not float formatting, is
+    // what the gate checks), ties broken by neighbor_id
+    "q_hard_negatives" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               e.vec_id) AS BIGINT) AS rnk
+        |  FROM embeddings q JOIN embeddings e
+        |    ON e.vec_id <> q.vec_id AND e.label <> q.label
+        |  WHERE q.vec_id < 20)
+        |WHERE rnk <= 5""".stripMargin,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" ->

@@ -328,6 +328,56 @@ object Pipeline {
         (floor((col("cum_before") + col("n_tokens") - 1) / seqLen)
           - floor(col("cum_before") / seqLen) + 1).cast("long").as("n_seqs"))
 
+  /** Per-DOMAIN token-budget capping — the "no single domain may
+    * dominate the corpus" rule every web-scale pretraining mix
+    * applies (Common-Crawl-style per-host caps): each source keeps
+    * documents, in a deterministic md5-permuted order (an unbiased
+    * within-domain sample, not "whatever sorted first"), until its
+    * running token mass reaches the budget; a document is kept iff
+    * the mass BEFORE it is under budget, so the straddling doc lands
+    * inside and the cap overshoots by at most one document. Budget =
+    * `total_tokens div (capDenom × n_sources)` — exact integer
+    * arithmetic end to end, no doubles anywhere.
+    *
+    * Scale shape: the per-source running sum is the SAME two-level
+    * prefix sum as `runningOffsets` — per-range-slice partials plus a
+    * P×n_sources offset window — so a billion-document domain never
+    * sorts in one task; the only corpus-sized exchange is the range
+    * partition on (source, ord).
+    */
+  def domainCap(spark: SparkSession, sfDir: String,
+      capDenom: Long = 2L): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat(lit("cap1"), col("doc_id").cast("string"))).as("ord"))
+    val totals = base.agg(sum(col("n_tokens")).as("total"),
+      countDistinct(col("source")).as("ns"))
+    val ranged = base.repartitionByRange(p, col("source"), col("ord"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = ranged.groupBy("pid", "source")
+      .agg(sum(col("n_tokens")).as("t"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("offset", coalesce(sum(col("t")).over(wOff), lit(0L)))
+      .select("pid", "source", "offset")
+    val wRun = Window.partitionBy(col("source"), col("pid"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tokens")).over(wRun), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"),
+        (col("cum_before") <
+          expr(s"total div (${capDenom}L * ns)")).as("kept"))
+  }
+
   /** Data-MIXTURE weights — the static domain-reweighting step of a
     * training-data pipeline (DoReMi-style mixing, without the learned
     * part): given a target of equal token share per language, compute

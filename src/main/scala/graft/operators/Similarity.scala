@@ -63,6 +63,41 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors whose label DIFFERS
+    * from the query's — the "looks alike, isn't" pairs a contrastive
+    * or reranker objective needs (easy negatives are free; hard ones
+    * are a similarity search with a label-mismatch predicate).
+    *
+    * Scale shape: the query batch broadcasts (small BY DESIGN, like
+    * `annTopkBrute`), the corpus streams through one scan, the label
+    * filter runs BEFORE any ranking state is built, and the rank is
+    * a bounded [[graft.plans.TopKPerKey]] heap — k rows per query per
+    * partition into the final merge, never a query-keyed window over
+    * corpus-sized input. No shuffle grows with the corpus.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
+    // one scan carrying the label along — NOT vecs()-join-labels,
+    // which would shuffle the corpus on vec_id just to re-attach a
+    // column the source already stores next to the vector
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("label").as("qlabel"))
+    val cand = all.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    graft.plans.TopKPerKey(cand, Seq("query_id"),
+        Seq(("cos", true), ("neighbor_id", false)), k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   val IvfCells = 16
   val IvfProbes = 4
 

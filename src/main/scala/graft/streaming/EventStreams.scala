@@ -495,6 +495,61 @@ object EventStreams {
     }
   }
 
+  /** INCREMENTAL exact-moment maintenance over a stream: per-type
+    * (n, Σx, Σx², min, max) ride the state store across triggers, so
+    * mean/variance/extremes stay current without re-scanning history —
+    * the EXACT companion to the approximate maintained-sketch family
+    * (theta = distinct, KLL = quantiles, CMS = frequencies, MG =
+    * top-k; this = moments). The sums are DECIMAL(18,2) of the
+    * 2-decimal source values — decimal addition is associative and
+    * exact, so the result is independent of partition/trigger order
+    * and the batch GROUP BY oracle gates it bit-for-bit; doubles
+    * appear only in the final one-shot mean/variance projection
+    * (the `q_regression` moment-sum recipe). Spark's built-in
+    * streaming aggregation already maintains partial aggregates
+    * incrementally in the state store, so this is a plain
+    * `groupBy().agg()` in complete mode — a custom
+    * mapGroupsWithState would re-implement exactly that, worse.
+    *
+    * Sums are ADDITIVE (replaying the feed doubles them), so the
+    * input is a SINGLE copy split into two files with
+    * maxFilesPerTrigger=1: the cross-batch state carry is still
+    * forced. At 100 TB the state is one fixed-width row per event
+    * type — it does not grow with the stream.
+    */
+  def momentsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    val dir = graft.TempDirs.create("graft_stream_moments_src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val agg = stream.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    val name = nextSinkName("graft_stream_moments")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+        .select(col("event_type"), col("n"),
+          round(col("s1").cast("double") / col("n").cast("double"), 6)
+            .as("mean"),
+          round((col("n").cast("double") * col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double"))
+            / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))),
+            6).as("var_samp"),
+          col("mn").cast("double").as("vmin"),
+          col("mx").cast("double").as("vmax"))
+    }
+  }
+
   /** INCREMENTAL heavy-hitter maintenance over a stream: per-language
     * Misra–Gries sketches ride the state store across triggers, so the
     * top-k word list stays current without re-scanning history — the

@@ -19,6 +19,31 @@ class PipelineSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("domain cap: budget enforced, overshoot at most one doc") {
+    val c = Pipeline.domainCap(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(c.count() === docs.count()) // every doc classified
+    // recompute the budget independently
+    val row = docs.select(
+      sum(size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        .cast("long")).as("total"),
+      countDistinct(col("source")).as("ns")).head()
+    val budget = row.getLong(0) / (2L * row.getLong(1))
+    // a doc is kept iff its prefix mass is under budget (the
+    // straddler is IN, so kept mass may overshoot by < one doc)
+    assert(c.filter(col("kept") && col("cum_before") >= budget).isEmpty)
+    assert(c.filter(!col("kept") && col("cum_before") < budget).isEmpty)
+    val keptMass = c.filter(col("kept")).groupBy("source")
+      .agg(sum(col("n_tokens")).as("m"),
+        max(col("n_tokens")).as("biggest")).cache()
+    assert(keptMass.filter(col("m") >= lit(budget) + col("biggest")).isEmpty)
+    // capping binds: every source keeps something and drops something
+    val nSrc = row.getLong(1)
+    assert(c.filter(col("kept")).select("source").distinct().count() === nSrc)
+    assert(c.filter(!col("kept")).select("source").distinct().count() === nSrc)
+    keptMass.unpersist(); c.unpersist()
+  }
+
   test("leakage-safe split: no near-dup pair ever spans train/eval") {
     val split = Pipeline.leakageSafeSplit(spark, sf).cache()
     assert(split.count() == Tables.documents(spark, sf).count())

@@ -32,6 +32,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(1) == best)
   }
 
+  test("hard negatives: every neighbor's label differs, and the set " +
+      "equals a window-ranked cross-label reference") {
+    import org.apache.spark.sql.expressions.Window
+    val hn = Similarity.hardNegatives(spark, sf, k = 5, nQueries = 10).cache()
+    assert(hn.count() == 50)
+    // no same-label neighbor ever surfaces
+    val labels = Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("label"))
+    val joined = hn
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), "query_id")
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    assert(joined.filter(col("label") === col("qlabel")).isEmpty)
+    // independent reference: plain window rank over the same scores
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val ref = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id")
+        && col("label") =!= col("qlabel"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+    assert(hn.except(ref).isEmpty && ref.except(hn).isEmpty)
+    hn.unpersist()
+  }
+
   test("IVF returns ranked in-cell neighbors that agree with brute force where cells align") {
     val ivf = Similarity.annIvf(spark, sf, k = 10, nQueries = 20).cache()
     assert(ivf.count() > 0)

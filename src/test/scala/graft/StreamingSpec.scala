@@ -304,6 +304,31 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("cnt") =!= col("count")).isEmpty)
   }
 
+  test("streaming exact moments equal the batch decimal moment sums " +
+      "bit-for-bit (state carried across the two-file feed)") {
+    val got = EventStreams.momentsFromFiles(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val exp = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round((col("n").cast("double") * col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))),
+          6).as("var_samp"),
+        col("mn").cast("double").as("vmin"),
+        col("mx").cast("double").as("vmax"))
+    // decimal state ⇒ trigger/partition order cannot move the result:
+    // exact set equality, no tolerance
+    assert(got.count() == exp.count() && exp.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+  }
+
   test("streaming near-dup: a run-2 copy is caught against run-1 state " +
       "and the stream equals the batch window replay") {
     import spark.implicits._
