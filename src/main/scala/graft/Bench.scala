@@ -33,6 +33,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet carries NAIVE (no-tz) µs timestamps;
+      // read them as TIMESTAMP (LTZ, session=UTC) like Spark <3.4 did
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

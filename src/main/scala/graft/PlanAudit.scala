@@ -14,6 +14,9 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver-generated parquet carries NAIVE (no-tz) µs timestamps;
+      // read them as TIMESTAMP (LTZ, session=UTC) like Spark <3.4 did
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

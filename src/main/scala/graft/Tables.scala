@@ -14,7 +14,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    ntzToLtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The driver-generated parquet stores NAIVE (no-tz) µs timestamps.
+    * Our own sessions read them as TIMESTAMP directly
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled=false` in every
+    * builder we own), but the driver's smoke check calls `entry` with
+    * a session whose confs we don't control — there the columns
+    * surface as TIMESTAMP_NTZ and `unix_micros`/encoder paths break.
+    * Casting NTZ→TIMESTAMP is wall-clock-preserving in ANY session
+    * timezone (the cast interprets the wall clock in the session zone
+    * and `date_format` formats it back in the same zone), so every
+    * downstream comparison/format matches the DuckDB oracle's naive
+    * reads either way.
+    */
+  private def ntzToLtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(TimestampType))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -19,6 +19,9 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // driver-generated parquet carries NAIVE (no-tz) µs timestamps;
+    // read them as TIMESTAMP (LTZ, session=UTC) like Spark <3.4 did
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
