@@ -115,6 +115,9 @@ object SparkEntry {
     "q_decay_score" -> ((s, d) => Relational.decayScore(s, d)),
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
+    "q_attribution" -> ((s, d) => AsOf.attributionLastTouch(s, d)),
+    "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapCi(s, d)),
+    "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     // rows-gated: zlib output is not reproducible in DuckDB
@@ -379,6 +382,8 @@ object SparkEntry {
       ((s, d) => graft.sources.Formats.partitionPrunedEvents(s, d)),
     "q_binary_source" ->
       ((s, d) => graft.sources.Formats.binaryDocs(s, d)),
+    "q_dsv2_source" ->
+      ((s, _) => graft.sources.Formats.dsv2Aggregate(s)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
     "q_jsonl_corrupt" ->
@@ -1057,6 +1062,15 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // the DSv2 connector's arithmetic grid, reproduced from range():
+    // same Knuth-multiplicative val, same id-range predicate the scan
+    // absorbed at planning time
+    "q_dsv2_source" ->
+      """SELECT CAST(id % 20 AS INT) AS grp, count(*) AS n,
+        |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
+        |FROM range(200000) t(id)
+        |WHERE id >= 120000 AND id < 180000
+        |GROUP BY 1""".stripMargin,
     // 25 planted broken lines quarantine into the corrupt column; every
     // clean-table row must survive the PERMISSIVE read
     "q_jsonl_corrupt" ->
@@ -2567,6 +2581,84 @@ object SparkEntry {
         |       WHEN fus IS NOT NULL THEN 'fwd'
         |       ELSE NULL END AS side
         |FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
+    // last-touch attribution: the as-of window plus a 7-day lookback
+    // bound; null day = the unattributed bucket
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+        |    CASE WHEN event_type = 'click' THEN ts END AS c_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, last_value(c_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |  FROM ev)
+        |SELECT CASE WHEN click_ts IS NOT NULL
+        |              AND click_ts >= ts - INTERVAL 7 DAY
+        |         THEN strftime(click_ts, '%Y-%m-%d') END AS day,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM w WHERE side = 1 GROUP BY 1""".stripMargin,
+    // Poisson bootstrap: 48-bit md5-uniform vs the fixed CDF cut
+    // points (floor(P(X<=k)*2^48)); CI = sorted replicate means'
+    // [2nd, 63rd] elements — selection, never interpolation
+    "q_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |        CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |x AS (SELECT event_type, v, event_id,
+        |        unnest(range(-1, 64)) AS r FROM ev),
+        |hx AS (SELECT event_type, r, v,
+        |        CAST('0x' || substring(md5('boot' || CAST(r AS VARCHAR) ||
+        |          '_' || CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |       FROM x),
+        |wx AS (SELECT event_type, r, v,
+        |        CASE WHEN r = -1 THEN 1 ELSE
+        |        (CASE WHEN h >= 103548857136060 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 207097714272121 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 258872142840152 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 276130285696162 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 280444821410164 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 281307728552965 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 281451546410098 THEN 1 ELSE 0 END) END AS w
+        |       FROM hx),
+        |agg AS (SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw,
+        |        round(CAST(sum(w * v) AS DOUBLE) / sum(w), 9) AS m
+        |      FROM wx GROUP BY 1, 2),
+        |f AS (SELECT event_type,
+        |        max(sw) FILTER (WHERE r = -1) AS n,
+        |        max(m) FILTER (WHERE r = -1) AS mean,
+        |        list_sort(list(m) FILTER (WHERE r >= 0)) AS ms
+        |      FROM agg GROUP BY 1)
+        |SELECT event_type, n, mean, ms[2] AS ci_lo, ms[63] AS ci_hi
+        |FROM f""".stripMargin,
+    // Welch's t: exact decimal moments, then the identical IEEE
+    // double dag in both engines (division/multiply/sqrt are each
+    // correctly rounded), rounded to 6 at the gate
+    "q_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+        |          CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS ss
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |a AS (SELECT n AS na, s AS sa, ss AS ssa FROM m
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM m
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT *, sa / na AS ma, sb / nb AS mb,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+        |        (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+        |      FROM a CROSS JOIN b),
+        |d AS (SELECT *, va / na AS sea, vb / nb AS seb FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round(((sea + seb) * (sea + seb)) /
+        |        ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)), 6) AS df
+        |FROM d""".stripMargin,
     "ann_topk_brute" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

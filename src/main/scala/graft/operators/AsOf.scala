@@ -48,6 +48,51 @@ object AsOf {
         date_format(col("click_ts"), TsFmt).as("click_ts"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics composition of
+    * the as-of join: every purchase is credited to the same user's
+    * most recent click at-or-before it, but only if that click falls
+    * inside a 7-day lookback window; purchases with no in-window
+    * click land in the `null`-day "unattributed" bucket. Output is
+    * the report grain: per credited click DAY, attributed purchase
+    * count and attributed revenue.
+    *
+    * Scale shape: identical to [[purchaseWithLastClick]] — one
+    * user-keyed shuffle for the ordered window (no join, no range
+    * explosion), then one partial-aggregating shuffle whose row count
+    * is days × partitions. The 7-day bound is a post-window filter,
+    * exact to the microsecond on both engines (interval arithmetic on
+    * µs longs, no calendar ambiguity at day granularity).
+    */
+  def attributionLastTouch(spark: SparkSession, sfDir: String): DataFrame =
+    attributionLastTouchOver(Tables.events(spark, sfDir))
+
+  /** Same operator over any (event_id, user_id, event_type, ts,
+    * value) frame — planted window-edge specs pin the crediting rule.
+    */
+  def attributionLastTouchOver(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === "purchase").cast("int").as("side"),
+        when(col("event_type") === "click", col("ts")).as("c_ts"))
+    // clicks (side=0) sort before purchases at equal ts → same-instant
+    // click counts, matching purchaseWithLastClick's inclusive rule
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev
+      .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("day",
+        when(col("click_ts").isNotNull &&
+            col("click_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          date_format(col("click_ts"), "yyyy-MM-dd")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("attributed_value"))
+  }
+
   /** Per-user event-type pivot (counts), fixed column set. */
   def eventPivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -309,4 +309,20 @@ object Formats {
         md5(col("content")).as("fp"),
         col("length").as("n_bytes"))
   }
+
+  /** Aggregate over the custom DataSourceV2 connector
+    * ([[graft.sources.v2.SyntheticSource]]): the id-range predicates
+    * push into the scan (partitions 0-3 of 8 are pruned at PLANNING
+    * time, and no residual Filter node survives), and the aggregate's
+    * column set prunes the read schema. The deterministic arithmetic
+    * grid lets DuckDB's `range()` reproduce every row exactly.
+    */
+  def dsv2Aggregate(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft.sources.v2.SyntheticSource")
+      .option("rows", "200000").option("slices", "8").load()
+      .filter(col("id") >= 120000L && col("id") < 180000L)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
+  }
 }

@@ -29,6 +29,36 @@ class FunctionsSpec extends SparkSpec {
     assert(a.filter(col("click_ts") > col("ts")).isEmpty)
   }
 
+  test("last-touch attribution credits only in-window clicks and buckets " +
+      "the rest as unattributed") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    def t(offSec: Long) = new java.sql.Timestamp(base.getTime + offSec * 1000)
+    // u1: click 1d before → credited to its day; u2: click 8d before →
+    // outside the 7-day window → unattributed; u3: no click at all →
+    // unattributed; u4: click exactly 7d before → still credited
+    // (inclusive bound)
+    val planted = Seq(
+      (1L, 1L, "click", t(-86400L), 0.0),
+      (2L, 1L, "purchase", t(0), 10.0),
+      (3L, 2L, "click", t(-8L * 86400), 0.0),
+      (4L, 2L, "purchase", t(0), 20.0),
+      (5L, 3L, "purchase", t(0), 40.0),
+      (6L, 4L, "click", t(-7L * 86400), 0.0),
+      (7L, 4L, "purchase", t(0), 80.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = AsOf.attributionLastTouchOver(planted).collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(Some("2024-01-14")) == ((1L, 10.0)))
+    assert(got(Some("2024-01-08")) == ((1L, 80.0)))
+    assert(got(None) == ((2L, 60.0)))
+    // real corpus: purchase counts are conserved across buckets
+    val real = AsOf.attributionLastTouch(spark, sf)
+    assert(real.agg(sum("n_purchases")).head.getLong(0) ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
+
   test("nearest-in-time join picks the closer side, breaks ties backward, " +
       "and nulls users with no clicks") {
     import spark.implicits._

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+
+  test("bootstrap CI: intervals bracket the point mean and tighten with n") {
+    val ci = Stats.bootstrapCi(spark, sf).cache()
+    // one row per event type, lo <= mean <= hi strictly ordered
+    assert(ci.count() ==
+      Tables.events(spark, sf).select("event_type").distinct.count())
+    assert(ci.filter(col("ci_lo") > col("mean") ||
+      col("mean") > col("ci_hi")).isEmpty)
+    assert(ci.filter(col("ci_lo") >= col("ci_hi")).isEmpty)
+    // interval width is a few standard errors, not degenerate or huge:
+    // hi - lo within (0.5, 8) * se, se = sqrt(var/n)
+    val want = Tables.events(spark, sf).groupBy("event_type")
+      .agg(sqrt(var_samp("value") / count(lit(1))).as("se"))
+    val j = ci.join(want, "event_type")
+      .withColumn("wse", (col("ci_hi") - col("ci_lo")) / col("se"))
+    assert(j.filter(col("wse") < 0.5 || col("wse") > 8.0).isEmpty,
+      j.select("event_type", "wse").collect().mkString(","))
+    ci.unpersist()
+  }
+
+  test("bootstrap weights: the Poisson cut points reproduce e^-1 mass " +
+      "and the replicate fan-out never rescans the corpus") {
+    // P(w = 0) should be ~e^-1 = .3679: measured over all
+    // (event, replicate) hash draws at this SF
+    import graft.operators.Stats.PoissonCdf48
+    val ev = Tables.events(spark, sf)
+      .withColumn("r", explode(sequence(lit(0), lit(63))))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("boot"), col("r").cast("string"),
+          lit("_"), col("event_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long"))
+    val n = ev.count()
+    val zeros = ev.filter(col("h") < PoissonCdf48.head).count()
+    val frac = zeros.toDouble / n
+    assert(math.abs(frac - math.exp(-1.0)) < 0.01, s"P(w=0)=$frac")
+    // plan: the conditional aggregation folds the point estimate
+    // (replicate r = -1) and the CI branch into one pass, so the
+    // whole operator reads the events table EXACTLY once
+    val leaves = Stats.bootstrapCi(spark, sf)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"expected one scan leaf, got $leaves")
+  }
+
+  test("welch t-test matches a hand-computed reference on planted groups") {
+    import spark.implicits._
+    // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
+    val planted = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)
+    ).toDF("event_type", "value")
+    val r = Stats.abTestOver(planted, "a", "b").head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - 2.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9)
+    val sea = (5.0 / 3) / 4
+    val seb = 4.0 / 3
+    val t = (2.5 - 4.0) / math.sqrt(sea + seb)
+    val df = math.pow(sea + seb, 2) /
+      (sea * sea / 3 + seb * seb / 2)
+    assert(math.abs(r.getDouble(4) - t) < 1e-5, s"t=${r.getDouble(4)} want $t")
+    assert(math.abs(r.getDouble(5) - df) < 1e-5, s"df=${r.getDouble(5)} want $df")
+    // real corpus: one row, finite stats
+    val real = Stats.abTest(spark, sf).head
+    assert(!real.getDouble(4).isNaN && !real.getDouble(5).isNaN)
+  }
+}
