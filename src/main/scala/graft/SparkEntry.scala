@@ -311,6 +311,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_embed_pca" -> ((s, d) => Similarity.embedPca(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),

@@ -708,4 +708,67 @@ object Similarity {
       .join(dupOf, Seq("vec_id"), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  /** Distributed PCA, top principal component: ONE fixed-buffer pass
+    * builds the d×d centered scatter ([[graft.functions.GramAgg]] —
+    * the d² buffer crosses the wire once per partition, the vectors
+    * never do), the 64×64 eigenproblem is solved on the driver by
+    * power iteration (bounded O(d²) collect, the documented pattern),
+    * and the per-vector projection score is a codegen'd
+    * [[graft.functions.CatalystExprs.dot_product]] against the
+    * broadcast-literal component — a second linear scan, no shuffle.
+    *
+    * Determinism (rows-gated, so the SPEC is the contract): power
+    * iteration starts from the axis with the largest scatter diagonal
+    * (lowest index on ties), runs a fixed 1000 steps on exact driver
+    * doubles, and the component's sign is normalized so its
+    * largest-magnitude coordinate is positive — two runs produce
+    * bit-identical components. Invariants pinned: eigen-residual
+    * ‖Mv−λv‖ ≤ 1e-6·λ, var(score) = λ/(n−1) vs Welford, λ ≥ max
+    * diagonal (Rayleigh dominance), sign convention.
+    */
+  def embedPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val (mu, v, _, _) = embedPcaModel(spark, sfDir)
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("x"))
+    val vLit = typedLit(v.toSeq)
+    val muDotV = mu.zip(v).map { case (a, b) => a * b }.sum
+    all
+      .withColumn("score",
+        round(dot_product(col("x"), vLit) - lit(muDotV), 9))
+      .select(col("vec_id"), col("label"), col("score"))
+  }
+
+  /** The fitted model: (mean, component, eigenvalue, centered
+    * scatter) — exposed for the invariant specs.
+    */
+  private[graft] def embedPcaModel(spark: SparkSession, sfDir: String)
+      : (Array[Double], Array[Double], Double, Array[Array[Double]]) = {
+    import spark.implicits._
+    val d = 64
+    val buf = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]]
+      .select(graft.functions.GramAgg.agg(d).toColumn)
+      .head() // bounded: ONE row carrying the d² buffer
+    val (mu, m) = graft.functions.GramAgg.centered(d, buf)
+    // deterministic start: the axis with the largest scatter diagonal
+    // (maxBy keeps the FIRST maximum, so ties break to lowest index)
+    val start = (0 until d).maxBy(i => m(i)(i))
+    var v = Array.tabulate(d)(i => if (i == start) 1.0 else 0.0)
+    var it = 0
+    while (it < 1000) {
+      val mv = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val nrm = math.sqrt(mv.map(x => x * x).sum)
+      v = mv.map(_ / nrm)
+      it += 1
+    }
+    // sign convention: largest-|coordinate| positive (lowest index ties)
+    val k = (0 until d).maxBy(i => math.abs(v(i)))
+    if (v(k) < 0) v = v.map(-_)
+    val mv = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    val lambda = v.zip(mv).map { case (a, b) => a * b }.sum
+    (mu, v, lambda, m)
+  }
 }

@@ -386,4 +386,31 @@ class SimilaritySpec extends SparkSpec {
     // no duplicate pairs after the band-level dedup
     assert(l.select("vec_a", "vec_b").distinct().count() == l.count())
   }
+
+  test("embed pca: the power-iterated component is the top eigenvector " +
+      "(residual, Rayleigh dominance, Welford variance) and is " +
+      "bit-deterministic") {
+    val (_, v1, l1, m) = Similarity.embedPcaModel(spark, sf)
+    val (_, v2, l2, _) = Similarity.embedPcaModel(spark, sf)
+    // run-to-run bit equality (fixed start, fixed step count)
+    assert(v1.sameElements(v2) && l1 == l2)
+    // unit norm + sign convention
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-12)
+    val k = (0 until 64).maxBy(i => math.abs(v1(i)))
+    assert(v1(k) > 0)
+    // eigen-residual: ||Mv - lambda v|| <= 1e-6 * lambda
+    val mv = m.map(row => row.zip(v1).map { case (a, b) => a * b }.sum)
+    val res = math.sqrt(
+      mv.zip(v1).map { case (a, b) => (a - l1 * b) * (a - l1 * b) }.sum)
+    assert(res <= 1e-6 * l1, s"residual $res vs lambda $l1")
+    // Rayleigh dominance: lambda >= scatter along every coordinate axis
+    assert((0 until 64).forall(i => l1 >= m(i)(i) - 1e-9))
+    // the projection's sample variance equals lambda/(n-1)
+    val scores = Similarity.embedPca(spark, sf).cache()
+    val n = scores.count()
+    val varS = scores.agg(var_samp(col("score"))).head.getDouble(0)
+    assert(math.abs(varS - l1 / (n - 1)) / (l1 / (n - 1)) < 1e-6,
+      s"var $varS vs ${l1 / (n - 1)}")
+    scores.unpersist()
+  }
 }
