@@ -116,6 +116,8 @@ object SparkEntry {
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
     "q_attribution" -> ((s, d) => AsOf.attributionLastTouch(s, d)),
+    "q_variant_props" -> ((s, d) => Relational.variantProps(s, d)),
+    "q_observe_metrics" -> ((s, d) => Relational.observeMetrics(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapCi(s, d)),
     "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
@@ -812,6 +814,24 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // VARIANT extraction: the same null-on-missing semantics as the
+    // regexp oracle; '$.missing' never matches so n_missing = 0
+    "q_variant_props" ->
+      """SELECT event_type,
+        |  count(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(0 AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin,
+    // observe() metrics ride the query's own scan; the oracle is the
+    // plain one-row audit over the same table
+    "q_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events""".stripMargin,
     "q_running_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,

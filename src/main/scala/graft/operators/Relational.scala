@@ -365,6 +365,72 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"),
         count(col("k")).as("n_with_k"))
 
+  /** VARIANT-typed semi-structured extraction (Spark 4's open-format
+    * binary JSON): `parse_json` decodes the payload ONCE into the
+    * variant encoding, then every path extraction (`try_variant_get`)
+    * reads the binary form — at 100 TB the parse-once/extract-many
+    * shape beats `get_json_object`'s re-parse-per-path (the
+    * `q_json_props` baseline) linearly in the number of paths.
+    * `try_` semantics: malformed payloads and missing paths degrade
+    * to null (counted, not fatal), mirroring the oracle's
+    * regexp null-on-no-match.
+    */
+  def variantProps(spark: SparkSession, sfDir: String): DataFrame =
+    variantPropsOver(Tables.events(spark, sfDir))
+
+  /** Same operator over any (event_type, props) frame — planted
+    * malformed-payload specs pin the try_ degradation semantics.
+    */
+  def variantPropsOver(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("try_parse_json(props)").as("vr"))
+      .select(col("event_type"),
+        expr("try_variant_get(vr, '$.k', 'long')").as("k"),
+        expr("try_variant_get(vr, '$.missing', 'string')").as("miss"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("miss")).as("n_missing"))
+
+  /** FREE pipeline observability — `Dataset.observe` attaches metric
+    * aggregates to a query's OWN scan (Spark's CollectMetrics node),
+    * so input-health counters (row count, value mass, per-class
+    * tallies — DISTINCT aggregates are rejected by design, they don't
+    * merge per-partition) come out of the same single pass that computes the real
+    * result: zero extra scans, exact values, no sampling. The
+    * [[org.apache.spark.sql.Observation]] handle collects them after
+    * the action. At 100 TB this is the ONLY affordable way to audit
+    * every batch — a separate metrics query would double the read.
+    *
+    * The operator returns the observed metrics as a one-row frame,
+    * oracle-gated against plain aggregates over the same table.
+    */
+  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val audited = Tables.events(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(money(col("value"))).cast("double").as("sum_value"),
+        count(when(col("event_type") === "purchase", lit(1)))
+          .as("n_purchase"),
+        // observed metrics reject DISTINCT aggregates (they must be
+        // mergeable per-partition); the distinct-user audit belongs
+        // to q_profile/theta sketches, not this surface
+        count(when(col("event_type") === "error", lit(1))).as("n_error"))
+      // the real downstream work the metrics ride along with
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    audited.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_value").asInstanceOf[Double],
+      m("n_purchase").asInstanceOf[Long],
+      m("n_error").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_value", "n_purchase", "n_error")
+  }
+
   /** Windowed ranking/navigation suite: quartile (ntile), 2nd order
     * (nth_value over the full frame — the default running frame would
     * make early rows nondeterministic vs engines that differ on it),

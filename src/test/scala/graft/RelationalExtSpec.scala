@@ -383,4 +383,51 @@ class RelationalExtSpec extends SparkSpec {
     assert(got == Set((1L, "a", 10.0), (2L, "B", 21.0),
       (4L, null, 41.0), (9L, "i", 90.0)), s"merge semantics broken: $got")
   }
+
+  test("variant props: parse-once extraction agrees with the " +
+      "string-path baseline and try_ semantics swallow malformed rows") {
+    // real corpus: variant extraction == get_json_object extraction
+    val v = Relational.variantProps(spark, sf).cache()
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"))
+    val j = v.join(base.withColumnRenamed("n_with_k", "bn")
+      .withColumnRenamed("sum_k", "bs"), "event_type")
+    assert(j.filter(col("n_with_k") =!= col("bn") ||
+      col("sum_k") =!= col("bs")).isEmpty)
+    assert(v.filter(col("n_missing") =!= 0).isEmpty)
+    v.unpersist()
+    // planted malformed payloads: try_variant_get nulls, never throws
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "t", """{"k": 7}"""),
+      (2L, "t", """not json at all"""),
+      (3L, "t", """{"k": "strings do not cast"}"""),
+      (4L, "t", null.asInstanceOf[String]))
+      .toDF("event_id", "event_type", "props")
+    val got = Relational.variantPropsOver(planted).head
+    assert(got.getLong(1) == 1 && got.getLong(2) == 7,
+      s"planted variant extraction: $got")
+  }
+
+  test("observe metrics ride the query's own scan: values match direct " +
+      "aggregates and the plan carries CollectMetrics over one scan") {
+    val m = Relational.observeMetrics(spark, sf).head
+    val ev = Tables.events(spark, sf)
+    assert(m.getLong(0) == ev.count())
+    assert(m.getLong(2) ==
+      ev.filter(col("event_type") === "purchase").count())
+    assert(m.getLong(3) ==
+      ev.filter(col("event_type") === "error").count())
+    // structural: the metrics are attached to the single scan, not a
+    // second pass
+    val obs = org.apache.spark.sql.Observation()
+    val audited = ev.observe(obs, count(lit(1)).as("n"))
+      .groupBy("event_type").agg(count(lit(1)))
+    val plan = audited.queryExecution.optimizedPlan
+    assert(plan.toString.contains("CollectMetrics"), plan.toString)
+    assert(plan.collectLeaves().size == 1)
+  }
 }
