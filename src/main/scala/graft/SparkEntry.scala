@@ -373,6 +373,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     "stream_moments" ->
       ((s, d) => graft.streaming.EventStreams.momentsFromFiles(s, d)),
+    "stream_tws" ->
+      ((s, d) => graft.streaming.EventStreams.twsPowerAlertsFromFiles(s, d)),
     "stream_near_dup" ->
       ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
     "stream_curate" ->
@@ -977,6 +979,12 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_samp,
         |  CAST(mn AS DOUBLE) AS vmin, CAST(mx AS DOUBLE) AS vmax
         |FROM m""".stripMargin,
+    // transformWithState power-of-two alerts: every 2^k <= the user's
+    // total count, integer shifts on both engines
+    "stream_tws" ->
+      """WITH n AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT user_id, CAST(CAST(1 AS BIGINT) << k AS BIGINT) AS threshold
+        |FROM n JOIN range(0, 40) r(k) ON (CAST(1 AS BIGINT) << k) <= n""".stripMargin,
     // streaming incremental LSH near-dup: md5-MinHash (the one hash
     // both engines share) makes this the family's first fully
     // oracle-gated LSH path; id-ordered arrival ⇒ the stream's

@@ -799,4 +799,99 @@ object EventStreams {
         .select(col("doc_id"), col("n_words"), col("pred_lang"))
     }
   }
+
+  case class TwsAlert(user_id: Long, threshold: Long)
+
+  /** Spark 4 `transformWithState` (the StatefulProcessor arbitrary-
+    * state API, successor to flatMapGroupsWithState): per-user
+    * LOG-THROTTLED alerting — emit one row each time a user's
+    * lifetime event count crosses a power of two (1, 2, 4, 8, …).
+    * This is genuinely ARBITRARY state logic: rows are emitted
+    * conditionally mid-stream from custom state transitions, which no
+    * built-in streaming aggregate expresses (an agg yields one row
+    * per key per trigger, not one per crossing).
+    *
+    * Correctness discipline: the count in `ValueState` is ADDITIVE
+    * and threshold crossings in (prev, cur] depend only on the
+    * running total, so the emitted SET is independent of batch split
+    * and within-batch order — the batch oracle (every power of two ≤
+    * each user's total count, integer shifts on both engines) gates
+    * it bit-for-bit. Input is a single copy split into two files with
+    * maxFilesPerTrigger=1, forcing a cross-batch state carry.
+    *
+    * The operator requires the RocksDB state store provider (the
+    * multi-column-family store transformWithState is built on),
+    * scoped to this query and restored after. At 100 TB the state is
+    * ONE long per user in RocksDB — the store the API was built to
+    * scale on.
+    */
+  def twsPowerAlertsFromFiles(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val dir = graft.TempDirs.create("graft_stream_tws_src")
+    ev.toDF().repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+      .as[Event]
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val alerts = stream.groupByKey(_.user_id)
+        .transformWithState(new PowerAlertProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[TwsAlert])
+      val name = nextSinkName("graft_stream_tws")
+      withSink(spark, name) {
+        val q = alerts.toDF().writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        drainMemorySink(spark, name)
+          .select(col("user_id"), col("threshold"))
+      }
+    } finally prevProvider match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
+
+/** The StatefulProcessor: one `ValueState[Long]` per user holds the
+  * lifetime count; each batch advances it by the batch's row count
+  * and emits the power-of-two thresholds crossed in (prev, cur] —
+  * integer arithmetic only (highestOneBit shifts), so the oracle's
+  * `1 << k` replay is exact.
+  */
+class PowerAlertProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, EventStreams.Event, EventStreams.TwsAlert] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[EventStreams.Event],
+      timerValues: TimerValues): Iterator[EventStreams.TwsAlert] = {
+    val prev = if (count.exists()) count.get() else 0L
+    val cur = prev + rows.size
+    count.update(cur)
+    var t = if (prev == 0L) 1L else java.lang.Long.highestOneBit(prev) << 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[EventStreams.TwsAlert]
+    while (t <= cur) {
+      out += EventStreams.TwsAlert(key, t)
+      t <<= 1
+    }
+    out.iterator
+  }
 }

@@ -401,4 +401,28 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
       "stream and batch curation outputs diverge")
   }
+
+  test("transformWithState power alerts: emitted set equals every " +
+      "2^k <= each user's total, across the forced batch split") {
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val got = EventStreams.twsPowerAlertsFromFiles(spark, sf).cache()
+    // expected: integer-shift replay of the lifetime totals
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(col("user_id"), explode(expr(
+        "filter(transform(sequence(0, 39), k -> shiftleft(CAST(1 AS BIGINT), k)), t -> t <= n)"))
+        .as("threshold"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "transformWithState alert set diverges from the batch replay")
+    // no duplicate crossings: the ValueState carry survived the
+    // cross-batch split without re-emitting
+    assert(got.distinct().count() == got.count(),
+      "duplicate threshold crossings — state carry broken")
+    // the scoped RocksDB provider conf was restored to its prior value
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") == prevProvider)
+    got.unpersist()
+  }
 }
