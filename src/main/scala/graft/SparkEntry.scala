@@ -389,6 +389,8 @@ object SparkEntry {
       ((s, d) => graft.sources.Formats.binaryDocs(s, d)),
     "q_dsv2_source" ->
       ((s, _) => graft.sources.Formats.dsv2Aggregate(s)),
+    "q_xml_events" ->
+      ((s, d) => graft.sources.Formats.eventsFromXml(s, d)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
     "q_jsonl_corrupt" ->
@@ -1091,6 +1093,14 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // XML round-trip: exact decimal + formatted-string timestamps, so
+    // the rollup equals the direct-parquet aggregate
+    "q_xml_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY event_type""".stripMargin,
     // the DSv2 connector's arithmetic grid, reproduced from range():
     // same Knuth-multiplicative val, same id-range predicate the scan
     // absorbed at planning time

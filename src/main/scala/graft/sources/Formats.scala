@@ -74,6 +74,39 @@ object Formats {
         date_format(col("first_date"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
   }
 
+  /** Per-type event rollup fed from an XML round-trip — Spark 4's
+    * built-in XML source (`rowTag` records), closing the
+    * parquet/CSV/JSONL/ORC/XML format sweep (§2.H; Avro remains
+    * jar-blocked). Discipline mirrors the CSV twin: schema-explicit
+    * read (inference is an extra full pass), exact DECIMAL value
+    * round-trip (decimals print exactly in XML text; a double would
+    * re-parse through formatting), timestamps carried as formatted
+    * strings (XML has no native timestamp lexical enforcement), and a
+    * fresh per-run directory to avoid cross-JVM Overwrite races.
+    */
+  def eventsFromXml(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val path = graft.TempDirs.create("graft_events_xml").toString
+    ev.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rowTag", "event").save(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_s", StringType),
+      StructField("v", DecimalType(18, 2))))
+    spark.read.format("xml").option("rowTag", "event").schema(schema)
+      .load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sum_value"),
+        min(col("ts_s")).as("first_ts"),
+        max(col("ts_s")).as("last_ts"))
+  }
+
   /** The driver's hourly-events query fed from JSONL instead of
     * parquet: events round-trip through a schema-explicit JSONL
     * write/read (a user's first pipeline usually starts from JSONL),

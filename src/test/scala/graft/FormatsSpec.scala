@@ -102,4 +102,23 @@ class FormatsSpec extends SparkSpec {
     assert(orc.exceptAll(pq).isEmpty && pq.exceptAll(orc).isEmpty)
     assert(orc.head().getLong(1) > 0)
   }
+
+  test("xml round-trip: the rollup equals the direct-parquet aggregate " +
+      "(exact decimal, fixed-width timestamp strings)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val xml = Formats.eventsFromXml(spark, sf)
+    val pq = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_ts"))
+    assert(xml.count() > 0)
+    assert(xml.exceptAll(pq).isEmpty && pq.exceptAll(xml).isEmpty,
+      "XML round-trip diverged from the parquet aggregate")
+  }
 }
