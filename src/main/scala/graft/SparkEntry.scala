@@ -391,6 +391,9 @@ object SparkEntry {
       ((s, _) => graft.sources.Formats.dsv2Aggregate(s)),
     "q_xml_events" ->
       ((s, d) => graft.sources.Formats.eventsFromXml(s, d)),
+    "q_file_metadata" ->
+      ((s, d) => graft.sources.Formats.fileMetadataAudit(s, d)),
+    "q_skew_report" -> ((s, d) => Stats.skewReport(s, d)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
     "q_jsonl_corrupt" ->
@@ -1101,6 +1104,26 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY event_type""".stripMargin,
+    // _metadata audit: only layout-independent fields are gated (the
+    // single-file layout makes the name and ranges data-truths)
+    "q_file_metadata" ->
+      """SELECT 'events.parquet' AS file, count(*) AS n_rows,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events""".stripMargin,
+    // skew report: hottest key = max user_id among max-count holders
+    // (the deterministic tie-break both engines replay)
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |        max(n) AS max_n FROM c),
+        |h AS (SELECT max(c.user_id) AS hottest_key FROM c, s
+        |      WHERE c.n = s.max_n)
+        |SELECT s.n_keys, s.n_rows, s.max_n, h.hottest_key,
+        |  round(CAST(s.max_n AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 9)
+        |    AS max_share,
+        |  round(CAST(s.max_n AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+        |        / CAST(s.n_rows AS DOUBLE), 6) AS skew_factor
+        |FROM s CROSS JOIN h""".stripMargin,
     // the DSv2 connector's arithmetic grid, reproduced from range():
     // same Knuth-multiplicative val, same id-range predicate the scan
     // absorbed at planning time
@@ -2639,30 +2662,40 @@ object SparkEntry {
         |  count(*) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
         |FROM w WHERE side = 1 GROUP BY 1""".stripMargin,
-    // Poisson bootstrap: 48-bit md5-uniform vs the fixed CDF cut
-    // points (floor(P(X<=k)*2^48)); CI = sorted replicate means'
-    // [2nd, 63rd] elements — selection, never interpolation
+    // Poisson bootstrap: ONE md5 per event (h0), per-replicate affine
+    // (a·h0+b) mod 2^31−1 (products < 2^62 — overflow-free BIGINT in
+    // both engines), weights vs CDF cut points floor(P(X<=k)·M31);
+    // CI = sorted replicate means' [2nd, 63rd] elements — selection,
+    // never interpolation
     "q_bootstrap_ci" ->
-      """WITH ev AS (SELECT event_id, event_type,
-        |        CAST(value AS DECIMAL(18,2)) AS v FROM events),
-        |x AS (SELECT event_type, v, event_id,
-        |        unnest(range(-1, 64)) AS r FROM ev),
-        |hx AS (SELECT event_type, r, v,
-        |        CAST('0x' || substring(md5('boot' || CAST(r AS VARCHAR) ||
-        |          '_' || CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
-        |       FROM x),
-        |wx AS (SELECT event_type, r, v,
+      """WITH p AS (SELECT r,
+        |        1 + CAST('0x' || substring(md5('bootA' || CAST(r AS VARCHAR)),
+        |              1, 12) AS BIGINT) % 2147483646 AS a,
+        |        CAST('0x' || substring(md5('bootB' || CAST(r AS VARCHAR)),
+        |              1, 12) AS BIGINT) % 2147483647 AS b
+        |      FROM (SELECT unnest(range(0, 64)) AS r)),
+        |pp AS (SELECT * FROM p UNION ALL SELECT -1, 0, 0),
+        |ev AS (SELECT event_id, event_type,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |        CAST('0x' || substring(md5('boot' || CAST(event_id AS VARCHAR)),
+        |              1, 12) AS BIGINT) % 2147483647 AS h0
+        |       FROM events),
+        |hx AS (SELECT event_type, r, vc,
+        |        (a * h0 + b) % 2147483647 AS h
+        |       FROM ev CROSS JOIN pp),
+        |wx AS (SELECT event_type, r, vc,
         |        CASE WHEN r = -1 THEN 1 ELSE
-        |        (CASE WHEN h >= 103548857136060 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 207097714272121 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 258872142840152 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 276130285696162 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 280444821410164 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 281307728552965 THEN 1 ELSE 0 END +
-        |         CASE WHEN h >= 281451546410098 THEN 1 ELSE 0 END) END AS w
+        |        (CASE WHEN h >= 790015083 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 1580030167 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 1975037709 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2106706890 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2139624185 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2146207644 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2147304887 THEN 1 ELSE 0 END) END AS w
         |       FROM hx),
         |agg AS (SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw,
-        |        round(CAST(sum(w * v) AS DOUBLE) / sum(w), 9) AS m
+        |        round((CAST(sum(w * vc) AS DOUBLE) / 100.0)
+        |              / CAST(sum(w) AS DOUBLE), 9) AS m
         |      FROM wx GROUP BY 1, 2),
         |f AS (SELECT event_type,
         |        max(sw) FILTER (WHERE r = -1) AS n,

@@ -20,34 +20,86 @@ object Stats {
 
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Poisson(1) CDF cut points at 48-bit fixed point:
-    * T(k) = floor(P(X<=k) * 2^48), k = 0..6. A 48-bit md5-uniform h
-    * maps to bootstrap weight w = #{k : h >= T(k)} (so P(w=0) = e^-1,
-    * P(w<=1) = 2e^-1, ..., capped at 7) — the standard Poisson
-    * approximation to multinomial resampling, made DETERMINISTIC and
-    * engine-portable: both engines compare the same integer hash to
-    * the same integer literals, so replicate membership is identical
-    * everywhere. Constants precomputed at 60-digit precision.
+  /** Mersenne prime 2^31−1 — the replicate-hash modulus. Affine maps
+    * a·h+b mod M with a ∈ [1,M), b ∈ [0,M) form a pairwise-independent
+    * family whose products stay under 2^62: overflow-free BIGINT
+    * arithmetic in BOTH engines (the `stream_near_dup` signing
+    * recipe — DuckDB has no wraparound multiply, so staying in-range
+    * is what keeps the oracle exact).
     */
-  private[graft] val PoissonCdf48: Seq[Long] = Seq(
-    103548857136060L, 207097714272121L, 258872142840152L,
-    276130285696162L, 280444821410164L, 281307728552965L,
-    281451546410098L)
+  private[graft] val M31 = 2147483647L
+
+  /** Poisson(1) CDF cut points scaled to M31:
+    * T(k) = floor(P(X<=k) * (2^31−1)), k = 0..6. A replicate-hash
+    * uniform h ∈ [0, M31) maps to bootstrap weight
+    * w = #{k : h >= T(k)} (so P(w=0) = e^-1, P(w<=1) = 2e^-1, …,
+    * capped at 7) — the standard Poisson approximation to multinomial
+    * resampling, made DETERMINISTIC and engine-portable: both engines
+    * compare the same integer hash to the same integer literals, so
+    * replicate membership is identical everywhere. Constants
+    * precomputed at 60-digit precision.
+    */
+  private[graft] val PoissonCdfM31: Seq[Long] = Seq(
+    790015083L, 1580030167L, 1975037709L, 2106706890L,
+    2139624185L, 2146207644L, 2147304887L)
+
+  /** One 48-bit md5 → uniform in [0, M31). */
+  private[graft] def md5Mod(prefix: String, c: Column): Column =
+    conv(substring(md5(concat(lit(prefix), c.cast("string"))), 1, 12),
+      16, 10).cast("long") % M31
+
+  /** The replicate parameters: r ∈ [0, reps) with md5-derived affine
+    * coefficients (a, b), PLUS the r = −1 point-estimate row (weight
+    * pinned to 1). Computed DRIVER-side with the same md5 formula the
+    * oracle unrolls in SQL (a spec pins the equivalence against the
+    * in-engine derivation) and fanned out as a LITERAL array through
+    * `explode` — a codegen'd Generate, NOT a BroadcastNestedLoopJoin
+    * (the 65-row broadcast join measured ~5× slower: BNLJ
+    * materializes a joined row per pair). The corpus side pays ONE
+    * md5 per row and a multiply-mod per replicate.
+    */
+  private[graft] def replicateParamsLocal(reps: Int): Seq[(Int, Long, Long)] = {
+    def md5mod(s: String, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      // first 12 hex chars = 48 bits, matching substring(md5(x),1,12)
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16) % m
+    }
+    (0 until reps).map(r =>
+      (r, 1L + md5mod("bootA" + r, M31 - 1), md5mod("bootB" + r, M31))) :+
+      ((-1, 0L, 0L))
+  }
+
+  /** The same parameters derived IN-ENGINE (what the DuckDB oracle
+    * unrolls) — the spec's reference for [[replicateParamsLocal]].
+    */
+  private[graft] def replicateParams(spark: SparkSession, reps: Int)
+      : DataFrame = {
+    val r = spark.range(reps).select(col("id").cast("int").as("r"))
+      .withColumn("a",
+        lit(1L) + (conv(substring(md5(concat(lit("bootA"),
+          col("r").cast("string"))), 1, 12), 16, 10).cast("long")
+          % (M31 - 1)))
+      .withColumn("b", md5Mod("bootB", col("r")))
+    r.unionAll(spark.range(1).select(lit(-1).as("r"),
+      lit(0L).as("a"), lit(0L).as("b")))
+  }
 
   /** BOOTSTRAP CONFIDENCE INTERVALS for the per-event-type mean value
     * — R = 64 deterministic Poisson bootstrap replicates.
     *
     * Each (event, replicate) draws weight w ~ Poisson(1) from an
-    * md5-uniform (see [[PoissonCdf48]]); replicate means are exact
-    * DECIMAL weighted sums divided once in double and rounded to 9
+    * affine replicate hash (see [[PoissonCdfM31]]); replicate means are
+    * exact integer-cent weighted sums divided once in double and rounded to 9
     * places; the CI is the [2nd, 63rd] ORDER STATISTIC of the 64
     * sorted replicate means (≈ the 2.5%/97.5% percentile bootstrap —
     * element selection, never interpolation, so both engines pick the
     * same value bit-for-bit).
     *
-    * Scale shape: the replicate fan-out is a map-side
-    * `explode(sequence(0,63))` — 64× rows into a PARTIAL aggregation
-    * keyed (event_type, r), so shuffle rows = types × 64 × partitions
+    * Scale shape: the replicate fan-out is a map-side codegen'd
+    * explode of the literal parameter array — 65× rows into a PARTIAL
+    * aggregation keyed (event_type, r), so shuffle rows = types × 65 ×
+    * partitions
     * regardless of corpus size; the order-statistic step handles 64
     * values per type. No global sort, no per-replicate scan — ONE scan
     * total vs the naive R re-scans.
@@ -62,25 +114,34 @@ object Stats {
     * The POINT estimate rides the same fan-out as replicate r = −1
     * with weight 1, so ONE grouped aggregate (one corpus scan, one
     * exchange — reused by both output branches) produces the point
-    * mean and all replicate means together.
+    * mean and all replicate means together. The fan-out itself is a
+    * codegen'd explode of the 65-entry literal parameter array: the
+    * corpus pays ONE md5 (h0) per row, each replicate only an affine
+    * (a·h0+b) mod M31.
     */
   def bootstrapCiOver(events: DataFrame, reps: Int): DataFrame = {
+    // exact integer CENTS, not decimal: the 65×-fanned aggregate sums
+    // primitive longs in codegen (a decimal sum buffer at 39M rows
+    // measured ~3× slower); decimal→long is exact, and per-(type, r)
+    // cent sums stay far below 2^63
     val ev = events.select(col("event_id"), col("event_type"),
-      money(col("value")).as("v"))
-    val h = conv(substring(md5(concat(lit("boot"), col("r").cast("string"),
-      lit("_"), col("event_id").cast("string"))), 1, 12), 16, 10)
-      .cast("long")
-    val pois = PoissonCdf48
+      (money(col("value")) * 100).cast("long").as("vc"))
+      .withColumn("h0", md5Mod("boot", col("event_id")))
+    val pois = PoissonCdfM31
       .map(t => (col("h") >= t).cast("int"))
       .reduce(_ + _)
     val agg = ev
-      .withColumn("r", explode(sequence(lit(-1), lit(reps - 1))))
-      .withColumn("h", h)
-      .withColumn("w", when(col("r") === -1, lit(1)).otherwise(pois))
+      .withColumn("p", explode(typedLit(replicateParamsLocal(reps))))
+      .select(col("event_type"), col("vc"), col("h0"),
+        col("p._1").as("r"), col("p._2").as("a"), col("p._3").as("b"))
+      .withColumn("h", (col("a") * col("h0") + col("b")) % M31)
+      .withColumn("w",
+        when(col("r") === -1, lit(1L)).otherwise(pois.cast("long")))
       .groupBy("event_type", "r")
-      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
+      .agg(sum(col("w") * col("vc")).as("swv"), sum(col("w")).as("sw"))
       .select(col("event_type"), col("r"), col("sw"),
-        round(col("swv").cast("double") / col("sw"), 9).as("m"))
+        round((col("swv").cast("double") / lit(100.0)) /
+          col("sw").cast("double"), 9).as("m"))
     // conditional aggregation folds the point row and the 64 replicate
     // rows into ONE grouped pass — no second branch, no join, so the
     // corpus is structurally scanned exactly once (collect_list skips
@@ -93,6 +154,38 @@ object Stats {
       .select(col("event_type"), col("n"), col("mean"),
         element_at(col("ms"), 2).as("ci_lo"),
         element_at(col("ms"), reps - 1).as("ci_hi"))
+  }
+
+  /** KEY-SKEW REPORT over events.user_id — the diagnosis that decides
+    * whether a join/agg needs salting (`q_salted_agg`/`q_skew_join`
+    * are the cures; this is the measurement): per-key counts in one
+    * partial-agg shuffle, then a one-row summary over the (small)
+    * per-key table — key cardinality, max/total concentration of the
+    * hottest key, the hot key itself, and the mean keys-per-count
+    * ratio p99-style proxy max/avg. Everything integer or one final
+    * division — exact on both engines.
+    *
+    * Scale shape: shuffle #1 is the keyed partial agg (rows = keys ×
+    * partitions); the summary input is |keys| rows, never |events|.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    counts
+      .select(col("user_id"), col("n"),
+        struct(col("n"), col("user_id").as("k")).as("nk"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        max(col("nk")).getField("k").as("hottest_key"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        col("hottest_key"),
+        round(col("max_n").cast("double") / col("n_rows").cast("double"), 9)
+          .as("max_share"),
+        round(col("max_n").cast("double") *
+          col("n_keys").cast("double") / col("n_rows").cast("double"), 6)
+          .as("skew_factor"))
   }
 
   /** WELCH'S t-TEST between the mean `value` of two event types —

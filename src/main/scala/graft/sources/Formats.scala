@@ -107,6 +107,28 @@ object Formats {
         max(col("ts_s")).as("last_ts"))
   }
 
+  /** Input-file audit via the `_metadata` hidden column — the file
+    * provenance every ingest pipeline wants ("which file did this row
+    * come from, how many rows per file") WITHOUT a filename UDF or a
+    * path join: `_metadata.file_path` is a constant-folded per-split
+    * column the scan provides for free. At 100 TB this is how you
+    * trace a bad row back to its drop file. Only layout-independent
+    * fields (name, per-file row counts, id ranges) reach the gated
+    * output; sizes/mtimes are environment-truths, not data-truths.
+    */
+  def fileMetadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+          .as("file"),
+        col("event_id"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   /** The driver's hourly-events query fed from JSONL instead of
     * parquet: events round-trip through a schema-explicit JSONL
     * write/read (a user's first pipeline usually starts from JSONL),

@@ -103,6 +103,17 @@ class FormatsSpec extends SparkSpec {
     assert(orc.head().getLong(1) > 0)
   }
 
+  test("file metadata audit: per-file rows sum to the table and the " +
+      "hidden column never touches a UDF") {
+    import org.apache.spark.sql.functions._
+    val a = Formats.fileMetadataAudit(spark, sf).cache()
+    assert(a.agg(sum("n_rows")).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+    assert(a.filter(col("file") === "events.parquet").count() == a.count())
+    assert(a.filter(col("min_id") > col("max_id")).isEmpty)
+    a.unpersist()
+  }
+
   test("xml round-trip: the rollup equals the direct-parquet aggregate " +
       "(exact decimal, fixed-width timestamp strings)") {
     import org.apache.spark.sql.functions._

@@ -28,24 +28,50 @@ class StatsSpec extends SparkSpec {
   test("bootstrap weights: the Poisson cut points reproduce e^-1 mass " +
       "and the replicate fan-out never rescans the corpus") {
     // P(w = 0) should be ~e^-1 = .3679: measured over all
-    // (event, replicate) hash draws at this SF
-    import graft.operators.Stats.PoissonCdf48
+    // (event, replicate) affine-hash draws at this SF
+    import graft.operators.Stats.{PoissonCdfM31, M31}
     val ev = Tables.events(spark, sf)
-      .withColumn("r", explode(sequence(lit(0), lit(63))))
-      .withColumn("h",
-        conv(substring(md5(concat(lit("boot"), col("r").cast("string"),
-          lit("_"), col("event_id").cast("string"))), 1, 12), 16, 10)
-          .cast("long"))
+      .withColumn("h0", graft.operators.Stats.md5Mod("boot", col("event_id")))
+      .crossJoin(broadcast(
+        graft.operators.Stats.replicateParams(spark, 64)))
+      .filter(col("r") >= 0)
+      .withColumn("h", (col("a") * col("h0") + col("b")) % M31)
     val n = ev.count()
-    val zeros = ev.filter(col("h") < PoissonCdf48.head).count()
+    val zeros = ev.filter(col("h") < PoissonCdfM31.head).count()
     val frac = zeros.toDouble / n
     assert(math.abs(frac - math.exp(-1.0)) < 0.01, s"P(w=0)=$frac")
+    // the driver-side literal params equal the in-engine md5
+    // derivation the DuckDB oracle unrolls — the link that keeps the
+    // fast literal fan-out honest
+    val local = graft.operators.Stats.replicateParamsLocal(64).toSet
+    val engine = graft.operators.Stats.replicateParams(spark, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(local == engine, "literal params diverge from md5 derivation")
     // plan: the conditional aggregation folds the point estimate
     // (replicate r = -1) and the CI branch into one pass, so the
-    // whole operator reads the events table EXACTLY once
+    // whole operator reads the events table EXACTLY once (the other
+    // leaves are the 65-row broadcast parameter ranges)
     val leaves = Stats.bootstrapCi(spark, sf)
       .queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.size == 1, s"expected one scan leaf, got $leaves")
+    val scans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation])
+    assert(scans == 1, s"expected one events scan leaf, got $leaves")
+  }
+
+  test("skew report: concentration identities hold and the summary " +
+      "input is keys-sized, not events-sized") {
+    val r = Stats.skewReport(spark, sf).head
+    val ev = Tables.events(spark, sf)
+    assert(r.getLong(1) == ev.count())
+    assert(r.getLong(0) == ev.select("user_id").distinct.count())
+    // max_n * n_keys >= n_rows (max >= avg), share in (0, 1]
+    assert(r.getLong(2) * r.getLong(0) >= r.getLong(1))
+    assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+    assert(r.getDouble(5) >= 1.0) // skew factor = max/avg >= 1
+    // the hottest key really holds the max count
+    val maxN = ev.groupBy("user_id").count()
+      .agg(max("count")).head.getLong(0)
+    assert(ev.filter(col("user_id") === r.getLong(3)).count() == maxN)
   }
 
   test("welch t-test matches a hand-computed reference on planted groups") {
