@@ -8,9 +8,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * single partial-agg shuffle instead of a d²-explode.
   *
   * Buffer: (n, s[d] = Σx, g[d(d+1)/2] = upper-triangular Σ x xᵀ).
-  * Merge is elementwise addition (order-free), so the result is
-  * partition-invariant. At d = 64 the buffer is ~17 KB per partition
-  * — ONE buffer per map task crosses the wire, never the vectors.
+  * Merge is elementwise addition — exact-arithmetic order-free, but
+  * DOUBLE addition is associative only to the ulp, so across
+  * different partition counts or merge orders the sums can differ in
+  * the last bits (the downstream eigen-invariants, not bit equality,
+  * are the portable contract; see `embedPca`). At d = 64 the buffer
+  * is ~17 KB per partition — ONE buffer per map task crosses the
+  * wire, never the vectors.
   * The centered scatter M = Σ(x−μ)(x−μ)ᵀ = g − s sᵀ/n is derived at
   * finish time from the raw sums (exact algebra; the numerically
   * fragile cancellation regime would need means ≫ spread, which

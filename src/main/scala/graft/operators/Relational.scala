@@ -24,7 +24,9 @@ import graft.Tables
   */
 object Relational {
 
-  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  // shared across operator objects (Stats reuses it) so the engines'
+  // money-DECIMAL discipline has exactly one definition
+  private[operators] def money(c: Column): Column = c.cast(DecimalType(18, 2))
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** TPC-H Q1-shape pricing summary. One shuffle; partial aggregation

@@ -720,10 +720,13 @@ object Similarity {
     *
     * Determinism (rows-gated, so the SPEC is the contract): power
     * iteration starts from the axis with the largest scatter diagonal
-    * (lowest index on ties), runs a fixed 1000 steps on exact driver
+    * (lowest index on ties), runs a fixed 1000 steps on driver
     * doubles, and the component's sign is normalized so its
-    * largest-magnitude coordinate is positive — two runs produce
-    * bit-identical components. Invariants pinned: eigen-residual
+    * largest-magnitude coordinate is positive — two runs under the
+    * SAME partitioning produce bit-identical components. Across
+    * different partition counts the Gram's double sums can move by
+    * ulps (FP addition is order-sensitive), so the PORTABLE contract
+    * is the invariant set, not bitwise equality: eigen-residual
     * ‖Mv−λv‖ ≤ 1e-6·λ, var(score) = λ/(n−1) vs Welford, λ ≥ max
     * diagonal (Rayleigh dominance), sign convention.
     */

@@ -18,7 +18,7 @@ import graft.Tables
   */
 object Stats {
 
-  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def money(c: Column): Column = Relational.money(c)
 
   /** Mersenne prime 2^31−1 — the replicate-hash modulus. Affine maps
     * a·h+b mod M with a ∈ [1,M), b ∈ [0,M) form a pairwise-independent

@@ -88,26 +88,41 @@ class SyntheticScanBuilder(nRows: Long, slices: Int) extends ScanBuilder
     case _ => None
   }
 
-  // returns true iff the filter was fully absorbed into [lo, hi)
-  private def absorb(f: Filter): Boolean = f match {
-    case GreaterThan("id", v) =>
-      asLong(v).exists { n => lo = math.max(lo, n + 1); true }
-    case GreaterThanOrEqual("id", v) =>
-      asLong(v).exists { n => lo = math.max(lo, n); true }
-    case LessThan("id", v) =>
-      asLong(v).exists { n => hi = math.min(hi, n); true }
-    case LessThanOrEqual("id", v) =>
-      asLong(v).exists { n => hi = math.min(hi, n + 1); true }
-    case EqualTo("id", v) =>
-      asLong(v).exists { n =>
-        lo = math.max(lo, n); hi = math.min(hi, n + 1); true
-      }
-    case And(l, r) => absorb(l) && absorb(r)
-    case _ => false
-  }
+  /** PURE narrowing: maps a filter to the [lo, hi) it implies, or
+    * None if it cannot be fully absorbed. Purity matters — a
+    * stateful fold would narrow the scan for the absorbable HALF of
+    * a declined And, leaving `pushedFilters()` misreporting what the
+    * scan did. The `n != Long.MaxValue` guards keep the exclusive
+    * bound's +1 from overflowing (a wrapped bound would silently
+    * prune everything while the filter, being "absorbed", is never
+    * re-evaluated above the scan).
+    */
+  private def narrow(f: Filter, b: (Long, Long)): Option[(Long, Long)] =
+    f match {
+      case GreaterThan("id", v) =>
+        asLong(v).collect { case n if n != Long.MaxValue =>
+          (math.max(b._1, n + 1), b._2) }
+      case GreaterThanOrEqual("id", v) =>
+        asLong(v).map(n => (math.max(b._1, n), b._2))
+      case LessThan("id", v) =>
+        asLong(v).map(n => (b._1, math.min(b._2, n)))
+      case LessThanOrEqual("id", v) =>
+        asLong(v).collect { case n if n != Long.MaxValue =>
+          (b._1, math.min(b._2, n + 1)) }
+      case EqualTo("id", v) =>
+        asLong(v).collect { case n if n != Long.MaxValue =>
+          (math.max(b._1, n), math.min(b._2, n + 1)) }
+      case And(l, r) => narrow(l, b).flatMap(narrow(r, _))
+      case _ => None
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, declined) = filters.partition(absorb)
+    val (accepted, declined) = filters.partition { f =>
+      narrow(f, (lo, hi)) match {
+        case Some((l, h)) => lo = l; hi = h; true
+        case None => false
+      }
+    }
     pushed = accepted
     declined
   }
@@ -159,14 +174,23 @@ class SyntheticReader(r: SyntheticRange, schema: StructType)
     extends PartitionReader[InternalRow] {
   private var cur = r.lo - 1
 
+  // column generators resolved ONCE — no per-row string matching in
+  // the scan hot loop (a fresh values array per row stays: rows may
+  // be buffered by reference on non-codegen paths)
+  private val gens: Array[Long => Any] = schema.fieldNames.map {
+    case "id" => (id: Long) => id
+    case "grp" => (id: Long) => (id % 20).toInt
+    case "val" => (id: Long) => SyntheticTable.valOf(id)
+  }
+
   override def next(): Boolean = { cur += 1; cur < r.hi }
 
-  override def get(): InternalRow = InternalRow.fromSeq(
-    schema.fieldNames.toSeq.map {
-      case "id" => cur
-      case "grp" => (cur % 20).toInt
-      case "val" => SyntheticTable.valOf(cur)
-    })
+  override def get(): InternalRow = {
+    val buf = new Array[Any](gens.length)
+    var i = 0
+    while (i < gens.length) { buf(i) = gens(i)(cur); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(buf)
+  }
 
   override def close(): Unit = ()
 }

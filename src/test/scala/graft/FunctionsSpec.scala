@@ -32,7 +32,10 @@ class FunctionsSpec extends SparkSpec {
   test("last-touch attribution credits only in-window clicks and buckets " +
       "the rest as unattributed") {
     import spark.implicits._
-    val base = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    // epoch-anchored, NOT Timestamp.valueOf: the asserted day strings
+    // are formatted in the session zone (UTC), so the planted instants
+    // must be UTC too regardless of the JVM default zone
+    val base = new java.sql.Timestamp(1705320000000L) // 2024-01-15T12:00:00Z
     def t(offSec: Long) = new java.sql.Timestamp(base.getTime + offSec * 1000)
     // u1: click 1d before → credited to its day; u2: click 8d before →
     // outside the 7-day window → unattributed; u3: no click at all →
