@@ -394,6 +394,8 @@ object SparkEntry {
     "q_file_metadata" ->
       ((s, d) => graft.sources.Formats.fileMetadataAudit(s, d)),
     "q_skew_report" -> ((s, d) => Stats.skewReport(s, d)),
+    // rows-gated: double gradient/Hessian sums are ulp-order-sensitive
+    "q_linear_probe" -> ((s, d) => Stats.linearProbe(s, d)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
     "q_jsonl_corrupt" ->

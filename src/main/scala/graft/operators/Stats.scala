@@ -188,6 +188,106 @@ object Stats {
           .as("skew_factor"))
   }
 
+  /** TRAIN a LINEAR PROBE (logistic regression head) over the
+    * embeddings table INSIDE the engine — the quality-classifier
+    * shape modern curation pipelines actually use (a linear head on
+    * frozen embeddings, fineweb-edu-style), fit by NEWTON/IRLS where
+    * each iteration is ONE fixed-size object aggregate
+    * ([[graft.functions.LogisticNewtonAgg]]): per-row gradient and
+    * upper-triangular Hessian terms partial-aggregate map-side, a
+    * single 2211-number row (d = 65 with bias) reaches the driver,
+    * and the d×d pivoted solve runs there — the GramAgg
+    * bounded-collect pattern, supervised. Task: label 0 vs label 1
+    * vectors (the corpus's planted binary pair).
+    *
+    * Scale shape: the feature frame is derived once and persisted;
+    * each of the `iters` Newton steps re-scans it with the new β in
+    * the aggregator's closure — at 100 TB you fit on a deterministic
+    * sample (`q_det_sample`) and score the corpus with the final β in
+    * ONE projection pass (the codegen'd dot_product below IS that
+    * pass). Rows-gated: double sums are ulp-order-sensitive, so the
+    * spec pins monotone loss decrease, accuracy ≥ a measured floor
+    * over the class prior, score range, and tolerance-determinism —
+    * the portable contract.
+    */
+  def linearProbe(spark: SparkSession, sfDir: String,
+      iters: Int = 8): DataFrame =
+    linearProbeModel(spark, sfDir, iters)._1
+
+  /** The fitted run: (scored frame, β, per-iteration losses) — the
+    * invariant specs read the training trace.
+    */
+  private[graft] def linearProbeModel(spark: SparkSession,
+      sfDir: String, iters: Int)
+      : (DataFrame, Array[Double], Seq[Double]) = {
+    import spark.implicits._
+    import graft.functions.CatalystExprs.dot_product
+    val feats = Tables.embeddings(spark, sfDir)
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"),
+        (col("label") === 0).cast("int").as("y"),
+        col("embedding").cast("array<double>").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = 65 // 64 dims + bias
+    var beta = Array.fill(d)(0.0)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it < iters) {
+      val buf = feats
+        .select(col("y").cast("double"), col("x"))
+        .as[(Double, Seq[Double])]
+        .select(graft.functions.LogisticNewtonAgg.agg(beta).toColumn)
+        .head() // bounded: ONE row with the (g, H) sufficient stats
+      losses += buf.loss
+      val h = Array.ofDim[Double](d, d)
+      var k = 0
+      for (j <- 0 until d; l <- j until d) {
+        h(j)(l) = buf.h(k); h(l)(j) = buf.h(k); k += 1
+      }
+      // ridge keeps the solve stable once the fit separates
+      for (j <- 0 until d) h(j)(j) += 1e-8
+      val delta = solve(h, buf.g)
+      beta = beta.zip(delta).map { case (b, dd) => b + dd }
+      it += 1
+    }
+    val scored = feats.select(col("vec_id"), col("y"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(beta(0)) +
+          dot_product(col("x"), typedLit(beta.drop(1).toSeq))))), 6)
+        .as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("int"))
+    (scored, beta, losses.toSeq)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — the d×d
+    * driver solve (d = 5; bounded, deterministic evaluation order).
+    */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double])
+      : Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone)
+    val b = b0.clone
+    for (c <- 0 until d) {
+      var piv = c
+      for (r2 <- c + 1 until d)
+        if (math.abs(a(r2)(c)) > math.abs(a(piv)(c))) piv = r2
+      val t = a(c); a(c) = a(piv); a(piv) = t
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      for (r2 <- c + 1 until d) {
+        val f = a(r2)(c) / a(c)(c)
+        for (c2 <- c until d) a(r2)(c2) -= f * a(c)(c2)
+        b(r2) -= f * b(c)
+      }
+    }
+    val x = Array.ofDim[Double](d)
+    for (c <- d - 1 to 0 by -1) {
+      var s = b(c)
+      for (c2 <- c + 1 until d) s -= a(c)(c2) * x(c2)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
   /** WELCH'S t-TEST between the mean `value` of two event types —
     * the unequal-variance two-sample test (the honest default when
     * group sizes and variances differ, as event metrics always do).

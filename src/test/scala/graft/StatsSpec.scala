@@ -74,6 +74,30 @@ class StatsSpec extends SparkSpec {
     assert(ev.filter(col("user_id") === r.getLong(3)).count() == maxN)
   }
 
+  test("linear probe: loss decreases monotonically, accuracy clears " +
+      "the class prior, scores are calibrated-range") {
+    val (scored0, _, losses) = Stats.linearProbeModel(spark, sf, 8)
+    val scored = scored0.cache()
+    // Newton on a convex loss: each iteration's NLL must not increase
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"loss rose: $losses")
+    }
+    val n = scored.count().toDouble
+    val acc = scored.filter(col("pred") === col("y")).count() / n
+    val prior = math.max(
+      scored.filter(col("y") === 1).count() / n,
+      scored.filter(col("y") === 0).count() / n)
+    // measured 1.00 at sf0.001; floor pinned well above the prior
+    assert(acc >= 0.95 && acc > prior, f"acc=$acc%.3f prior=$prior%.3f")
+    assert(scored.filter(col("score") < 0 || col("score") > 1).isEmpty)
+    // tolerance-determinism: a second fit lands within 1e-6 everywhere
+    val again = Stats.linearProbeModel(spark, sf, 8)._1
+    val joined = scored.as("a").join(again.as("b"), "vec_id")
+      .filter(abs(col("a.score") - col("b.score")) > 1e-6)
+    assert(joined.isEmpty, "refit diverged beyond tolerance")
+    scored.unpersist()
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
