@@ -393,6 +393,8 @@ object SparkEntry {
       ((s, d) => graft.sources.Formats.eventsFromXml(s, d)),
     "q_file_metadata" ->
       ((s, d) => graft.sources.Formats.fileMetadataAudit(s, d)),
+    "q_catalog_stats" ->
+      ((s, d) => graft.sources.Formats.catalogStatsRollup(s, d)),
     "q_skew_report" -> ((s, d) => Stats.skewReport(s, d)),
     // rows-gated: double gradient/Hessian sums are ulp-order-sensitive
     "q_linear_probe" -> ((s, d) => Stats.linearProbe(s, d)),
@@ -1106,6 +1108,12 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY event_type""".stripMargin,
+    // catalog-table rollup: the external-table round trip must equal
+    // the direct aggregate (ANALYZE only adds stats, never rows)
+    "q_catalog_stats" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     // _metadata audit: only layout-independent fields are gated (the
     // single-file layout makes the name and ranges data-truths)
     "q_file_metadata" ->

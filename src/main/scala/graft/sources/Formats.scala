@@ -107,6 +107,38 @@ object Formats {
         max(col("ts_s")).as("last_ts"))
   }
 
+  /** CATALOG + ANALYZE + CBO statistics — the surface that feeds
+    * Spark's cost-based optimizer: orders persists as an EXTERNAL
+    * catalog table (explicit temp-dir location — never a cwd-relative
+    * warehouse), `ANALYZE TABLE … COMPUTE STATISTICS` writes
+    * row-count/size stats into the catalog, and subsequent plans over
+    * `spark.table(...)` carry `rowCount` in `Statistics` — what CBO
+    * join reordering and broadcast decisions read at 100 TB, where a
+    * mis-sized build side is the difference between a broadcast and a
+    * 100-executor shuffle. The spec pins stats presence + exactness;
+    * the rollup itself stays oracle-gated.
+    */
+  def catalogStatsRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    // per-sfDir table name: one session serving two scale factors
+    // must not resolve the other's catalog entry
+    val tbl = "graft_orders_cat_" + java.security.MessageDigest
+      .getInstance("MD5").digest(sfDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = graft.TempDirs.create("graft_cat_orders").toString
+      graft.Tables.orders(spark, sfDir).write
+        .mode(SaveMode.Overwrite).option("path", loc).saveAsTable(tbl)
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    }
+    spark.table(tbl)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+  }
+
   /** Input-file audit via the `_metadata` hidden column — the file
     * provenance every ingest pipeline wants ("which file did this row
     * come from, how many rows per file") WITHOUT a filename UDF or a

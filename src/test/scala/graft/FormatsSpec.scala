@@ -114,6 +114,34 @@ class FormatsSpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("catalog stats: ANALYZE writes an exact rowCount into the " +
+      "catalog and the external-table rollup matches the source") {
+    import org.apache.spark.sql.functions._
+    val got = Formats.catalogStatsRollup(spark, sf)
+    val want = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the catalog entry carries the ANALYZE row count, and plans over
+    // the table surface it in Statistics (what CBO reads)
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_orders_cat_")).head
+    // rowCount surfaces in plan Statistics only under CBO — the
+    // consumer the ANALYZE stats exist for; scope and restore
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table(tbl).queryExecution.optimizedPlan.stats
+      assert(
+        stats.rowCount.contains(BigInt(Tables.orders(spark, sf).count())),
+        s"catalog stats missing/wrong: $stats")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("xml round-trip: the rollup equals the direct-parquet aggregate " +
       "(exact decimal, fixed-width timestamp strings)") {
     import org.apache.spark.sql.functions._
