@@ -117,6 +117,7 @@ object SparkEntry {
     "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
     "q_attribution" -> ((s, d) => AsOf.attributionLastTouch(s, d)),
     "q_variant_props" -> ((s, d) => Relational.variantProps(s, d)),
+    "q_hint_join" -> ((s, d) => Relational.hintJoin(s, d)),
     "q_observe_metrics" -> ((s, d) => Relational.observeMetrics(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapCi(s, d)),
     "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
@@ -405,6 +406,19 @@ object SparkEntry {
     // SQL-authored plans through the registered custom expressions —
     // proves the `spark.sql(...)` surface (GraftFunctions/GraftExtensions)
     // end-to-end under the same hash gate as the DataFrame API.
+    // Spark 4 SQL PIPE syntax (|> staged relational operators): the
+    // same Catalyst plan as the classic formulation — the oracle runs
+    // the classic SQL, proving the surfaces agree
+    "sql_pipe" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pipe")
+      s.sql("""FROM lineitem_pipe
+              ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              ||> AGGREGATE COUNT(*) AS n,
+              |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              |       AS sum_qty
+              |   GROUP BY l_returnflag, l_linestatus
+              ||> WHERE n > 100""".stripMargin)
+    }),
     "sql_vector_stats" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sqlv")
@@ -835,6 +849,14 @@ object SparkEntry {
         |  CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
         |  CAST(0 AS BIGINT) AS n_missing
         |FROM events GROUP BY event_type""".stripMargin,
+    // hinted shuffle-hash join: strategy-invariant result, so the
+    // plain join gates it
+    "q_hint_join" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     // observe() metrics ride the query's own scan; the oracle is the
     // plain one-row audit over the same table
     "q_observe_metrics" ->
@@ -2560,6 +2582,13 @@ object SparkEntry {
         |    AS BIGINT) AS pos
         |FROM documents""".stripMargin,
     "sql_vector_stats" -> vectorStatsSql,
+    // the pipe-authored plan must equal this classic formulation
+    "sql_pipe" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 HAVING count(*) > 100""".stripMargin,
     // DuckDB executes the window literally; the engine's plan runs the
     // rewritten bounded-heap operator — values must match exactly
     "sql_topk_rewrite" ->

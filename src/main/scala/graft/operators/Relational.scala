@@ -367,6 +367,24 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"),
         count(col("k")).as("n_with_k"))
 
+  /** JOIN-STRATEGY HINT surface: `hint("shuffle_hash")` forces a
+    * ShuffledHashJoin where the planner would otherwise BROADCAST the
+    * (tiny) nation side — proving user hints override the default
+    * strategy choice (plan-spec-asserted). The hint surface is the
+    * manual override for when statistics mislead the planner at
+    * 100 TB: a "small" side that is small per partition but hot, or a
+    * build side the CBO undersizes. The result is strategy-invariant,
+    * so the plain-join oracle gates it.
+    */
+  def hintJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir).hint("shuffle_hash")
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+  }
+
   /** VARIANT-typed semi-structured extraction (Spark 4's open-format
     * binary JSON): `parse_json` decodes the payload ONCE into the
     * variant encoding, then every path extraction (`try_variant_get`)

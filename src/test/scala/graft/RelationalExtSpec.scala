@@ -412,6 +412,26 @@ class RelationalExtSpec extends SparkSpec {
       s"planted variant extraction: $got")
   }
 
+  test("join hint overrides the broadcast default: shuffle_hash forces " +
+      "ShuffledHashJoin on a side the planner would broadcast") {
+    val hinted = Relational.hintJoin(spark, sf)
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // the unhinted twin DOES broadcast — the hint is what changed it
+    val plain = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_acctbal"))
+    assert(plain.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // strategy choice never changes the result
+    assert(hinted.exceptAll(plain).isEmpty && plain.exceptAll(hinted).isEmpty)
+  }
+
   test("observe metrics ride the query's own scan: values match direct " +
       "aggregates and the plan carries CollectMetrics over one scan") {
     val m = Relational.observeMetrics(spark, sf).head
