@@ -118,6 +118,7 @@ object SparkEntry {
     "q_attribution" -> ((s, d) => AsOf.attributionLastTouch(s, d)),
     "q_variant_props" -> ((s, d) => Relational.variantProps(s, d)),
     "q_hint_join" -> ((s, d) => Relational.hintJoin(s, d)),
+    "q_session_window" -> ((s, d) => Relational.sessionWindowBuiltin(s, d)),
     "q_observe_metrics" -> ((s, d) => Relational.observeMetrics(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapCi(s, d)),
     "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
@@ -849,6 +850,27 @@ object SparkEntry {
         |  CAST(max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
         |  CAST(0 AS BIGINT) AS n_missing
         |FROM events GROUP BY event_type""".stripMargin,
+    // built-in session_window: the window end is INCLUSIVE for the
+    // merge test (measured and spec-pinned: an exactly-30-min pair
+    // MERGES), so the replay uses strict > like q_sessionize
+    "q_session_window" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER u IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER u) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM w)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // hinted shuffle-hash join: strategy-invariant result, so the
     // plain join gates it
     "q_hint_join" ->

@@ -194,6 +194,28 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** Sessionization via Spark's BUILT-IN `session_window` aggregate —
+    * the engine-native path next to the manual lag/sum-of-flags chain
+    * ([[sessionize]]): one grouped aggregation whose merging-session
+    * state is maintained by the operator itself (no ordered window
+    * functions, so no per-user sort dependency in the logical plan;
+    * the same aggregate powers streaming session windows with
+    * watermark eviction). Boundary semantics MEASURED and pinned: the
+    * merge test treats the window end as inclusive, so a pair exactly
+    * 1800 s apart MERGES — the same strict-> split rule as the manual
+    * chain, and what the oracle replays.
+    */
+  def sessionWindowBuiltin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(col("user_id"),
+        date_format(col("s"), TsFmt).as("session_start"),
+        date_format(col("e"), TsFmt).as("session_end"),
+        col("n_events"))
+
   /** Running aggregates per supplier over ship time: cumulative
     * quantity and 3-row moving average — the ordered-window shape.
     */

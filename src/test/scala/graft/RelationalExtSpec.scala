@@ -412,6 +412,31 @@ class RelationalExtSpec extends SparkSpec {
       s"planted variant extraction: $got")
   }
 
+  test("built-in session_window agrees with the manual chain and " +
+      "MERGES an exactly-gap pair (end-inclusive boundary)") {
+    val builtin = Relational.sessionWindowBuiltin(spark, sf).cache()
+    val manual = Relational.sessionize(spark, sf).cache()
+    // totals conserved in both formulations
+    val nEvents = Tables.events(spark, sf).count()
+    assert(builtin.agg(sum("n_events")).head.getLong(0) == nEvents)
+    assert(manual.agg(sum("n_events")).head.getLong(0) == nEvents)
+    // same split rule -> identical session sets
+    assert(builtin.exceptAll(manual.drop("session_id")
+      .select("user_id", "session_start", "session_end", "n_events")).isEmpty)
+    // planted boundary: two events exactly 30 min apart MERGE
+    import spark.implicits._
+    val base = 1705320000000L
+    val planted = Seq(
+      (1L, new java.sql.Timestamp(base)),
+      (2L, new java.sql.Timestamp(base + 1800L * 1000)))
+      .toDF("event_id", "ts").withColumn("user_id", lit(9L))
+    val got = planted
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    assert(got == 1, s"exact-gap pair did not merge: $got session(s)")
+    builtin.unpersist(); manual.unpersist()
+  }
+
   test("join hint overrides the broadcast default: shuffle_hash forces " +
       "ShuffledHashJoin on a side the planner would broadcast") {
     val hinted = Relational.hintJoin(spark, sf)
