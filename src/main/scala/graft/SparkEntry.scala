@@ -377,6 +377,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.momentsFromFiles(s, d)),
     "stream_tws" ->
       ((s, d) => graft.streaming.EventStreams.twsPowerAlertsFromFiles(s, d)),
+    "stream_observe" ->
+      ((s, d) => graft.streaming.EventStreams.observeStreamFromFiles(s, d)),
     "stream_near_dup" ->
       ((s, d) => graft.streaming.EventStreams.nearDupFromFiles(s, d)),
     "stream_curate" ->
@@ -1032,6 +1034,13 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_samp,
         |  CAST(mn AS DOUBLE) AS vmin, CAST(mx AS DOUBLE) AS vmax
         |FROM m""".stripMargin,
+    // streaming observe(): per-batch counters are additive, so their
+    // sum across the feed equals the one-shot batch audit
+    "stream_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events""".stripMargin,
     // transformWithState power-of-two alerts: every 2^k <= the user's
     // total count, integer shifts on both engines
     "stream_tws" ->

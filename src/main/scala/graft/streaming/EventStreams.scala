@@ -800,6 +800,55 @@ object EventStreams {
     }
   }
 
+  /** `Dataset.observe` on a STREAMING query — the per-batch
+    * observability surface: exact input counters ride each
+    * micro-batch's own pass (CollectMetrics under the streaming
+    * plan), surfacing in every `StreamingQueryProgress.observedMetrics`
+    * with zero extra scans. The counters are ADDITIVE, so summing
+    * them across the two forced batches must reproduce the batch
+    * aggregate exactly — which is what the oracle gates. At 100 TB
+    * this is how a streaming ingest reports per-trigger data health
+    * without a second read of the trigger's files.
+    */
+  def observeStreamFromFiles(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val dir = graft.TempDirs.create("graft_stream_obs_src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // metrics must span >1 batch
+      .parquet(dir.toString)
+      .observe("graft_stream_obs",
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_value"),
+        count(when(col("event_type") === "purchase", lit(1)))
+          .as("n_purchase"))
+    val agg = stream.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val name = nextSinkName("graft_stream_obs")
+    val (nRows, sumV, nPurch) = withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // per-batch observed metrics are additive across the feed
+      q.recentProgress.flatMap(p =>
+          Option(p.observedMetrics.get("graft_stream_obs")))
+        .foldLeft((0L, BigDecimal(0), 0L)) { (acc, row) =>
+          (acc._1 + row.getLong(0),
+            acc._2 + (row.get(1) match {
+              case null => BigDecimal(0)
+              case d: java.math.BigDecimal => BigDecimal(d)
+              case d: BigDecimal => d
+            }),
+            acc._3 + row.getLong(2))
+        }
+    }
+    import spark.implicits._
+    Seq((nRows, sumV.toDouble, nPurch))
+      .toDF("n_rows", "sum_value", "n_purchase")
+  }
+
   case class TwsAlert(user_id: Long, threshold: Long)
 
   /** Spark 4 `transformWithState` (the StatefulProcessor arbitrary-

@@ -402,6 +402,18 @@ class StreamingSpec extends SparkSpec {
       "stream and batch curation outputs diverge")
   }
 
+  test("streaming observe: per-batch metrics sum to the batch audit " +
+      "across the forced two-batch feed") {
+    val m = EventStreams.observeStreamFromFiles(spark, sf).head
+    val ev = Tables.events(spark, sf)
+    assert(m.getLong(0) == ev.count())
+    assert(m.getLong(2) ==
+      ev.filter(col("event_type") === "purchase").count())
+    val want = ev.agg(
+      sum(col("value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+    assert(math.abs(m.getDouble(1) - want) < 1e-9)
+  }
+
   test("transformWithState power alerts: emitted set equals every " +
       "2^k <= each user's total, across the forced batch split") {
     val prevProvider = spark.conf.getOption(
