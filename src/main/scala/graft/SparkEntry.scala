@@ -402,6 +402,7 @@ object SparkEntry {
     "q_skew_report" -> ((s, d) => Stats.skewReport(s, d)),
     // rows-gated: double gradient/Hessian sums are ulp-order-sensitive
     "q_linear_probe" -> ((s, d) => Stats.linearProbe(s, d)),
+    "q_probe_mislabel" -> ((s, d) => Stats.probeMislabel(s, d)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
     "q_jsonl_corrupt" ->

@@ -156,6 +156,57 @@ object Stats {
         element_at(col("ms"), reps - 1).as("ci_hi"))
   }
 
+  /** LABEL-ERROR MINING with the trained probe (confident-learning-
+    * lite): rank examples by |probe score − label| — a confidently
+    * contradicted label is the classic annotation-error signal, and
+    * reviewing the top of this list is how real training sets get
+    * cleaned.
+    *
+    * The scores are CROSS-FITTED (each fold scored by a model trained
+    * on the OTHER folds, md5 fold assignment) — the confident-learning
+    * requirement, not a refinement: at d = 65 > n_fold the in-sample
+    * fit INTERPOLATES a flipped label and scores it as correct (we
+    * measured exactly that — the planted flip ranked 375th in-sample,
+    * 1st cross-fitted). Ranking is a bounded global top-k
+    * ([[graft.plans.TopKPerKey]] on a constant key — k rows per
+    * partition into the final merge, never a global sort).
+    * Rows-gated; the planted-flip spec pins rank 1.
+    */
+  def probeMislabel(spark: SparkSession, sfDir: String,
+      k: Int = 20, folds: Int = 3): DataFrame =
+    probeMislabelCross(
+      Tables.embeddings(spark, sfDir)
+        .filter(col("label").isin(0, 1))
+        .select(col("vec_id"),
+          (col("label") === 0).cast("int").as("y"),
+          col("embedding").cast("array<double>").as("x")),
+      k, folds)
+
+  /** Cross-fitted mining over any (vec_id, y, x) frame. */
+  private[graft] def probeMislabelCross(features: DataFrame, k: Int,
+      folds: Int): DataFrame = {
+    val feats = features.withColumn("fold",
+      (md5Mod("fold", col("vec_id")) % folds).cast("int"))
+    val scored = (0 until folds).map { f =>
+        val beta = fitBeta(feats.filter(col("fold") =!= f).drop("fold"),
+          8, ridge = 1.0)._1
+        scoreWith(feats.filter(col("fold") === f).drop("fold"), beta)
+      }
+      .reduce(_ unionAll _)
+    probeMislabelOver(scored, k)
+  }
+
+  /** Ranking stage over any (vec_id, y, score) scored frame. */
+  private[graft] def probeMislabelOver(scored: DataFrame, k: Int)
+      : DataFrame =
+    graft.plans.TopKPerKey(
+        scored.select(col("vec_id"), col("y"), col("score"),
+          round(abs(col("score") - col("y").cast("double")), 6)
+            .as("margin"), lit(1).as("g")),
+        Seq("g"), Seq(("margin", true), ("vec_id", false)), k)
+      .select(col("vec_id"), col("y"), col("score"), col("margin"),
+        col("rnk"))
+
   /** KEY-SKEW REPORT over events.user_id — the diagnosis that decides
     * whether a join/agg needs salting (`q_salted_agg`/`q_skew_join`
     * are the cures; this is the measurement): per-key counts in one
@@ -219,44 +270,76 @@ object Stats {
     */
   private[graft] def linearProbeModel(spark: SparkSession,
       sfDir: String, iters: Int)
+      : (DataFrame, Array[Double], Seq[Double]) =
+    linearProbeModelOver(
+      Tables.embeddings(spark, sfDir)
+        .filter(col("label").isin(0, 1))
+        .select(col("vec_id"),
+          (col("label") === 0).cast("int").as("y"),
+          col("embedding").cast("array<double>").as("x")),
+      iters)
+
+  /** Same fit over any (vec_id, y, x: array<double>) frame — the
+    * planted-flip mislabel spec trains on corrupted labels.
+    */
+  private[graft] def linearProbeModelOver(features: DataFrame, iters: Int)
       : (DataFrame, Array[Double], Seq[Double]) = {
+    val (beta, losses) = fitBeta(features, iters)
+    (scoreWith(features, beta), beta, losses)
+  }
+
+  /** The Newton loop alone: persists the feature frame for its
+    * `iters` scans and unpersists before returning (β, losses).
+    */
+  private[graft] def fitBeta(features: DataFrame, iters: Int,
+      ridge: Double = 1e-8): (Array[Double], Seq[Double]) = {
+    val spark = features.sparkSession
     import spark.implicits._
-    import graft.functions.CatalystExprs.dot_product
-    val feats = Tables.embeddings(spark, sfDir)
-      .filter(col("label").isin(0, 1))
-      .select(col("vec_id"),
-        (col("label") === 0).cast("int").as("y"),
-        col("embedding").cast("array<double>").as("x"))
+    val feats = features
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d = 65 // 64 dims + bias
-    var beta = Array.fill(d)(0.0)
-    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var it = 0
-    while (it < iters) {
-      val buf = feats
-        .select(col("y").cast("double"), col("x"))
-        .as[(Double, Seq[Double])]
-        .select(graft.functions.LogisticNewtonAgg.agg(beta).toColumn)
-        .head() // bounded: ONE row with the (g, H) sufficient stats
-      losses += buf.loss
-      val h = Array.ofDim[Double](d, d)
-      var k = 0
-      for (j <- 0 until d; l <- j until d) {
-        h(j)(l) = buf.h(k); h(l)(j) = buf.h(k); k += 1
+    try {
+      val d = 65 // 64 dims + bias
+      var beta = Array.fill(d)(0.0)
+      val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var it = 0
+      while (it < iters) {
+        val buf = feats
+          .select(col("y").cast("double"), col("x"))
+          .as[(Double, Seq[Double])]
+          .select(graft.functions.LogisticNewtonAgg.agg(beta).toColumn)
+          .head() // bounded: ONE row with the (g, H) sufficient stats
+        losses += buf.loss
+        val h = Array.ofDim[Double](d, d)
+        var k = 0
+        for (j <- 0 until d; l <- j until d) {
+          h(j)(l) = buf.h(k); h(l)(j) = buf.h(k); k += 1
+        }
+        // ridge: 1e-8 default only stabilizes the solve; the
+        // cross-fit path passes a REAL lambda so held-out scores
+        // generalize at n_fold ~ d (penalty skips the bias)
+        val g = buf.g.clone
+        for (j <- 1 until d) { h(j)(j) += ridge; g(j) -= ridge * beta(j) }
+        h(0)(0) += 1e-8
+        val delta = solve(h, g)
+        beta = beta.zip(delta).map { case (b, dd) => b + dd }
+        it += 1
       }
-      // ridge keeps the solve stable once the fit separates
-      for (j <- 0 until d) h(j)(j) += 1e-8
-      val delta = solve(h, buf.g)
-      beta = beta.zip(delta).map { case (b, dd) => b + dd }
-      it += 1
-    }
-    val scored = feats.select(col("vec_id"), col("y"),
+      (beta, losses.toSeq)
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score any (vec_id, y, x) frame with a fitted β — ONE codegen'd
+    * dot_product projection pass.
+    */
+  private[graft] def scoreWith(features: DataFrame, beta: Array[Double])
+      : DataFrame = {
+    import graft.functions.CatalystExprs.dot_product
+    features.select(col("vec_id"), col("y"),
       round(lit(1.0) / (lit(1.0) +
         exp(-(lit(beta(0)) +
           dot_product(col("x"), typedLit(beta.drop(1).toSeq))))), 6)
         .as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("int"))
-    (scored, beta, losses.toSeq)
   }
 
   /** In-place Gaussian elimination with partial pivoting — the d×d

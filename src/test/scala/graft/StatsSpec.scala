@@ -98,6 +98,38 @@ class StatsSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("probe mislabel mining: a planted flipped label ranks first") {
+    // corrupt ONE label in the probe's training frame; the fit still
+    // separates the rest, so the flipped point is the one confidently
+    // contradicted example
+    val feats = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"),
+        (col("label") === 0).cast("int").as("y"),
+        col("embedding").cast("array<double>").as("x"))
+    // flip the MOST confidently classified point (min cross-fitted
+    // margin on clean labels): flipping a boundary point would be
+    // legitimately undetectable, which tests the corpus, not the miner
+    val n = feats.count().toInt
+    val clean = Stats.probeMislabelCross(feats, n, 3)
+    val flipId = clean.orderBy(col("rnk").desc).head.getLong(0)
+    val corrupted = feats.withColumn("y",
+      when(col("vec_id") === flipId, lit(1) - col("y")).otherwise(col("y")))
+    // CROSS-FITTED scores: the in-sample fit interpolates the flip
+    // (d = 65 > n_fold) and would hide it — measured rank 375 vs 1
+    val top = Stats.probeMislabelCross(corrupted, 5, 3)
+      .orderBy("rnk").collect()
+    assert(top.head.getLong(0) == flipId,
+      s"flipped $flipId not first: ${top.map(_.getLong(0)).mkString(",")}")
+    assert(top.head.getDouble(3) > 0.5, "flip not confidently contradicted")
+    // real corpus: exactly k ranked rows, margins non-increasing
+    val real = Stats.probeMislabel(spark, sf).orderBy("rnk").collect()
+    assert(real.length == 20)
+    assert(real.sliding(2).forall {
+      case Array(a, b) => a.getDouble(3) >= b.getDouble(3)
+    })
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
