@@ -855,25 +855,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     // built-in session_window: the window end is INCLUSIVE for the
     // merge test (measured and spec-pinned: an exactly-30-min pair
-    // MERGES), so the replay uses strict > like q_sessionize
+    // MERGES) — the same strict-> split rule as q_sessionize, so the
+    // oracle IS sessionizeSql minus the session_id column
     "q_session_window" ->
-      """WITH w AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER u IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER u) > 1800000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM w)
-        |SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+      ("SELECT user_id, session_start, session_end, n_events FROM (" +
+        sessionizeSql + ")"),
     // hinted shuffle-hash join: strategy-invariant result, so the
     // plain join gates it
     "q_hint_join" ->

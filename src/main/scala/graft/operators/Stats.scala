@@ -182,11 +182,17 @@ object Stats {
           col("embedding").cast("array<double>").as("x")),
       k, folds)
 
-  /** Cross-fitted mining over any (vec_id, y, x) frame. */
+  /** Cross-fitted mining over any (vec_id, y, x) frame. The
+    * fold-tagged frame persists for the whole cross-fit (like the
+    * `vecs()` corpus cache): every fold's fit AND the final scoring
+    * union read it, so without the cache the source would re-scan
+    * ~2x per fold.
+    */
   private[graft] def probeMislabelCross(features: DataFrame, k: Int,
       folds: Int): DataFrame = {
     val feats = features.withColumn("fold",
       (md5Mod("fold", col("vec_id")) % folds).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = (0 until folds).map { f =>
         val beta = fitBeta(feats.filter(col("fold") =!= f).drop("fold"),
           8, ridge = 1.0)._1
@@ -298,7 +304,9 @@ object Stats {
     val feats = features
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val d = 65 // 64 dims + bias
+      // d derived from the data (dim + bias): the API really does
+      // accept any (vec_id, y, x) frame, not just 64-dim embeddings
+      val d = feats.select(size(col("x"))).head().getInt(0) + 1
       var beta = Array.fill(d)(0.0)
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
       var it = 0
@@ -343,7 +351,8 @@ object Stats {
   }
 
   /** In-place Gaussian elimination with partial pivoting — the d×d
-    * driver solve (d = 5; bounded, deterministic evaluation order).
+    * driver solve (d = 65 for the probe: ~d³/3 ≈ 9e4 flops, bounded,
+    * deterministic evaluation order).
     */
   private def solve(a0: Array[Array[Double]], b0: Array[Double])
       : Array[Double] = {

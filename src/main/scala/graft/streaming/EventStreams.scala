@@ -831,15 +831,17 @@ object EventStreams {
       val q = agg.writeStream
         .format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
+      // the sink rows are never read — drop the view NOW so the
+      // success path honors the no-pinned-sink invariant too
+      spark.catalog.dropTempView(name)
       // per-batch observed metrics are additive across the feed
       q.recentProgress.flatMap(p =>
           Option(p.observedMetrics.get("graft_stream_obs")))
         .foldLeft((0L, BigDecimal(0), 0L)) { (acc, row) =>
           (acc._1 + row.getLong(0),
             acc._2 + (row.get(1) match {
-              case null => BigDecimal(0)
+              case null => BigDecimal(0) // an empty batch sums to null
               case d: java.math.BigDecimal => BigDecimal(d)
-              case d: BigDecimal => d
             }),
             acc._3 + row.getLong(2))
         }

@@ -125,8 +125,11 @@ class FormatsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // the catalog entry carries the ANALYZE row count, and plans over
     // the table surface it in Statistics (what CBO reads)
-    val tbl = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_orders_cat_")).head
+    // recompute the per-sfDir name (not listTables().head): a second
+    // scale factor's table in the shared session must not be picked up
+    val tbl = "graft_orders_cat_" + java.security.MessageDigest
+      .getInstance("MD5").digest(sf.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
     // rowCount surfaces in plan Statistics only under CBO — the
     // consumer the ANALYZE stats exist for; scope and restore
     val prev = spark.conf.getOption("spark.sql.cbo.enabled")
