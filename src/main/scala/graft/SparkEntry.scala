@@ -481,6 +481,52 @@ object SparkEntry {
               |    AS n_shingles
               |FROM documents_sqlv""".stripMargin)
     }),
+    // LATERAL correlated subquery (SPARK-34382): top-3 customers per
+    // nation by balance. Catalyst decorrelates the per-row LIMIT into
+    // a single join + rank — no per-nation re-scan of customer, so the
+    // surface is scale-safe even though the SQL reads as a loop.
+    "sql_lateral" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql("""SELECT n.n_name, c.c_name, c.c_acctbal
+              |FROM nation_lat n
+              |JOIN LATERAL (
+              |  SELECT c_name, c_acctbal FROM customer_lat
+              |  WHERE c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_name LIMIT 3) c""".stripMargin)
+    }),
+    // WITH RECURSIVE (Spark 4 UnionLoop): transitive closure over the
+    // implicit supplier forest parent(k) = k DIV 10. Depth is
+    // O(log10 N) so the loop runs ~4 iterations even at 100 TB key
+    // ranges — each iteration is one shuffle-join of the frontier
+    // against supplier, never a growing re-scan.
+    "sql_recursive" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_rec")
+      s.sql("""WITH RECURSIVE chain AS (
+              |  SELECT s_suppkey, s_suppkey AS root, CAST(0 AS BIGINT) AS depth
+              |  FROM supplier_rec WHERE s_suppkey < 10
+              |  UNION ALL
+              |  SELECT s.s_suppkey, c.root, c.depth + CAST(1 AS BIGINT)
+              |  FROM supplier_rec s JOIN chain c ON s.s_suppkey DIV 10 = c.s_suppkey
+              |  WHERE s.s_suppkey >= 10)
+              |SELECT root, depth, count(*) AS n
+              |FROM chain GROUP BY root, depth""".stripMargin)
+    }),
+    // Parameterized SQL (spark.sql(text, args)): named-marker binding
+    // is the injection-safe surface a query service would expose. The
+    // bound markers plan exactly like literals (constant-folded,
+    // pushed into the scan), which the oracle's literal SQL proves.
+    "sql_param" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_param")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_param
+          |WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+          |  AND o_orderstatus = :status
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("cutoff" -> "1996-06-01 00:00:00", "status" -> "O"))
+    }),
   )
 
   /** Regex valid with identical semantics in Java regex (Spark rlike)
@@ -2622,6 +2668,34 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
         |      FROM documents)""".stripMargin,
+    // DuckDB runs the same LATERAL literally (nested-loop); the engine
+    // decorrelates it — values must agree exactly
+    "sql_lateral" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 3) c""".stripMargin,
+    // // is DuckDB's integer floor-div, matching Spark's DIV on the
+    // positive key domain
+    "sql_recursive" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT s_suppkey, s_suppkey AS root, CAST(0 AS BIGINT) AS depth
+        |  FROM supplier WHERE s_suppkey < 10
+        |  UNION ALL
+        |  SELECT s.s_suppkey, c.root, c.depth + CAST(1 AS BIGINT)
+        |  FROM supplier s JOIN chain c ON s.s_suppkey // 10 = c.s_suppkey
+        |  WHERE s.s_suppkey >= 10)
+        |SELECT root, depth, count(*) AS n
+        |FROM chain GROUP BY root, depth""".stripMargin,
+    // the named markers bound in-engine, inlined as literals here
+    "sql_param" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |  AND o_orderstatus = 'O'
+        |GROUP BY o_orderpriority""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -475,4 +475,59 @@ class RelationalExtSpec extends SparkSpec {
     assert(plan.toString.contains("CollectMetrics"), plan.toString)
     assert(plan.collectLeaves().size == 1)
   }
+
+  test("lateral top-3 decorrelates: one bounded-rank join, no per-row " +
+      "nested loop, and every nation emits at most 3 customers") {
+    val df = SparkEntry.queries("sql_lateral")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst must rewrite the correlated LIMIT into a rank + single
+    // join; a BroadcastNestedLoopJoin would re-scan customer per nation
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val perNation = df.groupBy("n_name").count().collect()
+    assert(perNation.nonEmpty && perNation.forall(_.getLong(1) <= 3))
+  }
+
+  test("recursive CTE closure: depth equals digit-depth of the key and " +
+      "every supplier is reached exactly once") {
+    Tables.supplier(spark, sf).createOrReplaceTempView("supplier_rec")
+    val chain = spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT s_suppkey, s_suppkey AS root, CAST(0 AS BIGINT) AS depth
+        |  FROM supplier_rec WHERE s_suppkey < 10
+        |  UNION ALL
+        |  SELECT s.s_suppkey, c.root, c.depth + CAST(1 AS BIGINT)
+        |  FROM supplier_rec s JOIN chain c ON s.s_suppkey DIV 10 = c.s_suppkey
+        |  WHERE s.s_suppkey >= 10)
+        |SELECT s_suppkey, root, depth FROM chain""".stripMargin).collect()
+    val total = Tables.supplier(spark, sf).count()
+    assert(chain.length == total, s"${chain.length} != $total")
+    assert(chain.map(_.getLong(0)).distinct.length == total)
+    chain.foreach { r =>
+      val (k, root, depth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(depth == k.toString.length - 1, s"key $k depth $depth")
+      // root is the leading digit of the key
+      assert(root == k.toString.head.asDigit, s"key $k root $root")
+    }
+  }
+
+  test("parameterized sql binds named markers like literals: result " +
+      "equals the literal twin and the filter reaches the scan") {
+    val bound = SparkEntry.queries("sql_param")(spark, sf)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders_param_lit")
+    val literal = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_param_lit
+        |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |  AND o_orderstatus = 'O'
+        |GROUP BY o_orderpriority""".stripMargin)
+    assert(bound.exceptAll(literal).isEmpty &&
+      literal.exceptAll(bound).isEmpty)
+    // the bound markers constant-fold into pushed parquet filters
+    val scan = bound.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "IsNotNull(o_orderstatus)") || scan.contains("GreaterThanOrEqual(o_orderdate"),
+      scan)
+  }
 }
