@@ -99,6 +99,8 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Relational.scd2Intervals(s, d)),
     "q_scd2_lookup" -> ((s, d) => Relational.scd2Lookup(s, d)),
     "q_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d)),
+    "q_expectations" -> ((s, d) => Quality.expectations(s, d)),
+    "q_snapshot_diff" -> ((s, d) => Quality.snapshotDiff(s, d)),
     "q_anomaly_mad" -> ((s, d) => Relational.anomalyMad(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
@@ -345,6 +347,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_c4_filters" -> ((s, d) => TextAnalysis.c4Filters(s, d)),
@@ -1503,6 +1506,61 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 100000000, 'N', o_totalprice
         |FROM orders WHERE o_orderkey % 17 = 7""".stripMargin,
+    // each constraint is the same conditional-count aggregate; metric
+    // values are exact-integer ratios so the double divide agrees
+    "q_expectations" ->
+      """WITH rep AS (
+        |  SELECT 'complete_text' AS check_name, 'documents' AS tbl,
+        |    CAST(count(*) FILTER (text IS NOT NULL AND text <> '') AS DOUBLE)
+        |      / count(*) AS metric, 1.0 AS threshold FROM documents
+        |  UNION ALL
+        |  SELECT 'unique_o_orderkey', 'orders',
+        |    CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 1.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'accepted_o_orderstatus', 'orders',
+        |    CAST(count(*) FILTER (o_orderstatus IN ('O','F','P')) AS DOUBLE)
+        |      / count(*), 1.0 FROM orders
+        |  UNION ALL
+        |  SELECT 'range_l_discount', 'lineitem',
+        |    CAST(count(*) FILTER (l_discount >= 0.0 AND l_discount <= 0.1)
+        |      AS DOUBLE) / count(*), 1.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'max_l_quantity_le_30', 'lineitem',
+        |    CAST(count(*) FILTER (l_quantity <= 30.0) AS DOUBLE) / count(*),
+        |    1.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nonnull_value', 'events',
+        |    CAST(count(*) FILTER (value IS NOT NULL) AS DOUBLE) / count(*),
+        |    1.0 FROM events
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', 'lineitem',
+        |    1.0 - CAST((SELECT count(*) FROM lineitem l
+        |                WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                                  WHERE o.o_orderkey = l.l_orderkey))
+        |      AS DOUBLE) / (SELECT count(*) FROM lineitem), 1.0)
+        |SELECT check_name, tbl, metric, threshold,
+        |  metric >= threshold AS pass FROM rep""".stripMargin,
+    // v1/v2 derived from the same modular rules; decimal bump keeps
+    // the changed-row comparison exact on both engines
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k1, CAST(o_totalprice AS DECIMAL(18,2)) AS p1
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey AS k2,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(4,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p2
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(k1, k2) AS o_orderkey,
+        |  CASE WHEN k1 IS NULL THEN 'added'
+        |       WHEN k2 IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CAST(p1 AS DOUBLE) AS old_price,
+        |  CAST(p2 AS DOUBLE) AS new_price
+        |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+        |WHERE k1 IS NULL OR k2 IS NULL OR p1 <> p2""".stripMargin,
     // same intervals (tiling makes the match unique)
     "q_scd2_lookup" ->
       s"""WITH $scd2Ctes,
@@ -2931,6 +2989,23 @@ object SparkEntry {
         |    / CAST(nullif(len(w), 0) AS DOUBLE) AS mean_word_len
         |FROM (SELECT doc_id, text,
         |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |      FROM documents)""".stripMargin,
+    // the same three regex counts and the same double-op chain; both
+    // divisors floored at 1 on both engines
+    "text_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    4) AS flesch
+        |FROM (SELECT doc_id,
+        |        greatest(CAST(len(list_filter(
+        |          regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> ''))
+        |          AS BIGINT), 1) AS n_words,
+        |        greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |          AS BIGINT), 1) AS n_sentences,
+        |        CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |          AS BIGINT) AS n_syllables
         |      FROM documents)""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, s_en, s_de, s_es, s_fr,

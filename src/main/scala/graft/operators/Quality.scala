@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality operators: a declarative constraint report
+  * (Deequ-style expectations) and a snapshot diff (CDC derive).
+  *
+  * Reference scope: the reference engine's pipelines assume their
+  * inputs are well-formed text files (MapReduce_MIT
+  * src/main/wc.go:22 tokenizes raw file contents unchecked); a 100 TB corpus
+  * cannot — ingestion needs machine-checkable contracts and change
+  * capture between ingest snapshots. Both operators are pure
+  * aggregate/join compositions so Catalyst keeps them scan-local.
+  */
+object Quality {
+
+  private def frac(pred: Column): Column =
+    (sum(when(pred, 1L).otherwise(0L)).cast("double") /
+      count(lit(1)).cast("double"))
+
+  /** Constraint report over the star schema: one row per declared
+    * expectation with its measured metric, threshold, and verdict.
+    *
+    * Scale design: every scan-local constraint on a table folds into
+    * ONE aggregate over ONE scan of that table (conditional
+    * aggregation — adding a constraint adds a column, not a pass).
+    * The only multi-table check, referential integrity, is a single
+    * left-anti join on the key; AQE sizes it at runtime. The result
+    * is O(#constraints) rows regardless of corpus size, so the report
+    * itself never becomes data.
+    */
+  def expectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+
+    def report(name: String, tbl: String, metric: Column,
+               threshold: Double): Column =
+      struct(lit(name).as("check_name"), lit(tbl).as("tbl"),
+        metric.as("metric"), lit(threshold).as("threshold"))
+
+    // one aggregate = one scan per table, all its constraints inside
+    val docRep = docs.agg(array(
+      report("complete_text", "documents",
+        frac(col("text").isNotNull && col("text") =!= ""), 1.0)).as("r"))
+    val ordRep = orders.agg(array(
+      report("unique_o_orderkey", "orders",
+        countDistinct(col("o_orderkey")).cast("double") /
+          count(lit(1)).cast("double"), 1.0),
+      report("accepted_o_orderstatus", "orders",
+        frac(col("o_orderstatus").isin("O", "F", "P")), 1.0)).as("r"))
+    val liRep = li.agg(array(
+      report("range_l_discount", "lineitem",
+        frac(col("l_discount") >= 0.0 && col("l_discount") <= 0.1), 1.0),
+      report("max_l_quantity_le_30", "lineitem",
+        frac(col("l_quantity") <= 30.0), 1.0)).as("r"))
+    val evRep = events.agg(array(
+      report("nonnull_value", "events",
+        frac(col("value").isNotNull), 1.0)).as("r"))
+    // referential integrity: orphan fraction via ONE anti join
+    val orphans = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    val liTotal = li.agg(count(lit(1)).as("n_li"))
+    val fkRep = orphans.crossJoin(liTotal).select(array(
+      report("fk_lineitem_orders", "lineitem",
+        lit(1.0) - col("n_orphan").cast("double") /
+          col("n_li").cast("double"), 1.0)).as("r"))
+
+    Seq(docRep, ordRep, liRep, evRep, fkRep)
+      .reduce(_.unionAll(_))
+      .select(explode(col("r")).as("c"))
+      .select(col("c.check_name"), col("c.tbl"),
+        col("c.metric"), col("c.threshold"),
+        (col("c.metric") >= col("c.threshold")).as("pass"))
+  }
+
+  /** Snapshot diff (CDC derive): given two versions of the orders
+    * table, emit the change set — added / removed / changed rows —
+    * as one full-outer join on the key. The complement of
+    * q_merge_upsert (which APPLIES a change set): together they close
+    * the capture→apply CDC loop.
+    *
+    * Versions are derived deterministically from the base table so
+    * both engines construct identical inputs: v1 drops keys ≡0 mod 5,
+    * v2 drops keys ≡0 mod 7 and bumps the price of keys ≡0 mod 3 by
+    * 10.00 (decimal — exact on both engines).
+    *
+    * Scale design: ONE shuffle on the join key; unchanged rows are
+    * filtered out post-join so output is proportional to the drift,
+    * not the table. At 100 TB both sides would be bucketed on the key
+    * (q_bucketed_join's layout) making the diff exchange-free.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    def money(c: Column): Column = c.cast("decimal(18,2)")
+    val v1 = base.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k1"),
+        money(col("o_totalprice")).as("p1"))
+    val v2 = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 3 === 0,
+          money(col("o_totalprice")) + lit(BigDecimal("10.00")))
+          .otherwise(money(col("o_totalprice"))).as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .filter(col("k1").isNull || col("k2").isNull || col("p1") =!= col("p2"))
+      .select(
+        coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .otherwise("changed").as("change"),
+        col("p1").cast("double").as("old_price"),
+        col("p2").cast("double").as("new_price"))
+  }
+}

@@ -69,6 +69,39 @@ object TextAnalysis {
           size(col("w"))).as("mean_word_len"))
   }
 
+  /** Flesch reading-ease per document — the classic readability axis
+    * the ratio heuristics in `quality` don't cover. Syllables are
+    * approximated as vowel-group runs (the standard dictionary-free
+    * heuristic); sentences as terminal-punctuation runs, floored at 1.
+    *
+    * Pure projection over one scan — zero shuffles, embarrassingly
+    * parallel at any scale. All three counts come from
+    * `regexp_extract_all` in the Java∩RE2 dialect so DuckDB replays
+    * them exactly; the score arithmetic is the same double-op chain on
+    * both engines, rounded to 4 places.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = greatest(
+      size(filter(split(col("text"), "[^\\p{L}]+"), w => w =!= ""))
+        .cast("long"), lit(1L))
+    val sentences = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val syllables =
+      size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+        .cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+  }
+
   /** Stopword profiles per language for the n-gram-free language
     * scorer. Deliberately small and public-knowledge (most frequent
     * function words).

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+
+  test("expectations: clean-data checks pass, the planted-failing " +
+      "quantity bound fails, and metrics are exact count ratios") {
+    val rep = Quality.expectations(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(rep.size == 7)
+    // synthetic data is referentially clean — these must be exactly 1.0
+    for (c <- Seq("complete_text", "unique_o_orderkey",
+        "accepted_o_orderstatus", "range_l_discount",
+        "nonnull_value", "fk_lineitem_orders")) {
+      assert(rep(c) == ((1.0, true)), s"$c -> ${rep(c)}")
+    }
+    // quantities span 1..50, so the ≤30 bound genuinely fails
+    val (qm, qp) = rep("max_l_quantity_le_30")
+    assert(!qp && qm > 0.0 && qm < 1.0, s"quantity metric $qm")
+  }
+
+  test("expectations plan: scan-local constraints fold into one " +
+      "aggregate per table — five scans plus the one FK anti join") {
+    val plan = Quality.expectations(spark, sf)
+      .queryExecution.optimizedPlan
+    val scans = plan.collectLeaves()
+    // documents, orders, lineitem, events + (lineitem, orders) for FK
+    // + lineitem total = 7 leaves; the point is it does NOT grow with
+    // the number of constraints (7 checks, 7 leaves)
+    assert(scans.size == 7, s"${scans.size} leaves")
+  }
+
+  test("snapshot diff classifies the modular drift exactly") {
+    val diff = Quality.snapshotDiff(spark, sf)
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Tables.orders(spark, sf).count()
+    val keys = Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    // added: in v2 not v1 = k%5==0 && k%7!=0
+    assert(diff("added") == keys.count(k => k % 5 == 0 && k % 7 != 0))
+    assert(diff("removed") == keys.count(k => k % 5 != 0 && k % 7 == 0))
+    // changed: in both && price bumped
+    assert(diff("changed") ==
+      keys.count(k => k % 5 != 0 && k % 7 != 0 && k % 3 == 0))
+    // everything else is unchanged and therefore absent
+    assert(diff.values.sum < n)
+  }
+
+  test("snapshot diff emits null old_price for added and null " +
+      "new_price for removed rows") {
+    val d = Quality.snapshotDiff(spark, sf)
+    assert(d.filter(col("change") === "added" &&
+      col("old_price").isNotNull).isEmpty)
+    assert(d.filter(col("change") === "removed" &&
+      col("new_price").isNotNull).isEmpty)
+    assert(d.filter(col("change") === "changed" &&
+      (col("old_price").isNull || col("new_price").isNull)).isEmpty)
+  }
+
+  test("readability: more terminal punctuation raises the score for " +
+      "the same words, and counts match hand computation") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "The cat sat. The dog ran. All was well."),
+      (2L, "The cat sat the dog ran all was well.")
+    ).toDF("doc_id", "text")
+    probe.createOrReplaceTempView("readability_probe")
+    // same operator expression over a planted frame
+    val words = greatest(size(filter(
+      split(col("text"), "[^\\p{L}]+"), w => w =!= "")).cast("long"), lit(1L))
+    val sentences = greatest(size(
+      regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+      .cast("long"), lit(1L))
+    val rows = probe.select(col("doc_id"), words.as("w"), sentences.as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == ((9L, 3L)))
+    assert(rows(2L) == ((9L, 1L)))
+    // corpus run: schema + everyone scored
+    val scored = graft.operators.TextAnalysis.readability(spark, sf)
+    assert(scored.columns.toSeq ==
+      Seq("doc_id", "n_words", "n_sentences", "n_syllables", "flesch"))
+    assert(scored.filter(col("flesch").isNull).isEmpty)
+  }
+}
