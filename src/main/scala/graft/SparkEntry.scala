@@ -101,6 +101,9 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, d) => Relational.mergeUpsert(s, d)),
     "q_expectations" -> ((s, d) => Quality.expectations(s, d)),
     "q_snapshot_diff" -> ((s, d) => Quality.snapshotDiff(s, d)),
+    "q_item_similarity" -> ((s, d) => Relational.itemSimilarity(s, d)),
+    // rows-gated: Lloyd layouts are not DuckDB-reproducible
+    "q_embed_kmeans" -> ((s, d) => Similarity.embedKmeans(s, d)),
     "q_anomaly_mad" -> ((s, d) => Relational.anomalyMad(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
@@ -1541,6 +1544,33 @@ object SparkEntry {
         |      AS DOUBLE) / (SELECT count(*) FROM lineitem), 1.0)
         |SELECT check_name, tbl, metric, threshold,
         |  metric >= threshold AS pass FROM rep""".stripMargin,
+    // the rank runs on identical doubles in both engines (same
+    // divide/sqrt tree), tie-broken by part_b; rounding only at output
+    "q_item_similarity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+        |         FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT pa, pb, n_ab FROM pairs
+        |        UNION ALL SELECT pb, pa, n_ab FROM pairs),
+        |scored AS (
+        |  SELECT sym.pa AS part_a, sym.pb AS part_b, n_ab,
+        |    CAST(n_ab AS DOUBLE)
+        |      / sqrt(CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)) AS c
+        |  FROM sym JOIN freq fa ON sym.pa = fa.l_partkey
+        |           JOIN freq fb ON sym.pb = fb.l_partkey)
+        |SELECT part_a, part_b, n_ab, round(c, 6) AS cosine,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT part_a, part_b, n_ab, c,
+        |        row_number() OVER (PARTITION BY part_a
+        |          ORDER BY c DESC, part_b) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
     // v1/v2 derived from the same modular rules; decimal bump keeps
     // the changed-row comparison exact on both engines
     "q_snapshot_diff" ->

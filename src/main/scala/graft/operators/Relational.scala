@@ -984,6 +984,50 @@ object Relational {
       .limit(topK)
   }
 
+  /** Item-to-item collaborative similarity over order baskets — the
+    * recommender primitive `marketBasket`'s global top pairs don't
+    * give you: for EVERY part, its top-`topK` co-purchased neighbors
+    * by cosine over the order-incidence vectors
+    * (cos(a,b) = n_ab / √(n_a·n_b)).
+    *
+    * Scale shape: the pair fan-out self-joins on l_orderkey, so a HOT
+    * PART never explodes the join — baskets are small (≤ lines per
+    * order) and the blowup is Σ (basket choose 2), linear in corpus
+    * size. The (a,b) count is one partial-agg shuffle (AQE splits hot
+    * pairs), frequencies broadcast-join back, and the per-item rank
+    * runs on bounded `TopKPerKey` heaps — no part-keyed window sort
+    * anywhere. Output is O(#parts × topK).
+    */
+  def itemSimilarity(spark: SparkSession, sfDir: String,
+      topK: Int = 3): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = op.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_part"))
+    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_ab"))
+    val sym = pairs.select(col("pa"), col("pb"), col("n_ab"))
+      .unionAll(pairs.select(col("pb").as("pa"), col("pa").as("pb"),
+        col("n_ab")))
+    val scored = sym
+      .join(freq.select(col("l_partkey").as("pa"), col("n_part").as("n_a")),
+        "pa")
+      .join(freq.select(col("l_partkey").as("pb"), col("n_part").as("n_b")),
+        "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_ab"),
+        (col("n_ab").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("c"))
+    graft.plans.TopKPerKey(scored, Seq("part_a"),
+        Seq(("c", true), ("part_b", false)), topK)
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("c"), 6).as("cosine"), col("rnk"))
+  }
+
   /** Time-series gap filling: the hourly rollup joined onto a dense
     * calendar SPINE (every hour between the corpus min and max ×
     * every event type), missing cells zero-filled — the resample

@@ -774,4 +774,106 @@ object Similarity {
     val lambda = v.zip(mv).map { case (a, b) => a * b }.sum
     (mu, v, lambda, m)
   }
+
+  val KmClusters = 10
+  val KmIters = 4
+
+  /** DISTRIBUTED k-means over the embedding corpus (unit vectors,
+    * Euclidean Lloyd — the `lloyd`/`centroid_probes` geometry). The
+    * 100 TB-shaped training loop:
+    *
+    *  - init from the deterministic `unitSample` driver codebook
+    *    (sample-train first — the full corpus never feeds init);
+    *  - each refinement iteration is ONE pass over the persisted
+    *    corpus: codegen'd `centroid_probes` assignment + the
+    *    fixed-buffer [[graft.functions.VecSumAgg]] per-cluster
+    *    (n, Σu) aggregate — map-side partial combine means one
+    *    k×(d+1) buffer per task crosses the wire, never vectors;
+    *  - centroid update is a k×d driver fold (bounded, like the PQ
+    *    codebook), re-broadcast into the next iteration's kernel.
+    *
+    * Output: per-cluster size + inertia (Σ|u−c|², exact form via the
+    * `dot_product` kernel against the broadcast final centroids).
+    * Rows-gated: Lloyd layouts are not DuckDB-reproducible (the
+    * SRP/PQ family's declared regime); SimilaritySpec pins inertia
+    * descent across iterations and exact recovery of planted
+    * metrically-separated clusters (see `kmeansFit` on why corpus
+    * labels are not the pinned invariant).
+    */
+  /** The training loop shared by the report and assignment views:
+    * sample-init then `iters` one-pass distributed refinements.
+    */
+  private def kmeansTrain(spark: SparkSession, all: DataFrame,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    import graft.functions.CatalystExprs.centroid_probes
+    val d = 64
+    var cents = lloyd(unitSample(all), k, PqLloydIters)
+    for (_ <- 1 to iters) {
+      val sums = all.select(
+          element_at(centroid_probes(col("v"), col("norm"), cents, 1), 1)
+            .as("cid"),
+          col("v"), col("norm"))
+        .as[(Int, Seq[Double], Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.VecSumAgg.agg(d).toColumn)
+        .collect() // bounded: k rows of (n, Σu)
+      val next = cents.map(_.clone)
+      sums.foreach { case (cid, buf) =>
+        if (buf.n > 0) next(cid) = buf.s.map(_ / buf.n)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  def embedKmeans(spark: SparkSession, sfDir: String,
+      k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CatalystExprs.centroid_probes
+    val all = vecs(spark, sfDir)
+    val cents = kmeansTrain(spark, all, k, iters)
+    // final report: assignment + exact |u−c|² against the broadcast
+    // centroid table — Σu² explicitly, not the algebraic 1+|c|²−2u·c
+    // shortcut (u is unit only to the ulp)
+    val centDf = broadcast(cents.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq.toDF("cid", "c", "cnorm2"))
+    all.select(col("vec_id"),
+        element_at(centroid_probes(col("v"), col("norm"), cents, 1), 1)
+          .as("cid"),
+        col("v"), col("norm"))
+      .join(centDf, "cid")
+      .select(col("cid"),
+        (dot_product(col("v"), col("v")) / col("norm") / col("norm")
+          + col("cnorm2")
+          - lit(2.0) * dot_product(col("v"), col("c")) / col("norm"))
+          .as("d2"))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+      .select(col("cluster_id"), col("n"), round(col("inertia"), 6).as("inertia"))
+  }
+
+  /** Fit + assign over ANY (vec_id, v, norm) frame — the spec's hook
+    * for planted-cluster recovery. Corpus labels are deliberately NOT
+    * the pinned invariant: on this synthetic corpus the label
+    * structure is linear (q_linear_probe separates it perfectly) but
+    * not metric — unsupervised Euclidean k-means measures ~0.18
+    * majority-label purity, which is a property of the data, not the
+    * operator. The portable contracts are Lloyd's inertia descent and
+    * exact recovery of metrically separated clusters.
+    */
+  private[graft] def kmeansFit(spark: SparkSession, all: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    import graft.functions.CatalystExprs.centroid_probes
+    val cents = kmeansTrain(spark, all, k, iters)
+    all.select(col("vec_id"),
+      element_at(centroid_probes(col("v"), col("norm"), cents, 1), 1)
+        .as("cid"))
+  }
+
+  /** Per-vector final assignment over the corpus. */
+  private[graft] def kmeansAssign(spark: SparkSession, sfDir: String,
+      k: Int = KmClusters, iters: Int = KmIters): DataFrame =
+    kmeansFit(spark, vecs(spark, sfDir), k, iters)
 }

@@ -416,4 +416,71 @@ class SimilaritySpec extends SparkSpec {
       s"var $varS vs ${l1 / (n - 1)}")
     scores.unpersist()
   }
+
+  test("kmeans: total inertia is non-increasing across distributed " +
+      "Lloyd iterations and every corpus vector is assigned") {
+    def total(iters: Int): Double =
+      Similarity.embedKmeans(spark, sf, 10, iters)
+        .agg(sum(col("inertia"))).head.getDouble(0)
+    val seq = Seq(0, 1, 2, 4).map(total)
+    // Lloyd descent, up to merge-order ulps on the double sums
+    seq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"inertia rose: $a -> $b in $seq")
+    }
+    // refinement does real work on this corpus, not a no-op
+    assert(seq.last < seq.head)
+    val n = Tables.embeddings(spark, sf).count()
+    val rep = Similarity.embedKmeans(spark, sf)
+    assert(rep.agg(sum(col("n"))).head.getLong(0) == n)
+  }
+
+  test("kmeans recovers planted metrically-separated clusters exactly") {
+    import spark.implicits._
+    // 90 vectors in 3 tight bundles around orthogonal axes; jitter is
+    // deterministic and far smaller than the inter-cluster distance
+    val d = 64
+    val rows = (0 until 90).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(d) { j =>
+        (if (j == axis * 20) 10.0 else 0.0) +
+          0.01 * (((i * 131 + j * 17) % 7) - 3)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val frame = rows.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(graft.functions.CatalystExprs
+        .dot_product(col("v"), col("v"))))
+    val assigned = Similarity.kmeansFit(spark, frame, 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // same plant -> same cluster; different plant -> different cluster
+    val byPlant = (0 until 90).groupBy(_ % 3)
+      .map { case (p, ids) => p -> ids.map(i => assigned(i.toLong)).toSet }
+    assert(byPlant.values.forall(_.size == 1), s"split plant: $byPlant")
+    assert(byPlant.values.flatten.toSet.size == 3, s"merged plants: $byPlant")
+  }
+
+  test("item similarity: co-purchase cosine is symmetric and every " +
+      "neighbor genuinely shares an order") {
+    val simDf = graft.operators.Relational.itemSimilarity(spark, sf)
+    // rank caps per item
+    val per = simDf.groupBy("part_a").count().collect()
+    assert(per.forall(_.getLong(1) <= 3))
+    // symmetry of the underlying score: (a,b) appearing in both
+    // directions carries the same n_ab and cosine
+    val flipped = simDf.select(col("part_b").as("part_a"),
+      col("part_a").as("part_b"), col("cosine").as("cos_rev"))
+    val both = simDf.join(flipped, Seq("part_a", "part_b"))
+    assert(both.filter(col("cosine") =!= col("cos_rev")).isEmpty)
+    // spot-check: every listed pair co-occurs in at least one order
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val bad = simDf.join(op.select(col("l_orderkey"),
+          col("l_partkey").as("part_a")), Seq("part_a"))
+      .join(op.select(col("l_orderkey"),
+          col("l_partkey").as("part_b")), Seq("part_b", "l_orderkey"))
+      .groupBy("part_a", "part_b").count()
+      .join(simDf, Seq("part_a", "part_b"), "right_outer")
+      .filter(col("count").isNull || col("count") =!= col("n_ab"))
+    assert(bad.isEmpty)
+  }
 }
