@@ -367,6 +367,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.hourlyCountsFromFiles(s, d)),
     "stream_sessionize" ->
       ((s, d) => graft.streaming.EventStreams.sessionsFromFiles(s, d)),
+    "stream_session_window" ->
+      ((s, d) => graft.streaming.EventStreams.sessionWindowFromFiles(s, d)),
     "stream_purchase_click" ->
       ((s, d) => graft.streaming.EventStreams.purchaseClicksFromFiles(s, d)),
     "stream_dedup" ->
@@ -875,6 +877,11 @@ object SparkEntry {
     "q_sessionize" -> sessionizeSql,
     // the flatMapGroupsWithState streaming path, same batch oracle
     "stream_sessionize" -> sessionizeSql,
+    // the built-in session_window aggregate streamed; q_session_window's
+    // batch oracle gates the drained append-mode sink
+    "stream_session_window" ->
+      ("SELECT user_id, session_start, session_end, n_events FROM (" +
+        sessionizeSql + ")"),
     // streaming dedup of a DOUBLED feed vs the single-copy batch table
     "stream_dedup" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,

@@ -167,6 +167,31 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"),
         col("min_value"), col("max_value"))
 
+  /** Far-future sentinel: one event a year past the corpus max
+    * advances the GLOBAL watermark past every buffered session's
+    * timeout — a bounded stream otherwise leaves the last sessions in
+    * state forever. The sentinel file must carry the same physical ts
+    * type as the source files; user_id −1 marks it for exclusion.
+    */
+  private def appendSentinel(spark: SparkSession, raw: DataFrame,
+      dir: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    val maxTs = raw.agg(max(col("ts"))).head.get(0)
+    val sentinel = raw.schema("ts").dataType match {
+      case LongType =>
+        spark.createDataset(Seq(
+          (-1L, maxTs.asInstanceOf[Long] + 365L * 86400 * 1000000000L,
+            -1L, "x", 0.0)))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+      case _ =>
+        val far = new java.sql.Timestamp(
+          maxTs.asInstanceOf[java.sql.Timestamp].getTime + 365L * 86400 * 1000)
+        spark.createDataset(Seq((-1L, far, -1L, "x", 0.0)))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+    }
+    sentinel.write.mode("append").parquet(dir.toString)
+  }
+
   /** The flatMapGroupsWithState session builder behind the driver's
     * batch hash gate: stream the events parquet through the file
     * source, then append a far-future sentinel file so the watermark
@@ -196,23 +221,7 @@ object EventStreams {
         .format("memory").queryName(name).outputMode("append").start()
       try {
         q.processAllAvailable()
-        // sentinel: one far-future event advances the GLOBAL watermark
-        // past every buffered session's timeout; its file must carry
-        // the same physical ts type as the source files
-        val maxTs = raw.agg(max(col("ts"))).head.get(0)
-        val sentinel = raw.schema("ts").dataType match {
-          case LongType =>
-            spark.createDataset(Seq(
-              (-1L, maxTs.asInstanceOf[Long] + 365L * 86400 * 1000000000L,
-                -1L, "x", 0.0)))
-              .toDF("event_id", "ts", "user_id", "event_type", "value")
-          case _ =>
-            val far = new java.sql.Timestamp(
-              maxTs.asInstanceOf[java.sql.Timestamp].getTime + 365L * 86400 * 1000)
-            spark.createDataset(Seq((-1L, far, -1L, "x", 0.0)))
-              .toDF("event_id", "ts", "user_id", "event_type", "value")
-        }
-        sentinel.write.mode("append").parquet(dir.toString)
+        appendSentinel(spark, raw, dir)
         q.processAllAvailable()
       } finally q.stop()
       drainMemorySink(spark, name)
@@ -226,6 +235,57 @@ object EventStreams {
       .select(col("user_id"), col("session_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+  }
+
+  /** The BUILT-IN `session_window` aggregate running as a STREAM —
+    * the operator q_session_window exercises in batch, now with its
+    * designed state story live: merging-session state rides the state
+    * store, watermark eviction finalizes sessions, append mode emits
+    * each exactly once. The far-future sentinel closes the tail
+    * sessions on the bounded feed (same mechanics as
+    * `sessionsFromFiles`), and the q_session_window oracle gates the
+    * drained sink bit-for-bit — proving the batch and streaming
+    * session operators agree on the measured end-inclusive merge
+    * boundary.
+    */
+  def sessionWindowFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val drained = graft.Tables.withNanosAsLong(spark) {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val dir = graft.TempDirs.create("graft_stream_swin")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      val events = raw.schema("ts").dataType match {
+        case LongType => stream0.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        case _ => stream0
+      }
+      val sessions = events
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .select(col("user_id"), col("s"), col("e"), col("n_events"))
+      val name = nextSinkName("graft_stream_swin")
+      withSink(spark, name) {
+        val q = sessions.writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, raw, dir)
+          q.processAllAvailable()
+        } finally q.stop()
+        drainMemorySink(spark, name)
+      }
+    }
+    drained
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("s"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("e"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n_events"))
   }
 

@@ -437,4 +437,17 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass") == prevProvider)
     got.unpersist()
   }
+
+  test("streaming session_window equals the batch session_window " +
+      "operator frame-for-frame") {
+    val streamed = EventStreams.sessionWindowFromFiles(spark, sf).cache()
+    val batch = graft.operators.Relational.sessionWindowBuiltin(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streaming session_window diverges from the batch operator")
+    // append mode emitted each finalized session exactly once
+    assert(streamed.distinct().count() == streamed.count())
+    streamed.unpersist()
+  }
 }
