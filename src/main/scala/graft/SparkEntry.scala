@@ -102,6 +102,10 @@ object SparkEntry {
     "q_expectations" -> ((s, d) => Quality.expectations(s, d)),
     "q_snapshot_diff" -> ((s, d) => Quality.snapshotDiff(s, d)),
     "q_item_similarity" -> ((s, d) => Relational.itemSimilarity(s, d)),
+    "q_mutual_info" -> ((s, d) => Relational.mutualInfo(s, d)),
+    "q_group_rare" -> ((s, d) => Relational.groupRare(s, d)),
+    "q_yoy_growth" -> ((s, d) => Relational.yoyGrowth(s, d)),
+    "q_compact_files" -> ((s, d) => Layout.compactFiles(s, d)),
     // rows-gated: Lloyd layouts are not DuckDB-reproducible
     "q_embed_kmeans" -> ((s, d) => Similarity.embedKmeans(s, d)),
     "q_anomaly_mad" -> ((s, d) => Relational.anomalyMad(s, d)),
@@ -1551,6 +1555,57 @@ object SparkEntry {
         |      AS DOUBLE) / (SELECT count(*) FROM lineitem), 1.0)
         |SELECT check_name, tbl, metric, threshold,
         |  metric >= threshold AS pass FROM rep""".stripMargin,
+    // joint counts + joint-derived marginals; the ln runs over
+    // exact-integer products (< 2^53) so both engines evaluate the
+    // same double expression
+    "q_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |nx AS (SELECT segment, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM joint GROUP BY 1),
+        |ny AS (SELECT priority, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM joint GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM joint)
+        |SELECT segment, priority, n_xy,
+        |  round(ln(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 6)
+        |    AS pmi,
+        |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 6)
+        |    AS mi_term
+        |FROM joint JOIN nx USING (segment) JOIN ny USING (priority)
+        |CROSS JOIN tot""".stripMargin,
+    // top-5 categories by (count DESC, category) survive; the tail
+    // folds into OTHER
+    "q_group_rare" ->
+      """WITH hist AS (
+        |  SELECT json_extract_string(props, '$.k') AS category,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |keep AS (SELECT category FROM hist
+        |         ORDER BY n DESC, category LIMIT 5)
+        |SELECT CASE WHEN category IN (SELECT category FROM keep)
+        |         THEN category ELSE 'OTHER' END AS category,
+        |  CAST(sum(n) AS BIGINT) AS n
+        |FROM hist GROUP BY 1""".stripMargin,
+    // lag-12 over the monthly rollup; decimal sums, double ratio
+    "q_yoy_growth" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE)
+        |    AS revenue_prev_year,
+        |  round(CAST(rev - lag(rev, 12) OVER (ORDER BY month) AS DOUBLE)
+        |    / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy
+        |FROM monthly""".stripMargin,
+    // compaction must move bytes, never change content: the re-read
+    // of the compacted copy equals the source projection
+    "q_compact_files" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     // the rank runs on identical doubles in both engines (same
     // divide/sqrt tree), tie-broken by part_b; rounding only at output
     "q_item_similarity" ->

@@ -96,4 +96,49 @@ object Layout {
         (max(col("ub")) - min(col("ub"))).as("u_span"),
         (max(col("db")) - min(col("db"))).as("d_span"))
   }
+
+  /** Small-file COMPACTION — the other chronic 100 TB layout disease
+    * beside poor clustering: streaming ingest and over-parallel
+    * writers leave thousands of KB-sized files whose per-file open/
+    * footer cost dominates the scan. The op simulates the diseased
+    * landing zone (the corpus scattered across `smallFiles` shards),
+    * then compacts by rewriting through `repartition(targetFiles)` —
+    * one round-robin shuffle, no ordering assumption — and returns
+    * the re-read of the compacted copy. The driver gate hashes it
+    * against the source table: compaction must move BYTES, never
+    * change CONTENT. LayoutSpec pins the file counts before/after.
+    *
+    * (At 100 TB the same rewrite runs per-partition-directory with
+    * `maxRecordsPerFile` sizing; the shape — read small, shuffle
+    * once, write big — is identical.)
+    */
+  def compactFiles(spark: SparkSession, sfDir: String,
+      smallFiles: Int = 64, targetFiles: Int = 4): DataFrame =
+    spark.read.parquet(compactRun(spark, sfDir, smallFiles, targetFiles)._2)
+
+  /** The write half of [[compactFiles]]: builds the scattered landing
+    * zone and its compacted rewrite, returning both dirs so the spec
+    * can count files.
+    */
+  private[graft] def compactRun(spark: SparkSession, sfDir: String,
+      smallFiles: Int = 64, targetFiles: Int = 4): (String, String) = {
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val small = graft.TempDirs.create("graft_compact_small").toString
+    rows.repartition(smallFiles)
+      .write.mode(SaveMode.Overwrite).parquet(small)
+    val compacted = graft.TempDirs.create("graft_compact_big").toString
+    spark.read.parquet(small)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(compacted)
+    (small, compacted)
+  }
+
+  /** Parquet data-file count in a written directory — LayoutSpec's
+    * before/after compaction measure.
+    */
+  private[graft] def parquetFileCount(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
 }

@@ -1028,6 +1028,82 @@ object Relational {
         round(col("c"), 6).as("cosine"), col("rnk"))
   }
 
+  /** Mutual information between market segment and order priority —
+    * the feature-relevance screen (does this categorical column carry
+    * signal about that one?) run the `text_collocations` way: joint
+    * counts, marginals DERIVED from the joint (never a second corpus
+    * pass), and the ln term expanded over exact-integer ratios so
+    * both engines evaluate the identical double expression. Per-pair
+    * PMI + MI contribution; Σ mi_term is the MI.
+    *
+    * Scale shape: ONE fact-side shuffle (the joint groupBy after the
+    * broadcast customer join); marginals re-aggregate the tiny joint
+    * table. |X|×|Y| output.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val joint = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = joint.groupBy("segment").agg(sum("n_xy").as("n_x"))
+    val ny = joint.groupBy("priority").agg(sum("n_xy").as("n_y"))
+    val n = joint.agg(sum("n_xy").as("n"))
+    joint.join(broadcast(nx), "segment")
+      .join(broadcast(ny), "priority")
+      .crossJoin(broadcast(n))
+      .select(col("segment"), col("priority"), col("n_xy"),
+        round(log((col("n_xy") * col("n")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"),
+        round((col("n_xy").cast("double") / col("n").cast("double")) *
+          log((col("n_xy") * col("n")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")), 6).as("mi_term"))
+  }
+
+  /** Long-tail category capping — the feature-engineering primitive
+    * that keeps one-hot/embedding vocabularies bounded: the top-k
+    * categories survive, everything else folds into 'OTHER'. The
+    * category histogram is ONE partial-agg shuffle; the keep set is
+    * k rows (broadcast), so the cap never materializes the tail.
+    */
+  def groupRare(spark: SparkSession, sfDir: String,
+      topK: Int = 5): DataFrame = {
+    val cat = Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").as("category"))
+    val hist = cat.groupBy("category").agg(count(lit(1)).as("n"))
+    val keep = hist
+      .orderBy(col("n").desc, col("category"))
+      .limit(topK)
+      .select(col("category"), lit(true).as("kept"))
+    hist.join(broadcast(keep), Seq("category"), "left")
+      .select(
+        when(col("kept"), col("category")).otherwise(lit("OTHER"))
+          .as("category"),
+        col("n"))
+      .groupBy("category").agg(sum(col("n")).as("n"))
+  }
+
+  /** Year-over-year growth of monthly revenue — the lag-12 time-series
+    * transform beside `gapFill` (resample) and `q_trailing_30d`
+    * (rolling). The monthly rollup is one fact shuffle down to
+    * O(#months) rows; the lag window runs on that TINY frame (a
+    * global sort of ≤ dozens of rows, not data). Decimal sums;
+    * double only in the final ratio.
+    */
+  def yoyGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("rev_prev_year", lag(col("rev"), 12).over(w))
+      .select(col("month"), col("rev").cast("double").as("revenue"),
+        col("rev_prev_year").cast("double").as("revenue_prev_year"),
+        round((col("rev") - col("rev_prev_year")).cast("double") /
+          col("rev_prev_year").cast("double"), 6).as("yoy"))
+  }
+
   /** Time-series gap filling: the hourly rollup joined onto a dense
     * calendar SPINE (every hour between the corpus min and max ×
     * every event type), missing cells zero-filled — the resample

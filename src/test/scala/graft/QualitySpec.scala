@@ -85,4 +85,52 @@ class QualitySpec extends SparkSpec {
       Seq("doc_id", "n_words", "n_sentences", "n_syllables", "flesch"))
     assert(scored.filter(col("flesch").isNull).isEmpty)
   }
+
+  test("mutual information: joint marginals are consistent and total " +
+      "MI is non-negative up to output rounding") {
+    val mi = graft.operators.Relational.mutualInfo(spark, sf).cache()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(mi.agg(sum("n_xy")).head.getLong(0) == nOrders)
+    // MI = Σ mi_term ≥ 0 (Gibbs); each term is rounded to 1e-6
+    val total = mi.agg(sum("mi_term")).head.getDouble(0)
+    assert(total >= -1e-4, s"negative MI: $total")
+    mi.unpersist()
+  }
+
+  test("group rare: the cap keeps exactly topK categories plus OTHER " +
+      "and loses no rows") {
+    val capped = graft.operators.Relational.groupRare(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    assert(capped.agg(sum("n")).head.getLong(0) == total)
+    val cats = capped.select("category").collect().map(_.getString(0))
+    assert(cats.length == 6 && cats.count(_ == "OTHER") == 1, cats.toSeq)
+    // the fold is real: OTHER aggregates a nonempty tail
+    assert(capped.filter(col("category") === "OTHER")
+      .head.getLong(1) > 0)
+    capped.unpersist()
+  }
+
+  test("yoy growth: every month with a year-ago sibling gets a ratio, " +
+      "the first year never does") {
+    val yoy = graft.operators.Relational.yoyGrowth(spark, sf).cache()
+    val months = yoy.select("month").collect().map(_.getString(0)).sorted
+    // the corpus emits a dense month series, so lag-12 is exactly
+    // "every month except the first 12"
+    val withPrev = yoy.filter(col("yoy").isNotNull).count()
+    assert(withPrev == months.length - 12,
+      s"$withPrev vs ${months.length - 12}")
+    assert(yoy.filter(col("month") < months(12) &&
+      col("yoy").isNotNull).isEmpty)
+    yoy.unpersist()
+  }
+
+  test("compaction shrinks the file count without touching content") {
+    val (small, big) = graft.operators.Layout.compactRun(spark, sf)
+    assert(graft.operators.Layout.parquetFileCount(small) == 64)
+    assert(graft.operators.Layout.parquetFileCount(big) <= 4)
+    val a = spark.read.parquet(small)
+    val b = spark.read.parquet(big)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
