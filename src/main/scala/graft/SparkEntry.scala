@@ -311,6 +311,8 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
+    "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
+    "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
     "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
@@ -2295,6 +2297,48 @@ object SparkEntry {
         |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
         |  CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // neighbor-set Jaccard over the shared symmetric edge set; the
+    // wedge join canonicalizes each pair a<b
+    "q_graph_jaccard" ->
+      s"""WITH $edgeCtes,
+        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |wedge AS (
+        |  SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+        |  GROUP BY 1, 2)
+        |SELECT a AS doc_a, b AS doc_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jaccard
+        |FROM wedge JOIN deg da ON a = da.id JOIN deg db ON b = db.id""".stripMargin,
+    // the audit a regulator reads: before = deleted + after, cascade
+    // replayed via the same modular forget-set
+    "q_gdpr_delete" ->
+      """WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |dead_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM forget))
+        |SELECT 'customer' AS tbl,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+        |  CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_deleted,
+        |  CAST((SELECT count(*) FROM customer) -
+        |       (SELECT count(*) FROM forget) AS BIGINT) AS n_after
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM dead_orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders) -
+        |       (SELECT count(*) FROM dead_orders) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+        |    AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem) -
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+        |    AS BIGINT)""".stripMargin,
     // Efraimidis–Spirakis weighted sample: identical ln-domain keys,
     // top-k ordering only (the key never reaches the output)
     "q_weighted_sample" ->

@@ -688,6 +688,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Neighbor-set Jaccard between wedge-connected node pairs over the
+    * near-dup graph — the link-prediction / entity-consolidation
+    * analytic (fourth in the family after components, PageRank,
+    * triangles): two docs whose NEIGHBORHOODS overlap heavily are
+    * cluster-mates even if their own edge fell below the dedup
+    * threshold. Common neighbors come from ONE wedge self-join
+    * through the shared endpoint (a < b canonicalizes each pair);
+    * degrees from one tiny aggregate joined back. The wedge fan-out
+    * is Σ deg(n)² — bounded here by the same df-cap that bounds the
+    * LSH candidate join, and at 100 TB by capping hub degrees before
+    * the wedge (the `dedup_substring` de-skew recipe).
+    */
+  def graphJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val sym = e.unionByName(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = sym.groupBy(col("doc_a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val half = sym.select(col("doc_a").as("a"), col("doc_b").as("n"))
+    val common = half
+      .join(half.select(col("a").as("b"), col("n")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   // ---- Exact-substring (suffix-style) dedup --------------------------
 
   /** Exact duplicated-SUBSTRING span detection — the character-level

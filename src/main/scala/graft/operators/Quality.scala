@@ -116,4 +116,48 @@ object Quality {
         col("p1").cast("double").as("old_price"),
         col("p2").cast("double").as("new_price"))
   }
+
+  /** Right-to-be-forgotten ERASURE with FK cascade + audit — the
+    * compliance operator every long-lived corpus eventually needs:
+    * a deterministic forget-set of customers (custkey ≡ 0 mod 97)
+    * erases from `customer`, CASCADES through their `orders`, and
+    * through those orders' `lineitem` rows; the output is the audit
+    * report regulators actually ask for (per-table before/deleted/
+    * after, where before = deleted + after by construction).
+    *
+    * Scale shape: the forget set is a tiny broadcast; each cascade
+    * level is ONE anti/semi join on its key (customer→orders on
+    * custkey, orders→lineitem on orderkey) — no row ever visits more
+    * than its own table's shuffle, and the report aggregates are
+    * scan-local counts. Erased BYTES disappear via the rewrite
+    * (`q_compact_files`' move-bytes machinery); this op is the
+    * row-selection + audit half.
+    */
+  def gdprDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val forget = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val deadOrders = orders.join(broadcast(forget),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    // fully declarative audit: left-join the (broadcast) kill sets and
+    // count the matches — one plan, no driver-side scalar actions
+    def audit(name: String, marked: DataFrame, markCol: Column): DataFrame =
+      marked.agg(count(lit(1)).as("n_before"),
+          count(markCol).as("n_deleted"))
+        .select(lit(name).as("tbl"), col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    audit("customer", cust,
+        when(col("c_custkey") % 97 === 0, lit(1)))
+      .unionAll(audit("orders",
+        orders.join(broadcast(forget),
+          col("o_custkey") === col("c_custkey"), "left"),
+        col("c_custkey")))
+      .unionAll(audit("lineitem",
+        li.join(broadcast(deadOrders),
+          col("l_orderkey") === col("o_orderkey"), "left"),
+        col("o_orderkey")))
+  }
 }

@@ -124,6 +124,52 @@ class QualitySpec extends SparkSpec {
     yoy.unpersist()
   }
 
+  test("gdpr erasure audit: before = deleted + after on every row and " +
+      "the cascade counts match an independent replay") {
+    val rep = Quality.gdprDelete(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rep.size == 3)
+    rep.foreach { case (t, (before, del, after)) =>
+      assert(before == del + after, s"$t audit does not balance")
+    }
+    // independent replay of the cascade
+    val forget = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0)
+    assert(rep("customer")._2 == forget.count())
+    val dead = Tables.orders(spark, sf).join(
+      forget.select(col("c_custkey")),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(rep("orders")._2 == dead.count())
+    assert(rep("lineitem")._2 == Tables.lineitem(spark, sf).join(
+      dead.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count())
+    // the forget set is non-trivial at this SF
+    assert(rep("customer")._2 > 0)
+  }
+
+  test("graph jaccard: every pair is wedge-connected, canonical a<b, " +
+      "and scores match brute-force neighbor sets") {
+    val jac = graft.operators.Dedup.graphJaccard(spark, sf).collect()
+    assert(jac.nonEmpty)
+    assert(jac.forall(r => r.getLong(0) < r.getLong(1)))
+    // brute-force replay from the edge list
+    val e = graft.operators.Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    jac.foreach { r =>
+      val (a, b, nc, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val inter = nbrs(a).intersect(nbrs(b)).size
+      val union = nbrs(a).union(nbrs(b)).size
+      assert(nc == inter, s"($a,$b) common $nc vs $inter")
+      assert(math.abs(j - inter.toDouble / union) < 1e-6)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("compaction shrinks the file count without touching content") {
     val (small, big) = graft.operators.Layout.compactRun(spark, sf)
     assert(graft.operators.Layout.parquetFileCount(small) == 64)
