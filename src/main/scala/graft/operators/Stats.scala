@@ -190,16 +190,24 @@ object Stats {
     */
   private[graft] def probeMislabelCross(features: DataFrame, k: Int,
       folds: Int): DataFrame = {
+    require(folds >= 2, s"cross-fit needs >= 2 folds, got $folds")
     val feats = features.withColumn("fold",
       (md5Mod("fold", col("vec_id")) % folds).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = (0 until folds).map { f =>
-        val beta = fitBeta(feats.filter(col("fold") =!= f).drop("fold"),
-          8, ridge = 1.0)._1
-        scoreWith(feats.filter(col("fold") === f).drop("fold"), beta)
-      }
-      .reduce(_ unionAll _)
-    probeMislabelOver(scored, k)
+    try {
+      val scored = (0 until folds).map { f =>
+          // doPersist=false: the fold filters read the outer cache —
+          // a second inner persist would hold ~2x the corpus in
+          // storage during each fold's Newton loop
+          val beta = fitBeta(feats.filter(col("fold") =!= f).drop("fold"),
+            8, ridge = 1.0, doPersist = false)._1
+          scoreWith(feats.filter(col("fold") === f).drop("fold"), beta)
+        }
+        .reduce(_ unionAll _)
+      // eager localCheckpoint materializes the k-row result and cuts
+      // its lineage to the cache, so the finally can release it
+      probeMislabelOver(scored, k).localCheckpoint()
+    } finally { feats.unpersist(); () }
   }
 
   /** Ranking stage over any (vec_id, y, score) scored frame. */
@@ -296,17 +304,29 @@ object Stats {
 
   /** The Newton loop alone: persists the feature frame for its
     * `iters` scans and unpersists before returning (β, losses).
+    * Callers whose frame is already cached pass `doPersist = false`
+    * to avoid holding a second copy in storage.
     */
   private[graft] def fitBeta(features: DataFrame, iters: Int,
-      ridge: Double = 1e-8): (Array[Double], Seq[Double]) = {
+      ridge: Double = 1e-8, doPersist: Boolean = true)
+      : (Array[Double], Seq[Double]) = {
     val spark = features.sparkSession
     import spark.implicits._
-    val feats = features
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = if (doPersist)
+      features.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else features
     try {
       // d derived from the data (dim + bias): the API really does
-      // accept any (vec_id, y, x) frame, not just 64-dim embeddings
-      val d = feats.select(size(col("x"))).head().getInt(0) + 1
+      // accept any (vec_id, y, x) frame, not just 64-dim embeddings.
+      // headOption: an EMPTY training frame (bad fold split, no
+      // labeled rows) must fail with a diagnosis, not a bare
+      // NoSuchElementException mid-fit
+      val first = feats.select(size(col("x"))).limit(1).collect()
+        .headOption.getOrElse(throw new IllegalArgumentException(
+          "fitBeta: empty feature frame — nothing to fit"))
+      require(!first.isNullAt(0),
+        "fitBeta: null feature vector in first row")
+      val d = first.getInt(0) + 1
       var beta = Array.fill(d)(0.0)
       val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
       var it = 0
@@ -333,7 +353,7 @@ object Stats {
         it += 1
       }
       (beta, losses.toSeq)
-    } finally { feats.unpersist(); () }
+    } finally { if (doPersist) { feats.unpersist(); () } }
   }
 
   /** Score any (vec_id, y, x) frame with a fitted β — ONE codegen'd

@@ -118,14 +118,19 @@ object Formats {
     * 100-executor shuffle. The spec pins stats presence + exactness;
     * the rollup itself stays oracle-gated.
     */
+  /** Per-sfDir catalog table name: one session serving two scale
+    * factors must not resolve the other's catalog entry. Shared with
+    * FormatsSpec so the derivation cannot silently diverge.
+    */
+  private[graft] def catalogTableName(sfDir: String): String =
+    "graft_orders_cat_" + java.security.MessageDigest
+      .getInstance("MD5").digest(sfDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
   def catalogStatsRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
-    // per-sfDir table name: one session serving two scale factors
-    // must not resolve the other's catalog entry
-    val tbl = "graft_orders_cat_" + java.security.MessageDigest
-      .getInstance("MD5").digest(sfDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val tbl = catalogTableName(sfDir)
     if (!spark.catalog.tableExists(tbl)) {
       val loc = graft.TempDirs.create("graft_cat_orders").toString
       graft.Tables.orders(spark, sfDir).write

@@ -127,9 +127,7 @@ class FormatsSpec extends SparkSpec {
     // the table surface it in Statistics (what CBO reads)
     // recompute the per-sfDir name (not listTables().head): a second
     // scale factor's table in the shared session must not be picked up
-    val tbl = "graft_orders_cat_" + java.security.MessageDigest
-      .getInstance("MD5").digest(sf.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val tbl = graft.sources.Formats.catalogTableName(sf)
     // rowCount surfaces in plan Statistics only under CBO — the
     // consumer the ANALYZE stats exist for; scope and restore
     val prev = spark.conf.getOption("spark.sql.cbo.enabled")
