@@ -60,16 +60,17 @@ object Quality {
     val evRep = events.agg(array(
       report("nonnull_value", "events",
         frac(col("value").isNotNull), 1.0)).as("r"))
-    // referential integrity: orphan fraction via ONE anti join
-    val orphans = li.select(col("l_orderkey"))
+    // referential integrity in ONE lineitem pass: left-join the order
+    // keys and count matches vs rows (the gdprDelete audit shape) —
+    // no separate anti join + bare-count scans
+    val fkRep = li.select(col("l_orderkey"))
       .join(orders.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan"))
-    val liTotal = li.agg(count(lit(1)).as("n_li"))
-    val fkRep = orphans.crossJoin(liTotal).select(array(
-      report("fk_lineitem_orders", "lineitem",
-        lit(1.0) - col("n_orphan").cast("double") /
-          col("n_li").cast("double"), 1.0)).as("r"))
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_li"), count(col("o_orderkey")).as("n_ok"))
+      .select(array(
+        report("fk_lineitem_orders", "lineitem",
+          col("n_ok").cast("double") / col("n_li").cast("double"), 1.0))
+        .as("r"))
 
     Seq(docRep, ordRep, liRep, evRep, fkRep)
       .reduce(_.unionAll(_))

@@ -807,8 +807,10 @@ object Similarity {
       k: Int, iters: Int): Array[Array[Double]] = {
     import spark.implicits._
     import graft.functions.CatalystExprs.centroid_probes
-    val d = 64
     var cents = lloyd(unitSample(all), k, PqLloydIters)
+    // d from the trained codebook (itself derived from the frame), so
+    // the ANY-frame contract of kmeansFit holds at any dimension
+    val d = cents(0).length
     for (_ <- 1 to iters) {
       val sums = all.select(
           element_at(centroid_probes(col("v"), col("norm"), cents, 1), 1)

@@ -167,6 +167,29 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"),
         col("min_value"), col("max_value"))
 
+  /** Single-copy file-source feed over the events parquet: per-run
+    * symlink dir (the file source monitors a DIRECTORY), schema-
+    * explicit readStream, nanos→µs ts normalization. Returns the
+    * batch frame (for schema/sentinel use), the feed dir (for
+    * appending), and the streaming frame. Shared by every
+    * single-copy FromFiles entry so feed mechanics cannot diverge.
+    */
+  private def eventFeed(spark: SparkSession, sfDir: String,
+      prefix: String): (DataFrame, java.nio.file.Path, DataFrame) = {
+    val path = s"$sfDir/events.parquet"
+    val raw = spark.read.parquet(path)
+    val dir = graft.TempDirs.create(prefix)
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val events = raw.schema("ts").dataType match {
+      case LongType => stream0.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")))
+      case _ => stream0
+    }
+    (raw, dir, events)
+  }
+
   /** Far-future sentinel: one event a year past the corpus max
     * advances the GLOBAL watermark past every buffered session's
     * timeout — a bounded stream otherwise leaves the last sessions in
@@ -203,18 +226,10 @@ object EventStreams {
   def sessionsFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val drained = graft.Tables.withNanosAsLong(spark) {
-      val path = s"$sfDir/events.parquet"
-      val raw = spark.read.parquet(path)
-      val dir = graft.TempDirs.create("graft_stream_sess")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      val events = (raw.schema("ts").dataType match {
-        case LongType => stream0.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }).select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).as[Event]
+      val (raw, dir, eventsDf) = eventFeed(spark, sfDir, "graft_stream_sess")
+      val events = eventsDf
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]
       val name = nextSinkName("graft_stream_sess")
       withSink(spark, name) {
       val q = sessionize(events).writeStream
@@ -251,17 +266,7 @@ object EventStreams {
     */
   def sessionWindowFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val drained = graft.Tables.withNanosAsLong(spark) {
-      val path = s"$sfDir/events.parquet"
-      val raw = spark.read.parquet(path)
-      val dir = graft.TempDirs.create("graft_stream_swin")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      val events = raw.schema("ts").dataType match {
-        case LongType => stream0.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
+      val (raw, dir, events) = eventFeed(spark, sfDir, "graft_stream_swin")
       val sessions = events
         .withWatermark("ts", "10 minutes")
         .groupBy(col("user_id"),
@@ -409,21 +414,7 @@ object EventStreams {
     // file splits convert the parquet schema as they are read; the
     // shared flag lock scopes it atomically vs other scoped uses
     graft.Tables.withNanosAsLong(spark) {
-      val path = s"$sfDir/events.parquet"
-      val raw = spark.read.parquet(path)
-      // the file-stream source monitors a DIRECTORY; expose the single
-      // driver-generated file through a per-run symlink dir (at
-      // deployment the landing zone is a directory already; per-run
-      // avoids cross-JVM races on a shared fixed path)
-      val dir = graft.TempDirs.create("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      val events = raw.schema("ts").dataType match {
-        case LongType => stream0.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
-        case _ => stream0
-      }
+      val (_, _, events) = eventFeed(spark, sfDir, "graft_stream_src")
       val name = nextSinkName("graft_stream_hourly")
       withSink(spark, name) {
         val q = hourlyCountsFull(events).writeStream

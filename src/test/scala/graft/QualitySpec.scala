@@ -23,14 +23,14 @@ class QualitySpec extends SparkSpec {
   }
 
   test("expectations plan: scan-local constraints fold into one " +
-      "aggregate per table — five scans plus the one FK anti join") {
+      "aggregate per table — five scans plus the one FK join") {
     val plan = Quality.expectations(spark, sf)
       .queryExecution.optimizedPlan
     val scans = plan.collectLeaves()
     // documents, orders, lineitem, events + (lineitem, orders) for FK
-    // + lineitem total = 7 leaves; the point is it does NOT grow with
-    // the number of constraints (7 checks, 7 leaves)
-    assert(scans.size == 7, s"${scans.size} leaves")
+    // = 6 leaves; the point is it does NOT grow with the number of
+    // constraints (7 checks, 6 leaves)
+    assert(scans.size == 6, s"${scans.size} leaves")
   }
 
   test("snapshot diff classifies the modular drift exactly") {
