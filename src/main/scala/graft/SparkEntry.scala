@@ -312,7 +312,9 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
+    "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
+    "q_entity_match" -> ((s, d) => Quality.entityMatch(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
     "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
@@ -343,6 +345,7 @@ object SparkEntry {
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
     "q_leakage_split" -> ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     "q_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
+    "q_group_sample" -> ((s, d) => Pipeline.groupSample(s, d)),
     "q_mix_weights" -> ((s, d) => Pipeline.mixWeights(s, d)),
     "q_mix_sample" -> ((s, d) => Pipeline.mixSample(s, d)),
     "q_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
@@ -2311,6 +2314,28 @@ object SparkEntry {
         |  round(CAST(n_common AS DOUBLE)
         |    / CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jaccard
         |FROM wedge JOIN deg da ON a = da.id JOIN deg db ON b = db.id""".stripMargin,
+    // four rounds of the min-hop recurrence unrolled as CTEs — at a
+    // fixed depth the relational recurrence equals frontier BFS
+    "q_bfs_hops" ->
+      s"""WITH $edgeCtes,
+        |d0 AS (SELECT min(a) AS doc_id, CAST(0 AS BIGINT) AS hop FROM sym),
+        |d1 AS (SELECT doc_id, min(hop) AS hop FROM (
+        |  SELECT doc_id, hop FROM d0 UNION ALL
+        |  SELECT s.b, d.hop + 1 FROM d0 d JOIN sym s ON s.a = d.doc_id)
+        |  GROUP BY 1),
+        |d2 AS (SELECT doc_id, min(hop) AS hop FROM (
+        |  SELECT doc_id, hop FROM d1 UNION ALL
+        |  SELECT s.b, d.hop + 1 FROM d1 d JOIN sym s ON s.a = d.doc_id)
+        |  GROUP BY 1),
+        |d3 AS (SELECT doc_id, min(hop) AS hop FROM (
+        |  SELECT doc_id, hop FROM d2 UNION ALL
+        |  SELECT s.b, d.hop + 1 FROM d2 d JOIN sym s ON s.a = d.doc_id)
+        |  GROUP BY 1),
+        |d4 AS (SELECT doc_id, min(hop) AS hop FROM (
+        |  SELECT doc_id, hop FROM d3 UNION ALL
+        |  SELECT s.b, d.hop + 1 FROM d3 d JOIN sym s ON s.a = d.doc_id)
+        |  GROUP BY 1)
+        |SELECT doc_id, hop FROM d4""".stripMargin,
     // the audit a regulator reads: before = deleted + after, cascade
     // replayed via the same modular forget-set
     "q_gdpr_delete" ->
@@ -2349,6 +2374,35 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0)
         |ORDER BY es_key DESC, doc_id
         |LIMIT 100""".stripMargin,
+    // the engine's bounded TopKPerKey heaps vs the oracle's window —
+    // same md5-of-id rank order, affordable as a window at gate SFs
+    "q_group_sample" ->
+      """SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS hk,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+        |    AS BIGINT) AS rnk
+        |FROM events
+        |QUALIFY rnk <= 8""".stripMargin,
+    // sorted-neighborhood candidates replayed as the same window +
+    // rank-gap join; DuckDB's levenshtein is the same classic DP
+    "q_entity_match" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY c_name, c_custkey) AS BIGINT) AS rn
+        |  FROM customer),
+        |probes AS (
+        |  SELECT c_nationkey, c_mktsegment, c_custkey AS a_key,
+        |    c_name AS a_name, rn + gap AS rn2
+        |  FROM ranked, (SELECT unnest([1, 2, 3]) AS gap))
+        |SELECT p.c_nationkey AS nationkey, p.c_mktsegment AS mktsegment,
+        |  p.a_key, b.c_custkey AS b_key,
+        |  CAST(levenshtein(p.a_name, b.c_name) AS INT) AS dist
+        |FROM probes p JOIN ranked b
+        |  ON b.c_nationkey = p.c_nationkey
+        |  AND b.c_mktsegment = p.c_mktsegment AND b.rn = p.rn2
+        |WHERE levenshtein(p.a_name, b.c_name) <= 1""".stripMargin,
     "dedup_canonical" ->
       """SELECT doc_id, canon_fp,
         |  min(doc_id) OVER (PARTITION BY canon_fp) AS canonical_id,

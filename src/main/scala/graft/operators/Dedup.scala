@@ -722,6 +722,47 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** BFS hop distance from the graph's anchor node (the minimum
+    * doc_id touching any near-dup edge) — the reachability analytic
+    * (fifth in the graph family): how many dup-hops separate a
+    * document from the cluster seed, the per-node input to
+    * chain-length capping (a doc 4 borderline hops from the seed is
+    * usually NOT a duplicate of it, the transitive-closure trap
+    * C4-style pipelines guard against).
+    *
+    * Distributed shape: synchronous frontier BFS — each round joins
+    * ONLY the newly-settled frontier against the (localCheckpointed)
+    * edge list, dedups the candidates, and anti-joins the settled set,
+    * so round cost is O(edges out of the frontier), never O(E·iters);
+    * per-round `localCheckpoint` keeps plan depth constant exactly as
+    * in [[clusters]]. Unweighted min-hop is
+    * shuffle-order-deterministic, so the gate is an exact hash match
+    * against the oracle's unrolled relational recurrence
+    * (d_k = min(d_{k-1}, 1 + min over in-neighbors) truncated at the
+    * same round count — equivalent to frontier BFS at depth k).
+    */
+  def bfsHops(spark: SparkSession, sfDir: String, iters: Int = 4): DataFrame = {
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val sym = e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val src = sym.agg(min(col("doc_a")).as("doc_id"))
+    var dist = src.select(col("doc_id"), lit(0L).as("hop")).localCheckpoint()
+    var frontier = dist.select("doc_id")
+    for (i <- 1 to iters) {
+      val next = sym
+        .join(frontier.select(col("doc_id").as("doc_a")), "doc_a")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .join(dist, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(i.toLong).as("hop"))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select("doc_id")
+    }
+    dist
+  }
+
   // ---- Exact-substring (suffix-style) dedup --------------------------
 
   /** Exact duplicated-SUBSTRING span detection — the character-level

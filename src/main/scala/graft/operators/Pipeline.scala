@@ -151,6 +151,29 @@ object Pipeline {
       .limit(k)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Deterministic fixed-k sample PER GROUP — the per-source /
+    * per-language inspection draw every curation run ships alongside
+    * its aggregate report (8 eyeball rows per event_type, stable
+    * across reruns and engines). Rank = md5 of the row id rendered in
+    * decimal — a uniform, engine-portable hash order (identical
+    * lowercase hex in Spark and DuckDB), so "random" needs no RNG
+    * state and reruns are reproducible.
+    *
+    * Scale shape: [[graft.plans.TopKPerKey]] bounded per-partition
+    * heaps (k rows per group per task, merged once) — never a
+    * per-group `row_number` window, whose sort would ship every row
+    * of a hot group to one reducer. The oracle IS that window,
+    * affordable at gate SFs.
+    */
+  def groupSample(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string").cast("binary")).as("hk"))
+    graft.plans.TopKPerKey(ev, Seq("event_type"),
+        Seq(("hk", false), ("event_id", false)), k)
+      .select(col("event_type"), col("event_id"), col("hk"), col("rnk"))
+  }
+
   /** Benchmark decontamination — the 13-gram overlap filter: a corpus
     * document is contaminated when it shares any 13-word shingle with
     * the benchmark set. The benchmark's shingle set is SMALL by

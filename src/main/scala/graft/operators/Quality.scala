@@ -134,6 +134,52 @@ object Quality {
     * (`q_compact_files`' move-bytes machinery); this op is the
     * row-selection + audit half.
     */
+  /** Sorted-neighborhood entity resolution over the customer master —
+    * the blocked pairwise-match step every master-data/record-linkage
+    * pipeline runs before survivorship. Candidates are generated the
+    * scale-safe way: block on (c_nationkey, c_mktsegment), rank each
+    * block by (c_name, c_custkey), and compare ONLY rows within `w`
+    * rank positions of each other — the sorted-neighborhood method's
+    * O(n·w) candidate set, never the O(n²) block self-join. The rank
+    * gap is realized as an EQUI-join: each row explodes its next `w`
+    * rank slots and joins (block, rank) — no non-equi band join, and
+    * the shuffle key is the block + rank pair, so AQE can split a hot
+    * block. Match = edit distance ≤ 1 between names (both engines
+    * implement classic Levenshtein). Per-block ranking is one window
+    * sort per block; blocks here are bounded by construction
+    * (nation × segment), and at 100 TB the block key would gain a
+    * name-prefix component to keep every block task-sized — the
+    * candidate arithmetic is unchanged.
+    */
+  def entityMatch(spark: SparkSession, sfDir: String, w: Int = 3): DataFrame =
+    entityMatchOver(Tables.customer(spark, sfDir), w)
+
+  /** Same operator over any customer-shaped frame — planted-twin
+    * specs pin the match semantics.
+    */
+  def entityMatchOver(customers: DataFrame, w: Int): DataFrame = {
+    val c = customers
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    val byBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("c_name"), col("c_custkey"))
+    val ranked = c.withColumn("rn", row_number().over(byBlock).cast("long"))
+    val probes = ranked.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      explode(sequence(col("rn") + 1, col("rn") + w)).as("rn2"))
+    probes
+      .join(ranked.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+        col("rn").as("rn2")),
+        Seq("c_nationkey", "c_mktsegment", "rn2"))
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        col("a_key"), col("b_key"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+  }
+
   def gdprDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)

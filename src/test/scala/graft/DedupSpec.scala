@@ -363,6 +363,37 @@ class DedupSpec extends SparkSpec {
     assert(tri.exceptAll(brute).isEmpty && brute.exceptAll(tri).isEmpty)
   }
 
+  test("bfs hops: frontier BFS equals the cumulative min-hop recurrence, " +
+      "anchor sits at hop 0, and adjacent nodes differ by at most one hop") {
+    val iters = 4
+    val hops = Dedup.bfsHops(spark, sf, iters).cache()
+    val e = Dedup.ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val sym = e.unionByName(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // exactly one node at hop 0: the minimum id in the edge set
+    val anchors = hops.filter(col("hop") === 0).collect()
+    assert(anchors.length == 1)
+    assert(anchors(0).getLong(0) ==
+      sym.agg(min("doc_a")).head().getLong(0))
+    // adjacency ⇒ |hop difference| ≤ 1 wherever both endpoints settled
+    val both = sym
+      .join(hops.select(col("doc_id").as("doc_a"), col("hop").as("ha")), "doc_a")
+      .join(hops.select(col("doc_id").as("doc_b"), col("hop").as("hb")), "doc_b")
+    assert(both.filter(abs(col("ha") - col("hb")) > 1
+      && col("ha") < iters && col("hb") < iters).isEmpty)
+    // independent replay: the O(E·iters) cumulative min-hop recurrence
+    var dist = hops.filter(col("hop") === 0).select("doc_id", "hop")
+    for (_ <- 1 to iters) {
+      dist = dist.unionByName(
+          sym.join(dist.select(col("doc_id").as("doc_a"), col("hop")), "doc_a")
+            .select(col("doc_b").as("doc_id"), (col("hop") + 1).as("hop")))
+        .groupBy("doc_id").agg(min("hop").as("hop"))
+        .localCheckpoint()
+    }
+    assert(hops.exceptAll(dist).isEmpty && dist.exceptAll(hops).isEmpty)
+  }
+
   test("containment catches the planted subset pair that jaccard misses") {
     import spark.implicits._
     val small = (1 to 20).map(i => s"sub_$i")

@@ -378,6 +378,32 @@ class PipelineSpec extends SparkSpec {
     e1.unpersist()
   }
 
+  test("group sample: k per group, ranks contiguous, window replay " +
+      "agrees, and reruns are identical") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val g = Pipeline.groupSample(spark, sf, k).cache()
+    val sizes = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    // every group contributes min(k, group size) rows, ranks 1..that
+    val per = g.groupBy("event_type")
+      .agg(count(lit(1)).as("got"), max("rnk").as("maxr"), min("rnk").as("minr"))
+      .join(sizes, "event_type")
+    assert(per.filter(col("got") =!= least(lit(k.toLong), col("n"))).isEmpty)
+    assert(per.filter(col("minr") =!= 1 || col("maxr") =!= col("got")).isEmpty)
+    // independent replay: the per-group window the operator avoids
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("hk"), col("event_id"))
+    val replay = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    assert(g.exceptAll(replay).isEmpty && replay.exceptAll(g).isEmpty)
+    val again = Pipeline.groupSample(spark, sf, k)
+    assert(g.exceptAll(again).isEmpty && again.exceptAll(g).isEmpty)
+  }
+
   test("vector stats cover every label with sane norms") {
     val v = Pipeline.vectorStats(spark, sf).cache()
     val labels = Tables.embeddings(spark, sf)

@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
       s"KLL cutpoint aggregate missing from plan:\n$p")
   }
 
+  test("group_sample ranks on bounded TopKPerKey heaps, never a " +
+      "per-group window sort; entity_match candidates are equi-joined") {
+    val p = plan(graft.operators.Pipeline.groupSample(spark, sf))
+    assert(p.contains("TopKPerKey"), s"bounded heap missing:\n$p")
+    assert(!p.contains("Window"), s"hot-group window sort in plan:\n$p")
+    val em = plan(graft.operators.Quality.entityMatch(spark, sf))
+    assert(!em.contains("CartesianProduct"))
+    assert(!em.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("minhash LSH candidate join is a hash join, not cartesian") {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"))

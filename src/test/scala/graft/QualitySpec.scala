@@ -170,6 +170,40 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("entity match: pairs equal the band-join replay, stay in-block, " +
+      "and a planted twin pair is found") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val em = Quality.entityMatch(spark, sf).cache()
+    assert(em.filter(col("dist") > 1).isEmpty)
+    // independent replay: the same window ranking, but candidates from
+    // a non-equi rank-band join instead of the exploded rank slots
+    val byBlock = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("c_name"), col("c_custkey"))
+    val ranked = Tables.customer(spark, sf)
+      .withColumn("rn", row_number().over(byBlock).cast("long"))
+    val replay = ranked.as("a").join(ranked.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey")
+          && col("a.c_mktsegment") === col("b.c_mktsegment")
+          && col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + 3
+          && levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_nationkey").as("nationkey"),
+        col("a.c_mktsegment").as("mktsegment"),
+        col("a.c_custkey").as("a_key"), col("b.c_custkey").as("b_key"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+    assert(em.exceptAll(replay).isEmpty && replay.exceptAll(em).isEmpty)
+    // planted twins: names one edit apart, same block, adjacent ranks
+    val twins = Seq(
+      (900000001L, "Acme Corp", 7, "BUILDING"),
+      (900000002L, "Acme Corq", 7, "BUILDING"),
+      (900000003L, "Zebra Ltd", 7, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val found = Quality.entityMatchOver(twins, 3)
+      .select("a_key", "b_key").collect()
+    assert(found.toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((900000001L, 900000002L)))
+  }
+
   test("compaction shrinks the file count without touching content") {
     val (small, big) = graft.operators.Layout.compactRun(spark, sf)
     assert(graft.operators.Layout.parquetFileCount(small) == 64)

@@ -481,9 +481,14 @@ class RelationalExtSpec extends SparkSpec {
     val df = SparkEntry.queries("sql_lateral")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     // Catalyst must rewrite the correlated LIMIT into a rank + single
-    // join; a BroadcastNestedLoopJoin would re-scan customer per nation
+    // join; a BroadcastNestedLoopJoin would re-scan customer per nation.
+    // The bounded rank is WindowGroupLimit on a fresh session, or the
+    // engine's TopKPerKey when a prior test registered the
+    // RewriteWindowTopK rule in the shared session — both are the
+    // per-partition-heap shape; a bare sort-the-group WindowExec is not.
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerKey"),
+      plan)
     val perNation = df.groupBy("n_name").count().collect()
     assert(perNation.nonEmpty && perNation.forall(_.getLong(1) <= 3))
   }
