@@ -109,6 +109,8 @@ object SparkEntry {
     // rows-gated: Lloyd layouts are not DuckDB-reproducible
     "q_embed_kmeans" -> ((s, d) => Similarity.embedKmeans(s, d)),
     "q_anomaly_mad" -> ((s, d) => Relational.anomalyMad(s, d)),
+    "q_changepoint" -> ((s, d) => Relational.changepoint(s, d)),
+    "q_skyline" -> ((s, d) => Relational.skyline(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
@@ -360,6 +362,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
+    "text_blocklist" -> ((s, d) => TextAnalysis.blocklist(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_c4_filters" -> ((s, d) => TextAnalysis.c4Filters(s, d)),
@@ -1802,6 +1805,49 @@ object SparkEntry {
     // moment sums in decimal (order-independent), mean/σ/z via single
     // IEEE ops on the exact sums, z rounded BEFORE ranking, event_id
     // tiebreak — top-k per type so the result is non-empty at every SF
+    // same integer-cents CUSUM recurrence: daily decimal sums →
+    // BIGINT cents, division-free n·x−Σ deviations, running sum in
+    // BIGINT; doubles only in the reported score
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |cents AS (
+        |  SELECT day, rev, CAST(rev * 100 AS BIGINT) AS cents FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          sum(cents) AS s FROM cents),
+        |cusum AS (
+        |  SELECT day, rev, n,
+        |    sum(n * cents - s) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM cents, tot),
+        |peak AS (SELECT max(abs(c)) AS p FROM cusum),
+        |pday AS (SELECT min(day) AS peak_day FROM cusum, peak
+        |         WHERE abs(c) = p)
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        |  round(CAST(c AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
+        |    AS cusum,
+        |  day = peak_day AS is_peak
+        |FROM cusum, pday""".stripMargin,
+    // one candidate per distinct price (min size, then min partkey),
+    // frontier = size strictly under the running min over lower prices
+    "q_skyline" ->
+      """WITH cand AS (
+        |  SELECT p_retailprice AS price, min(p_size) AS size
+        |  FROM part GROUP BY 1),
+        |cand2 AS (
+        |  SELECT c.price, c.size, min(p.p_partkey) AS p_partkey
+        |  FROM cand c JOIN part p
+        |    ON p.p_retailprice = c.price AND p.p_size = c.size
+        |  GROUP BY 1, 2),
+        |sky AS (
+        |  SELECT p_partkey, price, size,
+        |    min(size) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM cand2)
+        |SELECT p_partkey, price, size FROM sky
+        |WHERE pm IS NULL OR size < pm""".stripMargin,
     // median/MAD via quantile_cont (the KLL exact-regime pairing);
     // robust z derives in one fixed-order IEEE chain, round-6, rank
     // on the rounded value with event_id tie-break
@@ -3196,6 +3242,23 @@ object SparkEntry {
         |          AS BIGINT), 1) AS n_sentences,
         |        CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
         |          AS BIGINT) AS n_syllables
+        |      FROM documents)""".stripMargin,
+    // same whitespace tokens, same literal lexicon, same round-6
+    // ratio; keep mirrors the n_hits=0 OR ratio<=τ verdict
+    "text_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(w, x -> x IN ('slow','dup','spill')))
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(len(list_filter(w, x -> x IN ('slow','dup','spill')))
+        |      AS DOUBLE)
+        |    / CAST(nullif(len(w), 0) AS DOUBLE), 6) AS hit_ratio,
+        |  (len(list_filter(w, x -> x IN ('slow','dup','spill'))) = 0
+        |    OR round(CAST(len(list_filter(w, x -> x IN ('slow','dup','spill')))
+        |        AS DOUBLE)
+        |      / CAST(nullif(len(w), 0) AS DOUBLE), 6) <= 0.05) AS keep
+        |FROM (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
         |      FROM documents)""".stripMargin,
     "text_langid" ->
       """SELECT doc_id, s_en, s_de, s_es, s_fr,

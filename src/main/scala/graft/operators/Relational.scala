@@ -1753,4 +1753,102 @@ object Relational {
           .as("corr_xy"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** 2-D SKYLINE (Pareto frontier): the parts no other part beats on
+    * both price and size — the multi-criteria shortlist query
+    * (cheapest-for-its-size catalog cut). A part is dominated when
+    * some other part has price ≤ and size ≤ with at least one strict.
+    *
+    * Scale shape — never the O(n²) dominance self-join: (1) the corpus
+    * collapses to one candidate per DISTINCT price (min size, then min
+    * partkey) in one partial-agg shuffle; (2) the frontier test
+    * "size < min size over all strictly lower prices" is a running
+    * min in price order, computed with the SAME two-level
+    * range-partitioned prefix trick as `Pipeline.packBins`: slice-local
+    * running mins per range partition + a P-row slice-min frame whose
+    * prefix broadcasts back — no global single-task window ever sees
+    * the candidate set. Ties: equal price keeps only the min-size
+    * candidate; equal size to the prefix min is dominated (lower price
+    * earlier in the order).
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame =
+    skylineOver(Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("size")))
+
+  /** Same operator over any (p_partkey, price, size) frame — planted
+    * staircase specs pin the frontier.
+    */
+  def skylineOver(parts: DataFrame): DataFrame = {
+    val spark = parts.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val cand = parts
+      .groupBy("price")
+      .agg(min(struct(col("size"), col("p_partkey"))).as("m"))
+      .select(col("price"), col("m.size").as("size"),
+        col("m.p_partkey").as("p_partkey"))
+    val ranged = cand.repartitionByRange(p, col("price"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = ranged.withColumn("lmin", min(col("size")).over(wLocal))
+    // P rows — the only unpartitioned window runs over slice minima
+    val wPrior = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = ranged.groupBy("pid").agg(min(col("size")).as("smin"))
+      .withColumn("pmin", min(col("smin")).over(wPrior))
+      .select(col("pid"), col("pmin"))
+    withLocal.join(broadcast(prior), "pid")
+      .withColumn("prefix_min", least(col("lmin"), col("pmin")))
+      .filter(col("prefix_min").isNull
+        || col("size") < col("prefix_min"))
+      .select(col("p_partkey"), col("price"), col("size"))
+  }
+
+  /** CUSUM change-point scan over the daily revenue series — the
+    * mean-shift detector beside the pointwise outlier hunters
+    * (`anomalyZscore`, `anomalyMad`): the day where the cumulative sum
+    * of deviations from the series mean peaks in magnitude is the
+    * maximum-likelihood single change point of a mean-shift model.
+    *
+    * Scale shape: the 100 TB fact table collapses to O(#days) rows in
+    * ONE partial-aggregating shuffle; the cumulative window and the
+    * peak flag run over that tiny series (the single-task window is
+    * |days| rows by construction — same license as `q_yoy_growth`).
+    * Exact integer arithmetic end-to-end: daily sums in decimal cents
+    * become BIGINT, the deviation uses the division-free n·x−Σ form
+    * (same argmax, no per-row rounding choice), and the running sum
+    * stays integral — the peak day is shuffle-order- and engine-exact;
+    * doubles appear only in the reported score.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepointOver(Tables.orders(spark, sfDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice").as("v")))
+
+  /** Same operator over any (day, v) frame — planted-shift specs pin
+    * the peak day.
+    */
+  def changepointOver(facts: DataFrame): DataFrame = {
+    val daily = facts
+      .groupBy("day")
+      .agg(sum(money(col("v"))).as("rev"))
+      .withColumn("cents", (col("rev") * 100).cast("long"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.crossJoin(broadcast(tot))
+      .withColumn("c", sum(col("n") * col("cents") - col("s")).over(w))
+    val peak = cusum.agg(max(abs(col("c"))).as("peak"))
+    val peakDay = cusum.crossJoin(broadcast(peak))
+      .filter(abs(col("c")) === col("peak"))
+      .agg(min(col("day")).as("peak_day"))
+    cusum.crossJoin(broadcast(peakDay))
+      .withColumn("is_peak", col("day") === col("peak_day"))
+      .select(col("day"), col("rev").cast("double").as("rev"),
+        round(col("c").cast("double")
+          / (col("n").cast("double") * 100.0), 4).as("cusum"),
+        col("is_peak"))
+  }
 }

@@ -69,6 +69,41 @@ object TextAnalysis {
           size(col("w"))).as("mean_word_len"))
   }
 
+  /** Blocklist term scan — the wordlist gate (LDNOOBW-style "bad
+    * words", policy terms, brand screens) every public-corpus pipeline
+    * runs beside the statistical `quality` ratios: per document, how
+    * many tokens hit the list, the hit ratio, and the keep verdict.
+    * The list is a tiny literal array evaluated scan-side
+    * (`array_contains` against a broadcast-free `typedLit`, the
+    * `quality` stopword pattern) — the whole operator is ONE
+    * projection over the documents scan: zero shuffles, zero joins,
+    * codegen end-to-end, so it composes into `pipeline_curate`-style
+    * fusions for free at any corpus size.
+    */
+  def blocklist(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("slow", "dup", "spill"),
+      maxRatio: Double = 0.05): DataFrame =
+    blocklistOver(Tables.documents(spark, sfDir), terms, maxRatio)
+
+  /** Same operator over any (doc_id, text) frame — planted-hit specs
+    * pin the counts and the verdict.
+    */
+  def blocklistOver(docs: DataFrame, terms: Seq[String],
+      maxRatio: Double): DataFrame = {
+    val lex = typedLit(terms)
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(filter(col("w"), w => array_contains(lex, w)))
+          .cast("long").as("n_hits"))
+      .withColumn("hit_ratio",
+        round(safeDiv(col("n_hits"), col("n_words")), 6))
+      .withColumn("keep",
+        col("n_hits") === 0 || col("hit_ratio") <= maxRatio)
+  }
+
   /** Flesch reading-ease per document — the classic readability axis
     * the ratio heuristics in `quality` don't cover. Syllables are
     * approximated as vowel-group runs (the standard dictionary-free

@@ -516,6 +516,55 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: planted mean shift peaks exactly at the shift " +
+      "boundary and reruns are identical") {
+    import spark.implicits._
+    // 10 days at 100.00, then 10 days at 200.00 — CUSUM |peak| at the
+    // last low day (day 10)
+    val facts = (1 to 20).map { d =>
+      (f"2024-01-$d%02d", if (d <= 10) 100.0 else 200.0)
+    }.toDF("day", "v")
+    val cp = Relational.changepointOver(facts).cache()
+    assert(cp.count() == 20)
+    val peaks = cp.filter(col("is_peak")).collect()
+    assert(peaks.length == 1)
+    assert(peaks(0).getString(0) == "2024-01-10")
+    // symmetric series: cusum at the boundary = -n*shift/2/100 scaled;
+    // just pin sign and magnitude ordering
+    assert(peaks(0).getDouble(2) < 0)
+    val again = Relational.changepointOver(facts)
+    assert(cp.exceptAll(again).isEmpty && again.exceptAll(cp).isEmpty)
+  }
+
+  test("skyline: planted staircase keeps exactly the frontier and " +
+      "equals the brute-force dominance filter on the real table") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1.0, 5), (2L, 2.0, 3), (3L, 3.0, 3), // 3 dominated by 2
+      (4L, 4.0, 1), (5L, 5.0, 9),               // 5 dominated
+      (6L, 1.0, 7)                              // same price as 1, bigger
+    ).toDF("p_partkey", "price", "size")
+    val sky = Relational.skylineOver(pts).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(sky == Seq(1L, 2L, 4L))
+    // real table: frontier == brute-force "no dominator exists"
+    val real = Relational.skyline(spark, sf).cache()
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("size"))
+    val dominated = parts.as("a").join(parts.as("b"),
+        col("b.price") <= col("a.price") && col("b.size") <= col("a.size")
+          && (col("b.price") < col("a.price") || col("b.size") < col("a.size")),
+        "left_semi")
+    val frontier = parts.exceptAll(dominated)
+      // brute frontier keeps ALL min-size ties at a price; the
+      // operator's canonical cut keeps the min-partkey one
+      .groupBy("price", "size").agg(min("p_partkey").as("p_partkey"))
+      .select("p_partkey", "price", "size")
+    assert(real.exceptAll(frontier).isEmpty
+      && frontier.exceptAll(real).isEmpty)
+  }
+
   test("parameterized sql binds named markers like literals: result " +
       "equals the literal twin and the filter reaches the scan") {
     val bound = SparkEntry.queries("sql_param")(spark, sf)

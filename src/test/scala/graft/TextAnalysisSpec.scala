@@ -398,4 +398,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.filter(col("ratio") <= 0.0 || col("ratio") > 2.0).isEmpty)
     corpus.unpersist()
   }
+
+  test("blocklist: planted hits count exactly, the verdict follows the " +
+      "ratio, and the plan is a zero-shuffle projection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text with no flagged terms at all here today"),
+      (2L, "slow scan slow merge slow join"),           // 3/6 hits
+      (3L, "one dup inside twenty one words of otherwise clean text " +
+        "padding padding padding padding padding padding padding " +
+        "padding padding padding pad"),                 // 1/21 hits
+      (4L, "spill"))                                    // 1/1 hits
+      .toDF("doc_id", "text")
+    val r = TextAnalysis
+      .blocklistOver(docs, Seq("slow", "dup", "spill"), 0.05)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((10L, 0L, true)))
+    assert(r(2L) == ((6L, 3L, false)))
+    assert(r(3L) == ((21L, 1L, true)))    // 1/21 ≈ 0.0476 ≤ 0.05
+    assert(r(4L) == ((1L, 1L, false)))
+    val plan = TextAnalysis.blocklist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist must not shuffle:\n$plan")
+  }
 }
