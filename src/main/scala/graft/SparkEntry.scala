@@ -315,6 +315,8 @@ object SparkEntry {
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
+    "q_kcore" -> ((s, d) => Dedup.kcore(s, d)),
+    "q_label_prop" -> ((s, d) => Dedup.labelProp(s, d)),
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
     "q_entity_match" -> ((s, d) => Quality.entityMatch(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
@@ -2382,6 +2384,56 @@ object SparkEntry {
         |  SELECT s.b, d.hop + 1 FROM d3 d JOIN sym s ON s.a = d.doc_id)
         |  GROUP BY 1)
         |SELECT doc_id, hop FROM d4""".stripMargin,
+    // four peel rounds of the k=2 core unrolled: each round keeps
+    // nodes with degree >= 2 among the previous survivors; the spec
+    // pins convergence by round 4 at the gate SFs
+    "q_kcore" ->
+      s"""WITH $edgeCtes,
+        |n0 AS (SELECT DISTINCT a AS id FROM sym),
+        |a1 AS (SELECT s.a AS id FROM sym s JOIN n0 x ON s.a = x.id
+        |       JOIN n0 y ON s.b = y.id GROUP BY 1 HAVING count(*) >= 2),
+        |a2 AS (SELECT s.a AS id FROM sym s JOIN a1 x ON s.a = x.id
+        |       JOIN a1 y ON s.b = y.id GROUP BY 1 HAVING count(*) >= 2),
+        |a3 AS (SELECT s.a AS id FROM sym s JOIN a2 x ON s.a = x.id
+        |       JOIN a2 y ON s.b = y.id GROUP BY 1 HAVING count(*) >= 2),
+        |a4 AS (SELECT s.a AS id FROM sym s JOIN a3 x ON s.a = x.id
+        |       JOIN a3 y ON s.b = y.id GROUP BY 1 HAVING count(*) >= 2),
+        |cd AS (SELECT s.a AS id, CAST(count(*) AS BIGINT) AS core_deg
+        |       FROM sym s JOIN a4 x ON s.a = x.id JOIN a4 y ON s.b = y.id
+        |       GROUP BY 1)
+        |SELECT n0.id AS doc_id,
+        |  coalesce(cd.core_deg, 0) >= 2 AS in_core,
+        |  CAST(coalesce(cd.core_deg, 0) AS BIGINT) AS core_deg
+        |FROM n0 LEFT JOIN cd ON n0.id = cd.id""".stripMargin,
+    // three vote rounds of label propagation unrolled: seeds are the
+    // doc_id % 4 = 0 nodes carrying their document's lang; unlabeled
+    // nodes adopt the (count desc, label asc) majority of ALL labeled
+    // neighbors; labels clamp once assigned
+    "q_label_prop" -> {
+      def round(prev: String, i: Int): String =
+        s"""v$i AS (SELECT s.b AS doc_id, l.label, count(*) AS c
+           |  FROM $prev l JOIN sym s ON s.a = l.doc_id
+           |  WHERE s.b NOT IN (SELECT doc_id FROM $prev)
+           |  GROUP BY 1, 2),
+           |p$i AS (SELECT doc_id, label FROM (
+           |    SELECT doc_id, label,
+           |      row_number() OVER (PARTITION BY doc_id
+           |                         ORDER BY c DESC, label) AS rn
+           |    FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT * FROM $prev UNION ALL
+           |  SELECT doc_id, label, CAST($i AS BIGINT) FROM p$i)""".stripMargin
+      s"""WITH $edgeCtes,
+        |nodes AS (SELECT DISTINCT a AS doc_id FROM sym),
+        |l0 AS (SELECT n.doc_id, d.lang AS label, CAST(0 AS BIGINT) AS rnd
+        |       FROM nodes n JOIN documents d USING (doc_id)
+        |       WHERE n.doc_id % 4 = 0),
+        |${round("l0", 1)},
+        |${round("l1", 2)},
+        |${round("l2", 3)}
+        |SELECT n.doc_id, coalesce(l.label, 'unlabeled') AS label,
+        |  CAST(coalesce(l.rnd, -1) AS BIGINT) AS rnd
+        |FROM nodes n LEFT JOIN l3 l USING (doc_id)""".stripMargin
+    },
     // the audit a regulator reads: before = deleted + after, cascade
     // replayed via the same modular forget-set
     "q_gdpr_delete" ->

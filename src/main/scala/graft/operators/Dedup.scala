@@ -763,6 +763,125 @@ object Dedup {
     dist
   }
 
+  /** k-core decomposition (k = 2) of the near-dup graph — the sixth
+    * graph analytic: iterative peeling strips pendant/chain structure
+    * until every surviving node keeps degree ≥ k WITHIN the survivor
+    * set. The 2-core separates mutually-supported dup clusters from
+    * the borderline chains `bfsHops` measures — the standard "is this
+    * cluster real or a daisy chain" screen before canonical selection.
+    *
+    * Distributed shape: each peel round is ONE degree partial-agg
+    * over the edges restricted to surviving endpoints (two semi
+    * joins) — O(E) per round at a small fixed round count, plan depth
+    * held constant by per-round `localCheckpoint` (the PageRank
+    * discipline). The FIXED round count is what makes the gate
+    * engine-exact (the oracle unrolls the same rounds as CTEs); the
+    * spec pins that peeling has CONVERGED by that depth at the gate
+    * SFs (round R equals round R+1), so the fixed-depth answer is the
+    * true fixpoint there — the loud-convergence story of the CC loop.
+    * `in_core` is `core_deg ≥ k` over the final survivor set, which
+    * post-convergence is exactly 2-core membership.
+    */
+  def kcore(spark: SparkSession, sfDir: String, k: Int = 2,
+      iters: Int = 4): DataFrame = {
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    kcoreOver(e, k, iters)
+  }
+
+  /** Same peel over any canonical (doc_a < doc_b) edge list — planted
+    * triangle-vs-chain specs pin the peel order.
+    */
+  def kcoreOver(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val sym = e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val nodes = sym.select(col("doc_a").as("id")).distinct().localCheckpoint()
+    var alive = nodes
+    def survivorDeg(a: DataFrame): DataFrame = sym
+      .join(a.select(col("id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(a.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to iters) {
+      alive = survivorDeg(alive).filter(col("deg") >= k)
+        .select(col("doc_a").as("id"))
+        .localCheckpoint()
+    }
+    nodes
+      .join(survivorDeg(alive)
+          .select(col("doc_a").as("id"), col("deg").as("core_deg")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        (coalesce(col("core_deg"), lit(0L)) >= k).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** Semi-supervised LABEL PROPAGATION over the near-dup graph — the
+    * weak-supervision analytic (seventh in the family): a
+    * deterministic quarter of the graph's nodes (doc_id % 4 = 0) is
+    * seeded with its document's language label, and each round every
+    * still-unlabeled node adopts the MAJORITY label among all its
+    * labeled neighbors — count desc, label asc tie-break, a total
+    * order, so the spread is engine- and shuffle-order-deterministic.
+    * A label, once assigned, never changes (seed clamping): each
+    * round only EXTENDS the labeled set, the loop is monotone, and a
+    * fixed round count gates exactly against the oracle's unrolled
+    * CTE rounds.
+    *
+    * Distributed shape: each round is one edges⋈labels join into a
+    * partial-agg (node, label) vote count plus a bounded per-node
+    * argmax — the PageRank shape, O(E) per round for a small fixed
+    * count, plan depth held by per-round `localCheckpoint`. At 100 TB
+    * the vote join is keyed on the node id and AQE-skew-splittable;
+    * hub degrees are already bounded by the LSH df-cap upstream.
+    */
+  def labelProp(spark: SparkSession, sfDir: String,
+      iters: Int = 3): DataFrame = {
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val nodes = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id"))).distinct()
+    val seeds = nodes.filter(col("doc_id") % 4 === 0)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("lang").as("label"))
+    labelPropOver(e, seeds, iters)
+  }
+
+  /** Same spread over any canonical edge list + (doc_id, label) seed
+    * set — planted chain/tie specs pin the vote and clamp rules.
+    */
+  def labelPropOver(e: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val sym = e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val nodes = sym.select(col("doc_a").as("doc_id")).distinct()
+      .localCheckpoint()
+    var labeled = seeds
+      .select(col("doc_id"), col("label"), lit(0L).as("rnd"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val votes = sym
+        .join(labeled.select(col("doc_id").as("doc_a"), col("label")),
+          "doc_a")
+        .select(col("doc_b").as("doc_id"), col("label"))
+        .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy("doc_id", "label").agg(count(lit(1)).as("c"))
+      val picked = votes
+        .groupBy("doc_id")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("doc_id"), col("m.l").as("label"),
+          lit(i.toLong).as("rnd"))
+      labeled = labeled.unionByName(picked).localCheckpoint()
+    }
+    nodes
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), lit("unlabeled")).as("label"),
+        coalesce(col("rnd"), lit(-1L)).as("rnd"))
+  }
+
   // ---- Exact-substring (suffix-style) dedup --------------------------
 
   /** Exact duplicated-SUBSTRING span detection — the character-level

@@ -394,6 +394,66 @@ class DedupSpec extends SparkSpec {
     assert(hops.exceptAll(dist).isEmpty && dist.exceptAll(hops).isEmpty)
   }
 
+  test("kcore: the planted triangle survives the peel, the pendant chain " +
+      "does not, and the real-corpus peel has converged at the gate depth") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a chain 3-4-5-6 hanging off it: rounds peel
+    // 6, then 5, then 4; the triangle keeps mutual degree 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("doc_a", "doc_b")
+    val core = Dedup.kcoreOver(edges, 2, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(Set(1L, 2L, 3L).forall(id => core(id) == ((true, 2L))),
+      s"triangle should survive with core_deg 2: $core")
+    assert(Set(4L, 5L, 6L).forall(id => core(id) == ((false, 0L))),
+      s"chain should peel off completely: $core")
+    // real corpus: the fixed gate depth IS the fixpoint (one more
+    // round changes nothing) — the loud-convergence condition that
+    // licenses the unrolled oracle
+    val r4 = Dedup.kcore(spark, sf, 2, 4).cache()
+    val r5 = Dedup.kcore(spark, sf, 2, 5)
+    assert(r4.exceptAll(r5).isEmpty && r5.exceptAll(r4).isEmpty,
+      "k-core peel has not converged by round 4 at the gate SF")
+    // membership is consistent: in_core ⇔ core_deg ≥ 2
+    assert(r4.filter(col("in_core") =!= (col("core_deg") >= 2)).isEmpty)
+  }
+
+  test("label propagation: chains spread one hop per round, ties break " +
+      "label-ascending, and assigned labels clamp") {
+    import spark.implicits._
+    // chain: seed 0(en) - 1 - 2 - 3 spreads en at rounds 1, 2, 3;
+    // node 10 has two seeded neighbors with distinct labels (fr from
+    // 8, de from 9) → tie at count 1 breaks to 'de' < 'fr';
+    // node 20 is isolated from every seed → unlabeled
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 10L), (9L, 10L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val seeds = Seq((0L, "en"), (8L, "fr"), (9L, "de")).toDF("doc_id", "label")
+    val out = Dedup.labelPropOver(edges, seeds, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == (("en", 0L)) && out(1L) == (("en", 1L))
+      && out(2L) == (("en", 2L)) && out(3L) == (("en", 3L)),
+      s"chain spread wrong: $out")
+    assert(out(10L) == (("de", 1L)), s"tie should break to 'de': $out")
+    assert(out(20L) == (("unlabeled", -1L))
+      && out(21L) == (("unlabeled", -1L)), s"isolated pair labeled: $out")
+    // clamping: node 1 keeps 'en' even though 'de'-labeled 10 could
+    // never outvote it later (labels never re-open once set) — replay
+    // with more rounds, nothing already-labeled changes
+    val more = Dedup.labelPropOver(edges, seeds, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.forall { case (id, v) => more(id) == v })
+    // real corpus: every seed keeps its own document's lang
+    val real = Dedup.labelProp(spark, sf).cache()
+    val seedsKeepLang = real
+      .filter(col("doc_id") % 4 === 0 && col("rnd") === 0)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .filter(col("label") =!= col("lang"))
+    assert(seedsKeepLang.isEmpty)
+    assert(real.filter(col("rnd") >= 1).count() > 0,
+      "no label ever propagated on the real corpus")
+  }
+
   test("containment catches the planted subset pair that jaccard misses") {
     import spark.implicits._
     val small = (1 to 20).map(i => s"sub_$i")
