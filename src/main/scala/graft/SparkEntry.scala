@@ -133,6 +133,8 @@ object SparkEntry {
     "q_observe_metrics" -> ((s, d) => Relational.observeMetrics(s, d)),
     "q_bootstrap_ci" -> ((s, d) => Stats.bootstrapCi(s, d)),
     "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
+    "q_ks_test" -> ((s, d) => Stats.ksTest(s, d)),
+    "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     // rows-gated: zlib output is not reproducible in DuckDB
@@ -3208,6 +3210,69 @@ object SparkEntry {
         |  round(((sea + seb) * (sea + seb)) /
         |        ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)), 6) AS df
         |FROM d""".stripMargin,
+    // grid KS: pooled 1/32 quantiles (exact KLL regime ⇒ quantile_cont
+    // reproduces the cuts), BIGINT CDF numerators, argmax on the exact
+    // DECIMAL(38,0) cross product |ka·nb − kb·na| with min-j tie-break
+    "q_ks_test" -> {
+      val probs = (1 to 31).map(j => (j / 32.0).toString).mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |qs AS (SELECT quantile_cont(v, [$probs]) AS qs FROM ev),
+         |counts AS (
+         |  SELECT event_type,
+         |    1 + len(list_filter(qs, c -> c < v)) AS b, count(*) AS cnt
+         |  FROM ev CROSS JOIN qs GROUP BY 1, 2),
+         |ns AS (SELECT
+         |    sum(CASE WHEN event_type = 'click' THEN cnt END) AS na,
+         |    sum(CASE WHEN event_type = 'purchase' THEN cnt END) AS nb
+         |  FROM counts),
+         |grid AS (SELECT j, qs[j] AS c FROM qs,
+         |         (SELECT unnest(generate_series(1, 31)) AS j)),
+         |cum AS (
+         |  SELECT g.j, g.c,
+         |    coalesce(sum(CASE WHEN event_type = 'click' THEN cnt END), 0)
+         |      AS ka,
+         |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN cnt END), 0)
+         |      AS kb
+         |  FROM grid g JOIN counts x ON x.b <= g.j GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT j, c, ka, kb, na, nb,
+         |    abs(CAST(ka AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+         |      - CAST(kb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)))
+         |      AS num
+         |  FROM cum CROSS JOIN ns)
+         |SELECT 'click' AS type_a, 'purchase' AS type_b,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  round(CAST(num AS DOUBLE)
+         |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+         |  CAST(j AS BIGINT) AS at_grid, round(c, 6) AS at_value
+         |FROM scored ORDER BY num DESC, j LIMIT 1""".stripMargin
+    },
+    // winsorized means: per-type quantile_cont bounds (exact-regime
+    // KLL twin), clipped values round to 6 and sum in decimal
+    "q_winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |b AS (SELECT event_type,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.01) AS lo,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.99) AS hi
+        |      FROM ev GROUP BY 1),
+        |w AS (SELECT e.event_type, e.v, b.lo, b.hi,
+        |        CAST(round(greatest(b.lo,
+        |          least(b.hi, CAST(e.v AS DOUBLE))), 6) AS DECIMAL(18,6))
+        |          AS w
+        |      FROM ev e JOIN b USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN CAST(v AS DOUBLE) < lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN CAST(v AS DOUBLE) > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_hi,
+        |  round(min(lo), 6) AS p01, round(min(hi), 6) AS p99,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS mean_winsor
+        |FROM w GROUP BY 1""".stripMargin,
     "ann_topk_brute" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

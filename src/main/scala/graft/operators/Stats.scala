@@ -455,4 +455,129 @@ object Stats {
         round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
         round(col("t"), 6).as("t_stat"), round(col("df"), 6).as("df"))
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV distance between the `value`
+    * distributions of two event types, evaluated on a fixed quantile
+    * grid — the distribution-shape complement to `abTest`'s
+    * mean-difference test (two sources can share a mean and still
+    * differ everywhere else; KS is what a drift monitor actually
+    * wants).
+    *
+    * The statistic is D = max_j |F_a(c_j) − F_b(c_j)| over the 31
+    * POOLED 1/32-quantile grid points. Evaluating on a fixed grid is
+    * what makes the operator scale: the corpus is scanned ONCE to
+    * bucket every value against the broadcast cut array (bucket =
+    * 1 + #cuts strictly below, the `q_quantile_bucket` projection),
+    * partial-aggregated to ≤ 2·32 count rows, and everything after
+    * is grid-sized. The exact KS over raw values would need a global
+    * merge-sort of both samples — a single-task funnel at 100 TB —
+    * and the grid-D underestimates true D by at most the grid mesh
+    * (spec-measured on planted shifts). Cutpoints come from the KLL
+    * sketch (exact regime at the gate SFs, so DuckDB `quantile_cont`
+    * reproduces them bit-for-bit; approximate-but-mergeable beyond).
+    *
+    * Cross-engine determinism: CDF numerators stay BIGINT; the
+    * argmax key |ka·nb − kb·na| is an EXACT DECIMAL(38,0) product
+    * difference (never a float CDF subtraction), ties break to the
+    * lower grid index; the one IEEE division happens after selection.
+    */
+  def ksTest(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "purchase"): DataFrame =
+    ksTestOver(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** Same operator over any (event_type, value) frame — planted
+    * disjoint/identical/shifted-overlap specs pin D. */
+  def ksTestOver(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val ev = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        money(col("value")).cast("double").as("v"))
+    val probs = (1 to 31).map(_ / 32.0)
+    val cuts = ev.agg(kll_quantiles(col("v"), 65536, probs).as("cuts"))
+    // one corpus pass: bucket + partial-agg to ≤ 2×32 rows (eager —
+    // reused for both the per-type totals and the CDF)
+    val counts = ev.crossJoin(broadcast(cuts))
+      .select(col("event_type"),
+        (lit(1) + size(filter(col("cuts"), c => c < col("v"))))
+          .cast("long").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ns = counts.agg(
+      sum(when(col("event_type") === typeA, col("cnt"))).as("na"),
+      sum(when(col("event_type") === typeB, col("cnt"))).as("nb"))
+    val grid = cuts
+      .select(posexplode(col("cuts")).as(Seq("j0", "c")))
+      .select((col("j0") + 1).cast("long").as("j"), col("c"))
+    // buckets 1..j cover exactly {v ≤ c_j}: F_t(c_j)·n_t = Σ_{b≤j} cnt
+    val cum = grid.join(counts, col("b") <= col("j"))
+      .groupBy("j", "c")
+      .agg(
+        sum(when(col("event_type") === typeA, col("cnt"))).as("ka"),
+        sum(when(col("event_type") === typeB, col("cnt"))).as("kb"))
+    val d19 = DecimalType(19, 0)
+    val scored = cum.crossJoin(broadcast(ns))
+      .select(col("j"), col("c"),
+        coalesce(col("ka"), lit(0L)).as("ka"),
+        coalesce(col("kb"), lit(0L)).as("kb"), col("na"), col("nb"))
+      .withColumn("num",
+        abs(col("ka").cast(d19) * col("nb").cast(d19)
+          - col("kb").cast(d19) * col("na").cast(d19)))
+    scored
+      .agg(max(struct(col("num"), (-col("j")).as("mj"), col("j").as("j"),
+        col("c").as("c"), col("ka").as("ka"), col("kb").as("kb"),
+        col("na").as("na"), col("nb").as("nb"))).as("m"))
+      .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("m.na").as("n_a"), col("m.nb").as("n_b"),
+        round(col("m.num").cast("double") /
+          (col("m.na").cast("double") * col("m.nb").cast("double")), 6)
+          .as("d_stat"),
+        col("m.j").as("at_grid"), round(col("m.c"), 6).as("at_value"))
+  }
+
+  /** WINSORIZED per-type value statistics — the robust-mean
+    * preprocessing step (clip, don't drop, the tails before a mean
+    * enters a feature or a report): every value clips into its
+    * type's [p01, p99] KLL-quantile band, and the report carries the
+    * clip counts plus raw vs winsorized means side by side.
+    *
+    * Scale shape: one grouped KLL pass (O(k) mergeable buffers per
+    * type — never a whole-column percentile buffer), bounds broadcast
+    * back (#types rows), then ONE partial-aggregated scan for all
+    * counts and sums. Clipped values round to 6 places and sum IN
+    * DECIMAL (order-free); each mean is a single IEEE division at the
+    * end. Exact regime at the gate SFs makes DuckDB `quantile_cont`
+    * the bit-exact oracle (the `q_anomaly_mad` convention).
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizeOver(Tables.events(spark, sfDir))
+
+  /** Same operator over any (event_type, value) frame — a planted
+    * outlier spec pins the clip arithmetic. */
+  def winsorizeOver(events: DataFrame): DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val ev = events.select(col("event_type"), money(col("value")).as("v"))
+    val bounds = ev.groupBy("event_type")
+      .agg(kll_quantiles(col("v").cast("double"), 65536, Seq(0.01, 0.99))
+        .as("qs"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("lo"),
+        element_at(col("qs"), 2).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("vd", col("v").cast("double"))
+      .withColumn("w",
+        round(greatest(col("lo"), least(col("hi"), col("vd"))), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vd") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("vd") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("v")).as("sraw"), sum(col("w")).as("swin"))
+      .select(col("event_type"), col("n"), col("n_clip_lo"),
+        col("n_clip_hi"),
+        round(col("lo"), 6).as("p01"), round(col("hi"), 6).as("p99"),
+        round(col("sraw").cast("double") / col("n"), 6).as("mean_raw"),
+        round(col("swin").cast("double") / col("n"), 6).as("mean_winsor"))
+  }
 }

@@ -130,6 +130,64 @@ class StatsSpec extends SparkSpec {
     })
   }
 
+  test("ks test: disjoint samples hit D=1, identical samples hit D=0, " +
+      "a half-shift lands near 0.5, and the real corpus replays exactly") {
+    import spark.implicits._
+    def frame(a: Seq[Int], b: Seq[Int]) =
+      (a.map(v => ("A", v.toDouble)) ++ b.map(v => ("B", v.toDouble)))
+        .toDF("event_type", "value")
+    // disjoint: every A below every B → some grid point separates
+    // them completely
+    val disjoint = Stats.ksTestOver(
+      frame(1 to 100, 101 to 200), "A", "B").head()
+    assert(disjoint.getAs[Double]("d_stat") == 1.0, s"disjoint: $disjoint")
+    // identical distributions → D = 0 at every grid point
+    val same = Stats.ksTestOver(
+      frame(1 to 100, 1 to 100), "A", "B").head()
+    assert(same.getAs[Double]("d_stat") == 0.0, s"identical: $same")
+    // half-overlapping shift: true D = 0.5; the grid underestimates
+    // by at most the mesh (1/32 per sample)
+    val shifted = Stats.ksTestOver(
+      frame(1 to 100, 51 to 150), "A", "B").head()
+    val d = shifted.getAs[Double]("d_stat")
+    assert(d > 0.4 && d <= 0.5, s"shifted D out of band: $d")
+    // real corpus: bounded, deterministic replay
+    val real = Stats.ksTest(spark, sf).cache()
+    val r = real.head()
+    assert(r.getAs[Double]("d_stat") >= 0.0 && r.getAs[Double]("d_stat") <= 1.0)
+    val again = Stats.ksTest(spark, sf)
+    assert(real.exceptAll(again).isEmpty && again.exceptAll(real).isEmpty)
+  }
+
+  test("winsorize: planted outliers clip to the quantile band and the " +
+      "winsorized mean follows exactly") {
+    import spark.implicits._
+    val vals = (1 to 98).map(_.toDouble) ++ Seq(-1000.0, 1000.0)
+    val out = Stats.winsorizeOver(
+      vals.map(v => ("A", v)).toDF("event_type", "value")).head()
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Long]("n_clip_lo") == 1L, s"clip lo: $out")
+    assert(out.getAs[Long]("n_clip_hi") == 1L, s"clip hi: $out")
+    val p01 = out.getAs[Double]("p01")
+    val p99 = out.getAs[Double]("p99")
+    assert(p01 > -1000.0 && p01 < 1.0 && p99 > 98.0 && p99 < 1000.0)
+    // non-clipped values pass through untouched, so the winsorized
+    // mean is (sum(1..98) + p01 + p99) / 100 up to the 6dp rounding
+    val expect = ((1 to 98).sum + p01 + p99) / 100.0
+    assert(math.abs(out.getAs[Double]("mean_winsor") - expect) < 1e-5,
+      s"mean_winsor ${out.getAs[Double]("mean_winsor")} vs $expect")
+    assert(out.getAs[Double]("mean_raw") == 48.51)
+    // real corpus: each side clips about 1%, and the winsorized mean
+    // sits inside the clip band
+    val real = Stats.winsorize(spark, sf).cache()
+    val n = real.agg(sum("n")).head().getLong(0)
+    val clipped = real.agg(sum(col("n_clip_lo") + col("n_clip_hi")))
+      .head().getLong(0)
+    assert(clipped > 0 && clipped < n * 0.05, s"clipped $clipped of $n")
+    assert(real.filter(col("mean_winsor") < col("p01")
+      || col("mean_winsor") > col("p99")).isEmpty)
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
