@@ -417,6 +417,8 @@ object SparkEntry {
       ((s, d) => graft.sources.Formats.binaryDocs(s, d)),
     "q_dsv2_source" ->
       ((s, _) => graft.sources.Formats.dsv2Aggregate(s)),
+    "q_dsv2_sink" ->
+      ((s, d) => graft.sources.Formats.dsv2SinkRollup(s, d)),
     "q_xml_events" ->
       ((s, d) => graft.sources.Formats.eventsFromXml(s, d)),
     "q_file_metadata" ->
@@ -1257,6 +1259,16 @@ object SparkEntry {
         |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
         |FROM range(200000) t(id)
         |WHERE id >= 120000 AND id < 180000
+        |GROUP BY 1""".stripMargin,
+    // the sink round-trip is content-preserving: the rollup over the
+    // manifest-read files equals the rollup computed at the source
+    "q_dsv2_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value
+        |FROM (SELECT user_id, event_type, count(*) AS n,
+        |        sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |      FROM events GROUP BY 1, 2)
         |GROUP BY 1""".stripMargin,
     // 25 planted broken lines quarantine into the corrupt column; every
     // clean-table row must survive the PERMISSIVE read

@@ -417,4 +417,31 @@ object Formats {
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
   }
+
+  /** The DSv2 WRITE path end-to-end
+    * ([[graft.sources.v2.GraftSinkSource]]): a per-(user, event_type)
+    * rollup appends through the sink's two-phase commit protocol
+    * (per-task temps → task commit messages → one driver commit +
+    * manifest), then the answer reads back ONLY the manifest-listed
+    * files and rolls up per type — so the gate covers serialization,
+    * the commit protocol, AND manifest-scoped visibility in one hash.
+    */
+  def dsv2SinkRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dir = graft.TempDirs.create("graft_dsv2_sink").toString
+    graft.Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    graft.sources.v2.GraftSink.readBack(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("total_value"))
+  }
 }

@@ -1,0 +1,208 @@
+package graft.sources.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the DataSourceV2 surface (the read half is
+  * [[SyntheticSource]]): a file sink implementing the full two-phase
+  * batch commit protocol —
+  *
+  *   `TableProvider` → `SupportsWrite` → `WriteBuilder` → `BatchWrite`
+  *   → per-task `DataWriter`s → task `commit()` messages → ONE
+  *   driver-side job `commit(messages)`.
+  *
+  * Exactly-once semantics come from the protocol, not from luck:
+  * every task attempt writes to its own `.tmp-<part>-<task>` file; a
+  * failed/aborted attempt's `abort()` deletes its temp; only the
+  * single authorized attempt per partition (Spark's commit
+  * coordinator) contributes a commit message; and the job-level
+  * `commit` publishes atomically — temp files rename to final parts
+  * and a `_MANIFEST` lists exactly the committed files. Readers go
+  * THROUGH the manifest ([[GraftSink.readBack]]), so uncommitted or
+  * orphaned files are invisible by construction. This is the
+  * Hadoop-committer pattern restated in DSv2 terms; on a real cluster
+  * the renames are same-filesystem moves on the shared store, and at
+  * 100 TB the payoff is that task retries and speculative attempts
+  * never double-write a row (a spec injects a first-attempt writer
+  * failure and pins the output identical).
+  *
+  * Rows serialize as TSV (schema-driven: long/int/string/decimal/
+  * double; nulls rejected loudly — the sink's declared demo schema is
+  * non-null). Free-text strings must not carry tabs/newlines; the
+  * writer enforces it per value.
+  */
+class GraftSinkSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSink.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft sink needs option 'path'")
+    new GraftSinkTable(schema, path)
+  }
+}
+
+object GraftSink {
+  /** The sink table's declared schema: a per-(user, event_type)
+    * rollup — every field TSV-safe.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("n", LongType),
+    StructField("sum_value", DecimalType(18, 2))))
+
+  val ManifestName = "_MANIFEST"
+
+  /** Read a committed sink directory back — ONLY the manifest-listed
+    * files, never a directory listing: uncommitted temps and orphans
+    * are invisible, which is the sink's visibility contract.
+    */
+  def readBack(spark: SparkSession, path: String): DataFrame = {
+    val manifest = Paths.get(path, ManifestName)
+    require(Files.exists(manifest), s"no committed manifest under $path")
+    val files = Files.readAllLines(manifest).asScala
+      .filter(_.nonEmpty)
+      .map(_.split("\t")(0))
+      .map(f => Paths.get(path, f).toString)
+      .toSeq
+    spark.read.schema(Schema).option("sep", "\t").csv(files: _*)
+  }
+
+  /** Test hook: when set, the writer for partition 0 throws on its
+    * first task attempt (after writing some rows), exercising the
+    * abort + re-attempt path. Mirrors [[graft] FaultInjector]].
+    */
+  val failFirstAttempt = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class GraftSinkTable(schema: StructType, path: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft_sink($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftSinkBatchWrite(info.schema(), path)
+      }
+    }
+}
+
+/** Job-level commit: rename every task's temp to its final part name
+  * and publish the manifest LAST — readers key off the manifest, so
+  * the commit is all-or-nothing at the manifest write.
+  */
+class GraftSinkBatchWrite(schema: StructType, path: String)
+    extends BatchWrite {
+  Files.createDirectories(Paths.get(path))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new GraftSinkWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftSinkCommit])
+    msgs.foreach { m =>
+      Files.move(Paths.get(path, m.tmpName), Paths.get(path, m.finalName),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val lines = msgs.map(m => s"${m.finalName}\t${m.rows}").sorted
+    Files.write(Paths.get(path, GraftSink.ManifestName),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftSinkCommit => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(path, m.tmpName)))
+}
+
+case class GraftSinkCommit(tmpName: String, finalName: String, rows: Long)
+    extends WriterCommitMessage
+
+class GraftSinkWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftSinkWriter(schema, path, partitionId, taskId)
+}
+
+class GraftSinkWriter(schema: StructType, path: String, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val tmpName = f".tmp-$partitionId%05d-$taskId"
+  private val out = Files.newBufferedWriter(
+    Paths.get(path, tmpName), StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  // field serializers resolved once per writer, never per row
+  private val fieldOf: Array[InternalRow => String] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val get: InternalRow => String = f.dataType match {
+        case LongType => r => r.getLong(i).toString
+        case IntegerType => r => r.getInt(i).toString
+        case DoubleType => r => r.getDouble(i).toString
+        case StringType => r => {
+          val s = r.getUTF8String(i).toString
+          require(!s.contains('\t') && !s.contains('\n'),
+            s"TSV-unsafe string in column ${f.name}")
+          s
+        }
+        case d: DecimalType =>
+          r => r.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.toPlainString
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft sink does not serialize $other (column ${f.name})")
+      }
+      (r: InternalRow) => {
+        require(!r.isNullAt(i), s"null in non-null sink column ${f.name}")
+        get(r)
+      }
+    }
+
+  override def write(row: InternalRow): Unit = {
+    if (GraftSink.failFirstAttempt.get() && partitionId == 0 && rows == 1
+        && org.apache.spark.TaskContext.get() != null
+        && org.apache.spark.TaskContext.get().attemptNumber() == 0) {
+      throw new RuntimeException("injected first-attempt sink failure")
+    }
+    var i = 0
+    val sb = new StringBuilder
+    while (i < fieldOf.length) {
+      if (i > 0) sb.append('\t')
+      sb.append(fieldOf(i)(row))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftSinkCommit(tmpName, f"part-$partitionId%05d.tsv", rows)
+  }
+
+  override def abort(): Unit = {
+    GraftSink.aborted.incrementAndGet()
+    try out.close() catch { case _: Exception => () }
+    Files.deleteIfExists(Paths.get(path, tmpName))
+  }
+
+  override def close(): Unit = ()
+}

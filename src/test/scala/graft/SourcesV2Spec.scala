@@ -55,4 +55,61 @@ class SourcesV2Spec extends SparkSpec {
     // every group sees 60000/20 = 3000 ids
     assert(r.forall(_.getLong(1) == 3000L))
   }
+
+  test("dsv2 sink: the committed round-trip preserves content exactly " +
+      "and readers see only manifest-listed files") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_spec").toString
+    val src = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sv").cast("decimal(18,2)").as("sum_value"))
+      .cache()
+    src.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val back = GraftSink.readBack(spark, dir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "sink round-trip changed content")
+    // visibility contract: a stray file in the directory that the
+    // manifest does not list is invisible to readers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999.tsv"),
+      "1\tbogus\t1\t1.00\n".getBytes("UTF-8"))
+    val after = GraftSink.readBack(spark, dir)
+    assert(after.filter(col("event_type") === "bogus").isEmpty,
+      "reader picked up an uncommitted file")
+    // and no temp files survive a clean commit
+    val stray = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp-"))
+    assert(stray.isEmpty, s"leftover temps: ${stray.toSeq}")
+  }
+
+  test("dsv2 sink: a first-attempt writer failure aborts its temp and " +
+      "the re-attempt commits exactly-once output") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_retry").toString
+    val src = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sv").cast("decimal(18,2)").as("sum_value"))
+      .cache()
+    GraftSink.aborted.set(0)
+    GraftSink.failFirstAttempt.set(true)
+    try {
+      src.write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    } finally GraftSink.failFirstAttempt.set(false)
+    assert(GraftSink.aborted.get() >= 1,
+      "the injected failure never aborted a writer")
+    val back = GraftSink.readBack(spark, dir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "retried write duplicated or lost rows")
+    val stray = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp-"))
+    assert(stray.isEmpty, s"aborted attempt left temps: ${stray.toSeq}")
+  }
 }
