@@ -135,6 +135,8 @@ object SparkEntry {
     "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
     "q_ks_test" -> ((s, d) => Stats.ksTest(s, d)),
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
+    "q_auc" -> ((s, d) => Stats.auc(s, d)),
+    "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     // rows-gated: zlib output is not reproducible in DuckDB
@@ -3261,6 +3263,49 @@ object SparkEntry {
          |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
          |  CAST(j AS BIGINT) AS at_grid, round(c, 6) AS at_value
          |FROM scored ORDER BY num DESC, j LIMIT 1""".stripMargin
+    },
+    // histogram AUC: per-score pos/neg counts, cumulative negatives
+    // below each score, doubled integral numerator (ties count 1),
+    // exact decimal accumulation, one final IEEE division
+    "q_auc" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |h AS (SELECT score, sum(y) AS pos, sum(1 - y) AS neg
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT score, pos, neg,
+        |        coalesce(sum(neg) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumneg
+        |      FROM h),
+        |t AS (SELECT sum(pos) AS np, sum(neg) AS nn FROM h),
+        |num AS (SELECT sum(CAST(pos AS DECIMAL(19,0)) *
+        |                   CAST(2 * cumneg + neg AS DECIMAL(19,0))) AS num2
+        |        FROM c)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  round(CAST(num2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+        |FROM t CROSS JOIN num""".stripMargin,
+    // decile lift: quantile_cont cutpoints (exact-regime KLL twin),
+    // the same strictly-below bucket rule, exact counts, two IEEE
+    // divisions rounded at the gate
+    "q_lift" -> {
+      val probs = (1 to 9).map(j => (j / 10.0).toString).mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |cuts AS (SELECT quantile_cont(score, [$probs]) AS cs FROM ev),
+         |b AS (SELECT 1 + len(list_filter(cs, c -> c < score)) AS bucket,
+         |        count(*) AS n, sum(y) AS n_pos
+         |      FROM ev CROSS JOIN cuts GROUP BY 1),
+         |t AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+         |  round((CAST(n_pos AS DOUBLE) / n) /
+         |        (CAST(tp AS DOUBLE) / tn), 6) AS lift
+         |FROM b CROSS JOIN t""".stripMargin
     },
     // winsorized means: per-type quantile_cont bounds (exact-regime
     // KLL twin), clipped values round to 6 and sum in decimal

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -534,6 +535,101 @@ object Stats {
           (col("m.na").cast("double") * col("m.nb").cast("double")), 6)
           .as("d_stat"),
         col("m.j").as("at_grid"), round(col("m.c"), 6).as("at_value"))
+  }
+
+  /** Tie-corrected ROC AUC of a discrete score against a binary
+    * label, computed from the SCORE HISTOGRAM — the model-evaluation
+    * primitive (`q_linear_probe` trains the scorer; this grades any
+    * scorer, here the deterministic "does spend level separate
+    * purchases" baseline so the gate stays DuckDB-exact).
+    *
+    * AUC = P(score_pos > score_neg) + ½P(=) = Σ_s pos_s·(cumneg_<s +
+    * ½neg_s) / (nPos·nNeg). The rank-sum formulation would globally
+    * sort every row; the histogram formulation partial-aggs the
+    * corpus to |distinct scores| rows in ONE shuffle, then runs the
+    * cumulative-negatives prefix over the HISTOGRAM with the same
+    * two-level range-partition trick as `q_pack_bins`/`q_skyline`
+    * (per-slice partials + a P-row broadcast offset join + slice-
+    * local window) — never a single-task global window, so a
+    * billion-distinct-score corpus still spreads across the cluster.
+    * The numerator doubles to stay integral (ties count 1, strict
+    * wins count 2), accumulates in exact DECIMAL(38,0), and the one
+    * IEEE division lands at the end.
+    */
+  def auc(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame =
+    aucOver(Tables.events(spark, sfDir)
+      .select((money(col("value")) * 100).cast("long").as("score"),
+        (col("event_type") === posType).as("y")))
+
+  /** Same operator over any (score: long, y: boolean) frame —
+    * hand-computed planted AUCs (with ties) pin the arithmetic. */
+  def aucOver(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val hist = scored.groupBy("score")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    val ranged = hist.repartitionByRange(p, col("score"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = ranged.groupBy("pid").agg(sum(col("neg")).as("t"))
+      .withColumn("offset",
+        coalesce(sum(col("t")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wRun = Window.partitionBy(col("pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d19 = DecimalType(19, 0)
+    val cum = ranged.join(broadcast(offsets), "pid")
+      .withColumn("cumneg",
+        col("offset") + coalesce(sum(col("neg")).over(wRun), lit(0L)))
+    cum.agg(
+        sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+        sum(col("pos").cast(d19) *
+          (lit(2) * col("cumneg") + col("neg")).cast(d19)).as("num2"))
+      .select(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+  }
+
+  /** Score-DECILE LIFT table (the reliability/decile-analysis report
+    * that accompanies every propensity score): bucket the score into
+    * KLL deciles (exact regime at the gate SFs — `q_quantile_bucket`'s
+    * broadcast-cutpoint projection, never a global sort), then per
+    * bucket the observed positive rate and its lift over the base
+    * rate. One bucketing scan, one partial-agg shuffle to ≤10 rows.
+    * Rates are single IEEE divisions of exact counts, rounded at the
+    * gate.
+    */
+  def lift(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame =
+    liftOver(Tables.events(spark, sfDir)
+      .select(money(col("value")).cast("double").as("score"),
+        (col("event_type") === posType).as("y")))
+
+  /** Same operator over any (score: double, y: boolean) frame — a
+    * planted top-decile-only-positives corpus pins the lift. */
+  def liftOver(scored: DataFrame): DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val probs = (1 to 9).map(_ / 10.0)
+    val cuts = scored.agg(
+      kll_quantiles(col("score"), 65536, probs).as("cuts"))
+    val bucketed = scored.crossJoin(broadcast(cuts))
+      .select(col("y"),
+        (lit(1) + size(filter(col("cuts"), c => c < col("score"))))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+      .localCheckpoint()
+    val tot = bucketed.agg(sum(col("n")).as("tn"), sum(col("n_pos")).as("tp"))
+    bucketed.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round((col("n_pos").cast("double") / col("n")) /
+          (col("tp").cast("double") / col("tn")), 6).as("lift"))
   }
 
   /** WINSORIZED per-type value statistics — the robust-mean

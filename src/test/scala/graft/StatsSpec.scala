@@ -188,6 +188,49 @@ class StatsSpec extends SparkSpec {
       || col("mean_winsor") > col("p99")).isEmpty)
   }
 
+  test("auc: hand-computed planted values including ties, perfect and " +
+      "inverted separation, and a bounded real-corpus replay") {
+    import spark.implicits._
+    def frame(pos: Seq[Long], neg: Seq[Long]) =
+      (pos.map((_, true)) ++ neg.map((_, false))).toDF("score", "y")
+    // pos {3,1} vs neg {2,0}: wins (3>2),(3>0),(1>0) of 4 pairs = 0.75
+    assert(Stats.aucOver(frame(Seq(3, 1), Seq(2, 0)))
+      .head().getAs[Double]("auc") == 0.75)
+    // ties: pos {1,2} vs neg {1,0}: 3 wins + one tie/2 = 0.875
+    assert(Stats.aucOver(frame(Seq(1, 2), Seq(1, 0)))
+      .head().getAs[Double]("auc") == 0.875)
+    // perfect and inverted separation
+    assert(Stats.aucOver(frame(Seq(10, 11, 12), Seq(1, 2, 3)))
+      .head().getAs[Double]("auc") == 1.0)
+    assert(Stats.aucOver(frame(Seq(1, 2, 3), Seq(10, 11, 12)))
+      .head().getAs[Double]("auc") == 0.0)
+    val real = Stats.auc(spark, sf).cache()
+    val r = real.head()
+    assert(r.getAs[Double]("auc") >= 0.0 && r.getAs[Double]("auc") <= 1.0)
+    assert(r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+    val again = Stats.auc(spark, sf)
+    assert(real.exceptAll(again).isEmpty && again.exceptAll(real).isEmpty)
+  }
+
+  test("lift: a top-decile-only-positives corpus lifts 10x and the " +
+      "real-corpus table conserves totals") {
+    import spark.implicits._
+    val planted = (1 to 100)
+      .map(i => (i.toDouble, i > 90)).toDF("score", "y")
+    val l = Stats.liftOver(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getAs[Double]("lift")))).toMap
+    assert(l.size == 10)
+    assert(l(10L) == ((10L, 10L, 10.0)), s"top decile: ${l(10L)}")
+    assert((1L to 9L).forall(b => l(b)._2 == 0L && l(b)._3 == 0.0),
+      s"low deciles should hold no positives: $l")
+    val real = Stats.lift(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(real.agg(sum("n")).head().getLong(0) == ev.count())
+    assert(real.agg(sum("n_pos")).head().getLong(0) ==
+      ev.filter(col("event_type") === "purchase").count())
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
