@@ -137,6 +137,9 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
+    "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
+    "q_tokenizer_coverage" ->
+      ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     // rows-gated: zlib output is not reproducible in DuckDB
@@ -2648,6 +2651,26 @@ object SparkEntry {
         |  CAST(length(e) - length(replace(e, '<', ''))
         |    - len(regexp_extract_all(e, '<[a-z]>')) AS BIGINT) AS n_merged
         |FROM ap""".stripMargin),
+    // per-language rollup of the same apply chain joined to the lang
+    // dim: token fan-out + OOV rate per language
+    "q_tokenizer_coverage" -> (bpeTrainCtes + ",\n" + bpeApplyCtes + ",\n" +
+      """per AS (
+        |  SELECT a.doc_id, d.lang, a.n_words, a.n_dom,
+        |    a.n_words - a.n_dom + length(e) - length(replace(e, '<', ''))
+        |      AS n_tokens,
+        |    length(e) - length(replace(e, '<', ''))
+        |      - len(regexp_extract_all(e, '<[a-z]>')) AS n_merged
+        |  FROM ap a JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_words - n_dom) AS BIGINT) AS oov_words,
+        |  CAST(sum(n_merged) AS BIGINT) AS merged_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6)
+        |    AS tokens_per_word,
+        |  round(CAST(sum(n_words - n_dom) AS DOUBLE) / sum(n_words), 6)
+        |    AS oov_rate
+        |FROM per GROUP BY 1""".stripMargin),
     // pack-bins over the trained tokenizer's REAL token counts: the
     // same greedy per-shard packing window, budget measured in BPE
     // tokens from the bpe_apply chain
@@ -3307,6 +3330,27 @@ object SparkEntry {
          |        (CAST(tp AS DOUBLE) / tn), 6) AS lift
          |FROM b CROSS JOIN t""".stripMargin
     },
+    // one conditional-aggregate scan; F1 in its single-division form
+    "q_confusion" ->
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS fp,
+        |    sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS fn,
+        |    sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS tn
+        |  FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) >= 200.0
+        |          AS p,
+        |          event_type = 'purchase' AS y
+        |        FROM events))
+        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN tp + fp > 0
+        |       THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |       THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        |FROM m""".stripMargin,
     // winsorized means: per-type quantile_cont bounds (exact-regime
     // KLL twin), clipped values round to 6 and sum in decimal
     "q_winsorize" ->

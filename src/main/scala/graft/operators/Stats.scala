@@ -632,6 +632,46 @@ object Stats {
           (col("tp").cast("double") / col("tn")), 6).as("lift"))
   }
 
+  /** Thresholded CONFUSION MATRIX + precision/recall/F1 — the third
+    * leg of the evaluation family (`q_auc` ranks, `q_lift` buckets,
+    * this one commits to an operating point): predict positive at
+    * score ≥ τ, tally tp/fp/fn/tn in ONE conditional-aggregate scan,
+    * and derive the rates as single IEEE divisions of exact counts
+    * (F1 in its one-division 2tp/(2tp+fp+fn) form — never the
+    * chained precision·recall composition whose intermediate
+    * rounding differs by engine). Degenerate operating points are
+    * legal inputs, so every rate null-guards its zero denominator
+    * identically in both engines (ANSI Spark would otherwise throw,
+    * DuckDB would emit NaN — either way an engine-dependent edge).
+    */
+  def confusion(spark: SparkSession, sfDir: String,
+      posType: String = "purchase", threshold: Double = 200.0)
+      : DataFrame =
+    confusionOver(Tables.events(spark, sfDir)
+      .select(money(col("value")).cast("double").as("score"),
+        (col("event_type") === posType).as("y")), threshold)
+
+  /** Same operator over any (score, y) frame — a hand-tallied planted
+    * spec pins the matrix and the ≥-boundary. */
+  def confusionOver(scored: DataFrame, threshold: Double): DataFrame =
+    scored
+      .select(col("y"), (col("score") >= threshold).as("p"))
+      .agg(
+        sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round((lit(2.0) * col("tp")) /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+
   /** WINSORIZED per-type value statistics — the robust-mean
     * preprocessing step (clip, don't drop, the tails before a mean
     * enters a feature or a report): every value clips into its

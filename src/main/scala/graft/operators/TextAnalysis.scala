@@ -675,7 +675,15 @@ object TextAnalysis {
   /** Encode any documents-shaped frame with an explicit rank-ordered
     * merge list ("a|b" pairs) — lets specs drive a planted corpus.
     */
-  def bpeApplyOver(docs: DataFrame, merges: Seq[String]): DataFrame = {
+  def bpeApplyOver(docs: DataFrame, merges: Seq[String]): DataFrame =
+    bpeApplyDetail(docs, merges).drop("n_dom")
+
+  /** The apply pass with the in-domain word count retained —
+    * `bpeApplyOver` projects it away for the gated schema;
+    * [[tokenizerCoverage]] aggregates it into the OOV rate.
+    */
+  private[operators] def bpeApplyDetail(docs: DataFrame,
+      merges: Seq[String]): DataFrame = {
     val e0 = concat_ws(" ", transform(
       filter(wsTokens(col("text")),
         w => length(w) >= 2 && w.rlike("^[a-z]+$")),
@@ -697,10 +705,41 @@ object TextAnalysis {
         size(regexp_extract_all(col("e"), lit("<[a-z]>"), lit(0)))
           .cast("long").as("n_single"),
         col("n_dom"))
-      .select(col("doc_id"), col("n_words"),
+      .select(col("doc_id"), col("n_words"), col("n_dom"),
         (col("n_words") - col("n_dom") + col("n_sym"))
           .cast("long").as("n_tokens"),
         (col("n_sym") - col("n_single")).cast("long").as("n_merged"))
+  }
+
+  /** Per-LANGUAGE tokenizer-quality report — the EVAL that closes the
+    * BPE loop (train → vocab → apply → measure): token fan-out
+    * (tokens per word) and out-of-domain rate per language, straight
+    * off the apply pass joined to the document dims. A multilingual
+    * corpus encoded with an English-trained merge table shows exactly
+    * here — the non-domain languages carry OOV rates near 1 and no
+    * merge compression — which is the signal that drives per-language
+    * vocab sizing in a real tokenizer pipeline. One apply projection,
+    * one broadcast-dim join, one partial-agg shuffle to #langs rows.
+    */
+  def tokenizerCoverage(spark: SparkSession, sfDir: String,
+      nMerges: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeMergesOver(docs, nMerges).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    bpeApplyDetail(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_tokens").as("total_tokens"),
+        sum(col("n_words") - col("n_dom")).as("oov_words"),
+        sum("n_merged").as("merged_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_tokens"), col("oov_words"), col("merged_tokens"),
+        round(col("total_tokens").cast("double") / col("total_words"), 6)
+          .as("tokens_per_word"),
+        round(col("oov_words").cast("double") / col("total_words"), 6)
+          .as("oov_rate"))
   }
 
   // ---- PII detection / redaction --------------------------------------

@@ -231,6 +231,35 @@ class StatsSpec extends SparkSpec {
       ev.filter(col("event_type") === "purchase").count())
   }
 
+  test("confusion: a hand-tallied planted frame pins the matrix, the " +
+      ">= boundary, and the single-division rates") {
+    import spark.implicits._
+    val scored = Seq(
+      (500.0, true),   // exactly at τ → predicted positive → tp
+      (499.99, true),  // just under → fn
+      (600.0, false),  // fp
+      (1.0, false),    // tn
+      (700.0, true)    // tp
+    ).toDF("score", "y")
+    val r = Stats.confusionOver(scored, 500.0).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)), s"matrix: $r")
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 0.666667)
+    assert(r.getAs[Double]("f1") == 0.666667)
+    // degenerate operating point: nothing predicted positive →
+    // precision is null, never an engine-dependent NaN or a throw
+    val degen = Stats.confusionOver(
+      Seq((1.0, true), (2.0, false)).toDF("score", "y"), 100.0).head()
+    assert(degen.getLong(0) == 0L && degen.isNullAt(4), s"degenerate: $degen")
+    assert(degen.getAs[Double]("recall") == 0.0)
+    // real corpus: the four cells partition the table
+    val real = Stats.confusion(spark, sf).head()
+    assert(real.getLong(0) + real.getLong(1) + real.getLong(2) +
+      real.getLong(3) == Tables.events(spark, sf).count())
+    assert(real.getLong(0) > 0, "gate threshold leaves tp empty")
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4

@@ -187,6 +187,24 @@ class TextAnalysisSpec extends SparkSpec {
       "learned merges never fired on the corpus that trained them")
   }
 
+  test("tokenizer coverage: totals reconcile with the apply pass and " +
+      "rates stay in range per language") {
+    val cov = TextAnalysis.tokenizerCoverage(spark, sf).cache()
+    val applied = TextAnalysis.bpeApply(spark, sf).cache()
+    assert(cov.agg(sum("n_docs")).head().getLong(0) == applied.count())
+    assert(cov.agg(sum("total_words")).head().getLong(0) ==
+      applied.agg(sum("n_words")).head().getLong(0))
+    assert(cov.agg(sum("total_tokens")).head().getLong(0) ==
+      applied.agg(sum("n_tokens")).head().getLong(0))
+    assert(cov.agg(sum("merged_tokens")).head().getLong(0) ==
+      applied.agg(sum("n_merged")).head().getLong(0))
+    assert(cov.filter(col("oov_rate") < 0.0 || col("oov_rate") > 1.0)
+      .isEmpty)
+    // a word never encodes below one token, so fan-out ≥ 1 everywhere
+    assert(cov.filter(col("tokens_per_word") < 1.0).isEmpty)
+    applied.unpersist(); cov.unpersist()
+  }
+
   test("bigram perplexity: planted corpus matches a naive Stupid " +
       "Backoff reference; backoff fires exactly on pruned bigrams") {
     import spark.implicits._
