@@ -404,6 +404,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     "stream_moments" ->
       ((s, d) => graft.streaming.EventStreams.momentsFromFiles(s, d)),
+    "stream_drift" ->
+      ((s, d) => graft.streaming.EventStreams.driftFromFiles(s, d)),
     "stream_tws" ->
       ((s, d) => graft.streaming.EventStreams.twsPowerAlertsFromFiles(s, d)),
     "stream_observe" ->
@@ -743,6 +745,41 @@ object SparkEntry {
       |      '<' || split_part(p3.pair, '|', 1) || '><' || split_part(p3.pair, '|', 2) || '>',
       |      '<' || replace(p3.pair, '|', '') || '>') AS e
       |  FROM enc, p1, p2, p3)""".stripMargin
+
+  /** The PSI drift report: id-ordered halves as runs, run-1 deciles
+    * as bucket edges, add-½ smoothing, perplexity-style rounding.
+    * Shared by q_drift_psi and its streaming twin stream_drift (the
+    * maintained per-bucket counts are additive, so both reduce to
+    * the same final counts).
+    */
+  private val driftPsiSql = {
+    val probs = (1 until 10).map(_.toDouble / 10).mkString(", ")
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |d AS (
+       |  SELECT CASE WHEN doc_id < CAST(floor((mx + 1) / 2.0) AS BIGINT)
+       |           THEN 1 ELSE 2 END AS run,
+       |         CAST(n_chars AS DOUBLE) AS x
+       |  FROM documents CROSS JOIN mx),
+       |cuts AS (SELECT quantile_cont(x, [$probs]) AS cs FROM d WHERE run = 1),
+       |b AS (
+       |  SELECT run,
+       |    CAST(1 + len(list_filter(cs, c -> c < x)) AS BIGINT) AS bucket
+       |  FROM d CROSS JOIN cuts),
+       |c AS (
+       |  SELECT bucket,
+       |    CAST(sum(CASE WHEN run = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN run = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM b GROUP BY bucket),
+       |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+       |             CAST(sum(n2) AS BIGINT) AS t2 FROM c)
+       |SELECT bucket, n1, n2,
+       |  round(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0)
+       |         - (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))
+       |    * round(ln(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0))
+       |             / ((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))), 6),
+       |    6) AS psi_term
+       |FROM c CROSS JOIN t""".stripMargin
+  }
 
   private val vectorStatsSql =
     """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
@@ -2805,34 +2842,11 @@ object SparkEntry {
     // PSI drift between id-ordered halves: baseline deciles from the
     // first run only; add-half smoothing keeps emptied buckets finite;
     // ln rounded 6dp before the exact-double multiply, product rounded
-    "q_drift_psi" -> {
-      val probs = (1 until 10).map(_.toDouble / 10).mkString(", ")
-      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
-         |d AS (
-         |  SELECT CASE WHEN doc_id < CAST(floor((mx + 1) / 2.0) AS BIGINT)
-         |           THEN 1 ELSE 2 END AS run,
-         |         CAST(n_chars AS DOUBLE) AS x
-         |  FROM documents CROSS JOIN mx),
-         |cuts AS (SELECT quantile_cont(x, [$probs]) AS cs FROM d WHERE run = 1),
-         |b AS (
-         |  SELECT run,
-         |    CAST(1 + len(list_filter(cs, c -> c < x)) AS BIGINT) AS bucket
-         |  FROM d CROSS JOIN cuts),
-         |c AS (
-         |  SELECT bucket,
-         |    CAST(sum(CASE WHEN run = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         |    CAST(sum(CASE WHEN run = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
-         |  FROM b GROUP BY bucket),
-         |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
-         |             CAST(sum(n2) AS BIGINT) AS t2 FROM c)
-         |SELECT bucket, n1, n2,
-         |  round(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0)
-         |         - (CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))
-         |    * round(ln(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(t2 AS DOUBLE) + 5.0))
-         |             / ((CAST(n1 AS DOUBLE) + 0.5) / (CAST(t1 AS DOUBLE) + 5.0))), 6),
-         |    6) AS psi_term
-         |FROM c CROSS JOIN t""".stripMargin
-    },
+    "q_drift_psi" -> driftPsiSql,
+    // the streaming twin maintains the same per-bucket counts on the
+    // state store; counts are additive across the single-copy
+    // two-file feed, so the batch PSI oracle gates it bit-for-bit
+    "stream_drift" -> driftPsiSql,
     "q_corpus_report" ->
       """SELECT count(*) AS n_docs,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,

@@ -546,6 +546,65 @@ object EventStreams {
     }
   }
 
+  /** INCREMENTAL drift monitoring over a stream: the per-bucket
+    * occupancy counts behind the PSI report ride the state store
+    * across triggers, so "has this corpus drifted from the baseline"
+    * stays current per micro-batch without re-scanning history — the
+    * monitoring twin of the batch `q_drift_psi`. The baseline run's
+    * KLL decile cutpoints are computed ONCE batch-side (exact regime,
+    * a 9-double driver collect — the bounded-literal convention of
+    * the SRP codebooks) and enter the stream as a literal array, so
+    * in-stream bucketing is a STATELESS projection; the maintained
+    * state is ≤ nBuckets rows of two longs, fixed-size forever.
+    * Counts are ADDITIVE (replaying the feed doubles them), so the
+    * input is the SINGLE-copy two-file feed with maxFilesPerTrigger=1
+    * forcing the cross-batch carry; the drained final counts feed the
+    * identical smoothing/rounding PSI projection, and the batch
+    * oracle gates the stream bit-for-bit.
+    */
+  def driftFromFiles(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 10, kllK: Int = 8192): DataFrame = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("double").as("x"))
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val mid = (mx + 1) / 2 // floor((mx+1)/2): q_drift_psi's run split
+    val cuts: Seq[Double] = docs.filter(col("doc_id") < mid)
+      .agg(graft.functions.KllSketch.kll_quantiles(col("x"), kllK, probs))
+      .head().getSeq[Double](0)
+    val dir = graft.TempDirs.create("graft_stream_drift_src")
+    docs.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val cutsLit = typedLit(cuts)
+    val agg = stream
+      .select(when(col("doc_id") < mid, 1L).otherwise(2L).as("run"),
+        (lit(1) + size(filter(cutsLit, c => c < col("x"))))
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("run") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("run") === 2, 1L).otherwise(0L)).as("n2"))
+    val name = nextSinkName("graft_stream_drift")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val counts = drainMemorySink(spark, name)
+      val totals = counts.agg(sum(col("n1")).as("t1"),
+        sum(col("n2")).as("t2"))
+      val half = 0.5 * nBuckets
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p1", (col("n1").cast("double") + 0.5)
+          / (col("t1").cast("double") + half))
+        .withColumn("p2", (col("n2").cast("double") + 0.5)
+          / (col("t2").cast("double") + half))
+        .select(col("bucket"), col("n1"), col("n2"),
+          round((col("p2") - col("p1"))
+            * round(log(col("p2") / col("p1")), 6), 6).as("psi_term"))
+    }
+  }
+
   /** INCREMENTAL exact-moment maintenance over a stream: per-type
     * (n, Σx, Σx², min, max) ride the state store across triggers, so
     * mean/variance/extremes stay current without re-scanning history —

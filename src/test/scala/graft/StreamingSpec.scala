@@ -329,6 +329,17 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
   }
 
+  test("streaming drift PSI equals the batch drift report frame-for-frame " +
+      "(bucket counts carried across the two-file feed)") {
+    val got = EventStreams.driftFromFiles(spark, sf)
+    val exp = graft.operators.Pipeline.driftPsi(spark, sf)
+    assert(got.count() == exp.count() && exp.count() > 0)
+    assert(got.except(exp).isEmpty && exp.except(got).isEmpty)
+    // the conventional stability bar holds on the id-split corpus:
+    // both halves come from one distribution, so Σ terms < 0.1
+    assert(got.agg(sum(abs(col("psi_term")))).head().getDouble(0) < 0.1)
+  }
+
   test("streaming near-dup: a run-2 copy is caught against run-1 state " +
       "and the stream equals the batch window replay") {
     import spark.implicits._
