@@ -138,6 +138,7 @@ object SparkEntry {
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
+    "q_conformal" -> ((s, d) => Stats.conformal(s, d)),
     "q_tokenizer_coverage" ->
       ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
@@ -3344,6 +3345,48 @@ object SparkEntry {
          |        (CAST(tp AS DOUBLE) / tn), 6) AS lift
          |FROM b CROSS JOIN t""".stripMargin
     },
+    // split-conformal: md5 splits, cent-rounded train mean, q-hat by
+    // SELECTION over the calibration residual histogram, measured
+    // test coverage
+    "q_conformal" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN substring(md5('conf1:' || CAST(event_id AS VARCHAR)), 1, 1) < '8'
+        |           THEN 'train'
+        |         WHEN substring(md5('conf1:' || CAST(event_id AS VARCHAR)), 1, 1) < 'c'
+        |           THEN 'cal'
+        |         ELSE 'test' END AS split
+        |  FROM events),
+        |mu AS (SELECT event_type, count(*) AS n_train,
+        |         CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 2)
+        |           AS DECIMAL(18,2)) AS mu
+        |       FROM ev WHERE split = 'train' GROUP BY 1),
+        |hist AS (SELECT e.event_type, abs(e.v - m.mu) AS r, count(*) AS c
+        |         FROM ev e JOIN mu m USING (event_type)
+        |         WHERE split = 'cal' GROUP BY 1, 2),
+        |nc AS (SELECT event_type, sum(c) AS n_cal,
+        |         CAST(floor(((sum(c) + 1) * 9 + 9.0) / 10.0) AS BIGINT) AS k
+        |       FROM hist GROUP BY 1),
+        |cum AS (SELECT event_type, r,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY r
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM hist),
+        |q AS (SELECT c.event_type, min(c.r) AS qhat
+        |      FROM cum c JOIN nc USING (event_type)
+        |      WHERE cum >= k GROUP BY 1),
+        |tst AS (SELECT e.event_type, count(*) AS n_test,
+        |          sum(CASE WHEN abs(e.v - m.mu) <= q.qhat THEN 1 ELSE 0 END)
+        |            AS n_covered
+        |        FROM ev e JOIN mu m USING (event_type)
+        |        JOIN q USING (event_type)
+        |        WHERE split = 'test' GROUP BY 1)
+        |SELECT m.event_type, CAST(m.n_train AS BIGINT) AS n_train,
+        |  CAST(nc.n_cal AS BIGINT) AS n_cal, nc.k AS k,
+        |  CAST(t.n_test AS BIGINT) AS n_test,
+        |  CAST(m.mu AS DOUBLE) AS mu, CAST(q.qhat AS DOUBLE) AS qhat,
+        |  round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
+        |FROM mu m JOIN nc USING (event_type) JOIN q USING (event_type)
+        |JOIN tst t USING (event_type)""".stripMargin,
     // one conditional-aggregate scan; F1 in its single-division form
     "q_confusion" ->
       """WITH m AS (

@@ -496,7 +496,10 @@ object Stats {
       .select(col("event_type"),
         money(col("value")).cast("double").as("v"))
     val probs = (1 to 31).map(_ / 32.0)
+    // 1-row result, referenced by both the bucketing pass and the
+    // grid — eager, so the KLL aggregate scans the corpus ONCE
     val cuts = ev.agg(kll_quantiles(col("v"), 65536, probs).as("cuts"))
+      .localCheckpoint()
     // one corpus pass: bucket + partial-agg to ≤ 2×32 rows (eager —
     // reused for both the per-type totals and the CDF)
     val counts = ev.crossJoin(broadcast(cuts))
@@ -671,6 +674,96 @@ object Stats {
         when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
           round((lit(2.0) * col("tp")) /
             (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+
+  /** SPLIT-CONFORMAL prediction intervals per event type — the
+    * distribution-free uncertainty wrapper (Vovk; Lei et al. JASA'18)
+    * around any point predictor: fit on a train split, take the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest |residual| on a calibration split
+    * as the radius q̂, and the interval μ ± q̂ covers a fresh point
+    * with probability ≥ 1−α by exchangeability alone — no
+    * distributional assumption. The gate reports the interval AND its
+    * measured coverage on a held-out test split.
+    *
+    * Determinism/scale discipline: splits are md5-derived (engine-
+    * portable, cluster-size-free); the predictor is the train mean
+    * rounded to cents (ONE double division rounded to a DECIMAL(18,2)
+    * — after that every residual is an exact decimal, so the order
+    * statistic is over an integer cent domain); q̂ is a SELECTION
+    * (never interpolation): per-(type, residual) counts partial-agg
+    * the calibration split to histogram size, a cumulative count runs
+    * over the per-type HISTOGRAM (bounded by the cent domain, not the
+    * corpus), and q̂ = min residual whose cumulative count reaches
+    * k = ⌈(n_cal+1)(1−α)⌉. Coverage is one conditional aggregate over
+    * the test split. Three structural scans total, every shuffle
+    * partial-aggregated.
+    */
+  def conformal(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.1): DataFrame =
+    conformalOver(Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        money(col("value")).as("v")), alpha)
+
+  /** Same operator over any (event_id, event_type, v: decimal(18,2))
+    * frame — a hand-computed planted spec pins the selection rule and
+    * the spec asserts the finite-sample coverage bound on the real
+    * corpus. */
+  def conformalOver(events: DataFrame, alpha: Double): DataFrame = {
+    require(alpha == 0.1, "gate fixes alpha at 0.1 (k arithmetic is exact)")
+    // md5 splits: first hex digit 0-7 → train, 8-b → cal, c-f → test
+    val h = substring(md5(concat(lit("conf1:"),
+      col("event_id").cast("string"))), 1, 1)
+    val ev = events.withColumn("split",
+      when(h < lit("8"), "train").when(h < lit("c"), "cal")
+        .otherwise("test"))
+    // #types rows, referenced by the calibration pass, the test pass
+    // and the final report — eager, so the train split scans ONCE
+    val mu = ev.filter(col("split") === "train")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_train"), sum(col("v")).as("s"))
+      .select(col("event_type"), col("n_train"),
+        round(col("s").cast("double") / col("n_train"), 2)
+          .cast(DecimalType(18, 2)).as("mu"))
+      .localCheckpoint()
+    val cal = ev.filter(col("split") === "cal")
+      .join(broadcast(mu), "event_type")
+      .select(col("event_type"), abs(col("v") - col("mu")).as("r"))
+    // histogram-sized, referenced by the totals and the cumulative
+    // pass — eager, so the calibration split scans ONCE
+    val hist = cal.groupBy("event_type", "r")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nCal = hist.groupBy("event_type").agg(sum(col("c")).as("n_cal"))
+      // k = ceil((n_cal + 1) * 0.9): exact integer form
+      .withColumn("k",
+        floor(((col("n_cal") + 1) * 9 + lit(9.0)) / lit(10.0)).cast("long"))
+    // cumulative count over the per-type residual HISTOGRAM (bounded
+    // by the cent domain, never corpus-sized)
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(nCal), "event_type")
+      .filter(col("cum") >= col("k"))
+      .groupBy("event_type")
+      .agg(min(col("r")).as("qhat"), min(col("n_cal")).as("n_cal"),
+        min(col("k")).as("k"))
+    val test = ev.filter(col("split") === "test")
+      .join(broadcast(mu.select(col("event_type"), col("mu"))),
+        "event_type")
+      .join(broadcast(qhat), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("v") - col("mu")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    mu.join(qhat.select(col("event_type"), col("n_cal"), col("k"),
+        col("qhat")), "event_type")
+      .join(test, "event_type")
+      .select(col("event_type"), col("n_train"), col("n_cal"), col("k"),
+        col("n_test"), col("mu").cast("double").as("mu"),
+        col("qhat").cast("double").as("qhat"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+  }
 
   /** WINSORIZED per-type value statistics — the robust-mean
     * preprocessing step (clip, don't drop, the tails before a mean

@@ -260,6 +260,51 @@ class StatsSpec extends SparkSpec {
     assert(real.getLong(0) > 0, "gate threshold leaves tp empty")
   }
 
+  test("conformal: q-hat is exactly the k-th smallest calibration " +
+      "residual and measured coverage clears the finite-sample bound") {
+    val out = Stats.conformal(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // k rule: k = ceil((n_cal + 1) * 0.9), and coverage ≥ 1−α up to
+    // test-split fluctuation (n_test ~ 50/type at sf0.001 → generous
+    // slack; the guarantee itself is marginal over splits)
+    rows.foreach { r =>
+      val nCal = r.getAs[Long]("n_cal")
+      assert(r.getAs[Double]("coverage") >= 0.80,
+        s"coverage collapsed for ${r.getString(0)}: $r")
+      assert(r.getAs[Double]("qhat") >= 0.0)
+      assert(nCal >= 9, "calibration split too small for alpha=0.1")
+    }
+    // independent replay of the selection: per type, q-hat equals the
+    // k-th smallest residual of a driver-side sort of the calibration
+    // residuals (the definition, computed the slow way)
+    val h = substring(md5(concat(lit("conf1:"),
+      col("event_id").cast("string"))), 1, 1)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("split",
+        when(h < lit("8"), "train").when(h < lit("c"), "cal")
+          .otherwise("test"))
+    val mu = ev.filter(col("split") === "train").groupBy("event_type")
+      .agg(round(sum(col("v")).cast("double") / count(lit(1)), 2)
+        .cast("decimal(18,2)").as("mu"))
+    val calRes = ev.filter(col("split") === "cal")
+      .join(mu, "event_type")
+      .select(col("event_type"), abs(col("v") - col("mu"))
+        .cast("double").as("r"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val k = math.ceil((calRes(t).length + 1) * 0.9).toLong
+      assert(r.getAs[Long]("k") == k, s"k rule broke for $t")
+      assert(r.getAs[Double]("qhat") == calRes(t)(k.toInt - 1),
+        s"q-hat is not the k-th order statistic for $t")
+    }
+    out.unpersist()
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
