@@ -304,4 +304,17 @@ object KllSketch {
     org.apache.spark.sql.GraftBridge.column(
       KllMergeQuantiles(org.apache.spark.sql.GraftBridge.expression(c), k, probs)
         .toAggregateExpression())
+
+  /** Bucket index against a (broadcast) sorted cutpoint array:
+    * 1 + #cuts STRICTLY below x, so ties stick to the lower bucket
+    * and buckets 1..j cover exactly {x ≤ c_j}. The strictly-below
+    * rule is load-bearing for every DuckDB gate that mirrors it as
+    * `1 + len(list_filter(cs, c -> c < x))` — this is its ONE
+    * Spark-side definition (quantile buckets, PSI drift batch +
+    * stream, KS grid, decile lift all route through here).
+    */
+  def bucket_below(cuts: Column, x: Column): Column = {
+    import org.apache.spark.sql.functions.{filter, lit, size}
+    lit(1) + size(filter(cuts, c => c < x))
+  }
 }

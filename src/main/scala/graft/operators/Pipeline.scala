@@ -497,7 +497,7 @@ object Pipeline {
         col("x"), kllK, probs).as("cuts"))
     vals.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("x"),
-        (lit(1) + size(filter(col("cuts"), c => c < col("x"))))
+        graft.functions.KllSketch.bucket_below(col("cuts"), col("x"))
           .cast("long").as("bucket"))
   }
 
@@ -698,7 +698,7 @@ object Pipeline {
         col("x"), kllK, probs).as("cuts"))
     val counts = tagged.crossJoin(broadcast(cuts))
       .select(col("run"),
-        (lit(1) + size(filter(col("cuts"), c => c < col("x"))))
+        graft.functions.KllSketch.bucket_below(col("cuts"), col("x"))
           .cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(sum(when(col("run") === 1, 1L).otherwise(0L)).as("n1"),

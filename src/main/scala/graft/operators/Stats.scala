@@ -504,7 +504,7 @@ object Stats {
     // reused for both the per-type totals and the CDF)
     val counts = ev.crossJoin(broadcast(cuts))
       .select(col("event_type"),
-        (lit(1) + size(filter(col("cuts"), c => c < col("v"))))
+        graft.functions.KllSketch.bucket_below(col("cuts"), col("v"))
           .cast("long").as("b"))
       .groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -573,9 +573,12 @@ object Stats {
     val hist = scored.groupBy("score")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    // histogram-sized; eager (localCheckpoint, not a CacheManager
+    // persist that would outlive the call) so the pid snapshot is
+    // deterministic for both consumers and the corpus scans once
     val ranged = hist.repartitionByRange(p, col("score"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val offsets = ranged.groupBy("pid").agg(sum(col("neg")).as("t"))
       .withColumn("offset",
         coalesce(sum(col("t")).over(Window.orderBy(col("pid"))
@@ -621,7 +624,7 @@ object Stats {
       kll_quantiles(col("score"), 65536, probs).as("cuts"))
     val bucketed = scored.crossJoin(broadcast(cuts))
       .select(col("y"),
-        (lit(1) + size(filter(col("cuts"), c => c < col("score"))))
+        graft.functions.KllSketch.bucket_below(col("cuts"), col("score"))
           .cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),

@@ -664,12 +664,19 @@ object TextAnalysis {
     * codegen'd pass over the corpus — embarrassingly parallel, no
     * shuffle, no per-row driver work.
     */
+  /** The trainer's rank-ordered merge list, collected driver-side
+    * (nMerges rows — bounded by construction). The ONE definition of
+    * "which tokenizer did we train": apply and coverage must read the
+    * same table or they silently measure different tokenizers.
+    */
+  private def trainedMerges(docs: DataFrame, nMerges: Int): Seq[String] =
+    bpeMergesOver(docs, nMerges).collect()
+      .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+
   def bpeApply(spark: SparkSession, sfDir: String,
       nMerges: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeMergesOver(docs, nMerges).collect()
-      .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
-    bpeApplyOver(docs, merges)
+    bpeApplyOver(docs, trainedMerges(docs, nMerges))
   }
 
   /** Encode any documents-shaped frame with an explicit rank-ordered
@@ -724,9 +731,7 @@ object TextAnalysis {
   def tokenizerCoverage(spark: SparkSession, sfDir: String,
       nMerges: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeMergesOver(docs, nMerges).collect()
-      .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
-    bpeApplyDetail(docs, merges)
+    bpeApplyDetail(docs, trainedMerges(docs, nMerges))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

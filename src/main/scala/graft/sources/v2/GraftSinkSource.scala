@@ -104,16 +104,25 @@ class GraftSinkTable(schema: StructType, path: String)
     }
 }
 
-/** Job-level commit: rename every task's temp to its final part name
-  * and publish the manifest LAST — readers key off the manifest, so
-  * the commit is all-or-nothing at the manifest write.
+/** Job-level commit: rename every task's temp to its job-unique
+  * final part name, then publish the manifest by writing a temp file
+  * and ATOMIC_MOVE-ing it into place — readers key off the manifest,
+  * so the commit really is all-or-nothing at that one rename (a
+  * driver crash mid-publish leaves either the old manifest or the
+  * new one, never a truncated half). Part names carry a per-job tag,
+  * so a second append job can never clobber an earlier job's parts,
+  * and the new manifest lists old + new files (single concurrent
+  * writer per directory — the usual non-catalog table contract).
   */
 class GraftSinkBatchWrite(schema: StructType, path: String)
     extends BatchWrite {
   Files.createDirectories(Paths.get(path))
 
+  private val jobTag =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new GraftSinkWriterFactory(schema, path)
+      : DataWriterFactory = new GraftSinkWriterFactory(schema, path, jobTag)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftSinkCommit])
@@ -121,9 +130,19 @@ class GraftSinkBatchWrite(schema: StructType, path: String)
       Files.move(Paths.get(path, m.tmpName), Paths.get(path, m.finalName),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    val lines = msgs.map(m => s"${m.finalName}\t${m.rows}").sorted
-    Files.write(Paths.get(path, GraftSink.ManifestName),
+    val manifest = Paths.get(path, GraftSink.ManifestName)
+    val existing =
+      if (Files.exists(manifest))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifest)).asScala.filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    val lines = (existing ++ msgs.map(m => s"${m.finalName}\t${m.rows}"))
+      .sorted
+    val tmpManifest = Paths.get(path, s".${GraftSink.ManifestName}-$jobTag")
+    Files.write(tmpManifest,
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpManifest, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -134,17 +153,17 @@ class GraftSinkBatchWrite(schema: StructType, path: String)
 case class GraftSinkCommit(tmpName: String, finalName: String, rows: Long)
     extends WriterCommitMessage
 
-class GraftSinkWriterFactory(schema: StructType, path: String)
-    extends DataWriterFactory {
+class GraftSinkWriterFactory(schema: StructType, path: String,
+    jobTag: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GraftSinkWriter(schema, path, partitionId, taskId)
+    new GraftSinkWriter(schema, path, jobTag, partitionId, taskId)
 }
 
-class GraftSinkWriter(schema: StructType, path: String, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val tmpName = f".tmp-$partitionId%05d-$taskId"
+  private val tmpName = f".tmp-$jobTag-$partitionId%05d-$taskId"
   private val out = Files.newBufferedWriter(
     Paths.get(path, tmpName), StandardCharsets.UTF_8)
   private var rows = 0L
@@ -195,7 +214,7 @@ class GraftSinkWriter(schema: StructType, path: String, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftSinkCommit(tmpName, f"part-$partitionId%05d.tsv", rows)
+    GraftSinkCommit(tmpName, f"part-$jobTag-$partitionId%05d.tsv", rows)
   }
 
   override def abort(): Unit = {

@@ -580,7 +580,7 @@ object EventStreams {
     val cutsLit = typedLit(cuts)
     val agg = stream
       .select(when(col("doc_id") < mid, 1L).otherwise(2L).as("run"),
-        (lit(1) + size(filter(cutsLit, c => c < col("x"))))
+        graft.functions.KllSketch.bucket_below(cutsLit, col("x"))
           .cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(sum(when(col("run") === 1, 1L).otherwise(0L)).as("n1"),

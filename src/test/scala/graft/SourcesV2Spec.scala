@@ -84,6 +84,17 @@ class SourcesV2Spec extends SparkSpec {
     val stray = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith(".tmp-"))
     assert(stray.isEmpty, s"leftover temps: ${stray.toSeq}")
+    // a SECOND append job must not clobber the first: job-unique part
+    // names and a merged manifest keep every earlier row visible
+    val extra = src.limit(3).cache()
+    extra.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val merged = GraftSink.readBack(spark, dir)
+      .filter(col("event_type") =!= "bogus")
+    assert(merged.count() == src.count() + 3,
+      "second append lost or clobbered rows")
+    assert(merged.exceptAll(src.unionAll(extra)).isEmpty,
+      "append-merged content diverged")
   }
 
   test("dsv2 sink: a first-attempt writer failure aborts its temp and " +
