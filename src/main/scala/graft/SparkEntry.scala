@@ -427,6 +427,8 @@ object SparkEntry {
       ((s, _) => graft.sources.Formats.dsv2Aggregate(s)),
     "q_dsv2_sink" ->
       ((s, d) => graft.sources.Formats.dsv2SinkRollup(s, d)),
+    "sql_catalog" ->
+      ((s, _) => graft.sources.Formats.catalogGridRollup(s)),
     "q_xml_events" ->
       ((s, d) => graft.sources.Formats.eventsFromXml(s, d)),
     "q_file_metadata" ->
@@ -781,6 +783,17 @@ object SparkEntry {
        |    6) AS psi_term
        |FROM c CROSS JOIN t""".stripMargin
   }
+
+  /** The DSv2 grid rollup oracle, shared by the DataFrame-path
+    * (q_dsv2_source) and catalog-path (sql_catalog) gates — both
+    * resolve to the same SyntheticTable scan.
+    */
+  private val dsv2GridSql =
+    """SELECT CAST(id % 20 AS INT) AS grp, count(*) AS n,
+      |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
+      |FROM range(200000) t(id)
+      |WHERE id >= 120000 AND id < 180000
+      |GROUP BY 1""".stripMargin
 
   private val vectorStatsSql =
     """SELECT label, count(*) AS n, min(norm) AS min_norm, max(norm) AS max_norm
@@ -1297,12 +1310,10 @@ object SparkEntry {
     // the DSv2 connector's arithmetic grid, reproduced from range():
     // same Knuth-multiplicative val, same id-range predicate the scan
     // absorbed at planning time
-    "q_dsv2_source" ->
-      """SELECT CAST(id % 20 AS INT) AS grp, count(*) AS n,
-        |  CAST(sum((id * 2654435761) % 1000000007) AS BIGINT) AS sum_val
-        |FROM range(200000) t(id)
-        |WHERE id >= 120000 AND id < 180000
-        |GROUP BY 1""".stripMargin,
+    "q_dsv2_source" -> dsv2GridSql,
+    // identical grid + predicate, resolved through the TableCatalog
+    // plugin instead of the DataFrame format() path
+    "sql_catalog" -> dsv2GridSql,
     // the sink round-trip is content-preserving: the rollup over the
     // manifest-read files equals the rollup computed at the source
     "q_dsv2_sink" ->

@@ -418,6 +418,23 @@ object Formats {
       .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"))
   }
 
+  /** The DSv2 CATALOG plugin end-to-end
+    * ([[graft.sources.v2.GraftCatalog]]): the same grid aggregate as
+    * [[dsv2Aggregate]], but authored in pure SQL against the
+    * catalog-qualified name — resolution goes through the registered
+    * `TableCatalog`, and the scan keeps the connector's pushdown /
+    * pruning behavior (spec-asserted).
+    */
+  def catalogGridRollup(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.sql(
+      """SELECT grp, count(*) AS n, sum(val) AS sum_val
+        |FROM graftcat.main.grid
+        |WHERE id >= 120000 AND id < 180000
+        |GROUP BY grp""".stripMargin)
+  }
+
   /** The DSv2 WRITE path end-to-end
     * ([[graft.sources.v2.GraftSinkSource]]): a per-(user, event_type)
     * rollup appends through the sink's two-phase commit protocol

@@ -56,6 +56,42 @@ class SourcesV2Spec extends SparkSpec {
     assert(r.forall(_.getLong(1) == 3000L))
   }
 
+  test("dsv2 catalog: SQL through the TableCatalog equals the DataFrame " +
+      "connector, keeps pushdown and pruning, and rejects DDL") {
+    val viaSql = graft.sources.Formats.catalogGridRollup(spark)
+    val viaDf = graft.sources.Formats.dsv2Aggregate(spark)
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+    // the catalog path must preserve planning-time pruning (4 of 8
+    // slices) and absorbed filters (no residual Filter over the scan)
+    val resolved = spark.sql(
+      """SELECT id, grp FROM graftcat.main.grid
+        |WHERE id >= 120000 AND id < 180000""".stripMargin)
+    assert(resolved.rdd.getNumPartitions == 4,
+      s"partitions=${resolved.rdd.getNumPartitions}")
+    val filters = resolved.queryExecution.executedPlan.collect {
+      case f: FilterExec => f
+    }
+    assert(filters.isEmpty, s"residual filters through catalog: $filters")
+    // SHOW TABLES resolves through listTables
+    val shown = spark.sql("SHOW TABLES IN graftcat.main").collect()
+      .map(_.getString(1))
+    assert(shown.contains("grid"), s"listTables missing grid: ${shown.toSeq}")
+    // unknown tables surface as analysis errors, not silent nulls
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.main.nope").collect()
+    }
+    // the catalog is read-only: DDL rejects loudly
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE graftcat.main.grid")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("read-only")),
+      s"DROP failed for the wrong reason: $e")
+  }
+
   test("dsv2 sink: the committed round-trip preserves content exactly " +
       "and readers see only manifest-listed files") {
     import graft.sources.v2.GraftSink
