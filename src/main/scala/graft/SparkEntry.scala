@@ -429,6 +429,8 @@ object SparkEntry {
       ((s, d) => graft.sources.Formats.dsv2SinkRollup(s, d)),
     "sql_catalog" ->
       ((s, _) => graft.sources.Formats.catalogGridRollup(s)),
+    "sql_catalog_fn" ->
+      ((s, _) => graft.sources.Formats.catalogFnRollup(s)),
     "q_xml_events" ->
       ((s, d) => graft.sources.Formats.eventsFromXml(s, d)),
     "q_file_metadata" ->
@@ -1314,6 +1316,9 @@ object SparkEntry {
     // identical grid + predicate, resolved through the TableCatalog
     // plugin instead of the DataFrame format() path
     "sql_catalog" -> dsv2GridSql,
+    // identical result again, but val recomputed from id by the
+    // catalog-resolved V2 function (magic-method Invoke path)
+    "sql_catalog_fn" -> dsv2GridSql,
     // the sink round-trip is content-preserving: the rollup over the
     // manifest-read files equals the rollup computed at the source
     "q_dsv2_sink" ->

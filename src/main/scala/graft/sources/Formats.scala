@@ -435,6 +435,23 @@ object Formats {
         |GROUP BY grp""".stripMargin)
   }
 
+  /** The V2 FUNCTION-catalog path ([[graft.sources.v2.KnuthVal]]):
+    * the same rollup with `val` RECOMPUTED from `id` by the
+    * catalog-resolved SQL function — the scan prunes to the id/grp
+    * columns (spec-asserted) and the function runs through its
+    * magic-method Invoke fast path.
+    */
+  def catalogFnRollup(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.sql(
+      """SELECT grp, count(*) AS n,
+        |  sum(graftcat.main.knuth_val(id)) AS sum_val
+        |FROM graftcat.main.grid
+        |WHERE id >= 120000 AND id < 180000
+        |GROUP BY grp""".stripMargin)
+  }
+
   /** The DSv2 WRITE path end-to-end
     * ([[graft.sources.v2.GraftSinkSource]]): a per-(user, event_type)
     * rollup appends through the sink's two-phase commit protocol

@@ -2,10 +2,12 @@ package graft.sources.v2
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSourceV2 CATALOG PLUGIN (`TableCatalog`) — the surface that
@@ -25,7 +27,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * so every DDL/DML entry point rejects loudly rather than
   * pretending.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = "graftcat"
   private var rows = 200000L
@@ -66,4 +68,53 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
+
+  // ---- FunctionCatalog: V2 SQL functions ----------------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, KnuthVal.Name))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == KnuthVal.Name) KnuthVal
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** A V2 catalog FUNCTION (`graftcat.main.knuth_val(id)`) — the SQL-
+  * native function surface beside the session-extension expressions:
+  * the resolver binds THIS object, and because the bound function
+  * exposes the `invoke(Long): Long` MAGIC METHOD, Catalyst plans a
+  * direct (codegen-friendly) `Invoke` call instead of the row-boxing
+  * `produceResult` path — the spec asserts both paths agree and the
+  * gate runs the magic one. The function is the grid's own value map,
+  * so the `range()` oracle reproduces it exactly.
+  */
+object KnuthVal extends UnboundFunction {
+  val Name = "knuth_val"
+
+  override def name(): String = Name
+  override def description(): String =
+    "knuth_val(id BIGINT): the synthetic grid's Knuth-multiplicative value"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == LongType,
+      s"knuth_val expects one BIGINT argument, got $inputType")
+    Bound
+  }
+
+  object Bound extends ScalarFunction[java.lang.Long] {
+    override def name(): String = Name
+    override def canonicalName(): String = s"graft.$Name"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def isDeterministic: Boolean = true
+
+    /** The magic-method fast path Catalyst invokes directly. */
+    def invoke(id: Long): Long = SyntheticTable.valOf(id)
+
+    /** Row-boxing fallback; must agree with the magic path. */
+    override def produceResult(input: InternalRow): java.lang.Long =
+      SyntheticTable.valOf(input.getLong(0))
+  }
 }

@@ -92,6 +92,34 @@ class SourcesV2Spec extends SparkSpec {
       s"DROP failed for the wrong reason: $e")
   }
 
+  test("dsv2 function catalog: the magic-method path agrees with " +
+      "produceResult, the rollup matches the stored column, and the " +
+      "scan prunes away the recomputed column") {
+    import graft.sources.v2.{KnuthVal, SyntheticTable}
+    // both evaluation paths implement the same arithmetic
+    for (id <- Seq(0L, 1L, 17L, 123456L)) {
+      assert(KnuthVal.Bound.invoke(id) == SyntheticTable.valOf(id))
+      assert(KnuthVal.Bound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(id)) ==
+        SyntheticTable.valOf(id))
+    }
+    // recomputing val through the function equals reading the column
+    val viaFn = graft.sources.Formats.catalogFnRollup(spark)
+    val viaCol = graft.sources.Formats.catalogGridRollup(spark)
+    assert(viaFn.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaFn).isEmpty)
+    // the function consumes only id, so the scan must not read val
+    val scans = viaFn.queryExecution.executedPlan.toString
+    assert(scans.contains("cols=id,grp") || scans.contains("cols=grp,id"),
+      s"scan did not prune val:\n$scans")
+    // resolver surfaces: SHOW FUNCTIONS lists it, unknown names fail
+    val fns = spark.sql("SHOW FUNCTIONS IN graftcat.main").collect()
+      .map(_.getString(0))
+    assert(fns.exists(_.contains("knuth_val")), s"missing: ${fns.toSeq}")
+    intercept[Exception] {
+      spark.sql("SELECT graftcat.main.nope(1)").collect()
+    }
+  }
+
   test("dsv2 sink: the committed round-trip preserves content exactly " +
       "and readers see only manifest-listed files") {
     import graft.sources.v2.GraftSink
