@@ -118,22 +118,6 @@ object Quality {
         col("p2").cast("double").as("new_price"))
   }
 
-  /** Right-to-be-forgotten ERASURE with FK cascade + audit — the
-    * compliance operator every long-lived corpus eventually needs:
-    * a deterministic forget-set of customers (custkey ≡ 0 mod 97)
-    * erases from `customer`, CASCADES through their `orders`, and
-    * through those orders' `lineitem` rows; the output is the audit
-    * report regulators actually ask for (per-table before/deleted/
-    * after, where before = deleted + after by construction).
-    *
-    * Scale shape: the forget set is a tiny broadcast; each cascade
-    * level is ONE anti/semi join on its key (customer→orders on
-    * custkey, orders→lineitem on orderkey) — no row ever visits more
-    * than its own table's shuffle, and the report aggregates are
-    * scan-local counts. Erased BYTES disappear via the rewrite
-    * (`q_compact_files`' move-bytes machinery); this op is the
-    * row-selection + audit half.
-    */
   /** Sorted-neighborhood entity resolution over the customer master —
     * the blocked pairwise-match step every master-data/record-linkage
     * pipeline runs before survivorship. Candidates are generated the
@@ -173,13 +157,31 @@ object Quality {
         col("c_custkey").as("b_key"), col("c_name").as("b_name"),
         col("rn").as("rn2")),
         Seq("c_nationkey", "c_mktsegment", "rn2"))
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      // compute the O(|a|·|b|) DP once per candidate — Spark does not
+      // share subexpressions across a Filter and its parent Project
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
       .select(col("c_nationkey").as("nationkey"),
         col("c_mktsegment").as("mktsegment"),
-        col("a_key"), col("b_key"),
-        levenshtein(col("a_name"), col("b_name")).as("dist"))
+        col("a_key"), col("b_key"), col("dist"))
   }
 
+  /** Right-to-be-forgotten ERASURE with FK cascade + audit — the
+    * compliance operator every long-lived corpus eventually needs:
+    * a deterministic forget-set of customers (custkey ≡ 0 mod 97)
+    * erases from `customer`, CASCADES through their `orders`, and
+    * through those orders' `lineitem` rows; the output is the audit
+    * report regulators actually ask for (per-table before/deleted/
+    * after, where before = deleted + after by construction).
+    *
+    * Scale shape: the forget set is a tiny broadcast; each cascade
+    * level is ONE anti/semi join on its key (customer→orders on
+    * custkey, orders→lineitem on orderkey) — no row ever visits more
+    * than its own table's shuffle, and the report aggregates are
+    * scan-local counts. Erased BYTES disappear via the rewrite
+    * (`q_compact_files`' move-bytes machinery); this op is the
+    * row-selection + audit half.
+    */
   def gdprDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)

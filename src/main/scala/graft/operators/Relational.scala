@@ -1818,8 +1818,12 @@ object Relational {
     * |days| rows by construction — same license as `q_yoy_growth`).
     * Exact integer arithmetic end-to-end: daily sums in decimal cents
     * become BIGINT, the deviation uses the division-free n·x−Σ form
-    * (same argmax, no per-row rounding choice), and the running sum
-    * stays integral — the peak day is shuffle-order- and engine-exact;
+    * (same argmax, no per-row rounding choice), and the n·x−Σ product
+    * and running sum run in DECIMAL(38,0) — the n-fold magnitude
+    * inflation of the division-free form would clear 2⁶³ on a skewed
+    * 100 TB series, where BIGINT would wrap silently while DuckDB's
+    * HUGEINT promotion stays exact; decimal keeps both engines on the
+    * same integer. The peak day is shuffle-order- and engine-exact;
     * doubles appear only in the reported score.
     */
   def changepoint(spark: SparkSession, sfDir: String): DataFrame =
@@ -1838,8 +1842,10 @@ object Relational {
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d19 = DecimalType(19, 0)
     val cusum = daily.crossJoin(broadcast(tot))
-      .withColumn("c", sum(col("n") * col("cents") - col("s")).over(w))
+      .withColumn("c", sum(col("n").cast(d19) * col("cents").cast(d19)
+        - col("s").cast(DecimalType(38, 0))).over(w))
     val peak = cusum.agg(max(abs(col("c"))).as("peak"))
     val peakDay = cusum.crossJoin(broadcast(peak))
       .filter(abs(col("c")) === col("peak"))

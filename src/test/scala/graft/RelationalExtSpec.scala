@@ -478,19 +478,27 @@ class RelationalExtSpec extends SparkSpec {
 
   test("lateral top-3 decorrelates: one bounded-rank join, no per-row " +
       "nested loop, and every nation emits at most 3 customers") {
-    val df = SparkEntry.queries("sql_lateral")(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    // Catalyst must rewrite the correlated LIMIT into a rank + single
-    // join; a BroadcastNestedLoopJoin would re-scan customer per nation.
-    // The bounded rank is WindowGroupLimit on a fresh session, or the
-    // engine's TopKPerKey when a prior test registered the
-    // RewriteWindowTopK rule in the shared session — both are the
-    // per-partition-heap shape; a bare sort-the-group WindowExec is not.
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("WindowGroupLimit") || plan.contains("TopKPerKey"),
-      plan)
-    val perNation = df.groupBy("n_name").count().collect()
-    assert(perNation.nonEmpty && perNation.forall(_.getLong(1) <= 3))
+    // The property under test is CATALYST'S OWN decorrelation (the
+    // correlated LIMIT becomes WindowGroupLimit + one join), so the
+    // engine's RewriteWindowTopK rule is removed for the duration —
+    // otherwise the assertion silently degrades to "TopKPerKey fired"
+    // whenever an earlier test registered the rule in the shared
+    // session, and a decorrelation regression would go unseen.
+    val exp = spark.experimental
+    val saved = exp.extraOptimizations
+    exp.extraOptimizations =
+      saved.filterNot(_ == graft.plans.RewriteWindowTopK)
+    try {
+      val df = SparkEntry.queries("sql_lateral")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // Catalyst must rewrite the correlated LIMIT into a rank + single
+      // join; a BroadcastNestedLoopJoin would re-scan customer per
+      // nation, and a bare sort-the-group WindowExec is not bounded.
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("WindowGroupLimit"), plan)
+      val perNation = df.groupBy("n_name").count().collect()
+      assert(perNation.nonEmpty && perNation.forall(_.getLong(1) <= 3))
+    } finally exp.extraOptimizations = saved
   }
 
   test("recursive CTE closure: depth equals digit-depth of the key and " +
