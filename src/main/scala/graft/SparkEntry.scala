@@ -139,6 +139,7 @@ object SparkEntry {
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
     "q_conformal" -> ((s, d) => Stats.conformal(s, d)),
+    "q_aqp_sum" -> ((s, d) => Stats.aqpSum(s, d)),
     "q_tokenizer_coverage" ->
       ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
@@ -3361,6 +3362,25 @@ object SparkEntry {
          |        (CAST(tp AS DOUBLE) / tn), 6) AS lift
          |FROM b CROSS JOIN t""".stripMargin
     },
+    // Horvitz-Thompson from the 1/16 md5 sample: exact decimal sums,
+    // exact 16x scale-up, one IEEE sqrt for the error bar
+    "q_aqp_sum" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |  WHERE substring(md5('aqp1:' || CAST(event_id AS VARCHAR)), 1, 1)
+        |        < '1'),
+        |m AS (SELECT event_type, count(*) AS n_sample, sum(v) AS sv,
+        |        sum(CAST(v * v AS DECIMAL(38,4))) AS ss
+        |      FROM s GROUP BY 1)
+        |SELECT event_type, CAST(n_sample AS BIGINT) AS n_sample,
+        |  round(CAST(sv * 16 AS DOUBLE), 2) AS est_total,
+        |  round(sqrt(CAST(ss AS DOUBLE) * 240.0), 2) AS se,
+        |  round(CAST(sv * 16 AS DOUBLE)
+        |    - 1.96 * sqrt(CAST(ss AS DOUBLE) * 240.0), 2) AS ci_lo,
+        |  round(CAST(sv * 16 AS DOUBLE)
+        |    + 1.96 * sqrt(CAST(ss AS DOUBLE) * 240.0), 2) AS ci_hi
+        |FROM m""".stripMargin,
     // split-conformal: md5 splits, cent-rounded train mean, q-hat by
     // SELECTION over the calibration residual histogram, measured
     // test coverage

@@ -768,6 +768,53 @@ object Stats {
           .as("coverage"))
   }
 
+  /** APPROXIMATE QUERY PROCESSING: per-type revenue totals estimated
+    * from the deterministic 1/16 md5 sample with Horvitz–Thompson
+    * error bars — the "answer in seconds from the sample table, with
+    * a CI" capability (BlinkDB-style) that makes exploratory
+    * aggregates affordable at 100 TB. The estimator for Bernoulli
+    * sampling at rate p is T̂ = Σ_sample v / p (unbiased), with
+    * variance estimated from the sample alone:
+    * Var̂(T̂) = (1−p)/p² · Σ_sample v² — no full-corpus pass anywhere
+    * in the plan (that is the point; the spec, not the operator,
+    * checks the truth lands inside the bars). At 100 TB the sample
+    * lives as its own materialized table so the scan is 1/16 the
+    * bytes; here the sample predicate is the same md5-prefix rule as
+    * `q_det_sample`, engine-portable and layout-free.
+    *
+    * Determinism: sample membership is md5-exact; Σv and Σv² are
+    * exact decimal sums; the scale-up 1/p = 16 is exact in decimal;
+    * se = one IEEE sqrt of one exact-input product; outputs round at
+    * the gate.
+    */
+  def aqpSum(spark: SparkSession, sfDir: String): DataFrame =
+    aqpSumOver(Tables.events(spark, sfDir))
+
+  /** Same operator over any (event_id, event_type, value) frame —
+    * the spec checks the truth falls inside the 4-se bars and the
+    * estimator is unbiased-shaped. */
+  def aqpSumOver(events: DataFrame): DataFrame = {
+    val p = 1.0 / 16.0
+    val sample = events
+      .filter(substring(md5(concat(lit("aqp1:"),
+        col("event_id").cast("string"))), 1, 1) < lit("1"))
+      .select(col("event_type"), money(col("value")).as("v"))
+    sample.groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+      .select(col("event_type"), col("n_sample"),
+        round((col("s") * 16).cast("double"), 2).as("est_total"),
+        round(sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))), 2)
+          .as("se"),
+        round((col("s") * 16).cast("double")
+          - lit(1.96) * sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))), 2)
+          .as("ci_lo"),
+        round((col("s") * 16).cast("double")
+          + lit(1.96) * sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))), 2)
+          .as("ci_hi"))
+  }
+
   /** WINSORIZED per-type value statistics — the robust-mean
     * preprocessing step (clip, don't drop, the tails before a mean
     * enters a feature or a report): every value clips into its

@@ -305,6 +305,38 @@ class StatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("aqp sum: truth lands inside the 4-se Horvitz-Thompson bars and " +
+      "the scale-up is the exact sample sum times 16") {
+    val est = Stats.aqpSum(spark, sf).cache()
+    val truth = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("t"))
+      .select(col("event_type"), col("t").cast("double").as("truth"))
+    val j = est.join(truth, "event_type").cache()
+    assert(j.count() == truth.count() && truth.count() > 0)
+    // everything is deterministic, so this is a fixed fact of the
+    // corpus, not a flaky probabilistic assertion: the 1/16 sample's
+    // estimate brackets the full-scan total well inside 4 se
+    val off = j.filter(abs(col("est_total") - col("truth")) >
+      lit(4.0) * col("se"))
+    assert(off.isEmpty, off.collect().mkString(", "))
+    // arithmetic identity: est_total is exactly 16x the sample sum
+    val resample = Tables.events(spark, sf)
+      .filter(substring(md5(concat(lit("aqp1:"),
+        col("event_id").cast("string"))), 1, 1) < lit("1"))
+      .groupBy("event_type")
+      .agg(round((sum(col("value").cast("decimal(18,2)")) * 16)
+        .cast("double"), 2).as("want"))
+    assert(est.join(resample, "event_type")
+      .filter(col("est_total") =!= col("want")).isEmpty)
+    // the sample really is ~1/16: n_sample within half-to-double of
+    // the expected rate per type (loose, deterministic)
+    val n = j.agg(sum("n_sample")).head().getLong(0)
+    val total = Tables.events(spark, sf).count()
+    assert(n > total / 32 && n < total / 8, s"sample size $n of $total")
+    j.unpersist(); est.unpersist()
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
