@@ -140,6 +140,7 @@ object SparkEntry {
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
     "q_conformal" -> ((s, d) => Stats.conformal(s, d)),
     "q_aqp_sum" -> ((s, d) => Stats.aqpSum(s, d)),
+    "q_join_size" -> ((s, d) => Stats.joinSize(s, d)),
     "q_tokenizer_coverage" ->
       ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
@@ -3362,6 +3363,32 @@ object SparkEntry {
          |        (CAST(tp AS DOUBLE) / tn), 6) AS lift
          |FROM b CROSS JOIN t""".stripMargin
     },
+    // join-size accounting from the two per-key count tables; exact
+    // decimal products; hottest key by (contrib, user_id) max
+    "q_join_size" ->
+      """WITH ca AS (SELECT user_id, count(*) AS ca FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |cb AS (SELECT user_id, count(*) AS cb FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT user_id, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+        |        CAST(coalesce(ca, 0) AS DECIMAL(19,0))
+        |          * CAST(coalesce(cb, 0) AS DECIMAL(19,0)) AS contrib
+        |      FROM ca FULL OUTER JOIN cb USING (user_id)),
+        |t AS (SELECT
+        |        sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS n_keys_a,
+        |        sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS n_keys_b,
+        |        sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+        |          AS n_common,
+        |        sum(contrib) AS join_size
+        |      FROM j),
+        |h AS (SELECT user_id AS hot_key, CAST(contrib AS BIGINT)
+        |        AS hot_contrib
+        |      FROM j ORDER BY contrib DESC, user_id DESC LIMIT 1)
+        |SELECT CAST(n_keys_a AS BIGINT) AS n_keys_a,
+        |  CAST(n_keys_b AS BIGINT) AS n_keys_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(join_size AS BIGINT) AS join_size, hot_key, hot_contrib
+        |FROM t CROSS JOIN h""".stripMargin,
     // Horvitz-Thompson from the 1/16 md5 sample: exact decimal sums,
     // exact 16x scale-up, one IEEE sqrt for the error bar
     "q_aqp_sum" ->

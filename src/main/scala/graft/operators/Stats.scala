@@ -815,6 +815,51 @@ object Stats {
           .as("ci_hi"))
   }
 
+  /** JOIN-SIZE accounting BEFORE the join runs — the planner
+    * primitive behind "will this self-join blow up": for the
+    * click⋈purchase user join, |A⋈B| = Σ_k cA(k)·cB(k) computed from
+    * the two per-key COUNT tables (each one partial-agg shuffle down
+    * to |keys| rows; the product join is key-table-sized, never
+    * fact-sized), plus the key-overlap profile and the hottest key's
+    * contribution — the exact numbers a `q_skew_report`-style
+    * pre-flight reads before picking broadcast/salt/bucket. Products
+    * accumulate in exact DECIMAL(38,0). The CMS INNER-PRODUCT
+    * estimate of the same quantity (the AMS/Count-Min classic:
+    * min_d Σ_w A[d,w]·B[d,w] ≥ true size, equality as collisions
+    * vanish) is spec-pinned against this exact answer — the sketch
+    * route a 100 TB planner takes when even the key tables are big.
+    */
+  def joinSize(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "purchase"): DataFrame =
+    joinSizeOver(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** Same operator over any (user_id, event_type) frame — a
+    * hand-computed planted spec pins the accounting. */
+  def joinSizeOver(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val ca = events.filter(col("event_type") === typeA)
+      .groupBy("user_id").agg(count(lit(1)).as("ca"))
+    val cb = events.filter(col("event_type") === typeB)
+      .groupBy("user_id").agg(count(lit(1)).as("cb"))
+    val joined = ca.join(cb, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("contrib", col("ca").cast(d19) * col("cb").cast(d19))
+    joined.agg(
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("n_keys_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_keys_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("n_common"),
+        sum(col("contrib")).as("join_size"),
+        max(struct(col("contrib"), col("user_id"))).as("hot"))
+      .select(col("n_keys_a"), col("n_keys_b"), col("n_common"),
+        col("join_size").cast("long").as("join_size"),
+        col("hot.user_id").as("hot_key"),
+        col("hot.contrib").cast("long").as("hot_contrib"))
+  }
+
   /** WINSORIZED per-type value statistics — the robust-mean
     * preprocessing step (clip, don't drop, the tails before a mean
     * enters a feature or a report): every value clips into its

@@ -337,6 +337,46 @@ class StatsSpec extends SparkSpec {
     j.unpersist(); est.unpersist()
   }
 
+  test("join size: hand-tallied planted accounting, equality with the " +
+      "actually-executed join, and the CMS inner-product estimate " +
+      "brackets it from above") {
+    import spark.implicits._
+    // u1: 2×3=6, u4: 1×1=1 → size 7; u2 A-only, u3 B-only
+    val planted = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (1L, "B"), (1L, "B"),
+      (2L, "A"), (3L, "B"), (3L, "B"), (3L, "B"), (3L, "B"),
+      (4L, "A"), (4L, "B")).toDF("user_id", "event_type")
+    val r = Stats.joinSizeOver(planted, "A", "B").head()
+    assert((r.getAs[Long]("n_keys_a"), r.getAs[Long]("n_keys_b"),
+      r.getAs[Long]("n_common"), r.getAs[Long]("join_size"),
+      r.getAs[Long]("hot_key"), r.getAs[Long]("hot_contrib")) ==
+      ((3L, 3L, 2L, 7L, 1L, 6L)), s"accounting: $r")
+    // real corpus: the prediction equals the executed join's count
+    val est = Stats.joinSize(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val actual = clicks.join(purchases, "user_id").count()
+    assert(est.getAs[Long]("join_size") == actual,
+      s"predicted ${est.getAs[Long]("join_size")} vs executed $actual")
+    // the sketch route: CMS inner product min_d sum_w A·B over-counts
+    // only by collisions — >= truth, and tight at width >> |keys|
+    val d = 4; val w = 8192
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(graft.functions.CountMinSketch
+          .count_min(col("user_id").cast("string"), d, w).as("sk"))
+        .head().getSeq[Long](0).toArray
+    val (sa, sb) = (sk(clicks), sk(purchases))
+    val inner = (0 until d).map { di =>
+      (0 until w).map(wi => sa(di * w + wi) * sb(di * w + wi)).sum
+    }.min
+    assert(inner >= actual, s"CMS inner product $inner under-counted")
+    assert(inner <= (actual * 1.1 + 100).toLong,
+      s"CMS inner product $inner too loose vs $actual")
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
