@@ -3315,8 +3315,10 @@ object SparkEntry {
          |  FROM cum CROSS JOIN ns)
          |SELECT 'click' AS type_a, 'purchase' AS type_b,
          |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-         |  round(CAST(num AS DOUBLE)
-         |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d_stat,
+         |  CASE WHEN na > 0 AND nb > 0
+         |       THEN round(CAST(num AS DOUBLE)
+         |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+         |  END AS d_stat,
          |  CAST(j AS BIGINT) AS at_grid, round(c, 6) AS at_value
          |FROM scored ORDER BY num DESC, j LIMIT 1""".stripMargin
     },
@@ -3340,7 +3342,9 @@ object SparkEntry {
         |                   CAST(2 * cumneg + neg AS DECIMAL(19,0))) AS num2
         |        FROM c)
         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-        |  round(CAST(num2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+        |  CASE WHEN np > 0 AND nn > 0
+        |       THEN round(CAST(num2 AS DOUBLE) / (2.0 * np * nn), 6)
+        |  END AS auc
         |FROM t CROSS JOIN num""".stripMargin,
     // decile lift: quantile_cont cutpoints (exact-regime KLL twin),
     // the same strictly-below bucket rule, exact counts, two IEEE
@@ -3359,8 +3363,10 @@ object SparkEntry {
          |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
          |  CAST(n_pos AS BIGINT) AS n_pos,
          |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
-         |  round((CAST(n_pos AS DOUBLE) / n) /
-         |        (CAST(tp AS DOUBLE) / tn), 6) AS lift
+         |  CASE WHEN tp > 0
+         |       THEN round((CAST(n_pos AS DOUBLE) / n) /
+         |                  (CAST(tp AS DOUBLE) / tn), 6)
+         |  END AS lift
          |FROM b CROSS JOIN t""".stripMargin
     },
     // join-size accounting from the two per-key count tables; exact
@@ -3381,13 +3387,14 @@ object SparkEntry {
         |          AS n_common,
         |        sum(contrib) AS join_size
         |      FROM j),
-        |h AS (SELECT user_id AS hot_key, CAST(contrib AS BIGINT)
+        |h AS (SELECT user_id AS hot_key, CAST(contrib AS DOUBLE)
         |        AS hot_contrib
         |      FROM j ORDER BY contrib DESC, user_id DESC LIMIT 1)
         |SELECT CAST(n_keys_a AS BIGINT) AS n_keys_a,
         |  CAST(n_keys_b AS BIGINT) AS n_keys_b,
         |  CAST(n_common AS BIGINT) AS n_common,
-        |  CAST(join_size AS BIGINT) AS join_size, hot_key, hot_contrib
+        |  CAST(join_size AS DOUBLE) AS join_size, hot_key,
+        |  hot_contrib
         |FROM t CROSS JOIN h""".stripMargin,
     // Horvitz-Thompson from the 1/16 md5 sample: exact decimal sums,
     // exact 16x scale-up, one IEEE sqrt for the error bar
@@ -3434,22 +3441,27 @@ object SparkEntry {
         |          sum(c) OVER (PARTITION BY event_type ORDER BY r
         |                       ROWS UNBOUNDED PRECEDING) AS cum
         |        FROM hist),
-        |q AS (SELECT c.event_type, min(c.r) AS qhat
-        |      FROM cum c JOIN nc USING (event_type)
-        |      WHERE cum >= k GROUP BY 1),
+        |sel AS (SELECT c.event_type, min(c.r) AS qhat
+        |        FROM cum c JOIN nc USING (event_type)
+        |        WHERE cum >= k GROUP BY 1),
+        |q AS (SELECT nc.event_type, nc.n_cal, nc.k, sel.qhat
+        |      FROM nc LEFT JOIN sel USING (event_type)),
         |tst AS (SELECT e.event_type, count(*) AS n_test,
-        |          sum(CASE WHEN abs(e.v - m.mu) <= q.qhat THEN 1 ELSE 0 END)
-        |            AS n_covered
+        |          sum(CASE WHEN q.qhat IS NOT NULL
+        |                    AND abs(e.v - m.mu) <= q.qhat
+        |              THEN 1 ELSE 0 END) AS n_covered
         |        FROM ev e JOIN mu m USING (event_type)
         |        JOIN q USING (event_type)
         |        WHERE split = 'test' GROUP BY 1)
         |SELECT m.event_type, CAST(m.n_train AS BIGINT) AS n_train,
-        |  CAST(nc.n_cal AS BIGINT) AS n_cal, nc.k AS k,
-        |  CAST(t.n_test AS BIGINT) AS n_test,
+        |  CAST(q.n_cal AS BIGINT) AS n_cal, q.k AS k,
+        |  CAST(coalesce(t.n_test, 0) AS BIGINT) AS n_test,
         |  CAST(m.mu AS DOUBLE) AS mu, CAST(q.qhat AS DOUBLE) AS qhat,
-        |  round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
-        |FROM mu m JOIN nc USING (event_type) JOIN q USING (event_type)
-        |JOIN tst t USING (event_type)""".stripMargin,
+        |  CASE WHEN q.qhat IS NOT NULL AND t.n_test > 0
+        |       THEN round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6)
+        |  END AS coverage
+        |FROM mu m JOIN q USING (event_type)
+        |LEFT JOIN tst t USING (event_type)""".stripMargin,
     // one conditional-aggregate scan; F1 in its single-division form
     "q_confusion" ->
       """WITH m AS (

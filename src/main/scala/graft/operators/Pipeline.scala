@@ -703,6 +703,18 @@ object Pipeline {
       .groupBy("bucket")
       .agg(sum(when(col("run") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("run") === 2, 1L).otherwise(0L)).as("n2"))
+    psiFromCounts(counts, nBuckets)
+  }
+
+  /** The smoothed PSI projection over final (bucket, n1, n2) counts —
+    * ONE definition shared by the batch [[driftPsi]] and the
+    * streaming drained-counts twin (`stream_drift`): the add-½
+    * smoothing constant and the round(ln)·round discipline must never
+    * diverge between batch and stream, or the shared oracle would
+    * catch one and miss the other.
+    */
+  private[graft] def psiFromCounts(counts: DataFrame,
+      nBuckets: Int): DataFrame = {
     val totals = counts.agg(sum(col("n1")).as("t1"),
       sum(col("n2")).as("t2"))
     val half = 0.5 * nBuckets

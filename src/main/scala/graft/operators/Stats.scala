@@ -534,8 +534,9 @@ object Stats {
         col("na").as("na"), col("nb").as("nb"))).as("m"))
       .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
         col("m.na").as("n_a"), col("m.nb").as("n_b"),
-        round(col("m.num").cast("double") /
-          (col("m.na").cast("double") * col("m.nb").cast("double")), 6)
+        when(col("m.na") > 0 && col("m.nb") > 0,
+          round(col("m.num").cast("double") /
+            (col("m.na").cast("double") * col("m.nb").cast("double")), 6))
           .as("d_stat"),
         col("m.j").as("at_grid"), round(col("m.c"), 6).as("at_value"))
   }
@@ -596,8 +597,9 @@ object Stats {
           (lit(2) * col("cumneg") + col("neg")).cast(d19)).as("num2"))
       .select(col("np").cast("long").as("n_pos"),
         col("nn").cast("long").as("n_neg"),
-        round(col("num2").cast("double") /
-          (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+        when(col("np") > 0 && col("nn") > 0,
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("np") * col("nn")), 6)).as("auc"))
   }
 
   /** Score-DECILE LIFT table (the reliability/decile-analysis report
@@ -634,8 +636,9 @@ object Stats {
     bucketed.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n"), col("n_pos"),
         round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
-        round((col("n_pos").cast("double") / col("n")) /
-          (col("tp").cast("double") / col("tn")), 6).as("lift"))
+        when(col("tp") > 0,
+          round((col("n_pos").cast("double") / col("n")) /
+            (col("tp").cast("double") / col("tn")), 6)).as("lift"))
   }
 
   /** Thresholded CONFUSION MATRIX + precision/recall/F1 — the third
@@ -743,28 +746,37 @@ object Stats {
     // by the cent domain, never corpus-sized)
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("r"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val qhat = hist
+    val sel = hist
       .withColumn("cum", sum(col("c")).over(wCum))
-      .join(broadcast(nCal), "event_type")
+      .join(broadcast(nCal.select(col("event_type"), col("k"))),
+        "event_type")
       .filter(col("cum") >= col("k"))
       .groupBy("event_type")
-      .agg(min(col("r")).as("qhat"), min(col("n_cal")).as("n_cal"),
-        min(col("k")).as("k"))
+      .agg(min(col("r")).as("qhat"))
+    // every type with calibration data KEEPS its row: a split too
+    // small for the rank (k > n_cal) surfaces as qhat = null in the
+    // report — never a silently vanished type the reader can't tell
+    // from "no events"
+    val qhat = nCal.join(sel, Seq("event_type"), "left")
+      .localCheckpoint()
     val test = ev.filter(col("split") === "test")
       .join(broadcast(mu.select(col("event_type"), col("mu"))),
         "event_type")
-      .join(broadcast(qhat), "event_type")
+      .join(broadcast(qhat.select(col("event_type"), col("qhat"))),
+        "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_test"),
-        sum(when(abs(col("v") - col("mu")) <= col("qhat"), 1L)
+        sum(when(col("qhat").isNotNull
+            && abs(col("v") - col("mu")) <= col("qhat"), 1L)
           .otherwise(0L)).as("n_covered"))
-    mu.join(qhat.select(col("event_type"), col("n_cal"), col("k"),
-        col("qhat")), "event_type")
-      .join(test, "event_type")
+    mu.join(qhat, "event_type")
+      .join(test, Seq("event_type"), "left")
       .select(col("event_type"), col("n_train"), col("n_cal"), col("k"),
-        col("n_test"), col("mu").cast("double").as("mu"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        col("mu").cast("double").as("mu"),
         col("qhat").cast("double").as("qhat"),
-        round(col("n_covered").cast("double") / col("n_test"), 6)
+        when(col("qhat").isNotNull && col("n_test") > 0,
+          round(col("n_covered").cast("double") / col("n_test"), 6))
           .as("coverage"))
   }
 
@@ -803,16 +815,19 @@ object Stats {
       .agg(count(lit(1)).as("n_sample"),
         sum(col("v")).as("s"),
         sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+      // est/se defined ONCE; the bars derive from them so a variance
+      // formula change cannot desync the three columns. The rounding
+      // of ci_lo/ci_hi happens on the UNrounded est ± 1.96·se, which
+      // both engines compute identically (the oracle mirrors this
+      // exact expression tree).
+      .withColumn("est", (col("s") * 16).cast("double"))
+      .withColumn("se0",
+        sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))))
       .select(col("event_type"), col("n_sample"),
-        round((col("s") * 16).cast("double"), 2).as("est_total"),
-        round(sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))), 2)
-          .as("se"),
-        round((col("s") * 16).cast("double")
-          - lit(1.96) * sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))), 2)
-          .as("ci_lo"),
-        round((col("s") * 16).cast("double")
-          + lit(1.96) * sqrt(col("ss").cast("double") * ((1.0 - p) / (p * p))), 2)
-          .as("ci_hi"))
+        round(col("est"), 2).as("est_total"),
+        round(col("se0"), 2).as("se"),
+        round(col("est") - lit(1.96) * col("se0"), 2).as("ci_lo"),
+        round(col("est") + lit(1.96) * col("se0"), 2).as("ci_hi"))
   }
 
   /** JOIN-SIZE accounting BEFORE the join runs — the planner
@@ -854,10 +869,15 @@ object Stats {
           .as("n_common"),
         sum(col("contrib")).as("join_size"),
         max(struct(col("contrib"), col("user_id"))).as("hot"))
+      // accumulation is exact DECIMAL(38,0); the report boundary is
+      // DOUBLE (the registry's *_total convention) — a BIGINT cast
+      // would NULL (Spark) or throw (DuckDB) at exactly the blow-up
+      // scales this pre-flight exists to flag, while the double
+      // carries the magnitude at any scale, engine-identically
       .select(col("n_keys_a"), col("n_keys_b"), col("n_common"),
-        col("join_size").cast("long").as("join_size"),
+        col("join_size").cast("double").as("join_size"),
         col("hot.user_id").as("hot_key"),
-        col("hot.contrib").cast("long").as("hot_contrib"))
+        col("hot.contrib").cast("double").as("hot_contrib"))
   }
 
   /** WINSORIZED per-type value statistics — the robust-mean

@@ -177,7 +177,10 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
         case DoubleType => r => r.getDouble(i).toString
         case StringType => r => {
           val s = r.getUTF8String(i).toString
-          require(!s.contains('\t') && !s.contains('\n'),
+          // CR matters too: the CSV read-back treats a bare \r as a
+          // record terminator, so it would silently split the row
+          require(!s.contains('\t') && !s.contains('\n')
+              && !s.contains('\r'),
             s"TSV-unsafe string in column ${f.name}")
           s
         }

@@ -590,18 +590,10 @@ object EventStreams {
       val q = agg.writeStream
         .format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-      val counts = drainMemorySink(spark, name)
-      val totals = counts.agg(sum(col("n1")).as("t1"),
-        sum(col("n2")).as("t2"))
-      val half = 0.5 * nBuckets
-      counts.crossJoin(broadcast(totals))
-        .withColumn("p1", (col("n1").cast("double") + 0.5)
-          / (col("t1").cast("double") + half))
-        .withColumn("p2", (col("n2").cast("double") + 0.5)
-          / (col("t2").cast("double") + half))
-        .select(col("bucket"), col("n1"), col("n2"),
-          round((col("p2") - col("p1"))
-            * round(log(col("p2") / col("p1")), 6), 6).as("psi_term"))
+      // the drained final counts run the SAME psi projection as the
+      // batch operator — one definition, one smoothing constant
+      graft.operators.Pipeline.psiFromCounts(
+        drainMemorySink(spark, name), nBuckets)
     }
   }
 

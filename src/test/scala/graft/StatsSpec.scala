@@ -348,8 +348,10 @@ class StatsSpec extends SparkSpec {
       (4L, "A"), (4L, "B")).toDF("user_id", "event_type")
     val r = Stats.joinSizeOver(planted, "A", "B").head()
     assert((r.getAs[Long]("n_keys_a"), r.getAs[Long]("n_keys_b"),
-      r.getAs[Long]("n_common"), r.getAs[Long]("join_size"),
-      r.getAs[Long]("hot_key"), r.getAs[Long]("hot_contrib")) ==
+      r.getAs[Long]("n_common"),
+      r.getAs[Double]("join_size").toLong,
+      r.getAs[Long]("hot_key"),
+      r.getAs[Double]("hot_contrib").toLong) ==
       ((3L, 3L, 2L, 7L, 1L, 6L)), s"accounting: $r")
     // real corpus: the prediction equals the executed join's count
     val est = Stats.joinSize(spark, sf).head()
@@ -359,8 +361,8 @@ class StatsSpec extends SparkSpec {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"))
     val actual = clicks.join(purchases, "user_id").count()
-    assert(est.getAs[Long]("join_size") == actual,
-      s"predicted ${est.getAs[Long]("join_size")} vs executed $actual")
+    val predicted = est.getAs[Double]("join_size").toLong
+    assert(predicted == actual, s"predicted $predicted vs executed $actual")
     // the sketch route: CMS inner product min_d sum_w A·B over-counts
     // only by collisions — >= truth, and tight at width >> |keys|
     val d = 4; val w = 8192
