@@ -141,6 +141,7 @@ object SparkEntry {
     "q_conformal" -> ((s, d) => Stats.conformal(s, d)),
     "q_aqp_sum" -> ((s, d) => Stats.aqpSum(s, d)),
     "q_join_size" -> ((s, d) => Stats.joinSize(s, d)),
+    "q_neyman_alloc" -> ((s, d) => Stats.neymanAlloc(s, d)),
     "q_tokenizer_coverage" ->
       ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(s, d)),
@@ -3369,6 +3370,26 @@ object SparkEntry {
          |  END AS lift
          |FROM b CROSS JOIN t""".stripMargin
     },
+    // Neyman: exact decimal moments -> the q_ab_test IEEE sigma dag,
+    // w = n*sigma, one normalizer broadcast, round(budget*w/W)
+    "q_neyman_alloc" ->
+      """WITH m AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(CAST(n_chars AS DECIMAL(18,2)) *
+        |          CAST(n_chars AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS ssd
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |        sqrt((ssd - sd * sd / n) / (n - 1)) AS sigma,
+        |        n * sqrt((ssd - sd * sd / n) / (n - 1)) AS w
+        |      FROM m),
+        |t AS (SELECT sum(w) AS tw FROM w)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  round(sigma, 6) AS sigma,
+        |  round(w / tw, 6) AS alloc_frac,
+        |  CAST(round(1000.0 * w / tw, 0) AS BIGINT) AS n_alloc
+        |FROM w CROSS JOIN t""".stripMargin,
     // join-size accounting from the two per-key count tables; exact
     // decimal products; hottest key by (contrib, user_id) max
     "q_join_size" ->

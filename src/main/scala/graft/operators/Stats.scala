@@ -880,6 +880,50 @@ object Stats {
         col("hot.contrib").cast("double").as("hot_contrib"))
   }
 
+  /** NEYMAN ALLOCATION for stratified sampling — the sample-DESIGN
+    * primitive that closes the sampling family (`q_stratified_sample`
+    * draws at fixed per-stratum rates; `q_aqp_sum` estimates from a
+    * uniform sample; this computes the rates a fixed budget SHOULD
+    * use): the variance-minimizing allocation puts n_h ∝ N_h·σ_h —
+    * big, high-variance strata get more of the budget, tiny uniform
+    * ones almost none (the textbook result every survey/eval-set
+    * designer applies).
+    *
+    * One scan: per-language exact decimal moments (n, Σx, Σx²) →
+    * σ_h via the same IEEE dag as `q_ab_test`, weight w_h = N_h·σ_h,
+    * one 1-row normalizer broadcast back, n_h = round(budget·w/W).
+    * Rounded allocations can drift from the budget by ≤ #strata
+    * (documented; the fractional share is also reported). Everything
+    * after the partial-agg shuffle is #strata-sized.
+    */
+  def neymanAlloc(spark: SparkSession, sfDir: String,
+      budget: Long = 1000L): DataFrame =
+    neymanAllocOver(Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars").cast(DecimalType(18, 2))
+        .as("v")), budget)
+
+  /** Same operator over any (lang, v: decimal) frame — a planted
+    * two-strata spec pins the ∝ N·σ rule. */
+  def neymanAllocOver(rows: DataFrame, budget: Long): DataFrame = {
+    val m = rows.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+      .select(col("lang"), col("n"),
+        col("s").cast("double").as("sd"),
+        col("ss").cast("double").as("ssd"))
+      .withColumn("sigma",
+        sqrt((col("ssd") - col("sd") * col("sd") / col("n"))
+          / (col("n") - 1)))
+      .withColumn("w", col("n").cast("double") * col("sigma"))
+    val tot = m.agg(sum(col("w")).as("tw"))
+    m.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n").as("n_docs"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("w") / col("tw"), 6).as("alloc_frac"),
+        round(lit(budget.toDouble) * col("w") / col("tw"), 0)
+          .cast("long").as("n_alloc"))
+  }
+
   /** WINSORIZED per-type value statistics — the robust-mean
     * preprocessing step (clip, don't drop, the tails before a mean
     * enters a feature or a report): every value clips into its

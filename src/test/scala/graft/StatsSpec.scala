@@ -379,6 +379,38 @@ class StatsSpec extends SparkSpec {
       s"CMS inner product $inner too loose vs $actual")
   }
 
+  test("neyman allocation: a high-variance stratum draws budget in " +
+      "proportion to N·sigma and the totals reconcile") {
+    import spark.implicits._
+    // stratum A: 100 rows, sd 0 (constant) → zero allocation;
+    // stratum B: 100 rows alternating 0/200 → sd ≈ 100.5, takes all
+    val rows = (1 to 100).map(i => ("A", java.math.BigDecimal.valueOf(50))) ++
+      (1 to 100).map(i => ("B",
+        java.math.BigDecimal.valueOf(if (i % 2 == 0) 200L else 0L)))
+    val out = Stats.neymanAllocOver(
+        rows.toDF("lang", "v"), 1000L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("alloc_frac"), r.getAs[Long]("n_alloc")))).toMap
+    assert(out("A") == ((0.0, 0L)), s"constant stratum got budget: $out")
+    assert(out("B") == ((1.0, 1000L)), s"varying stratum short: $out")
+    // real corpus: fractions sum to 1, rounded totals near the budget
+    val real = Stats.neymanAlloc(spark, sf).cache()
+    val fsum = real.agg(sum("alloc_frac")).head().getDouble(0)
+    assert(math.abs(fsum - 1.0) < 1e-4, s"fractions sum to $fsum")
+    val nsum = real.agg(sum("n_alloc")).head().getLong(0)
+    val k = real.count()
+    assert(math.abs(nsum - 1000L) <= k, s"allocated $nsum of 1000")
+    // proportionality: alloc ratio equals the N·sigma ratio
+    val rows2 = real.collect()
+    val w = rows2.map(r => r.getAs[Long]("n_docs") *
+      r.getAs[Double]("sigma"))
+    val tw = w.sum
+    rows2.zip(w).foreach { case (r, wi) =>
+      assert(math.abs(r.getAs[Double]("alloc_frac") - wi / tw) < 1e-4)
+    }
+    real.unpersist()
+  }
+
   test("welch t-test matches a hand-computed reference on planted groups") {
     import spark.implicits._
     // a: [1, 2, 3, 4] n=4 mean=2.5 var=5/3; b: [2, 4, 6] n=3 mean=4 var=4
