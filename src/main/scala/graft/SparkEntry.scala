@@ -187,10 +187,16 @@ object SparkEntry {
     "agg_kmv_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // deterministic 5-word sample of each language's vocabulary via
-      // the order-free KMV aggregate; md5 ordering reproduces in DuckDB
+      // the order-free KMV aggregate; md5 ordering reproduces in DuckDB.
+      // The sample is defined over DISTINCT words, so dedup in the
+      // array domain BEFORE the explode (the inverted-index recipe):
+      // the aggregate then hashes per-document-distinct words, not
+      // every token occurrence — a several-fold md5 cut on natural
+      // text with identical semantics
       Tables.documents(s, d)
         .select(col("lang"),
-          explode(split(col("text"), TextMapReduce.WordSplit)).as("word"))
+          explode(array_distinct(
+            split(col("text"), TextMapReduce.WordSplit))).as("word"))
         .filter(col("word") =!= "")
         .groupBy("lang")
         .agg(graft.functions.KmvSample.kmv_sample(col("word"), 5).as("sample"))
@@ -2723,10 +2729,12 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_words - n_dom) AS BIGINT) AS oov_words,
         |  CAST(sum(n_merged) AS BIGINT) AS merged_tokens,
-        |  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6)
-        |    AS tokens_per_word,
-        |  round(CAST(sum(n_words - n_dom) AS DOUBLE) / sum(n_words), 6)
-        |    AS oov_rate
+        |  round(CASE WHEN sum(n_words) > 0
+        |    THEN CAST(sum(n_tokens) AS DOUBLE) / sum(n_words)
+        |    ELSE 0.0 END, 6) AS tokens_per_word,
+        |  round(CASE WHEN sum(n_words) > 0
+        |    THEN CAST(sum(n_words - n_dom) AS DOUBLE) / sum(n_words)
+        |    ELSE 0.0 END, 6) AS oov_rate
         |FROM per GROUP BY 1""".stripMargin),
     // pack-bins over the trained tokenizer's REAL token counts: the
     // same greedy per-shard packing window, budget measured in BPE
@@ -3381,14 +3389,20 @@ object SparkEntry {
         |      AS DOUBLE) AS ssd
         |  FROM documents GROUP BY 1),
         |w AS (SELECT lang, n,
-        |        sqrt((ssd - sd * sd / n) / (n - 1)) AS sigma,
-        |        n * sqrt((ssd - sd * sd / n) / (n - 1)) AS w
+        |        CASE WHEN n > 1
+        |          THEN sqrt((ssd - sd * sd / n) / (n - 1))
+        |          ELSE 0.0 END AS sigma,
+        |        n * CASE WHEN n > 1
+        |          THEN sqrt((ssd - sd * sd / n) / (n - 1))
+        |          ELSE 0.0 END AS w
         |      FROM m),
         |t AS (SELECT sum(w) AS tw FROM w)
         |SELECT lang, CAST(n AS BIGINT) AS n_docs,
         |  round(sigma, 6) AS sigma,
-        |  round(w / tw, 6) AS alloc_frac,
-        |  CAST(round(1000.0 * w / tw, 0) AS BIGINT) AS n_alloc
+        |  round(CASE WHEN tw > 0 THEN w / tw ELSE 0.0 END, 6)
+        |    AS alloc_frac,
+        |  CAST(round(CASE WHEN tw > 0 THEN 1000.0 * w / tw
+        |             ELSE 0.0 END, 0) AS BIGINT) AS n_alloc
         |FROM w CROSS JOIN t""".stripMargin,
     // join-size accounting from the two per-key count tables; exact
     // decimal products; hottest key by (contrib, user_id) max

@@ -51,12 +51,36 @@ case class KmvSample(
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")
 
-  private def md5hex(s: String): String = {
-    digest.reset()
-    val d = digest.digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(2 * i) = HexChars(b >>> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Raw-digest vs hex-key comparison: lets a full buffer REJECT the
+    * common case without allocating the 32-char hex string. hex
+    * ordering over md5 equals unsigned-byte ordering, so comparing
+    * nibble-by-nibble against the stored hex key is exact.
+    */
+  private def digestBeforeHex(d: Array[Byte], hex: String): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      val hi = HexChars(b >>> 4); val lo = HexChars(b & 0xf)
+      val chi = hex.charAt(2 * i); val clo = hex.charAt(2 * i + 1)
+      if (hi != chi) return hi < chi
+      if (lo != clo) return lo < clo
+      i += 1
+    }
+    false // equal
   }
 
   private def insert(buf: mutable.TreeMap[String, String],
@@ -71,7 +95,12 @@ case class KmvSample(
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
-      insert(buf, md5hex(item), item)
+      digest.reset()
+      val d = digest.digest(item.getBytes("UTF-8"))
+      // full buffer + digest not below the current cut -> no-op
+      // (duplicates of retained items hit the TreeMap check below)
+      if (buf.size < k || digestBeforeHex(d, buf.lastKey))
+        insert(buf, toHex(d), item)
     }
     buf
   }

@@ -912,15 +912,24 @@ object Stats {
         col("s").cast("double").as("sd"),
         col("ss").cast("double").as("ssd"))
       .withColumn("sigma",
-        sqrt((col("ssd") - col("sd") * col("sd") / col("n"))
-          / (col("n") - 1)))
+        // n = 1 makes the unbiased variance 0/0 (Spark Divide -> NULL,
+        // DuckDB -> NaN): a singleton stratum has no measurable spread,
+        // so pin sigma = 0 in BOTH engines (mirrored CASE in the oracle)
+        when(col("n") > 1,
+          sqrt((col("ssd") - col("sd") * col("sd") / col("n"))
+            / (col("n") - 1))).otherwise(lit(0.0)))
       .withColumn("w", col("n").cast("double") * col("sigma"))
     val tot = m.agg(sum(col("w")).as("tw"))
     m.crossJoin(broadcast(tot))
       .select(col("lang"), col("n").as("n_docs"),
         round(col("sigma"), 6).as("sigma"),
-        round(col("w") / col("tw"), 6).as("alloc_frac"),
-        round(lit(budget.toDouble) * col("w") / col("tw"), 0)
+        // all-constant strata give tw = 0: w/tw would NULL-vs-NaN
+        // diverge across engines, so both pin the share to 0
+        round(when(col("tw") > 0, col("w") / col("tw"))
+          .otherwise(lit(0.0)), 6).as("alloc_frac"),
+        round(when(col("tw") > 0,
+            lit(budget.toDouble) * col("w") / col("tw"))
+          .otherwise(lit(0.0)), 0)
           .cast("long").as("n_alloc"))
   }
 

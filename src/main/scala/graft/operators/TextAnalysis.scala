@@ -741,10 +741,16 @@ object TextAnalysis {
         sum("n_merged").as("merged_tokens"))
       .select(col("lang"), col("n_docs"), col("total_words"),
         col("total_tokens"), col("oov_words"), col("merged_tokens"),
-        round(col("total_tokens").cast("double") / col("total_words"), 6)
-          .as("tokens_per_word"),
-        round(col("oov_words").cast("double") / col("total_words"), 6)
-          .as("oov_rate"))
+        // a language with zero ^[a-z]{2,}$ words (non-Latin script)
+        // gives total_words = 0: 0/0 is NULL in Spark but NaN in
+        // DuckDB, so both engines pin the rates to 0 (mirrored CASE
+        // in the oracle SQL)
+        round(when(col("total_words") > 0,
+            col("total_tokens").cast("double") / col("total_words"))
+          .otherwise(lit(0.0)), 6).as("tokens_per_word"),
+        round(when(col("total_words") > 0,
+            col("oov_words").cast("double") / col("total_words"))
+          .otherwise(lit(0.0)), 6).as("oov_rate"))
   }
 
   // ---- PII detection / redaction --------------------------------------

@@ -46,11 +46,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private val GridName = "grid"
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  /** The one declared namespace. Misspelled namespaces must surface
+    * loudly (NoSuchNamespace/NoSuchTable), not silently resolve —
+    * `graftcat.<typo>.grid` succeeding would mask user errors.
+    */
+  private val Namespace = Array("main")
+
+  private def requireNamespace(namespace: Array[String]): Unit =
+    if (!(namespace sameElements Namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireNamespace(namespace)
     Array(Identifier.of(namespace, GridName))
+  }
 
   override def loadTable(ident: Identifier): Table =
-    if (ident.name() == GridName) new SyntheticTable(rows, slices)
+    if ((ident.namespace() sameElements Namespace) &&
+        ident.name() == GridName) new SyntheticTable(rows, slices)
     else throw new NoSuchTableException(ident)
 
   private def readOnly: Nothing =
@@ -71,11 +85,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   // ---- FunctionCatalog: V2 SQL functions ----------------------------
 
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    requireNamespace(namespace)
     Array(Identifier.of(namespace, KnuthVal.Name))
+  }
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name() == KnuthVal.Name) KnuthVal
+    if ((ident.namespace() sameElements Namespace) &&
+        ident.name() == KnuthVal.Name) KnuthVal
     else throw new NoSuchFunctionException(ident)
 }
 

@@ -78,7 +78,14 @@ object GraftSink {
       .map(_.split("\t")(0))
       .map(f => Paths.get(path, f).toString)
       .toSeq
-    spark.read.schema(Schema).option("sep", "\t").csv(files: _*)
+    // A committed empty write publishes a manifest listing no files;
+    // csv() with an empty path list errors, so honor the visibility
+    // contract with an explicitly empty frame instead.
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+    else
+      spark.read.schema(Schema).option("sep", "\t").csv(files: _*)
   }
 
   /** Test hook: when set, the writer for partition 0 throws on its
