@@ -352,6 +352,11 @@ object SparkEntry {
     "q_embed_pca" -> ((s, d) => Similarity.embedPca(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // persisted-index round trips: build artifacts once, serve from
+    // artifacts only (exact IVF payload -> same oracle as ann_ivf;
+    // the PQ variant is rows-gated like the rest of the Lloyd family)
+    "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
+    "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
@@ -3568,6 +3573,35 @@ object SparkEntry {
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |               c.cid) AS crank
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               cand.vec_id) AS BIGINT) AS rnk
+        |  FROM cand
+        |  JOIN embeddings e ON cand.vec_id = e.vec_id
+        |  JOIN embeddings q ON cand.query_id = q.vec_id)
+        |WHERE rnk <= 10""".stripMargin,
+    // persisted IVF index stores EXACT vectors cell-partitioned, so
+    // the build -> artifacts -> query round trip answers identically
+    // to the one-shot ann_ivf — the same SQL gates both
+    "ann_persisted" ->
       """WITH cent AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings WHERE vec_id < 16),

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.TempDirs
+import graft.functions.CatalystExprs.{dot_product, pq_adc, pq_adc_table}
+
+/** PERSISTED ANN index artifacts (SURVEY §2.D) — the
+  * train-once/serve-many shape every real vector-search deployment
+  * runs, applied to the `ann_ivf` / `ann_ivfpq` family: a BUILD job
+  * trains the codebooks and encodes the corpus ONCE, writing
+  *
+  *   - `centroids/` — the coarse quantizer (cells rows; driver-sized
+  *     BY DESIGN, like the `sketch_persist` sketch rows),
+  *   - `pq/` — the per-subspace PQ codebooks (M × Ks rows), and
+  *   - `codes/` — one row per corpus vector, PARTITIONED BY CELL ID:
+  *     the exact (v, norm) payload for the IVF index, the (code,
+  *     xnorm) 64-bit payload for IVF-PQ;
+  *
+  * and every later QUERY job serves top-k from the artifacts alone —
+  * the corpus is never re-read, never re-encoded (plan-spec enforced:
+  * no PqEncode / no raw-corpus scan in the query plan). Per-query
+  * work is the probed cells only, and because `codes/` is
+  * cell-partitioned parquet, the cid-keyed broadcast join prunes
+  * whole partitions at the source (dynamic partition pruning — the
+  * on-disk twin of `ann_ivf`'s cell pruning): at 100 TB a query
+  * touches nProbe/cells of the FILES, not just of the rows.
+  *
+  * This is `dedup_incremental`'s fingerprint-store discipline
+  * (IncrementalDedup.scala) applied to similarity search, replacing
+  * the per-invocation retrain+re-encode every `ann_*` key pays
+  * (Similarity.scala collects the training sample inside the query).
+  *
+  * Correctness: the IVF index persists EXACT vectors, so the gated
+  * `ann_persisted` round trip (build → artifacts → query) reproduces
+  * `ann_ivf`'s oracle-checked answer bit-for-bit and the same DuckDB
+  * SQL gates it. The IVF-PQ index inherits the Lloyd-codebook regime
+  * (rows-gated); its spec pins exact output equality with the
+  * one-shot `ann_ivfpq` plus the artifact-only plan shape.
+  */
+object AnnIndex {
+
+  // ---- IVF: exact vectors, cell-partitioned (oracle-gated) ----------
+
+  /** Build the IVF index: coarse centroids (the deterministic first
+    * `cells` corpus vectors — `ann_ivf`'s codebook convention) plus
+    * every vector's nearest-cell assignment, written cell-partitioned.
+    * Assignment ranks the broadcast codebook exactly like `annIvf`
+    * (csim desc, cid asc — the proven oracle-stable ordering) on slim
+    * (vec_id, cid) rows; the vector payload joins back only for the
+    * write, so the 16× centroid fan-out never carries arrays.
+    */
+  def buildIvf(all: DataFrame, dir: String,
+      cells: Int = Similarity.IvfCells): Unit = {
+    val cent = all.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assign = all.join(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
+      .select(col("vec_id"), col("cid"),
+        row_number().over(byVec).as("crank"))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    all.join(assign, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("norm"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Serve top-k from IVF artifacts ONLY: rank the persisted
+    * centroids per query (tiny: nQueries × cells), then join the
+    * cell-partitioned codes on the probed cids — the broadcast join
+    * key is the partition column, so the parquet source prunes
+    * un-probed cells (DPP) — and rank exact cosine through bounded
+    * TopKPerKey heaps. `queries` is (query_id, qv, qnorm), small by
+    * design (the `annTopkBrute` broadcast-side contract).
+    */
+  def queryIvf(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = Similarity.IvfProbes): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("qv"), col("cv")) / col("qnorm") / col("cnorm"))
+      .select(col("query_id"), col("cid"), col("qv"), col("qnorm"),
+        row_number().over(byQ).as("crank"))
+      .filter(col("crank") <= nProbe)
+      .select(col("cid"), col("query_id"), col("qv"), col("qnorm"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val scored = codes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
+  /** Gated entry: build the index into a run-scoped artifact dir,
+    * then answer the standard first-20-query workload from the
+    * artifacts. Same parameters as `ann_ivf`, exact payload — the
+    * round trip reproduces its oracle-checked answer bit-for-bit.
+    */
+  def annPersisted(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): DataFrame = {
+    val all = Similarity.vecs(spark, sfDir)
+    val dir = TempDirs.create("graft_ann_index").toString
+    buildIvf(all, dir)
+    queryIvf(spark, dir, firstQueries(all, nQueries), k)
+  }
+
+  private def firstQueries(all: DataFrame, nQueries: Int): DataFrame =
+    all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+
+  // ---- IVF-PQ: trained codebooks + 64-bit codes (rows-gated) --------
+
+  /** Build the IVF-PQ index: train the coarse + per-subspace Lloyd
+    * codebooks ONCE (the bounded deterministic sample — `ann_ivfpq`'s
+    * exact training recipe, so artifacts reproduce its geometry),
+    * persist both codebooks as parquet rows, and encode the corpus in
+    * one kernel projection — (code, xnorm) per vector, written
+    * cell-partitioned. After this job the raw corpus is only ever
+    * touched again to re-rank pool-sized row sets.
+    */
+  def buildIvfPq(all: DataFrame, dir: String,
+      cells: Int = Similarity.IvfPqCells): Unit = {
+    import all.sparkSession.implicits._
+    import graft.functions.CatalystExprs.{centroid_probes, pq_encode, pq_recon_norm}
+    val sample = Similarity.unitSample(all)
+    val coarse = Similarity.lloyd(sample, cells, Similarity.PqLloydIters)
+    val cb = Similarity.pqCodebooks(sample)
+    val nrm2: Array[Array[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.zipWithIndex.flatMap { case (sub, j) =>
+        sub.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+      }.toSeq.toDF("j", "c", "cv")
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    all.select(
+        element_at(centroid_probes(col("v"), col("norm"), coarse, 1), 1)
+          .as("cid"),
+        col("vec_id"),
+        pq_encode(col("v"), col("norm"), cb).as("code"),
+        pq_recon_norm(col("code"), nrm2).as("xnorm"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Reload the persisted codebooks as driver arrays — bounded by
+    * construction (cells + M·Ks rows; the codebook IS driver-sized,
+    * that is what makes it a broadcastable kernel constant).
+    */
+  private def loadCodebooks(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val coarse = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("cv")).toArray)
+    val pqRows = spark.read.parquet(s"$dir/pq")
+      .orderBy("j", "c").collect()
+      .map(r => (r.getInt(r.fieldIndex("j")),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+    val cb = pqRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_._2) }
+    (coarse, cb)
+  }
+
+  /** Serve top-k from IVF-PQ artifacts: ADC tables from the RELOADED
+    * codebooks, candidate scan over the cell-partitioned codes (DPP
+    * prunes un-probed cells; each candidate costs PqM table lookups),
+    * bounded-heap pool cut, then exact re-rank of the pool-sized row
+    * set against `raw` — the ONLY raw-vector access, `rerank` rows
+    * per query regardless of corpus size. The corpus is never
+    * re-encoded (plan-spec: no PqEncode anywhere in this plan).
+    */
+  def queryIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+      raw: DataFrame, k: Int = 10, rerank: Int = 100,
+      nProbe: Int = Similarity.IvfPqProbes): DataFrame = {
+    import graft.functions.CatalystExprs.centroid_probes
+    val (coarse, cb) = loadCodebooks(spark, dir)
+    val q = queries.select(col("query_id"),
+      explode(centroid_probes(col("qv"), col("qnorm"), coarse, nProbe))
+        .as("cid"),
+      pq_adc_table(col("qv"), col("qnorm"), cb).as("tbl"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val approx = codes.join(broadcast(q), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", pq_adc(col("tbl"), col("code")) / col("xnorm"))
+    val pool = graft.plans.TopKPerKey(
+        approx.select(col("query_id"), col("vec_id"), col("acos")),
+        Seq("query_id"), Seq(("acos", true), ("vec_id", false)), rerank)
+      .select(col("query_id"), col("vec_id"))
+    val exactQ = queries.select(col("query_id"), col("qv"), col("qnorm"))
+    val rescored = pool
+      .join(raw, "vec_id")
+      .join(broadcast(exactQ), "query_id")
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    graft.plans.TopKPerKey(
+        rescored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
+  /** Gated entry (rows-spec regime): build once, serve the standard
+    * workload from artifacts. Identical training recipe and
+    * parameters to `ann_ivfpq`, so the spec pins EXACT output
+    * equality with the one-shot operator — the persisted round trip
+    * loses nothing — plus the 0.8 recall floor it inherits.
+    */
+  def annPersistedPq(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20, rerank: Int = 100): DataFrame = {
+    val all = Similarity.vecs(spark, sfDir)
+    val dir = TempDirs.create("graft_ann_pq_index").toString
+    buildIvfPq(all, dir)
+    queryIvfPq(spark, dir, firstQueries(all, nQueries), all, k, rerank)
+  }
+}

@@ -494,7 +494,7 @@ object Similarity {
     * corpus vectors, normalized) — the driver-side stand-in for the
     * offline codebook-training job. O(sample), corpus-size free.
     */
-  private def unitSample(all: DataFrame): Array[Array[Double]] = {
+  private[operators] def unitSample(all: DataFrame): Array[Array[Double]] = {
     val sample = all.filter(col("vec_id") < PqSample)
       .orderBy("vec_id").select("v", "norm").collect()
       .map { r =>
@@ -508,7 +508,7 @@ object Similarity {
   /** Per-subspace PQ codebooks from a unit-vector sample:
     * cb(j)(c) = centroid c of subspace j.
     */
-  private def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+  private[operators] def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     val subd = sample(0).length / PqM
     Array.tabulate(PqM) { j =>
       lloyd(sample.map(_.slice(j * subd, (j + 1) * subd)), PqKs, PqLloydIters)

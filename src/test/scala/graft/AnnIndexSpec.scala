@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CatalystExprs.dot_product
+import graft.operators.{AnnIndex, Similarity}
+
+class AnnIndexSpec extends SparkSpec {
+
+  /** The (vec_id, v, norm) corpus frame the ANN family consumes. */
+  private def corpus() = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+
+  private def queries(all: org.apache.spark.sql.DataFrame, n: Int) =
+    all.filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+
+  test("persisted IVF round trip reproduces one-shot ann_ivf bit-for-bit") {
+    val res = AnnIndex.annPersisted(spark, sf).cache()
+    assert(res.count() > 0)
+    val oneShot = Similarity.annIvf(spark, sf)
+    assert(res.except(oneShot).isEmpty && oneShot.except(res).isEmpty)
+    res.unpersist()
+  }
+
+  test("persisted IVF-PQ round trip reproduces one-shot ann_ivfpq " +
+      "exactly (codebooks trained once, nothing lost in the artifacts)") {
+    val res = AnnIndex.annPersistedPq(spark, sf).cache()
+    assert(res.count() > 0)
+    val oneShot = Similarity.annIvfPq(spark, sf)
+    assert(res.except(oneShot).isEmpty && oneShot.except(res).isEmpty)
+    res.unpersist()
+  }
+
+  test("query plans are artifact-only: no corpus re-encode, and the " +
+      "cell-partitioned codes store prunes via dynamic partition pruning") {
+    val all = corpus()
+    val q = queries(all, 20)
+
+    val dir = TempDirs.create("graft_ann_spec").toString
+    AnnIndex.buildIvf(all, dir)
+    // build really wrote a cell-partitioned store (one dir per cell)
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles
+      .map(_.getName).count(_.startsWith("cid="))
+    assert(cellDirs == Similarity.IvfCells)
+    val ivfPlan = AnnIndex.queryIvf(spark, dir, q)
+      .queryExecution.executedPlan.toString
+    // the codes scan is the artifact store, and the probed-cid
+    // broadcast join reaches it as a DPP partition filter — at scale
+    // a query touches nProbe/cells of the FILES
+    assert(ivfPlan.contains(dir))
+    assert(ivfPlan.toLowerCase.contains("dynamicpruning"))
+
+    val dir2 = TempDirs.create("graft_ann_pq_spec").toString
+    AnnIndex.buildIvfPq(all, dir2)
+    val pqPlan = AnnIndex.queryIvfPq(spark, dir2, q, all)
+      .queryExecution.executedPlan.toString
+    // serving never re-encodes the corpus: the PqEncode kernel exists
+    // only in the build job, and the codes scan prunes cells like IVF
+    assert(!pqPlan.toLowerCase.contains("pqencode"))
+    assert(pqPlan.contains(dir2))
+    assert(pqPlan.toLowerCase.contains("dynamicpruning"))
+  }
+
+  test("a second query against the same artifacts answers without " +
+      "rebuilding (train-once/serve-many)") {
+    val all = corpus()
+    val dir = TempDirs.create("graft_ann_reuse").toString
+    AnnIndex.buildIvf(all, dir)
+    val r1 = AnnIndex.queryIvf(spark, dir, queries(all, 5), k = 3)
+    val r2 = AnnIndex.queryIvf(spark, dir, queries(all, 5), k = 3)
+    assert(r1.count() > 0)
+    assert(r1.except(r2).isEmpty && r2.except(r1).isEmpty)
+  }
+}
