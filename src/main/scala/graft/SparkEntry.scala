@@ -2329,6 +2329,62 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) AS containment
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(least(x.n, y.n) AS DOUBLE) >= 0.8""".stripMargin,
+    // batch MinHash LSH, oracle-gated since the md5 Carter-Wegman
+    // unification (the stream_near_dup recipe at the full 128-perm
+    // signature): 128 list_min permutation minima, 16 bands x 8 rows
+    // joined on exact string band keys, candidates verified by exact
+    // distinct-shingle Jaccard >= 0.8
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until Dedup.NumPerms).map { i =>
+        val (a, b, c) = Dedup.permCoef(i)
+        s"($a * (h >> 24) + $b * (h % 16777216) + $c) % 2147483647"
+      }
+      val minsSel = mins.zipWithIndex.map { case (m, i) =>
+        s"    list_min(list_transform(hs, h -> $m)) AS mh$i"
+      }.mkString(",\n")
+      val sigList = (0 until Dedup.NumPerms)
+        .map(i => s"mh$i").mkString("[", ", ", "]")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_transform(range(1, len(w) - 1),
+         |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
+         |      s -> CAST('0x' || substring(md5(s), 1, 12) AS BIGINT)) AS hs
+         |  FROM words WHERE len(w) >= 3),
+         |sigs AS (
+         |  SELECT doc_id, $sigList AS sig FROM (
+         |    SELECT doc_id,
+         |$minsSel
+         |    FROM hashed)),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(sig[b * 8 + 1 : b * 8 + 8], '-') AS bsig
+         |  FROM sigs CROSS JOIN range(16) r(b)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig
+         |  WHERE x.doc_id < y.doc_id),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                          for i in range(1, len(w) - 1)])) AS s
+         |  FROM words),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cands c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8""".stripMargin
+    },
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
     // three power iterations unrolled as CTEs; per-edge contributions

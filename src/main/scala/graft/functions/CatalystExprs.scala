@@ -54,22 +54,55 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): XxHashArray = copy(child = c)
   }
 
-  /** MinHash signature: for each affine permutation (a,b), min over
-    * shingle-hash ids of (a·x + b) mod prime, ids folded into 2^32.
+  /** 48-bit md5-prefix hash per array<string> element — the MinHash
+    * family's base hash (`conv(substring(md5(s),1,12),16,10)` per
+    * element, one tight loop).
     */
-  case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
-      prime: Long) extends UnaryExpression {
+  case class Md5PrefixArray(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
-      ExprKernels.minhashSig(input.asInstanceOf[ArrayData], as, bs, prime)
+      ExprKernels.md5PrefixArray(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.md5PrefixArray($c);")
+    override protected def withNewChildInternal(c: Expression): Md5PrefixArray = copy(child = c)
+  }
+
+  /** Carter–Wegman MinHash signature over 48-bit md5-prefix shingle
+    * hashes: for each permutation (a,b,c), min over hashes h of
+    * (a·(h div 2²⁴) + b·(h mod 2²⁴) + c) mod (2³¹−1) — the
+    * DuckDB-reproducible recipe (see Dedup.PermCoef), one tight pass
+    * for all permutations.
+    */
+  case class MinHashSigCW(child: Expression, as: Array[Long],
+      bs: Array[Long], cs: Array[Long], mod: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.minhashSigCw(input.asInstanceOf[ArrayData], as, bs, cs, mod)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       // coefficient arrays ride along as compiled-class references
       val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
       val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      val csRef = ctx.addReferenceObj("mhCs", cs, "long[]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.ExprKernels.minhashSig($c, $asRef, $bsRef, ${prime}L);")
+        s"${ev.value} = graft.functions.ExprKernels.minhashSigCw($c, $asRef, $bsRef, $csRef, ${mod}L);")
     }
-    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override protected def withNewChildInternal(c: Expression): MinHashSigCW = copy(child = c)
+  }
+
+  /** Exact string band keys from a minhash signature (the
+    * `array_to_string(sig[slice], '-')` the oracle joins on). One
+    * pass, replaces `bands` interpreted slice/concat trees per row.
+    */
+  case class BandKeyStrings(child: Expression, bands: Int, rows: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.bandKeyStrings(input.asInstanceOf[ArrayData], bands, rows)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.bandKeyStrings($c, $bands, $rows);")
+    override protected def withNewChildInternal(c: Expression): BandKeyStrings = copy(child = c)
   }
 
   /** LSH band keys from a minhash signature: key b = xxhash64 fold of
@@ -301,10 +334,15 @@ object CatalystExprs {
     asCol(WordNGrams(expression(words), n))
   def xxhash_array(arr: Column): Column =
     asCol(XxHashArray(expression(arr)))
-  def minhash_sig(ids: Column, as: Array[Long], bs: Array[Long], prime: Long): Column =
-    asCol(MinHashSig(expression(ids), as, bs, prime))
+  def md5_prefix_array(arr: Column): Column =
+    asCol(Md5PrefixArray(expression(arr)))
+  def minhash_sig_cw(hashes: Column, as: Array[Long], bs: Array[Long],
+      cs: Array[Long], mod: Long): Column =
+    asCol(MinHashSigCW(expression(hashes), as, bs, cs, mod))
   def band_keys(sig: Column, bands: Int, rows: Int): Column =
     asCol(BandKeys(expression(sig), bands, rows))
+  def band_key_strings(sig: Column, bands: Int, rows: Int): Column =
+    asCol(BandKeyStrings(expression(sig), bands, rows))
   def simhash64(hashes: Column): Column =
     asCol(SimHash64(expression(hashes)))
   def dot_product(a: Column, b: Column): Column =

@@ -100,13 +100,51 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
-  def minhashSig(arr: ArrayData, as: Array[Long], bs: Array[Long],
-      prime: Long): ArrayData = {
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 48-bit md5-prefix hash of every element of an array<string> →
+    * array<long>: the first 6 digest bytes as an unsigned big-endian
+    * value — EXACTLY `conv(substring(md5(s), 1, 12), 16, 10)`, the
+    * form the DuckDB oracle computes — in one tight loop (the
+    * `transform` HOF formulation runs interpreted per element).
+    */
+  def md5PrefixArray(arr: ArrayData): ArrayData = {
+    val md = Md5.get()
     val m = arr.numElements()
-    val ids = new Array[Long](m)
+    val out = new Array[Long](m)
     var i = 0
     while (i < m) {
-      ids(i) = arr.getLong(i) & 0xFFFFFFFFL // fold into 2^32 domain
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      out(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Carter–Wegman MinHash over 48-bit md5-prefix hashes — the
+    * DuckDB-reproducible family (Dedup.PermCoef recipe): the hash
+    * splits into 24-bit halves so every a·hi + b·lo + c term stays
+    * < 2^56 (overflow-free in BIGINT on both engines) and the sum
+    * genuinely wraps the 2^31−1 modulus. One pass computes all
+    * permutation minima; the halves are extracted once per shingle,
+    * not once per permutation.
+    */
+  def minhashSigCw(arr: ArrayData, as: Array[Long], bs: Array[Long],
+      cs: Array[Long], mod: Long): ArrayData = {
+    val m = arr.numElements()
+    val hi = new Array[Long](m)
+    val lo = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val h = arr.getLong(i)
+      hi(i) = h >> 24
+      lo(i) = h % 16777216L
       i += 1
     }
     val out = new Array[Long](as.length)
@@ -115,12 +153,36 @@ object ExprKernels {
       var mn = Long.MaxValue
       var k = 0
       while (k < m) {
-        val h = (as(p) * ids(k) + bs(p)) % prime
-        if (h < mn) mn = h
+        val v = (as(p) * hi(k) + bs(p) * lo(k) + cs(p)) % mod
+        if (v < mn) mn = v
         k += 1
       }
       out(p) = if (m == 0) 0L else mn
       p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** EXACT band keys: band b = the '-'-joined string of signature
+    * rows [b·rows, (b+1)·rows) — `array_to_string(sig[..], '-')` in
+    * DuckDB, which is what keeps band agreement (and with it the
+    * candidate SET) oracle-reproducible, unlike the xxhash64 fold of
+    * `bandKeys` (faster keys, but a collision would surface a
+    * candidate no oracle can predict).
+    */
+  def bandKeyStrings(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(rows * 11)
+      var k = 0
+      while (k < rows) {
+        if (k > 0) sb.append('-')
+        sb.append(sig.getLong(b * rows + k))
+        k += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
     }
     new GenericArrayData(out)
   }

@@ -430,8 +430,6 @@ object Dedup {
 
   // ---- MinHash + banded LSH ------------------------------------------
 
-  /** 2^32-domain prime for the affine permutation family. */
-  private val P = 4294967311L
   val NumPerms = 128
 
   /** (bands, rows) matched to the dedup threshold from the banding
@@ -451,23 +449,30 @@ object Dedup {
   def bandingFor(threshold: Double): (Int, Int) =
     if (threshold >= 0.7) (16, 8) else (32, 4)
 
-  /** Deterministic affine permutation coefficients (seeded). */
-  private val perms: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumPerms)((1L + rnd.nextInt(Int.MaxValue).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** minhash signature (array<long> of NumPerms) from a shingle array.
-    * Shingle ids are xxhash64 folded into the 32-bit domain so
-    * a*x+b never overflows a long. Custom Catalyst expressions (one
-    * tight pass per row) — the HOF formulation re-evaluates nested
-    * lambda subtrees per element and is orders of magnitude slower.
+  /** 48-bit md5-prefix hash per shingle — ONE md5 per shingle, the
+    * base hash of the whole MinHash family (batch AND streaming): md5
+    * is the one hash both engines compute identically, which is what
+    * makes every LSH candidate set DuckDB-oracle-reproducible.
     */
-  def minhashSignature(sh: Column): Column =
-    graft.functions.CatalystExprs.minhash_sig(
-      graft.functions.CatalystExprs.xxhash_array(sh),
-      perms.map(_._1).toArray, perms.map(_._2).toArray, P)
+  def md5PrefixHashes(sh: Column): Column =
+    graft.functions.CatalystExprs.md5_prefix_array(sh)
+
+  /** minhash signature (array<long> of NumPerms) from a shingle
+    * array: the Carter–Wegman permutation family (see [[PermCoef]])
+    * over 48-bit md5-prefix shingle hashes — the streaming near-dup
+    * recipe, extended to the full 128-permutation signature, so the
+    * batch LSH path is oracle-gated like the streaming one (formerly
+    * xxhash64-signed and rows-gated). One codegen'd pass computes all
+    * permutation minima (the HOF formulation re-evaluates nested
+    * lambda subtrees per element and is orders of magnitude slower).
+    */
+  def minhashSignature(sh: Column): Column = {
+    val coef = (0 until NumPerms).map(permCoef)
+    graft.functions.CatalystExprs.minhash_sig_cw(
+      md5PrefixHashes(sh),
+      coef.map(_._1).toArray, coef.map(_._2).toArray,
+      coef.map(_._3).toArray, 2147483647L)
+  }
 
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -493,9 +498,13 @@ object Dedup {
     val sig = shd
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh")))
+    // EXACT string band keys (the oracle's array_to_string slice) —
+    // an xxhash64 fold is a cheaper shuffle key, but a fold collision
+    // could surface a candidate no oracle reproduces; exactness is
+    // what keeps this path hash-gated
     val banded = sig
       .select(col("doc_id"),
-        posexplode(graft.functions.CatalystExprs.band_keys(
+        posexplode(graft.functions.CatalystExprs.band_key_strings(
           col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
@@ -974,12 +983,17 @@ object Dedup {
     * so the 16 argmins are genuinely independent (a non-wrapping
     * affine map would rank every permutation identically).
     */
+  /** Permutation i's (a, b, c) — one formula for the whole family:
+    * the 16-permutation streaming signature is the prefix of the
+    * 128-permutation batch one.
+    */
+  def permCoef(i: Int): (Long, Long, Long) =
+    (1000003L * (i + 1) % 2147483647L,
+      998244353L * (i + 7) % 2147483647L,
+      777767777L * (i + 13) % 2147483647L)
+
   val PermCoef: IndexedSeq[(Long, Long, Long)] =
-    (0 until NearDupPerms).map { i =>
-      (1000003L * (i + 1) % 2147483647L,
-        998244353L * (i + 7) % 2147483647L,
-        777767777L * (i + 13) % 2147483647L)
-    }
+    (0 until NearDupPerms).map(permCoef)
 
   /** The 16-permutation MinHash signature as a pure PROJECTION:
     * 3-word shingles built array-side, ONE md5 per shingle, the 16
@@ -991,22 +1005,17 @@ object Dedup {
   def minhashSigs(docs: DataFrame): DataFrame = {
     val w = filter(split(col("text"),
       TextMapReduce.WordSplit), x => x =!= "")
-    val base = docs
+    docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", expr(
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
           "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
-      .withColumn("hs", transform(col("sh"),
-        s => conv(substring(md5(s), 1, 12), 16, 10).cast("long")))
-    val withMins = (0 until NearDupPerms).foldLeft(base) { (df, i) =>
-      val (a, b, c) = PermCoef(i)
-      df.withColumn(s"mh$i", array_min(transform(col("hs"),
-        h => (lit(a) * shiftright(h, 24) + lit(b) * (h % lit(16777216L))
-          + lit(c)) % lit(2147483647L))))
-    }
-    withMins.select(col("doc_id"),
-      array((0 until NearDupPerms).map(i => col(s"mh$i")): _*).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.CatalystExprs.minhash_sig_cw(
+          md5PrefixHashes(col("sh")),
+          PermCoef.map(_._1).toArray, PermCoef.map(_._2).toArray,
+          PermCoef.map(_._3).toArray, 2147483647L).as("sig"))
   }
 
   /** LSH band keys from a signature frame: 4 bands of 4 rows
