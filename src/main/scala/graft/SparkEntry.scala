@@ -359,6 +359,7 @@ object SparkEntry {
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
+    "pipeline_shard_write" -> ((s, d) => Pipeline.shardWrite(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
     "q_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
@@ -3109,6 +3110,86 @@ object SparkEntry {
          |      FROM documents) p ON c.doc_id = p.doc_id
          |WHERE c.cluster_id = c.doc_id AND q.n_words >= 20
          |  AND l.pred_lang = 'en' AND p.n_pii <= 0""".stripMargin,
+    // the materialized shard composition: curate membership (span-
+    // clean join omitted — it covers every doc, so membership is
+    // unchanged) ∘ DoReMi copy counts ∘ md5 epoch placement keyed on
+    // (doc, copy) ∘ BPE token counts. The Spark side additionally
+    // routes the rows through the DSv2 two-phase-commit sink and
+    // reads back manifest-only — invisible to the oracle precisely
+    // when the sink round-trips losslessly, which is the point of
+    // the gate. The cluster chain's `words` CTE is renamed: the BPE
+    // chain (which carries the WITH) already defines one.
+    "pipeline_shard_write" -> {
+      val clusterCl = clusterCtes.replaceAll("\\bwords\\b", "cl_words")
+      s"""$bpeTrainCtes,
+         |$bpeApplyCtes,
+         |$clusterCl,
+         |q AS (SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+         |  FROM (SELECT doc_id,
+         |    len(list_filter(lw, x -> x IN ('the','a','of','and','to'))) AS s_en,
+         |    len(list_filter(lw, x -> x IN ('der','die','das','und','ein'))) AS s_de,
+         |    len(list_filter(lw, x -> x IN ('el','los','que','y','una'))) AS s_es,
+         |    len(list_filter(lw, x -> x IN ('le','les','et','une','des'))) AS s_fr
+         |    FROM (SELECT doc_id,
+         |            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS lw
+         |          FROM documents))),
+         |curated AS (
+         |  SELECT c.doc_id
+         |  FROM clusters c
+         |  JOIN q ON c.doc_id = q.doc_id
+         |  JOIN l ON c.doc_id = l.doc_id
+         |  JOIN (SELECT doc_id,
+         |          CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |            + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
+         |            + len(regexp_extract_all(text, '${TextAnalysis.IdRe}')) AS BIGINT) AS n_pii
+         |        FROM documents) p ON c.doc_id = p.doc_id
+         |  WHERE c.cluster_id = c.doc_id AND q.n_words >= 20
+         |    AND l.pred_lang = 'en' AND p.n_pii <= 0),
+         |perlang AS (
+         |  SELECT lang,
+         |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |               count(*) AS n_langs FROM perlang),
+         |wts AS (
+         |  SELECT lang,
+         |    least(CAST(4.0 AS DOUBLE),
+         |          (CAST(1.0 AS DOUBLE) / CAST(n_langs AS DOUBLE)) /
+         |          (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))) AS weight
+         |  FROM perlang CROSS JOIN tot),
+         |cop AS (
+         |  SELECT doc_id, n_copies FROM (
+         |    SELECT d.doc_id,
+         |      CAST(floor(w.weight) + CASE WHEN
+         |          (CAST(CAST('0x' || substring(md5('mix1' || CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0
+         |          < w.weight - floor(w.weight) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |    FROM documents d JOIN wts w USING (lang)
+         |    JOIN curated USING (doc_id))
+         |  WHERE n_copies > 0),
+         |ep AS (SELECT doc_id, unnest(range(n_copies)) AS copy FROM cop),
+         |es AS (
+         |  SELECT doc_id, copy, h,
+         |    CAST(CAST('0x' || substring(h, 1, 6) AS BIGINT) % 8 AS BIGINT) AS shard
+         |  FROM (SELECT doc_id, copy,
+         |          md5('epoch1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS h
+         |        FROM ep)),
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(n_words - n_dom + length(e) - length(replace(e, '<', ''))
+         |      AS BIGINT) AS n_tokens
+         |  FROM ap)
+         |SELECT shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY h, es.doc_id, copy) AS BIGINT) AS pos,
+         |  es.doc_id, CAST(copy AS BIGINT) AS copy, t.n_tokens
+         |FROM es JOIN toks t ON es.doc_id = t.doc_id""".stripMargin
+    },
     "q_vector_stats" -> vectorStatsSql,
     // decile cutpoints via quantile_cont (the proven q_percentiles
     // pairing); ties at a cutpoint land in the lower bucket (strict <)

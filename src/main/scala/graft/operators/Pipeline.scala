@@ -782,4 +782,62 @@ object Pipeline {
         Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
         .cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** The TRAINING-SHARD row layout the writer materializes: one row
+    * per (document, epoch copy), placed at (shard, pos), carrying the
+    * trained tokenizer's real token count. All-long ⇒ TSV-safe.
+    */
+  val ShardSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Seq("shard", "pos", "doc_id", "copy", "n_tokens").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+
+  /** END-TO-END TRAINING-SHARD WRITER — the composition an LLM data
+    * pipeline actually ships, materialized: curate (near-dup ∘
+    * quality ∘ langid ∘ PII) → apply the DoReMi mixture (per-doc
+    * epoch copy counts) → shuffle copies into shards at deterministic
+    * positions (the `q_epoch_shuffle` md5 recipe keyed on (doc,
+    * copy)) → attach the TRAINED tokenizer's real token counts
+    * (`bpe_apply` — context budgets are token budgets) → write the
+    * shard rows through the DSv2 two-phase-commit sink
+    * ([[graft.sources.v2.GraftSinkSource]]: per-task temps → task
+    * commits → one atomic driver publish + manifest) → and answer
+    * from the MANIFEST-scoped read-back only. The gate therefore
+    * hashes the whole chain INCLUDING serialization, the commit
+    * protocol, and visibility (the `q_dsv2_sink` pattern over a real
+    * pipeline, not a demo rollup).
+    *
+    * Scale shape: every stage is an already-verified operator with
+    * its own 100 TB story (LSH-banded curate candidates, broadcast
+    * 5-row mixture, projection-only shard assignment); the only new
+    * state is the per-shard position, a row_number over nShards
+    * partitions of the CURATED (small) epoch — the `q_epoch_shuffle`
+    * discipline. The sink writes one TSV per task attempt; retries
+    * never double-write (exactly-once spec reuse).
+    */
+  def shardWrite(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, seed: String = "epoch1"): DataFrame = {
+    val curated = curate(spark, sfDir).select("doc_id")
+    val copies = mixSample(spark, sfDir).join(curated, "doc_id")
+    val toks = TextAnalysis.bpeApply(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"))
+    val epoch = copies
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .withColumn("h",
+        md5(concat(lit(seed + ":"), col("doc_id"), lit(":"), col("copy"))))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 6), 16, 10).cast("long") % nShards)
+    val rows = epoch.join(toks, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"), col("copy"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("copy"),
+        col("n_tokens"))
+    val dir = graft.TempDirs.create("graft_shard_store").toString
+    rows.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    graft.sources.v2.GraftSink.readBack(spark, dir, ShardSchema)
+  }
 }

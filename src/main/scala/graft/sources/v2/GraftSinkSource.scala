@@ -46,6 +46,12 @@ class GraftSinkSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftSink.Schema
 
+  // the writer is schema-driven (see GraftSinkWriter.fieldOf), so a
+  // caller may write any TSV-serializable row shape — Spark then
+  // passes the input frame's schema into getTable instead of
+  // validating against the declared default rollup schema
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
@@ -68,9 +74,12 @@ object GraftSink {
 
   /** Read a committed sink directory back — ONLY the manifest-listed
     * files, never a directory listing: uncommitted temps and orphans
-    * are invisible, which is the sink's visibility contract.
+    * are invisible, which is the sink's visibility contract. `schema`
+    * must match what the writing job serialized (the sink is
+    * schema-driven; the default is the declared rollup schema).
     */
-  def readBack(spark: SparkSession, path: String): DataFrame = {
+  def readBack(spark: SparkSession, path: String,
+      schema: StructType = Schema): DataFrame = {
     val manifest = Paths.get(path, ManifestName)
     require(Files.exists(manifest), s"no committed manifest under $path")
     val files = Files.readAllLines(manifest).asScala
@@ -83,9 +92,9 @@ object GraftSink {
     // contract with an explicitly empty frame instead.
     if (files.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(Schema).option("sep", "\t").csv(files: _*)
+      spark.read.schema(schema).option("sep", "\t").csv(files: _*)
   }
 
   /** Test hook: when set, the writer for partition 0 throws on its

@@ -413,4 +413,33 @@ class PipelineSpec extends SparkSpec {
     assert(v.agg(sum("n")).head().getLong(0) ==
       Tables.embeddings(spark, sf).count())
   }
+
+  test("shard writer: rows equal the curated mixture epoch, per-shard " +
+      "positions are dense, and a first-attempt task failure still " +
+      "commits exactly-once") {
+    import graft.sources.v2.GraftSink
+    GraftSink.aborted.set(0)
+    GraftSink.failFirstAttempt.set(true)
+    val out = try Pipeline.shardWrite(spark, sf).cache()
+      finally GraftSink.failFirstAttempt.set(false)
+    assert(GraftSink.aborted.get() >= 1,
+      "the injected failure never aborted a writer")
+    // total shard rows = sum of epoch copies over the curated set
+    val curated = Pipeline.curate(spark, sf).select("doc_id")
+    val expected = Pipeline.mixSample(spark, sf).join(curated, "doc_id")
+      .agg(sum("n_copies")).head().getLong(0)
+    assert(out.count() == expected)
+    // per-shard positions are dense 1..n (the epoch-shuffle contract
+    // survives the sink round trip)
+    val holes = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n"))
+    assert(holes.isEmpty)
+    // token counts are the trained tokenizer's (bpe_apply), verbatim
+    val bpe = graft.operators.TextAnalysis.bpeApply(spark, sf)
+      .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+    assert(out.join(bpe, "doc_id")
+      .filter(col("n_tokens") =!= col("bpe_tokens")).isEmpty)
+    out.unpersist()
+  }
 }
