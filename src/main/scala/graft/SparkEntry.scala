@@ -397,6 +397,7 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     "mm_frame_dup" -> ((s, d) => Multimodal.frameDup(s, d)),
     "mm_scenes" -> ((s, d) => Multimodal.scenes(s, d)),
+    "mm_align" -> ((s, d) => Multimodal.align(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // G/H. Gated source + streaming + SQL-surface paths
     "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
@@ -3883,6 +3884,48 @@ object SparkEntry {
         |  CAST(sum(flen) AS BIGINT) AS n_frames,
         |  CAST(max(flen) AS BIGINT) AS longest_scene
         |FROM g GROUP BY doc_id""".stripMargin,
+    // caption<->scene alignment: the mm_scenes segmentation CTEs kept
+    // at frame level, folded to per-scene [first, last] intervals; one
+    // caption per 16 words at frame (2k+1)*n_frames // (2*n_caps)
+    // (exact integer arithmetic both engines), interval-joined per doc
+    "mm_align" ->
+      """WITH fr AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |    FROM documents),
+        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
+        |b AS (SELECT doc_id, frame_idx,
+        |        CAST('0x' || substring(frame_hex, 1, 2) AS BIGINT) AS b
+        |      FROM fr),
+        |c AS (SELECT doc_id, frame_idx, b,
+        |        CASE WHEN lag(b) OVER w IS NULL
+        |          OR abs(b - lag(b) OVER w) > 32 THEN 1 ELSE 0 END AS cut
+        |      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |s AS (SELECT doc_id, frame_idx,
+        |        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        |      FROM c),
+        |iv AS (SELECT doc_id, scene_id, min(frame_idx) AS f0,
+        |         max(frame_idx) AS f1
+        |       FROM s GROUP BY 1, 2),
+        |nw AS (SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+        |         CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |       FROM documents),
+        |caps AS (SELECT doc_id, n_frames, (n_words + 15) // 16 AS n_caps
+        |         FROM nw WHERE n_words >= 1 AND n_frames >= 1),
+        |cf AS (SELECT doc_id, n_frames, n_caps,
+        |         unnest(range(0, n_caps)) AS caption_idx
+        |       FROM caps)
+        |SELECT cf.doc_id, CAST(caption_idx AS BIGINT) AS caption_idx,
+        |  CAST(((2 * caption_idx + 1) * n_frames) // (2 * n_caps) AS BIGINT) AS frame_idx,
+        |  CAST(iv.scene_id AS BIGINT) AS scene_id
+        |FROM cf JOIN iv ON cf.doc_id = iv.doc_id
+        |  AND ((2 * caption_idx + 1) * n_frames) // (2 * n_caps)
+        |      BETWEEN iv.f0 AND iv.f1""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, frame_idx, n_frames,
         |  substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex

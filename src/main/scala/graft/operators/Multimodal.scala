@@ -176,9 +176,22 @@ object Multimodal {
     * aggregate, all shuffling on doc_id only.
     */
   def scenes(spark: SparkSession, sfDir: String, tau: Long = 32): DataFrame = {
+    val cut = sceneFrames(spark, sfDir, tau)
+    cut.groupBy("doc_id", "scene_id").agg(count(lit(1)).as("flen"))
+      .groupBy("doc_id")
+      .agg(max(col("scene_id")).cast("long").as("n_scenes"),
+        sum(col("flen")).as("n_frames"),
+        max(col("flen")).as("longest_scene"))
+  }
+
+  /** The per-frame scene assignment `scenes` aggregates away —
+    * shared by the report and the caption alignment.
+    */
+  private def sceneFrames(spark: SparkSession, sfDir: String,
+      tau: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val cut = frames(spark, sfDir)
+    frames(spark, sfDir)
       .withColumn("b",
         conv(substring(col("frame_hex"), 1, 2), 16, 10).cast("long"))
       .withColumn("prev", lag(col("b"), 1).over(byDoc))
@@ -186,10 +199,48 @@ object Multimodal {
         || abs(col("b") - col("prev")) > tau, 1L).otherwise(0L))
       .withColumn("scene_id", sum(col("cut"))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    cut.groupBy("doc_id", "scene_id").agg(count(lit(1)).as("flen"))
-      .groupBy("doc_id")
-      .agg(max(col("scene_id")).cast("long").as("n_scenes"),
-        sum(col("flen")).as("n_frames"),
-        max(col("flen")).as("longest_scene"))
+  }
+
+  /** CAPTION↔SCENE alignment — the cross-modal pairing step (the
+    * CLIP-style "which text goes with which shot") that turns the §2.F
+    * plumbing into a pipeline: each media item's text yields one
+    * caption per `wordsPerCaption` words, captions spread uniformly
+    * over the media timeline (caption k of n sits at frame
+    * ⌊(2k+1)·n_frames / 2n⌋ — the stub for real SRT timestamps,
+    * exact integer arithmetic in both engines), and each caption
+    * joins the scene whose [first_frame, last_frame] interval
+    * contains its frame.
+    *
+    * Scale shape: scene intervals are one bounded per-media window
+    * (the `mm_scenes` segmentation, shuffling on doc_id only) plus a
+    * per-doc aggregate; the alignment is an interval join KEYED ON
+    * doc_id — per-media bounded (≤ frames-per-item scenes meet ≤
+    * caps-per-item captions), never a corpus-wide range join. Every
+    * frame belongs to exactly one scene, so alignment is total:
+    * output rows = caption count (spec-pinned).
+    */
+  def align(spark: SparkSession, sfDir: String,
+      wordsPerCaption: Int = 16, tau: Long = 32): DataFrame = {
+    val sceneIv = sceneFrames(spark, sfDir, tau)
+      .groupBy("doc_id", "scene_id")
+      .agg(min("frame_idx").as("first_frame"),
+        max("frame_idx").as("last_frame"))
+    val caps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_words"),
+        ceil(length(encode(col("text"), "UTF-8"))
+          / lit(FrameBytes.toDouble)).cast("long").as("n_frames"))
+      .filter(col("n_words") >= 1 && col("n_frames") >= 1)
+      .withColumn("n_caps",
+        expr(s"(n_words + ${wordsPerCaption - 1}) div $wordsPerCaption"))
+      .select(col("doc_id"), col("n_frames"), col("n_caps"),
+        explode(sequence(lit(0L), col("n_caps") - 1)).as("caption_idx"))
+      .withColumn("frame_idx",
+        expr("((2 * caption_idx + 1) * n_frames) div (2 * n_caps)"))
+    caps.join(sceneIv, Seq("doc_id"))
+      .filter(col("frame_idx") >= col("first_frame")
+        && col("frame_idx") <= col("last_frame"))
+      .select(col("doc_id"), col("caption_idx"), col("frame_idx"),
+        col("scene_id").cast("long").as("scene_id"))
   }
 }

@@ -64,4 +64,27 @@ class MultimodalSpec extends SparkSpec {
       - col("w0") * 64 / greatest(col("w0"), col("h0"))) > 1).isEmpty)
     r.unpersist()
   }
+
+  test("caption alignment is total: one scene per caption, counts " +
+      "equal the per-doc caption count, frames in range") {
+    val al = operators.Multimodal.align(spark, sf).cache()
+    // every (doc, caption) resolves to exactly ONE scene
+    assert(al.groupBy("doc_id", "caption_idx").count()
+      .filter(col("count") =!= 1).isEmpty)
+    // total rows = sum over docs of ceil(n_words / 16)
+    val expected = Tables.documents(spark, sf)
+      .select(size(org.apache.spark.sql.functions.filter(
+          split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("nw"))
+      .filter(col("nw") >= 1)
+      .select(expr("(nw + 15) div 16").as("nc"))
+      .agg(sum("nc")).head().getLong(0)
+    assert(al.count() == expected)
+    // caption frames stay inside the media timeline
+    val nf = operators.Multimodal.frames(spark, sf)
+      .groupBy("doc_id").agg(max("frame_idx").as("max_f"))
+    assert(al.join(nf, "doc_id")
+      .filter(col("frame_idx") < 0 || col("frame_idx") > col("max_f"))
+      .isEmpty)
+    al.unpersist()
+  }
 }
