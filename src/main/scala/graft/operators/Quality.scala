@@ -131,32 +131,45 @@ object Quality {
     * block. Match = edit distance ≤ 1 between names (both engines
     * implement classic Levenshtein). Per-block ranking is one window
     * sort per block; blocks here are bounded by construction
-    * (nation × segment), and at 100 TB the block key would gain a
-    * name-prefix component to keep every block task-sized — the
-    * candidate arithmetic is unchanged.
+    * (nation × segment). At 100 TB the block key gains a NAME-PREFIX
+    * component (`namePrefix` > 0) to keep every block task-sized —
+    * the hot-block refinement, wired below and pinned by a planted
+    * 10k-row single-block spec; the candidate arithmetic is
+    * unchanged, and the declared trade is that matches whose names
+    * diverge inside the first `namePrefix` characters fall outside
+    * the refined blocks (prefix-stable twins are unaffected).
     */
   def entityMatch(spark: SparkSession, sfDir: String, w: Int = 3): DataFrame =
     entityMatchOver(Tables.customer(spark, sfDir), w)
 
   /** Same operator over any customer-shaped frame — planted-twin
-    * specs pin the match semantics.
+    * specs pin the match semantics; `namePrefix` > 0 adds the first
+    * `namePrefix` name characters to the block key (the 100 TB
+    * hot-block refinement).
     */
-  def entityMatchOver(customers: DataFrame, w: Int): DataFrame = {
+  def entityMatchOver(customers: DataFrame, w: Int,
+      namePrefix: Int = 0): DataFrame = {
+    val blk =
+      if (namePrefix > 0) substring(col("c_name"), 1, namePrefix)
+      else lit("")
     val c = customers
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"))
+      .withColumn("blk", blk)
     val byBlock = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .partitionBy(col("c_nationkey"), col("c_mktsegment"), col("blk"))
       .orderBy(col("c_name"), col("c_custkey"))
     val ranked = c.withColumn("rn", row_number().over(byBlock).cast("long"))
     val probes = ranked.select(col("c_nationkey"), col("c_mktsegment"),
+      col("blk"),
       col("c_custkey").as("a_key"), col("c_name").as("a_name"),
       explode(sequence(col("rn") + 1, col("rn") + w)).as("rn2"))
     probes
       .join(ranked.select(col("c_nationkey"), col("c_mktsegment"),
+        col("blk"),
         col("c_custkey").as("b_key"), col("c_name").as("b_name"),
         col("rn").as("rn2")),
-        Seq("c_nationkey", "c_mktsegment", "rn2"))
+        Seq("c_nationkey", "c_mktsegment", "blk", "rn2"))
       // compute the O(|a|·|b|) DP once per candidate — Spark does not
       // share subexpressions across a Filter and its parent Project
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
@@ -165,6 +178,16 @@ object Quality {
         col("c_mktsegment").as("mktsegment"),
         col("a_key"), col("b_key"), col("dist"))
   }
+
+  /** The refined-block SIZES the hot-block spec pins: rows per
+    * (nation, segment, name-prefix) block.
+    */
+  private[graft] def entityBlockSizes(customers: DataFrame,
+      namePrefix: Int): DataFrame =
+    customers
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        substring(col("c_name"), 1, namePrefix).as("blk"))
+      .agg(count(lit(1)).as("n"))
 
   /** Right-to-be-forgotten ERASURE with FK cascade + audit — the
     * compliance operator every long-lived corpus eventually needs:

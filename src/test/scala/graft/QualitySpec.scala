@@ -213,4 +213,38 @@ class QualitySpec extends SparkSpec {
     assert(a.count() == b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("hot-block refinement: a planted 10k-row single block splits " +
+      "into task-sized name-prefix blocks with the match set intact") {
+    import spark.implicits._
+    // one ultra-hot (nation, segment) block; names spread over the
+    // [a-z] prefix space, twins one edit apart INSIDE their prefix
+    // the doubled numeric suffix keeps every non-twin pair >= 2 edits
+    // apart (distinct numbers differ in >= 1 digit, counted twice)
+    val rows = (0 until 10000).map { i =>
+      val prefix = ('a' + i % 26).toChar
+      val n = i / 26
+      (1000000L + i, s"$prefix-name-$n-$n", 7, "BUILDING")
+    } ++ Seq(
+      (2000001L, "m-twin-alpha", 7, "BUILDING"),
+      (2000002L, "m-twin-alphb", 7, "BUILDING"))
+    val hot = rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    // unrefined: the whole corpus is ONE block (the 100 TB hazard)
+    val flat = Quality.entityBlockSizes(hot, 0)
+    assert(flat.count() == 1 &&
+      flat.head().getLong(flat.head().fieldIndex("n")) == 10002L)
+    // refined: every block is task-sized (<= ~1/26th of the hot block)
+    val refined = Quality.entityBlockSizes(hot, 1)
+    assert(refined.agg(max("n")).head().getLong(0) <= 500L)
+    // the planted twins share a prefix, so the refined path still
+    // finds exactly them -- and nothing else
+    val found = Quality.entityMatchOver(hot, 3, namePrefix = 1)
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(found == Seq((2000001L, 2000002L)))
+    // prefix-stable corpora: refined output equals the unrefined one
+    val base = Quality.entityMatchOver(hot, 3)
+    val ref = Quality.entityMatchOver(hot, 3, namePrefix = 1)
+    assert(ref.exceptAll(base).isEmpty && base.exceptAll(ref).isEmpty)
+  }
 }
