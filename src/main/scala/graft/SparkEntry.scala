@@ -141,6 +141,7 @@ object SparkEntry {
     "q_conformal" -> ((s, d) => Stats.conformal(s, d)),
     "q_aqp_sum" -> ((s, d) => Stats.aqpSum(s, d)),
     "q_join_size" -> ((s, d) => Stats.joinSize(s, d)),
+    "q_join_preflight" -> ((s, d) => JoinPlanner.joinPreflight(s, d)),
     "q_neyman_alloc" -> ((s, d) => Stats.neymanAlloc(s, d)),
     "q_tokenizer_coverage" ->
       ((s, d) => TextAnalysis.tokenizerCoverage(s, d)),
@@ -3574,6 +3575,44 @@ object SparkEntry {
         |  CAST(join_size AS DOUBLE) AS join_size, hot_key,
         |  hot_contrib
         |FROM t CROSS JOIN h""".stripMargin,
+    // the pre-flight DECISION reproduced in SQL (same key-table
+    // statistics, same CASE matrix) plus the executed join's rollup —
+    // all three physical strategies produce the identical result set,
+    // so one oracle gates every branch AND the branch choice itself
+    "q_join_preflight" ->
+      """WITH ca AS (SELECT user_id, count(*) AS ca FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |cb AS (SELECT user_id, count(*) AS cb FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT user_id, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+        |        CAST(coalesce(ca, 0) AS DECIMAL(19,0))
+        |          * CAST(coalesce(cb, 0) AS DECIMAL(19,0)) AS contrib
+        |      FROM ca FULL OUTER JOIN cb USING (user_id)),
+        |t AS (SELECT
+        |        sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS build_rows,
+        |        CAST(sum(contrib) AS DOUBLE) AS join_size
+        |      FROM j),
+        |h AS (SELECT CAST(contrib AS DOUBLE) AS hot_contrib
+        |      FROM j ORDER BY contrib DESC, user_id DESC LIMIT 1),
+        |pre AS (SELECT CAST(build_rows AS BIGINT) AS build_rows,
+        |          CASE WHEN join_size > 0
+        |            THEN hot_contrib / join_size
+        |            ELSE CAST(0.0 AS DOUBLE) END AS hot_share
+        |        FROM t CROSS JOIN h),
+        |res AS (SELECT CAST(count(*) AS BIGINT) AS n_joined,
+        |          CAST(sum(cb) AS BIGINT) AS total_pairs,
+        |          CAST(CAST(sum(CAST(CAST(f.v AS DECIMAL(18,2)) * cb
+        |              AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE)
+        |            AS weighted_value
+        |        FROM (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v
+        |              FROM events WHERE event_type = 'click') f
+        |        JOIN cb USING (user_id))
+        |SELECT CASE WHEN build_rows <= 1000 THEN 'broadcast'
+        |            WHEN hot_share > CAST(0.2 AS DOUBLE) THEN 'salt'
+        |            ELSE 'plain' END AS strategy,
+        |  build_rows, round(hot_share, 9) AS hot_share,
+        |  n_joined, total_pairs, weighted_value
+        |FROM pre CROSS JOIN res""".stripMargin,
     // Horvitz-Thompson from the 1/16 md5 sample: exact decimal sums,
     // exact 16x scale-up, one IEEE sqrt for the error bar
     "q_aqp_sum" ->

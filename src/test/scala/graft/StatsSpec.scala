@@ -433,4 +433,44 @@ class StatsSpec extends SparkSpec {
     val real = Stats.abTest(spark, sf).head
     assert(!real.getDouble(4).isNaN && !real.getDouble(5).isNaN)
   }
+
+  test("join pre-flight: the decision matrix picks broadcast/salt/plain " +
+      "on planted workloads and every branch computes the same answer") {
+    import spark.implicits._
+    import graft.operators.JoinPlanner
+    def mk(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("user_id", "event_id", "event_type", "value")
+    // tiny build side -> broadcast, and the executed plan really is one
+    val tiny = mk((1L to 5L).flatMap(u => Seq(
+      (u, u * 10, "click", 1.0), (u, u * 10 + 1, "purchase", 1.0))))
+    val b = JoinPlanner.joinPreflightOver(tiny, "click", "purchase")
+    assert(b.head().getString(0) == "broadcast")
+    assert(b.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // >1000 build keys with one dominant key -> salt
+    val skewRows = (1L to 1200L).flatMap(u => Seq(
+        (u, u * 10, "click", 1.0), (u, u * 10 + 1, "purchase", 1.0))) ++
+      (1L to 40L).flatMap(i => Seq(
+        (7L, 100000L + i, "click", 1.0), (7L, 200000L + i, "purchase", 1.0)))
+    val sk = mk(skewRows)
+    val saltRow = JoinPlanner.joinPreflightOver(sk, "click", "purchase").head()
+    assert(saltRow.getString(0) == "salt")
+    // >1000 uniform keys -> plain
+    val uni = mk((1L to 1200L).flatMap(u => Seq(
+      (u, u * 10, "click", 1.0), (u, u * 10 + 1, "purchase", 1.0))))
+    val plainRow = JoinPlanner.joinPreflightOver(uni, "click", "purchase").head()
+    assert(plainRow.getString(0) == "plain")
+    // branch-independence: the salted execution's numbers equal a plain
+    // replay of the same workload
+    val replay = sk.filter(col("event_type") === "click")
+      .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      .join(sk.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("cb")), "user_id")
+      .agg(count(lit(1)).as("n_joined"), sum("cb").as("total_pairs"),
+        sum((col("v") * col("cb")).cast("decimal(38,2)"))
+          .cast("double").as("weighted_value"))
+      .head()
+    assert(saltRow.getLong(saltRow.fieldIndex("n_joined")) == replay.getLong(0))
+    assert(saltRow.getLong(saltRow.fieldIndex("total_pairs")) == replay.getLong(1))
+    assert(saltRow.getDouble(saltRow.fieldIndex("weighted_value")) == replay.getDouble(2))
+  }
 }
