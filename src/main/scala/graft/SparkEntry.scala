@@ -422,6 +422,10 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     "stream_moments" ->
       ((s, d) => graft.streaming.EventStreams.momentsFromFiles(s, d)),
+    // rows-gated: Lloyd codebook geometry (the declared SRP/PQ regime);
+    // StreamingSpec pins drained state == the batch one-iteration refit
+    "stream_kmeans" ->
+      ((s, d) => graft.streaming.EventStreams.kmeansFromFiles(s, d)),
     "stream_drift" ->
       ((s, d) => graft.streaming.EventStreams.driftFromFiles(s, d)),
     "stream_tws" ->

@@ -461,7 +461,7 @@ object Similarity {
     * cluster keeps its previous centroid. No randomness anywhere, so
     * codebooks are identical across runs and cluster layouts.
     */
-  private[operators] def lloyd(pts: Array[Array[Double]], ks: Int,
+  private[graft] def lloyd(pts: Array[Array[Double]], ks: Int,
       iters: Int): Array[Array[Double]] = {
     val dim = pts(0).length
     var cents = pts.take(ks).map(_.clone)
@@ -494,7 +494,7 @@ object Similarity {
     * corpus vectors, normalized) — the driver-side stand-in for the
     * offline codebook-training job. O(sample), corpus-size free.
     */
-  private[operators] def unitSample(all: DataFrame): Array[Array[Double]] = {
+  private[graft] def unitSample(all: DataFrame): Array[Array[Double]] = {
     val sample = all.filter(col("vec_id") < PqSample)
       .orderBy("vec_id").select("v", "norm").collect()
       .map { r =>
@@ -803,7 +803,7 @@ object Similarity {
   /** The training loop shared by the report and assignment views:
     * sample-init then `iters` one-pass distributed refinements.
     */
-  private def kmeansTrain(spark: SparkSession, all: DataFrame,
+  private[graft] def kmeansTrain(spark: SparkSession, all: DataFrame,
       k: Int, iters: Int): Array[Array[Double]] = {
     import spark.implicits._
     import graft.functions.CatalystExprs.centroid_probes

@@ -1015,6 +1015,76 @@ object EventStreams {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  /** INCREMENTAL k-means codebook maintenance over a stream: the
+    * per-cluster (n, Σu) `VecSumAgg` partials that make batch
+    * distributed k-means one pass per iteration ride the STATE STORE
+    * across triggers instead — new vectors update their cluster's
+    * fixed k×(d+1) state and the refined centroids stay current
+    * without re-scanning history. This is the `stream_moments` recipe
+    * applied to `q_embed_kmeans`'s training aggregate: assignment
+    * runs against the frozen sample-trained init codebook (a
+    * broadcast kernel constant — re-assigning history under a moving
+    * codebook is a batch refit's job, not a stream's), so the drained
+    * state IS one exact Lloyd refinement over everything seen.
+    *
+    * Sums are ADDITIVE (replay would double them), so the input is a
+    * SINGLE corpus copy split into two files with maxFilesPerTrigger=1
+    * — the cross-batch state carry is still forced. At 100 TB the
+    * state is k fixed-width buffers; it does not grow with the
+    * stream. Output per cluster: size, refined-centroid norm, and the
+    * drift from the init codebook. Rows-gated (Lloyd geometry — the
+    * family's declared regime); the spec pins the drained state equal
+    * to the batch one-iteration refit on the same feed.
+    */
+  def kmeansFromFiles(spark: SparkSession, sfDir: String,
+      k: Int = graft.operators.Similarity.KmClusters): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CatalystExprs.{centroid_probes, dot_product}
+    import graft.operators.Similarity
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val cents = Similarity.lloyd(Similarity.unitSample(all), k,
+      Similarity.PqLloydIters)
+    val d = cents(0).length
+    val feed = all.select(col("v"), col("norm"))
+    val dir = graft.TempDirs.create("graft_stream_kmeans_src")
+    feed.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val agg = stream
+      .select(element_at(centroid_probes(col("v"), col("norm"), cents, 1), 1)
+        .as("cid"), col("v"), col("norm"))
+      .as[(Int, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.VecSumAgg.agg(d).toColumn)
+      .toDF("cid", "buf")
+    val name = nextSinkName("graft_stream_kmeans")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // k bounded rows of drained state -> refined centroids
+      val rows = drainMemorySink(spark, name).collect().map { r =>
+        val cid = r.getInt(0)
+        val buf = r.getStruct(1)
+        val n = buf.getLong(0)
+        val s = buf.getSeq[Double](1)
+        val c0 = cents(cid)
+        val c1 = if (n > 0) s.map(_ / n).toArray else c0
+        val cnorm = math.sqrt(c1.map(x => x * x).sum)
+        val shift = math.sqrt(
+          c1.zip(c0).map { case (a, b) => (a - b) * (a - b) }.sum)
+        (cid.toLong, n, cnorm, shift)
+      }.toSeq
+      rows.toDF("cluster_id", "n", "cnorm0", "shift0")
+        .select(col("cluster_id"), col("n"),
+          round(col("cnorm0"), 6).as("cnorm"),
+          round(col("shift0"), 6).as("shift"))
+    }
+  }
 }
 
 /** The StatefulProcessor: one `ValueState[Long]` per user holds the
@@ -1047,4 +1117,5 @@ class PowerAlertProcessor extends org.apache.spark.sql.streaming
     }
     out.iterator
   }
+
 }

@@ -461,4 +461,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.distinct().count() == streamed.count())
     streamed.unpersist()
   }
+
+  test("streaming k-means maintenance: drained per-cluster state equals " +
+      "the batch one-iteration refit on the same feed") {
+    import spark.implicits._
+    import graft.functions.CatalystExprs.{centroid_probes, dot_product}
+    import graft.operators.Similarity
+    val got = graft.streaming.EventStreams.kmeansFromFiles(spark, sf).cache()
+    // batch replay: same frozen init codebook, same one-pass aggregate
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val cents = Similarity.lloyd(Similarity.unitSample(all),
+      Similarity.KmClusters, Similarity.PqLloydIters)
+    val d = cents(0).length
+    val batch = all
+      .select(element_at(centroid_probes(col("v"), col("norm"), cents, 1), 1)
+        .as("cid"), col("v"), col("norm"))
+      .as[(Int, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.VecSumAgg.agg(d).toColumn)
+      .collect()
+      .map { case (cid, buf) =>
+        val c1 = buf.s.map(_ / buf.n)
+        (cid.toLong, buf.n,
+          math.sqrt(c1.map(x => x * x).sum),
+          math.sqrt(c1.zip(cents(cid)).map { case (a, b) =>
+            (a - b) * (a - b) }.sum))
+      }.map { case (k2, n, cn, sh) => k2 -> ((n, cn, sh)) }.toMap
+    val gotRows = got.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(gotRows.keySet == batch.keySet)
+    batch.foreach { case (cid, (n, cn, sh)) =>
+      val (gn, gcn, gsh) = gotRows(cid)
+      assert(gn == n, s"cluster $cid size")
+      // double sums across state merges are ulp-order-sensitive (the
+      // VecSumAgg regime) -- tolerance, not bit equality
+      assert(math.abs(gcn - cn) < 1e-6, s"cluster $cid cnorm")
+      assert(math.abs(gsh - sh) < 1e-6, s"cluster $cid shift")
+    }
+    got.unpersist()
+  }
 }
