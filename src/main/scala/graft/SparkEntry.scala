@@ -604,6 +604,66 @@ object SparkEntry {
     * set (`sym(a, b)`) — the prefix shared by the clustering oracles
     * and the pagerank oracle.
     */
+  /** ONE oracle for both IVF answers: the persisted index stores
+    * EXACT vectors, so the build -> artifacts -> query round trip
+    * (`ann_persisted`) answers identically to the one-shot `ann_ivf`
+    * -- a single shared SQL gates both (drift-proof by construction).
+    */
+  private val annIvfOracle =
+    """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |               c.cid) AS crank
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               cand.vec_id) AS BIGINT) AS rnk
+        |  FROM cand
+        |  JOIN embeddings e ON cand.vec_id = e.vec_id
+        |  JOIN embeddings q ON cand.query_id = q.vec_id)
+        |WHERE rnk <= 10""".stripMargin
+
+  /** ONE copy of the mm_scenes frame/cut/scene segmentation chain
+    * (tau = 32, lag cut, running scene id) -- shared by the
+    * mm_scenes report oracle and mm_align's interval oracle so the
+    * two gated operators can never describe different
+    * segmentations.
+    */
+  private val mmSceneCtes =
+    """WITH fr AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |    FROM documents),
+        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
+        |b AS (SELECT doc_id, frame_idx,
+        |        CAST('0x' || substring(frame_hex, 1, 2) AS BIGINT) AS b
+        |      FROM fr),
+        |c AS (SELECT doc_id, frame_idx, b,
+        |        CASE WHEN lag(b) OVER w IS NULL
+        |          OR abs(b - lag(b) OVER w) > 32 THEN 1 ELSE 0 END AS cut
+        |      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |s AS (SELECT doc_id, frame_idx,
+        |        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        |      FROM c),"""
+      .stripMargin
+
   private val edgeCtes =
     """words AS (
       |  SELECT doc_id,
@@ -3538,10 +3598,10 @@ object SparkEntry {
         |  FROM documents GROUP BY 1),
         |w AS (SELECT lang, n,
         |        CASE WHEN n > 1
-        |          THEN sqrt((ssd - sd * sd / n) / (n - 1))
+        |          THEN sqrt(greatest(0.0, (ssd - sd * sd / n) / (n - 1)))
         |          ELSE 0.0 END AS sigma,
         |        n * CASE WHEN n > 1
-        |          THEN sqrt((ssd - sd * sd / n) / (n - 1))
+        |          THEN sqrt(greatest(0.0, (ssd - sd * sd / n) / (n - 1)))
         |          ELSE 0.0 END AS w
         |      FROM m),
         |t AS (SELECT sum(w) AS tw FROM w)
@@ -3753,61 +3813,11 @@ object SparkEntry {
         |WHERE rnk <= 5""".stripMargin,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
-    "ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |ranked AS (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-        |               c.cid) AS crank
-        |  FROM embeddings e CROSS JOIN cent c),
-        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
-        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
-        |           WHERE crank <= 4 AND vec_id < 20),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
-        |  WHERE a.vec_id <> p.query_id)
-        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
-        |  SELECT cand.query_id, cand.vec_id,
-        |    CAST(row_number() OVER (PARTITION BY cand.query_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
-        |               cand.vec_id) AS BIGINT) AS rnk
-        |  FROM cand
-        |  JOIN embeddings e ON cand.vec_id = e.vec_id
-        |  JOIN embeddings q ON cand.query_id = q.vec_id)
-        |WHERE rnk <= 10""".stripMargin,
+    "ann_ivf" -> annIvfOracle,
     // persisted IVF index stores EXACT vectors cell-partitioned, so
     // the build -> artifacts -> query round trip answers identically
     // to the one-shot ann_ivf — the same SQL gates both
-    "ann_persisted" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings WHERE vec_id < 16),
-        |ranked AS (
-        |  SELECT e.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-        |               c.cid) AS crank
-        |  FROM embeddings e CROSS JOIN cent c),
-        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
-        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
-        |           WHERE crank <= 4 AND vec_id < 20),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
-        |  WHERE a.vec_id <> p.query_id)
-        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
-        |  SELECT cand.query_id, cand.vec_id,
-        |    CAST(row_number() OVER (PARTITION BY cand.query_id
-        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
-        |               cand.vec_id) AS BIGINT) AS rnk
-        |  FROM cand
-        |  JOIN embeddings e ON cand.vec_id = e.vec_id
-        |  JOIN embeddings q ON cand.query_id = q.vec_id)
-        |WHERE rnk <= 10""".stripMargin,
+    "ann_persisted" -> annIvfOracle,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
@@ -3902,56 +3912,18 @@ object SparkEntry {
         |      FROM documents)""".stripMargin,
     // lead-byte frame deltas segment each media item into scenes; the
     // lag + running-sum windows are per-doc (bounded), mirrored exactly
-    "mm_scenes" ->
-      """WITH fr AS (
-        |  SELECT doc_id, frame_idx,
-        |    substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
-        |  FROM (
-        |    SELECT doc_id, text,
-        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
-        |    FROM documents),
-        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
-        |b AS (SELECT doc_id, frame_idx,
-        |        CAST('0x' || substring(frame_hex, 1, 2) AS BIGINT) AS b
-        |      FROM fr),
-        |c AS (SELECT doc_id, frame_idx, b,
-        |        CASE WHEN lag(b) OVER w IS NULL
-        |          OR abs(b - lag(b) OVER w) > 32 THEN 1 ELSE 0 END AS cut
-        |      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
-        |s AS (SELECT doc_id, frame_idx,
-        |        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
-        |      FROM c),
-        |g AS (SELECT doc_id, scene_id, count(*) AS flen FROM s GROUP BY 1, 2)
+    "mm_scenes" -> (mmSceneCtes + "\n" +
+      """        |g AS (SELECT doc_id, scene_id, count(*) AS flen FROM s GROUP BY 1, 2)
         |SELECT doc_id, CAST(max(scene_id) AS BIGINT) AS n_scenes,
         |  CAST(sum(flen) AS BIGINT) AS n_frames,
         |  CAST(max(flen) AS BIGINT) AS longest_scene
-        |FROM g GROUP BY doc_id""".stripMargin,
+        |FROM g GROUP BY doc_id""".stripMargin),
     // caption<->scene alignment: the mm_scenes segmentation CTEs kept
     // at frame level, folded to per-scene [first, last] intervals; one
     // caption per 16 words at frame (2k+1)*n_frames // (2*n_caps)
     // (exact integer arithmetic both engines), interval-joined per doc
-    "mm_align" ->
-      """WITH fr AS (
-        |  SELECT doc_id, frame_idx,
-        |    substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex
-        |  FROM (
-        |    SELECT doc_id, text,
-        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
-        |    FROM documents),
-        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
-        |b AS (SELECT doc_id, frame_idx,
-        |        CAST('0x' || substring(frame_hex, 1, 2) AS BIGINT) AS b
-        |      FROM fr),
-        |c AS (SELECT doc_id, frame_idx, b,
-        |        CASE WHEN lag(b) OVER w IS NULL
-        |          OR abs(b - lag(b) OVER w) > 32 THEN 1 ELSE 0 END AS cut
-        |      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
-        |s AS (SELECT doc_id, frame_idx,
-        |        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
-        |      FROM c),
-        |iv AS (SELECT doc_id, scene_id, min(frame_idx) AS f0,
+    "mm_align" -> (mmSceneCtes + "\n" +
+      """        |iv AS (SELECT doc_id, scene_id, min(frame_idx) AS f0,
         |         max(frame_idx) AS f1
         |       FROM s GROUP BY 1, 2),
         |nw AS (SELECT doc_id,
@@ -3968,7 +3940,7 @@ object SparkEntry {
         |  CAST(iv.scene_id AS BIGINT) AS scene_id
         |FROM cf JOIN iv ON cf.doc_id = iv.doc_id
         |  AND ((2 * caption_idx + 1) * n_frames) // (2 * n_caps)
-        |      BETWEEN iv.f0 AND iv.f1""".stripMargin,
+        |      BETWEEN iv.f0 AND iv.f1""".stripMargin),
     "mm_frames" ->
       """SELECT doc_id, frame_idx, n_frames,
         |  substring(hex(encode(text)), CAST(frame_idx * 64 + 1 AS INT), 64) AS frame_hex

@@ -54,17 +54,12 @@ object AnnIndex {
     */
   def buildIvf(all: DataFrame, dir: String,
       cells: Int = Similarity.IvfCells): Unit = {
-    val cent = all.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"),
-        col("norm").as("cnorm"))
+    // the SAME codebook and assignment-ranking dag annIvf plans
+    // (Similarity.ivfCentroids / centroidRanks), so the persisted
+    // answer cannot drift from the one-shot operator's
+    val cent = Similarity.ivfCentroids(all, cells)
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assign = all.join(broadcast(cent))
-      .withColumn("csim",
-        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
-      .select(col("vec_id"), col("cid"),
-        row_number().over(byVec).as("crank"))
+    val assign = Similarity.centroidRanks(all, cent)
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("cid"))
     all.join(assign, "vec_id")
@@ -113,13 +108,8 @@ object AnnIndex {
     val all = Similarity.vecs(spark, sfDir)
     val dir = TempDirs.create("graft_ann_index").toString
     buildIvf(all, dir)
-    queryIvf(spark, dir, firstQueries(all, nQueries), k)
+    queryIvf(spark, dir, Similarity.queryBatch(all, nQueries), k)
   }
-
-  private def firstQueries(all: DataFrame, nQueries: Int): DataFrame =
-    all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm"))
 
   // ---- IVF-PQ: trained codebooks + 64-bit codes (rows-gated) --------
 
@@ -221,6 +211,7 @@ object AnnIndex {
     val all = Similarity.vecs(spark, sfDir)
     val dir = TempDirs.create("graft_ann_pq_index").toString
     buildIvfPq(all, dir)
-    queryIvfPq(spark, dir, firstQueries(all, nQueries), all, k, rerank)
+    queryIvfPq(spark, dir, Similarity.queryBatch(all, nQueries), all, k,
+      rerank)
   }
 }

@@ -961,31 +961,31 @@ object Dedup {
   }
 
   // ── md5-MinHash signature family ────────────────────────────────
-  // Shared by the streaming near-dup path (EventStreams.nearDupStream)
-  // and the batch fuzzy-decontamination path (Pipeline
-  // .decontaminateFuzzy). md5 is deliberately the base hash, NOT the
-  // faster xxhash64 the batch LSH keys use: md5 is the one hash both
-  // engines compute identically, which makes these the family's fully
-  // DuckDB-oracle-gated LSH paths.
+  // ONE recipe for every MinHash consumer: the streaming near-dup
+  // path (EventStreams.nearDupStream) and fuzzy decontamination
+  // (Pipeline.decontaminateFuzzy) use the 16-perm signature below;
+  // the batch LSH path (`minhashSignature`) uses the same family at
+  // the full 128-perm width. md5 is deliberately the base hash: it is
+  // the one hash both engines compute identically, which is what
+  // makes all these LSH paths fully DuckDB-oracle-gated.
 
   val NearDupPerms = 16
   val NearDupBandRows = 4
 
-  /** Carter–Wegman permutation coefficients for the MinHash family:
+  /** Permutation i's Carter–Wegman coefficients (a, b, c) — one
+    * formula for the whole family, so the 16-permutation streaming
+    * signature is literally the prefix of the 128-permutation batch
+    * one. The permutation is
     * mh_i = (a_i·(h div 2²⁴) + b_i·(h mod 2²⁴) + c_i) mod (2³¹−1)
-    * over the 48-bit md5-prefix shingle hash h. ONE md5 per shingle
+    * over the 48-bit md5-prefix shingle hash h: ONE md5 per shingle
     * (md5 is ~the whole projection cost — 16×md5 measured 4.7 s at
     * sf0.1 vs <1 s for md5-once + arithmetic perms), and every term
     * stays < 2⁵⁶ so the identical expression runs overflow-free in
     * DuckDB BIGINT (which errors on wrap — the reason a 64-bit
     * multiplicative mix can't be the oracle-side hash). Splitting h
     * keeps products small AND makes the sum wrap the 2³¹−1 modulus,
-    * so the 16 argmins are genuinely independent (a non-wrapping
-    * affine map would rank every permutation identically).
-    */
-  /** Permutation i's (a, b, c) — one formula for the whole family:
-    * the 16-permutation streaming signature is the prefix of the
-    * 128-permutation batch one.
+    * so the argmins are genuinely independent (a non-wrapping affine
+    * map would rank every permutation identically).
     */
   def permCoef(i: Int): (Long, Long, Long) =
     (1000003L * (i + 1) % 2147483647L,

@@ -52,10 +52,15 @@ object JoinPlanner {
       else "plain"
   }
 
-  /** The bounded pre-flight read: one row of key-table statistics. */
-  private[graft] def preflightOf(events: DataFrame, typeA: String,
-      typeB: String): Preflight = {
-    val r = Stats.joinSizeOver(events, typeA, typeB).head()
+  /** The bounded pre-flight read from the two per-key count frames:
+    * one row of key-table statistics.
+    */
+  private[graft] def preflightOf(ca: DataFrame, cb: DataFrame): Preflight = {
+    val r = Stats.joinSizeFromCounts(ca, cb).head()
+    // an input with no rows of either type aggregates to one all-NULL
+    // row (sum over nothing): price the join at 0 instead of NPE-ing
+    // on a null primitive read
+    if (r.isNullAt(r.fieldIndex("n_keys_b"))) return Preflight(0L, 0.0, 0.0)
     val buildRows = r.getLong(r.fieldIndex("n_keys_b"))
     val js = r.getDouble(r.fieldIndex("join_size"))
     val hot = r.getDouble(r.fieldIndex("hot_contrib"))
@@ -74,12 +79,18 @@ object JoinPlanner {
   def joinPreflightOver(events: DataFrame, typeA: String,
       typeB: String): DataFrame = {
     val spark = events.sparkSession
-    val pre = preflightOf(events, typeA, typeB)
     val fact = events.filter(col("event_type") === typeA)
       .select(col("user_id"), col("event_id"),
         Relational.money(col("value")).as("v"))
+    // ONE build-side aggregation: the persisted count frame prices
+    // the pre-flight AND feeds the executed join — no second scan of
+    // the fact for the same table
     val build = events.filter(col("event_type") === typeB)
       .groupBy("user_id").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = events.filter(col("event_type") === typeA)
+      .groupBy("user_id").agg(count(lit(1)).as("ca"))
+    val pre = preflightOf(ca, build)
     val joined = pre.strategy match {
       case "broadcast" => fact.join(broadcast(build), "user_id")
       case "salt" => Relational.saltedJoin(fact, build, "user_id",

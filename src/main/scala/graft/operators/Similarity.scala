@@ -42,6 +42,33 @@ object Similarity {
       // join both read the persisted copy instead of re-scanning
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The (query_id, qv, qnorm) projection of the first `nQueries`
+    * corpus vectors — the ONE standard query batch every ANN variant
+    * (and the persisted-index round trip, AnnIndex.scala) ranks
+    * against; a single definition keeps the bit-for-bit equality
+    * contracts between them drift-proof.
+    */
+  private[operators] def queryBatch(all: DataFrame, nQueries: Int): DataFrame =
+    all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+
+  /** Every vector's rank against a broadcast (cid, cv, cnorm)
+    * centroid frame, ordered (csim desc, cid) — the oracle-stable
+    * assignment ordering shared by `annIvf` and the persisted index
+    * build (crank = 1 is the cell assignment; crank ≤ nProbe the
+    * probe set).
+    */
+  private[operators] def centroidRanks(all: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    all.join(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
+      .select(col("vec_id"), col("cid"), row_number().over(byVec).as("crank"))
+  }
+
   /** Exact top-k neighbors for the first nQueries vectors.
     * Output (query_id, neighbor_id, rnk); the similarity value itself
     * stays internal so ordering (not float formatting) is what the
@@ -50,9 +77,7 @@ object Similarity {
   def annTopkBrute(spark: SparkSession, sfDir: String,
       k: Int = 10, nQueries: Int = 20): DataFrame = {
     val all = vecs(spark, sfDir)
-    val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm"))
+    val q = queryBatch(all, nQueries)
     val joined = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
     val w = Window.partitionBy(col("query_id"))
@@ -114,25 +139,23 @@ object Similarity {
     * key), and each query touches `IvfProbes/IvfCells` of the data
     * instead of all of it.
     */
+  /** The deterministic first-`cells` coarse codebook as a (cid, cv,
+    * cnorm) frame — shared with the persisted index build.
+    */
+  private[operators] def ivfCentroids(all: DataFrame, cells: Int): DataFrame =
+    all.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+
   def annIvf(spark: SparkSession, sfDir: String,
       k: Int = 10, nQueries: Int = 20): DataFrame = {
     val all = vecs(spark, sfDir)
-    val cent = all.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("norm").as("cnorm"))
-    // similarity of every vector to every centroid (broadcast cross
-    // join over the small codebook), ranked per vector
-    val simToCent = all.join(broadcast(cent))
-      .withColumn("csim",
-        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    // one pass over the 16×N centroid similarities; only the slim
-    // (vec_id, cid, crank) rows that either branch needs survive and
-    // persist, so assignment and probing don't each recompute the
-    // cross join
-    val ranked = simToCent
-      .select(col("vec_id"), col("cid"), row_number().over(byVec).as("crank"))
+    // one pass over the 16×N centroid similarities (the shared
+    // centroidRanks dag — broadcast codebook cross join, ranked per
+    // vector); only the slim (vec_id, cid, crank) rows that either
+    // branch needs survive and persist, so assignment and probing
+    // don't each recompute the cross join
+    val ranked = centroidRanks(all, ivfCentroids(all, IvfCells))
       .filter(col("crank") === 1 ||
         (col("crank") <= IvfProbes && col("vec_id") < nQueries))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -144,11 +167,9 @@ object Similarity {
     val cand = probes.join(assign, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-    val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"),
-      col("norm").as("qnorm"))
     val scored = cand
       .join(all, "vec_id")
-      .join(broadcast(q.filter(col("query_id") < nQueries)), "query_id")
+      .join(broadcast(queryBatch(all, nQueries)), "query_id")
       .withColumn("cos",
         dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
     // final rank through the bounded TopKPerKey heaps — candidates

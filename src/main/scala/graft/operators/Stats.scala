@@ -852,11 +852,20 @@ object Stats {
     * hand-computed planted spec pins the accounting. */
   def joinSizeOver(events: DataFrame, typeA: String, typeB: String)
       : DataFrame = {
-    val d19 = DecimalType(19, 0)
     val ca = events.filter(col("event_type") === typeA)
       .groupBy("user_id").agg(count(lit(1)).as("ca"))
     val cb = events.filter(col("event_type") === typeB)
       .groupBy("user_id").agg(count(lit(1)).as("cb"))
+    joinSizeFromCounts(ca, cb)
+  }
+
+  /** The accounting from the two per-key count tables directly —
+    * shared with `q_join_preflight`, whose executed join reuses the
+    * SAME build-side count frame the statistics were priced from
+    * (one aggregation, not two).
+    */
+  def joinSizeFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
     val joined = ca.join(cb, Seq("user_id"), "full_outer")
       .select(col("user_id"),
         coalesce(col("ca"), lit(0L)).as("ca"),
@@ -914,10 +923,15 @@ object Stats {
       .withColumn("sigma",
         // n = 1 makes the unbiased variance 0/0 (Spark Divide -> NULL,
         // DuckDB -> NaN): a singleton stratum has no measurable spread,
-        // so pin sigma = 0 in BOTH engines (mirrored CASE in the oracle)
+        // so pin sigma = 0 in BOTH engines (mirrored CASE in the
+        // oracle). The radicand is clamped at 0 too: an all-constant
+        // stratum's ssd - sd²/n is 0 in real arithmetic but can land a
+        // negative ulp in doubles — sqrt(-ulp) is NaN in Spark but an
+        // ERROR in DuckDB, the worst kind of divergence
         when(col("n") > 1,
-          sqrt((col("ssd") - col("sd") * col("sd") / col("n"))
-            / (col("n") - 1))).otherwise(lit(0.0)))
+          sqrt(greatest(lit(0.0),
+            (col("ssd") - col("sd") * col("sd") / col("n"))
+              / (col("n") - 1)))).otherwise(lit(0.0)))
       .withColumn("w", col("n").cast("double") * col("sigma"))
     val tot = m.agg(sum(col("w")).as("tw"))
     m.crossJoin(broadcast(tot))
