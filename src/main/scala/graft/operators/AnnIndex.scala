@@ -67,6 +67,25 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
+  /** Append a NEW batch to an existing IVF index from artifacts
+    * alone: assignment ranks the PERSISTED centroids (read back and
+    * broadcast — the build corpus is never re-read, the
+    * `dedup_incremental` discipline applied to the index), and the
+    * batch's cell-partitioned codes land beside the earlier parts
+    * (parquet append). Because the codebook is frozen at build time,
+    * build(first half) + append(second half) produces byte-identical
+    * assignments to one full build — the spec pins query equality.
+    */
+  def appendIvf(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val assign = Similarity.centroidRanks(batch, cent)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    batch.join(assign, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("norm"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
   /** Serve top-k from IVF artifacts ONLY: rank the persisted
     * centroids per query (tiny: nQueries × cells), then join the
     * cell-partitioned codes on the probed cids — the broadcast join

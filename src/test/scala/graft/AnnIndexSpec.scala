@@ -74,4 +74,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(r1.count() > 0)
     assert(r1.except(r2).isEmpty && r2.except(r1).isEmpty)
   }
+
+  test("incremental append: a new batch indexes against the PERSISTED " +
+      "centroids and queries equal a full rebuild") {
+    val all = corpus()
+    val mid = 100L // > IvfCells, so the build half owns the full codebook
+    val dir = TempDirs.create("graft_ann_incr").toString
+    AnnIndex.buildIvf(all.filter(col("vec_id") < mid), dir)
+    AnnIndex.appendIvf(spark, all.filter(col("vec_id") >= mid), dir)
+    val incr = AnnIndex.queryIvf(spark, dir, queries(all, 10), k = 5)
+    val dirFull = TempDirs.create("graft_ann_full").toString
+    AnnIndex.buildIvf(all, dirFull)
+    val full = AnnIndex.queryIvf(spark, dirFull, queries(all, 10), k = 5)
+    assert(incr.count() > 0)
+    assert(incr.except(full).isEmpty && full.except(incr).isEmpty)
+    // the append wrote new parts beside the build's (parquet append,
+    // cell-partitioned) -- the build half's parts were never rewritten
+    val parts = new java.io.File(s"$dir/codes").listFiles
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles).count(_.getName.endsWith(".parquet"))
+    assert(parts > graft.operators.Similarity.IvfCells,
+      "append did not add parts to the existing cell dirs")
+  }
 }
