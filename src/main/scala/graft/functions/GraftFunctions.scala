@@ -51,6 +51,9 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "band_keys" -> (es => BandKeys(es.head, litInt(es(1)), litInt(es(2)))),
+    "md5_prefix_array" -> (es => Md5PrefixArray(es.head)),
+    "band_key_strings" ->
+      (es => BandKeyStrings(es.head, litInt(es(1)), litInt(es(2)))),
     "theta_sketch" -> (es => ThetaSketch(es.head, litInt(es(1)))),
     "theta_union" -> (es => ThetaUnion(es.head, litInt(es(1)))),
     "count_min" -> (es => CountMinSketch(es.head, litInt(es(1)), litInt(es(2)))),
