@@ -358,6 +358,7 @@ object SparkEntry {
     // the PQ variant is rows-gated like the rest of the Lloyd family)
     "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
+    "ann_index_stats" -> ((s, d) => AnnIndex.indexStats(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "pipeline_shard_write" -> ((s, d) => Pipeline.shardWrite(s, d)),
@@ -609,8 +610,12 @@ object SparkEntry {
     * (`ann_persisted`) answers identically to the one-shot `ann_ivf`
     * -- a single shared SQL gates both (drift-proof by construction).
     */
-  private val annIvfOracle =
-    """WITH cent AS (
+  /** The deterministic IVF assignment CTEs (codebook -> per-vector
+    * rank -> cell assignment) shared by the two IVF answers and the
+    * index-health report.
+    */
+  private val ivfAssignCtes =
+    """cent AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings WHERE vec_id < 16),
         |ranked AS (
@@ -619,7 +624,11 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
         |               c.cid) AS crank
         |  FROM embeddings e CROSS JOIN cent c),
-        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1)"""
+      .stripMargin
+
+  private val annIvfOracle =
+    s"""WITH $ivfAssignCtes,
         |probes AS (SELECT vec_id AS query_id, cid FROM ranked
         |           WHERE crank <= 4 AND vec_id < 20),
         |cand AS (
@@ -3818,6 +3827,17 @@ object SparkEntry {
     // the build -> artifacts -> query round trip answers identically
     // to the one-shot ann_ivf — the same SQL gates both
     "ann_persisted" -> annIvfOracle,
+    // index health from the deterministic assignment: per-cell
+    // occupancy + share, the q_skew_report twin for the vector store
+    "ann_index_stats" ->
+      s"""WITH $ivfAssignCtes,
+         |t AS (SELECT count(*) AS total FROM assign)
+         |SELECT CAST(cid AS BIGINT) AS cid,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
+         |    AS share
+         |FROM assign CROSS JOIN t
+         |GROUP BY cid, t.total""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,

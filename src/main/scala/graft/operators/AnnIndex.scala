@@ -130,6 +130,28 @@ object AnnIndex {
     queryIvf(spark, dir, Similarity.queryBatch(all, nQueries), k)
   }
 
+  /** INDEX-HEALTH report from the artifact store ALONE: per-cell
+    * occupancy and share — `q_skew_report`'s twin for the vector
+    * store. A hot cell is the IVF analogue of a hot join key: probe
+    * cost is per-cell, so occupancy imbalance IS the query-latency
+    * tail, and this is the number an operator watches before growing
+    * `cells` (FAISS's √n rule) or re-training the coarse quantizer.
+    * One |codes|→|cells| partial-agg shuffle over the store; the raw
+    * corpus is never touched.
+    */
+  def indexStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Similarity.vecs(spark, sfDir)
+    val dir = TempDirs.create("graft_ann_stats").toString
+    buildIvf(all, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val tot = codes.agg(count(lit(1)).as("total"))
+    codes.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid").cast("long").as("cid"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("total").cast("double"),
+          9).as("share"))
+  }
+
   // ---- IVF-PQ: trained codebooks + 64-bit codes (rows-gated) --------
 
   /** Build the IVF-PQ index: train the coarse + per-subspace Lloyd
@@ -162,6 +184,28 @@ object AnnIndex {
         pq_encode(col("v"), col("norm"), cb).as("code"),
         pq_recon_norm(col("code"), nrm2).as("xnorm"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Append a NEW batch to an existing IVF-PQ index from artifacts
+    * alone: both codebooks reload from the store (never retrain —
+    * the frozen-codebook contract that makes the index incremental),
+    * the batch encodes in one kernel projection, and its
+    * cell-partitioned codes land beside the earlier parts. The spec
+    * pins build+append ≡ full build, which holds exactly when the
+    * build half contains the whole deterministic training sample.
+    */
+  def appendIvfPq(spark: SparkSession, batch: DataFrame,
+      dir: String): Unit = {
+    import graft.functions.CatalystExprs.{centroid_probes, pq_encode, pq_recon_norm}
+    val (coarse, cb) = loadCodebooks(spark, dir)
+    val nrm2: Array[Array[Double]] = cb.map(_.map(sv => sv.map(x => x * x).sum))
+    batch.select(
+        element_at(centroid_probes(col("v"), col("norm"), coarse, 1), 1)
+          .as("cid"),
+        col("vec_id"),
+        pq_encode(col("v"), col("norm"), cb).as("code"),
+        pq_recon_norm(col("code"), nrm2).as("xnorm"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 
   /** Reload the persisted codebooks as driver arrays — bounded by

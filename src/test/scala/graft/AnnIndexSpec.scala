@@ -96,4 +96,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(parts > graft.operators.Similarity.IvfCells,
       "append did not add parts to the existing cell dirs")
   }
+
+  test("PQ append: a new batch encodes against the PERSISTED codebooks " +
+      "and queries equal a full rebuild") {
+    val all = corpus()
+    // the build half must contain the whole deterministic training
+    // sample (first PqSample=128 vectors) for codebook equality
+    val mid = 200L
+    val dir = TempDirs.create("graft_ann_pq_incr").toString
+    AnnIndex.buildIvfPq(all.filter(col("vec_id") < mid), dir)
+    AnnIndex.appendIvfPq(spark, all.filter(col("vec_id") >= mid), dir)
+    val incr = AnnIndex.queryIvfPq(spark, dir, queries(all, 10), all, k = 5)
+    val dirFull = TempDirs.create("graft_ann_pq_full").toString
+    AnnIndex.buildIvfPq(all, dirFull)
+    val full = AnnIndex.queryIvfPq(spark, dirFull, queries(all, 10), all, k = 5)
+    assert(incr.count() > 0)
+    assert(incr.except(full).isEmpty && full.except(incr).isEmpty)
+  }
+
+  test("index stats: shares sum to 1, counts sum to the corpus, and " +
+      "every populated cell appears") {
+    val st = AnnIndex.indexStats(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(st.agg(sum("n_vectors")).head().getLong(0) == n)
+    val shareSum = st.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-6)
+    assert(st.filter(col("n_vectors") <= 0).isEmpty)
+    st.unpersist()
+  }
 }
