@@ -614,6 +614,81 @@ object SparkEntry {
     * rank -> cell assignment) shared by the two IVF answers and the
     * index-health report.
     */
+  /** md5-derived SRP hyperplane replay (`Similarity.planesFor`): the
+    * exact plane doubles (32-bit md5 prefix / 2³² − 0.5 — exact in
+    * double on both engines), per-(vector, band) sign codes, and the
+    * bit-identical dot products (`list_dot_product` is a sequential
+    * left-to-right double fold, same as the DotProduct kernel). The
+    * cosine is spelled dot/na/nb — DIVISION ORDER MATTERS:
+    * `list_cosine_similarity` divides by the norm product and drifts
+    * in the last ulp. These CTEs are what moved the SRP family from
+    * rows-gated to hash-gated.
+    */
+  private def srpDotCtes(nPlanes: Int, planesPerBand: Int): String =
+    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
+       |planes AS (
+       |  SELECT p, [CAST(('0x' || substring(md5('srp_' || p || '_' || i), 1, 8)) AS BIGINT)
+       |               / 4294967296.0 - 0.5 for i in range(0, 64)] AS pv
+       |  FROM (SELECT unnest(range(0, $nPlanes)) AS p)),
+       |dots AS (
+       |  SELECT vv.vec_id, CAST(pl.p // $planesPerBand AS INT) AS band,
+       |    CAST(pl.p % $planesPerBand AS INT) AS j,
+       |    list_dot_product(vv.v, pl.pv) AS dot
+       |  FROM vv CROSS JOIN planes pl)""".stripMargin
+
+  /** Single-probe banded SRP near-dup oracle (`Similarity.annLsh`
+    * shape): same-(band, code) candidates, exact-cosine verify at
+    * `threshold`. Shared by ann_lsh (τ=0.3) and dedup_embedding
+    * (τ=0.45).
+    */
+  private def srpLshOracle(bands: Int, ppb: Int, threshold: Double): String =
+    s"""WITH ${srpDotCtes(bands * ppb, ppb)},
+       |codes AS (
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM codes x JOIN codes y
+       |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
+       |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $threshold""".stripMargin
+
+  /** Multi-probe SRP pair CTEs (`Similarity.annLshMultiProbe`, 8×6+2):
+    * main code plus one-bit flips of the 2 lowest-|margin| planes
+    * (ties by plane index — the kernel's stable sort), DISTINCT codes
+    * per (vec, band) before the join, exact-cosine verify. Yields
+    * `pairs(vec_a, vec_b, cos)`; shared by the multiprobe key and the
+    * knn-graph rank tail.
+    */
+  private val srpMultiProbeCtes: String =
+    s"""${srpDotCtes(48, 6)},
+       |main AS (
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY 1, 2),
+       |flips AS (
+       |  SELECT vec_id, band, j,
+       |    row_number() OVER (PARTITION BY vec_id, band ORDER BY abs(dot), j) AS r
+       |  FROM dots),
+       |codes AS (
+       |  SELECT DISTINCT vec_id, band, code FROM (
+       |    SELECT vec_id, band, code FROM main
+       |    UNION ALL
+       |    SELECT m.vec_id, m.band, xor(m.code, CAST(1 AS BIGINT) << f.j) AS code
+       |    FROM main m JOIN flips f
+       |      ON f.vec_id = m.vec_id AND f.band = m.band AND f.r <= 2)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM codes x JOIN codes y
+       |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
+       |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)""".stripMargin
+
   private val ivfAssignCtes =
     """cent AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -2461,6 +2536,37 @@ object SparkEntry {
          |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
          |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8""".stripMargin
     },
+    // SimHash, hash-gated: 48-bit md5-prefix token hashes (the
+    // MinHash family's base hash), per-bit strict-majority vote,
+    // 4×12-bit pigeonhole chunks, Hamming ≤ 3 verify — every stage
+    // integer-exact on both engines
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |                       x -> x <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |         CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) AS h
+        |       FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN 2 * sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END)
+        |           >= count(*)
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bv
+        |  FROM th CROSS JOIN (SELECT CAST(unnest(range(0, 48)) AS INT) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS h48 FROM bits
+        |       GROUP BY doc_id),
+        |ck AS (SELECT doc_id, h48, c, (h48 >> CAST(c * 12 AS INT)) & 4095 AS cval
+        |       FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS c)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.h48 AS ha, y.h48 AS hb
+        |  FROM ck x JOIN ck y
+        |    ON x.c = y.c AND x.cval = y.cval AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
     // three power iterations unrolled as CTEs; per-edge contributions
@@ -3820,6 +3926,28 @@ object SparkEntry {
         |    ON e.vec_id <> q.vec_id AND e.label <> q.label
         |  WHERE q.vec_id < 20)
         |WHERE rnk <= 5""".stripMargin,
+    // SRP family, hash-gated via the md5-derived hyperplane replay:
+    // every band code, probe flip, and verify cosine is bit-identical
+    // across engines (see srpDotCtes)
+    "ann_lsh" -> srpLshOracle(16, 4, 0.3),
+    "dedup_embedding" -> srpLshOracle(16, 4, 0.45),
+    "ann_lsh_multiprobe" ->
+      s"""WITH $srpMultiProbeCtes
+         |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3""".stripMargin,
+    // knn graph: the multiprobe pairs with NO threshold, symmetrized,
+    // ranked (cos DESC, dst) per source — rank-only output
+    "q_knn_graph" ->
+      s"""WITH $srpMultiProbeCtes,
+         |sym AS (
+         |  SELECT vec_a AS src, vec_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b, vec_a, cos FROM pairs)
+         |SELECT src, dst, rnk FROM (
+         |  SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS BIGINT) AS rnk
+         |  FROM sym)
+         |WHERE rnk <= 5""".stripMargin,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,

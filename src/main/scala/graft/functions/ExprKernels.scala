@@ -105,6 +105,22 @@ object ExprKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** First 32 md5 bits of a string as a unit-interval double:
+    * uint32(md5(s)[0..3]) / 2³². The numerator is a 32-bit integer
+    * and the divisor a power of two, so the double is EXACT and
+    * DuckDB's `CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) /
+    * 4294967296.0` reproduces it bit-for-bit — the driver-side
+    * generator behind the SRP hyperplane family.
+    */
+  def md5Unit32(s: String): Double = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u.toDouble / 4294967296.0
+  }
+
   /** 48-bit md5-prefix hash of every element of an array<string> →
     * array<long>: the first 6 digest bytes as an unsigned big-endian
     * value — EXACTLY `conv(substring(md5(s), 1, 12), 16, 10)`, the

@@ -538,22 +538,34 @@ object Dedup {
 
   /** SimHash near-dup pairs at Hamming distance ≤ maxDist.
     *
-    * Candidate generation by the pigeonhole trick: split the 64-bit
-    * hash into 4 16-bit chunks; any pair within Hamming ≤ 3 agrees on
+    * Candidate generation by the pigeonhole trick: split the 48-bit
+    * hash into 4 12-bit chunks; any pair within Hamming ≤ 3 agrees on
     * ≥1 chunk, so the join is keyed on (chunk_idx, chunk_value) —
     * linear shuffle, no n² compare.
+    *
+    * Token hashes are 48-bit md5 prefixes (`Md5PrefixArray`, the
+    * MinHash family's base hash), NOT xxhash64: md5 is what DuckDB
+    * can recompute, so the whole pipeline — per-bit majority vote,
+    * chunk keys, Hamming verify — replays in the oracle and the key
+    * is hash-gated (the Carter–Wegman precedent applied to SimHash).
+    * `simhash64` over 48-bit inputs leaves bits 48-63 clear (a
+    * strict-majority vote over all-zero bits), so the one kernel
+    * serves both widths.
     */
   def simhash(spark: SparkSession, sfDir: String,
       maxDist: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.CatalystExprs.md5_prefix_array(
+          filter(split(col("text"), TextMapReduce.WordSplit), w => w =!= ""))
+          .as("hs"))
       .select(col("doc_id"), simhashCol(col("hs")).as("sh64"))
     val chunked = docs.select(
         col("doc_id"), col("sh64"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
-            shiftright(col("sh64"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cval"))
+            shiftright(col("sh64"), c * 12).bitwiseAND(lit(0xFFFL)).as("cval"))
         }: _*)).as("ck"))
       .select(col("doc_id"), col("sh64"),
         col("ck.chunk").as("chunk"), col("ck.cval").as("cval"))

@@ -184,18 +184,26 @@ object Similarity {
 
   val NumPlanes = 16
 
-  /** Deterministic seeded hyperplanes (n × 64, components in
-    * [-0.5, 0.5)), one prefix-stable family per requested size:
-    * asking for more planes extends the same sequence. Generated once
-    * at plan time; shipped to executors inside the expression.
+  /** Deterministic md5-derived hyperplanes (n × 64, components in
+    * [-0.5, 0.5)), prefix-stable per (plane, dim) cell: component
+    * (p, i) is the first 32 md5 bits of "srp_p_i" divided by 2³²,
+    * minus 0.5 — a 32-bit integer scaled by a power of two, so the
+    * double value is EXACT and DuckDB computes the identical plane
+    * with `CAST('0x' || substring(md5('srp_'||p||'_'||i), 1, 8) AS
+    * BIGINT) / 4294967296.0 - 0.5`. That is what moves the whole SRP
+    * family (ann_lsh / multiprobe / knn_graph / dedup_embedding) from
+    * rows-gated to DuckDB-hash-gated: same uniform distribution as
+    * the former seeded family, but reproducible outside the JVM (the
+    * md5 Carter–Wegman precedent from the MinHash path). Generated
+    * once at plan time; shipped to executors inside the expression.
     */
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
   private def planesFor(n: Int): Array[Array[Double]] =
-    planeCache.getOrElseUpdate(n, {
-      val rnd = new scala.util.Random(777)
-      Array.fill(n, 64)(rnd.nextDouble() - 0.5)
-    })
+    planeCache.getOrElseUpdate(n,
+      Array.tabulate(n, 64) { (p, i) =>
+        graft.functions.ExprKernels.md5Unit32(s"srp_${p}_${i}") - 0.5
+      })
 
   /** 16-bit sign-random-projection bucket code for a vector column. */
   def lshBucket(v: Column): Column = srp_bucket(v, planesFor(NumPlanes))
@@ -345,8 +353,10 @@ object Similarity {
     * bounded `TopKPerKey` heaps. Nodes whose every neighbor falls
     * outside the candidate set have degree < k — that is the LSH
     * trade; per-node recall vs the all-nodes brute truth is measured
-    * and floor-pinned in the spec. Rows-gated (SRP projections are
-    * not DuckDB-reproducible — the family's declared regime).
+    * and floor-pinned in the spec. Hash-gated: the md5-derived
+    * hyperplanes make every band code, every probe flip, and the
+    * exact-cosine verify DuckDB-reproducible, so the oracle replays
+    * the full candidate pipeline and the gate compares final ranks.
     */
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5,
       bands: Int = DefaultMpBands,
