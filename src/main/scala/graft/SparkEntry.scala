@@ -356,6 +356,8 @@ object SparkEntry {
     // persisted-index round trips: build artifacts once, serve from
     // artifacts only (exact IVF payload -> same oracle as ann_ivf;
     // the PQ variant is rows-gated like the rest of the Lloyd family)
+    "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
+    "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
     "ann_index_stats" -> ((s, d) => AnnIndex.indexStats(s, d)),
@@ -688,6 +690,116 @@ object SparkEntry {
        |pairs AS (
        |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
        |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)""".stripMargin
+
+  /** The `(vec_id, v DOUBLE[], nrm)` projection both retrieval
+    * oracles start from — the `Similarity.vecs` shape in DuckDB.
+    */
+  private val vecNormCtes =
+    """vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv)"""
+      .stripMargin
+
+  /** RRF hybrid-retrieval oracle: lexical word-Jaccard arm + dense
+    * cosine arm, each top-20, fused with 1/(60+rank). Every float is
+    * engine-exact (integer-ratio Jaccard, bit-identical dots, one
+    * addition of two exact divisions).
+    */
+  private val rrfOracle =
+    s"""WITH $vecNormCtes,
+       |words AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |                              x -> x <> '')) AS w
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, len(w) AS nw FROM words),
+       |posting AS (SELECT doc_id, unnest(w) AS word FROM words),
+       |qp AS (SELECT doc_id AS query_id, word FROM posting WHERE doc_id < 5),
+       |common AS (
+       |  SELECT q.query_id, p.doc_id, count(*) AS n_common
+       |  FROM qp q JOIN posting p ON p.word = q.word AND p.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |lexs AS (
+       |  SELECT c.query_id, c.doc_id,
+       |    CAST(n_common AS DOUBLE) / CAST(a.nw + b.nw - n_common AS DOUBLE) AS jac
+       |  FROM common c
+       |  JOIN sizes a ON a.doc_id = c.query_id
+       |  JOIN sizes b ON b.doc_id = c.doc_id),
+       |lex AS (SELECT query_id, doc_id, r AS r_lex FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY jac DESC, doc_id) AS r
+       |    FROM lexs) WHERE r <= 20),
+       |dscored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |    list_dot_product(q.v, e.v) / q.nrm / e.nrm AS cos
+       |  FROM nn q JOIN nn e ON e.vec_id <> q.vec_id WHERE q.vec_id < 5),
+       |dense AS (SELECT query_id, doc_id, r AS r_dense FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+       |    FROM dscored) WHERE r <= 20),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), CAST(0.0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.r_dense), CAST(0.0 AS DOUBLE))
+       |      AS rrf_score
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, rrf_score, rnk FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fused) WHERE rnk <= 10""".stripMargin
+
+  /** MMR diversified-selection oracle: the same brute top-20 pool and
+    * pool-pairwise sims as `Similarity.mmrDiversify` (candidate-first
+    * division order), with the k−1 greedy rounds UNROLLED as CTE
+    * stages — each stage max-joins the previous selection, scores
+    * 0.7·rel − 0.3·maxsim in double, and picks the (mmr DESC, vec_id)
+    * argmax.
+    */
+  private val mmrOracle: String = {
+    val base =
+      s"""WITH $vecNormCtes,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id,
+         |    list_dot_product(q.v, e.v) / q.nrm / e.nrm AS rel
+         |  FROM nn q JOIN nn e ON e.vec_id <> q.vec_id WHERE q.vec_id < 5),
+         |pool AS (SELECT query_id, vec_id, rel FROM (
+         |    SELECT query_id, vec_id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS r
+         |    FROM scored) WHERE r <= 20),
+         |sims AS (
+         |  SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+         |    list_dot_product(x.v, y.v) / x.nrm / y.nrm AS sim
+         |  FROM pool a JOIN pool b
+         |    ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+         |  JOIN nn x ON x.vec_id = a.vec_id
+         |  JOIN nn y ON y.vec_id = b.vec_id),
+         |sel1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS pick FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS r
+         |    FROM pool) WHERE r = 1)""".stripMargin
+    val stages = (2 to 5).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""m$i AS (SELECT s.query_id, s.da AS vec_id, max(s.sim) AS maxsim
+         |  FROM sims s JOIN $prev t
+         |    ON t.query_id = s.query_id AND t.vec_id = s.db
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT p.query_id, p.vec_id,
+         |    CAST(0.7 AS DOUBLE) * p.rel - CAST(0.3 AS DOUBLE) * m.maxsim AS mmr
+         |  FROM pool p JOIN m$i m
+         |    ON m.query_id = p.query_id AND m.vec_id = p.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev t
+         |    WHERE t.query_id = p.query_id AND t.vec_id = p.vec_id)),
+         |p$i AS (SELECT query_id, vec_id, CAST($i AS BIGINT) AS pick FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS r
+         |    FROM c$i) WHERE r = 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    base + ",\n" + stages + "\nSELECT query_id, vec_id, pick FROM sel5"
+  }
 
   private val ivfAssignCtes =
     """cent AS (
@@ -3948,6 +4060,10 @@ object SparkEntry {
          |      ORDER BY cos DESC, dst) AS BIGINT) AS rnk
          |  FROM sym)
          |WHERE rnk <= 5""".stripMargin,
+    // hybrid retrieval + diversified selection: every float the gate
+    // sees is engine-exact (see the oracle vals)
+    "q_rrf_fusion" -> rrfOracle,
+    "q_mmr_diversify" -> mmrOracle,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,

@@ -909,4 +909,144 @@ object Similarity {
   private[graft] def kmeansAssign(spark: SparkSession, sfDir: String,
       k: Int = KmClusters, iters: Int = KmIters): DataFrame =
     kmeansFit(spark, vecs(spark, sfDir), k, iters)
+
+  /** HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): a lexical arm (distinct-word Jaccard between the
+    * query document and every corpus document — the posting-list
+    * join shape `text_bm25` uses, keyed on word, never a text cross
+    * join) and a dense arm (exact embedding-cosine rank, the
+    * `annTopkBrute` shape over the doc_id ≡ vec_id pairing) each
+    * produce a per-query top-`armK` list; RRF fuses them with
+    * score = Σ 1/(60 + rank) over the arms a document appears in.
+    *
+    * Every number the gate sees is engine-exact: Jaccard is a single
+    * division of integers, cosine is the bit-identical DotProduct
+    * fold, ranks are integers, and the fused score is one addition
+    * of two exact divisions — so the whole hybrid pipeline is
+    * DuckDB-hash-gated, floats included.
+    *
+    * Scale shape: the query batch broadcasts (bounded BY DESIGN);
+    * the lexical join fans out by query-term posting lists (per-word
+    * df caps apply at 100 TB exactly as in `Dedup.ngramJaccard` —
+    * documented trade, the query vocabulary is already ≤ one doc's
+    * words); all three rank stages are bounded [[graft.plans.TopKPerKey]]
+    * heaps, never corpus-keyed windows.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, armK: Int = 20, k: Int = 10,
+      rrfC: Int = 60): DataFrame = {
+    import graft.operators.TextMapReduce.WordSplit
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(filter(split(col("text"), WordSplit), w => w =!= ""))
+          .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = words.select(col("doc_id"), size(col("w")).as("nw"))
+    val posting = words.select(col("doc_id"), explode(col("w")).as("word"))
+    val qPosting = posting.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"))
+    // common distinct words per (query, doc) via the word-keyed join
+    val common = broadcast(qPosting).join(posting, "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_common"))
+    val lexScored = common
+      .join(sizes.select(col("doc_id").as("query_id"), col("nw").as("qa")),
+        "query_id")
+      .join(sizes.select(col("doc_id"), col("nw").as("qb")), "doc_id")
+      .withColumn("jac", col("n_common").cast("double")
+        / (col("qa") + col("qb") - col("n_common")).cast("double"))
+    val lex = graft.plans.TopKPerKey(
+        lexScored.select(col("query_id"), col("doc_id"), col("jac")),
+        Seq("query_id"), Seq(("jac", true), ("doc_id", false)), armK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("r_lex"))
+    val all = vecs(spark, sfDir)
+    val dScored = all.join(broadcast(queryBatch(all, nQueries)),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    val dense = graft.plans.TopKPerKey(
+        dScored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), armK)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("r_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfC) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfC) + col("r_dense")), lit(0.0)))
+    graft.plans.TopKPerKey(
+        fused.select(col("query_id"), col("doc_id"), col("rrf_score")),
+        Seq("query_id"), Seq(("rrf_score", true), ("doc_id", false)), k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rnk"))
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98) — the anti-redundancy selection a retrieval
+    * or eval-set builder runs after similarity search: greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so each new
+    * pick is relevant BUT far from what is already selected.
+    *
+    * Distributed shape: the candidate pool is the per-query brute
+    * top-`poolK` (bounded heaps), the pairwise pool sims are
+    * pool²-bounded PER QUERY (poolK² rows, never corpus²), and each
+    * of the k−1 greedy rounds is a join + bounded-heap argmax over
+    * that persisted pool-sims frame — no driver collect, no
+    * corpus-sized state; k and poolK are constants, so the plan depth
+    * and per-query cost are fixed at any corpus size.
+    *
+    * Determinism: relevance and pool sims are bit-identical DotProduct
+    * cosines (candidate-first division order, mirrored in the
+    * oracle), the MMR objective is the fixed-order expression
+    * 0.7·rel − 0.3·maxsim with double literals on both engines, and
+    * ties break on vec_id — the oracle unrolls the same k−1 greedy
+    * rounds as CTE stages, so the key is hash-gated end to end.
+    */
+  def mmrDiversify(spark: SparkSession, sfDir: String,
+      k: Int = 5, poolK: Int = 20, nQueries: Int = 5): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val scored = all.join(broadcast(queryBatch(all, nQueries)),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("rel",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    val pool = graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("rel")),
+        Seq("query_id"), Seq(("rel", true), ("vec_id", false)), poolK)
+      .select(col("query_id"), col("vec_id"), col("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pv = pool.join(all, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("v"), col("norm"))
+    // candidate-first division order (da's norm divides first) —
+    // dot(a,b) is bit-symmetric but x/na/nb is NOT x/nb/na; the
+    // oracle mirrors this orientation
+    val sims = pv.as("a").join(pv.as("b"),
+        col("a.query_id") === col("b.query_id")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        (dot_product(col("a.v"), col("b.v"))
+          / col("a.norm") / col("b.norm")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = graft.plans.TopKPerKey(pool,
+        Seq("query_id"), Seq(("rel", true), ("vec_id", false)), 1)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("pick"))
+    var i = 2
+    while (i <= k) {
+      val selIds = selected.select(col("query_id"), col("vec_id"))
+      val maxsim = sims
+        .join(selIds.withColumnRenamed("vec_id", "db"), Seq("query_id", "db"))
+        .groupBy(col("query_id"), col("da").as("vec_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val cand = pool
+        .join(selIds, Seq("query_id", "vec_id"), "left_anti")
+        .join(maxsim, Seq("query_id", "vec_id"))
+        .withColumn("mmr",
+          lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+      selected = selected.union(
+        graft.plans.TopKPerKey(
+            cand.select(col("query_id"), col("vec_id"), col("mmr")),
+            Seq("query_id"), Seq(("mmr", true), ("vec_id", false)), 1)
+          .select(col("query_id"), col("vec_id"), lit(i.toLong).as("pick")))
+      i += 1
+    }
+    selected
+  }
 }

@@ -483,4 +483,113 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("count").isNull || col("count") =!= col("n_ab"))
     assert(bad.isEmpty)
   }
+
+  test("rrf fusion: 10 fused rows per query, scores equal the " +
+      "window-ranked two-arm reference") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Similarity.rrfFusion(spark, sf).cache()
+    assert(out.count() == 50)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 10).isEmpty)
+    assert(out.filter(col("query_id") === col("doc_id")).isEmpty)
+    // independent reference: plain window ranks over both arms
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(filter(
+        split(col("text"), operators.TextMapReduce.WordSplit),
+        w => w =!= "")).as("w"))
+    val q = words.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("w").as("qw"))
+    val lex = words.crossJoin(q)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("jac",
+        size(array_intersect(col("w"), col("qw"))).cast("double")
+          / size(array_union(col("w"), col("qw"))).cast("double"))
+      .withColumn("r_lex", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("jac").desc, col("doc_id"))).cast("long"))
+      .filter(col("r_lex") <= 20)
+      .select("query_id", "doc_id", "r_lex")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qe = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dense = e.crossJoin(qe)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("r_dense", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("r_dense") <= 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r_dense"))
+    val ref = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("ref_score",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)))
+    // every fused row matches the reference score EXACTLY (the gate
+    // hashes these doubles, so bit equality is the contract)
+    val mismatched = out.join(ref, Seq("query_id", "doc_id"), "left_outer")
+      .filter(col("ref_score").isNull
+        || col("ref_score") =!= col("rrf_score"))
+    assert(mismatched.isEmpty)
+    // and the kept 10 are the top of the reference ordering
+    val refTop = ref
+      .withColumn("rr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ref_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rr") <= 10)
+    assert(out.join(refTop.select(col("query_id"), col("doc_id"),
+        col("rr")), Seq("query_id", "doc_id"))
+      .filter(col("rr") =!= col("rnk")).isEmpty)
+    assert(refTop.join(out, Seq("query_id", "doc_id"), "left_anti").isEmpty)
+  }
+
+  test("mmr diversify: greedy picks replay exactly on the driver") {
+    val out = Similarity.mmrDiversify(spark, sf).cache()
+    assert(out.count() == 25)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 5).isEmpty)
+    // picks are distinct per query
+    assert(out.groupBy("query_id", "vec_id").count()
+      .filter(col("count") > 1).isEmpty)
+    // replay the greedy selection on the driver for every query from
+    // the same pool/sims definitions (same double arithmetic:
+    // 0.7*rel - 0.3*maxsim) and demand the identical pick sequence
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel", Similarity.cosine(col("qv"), col("v")))
+    import org.apache.spark.sql.expressions.Window
+    val pool = scored
+      .withColumn("r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("r") <= 20)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("v"))
+    val poolRows = pool.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray)).sortBy(_._1)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = poolRows.flatMap { case (qid, cands) =>
+      val nrm = cands.map(c => (c._1, math.sqrt(dot(c._3, c._3)))).toMap
+      val rel = cands.map(c => (c._1, c._2)).toMap
+      val vs = cands.map(c => (c._1, c._3)).toMap
+      var sel = Vector(cands.minBy(c => (-c._2, c._1))._1)
+      while (sel.size < 5) {
+        val rest = cands.map(_._1).filterNot(sel.contains)
+        val next = rest.map { d =>
+          val ms = sel.map(s => dot(vs(d), vs(s)) / nrm(d) / nrm(s)).max
+          (d, 0.7 * rel(d) - 0.3 * ms)
+        }.minBy { case (d, m) => (-m, d) }._1
+        sel = sel :+ next
+      }
+      sel.zipWithIndex.map { case (v, i) => (qid, v, (i + 1).toLong) }
+    }.toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
 }
