@@ -357,6 +357,7 @@ object SparkEntry {
     // artifacts only (exact IVF payload -> same oracle as ann_ivf;
     // the PQ variant is rows-gated like the rest of the Lloyd family)
     "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
+    "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
@@ -831,6 +832,58 @@ object SparkEntry {
         |  JOIN embeddings e ON cand.vec_id = e.vec_id
         |  JOIN embeddings q ON cand.query_id = q.vec_id)
         |WHERE rnk <= 10""".stripMargin
+
+  /** Retrieval-eval oracle: the gated brute and IVF answers as CTEs,
+    * joined into per-query n_hits / recall@10 / reciprocal-rank —
+    * every float a single division of integers (no cross-query
+    * averaging; a double mean would be merge-order-sensitive).
+    */
+  private val retrievalMetricsOracle =
+    s"""WITH $ivfAssignCtes,
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id),
+        |ivfres AS (
+        |  SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        |    SELECT cand.query_id, cand.vec_id,
+        |      CAST(row_number() OVER (PARTITION BY cand.query_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(e.embedding AS DOUBLE[])) DESC,
+        |                 cand.vec_id) AS BIGINT) AS rnk
+        |    FROM cand
+        |    JOIN embeddings e ON cand.vec_id = e.vec_id
+        |    JOIN embeddings q ON cand.query_id = q.vec_id)
+        |  WHERE rnk <= 10),
+        |brute AS (
+        |  SELECT query_id, neighbor_id, rnk FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                        CAST(e.embedding AS DOUBLE[])) DESC,
+        |                 e.vec_id) AS BIGINT) AS rnk
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 20)
+        |  WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT b.query_id, count(*) AS n_hits
+        |  FROM brute b JOIN ivfres a
+        |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        |  GROUP BY 1),
+        |rr AS (
+        |  SELECT t.query_id,
+        |    coalesce(CAST(1.0 AS DOUBLE) / a.rnk, CAST(0.0 AS DOUBLE)) AS rr
+        |  FROM (SELECT query_id, neighbor_id FROM brute WHERE rnk = 1) t
+        |  LEFT JOIN ivfres a
+        |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+        |SELECT q.query_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall,
+        |  rr.rr
+        |FROM (SELECT DISTINCT query_id FROM brute) q
+        |LEFT JOIN hits h ON h.query_id = q.query_id
+        |LEFT JOIN rr ON rr.query_id = q.query_id""".stripMargin
 
   /** ONE copy of the mm_scenes frame/cut/scene segmentation chain
     * (tau = 32, lag cut, running scene id) -- shared by the
@@ -4064,6 +4117,7 @@ object SparkEntry {
     // sees is engine-exact (see the oracle vals)
     "q_rrf_fusion" -> rrfOracle,
     "q_mmr_diversify" -> mmrOracle,
+    "q_retrieval_metrics" -> retrievalMetricsOracle,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,

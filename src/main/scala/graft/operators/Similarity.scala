@@ -910,6 +910,50 @@ object Similarity {
       k: Int = KmClusters, iters: Int = KmIters): DataFrame =
     kmeansFit(spark, vecs(spark, sfDir), k, iters)
 
+  /** RETRIEVAL-QUALITY EVALUATION as a first-class operator — the
+    * recall@k / MRR harness every vector-search deployment runs
+    * before trusting an index (and re-runs after every reindex):
+    * per query, how much of the exact brute-force top-k the IVF
+    * index reproduced (`n_hits`, `recall`), and the reciprocal rank
+    * at which the TRUE nearest neighbor surfaces in the approximate
+    * list (`rr`, 0.0 when it is missed entirely — the MRR
+    * convention).
+    *
+    * Both sides reuse the already-gated operators (`annTopkBrute` as
+    * truth, `annIvf` as the system under test), so the eval is a
+    * pure join-and-count over two bounded k×nQueries frames — no new
+    * scan of the corpus beyond what the two retrievals share through
+    * `vecs`'s persisted projection. Every emitted float is a single
+    * division of integers (n_hits/10, 1/rank), so the metrics
+    * hash-gate bit-for-bit; no cross-query averaging happens inside
+    * the operator (a mean of doubles would be merge-order-sensitive —
+    * callers aggregate the per-query rows in decimal if they need a
+    * corpus headline).
+    */
+  def retrievalMetrics(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): DataFrame = {
+    val truth = annTopkBrute(spark, sfDir, k, nQueries)
+    val approx = annIvf(spark, sfDir, k, nQueries)
+    val hits = truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val rr = truth.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("arnk")), Seq("query_id", "neighbor_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("arnk"), lit(0.0)).as("rr"))
+    truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .join(rr, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / lit(k.toDouble)).as("recall"),
+        col("rr"))
+  }
+
   /** HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR'09): a lexical arm (distinct-word Jaccard between the
     * query document and every corpus document — the posting-list

@@ -484,6 +484,34 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("retrieval metrics: per-query recall/MRR agree with a direct " +
+      "recomputation from the two gated retrievals") {
+    val m = Similarity.retrievalMetrics(spark, sf, k = 10, nQueries = 5)
+      .cache()
+    assert(m.count() == 5)
+    assert(m.filter(col("recall") < 0.0 || col("recall") > 1.0).isEmpty)
+    assert(m.filter(col("recall") =!=
+      col("n_hits").cast("double") / lit(10.0)).isEmpty)
+    // direct recomputation: set-intersect the two retrieval outputs
+    val truth = Similarity.annTopkBrute(spark, sf, k = 10, nQueries = 5)
+    val approx = Similarity.annIvf(spark, sf, k = 10, nQueries = 5)
+    val expHits = truth.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").count()
+    assert(m.join(expHits, Seq("query_id"), "left_outer")
+      .filter(coalesce(col("count"), lit(0L)) =!= col("n_hits")).isEmpty)
+    // rr is 1/rank of the TRUE nearest neighbor in the approx list,
+    // 0.0 exactly when it is missed
+    val expRr = truth.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("rnk"), lit(0.0)).as("exp_rr"))
+    assert(m.join(expRr, Seq("query_id"))
+      .filter(col("rr") =!= col("exp_rr")).isEmpty)
+  }
+
   test("rrf fusion: 10 fused rows per query, scores equal the " +
       "window-ranked two-arm reference") {
     import org.apache.spark.sql.expressions.Window
