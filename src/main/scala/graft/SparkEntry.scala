@@ -833,6 +833,52 @@ object SparkEntry {
         |  JOIN embeddings q ON cand.query_id = q.vec_id)
         |WHERE rnk <= 10""".stripMargin
 
+  /** SQ8 oracle: per-dimension corpus [min, max] bounds (exact
+    * aggregates), quantize/decode replayed with the identical
+    * expression tree (round is half-away-from-zero on both engines
+    * for the non-negative code domain; the mx = mn degenerate case
+    * reconstructs mn exactly as code 0 does), approximate rank over
+    * the dequantized vectors, exact re-rank of the 50-pool — every
+    * float a bit-identical sequential fold, rank-only output. The
+    * whole SQ8 path is deterministic arithmetic; only the Lloyd
+    * (PQ/IVF-PQ/k-means) members of the family stay rows-gated.
+    */
+  private val annSq8Oracle =
+    s"""WITH $vecNormCtes,
+       |bounds AS (
+       |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM (
+       |    SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+       |    FROM vv, (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) GROUP BY i)),
+       |coded AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+       |          ELSE mns[i]
+       |            + round((v[i] - mns[i]) / ((mxs[i] - mns[i]) / CAST(255.0 AS DOUBLE)))
+       |            * ((mxs[i] - mns[i]) / CAST(255.0 AS DOUBLE)) END
+       |     for i in range(1, 65)] AS xhat
+       |  FROM vv CROSS JOIN bounds),
+       |cn AS (SELECT vec_id, xhat, sqrt(list_dot_product(xhat, xhat)) AS xnorm
+       |       FROM coded),
+       |approx AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    list_dot_product(q.xhat, e.xhat) / q.xnorm / e.xnorm AS acos
+       |  FROM cn q JOIN cn e ON e.vec_id <> q.vec_id WHERE q.vec_id < 20),
+       |pool AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id) AS r
+       |    FROM approx) WHERE r <= 50),
+       |rescored AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    list_dot_product(q.v, e.v) / q.nrm / e.nrm AS cos
+       |  FROM pool p
+       |  JOIN nn e ON e.vec_id = p.vec_id
+       |  JOIN nn q ON q.vec_id = p.query_id)
+       |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+       |  SELECT query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM rescored) WHERE rnk <= 10""".stripMargin
+
   /** Retrieval-eval oracle: the gated brute and IVF answers as CTEs,
     * joined into per-query n_hits / recall@10 / reciprocal-rank —
     * every float a single division of integers (no cross-query
@@ -4118,6 +4164,7 @@ object SparkEntry {
     "q_rrf_fusion" -> rrfOracle,
     "q_mmr_diversify" -> mmrOracle,
     "q_retrieval_metrics" -> retrievalMetricsOracle,
+    "ann_sq8" -> annSq8Oracle,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,

@@ -134,6 +134,27 @@ object CatalystExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Greedy MMR selection over one query's bounded candidate pool
+    * (see ExprKernels.mmrPick): child is a struct of five aligned
+    * arrays (ids, rels, da, db, sim); returns the picked ids in
+    * selection order. The whole k-round greedy loop runs in ONE
+    * kernel call inside the fused stage — the join-cascade
+    * formulation cost a full shuffle round per pick.
+    */
+  case class MmrPick(child: Expression, lam: Double, lamBar: Double,
+      k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.mmrPick(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+        lam, lamBar, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.mmrPick($c, $lam, $lamBar, $k);")
+    override protected def withNewChildInternal(c: Expression): MmrPick =
+      copy(child = c)
+  }
+
   /** Dot product of two array<double>, left-to-right summation —
     * bit-identical to `aggregate(zip_with(a,b,*), 0.0, +)` and to
     * DuckDB's sequential list arithmetic (keeps the ANN oracle green).
@@ -347,6 +368,8 @@ object CatalystExprs {
     asCol(SimHash64(expression(hashes)))
   def dot_product(a: Column, b: Column): Column =
     asCol(DotProduct(expression(a), expression(b)))
+  def mmr_pick(packed: Column, lam: Double, lamBar: Double, k: Int): Column =
+    asCol(MmrPick(expression(packed), lam, lamBar, k))
   def srp_bucket(v: Column, planes: Array[Array[Double]]): Column =
     asCol(SrpBucket(expression(v), planes))
   def srp_probes(v: Column, planes: Array[Array[Double]], nProbes: Int): Column =

@@ -105,6 +105,79 @@ object ExprKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Greedy MMR selection over one query's bounded candidate pool:
+    * input row carries five aligned arrays — candidate (ids, rels)
+    * and pairwise (da, db, sim) in CANDIDATE-FIRST division order
+    * (sim(d, s) ≠ sim(s, d) in the last ulp; both orientations are
+    * present and the lookup always reads (candidate, selected)).
+    * Pick 1 is argmax rel; each later pick is argmax
+    * lam·rel − lamBar·max_{s∈selected} sim(d, s); all ties break on
+    * the smaller vec_id via a strict-> scan in id-sorted order.
+    * Returns the picked ids in selection order. Input order of the
+    * collect_list'ed arrays is irrelevant: candidates are scanned
+    * id-sorted and max over selected is order-free, so the result is
+    * deterministic and replays in the oracle's unrolled CTE rounds.
+    */
+  def mmrPick(row: org.apache.spark.sql.catalyst.InternalRow,
+      lam: Double, lamBar: Double, k: Int): ArrayData = {
+    val ids = row.getArray(0)
+    val rels = row.getArray(1)
+    val da = row.getArray(2)
+    val db = row.getArray(3)
+    val sim = row.getArray(4)
+    val n = ids.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val idArr = Array.tabulate(n)(ids.getLong)
+    val relArr = Array.tabulate(n)(rels.getDouble)
+    // scan candidates in vec_id order so a strict > keeps the
+    // smallest id among ties
+    val order = Array.range(0, n).sortBy(idArr)
+    val pos = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { pos.put(idArr(i), i); i += 1 }
+    val m = new Array[Double](n * n)
+    java.util.Arrays.fill(m, Double.NegativeInfinity)
+    var t = 0
+    val nSim = da.numElements()
+    while (t < nSim) {
+      val pa = pos.get(da.getLong(t))
+      val pb = pos.get(db.getLong(t))
+      if (pa != null && pb != null) m(pa * n + pb) = sim.getDouble(t)
+      t += 1
+    }
+    val selected = new Array[Int](math.min(k, n))
+    val taken = new Array[Boolean](n)
+    var round = 0
+    while (round < selected.length) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var o = 0
+      while (o < n) {
+        val c = order(o)
+        if (!taken(c)) {
+          var score = 0.0d
+          if (round == 0) score = relArr(c)
+          else {
+            var ms = Double.NegativeInfinity
+            var s = 0
+            while (s < round) {
+              val v = m(c * n + selected(s))
+              if (v > ms) ms = v
+              s += 1
+            }
+            score = lam * relArr(c) - lamBar * ms
+          }
+          if (score > bestScore) { bestScore = score; bestIdx = c }
+        }
+        o += 1
+      }
+      selected(round) = bestIdx
+      taken(bestIdx) = true
+      round += 1
+    }
+    new GenericArrayData(selected.map(idArr(_)))
+  }
+
   /** First 32 md5 bits of a string as a unit-interval double:
     * uint32(md5(s)[0..3]) / 2³². The numerator is a 32-bit integer
     * and the divisor a power of two, so the double is EXACT and
