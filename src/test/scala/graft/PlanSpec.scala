@@ -171,6 +171,24 @@ class PlanSpec extends SparkSpec {
       s"partition column read from data files:\n$p")
   }
 
+  test("retrieval stack: rrf/mmr/metrics rank on bounded heaps or " +
+      "grouped kernels — no cartesian, no corpus-keyed window") {
+    import graft.operators.Similarity
+    val rrf = plan(Similarity.rrfFusion(spark, sf))
+    assert(!rrf.contains("CartesianProduct"), s"cartesian in rrf:\n$rrf")
+    assert(rrf.contains("TopKPerKey"), s"bounded heap missing in rrf:\n$rrf")
+    assert(!rrf.contains("Window"), s"window rank in rrf:\n$rrf")
+    val mmr = plan(Similarity.mmrDiversify(spark, sf))
+    assert(!mmr.contains("CartesianProduct"), s"cartesian in mmr:\n$mmr")
+    // the greedy loop is ONE kernel over grouped pools — the plan
+    // must carry exactly one MmrPick projection and no per-round
+    // TopKPerKey cascade beyond the single pool cut
+    assert(mmr.contains("mmrpick") || mmr.contains("MmrPick"),
+      s"MmrPick kernel missing:\n$mmr")
+    val met = plan(Similarity.retrievalMetrics(spark, sf))
+    assert(!met.contains("CartesianProduct"), s"cartesian in metrics:\n$met")
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection
