@@ -323,6 +323,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.ngramContainment(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_dedup_metrics" -> ((s, d) => Dedup.dedupMetrics(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semDedup(s, d)),
@@ -691,6 +692,59 @@ object SparkEntry {
        |pairs AS (
        |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
        |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)""".stripMargin
+
+  /** The batch MinHash-LSH replay (md5 Carter–Wegman signatures, 16×8
+    * string band keys, exact distinct-shingle verify) through the
+    * `pairs`/`cnt`/`sh` CTEs, with an optional doc filter — shared by
+    * the dedup_minhash_lsh gate and the q_dedup_metrics audit slice.
+    */
+  private def minhashLshCtes(docWhere: String): String = {
+    val mins = (0 until Dedup.NumPerms).map { i =>
+      val (a, b, c) = Dedup.permCoef(i)
+      s"($a * (h >> 24) + $b * (h % 16777216) + $c) % 2147483647"
+    }
+    val minsSel = mins.zipWithIndex.map { case (m, i) =>
+      s"    list_min(list_transform(hs, h -> $m)) AS mh$i"
+    }.mkString(",\n")
+    val sigList = (0 until Dedup.NumPerms)
+      .map(i => s"mh$i").mkString("[", ", ", "]")
+    s"""words AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+       |  FROM documents$docWhere),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
+       |      s -> CAST('0x' || substring(md5(s), 1, 12) AS BIGINT)) AS hs
+       |  FROM words WHERE len(w) >= 3),
+       |sigs AS (
+       |  SELECT doc_id, $sigList AS sig FROM (
+       |    SELECT doc_id,
+       |$minsSel
+       |    FROM hashed)),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(sig[b * 8 + 1 : b * 8 + 8], '-') AS bsig
+       |  FROM sigs CROSS JOIN range(16) r(b)),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig
+       |  WHERE x.doc_id < y.doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                          for i in range(1, len(w) - 1)])) AS s
+       |  FROM words),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cands c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The `(vec_id, v DOUBLE[], nrm)` projection both retrieval
     * oracles start from — the `Similarity.vecs` shape in DuckDB.
@@ -2696,57 +2750,45 @@ object SparkEntry {
     // signature): 128 list_min permutation minima, 16 bands x 8 rows
     // joined on exact string band keys, candidates verified by exact
     // distinct-shingle Jaccard >= 0.8
-    "dedup_minhash_lsh" -> {
-      val mins = (0 until Dedup.NumPerms).map { i =>
-        val (a, b, c) = Dedup.permCoef(i)
-        s"($a * (h >> 24) + $b * (h % 16777216) + $c) % 2147483647"
-      }
-      val minsSel = mins.zipWithIndex.map { case (m, i) =>
-        s"    list_min(list_transform(hs, h -> $m)) AS mh$i"
-      }.mkString(",\n")
-      val sigList = (0 until Dedup.NumPerms)
-        .map(i => s"mh$i").mkString("[", ", ", "]")
-      s"""WITH words AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
-         |  FROM documents),
-         |hashed AS (
-         |  SELECT doc_id,
-         |    list_transform(
-         |      list_transform(range(1, len(w) - 1),
-         |        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]),
-         |      s -> CAST('0x' || substring(md5(s), 1, 12) AS BIGINT)) AS hs
-         |  FROM words WHERE len(w) >= 3),
-         |sigs AS (
-         |  SELECT doc_id, $sigList AS sig FROM (
-         |    SELECT doc_id,
-         |$minsSel
-         |    FROM hashed)),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    array_to_string(sig[b * 8 + 1 : b * 8 + 8], '-') AS bsig
-         |  FROM sigs CROSS JOIN range(16) r(b)),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bsig = y.bsig
-         |  WHERE x.doc_id < y.doc_id),
-         |sh AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                          for i in range(1, len(w) - 1)])) AS s
-         |  FROM words),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-         |  FROM cands c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY 1, 2)
+    "dedup_minhash_lsh" ->
+      s"""WITH ${minhashLshCtes("")}
          |SELECT doc_a, doc_b,
          |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
          |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
-         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8""".stripMargin
-    },
+         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8""".stripMargin,
+    // dedup-quality eval on the doc_id < 500 audit slice: exact
+    // no-banding truth (posting join over the SAME distinct shingle
+    // sets) vs the production banded path; precision/recall are
+    // integer-ratio divisions
+    "q_dedup_metrics" ->
+      s"""WITH ${minhashLshCtes(" WHERE doc_id < 500")},
+         |found AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8),
+         |tpn AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc_a, doc_b
+         |  FROM tpn JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.8),
+         |hit AS (
+         |  SELECT f.doc_a FROM found f
+         |  JOIN truth t ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+         |SELECT
+         |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM found) > 0
+         |    THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM found) AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS precision,
+         |  CASE WHEN (SELECT count(*) FROM truth) > 0
+         |    THEN CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM truth) AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS recall""".stripMargin,
     // SimHash, hash-gated: 48-bit md5-prefix token hashes (the
     // MinHash family's base hash), per-bit strict-majority vote,
     // 4×12-bit pigeonhole chunks, Hamming ≤ 3 verify — every stage

@@ -11,10 +11,13 @@ import graft.Tables
   * Scale design: the oracle-gated exact and n-gram-Jaccard variants
   * are correctness baselines; the MinHash-LSH and SimHash variants are
   * the 100 TB paths — their shuffles are keyed on small band
-  * signatures (16×8 minhash bands, 4×16-bit simhash chunks) so the
-  * candidate join never goes quadratic. All hashing is
-  * `xxhash64`/affine-modular arithmetic through codegen'd higher-order
-  * functions — no UDFs.
+  * signatures (threshold-matched minhash bands, 4×12-bit simhash
+  * chunks) so the candidate join never goes quadratic. All hashing is
+  * md5-prefix/affine-modular arithmetic through codegen'd kernel
+  * expressions — no UDFs, and every variant is DuckDB-hash-gated
+  * (the md5 Carter–Wegman program; xxhash64 survives only inside the
+  * substring-dedup k-gram prefilter, whose output is exact-verified
+  * before anything the gate sees).
   */
 object Dedup {
 
@@ -594,6 +597,63 @@ object Dedup {
       threshold: Double = 0.45): DataFrame =
     Similarity.annLsh(spark, sfDir, threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+
+  /** DEDUP-QUALITY EVALUATION as a first-class operator — the
+    * `q_retrieval_metrics` twin for the near-dup family: on a bounded
+    * audit slice (doc_id < nDocs, a CONSTANT regardless of corpus
+    * size — the slice is the eval budget, exactly like a retrieval
+    * harness's query batch), compute the exact Jaccard-≥ τ truth set
+    * with NO df cap and NO banding, run the production MinHash-LSH
+    * path over the same slice, and report candidate-generation
+    * precision/recall. This is the number an operator watches before
+    * trusting a banding config at 100 TB — the SimilaritySpec /
+    * DedupSpec recall floors, promoted from test-time assertions to
+    * a queryable report.
+    *
+    * Truth generation is the shingle-posting join (word-keyed,
+    * bounded by the slice), never an n² text cross join; both sides
+    * exact-verify at the same τ over the same shingle sets, so every
+    * metric is a ratio of pair counts — integer divisions, hash-gated.
+    */
+  def dedupMetrics(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, nDocs: Int = 500): DataFrame =
+    dedupMetricsOver(
+      docShingles(spark, sfDir).filter(col("doc_id") < nDocs), threshold)
+
+  /** Same eval over an arbitrary (doc_id, sh) shingle frame with an
+    * optional banding override — the spec's hook for proving the
+    * report DISCRIMINATES: tuned banding must score near-1 recall on
+    * a planted borderline corpus, mis-tuned banding must not.
+    */
+  def dedupMetricsOver(shd: DataFrame, threshold: Double,
+      banding: Option[(Int, Int)] = None): DataFrame = {
+    val post = shd.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = shd.select(col("doc_id"), size(col("sh")).as("n"))
+    val truth = post.as("x").join(post.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("n_common").cast("double")
+        / (col("na") + col("nb") - col("n_common")).cast("double")
+        >= threshold)
+      .select("doc_a", "doc_b")
+    val found = minhashLshOver(shd, threshold, banding)
+      .select("doc_a", "doc_b")
+    val hit = found.join(truth, Seq("doc_a", "doc_b"))
+    val tC = truth.agg(count(lit(1)).as("n_truth"))
+    val fC = found.agg(count(lit(1)).as("n_found"))
+    val hC = hit.agg(count(lit(1)).as("n_hit"))
+    tC.crossJoin(broadcast(fC)).crossJoin(broadcast(hC))
+      .select(col("n_truth"), col("n_found"), col("n_hit"),
+        when(col("n_found") > 0,
+          col("n_hit").cast("double") / col("n_found").cast("double"))
+          .otherwise(lit(0.0)).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(0.0)).as("recall"))
+  }
 
   /** Canonicalized exact dedup: normalize text (lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim) BEFORE the

@@ -191,6 +191,24 @@ class DedupSpec extends SparkSpec {
     // precision invariant: every surfaced pair is verified ≥ τ exactly
     val verified = Dedup.minhashLshOver(shd, 0.5, None)
     assert(verified.filter(col("jaccard") < 0.5).isEmpty)
+
+    // the q_dedup_metrics report reproduces exactly these numbers as
+    // a queryable row: precision 1.0 always (both sides exact-verify
+    // at τ), recall = the measured banding recall — so the report
+    // DISCRIMINATES a tuned banding from a mis-tuned one
+    def report(banding: Option[(Int, Int)]): (Long, Long, Long, Double, Double) = {
+      val r = Dedup.dedupMetricsOver(shd, 0.5, banding).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }
+    val (nt, nf, nh, p, r) = report(None)
+    assert(nt == truth.size.toLong)
+    assert(p == 1.0 && nh == nf)
+    assert(math.abs(r - tuned) < 1e-12,
+      f"report recall $r%.3f != measured $tuned%.3f")
+    val (_, _, _, pMis, rMis) = report(Some((16, 8)))
+    assert(pMis == 1.0 || pMis == 0.0)
+    assert(math.abs(rMis - misTuned) < 1e-12)
+    assert(r > rMis)
     shd.unpersist()
   }
 
