@@ -337,6 +337,7 @@ object SparkEntry {
     "q_kcore" -> ((s, d) => Dedup.kcore(s, d)),
     "q_label_prop" -> ((s, d) => Dedup.labelProp(s, d)),
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
+    "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "q_entity_match" -> ((s, d) => Quality.entityMatch(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3014,6 +3015,31 @@ object SparkEntry {
     },
     // the audit a regulator reads: before = deleted + after, cascade
     // replayed via the same modular forget-set
+    // k-anonymity / l-diversity: equivalence classes over the QI
+    // triple, distinct sensitive values per class, boolean risk flags
+    "q_k_anonymity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |classes AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS class_size
+        |  FROM cust GROUP BY 1, 2, 3),
+        |ldiv AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    count(DISTINCT o_orderpriority) AS l_div
+        |  FROM cust LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+        |  c.c_mktsegment AS segment, c.bal_band,
+        |  CAST(c.class_size AS BIGINT) AS class_size,
+        |  CAST(d.l_div AS BIGINT) AS l_div,
+        |  c.class_size >= 5 AS k_anonymous,
+        |  d.l_div >= 3 AS l_diverse
+        |FROM classes c JOIN ldiv d
+        |  ON d.c_nationkey = c.c_nationkey
+        |  AND d.c_mktsegment = c.c_mktsegment
+        |  AND d.bal_band = c.bal_band""".stripMargin,
     "q_gdpr_delete" ->
       """WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
         |dead_orders AS (

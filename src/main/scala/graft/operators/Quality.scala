@@ -232,4 +232,43 @@ object Quality {
           col("l_orderkey") === col("o_orderkey"), "left"),
         col("o_orderkey")))
   }
+
+  /** K-ANONYMITY / L-DIVERSITY audit — the re-identification-risk
+    * report a data-governance pass runs before releasing a dataset
+    * (Sweeney '02 / Machanavajjhala '07), completing the compliance
+    * family next to `gdprDelete` and `text_pii`: customers group into
+    * equivalence classes by quasi-identifier (nation, segment,
+    * account-balance band — the attributes a linker could join on);
+    * a class smaller than k re-identifies its members, and a class
+    * whose SENSITIVE attribute (order priority) shows fewer than l
+    * distinct values leaks it even at size ≥ k (the homogeneity
+    * attack k-anonymity alone misses).
+    *
+    * Plan shape: one groupBy over the QI columns (class count), one
+    * distinct-aggregate over the class × sensitive join for
+    * l-diversity — both partial-aggregated before the exchange; the
+    * sensitive join is keyed on c_custkey (no fan-out beyond each
+    * customer's own orders). Every output is a count or an integer
+    * comparison — hash-gated.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String,
+      k: Int = 5, l: Int = 3): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000).cast("long").as("bal_band")
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), band)
+    val classes = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("class_size"))
+    val ldiv = cust
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(countDistinct(col("o_orderpriority")).as("l_div"))
+    classes.join(ldiv, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"), col("bal_band"),
+        col("class_size"), col("l_div"),
+        (col("class_size") >= k).as("k_anonymous"),
+        (col("l_div") >= l).as("l_diverse"))
+  }
 }

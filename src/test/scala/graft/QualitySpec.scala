@@ -247,4 +247,24 @@ class QualitySpec extends SparkSpec {
     val ref = Quality.entityMatchOver(hot, 3, namePrefix = 1)
     assert(ref.exceptAll(base).isEmpty && base.exceptAll(ref).isEmpty)
   }
+
+  test("k-anonymity: class sizes tile the customer table, flags match " +
+      "their thresholds, and no member of a small class hides") {
+    val rep = Quality.kAnonymity(spark, sf).cache()
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rep.agg(sum("class_size")).head().getLong(0) == nCust)
+    assert(rep.filter(col("k_anonymous") =!= (col("class_size") >= 5)).isEmpty)
+    assert(rep.filter(col("l_diverse") =!= (col("l_div") >= 3)).isEmpty)
+    // l-diversity can never exceed the sensitive-domain size (5 TPC-H
+    // priorities) nor, for a class of size s, s × orders-per-customer
+    assert(rep.filter(col("l_div") > 5).isEmpty)
+    // cross-check one class against a direct recount
+    val r0 = rep.orderBy("nationkey", "segment", "bal_band").head()
+    val direct = Tables.customer(spark, sf)
+      .filter(col("c_nationkey") === r0.getLong(0)
+        && col("c_mktsegment") === r0.getString(1)
+        && floor(col("c_acctbal") / 1000).cast("long") === r0.getLong(2))
+      .count()
+    assert(direct == r0.getLong(3))
+  }
 }
