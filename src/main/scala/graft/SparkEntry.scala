@@ -370,6 +370,7 @@ object SparkEntry {
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
     "q_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
+    "q_curriculum" -> ((s, d) => Pipeline.curriculum(s, d)),
     "q_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
@@ -3664,6 +3665,34 @@ object SparkEntry {
     },
     // seed-keyed md5 order hash; 6 hex digits → shard; per-shard
     // row_number in (h, doc_id) order is the materialized position
+    // curriculum: KLL quartile phases (exact regime ⇒ quantile_cont),
+    // md5-shuffled within-phase positions, cumulative phase offsets
+    "q_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |                         x -> x <> '')) AS DOUBLE) AS x
+        |  FROM documents),
+        |cuts AS (SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS cs FROM t),
+        |ph AS (
+        |  SELECT doc_id, x,
+        |    CAST(1 + len(list_filter(cs, c -> c < x)) AS BIGINT) AS phase
+        |  FROM t CROSS JOIN cuts),
+        |pos AS (
+        |  SELECT doc_id, x, phase,
+        |    CAST(row_number() OVER (PARTITION BY phase
+        |      ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS phase_pos
+        |  FROM ph),
+        |sizes AS (SELECT phase, count(*) AS n FROM ph GROUP BY 1),
+        |offs AS (
+        |  SELECT phase,
+        |    coalesce(sum(n) OVER (ORDER BY phase
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM sizes)
+        |SELECT p.doc_id, CAST(p.x AS BIGINT) AS n_tokens, p.phase,
+        |  p.phase_pos, CAST(o.off + p.phase_pos AS BIGINT) AS global_pos
+        |FROM pos p JOIN offs o ON o.phase = p.phase""".stripMargin,
     "q_epoch_shuffle" ->
       """SELECT doc_id,
         |  CAST('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 6)

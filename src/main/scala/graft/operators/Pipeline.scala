@@ -771,6 +771,49 @@ object Pipeline {
     * GLOBAL position would instead be ntile's full sort, rejected in
     * q_quantile_bucket for the same reason.
     */
+  /** LENGTH-CURRICULUM SCHEDULE — the "short documents first"
+    * ordering a curriculum-training run consumes (Bengio et al.,
+    * ICML'09): phase = token-count quartile from the bounded KLL
+    * sketch (the `q_quantile_bucket` recipe — never an exact-
+    * percentile whole-column buffer), documents shuffled WITHIN each
+    * phase by the seed-keyed md5 order (`q_epoch_shuffle`'s recipe,
+    * so consecutive positions are not length-sorted within a phase —
+    * curriculum orders phases, shuffle de-correlates within), and
+    * `global_pos` = cumulative earlier-phase sizes + within-phase
+    * position.
+    *
+    * Scale shape: one projection computes token counts, the KLL cut
+    * aggregate is O(k), the within-phase rank is a per-phase window
+    * (nPhases constant — the q_epoch_shuffle per-shard trade), and
+    * the offsets window runs over nPhases rows, broadcast back.
+    * Hash-gated: md5 order keys, integer ranks, and exact-regime KLL
+    * cutpoints replay in DuckDB's `quantile_cont`.
+    */
+  def curriculum(spark: SparkSession, sfDir: String,
+      nPhases: Int = 4, seed: String = "cur"): DataFrame = {
+    val vals = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "")).cast("double").as("x"))
+    val phased = quantileBucketsOver(vals, nPhases)
+      .withColumnRenamed("bucket", "phase")
+    val wPhase = Window.partitionBy(col("phase"))
+      .orderBy(col("h"), col("doc_id"))
+    val pos = phased
+      .withColumn("h", md5(concat(lit(seed + ":"), col("doc_id"))))
+      .withColumn("phase_pos", row_number().over(wPhase).cast("long"))
+    val wOff = Window.orderBy(col("phase"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // nPhases rows — the offsets window is driver-trivial by design
+    val offs = phased.groupBy("phase").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select("phase", "off")
+    pos.join(broadcast(offs), "phase")
+      .select(col("doc_id"), col("x").cast("long").as("n_tokens"),
+        col("phase"), col("phase_pos"),
+        (col("off") + col("phase_pos")).as("global_pos"))
+  }
+
   def epochShuffle(spark: SparkSession, sfDir: String,
       nShards: Int = 8, seed: String = "epoch1"): DataFrame =
     Tables.documents(spark, sfDir)

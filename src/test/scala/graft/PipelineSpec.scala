@@ -442,4 +442,41 @@ class PipelineSpec extends SparkSpec {
       .filter(col("n_tokens") =!= col("bpe_tokens")).isEmpty)
     out.unpersist()
   }
+
+  test("curriculum: global positions are a permutation, phases are " +
+      "length-monotone blocks, within-phase order is the md5 shuffle") {
+    val c = Pipeline.curriculum(spark, sf).cache()
+    val n = c.count()
+    // global_pos is exactly 1..n
+    val g = c.agg(min("global_pos"), max("global_pos"),
+      countDistinct("global_pos")).head()
+    assert(g.getLong(0) == 1L && g.getLong(1) == n && g.getLong(2) == n)
+    // phases are weakly length-ordered: max tokens of phase p never
+    // exceeds min tokens of phase p+1 (equal lengths share a phase)
+    val stats = c.groupBy("phase")
+      .agg(min("n_tokens").as("mn"), max("n_tokens").as("mx"),
+        min("global_pos").as("gmn"), max("global_pos").as("gmx"),
+        count(lit(1)).as("sz"))
+      .orderBy("phase").collect()
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("mx") <= b.getAs[Long]("mn"),
+        s"phase ${a.getLong(0)} max ${a.getAs[Long]("mx")} > " +
+          s"phase ${b.getLong(0)} min ${b.getAs[Long]("mn")}")
+      // each phase owns a contiguous global block
+      assert(a.getAs[Long]("gmx") + 1 == b.getAs[Long]("gmn"))
+      case _ => ()
+    }
+    stats.foreach { r =>
+      assert(r.getAs[Long]("gmx") - r.getAs[Long]("gmn") + 1
+        == r.getAs[Long]("sz"))
+    }
+    // within a phase the order is the seed-keyed md5, NOT length
+    // order: positions must not be sorted by n_tokens (the shuffle
+    // de-correlates) — check phase 1 is not monotone in tokens
+    val p1 = c.filter(col("phase") === 1)
+      .orderBy("phase_pos").select("n_tokens").collect().map(_.getLong(0))
+    assert(p1.length < 3 || !p1.sliding(2).forall(w => w(0) <= w(1)),
+      "within-phase order unexpectedly length-sorted")
+    c.unpersist()
+  }
 }
