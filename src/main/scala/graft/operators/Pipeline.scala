@@ -795,8 +795,11 @@ object Pipeline {
       .select(col("doc_id"),
         size(filter(split(col("text"), TextMapReduce.WordSplit),
           w => w =!= "")).cast("double").as("x"))
+    // both the rank branch and the offsets branch read `phased`;
+    // persist so tokenize + KLL-cut + bucket run ONCE per corpus
     val phased = quantileBucketsOver(vals, nPhases)
       .withColumnRenamed("bucket", "phase")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wPhase = Window.partitionBy(col("phase"))
       .orderBy(col("h"), col("doc_id"))
     val pos = phased
