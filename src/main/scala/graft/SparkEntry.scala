@@ -355,12 +355,14 @@ object SparkEntry {
     "q_embed_pca" -> ((s, d) => Similarity.embedPca(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
-    // persisted-index round trips: build artifacts once, serve from
-    // artifacts only (exact IVF payload -> same oracle as ann_ivf;
-    // the PQ variant is rows-gated like the rest of the Lloyd family)
+    // hybrid retrieval, diversified selection, and the recall@k/MRR
+    // eval harness over the gated brute/IVF pair
     "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
+    // persisted-index round trips: build artifacts once, serve from
+    // artifacts only (exact IVF payload -> same oracle as ann_ivf;
+    // the PQ variant is rows-gated like the rest of the Lloyd family)
     "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
     "ann_index_stats" -> ((s, d) => AnnIndex.indexStats(s, d)),
@@ -611,15 +613,6 @@ object SparkEntry {
     * set (`sym(a, b)`) — the prefix shared by the clustering oracles
     * and the pagerank oracle.
     */
-  /** ONE oracle for both IVF answers: the persisted index stores
-    * EXACT vectors, so the build -> artifacts -> query round trip
-    * (`ann_persisted`) answers identically to the one-shot `ann_ivf`
-    * -- a single shared SQL gates both (drift-proof by construction).
-    */
-  /** The deterministic IVF assignment CTEs (codebook -> per-vector
-    * rank -> cell assignment) shared by the two IVF answers and the
-    * index-health report.
-    */
   /** md5-derived SRP hyperplane replay (`Similarity.planesFor`): the
     * exact plane doubles (32-bit md5 prefix / 2³² − 0.5 — exact in
     * double on both engines), per-(vector, band) sign codes, and the
@@ -858,6 +851,15 @@ object SparkEntry {
     base + ",\n" + stages + "\nSELECT query_id, vec_id, pick FROM sel5"
   }
 
+  /** ONE oracle for both IVF answers: the persisted index stores
+    * EXACT vectors, so the build -> artifacts -> query round trip
+    * (`ann_persisted`) answers identically to the one-shot `ann_ivf`
+    * -- a single shared SQL gates both (drift-proof by construction).
+    */
+  /** The deterministic IVF assignment CTEs (codebook -> per-vector
+    * rank -> cell assignment) shared by the two IVF answers and the
+    * index-health report.
+    */
   private val ivfAssignCtes =
     """cent AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -3014,8 +3016,6 @@ object SparkEntry {
         |  CAST(coalesce(l.rnd, -1) AS BIGINT) AS rnd
         |FROM nodes n LEFT JOIN l3 l USING (doc_id)""".stripMargin
     },
-    // the audit a regulator reads: before = deleted + after, cascade
-    // replayed via the same modular forget-set
     // k-anonymity / l-diversity: equivalence classes over the QI
     // triple, distinct sensitive values per class, boolean risk flags
     "q_k_anonymity" ->
@@ -3041,6 +3041,8 @@ object SparkEntry {
         |  ON d.c_nationkey = c.c_nationkey
         |  AND d.c_mktsegment = c.c_mktsegment
         |  AND d.bal_band = c.bal_band""".stripMargin,
+    // the audit a regulator reads: before = deleted + after, cascade
+    // replayed via the same modular forget-set
     "q_gdpr_delete" ->
       """WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
         |dead_orders AS (
@@ -3663,8 +3665,6 @@ object SparkEntry {
          |  CAST(1 + len(list_filter(cs, c -> c < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
          |FROM documents CROSS JOIN cuts""".stripMargin
     },
-    // seed-keyed md5 order hash; 6 hex digits → shard; per-shard
-    // row_number in (h, doc_id) order is the materialized position
     // curriculum: KLL quartile phases (exact regime ⇒ quantile_cont),
     // md5-shuffled within-phase positions, cumulative phase offsets
     "q_curriculum" ->
@@ -3693,6 +3693,8 @@ object SparkEntry {
         |SELECT p.doc_id, CAST(p.x AS BIGINT) AS n_tokens, p.phase,
         |  p.phase_pos, CAST(o.off + p.phase_pos AS BIGINT) AS global_pos
         |FROM pos p JOIN offs o ON o.phase = p.phase""".stripMargin,
+    // seed-keyed md5 order hash; 6 hex digits → shard; per-shard
+    // row_number in (h, doc_id) order is the materialized position
     "q_epoch_shuffle" ->
       """SELECT doc_id,
         |  CAST('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 6)

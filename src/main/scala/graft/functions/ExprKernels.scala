@@ -171,6 +171,12 @@ object ExprKernels {
         }
         o += 1
       }
+      if (bestIdx < 0) {
+        // every remaining candidate scored NaN (strict > never
+        // fires) — truncate the selection rather than indexing -1
+        return new GenericArrayData(
+          selected.take(round).map(idArr(_)))
+      }
       selected(round) = bestIdx
       taken(bestIdx) = true
       round += 1

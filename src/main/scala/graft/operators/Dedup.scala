@@ -563,6 +563,11 @@ object Dedup {
         graft.functions.CatalystExprs.md5_prefix_array(
           filter(split(col("text"), TextMapReduce.WordSplit), w => w =!= ""))
           .as("hs"))
+      // a tokenless document has no content signal — simhash64 of an
+      // empty array is all-ones, which would spuriously pair every
+      // such doc with every other; drop them (the oracle's token
+      // explode drops them implicitly)
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), simhashCol(col("hs")).as("sh64"))
     val chunked = docs.select(
         col("doc_id"), col("sh64"),

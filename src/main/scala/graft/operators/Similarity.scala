@@ -332,14 +332,19 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     val side = coded.select(col("vec_id"), col("v"), col("norm"))
-    cand
+    val verified = cand
       .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("norm").as("na")), "vec_a")
       .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
         col("norm").as("nb")), "vec_b")
       .withColumn("cos",
         dot_product(col("va"), col("vb")) / col("na") / col("nb"))
-      .filter(col("cos") >= threshold)
+    // −∞ means NO verify floor (the knn-graph caller keeps every
+    // candidate); `cos >= -1.0` is NOT the absence of a filter — a
+    // one-ulp-below-−1 rounding artifact would silently drop a pair
+    // the unfiltered oracle keeps
+    (if (threshold.isNegInfinity) verified
+     else verified.filter(col("cos") >= threshold))
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
@@ -362,10 +367,10 @@ object Similarity {
       bands: Int = DefaultMpBands,
       planesPerBand: Int = DefaultMpPlanes,
       probes: Int = DefaultMpProbes): DataFrame = {
-    // threshold -1: keep every verified candidate pair; the top-k cut
-    // is the selection, not a similarity floor
-    val pairs = annLshMultiProbe(spark, sfDir, threshold = -1.0,
-      bands, planesPerBand, probes)
+    // −∞ threshold: keep every verified candidate pair; the top-k
+    // cut is the selection, not a similarity floor
+    val pairs = annLshMultiProbe(spark, sfDir,
+      threshold = Double.NegativeInfinity, bands, planesPerBand, probes)
     // symmetrize in ONE pass — a unionAll of two selects over `pairs`
     // would re-run the whole banded-join + verify pipeline twice
     val directed = pairs
