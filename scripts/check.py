@@ -25,6 +25,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # the heavy graph-CTE oracles (bfs/kcore/label_prop at sf0.1) need
+    # tens of GB: cap memory below the box limit and spill to a temp
+    # dir that is REMOVED afterwards — an uncapped run OOM-kills the
+    # process silently, and default spill into ./.tmp once stranded
+    # 63 GB of duckdb_temp_storage files in the repo
+    spill = os.path.join("/tmp", f"duckdb_spill_{os.getpid()}")
+    os.makedirs(spill, exist_ok=True)
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCKDB_MEM", "48GB"))
+    con.execute(f"SET temp_directory='{spill}'")
+    import atexit, shutil
+    atexit.register(lambda: shutil.rmtree(spill, ignore_errors=True))
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -1018,14 +1018,18 @@ object SparkEntry {
       .stripMargin
 
   private val edgeCtes =
-    """words AS (
+    """words AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
       |  FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                          for i in range(1, len(w) - 1)])) AS s
+      |  FROM words),
+      |shl AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                for i in range(1, len(w) - 1)]) AS ls
       |  FROM words),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
@@ -1034,16 +1038,16 @@ object SparkEntry {
       |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
       |  WHERE a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(x.ls, y.ls)) AS BIGINT) AS n_common
       |  FROM cand c
-      |  JOIN sh a ON a.doc_id = c.doc_a
-      |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-      |  GROUP BY 1, 2),
-      |edges AS (
+      |  JOIN shl x ON x.doc_id = c.doc_a
+      |  JOIN shl y ON y.doc_id = c.doc_b),
+      |edges AS MATERIALIZED (
       |  SELECT doc_a, doc_b
       |  FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
       |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5),
-      |sym AS (
+      |sym AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM edges
       |  UNION SELECT doc_b, doc_a FROM edges)""".stripMargin
 
