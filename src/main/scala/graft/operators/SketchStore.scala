@@ -32,7 +32,14 @@ import graft.functions.{CountMinSketch, KllSketch, ThetaSketch}
 object SketchStore {
 
   val ThetaK = 65536
-  val KllK = 8192
+  // 65536, not 8192: the exact regime must hold at EVERY gate SF —
+  // sf0.1 carries ~10k values per (type, half-month) artifact, and
+  // 8192 tripped compaction there, drifting the merged p50 off the
+  // exact quantile_cont oracle (caught by the sf0.1 sweep once the
+  // graph-oracle rewrite let the sweep reach this key). The spec's
+  // regime assert mirrors this bound at its own SF; production-scale
+  // stores document the approximation instead of chasing exactness.
+  val KllK = 65536
   val CmsDepth = 4
   val CmsWidth = 8192
 
