@@ -338,6 +338,7 @@ object SparkEntry {
     "q_label_prop" -> ((s, d) => Dedup.labelProp(s, d)),
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
     "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
+    "q_anon_generalize" -> ((s, d) => Quality.anonGeneralize(s, d)),
     "q_entity_match" -> ((s, d) => Quality.entityMatch(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3019,6 +3020,36 @@ object SparkEntry {
         |SELECT n.doc_id, coalesce(l.label, 'unlabeled') AS label,
         |  CAST(coalesce(l.rnd, -1) AS BIGINT) AS rnd
         |FROM nodes n LEFT JOIN l3 l USING (doc_id)""".stripMargin
+    },
+    // remediation twin of the audit: per-record minimal adequate
+    // generalization level (doubling band widths), -1 = suppressed
+    "q_anon_generalize" -> {
+      val bands = (0 to 3).map(l =>
+        s"CAST(floor(c_acctbal / CAST(${1000.0 * (1 << l)} AS DOUBLE)) AS BIGINT) AS b$l")
+        .mkString(",\n        |    ")
+      val sizes = (0 to 3).map(l =>
+        s"s$l AS (SELECT c_nationkey, c_mktsegment, b$l, count(*) AS sz$l FROM base GROUP BY 1, 2, 3)")
+        .mkString(",\n        |")
+      val joins = (0 to 3).map(l =>
+        s"JOIN s$l USING (c_nationkey, c_mktsegment, b$l)").mkString("\n        |  ")
+      s"""WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+        |    $bands
+        |  FROM customer),
+        |$sizes,
+        |j AS (
+        |  SELECT base.*, sz0, sz1, sz2, sz3 FROM base
+        |  $joins),
+        |lvl AS (
+        |  SELECT *, CASE WHEN sz0 >= 5 THEN 0 WHEN sz1 >= 5 THEN 1
+        |    WHEN sz2 >= 5 THEN 2 WHEN sz3 >= 5 THEN 3 ELSE -1 END AS level
+        |  FROM j)
+        |SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS segment, CAST(level AS BIGINT) AS level,
+        |  CAST(CASE level WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+        |    WHEN 3 THEN b3 ELSE -1 END AS BIGINT) AS gen_band,
+        |  level = -1 AS suppressed
+        |FROM lvl""".stripMargin
     },
     // k-anonymity / l-diversity: equivalence classes over the QI
     // triple, distinct sensitive values per class, boolean risk flags

@@ -251,6 +251,53 @@ object Quality {
     * customer's own orders). Every output is a count or an integer
     * comparison — hash-gated.
     */
+  /** K-ANONYMITY REMEDIATION — the generalization step that follows
+    * the [[kAnonymity]] audit (Sweeney's full-domain generalization,
+    * per-record variant): each customer's balance band coarsens
+    * through doubling widths (1000·2^ℓ, ℓ = 0..maxLevel) until the
+    * (nation, segment, band) class it lands in reaches k members;
+    * records whose class stays below k even at the coarsest level are
+    * SUPPRESSED (level = −1, band = −1 — the release drops them).
+    * Emitting the minimal adequate level per record is what a release
+    * pipeline materializes: maximal utility (finest band) subject to
+    * the k floor.
+    *
+    * Plan shape: maxLevel+1 partial-aggregated groupBys over one
+    * projection (class sizes per level), joined back on their class
+    * keys — no window, no driver loop; every output is an integer
+    * count comparison, hash-gated.
+    */
+  def anonGeneralize(spark: SparkSession, sfDir: String,
+      k: Int = 5, maxLevel: Int = 3): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+    def bandAt(l: Int) =
+      floor(col("c_acctbal") / (1000.0 * (1 << l))).cast("long")
+    val withBands = (0 to maxLevel).foldLeft(base) { (df, l) =>
+      df.withColumn(s"band_$l", bandAt(l))
+    }
+    val joined = (0 to maxLevel).foldLeft(withBands) { (df, l) =>
+      val sizes = withBands
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col(s"band_$l"))
+        .agg(count(lit(1)).as(s"sz_$l"))
+      df.join(sizes, Seq("c_nationkey", "c_mktsegment", s"band_$l"))
+    }
+    val level = (0 to maxLevel).foldRight(lit(-1L): Column) { (l, rest) =>
+      when(col(s"sz_$l") >= k, lit(l.toLong)).otherwise(rest)
+    }
+    val genBand = (0 to maxLevel).foldRight(lit(-1L): Column) { (l, rest) =>
+      when(col("level") === l, col(s"band_$l")).otherwise(rest)
+    }
+    joined.withColumn("level", level)
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        col("level"),
+        genBand.as("gen_band"),
+        (col("level") === -1L).as("suppressed"))
+  }
+
   def kAnonymity(spark: SparkSession, sfDir: String,
       k: Int = 5, l: Int = 3): DataFrame = {
     val band = floor(col("c_acctbal") / 1000).cast("long").as("bal_band")

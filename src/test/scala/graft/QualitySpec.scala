@@ -267,4 +267,41 @@ class QualitySpec extends SparkSpec {
       .count()
     assert(direct == r0.getLong(3))
   }
+
+  test("anon generalize: chosen level is adequate AND minimal, " +
+      "suppression only when the coarsest class still fails k") {
+    val k = 5
+    val g = Quality.anonGeneralize(spark, sf, k = k).cache()
+    assert(g.count() == Tables.customer(spark, sf).count())
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"), col("c_acctbal"))
+    // class size of record r at level l, recounted from scratch
+    def sizesAt(l: Int) = cust
+      .withColumn("b", floor(col("c_acctbal") / (1000.0 * (1 << l))).cast("long"))
+      .groupBy("nationkey", "segment", "b").agg(count(lit(1)).as(s"n$l"))
+    val joined = (0 to 3).foldLeft(
+        g.join(cust, Seq("c_custkey", "nationkey", "segment"))) { (df, l) =>
+      df.withColumn(s"b$l",
+          floor(col("c_acctbal") / (1000.0 * (1 << l))).cast("long"))
+        .join(sizesAt(l).withColumnRenamed("b", s"b$l"),
+          Seq("nationkey", "segment", s"b$l"))
+    }.cache()
+    // adequacy: the class at the chosen level has >= k members; the
+    // emitted gen_band IS that level's band
+    for (l <- 0 to 3) {
+      val at = joined.filter(col("level") === l)
+      assert(at.filter(col(s"n$l") < k).isEmpty, s"level $l inadequate")
+      assert(at.filter(col("gen_band") =!= col(s"b$l")).isEmpty)
+      // minimality: every finer level failed k
+      for (f <- 0 until l)
+        assert(at.filter(col(s"n$f") >= k).isEmpty,
+          s"level $l chosen but level $f already adequate")
+    }
+    // suppression: only when even the coarsest class fails
+    val sup = joined.filter(col("suppressed"))
+    assert(sup.filter(col("n3") >= k).isEmpty)
+    assert(sup.filter(col("level") =!= -1L || col("gen_band") =!= -1L).isEmpty)
+    joined.unpersist(); g.unpersist()
+  }
 }
