@@ -360,6 +360,7 @@ object SparkEntry {
     // eval harness over the gated brute/IVF pair
     "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
+    "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     // persisted-index round trips: build artifacts once, serve from
     // artifacts only (exact IVF payload -> same oracle as ann_ivf;
@@ -937,6 +938,31 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
        |  FROM rescored) WHERE rnk <= 10""".stripMargin
+
+  /** Filtered-IVF oracle: the annIvf replay with the cross-label
+    * predicate applied to the candidate stream (between cell probing
+    * and ranking — pre-filtering, never post-filtering a k-list).
+    */
+  private val annIvfFilteredOracle =
+    s"""WITH $ivfAssignCtes,
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a USING (cid)
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN embeddings q ON q.vec_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id AND e.label <> q.label)
+        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               cand.vec_id) AS BIGINT) AS rnk
+        |  FROM cand
+        |  JOIN embeddings e ON cand.vec_id = e.vec_id
+        |  JOIN embeddings q ON cand.query_id = q.vec_id)
+        |WHERE rnk <= 10""".stripMargin
 
   /** Retrieval-eval oracle: the gated brute and IVF answers as CTEs,
     * joined into per-query n_hits / recall@10 / reciprocal-rank —
@@ -4298,6 +4324,7 @@ object SparkEntry {
     "q_rrf_fusion" -> rrfOracle,
     "q_mmr_diversify" -> mmrOracle,
     "q_retrieval_metrics" -> retrievalMetricsOracle,
+    "ann_ivf_filtered" -> annIvfFilteredOracle,
     "ann_sq8" -> annSq8Oracle,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank

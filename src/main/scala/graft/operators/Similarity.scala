@@ -182,6 +182,54 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** METADATA-FILTERED IVF search — the predicated variant every
+    * production vector store exposes (FAISS `IDSelector`, Milvus /
+    * pgvector metadata filters): top-k among corpus vectors whose
+    * label DIFFERS from the query's, searched through the same
+    * IVF cell probing as [[annIvf]]. The predicate applies to the
+    * CANDIDATE STREAM — between cell probing and ranking — not to
+    * the top-k output: post-filtering a k-list throws away recall
+    * (a filtered-out rank-1 neighbor leaves an empty slot), while
+    * pre-filtering ranks only eligible vectors, so every query still
+    * gets k results whenever its probed cells hold k eligible
+    * vectors. Same bounded-heap rank tail, same one-pass shared
+    * centroid-rank dag; the filter is one broadcast-joined predicate
+    * in the candidate projection.
+    */
+  def annIvfFiltered(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val ranked = centroidRanks(all, ivfCentroids(all, IvfCells))
+      .filter(col("crank") === 1 ||
+        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(col("crank") <= IvfProbes
+        && col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val qLabels = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    // predicate BEFORE rank state: candidates joined to labels, the
+    // cross-label filter applied in the same projection
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(labels, "vec_id")
+      .join(broadcast(qLabels), "query_id")
+      .filter(col("label") =!= col("qlabel"))
+      .select("query_id", "vec_id")
+    val scored = cand
+      .join(all, "vec_id")
+      .join(broadcast(queryBatch(all, nQueries)), "query_id")
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
   val NumPlanes = 16
 
   /** Deterministic md5-derived hyperplanes (n × 64, components in

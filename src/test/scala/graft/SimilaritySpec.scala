@@ -484,6 +484,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("filtered IVF: every neighbor crosses labels, and pre-filtering " +
+      "returns at least as many eligible results as post-filtering") {
+    val f = Similarity.annIvfFiltered(spark, sf, k = 10, nQueries = 5)
+      .cache()
+    val labels = Tables.embeddings(spark, sf).select(
+      col("vec_id"), col("label"))
+    val joined = f
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), "query_id")
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    assert(joined.filter(col("label") === col("qlabel")).isEmpty)
+    assert(f.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    // pre-filter ≥ post-filter: dropping same-label rows from the
+    // UNfiltered top-10 leaves holes the filtered search fills
+    val post = Similarity.annIvf(spark, sf, k = 10, nQueries = 5)
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), "query_id")
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .filter(col("label") =!= col("qlabel"))
+      .groupBy("query_id").count().withColumnRenamed("count", "n_post")
+    val pre = f.groupBy("query_id").count().withColumnRenamed("count", "n_pre")
+    assert(pre.join(post, Seq("query_id"), "left_outer")
+      .filter(col("n_pre") < coalesce(col("n_post"), lit(0L))).isEmpty)
+    f.unpersist()
+  }
+
   test("retrieval metrics: per-query recall/MRR agree with a direct " +
       "recomputation from the two gated retrievals") {
     val m = Similarity.retrievalMetrics(spark, sf, k = 10, nQueries = 5)
