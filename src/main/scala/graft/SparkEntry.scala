@@ -361,6 +361,7 @@ object SparkEntry {
     "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
+    "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     // persisted-index round trips: build artifacts once, serve from
     // artifacts only (exact IVF payload -> same oracle as ann_ivf;
@@ -4325,6 +4326,25 @@ object SparkEntry {
     "q_mmr_diversify" -> mmrOracle,
     "q_retrieval_metrics" -> retrievalMetricsOracle,
     "ann_ivf_filtered" -> annIvfFilteredOracle,
+    // range search: the annIvf candidate replay with the threshold
+    // predicate instead of a rank tail; the cosine column is the same
+    // left-to-right double fold on both engines (dot/nrm/nrm), so the
+    // float hash-gates bit-for-bit
+    "ann_range_search" ->
+      s"""WITH $ivfAssignCtes,
+         |$vecNormCtes,
+         |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+         |           WHERE crank <= 4 AND vec_id < 20),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cos FROM (
+         |  SELECT c.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, e.v) / q.nrm / e.nrm AS cos
+         |  FROM cand c
+         |  JOIN nn e ON e.vec_id = c.vec_id
+         |  JOIN nn q ON q.vec_id = c.query_id)
+         |WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin,
     "ann_sq8" -> annSq8Oracle,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank

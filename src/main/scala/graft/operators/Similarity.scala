@@ -230,6 +230,47 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** RANGE (radius) search — the other retrieval primitive every
+    * production vector store exposes next to top-k (FAISS
+    * `range_search`, pgvector `WHERE embedding <=> q < r`): ALL
+    * corpus vectors with cosine ≥ τ against each query, searched
+    * through the same IVF cell probing as [[annIvf]]. Unlike top-k,
+    * the result size is data-dependent, so there is no rank stage at
+    * all — the threshold predicate IS the operator, applied to the
+    * scored candidate stream in one codegen'd projection. Output
+    * carries the cosine itself: the dot is a left-to-right double
+    * fold ([[graft.functions.CatalystExprs.dot_product]]) matching
+    * DuckDB's `list_dot_product`, so the float column is
+    * bit-identical and hash-gates.
+    *
+    * Scale shape: identical to [[annIvf]] minus the heap — broadcast
+    * codebook, one corpus assignment pass, probed-cell candidates
+    * only; the threshold filter runs before any state is built and
+    * the output never needs a sort.
+    */
+  def annRangeSearch(spark: SparkSession, sfDir: String,
+      tau: Double = 0.35, nQueries: Int = 20): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val ranked = centroidRanks(all, ivfCentroids(all, IvfCells))
+      .filter(col("crank") === 1 ||
+        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(col("crank") <= IvfProbes
+        && col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    cand
+      .join(all, "vec_id")
+      .join(broadcast(queryBatch(all, nQueries)), "query_id")
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+      .filter(col("cos") >= lit(tau))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   val NumPlanes = 16
 
   /** Deterministic md5-derived hyperplanes (n × 64, components in

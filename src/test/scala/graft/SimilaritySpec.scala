@@ -510,6 +510,30 @@ class SimilaritySpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("range search: every hit clears the threshold, excludes self, and " +
+      "contains every IVF top-k neighbor whose exact cosine clears it") {
+    val tau = 0.35
+    val r = Similarity.annRangeSearch(spark, sf, tau = tau, nQueries = 5)
+      .cache()
+    assert(r.filter(col("cos") < tau).isEmpty)
+    assert(r.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    // containment vs the gated top-k: a top-k neighbor searches the
+    // same probed cells, so any of them whose exact cosine clears τ
+    // must also be a range hit
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mustHit = Similarity.annIvf(spark, sf, k = 10, nQueries = 5)
+      .join(emb.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("v", "qv"), "query_id")
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .withColumn("c", Similarity.cosine(col("qv"), col("v")))
+      .filter(col("c") >= tau)
+      .select("query_id", "neighbor_id")
+    assert(mustHit.join(r.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_anti").isEmpty)
+    r.unpersist()
+  }
+
   test("retrieval metrics: per-query recall/MRR agree with a direct " +
       "recomputation from the two gated retrievals") {
     val m = Similarity.retrievalMetrics(spark, sf, k = 10, nQueries = 5)
