@@ -339,6 +339,7 @@ object SparkEntry {
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
     "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "q_anon_generalize" -> ((s, d) => Quality.anonGeneralize(s, d)),
+    "q_dp_counts" -> ((s, d) => Quality.dpCounts(s, d)),
     "q_entity_match" -> ((s, d) => Quality.entityMatch(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalDedup(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -3078,6 +3079,30 @@ object SparkEntry {
         |  level = -1 AS suppressed
         |FROM lvl""".stripMargin
     },
+    // DP release: Laplace by inverse CDF over the pinned md5 uniform
+    // (32-bit prefix / 2^32, exact double) — ln is bit-identical
+    // across engines (measured), so the released doubles hash-gate;
+    // identical clip / budget-split / operation order on both sides
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n,
+        |    sum(least(n_chars, 1000)) AS s
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT lang, source, n, s,
+        |    CAST('0x' || substring(md5('dpc_'||lang||'_'||source), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS u1,
+        |    CAST('0x' || substring(md5('dps_'||lang||'_'||source), 1, 8)
+        |      AS BIGINT) / 4294967296.0 AS u2
+        |  FROM g)
+        |SELECT lang, source,
+        |  round(CAST(n AS DOUBLE) + -sign(u1-0.5) * 2.0 *
+        |    ln(greatest(1 - 2*abs(u1-0.5), 2.3283064365386963e-10)), 6)
+        |    AS n_dp,
+        |  round(CAST(s AS DOUBLE) + -sign(u2-0.5) * 2000.0 *
+        |    ln(greatest(1 - 2*abs(u2-0.5), 2.3283064365386963e-10)), 6)
+        |    AS chars_dp
+        |FROM u""".stripMargin,
     // k-anonymity / l-diversity: equivalence classes over the QI
     // triple, distinct sensitive values per class, boolean risk flags
     "q_k_anonymity" ->

@@ -318,4 +318,55 @@ object Quality {
         (col("class_size") >= k).as("k_anonymous"),
         (col("l_div") >= l).as("l_diverse"))
   }
+
+  /** Differentially-private release of per-(lang, source) corpus
+    * statistics — the third leg of the governance family after the
+    * [[kAnonymity]] audit and [[anonGeneralize]] remediation. Two
+    * Laplace-mechanism releases per group: a COUNT (sensitivity 1 —
+    * each document lives in exactly one group) and a SUM of
+    * per-document char contributions CLIPPED at 1000 (contribution
+    * bounding, the step that gives the sum a finite sensitivity at
+    * all — unclipped, one outlier document would force unbounded
+    * noise). The ε = 1 budget is split evenly, so b = 1/0.5 = 2 for
+    * the count and b = 1000/0.5 = 2000 for the clipped sum.
+    *
+    * Noise is Laplace by inverse CDF over a PINNED md5-derived
+    * uniform per (release, group) — the reproducible-release mode
+    * (fixed RNG seed) a production pipeline uses so a re-run emits
+    * the identical release; swapping the md5 uniform for a fresh
+    * random draw at release time is what makes it DP against an
+    * adversary who doesn't hold the seed. The uniform is a 32-bit
+    * md5 prefix / 2³² (exact in double) and ln is bit-identical
+    * across engines (measured), so the released doubles hash-gate.
+    *
+    * Plan shape: ONE partial-aggregated groupBy over one projection
+    * (clip is scan-side), noise a per-group codegen'd projection —
+    * O(#groups) output regardless of corpus size.
+    */
+  def dpCounts(spark: SparkSession, sfDir: String,
+      clipChars: Int = 1000): DataFrame = {
+    // Laplace(b) by inverse CDF from a [0,1) uniform; the 2^-32 floor
+    // guards ln(0) on the measure-zero u = 0 draw (exact both engines)
+    def lap(u: Column, b: Double): Column =
+      -signum(u - lit(0.5)) * lit(b) *
+        log(greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)),
+          lit(2.3283064365386963e-10)))
+    def md5Unit(tag: String): Column =
+      conv(substring(md5(concat(lit(tag + "_"), col("lang"), lit("_"),
+        col("source"))), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        least(col("n_chars"), lit(clipChars.toLong)).as("chars_c"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(col("chars_c")).as("s"))
+      .select(col("lang"), col("source"),
+        // released at fixed precision (6 decimals): a published DP
+        // release is a finite-precision number anyway, and the round
+        // absorbs the ≤1-ulp ln disagreement between libm
+        // implementations that raw doubles would leak into the gate
+        round(col("n").cast("double") + lap(md5Unit("dpc"), 2.0), 6)
+          .as("n_dp"),
+        round(col("s").cast("double") +
+          lap(md5Unit("dps"), clipChars * 2.0), 6).as("chars_dp"))
+  }
 }

@@ -304,4 +304,24 @@ class QualitySpec extends SparkSpec {
     assert(sup.filter(col("level") =!= -1L || col("gen_band") =!= -1L).isEmpty)
     joined.unpersist(); g.unpersist()
   }
+
+  test("dp counts: one release row per group, noise within the Laplace " +
+      "tail bound, and the pinned-seed release is reproducible") {
+    val r = Quality.dpCounts(spark, sf).cache()
+    val truth = Tables.documents(spark, sf)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(least(col("n_chars"), lit(1000L))).as("s"))
+      .cache()
+    assert(r.count() == truth.count())
+    // max |Laplace(b)| under the 2^-32 inverse-CDF floor is b*32*ln(2)
+    val j = r.join(truth, Seq("lang", "source"))
+    val maxAbs = 32.0 * math.log(2.0)
+    assert(j.filter(abs(col("n_dp") - col("n")) > 2.0 * maxAbs).isEmpty)
+    assert(j.filter(
+      abs(col("chars_dp") - col("s")) > 2000.0 * maxAbs).isEmpty)
+    // pinned seed => bit-identical re-release
+    assert(r.except(Quality.dpCounts(spark, sf)).isEmpty)
+    r.unpersist(); truth.unpersist()
+  }
 }
