@@ -373,6 +373,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "pipeline_shard_write" -> ((s, d) => Pipeline.shardWrite(s, d)),
+    "pipeline_shard_append" -> ((s, d) => Pipeline.shardAppend(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
     "q_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
@@ -3669,6 +3670,25 @@ object SparkEntry {
     // when the sink round-trips losslessly, which is the point of
     // the gate. The cluster chain's `words` CTE is renamed: the BPE
     // chain (which carries the WITH) already defines one.
+    // incremental shard append: id-ordered runs make the two-run
+    // (write + fingerprint-decided append) composition reproduce
+    // one-shot exact dedup's global min-id canonical, so ONE one-shot
+    // SQL gates incremental dedup + shard md5 + sink serialization +
+    // the merge-on-append manifest visibility together
+    "pipeline_shard_append" ->
+      """WITH m AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS t FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS c
+        |  FROM documents)
+        |SELECT
+        |  CAST('0x' || substring(md5('shard:'||doc_id), 1, 6) AS BIGINT)
+        |    % 8 AS shard,
+        |  doc_id,
+        |  CASE WHEN doc_id <= m.t THEN 'r1' ELSE 'r2' END AS run
+        |FROM canon CROSS JOIN m WHERE doc_id = c""".stripMargin,
     "pipeline_shard_write" -> {
       val clusterCl = clusterCtes.replaceAll("\\bwords\\b", "cl_words")
       s"""$bpeTrainCtes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -885,5 +885,76 @@ object Pipeline {
     rows.write.format("graft.sources.v2.GraftSinkSource")
       .option("path", dir).mode("append").save()
     graft.sources.v2.GraftSink.readBack(spark, dir, ShardSchema)
+  }
+
+  /** The shard-STORE row layout the incremental writer appends: which
+    * shard each kept document landed in, tagged with the ingest run
+    * that admitted it. All-long + a tab-free tag ⇒ TSV-safe.
+    */
+  val AppendSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("run",
+        org.apache.spark.sql.types.StringType)))
+
+  /** INCREMENTAL SHARD APPEND — the DAILY-INGEST composition: run 1
+    * exact-dedups its batch against itself, lands its keepers in the
+    * shard store through the DSv2 two-phase-commit sink, and persists
+    * its fingerprints ([[IncrementalDedup.writeFingerprints]]); run 2
+    * then dedups its NEW batch against the persisted store WITHOUT
+    * re-reading run 1's text ([[IncrementalDedup.decideWithStore]])
+    * and APPENDS its keepers — the sink's merge-on-append manifest
+    * keeps both commits visible. The answer is the manifest-scoped
+    * read-back of the whole store, so the gate hashes incremental
+    * dedup ∘ shard assignment ∘ serialization ∘ the append commit
+    * protocol in one oracle: because runs are id-ordered, the
+    * two-run composition reproduces ONE-SHOT exact dedup's global
+    * min-id canonical bit-for-bit, and a single one-shot SQL gates
+    * the whole incremental pipeline (the [[IncrementalDedup]]
+    * equivalence, now carried through the sink).
+    *
+    * Scale shape: day N scans day N's text once plus a store that
+    * grows with the unique corpus; shard assignment is a pure md5
+    * projection; the only shuffles are the fingerprint-keyed dedup
+    * aggregations. Nothing re-reads or rewrites earlier runs' shards
+    * — append publishes a new manifest, it never touches old parts.
+    */
+  def shardAppend(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: Column => Column): DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    def shardOf(id: Column): Column =
+      conv(substring(md5(concat(lit("shard:"), id)), 1, 6), 16, 10)
+        .cast("long") % nShards
+    val fpDir = graft.TempDirs.create("graft_fp_append").toString
+    val storeDir = graft.TempDirs.create("graft_shard_append").toString
+    val sink = "graft.sources.v2.GraftSinkSource"
+    // run 1: self-dedup (min-id canonical per exact hash), land + persist
+    val b1 = half(col("doc_id") <= _)
+    b1.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("canon",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("canon"))
+      .select(shardOf(col("doc_id")).as("shard"), col("doc_id"),
+        lit("r1").as("run"))
+      .write.format(sink).option("path", storeDir).mode("append").save()
+    IncrementalDedup.writeFingerprints(b1, fpDir, "r1")
+    // run 2: decide vs artifacts alone, append only the new keepers
+    val b2 = half(col("doc_id") > _)
+    IncrementalDedup
+      .decideWithStore(spark.read.parquet(s"$fpDir/fp"), b2)
+      .join(b2.select("doc_id"), "doc_id")
+      .filter(!col("is_dup"))
+      .select(shardOf(col("doc_id")).as("shard"), col("doc_id"),
+        lit("r2").as("run"))
+      .write.format(sink).option("path", storeDir).mode("append").save()
+    graft.sources.v2.GraftSink.readBack(spark, storeDir, AppendSchema)
   }
 }

@@ -1,8 +1,9 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Dedup, IncrementalDedup, Pipeline}
 
 class PipelineSpec extends SparkSpec {
 
@@ -478,5 +479,44 @@ class PipelineSpec extends SparkSpec {
     assert(p1.length < 3 || !p1.sliding(2).forall(w => w(0) <= w(1)),
       "within-phase order unexpectedly length-sorted")
     c.unpersist()
+  }
+
+  test("shard append: read-back equals the one-shot dedup + shard replay, " +
+      "both runs land, and a planted cross-run dup is dropped") {
+    import spark.implicits._
+    val out = Pipeline.shardAppend(spark, sf).cache()
+    // one-shot replay: global min-id canonical + md5 shard + run tag
+    val docs = Tables.documents(spark, sf)
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    val exp = docs
+      .withColumn("c",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("c"))
+      .crossJoin(broadcast(thr))
+      .select(
+        (conv(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 6),
+          16, 10).cast("long") % 8).as("shard"),
+        col("doc_id"),
+        when(col("doc_id") <= col("t"), "r1").otherwise("r2").as("run"))
+    assert(out.except(exp).isEmpty && exp.except(out).isEmpty)
+    assert(out.select("run").distinct().count() == 2)
+    out.unpersist()
+    // planted cross-run dup: the store's fingerprint kills the rerun
+    val store = Seq((1L, "same text here"), (2L, "unique a"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "same text here"), (11L, "unique b"),
+      (12L, "unique b")).toDF("doc_id", "text")
+    val dir = graft.TempDirs.create("graft_fp_spec").toString
+    IncrementalDedup.writeFingerprints(store, dir, "r1")
+    val decided = IncrementalDedup
+      .decideWithStore(spark.read.parquet(s"$dir/fp"), batch)
+      .join(batch.select("doc_id"), "doc_id")
+    // 10 dups against the store's doc 1; 12 dups against batch-min 11
+    assert(decided.filter(col("is_dup")).select("doc_id")
+      .as[Long].collect().sorted.sameElements(Array(10L, 12L)))
+    assert(decided.filter(col("doc_id") === 10L)
+      .select("canonical_id").as[Long].head() == 1L)
   }
 }
