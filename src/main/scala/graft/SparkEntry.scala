@@ -135,6 +135,7 @@ object SparkEntry {
     "q_ab_test" -> ((s, d) => Stats.abTest(s, d)),
     "q_ks_test" -> ((s, d) => Stats.ksTest(s, d)),
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
+    "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4296,6 +4297,26 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // seasonal-naive forecast + backtest: integer daily counts, lag-7
+    // over the O(#types × #days) rollup, MAE one exact-int sum / 7 —
+    // windows evaluate after WHERE on both engines, so the per-type
+    // MAE runs over the holdout rows only in each
+    "q_forecast_snaive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS actual
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day, actual,
+        |    lag(actual, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS forecast
+        |  FROM daily),
+        |c AS (SELECT max(day) - 6 AS cut FROM daily)
+        |SELECT event_type, day, actual, forecast,
+        |  abs(actual - forecast) AS abs_err,
+        |  round(avg(abs(actual - forecast))
+        |    OVER (PARTITION BY event_type), 6) AS mae
+        |FROM f CROSS JOIN c WHERE day >= cut""".stripMargin,
     // winsorized means: per-type quantile_cont bounds (exact-regime
     // KLL twin), clipped values round to 6 and sum in decimal
     "q_winsorize" ->

@@ -991,4 +991,38 @@ object Stats {
         round(col("sraw").cast("double") / col("n"), 6).as("mean_raw"),
         round(col("swin").cast("double") / col("n"), 6).as("mean_winsor"))
   }
+
+  /** SEASONAL-NAIVE FORECAST + HOLDOUT BACKTEST over the per-type
+    * daily event series — the baseline every forecasting system must
+    * beat (and the backtest harness that measures whether it does):
+    * forecast(day) = actual(day − season), evaluated on the trailing
+    * `horizon`-day holdout with per-type MAE. Values are daily COUNTS
+    * (exact integers — a double `sum(value)` series would be
+    * merge-order-sensitive), so actual/forecast/abs_err are BIGINT
+    * and the MAE is one exact-integer sum divided by the holdout
+    * width: every float deterministic, hash-gated.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregated
+    * groupBy to the O(#types × #days) rollup; the lag window and the
+    * per-type MAE run on that rollup (the q_yoy_growth discipline —
+    * windows over rollups, never over raw events). The holdout cut
+    * is a 1-row broadcast aggregate, not a driver value.
+    */
+  def forecastSnaive(spark: SparkSession, sfDir: String,
+      season: Int = 7, horizon: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("actual"))
+    val lagged = daily.withColumn("forecast",
+      lag(col("actual"), season).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
+    lagged.join(broadcast(cut), col("day") >= col("cut")).drop("cut")
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+      .withColumn("mae", avg(col("abs_err")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("day"), col("actual"),
+        col("forecast"), col("abs_err"), round(col("mae"), 6).as("mae"))
+  }
 }

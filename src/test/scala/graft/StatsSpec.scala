@@ -473,4 +473,31 @@ class StatsSpec extends SparkSpec {
     assert(saltRow.getLong(saltRow.fieldIndex("total_pairs")) == replay.getLong(1))
     assert(saltRow.getDouble(saltRow.fieldIndex("weighted_value")) == replay.getDouble(2))
   }
+
+  test("seasonal-naive backtest: forecast is the actual from one season " +
+      "earlier, holdout covers the horizon, MAE averages the errors") {
+    val f = Stats.forecastSnaive(spark, sf, season = 7, horizon = 7).cache()
+    // 7 holdout days per type, every forecast non-null
+    assert(f.groupBy("event_type").count().filter(col("count") =!= 7L)
+      .isEmpty)
+    assert(f.filter(col("forecast").isNull).isEmpty)
+    // replay: join the raw daily rollup at day - 7
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("a"))
+    val rep = f.join(daily
+        .select(col("event_type"), date_add(col("day"), 7).as("day"),
+          col("a")),
+      Seq("event_type", "day"))
+    assert(rep.filter(col("forecast") =!= col("a")).isEmpty)
+    assert(f.filter(col("abs_err") =!=
+      abs(col("actual") - col("forecast"))).isEmpty)
+    // MAE: per-type mean of the holdout errors, rounded like the op
+    val mae = f.groupBy("event_type")
+      .agg(round(avg(col("abs_err")), 6).as("m"))
+    assert(f.join(mae, "event_type").filter(col("mae") =!= col("m"))
+      .isEmpty)
+    f.unpersist()
+  }
 }
