@@ -113,6 +113,7 @@ object SparkEntry {
     "q_skyline" -> ((s, d) => Relational.skyline(s, d)),
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
+    "lm_persisted" -> ((s, d) => TextAnalysis.lmPersisted(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -2561,6 +2562,63 @@ object SparkEntry {
         |allp AS (SELECT * FROM lead UNION ALL SELECT * FROM rest)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 6) AS avg_nll
+        |FROM allp GROUP BY 1""".stripMargin,
+    // persisted-LM scoring: the model trains on the id-lower half
+    // (unigram / pruned-bigram / total count tables), the held-out
+    // half scores against those artifacts with OOV backing off at
+    // c(b)=1 — same ln-expanded round-6 decimal-sum discipline
+    "lm_persisted" ->
+      """WITH m AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS t FROM documents),
+        |bw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |ttok AS (
+        |  SELECT w[i] AS word
+        |  FROM (SELECT b.w, unnest(range(1, len(b.w) + 1)) AS i
+        |        FROM bw b CROSS JOIN m WHERE b.doc_id <= m.t)),
+        |uni AS (SELECT word, count(*) AS cw FROM ttok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM ttok),
+        |tbig AS (
+        |  SELECT w[i] AS a, w[i + 1] AS b
+        |  FROM (SELECT b.w, unnest(range(1, len(b.w))) AS i
+        |        FROM bw b CROSS JOIN m WHERE b.doc_id <= m.t)),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM tbig
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |hw AS (SELECT doc_id, w FROM bw CROSS JOIN m WHERE doc_id > m.t),
+        |htok AS (
+        |  SELECT doc_id, i AS p, w[i] AS word
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM hw)),
+        |hbig AS (
+        |  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM hw)),
+        |lead AS (
+        |  SELECT t2.doc_id,
+        |    round(ln(n_total) - ln(coalesce(u.cw, 1)), 6) AS nll,
+        |    0 AS backoff,
+        |    CASE WHEN u.cw IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM htok t2 LEFT JOIN uni u USING (word) CROSS JOIN tot
+        |  WHERE t2.p = 1),
+        |rest AS (
+        |  SELECT g.doc_id,
+        |    CASE WHEN c.c_ab IS NOT NULL THEN round(ln(ua.cw) - ln(c.c_ab), 6)
+        |         ELSE round(ln(n_total) - ln(coalesce(ub.cw, 1)) + ln(2.0), 6)
+        |    END AS nll,
+        |    CASE WHEN c.c_ab IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+        |    CASE WHEN ub.cw IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM hbig g
+        |  LEFT JOIN cab c ON g.a = c.a AND g.b = c.b
+        |  LEFT JOIN uni ua ON ua.word = g.a
+        |  LEFT JOIN uni ub ON ub.word = g.b
+        |  CROSS JOIN tot),
+        |allp AS (SELECT * FROM lead UNION ALL SELECT * FROM rest)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*), 6) AS avg_nll
         |FROM allp GROUP BY 1""".stripMargin,

@@ -362,6 +362,117 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** PERSISTED LM ARTIFACT + OUT-OF-CORPUS SCORING — the
+    * train-once/serve-many shape for the language-model family (the
+    * AnnIndex / sketch_persist precedent applied to the Stupid
+    * Backoff LM): the TRAIN half of the corpus builds the model —
+    * unigram counts, the pruned bigram table, the token total — and
+    * persists all three as parquet artifacts; the HELD-OUT half is
+    * then scored from the artifacts alone, never re-reading training
+    * text (how perplexity-based quality filtering actually deploys:
+    * the KenLM model is trained offline once, every ingest batch is
+    * scored against it). Scoring out-of-corpus adds the OOV case the
+    * in-corpus operator can never hit: an unseen word backs off with
+    * c(b) treated as 1 (ln N − ln 1 + ln 2 = ln N + ln 2; an unseen
+    * leading token scores ln N) and is counted in `n_oov`.
+    *
+    * Same ln-expanded / round-6 / decimal-sum discipline as
+    * [[perplexityBigram]]; the artifact tables are count tables, so
+    * re-training on a new batch is a re-mergeable count union (the
+    * sketch-store property). Scale shape: the model tables shuffle on
+    * word / word-pair; scoring is two broadcast-or-shuffle joins
+    * against tables that grow with the VOCABULARY, not the corpus.
+    */
+  def lmPersisted(spark: SparkSession, sfDir: String,
+      minCount: Long = 2): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: Column => Column): DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    def wordArrays(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    def bigrams(words: DataFrame): DataFrame = words
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    // TRAIN: count tables from the id-lower half, persisted
+    val trainWords = wordArrays(half(col("doc_id") <= _))
+    val trainTok = trainWords.select(explode(col("w")).as("w"))
+    val dir = graft.TempDirs.create("graft_lm_store").toString
+    trainTok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .write.mode("overwrite").parquet(s"$dir/uni")
+    bigrams(trainWords).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .write.mode("overwrite").parquet(s"$dir/big")
+    trainTok.agg(count(lit(1)).as("n_total"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    // SERVE: held-out half scored from artifacts only
+    scoreWithLm(half(col("doc_id") > _),
+      spark.read.parquet(s"$dir/uni"),
+      spark.read.parquet(s"$dir/big"),
+      spark.read.parquet(s"$dir/meta"))
+  }
+
+  /** Score any (doc_id, text) frame against persisted LM count
+    * tables (uni: w/cw, cab: a/b/c_ab, tot: n_total) — the serve
+    * half of [[lmPersisted]], exposed so specs can plant OOV batches
+    * the closed-vocabulary corpus never produces.
+    */
+  private[graft] def scoreWithLm(docs: DataFrame, uni: DataFrame,
+      cab: DataFrame, tot: DataFrame): DataFrame = {
+    def wordArrays(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    def bigrams(words: DataFrame): DataFrame = words
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val words = wordArrays(docs)
+    val lead = words.filter(size(col("w")) >= 1)
+      .select(col("doc_id"), element_at(col("w"), 1).as("w"))
+      .join(uni.select(col("w"), col("cw").as("c_b")), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n_total")) - log(coalesce(col("c_b"), lit(1L))), 6)
+          .as("nll"),
+        lit(0L).as("backoff"),
+        when(col("c_b").isNull, 1L).otherwise(0L).as("oov"))
+    val rest = bigrams(words)
+      .join(cab, Seq("a", "b"), "left")
+      .join(uni.select(col("w").as("b"), col("cw").as("c_b")),
+        Seq("b"), "left")
+      .join(uni.select(col("w").as("a"), col("cw").as("c_a")),
+        Seq("a"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c_ab").isNotNull,
+          round(log(col("c_a")) - log(col("c_ab")), 6))
+          .otherwise(round(log(col("n_total"))
+            - log(coalesce(col("c_b"), lit(1L))) + log(lit(2.0)), 6))
+          .as("nll"),
+        when(col("c_ab").isNotNull, 0L).otherwise(1L).as("backoff"),
+        when(col("c_b").isNull, 1L).otherwise(0L).as("oov"))
+    lead.union(rest)
+      .select(col("doc_id"), col("nll").cast(DecimalType(18, 6)).as("nll"),
+        col("backoff"), col("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+        col("n_oov"),
+        round(col("nll_sum").cast("double") / col("n_tokens"), 6)
+          .as("avg_nll"))
+  }
+
   /** Per-document lexical-diversity signals: unigram word entropy and
     * type-token ratio — the "repetitive boilerplate vs natural prose"
     * axis used alongside the C4/Gopher rules (low entropy ⇒ a few

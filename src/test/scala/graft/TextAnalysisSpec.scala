@@ -440,4 +440,28 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"blocklist must not shuffle:\n$plan")
   }
+
+  test("persisted LM scoring: seen text replays the Stupid Backoff recipe " +
+      "and a planted OOV word backs off at c(b)=1") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // model: vocabulary {aa: 3, bb: 3}, N = 6, bigram (aa, bb) kept
+    val uni = Seq(("aa", 3L), ("bb", 3L)).toDF("w", "cw")
+    val cab = Seq(("aa", "bb", 3L)).toDF("a", "b", "c_ab")
+    val tot = Seq(Tuple1(6L)).toDF("n_total")
+    val batch = Seq((1L, "aa bb"), (2L, "aa zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.scoreWithLm(batch, uni, cab, tot)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: lead ln(6/3), seen bigram ln(3/3) = 0 — no backoff, no OOV
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 2L && d1.getLong(2) == 0L && d1.getLong(3) == 0L)
+    assert(d1.getDouble(4) == r6(r6(math.log(2.0)) / 2.0))
+    // doc 2: lead ln(6/3); (aa, zz) unseen -> backoff with c(zz)=1:
+    // ln 6 - ln 1 + ln 2 = ln 12, flagged backoff AND oov
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 2L && d2.getLong(2) == 1L && d2.getLong(3) == 1L)
+    assert(d2.getDouble(4) ==
+      r6((r6(math.log(2.0)) + r6(math.log(6.0) + math.log(2.0))) / 2.0))
+  }
 }
