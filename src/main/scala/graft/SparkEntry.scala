@@ -137,6 +137,7 @@ object SparkEntry {
     "q_ks_test" -> ((s, d) => Stats.ksTest(s, d)),
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
+    "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4355,6 +4356,48 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // Kaplan–Meier time-to-conversion: first event -> first purchase,
+    // right-censored at the 7-day follow-up horizon; survival in
+    // ln-expanded round-6 decimal-sum form, exp'd and re-rounded at
+    // the edge; n=d terminal step clamped identically on both engines
+    "q_survival_km" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS d0
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS dp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |obs AS (
+        |  SELECT f.user_id,
+        |    CASE WHEN dp IS NOT NULL AND dp - d0 <= 7
+        |         THEN CAST(dp - d0 AS BIGINT) ELSE 7 END AS t,
+        |    (dp IS NULL OR dp - d0 > 7) AS censored
+        |  FROM f LEFT JOIN p ON f.user_id = p.user_id),
+        |tot AS (SELECT count(*) AS n_users FROM obs),
+        |byt AS (
+        |  SELECT t,
+        |    sum(CASE WHEN censored THEN 0 ELSE 1 END) AS n_events,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT t, n_events, n_censored,
+        |    n_users - coalesce(sum(n_events + n_censored)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (
+        |  SELECT t, n_risk, n_events, n_censored,
+        |    CAST(CASE WHEN n_events > 0
+        |      THEN round(ln(greatest(n_risk - n_events, 1)) - ln(n_risk), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS lnterm
+        |  FROM risk)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  round(exp(CAST(sum(lnterm)
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS DOUBLE)), 6) AS survival
+        |FROM terms""".stripMargin,
     // seasonal-naive forecast + backtest: integer daily counts, lag-7
     // over the O(#types × #days) rollup, MAE one exact-int sum / 7 —
     // windows evaluate after WHERE on both engines, so the per-type

@@ -1025,4 +1025,65 @@ object Stats {
       .select(col("event_type"), col("day"), col("actual"),
         col("forecast"), col("abs_err"), round(col("mae"), 6).as("mae"))
   }
+
+  /** KAPLAN–MEIER time-to-conversion survival curve with
+    * right-censoring — the standard estimator (Kaplan & Meier 1958)
+    * for "how long until a user converts", under a fixed
+    * `horizon`-day administrative follow-up: the duration is days
+    * from a user's FIRST event to their FIRST purchase; users who
+    * have not purchased within the horizon are CENSORED at it
+    * (dropping them — or calling them converted-at-horizon — is the
+    * classic conversion-curve bias this estimator exists to fix).
+    * S(t) = Π_{u ≤ t, d_u > 0} (1 − d_u/n_u), computed in
+    * ln-expanded form — per-step terms round to 6 decimals and sum
+    * IN DECIMAL along the curve (the perplexity discipline), exp'd
+    * and re-rounded at the edge (1-ulp libm exp drift is far inside
+    * round-6). The degenerate n_u = d_u step (everyone at risk
+    * converts — S hits exactly 0) is clamped via greatest(n−d, 1);
+    * standard KM sends the curve to 0 there, and the clamp only
+    * engages on that terminal step.
+    *
+    * Scale shape: the corpus-sized work is two per-user
+    * partial-aggregated groupBys (first event, first purchase); the
+    * curve itself lives on the O(horizon) duration rollup, where the
+    * single-partition cumulative window is bounded by the calendar,
+    * not the data (the q_yoy_growth discipline). The user total is a
+    * 1-row broadcast aggregate.
+    */
+  def survivalKm(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("dp"))
+    val obs = first.join(purch, Seq("user_id"), "left")
+      .withColumn("dt", datediff(col("dp"), col("d0")).cast("long"))
+      .select(col("user_id"),
+        when(col("dt").isNotNull && col("dt") <= horizon, col("dt"))
+          .otherwise(horizon.toLong).as("t"),
+        (col("dt").isNull || col("dt") > horizon).as("censored"))
+    val tot = obs.agg(count(lit(1)).as("n_users"))
+    val byT = obs.groupBy("t")
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_events"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val w = Window.orderBy(col("t"))
+    val prior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_users") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(prior),
+          lit(0L)))
+      .withColumn("lnterm",
+        when(col("n_events") > 0,
+          round(log(greatest(col("n_risk") - col("n_events"), lit(1L)))
+            - log(col("n_risk")), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
+      .withColumn("survival",
+        round(exp(sum(col("lnterm")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")), 6))
+      .select(col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
 }

@@ -500,4 +500,40 @@ class StatsSpec extends SparkSpec {
       .isEmpty)
     f.unpersist()
   }
+
+  test("Kaplan-Meier: risk sets telescope, censoring only at the horizon, " +
+      "and the curve equals the direct product recomputation") {
+    val rows = Stats.survivalKm(spark, sf, horizon = 7)
+      .orderBy("t").collect()
+    assert(rows.nonEmpty)
+    // risk telescoping + total coverage
+    val total = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(1) == total)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) ==
+        a.getLong(1) - a.getLong(2) - a.getLong(3))
+      assert(b.getLong(0) > a.getLong(0))
+    case _ => ()
+    }
+    // censoring fires only at the horizon bucket
+    assert(rows.dropRight(1).forall(_.getLong(3) == 0L))
+    // direct KM product, replaying the op's rounding discipline
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var lnSum = BigDecimal(0)
+    rows.foreach { r =>
+      val (nRisk, d) = (r.getLong(1), r.getLong(2))
+      if (d > 0)
+        lnSum += BigDecimal(r6(math.log(math.max(nRisk - d, 1L).toDouble)
+          - math.log(nRisk.toDouble)))
+      assert(r.getDouble(4) == r6(math.exp(lnSum.toDouble)),
+        s"survival mismatch at t=${r.getLong(0)}")
+    }
+    // monotone non-increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(4) <= a.getDouble(4))
+    case _ => ()
+    }
+  }
 }
