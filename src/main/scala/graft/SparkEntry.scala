@@ -41,6 +41,7 @@ object SparkEntry {
     "q_distinct_users" -> ((s, d) => Relational.distinctUsers(s, d)),
     "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "q_events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    "q_stickiness" -> ((s, d) => Relational.stickiness(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -4356,6 +4357,25 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // DAU/WAU stickiness: (day, user) rollup, rolling distinct via
+    // the day-grid range join, full-window days only, one exact-int
+    // division rounded 6
+    "q_stickiness" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY 1),
+        |grid AS (SELECT day AS d FROM dau),
+        |wau AS (
+        |  SELECT d, count(DISTINCT user_id) AS wau
+        |  FROM grid JOIN pairs ON pairs.day BETWEEN d - 6 AND d
+        |  GROUP BY 1),
+        |lo AS (SELECT min(day) + 6 AS lo FROM pairs)
+        |SELECT day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau ON day = d CROSS JOIN lo
+        |WHERE day >= lo""".stripMargin,
     // Kaplan–Meier time-to-conversion: first event -> first purchase,
     // right-censored at the 7-day follow-up horizon; survival in
     // ln-expanded round-6 decimal-sum form, exp'd and re-rounded at

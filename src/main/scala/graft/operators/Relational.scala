@@ -1857,4 +1857,36 @@ object Relational {
           / (col("n").cast("double") * 100.0), 4).as("cusum"),
         col("is_peak"))
   }
+
+  /** DAU/WAU STICKINESS — the engagement ratio every product
+    * dashboard tracks (what share of weekly-active users show up on
+    * a given day): daily active users over rolling-7-day active
+    * users, reported only for days with a full trailing window.
+    *
+    * Scale shape: the corpus-sized work is ONE distinct down to the
+    * (day, user) rollup (#users × #days, not #events); the rolling
+    * distinct fans that rollup out ×7 against the O(#days) day grid
+    * — a broadcast of the GRID (tiny, calendar-bounded) against the
+    * rollup, the documented bounded-side BroadcastNestedLoopJoin
+    * shape, never a distinct-over-window on raw events. The
+    * full-window cutoff is a 1-row broadcast aggregate; the ratio is
+    * one exact-integer division.
+    */
+  def stickiness(spark: SparkSession, sfDir: String,
+      window: Int = 7): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"),
+        col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val grid = dau.select(col("day").as("d"))
+    val wau = pairs.join(broadcast(grid),
+        col("day").between(date_sub(col("d"), window - 1), col("d")))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+    val lo = pairs.agg(date_add(min(col("day")), window - 1).as("lo"))
+    dau.join(wau, col("day") === col("d")).drop("d")
+      .join(broadcast(lo), col("day") >= col("lo")).drop("lo")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
 }

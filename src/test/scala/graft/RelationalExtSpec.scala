@@ -592,4 +592,26 @@ class RelationalExtSpec extends SparkSpec {
       "IsNotNull(o_orderstatus)") || scan.contains("GreaterThanOrEqual(o_orderdate"),
       scan)
   }
+
+  test("stickiness: full-window days only, dau <= wau <= corpus users, " +
+      "and a spot-checked rolling distinct") {
+    val s = Relational.stickiness(spark, sf).cache()
+    val ev = graft.Tables.events(spark, sf)
+      .select(to_date(date_trunc("DAY", col("ts"))).as("day"),
+        col("user_id"))
+    val nDays = ev.select("day").distinct().count()
+    assert(s.count() == nDays - 6)
+    val total = ev.select("user_id").distinct().count()
+    assert(s.filter(col("dau") > col("wau") || col("wau") > total
+      || col("stickiness") <= 0.0 || col("stickiness") > 1.0).isEmpty)
+    assert(s.filter(col("stickiness") =!=
+      round(col("dau").cast("double") / col("wau"), 6)).isEmpty)
+    // spot check the last day's rolling distinct directly
+    val last = s.agg(max(col("day"))).head().getDate(0)
+    val expWau = ev
+      .filter(col("day").between(date_sub(lit(last), 6), lit(last)))
+      .select("user_id").distinct().count()
+    assert(s.filter(col("day") === last).head().getLong(2) == expWau)
+    s.unpersist()
+  }
 }
