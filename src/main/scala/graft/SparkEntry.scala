@@ -139,6 +139,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
+    "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4357,6 +4358,31 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // Lorenz/Gini: exact-cents per-customer totals, rank-sum identity
+    // with tie-independent Σ i·xᵢ in DECIMAL, top-decile share via the
+    // integer predicate 10·rank > 9·n; floats are exact divisions
+    "q_lorenz_gini" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents, o_custkey) AS rnk,
+        |    count(*) OVER (PARTITION BY segment) AS n
+        |  FROM pc)
+        |SELECT segment, CAST(n AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(2.0 * CAST(sum(CAST(rnk AS DECIMAL(19,0))
+        |      * CAST(cents AS DECIMAL(19,0))) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
+        |  round(CAST(sum(CASE WHEN rnk * 10 > n * 9 THEN cents ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS top10_share
+        |FROM r GROUP BY segment, n""".stripMargin,
     // DAU/WAU stickiness: (day, user) rollup, rolling distinct via
     // the day-grid range join, full-window days only, one exact-int
     // division rounded 6

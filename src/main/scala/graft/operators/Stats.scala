@@ -1026,6 +1026,73 @@ object Stats {
         col("forecast"), col("abs_err"), round(col("mae"), 6).as("mae"))
   }
 
+  /** LORENZ / GINI revenue-concentration report per market segment —
+    * the inequality audit behind "what share of revenue sits with
+    * the top customers": per-purchasing-customer revenue totals in
+    * exact integer cents, the Gini coefficient from the rank-sum
+    * identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n (tie blocks carry the
+    * same x, so the Σ i·xᵢ is order-independent within ties), and
+    * the top-decile revenue share (1 − Lorenz(0.9), the integer
+    * predicate 10·rank > 9·n — no float quantile).
+    *
+    * The global (cents, custkey) rank comes from the TWO-LEVEL
+    * range-partitioned prefix sum (the pack_sequences/skyline/auc
+    * discipline): per-partition running counts + a P×#segments
+    * offset window — never a segment-global sort of the customer
+    * table. Σ i·xᵢ accumulates in DECIMAL (rank × cents products
+    * overflow BIGINT exactly at the corpus sizes this report is
+    * for); every emitted float is a division of exact values,
+    * rounded 6.
+    */
+  def lorenzGini(spark: SparkSession, sfDir: String): DataFrame =
+    lorenzGiniOver(
+      Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("segment"), col("c_custkey"))
+        .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+          .as("cents")))
+
+  /** Same report over any (segment, c_custkey, cents) frame
+    * (planted-extreme specs). */
+  private[graft] def lorenzGiniOver(perCust: DataFrame): DataFrame = {
+    val spark = perCust.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val d19 = DecimalType(19, 0)
+    val ranged = perCust
+      .repartitionByRange(p, col("segment"), col("cents"), col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy(col("segment")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid", "segment")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select("pid", "segment", "off")
+    val wRun = Window.partitionBy(col("segment"), col("pid"))
+      .orderBy(col("cents"), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nseg = ranged.groupBy("segment").agg(count(lit(1)).as("n"))
+    ranged.join(broadcast(offsets), Seq("pid", "segment"))
+      .withColumn("rnk",
+        col("off") + coalesce(sum(lit(1L)).over(wRun), lit(0L)) + 1L)
+      .join(broadcast(nseg), "segment")
+      .groupBy(col("segment"), col("n"))
+      .agg(sum(col("cents")).as("sx"),
+        sum(col("rnk").cast(d19) * col("cents").cast(d19)).as("sixi"),
+        sum(when(col("rnk") * 10 > col("n") * 9, col("cents"))
+          .otherwise(0L)).as("top_cents"))
+      .select(col("segment"), col("n").as("n_customers"),
+        col("sx").as("total_cents"),
+        round(lit(2.0) * col("sixi").cast("double")
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"),
+        round(col("top_cents").cast("double") / col("sx").cast("double"), 6)
+          .as("top10_share"))
+  }
+
   /** KAPLAN–MEIER time-to-conversion survival curve with
     * right-censoring — the standard estimator (Kaplan & Meier 1958)
     * for "how long until a user converts", under a fixed

@@ -536,4 +536,41 @@ class StatsSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("Lorenz/Gini: two-level rank matches the window replay, and " +
+      "planted extremes hit the closed forms") {
+    import spark.implicits._
+    val g = Stats.lorenzGini(spark, sf).cache()
+    // replay with a plain window (fine at test scale)
+    val perCust = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"), col("c_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy("cents", "c_custkey")
+    val rep = perCust
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+        sum(col("rnk").cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("sixi"))
+      .select(col("segment"),
+        round(lit(2.0) * col("sixi").cast("double")
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("g2"))
+    assert(g.join(rep, "segment").filter(col("gini") =!= col("g2")).isEmpty)
+    g.unpersist()
+    // planted: equal shares -> gini 0; single holder of everything
+    // among n=10 -> gini = (n-1)/n = 0.9
+    val eq = (1L to 10L).map(i => ("s", i, 100L)).toDF(
+      "segment", "c_custkey", "cents")
+    assert(Stats.lorenzGiniOver(eq).head().getDouble(3) == 0.0)
+    val one = ((1L to 9L).map(i => ("s", i, 0L)) :+ (("s", 10L, 1000L)))
+      .toDF("segment", "c_custkey", "cents")
+    assert(Stats.lorenzGiniOver(one).head().getDouble(3) == 0.9)
+  }
 }
