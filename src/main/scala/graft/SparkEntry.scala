@@ -402,6 +402,7 @@ object SparkEntry {
     "q_drift_psi" -> ((s, d) => Pipeline.driftPsi(s, d)),
     "q_corpus_report" -> ((s, d) => Pipeline.corpusReport(s, d)),
     "q_zorder" -> ((s, d) => Layout.zorderEvents(s, d)),
+    "q_zonemap_skip" -> ((s, d) => Layout.zonemapSkip(s, d)),
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
@@ -3660,6 +3661,29 @@ object SparkEntry {
         |  CAST(floor((cum_before + n_tokens - 1) / 512.0)
         |    - floor(cum_before / 512.0) + 1 AS BIGINT) AS n_seqs
         |FROM c""".stripMargin,
+    // zone-map skip report: deterministic bucket rules (4-day range /
+    // user hash) make the file population replayable; min/max day
+    // stats + the 5-day-window overlap decision per bucket and layout
+    "q_zonemap_skip" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS m FROM events),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day
+        |      FROM events),
+        |cl AS (
+        |  SELECT 'clustered' AS layout,
+        |    CAST(floor(date_diff('day', m, day) / 4.0) AS BIGINT) AS bucket,
+        |    day
+        |  FROM e CROSS JOIN d0),
+        |sc AS (
+        |  SELECT 'scattered' AS layout, user_id % 8 AS bucket, day FROM e),
+        |u AS (SELECT * FROM cl UNION ALL SELECT * FROM sc),
+        |stats AS (
+        |  SELECT layout, bucket, min(day) AS min_day, max(day) AS max_day,
+        |    count(*) AS n_rows
+        |  FROM u GROUP BY 1, 2)
+        |SELECT layout, bucket, min_day, max_day, n_rows,
+        |  NOT (max_day < DATE '2024-01-10' OR min_day > DATE '2024-01-14')
+        |    AS scanned
+        |FROM stats""".stripMargin,
     // the same four-step mask cascade as Layout.spreadBits, unrolled
     // as chained CTEs; bucket = z >> 8 pins a 16x16 bounding box
     "q_zorder" ->

@@ -141,4 +141,51 @@ object Layout {
   private[graft] def parquetFileCount(dir: String): Long =
     new java.io.File(dir).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
+
+  /** ZONE-MAP SKIP accounting — the Delta/Iceberg file-skipping
+    * mechanic made measurable: per-file min/max statistics on the
+    * QUERY column (event day) decide which files a 5-day time-window
+    * scan may skip, reported for the SAME corpus under two layouts —
+    * day-CLUSTERED buckets (4-day ranges) versus user-hash SCATTERED
+    * buckets. The report is the point: clustered zone maps prune most
+    * buckets; scattered ones prune nothing because every file's
+    * [min, max] day spans the whole month — zone maps are only as
+    * good as the clustering beneath them ([[zorderEvents]] is what
+    * buys the tight boxes). Both layouts round-trip through REAL
+    * partitioned parquet writes, so the gate hashes the write →
+    * read-back → footer-style stats → skip decision end to end.
+    * Bucket rules are deterministic projections (day range / user
+    * hash) rather than sampled range splits — what keeps the file
+    * population oracle-replayable.
+    *
+    * Scale shape: one scan per layout write (any layout rewrite pays
+    * it), stats are a partial-aggregated groupBy to O(#files) rows,
+    * and the skip predicate is evaluated on that tiny frame.
+    */
+  def zonemapSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("day"))
+    val d0 = ev.agg(min(col("day")).as("m"))
+    val clustered = ev.crossJoin(broadcast(d0))
+      .withColumn("bucket",
+        floor(datediff(col("day"), col("m")) / lit(4.0)).cast("long"))
+      .drop("m")
+    val scattered = ev.withColumn("bucket", pmod(col("user_id"), lit(8L)))
+    def roundTrip(df: DataFrame, name: String): DataFrame = {
+      val dir = graft.TempDirs.create(s"graft_zonemap_$name").toString
+      df.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(name))
+    }
+    roundTrip(clustered, "clustered").union(roundTrip(scattered, "scattered"))
+      .withColumn("scanned",
+        !(col("max_day") < lit("2024-01-10").cast("date") ||
+          col("min_day") > lit("2024-01-14").cast("date")))
+      .select(col("layout"), col("bucket"), col("min_day"),
+        col("max_day"), col("n_rows"), col("scanned"))
+  }
 }

@@ -45,4 +45,27 @@ class LayoutSpec extends SparkSpec {
     assert(z * 2 < unclustered,
       s"zorder mean box area $z vs unclustered $unclustered")
   }
+
+  test("zone-map skip: clustered layout prunes the window scan, " +
+      "scattered layout cannot, and stats tile the corpus") {
+    val r = Layout.zonemapSkip(spark, sf).cache()
+    val total = graft.Tables.events(spark, sf).count()
+    // each layout partitions the corpus completely
+    val sums = r.groupBy("layout").sum("n_rows").collect()
+    assert(sums.length == 2 && sums.forall(_.getLong(1) == total))
+    // zone maps are consistent boxes
+    assert(r.filter(col("min_day") > col("max_day")).isEmpty)
+    // the contrast that IS the operator: scattered buckets all span
+    // the window (every file scanned); clustered buckets mostly skip
+    val scanned = r.groupBy("layout")
+      .agg(sum(when(col("scanned"), 1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("f"))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(scanned("scattered")._1 == scanned("scattered")._2,
+      "scattered layout unexpectedly pruned something")
+    assert(scanned("clustered")._1 * 2 <= scanned("clustered")._2,
+      s"clustered layout should skip at least half: $scanned")
+    r.unpersist()
+  }
 }
