@@ -140,6 +140,7 @@ object SparkEntry {
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
+    "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4382,6 +4383,45 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // CUPED: md5-parity assignment, per-user pre/post DECIMAL sums,
+    // pooled theta and adjusted means as a fixed IEEE dag over exact
+    // moments (mean_adj is moment algebra — no second per-row pass)
+    "q_cuped" ->
+      """WITH c AS (SELECT CAST(min(ts) AS DATE) + 15 AS cut FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN CAST(ts AS DATE) < cut
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    sum(CASE WHEN CAST(ts AS DATE) >= cut
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events CROSS JOIN c GROUP BY 1),
+        |pv AS (
+        |  SELECT CASE WHEN CAST('0x' ||
+        |      substring(md5('exp:'||user_id), 1, 8) AS BIGINT) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant,
+        |    count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,4))) AS sxx
+        |  FROM pu GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS pn,
+        |    CAST(sum(sx) AS DOUBLE) AS psx, CAST(sum(sy) AS DOUBLE) AS psy,
+        |    CAST(sum(sxy) AS DOUBLE) AS psxy,
+        |    CAST(sum(sxx) AS DOUBLE) AS psxx
+        |  FROM pv),
+        |t AS (
+        |  SELECT pn, psx,
+        |    (psxy - psx * psy / pn) / (psxx - psx * psx / pn) AS theta
+        |  FROM p)
+        |SELECT variant, CAST(n AS BIGINT) AS n_users,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - psx / pn),
+        |    6) AS mean_adj,
+        |  round(theta, 6) AS theta
+        |FROM pv CROSS JOIN t""".stripMargin,
     // Lorenz/Gini: exact-cents per-customer totals, rank-sum identity
     // with tie-independent Σ i·xᵢ in DECIMAL, top-decile share via the
     // integer predicate 10·rank > 9·n; floats are exact divisions

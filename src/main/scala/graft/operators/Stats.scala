@@ -457,6 +457,68 @@ object Stats {
         round(col("t"), 6).as("t_stat"), round(col("df"), 6).as("df"))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data") — the industry-standard
+    * covariate adjustment beside [[abTest]]: each user's
+    * PRE-experiment value sum x (first 15 days) adjusts their
+    * in-experiment metric y (last 15 days) as y − θ·(x − x̄) with
+    * θ = Cov(x,y)/Var(x) POOLED across variants, shrinking variance
+    * without biasing the treatment contrast (assignment is
+    * independent of x). Variants are a deterministic md5-parity
+    * split of user_id — the pinned-seed assignment the bootstrap/DP
+    * keys also use.
+    *
+    * Everything the gate sees follows the abTest discipline: one
+    * partial-aggregated scan to per-user (x, y) DECIMAL sums, one
+    * more to per-variant exact moments (n, Σx, Σy, Σxy, Σx²);
+    * θ and the adjusted means are then a fixed dag of IEEE ops on
+    * identical exact inputs — mean_adj needs NO second per-row pass:
+    * mean_y − θ·(mean_x_variant − mean_x_pooled) is moment algebra.
+    */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val d38 = DecimalType(38, 4)
+    val split = ev.agg(date_add(to_date(min(col("ts"))), 15).as("cut"))
+    val perUser = ev.crossJoin(broadcast(split))
+      .select(col("user_id"),
+        when(to_date(col("ts")) < col("cut"), money(col("value")))
+          .otherwise(money(lit(0))).as("xv"),
+        when(to_date(col("ts")) >= col("cut"), money(col("value")))
+          .otherwise(money(lit(0))).as("yv"))
+      .groupBy("user_id")
+      .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val byV = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pooled = byV.agg(sum(col("n")).as("pn"),
+        sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+        sum(col("sxy")).as("psxy"), sum(col("sxx")).as("psxx"))
+      .select(col("pn").cast("double").as("pn"),
+        col("psx").cast("double").as("psx"),
+        col("psy").cast("double").as("psy"),
+        col("psxy").cast("double").as("psxy"),
+        col("psxx").cast("double").as("psxx"))
+      .withColumn("theta",
+        (col("psxy") - col("psx") * col("psy") / col("pn")) /
+          (col("psxx") - col("psx") * col("psx") / col("pn")))
+    byV.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n").as("n_users"),
+        round(col("sy").cast("double") / col("n").cast("double"), 6)
+          .as("mean_y"),
+        round(col("sy").cast("double") / col("n").cast("double")
+          - col("theta") * (col("sx").cast("double")
+            / col("n").cast("double") - col("psx") / col("pn")), 6)
+          .as("mean_adj"),
+        round(col("theta"), 6).as("theta"))
+  }
+
   /** Two-sample KOLMOGOROV–SMIRNOV distance between the `value`
     * distributions of two event types, evaluated on a fixed quantile
     * grid — the distribution-shape complement to `abTest`'s

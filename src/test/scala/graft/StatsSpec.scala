@@ -573,4 +573,36 @@ class StatsSpec extends SparkSpec {
       .toDF("segment", "c_custkey", "cents")
     assert(Stats.lorenzGiniOver(one).head().getDouble(3) == 0.9)
   }
+
+  test("CUPED: theta matches direct cov/var, the adjustment reduces " +
+      "variance, and both variants carry users") {
+    val r = Stats.cuped(spark, sf).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.size == 2 && r("A").getLong(1) > 0 && r("B").getLong(1) > 0)
+    // per-user replay
+    val ev = graft.Tables.events(spark, sf)
+    val cut = ev.agg(date_add(to_date(min(col("ts"))), 15).as("cut"))
+    val pu = ev.crossJoin(broadcast(cut))
+      .select(col("user_id"),
+        when(to_date(col("ts")) < col("cut"), col("value")).otherwise(0.0)
+          .as("xv"),
+        when(to_date(col("ts")) >= col("cut"), col("value")).otherwise(0.0)
+          .as("yv"))
+      .groupBy("user_id")
+      .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+      .collect().map(z => (z.getDouble(1), z.getDouble(2)))
+    val n = pu.length.toDouble
+    val (mx, my) = (pu.map(_._1).sum / n, pu.map(_._2).sum / n)
+    val cov = pu.map(p => (p._1 - mx) * (p._2 - my)).sum / n
+    val vx = pu.map(p => (p._1 - mx) * (p._1 - mx)).sum / n
+    val theta = r("A").getDouble(4)
+    assert(math.abs(theta - cov / vx) < 1e-4, s"$theta vs ${cov / vx}")
+    // variance of y - theta*x must not exceed variance of y
+    val vy = pu.map(p => (p._2 - my) * (p._2 - my)).sum / n
+    val madj = pu.map(p => p._2 - theta * p._1).sum / n
+    val vadj = pu.map { p =>
+      val a = p._2 - theta * p._1 - madj; a * a
+    }.sum / n
+    assert(vadj <= vy, s"adjusted variance $vadj > raw $vy")
+  }
 }
