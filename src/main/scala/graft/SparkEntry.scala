@@ -417,6 +417,7 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
+    "mm_quality_gate" -> ((s, d) => Multimodal.qualityGate(s, d)),
     "mm_frame_dup" -> ((s, d) => Multimodal.frameDup(s, d)),
     "mm_scenes" -> ((s, d) => Multimodal.scenes(s, d)),
     "mm_align" -> ((s, d) => Multimodal.align(s, d)),
@@ -4777,6 +4778,37 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS magic
         |FROM documents""".stripMargin,
+    // media quality gate: the mm_frames replay aggregated to per-item
+    // distinct-frame counts, size bounds + dup-ratio verdicts
+    "mm_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    substring(hex(encode(text)), CAST(i * 64 + 1 AS INT), 64) AS fh
+        |  FROM (SELECT doc_id, text,
+        |        CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n
+        |        FROM documents),
+        |    LATERAL (SELECT unnest(range(0, n)) AS i)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_frames,
+        |    count(DISTINCT fh) AS n_distinct
+        |  FROM f GROUP BY 1),
+        |m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+        |    AS n_bytes
+        |  FROM documents)
+        |SELECT m.doc_id, n_bytes,
+        |  coalesce(n_frames, 0) AS n_frames,
+        |  coalesce(n_distinct, 0) AS n_distinct,
+        |  CASE WHEN coalesce(n_frames, 0) > 0
+        |    THEN round(1.0 - CAST(n_distinct AS DOUBLE)
+        |      / CAST(n_frames AS DOUBLE), 6)
+        |    ELSE 1.0 END AS dup_ratio,
+        |  (n_bytes >= 64 AND n_bytes <= 480 AND
+        |   CASE WHEN coalesce(n_frames, 0) > 0
+        |     THEN round(1.0 - CAST(n_distinct AS DOUBLE)
+        |       / CAST(n_frames AS DOUBLE), 6)
+        |     ELSE 1.0 END <= 0.5) AS keep
+        |FROM m LEFT JOIN s ON m.doc_id = s.doc_id""".stripMargin,
     // resize planning: stub dims from the first/last payload byte,
     // aspect fit into 64², integer-exact letterbox math
     "mm_resize" ->

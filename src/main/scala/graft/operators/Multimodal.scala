@@ -81,6 +81,60 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** MEDIA QUALITY GATE — curation verdicts for the media family,
+    * mirroring what `text_quality` does for text: per-item byte-size
+    * bounds (truncated uploads below, unsampled blobs above) and a
+    * within-item FRAME-DUPLICATION ratio (a video that is mostly one
+    * repeated frame is a still card / corrupt encode — the media twin
+    * of the Gopher repetition rules), each emitted as its own column
+    * plus the composite keep verdict so downstream curation can
+    * ablate rules individually.
+    *
+    * Scale shape: size rules are scan-side projections; the dup
+    * ratio is one partial-aggregated distinct per item over the
+    * frame stream — no cross-item state at all (the cross-item twin
+    * is [[frameDup]]). The corpus never exhibits within-item frame
+    * repeats, so that rule is pinned by a planted spec, exactly like
+    * the LM OOV path.
+    */
+  def qualityGate(spark: SparkSession, sfDir: String,
+      minBytes: Long = 64, maxBytes: Long = 480,
+      maxDupRatio: Double = 0.5): DataFrame =
+    qualityGateOver(mediaTable(spark, sfDir), minBytes, maxBytes,
+      maxDupRatio)
+
+  /** Same gate over any (doc_id, payload) frame (planted specs). */
+  private[graft] def qualityGateOver(media: DataFrame, minBytes: Long,
+      maxBytes: Long, maxDupRatio: Double): DataFrame = {
+    val fr = media
+      .select(col("doc_id"), col("payload"),
+        ceil(length(col("payload")) / lit(FrameBytes.toDouble))
+          .cast("long").as("n_frames"))
+      .filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
+        col("payload"))
+      .withColumn("frame_hex",
+        hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
+      .groupBy("doc_id")
+      .agg(min(col("n_frames")).as("n_frames"),
+        countDistinct(col("frame_hex")).as("n_distinct"))
+    media
+      .select(col("doc_id"), length(col("payload")).cast("long")
+        .as("n_bytes"))
+      .join(fr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_frames") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_frames").cast("double"), 6)).otherwise(lit(1.0)))
+      .withColumn("keep",
+        col("n_bytes") >= minBytes && col("n_bytes") <= maxBytes &&
+          col("dup_ratio") <= maxDupRatio)
+  }
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, features: Array[Double])

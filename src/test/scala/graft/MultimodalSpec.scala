@@ -87,4 +87,29 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty)
     al.unpersist()
   }
+
+  test("media quality gate: verdicts decompose into their rules, and a " +
+      "planted repeated-frame payload is dropped for duplication") {
+    import spark.implicits._
+    val g = Multimodal.qualityGate(spark, sf).cache()
+    // rule decomposition on the real corpus
+    assert(g.filter(col("keep") =!=
+      (col("n_bytes") >= 64 && col("n_bytes") <= 480 &&
+        col("dup_ratio") <= 0.5)).isEmpty)
+    assert(g.filter(col("n_distinct") > col("n_frames")).isEmpty)
+    g.unpersist()
+    // planted: one payload = the same 32-byte frame 4x (dup_ratio
+    // 0.75), one healthy 4-frame payload, one undersized stub
+    val frame = "x" * 32
+    val media = Seq(
+      (1L, (frame * 4).getBytes("UTF-8")),
+      (2L, ("a" * 32 + "b" * 32 + "c" * 32 + "d" * 32).getBytes("UTF-8")),
+      (3L, "tiny".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.qualityGateOver(media, 64, 480, 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(5) && out(1L).getDouble(4) == 0.75)
+    assert(out(2L).getBoolean(5) && out(2L).getDouble(4) == 0.0)
+    assert(!out(3L).getBoolean(5))
+  }
 }
