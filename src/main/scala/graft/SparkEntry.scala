@@ -141,6 +141,8 @@ object SparkEntry {
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
     "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
+    "q_did" -> ((s, d) => Stats.did(s, d)),
+    "q_power_mde" -> ((s, d) => Stats.powerMde(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4384,6 +4386,71 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // DiD: same md5-parity split and pre/post windows as CUPED; four
+    // exact-decimal cell sums, means divided once, two subtractions
+    "q_did" ->
+      """WITH c AS (SELECT CAST(min(ts) AS DATE) + 15 AS cut FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN CAST(ts AS DATE) < cut
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    sum(CASE WHEN CAST(ts AS DATE) >= cut
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events CROSS JOIN c GROUP BY 1),
+        |g AS (
+        |  SELECT CAST('0x' || substring(md5('exp:'||user_id), 1, 8)
+        |      AS BIGINT) % 2 = 0 AS treat,
+        |    count(*) AS n, sum(x) AS sx, sum(y) AS sy
+        |  FROM pu GROUP BY 1),
+        |t AS (SELECT n AS nt, CAST(sx AS DOUBLE) AS txs,
+        |        CAST(sy AS DOUBLE) AS tys FROM g WHERE treat),
+        |cc AS (SELECT n AS nc, CAST(sx AS DOUBLE) AS cxs,
+        |        CAST(sy AS DOUBLE) AS cys FROM g WHERE NOT treat),
+        |mm AS (
+        |  SELECT nt, nc,
+        |    txs / CAST(nt AS DOUBLE) AS mtp, tys / CAST(nt AS DOUBLE) AS mtq,
+        |    cxs / CAST(nc AS DOUBLE) AS mcp, cys / CAST(nc AS DOUBLE) AS mcq
+        |  FROM t CROSS JOIN cc)
+        |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT)
+        |    AS n_control,
+        |  round(mtp, 6) AS m_treat_pre, round(mtq, 6) AS m_treat_post,
+        |  round(mcp, 6) AS m_control_pre, round(mcq, 6) AS m_control_post,
+        |  round((mtq - mtp) - (mcq - mcp), 6) AS did
+        |FROM mm""".stripMargin,
+    // power/MDE: pooled variance from exact moments, z constants as
+    // IEEE-exact literals, the n-required ceil on identical doubles
+    "q_power_mde" ->
+      """WITH pu AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m,
+        |    CASE WHEN CAST('0x' || substring(md5('exp:'||user_id), 1, 8)
+        |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |mom AS (
+        |  SELECT variant, count(*) AS n, sum(m) AS s,
+        |    sum(CAST(m * m AS DECIMAL(38,4))) AS ss
+        |  FROM pu GROUP BY 1),
+        |a AS (SELECT CAST(n AS DOUBLE) AS na, CAST(s AS DOUBLE) AS sa,
+        |        CAST(ss AS DOUBLE) AS ssa FROM mom WHERE variant = 'A'),
+        |b AS (SELECT CAST(n AS DOUBLE) AS nb, CAST(s AS DOUBLE) AS sb,
+        |        CAST(ss AS DOUBLE) AS ssb FROM mom WHERE variant = 'B'),
+        |d AS (
+        |  SELECT na, nb, na + nb AS nn, (sa + sb) / (na + nb) AS mean,
+        |    ((ssa + ssb) - (na + nb) * ((sa + sb) / (na + nb))
+        |      * ((sa + sb) / (na + nb))) / (na + nb - 1) AS varp
+        |  FROM a CROSS JOIN b),
+        |e AS (
+        |  SELECT na, nb, mean, varp,
+        |    2.801585 * sqrt(varp) * sqrt(1.0 / na + 1.0 / nb) AS mde,
+        |    mean * 0.01 AS delta
+        |  FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(mean, 6) AS mean_metric, round(sqrt(varp), 6) AS sigma,
+        |  round(mde, 6) AS mde, round(mde / mean, 6) AS mde_rel,
+        |  CAST(ceil(2.0 * varp * (2.801585 * 2.801585)
+        |    / (delta * delta)) AS BIGINT) AS n_required
+        |FROM e""".stripMargin,
     // CUPED: md5-parity assignment, per-user pre/post DECIMAL sums,
     // pooled theta and adjusted means as a fixed IEEE dag over exact
     // moments (mean_adj is moment algebra — no second per-row pass)

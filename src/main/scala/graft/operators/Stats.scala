@@ -519,6 +519,109 @@ object Stats {
         round(col("theta"), 6).as("theta"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES readout — the parallel-trends causal
+    * estimator beside [[abTest]] (cross-sectional) and [[cuped]]
+    * (variance reduction): with the same md5-parity split and
+    * pre/post windows, DiD = (T_post − T_pre) − (C_post − C_pre)
+    * over per-user period means, differencing away both the shared
+    * time trend and any fixed group offset. One row: the four cell
+    * means, group sizes, and the estimate — every mean an exact
+    * DECIMAL sum over one scan divided once, the DiD two
+    * subtractions on those (fixed IEEE dag).
+    */
+  def did(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val split = ev.agg(date_add(to_date(min(col("ts"))), 15).as("cut"))
+    val byV = ev.crossJoin(broadcast(split))
+      .select(col("user_id"),
+        when(to_date(col("ts")) < col("cut"), money(col("value")))
+          .otherwise(money(lit(0))).as("xv"),
+        when(to_date(col("ts")) >= col("cut"), money(col("value")))
+          .otherwise(money(lit(0))).as("yv"))
+      .groupBy("user_id")
+      .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+      .withColumn("treat",
+        conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
+          16, 10).cast("long") % 2 === 0)
+      .groupBy("treat")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+    val t = byV.filter(col("treat"))
+      .select(col("n").as("nt"), col("sx").cast("double").as("txs"),
+        col("sy").cast("double").as("tys"))
+    val c = byV.filter(!col("treat"))
+      .select(col("n").as("nc"), col("sx").cast("double").as("cxs"),
+        col("sy").cast("double").as("cys"))
+    t.crossJoin(broadcast(c))
+      .withColumn("m_treat_pre", col("txs") / col("nt").cast("double"))
+      .withColumn("m_treat_post", col("tys") / col("nt").cast("double"))
+      .withColumn("m_control_pre", col("cxs") / col("nc").cast("double"))
+      .withColumn("m_control_post", col("cys") / col("nc").cast("double"))
+      .select(col("nt").as("n_treat"), col("nc").as("n_control"),
+        round(col("m_treat_pre"), 6).as("m_treat_pre"),
+        round(col("m_treat_post"), 6).as("m_treat_post"),
+        round(col("m_control_pre"), 6).as("m_control_pre"),
+        round(col("m_control_post"), 6).as("m_control_post"),
+        round((col("m_treat_post") - col("m_treat_pre"))
+          - (col("m_control_post") - col("m_control_pre")), 6).as("did"))
+  }
+
+  /** POWER / MINIMUM-DETECTABLE-EFFECT design check — the question
+    * every experiment review asks BEFORE launch ("can this test even
+    * see the effect we care about?"): from the pilot variance of the
+    * per-user metric, the two-sample MDE at α = 0.05 / power = 0.8
+    * for the CURRENT group sizes, MDE = (z_{α/2} + z_β)·σ·√(1/n_a +
+    * 1/n_b), and the per-arm n required to detect a 1%-of-mean lift,
+    * n = 2σ²(z_{α/2} + z_β)²/δ². The z constants are fixed literals
+    * (1.959964, 0.841621 — IEEE-exact on both engines); σ² comes
+    * from the same exact decimal moments as [[abTest]], so the whole
+    * report is one scan plus a fixed dag.
+    */
+  def powerMde(spark: SparkSession, sfDir: String): DataFrame = {
+    // z_{0.025} + z_{0.2} pre-summed as ONE literal: the oracle must
+    // parse the identical decimal (a Scala-side double SUM of the two
+    // z's need not be bit-equal to the parsed sum literal)
+    val zsum = 2.801585
+    val ev = Tables.events(spark, sfDir)
+    val perUser = ev
+      .select(col("user_id"), money(col("value")).as("v"))
+      .groupBy("user_id").agg(sum(col("v")).as("m"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val mom = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum((col("m") * col("m")).cast(DecimalType(38, 4))).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = mom.filter(col("variant") === "A")
+      .select(col("n").cast("double").as("na"),
+        col("s").cast("double").as("sa"), col("ss").cast("double").as("ssa"))
+    val b = mom.filter(col("variant") === "B")
+      .select(col("n").cast("double").as("nb"),
+        col("s").cast("double").as("sb"), col("ss").cast("double").as("ssb"))
+    a.crossJoin(broadcast(b))
+      // pooled variance from exact moments (both arms, pilot reading)
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("mean", (col("sa") + col("sb")) / col("nn"))
+      .withColumn("varp",
+        ((col("ssa") + col("ssb"))
+          - col("nn") * col("mean") * col("mean")) / (col("nn") - 1))
+      .withColumn("mde",
+        lit(zsum) * sqrt(col("varp"))
+          * sqrt(lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      .withColumn("delta", col("mean") * 0.01)
+      .withColumn("n_required",
+        ceil(lit(2.0) * col("varp") * lit(zsum * zsum)
+          / (col("delta") * col("delta"))).cast("long"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("mean"), 6).as("mean_metric"),
+        round(sqrt(col("varp")), 6).as("sigma"),
+        round(col("mde"), 6).as("mde"),
+        round(col("mde") / col("mean"), 6).as("mde_rel"),
+        col("n_required"))
+  }
+
   /** Two-sample KOLMOGOROV–SMIRNOV distance between the `value`
     * distributions of two event types, evaluated on a fixed quantile
     * grid — the distribution-shape complement to `abTest`'s

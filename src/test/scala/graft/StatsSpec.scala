@@ -605,4 +605,38 @@ class StatsSpec extends SparkSpec {
     }.sum / n
     assert(vadj <= vy, s"adjusted variance $vadj > raw $vy")
   }
+
+  test("DiD decomposes into its four cell means and the groups tile " +
+      "the user population") {
+    val r = Stats.did(spark, sf).head()
+    val nUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == nUsers)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) ==
+      r6((r.getDouble(3) - r.getDouble(2))
+        - (r.getDouble(5) - r.getDouble(4))) ||
+      // cell means are themselves rounded; allow one ulp of re-rounding
+      math.abs(r.getDouble(6) - ((r.getDouble(3) - r.getDouble(2))
+        - (r.getDouble(5) - r.getDouble(4)))) < 2e-6)
+  }
+
+  test("power/MDE: the report is internally consistent (mde formula, " +
+      "n_required round trip, positive variance)") {
+    val r = Stats.powerMde(spark, sf).head()
+    val (na, nb) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    val sigma = r.getDouble(3)
+    assert(sigma > 0 && r.getDouble(4) > 0)
+    // mde recompute from the published sigma (rounding slack only)
+    val mde = 2.801585 * sigma * math.sqrt(1.0 / na + 1.0 / nb)
+    assert(math.abs(r.getDouble(4) - mde) < 1e-4)
+    // a 1% lift needs far more users than the pilot has when the
+    // metric is noisy — sanity-direction check plus exact round trip
+    val delta = r.getDouble(2) * 0.01
+    val nReq = math.ceil(2.0 * sigma * sigma * (2.801585 * 2.801585)
+      / (delta * delta))
+    assert(math.abs(r.getLong(6).toDouble - nReq) <= 1 +
+      0.01 * nReq) // sigma is rounded in the report
+  }
 }
