@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ks_test" -> ((s, d) => Stats.ksTest(s, d)),
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
+    "q_holt_forecast" -> ((s, d) => Stats.holtForecast(s, d)),
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
     "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
@@ -4576,6 +4577,53 @@ object SparkEntry {
         |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
         |          AND CURRENT ROW) AS DOUBLE)), 6) AS survival
         |FROM terms""".stripMargin,
+    // Holt smoothing with alpha=beta=1/2: every level/trend state an
+    // exactly-representable binary fraction, so the WITH RECURSIVE
+    // walk replays the Spark aggregate-fold bit-for-bit (identical
+    // expression tree per step, division by 2 exact)
+    "q_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT max(day) - 6 AS cut FROM daily),
+        |train AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    y
+        |  FROM daily CROSS JOIN c WHERE day < cut),
+        |n AS (SELECT event_type, max(t) AS tmax FROM train GROUP BY 1),
+        |hw AS (
+        |  SELECT event_type, t, CAST(y AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM train WHERE t = 1
+        |  UNION ALL
+        |  SELECT tr.event_type, tr.t,
+        |    (tr.y + hw.l + hw.b) / 2.0 AS l,
+        |    ((tr.y + hw.l + hw.b) / 2.0 - hw.l) / 2.0 + hw.b / 2.0 AS b
+        |  FROM hw JOIN train tr
+        |    ON tr.event_type = hw.event_type AND tr.t = hw.t + 1),
+        |fin AS (
+        |  SELECT hw.event_type, hw.l, hw.b
+        |  FROM hw JOIN n ON n.event_type = hw.event_type
+        |    AND hw.t = n.tmax),
+        |fc AS (
+        |  SELECT event_type, CAST(h AS BIGINT) AS h, l + h * b AS forecast
+        |  FROM fin, (SELECT unnest(range(1, 8)) AS h)),
+        |hold AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(date_diff('day', cut, d.day) + 1 AS BIGINT) AS h,
+        |    d.y AS actual
+        |  FROM daily d CROSS JOIN c WHERE d.day >= cut)
+        |SELECT hold.event_type, day, actual,
+        |  round(forecast, 6) AS forecast,
+        |  round(abs(CAST(actual AS DOUBLE) - forecast), 6) AS abs_err,
+        |  round(avg(abs(CAST(actual AS DOUBLE) - forecast))
+        |    OVER (PARTITION BY hold.event_type), 6) AS mae
+        |FROM hold JOIN fc
+        |  ON fc.event_type = hold.event_type AND fc.h = hold.h"""
+        .stripMargin,
     // seasonal-naive forecast + backtest: integer daily counts, lag-7
     // over the O(#types × #days) rollup, MAE one exact-int sum / 7 —
     // windows evaluate after WHERE on both engines, so the per-type

@@ -1258,6 +1258,65 @@ object Stats {
           .as("top10_share"))
   }
 
+  /** HOLT double-exponential-smoothing forecast + the same 7-day
+    * holdout backtest as [[forecastSnaive]] — level + trend smoothing
+    * with α = β = 1/2: the power-of-two coefficients make every
+    * level/trend state an EXACTLY-representable binary fraction
+    * (numerators stay under 2⁵³ for any month of daily counts), so
+    * the recursion is bit-identical across engines — the exact-
+    * arithmetic discipline applied to a recursive estimator instead
+    * of rounding per step. The recursion runs as one `aggregate`
+    * higher-order fold over the per-type TRAINING array (23 daily
+    * counts collected per event type — O(#days), the one
+    * deliberately non-codegen expression in the family, documented:
+    * a 30-element fold per group is rollup-sized, never corpus-
+    * sized); DuckDB replays it as a WITH RECURSIVE walk computing
+    * the identical expression tree. Forecast at horizon h is
+    * l + h·b; per-type MAE sums exactly-representable errors (exact
+    * in any order) and divides once.
+    */
+  def holtForecast(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
+    val withCut = daily.crossJoin(broadcast(cut))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val state = withCut.filter(col("day") < col("cut"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("arr"))
+      .select(col("event_type"), expr(
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  named_struct('l', CAST(arr[0].y AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)),
+          |  (st, e) -> named_struct(
+          |    'l', (e.y + st.l + st.b) / 2.0D,
+          |    'b', ((e.y + st.l + st.b) / 2.0D - st.l) / 2.0D + st.b / 2.0D))
+          |""".stripMargin.trim).as("st"))
+      .select(col("event_type"), col("st.l").as("l"), col("st.b").as("b"))
+    val fc = state
+      .select(col("event_type"), col("l"), col("b"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
+      .select(col("event_type"), col("h"),
+        (col("l") + col("h").cast("double") * col("b")).as("forecast"))
+    val hold = withCut.filter(col("day") >= col("cut"))
+      .select(col("event_type"), col("day"),
+        (datediff(col("day"), col("cut")) + 1).cast("long").as("h"),
+        col("y").as("actual"))
+    hold.join(fc, Seq("event_type", "h"))
+      .withColumn("abs_err", abs(col("actual").cast("double")
+        - col("forecast")))
+      .withColumn("mae", avg(col("abs_err")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("day"), col("actual"),
+        round(col("forecast"), 6).as("forecast"),
+        round(col("abs_err"), 6).as("abs_err"),
+        round(col("mae"), 6).as("mae"))
+  }
+
   /** KAPLAN–MEIER time-to-conversion survival curve with
     * right-censoring — the standard estimator (Kaplan & Meier 1958)
     * for "how long until a user converts", under a fixed

@@ -501,6 +501,40 @@ class StatsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("Holt forecast: the aggregate fold replays exactly in Scala, and " +
+      "forecasts are linear in the horizon with slope b") {
+    val out = Stats.holtForecast(spark, sf, horizon = 7).cache()
+    assert(out.groupBy("event_type").count()
+      .filter(col("count") =!= 7L).isEmpty)
+    // replay: collect the training series per type and fold in Scala
+    // with the identical expression order — doubles must match EXACTLY
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y")).cache()
+    val cut = daily.agg(date_sub(max(col("day")), 6).as("c")).head().getDate(0)
+    val series = daily.filter(col("day") < lit(cut))
+      .orderBy("event_type", "day")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fc = out.orderBy("event_type", "day").collect()
+    fc.groupBy(_.getString(0)).foreach { case (et, rows) =>
+      val ys = series(et)
+      var l = ys.head.toDouble; var b = 0.0
+      ys.tail.foreach { y =>
+        val l2 = (y + l + b) / 2.0
+        b = (l2 - l) / 2.0 + b / 2.0; l = l2
+      }
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getDouble(3) == r6(l + (i + 1).toDouble * b),
+          s"$et h=${i + 1}")
+      }
+    }
+    out.unpersist(); daily.unpersist()
+  }
+
   test("Kaplan-Meier: risk sets telescope, censoring only at the horizon, " +
       "and the curve equals the direct product recomputation") {
     val rows = Stats.survivalKm(spark, sf, horizon = 7)
