@@ -42,6 +42,7 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "q_events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     "q_stickiness" -> ((s, d) => Relational.stickiness(s, d)),
+    "q_transition_paths" -> ((s, d) => Relational.transitionPaths(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
     "lm_persisted" -> ((s, d) => TextAnalysis.lmPersisted(s, d)),
+    "text_watermark" -> ((s, d) => TextAnalysis.watermark(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -1430,6 +1432,34 @@ object SparkEntry {
     "q_jsonl_hourly" -> eventsHourlySql,
     "stream_events_hourly" -> eventsHourlySql,
     "q_sessionize" -> sessionizeSql,
+    // session transition matrix: the sessionize CTE + lead() within
+    // (user, session), counts over the #types² key space, exact-ratio
+    // probabilities
+    "q_transition_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events)),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
     // the flatMapGroupsWithState streaming path, same batch oracle
     "stream_sessionize" -> sessionizeSql,
     // the built-in session_window aggregate streamed; q_session_window's
@@ -2574,6 +2604,27 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*), 6) AS avg_nll
         |FROM allp GROUP BY 1""".stripMargin,
+    // watermark detector: first md5 nibble of "prev|current" in 0-7
+    // is green (the hash-seeded half-vocabulary rule), one-proportion
+    // z against the 1/2 null — all md5 + exact-int arithmetic
+    "text_watermark" ->
+      """WITH bw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(w[i] || '|' || w[i + 1]), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS green
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM bw)),
+        |a AS (SELECT doc_id, count(*) AS n_scored, sum(green) AS n_green
+        |      FROM g GROUP BY 1)
+        |SELECT doc_id, n_scored, CAST(n_green AS BIGINT) AS n_green,
+        |  round(CAST(n_green AS DOUBLE) / n_scored, 6) AS green_frac,
+        |  round((2.0 * n_green - n_scored) / sqrt(n_scored), 6) AS z,
+        |  ((2.0 * n_green - n_scored) / sqrt(n_scored)) > 4.0
+        |    AS watermarked
+        |FROM a""".stripMargin,
     // persisted-LM scoring: the model trains on the id-lower half
     // (unigram / pruned-bigram / total count tables), the held-out
     // half scores against those artifacts with OOV backing off at

@@ -1858,6 +1858,45 @@ object Relational {
         col("is_peak"))
   }
 
+  /** SESSION TRANSITION MATRIX — the Markov view of user behavior
+    * ("after a view, what comes next?") that powers next-action
+    * prediction features and funnel design: consecutive event-type
+    * pairs WITHIN a session (the [[sessionize]] 30-min-gap rule —
+    * transitions never cross a session boundary), counted globally
+    * and normalized per source type into exact-ratio transition
+    * probabilities.
+    *
+    * Scale shape: the per-user ordered window is the sessionize
+    * discipline (bounded by a user's own event count); transition
+    * counting is one partial-aggregated groupBy over the
+    * #types²-sized key space; the normalizing row totals come from
+    * re-aggregating the tiny count table, never a second corpus
+    * scan. P(b|a) is one exact-integer division, rounded 6.
+    */
+  def transitionPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+    val counts = steps.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
   /** DAU/WAU STICKINESS — the engagement ratio every product
     * dashboard tracks (what share of weekly-active users show up on
     * a given day): daily active users over rolling-7-day active

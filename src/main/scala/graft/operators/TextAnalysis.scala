@@ -473,6 +473,53 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** WATERMARK DETECTION (Kirchenbauer et al. 2023, "A Watermark for
+    * Large Language Models") — the greenlist test a curation pipeline
+    * runs to keep watermarked SYNTHETIC text out of training data: a
+    * watermarking sampler seeds a "green" half of the vocabulary from
+    * each previous token and boosts it, so generated text shows a
+    * green fraction far above the ½ null; the detector scores each
+    * position 2..n green when the first md5 nibble of
+    * "prev|current" falls in 0-7 (the hash-seeded half-vocabulary
+    * rule, engine-reproducible like every md5 recipe here) and flags
+    * docs whose one-proportion z = (2g − n)/√n clears 4. Natural
+    * text sits at z ≈ 0 (the corpus never trips it — the planted
+    * spec drives a synthetic greedy-green generation through the
+    * detector instead).
+    *
+    * Scale shape: bigrams built array-side per doc (the collocations
+    * recipe), one md5 + nibble test per position inside the same
+    * projection, one per-doc reduce. No corpus-global state at all.
+    */
+  def watermark(spark: SparkSession, sfDir: String,
+      zThreshold: Double = 4.0): DataFrame =
+    watermarkOver(Tables.documents(spark, sfDir), zThreshold)
+
+  /** Same detector over any (doc_id, text) frame (planted specs). */
+  private[graft] def watermarkOver(docs: DataFrame,
+      zThreshold: Double): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("doc_id"),
+        when(substring(md5(concat(col("pr.a"), lit("|"), col("pr.b"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+          .otherwise(0L).as("green"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum(col("green")).as("n_green"))
+      .select(col("doc_id"), col("n_scored"), col("n_green"),
+        round(col("n_green").cast("double") / col("n_scored"), 6)
+          .as("green_frac"),
+        round((lit(2.0) * col("n_green") - col("n_scored"))
+          / sqrt(col("n_scored")), 6).as("z"),
+        (((lit(2.0) * col("n_green") - col("n_scored"))
+          / sqrt(col("n_scored"))) > zThreshold).as("watermarked"))
+  }
+
   /** Per-document lexical-diversity signals: unigram word entropy and
     * type-token ratio — the "repetitive boilerplate vs natural prose"
     * axis used alongside the C4/Gopher rules (low entropy ⇒ a few

@@ -614,4 +614,18 @@ class RelationalExtSpec extends SparkSpec {
     assert(s.filter(col("day") === last).head().getLong(2) == expWau)
     s.unpersist()
   }
+
+  test("transition paths: per-source probabilities sum to 1 and counts " +
+      "tile the within-session steps") {
+    val t = Relational.transitionPaths(spark, sf).cache()
+    val sums = t.groupBy("from_type").agg(sum(col("p")).as("sp"),
+      sum(col("n")).as("sn"))
+    // rounded 6-decimal probabilities: allow per-row rounding slack
+    assert(sums.filter(abs(col("sp") - 1.0) > 1e-5 * 25).isEmpty)
+    // total transitions = sum over sessions of (n_events - 1)
+    val expected = Relational.sessionize(spark, sf)
+      .agg(sum(col("n_events") - 1)).head().getLong(0)
+    assert(t.agg(sum(col("n"))).head().getLong(0) == expected)
+    t.unpersist()
+  }
 }

@@ -464,4 +464,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getDouble(4) ==
       r6((r6(math.log(2.0)) + r6(math.log(6.0) + math.log(2.0))) / 2.0))
   }
+
+  test("watermark: natural text never trips the detector; a greedy-green " +
+      "synthetic generation does") {
+    import spark.implicits._
+    assert(TextAnalysis.watermark(spark, sf)
+      .filter(col("watermarked")).isEmpty)
+    // generate a watermarked doc the way a watermarking sampler would:
+    // at each step pick whichever candidate token is green given the
+    // previous token (md5 first nibble in 0-7)
+    def nibble(s: String): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val toks = scala.collection.mutable.Buffer("seed")
+    (1 to 40).foreach { _ =>
+      val prev = toks.last
+      toks += vocab.find(c => nibble(s"$prev|$c") <= '7').getOrElse(vocab.head)
+    }
+    val planted = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.watermarkOver(planted, 4.0).head()
+    assert(r.getBoolean(5), s"greedy-green doc not flagged: $r")
+    assert(r.getDouble(3) > 0.9, s"green_frac ${r.getDouble(3)}")
+  }
 }
