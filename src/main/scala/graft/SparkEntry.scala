@@ -146,6 +146,7 @@ object SparkEntry {
     "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
     "q_did" -> ((s, d) => Stats.did(s, d)),
     "q_power_mde" -> ((s, d) => Stats.powerMde(s, d)),
+    "q_ab_srm" -> ((s, d) => Stats.abSrm(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4438,6 +4439,32 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // SRM guardrail: exact counts, chi-square as a fixed dag, the
+    // 0.05 critical value a pinned literal on both engines
+    "q_ab_srm" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN CAST('0x' ||
+        |      substring(md5('exp:'||user_id), 1, 8) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS variant
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |g AS (SELECT variant, count(*) AS n FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT sum(n) AS n_total,
+        |    sum(CASE WHEN variant = 'A' THEN n ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN variant = 'B' THEN n ELSE 0 END) AS n_b
+        |  FROM g),
+        |x AS (
+        |  SELECT n_a, n_b, n_total, CAST(n_total AS DOUBLE) / 2.0 AS e
+        |  FROM m)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e, 6)
+        |    AS chi2,
+        |  ((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+        |    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e)
+        |    > 3.841459 AS srm_detected
+        |FROM x""".stripMargin,
     // DiD: same md5-parity split and pre/post windows as CUPED; four
     // exact-decimal cell sums, means divided once, two subtractions
     "q_did" ->

@@ -1258,6 +1258,40 @@ object Stats {
           .as("top10_share"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH guardrail — the pre-analysis check every
+    * experiment platform runs before trusting a readout (Fabijan et
+    * al. 2019): if the md5-parity assignment that [[cuped]]/[[did]]/
+    * [[powerMde]] analyze delivered group sizes incompatible with
+    * the designed 50/50 split, the experiment is corrupted and no
+    * downstream statistic is valid. One-sample χ² against the
+    * designed ratio: χ² = Σ (o − e)²/e with e = n/2, flagged at the
+    * 0.05 critical value 3.841459 (pinned literal both engines).
+    * All counts exact; χ² is a fixed dag on them.
+    */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val crit = 3.841459
+    Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("variant") === "A", col("n")).otherwise(0L))
+          .as("n_a"),
+        sum(when(col("variant") === "B", col("n")).otherwise(0L))
+          .as("n_b"))
+      .withColumn("e", col("n_total").cast("double") / 2.0)
+      .withColumn("chi2",
+        (col("n_a").cast("double") - col("e"))
+          * (col("n_a").cast("double") - col("e")) / col("e")
+          + (col("n_b").cast("double") - col("e"))
+          * (col("n_b").cast("double") - col("e")) / col("e"))
+      .select(col("n_a"), col("n_b"), col("n_total"),
+        round(col("chi2"), 6).as("chi2"),
+        (col("chi2") > crit).as("srm_detected"))
+  }
+
   /** HOLT double-exponential-smoothing forecast + the same 7-day
     * holdout backtest as [[forecastSnaive]] — level + trend smoothing
     * with α = β = 1/2: the power-of-two coefficients make every

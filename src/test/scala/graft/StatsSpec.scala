@@ -501,6 +501,21 @@ class StatsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("SRM guardrail: groups tile the population, chi2 recomputes, and " +
+      "the healthy md5 split is not flagged") {
+    val r = Stats.abSrm(spark, sf).head()
+    val (na, nb, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(na + nb == nt)
+    assert(nt == graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+    val e = nt.toDouble / 2.0
+    val chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == r6(chi2))
+    assert(!r.getBoolean(4), s"healthy split flagged: chi2=$chi2")
+  }
+
   test("Holt forecast: the aggregate fold replays exactly in Scala, and " +
       "forecasts are linear in the horizon with slope b") {
     val out = Stats.holtForecast(spark, sf, horizon = 7).cache()
