@@ -3738,9 +3738,8 @@ object SparkEntry {
         |    count(*) AS n_rows
         |  FROM u GROUP BY 1, 2)
         |SELECT layout, bucket, min_day, max_day, n_rows,
-        |  NOT (max_day < DATE '2024-01-10' OR min_day > DATE '2024-01-14')
-        |    AS scanned
-        |FROM stats""".stripMargin,
+        |  NOT (max_day < m + 9 OR min_day > m + 13) AS scanned
+        |FROM stats CROSS JOIN d0""".stripMargin,
     // the same four-step mask cascade as Layout.spreadBits, unrolled
     // as chained CTEs; bucket = z >> 8 pins a 16x16 bounding box
     "q_zorder" ->

@@ -181,10 +181,15 @@ object Layout {
           count(lit(1)).as("n_rows"))
         .withColumn("layout", lit(name))
     }
+    // the probe window is DERIVED from the corpus epoch (days 10-14
+    // of the month), not calendar literals — a regenerated testdata
+    // epoch (it has happened) must not silently turn the report
+    // all-scanned
     roundTrip(clustered, "clustered").union(roundTrip(scattered, "scattered"))
+      .crossJoin(broadcast(d0))
       .withColumn("scanned",
-        !(col("max_day") < lit("2024-01-10").cast("date") ||
-          col("min_day") > lit("2024-01-14").cast("date")))
+        !(col("max_day") < date_add(col("m"), 9) ||
+          col("min_day") > date_add(col("m"), 13)))
       .select(col("layout"), col("bucket"), col("min_day"),
         col("max_day"), col("n_rows"), col("scanned"))
   }
