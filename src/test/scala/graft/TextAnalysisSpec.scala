@@ -465,6 +465,24 @@ class TextAnalysisSpec extends SparkSpec {
       r6((r6(math.log(2.0)) + r6(math.log(6.0) + math.log(2.0))) / 2.0))
   }
 
+  test("LM count-table artifacts are re-mergeable: summing two batches' " +
+      "tables equals training on the union (the sketch-store property)") {
+    val docs = graft.Tables.documents(spark, sf)
+    def counts(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "[^\\p{L}]+"), w => w =!= ""))
+          .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val mid = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long")).head().getLong(0)
+    val merged = counts(docs.filter(col("doc_id") <= mid))
+      .union(counts(docs.filter(col("doc_id") > mid)))
+      .groupBy("w").agg(sum(col("cw")).as("cw"))
+    val full = counts(docs)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+  }
+
   test("watermark: natural text never trips the detector; a greedy-green " +
       "synthetic generation does") {
     import spark.implicits._
