@@ -141,6 +141,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_holt_forecast" -> ((s, d) => Stats.holtForecast(s, d)),
+    "q_forecast_eval" -> ((s, d) => Stats.forecastEval(s, d)),
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
     "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
@@ -4701,6 +4702,62 @@ object SparkEntry {
         |FROM hold JOIN fc
         |  ON fc.event_type = hold.event_type AND fc.h = hold.h"""
         .stripMargin,
+    // forecast eval: both arms' holdout MAEs from their own gated
+    // recipes (shared daily rollup + cut), winner by comparison
+    "q_forecast_eval" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT max(day) - 6 AS cut FROM daily),
+        |sn AS (
+        |  SELECT event_type, round(avg(abs(actual - forecast)), 6) AS mae
+        |  FROM (
+        |    SELECT event_type, day, y AS actual,
+        |      lag(y, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |        AS forecast
+        |    FROM daily) f
+        |  CROSS JOIN c WHERE f.day >= cut GROUP BY 1),
+        |train AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    y
+        |  FROM daily CROSS JOIN c WHERE day < cut),
+        |n AS (SELECT event_type, max(t) AS tmax FROM train GROUP BY 1),
+        |hw AS (
+        |  SELECT event_type, t, CAST(y AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM train WHERE t = 1
+        |  UNION ALL
+        |  SELECT tr.event_type, tr.t,
+        |    (tr.y + hw.l + hw.b) / 2.0 AS l,
+        |    ((tr.y + hw.l + hw.b) / 2.0 - hw.l) / 2.0 + hw.b / 2.0 AS b
+        |  FROM hw JOIN train tr
+        |    ON tr.event_type = hw.event_type AND tr.t = hw.t + 1),
+        |fin AS (
+        |  SELECT hw.event_type, hw.l, hw.b
+        |  FROM hw JOIN n ON n.event_type = hw.event_type
+        |    AND hw.t = n.tmax),
+        |fc AS (
+        |  SELECT event_type, CAST(h AS BIGINT) AS h, l + h * b AS forecast
+        |  FROM fin, (SELECT unnest(range(1, 8)) AS h)),
+        |hold AS (
+        |  SELECT d.event_type,
+        |    CAST(date_diff('day', cut, d.day) + 1 AS BIGINT) AS h,
+        |    d.y AS actual
+        |  FROM daily d CROSS JOIN c WHERE d.day >= cut),
+        |ho AS (
+        |  SELECT hold.event_type,
+        |    round(avg(abs(CAST(actual AS DOUBLE) - forecast)), 6) AS mae
+        |  FROM hold JOIN fc
+        |    ON fc.event_type = hold.event_type AND fc.h = hold.h
+        |  GROUP BY 1)
+        |SELECT sn.event_type, sn.mae AS mae_snaive, ho.mae AS mae_holt,
+        |  CASE WHEN ho.mae < sn.mae THEN 'holt'
+        |       WHEN ho.mae > sn.mae THEN 'snaive'
+        |       ELSE 'tie' END AS winner
+        |FROM sn JOIN ho ON sn.event_type = ho.event_type""".stripMargin,
     // seasonal-naive forecast + backtest: integer daily counts, lag-7
     // over the O(#types × #days) rollup, MAE one exact-int sum / 7 —
     // windows evaluate after WHERE on both engines, so the per-type

@@ -1258,6 +1258,27 @@ object Stats {
           .as("top10_share"))
   }
 
+  /** FORECAST MODEL EVAL — the comparison harness that closes the
+    * forecasting family (the q_retrieval_metrics pattern applied to
+    * time series): per event type, the holdout MAE of the
+    * seasonal-naive baseline vs the Holt trend model on the
+    * IDENTICAL 7-day holdout, and which one a deployment should
+    * ship. Baselines are not decoration — a forecasting system that
+    * cannot beat seasonal-naive should not ship, and this report is
+    * where that shows up.
+    */
+  def forecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val sn = forecastSnaive(spark, sfDir)
+      .groupBy("event_type").agg(min(col("mae")).as("mae_snaive"))
+    val hw = holtForecast(spark, sfDir)
+      .groupBy("event_type").agg(min(col("mae")).as("mae_holt"))
+    sn.join(hw, "event_type")
+      .select(col("event_type"), col("mae_snaive"), col("mae_holt"),
+        when(col("mae_holt") < col("mae_snaive"), "holt")
+          .when(col("mae_holt") > col("mae_snaive"), "snaive")
+          .otherwise("tie").as("winner"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH guardrail — the pre-analysis check every
     * experiment platform runs before trusting a readout (Fabijan et
     * al. 2019): if the md5-parity assignment that [[cuped]]/[[did]]/

@@ -501,6 +501,24 @@ class StatsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("forecast eval: per-type MAEs equal the two gated backtests and " +
+      "the winner column is the comparison") {
+    val e = Stats.forecastEval(spark, sf).cache()
+    val sn = Stats.forecastSnaive(spark, sf)
+      .groupBy("event_type").agg(min(col("mae")).as("m1"))
+    val hw = Stats.holtForecast(spark, sf)
+      .groupBy("event_type").agg(min(col("mae")).as("m2"))
+    val j = e.join(sn, "event_type").join(hw, "event_type")
+    assert(j.filter(col("mae_snaive") =!= col("m1")
+      || col("mae_holt") =!= col("m2")).isEmpty)
+    assert(e.filter(
+      (col("mae_holt") < col("mae_snaive") && col("winner") =!= "holt") ||
+      (col("mae_holt") > col("mae_snaive") && col("winner") =!= "snaive") ||
+      (col("mae_holt") === col("mae_snaive") && col("winner") =!= "tie"))
+      .isEmpty)
+    e.unpersist()
+  }
+
   test("SRM guardrail: groups tile the population, chi2 recomputes, and " +
       "the healthy md5 split is not flagged") {
     val r = Stats.abSrm(spark, sf).head()
