@@ -376,6 +376,7 @@ object SparkEntry {
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
+    "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     // persisted-index round trips: build artifacts once, serve from
     // artifacts only (exact IVF payload -> same oracle as ann_ivf;
@@ -956,6 +957,28 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
        |  FROM rescored) WHERE rnk <= 10""".stripMargin
+
+  /** Range-search oracle: the annIvf candidate replay with the
+    * threshold predicate instead of a rank tail; cosine is the same
+    * left-to-right double fold on both engines, so the float column
+    * hash-gates. The persisted index stores EXACT vectors, so this
+    * ONE SQL gates both the one-shot and the artifact round trip.
+    */
+  private val annRangeOracle =
+    s"""WITH $ivfAssignCtes,
+        |$vecNormCtes,
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT c.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v) / q.nrm / e.nrm AS cos
+        |  FROM cand c
+        |  JOIN nn e ON e.vec_id = c.vec_id
+        |  JOIN nn q ON q.vec_id = c.query_id)
+        |WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin
 
   /** Filtered-IVF oracle: the annIvf replay with the cross-label
     * predicate applied to the candidate stream (between cell probing
@@ -4856,22 +4879,10 @@ object SparkEntry {
     // range search: the annIvf candidate replay with the threshold
     // predicate instead of a rank tail; the cosine column is the same
     // left-to-right double fold on both engines (dot/nrm/nrm), so the
-    // float hash-gates bit-for-bit
-    "ann_range_search" ->
-      s"""WITH $ivfAssignCtes,
-         |$vecNormCtes,
-         |probes AS (SELECT vec_id AS query_id, cid FROM ranked
-         |           WHERE crank <= 4 AND vec_id < 20),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
-         |  WHERE a.vec_id <> p.query_id)
-         |SELECT query_id, neighbor_id, cos FROM (
-         |  SELECT c.query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(q.v, e.v) / q.nrm / e.nrm AS cos
-         |  FROM cand c
-         |  JOIN nn e ON e.vec_id = c.vec_id
-         |  JOIN nn q ON q.vec_id = c.query_id)
-         |WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin,
+    // float hash-gates bit-for-bit; the persisted index stores EXACT
+    // vectors, so ONE SQL gates the one-shot AND artifact round trips
+    "ann_range_search" -> annRangeOracle,
+    "ann_persisted_range" -> annRangeOracle,
     "ann_sq8" -> annSq8Oracle,
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank

@@ -130,6 +130,45 @@ object AnnIndex {
     queryIvf(spark, dir, Similarity.queryBatch(all, nQueries), k)
   }
 
+  /** Serve RANGE (radius) search from IVF artifacts ONLY — the
+    * persisted twin of [[Similarity.annRangeSearch]], completing the
+    * artifact store's query surface (top-k, filtered, and now
+    * threshold search all answer from the same index): identical
+    * probed-cell DPP join, the threshold predicate in place of the
+    * heap, no rank stage at all. Exact payload ⇒ the same oracle as
+    * the one-shot operator gates the round trip.
+    */
+  def queryIvfRange(spark: SparkSession, dir: String, queries: DataFrame,
+      tau: Double = 0.35, nProbe: Int = Similarity.IvfProbes): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("qv"), col("cv")) / col("qnorm") / col("cnorm"))
+      .select(col("query_id"), col("cid"), col("qv"), col("qnorm"),
+        row_number().over(byQ).as("crank"))
+      .filter(col("crank") <= nProbe)
+      .select(col("cid"), col("query_id"), col("qv"), col("qnorm"))
+    spark.read.parquet(s"$dir/codes")
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+      .filter(col("cos") >= lit(tau))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Gated entry for the persisted range search: build once, answer
+    * the standard query batch from artifacts at the standard τ. */
+  def annPersistedRange(spark: SparkSession, sfDir: String,
+      tau: Double = 0.35, nQueries: Int = 20): DataFrame = {
+    val all = Similarity.vecs(spark, sfDir)
+    val dir = TempDirs.create("graft_ann_range").toString
+    buildIvf(all, dir)
+    queryIvfRange(spark, dir, Similarity.queryBatch(all, nQueries), tau)
+  }
+
   /** INDEX-HEALTH report from the artifact store ALONE: per-cell
     * occupancy and share — `q_skew_report`'s twin for the vector
     * store. A hot cell is the IVF analogue of a hot join key: probe

@@ -124,4 +124,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(st.filter(col("n_vectors") <= 0).isEmpty)
     st.unpersist()
   }
+
+  test("persisted range search answers identically to the one-shot " +
+      "operator (exact payload, same probes, same threshold)") {
+    val oneShot = Similarity.annRangeSearch(spark, sf, tau = 0.35,
+      nQueries = 20)
+    val fromArtifacts = AnnIndex.annPersistedRange(spark, sf, tau = 0.35,
+      nQueries = 20)
+    assert(oneShot.except(fromArtifacts).isEmpty
+      && fromArtifacts.except(oneShot).isEmpty)
+  }
 }
