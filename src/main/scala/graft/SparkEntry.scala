@@ -117,6 +117,7 @@ object SparkEntry {
     "text_perplexity_bigram" -> ((s, d) => TextAnalysis.perplexityBigram(s, d)),
     "lm_persisted" -> ((s, d) => TextAnalysis.lmPersisted(s, d)),
     "text_watermark" -> ((s, d) => TextAnalysis.watermark(s, d)),
+    "q_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -2629,6 +2630,30 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*), 6) AS avg_nll
         |FROM allp GROUP BY 1""".stripMargin,
+    // content-defined chunking: the 24-bit md5-prefix window hash's
+    // mod-64 boundary rule replayed position by position; chunk rows
+    // carry offset/length/content hash
+    "q_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 1),
+        |cu AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(range(8, greatest(n, 8) + 1),
+        |      i -> i < n AND
+        |        CAST('0x' || substring(md5(substring(text, i - 7, 8)), 1, 6)
+        |          AS BIGINT) % 64 = 0) AS cuts
+        |  FROM d),
+        |bs AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([0], cuts), [n]) AS b
+        |  FROM cu)
+        |SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+        |  CAST(b[j] + 1 AS BIGINT) AS start,
+        |  CAST(b[j + 1] - b[j] AS BIGINT) AS chunk_len,
+        |  md5(substring(text, b[j] + 1, b[j + 1] - b[j])) AS chunk_hash
+        |FROM bs, LATERAL (SELECT unnest(range(1, len(b))) AS j)"""
+        .stripMargin,
     // watermark detector: first md5 nibble of "prev|current" in 0-7
     // is green (the hash-seeded half-vocabulary rule), one-proportion
     // z against the 1/2 null — all md5 + exact-int arithmetic

@@ -1116,4 +1116,51 @@ object Dedup {
   /** MinHash LSH band signatures straight from documents. */
   def minhashBands(docs: DataFrame): DataFrame =
     bandsFromSigs(minhashSigs(docs))
+
+  /** CONTENT-DEFINED CHUNKING — the rolling-boundary rule behind
+    * rsync/LBFS/restic-style dedup storage, where chunk boundaries
+    * follow CONTENT, not offsets (an insertion early in a document
+    * shifts every fixed-size block but leaves later content-defined
+    * chunks identical — the property that makes chunk stores dedup
+    * across edits): a cut lands after position i when the hash of
+    * the trailing 8-char window satisfies h ≡ 0 (mod 64), giving
+    * ~64-char expected chunks; the window hash is the usual 24-bit
+    * md5 prefix, so DuckDB replays every boundary. Emits one row per
+    * chunk with its offset, length, and content hash — the rows a
+    * chunk store ingests (cross-doc sharing is then a plain
+    * chunk-hash groupBy, the [[graft.operators.Multimodal.frameDup]]
+    * shape).
+    *
+    * Scale shape: boundary detection and chunk slicing are pure
+    * per-document array projections (HOF filter/transform over ≤len
+    * positions — per-doc bounded, no shuffle); the only shuffle is
+    * whatever aggregation the consumer runs on the chunk rows.
+    */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunksOver(graft.Tables.documents(spark, sfDir))
+
+  /** Same chunker over any (doc_id, text) frame (edit-shift specs). */
+  private[graft] def cdcChunksOver(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("cuts", expr(
+        """filter(sequence(8, greatest(n, 8)),
+          |  i -> i < n AND
+          |    conv(substring(md5(substring(text, i - 7, 8)), 1, 6), 16, 10)
+          |      % 64 = 0)""".stripMargin))
+      .withColumn("b", expr(
+        "concat(array(0), cuts, array(n))"))
+      .select(col("doc_id"), col("text"), explode(expr(
+        """transform(sequence(1, size(b) - 1),
+          |  j -> struct(
+          |    j AS chunk_idx,
+          |    element_at(b, j) + 1 AS start,
+          |    element_at(b, j + 1) - element_at(b, j) AS chunk_len))"""
+          .stripMargin)).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start").cast("long").as("start"),
+        col("c.chunk_len").cast("long").as("chunk_len"),
+        md5(expr("substring(text, c.start, c.chunk_len)")).as("chunk_hash"))
 }

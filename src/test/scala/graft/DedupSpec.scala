@@ -495,4 +495,35 @@ class DedupSpec extends SparkSpec {
     val jac = Dedup.ngramJaccard(spark, sf, 0.8).select("doc_a", "doc_b")
     assert(jac.exceptAll(real.select("doc_a", "doc_b")).isEmpty)
   }
+
+  test("CDC chunking: chunks tile each document, and an early insertion " +
+      "leaves the chunk tail identical (shift resistance)") {
+    import spark.implicits._
+    val c = Dedup.cdcChunks(spark, sf).cache()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    val tiling = c.groupBy("doc_id")
+      .agg(sum(col("chunk_len")).as("s"),
+        max(col("start") + col("chunk_len") - 1).as("e"),
+        min(col("start")).as("st"))
+      .join(docs, "doc_id")
+    assert(tiling.filter(col("s") =!= col("n") || col("e") =!= col("n")
+      || col("st") =!= 1L).isEmpty)
+    c.unpersist()
+    // shift resistance: prepend an insertion; boundaries resync at the
+    // first content-defined cut, so the chunk-hash TAILS coincide —
+    // the property fixed-size blocks lack
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val pair = Seq((1L, base), (2L, "INSERTED PREFIX " + base))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunksOver(pair).cache()
+    def hashes(id: Long): Array[String] = out
+      .filter(col("doc_id") === id).orderBy("chunk_idx")
+      .select("chunk_hash").as[String].collect()
+    val (h1, h2) = (hashes(1L), hashes(2L))
+    val tail = h1.reverse.zip(h2.reverse).takeWhile { case (a, b) => a == b }
+    assert(tail.length >= 1,
+      s"no shared tail after early insertion: ${h1.length}/${h2.length}")
+    out.unpersist()
+  }
 }
