@@ -143,6 +143,7 @@ object SparkEntry {
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_holt_forecast" -> ((s, d) => Stats.holtForecast(s, d)),
     "q_forecast_eval" -> ((s, d) => Stats.forecastEval(s, d)),
+    "q_seasonal_decompose" -> ((s, d) => Stats.seasonalDecompose(s, d)),
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
     "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
@@ -4750,6 +4751,25 @@ object SparkEntry {
         |FROM hold JOIN fc
         |  ON fc.event_type = hold.event_type AND fc.h = hold.h"""
         .stripMargin,
+    // seasonal decomposition: weekday cells over the daily rollup;
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday — shifted +1
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    count(*) AS n_days, sum(y) AS s
+        |  FROM daily GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, count(*) AS n_all, sum(y) AS s_all
+        |  FROM daily GROUP BY 1)
+        |SELECT bd.event_type, dow, n_days,
+        |  round(CAST(s AS DOUBLE) / n_days, 6) AS dow_mean,
+        |  round((CAST(s AS DOUBLE) / n_days)
+        |    / (CAST(s_all AS DOUBLE) / n_all), 6) AS seasonal_index
+        |FROM bd JOIN o ON bd.event_type = o.event_type""".stripMargin,
     // forecast eval: both arms' holdout MAEs from their own gated
     // recipes (shared daily rollup + cut), winner by comparison
     "q_forecast_eval" ->

@@ -1258,6 +1258,42 @@ object Stats {
           .as("top10_share"))
   }
 
+  /** SEASONAL DECOMPOSITION (multiplicative, day-of-week) — the
+    * diagnosis step before any forecast choice: per (event type,
+    * weekday), the seasonal index = weekday mean ÷ overall mean of
+    * the daily-count series, with the count evidence behind it. An
+    * index far from 1 says "this weekday is structurally
+    * hotter/colder" — exactly what makes [[forecastSnaive]]'s lag-7
+    * beat a naive carry-forward, and what [[holtForecast]] (trend
+    * only, no seasonality) cannot capture; the three keys together
+    * are the decompose → model → evaluate loop. All means are
+    * exact-integer sums divided once; the index is one division of
+    * two such means (deterministic), rounded 6.
+    *
+    * Scale shape: ONE partial-aggregated groupBy to the O(#types ×
+    * #days) rollup, then two rollup-sized aggregations — weekday
+    * cells and per-type totals — joined back broadcast.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDow = daily
+      .groupBy(col("event_type"), dayofweek(col("day")).cast("long")
+        .as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"))
+    val overall = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_all"), sum(col("y")).as("s_all"))
+    byDow.join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("s").cast("double") / col("n_days"), 6).as("dow_mean"),
+        round((col("s").cast("double") / col("n_days"))
+          / (col("s_all").cast("double") / col("n_all")), 6)
+          .as("seasonal_index"))
+  }
+
   /** FORECAST MODEL EVAL — the comparison harness that closes the
     * forecasting family (the q_retrieval_metrics pattern applied to
     * time series): per event type, the holdout MAE of the

@@ -501,6 +501,23 @@ class StatsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("seasonal decomposition: 7 weekday cells per type, day counts " +
+      "tile the month, and count-weighted indices average to 1") {
+    val d = Stats.seasonalDecompose(spark, sf).cache()
+    assert(d.groupBy("event_type").count().filter(col("count") =!= 7L)
+      .isEmpty)
+    val nDays = graft.Tables.events(spark, sf)
+      .select(to_date(date_trunc("DAY", col("ts")))).distinct().count()
+    assert(d.groupBy("event_type").agg(sum(col("n_days")).as("s"))
+      .filter(col("s") =!= nDays).isEmpty)
+    // Σ n_days·dow_mean / Σ n_days = overall mean ⇒ weighted index ≈ 1
+    val w = d.groupBy("event_type")
+      .agg((sum(col("n_days") * col("seasonal_index"))
+        / sum(col("n_days"))).as("wavg"))
+    assert(w.filter(abs(col("wavg") - 1.0) > 1e-4).isEmpty)
+    d.unpersist()
+  }
+
   test("forecast eval: per-type MAEs equal the two gated backtests and " +
       "the winner column is the comparison") {
     val e = Stats.forecastEval(spark, sf).cache()
