@@ -118,6 +118,7 @@ object SparkEntry {
     "lm_persisted" -> ((s, d) => TextAnalysis.lmPersisted(s, d)),
     "text_watermark" -> ((s, d) => TextAnalysis.watermark(s, d)),
     "q_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
+    "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -2631,6 +2632,32 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*), 6) AS avg_nll
         |FROM allp GROUP BY 1""".stripMargin,
+    // Heaps-law vocabulary growth: first-seen doc per word + per-doc
+    // token counts; checkpoint aggregation over vocabulary-sized
+    // frames, decile cuts from the 1-row span aggregate
+    "q_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents),
+        |fs AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |dt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+        |         FROM documents),
+        |cuts AS (
+        |  SELECT CAST(d AS BIGINT) AS decile,
+        |    lo + CAST(floor((hi - lo + 1) * d / 10) AS BIGINT) - 1 AS cut
+        |  FROM span, (SELECT unnest(range(1, 11)) AS d)),
+        |v AS (SELECT decile, cut, count(*) AS vocab_size
+        |      FROM fs JOIN cuts ON fd <= cut GROUP BY 1, 2),
+        |t AS (SELECT decile AS d2, sum(n_tokens) AS tokens_scanned
+        |      FROM dt JOIN cuts ON doc_id <= cut GROUP BY 1)
+        |SELECT decile, cut, CAST(tokens_scanned AS BIGINT)
+        |    AS tokens_scanned, vocab_size,
+        |  round(CAST(vocab_size AS DOUBLE) / tokens_scanned, 6)
+        |    AS vocab_per_token
+        |FROM v JOIN t ON decile = d2""".stripMargin,
     // content-defined chunking: the 24-bit md5-prefix window hash's
     // mod-64 boundary rule replayed position by position; chunk rows
     // carry offset/length/content hash

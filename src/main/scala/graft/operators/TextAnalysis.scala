@@ -473,6 +473,50 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** VOCABULARY-GROWTH CURVE (Heaps' law) — the corpus-scaling
+    * diagnostic behind tokenizer and dedup budgeting: how many
+    * distinct words has the corpus introduced after scanning its
+    * first 10%, 20%, … of documents (ingest = doc_id order)? A curve
+    * that keeps climbing steeply says open vocabulary (BPE budget
+    * matters, hash-based fingerprints keep growing); a flattening
+    * curve says closed domain. Computed EXACTLY with no cumulative
+    * re-scan: each word's FIRST document (one groupBy-min over the
+    * token stream) and each document's token count (one rollup) are
+    * enough — checkpoint c's vocabulary is |{w : first_doc(w) ≤
+    * cut_c}| and its token count is Σ_{doc ≤ cut_c} n_tokens, both
+    * one broadcast-joined conditional aggregation over
+    * vocabulary-sized (not corpus-sized) frames.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String,
+      checkpoints: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), WordSplit), w => w =!= ""))
+        .as("w"))
+    val firstSeen = tok.groupBy("w").agg(min(col("doc_id")).as("fd"))
+    val docTokens = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"))
+    // decile cut ids from the doc-id span (min + k/10 of the range):
+    // a 1-row aggregate fanned to `checkpoints` rows, broadcast
+    val cuts = docs
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .select(explode(sequence(lit(1L), lit(checkpoints.toLong)))
+        .as("decile"), col("lo"), col("hi"))
+      .select(col("decile"),
+        (col("lo") + floor((col("hi") - col("lo") + 1)
+          * col("decile") / checkpoints) - 1).as("cut"))
+    val vocab = firstSeen.join(broadcast(cuts), col("fd") <= col("cut"))
+      .groupBy("decile", "cut").agg(count(lit(1)).as("vocab_size"))
+    val toks = docTokens.join(broadcast(cuts), col("doc_id") <= col("cut"))
+      .groupBy(col("decile").as("d2"))
+      .agg(sum(col("n_tokens")).as("tokens_scanned"))
+    vocab.join(toks, col("decile") === col("d2")).drop("d2")
+      .select(col("decile"), col("cut"), col("tokens_scanned"),
+        col("vocab_size"),
+        round(col("vocab_size").cast("double")
+          / col("tokens_scanned"), 6).as("vocab_per_token"))
+  }
+
   /** WATERMARK DETECTION (Kirchenbauer et al. 2023, "A Watermark for
     * Large Language Models") — the greenlist test a curation pipeline
     * runs to keep watermarked SYNTHETIC text out of training data: a

@@ -465,6 +465,22 @@ class TextAnalysisSpec extends SparkSpec {
       r6((r6(math.log(2.0)) + r6(math.log(6.0) + math.log(2.0))) / 2.0))
   }
 
+  test("vocab growth: monotone in both axes, final checkpoint equals " +
+      "the full corpus vocabulary and token count") {
+    val g = TextAnalysis.vocabGrowth(spark, sf).orderBy("decile")
+      .collect()
+    assert(g.length == 10)
+    g.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(2) && b.getLong(3) >= a.getLong(3))
+    case _ => ()
+    }
+    val tok = graft.Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), "[^\\p{L}]+"),
+        w => w =!= "")).as("w"))
+    assert(g.last.getLong(3) == tok.select("w").distinct().count())
+    assert(g.last.getLong(2) == tok.count())
+  }
+
   test("LM count-table artifacts are re-mergeable: summing two batches' " +
       "tables equals training on the union (the sketch-store property)") {
     val docs = graft.Tables.documents(spark, sf)
