@@ -118,6 +118,7 @@ object SparkEntry {
     "lm_persisted" -> ((s, d) => TextAnalysis.lmPersisted(s, d)),
     "text_watermark" -> ((s, d) => TextAnalysis.watermark(s, d)),
     "q_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
+    "q_chunk_store_stats" -> ((s, d) => Dedup.chunkStoreStats(s, d)),
     "q_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "q_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
@@ -2667,6 +2668,36 @@ object SparkEntry {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s""".stripMargin,
+    // chunk-store savings: the cdc replay aggregated to per-hash
+    // (refs, len), constant-size rollup, exact-int dedup ratio
+    "q_chunk_store_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 1),
+        |cu AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(range(8, greatest(n, 8) + 1),
+        |      i -> i < n AND
+        |        CAST('0x' || substring(md5(substring(text, i - 7, 8)), 1, 6)
+        |          AS BIGINT) % 64 = 0) AS cuts
+        |  FROM d),
+        |bs AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([0], cuts), [n]) AS b
+        |  FROM cu),
+        |ch AS (
+        |  SELECT md5(substring(text, b[j] + 1, b[j + 1] - b[j])) AS h,
+        |    b[j + 1] - b[j] AS len
+        |  FROM bs, LATERAL (SELECT unnest(range(1, len(b))) AS j)),
+        |per AS (
+        |  SELECT h, count(*) AS refs, min(len) AS len FROM ch GROUP BY 1)
+        |SELECT CAST(sum(refs) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(refs * len) AS BIGINT) AS bytes_logical,
+        |  CAST(sum(len) AS BIGINT) AS bytes_stored,
+        |  round(CAST(sum(refs * len) AS DOUBLE) / sum(len), 6)
+        |    AS dedup_ratio
+        |FROM per""".stripMargin,
     // Heaps-law vocabulary growth: first-seen doc per word + per-doc
     // token counts; checkpoint aggregation over vocabulary-sized
     // frames, decile cuts from the 1-row span aggregate

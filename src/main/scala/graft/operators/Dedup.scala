@@ -1139,6 +1139,29 @@ object Dedup {
   def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
     cdcChunksOver(graft.Tables.documents(spark, sfDir))
 
+  /** CHUNK-STORE savings report — the number a [[cdcChunks]] store
+    * exists to produce: if every distinct chunk is stored once and
+    * duplicates become references (the restic/borg model), how many
+    * bytes does this corpus actually occupy? One partial-aggregated
+    * pass over the chunk rows to (hash → count, length), then a
+    * constant-size rollup: total vs unique chunks and bytes, and the
+    * dedup ratio as one exact-integer division. The per-hash length
+    * is well-defined because equal md5 ⇒ equal content ⇒ equal
+    * length (min() is just the aggregate-legal way to say "the").
+    */
+  def chunkStoreStats(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunks(spark, sfDir)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("refs"), min(col("chunk_len")).as("len"))
+      .agg(sum(col("refs")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("refs") * col("len")).as("bytes_logical"),
+        sum(col("len")).as("bytes_stored"))
+      .select(col("n_chunks"), col("n_unique"), col("bytes_logical"),
+        col("bytes_stored"),
+        round(col("bytes_logical").cast("double")
+          / col("bytes_stored"), 6).as("dedup_ratio"))
+
   /** Same chunker over any (doc_id, text) frame (edit-shift specs). */
   private[graft] def cdcChunksOver(docs: DataFrame): DataFrame =
     docs

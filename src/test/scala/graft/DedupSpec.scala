@@ -526,4 +526,15 @@ class DedupSpec extends SparkSpec {
       s"no shared tail after early insertion: ${h1.length}/${h2.length}")
     out.unpersist()
   }
+
+  test("chunk store stats: totals reconcile with the chunk rows and the " +
+      "dedup ratio is logical over stored") {
+    val s = Dedup.chunkStoreStats(spark, sf).head()
+    val c = Dedup.cdcChunks(spark, sf).cache()
+    assert(s.getLong(0) == c.count())
+    assert(s.getLong(1) == c.select("chunk_hash").distinct().count())
+    assert(s.getLong(2) == c.agg(sum(col("chunk_len"))).head().getLong(0))
+    assert(s.getLong(2) >= s.getLong(3) && s.getDouble(4) >= 1.0)
+    c.unpersist()
+  }
 }
