@@ -153,6 +153,7 @@ object SparkEntry {
     "q_did" -> ((s, d) => Stats.did(s, d)),
     "q_power_mde" -> ((s, d) => Stats.powerMde(s, d)),
     "q_ab_srm" -> ((s, d) => Stats.abSrm(s, d)),
+    "q_bootstrap_diff" -> ((s, d) => Stats.bootstrapDiff(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4581,6 +4582,54 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn > 0
         |       THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    // bootstrap effect CI: the bootstrap_ci replay restricted to the
+    // two arms, per-replicate mean diffs, percentile pick on the 64
+    // sorted diffs (coupled replicates — same weights table per r)
+    "q_bootstrap_diff" ->
+      """WITH p AS (SELECT r,
+        |        1 + CAST('0x' || substring(md5('bootA' || CAST(r AS VARCHAR)),
+        |              1, 12) AS BIGINT) % 2147483646 AS a,
+        |        CAST('0x' || substring(md5('bootB' || CAST(r AS VARCHAR)),
+        |              1, 12) AS BIGINT) % 2147483647 AS b
+        |      FROM (SELECT unnest(range(0, 64)) AS r)),
+        |pp AS (SELECT * FROM p UNION ALL SELECT -1, 0, 0),
+        |ev AS (SELECT event_id, event_type,
+        |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |        CAST('0x' || substring(md5('boot' || CAST(event_id AS VARCHAR)),
+        |              1, 12) AS BIGINT) % 2147483647 AS h0
+        |       FROM events WHERE event_type IN ('purchase', 'click')),
+        |hx AS (SELECT event_type, r, vc,
+        |        (a * h0 + b) % 2147483647 AS h
+        |       FROM ev CROSS JOIN pp),
+        |wx AS (SELECT event_type, r, vc,
+        |        CASE WHEN r = -1 THEN 1 ELSE
+        |        (CASE WHEN h >= 790015083 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 1580030167 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 1975037709 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2106706890 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2139624185 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2146207644 THEN 1 ELSE 0 END +
+        |         CASE WHEN h >= 2147304887 THEN 1 ELSE 0 END) END AS w
+        |       FROM hx),
+        |agg AS (SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw,
+        |        round((CAST(sum(w * vc) AS DOUBLE) / 100.0)
+        |              / CAST(sum(w) AS DOUBLE), 9) AS m
+        |      FROM wx GROUP BY 1, 2),
+        |aa AS (SELECT r, sw AS na, m AS ma FROM agg
+        |       WHERE event_type = 'purchase'),
+        |bb AS (SELECT r, sw AS nb, m AS mb FROM agg
+        |       WHERE event_type = 'click'),
+        |dd AS (SELECT aa.r, na, nb, ma - mb AS d
+        |       FROM aa JOIN bb ON aa.r = bb.r),
+        |f AS (SELECT
+        |        max(na) FILTER (WHERE r = -1) AS n_a,
+        |        max(nb) FILTER (WHERE r = -1) AS n_b,
+        |        max(d) FILTER (WHERE r = -1) AS diff,
+        |        list_sort(list(d) FILTER (WHERE r >= 0)) AS ds
+        |      FROM dd)
+        |SELECT n_a, n_b, round(diff, 9) AS diff,
+        |  round(ds[2], 9) AS ci_lo, round(ds[63], 9) AS ci_hi
+        |FROM f""".stripMargin,
     // SRM guardrail: exact counts, chi-square as a fixed dag, the
     // 0.05 critical value a pinned literal on both engines
     "q_ab_srm" ->

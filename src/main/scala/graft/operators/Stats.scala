@@ -121,28 +121,7 @@ object Stats {
     * (a·h0+b) mod M31.
     */
   def bootstrapCiOver(events: DataFrame, reps: Int): DataFrame = {
-    // exact integer CENTS, not decimal: the 65×-fanned aggregate sums
-    // primitive longs in codegen (a decimal sum buffer at 39M rows
-    // measured ~3× slower); decimal→long is exact, and per-(type, r)
-    // cent sums stay far below 2^63
-    val ev = events.select(col("event_id"), col("event_type"),
-      (money(col("value")) * 100).cast("long").as("vc"))
-      .withColumn("h0", md5Mod("boot", col("event_id")))
-    val pois = PoissonCdfM31
-      .map(t => (col("h") >= t).cast("int"))
-      .reduce(_ + _)
-    val agg = ev
-      .withColumn("p", explode(typedLit(replicateParamsLocal(reps))))
-      .select(col("event_type"), col("vc"), col("h0"),
-        col("p._1").as("r"), col("p._2").as("a"), col("p._3").as("b"))
-      .withColumn("h", (col("a") * col("h0") + col("b")) % M31)
-      .withColumn("w",
-        when(col("r") === -1, lit(1L)).otherwise(pois.cast("long")))
-      .groupBy("event_type", "r")
-      .agg(sum(col("w") * col("vc")).as("swv"), sum(col("w")).as("sw"))
-      .select(col("event_type"), col("r"), col("sw"),
-        round((col("swv").cast("double") / lit(100.0)) /
-          col("sw").cast("double"), 9).as("m"))
+    val agg = replicateMeans(events, reps)
     // conditional aggregation folds the point row and the 64 replicate
     // rows into ONE grouped pass — no second branch, no join, so the
     // corpus is structurally scanned exactly once (collect_list skips
@@ -155,6 +134,71 @@ object Stats {
       .select(col("event_type"), col("n"), col("mean"),
         element_at(col("ms"), 2).as("ci_lo"),
         element_at(col("ms"), reps - 1).as("ci_hi"))
+  }
+
+  /** The shared replicate fan-out of the deterministic Poisson
+    * bootstrap: per-(event_type, replicate) weighted means, with the
+    * POINT estimate riding replicate r = −1 at weight 1 — ONE
+    * grouped aggregate over one corpus scan ([[bootstrapCiOver]]'s
+    * engine, extracted so [[bootstrapDiff]] reuses the identical
+    * dag). Exact integer CENTS, not decimal: the 65×-fanned
+    * aggregate sums primitive longs in codegen (a decimal buffer at
+    * 39M rows measured ~3× slower); the corpus pays ONE md5 per row,
+    * each replicate only an affine (a·h0+b) mod M31.
+    */
+  private def replicateMeans(events: DataFrame, reps: Int): DataFrame = {
+    val ev = events.select(col("event_id"), col("event_type"),
+      (money(col("value")) * 100).cast("long").as("vc"))
+      .withColumn("h0", md5Mod("boot", col("event_id")))
+    val pois = PoissonCdfM31
+      .map(t => (col("h") >= t).cast("int"))
+      .reduce(_ + _)
+    ev
+      .withColumn("p", explode(typedLit(replicateParamsLocal(reps))))
+      .select(col("event_type"), col("vc"), col("h0"),
+        col("p._1").as("r"), col("p._2").as("a"), col("p._3").as("b"))
+      .withColumn("h", (col("a") * col("h0") + col("b")) % M31)
+      .withColumn("w",
+        when(col("r") === -1, lit(1L)).otherwise(pois.cast("long")))
+      .groupBy("event_type", "r")
+      .agg(sum(col("w") * col("vc")).as("swv"), sum(col("w")).as("sw"))
+      .select(col("event_type"), col("r"), col("sw"),
+        round((col("swv").cast("double") / lit(100.0)) /
+          col("sw").cast("double"), 9).as("m"))
+  }
+
+  /** BOOTSTRAP CI ON THE TREATMENT EFFECT — the uncertainty readout
+    * the experiment family was missing: the A−B difference of mean
+    * values with a percentile interval from the SAME 64 deterministic
+    * Poisson replicates ([[bootstrapCi]] bounds a mean; decisions
+    * ship on the CONTRAST, and "does the interval cross zero" is the
+    * launch call). Replicates are coupled — replicate r resamples
+    * both arms with the same weights table — which is exactly how a
+    * paired bootstrap on one event stream should behave. Same
+    * one-scan fan-out (restricted to the two arms before the 65×
+    * explode), diffs of per-replicate means, percentile pick on the
+    * 64 sorted diffs.
+    */
+  def bootstrapDiff(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click",
+      reps: Int = 64): DataFrame = {
+    val rm = replicateMeans(
+      Tables.events(spark, sfDir)
+        .filter(col("event_type").isin(typeA, typeB)), reps)
+    val a = rm.filter(col("event_type") === typeA)
+      .select(col("r"), col("sw").as("na"), col("m").as("ma"))
+    val b = rm.filter(col("event_type") === typeB)
+      .select(col("r").as("rb"), col("sw").as("nb"), col("m").as("mb"))
+    a.join(b, col("r") === col("rb"))
+      .withColumn("d", col("ma") - col("mb"))
+      .agg(
+        max(when(col("r") === -1, col("na"))).as("n_a"),
+        max(when(col("r") === -1, col("nb"))).as("n_b"),
+        max(when(col("r") === -1, col("d"))).as("diff"),
+        sort_array(collect_list(when(col("r") >= 0, col("d")))).as("ds"))
+      .select(col("n_a"), col("n_b"), round(col("diff"), 9).as("diff"),
+        round(element_at(col("ds"), 2), 9).as("ci_lo"),
+        round(element_at(col("ds"), reps - 1), 9).as("ci_hi"))
   }
 
   /** LABEL-ERROR MINING with the trained probe (confident-learning-

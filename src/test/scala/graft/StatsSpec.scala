@@ -536,6 +536,23 @@ class StatsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("bootstrap effect CI: point diff equals the direct mean contrast, " +
+      "interval ordered, arm sizes match") {
+    val r = Stats.bootstrapDiff(spark, sf).head()
+    val ev = graft.Tables.events(spark, sf)
+    def arm(t: String) = ev.filter(col("event_type") === t)
+      .agg(count(lit(1)), sum(
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))).head()
+    val (pa, pb) = (arm("purchase"), arm("click"))
+    assert(r.getLong(0) == pa.getLong(0) && r.getLong(1) == pb.getLong(0))
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ma = r9((pa.getLong(1).toDouble / 100.0) / pa.getLong(0))
+    val mb = r9((pb.getLong(1).toDouble / 100.0) / pb.getLong(0))
+    assert(r.getDouble(2) == r9(ma - mb), s"${r.getDouble(2)} vs ${ma - mb}")
+    assert(r.getDouble(3) <= r.getDouble(4))
+  }
+
   test("SRM guardrail: groups tile the population, chi2 recomputes, and " +
       "the healthy md5 split is not flagged") {
     val r = Stats.abSrm(spark, sf).head()
