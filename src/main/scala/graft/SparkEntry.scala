@@ -4718,8 +4718,9 @@ object SparkEntry {
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |  round(mean, 6) AS mean_metric, round(sqrt(varp), 6) AS sigma,
         |  round(mde, 6) AS mde, round(mde / mean, 6) AS mde_rel,
-        |  CAST(ceil(2.0 * varp * (2.801585 * 2.801585)
-        |    / (delta * delta)) AS BIGINT) AS n_required
+        |  CASE WHEN delta = 0.0 THEN NULL
+        |    ELSE CAST(ceil(2.0 * varp * (2.801585 * 2.801585)
+        |      / (delta * delta)) AS BIGINT) END AS n_required
         |FROM e""".stripMargin,
     // CUPED: md5-parity assignment, per-user pre/post DECIMAL sums,
     // pooled theta and adjusted means as a fixed IEEE dag over exact
@@ -4751,7 +4752,9 @@ object SparkEntry {
         |  FROM pv),
         |t AS (
         |  SELECT pn, psx,
-        |    (psxy - psx * psy / pn) / (psxx - psx * psx / pn) AS theta
+        |    CASE WHEN psxx - psx * psx / pn = 0.0 THEN 0.0
+        |      ELSE (psxy - psx * psy / pn) / (psxx - psx * psx / pn)
+        |    END AS theta
         |  FROM p)
         |SELECT variant, CAST(n AS BIGINT) AS n_users,
         |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,

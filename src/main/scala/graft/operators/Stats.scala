@@ -549,9 +549,14 @@ object Stats {
         col("psy").cast("double").as("psy"),
         col("psxy").cast("double").as("psxy"),
         col("psxx").cast("double").as("psxx"))
+      // a constant covariate (Var(x) = 0) carries no information:
+      // theta pins to 0 (no adjustment) instead of NaN-ing the means
+      // — the q_neyman_alloc degenerate-divide convention
       .withColumn("theta",
-        (col("psxy") - col("psx") * col("psy") / col("pn")) /
-          (col("psxx") - col("psx") * col("psx") / col("pn")))
+        when(col("psxx") - col("psx") * col("psx") / col("pn") === 0.0,
+          lit(0.0))
+          .otherwise((col("psxy") - col("psx") * col("psy") / col("pn")) /
+            (col("psxx") - col("psx") * col("psx") / col("pn"))))
     byV.crossJoin(broadcast(pooled))
       .select(col("variant"), col("n").as("n_users"),
         round(col("sy").cast("double") / col("n").cast("double"), 6)
@@ -654,9 +659,12 @@ object Stats {
         lit(zsum) * sqrt(col("varp"))
           * sqrt(lit(1.0) / col("na") + lit(1.0) / col("nb")))
       .withColumn("delta", col("mean") * 0.01)
+      // a zero-mean metric has no "1% lift" target: n_required is
+      // null, not an Infinity cast (the degenerate-divide convention)
       .withColumn("n_required",
-        ceil(lit(2.0) * col("varp") * lit(zsum * zsum)
-          / (col("delta") * col("delta"))).cast("long"))
+        when(col("delta") === 0.0, lit(null).cast("long"))
+          .otherwise(ceil(lit(2.0) * col("varp") * lit(zsum * zsum)
+            / (col("delta") * col("delta"))).cast("long")))
       .select(col("na").cast("long").as("n_a"),
         col("nb").cast("long").as("n_b"),
         round(col("mean"), 6).as("mean_metric"),
