@@ -154,6 +154,9 @@ object SparkEntry {
     "q_power_mde" -> ((s, d) => Stats.powerMde(s, d)),
     "q_ab_srm" -> ((s, d) => Stats.abSrm(s, d)),
     "q_bootstrap_diff" -> ((s, d) => Stats.bootstrapDiff(s, d)),
+    "q_mannwhitney" -> ((s, d) => Stats.mannWhitney(s, d)),
+    "q_fdr_bh" -> ((s, d) => Stats.fdrBh(s, d)),
+    "q_qte" -> ((s, d) => Stats.qte(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
     "q_lift" -> ((s, d) => Stats.lift(s, d)),
     "q_confusion" -> ((s, d) => Stats.confusion(s, d)),
@@ -4315,6 +4318,112 @@ object SparkEntry {
         |  round(((sea + seb) * (sea + seb)) /
         |        ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)), 6) AS df
         |FROM d""".stripMargin,
+    // Mann-Whitney: the q_auc histogram identity (doubled integral U,
+    // DECIMAL accumulation), DECIMAL(12,0) tie cubes, then the
+    // tie-corrected normal-approximation dag mirrored token-for-token
+    "q_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+        |    event_type
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT score,
+        |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS a,
+        |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT score, a, b,
+        |        coalesce(sum(b) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumb
+        |      FROM h),
+        |m AS (SELECT sum(a) AS na, sum(b) AS nb,
+        |        sum(CAST(a AS DECIMAL(19,0)) *
+        |            CAST(2 * cumb + b AS DECIMAL(19,0))) AS u2,
+        |        sum(CAST(a + b AS DECIMAL(12,0)) *
+        |            CAST(a + b AS DECIMAL(12,0)) *
+        |            CAST(a + b AS DECIMAL(12,0))
+        |            - CAST(a + b AS DECIMAL(12,0))) AS ties
+        |      FROM c),
+        |d AS (SELECT *, CAST(na AS DOUBLE) AS nd, CAST(nb AS DOUBLE) AS md,
+        |        CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n FROM m),
+        |v AS (SELECT *, nd * md / 12.0 *
+        |        ((n + 1.0) - CAST(ties AS DOUBLE) / (n * (n - 1.0)))
+        |          AS varu
+        |      FROM d)
+        |SELECT 'purchase' AS type_a, 'click' AS type_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(u2 AS DOUBLE) / 2.0, 1) AS u_stat,
+        |  CASE WHEN na > 0 AND nb > 0 AND varu > 0
+        |       THEN round((CAST(u2 AS DOUBLE) - nd * md) /
+        |                  (2.0 * sqrt(varu)), 6)
+        |  END AS z_stat
+        |FROM v""".stripMargin,
+    // BH: per-hour Welch z (the q_ab_test moment dag), two-sided p via
+    // the A&S 26.2.17 polynomial (identical literals, z pre-rounded),
+    // step-up on the 24-row family with (p, slice) rank tie-break
+    "q_fdr_bh" ->
+      """WITH ev AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS slice, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT slice, event_type, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(v) AS DOUBLE) AS s,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS ss
+        |      FROM ev GROUP BY 1, 2),
+        |a AS (SELECT slice, n AS na, s AS sa, ss AS ssa FROM m
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT slice, n AS nb, s AS sb, ss AS ssb FROM m
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT a.slice, na, nb, sa / na AS ma, sb / nb AS mb,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+        |        (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+        |      FROM a JOIN b ON a.slice = b.slice),
+        |d AS (SELECT *, va / na + vb / nb AS se2 FROM c),
+        |zz AS (SELECT slice, CAST(na AS BIGINT) AS n_a,
+        |        CAST(nb AS BIGINT) AS n_b,
+        |        CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |             THEN round((ma - mb) / sqrt(se2), 6) END AS z_stat
+        |      FROM d),
+        |p0 AS (SELECT *, abs(z_stat) AS az,
+        |        1.0 / (1.0 + 0.2316419 * abs(z_stat)) AS t FROM zz),
+        |pz AS (SELECT slice, n_a, n_b, z_stat,
+        |        CASE WHEN z_stat IS NOT NULL THEN
+        |          round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az)) *
+        |            (((((1.330274429 * t - 1.821255978) * t
+        |              + 1.781477937) * t - 0.356563782) * t
+        |              + 0.319381530) * t), 6)
+        |        END AS p
+        |      FROM p0),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY p ASC NULLS LAST, slice) AS p_rank FROM pz),
+        |fam AS (SELECT count(p) AS fm FROM r),
+        |w AS (SELECT r.*, round(CAST(p_rank AS DOUBLE) * 0.05 /
+        |          CAST(fm AS DOUBLE), 6) AS bh_crit
+        |      FROM r CROSS JOIN fam),
+        |k AS (SELECT coalesce(max(CASE WHEN p <= bh_crit
+        |          THEN p_rank END), 0) AS kstar FROM w)
+        |SELECT slice, n_a, n_b, z_stat, p,
+        |  CAST(p_rank AS BIGINT) AS p_rank, bh_crit,
+        |  (p IS NOT NULL AND p_rank <= kstar) AS reject
+        |FROM w CROSS JOIN k""".stripMargin,
+    // QTE: per-arm quantile_cont twins the exact-regime KLL (the
+    // q_ks_test cutpoint contract); diffs on the unrounded doubles
+    "q_qte" -> {
+      val probs = Stats.QteProbs.map(_.toString).mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |qa AS (SELECT quantile_cont(v, [$probs]) AS q FROM ev
+         |       WHERE event_type = 'purchase'),
+         |qb AS (SELECT quantile_cont(v, [$probs]) AS q FROM ev
+         |       WHERE event_type = 'click'),
+         |g AS (SELECT unnest(generate_series(1, 5)) AS i)
+         |SELECT CAST([$probs][i] AS DOUBLE) AS p,
+         |  round(qa.q[i], 6) AS q_a, round(qb.q[i], 6) AS q_b,
+         |  round(qa.q[i] - qb.q[i], 6) AS qte
+         |FROM g, qa, qb""".stripMargin
+    },
     // grid KS: pooled 1/32 quantiles (exact KLL regime ⇒ quantile_cont
     // reproduces the cuts), BIGINT CDF numerators, argmax on the exact
     // DECIMAL(38,0) cross product |ka·nb − kb·na| with min-j tie-break

@@ -1520,4 +1520,216 @@ object Stats {
       .select(col("t"), col("n_risk"), col("n_events"),
         col("n_censored"), col("survival"))
   }
+
+  /** MANN–WHITNEY U / WILCOXON RANK-SUM between the `value`
+    * distributions of two event types — the nonparametric
+    * location test beside [[abTest]] (means) and [[ksTest]]
+    * (whole-shape): rank-based, so one whale order cannot move it,
+    * which is why metric reviews run it next to the t-test on
+    * heavy-tailed revenue.
+    *
+    * Never the textbook global rank assignment (a corpus-wide sort —
+    * a single-task funnel at 100 TB): U comes from the SCORE
+    * HISTOGRAM via the `q_auc` identity U = Σ_s a_s·(cumB_<s + ½b_s),
+    * partial-aggregated to |distinct scores| rows in ONE shuffle with
+    * the cumulative-B prefix running the same two-level
+    * range-partition trick as `q_auc` (per-slice partials + a P-row
+    * broadcast offset join + slice-local window). The numerator
+    * doubles to stay integral (ties count 1, strict wins 2) and
+    * accumulates in exact DECIMAL; the tie correction Σ(t³−t) rides
+    * the same histogram pass in DECIMAL cubes. The normal
+    * approximation σ² = na·nb/12·((n+1) − Σ(t³−t)/(n(n−1))) and
+    * z = (2U − na·nb)/(2σ) are then a fixed IEEE dag on identical
+    * exact inputs in both engines, rounded 6 at the gate.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame =
+    mannWhitneyOver(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** Same operator over any (event_type, value) frame — planted
+    * disjoint / identical / tied corpora pin U and z by hand. */
+  def mannWhitneyOver(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    val spark = events.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val hist = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select((money(col("value")) * 100).cast("long").as("score"),
+        col("event_type"))
+      .groupBy("score")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    // histogram-sized; eager so the pid snapshot is deterministic for
+    // both the offset pass and the running window (the q_auc recipe)
+    val ranged = hist.repartitionByRange(p, col("score"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("pid").agg(sum(col("b")).as("t"))
+      .withColumn("offset",
+        coalesce(sum(col("t")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wRun = Window.partitionBy(col("pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d19 = DecimalType(19, 0)
+    val d12 = DecimalType(12, 0)
+    val cum = ranged.join(broadcast(offsets), "pid")
+      .withColumn("cumb",
+        col("offset") + coalesce(sum(col("b")).over(wRun), lit(0L)))
+    val t = (col("a") + col("b")).cast(d12)
+    cum.agg(
+        sum(col("a")).as("na"), sum(col("b")).as("nb"),
+        sum(col("a").cast(d19) *
+          (lit(2) * col("cumb") + col("b")).cast(d19)).as("u2"),
+        sum(t * t * t - t).as("ties"))
+      .withColumn("nd", col("na").cast("double"))
+      .withColumn("md", col("nb").cast("double"))
+      .withColumn("n", col("nd") + col("md"))
+      .withColumn("varu",
+        col("nd") * col("md") / lit(12.0) *
+          ((col("n") + lit(1.0)) -
+            col("ties").cast("double") / (col("n") * (col("n") - lit(1.0)))))
+      .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("u2").cast("double") / lit(2.0), 1).as("u_stat"),
+        when(col("na") > 0 && col("nb") > 0 && col("varu") > 0,
+          round((col("u2").cast("double") - col("nd") * col("md")) /
+            (lit(2.0) * sqrt(col("varu"))), 6)).as("z_stat"))
+  }
+
+  /** The Φ tail polynomial (Abramowitz & Stegun 26.2.17) as a fixed
+    * Column dag: two-sided p = 2·φ(|z|)·poly(t), t = 1/(1+0.2316419·|z|).
+    * Every coefficient is the SAME literal in the DuckDB oracle and
+    * the input z arrives pre-rounded (6), so both engines run the
+    * identical IEEE dag (the survival-curve exp discipline); the
+    * result rounds to 6 before anything compares it.
+    */
+  private[graft] def normalP2(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * t - lit(1.821255978)) * t
+      + lit(1.781477937)) * t - lit(0.356563782)) * t
+      + lit(0.319381530)) * t
+    val phi = lit(0.3989422804014327) * exp(lit(-0.5) * az * az)
+    round(lit(2.0) * phi * poly, 6)
+  }
+
+  /** BENJAMINI–HOCHBERG FDR CONTROL over the hour-of-day family of
+    * Welch tests — the multiple-looks guardrail beside `q_ab_srm`
+    * (validity) and `q_power_mde` (design): a dashboard that slices
+    * one experiment 24 ways and ships the reddest cell is fishing;
+    * BH is the standard correction (FDR ≤ α over the family).
+    *
+    * Per hour: the exact-decimal moment scan (ONE corpus pass,
+    * partial-aggregated to 24×2 rows) → the [[abTest]] Welch z dag →
+    * two-sided p via [[normalP2]] (large-sample normal; per-cell n is
+    * hundreds at the gate SFs and unbounded at scale). The BH step-up
+    * runs entirely on the 24-row family: rank by (p, hour), compare
+    * p ≤ rank·α/m, k* = max passing rank (1-row broadcast), reject
+    * rank ≤ k*. Family-sized windows are bounded by the CALENDAR,
+    * not the data (the q_yoy_growth discipline) — 24 rows at any SF.
+    */
+  def fdrBh(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click",
+      alpha: Double = 0.05): DataFrame =
+    fdrBhOver(Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("slice"),
+        col("event_type"), col("value")), typeA, typeB, alpha)
+
+  /** Same operator over any (slice, event_type, value) frame — a
+    * planted one-strong-effect family pins k* and the reject set. */
+  def fdrBhOver(events: DataFrame, typeA: String, typeB: String,
+      alpha: Double): DataFrame = {
+    val m0 = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("slice"), col("event_type"),
+        money(col("value")).as("v"))
+      .groupBy("slice", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+      .select(col("slice"), col("event_type"),
+        col("n").cast("double").as("n"),
+        col("s").cast("double").as("s"), col("ss").cast("double").as("ss"))
+    val a = m0.filter(col("event_type") === typeA)
+      .select(col("slice"), col("n").as("na"), col("s").as("sa"),
+        col("ss").as("ssa"))
+    val b = m0.filter(col("event_type") === typeB)
+      .select(col("slice"), col("n").as("nb"), col("s").as("sb"),
+        col("ss").as("ssb"))
+    val z = a.join(b, "slice")
+      .withColumn("ma", col("sa") / col("na"))
+      .withColumn("mb", col("sb") / col("nb"))
+      .withColumn("va",
+        (col("ssa") - col("na") * col("ma") * col("ma")) / (col("na") - 1))
+      .withColumn("vb",
+        (col("ssb") - col("nb") * col("mb") * col("mb")) / (col("nb") - 1))
+      .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+      .withColumn("z",
+        when(col("na") > 1 && col("nb") > 1 && col("se2") > 0,
+          round((col("ma") - col("mb")) / sqrt(col("se2")), 6)))
+      .withColumn("p", when(col("z").isNotNull, normalP2(col("z"))))
+      .select(col("slice"), col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"), col("z").as("z_stat"), col("p"))
+    // family-sized from here: rank by (p, slice), BH step-up
+    val ranked = z
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p").asc_nulls_last, col("slice"))))
+      .localCheckpoint()
+    val fam = ranked.agg(count(col("p")).as("m"))
+    val withM = ranked.crossJoin(broadcast(fam))
+      .withColumn("bh_crit",
+        round(col("rank").cast("double") * lit(alpha) /
+          col("m").cast("double"), 6))
+    val kstar = withM
+      .agg(coalesce(max(when(col("p") <= col("bh_crit"), col("rank"))),
+        lit(0)).as("kstar"))
+    withM.crossJoin(broadcast(kstar))
+      .select(col("slice"), col("n_a"), col("n_b"), col("z_stat"),
+        col("p"), col("rank").cast("long").as("p_rank"), col("bh_crit"),
+        (col("p").isNotNull && col("rank") <= col("kstar")).as("reject"))
+  }
+
+  /** QUANTILE TREATMENT EFFECTS — the distributional readout beside
+    * the mean contrast ([[abTest]]) and its CI (`q_bootstrap_diff`):
+    * ΔQ(p) = F_A⁻¹(p) − F_B⁻¹(p) at p ∈ {.1,.25,.5,.75,.9}. A
+    * treatment that lifts the median while cutting the p90 is
+    * invisible to the mean; the QTE profile is where that shows.
+    *
+    * Both arms' quantiles come from ONE corpus scan: two KLL
+    * aggregates (null-skipping conditional columns) in a single
+    * partial-aggregated pass — never a per-arm sort. k = 65536 keeps
+    * the sketch in its EXACT regime at every gate SF (arm sizes
+    * ~20k at sf0.1), where the interpolated quantile is bit-identical
+    * to DuckDB `quantile_cont` (the `q_ks_test` cutpoint contract);
+    * beyond the exact regime the same plan degrades to mergeable
+    * ±ε-rank quantiles — the 100 TB path. Everything after the scan
+    * is a 5-row projection off two broadcast 1-row arrays.
+    */
+  def qte(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame =
+    qteOver(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** QTE probe grid — literal in both engines. */
+  val QteProbs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
+  /** Same operator over any (event_type, value) frame — a planted
+    * constant-shift corpus pins ΔQ(p) ≡ shift at every p. */
+  def qteOver(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val ev = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        money(col("value")).cast("double").as("v"))
+    val qs = ev.agg(
+      kll_quantiles(when(col("event_type") === typeA, col("v")),
+        65536, QteProbs).as("qa"),
+      kll_quantiles(when(col("event_type") === typeB, col("v")),
+        65536, QteProbs).as("qb"))
+    qs.select(posexplode(arrays_zip(col("qa"), col("qb"))).as(Seq("i", "q")))
+      .select(
+        element_at(array(QteProbs.map(lit(_)): _*), col("i") + 1).as("p"),
+        round(col("q.qa"), 6).as("q_a"), round(col("q.qb"), 6).as("q_b"),
+        round(col("q.qa") - col("q.qb"), 6).as("qte"))
+  }
 }

@@ -434,6 +434,76 @@ class StatsSpec extends SparkSpec {
     assert(!real.getDouble(4).isNaN && !real.getDouble(5).isNaN)
   }
 
+  test("mann-whitney: hand-computed U and z on disjoint, identical, " +
+      "and fully-tied corpora") {
+    import spark.implicits._
+    def mw(a: Seq[Double], b: Seq[Double]) = Stats.mannWhitneyOver(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("event_type", "value"),
+      "a", "b").head
+    // disjoint, A above B: U = 9, no ties -> sigma^2 = 3*3*7/12 = 5.25
+    val disj = mw(Seq(10, 11, 12), Seq(1, 2, 3))
+    assert(disj.getAs[Double]("u_stat") == 9.0)
+    assert(math.abs(disj.getAs[Double]("z_stat")
+      - (9.0 - 4.5) / math.sqrt(5.25)) < 1e-5)
+    // identical samples: U = na*nb/2, z = 0 (tie-corrected sigma > 0)
+    val same = mw(Seq(1, 2, 3), Seq(1, 2, 3))
+    assert(same.getAs[Double]("u_stat") == 4.5)
+    assert(same.getAs[Double]("z_stat") == 0.0)
+    // every value equal: sigma^2 = 0 -> z null-guards (both engines)
+    val tied = mw(Seq(5, 5), Seq(5, 5))
+    assert(tied.getAs[Double]("u_stat") == 2.0)
+    assert(tied.isNullAt(tied.fieldIndex("z_stat")))
+    // real corpus: U consistent with its own AUC twin (U = auc*na*nb)
+    val real = Stats.mannWhitney(spark, sf).head
+    assert(real.getAs[Double]("u_stat") > 0)
+  }
+
+  test("BH step-up: a planted one-strong-effect family rejects exactly " +
+      "that slice and the rank/threshold bookkeeping is sound") {
+    import spark.implicits._
+    // slice 1: huge separation; slices 2-4: identical distributions
+    val rows =
+      (1 to 20).flatMap(i => Seq((1L, "a", 100.0 + i % 3),
+        (1L, "b", 1.0 + i % 3))) ++
+      (2L to 4L).flatMap(s => (1 to 20).flatMap(i =>
+        Seq((s, "a", 10.0 + i % 5), (s, "b", 10.0 + i % 5))))
+    val r = Stats.fdrBhOver(rows.toDF("slice", "event_type", "value"),
+      "a", "b", 0.05).cache()
+    assert(r.count() == 4)
+    val rej = r.filter(col("reject")).select("slice")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rej == Seq(1L), s"rejected $rej")
+    // identical slices: z = 0 exactly, p = 1-ish (poly tail at 0 ~ 1)
+    assert(r.filter(col("slice") > 1 && abs(col("z_stat")) > 1e-9).isEmpty)
+    // ranks are a permutation of 1..m and thresholds step up with rank
+    val ranked = r.orderBy("p_rank").collect()
+    assert(ranked.map(_.getAs[Long]("p_rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(ranked.sliding(2).forall(w =>
+      w(0).getAs[Double]("bh_crit") < w(1).getAs[Double]("bh_crit")))
+    r.unpersist()
+    // the p polynomial itself: p(1.959964) ~ 0.05 (A&S 26.2.17)
+    val p = spark.range(1).select(
+      Stats.normalP2(lit(1.959964)).as("p")).head.getDouble(0)
+    assert(math.abs(p - 0.05) < 2e-4, s"p=$p")
+  }
+
+  test("QTE: a planted constant shift reports that shift at every " +
+      "probe quantile") {
+    import spark.implicits._
+    val base = (1 to 100).map(_.toDouble)
+    val planted = (base.map(v => ("b", v)) ++ base.map(v => ("a", v + 5)))
+      .toDF("event_type", "value")
+    val r = Stats.qteOver(planted, "a", "b").cache()
+    assert(r.count() == Stats.QteProbs.size)
+    assert(r.filter(abs(col("qte") - 5.0) > 1e-9).isEmpty)
+    // quantiles are monotone in p on the real corpus
+    val real = Stats.qte(spark, sf).orderBy("p").collect()
+    assert(real.sliding(2).forall(w =>
+      w(0).getAs[Double]("q_a") <= w(1).getAs[Double]("q_a") &&
+      w(0).getAs[Double]("q_b") <= w(1).getAs[Double]("q_b")))
+    r.unpersist()
+  }
+
   test("join pre-flight: the decision matrix picks broadcast/salt/plain " +
       "on planted workloads and every branch computes the same answer") {
     import spark.implicits._
