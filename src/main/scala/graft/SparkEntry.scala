@@ -147,6 +147,8 @@ object SparkEntry {
     "q_holt_forecast" -> ((s, d) => Stats.holtForecast(s, d)),
     "q_forecast_eval" -> ((s, d) => Stats.forecastEval(s, d)),
     "q_seasonal_decompose" -> ((s, d) => Stats.seasonalDecompose(s, d)),
+    "q_seasonal_anomaly" -> ((s, d) => Stats.seasonalAnomaly(s, d)),
+    "q_mv_incremental" -> ((s, d) => IncrementalMv.mvIncremental(s, d)),
     "q_survival_km" -> ((s, d) => Stats.survivalKm(s, d)),
     "q_lorenz_gini" -> ((s, d) => Stats.lorenzGini(s, d)),
     "q_cuped" -> ((s, d) => Stats.cuped(s, d)),
@@ -5024,6 +5026,56 @@ object SparkEntry {
         |  round((CAST(s AS DOUBLE) / n_days)
         |    / (CAST(s_all AS DOUBLE) / n_all), 6) AS seasonal_index
         |FROM bd JOIN o ON bd.event_type = o.event_type""".stripMargin,
+    // seasonal anomaly: the decompose index dag UNROUNDED, adj = y/idx,
+    // then the q_anomaly_mad robust-z recipe on the calendar rollup
+    // with (|rz| desc, day) rank — mirrored divisions token-for-token
+    "q_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    count(*) AS n_days, sum(y) AS s
+        |  FROM daily GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, count(*) AS n_all, sum(y) AS s_all
+        |  FROM daily GROUP BY 1),
+        |idx AS (
+        |  SELECT bd.event_type, dow,
+        |    (CAST(s AS DOUBLE) / n_days) / (CAST(s_all AS DOUBLE) / n_all)
+        |      AS sidx
+        |  FROM bd JOIN o ON bd.event_type = o.event_type),
+        |adj AS (
+        |  SELECT d.event_type, d.day, d.y, CAST(d.y AS DOUBLE) / i.sidx
+        |    AS adj
+        |  FROM daily d JOIN idx i ON d.event_type = i.event_type
+        |    AND CAST(dayofweek(d.day) + 1 AS BIGINT) = i.dow),
+        |med AS (SELECT event_type, quantile_cont(adj, 0.5) AS med
+        |        FROM adj GROUP BY 1),
+        |dev AS (SELECT a.event_type, a.day, a.y, a.adj, m.med,
+        |          abs(a.adj - m.med) AS adev
+        |        FROM adj a JOIN med m ON a.event_type = m.event_type),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1 HAVING quantile_cont(adev, 0.5) > 0),
+        |scored AS (
+        |  SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.y,
+        |    round(d.adj, 6) AS adj,
+        |    round(0.6745 * (d.adj - d.med) / m.mad, 6) AS rz
+        |  FROM dev d JOIN mad m ON d.event_type = m.event_type)
+        |SELECT event_type, day, y, adj, rz, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(rz) DESC, day) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+    // incremental MV: exact mergeable (n, Σv) partials make the
+    // two-run merge ≡ the one-shot full rollup bit-for-bit, so one
+    // full-scan SQL gates the whole incremental composition
+    "q_mv_incremental" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // forecast eval: both arms' holdout MAEs from their own gated
     // recipes (shared daily rollup + cut), winner by comparison
     "q_forecast_eval" ->

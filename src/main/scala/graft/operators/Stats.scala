@@ -1346,6 +1346,64 @@ object Stats {
           .as("seasonal_index"))
   }
 
+  /** SEASONALITY-ADJUSTED ANOMALY DETECTION — the alerting operator
+    * the decomposition exists to enable: a Saturday dip that is
+    * normal for Saturdays should not page anyone, and a raw-count
+    * monitor (`q_anomaly_mad` on the daily rollup) pages every
+    * weekend. Per (type, day): adj = y ÷ seasonal_index(dow) — the
+    * multiplicative adjustment from the [[seasonalDecompose]]
+    * indices, computed UNROUNDED on the same exact-int ratio dag so
+    * both engines divide identical doubles — then the robust MAD
+    * z-score of adj per type (the `q_anomaly_mad` recipe applied to
+    * the CALENDAR-sized rollup) and the top-k |z| days per type via
+    * the bounded TopKPerKey heap. All corpus-sized work is the ONE
+    * daily groupBy; indices, medians and MAD run on rollup-sized
+    * frames, so the alert path costs O(calendar) after the scan.
+    */
+  def seasonalAnomaly(spark: SparkSession, sfDir: String, k: Int = 3)
+      : DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDow = daily
+      .groupBy(col("event_type"),
+        dayofweek(col("day")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"))
+    val overall = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_all"), sum(col("y")).as("s_all"))
+    val idx = byDow.join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("dow"),
+        ((col("s").cast("double") / col("n_days"))
+          / (col("s_all").cast("double") / col("n_all"))).as("sidx"))
+    val adj = daily
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+      .join(broadcast(idx), Seq("event_type", "dow"))
+      .withColumn("adj", col("y").cast("double") / col("sidx"))
+    val med = adj.groupBy("event_type")
+      .agg(kll_quantiles(col("adj"), 65536, Seq(0.5)).as("qs"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("med"))
+    val dev = adj.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("adj") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(kll_quantiles(col("adev"), 65536, Seq(0.5)).as("qs"))
+      .select(col("event_type"), element_at(col("qs"), 1).as("mad"))
+      .filter(col("mad") > 0.0)
+    val scored = dev.join(broadcast(mad), "event_type")
+      .withColumn("rz",
+        round(lit(0.6745) * (col("adj") - col("med")) / col("mad"), 6))
+      .withColumn("arz", abs(col("rz")))
+    graft.plans.TopKPerKey(
+        scored.select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"), round(col("adj"), 6).as("adj"), col("rz"), col("arz")),
+        Seq("event_type"), Seq(("arz", true), ("day", false)), k)
+      .select(col("event_type"), col("day"), col("y"), col("adj"),
+        col("rz"), col("rnk"))
+  }
+
   /** FORECAST MODEL EVAL — the comparison harness that closes the
     * forecasting family (the q_retrieval_metrics pattern applied to
     * time series): per event type, the holdout MAE of the

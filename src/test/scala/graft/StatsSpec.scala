@@ -487,6 +487,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(p - 0.05) < 2e-4, s"p=$p")
   }
 
+  test("seasonal anomaly: top-k per type with sound rank bookkeeping " +
+      "and the adjustment really divides by the decompose index") {
+    val r = Stats.seasonalAnomaly(spark, sf).cache()
+    val types = Tables.events(spark, sf).select("event_type").distinct.count()
+    assert(r.count() == 3 * types, s"${r.count()} rows for $types types")
+    // ranks are 1..3 per type and |rz| is non-increasing down the rank
+    assert(r.groupBy("event_type").agg(collect_list("rnk").as("rs"))
+      .filter(array_sort(col("rs")) =!= array(lit(1L), lit(2L), lit(3L)))
+      .isEmpty)
+    val byType = r.orderBy("event_type", "rnk").collect()
+      .grouped(3).toSeq
+    assert(byType.forall(g => math.abs(g(0).getAs[Double]("rz")) >=
+      math.abs(g(2).getAs[Double]("rz"))))
+    // adj * sidx ≈ y: the adjustment is the decompose index, not some
+    // other normalizer (indices re-derived rounded; tolerance covers
+    // the double rounding on both sides)
+    val idx = Stats.seasonalDecompose(spark, sf)
+      .select(col("event_type"), col("dow"), col("seasonal_index"))
+    val joined = r.withColumn("dow",
+        dayofweek(to_date(col("day"))).cast("long"))
+      .join(idx, Seq("event_type", "dow"))
+      .withColumn("back", col("adj") * col("seasonal_index"))
+    assert(joined.filter(
+      abs(col("back") - col("y")) > lit(0.01) * col("y")).isEmpty)
+    r.unpersist()
+  }
+
   test("QTE: a planted constant shift reports that shift at every " +
       "probe quantile") {
     import spark.implicits._
