@@ -399,6 +399,7 @@ object SparkEntry {
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "pipeline_shard_write" -> ((s, d) => Pipeline.shardWrite(s, d)),
     "pipeline_shard_append" -> ((s, d) => Pipeline.shardAppend(s, d)),
+    "pipeline_wap" -> ((s, d) => Pipeline.wap(s, d)),
     "q_vector_stats" -> ((s, d) => Pipeline.vectorStats(s, d)),
     "q_quantile_bucket" -> ((s, d) => Pipeline.quantileBuckets(s, d)),
     "q_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
@@ -3966,6 +3967,29 @@ object SparkEntry {
     // one-shot exact dedup's global min-id canonical, so ONE one-shot
     // SQL gates incremental dedup + shard md5 + sink serialization +
     // the merge-on-append manifest visibility together
+    // WAP: recompute the split, the audit counts (+3 planted poison
+    // rows in r2), and the manifest-visibility rule the sink enforces
+    "pipeline_wap" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents),
+        |b1 AS (SELECT count(*) AS n,
+        |         sum(CASE WHEN n_chars <= 0 OR text = '' THEN 1 ELSE 0 END)
+        |           AS bad
+        |       FROM documents CROSS JOIN t WHERE doc_id <= mid),
+        |b2 AS (SELECT count(*) + 3 AS n,
+        |         sum(CASE WHEN n_chars <= 0 OR text = '' THEN 1 ELSE 0 END)
+        |           + 3 AS bad
+        |       FROM documents CROSS JOIN t WHERE doc_id > mid)
+        |SELECT 'r1' AS batch, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(bad AS BIGINT) AS n_bad, bad = 0 AS published,
+        |  CAST(CASE WHEN bad = 0 THEN n ELSE 0 END AS BIGINT) AS n_visible
+        |FROM b1
+        |UNION ALL
+        |SELECT 'r2', CAST(n AS BIGINT), CAST(bad AS BIGINT), bad = 0,
+        |  CAST(CASE WHEN bad = 0 THEN n ELSE 0 END AS BIGINT)
+        |FROM b2""".stripMargin,
     "pipeline_shard_append" ->
       """WITH m AS (
         |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)

@@ -957,4 +957,77 @@ object Pipeline {
       .write.format(sink).option("path", storeDir).mode("append").save()
     graft.sources.v2.GraftSink.readBack(spark, storeDir, AppendSchema)
   }
+
+  /** The WAP store row: which batch admitted each doc. All-long + a
+    * tab-free tag ⇒ TSV-safe. */
+  val WapSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Run a WRITE–AUDIT–PUBLISH sequence: per batch, ONE bounded
+    * 2-value audit aggregate (rows, violations of the
+    * `q_expectations` completeness rule n_chars > 0 ∧ text ≠ '');
+    * a clean batch publishes through the sink's two-phase commit,
+    * a dirty batch publishes NOTHING — quarantine is the absence of
+    * a manifest entry, the same visibility contract `q_dsv2_sink`
+    * proves. The returned ledger measures visibility FROM THE STORE
+    * (manifest read-back), never from intent. The audit verdict is
+    * driver-side by nature — it gates an action, not a row transform;
+    * the collect is one 2-long row per batch.
+    */
+  def wapRun(spark: SparkSession,
+      batches: Seq[(String, DataFrame)], dir: String): DataFrame = {
+    import spark.implicits._
+    val ledger = batches.map { case (tag, b) =>
+      val a = b.agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") <= 0 || col("text") === "", 1L)
+          .otherwise(0L)).as("bad")).head
+      val (n, bad) = (a.getLong(0), a.getLong(1))
+      if (bad == 0)
+        b.select(lit(tag).as("batch"), col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"))
+          .write.format("graft.sources.v2.GraftSinkSource")
+          .option("path", dir).mode("append").save()
+      (tag, n, bad, bad == 0)
+    }
+    val visible = graft.sources.v2.GraftSink.readBack(spark, dir, WapSchema)
+      .groupBy("batch").agg(count(lit(1)).as("n_visible"))
+    ledger.toDF("batch", "n_rows", "n_bad", "published")
+      .join(visible, Seq("batch"), "left")
+      .select(col("batch"), col("n_rows"), col("n_bad"), col("published"),
+        coalesce(col("n_visible"), lit(0L)).as("n_visible"))
+  }
+
+  /** WRITE–AUDIT–PUBLISH over the documents corpus — the ingestion
+    * gate pattern (staging + audit + atomic publish) every production
+    * lakehouse runs before data becomes queryable: batch r1 is the
+    * clean mid-split half, batch r2 is the other half POISONED with
+    * three planted rows the audit must catch (negative n_chars,
+    * empty text — the payload a WAP gate exists to stop). r1
+    * publishes and is visible from the manifest; r2 quarantines and
+    * contributes ZERO visible rows even though its write was
+    * attempted. Gated by one SQL that recomputes the split, the
+    * audit counts (+3 planted), and the visibility rule.
+    */
+  def wap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: Column => Column): DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    val poison = Seq((-1L, "", -1L), (-2L, "", -1L), (-3L, "", -1L))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = graft.TempDirs.create("graft_wap_store").toString
+    wapRun(spark, Seq(
+      ("r1", half(col("doc_id") <= _)),
+      ("r2", half(col("doc_id") > _).unionByName(poison))), dir)
+  }
 }

@@ -519,4 +519,35 @@ class PipelineSpec extends SparkSpec {
     assert(decided.filter(col("doc_id") === 10L)
       .select("canonical_id").as[Long].head() == 1L)
   }
+
+  test("WAP: a dirty batch quarantines (zero visible rows, ids absent " +
+      "from the store) while clean batches publish atomically") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "text", "n_chars")
+    val clean1 = mk(Seq((1L, "alpha", 5L), (2L, "beta", 4L)))
+    val dirty = mk(Seq((10L, "gamma", 5L), (11L, "", -1L)))
+    val clean2 = mk(Seq((20L, "delta", 5L)))
+    val dir = TempDirs.create("graft_wap_spec").toString
+    val ledger = Pipeline.wapRun(spark,
+      Seq(("a", clean1), ("b", dirty), ("c", clean2)), dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSet
+    assert(ledger == Set(
+      ("a", 2L, 0L, true, 2L),
+      ("b", 2L, 1L, false, 0L),
+      ("c", 1L, 0L, true, 1L)), s"ledger=$ledger")
+    // the quarantined batch's rows are ABSENT from the manifest store
+    // (not merely uncounted) — including its clean row
+    val ids = graft.sources.v2.GraftSink
+      .readBack(spark, dir, Pipeline.WapSchema)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 20L), s"visible ids=$ids")
+    // registry composition on the real corpus: r1 publishes all its
+    // rows, the poisoned r2 quarantines entirely
+    val reg = Pipeline.wap(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4))).toMap
+    assert(reg("r1")._1 && reg("r1")._2 > 0)
+    assert(!reg("r2")._1 && reg("r2")._2 == 0L)
+  }
 }
