@@ -145,6 +145,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_holt_forecast" -> ((s, d) => Stats.holtForecast(s, d)),
+    "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_forecast_eval" -> ((s, d) => Stats.forecastEval(s, d)),
     "q_seasonal_decompose" -> ((s, d) => Stats.seasonalDecompose(s, d)),
     "q_seasonal_anomaly" -> ((s, d) => Stats.seasonalAnomaly(s, d)),
@@ -5017,6 +5018,63 @@ object SparkEntry {
         |    AND hw.t = n.tmax),
         |fc AS (
         |  SELECT event_type, CAST(h AS BIGINT) AS h, l + h * b AS forecast
+        |  FROM fin, (SELECT unnest(range(1, 8)) AS h)),
+        |hold AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(date_diff('day', cut, d.day) + 1 AS BIGINT) AS h,
+        |    d.y AS actual
+        |  FROM daily d CROSS JOIN c WHERE d.day >= cut)
+        |SELECT hold.event_type, day, actual,
+        |  round(forecast, 6) AS forecast,
+        |  round(abs(CAST(actual AS DOUBLE) - forecast), 6) AS abs_err,
+        |  round(avg(abs(CAST(actual AS DOUBLE) - forecast))
+        |    OVER (PARTITION BY hold.event_type), 6) AS mae
+        |FROM hold JOIN fc
+        |  ON fc.event_type = hold.event_type AND fc.h = hold.h"""
+        .stripMargin,
+    // Holt-Winters: the same power-of-two recursion plus the 7-slot
+    // seasonal QUEUE (head = s_{t-7}; pop + append each step) —
+    // list-state recursion mirrored token-for-token, forecast
+    // l + h*b + s[h]
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT max(day) - 6 AS cut FROM daily),
+        |train AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    y
+        |  FROM daily CROSS JOIN c WHERE day < cut),
+        |n AS (SELECT event_type, max(t) AS tmax FROM train GROUP BY 1),
+        |init AS (
+        |  SELECT event_type, CAST(sum(y) AS DOUBLE) / 7.0 AS l0,
+        |    list(CAST(y AS DOUBLE) ORDER BY t) AS ys
+        |  FROM train WHERE t <= 7 GROUP BY 1),
+        |hw AS (
+        |  SELECT event_type, CAST(7 AS BIGINT) AS t, l0 AS l,
+        |    CAST(0.0 AS DOUBLE) AS b,
+        |    list_transform(ys, v -> v - l0) AS s
+        |  FROM init
+        |  UNION ALL
+        |  SELECT tr.event_type, tr.t,
+        |    (tr.y - hw.s[1] + hw.l + hw.b) / 2.0 AS l,
+        |    ((tr.y - hw.s[1] + hw.l + hw.b) / 2.0 - hw.l) / 2.0
+        |      + hw.b / 2.0 AS b,
+        |    hw.s[2:7] ||
+        |      [(tr.y - (tr.y - hw.s[1] + hw.l + hw.b) / 2.0) / 2.0
+        |        + hw.s[1] / 2.0] AS s
+        |  FROM hw JOIN train tr
+        |    ON tr.event_type = hw.event_type AND tr.t = hw.t + 1),
+        |fin AS (
+        |  SELECT hw.event_type, hw.l, hw.b, hw.s
+        |  FROM hw JOIN n ON n.event_type = hw.event_type
+        |    AND hw.t = n.tmax),
+        |fc AS (
+        |  SELECT event_type, CAST(h AS BIGINT) AS h,
+        |    l + h * b + s[CAST(h AS INT)] AS forecast
         |  FROM fin, (SELECT unnest(range(1, 8)) AS h)),
         |hold AS (
         |  SELECT d.event_type, d.day,

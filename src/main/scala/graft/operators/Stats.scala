@@ -1518,6 +1518,75 @@ object Stats {
         round(col("mae"), 6).as("mae"))
   }
 
+  /** HOLT–WINTERS additive triple smoothing (level + trend +
+    * 7-day seasonality) — the model the decompose→evaluate loop
+    * points at when `q_seasonal_decompose` shows indices far from 1
+    * and trend-only Holt loses to snaive: α=β=γ=1/2, so every
+    * smoothing step is a POWER-OF-TWO division and both engines run
+    * the identical correctly-rounded IEEE dag (the `q_holt_forecast`
+    * discipline, extended with a seasonal state). The seasonal state
+    * is a 7-slot QUEUE — head is always s_{t−7}, each step pops the
+    * head and appends the update — so the fold needs no modular
+    * index bookkeeping in either engine. Init: l₀ = first-week mean
+    * (exact int sum, one division), b₀ = 0, s₀ = first-week
+    * deviations. Forecast ŷ_{T+h} = l + h·b + s[h] (the queue after
+    * step T holds seasons T−6..T, so slot h is exactly season
+    * T+h−7). Per-type state is O(period) and the fold is one
+    * `aggregate` HOF over the collected calendar-sized series — the
+    * corpus-sized work remains the ONE daily groupBy.
+    */
+  def holtWinters(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame = {
+    require(horizon <= 7, "seasonal queue serves h <= period = 7")
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
+    val withCut = daily.crossJoin(broadcast(cut))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val state = withCut.filter(col("day") < col("cut"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("arr"))
+      .withColumn("l0", expr(
+        "CAST(arr[0].y + arr[1].y + arr[2].y + arr[3].y + arr[4].y " +
+          "+ arr[5].y + arr[6].y AS DOUBLE) / 7.0D"))
+      .withColumn("s0", expr(
+        "transform(slice(arr, 1, 7), e -> CAST(e.y AS DOUBLE) - l0)"))
+      .select(col("event_type"), expr(
+        """aggregate(
+          |  slice(arr, 8, size(arr) - 7),
+          |  named_struct('l', l0, 'b', CAST(0.0 AS DOUBLE), 's', s0),
+          |  (st, e) -> named_struct(
+          |    'l', (e.y - st.s[0] + st.l + st.b) / 2.0D,
+          |    'b', ((e.y - st.s[0] + st.l + st.b) / 2.0D - st.l) / 2.0D
+          |      + st.b / 2.0D,
+          |    's', concat(slice(st.s, 2, 6), array(
+          |      (e.y - (e.y - st.s[0] + st.l + st.b) / 2.0D) / 2.0D
+          |        + st.s[0] / 2.0D))))
+          |""".stripMargin.trim).as("st"))
+    val fc = state
+      .select(col("event_type"), col("st"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
+      .select(col("event_type"), col("h"),
+        (col("st.l") + col("h").cast("double") * col("st.b")
+          + element_at(col("st.s"), col("h").cast("int"))).as("forecast"))
+    val hold = withCut.filter(col("day") >= col("cut"))
+      .select(col("event_type"), col("day"),
+        (datediff(col("day"), col("cut")) + 1).cast("long").as("h"),
+        col("y").as("actual"))
+    hold.join(fc, Seq("event_type", "h"))
+      .withColumn("abs_err", abs(col("actual").cast("double")
+        - col("forecast")))
+      .withColumn("mae", avg(col("abs_err")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("day"), col("actual"),
+        round(col("forecast"), 6).as("forecast"),
+        round(col("abs_err"), 6).as("abs_err"),
+        round(col("mae"), 6).as("mae"))
+  }
+
   /** KAPLAN–MEIER time-to-conversion survival curve with
     * right-censoring — the standard estimator (Kaplan & Meier 1958)
     * for "how long until a user converts", under a fixed

@@ -699,6 +699,43 @@ class StatsSpec extends SparkSpec {
     out.unpersist(); daily.unpersist()
   }
 
+  test("Holt-Winters: the seasonal-queue fold replays exactly in Scala " +
+      "and the forecast adds the right seasonal slot") {
+    val out = Stats.holtWinters(spark, sf, horizon = 7).cache()
+    assert(out.groupBy("event_type").count()
+      .filter(col("count") =!= 7L).isEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y")).cache()
+    val cut = daily.agg(date_sub(max(col("day")), 6).as("c")).head().getDate(0)
+    val series = daily.filter(col("day") < lit(cut))
+      .orderBy("event_type", "day")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fc = out.orderBy("event_type", "day").collect()
+    fc.groupBy(_.getString(0)).foreach { case (et, rows) =>
+      val ys = series(et)
+      val l0 = ys.take(7).sum.toDouble / 7.0
+      var l = l0; var b = 0.0
+      var s = ys.take(7).map(_.toDouble - l0).toVector
+      ys.drop(7).foreach { y =>
+        val l2 = (y - s(0) + l + b) / 2.0
+        val b2 = (l2 - l) / 2.0 + b / 2.0
+        val sn = (y - l2) / 2.0 + s(0) / 2.0
+        s = s.tail :+ sn; l = l2; b = b2
+      }
+      rows.sortBy(_.getDate(1).toString).zipWithIndex.foreach {
+        case (r, i) =>
+          assert(r.getDouble(3) == r6(l + (i + 1).toDouble * b + s(i)),
+            s"$et h=${i + 1}")
+      }
+    }
+    out.unpersist(); daily.unpersist()
+  }
+
   test("Kaplan-Meier: risk sets telescope, censoring only at the horizon, " +
       "and the curve equals the direct product recomputation") {
     val rows = Stats.survivalKm(spark, sf, horizon = 7)
