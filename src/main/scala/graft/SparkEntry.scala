@@ -158,6 +158,7 @@ object SparkEntry {
     "q_ab_srm" -> ((s, d) => Stats.abSrm(s, d)),
     "q_bootstrap_diff" -> ((s, d) => Stats.bootstrapDiff(s, d)),
     "q_mannwhitney" -> ((s, d) => Stats.mannWhitney(s, d)),
+    "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_fdr_bh" -> ((s, d) => Stats.fdrBh(s, d)),
     "q_qte" -> ((s, d) => Stats.qte(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
@@ -4345,6 +4346,36 @@ object SparkEntry {
         |  round(((sea + seb) * (sea + seb)) /
         |        ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)), 6) AS df
         |FROM d""".stripMargin,
+    // chi2: full R×C grid including zero cells, per-cell terms
+    // rounded 6 and summed IN DECIMAL, then single IEEE ops for V
+    "q_crosstab_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS r,
+        |          count(DISTINCT source) AS c
+        |        FROM cells),
+        |grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct
+        |         FROM rt CROSS JOIN ct),
+        |terms AS (
+        |  SELECT CAST(coalesce(cl.o, 0) AS DOUBLE) AS od,
+        |    CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE)
+        |      / CAST(t.n AS DOUBLE) AS e
+        |  FROM grid g
+        |  LEFT JOIN cells cl ON cl.lang = g.lang AND cl.source = g.source
+        |  CROSS JOIN tot t),
+        |s AS (SELECT sum(CAST(round((od - e) * (od - e) / e, 6)
+        |          AS DECIMAL(18,6))) AS chi2d
+        |      FROM terms)
+        |SELECT CAST(t.n AS BIGINT) AS n, CAST(t.r AS BIGINT) AS n_rows,
+        |  CAST(t.c AS BIGINT) AS n_cols,
+        |  CAST((t.r - 1) * (t.c - 1) AS BIGINT) AS dof,
+        |  round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        |  round(sqrt(CAST(chi2d AS DOUBLE) /
+        |    (CAST(t.n AS DOUBLE) * CAST(least(t.r - 1, t.c - 1) AS DOUBLE))),
+        |    6) AS cramers_v
+        |FROM s CROSS JOIN tot t""".stripMargin,
     // Mann-Whitney: the q_auc histogram identity (doubled integral U,
     // DECIMAL accumulation), DECIMAL(12,0) tie cubes, then the
     // tie-corrected normal-approximation dag mirrored token-for-token

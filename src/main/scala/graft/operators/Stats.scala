@@ -1648,6 +1648,62 @@ object Stats {
         col("n_censored"), col("survival"))
   }
 
+  /** PEARSON χ² INDEPENDENCE TEST + CRAMÉR'S V over the lang ×
+    * source contingency of the documents corpus — the categorical
+    * association test the family was missing (`q_ab_test`/
+    * `q_mannwhitney` compare numeric arms; `q_mutual_info` measures
+    * the same association in bits; this is the classical inference
+    * companion with its effect size). A corpus where language
+    * depends on source is a corpus whose per-source curation will
+    * shift the language mixture — V is the one-number alarm.
+    *
+    * The corpus-sized work is ONE (lang, source) groupBy; everything
+    * after runs on the R×C cell frame including the ZERO cells
+    * (absent combos still contribute e = rt·ct/n to χ² — the full
+    * grid is a tiny cross of the two broadcast margins). Per-cell
+    * terms (o−e)²/e round to 6 and sum IN DECIMAL — never a raw
+    * IEEE double sum, whose partition order is nondeterministic (the
+    * perplexity ln-term discipline); χ², dof and V are then single
+    * IEEE ops rounded at the gate.
+    */
+  def crosstabChi2(spark: SparkSession, sfDir: String): DataFrame =
+    crosstabChi2Over(Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source")))
+
+  /** Same operator over any (lang, source) frame — a hand-computed
+    * 2×2 planted table pins χ², dof and V. */
+  def crosstabChi2Over(df: DataFrame): DataFrame = {
+    val cells = df.groupBy("lang", "source")
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rt = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    val grid = rt.crossJoin(broadcast(ct))
+    val terms = grid
+      .join(broadcast(cells), Seq("lang", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("od", coalesce(col("o"), lit(0L)).cast("double"))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+      .withColumn("term",
+        round((col("od") - col("e")) * (col("od") - col("e")) / col("e"), 6)
+          .cast(DecimalType(18, 6)))
+    terms.agg(max(col("n")).as("n"), max(col("r")).as("r"),
+        max(col("c")).as("c"), sum(col("term")).as("chi2d"))
+      .select(col("n").cast("long").as("n"),
+        col("r").cast("long").as("n_rows"),
+        col("c").cast("long").as("n_cols"),
+        ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2d").cast("double") /
+          (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** MANN–WHITNEY U / WILCOXON RANK-SUM between the `value`
     * distributions of two event types — the nonparametric
     * location test beside [[abTest]] (means) and [[ksTest]]

@@ -434,6 +434,33 @@ class StatsSpec extends SparkSpec {
     assert(!real.getDouble(4).isNaN && !real.getDouble(5).isNaN)
   }
 
+  test("chi2 crosstab: hand-computed 2x2 tables, including a zero cell " +
+      "that still contributes its expected count") {
+    import spark.implicits._
+    def chi(rows: Seq[(String, String)]) =
+      Stats.crosstabChi2Over(rows.toDF("lang", "source")).head
+    // full 2x2: o = [[10,20],[30,40]] -> chi2 = 4/12+4/18+4/28+4/42
+    val full = chi(
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q")))
+    assert(full.getAs[Long]("n") == 100 && full.getAs[Long]("dof") == 1)
+    assert(math.abs(full.getAs[Double]("chi2") - 0.79365) < 1e-4)
+    assert(math.abs(full.getAs[Double]("cramers_v")
+      - math.sqrt(0.79365 / 100.0)) < 1e-4)
+    // zero cell (y,q): e = 2.5 still enters -> chi2 = 6.666666
+    val zero = chi(
+      Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")))
+    assert(math.abs(zero.getAs[Double]("chi2") - 6.666666) < 1e-4)
+    assert(math.abs(zero.getAs[Double]("cramers_v") - 0.57735) < 1e-4)
+    // independence: perfectly proportional table -> chi2 = 0
+    val indep = chi(
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(10)(("y", "q")))
+    assert(indep.getAs[Double]("chi2") == 0.0)
+    assert(indep.getAs[Double]("cramers_v") == 0.0)
+  }
+
   test("mann-whitney: hand-computed U and z on disjoint, identical, " +
       "and fully-tied corpora") {
     import spark.implicits._
