@@ -159,6 +159,11 @@ object SparkEntry {
     "q_bootstrap_diff" -> ((s, d) => Stats.bootstrapDiff(s, d)),
     "q_mannwhitney" -> ((s, d) => Stats.mannWhitney(s, d)),
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
+    "q_anova" -> ((s, d) => Stats.anova(s, d)),
+    "q_acf" -> ((s, d) => Stats.acf(s, d)),
+    "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
+    "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
+    "q_benford" -> ((s, d) => Quality.benford(s, d)),
     "q_fdr_bh" -> ((s, d) => Stats.fdrBh(s, d)),
     "q_qte" -> ((s, d) => Stats.qte(s, d)),
     "q_auc" -> ((s, d) => Stats.auc(s, d)),
@@ -4376,6 +4381,173 @@ object SparkEntry {
         |    (CAST(t.n AS DOUBLE) * CAST(least(t.r - 1, t.c - 1) AS DOUBLE))),
         |    6) AS cramers_v
         |FROM s CROSS JOIN tot t""".stripMargin,
+    // ANOVA: per-group exact decimal moments, SSB/SSW terms rounded 6
+    // and summed IN DECIMAL, F and eta^2 null-guarded single IEEE ops
+    "q_anova" ->
+      """WITH m AS (
+        |  SELECT event_type AS grp, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) *
+        |          CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS k, sum(n) AS tn, sum(s) AS ts FROM m),
+        |t AS (
+        |  SELECT m.n, m.s, m.ss, g.k, g.tn,
+        |    CAST(g.ts AS DOUBLE) / CAST(g.tn AS DOUBLE) AS gm,
+        |    CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS mg
+        |  FROM m CROSS JOIN g),
+        |u AS (
+        |  SELECT k, tn,
+        |    sum(CAST(round(CAST(n AS DOUBLE) * (mg - gm) * (mg - gm), 6)
+        |        AS DECIMAL(18,6))) AS ssb,
+        |    sum(CAST(round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |        AS DECIMAL(18,6))) AS ssw
+        |  FROM t GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(tn AS BIGINT) AS n,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(tn - k AS BIGINT) AS df2,
+        |  round(CAST(ssb AS DOUBLE), 6) AS ss_between,
+        |  round(CAST(ssw AS DOUBLE), 6) AS ss_within,
+        |  CASE WHEN k > 1 AND CAST(ssw AS DOUBLE) > 0 AND tn > k THEN
+        |    round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |          (CAST(ssw AS DOUBLE) / CAST(tn - k AS DOUBLE)), 6)
+        |  END AS f_stat,
+        |  CASE WHEN CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE) > 0 THEN
+        |    round(CAST(ssb AS DOUBLE) /
+        |          (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
+        |  END AS eta_sq
+        |FROM u""".stripMargin,
+    // ACF: daily rollup, calendar self-join pairs, products rounded 6
+    // and summed IN DECIMAL over the exact-moment denominator
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1),
+        |mom AS (
+        |  SELECT count(*) AS n, sum(y) AS s,
+        |    sum(CAST(y * y AS DECIMAL(38,4))) AS ss FROM daily),
+        |m2 AS (
+        |  SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS den
+        |  FROM mom),
+        |lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 15)),
+        |pairs AS (
+        |  SELECT l.lag,
+        |    CAST(round((CAST(d1.y AS DOUBLE) - m.xbar) *
+        |      (CAST(d2.y AS DOUBLE) - m.xbar), 6) AS DECIMAL(28,6)) AS t,
+        |    m.den
+        |  FROM daily d1 CROSS JOIN lags l
+        |  JOIN daily d2 ON d2.day = d1.day + l.lag
+        |  CROSS JOIN m2 m)
+        |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+        |  CASE WHEN max(den) > 0 THEN
+        |    round(CAST(sum(t) AS DOUBLE) / max(den), 6) END AS acf
+        |FROM pairs GROUP BY 1""".stripMargin,
+    // calibration: fixed-width bins over min-max-normalized score,
+    // per-bin confidence by moment algebra, ECE terms decimal-summed
+    "q_calibration" ->
+      """WITH sc AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    (event_type = 'purchase') AS y FROM events),
+        |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM sc),
+        |b AS (
+        |  SELECT CASE WHEN mx > mn THEN
+        |      least(CAST(floor(CAST(v - mn AS DOUBLE)
+        |        / CAST(mx - mn AS DOUBLE) * 10) AS BIGINT), 9)
+        |    ELSE 0 END AS bin, v, y, mn, mx
+        |  FROM sc CROSS JOIN mm),
+        |g AS (
+        |  SELECT bin, count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(v) AS sv, max(mn) AS mn, max(mx) AS mx
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn FROM g),
+        |pb AS (
+        |  SELECT g.*, t.tn,
+        |    CASE WHEN mx > mn THEN
+        |      (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) - CAST(mn AS DOUBLE))
+        |        / CAST(mx - mn AS DOUBLE) END AS conf_raw,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc_raw
+        |  FROM g CROSS JOIN t),
+        |pb2 AS (SELECT pb.*, abs(acc_raw - conf_raw) AS gap_raw FROM pb),
+        |sca AS (
+        |  SELECT sum(CAST(round(gap_raw * CAST(n AS DOUBLE)
+        |      / CAST(tn AS DOUBLE), 6) AS DECIMAL(18,6))) AS eced,
+        |    max(round(gap_raw, 6)) AS mce
+        |  FROM pb2)
+        |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  round(conf_raw, 6) AS confidence, round(acc_raw, 6) AS accuracy,
+        |  round(gap_raw, 6) AS gap,
+        |  round(CAST(eced AS DOUBLE), 6) AS ece, mce
+        |FROM pb2 CROSS JOIN sca""".stripMargin,
+    // Simpson audit: rollup gives the pooled row in the same scan;
+    // contrasts are divisions of exact decimal sums
+    "q_simpson" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS stratum, l_discount > 0.05 AS hi,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT stratum,
+        |    sum(CASE WHEN hi THEN 1 ELSE 0 END) AS n_hi,
+        |    sum(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS n_lo,
+        |    sum(CASE WHEN hi THEN v END) AS s_hi,
+        |    sum(CASE WHEN NOT hi THEN v END) AS s_lo
+        |  FROM base GROUP BY ROLLUP(stratum)),
+        |d AS (
+        |  SELECT agg.*,
+        |    CASE WHEN n_hi > 0 AND n_lo > 0 THEN
+        |      CAST(s_hi AS DOUBLE) / CAST(n_hi AS DOUBLE)
+        |        - CAST(s_lo AS DOUBLE) / CAST(n_lo AS DOUBLE) END AS diff_raw
+        |  FROM agg),
+        |o AS (SELECT diff_raw AS diff_all FROM d WHERE stratum IS NULL)
+        |SELECT coalesce(d.stratum, 'ALL') AS stratum,
+        |  CAST(n_hi AS BIGINT) AS n_hi, CAST(n_lo AS BIGINT) AS n_lo,
+        |  CASE WHEN n_hi > 0 THEN
+        |    round(CAST(s_hi AS DOUBLE) / CAST(n_hi AS DOUBLE), 6)
+        |  END AS mean_hi,
+        |  CASE WHEN n_lo > 0 THEN
+        |    round(CAST(s_lo AS DOUBLE) / CAST(n_lo AS DOUBLE), 6)
+        |  END AS mean_lo,
+        |  round(diff_raw, 6) AS diff,
+        |  CASE WHEN diff_raw IS NOT NULL AND diff_all IS NOT NULL THEN
+        |    d.stratum IS NOT NULL AND sign(diff_raw) * sign(diff_all) < 0
+        |  END AS flips_overall
+        |FROM d CROSS JOIN o""".stripMargin,
+    // Benford: first digit from the DECIMAL string rendering, the
+    // nine expectations as literals, chi2/MAD terms decimal-summed
+    "q_benford" ->
+      """WITH e(digit, exp_p) AS (VALUES
+        |  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        |  (9, 0.045757)),
+        |obs AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n
+        |  FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) >= 1
+        |  GROUP BY 1),
+        |grid AS (
+        |  SELECT CAST(e.digit AS BIGINT) AS digit,
+        |    coalesce(obs.n, 0) AS n, CAST(e.exp_p AS DOUBLE) AS exp_p
+        |  FROM e LEFT JOIN obs ON obs.digit = e.digit),
+        |t AS (SELECT sum(n) AS tn FROM grid),
+        |terms AS (
+        |  SELECT g.digit, g.n, g.exp_p,
+        |    CAST(g.n AS DOUBLE) / CAST(t.tn AS DOUBLE) AS obs_raw,
+        |    CAST(t.tn AS DOUBLE) * g.exp_p AS ev
+        |  FROM grid g CROSS JOIN t),
+        |sca AS (
+        |  SELECT
+        |    sum(CAST(round((CAST(n AS DOUBLE) - ev) * (CAST(n AS DOUBLE) - ev)
+        |        / ev, 6) AS DECIMAL(18,6))) AS chi2d,
+        |    sum(CAST(round(abs(obs_raw - exp_p), 6) AS DECIMAL(18,6))) AS madd
+        |  FROM terms)
+        |SELECT digit, n, round(obs_raw, 6) AS obs_p, exp_p,
+        |  round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        |  round(CAST(madd AS DOUBLE) / 9.0, 6) AS mad
+        |FROM terms CROSS JOIN sca""".stripMargin,
     // Mann-Whitney: the q_auc histogram identity (doubled integral U,
     // DECIMAL accumulation), DECIMAL(12,0) tie cubes, then the
     // tie-corrected normal-approximation dag mirrored token-for-token

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Data-quality operators: a declarative constraint report
@@ -368,5 +369,68 @@ object Quality {
           .as("n_dp"),
         round(col("s").cast("double") +
           lap(md5Unit("dps"), clipChars * 2.0), 6).as("chars_dp"))
+  }
+
+  /** Benford's-law first-digit expectations, log10(1+1/d) rounded to
+    * 6 — LITERALS in both engines (never engine libm log10). */
+  private[graft] val BenfordExp: Seq[Double] = Seq(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** BENFORD FIRST-DIGIT AUDIT of o_totalprice — the classic
+    * fabricated-/corrupted-numbers screen (a money column whose
+    * leading digits stray far from log10(1+1/d) was binned, capped,
+    * synthesized, or tampered with; auditors run exactly this
+    * table): per digit the observed share vs Benford expectation,
+    * plus the χ² distance and Nigrini's MAD verdict scalars.
+    *
+    * The first digit comes from the DECIMAL(18,2) string rendering
+    * (both engines print "12345.67" — never floor(log10(x)), whose
+    * libm boundary behavior is engine-dependent); rows below 1 are
+    * excluded (their leading "0" is a scale artifact, not a digit).
+    * ONE partial-aggregated scan to 9 counts; zero-count digits
+    * still join in from the literal digit frame (their E still
+    * enters χ² — the crosstab zero-cell discipline); χ²/MAD terms
+    * round 6 and sum IN DECIMAL.
+    */
+  def benford(spark: SparkSession, sfDir: String): DataFrame =
+    benfordOver(Tables.orders(spark, sfDir)
+      .select(Relational.money(col("o_totalprice")).as("v")))
+
+  /** Same audit over any (v: decimal(18,2)) frame — a planted
+    * perfectly-Benford corpus pins χ² = 0, a planted single-digit
+    * corpus pins the zero-cell terms. */
+  def benfordOver(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val obs = df.filter(col("v") >= 1)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expDf = spark.range(1, 10)
+      .select(col("id").as("digit"),
+        element_at(array(BenfordExp.map(lit(_)): _*), col("id").cast("int"))
+          .as("exp_p"))
+    val grid = expDf.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("exp_p"))
+      .localCheckpoint()
+    val tot = grid.agg(sum(col("n")).as("tn"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .withColumn("obs_raw",
+        col("n").cast("double") / col("tn").cast("double"))
+      .withColumn("e", col("tn").cast("double") * col("exp_p"))
+    val scalars = terms
+      .select(
+        round((col("n").cast("double") - col("e")) *
+          (col("n").cast("double") - col("e")) / col("e"), 6)
+          .cast(DecimalType(18, 6)).as("c"),
+        round(abs(col("obs_raw") - col("exp_p")), 6)
+          .cast(DecimalType(18, 6)).as("m"))
+      .agg(sum(col("c")).as("chi2d"), sum(col("m")).as("madd"))
+    terms.crossJoin(broadcast(scalars))
+      .select(col("digit"), col("n"),
+        round(col("obs_raw"), 6).as("obs_p"), col("exp_p"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(col("madd").cast("double") / 9.0, 6).as("mad"))
   }
 }

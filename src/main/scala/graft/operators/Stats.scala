@@ -1915,4 +1915,234 @@ object Stats {
         round(col("q.qa"), 6).as("q_a"), round(col("q.qb"), 6).as("q_b"),
         round(col("q.qa") - col("q.qb"), 6).as("qte"))
   }
+
+  /** ONE-WAY ANOVA F-TEST across ALL event types — the k-group
+    * extension of the family's two-arm tests ([[abTest]] compares a
+    * pair of means; this asks "do ANY of the k arms differ", the
+    * omnibus question a multi-variant experiment or a per-source
+    * corpus-metric comparison opens with), plus η² (the share of
+    * variance the grouping explains — the effect size that says
+    * whether a significant F matters).
+    *
+    * The corpus-sized work is ONE partial-aggregated scan to
+    * per-group exact moments (n, Σv, Σv² in DECIMAL — the abTest
+    * discipline); the grand moments re-aggregate the k-row frame,
+    * never a second corpus pass. The between/within sums of squares
+    * are per-group IEEE terms on exact inputs, rounded 6 and summed
+    * IN DECIMAL (k terms in nondeterministic order — the chi²/
+    * perplexity ln-term discipline); F and η² are then single IEEE
+    * ops, null-guarded on their zero denominators in both engines.
+    */
+  def anova(spark: SparkSession, sfDir: String): DataFrame =
+    anovaOver(Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"), money(col("value")).as("v")))
+
+  /** Same operator over any (grp, v: decimal(18,2)) frame — a
+    * hand-computed 3-group spec pins SSB/SSW/F/η², a constant corpus
+    * pins the null guards. */
+  def anovaOver(df: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 4)
+    val m = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(d38)).as("ss"))
+      .localCheckpoint()
+    val g = m.agg(count(lit(1)).as("k"), sum(col("n")).as("tn"),
+      sum(col("s")).as("ts"))
+    m.crossJoin(broadcast(g))
+      .withColumn("gm", col("ts").cast("double") / col("tn").cast("double"))
+      .withColumn("mg", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("ssb_t",
+        round(col("n").cast("double") * (col("mg") - col("gm"))
+          * (col("mg") - col("gm")), 6).cast(DecimalType(18, 6)))
+      .withColumn("ssw_t",
+        round(col("ss").cast("double") - col("s").cast("double")
+          * col("s").cast("double") / col("n").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("k", "tn")
+      .agg(sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("tn").cast("long").as("n"),
+        (col("k") - 1).cast("long").as("df1"),
+        (col("tn") - col("k")).cast("long").as("df2"),
+        round(col("ssb").cast("double"), 6).as("ss_between"),
+        round(col("ssw").cast("double"), 6).as("ss_within"),
+        when(col("k") > 1 && col("ssw").cast("double") > 0 &&
+            col("tn") > col("k"),
+          round((col("ssb").cast("double") / (col("k") - 1).cast("double")) /
+            (col("ssw").cast("double") / (col("tn") - col("k")).cast("double")),
+            6)).as("f_stat"),
+        when(col("ssb").cast("double") + col("ssw").cast("double") > 0,
+          round(col("ssb").cast("double") /
+            (col("ssb").cast("double") + col("ssw").cast("double")), 6))
+          .as("eta_sq"))
+  }
+
+  /** AUTOCORRELATION FUNCTION of the daily-revenue series at lags
+    * 1..maxLag — the diagnosis that PRECEDES every forecast choice
+    * in the family ([[seasonalDecompose]] assumes weekly structure;
+    * ACF is what SHOWS it: a lag-7 spike says "seasonal-naive will
+    * work", slow decay says "trend — Holt", white noise says "stop").
+    *
+    * The corpus-sized work is ONE partial-aggregated rollup to the
+    * O(#days) daily frame; everything after is rollup-sized. r_k =
+    * Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²: the denominator from exact
+    * decimal moments (ss − s²/n), the numerator per (lag, day) pair
+    * as an IEEE product on exact inputs rounded 6 and summed IN
+    * DECIMAL (the chi²/ANOVA term discipline). Pairs come from a
+    * calendar self-join (day+k), so calendar gaps drop the pair in
+    * both engines rather than mis-aligning the series.
+    */
+  def acf(spark: SparkSession, sfDir: String, maxLag: Int = 14)
+      : DataFrame =
+    acfOver(Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(money(col("o_totalprice"))).as("y")), maxLag)
+
+  /** Same operator over any (day: date, y: decimal(18,2)) daily
+    * frame — a planted alternating series pins r_1 ≈ −1 / r_2 ≈ +1,
+    * a constant series pins the zero-variance null guard. */
+  private[graft] def acfOver(daily0: DataFrame, maxLag: Int): DataFrame = {
+    val daily = daily0.localCheckpoint()
+    val mom = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("ss"))
+      .withColumn("xbar", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("den", col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double"))
+      .select("xbar", "den")
+    val lagDf = daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    daily.select(col("day"), col("y").as("x1"))
+      .crossJoin(broadcast(lagDf))
+      .join(daily.select(col("day").as("day2"), col("y").as("x2")),
+        col("day2") === date_add(col("day"), col("lag")))
+      .crossJoin(broadcast(mom))
+      .withColumn("t",
+        round((col("x1").cast("double") - col("xbar")) *
+          (col("x2").cast("double") - col("xbar")), 6)
+          .cast(DecimalType(28, 6)))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t")).as("num"),
+        max(col("den")).as("den"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den"), 6)).as("acf"))
+  }
+
+  /** CALIBRATION / RELIABILITY report + ECE/MCE for a [0,1]-scaled
+    * score against a binary outcome — the evaluation leg [[auc]]
+    * (ranking) and [[lift]] (decile response) don't cover: does the
+    * score's VALUE mean what it claims? Ten fixed-width bins over
+    * the min-max-normalized score; per bin the mean normalized score
+    * ("confidence") vs the observed positive rate ("accuracy");
+    * Expected Calibration Error Σ (n_b/n)·|acc−conf| and Maximum
+    * Calibration Error max|acc−conf|.
+    *
+    * ONE conditional-aggregate scan after a broadcast 1-row min/max;
+    * per-bin confidence is MOMENT ALGEBRA on the exact decimal Σv
+    * ((Σv/n − min)/(max−min) — no second per-row pass, the cuped
+    * recipe); ECE terms round 6 and sum IN DECIMAL; MCE is a max
+    * over rounded terms (order-free). A constant score degenerates
+    * to one bin with null confidence (guarded identically in both
+    * engines).
+    */
+  def calibration(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame =
+    calibrationOver(Tables.events(spark, sfDir)
+      .select(money(col("value")).as("v"),
+        (col("event_type") === posType).as("y")))
+
+  /** Same operator over any (v: decimal(18,2), y: boolean) frame —
+    * a perfectly-calibrated planted corpus pins ECE = 0, a planted
+    * anti-calibrated one pins the per-bin gaps. */
+  def calibrationOver(scored: DataFrame): DataFrame = {
+    val mm = scored.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binned = scored.crossJoin(broadcast(mm))
+      .select(col("y"), col("v"), col("mn"), col("mx"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double") * 10).cast("long"),
+            lit(9L))).otherwise(lit(0L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("v")).as("sv"), max(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+      .localCheckpoint()
+    val tot = binned.agg(sum(col("n")).as("tn"))
+    val perBin = binned.crossJoin(broadcast(tot))
+      .withColumn("conf_raw",
+        when(col("mx") > col("mn"),
+          (col("sv").cast("double") / col("n").cast("double") -
+            col("mn").cast("double")) /
+            (col("mx") - col("mn")).cast("double")))
+      .withColumn("acc_raw",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("gap_raw", abs(col("acc_raw") - col("conf_raw")))
+    val scalars = perBin
+      .select(
+        round(col("gap_raw") * col("n").cast("double") /
+          col("tn").cast("double"), 6).cast(DecimalType(18, 6)).as("e"),
+        round(col("gap_raw"), 6).as("g"))
+      .agg(sum(col("e")).as("eced"), max(col("g")).as("mce"))
+    perBin.crossJoin(broadcast(scalars))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("conf_raw"), 6).as("confidence"),
+        round(col("acc_raw"), 6).as("accuracy"),
+        round(col("gap_raw"), 6).as("gap"),
+        round(col("eced").cast("double"), 6).as("ece"),
+        col("mce"))
+  }
+
+  /** SIMPSON'S-PARADOX AUDIT on the discount→revenue association —
+    * the aggregation-bias check every segmented readout needs: the
+    * high-discount vs low-discount mean-extended-price contrast,
+    * overall AND within each l_returnflag stratum, with a flag on
+    * every stratum whose contrast SIGN OPPOSES the overall one (the
+    * paradox: each stratum can reverse what the pooled table says,
+    * because discount incidence correlates with the stratum mix).
+    *
+    * ONE conditional-aggregate scan under a rollup(l_returnflag)
+    * (the pooled row is the grouping-set row, not a second pass);
+    * means are single IEEE divisions of exact decimal sums, the
+    * contrast rounds 6, and the sign test joins the broadcast 1-row
+    * pooled contrast back to the strata.
+    */
+  def simpson(spark: SparkSession, sfDir: String,
+      discountCut: Double = 0.05): DataFrame =
+    simpsonOver(Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("stratum"),
+        (col("l_discount") > discountCut).as("hi"),
+        money(col("l_extendedprice")).as("v")))
+
+  /** Same audit over any (stratum, hi: boolean, v: decimal(18,2))
+    * frame — a planted textbook reversal pins the flags. */
+  def simpsonOver(df: DataFrame): DataFrame = {
+    val agg = df.rollup("stratum")
+      .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(!col("hi"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("hi"), col("v"))).as("s_hi"),
+        sum(when(!col("hi"), col("v"))).as("s_lo"))
+      .withColumn("diff_raw",
+        when(col("n_hi") > 0 && col("n_lo") > 0,
+          col("s_hi").cast("double") / col("n_hi").cast("double") -
+            col("s_lo").cast("double") / col("n_lo").cast("double")))
+      .localCheckpoint()
+    val overall = agg.filter(col("stratum").isNull)
+      .select(col("diff_raw").as("diff_all"))
+    agg.crossJoin(broadcast(overall))
+      .select(coalesce(col("stratum"), lit("ALL")).as("stratum"),
+        col("n_hi"), col("n_lo"),
+        when(col("n_hi") > 0,
+          round(col("s_hi").cast("double") / col("n_hi").cast("double"), 6))
+          .as("mean_hi"),
+        when(col("n_lo") > 0,
+          round(col("s_lo").cast("double") / col("n_lo").cast("double"), 6))
+          .as("mean_lo"),
+        round(col("diff_raw"), 6).as("diff"),
+        when(col("diff_raw").isNotNull && col("diff_all").isNotNull,
+          col("stratum").isNotNull &&
+            signum(col("diff_raw")) * signum(col("diff_all")) < 0)
+          .as("flips_overall"))
+  }
 }

@@ -324,4 +324,37 @@ class QualitySpec extends SparkSpec {
     assert(r.except(Quality.dpCounts(spark, sf)).isEmpty)
     r.unpersist(); truth.unpersist()
   }
+
+  test("benford: single-digit corpus pins chi2/MAD against the literal " +
+      "expectations, zero-count digits still emit, sub-1 rows drop") {
+    import spark.implicits._
+    // 10 rows leading with digit 1, plus two sub-1 rows that must be
+    // excluded (their leading '0' is a scale artifact)
+    val rows = (Seq.fill(10)(19.99) ++ Seq(0.5, 0.99)).toDF("v")
+      .select(col("v").cast("decimal(18,2)").as("v"))
+    val out = Quality.benfordOver(rows).collect()
+      .map(r => r.getAs[Long]("digit") -> r).toMap
+    assert(out.size == 9)
+    assert(out(1L).getAs[Long]("n") == 10 &&
+      out(1L).getAs[Double]("obs_p") == 1.0)
+    (2L to 9L).foreach { d =>
+      assert(out(d).getAs[Long]("n") == 0 &&
+        out(d).getAs[Double]("obs_p") == 0.0)
+    }
+    // expected scalars recomputed with the operator's own rounding
+    val exp = Quality.BenfordExp
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r6((1 to 9).map { d =>
+      val e = 10.0 * exp(d - 1)
+      val n = if (d == 1) 10.0 else 0.0
+      BigDecimal(r6((n - e) * (n - e) / e))
+    }.sum.toDouble)
+    val mad = r6((1 to 9).map { d =>
+      val n = if (d == 1) 1.0 else 0.0
+      BigDecimal(r6(math.abs(n - exp(d - 1))))
+    }.sum.toDouble / 9.0)
+    assert(out(1L).getAs[Double]("chi2") == chi2)
+    assert(out(1L).getAs[Double]("mad") == mad)
+  }
 }

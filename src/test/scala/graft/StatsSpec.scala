@@ -461,6 +461,102 @@ class StatsSpec extends SparkSpec {
     assert(indep.getAs[Double]("cramers_v") == 0.0)
   }
 
+  test("anova: hand-computed 3-group F and eta^2; constant corpus " +
+      "null-guards both ratios") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double)]) =
+      Stats.anovaOver(rows.toDF("grp", "v")
+        .select(col("grp"), col("v").cast("decimal(18,2)").as("v"))).head
+    // a:{1,2,3} b:{4,5,6} c:{7,8,9} -> SSB=54, SSW=6, F=27, eta2=0.9
+    val r = run(Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 4.0, "b" -> 5.0, "b" -> 6.0,
+      "c" -> 7.0, "c" -> 8.0, "c" -> 9.0))
+    assert(r.getAs[Long]("k_groups") == 3 && r.getAs[Long]("n") == 9)
+    assert(r.getAs[Long]("df1") == 2 && r.getAs[Long]("df2") == 6)
+    assert(r.getAs[Double]("ss_between") == 54.0)
+    assert(r.getAs[Double]("ss_within") == 6.0)
+    assert(r.getAs[Double]("f_stat") == 27.0)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 0.9) < 1e-9)
+    // constant corpus: SSW = SSB = 0 -> F and eta^2 are null, not NaN
+    val c = run(Seq("a" -> 2.0, "a" -> 2.0, "b" -> 2.0, "b" -> 2.0))
+    assert(c.getAs[Double]("ss_between") == 0.0)
+    assert(c.getAs[Double]("ss_within") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f_stat")))
+    assert(c.isNullAt(c.fieldIndex("eta_sq")))
+  }
+
+  test("acf: alternating series pins r_1/r_2 signs exactly; constant " +
+      "series null-guards on zero variance") {
+    import spark.implicits._
+    def daily(ys: Seq[Double]) = ys.zipWithIndex.toDF("y", "i")
+      .select(date_add(lit("2024-01-01").cast("date"), col("i")).as("day"),
+        col("y").cast("decimal(18,2)").as("y"))
+    // y = 0,10,0,10,... over 10 days: mean 5, den 250;
+    // lag1: 9 pairs x (-25) -> -0.9; lag2: 8 pairs x (+25) -> 0.8
+    val alt = Stats.acfOver(daily(Seq.tabulate(10)(i => (i % 2) * 10.0)), 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(alt(1L) == ((9L, -0.9)) && alt(2L) == ((8L, 0.8)))
+    assert(alt(3L) == ((7L, -0.7)))
+    // constant series: zero variance -> acf null, pairs still counted
+    val const = Stats.acfOver(daily(Seq.fill(6)(4.0)), 2).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(const(1L).isNullAt(const(1L).fieldIndex("acf")))
+    assert(const(1L).getAs[Long]("n_pairs") == 5)
+  }
+
+  test("calibration: perfectly-calibrated corpus pins ECE = 0, " +
+      "anti-calibrated pins gap 1, constant score null-guards") {
+    import spark.implicits._
+    def run(rows: Seq[(Double, Boolean)]) =
+      Stats.calibrationOver(rows.toDF("v", "y")
+        .select(col("v").cast("decimal(18,2)").as("v"), col("y")))
+    // extremes only: bin0 all-negative at score 0, bin9 all-positive
+    // at score 10 -> confidence == accuracy in both bins
+    val perfect = run(Seq.fill(4)((0.0, false)) ++ Seq.fill(4)((10.0, true)))
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(perfect(0L).getAs[Double]("ece") == 0.0)
+    assert(perfect(0L).getAs[Double]("mce") == 0.0)
+    assert(perfect(0L).getAs[Double]("confidence") == 0.0 &&
+      perfect(0L).getAs[Double]("accuracy") == 0.0)
+    assert(perfect(9L).getAs[Double]("confidence") == 1.0 &&
+      perfect(9L).getAs[Double]("accuracy") == 1.0)
+    // inverted labels: both bins gap 1 -> ECE = 1, MCE = 1
+    val anti = run(Seq.fill(4)((0.0, true)) ++ Seq.fill(4)((10.0, false)))
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(anti(0L).getAs[Double]("gap") == 1.0)
+    assert(anti(9L).getAs[Double]("gap") == 1.0)
+    assert(anti(0L).getAs[Double]("ece") == 1.0 &&
+      anti(0L).getAs[Double]("mce") == 1.0)
+    // constant score: one bin, null confidence/gap/ece in both engines
+    val const = run(Seq((5.0, true), (5.0, false))).collect()
+    assert(const.length == 1 && const.head.getAs[Long]("bin") == 0L)
+    assert(const.head.isNullAt(const.head.fieldIndex("confidence")))
+    assert(const.head.isNullAt(const.head.fieldIndex("ece")))
+  }
+
+  test("simpson: planted textbook reversal flags the opposing stratum " +
+      "and only it") {
+    import spark.implicits._
+    // A: hi {100} vs lo {90 x5} -> +10; B: hi {10 x5} vs lo {20} -> -10
+    // pooled: hi mean 25 vs lo mean 78.33 -> negative => A flips
+    val rows = Seq(("A", true, 100.0)) ++
+      Seq.fill(5)(("A", false, 90.0)) ++
+      Seq.fill(5)(("B", true, 10.0)) ++ Seq(("B", false, 20.0))
+    val out = Stats.simpsonOver(rows.toDF("stratum", "hi", "v")
+        .select(col("stratum"), col("hi"),
+          col("v").cast("decimal(18,2)").as("v")))
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(out("A").getAs[Double]("diff") == 10.0)
+    assert(out("B").getAs[Double]("diff") == -10.0)
+    assert(out("ALL").getAs[Double]("diff") < 0)
+    assert(out("A").getAs[Boolean]("flips_overall"))
+    assert(!out("B").getAs[Boolean]("flips_overall"))
+    assert(!out("ALL").getAs[Boolean]("flips_overall"))
+    assert(out("ALL").getAs[Long]("n_hi") == 6 &&
+      out("ALL").getAs[Long]("n_lo") == 6)
+  }
+
   test("mann-whitney: hand-computed U and z on disjoint, identical, " +
       "and fully-tied corpora") {
     import spark.implicits._
