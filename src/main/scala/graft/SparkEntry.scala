@@ -161,6 +161,8 @@ object SparkEntry {
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
+    "q_kruskal" -> ((s, d) => Stats.kruskal(s, d)),
+    "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
     "q_benford" -> ((s, d) => Quality.benford(s, d)),
@@ -4445,6 +4447,75 @@ object SparkEntry {
         |  CASE WHEN max(den) > 0 THEN
         |    round(CAST(sum(t) AS DOUBLE) / max(den), 6) END AS acf
         |FROM pairs GROUP BY 1""".stripMargin,
+    // Kruskal-Wallis: midranks from the value histogram (the
+    // mannWhitney recipe), doubled rank sums integral in DECIMAL,
+    // per-group terms rounded 6 and decimal-summed
+    "q_kruskal" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+        |  FROM events),
+        |hist AS (SELECT score, grp, count(*) AS c FROM ev GROUP BY 1, 2),
+        |bys AS (SELECT score, sum(c) AS t FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT score, t,
+        |    coalesce(sum(t) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM bys),
+        |pg AS (
+        |  SELECT grp, sum(c) AS n,
+        |    sum(CAST(c AS DECIMAL(19,0)) *
+        |        CAST(2 * cumb + t + 1 AS DECIMAL(19,0))) AS r2
+        |  FROM hist JOIN cum USING (score) GROUP BY 1),
+        |ties AS (
+        |  SELECT sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+        |      * CAST(t AS DECIMAL(12,0)) - CAST(t AS DECIMAL(12,0))) AS tc
+        |  FROM cum),
+        |s AS (
+        |  SELECT count(*) AS k, sum(n) AS tn,
+        |    sum(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |        / (4.0 * CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6))) AS sr
+        |  FROM pg),
+        |f AS (
+        |  SELECT k, tn,
+        |    12.0 / (CAST(tn AS DOUBLE) * (CAST(tn AS DOUBLE) + 1.0))
+        |      * CAST(sr AS DOUBLE) - 3.0 * (CAST(tn AS DOUBLE) + 1.0)
+        |      AS h_raw,
+        |    1.0 - CAST(tc AS DOUBLE) /
+        |      (CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        - CAST(tn AS DOUBLE)) AS corr
+        |  FROM s CROSS JOIN ties)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(tn AS BIGINT) AS n,
+        |  CAST(k - 1 AS BIGINT) AS df, round(h_raw, 6) AS h_raw,
+        |  CASE WHEN corr > 0 THEN round(h_raw / corr, 6) END AS h_stat
+        |FROM f""".stripMargin,
+    // IQR fences: quantile_cont twins the exact-regime KLL (the qte
+    // contract); fences on unrounded quantiles, counts exact
+    "q_outlier_iqr" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM events),
+        |q AS (
+        |  SELECT grp, quantile_cont(v, 0.25) AS q1,
+        |    quantile_cont(v, 0.75) AS q3
+        |  FROM ev GROUP BY 1),
+        |f AS (
+        |  SELECT grp, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+        |    q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT ev.grp AS event_type, round(f.q1, 6) AS q1,
+        |  round(f.q3, 6) AS q3, round(f.q3 - f.q1, 6) AS iqr,
+        |  round(f.lo, 6) AS lo_fence, round(f.hi, 6) AS hi_fence,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_lo,
+        |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out_hi,
+        |  round(CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS out_rate
+        |FROM ev JOIN f ON ev.grp = f.grp
+        |GROUP BY 1, f.q1, f.q3, f.lo, f.hi""".stripMargin,
     // calibration: fixed-width bins over min-max-normalized score,
     // per-bin confidence by moment algebra, ECE terms decimal-summed
     "q_calibration" ->

@@ -2094,6 +2094,122 @@ object Stats {
         col("mce"))
   }
 
+  /** KRUSKAL–WALLIS H across ALL event types — the k-group
+    * nonparametric companion: [[anova]] compares means (moment-
+    * sensitive on heavy tails), [[mannWhitney]] ranks two arms; this
+    * ranks ALL k at once, the omnibus test a skewed multi-variant
+    * metric needs. Tie-corrected: H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Never the textbook global rank sort (single-task funnel at
+    * 100 TB): midranks come from the VALUE HISTOGRAM — one partial-
+    * aggregated (score, group) shuffle, the cumulative-below prefix
+    * on the histogram via the two-level range-partition trick (the
+    * mannWhitney/q_auc recipe). Doubled rank sums 2R_g = Σ n_gs·
+    * (2·cum_<s + t_s + 1) stay INTEGRAL in DECIMAL through ties;
+    * Σ R_g²/n_g is per-group IEEE terms on exact inputs rounded 6
+    * and summed IN DECIMAL (the ANOVA discipline); the all-tied
+    * corpus (correction denominator 0) null-guards identically.
+    */
+  def kruskal(spark: SparkSession, sfDir: String): DataFrame =
+    kruskalOver(Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"),
+        (money(col("value")) * 100).cast("long").as("score")))
+
+  /** Same operator over any (grp, score: long) frame — hand-computed
+    * no-tie and tie corpora pin H, an all-tied corpus pins the
+    * guard. */
+  def kruskalOver(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val d19 = DecimalType(19, 0)
+    val d12 = DecimalType(12, 0)
+    val hist = df.groupBy("score", "grp").agg(count(lit(1)).as("c"))
+    val byScore = hist.groupBy("score").agg(sum(col("c")).as("t"))
+    val ranged = byScore.repartitionByRange(p, col("score"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("pid").agg(sum(col("t")).as("pt"))
+      .withColumn("offset",
+        coalesce(sum(col("pt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wRun = Window.partitionBy(col("pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ranged.join(broadcast(offsets), "pid")
+      .withColumn("cumb",
+        col("offset") + coalesce(sum(col("t")).over(wRun), lit(0L)))
+      .select(col("score"), col("t"), col("cumb"))
+    val perGrp = hist.join(cum, "score")
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(d19) *
+          (lit(2) * col("cumb") + col("t") + lit(1)).cast(d19)).as("r2"))
+    val ties = cum.agg(
+      sum((col("t").cast(d12) * col("t").cast(d12) * col("t").cast(d12)
+        - col("t").cast(d12))).as("tc"))
+    perGrp
+      .withColumn("term",
+        round(col("r2").cast("double") * col("r2").cast("double") /
+          (lit(4.0) * col("n").cast("double")), 6)
+          .cast(DecimalType(28, 6)))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("tn"),
+        sum(col("term")).as("sr"))
+      .crossJoin(broadcast(ties))
+      .withColumn("nd", col("tn").cast("double"))
+      .withColumn("h_raw",
+        lit(12.0) / (col("nd") * (col("nd") + 1.0)) *
+          col("sr").cast("double") - lit(3.0) * (col("nd") + 1.0))
+      .withColumn("corr",
+        lit(1.0) - col("tc").cast("double") /
+          (col("nd") * col("nd") * col("nd") - col("nd")))
+      .select(col("k").cast("long").as("k_groups"),
+        col("tn").cast("long").as("n"),
+        (col("k") - 1).cast("long").as("df"),
+        round(col("h_raw"), 6).as("h_raw"),
+        when(col("corr") > 0, round(col("h_raw") / col("corr"), 6))
+          .as("h_stat"))
+  }
+
+  /** TUKEY-FENCE (IQR) OUTLIER REPORT per event type — the
+    * box-plot rule every data-quality triage starts with, beside
+    * the robust-z family ([[Relational.anomalyMad]] scores days;
+    * this screens raw VALUES): Q1/Q3 from the KLL sketch (exact
+    * regime at the gate SFs — the qte/quantile_cont contract),
+    * fences at 1.5·IQR, and the outside counts from ONE conditional
+    * re-scan against the broadcast k-row fence frame. Fences are
+    * IEEE ops on the unrounded quantiles (the qte discipline),
+    * rounded 6 at the gate; rates are exact-count divisions.
+    */
+  def outlierIqr(spark: SparkSession, sfDir: String): DataFrame =
+    outlierIqrOver(Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"),
+        money(col("value")).cast("double").as("v")))
+
+  /** Same report over any (grp, v: double) frame — a planted corpus
+    * with one far point per side pins the counts and fences. */
+  def outlierIqrOver(df: DataFrame): DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val q = df.groupBy("grp")
+      .agg(kll_quantiles(col("v"), 65536, Seq(0.25, 0.75)).as("qs"))
+      .select(col("grp"), element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    df.join(broadcast(q), "grp")
+      .groupBy(col("grp"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_out_hi"))
+      .select(col("grp").as("event_type"),
+        round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+        round(col("q3") - col("q1"), 6).as("iqr"),
+        round(col("lo"), 6).as("lo_fence"),
+        round(col("hi"), 6).as("hi_fence"),
+        col("n"), col("n_out_lo"), col("n_out_hi"),
+        round((col("n_out_lo") + col("n_out_hi")).cast("double") /
+          col("n").cast("double"), 6).as("out_rate"))
+  }
+
   /** SIMPSON'S-PARADOX AUDIT on the discount→revenue association —
     * the aggregation-bias check every segmented readout needs: the
     * high-discount vs low-discount mean-extended-price contrast,

@@ -535,6 +535,45 @@ class StatsSpec extends SparkSpec {
     assert(const.head.isNullAt(const.head.fieldIndex("ece")))
   }
 
+  test("kruskal-wallis: hand-computed no-tie H, midrank ties, and the " +
+      "all-tied null guard") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long)]) =
+      Stats.kruskalOver(rows.toDF("grp", "score")).head
+    // a:{1,2} b:{3,4}: R_a=3, R_b=7 -> H = 0.6*29 - 15 = 2.4, no ties
+    val clean = run(Seq("a" -> 1L, "a" -> 2L, "b" -> 3L, "b" -> 4L))
+    assert(clean.getAs[Long]("k_groups") == 2 && clean.getAs[Long]("n") == 4)
+    assert(clean.getAs[Double]("h_raw") == 2.4)
+    assert(clean.getAs[Double]("h_stat") == 2.4) // no ties: corr = 1
+    // tied pair across groups: a:{1,2} b:{2,3} -> midrank(2) = 2.5,
+    // R_a = 3.5, R_b = 6.5, sum R^2/n = 27.25, H_raw = 12/20*27.25-15
+    // = 1.35, corr = 1 - (2^3-2)/(4^3-4) = 0.9 -> H = 1.5
+    val tied = run(Seq("a" -> 1L, "a" -> 2L, "b" -> 2L, "b" -> 3L))
+    assert(math.abs(tied.getAs[Double]("h_raw") - 1.35) < 1e-9)
+    assert(math.abs(tied.getAs[Double]("h_stat") - 1.5) < 1e-9)
+    // all values identical: H_raw = 0 and the correction denominator
+    // vanishes -> h_stat null in both engines
+    val flat = run(Seq("a" -> 5L, "a" -> 5L, "b" -> 5L, "b" -> 5L))
+    assert(flat.getAs[Double]("h_raw") == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("h_stat")))
+  }
+
+  test("outlier-iqr: planted far points land outside the fences, " +
+      "clean bulk stays inside") {
+    import spark.implicits._
+    // bulk 1..99 (q1=25.5, q3=74.5, iqr=49, fences [-48, 148]) plus
+    // one point far out each side
+    val rows = (1 to 99).map(i => ("t", i.toDouble)) ++
+      Seq(("t", -1000.0), ("t", 1000.0))
+    val r = Stats.outlierIqrOver(rows.toDF("grp", "v")).head
+    assert(r.getAs[Long]("n") == 101)
+    assert(r.getAs[Long]("n_out_lo") == 1 && r.getAs[Long]("n_out_hi") == 1)
+    assert(r.getAs[Double]("lo_fence") < 0 &&
+      r.getAs[Double]("hi_fence") > 100)
+    assert(r.getAs[Double]("iqr") > 0)
+    assert(math.abs(r.getAs[Double]("out_rate") - 2.0 / 101) < 1e-6)
+  }
+
   test("simpson: planted textbook reversal flags the opposing stratum " +
       "and only it") {
     import spark.implicits._
