@@ -162,6 +162,7 @@ object SparkEntry {
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
     "q_kruskal" -> ((s, d) => Stats.kruskal(s, d)),
+    "q_ttest_paired" -> ((s, d) => Stats.ttestPaired(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -450,6 +451,7 @@ object SparkEntry {
     "mm_frame_dup" -> ((s, d) => Multimodal.frameDup(s, d)),
     "mm_scenes" -> ((s, d) => Multimodal.scenes(s, d)),
     "mm_align" -> ((s, d) => Multimodal.align(s, d)),
+    "mm_embed_dedup" -> ((s, d) => Multimodal.embedDedup(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d)),
     // G/H. Gated source + streaming + SQL-surface paths
     "q_jsonl_hourly" -> ((s, d) => graft.sources.Formats.eventsHourlyFromJsonl(s, d)),
@@ -4447,6 +4449,43 @@ object SparkEntry {
         |  CASE WHEN max(den) > 0 THEN
         |    round(CAST(sum(t) AS DOUBLE) / max(den), 6) END AS acf
         |FROM pairs GROUP BY 1""".stripMargin,
+    // paired t: per-user d rounded 6 AT THE USER BOUNDARY, d/d^2
+    // accumulated in DECIMAL, t dag on exact totals
+    "q_ttest_paired" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS sa,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS sb,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS dd,
+        |    CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) *
+        |      (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6)) AS d2
+        |  FROM pu WHERE na > 0 AND nb > 0),
+        |s AS (SELECT count(*) AS n, sum(dd) AS sd, sum(d2) AS sd2 FROM d),
+        |f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+        |    CASE WHEN n > 1 THEN
+        |      (CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) END AS var_d
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(n - 1 AS BIGINT) AS df,
+        |  round(mean_d, 6) AS mean_diff,
+        |  CASE WHEN var_d > 0 THEN round(sqrt(var_d), 6) END AS sd_diff,
+        |  CASE WHEN var_d > 0 THEN
+        |    round(mean_d / sqrt(var_d / nd), 6) END AS t_stat
+        |FROM f""".stripMargin,
     // Kruskal-Wallis: midranks from the value histogram (the
     // mannWhitney recipe), doubled rank sums integral in DECIMAL,
     // per-group terms rounded 6 and decimal-summed
@@ -5831,6 +5870,37 @@ object SparkEntry {
          |    ELSE 1 + (ord(substr(text, length(text), 1)) & 127) END AS INT) AS height,
          |$fCols
          |FROM documents""".stripMargin
+    },
+    // media semantic near-dup: the same stub-feature CTE, mean-centered
+    // (dyadic-exact column sums), 8 sign bits bucket, centered cosine
+    "mm_embed_dedup" -> {
+      val fCols = (0 until 8).map { i =>
+        s"""  CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE ord(substr(text, ($i * length(text)) // 8 + 1, 1)) / 128.0
+           |  END AS f$i""".stripMargin
+      }.mkString(",\n")
+      val ms = (0 until 8).map(i => s"avg(f$i) AS m$i").mkString(", ")
+      val cs = (0 until 8).map(i => s"f$i - m$i AS c$i").mkString(", ")
+      val bits = (0 until 8).map(i =>
+        s"CASE WHEN f$i - m$i >= 0 THEN '1' ELSE '0' END").mkString(", ")
+      val nrm = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
+      val dot = (0 until 8).map(i => s"a.c$i * b.c$i").mkString(" + ")
+      s"""WITH feat AS (SELECT doc_id,
+         |$fCols
+         |FROM documents),
+         |m AS (SELECT $ms FROM feat),
+         |c AS (SELECT doc_id, $cs, concat($bits) AS bucket
+         |      FROM feat CROSS JOIN m),
+         |n AS (SELECT *, sqrt($nrm) AS nrm FROM c),
+         |nn AS (SELECT * FROM n WHERE nrm > 0),
+         |ok AS (SELECT bucket FROM nn GROUP BY 1 HAVING count(*) <= 2000)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.bucket AS bucket,
+         |  round(($dot) / (a.nrm * b.nrm), 6) AS cos_sim
+         |FROM nn a JOIN nn b
+         |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |JOIN ok ON ok.bucket = a.bucket
+         |WHERE ($dot) / (a.nrm * b.nrm) >= 0.9""".stripMargin
     },
   )
 }

@@ -297,4 +297,62 @@ object Multimodal {
       .select(col("doc_id"), col("caption_idx"), col("frame_idx"),
         col("scene_id").cast("long").as("scene_id"))
   }
+
+  /** MEDIA-LEVEL SEMANTIC NEAR-DUP over the stub feature vectors —
+    * the cross-item twin of [[frameDup]] (which matches shared raw
+    * chunks; this matches items whose DECODED features agree, the
+    * perceptual-hash shape real image dedup uses): mean-CENTER the
+    * 8-dim feature columns (raw stub features are all non-negative,
+    * so uncentered sign bits would collapse every item into one
+    * bucket — the same reason SRP planes are drawn around the data
+    * mean), bucket by the 8 centered SIGN BITS, pair WITHIN buckets
+    * only, keep centered-cosine ≥ τ.
+    *
+    * Why this is oracle-gatable when `dedup_embedding` is not: the
+    * stub features are k/128 dyadic rationals, so their column SUMS
+    * are IEEE-exact in ANY accumulation order — the means, and
+    * therefore the centering, the buckets, and the cosine dag, are
+    * bit-identical in both engines with no hash-seed escape hatch.
+    * Scale shape: one mapPartitions decode pass, a broadcast 1-row
+    * mean, a bucket-keyed self-join with an oversize-bucket cap (the
+    * frameDup df-cap convention) — never an all-pairs compare.
+    */
+  def embedDedup(spark: SparkSession, sfDir: String,
+      tau: Double = 0.9, maxBucket: Int = 2000): DataFrame =
+    embedDedupOver(features(spark, sfDir), tau, maxBucket)
+
+  /** Same operator over any (doc_id, f0..f7) frame — planted
+    * identical / opposite-sign vectors pin bucketing and the τ cut. */
+  private[graft] def embedDedupOver(feat: DataFrame, tau: Double,
+      maxBucket: Int): DataFrame = {
+    val fs = (0 until 8).map(i => s"f$i")
+    val means = feat.agg(
+      avg(col(fs.head)).as("m0"),
+      fs.tail.zipWithIndex.map { case (c, i) =>
+        avg(col(c)).as(s"m${i + 1}")
+      }: _*)
+    val centered = feat.crossJoin(broadcast(means))
+      .select(Seq(col("doc_id")) ++ (0 until 8).map(i =>
+        (col(s"f$i") - col(s"m$i")).as(s"c$i")): _*)
+      .withColumn("bucket",
+        concat((0 until 8).map(i =>
+          when(col(s"c$i") >= 0, "1").otherwise("0")): _*))
+      .withColumn("nrm",
+        sqrt((0 until 8).map(i => col(s"c$i") * col(s"c$i"))
+          .reduce(_ + _)))
+      .filter(col("nrm") > 0)
+    val small = centered.groupBy("bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("bucket")
+    val keyed = centered.join(small, "bucket")
+    val cos = (0 until 8).map(i => col(s"a.c$i") * col(s"b.c$i"))
+      .reduce(_ + _) / (col("a.nrm") * col("b.nrm"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(cos >= tau)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bucket").as("bucket"), round(cos, 6).as("cos_sim"))
+  }
 }

@@ -2094,6 +2094,65 @@ object Stats {
         col("mce"))
   }
 
+  /** PAIRED t-TEST on per-user purchase-vs-click mean values — the
+    * third classical t variant ([[abTest]] treats arms as
+    * independent samples; pairing on the USER removes the
+    * between-user variance component, the standard readout when the
+    * same population generates both metrics): users with BOTH event
+    * types contribute one difference d = mean_purchase − mean_click;
+    * t = d̄ / (s_d/√n) with df = n−1.
+    *
+    * ONE conditional-aggregate scan to per-user exact DECIMAL sums;
+    * each user's d is a fixed IEEE dag on exact inputs, ROUNDED 6
+    * AT THE USER BOUNDARY, and d / d² accumulate IN DECIMAL from
+    * the rounded values (per-user doubles summed raw would be
+    * partition-order-nondeterministic — the bootstrap/chi² term
+    * discipline, here applied one level up); the t dag then runs on
+    * exact decimal totals, null-guarded on zero variance.
+    */
+  def ttestPaired(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame =
+    ttestPairedOver(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** Same operator over any (user_id, event_type, value) frame —
+    * planted constant-shift and zero-variance corpora pin t and the
+    * guard. */
+  def ttestPairedOver(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    val perUser = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === typeA, money(col("value")))).as("sa"),
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === typeB, money(col("value")))).as("sb"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("d_raw",
+        col("sa").cast("double") / col("na").cast("double") -
+          col("sb").cast("double") / col("nb").cast("double"))
+      .select(
+        round(col("d_raw"), 6).cast(DecimalType(18, 6)).as("d"),
+        round(col("d_raw") * col("d_raw"), 6).cast(DecimalType(28, 6))
+          .as("d2"))
+    perUser.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(col("d2")).as("sd2"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean_d", col("sd").cast("double") / col("nd"))
+      .withColumn("var_d",
+        when(col("n") > 1,
+          (col("sd2").cast("double") -
+            col("sd").cast("double") * col("sd").cast("double") /
+              col("nd")) / (col("nd") - 1.0)))
+      .select(col("n").cast("long").as("n_pairs"),
+        (col("n") - 1).cast("long").as("df"),
+        round(col("mean_d"), 6).as("mean_diff"),
+        when(col("var_d") > 0, round(sqrt(col("var_d")), 6)).as("sd_diff"),
+        when(col("var_d") > 0,
+          round(col("mean_d") / sqrt(col("var_d") / col("nd")), 6))
+          .as("t_stat"))
+  }
+
   /** KRUSKAL–WALLIS H across ALL event types — the k-group
     * nonparametric companion: [[anova]] compares means (moment-
     * sensitive on heavy tails), [[mannWhitney]] ranks two arms; this

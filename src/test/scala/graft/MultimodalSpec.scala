@@ -112,4 +112,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).getBoolean(5) && out(2L).getDouble(4) == 0.0)
     assert(!out(3L).getBoolean(5))
   }
+
+  test("embed dedup: identical vectors pair at cosine 1 inside their " +
+      "sign bucket, opposite-sign vectors never meet, cap drops all") {
+    import spark.implicits._
+    // docs 1,2 share (1,1,0,...); docs 3,4 share (0,0,1,1,0,...):
+    // after mean-centering the two groups land in different buckets
+    val feat = Seq(
+      (1L, 1.0, 1.0, 0.0, 0.0), (2L, 1.0, 1.0, 0.0, 0.0),
+      (3L, 0.0, 0.0, 1.0, 1.0), (4L, 0.0, 0.0, 1.0, 1.0))
+      .toDF("doc_id", "f0", "f1", "f2", "f3")
+      .withColumn("f4", lit(0.0)).withColumn("f5", lit(0.0))
+      .withColumn("f6", lit(0.0)).withColumn("f7", lit(0.0))
+    val pairs = Multimodal.embedDedupOver(feat, 0.9, 2000).collect()
+    assert(pairs.length == 2)
+    val keys = pairs.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys == Set((1L, 2L), (3L, 4L)))
+    assert(pairs.forall(_.getAs[Double]("cos_sim") == 1.0))
+    // within-group and cross-group buckets differ
+    assert(pairs.map(_.getAs[String]("bucket")).distinct.length == 2)
+    // an oversize-bucket cap of 1 suppresses every candidate
+    assert(Multimodal.embedDedupOver(feat, 0.9, 1).isEmpty)
+  }
 }

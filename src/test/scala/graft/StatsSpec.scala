@@ -535,6 +535,32 @@ class StatsSpec extends SparkSpec {
     assert(const.head.isNullAt(const.head.fieldIndex("ece")))
   }
 
+  test("paired t-test: planted per-user diffs pin t/df, single-type " +
+      "users drop, zero variance null-guards") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, Double)]) =
+      Stats.ttestPairedOver(
+        rows.toDF("user_id", "event_type", "value"),
+        "purchase", "click").head
+    // diffs 1, 2, 3 -> mean 2, var 1, t = 2*sqrt(3); u4 click-only drops
+    val r = run(Seq(
+      (1L, "purchase", 11.0), (1L, "click", 10.0),
+      (2L, "purchase", 12.0), (2L, "click", 10.0),
+      (3L, "purchase", 13.0), (3L, "click", 10.0),
+      (4L, "click", 99.0)))
+    assert(r.getAs[Long]("n_pairs") == 3 && r.getAs[Long]("df") == 2)
+    assert(r.getAs[Double]("mean_diff") == 2.0)
+    assert(r.getAs[Double]("sd_diff") == 1.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - 2.0 * math.sqrt(3.0)) < 1e-5)
+    // identical diffs -> zero variance -> sd/t null
+    val z = run(Seq(
+      (1L, "purchase", 11.0), (1L, "click", 10.0),
+      (2L, "purchase", 12.0), (2L, "click", 11.0)))
+    assert(z.getAs[Double]("mean_diff") == 1.0)
+    assert(z.isNullAt(z.fieldIndex("sd_diff")))
+    assert(z.isNullAt(z.fieldIndex("t_stat")))
+  }
+
   test("kruskal-wallis: hand-computed no-tie H, midrank ties, and the " +
       "all-tied null guard") {
     import spark.implicits._
