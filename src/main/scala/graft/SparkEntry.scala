@@ -163,6 +163,7 @@ object SparkEntry {
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
     "q_kruskal" -> ((s, d) => Stats.kruskal(s, d)),
     "q_ttest_paired" -> ((s, d) => Stats.ttestPaired(s, d)),
+    "q_ewma_chart" -> ((s, d) => Stats.ewmaChart(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -4449,6 +4450,53 @@ object SparkEntry {
         |  CASE WHEN max(den) > 0 THEN
         |    round(CAST(sum(t) AS DOUBLE) / max(den), 6) END AS acf
         |FROM pairs GROUP BY 1""".stripMargin,
+    // EWMA chart: dyadic lambda=1/4 recursion bit-exact via recursive
+    // CTE; (1-lambda)^(2t) as a running 0.5625 product, never pow()
+    "q_ewma_chart" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT event_type,
+        |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+        |    CASE WHEN count(*) > 1 THEN
+        |      sqrt((CAST(sum(y * y) AS DOUBLE)
+        |          - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |            / CAST(count(*) AS DOUBLE))
+        |        / CAST(count(*) - 1 AS DOUBLE)) END AS sigma
+        |  FROM daily GROUP BY 1),
+        |seq AS (
+        |  SELECT d.*, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS t
+        |  FROM daily d),
+        |ew AS (
+        |  SELECT s.event_type, s.day, s.y, s.t,
+        |    (CAST(s.y AS DOUBLE) + 3.0 * m.mu) / 4.0 AS z,
+        |    CAST(0.5625 AS DOUBLE) AS p
+        |  FROM seq s JOIN mom m USING (event_type) WHERE s.t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.y, s.t,
+        |    (CAST(s.y AS DOUBLE) + 3.0 * e.z) / 4.0 AS z,
+        |    e.p * CAST(0.5625 AS DOUBLE) AS p
+        |  FROM seq s JOIN ew e
+        |    ON s.event_type = e.event_type AND s.t = e.t + 1)
+        |SELECT e.event_type, e.day, e.y, round(e.z, 6) AS ewma,
+        |  round(m.mu + 3.0 * m.sigma *
+        |    sqrt(CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)
+        |      * (1.0 - e.p)), 6) AS ucl,
+        |  round(m.mu - 3.0 * m.sigma *
+        |    sqrt(CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)
+        |      * (1.0 - e.p)), 6) AS lcl,
+        |  CASE WHEN m.sigma IS NOT NULL THEN
+        |    e.z > m.mu + 3.0 * m.sigma *
+        |      sqrt(CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)
+        |        * (1.0 - e.p))
+        |    OR e.z < m.mu - 3.0 * m.sigma *
+        |      sqrt(CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)
+        |        * (1.0 - e.p))
+        |  END AS out_of_control
+        |FROM ew e JOIN mom m USING (event_type)""".stripMargin,
     // paired t: per-user d rounded 6 AT THE USER BOUNDARY, d/d^2
     // accumulated in DECIMAL, t dag on exact totals
     "q_ttest_paired" ->

@@ -2094,6 +2094,78 @@ object Stats {
         col("mce"))
   }
 
+  /** EWMA CONTROL CHART over the daily event-count series per type —
+    * the SPC monitor the time-series family was missing
+    * ([[Relational.anomalyMad]] flags single outlier days; EWMA
+    * detects small SUSTAINED shifts, the drift mode point anomalies
+    * miss): z_t = λ·y_t + (1−λ)·z_{t−1} with λ = 1/4, so every
+    * smoothing step is POWER-OF-TWO arithmetic on integer counts and
+    * the whole recursion is bit-exact in both engines (the
+    * holt/holt-winters dyadic discipline). Control limits are the
+    * exact time-varying form μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) with
+    * (1−λ)^{2t} maintained as a RUNNING PRODUCT of the 0.5625
+    * literal inside the same fold — never engine libm pow(), whose
+    * rounding is not pinned cross-engine. μ and σ come from exact
+    * integer moments; the fold is one `aggregate` HOF per type over
+    * the collected CALENDAR-sized series (the corpus-sized work is
+    * the ONE daily groupBy).
+    */
+  def ewmaChart(spark: SparkSession, sfDir: String, l: Double = 3.0)
+      : DataFrame =
+    ewmaChartOver(Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")), l)
+
+  /** Same chart over any (event_type, ts) frame — a planted 4-day
+    * series pins the dyadic recursion and the t=1 exact-0.25 limit
+    * factor by hand. */
+  def ewmaChartOver(events: DataFrame, l: Double): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n").cast("double")).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) / (col("n") - 1).cast("double")))
+          .as("sigma"))
+    val folded = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("arr"))
+      .join(broadcast(mom), "event_type")
+      .withColumn("zs", expr(
+        """aggregate(
+          |  arr,
+          |  named_struct('z', mu, 'p', CAST(1.0 AS DOUBLE),
+          |    'out', CAST(array() AS ARRAY<STRUCT<z: DOUBLE, p: DOUBLE>>)),
+          |  (st, e) -> named_struct(
+          |    'z', (CAST(e.y AS DOUBLE) + 3.0D * st.z) / 4.0D,
+          |    'p', st.p * 0.5625D,
+          |    'out', concat(st.out, array(named_struct(
+          |      'z', (CAST(e.y AS DOUBLE) + 3.0D * st.z) / 4.0D,
+          |      'p', st.p * 0.5625D)))),
+          |  st -> st.out)""".stripMargin.trim))
+    folded
+      .select(col("event_type"), col("mu"), col("sigma"),
+        posexplode(arrays_zip(col("arr"), col("zs"))).as(Seq("i", "e")))
+      .withColumn("width",
+        lit(l) * col("sigma") *
+          sqrt(lit(0.25) / lit(1.75) * (lit(1.0) - col("e.zs.p"))))
+      .select(col("event_type"), col("e.arr.day").as("day"),
+        col("e.arr.y").as("y"), round(col("e.zs.z"), 6).as("ewma"),
+        round(col("mu") + col("width"), 6).as("ucl"),
+        round(col("mu") - col("width"), 6).as("lcl"),
+        when(col("sigma").isNotNull,
+          col("e.zs.z") > col("mu") + col("width") ||
+            col("e.zs.z") < col("mu") - col("width"))
+          .as("out_of_control"))
+  }
+
   /** PAIRED t-TEST on per-user purchase-vs-click mean values — the
     * third classical t variant ([[abTest]] treats arms as
     * independent samples; pairing on the USER removes the

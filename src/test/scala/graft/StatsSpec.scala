@@ -535,6 +535,32 @@ class StatsSpec extends SparkSpec {
     assert(const.head.isNullAt(const.head.fieldIndex("ece")))
   }
 
+  test("ewma chart: planted 4-day series pins the dyadic recursion " +
+      "and the exact t=1 limit; single-day type null-guards") {
+    import spark.implicits._
+    // counts 4,1,1,1: mu = 1.75, sigma = 1.5; z = 2.3125, 1.984375,
+    // 1.73828125, 1.5537109375; t=1 width = 4.5*sqrt(1/16) = 1.125
+    val rows =
+      Seq.fill(4)(("a", "2024-01-01 10:00:00")) ++ Seq(
+        ("a", "2024-01-02 10:00:00"), ("a", "2024-01-03 10:00:00"),
+        ("a", "2024-01-04 10:00:00"), ("b", "2024-01-01 09:00:00"))
+    val out = Stats.ewmaChartOver(
+      rows.toDF("event_type", "s")
+        .select(col("event_type"), col("s").cast("timestamp").as("ts")),
+      3.0).collect()
+    val a = out.filter(_.getString(0) == "a")
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(a.map(_.getAs[Double]("ewma")).toSeq ==
+      Seq(2.3125, 1.984375, 1.738281, 1.553711))
+    assert(a.head.getAs[Double]("ucl") == 2.875)
+    assert(a.head.getAs[Double]("lcl") == 0.625)
+    assert(a.forall(!_.getAs[Boolean]("out_of_control")))
+    // type b has one day: sigma undefined -> verdict null, ewma real
+    val b = out.filter(_.getString(0) == "b").head
+    assert(b.isNullAt(b.fieldIndex("out_of_control")))
+    assert(b.getAs[Double]("ewma") == 1.0)
+  }
+
   test("paired t-test: planted per-user diffs pin t/df, single-type " +
       "users drop, zero variance null-guards") {
     import spark.implicits._
