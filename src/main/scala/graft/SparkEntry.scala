@@ -476,6 +476,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.topkFromFiles(s, d)),
     "stream_moments" ->
       ((s, d) => graft.streaming.EventStreams.momentsFromFiles(s, d)),
+    "stream_ewma" ->
+      ((s, d) => graft.streaming.EventStreams.ewmaFromFiles(s, d)),
     // rows-gated: Lloyd codebook geometry (the declared SRP/PQ regime);
     // StreamingSpec pins drained state == the batch one-iteration refit
     "stream_kmeans" ->
@@ -4497,6 +4499,48 @@ object SparkEntry {
         |        * (1.0 - e.p))
         |  END AS out_of_control
         |FROM ew e JOIN mom m USING (event_type)""".stripMargin,
+    // streaming EWMA: phase-I limits from the baseline half, the
+    // q_ewma_chart dyadic recursion seeded at mu0, steady-state limits
+    "stream_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |cut AS (SELECT CAST(min(ts) AS DATE) + 15 AS cut FROM events),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu0,
+        |    CASE WHEN count(*) > 1 THEN
+        |      sqrt((CAST(sum(y * y) AS DOUBLE)
+        |          - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |            / CAST(count(*) AS DOUBLE))
+        |        / CAST(count(*) - 1 AS DOUBLE)) END AS sigma0
+        |  FROM daily CROSS JOIN cut WHERE day < cut GROUP BY 1),
+        |lims AS (
+        |  SELECT event_type, mu0, sigma0,
+        |    mu0 + 3.0 * sigma0 *
+        |      sqrt(CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)) AS hi,
+        |    mu0 - 3.0 * sigma0 *
+        |      sqrt(CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)) AS lo
+        |  FROM base),
+        |seq AS (
+        |  SELECT d.*, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS t
+        |  FROM daily d),
+        |ew AS (
+        |  SELECT s.event_type, s.day, s.y, s.t,
+        |    (CAST(s.y AS DOUBLE) + 3.0 * l.mu0) / 4.0 AS z
+        |  FROM seq s JOIN lims l USING (event_type) WHERE s.t = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.y, s.t,
+        |    (CAST(s.y AS DOUBLE) + 3.0 * e.z) / 4.0 AS z
+        |  FROM seq s JOIN ew e
+        |    ON s.event_type = e.event_type AND s.t = e.t + 1)
+        |SELECT e.event_type, e.day, e.y, round(e.z, 6) AS ewma,
+        |  round(l.hi, 6) AS ucl, round(l.lo, 6) AS lcl,
+        |  CASE WHEN l.sigma0 IS NOT NULL THEN
+        |    e.z > l.hi OR e.z < l.lo END AS out_of_control
+        |FROM ew e JOIN lims l USING (event_type)""".stripMargin,
     // paired t: per-user d rounded 6 AT THE USER BOUNDARY, d/d^2
     // accumulated in DECIMAL, t dag on exact totals
     "q_ttest_paired" ->

@@ -323,8 +323,12 @@ object Multimodal {
 
   /** Same operator over any (doc_id, f0..f7) frame — planted
     * identical / opposite-sign vectors pin bucketing and the τ cut. */
-  private[graft] def embedDedupOver(feat: DataFrame, tau: Double,
+  private[graft] def embedDedupOver(feat0: DataFrame, tau: Double,
       maxBucket: Int): DataFrame = {
+    // the feature frame is consumed twice (means, then centering):
+    // persist so the decode pass runs once, not per consumer
+    val feat = feat0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fs = (0 until 8).map(i => s"f$i")
     val means = feat.agg(
       avg(col(fs.head)).as("m0"),

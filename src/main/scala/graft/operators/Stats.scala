@@ -2254,7 +2254,11 @@ object Stats {
     val p = spark.sparkContext.defaultParallelism
     val d19 = DecimalType(19, 0)
     val d12 = DecimalType(12, 0)
+    // the (score, grp) histogram is the ONE corpus-sized shuffle and
+    // feeds both the score totals and the per-group rank sums:
+    // truncate its lineage so the scan runs once
     val hist = df.groupBy("score", "grp").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val byScore = hist.groupBy("score").agg(sum(col("c")).as("t"))
     val ranged = byScore.repartitionByRange(p, col("score"))
       .withColumn("pid", spark_partition_id())

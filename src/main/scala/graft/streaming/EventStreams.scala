@@ -1085,6 +1085,107 @@ object EventStreams {
           round(col("shift0"), 6).as("shift"))
     }
   }
+
+  case class EwmaIn(event_type: String, day: java.sql.Date, y: Long)
+  case class EwmaOut(event_type: String, day: java.sql.Date, y: Long,
+      ewma: Double, out_of_control: Option[Boolean])
+  case class EwmaParams(mu0: Double, limits: Option[(Double, Double)])
+
+  /** Streaming EWMA CONTROL CHART — `q_ewma_chart`'s monitor moved
+    * onto the state store, which is where SPC naturally lives (the
+    * whole point of EWMA is that tomorrow's alert needs ONE number
+    * of state, not the history): control limits are CONFIGURED FROM
+    * THE BASELINE period (first 15 days — the classic phase-I/
+    * phase-II split, and the steady-state limit μ₀ ± L·σ₀·√(λ/(2−λ))
+    * a long-running monitor converges to), then each day's count
+    * folds into the per-type z = (y + 3z)/4 as it arrives, the
+    * single ValueState[Double] carrying z across triggers.
+    *
+    * Fully DuckDB-oracle-gated: the recursion is the q_ewma_chart
+    * dyadic dag seeded at μ₀, replayed by a recursive CTE; days
+    * arrive in order (two fixed-mtime feed files split at the
+    * baseline cut, batch rows sorted by day inside the handler), so
+    * the drained stream is bit-identical to the batch fold. At
+    * 100 TB the state is one double per type; the corpus-sized work
+    * is the daily rollup the feed is built from.
+    */
+  def ewmaFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = ev.agg(date_add(to_date(min(col("ts"))), 15).as("cut"))
+    // phase-I parameters: exact integer moments over the baseline
+    // half, limits computed IN THE COLUMN DAG (bit-identical to the
+    // oracle's), collected as the monitor's bounded per-type config
+    val lims = daily.crossJoin(broadcast(cut))
+      .filter(col("day") < col("cut"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n").cast("double")).as("mu0"),
+        when(col("n") > 1,
+          sqrt((col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) / (col("n") - 1).cast("double")))
+          .as("sigma0"))
+      .withColumn("hi", col("mu0") + lit(3.0) * col("sigma0") *
+        sqrt(lit(0.25) / lit(1.75)))
+      .withColumn("lo", col("mu0") - lit(3.0) * col("sigma0") *
+        sqrt(lit(0.25) / lit(1.75)))
+      .localCheckpoint()
+    val params = lims.collect().map { r =>
+      r.getString(0) -> EwmaParams(r.getDouble(1),
+        if (r.isNullAt(2)) None
+        else Some((r.getDouble(4), r.getDouble(3))))
+    }.toMap
+    val feed = graft.TempDirs.create("graft_stream_ewma")
+    val withCut = daily.crossJoin(broadcast(cut))
+    // fixed past mtimes: the source processes oldest-first
+    dumpFeedFile(feed,
+      withCut.filter(col("day") < col("cut")).drop("cut"),
+      "run1.parquet", 1000000000000L)
+    dumpFeedFile(feed,
+      withCut.filter(col("day") >= col("cut")).drop("cut"),
+      "run2.parquet", 1000000060000L)
+    val stream = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", "1") // force the cross-batch carry
+      .parquet(feed.toString)
+      .as[EwmaIn]
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = stream.groupByKey(_.event_type)
+        .transformWithState(new EwmaProcessor(params),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[EwmaOut])
+      val name = nextSinkName("graft_stream_ewma")
+      withSink(spark, name) {
+        val q = out.toDF().writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        drainMemorySink(spark, name)
+          .join(broadcast(lims
+            .select(col("event_type"), col("hi"), col("lo"))), "event_type")
+          .select(col("event_type"), col("day"), col("y"),
+            round(col("ewma"), 6).as("ewma"),
+            round(col("hi"), 6).as("ucl"), round(col("lo"), 6).as("lcl"),
+            col("out_of_control"))
+      }
+    } finally prevProvider match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
 
 /** The StatefulProcessor: one `ValueState[Long]` per user holds the
@@ -1093,6 +1194,41 @@ object EventStreams {
   * integer arithmetic only (highestOneBit shifts), so the oracle's
   * `1 << k` replay is exact.
   */
+/** The EWMA StatefulProcessor: one `ValueState[Double]` per event
+  * type carries z across triggers; each batch's days fold in DAY
+  * ORDER through the dyadic z = (y + 3z)/4 update (the same
+  * correctly-rounded op sequence the oracle's recursive CTE runs, so
+  * the drained stream hash-gates). Types absent from the baseline
+  * config emit nothing (the oracle's inner join).
+  */
+class EwmaProcessor(params: Map[String, EventStreams.EwmaParams])
+    extends org.apache.spark.sql.streaming
+    .StatefulProcessor[String, EventStreams.EwmaIn, EventStreams.EwmaOut] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var zState: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    zState = getHandle.getValueState[Double]("z",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[EventStreams.EwmaIn],
+      timerValues: TimerValues): Iterator[EventStreams.EwmaOut] =
+    params.get(key) match {
+      case None => Iterator.empty
+      case Some(p) =>
+        var z = if (zState.exists()) zState.get() else p.mu0
+        val out = rows.toArray.sortBy(_.day.getTime).map { r =>
+          z = (r.y.toDouble + 3.0 * z) / 4.0
+          EventStreams.EwmaOut(r.event_type, r.day, r.y, z,
+            p.limits.map { case (lo, hi) => z > hi || z < lo })
+        }
+        zState.update(z)
+        out.iterator
+    }
+}
+
 class PowerAlertProcessor extends org.apache.spark.sql.streaming
     .StatefulProcessor[Long, EventStreams.Event, EventStreams.TwsAlert] {
   import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig}

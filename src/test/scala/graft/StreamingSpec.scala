@@ -502,4 +502,46 @@ class StreamingSpec extends SparkSpec {
     }
     got.unpersist()
   }
+
+  test("streaming EWMA chart: drained z series is bit-identical to the " +
+      "driver-side baseline-seeded fold, every day emitted once") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.EventStreams.ewmaFromFiles(spark, sf).cache()
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString,
+        r.getLong(2)))
+    val cut = Tables.events(spark, sf)
+      .agg(date_add(to_date(min(col("ts"))), 15)).head.getDate(0).toString
+    val byType = daily.groupBy(_._1)
+    // one output row per (type, day); the z fold replayed driver-side
+    assert(got.count() == daily.length)
+    byType.foreach { case (et, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val base = ordered.filter(_._2 < cut).map(_._3)
+      val mu0 = base.sum.toDouble / base.length
+      var z = mu0
+      val expected = ordered.map { case (_, day, y) =>
+        z = (y.toDouble + 3.0 * z) / 4.0
+        day -> BigDecimal(z).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val gotRows = got.filter(col("event_type") === et).collect()
+        .map(r => r.getAs[java.sql.Date]("day").toString ->
+          r.getAs[Double]("ewma")).toMap
+      assert(gotRows == expected, s"type $et z series")
+    }
+    // verdicts are consistent with the emitted limits
+    assert(got.filter(col("out_of_control") =!=
+      (col("ewma") > col("ucl") || col("ewma") < col("lcl")))
+      // rounding at the gate can flip a hairline verdict readback:
+      // recheck only clear-margin rows
+      .filter(abs(col("ewma") - col("ucl")) > 1e-5 &&
+        abs(col("ewma") - col("lcl")) > 1e-5)
+      .isEmpty)
+    got.unpersist()
+  }
 }
