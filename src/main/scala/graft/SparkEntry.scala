@@ -43,6 +43,8 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     "q_stickiness" -> ((s, d) => Relational.stickiness(s, d)),
     "q_transition_paths" -> ((s, d) => Relational.transitionPaths(s, d)),
+    "q_markov_attribution" ->
+      ((s, d) => Relational.markovAttribution(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1511,6 +1513,102 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / tot, 6) AS p
         |FROM c JOIN tot USING (from_type)""".stripMargin,
+    // Markov removal-effect attribution: the absorbing-chain solve
+    // unrolled as 32 exact-decimal CTE steps (probabilities rounded 6,
+    // per-term products rounded 9, decimal accumulation — the same op
+    // sequence the driver-side BigDecimal fold runs)
+    "q_markov_attribution" -> {
+      // MATERIALIZED everywhere: DuckDB inlines single-reference CTEs,
+      // so an un-hinted 32-step chain re-expands the whole session
+      // pipeline per step (the graph-oracle hazard, same fix)
+      val steps = (1 to 32).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""v$k AS MATERIALIZED (
+           |  SELECT sc.sc, e.from_s AS state,
+           |    sum(CAST(round(CAST(e.p AS DOUBLE) * (CASE
+           |      WHEN e.to_s = 'CONV' THEN 1.0
+           |      WHEN e.to_s = 'NULL' THEN 0.0
+           |      WHEN e.to_s = sc.removed THEN 0.0
+           |      ELSE coalesce(CAST(vp.v AS DOUBLE), 0.0) END), 9)
+           |      AS DECIMAL(18,9))) AS v
+           |  FROM edges e CROSS JOIN scenarios sc
+           |  LEFT JOIN $prev vp ON vp.sc = sc.sc AND vp.state = e.to_s
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sess AS MATERIALIZED (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, ts, event_type,
+         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) IS NULL
+         |        OR ts - lag(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) > INTERVAL '30 minutes'
+         |      THEN 1 ELSE 0 END AS is_new
+         |    FROM events)),
+         |rn AS MATERIALIZED (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM sess),
+         |fpt AS MATERIALIZED (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+         |      OVER (PARTITION BY user_id, session_id) AS fp
+         |  FROM rn),
+         |kept0 AS MATERIALIZED (
+         |  SELECT user_id, session_id, ts, event_id, fp,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         |      ELSE event_type END AS to_s
+         |  FROM fpt WHERE fp IS NULL OR rn <= fp),
+         |kept AS MATERIALIZED (
+         |  SELECT *,
+         |    coalesce(lag(to_s) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id), 'START') AS from_s,
+         |    row_number() OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS krn,
+         |    count(*) OVER (PARTITION BY user_id, session_id) AS kmax
+         |  FROM kept0),
+         |trans AS MATERIALIZED (
+         |  SELECT from_s, to_s FROM kept
+         |  UNION ALL
+         |  SELECT to_s AS from_s, 'NULL' AS to_s FROM kept
+         |  WHERE fp IS NULL AND krn = kmax),
+         |cnt AS MATERIALIZED (SELECT from_s, to_s, count(*) AS n FROM trans
+         |        GROUP BY 1, 2),
+         |tots AS MATERIALIZED (SELECT from_s, sum(n) AS tot FROM cnt GROUP BY 1),
+         |edges AS MATERIALIZED (
+         |  SELECT c.from_s, c.to_s,
+         |    round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+         |  FROM cnt c JOIN tots t USING (from_s)),
+         |channels AS MATERIALIZED (
+         |  SELECT DISTINCT from_s AS ch FROM edges
+         |  WHERE from_s <> 'START'),
+         |scenarios AS MATERIALIZED (
+         |  SELECT 'BASE' AS sc, CAST(NULL AS VARCHAR) AS removed
+         |  UNION ALL SELECT ch AS sc, ch AS removed FROM channels),
+         |v0 AS MATERIALIZED (
+         |  SELECT s.sc, f.state, CAST(0 AS DECIMAL(18,9)) AS v
+         |  FROM (SELECT DISTINCT from_s AS state FROM edges) f
+         |  CROSS JOIN scenarios s),
+         |$steps,
+         |eff AS (
+         |  SELECT c.ch, b.v AS bv, r.v AS rv, b.v - r.v AS ev
+         |  FROM channels c
+         |  JOIN v32 b ON b.sc = 'BASE' AND b.state = 'START'
+         |  JOIN v32 r ON r.sc = c.ch AND r.state = 'START'),
+         |te AS (SELECT sum(ev) AS te FROM eff)
+         |SELECT e.ch AS channel,
+         |  round(CAST(e.bv AS DOUBLE), 6) AS base_cvr,
+         |  round(CAST(e.rv AS DOUBLE), 6) AS removed_cvr,
+         |  CASE WHEN CAST(e.bv AS DOUBLE) > 0 THEN
+         |    round(CAST(e.ev AS DOUBLE) / CAST(e.bv AS DOUBLE), 6)
+         |  END AS removal_effect,
+         |  CASE WHEN CAST(t.te AS DOUBLE) > 0 THEN
+         |    round(CAST(e.ev AS DOUBLE) / CAST(t.te AS DOUBLE), 6)
+         |  END AS attribution
+         |FROM eff e CROSS JOIN te t""".stripMargin
+    },
     // the flatMapGroupsWithState streaming path, same batch oracle
     "stream_sessionize" -> sessionizeSql,
     // the built-in session_window aggregate streamed; q_session_window's

@@ -1897,6 +1897,118 @@ object Relational {
         round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
 
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
+    * model beside `q_attribution`'s last-touch rule (last-touch gives
+    * the closer 100% of the credit; the Markov model asks the causal
+    * question "how much conversion disappears if channel c vanishes",
+    * the removal effect of Anderl et al.): session journeys become a
+    * first-order chain START → touches → CONV/NULL (cut at the first
+    * purchase; non-converting sessions absorb into NULL), and each
+    * channel's credit is its normalized removal effect — the drop in
+    * P(START→CONV) when paths through the channel are severed.
+    *
+    * The corpus-sized work is the sessionized window pass + ONE
+    * (from, to) groupBy; the chain itself is #types²-bounded, so the
+    * transition matrix is a BOUNDED collect (the codebook-training
+    * convention) and the absorbing-chain solve runs driver-side in
+    * EXACT DECIMAL (probabilities rounded 6, per-term products
+    * rounded 9 and accumulated in BigDecimal — the same op sequence
+    * the oracle's 32-step unrolled-CTE iteration runs, so every
+    * emitted float hash-gates). Removal severs at READ (val(c) ≡ 0),
+    * identical in both engines.
+    */
+  def markovAttribution(spark: SparkSession, sfDir: String,
+      iters: Int = 32): DataFrame =
+    markovAttributionOver(Tables.events(spark, sfDir), iters)
+
+  /** Same model over any (user_id, event_id, ts, event_type) frame —
+    * a planted two-channel corpus with hand-computable chain pins
+    * the removal effects and shares. */
+  def markovAttributionOver(events: DataFrame, iters: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val spark = events.sparkSession
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySessAll = Window.partitionBy(col("user_id"), col("session_id"))
+    val sessioned = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || col("ts").cast("double") - col("prev_ts").cast("double")
+            > 1800d, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(bySess))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase", col("rn")))
+          .over(bySessAll))
+    val kept = sessioned
+      .filter(col("fp").isNull || col("rn") <= col("fp"))
+      .select(col("user_id"), col("session_id"), col("ts"),
+        col("event_id"), col("fp"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("to_s"))
+      .withColumn("from_s",
+        coalesce(lag(col("to_s"), 1).over(bySess), lit("START")))
+      .withColumn("krn", row_number().over(bySess))
+      .withColumn("kmax", max(col("krn")).over(bySessAll))
+    val terminals = kept
+      .filter(col("fp").isNull && col("krn") === col("kmax"))
+      .select(col("to_s").as("from_s"), lit("NULL").as("to_s"))
+    val edges = kept.select("from_s", "to_s").unionByName(terminals)
+      .groupBy("from_s", "to_s").agg(count(lit(1)).as("n"))
+    val withP = edges
+      .join(edges.groupBy("from_s").agg(sum(col("n")).as("tot")), "from_s")
+      .select(col("from_s"), col("to_s"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("p"))
+    // #event-types²-bounded matrix: the bounded-collect convention
+    val mat = withP.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val outgoing = mat.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3)).sortBy(_._1)
+    }
+    val states = outgoing.keySet
+    val channels = (states - "START").toSeq.sorted
+    def solve(removed: Option[String]): JBD = {
+      var v = Map.empty[String, JBD]
+      for (_ <- 1 to iters) {
+        v = states.map { s =>
+          val nv = outgoing(s).foldLeft(JBD.ZERO) { case (acc, (t, p)) =>
+            val tv =
+              if (t == "CONV") 1.0
+              else if (t == "NULL") 0.0
+              else if (removed.contains(t)) 0.0
+              else v.get(t).map(_.doubleValue).getOrElse(0.0)
+            acc.add(new JBD(p * tv).setScale(9, RM.HALF_UP))
+          }
+          s -> nv
+        }.toMap
+      }
+      v.getOrElse("START", JBD.ZERO)
+    }
+    val base = solve(None)
+    val perCh = channels.map { c =>
+      val rem = solve(Some(c))
+      (c, rem, base.subtract(rem))
+    }
+    val totEff = perCh.foldLeft(JBD.ZERO)((a, r) => a.add(r._3))
+    def r6(x: Double): Double =
+      new JBD(x).setScale(6, RM.HALF_UP).doubleValue
+    val rows = perCh.map { case (c, rem, eff) =>
+      (c, r6(base.doubleValue), r6(rem.doubleValue),
+        if (base.doubleValue > 0)
+          Some(r6(eff.doubleValue / base.doubleValue)) else None,
+        if (totEff.doubleValue > 0)
+          Some(r6(eff.doubleValue / totEff.doubleValue)) else None)
+    }
+    import spark.implicits._
+    rows.toDF("channel", "base_cvr", "removed_cvr", "removal_effect",
+      "attribution")
+  }
+
   /** DAU/WAU STICKINESS — the engagement ratio every product
     * dashboard tracks (what share of weekly-active users show up on
     * a given day): daily active users over rolling-7-day active

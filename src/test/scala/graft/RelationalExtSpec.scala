@@ -628,4 +628,30 @@ class RelationalExtSpec extends SparkSpec {
     assert(t.agg(sum(col("n"))).head().getLong(0) == expected)
     t.unpersist()
   }
+
+  test("markov attribution: planted two-channel chain pins removal " +
+      "effects 2:1 and complementary shares") {
+    import spark.implicits._
+    // u1/u2: ad -> purchase; u3: ad only (NULL); u4: email -> purchase
+    // START->ad .75 / ->email .25; ad->CONV 2/3; email->CONV 1
+    // base = .750000250, eff(ad) = .500000250, eff(email) = .25
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+    val rows = Seq(
+      (1L, t0, 1L, "ad"), (2L, t1, 1L, "purchase"),
+      (3L, t0, 2L, "ad"), (4L, t1, 2L, "purchase"),
+      (5L, t0, 3L, "ad"),
+      (6L, t0, 4L, "email"), (7L, t1, 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Relational.markovAttributionOver(rows, 32)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("ad", "email"))
+    assert(out("ad").getAs[Double]("base_cvr") == 0.75)
+    assert(out("ad").getAs[Double]("removed_cvr") == 0.25)
+    assert(out("email").getAs[Double]("removed_cvr") == 0.5)
+    assert(out("ad").getAs[Double]("removal_effect") == 0.666667)
+    assert(out("email").getAs[Double]("removal_effect") == 0.333333)
+    assert(out("ad").getAs[Double]("attribution") == 0.666667)
+    assert(out("email").getAs[Double]("attribution") == 0.333333)
+  }
 }
