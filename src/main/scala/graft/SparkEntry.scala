@@ -45,6 +45,8 @@ object SparkEntry {
     "q_transition_paths" -> ((s, d) => Relational.transitionPaths(s, d)),
     "q_markov_attribution" ->
       ((s, d) => Relational.markovAttribution(s, d)),
+    "q_pit_features" -> ((s, d) => AsOf.pitFeatures(s, d)),
+    "q_abc_class" -> ((s, d) => Relational.abcClass(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1513,6 +1515,49 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / tot, 6) AS p
         |FROM c JOIN tot USING (from_type)""".stripMargin,
+    // PIT backfill: one strictly-before user window, decimal running
+    // value, no join
+    "q_pit_features" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    count(*) OVER pre AS n_prior,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER pre
+        |      AS n_prior_clicks,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) OVER pre
+        |      AS DOUBLE), 0.0) AS v_prior_clicks,
+        |    date_diff('day',
+        |      CAST(min(ts) OVER (PARTITION BY user_id) AS DATE),
+        |      CAST(ts AS DATE)) AS days_active
+        |  FROM events
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, n_prior, n_prior_clicks,
+        |  v_prior_clicks, CAST(days_active AS BIGINT) AS days_active
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // ABC classification: descending rank + running cents via window,
+    // integer class predicates
+    "q_abc_class" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, l_partkey) AS rnk,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pp),
+        |t AS (SELECT sum(cents) AS tc FROM pp)
+        |SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
+        |  rnk AS rank, CAST(cum AS BIGINT) AS cum_cents,
+        |  CASE WHEN cum * 100 <= tc * 80 THEN 'A'
+        |       WHEN cum * 100 <= tc * 95 THEN 'B'
+        |       ELSE 'C' END AS abc,
+        |  round(CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS cum_share
+        |FROM r CROSS JOIN t""".stripMargin,
     // Markov removal-effect attribution: the absorbing-chain solve
     // unrolled as 32 exact-decimal CTE steps (probabilities rounded 6,
     // per-term products rounded 9, decimal accumulation — the same op

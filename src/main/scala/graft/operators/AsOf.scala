@@ -93,6 +93,48 @@ object AsOf {
           .cast("double").as("attributed_value"))
   }
 
+  /** POINT-IN-TIME FEATURE BACKFILL — the feature-store pattern
+    * behind every training-set join ("the model may only see what
+    * existed at prediction time"): for each purchase, the user's
+    * trailing activity features STRICTLY BEFORE that instant
+    * (prior-event count, prior-click count and value, days since
+    * first activity). Leakage-free by construction: the frame ends
+    * at row −1 of the (ts, event_id)-ordered user window.
+    *
+    * The [[attributionLastTouchOver]] shape generalized from "last
+    * prior click" to running AGGREGATES: ONE user-keyed window pass,
+    * NO join at all — where a naive backfill runs a per-purchase
+    * range join (quadratic on active users), this is a single
+    * shuffle + sorted scan at any scale. Prior value accumulates in
+    * DECIMAL inside the deterministic sorted frame.
+    */
+  def pitFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    pitFeaturesOver(Tables.events(spark, sfDir))
+
+  /** Same backfill over any (event_id, user_id, event_type, ts,
+    * value) frame — a planted timeline pins the strictly-before
+    * boundary and the same-instant tie rule. */
+  def pitFeaturesOver(events: DataFrame): DataFrame = {
+    val pre = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("n_prior", count(lit(1)).over(pre))
+      .withColumn("n_prior_clicks",
+        count(when(col("event_type") === "click", 1)).over(pre))
+      .withColumn("v_prior_clicks",
+        coalesce(sum(when(col("event_type") === "click",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .over(pre).cast("double"), lit(0.0)))
+      .withColumn("days_active",
+        datediff(to_date(col("ts")), to_date(min(col("ts")).over(all)))
+          .cast("long"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("n_prior"),
+        col("n_prior_clicks"), col("v_prior_clicks"), col("days_active"))
+  }
+
   /** Per-user event-type pivot (counts), fixed column set. */
   def eventPivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -1897,6 +1897,61 @@ object Relational {
         round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
 
+  /** ABC INVENTORY CLASSIFICATION of parts by revenue — the
+    * warehouse-management classic (A ≈ top 80% of revenue, B the
+    * next 15%, C the tail) that drives stocking and audit policy:
+    * per-part exact revenue CENTS, the global descending rank and
+    * running revenue total from the TWO-LEVEL range-partitioned
+    * prefix sum (the lorenz/pack_sequences discipline — never a
+    * global single-task sort), and the class from INTEGER
+    * predicates 100·cum ≤ 80·total / 95·total in DECIMAL (no float
+    * quantile, no boundary ambiguity).
+    */
+  def abcClass(spark: SparkSession, sfDir: String): DataFrame =
+    abcClassOver(Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((money(col("l_extendedprice")) * 100).cast("long"))
+        .as("cents")))
+
+  /** Same classification over any (l_partkey, cents) frame — a
+    * planted 80/15/5 corpus pins the class boundaries. */
+  private[graft] def abcClassOver(perPart: DataFrame): DataFrame = {
+    val spark = perPart.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val d38 = DecimalType(38, 0)
+    val ranged = perPart
+      .repartitionByRange(p, col("cents").desc, col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("pc"))
+      .withColumn("off_n", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("off_c", coalesce(sum(col("pc")).over(wOff), lit(0L)))
+      .select("pid", "off_n", "off_c")
+    val wRun = Window.partitionBy(col("pid"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perPart.agg(sum(col("cents")).as("tc"))
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("rank",
+        col("off_n") + coalesce(sum(lit(1L)).over(wRun), lit(0L)) + 1L)
+      .withColumn("cum",
+        col("off_c") + coalesce(sum(col("cents")).over(wRun), lit(0L))
+          + col("cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cents"), col("rank"),
+        col("cum").as("cum_cents"),
+        when(col("cum").cast(d38) * 100 <= col("tc").cast(d38) * 80, "A")
+          .when(col("cum").cast(d38) * 100 <= col("tc").cast(d38) * 95, "B")
+          .otherwise("C").as("abc"),
+        round(col("cents").cast("double") / col("tc").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("tc").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
     * model beside `q_attribution`'s last-touch rule (last-touch gives
     * the closer 100% of the credit; the Markov model asks the causal

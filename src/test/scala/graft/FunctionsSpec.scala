@@ -62,6 +62,38 @@ class FunctionsSpec extends SparkSpec {
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
 
+  test("pit features: strictly-before frame, same-instant id tie rule, " +
+      "decimal prior value, day span") {
+    import spark.implicits._
+    val base = new java.sql.Timestamp(1704110400000L) // 2024-01-01T12:00Z
+    def t(d: Long) = new java.sql.Timestamp(base.getTime + d * 86400000L)
+    // u1: click d0 v10, view d0, click d1 v5, purchase d1 (SAME instant
+    // as click id3 but larger id -> click counts), purchase d2,
+    // purchase d4 at same instant as a LATER-id click (excluded)
+    val planted = Seq(
+      (1L, 1L, "click", t(0), 10.0),
+      (2L, 1L, "view", t(0), 0.0),
+      (3L, 1L, "click", t(1), 5.0),
+      (4L, 1L, "purchase", t(1), 100.0),
+      (5L, 1L, "purchase", t(2), 100.0),
+      (6L, 1L, "purchase", t(4), 100.0),
+      (7L, 1L, "click", t(4), 9.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = AsOf.pitFeaturesOver(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(4L, 5L, 6L))
+    assert(got(4L).getAs[Long]("n_prior") == 3)
+    assert(got(4L).getAs[Long]("n_prior_clicks") == 2)
+    assert(got(4L).getAs[Double]("v_prior_clicks") == 15.0)
+    assert(got(4L).getAs[Long]("days_active") == 1)
+    assert(got(5L).getAs[Long]("n_prior") == 4)
+    assert(got(5L).getAs[Double]("v_prior_clicks") == 15.0)
+    // purchase id6 precedes click id7 at the same instant: excluded
+    assert(got(6L).getAs[Long]("n_prior") == 5)
+    assert(got(6L).getAs[Long]("n_prior_clicks") == 2)
+    assert(got(6L).getAs[Long]("days_active") == 4)
+  }
+
   test("nearest-in-time join picks the closer side, breaks ties backward, " +
       "and nulls users with no clicks") {
     import spark.implicits._

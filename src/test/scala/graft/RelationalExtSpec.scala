@@ -629,6 +629,28 @@ class RelationalExtSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("abc classification: planted 80/15/5 corpus pins classes at the " +
+      "inclusive integer boundaries") {
+    import spark.implicits._
+    val out = Relational.abcClassOver(
+      Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("l_partkey", "cents"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("abc") == "A" &&
+      out(1L).getAs[Long]("rank") == 1)
+    assert(out(2L).getAs[String]("abc") == "B" &&
+      out(2L).getAs[Long]("rank") == 2)
+    assert(out(3L).getAs[String]("abc") == "C" &&
+      out(3L).getAs[Long]("rank") == 3)
+    assert(out(1L).getAs[Long]("cum_cents") == 80)
+    assert(out(3L).getAs[Long]("cum_cents") == 100)
+    assert(out(2L).getAs[Double]("cum_share") == 0.95)
+    // equal-cents ties rank by partkey: 2 before 3
+    val tied = Relational.abcClassOver(
+      Seq((3L, 10L), (2L, 10L), (1L, 20L)).toDF("l_partkey", "cents"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank")).toMap
+    assert(tied == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("markov attribution: planted two-channel chain pins removal " +
       "effects 2:1 and complementary shares") {
     import spark.implicits._
