@@ -46,6 +46,7 @@ object SparkEntry {
     "q_markov_attribution" ->
       ((s, d) => Relational.markovAttribution(s, d)),
     "q_pit_features" -> ((s, d) => AsOf.pitFeatures(s, d)),
+    "q_top_paths" -> ((s, d) => Relational.topPaths(s, d)),
     "q_abc_class" -> ((s, d) => Relational.abcClass(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
@@ -1515,6 +1516,44 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / tot, 6) AS p
         |FROM c JOIN tot USING (from_type)""".stripMargin,
+    // top journey paths: the markov journey CTEs, string_agg in
+    // window order, rank on (n desc, path)
+    "q_top_paths" ->
+      """WITH sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, event_type,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS is_new
+        |    FROM events)),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM sess),
+        |fpt AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+        |      OVER (PARTITION BY user_id, session_id) AS fp
+        |  FROM rn),
+        |kept AS (
+        |  SELECT user_id, session_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |      ELSE event_type END AS to_s
+        |  FROM fpt WHERE fp IS NULL OR rn <= fp),
+        |paths AS (
+        |  SELECT string_agg(to_s, '>' ORDER BY ts, event_id) AS path,
+        |    max(CASE WHEN to_s = 'CONV' THEN 1 ELSE 0 END) AS converted
+        |  FROM kept GROUP BY user_id, session_id),
+        |cnt AS (SELECT path, CAST(converted AS BIGINT) AS converted,
+        |        count(*) AS n FROM paths GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rnk
+        |      FROM cnt)
+        |SELECT path, converted, n, rnk FROM r WHERE rnk <= 20""".stripMargin,
     // PIT backfill: one strictly-before user window, decimal running
     // value, no join
     "q_pit_features" ->

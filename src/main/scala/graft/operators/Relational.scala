@@ -1897,6 +1897,62 @@ object Relational {
         round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
 
+  /** TOP CONVERTING / NON-CONVERTING JOURNEY PATHS — the path report
+    * every funnel review opens with ("what do users actually DO
+    * before buying"), and the human-readable companion to
+    * [[markovAttribution]]'s chain (same journeys, same first-
+    * purchase cut; this one keeps the sequences instead of
+    * factorizing them): per session the ordered label string
+    * (e.g. 'click>view>CONV'), counted across the corpus, global
+    * top-k by frequency on the bounded TopKPerKey heaps (never a
+    * corpus-wide sort — path cardinality is data-dependent and
+    * unbounded at 100 TB).
+    */
+  def topPaths(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame =
+    topPathsOver(Tables.events(spark, sfDir), k)
+
+  /** Same report over any (event_id, user_id, ts, event_type) frame
+    * — planted sessions pin the path strings and the cut. */
+  def topPathsOver(events: DataFrame, k: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySessAll = Window.partitionBy(col("user_id"), col("session_id"))
+    val kept = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || col("ts").cast("double") - col("prev_ts").cast("double")
+            > 1800d, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(bySess))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase", col("rn")))
+          .over(bySessAll))
+      .filter(col("fp").isNull || col("rn") <= col("fp"))
+      .select(col("user_id"), col("session_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("to_s"))
+    val paths = kept
+      .groupBy("user_id", "session_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("to_s")))).as("arr"),
+        max(when(col("to_s") === "CONV", 1L).otherwise(0L))
+          .as("converted"))
+      .select(
+        concat_ws(">", expr("transform(arr, s -> s.to_s)")).as("path"),
+        col("converted"))
+      .groupBy("path", "converted")
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopKPerKey(paths.withColumn("g", lit(1)),
+        Seq("g"), Seq(("n", true), ("path", false)), k)
+      .select(col("path"), col("converted"), col("n"), col("rnk"))
+  }
+
   /** ABC INVENTORY CLASSIFICATION of parts by revenue — the
     * warehouse-management classic (A ≈ top 80% of revenue, B the
     * next 15%, C the tail) that drives stocking and audit policy:

@@ -629,6 +629,29 @@ class RelationalExtSpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("top paths: planted sessions pin the label strings, the first-" +
+      "purchase cut, and the frequency rank") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def t(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    // u1, u2: click>CONV (post-purchase view is cut); u3: view only
+    val rows = Seq(
+      (1L, t(0), 1L, "click"), (2L, t(60), 1L, "purchase"),
+      (3L, t(120), 1L, "view"),
+      (4L, t(0), 2L, "click"), (5L, t(60), 2L, "purchase"),
+      (6L, t(0), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Relational.topPathsOver(rows, 10).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("click>CONV", "view"))
+    assert(out("click>CONV").getAs[Long]("n") == 2 &&
+      out("click>CONV").getAs[Long]("converted") == 1)
+    assert(out("click>CONV").getAs[Long]("rnk") == 1)
+    assert(out("view").getAs[Long]("n") == 1 &&
+      out("view").getAs[Long]("converted") == 0)
+    assert(out("view").getAs[Long]("rnk") == 2)
+  }
+
   test("abc classification: planted 80/15/5 corpus pins classes at the " +
       "inclusive integer boundaries") {
     import spark.implicits._
