@@ -985,8 +985,8 @@ object Pipeline {
     import spark.implicits._
     val ledger = batches.map { case (tag, b) =>
       val a = b.agg(count(lit(1)).as("n"),
-        sum(when(col("n_chars") <= 0 || col("text") === "", 1L)
-          .otherwise(0L)).as("bad")).head
+        coalesce(sum(when(col("n_chars") <= 0 || col("text") === "", 1L)
+          .otherwise(0L)), lit(0L)).as("bad")).head
       val (n, bad) = (a.getLong(0), a.getLong(1))
       if (bad == 0)
         b.select(lit(tag).as("batch"), col("doc_id"),

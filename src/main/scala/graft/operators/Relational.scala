@@ -1912,15 +1912,20 @@ object Relational {
       : DataFrame =
     topPathsOver(Tables.events(spark, sfDir), k)
 
-  /** Same report over any (event_id, user_id, ts, event_type) frame
-    * — planted sessions pin the path strings and the cut. */
-  def topPathsOver(events: DataFrame, k: Int): DataFrame = {
+  /** Shared journey prep for [[topPathsOver]] and
+    * [[markovAttributionOver]] ("same journeys, same first-purchase
+    * cut"): 30-min-gap sessionization (the [[sessionize]] rule with
+    * (ts, event_id) tie order), each session cut at its FIRST
+    * purchase, purchase relabeled 'CONV'. Emits (user_id, session_id,
+    * ts, event_id, fp, to_s); fp is null for non-converting sessions.
+    */
+  private[graft] def sessionJourneys(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts"), col("event_id"))
     val bySessAll = Window.partitionBy(col("user_id"), col("session_id"))
-    val kept = events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ts").isNull
@@ -1934,10 +1939,15 @@ object Relational {
           .over(bySessAll))
       .filter(col("fp").isNull || col("rn") <= col("fp"))
       .select(col("user_id"), col("session_id"), col("ts"),
-        col("event_id"),
+        col("event_id"), col("fp"),
         when(col("event_type") === "purchase", lit("CONV"))
           .otherwise(col("event_type")).as("to_s"))
-    val paths = kept
+  }
+
+  /** Same report over any (event_id, user_id, ts, event_type) frame
+    * — planted sessions pin the path strings and the cut. */
+  def topPathsOver(events: DataFrame, k: Int): DataFrame = {
+    val paths = sessionJourneys(events)
       .groupBy("user_id", "session_id")
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
         col("to_s")))).as("arr"),
@@ -1989,7 +1999,9 @@ object Relational {
     val wRun = Window.partitionBy(col("pid"))
       .orderBy(col("cents").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = perPart.agg(sum(col("cents")).as("tc"))
+    // read the grand total off the cached range-partitioned frame —
+    // re-aggregating perPart would re-run the corpus scan + groupBy
+    val tot = ranged.agg(sum(col("cents")).as("tc"))
     ranged.join(broadcast(offsets), "pid")
       .withColumn("rank",
         col("off_n") + coalesce(sum(lit(1L)).over(wRun), lit(0L)) + 1L)
@@ -2038,29 +2050,10 @@ object Relational {
   def markovAttributionOver(events: DataFrame, iters: Int): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode => RM}
     val spark = events.sparkSession
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts"), col("event_id"))
     val bySessAll = Window.partitionBy(col("user_id"), col("session_id"))
-    val sessioned = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull
-          || col("ts").cast("double") - col("prev_ts").cast("double")
-            > 1800d, 1).otherwise(0))
-      .withColumn("session_id", sum(col("is_new"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("rn", row_number().over(bySess))
-      .withColumn("fp",
-        min(when(col("event_type") === "purchase", col("rn")))
-          .over(bySessAll))
-    val kept = sessioned
-      .filter(col("fp").isNull || col("rn") <= col("fp"))
-      .select(col("user_id"), col("session_id"), col("ts"),
-        col("event_id"), col("fp"),
-        when(col("event_type") === "purchase", lit("CONV"))
-          .otherwise(col("event_type")).as("to_s"))
+    val kept = sessionJourneys(events)
       .withColumn("from_s",
         coalesce(lag(col("to_s"), 1).over(bySess), lit("START")))
       .withColumn("krn", row_number().over(bySess))

@@ -1549,6 +1549,11 @@ object Stats {
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("y"))))
         .as("arr"))
+      // A type needs one full season of training days to seed l0/s0;
+      // the oracle's recursion never reaches tmax for shorter series
+      // and silently drops the type — mirror that drop (ANSI array
+      // indexing would otherwise throw on arr[6]).
+      .filter(size(col("arr")) >= 7)
       .withColumn("l0", expr(
         "CAST(arr[0].y + arr[1].y + arr[2].y + arr[3].y + arr[4].y " +
           "+ arr[5].y + arr[6].y AS DOUBLE) / 7.0D"))

@@ -550,4 +550,16 @@ class PipelineSpec extends SparkSpec {
     assert(reg("r1")._1 && reg("r1")._2 > 0)
     assert(!reg("r2")._1 && reg("r2")._2 == 0L)
   }
+
+  test("WAP: an empty batch audits clean (bad=0) and publishes zero " +
+      "rows instead of NPE-ing on the null sum") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "n_chars")
+    val dir = TempDirs.create("graft_wap_empty").toString
+    val ledger = Pipeline.wapRun(spark, Seq(("e", empty)), dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSet
+    assert(ledger == Set(("e", 0L, 0L, true, 0L)), s"ledger=$ledger")
+  }
 }

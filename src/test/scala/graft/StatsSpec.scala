@@ -950,6 +950,27 @@ class StatsSpec extends SparkSpec {
     out.unpersist(); daily.unpersist()
   }
 
+  test("Holt-Winters: a type with under one season of training days is " +
+      "dropped, matching the oracle's silent drop, not crashed on") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_hw_short").toString
+    // steady: 20 daily events (13 training days at horizon=7);
+    // late: first seen 5 days before the cut — too short to seed s0
+    val rows = (0 until 20).map(d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 08:00:00"),
+        1L, "steady", 1.0, "{}")) ++
+      (8 until 20).map(d =>
+        (100L + d, java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:00:00"),
+          2L, "late", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.holtWinters(spark, dir, horizon = 7).cache()
+    assert(out.filter(col("event_type") === "late").isEmpty,
+      "short-series type must be dropped, not forecast")
+    assert(out.filter(col("event_type") === "steady").count() == 7L)
+    out.unpersist()
+  }
+
   test("Kaplan-Meier: risk sets telescope, censoring only at the horizon, " +
       "and the curve equals the direct product recomputation") {
     val rows = Stats.survivalKm(spark, sf, horizon = 7)
