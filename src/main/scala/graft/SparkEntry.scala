@@ -48,6 +48,9 @@ object SparkEntry {
     "q_pit_features" -> ((s, d) => AsOf.pitFeatures(s, d)),
     "q_top_paths" -> ((s, d) => Relational.topPaths(s, d)),
     "q_abc_class" -> ((s, d) => Relational.abcClass(s, d)),
+    "q_hits" -> ((s, d) => Relational.hitsScores(s, d)),
+    "q_weighted_median" -> ((s, d) => Stats.weightedMedian(s, d)),
+    "q_survivorship" -> ((s, d) => Quality.survivorship(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1554,6 +1557,59 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rnk
         |      FROM cnt)
         |SELECT path, converted, n, rnk FROM r WHERE rnk <= 20""".stripMargin,
+    // HITS: two mutual-update rounds unrolled; 9-decimal scores
+    // summed IN DECIMAL, each L1 normalization ONE double division of
+    // decimal casts (the q_pagerank determinism discipline)
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |a1r AS (SELECT p, sum(CAST(1.0 AS DECIMAL(28,9))) AS r
+        |        FROM e GROUP BY 1),
+        |ta1 AS (SELECT sum(r) AS t FROM a1r),
+        |a1 AS (SELECT p, round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 9)
+        |         AS s FROM a1r, ta1),
+        |h1r AS (SELECT u, sum(CAST(a1.s AS DECIMAL(28,9))) AS r
+        |        FROM e JOIN a1 USING (p) GROUP BY 1),
+        |th1 AS (SELECT sum(r) AS t FROM h1r),
+        |h1 AS (SELECT u, round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 9)
+        |         AS s FROM h1r, th1),
+        |a2r AS (SELECT p, sum(CAST(h1.s AS DECIMAL(28,9))) AS r
+        |        FROM e JOIN h1 USING (u) GROUP BY 1),
+        |ta2 AS (SELECT sum(r) AS t FROM a2r),
+        |a2 AS (SELECT p, round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 9)
+        |         AS s FROM a2r, ta2),
+        |h2r AS (SELECT u, sum(CAST(a2.s AS DECIMAL(28,9))) AS r
+        |        FROM e JOIN a2 USING (p) GROUP BY 1),
+        |th2 AS (SELECT sum(r) AS t FROM h2r),
+        |h2 AS (SELECT u, round(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 9)
+        |         AS s FROM h2r, th2),
+        |pd AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |ud AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+        |SELECT 'part' AS kind, a2.p AS node_id, a2.s AS score, pd.deg
+        |FROM a2 JOIN pd USING (p)
+        |UNION ALL
+        |SELECT 'cust', h2.u, h2.s, ud.deg
+        |FROM h2 JOIN ud USING (u)""".stripMargin,
+    // weighted median: histogram selection — smallest price whose
+    // cumulative unit weight reaches half the exact total
+    "q_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(min(cents) AS BIGINT) AS median_cents,
+        |  CAST(min(tot) AS BIGINT) AS total_qty
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
     // PIT backfill: one strictly-before user window, decimal running
     // value, no join
     "q_pit_features" ->
@@ -3326,6 +3382,42 @@ object SparkEntry {
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    // survivorship: per multi-member cluster, window-free argmax
+    // (longest text, ties to smaller id) and mode (ties to the
+    // alphabetically first value) via max-count join-backs
+    "q_survivorship" ->
+      s"""WITH $clusterCtes,
+        |d AS (
+        |  SELECT c.cluster_id, doc.doc_id, doc.n_chars, doc.lang,
+        |    doc.source
+        |  FROM clusters c JOIN documents doc ON doc.doc_id = c.doc_id),
+        |g AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    min(doc_id) AS canonical_id, max(n_chars) AS best_chars
+        |  FROM d GROUP BY 1 HAVING count(*) > 1),
+        |bd AS (
+        |  SELECT d.cluster_id, min(d.doc_id) AS best_doc
+        |  FROM d JOIN g ON g.cluster_id = d.cluster_id
+        |    AND d.n_chars = g.best_chars
+        |  GROUP BY 1),
+        |lc AS (SELECT cluster_id, lang, count(*) AS cnt
+        |       FROM d GROUP BY 1, 2),
+        |lmx AS (SELECT cluster_id, max(cnt) AS mc FROM lc GROUP BY 1),
+        |lm AS (SELECT lc.cluster_id, min(lang) AS lang
+        |       FROM lc JOIN lmx ON lmx.cluster_id = lc.cluster_id
+        |         AND lc.cnt = lmx.mc
+        |       GROUP BY 1),
+        |sc AS (SELECT cluster_id, source, count(*) AS cnt
+        |       FROM d GROUP BY 1, 2),
+        |smx AS (SELECT cluster_id, max(cnt) AS mc FROM sc GROUP BY 1),
+        |sm AS (SELECT sc.cluster_id, min(source) AS source
+        |       FROM sc JOIN smx ON smx.cluster_id = sc.cluster_id
+        |         AND sc.cnt = smx.mc
+        |       GROUP BY 1)
+        |SELECT g.cluster_id, g.n_members, g.canonical_id, g.best_chars,
+        |  bd.best_doc, lm.lang, sm.source
+        |FROM g JOIN bd USING (cluster_id) JOIN lm USING (cluster_id)
+        |  JOIN sm USING (cluster_id)""".stripMargin,
     // three power iterations unrolled as CTEs; per-edge contributions
     // rounded to 9 decimals and summed IN DECIMAL in both engines
     // (CAST(1.0 AS DOUBLE): DuckDB's bare 1.0 is DECIMAL and would

@@ -433,4 +433,50 @@ object Quality {
         round(col("chi2d").cast("double"), 6).as("chi2"),
         round(col("madd").cast("double") / 9.0, 6).as("mad"))
   }
+
+  /** SURVIVORSHIP (golden-record construction) over the near-dup
+    * clusters — the MDM step after matching: `dedup_clusters` GROUPS
+    * the corpus (connected components over verified near-dup pairs);
+    * this MERGES each multi-member cluster into one best record by
+    * per-FIELD rules (the Talend/Informatica survivorship pattern):
+    * id = min doc_id, text from the LONGEST member (ties to the
+    * smaller id), lang and source by CLUSTER MODE (ties to the
+    * alphabetically first value). Singletons need no merging and are
+    * dropped.
+    *
+    * Scale shape: every rule is a pure partial-aggregated
+    * aggregation — argmax via `max(struct(n_chars, −doc_id))`, mode
+    * via `min(struct(−cnt, value))` over the per-(cluster, value)
+    * count frame — NO per-cluster windows, so one hot cluster is one
+    * aggregation key, never one task. The cluster assignment itself
+    * rides the banded/df-capped candidate path `dedup_clusters`
+    * already runs at 100 TB.
+    */
+  def survivorship(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Dedup.clusters(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+        "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = d.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_id"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid")))
+          .as("longest"))
+      .filter(col("n_members") > 1)
+    def mode(field: String): DataFrame = d
+      .groupBy(col("cluster_id"), col(field))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col(field)))
+        .as(s"m_$field"))
+    base
+      .join(mode("lang"), "cluster_id")
+      .join(mode("source"), "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("canonical_id"),
+        col("longest.n_chars").as("best_chars"),
+        (-col("longest.nid")).as("best_doc"),
+        col("m_lang.lang").as("lang"),
+        col("m_source.source").as("source"))
+  }
 }

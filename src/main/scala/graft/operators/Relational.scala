@@ -2144,4 +2144,66 @@ object Relational {
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
+
+  /** HITS HUB/AUTHORITY SCORES over the bipartite customer→part
+    * purchase graph (Kleinberg 1999) — the mutual-reinforcement
+    * ranking co-purchase analytics uses where PageRank's single
+    * score can't: a part is AUTHORITATIVE when bought by broad-basket
+    * customers, a customer is a strong HUB when they buy
+    * authoritative parts. Two full mutual-update rounds with L1
+    * normalization, unrolled in the oracle as CTEs (the `q_pagerank`
+    * discipline): per-edge contributions are 9-decimal-rounded and
+    * summed IN DECIMAL, each normalization is ONE double division of
+    * the decimal-cast score by the decimal-cast 1-row total
+    * (broadcast), re-rounded to 9 — every intermediate score is
+    * bit-identical in both engines.
+    *
+    * Scale shape: the edge set (distinct customer-part pairs) is
+    * built once from the lineitem ⋈ orders join and
+    * localCheckpointed; each half-step is ONE partial-aggregated
+    * groupBy over the edges plus a 1-row broadcast total — the
+    * standard message-passing shape, never a matrix materialization.
+    * Scores exist only for nodes on edges (an unsold part has no
+    * authority to rank).
+    */
+  def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val d289 = DecimalType(28, 9)
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    // one normalized half-step: sum the 9-decimal scores of the
+    // opposite side IN DECIMAL, divide by the L1 total, round 9
+    def halfStep(scores: DataFrame, keyIn: String, keyOut: String)
+        : DataFrame = {
+      val raw = edges
+        .join(scores.withColumnRenamed("node", keyIn), keyIn)
+        .groupBy(col(keyOut).as("node"))
+        .agg(sum(col("s").cast(d289)).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(col("raw").cast("double") / col("t").cast("double"), 9)
+            .as("s"))
+        .localCheckpoint()
+    }
+    val h0 = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("s"))
+    val a1 = halfStep(h0, "u", "p")
+    val h1 = halfStep(a1, "p", "u")
+    val a2 = halfStep(h1, "u", "p")
+    val h2 = halfStep(a2, "p", "u")
+    val pDeg = edges.groupBy(col("p").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val uDeg = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    a2.join(pDeg, "node")
+      .select(lit("part").as("kind"), col("node").as("node_id"),
+        col("s").as("score"), col("deg"))
+      .unionByName(h2.join(uDeg, "node")
+        .select(lit("cust").as("kind"), col("node").as("node_id"),
+          col("s").as("score"), col("deg")))
+  }
 }

@@ -2401,4 +2401,35 @@ object Stats {
             signum(col("diff_raw")) * signum(col("diff_all")) < 0)
           .as("flips_overall"))
   }
+
+  /** WEIGHTED MEDIAN of l_extendedprice per return flag, weighted by
+    * l_quantity — "the price at which half the UNITS (not half the
+    * line items) ship", the inventory-pricing cut an unweighted
+    * median misstates whenever cheap lines carry big quantities.
+    * NEVER a global weighted sort: the corpus collapses to the
+    * per-(flag, price) VALUE HISTOGRAM in one partial-agg pass (the
+    * `q_conformal`/`q_ks_test` selection discipline), the cumulative
+    * weight runs over that histogram (per-flag task bounded by the
+    * PRICE DOMAIN, not the row count), and the lower weighted median
+    * is the smallest price whose cumulative weight reaches half the
+    * total — an INTEGER predicate 2·cum ≥ tot on exact cent/unit
+    * sums, no float quantile, no boundary ambiguity.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val cumW = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy(col("l_returnflag"))
+    hist
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("tot", sum(col("w")).over(totW))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("median_cents"),
+        min(col("tot")).as("total_qty"))
+  }
 }

@@ -357,4 +357,43 @@ class QualitySpec extends SparkSpec {
     assert(out(1L).getAs[Double]("chi2") == chi2)
     assert(out(1L).getAs[Double]("mad") == mad)
   }
+
+  test("survivorship: golden records carry the cluster min id, the " +
+      "longest member (ties to smaller id), and modal fields") {
+    import graft.operators.Dedup
+    val clusters = Dedup.clusters(spark, sf).cache()
+    val out = Quality.survivorship(spark, sf).cache()
+    // one golden record per multi-member cluster, none for singletons
+    assert(out.count() == clusters.groupBy("cluster_id").count()
+      .filter(col("count") > 1).count())
+    assert(out.count() > 0, "vacuous at this SF — retarget the spec")
+    val j = clusters.join(
+      Tables.documents(spark, sf)
+        .select("doc_id", "n_chars", "lang", "source"), "doc_id")
+      .cache()
+    val expect = j.groupBy("cluster_id")
+      .agg(min("doc_id").as("c"), max("n_chars").as("m"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(out.join(expect, "cluster_id")
+      .filter(col("canonical_id") =!= col("c")
+        || col("best_chars") =!= col("m")
+        || col("n_members") =!= col("n")).isEmpty)
+    // best_doc = smallest id among members at best_chars
+    val bd = j.join(out.select("cluster_id", "best_chars", "best_doc"),
+        "cluster_id")
+      .filter(col("n_chars") === col("best_chars"))
+      .groupBy("cluster_id", "best_doc")
+      .agg(min("doc_id").as("want"))
+    assert(bd.filter(col("best_doc") =!= col("want")).isEmpty)
+    // the chosen lang/source attain the cluster's max member count
+    for (f <- Seq("lang", "source")) {
+      val cnt = j.groupBy(col("cluster_id"), col(f)).count()
+      val mx = cnt.groupBy("cluster_id").agg(max("count").as("mc"))
+      val chosen = out.select(col("cluster_id"), col(f))
+        .join(cnt, Seq("cluster_id", f)).join(mx, "cluster_id")
+      assert(chosen.filter(col("count") =!= col("mc")).isEmpty, f)
+    }
+    out.unpersist(); clusters.unpersist(); j.unpersist()
+  }
 }

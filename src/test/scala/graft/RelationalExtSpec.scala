@@ -699,4 +699,46 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("ad").getAs[Double]("attribution") == 0.666667)
     assert(out("email").getAs[Double]("attribution") == 0.333333)
   }
+
+  test("HITS: a planted bipartite graph replays the two normalized " +
+      "rounds bit-exactly, with degrees recounted") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_hits").toString
+    // u1 buys p101,p102,p103 (order 10); u2 buys p101 (order 20)
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 101L), (10L, 102L), (10L, 103L), (20L, 101L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Relational.hitsScores(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a1 ∝ part degree / 4: p101 = .5, p102 = p103 = .25 (exact)
+    // h1 raw: u1 = 1.0, u2 = .5 → normalize by 1.5
+    val h1 = Map(1L -> r9(1.0 / 1.5), 2L -> r9(0.5 / 1.5))
+    // a2 raw: decimal-exact sums of the 9-decimal h1 scores
+    val a2raw = Map(
+      101L -> (BigDecimal(h1(1L)) + BigDecimal(h1(2L))),
+      102L -> BigDecimal(h1(1L)), 103L -> BigDecimal(h1(1L)))
+    val ta2 = a2raw.values.sum
+    val a2 = a2raw.view
+      .mapValues(v => r9(v.toDouble / ta2.toDouble)).toMap
+    val h2raw = Map(
+      1L -> (BigDecimal(a2(101L)) + BigDecimal(a2(102L))
+        + BigDecimal(a2(103L))),
+      2L -> BigDecimal(a2(101L)))
+    val th2 = h2raw.values.sum
+    val h2 = h2raw.view
+      .mapValues(v => r9(v.toDouble / th2.toDouble)).toMap
+    assert(out(("part", 101L)) == ((a2(101L), 2L)))
+    assert(out(("part", 102L)) == ((a2(102L), 1L)))
+    assert(out(("part", 103L)) == ((a2(103L), 1L)))
+    assert(out(("cust", 1L)) == ((h2(1L), 3L)))
+    assert(out(("cust", 2L)) == ((h2(2L), 1L)))
+    // scores stay L1-normalized per side (up to round-9 residue)
+    assert(math.abs(a2.values.sum - 1.0) < 1e-6)
+    assert(math.abs(h2.values.sum - 1.0) < 1e-6)
+  }
 }

@@ -971,6 +971,21 @@ class StatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("weighted median: planted histograms pin the half-weight cut " +
+      "and the even-split lower-median tie rule") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_wmed").toString
+    // A: weights 1/2/1 at 1.00/2.00/3.00 → half of 4 lands on 2.00;
+    // B: 1/1 at 1.00/2.00 → even split takes the LOWER value
+    Seq(("A", 1.00, 1.0), ("A", 2.00, 2.0), ("A", 3.00, 1.0),
+      ("B", 1.00, 1.0), ("B", 2.00, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Stats.weightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("A" -> ((200L, 4L)), "B" -> ((100L, 2L))))
+  }
+
   test("Kaplan-Meier: risk sets telescope, censoring only at the horizon, " +
       "and the curve equals the direct product recomputation") {
     val rows = Stats.survivalKm(spark, sf, horizon = 7)
