@@ -51,6 +51,9 @@ object SparkEntry {
     "q_hits" -> ((s, d) => Relational.hitsScores(s, d)),
     "q_weighted_median" -> ((s, d) => Stats.weightedMedian(s, d)),
     "q_survivorship" -> ((s, d) => Quality.survivorship(s, d)),
+    "q_theil_index" -> ((s, d) => Stats.theilIndex(s, d)),
+    "q_price_elasticity" -> ((s, d) => Stats.priceElasticity(s, d)),
+    "q_split_orders" -> ((s, d) => Quality.splitOrders(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1610,6 +1613,87 @@ object SparkEntry {
         |  CAST(min(cents) AS BIGINT) AS median_cents,
         |  CAST(min(tot) AS BIGINT) AS total_qty
         |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+    // Theil decomposition: per-row ln terms rounded 9, decimal-summed
+    // per nation; between/total on the bounded nation frame
+    "q_theil_index" ->
+      """WITH rev AS (
+        |  SELECT n.n_name,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name, o.o_custkey),
+        |nt AS (SELECT n_name, sum(cents) AS gc, count(*) AS gn
+        |       FROM rev GROUP BY 1),
+        |tt AS (SELECT sum(gc) AS tc, sum(gn) AS tn FROM nt),
+        |terms AS (
+        |  SELECT rev.n_name,
+        |    sum(CAST(round((CAST(cents AS DOUBLE) / CAST(gc AS DOUBLE)) *
+        |      ln(CAST(cents AS DOUBLE) * CAST(gn AS DOUBLE)
+        |        / CAST(gc AS DOUBLE)), 9) AS DECIMAL(38,12))) AS twd,
+        |    sum(CAST(round((CAST(cents AS DOUBLE) / CAST(tc AS DOUBLE)) *
+        |      ln(CAST(cents AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        / CAST(tc AS DOUBLE)), 9) AS DECIMAL(38,12))) AS tgd
+        |  FROM rev JOIN nt USING (n_name), tt GROUP BY 1),
+        |bynat AS (
+        |  SELECT nt.n_name, gn, gc, tc, tn, twd, tgd,
+        |    CAST(round((CAST(gc AS DOUBLE) / CAST(tc AS DOUBLE)) *
+        |      ln((CAST(gc AS DOUBLE) / CAST(tc AS DOUBLE)) /
+        |        (CAST(gn AS DOUBLE) / CAST(tn AS DOUBLE))), 9)
+        |      AS DECIMAL(38,12)) AS tb
+        |  FROM nt JOIN terms USING (n_name), tt),
+        |gl AS (SELECT sum(tgd) AS ttot, sum(tb) AS tbet FROM bynat)
+        |SELECT n_name, CAST(gn AS BIGINT) AS n_cust,
+        |  round(CAST(gc AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS rev_share,
+        |  round(CAST(twd AS DOUBLE), 6) AS theil_within,
+        |  round(CAST(tbet AS DOUBLE), 6) AS theil_between,
+        |  round(CAST(ttot AS DOUBLE), 6) AS theil_total
+        |FROM bynat, gl""".stripMargin,
+    // log-log elasticity: round-6 ln pairs, exact decimal moments,
+    // one IEEE closed form, zero-variance null guards
+    "q_price_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p.p_brand,
+        |    CAST(round(ln(l_extendedprice / l_quantity), 6)
+        |      AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6)) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |m AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM pts GROUP BY 1)
+        |SELECT p_brand, n0 AS n,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |  END AS elasticity,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN round(sy / n
+        |      - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n, 6)
+        |  END AS intercept,
+        |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  END AS corr_ln
+        |FROM m""".stripMargin,
+    // split-order audit: one (customer, day) groupBy over exact cents
+    "q_split_orders" ->
+      """SELECT o_custkey,
+        |  CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS day_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_single,
+        |  round(CAST(max(cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6)
+        |    AS largest_share
+        |FROM (SELECT o_custkey, o_orderdate,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          AS cents
+        |      FROM orders)
+        |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
     // PIT backfill: one strictly-before user window, decimal running
     // value, no join
     "q_pit_features" ->

@@ -452,6 +452,29 @@ object Quality {
     * rides the banded/df-capped candidate path `dedup_clusters`
     * already runs at 100 TB.
     */
+  /** SPLIT-ORDER AUDIT — the procurement-fraud screen beside
+    * `q_benford`'s digit test: multiple orders by the SAME customer
+    * on the SAME day (the pattern of splitting one purchase into
+    * several to stay under an approval limit). One partial-aggregated
+    * groupBy on (customer, day) over exact cents; only multi-order
+    * days surface, with the combined amount, the largest single
+    * order, and its share of the day — O(flagged days) output at any
+    * corpus size, no self-join, no window.
+    */
+  def splitOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        to_date(date_trunc("DAY", col("o_orderdate"))).as("day"),
+        (Relational.money(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("o_custkey", "day")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("day_cents"),
+        max(col("cents")).as("max_single"))
+      .filter(col("n_orders") > 1)
+      .select(col("o_custkey"), col("day"), col("n_orders"),
+        col("day_cents"), col("max_single"),
+        round(col("max_single").cast("double")
+          / col("day_cents").cast("double"), 6).as("largest_share"))
+
   def survivorship(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Dedup.clusters(spark, sfDir)
       .join(Tables.documents(spark, sfDir)

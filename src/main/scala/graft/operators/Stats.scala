@@ -2432,4 +2432,114 @@ object Stats {
       .agg(min(col("cents")).as("median_cents"),
         min(col("tot")).as("total_qty"))
   }
+
+  /** THEIL-T INEQUALITY DECOMPOSITION of customer revenue by nation —
+    * the inequality measure `q_lorenz_gini` can't decompose: Theil T
+    * splits EXACTLY into between-group + weighted within-group terms,
+    * answering "is revenue concentration a few whale CUSTOMERS or a
+    * few whale MARKETS". Per-customer within-nation terms
+    * (x/X_g)·ln(x·n_g/X_g) are one fixed IEEE dag on exact cent
+    * totals, rounded 9 and summed IN DECIMAL per nation (the
+    * perplexity ln discipline — round-9 keeps the per-row 1-ulp libm
+    * straddle probability ~1e-10); the between/total terms ride the
+    * O(#nations) frame. At 100 TB the same shape holds: one
+    * partial-agg scan to per-customer totals, one bounded broadcast
+    * of the nation totals, one decimal-sum shuffle keyed on nation.
+    */
+  def theilIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val d3812 = DecimalType(38, 12)
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast("long"))
+        .as("cents"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"))
+    val natTot = rev.groupBy("n_name")
+      .agg(sum(col("cents")).as("gc"), count(lit(1)).as("gn"))
+      .localCheckpoint()
+    val tot = natTot.agg(sum(col("gc")).as("tc"), sum(col("gn")).as("tn"))
+    // ONE corpus-frame pass computes both the within-nation and the
+    // global per-customer terms (nation totals and the 1-row grand
+    // total both broadcast)
+    val terms = rev.join(broadcast(natTot), "n_name")
+      .crossJoin(broadcast(tot))
+      .select(col("n_name"),
+        round((col("cents").cast("double") / col("gc").cast("double")) *
+          log(col("cents").cast("double") * col("gn").cast("double")
+            / col("gc").cast("double")), 9).cast(d3812).as("tw"),
+        round((col("cents").cast("double") / col("tc").cast("double")) *
+          log(col("cents").cast("double") * col("tn").cast("double")
+            / col("tc").cast("double")), 9).cast(d3812).as("tg"))
+      .groupBy("n_name")
+      .agg(sum(col("tw")).as("twd"), sum(col("tg")).as("tgd"))
+    val byNation = natTot.join(terms, "n_name")
+      .crossJoin(broadcast(tot))
+      .select(col("n_name"), col("gn"), col("gc"), col("tc"), col("tn"),
+        col("twd"), col("tgd"),
+        round((col("gc").cast("double") / col("tc").cast("double")) *
+          log((col("gc").cast("double") / col("tc").cast("double")) /
+            (col("gn").cast("double") / col("tn").cast("double"))), 9)
+          .cast(d3812).as("tb"))
+      .localCheckpoint()
+    val globals = byNation.agg(
+      sum(col("tgd")).as("ttot"), sum(col("tb")).as("tbet"))
+    byNation.crossJoin(broadcast(globals))
+      .select(col("n_name"), col("gn").as("n_cust"),
+        round(col("gc").cast("double") / col("tc").cast("double"), 6)
+          .as("rev_share"),
+        round(col("twd").cast("double"), 6).as("theil_within"),
+        round(col("tbet").cast("double"), 6).as("theil_between"),
+        round(col("ttot").cast("double"), 6).as("theil_total"))
+  }
+
+  /** PRICE ELASTICITY per part brand — the log-log demand regression
+    * (elasticity = d ln q / d ln p) pricing analytics runs: per line,
+    * x = ln(unit price) and y = ln(quantity), each rounded 6 AT THE
+    * ROW and quantized to decimal, then the `q_regression` moment
+    * discipline — five exact decimal moment sums per brand
+    * (order-independent under any shuffle), ONE double cast per sum,
+    * the closed-form slope/intercept/corr as identical IEEE dags in
+    * both engines, zero-variance brands null-guarded (the Neyman
+    * degenerate-divide class). One partial-agg moment shuffle,
+    * #brands rows out — the cheapest shape at any corpus size.
+    */
+  def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    val pts = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(log(col("l_extendedprice") / col("l_quantity")), 6)
+          .cast(d186).as("x"),
+        round(log(col("l_quantity")), 6).cast(d186).as("y"))
+    val m = pts.groupBy("p_brand")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+        sum(col("x") * col("y")).as("sxy0"),
+        sum(col("x") * col("x")).as("sxx0"),
+        sum(col("y") * col("y")).as("syy0"))
+      .select(col("p_brand"), col("n0"),
+        col("n0").cast("double").as("n"),
+        col("sx0").cast("double").as("sx"),
+        col("sy0").cast("double").as("sy"),
+        col("sxy0").cast("double").as("sxy"),
+        col("sxx0").cast("double").as("sxx"),
+        col("syy0").cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = num / den
+    m.select(col("p_brand"), col("n0").as("n"),
+        when(den =!= 0.0, round(slope, 6)).as("elasticity"),
+        when(den =!= 0.0,
+          round(col("sy") / col("n") - slope * col("sx") / col("n"), 6))
+          .as("intercept"),
+        when(den =!= 0.0 && deny =!= 0.0,
+          round(num / sqrt(den * deny), 6)).as("corr_ln"))
+  }
 }

@@ -358,6 +358,28 @@ class QualitySpec extends SparkSpec {
     assert(out(1L).getAs[Double]("mad") == mad)
   }
 
+  test("split orders: only multi-order (customer, day) groups surface, " +
+      "with exact cents and the largest-single share") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_split").toString
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, 1L, 30.00, t("2024-03-01 09:00:00")),  // split day: 3 orders
+      (2L, 1L, 50.00, t("2024-03-01 15:00:00")),
+      (3L, 1L, 20.00, t("2024-03-01 18:00:00")),
+      (4L, 1L, 99.00, t("2024-03-02 09:00:00")),  // singleton day
+      (5L, 2L, 10.00, t("2024-03-01 09:00:00")))  // other cust singleton
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Quality.splitOrders(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getDate(1).toString == "2024-03-01")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 10000L
+      && r.getLong(4) == 5000L)
+    assert(r.getDouble(5) == 0.5)
+  }
+
   test("survivorship: golden records carry the cluster min id, the " +
       "longest member (ties to smaller id), and modal fields") {
     import graft.operators.Dedup

@@ -986,6 +986,76 @@ class StatsSpec extends SparkSpec {
     assert(out == Map("A" -> ((200L, 4L)), "B" -> ((100L, 2L))))
   }
 
+  test("Theil index: planted two-nation corpus replays the ln-term fold " +
+      "and the decomposition is additive") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_theil").toString
+    Seq((1L, "ALPHA"), (2L, "BETA")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // ALPHA: 10.00 + 30.00 (unequal), BETA: 20.00 + 20.00 (equal)
+    Seq((1L, 10.00), (2L, 30.00), (3L, 20.00), (4L, 20.00))
+      .zipWithIndex.map { case ((c, v), i) => (i.toLong, c, v) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Stats.theilIndex(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // within ALPHA: x = 1000/3000 cents, terms replayed on the op's dag
+    val twAlpha = r6((BigDecimal(r9(1000.0 / 4000.0 *
+      math.log(1000.0 * 2 / 4000.0))) +
+      BigDecimal(r9(3000.0 / 4000.0 * math.log(3000.0 * 2 / 4000.0))))
+      .toDouble)
+    assert(out("ALPHA").getAs[Double]("theil_within") == twAlpha)
+    // BETA is perfectly equal: both terms ln(1) = 0
+    assert(out("BETA").getAs[Double]("theil_within") == 0.0)
+    // equal nation totals (4000 cents each): between-term is 0
+    assert(out("ALPHA").getAs[Double]("theil_between") == 0.0)
+    assert(out("ALPHA").getAs[Double]("rev_share") == 0.5)
+    // additivity: T_total ≈ T_between + Σ share·T_within
+    val tt = out("ALPHA").getAs[Double]("theil_total")
+    assert(math.abs(tt - (0.0 + 0.5 * twAlpha + 0.5 * 0.0)) < 1e-5,
+      s"total=$tt within=$twAlpha")
+  }
+
+  test("price elasticity: a planted exact power-law brand recovers its " +
+      "exponent and corr = -1") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_elastic").toString
+    // q = k / p²  →  ln q = ln k − 2 ln p: exact elasticity −2
+    // (the rounded ln values land on the line only approximately —
+    //  assert via the same rounded replay); l_extendedprice = p·q
+    Seq((1L, 16.0, 16.0), (2L, 8.0, 4.0), (3L, 4.0, 1.0))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1"), (2L, "B1"), (3L, "B1"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Stats.priceElasticity(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replay the moment fold on the rounded ln pairs
+    val pts = Seq((1.0, 16.0), (2.0, 4.0), (4.0, 1.0))
+      .map { case (p, q) =>
+        (BigDecimal(r6(math.log(p * q / q))), BigDecimal(r6(math.log(q)))) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(t => t._1 * t._2).sum.toDouble
+    val sxx = pts.map(t => t._1 * t._1).sum.toDouble
+    val syy = pts.map(t => t._2 * t._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getAs[Double]("elasticity") == r6(slope))
+    assert(math.abs(r.getAs[Double]("elasticity") - (-2.0)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("corr_ln") - (-1.0)) < 1e-6)
+  }
+
   test("Kaplan-Meier: risk sets telescope, censoring only at the horizon, " +
       "and the curve equals the direct product recomputation") {
     val rows = Stats.survivalKm(spark, sf, horizon = 7)
