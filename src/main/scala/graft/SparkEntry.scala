@@ -54,6 +54,8 @@ object SparkEntry {
     "q_theil_index" -> ((s, d) => Stats.theilIndex(s, d)),
     "q_price_elasticity" -> ((s, d) => Stats.priceElasticity(s, d)),
     "q_split_orders" -> ((s, d) => Quality.splitOrders(s, d)),
+    "q_funnel_time" -> ((s, d) => Stats.funnelTime(s, d)),
+    "q_shard_rebalance" -> ((s, d) => Layout.shardRebalance(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1680,6 +1682,72 @@ object SparkEntry {
         |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |  END AS corr_ln
         |FROM m""".stripMargin,
+    // funnel transition times: first-instant conditional aggregates,
+    // epoch-microsecond gaps, exact-regime KLL == quantile_cont
+    "q_funnel_time" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS t_purchase
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT 'signup>click' AS step,
+        |    CAST(epoch_us(t_click) - epoch_us(t_signup) AS DOUBLE) AS dt
+        |  FROM f WHERE t_signup IS NOT NULL AND t_click IS NOT NULL
+        |    AND t_click >= t_signup
+        |  UNION ALL
+        |  SELECT 'click>purchase',
+        |    CAST(epoch_us(t_purchase) - epoch_us(t_click) AS DOUBLE)
+        |  FROM f WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+        |    AND t_purchase >= t_click
+        |  UNION ALL
+        |  SELECT 'signup>purchase',
+        |    CAST(epoch_us(t_purchase) - epoch_us(t_signup) AS DOUBLE)
+        |  FROM f WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        |    AND t_purchase >= t_signup)
+        |SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(quantile_cont(dt, 0.5) / 1000000.0, 6) AS p50_s,
+        |  round(quantile_cont(dt, 0.9) / 1000000.0, 6) AS p90_s
+        |FROM s GROUP BY 1""".stripMargin,
+    // shard rebalance: 48-bit md5 ring positions, successor by sorted
+    // list filter; mod-N vs 64-vnode consistent hashing on one scan
+    "q_shard_rebalance" ->
+      """WITH keys AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('key:' || CAST(doc_id AS VARCHAR)),
+        |      1, 12) AS BIGINT) AS kh
+        |  FROM documents),
+        |vn AS (
+        |  SELECT CAST(s AS BIGINT) AS s,
+        |    CAST('0x' || substring(md5('vn:' || CAST(s AS VARCHAR) || ':'
+        |      || CAST(v AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+        |  FROM range(9) t(s), range(64) u(v)),
+        |r8 AS (SELECT list(struct_pack(hv := hv, s := s) ORDER BY hv)
+        |         AS ring FROM vn WHERE s < 8),
+        |r9 AS (SELECT list(struct_pack(hv := hv, s := s) ORDER BY hv)
+        |         AS ring FROM vn),
+        |a AS (
+        |  SELECT doc_id % 8 AS m8, doc_id % 9 AS m9,
+        |    coalesce(list_filter(r8.ring, e -> e.hv >= kh)[1].s,
+        |      r8.ring[1].s) AS c8,
+        |    coalesce(list_filter(r9.ring, e -> e.hv >= kh)[1].s,
+        |      r9.ring[1].s) AS c9
+        |  FROM keys, r8, r9)
+        |SELECT 'mod' AS strategy, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS moved,
+        |  round(CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS moved_share
+        |FROM a
+        |UNION ALL
+        |SELECT 'ring', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c8 <> c9 THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CAST(sum(CASE WHEN c8 <> c9 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6)
+        |FROM a""".stripMargin,
     // split-order audit: one (customer, day) groupBy over exact cents
     "q_split_orders" ->
       """SELECT o_custkey,

@@ -193,4 +193,55 @@ object Layout {
       .select(col("layout"), col("bucket"), col("min_day"),
         col("max_day"), col("n_rows"), col("scanned"))
   }
+
+  /** SHARD-REBALANCE AUDIT: how much data MOVES when the shard count
+    * grows 8 → 9 under (a) mod-N hashing and (b) a 64-vnode
+    * CONSISTENT-HASH ring — the measured case for why every real
+    * 100 TB shard/cache layer runs a ring (mod-N relocates ~(N)/(N+1)
+    * of all keys on every resize; the ring relocates ~1/(N+1), only
+    * the arc the new shard's vnodes claim). Key and vnode positions
+    * are 48-bit md5 prefixes (the engine's cross-engine hash recipe),
+    * the ring is ONE sorted vnode array built from a bounded
+    * `spark.range` and broadcast (512/576 structs), and each key's
+    * owner is the hash's ring SUCCESSOR via an array `filter` head —
+    * a pure per-row projection over the broadcast array, no join, no
+    * window, one corpus scan for both strategies and both sizes.
+    */
+  def shardRebalance(spark: SparkSession, sfDir: String,
+      vnodes: Int = 64): DataFrame = {
+    def md5long(c: Column): Column =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val keys = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5long(concat(lit("key:"), col("doc_id").cast("string")))
+          .as("kh"))
+    def ring(n: Int, name: String): DataFrame =
+      spark.range(n.toLong * vnodes)
+        .select((col("id") / vnodes).cast("long").as("s"),
+          (col("id") % vnodes).cast("long").as("v"))
+        .select(struct(
+          md5long(concat(lit("vn:"), col("s").cast("string"), lit(":"),
+            col("v").cast("string"))).as("hv"),
+          col("s")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as(name))
+    val assigned = keys
+      .crossJoin(broadcast(ring(8, "ring8")))
+      .crossJoin(broadcast(ring(9, "ring9")))
+      .select(
+        pmod(col("doc_id"), lit(8L)).as("m8"),
+        pmod(col("doc_id"), lit(9L)).as("m9"),
+        coalesce(expr("get(filter(ring8, e -> e.hv >= kh), 0).s"),
+          expr("ring8[0].s")).as("c8"),
+        coalesce(expr("get(filter(ring9, e -> e.hv >= kh), 0).s"),
+          expr("ring9[0].s")).as("c9"))
+      .localCheckpoint()
+    def report(name: String, a: Column, b: Column): DataFrame =
+      assigned.agg(count(lit(1)).as("n_keys"),
+          sum(when(a =!= b, 1L).otherwise(0L)).as("moved"))
+        .select(lit(name).as("strategy"), col("n_keys"), col("moved"),
+          round(col("moved").cast("double") / col("n_keys").cast("double"),
+            6).as("moved_share"))
+    report("mod", col("m8"), col("m9"))
+      .unionByName(report("ring", col("c8"), col("c9")))
+  }
 }

@@ -2433,6 +2433,44 @@ object Stats {
         min(col("tot")).as("total_qty"))
   }
 
+  /** FUNNEL TRANSITION-TIME PERCENTILES — the "how LONG does each
+    * step take" companion to `q_funnel`'s "how MANY make it": per
+    * user, the FIRST signup/click/purchase instants fold out of ONE
+    * conditional-aggregate corpus scan; each ordered step pair
+    * contributes the exact epoch-microsecond gap, and p50/p90 come
+    * from per-step KLL sketches (k=65536 exact regime at every gate
+    * SF ⇒ bit-identical to DuckDB quantile_cont, the `q_qte`
+    * contract; mergeable ±ε beyond — the 100 TB path). Output is
+    * O(#steps) rows; no self-join, no window.
+    */
+  def funnelTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val firsts = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+      .localCheckpoint()
+    def step(name: String, a: String, b: String): DataFrame = firsts
+      .filter(col(s"t_$a").isNotNull && col(s"t_$b").isNotNull
+        && col(s"t_$b") >= col(s"t_$a"))
+      .select(lit(name).as("step"),
+        (unix_micros(col(s"t_$b")) - unix_micros(col(s"t_$a")))
+          .cast("double").as("dt"))
+    step("signup>click", "signup", "click")
+      .unionByName(step("click>purchase", "click", "purchase"))
+      .unionByName(step("signup>purchase", "signup", "purchase"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_users"),
+        kll_quantiles(col("dt"), 65536, Seq(0.5, 0.9)).as("q"))
+      .select(col("step"), col("n_users"),
+        round(element_at(col("q"), 1) / 1000000.0, 6).as("p50_s"),
+        round(element_at(col("q"), 2) / 1000000.0, 6).as("p90_s"))
+  }
+
   /** THEIL-T INEQUALITY DECOMPOSITION of customer revenue by nation —
     * the inequality measure `q_lorenz_gini` can't decompose: Theil T
     * splits EXACTLY into between-group + weighted within-group terms,

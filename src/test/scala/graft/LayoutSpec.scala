@@ -68,4 +68,27 @@ class LayoutSpec extends SparkSpec {
       s"clustered layout should skip at least half: $scanned")
     r.unpersist()
   }
+
+  test("shard rebalance: mod-N relocation recounts exactly and the " +
+      "consistent-hash ring relocates a small minority") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ring").toString
+    val ids = (0L until 200L)
+    ids.toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Layout.shardRebalance(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // mod-N churn is pure arithmetic — recount it exactly
+    val modMoved = ids.count(i => i % 8 != i % 9).toLong
+    assert(out("mod") == ((200L, modMoved,
+      BigDecimal(modMoved.toDouble / 200.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // the ring moves far less than mod — the point of the operator
+    // (expectation 1/9 ≈ .11; allow generous vnode variance)
+    assert(out("ring")._1 == 200L)
+    assert(out("ring")._2 < out("mod")._2 / 2,
+      s"ring churn not clearly below mod churn: $out")
+    assert(out("ring")._3 <= 0.35)
+  }
 }

@@ -986,6 +986,30 @@ class StatsSpec extends SparkSpec {
     assert(out == Map("A" -> ((200L, 4L)), "B" -> ((100L, 2L))))
   }
 
+  test("funnel time: planted journeys pin the per-step gaps, out-of-order " +
+      "pairs are excluded, single-value quantiles are the value") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ftime").toString
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      // u1: full ordered journey — 600 s and 1200 s gaps
+      (1L, t("2024-01-01 10:00:00"), 1L, "signup"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "click"),
+      (3L, t("2024-01-01 10:30:00"), 1L, "purchase"),
+      // u2: click BEFORE signup — excluded from signup>click
+      (4L, t("2024-01-02 09:00:00"), 2L, "click"),
+      (5L, t("2024-01-02 10:00:00"), 2L, "signup"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.funnelTime(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      "signup>click" -> ((1L, 600.0, 600.0)),
+      "click>purchase" -> ((1L, 1200.0, 1200.0)),
+      "signup>purchase" -> ((1L, 1800.0, 1800.0))))
+  }
+
   test("Theil index: planted two-nation corpus replays the ln-term fold " +
       "and the decomposition is additive") {
     import spark.implicits._
