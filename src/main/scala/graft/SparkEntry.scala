@@ -56,6 +56,7 @@ object SparkEntry {
     "q_split_orders" -> ((s, d) => Quality.splitOrders(s, d)),
     "q_funnel_time" -> ((s, d) => Stats.funnelTime(s, d)),
     "q_shard_rebalance" -> ((s, d) => Layout.shardRebalance(s, d)),
+    "q_time_travel" -> ((s, d) => sources.Formats.timeTravel(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1748,6 +1749,20 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN c8 <> c9 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6)
         |FROM a""".stripMargin,
+    // time travel: generation 1 = the id-lower half, generation 2 =
+    // everything; the sink's retained snapshots must reproduce both
+    "q_time_travel" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, t WHERE doc_id <= mid
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
     // split-order audit: one (customer, day) groupBy over exact cents
     "q_split_orders" ->
       """SELECT o_custkey,

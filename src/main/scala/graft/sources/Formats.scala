@@ -478,4 +478,43 @@ object Formats {
         sum(col("n")).as("n_events"),
         sum(col("sum_value")).cast("double").as("total_value"))
   }
+
+  /** TIME TRAVEL through the sink's retained manifest generations —
+    * the Delta/Iceberg snapshot contract in its smallest honest form:
+    * batch 1 (the id-lower half) commits generation 1, batch 2 (the
+    * rest) APPENDS generation 2, and the answer reads EACH generation
+    * back AS OF its own snapshot (`GraftSink.readBackAsOf`) — the v1
+    * read is repeatable after the append because a committed snapshot
+    * is never rewritten (spec-pinned byte-for-byte). One SQL gates
+    * both generations: v1 ≡ the lower half, v2 ≡ the whole corpus,
+    * recomputed from the source split rule.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_time_travel").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: Column => Column): DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    half(col("doc_id") <= _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    half(col("doc_id") > _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    graft.sources.v2.GraftSink.versions(dir).map { v =>
+      graft.sources.v2.GraftSink.readBackAsOf(spark, dir, v, schema)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("sum_chars"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -97,6 +97,52 @@ object GraftSink {
       spark.read.schema(schema).option("sep", "\t").csv(files: _*)
   }
 
+  /** Retained snapshot prefix: every commit also publishes its
+    * manifest as `_MANIFEST.v<gen>` (atomic, never rewritten), so any
+    * past committed state stays readable — TIME TRAVEL, the
+    * Delta/Iceberg snapshot contract in its smallest honest form.
+    */
+  val VersionPrefix = "_MANIFEST.v"
+
+  /** Committed generations under `path`, ascending (1-based). */
+  def versions(path: String): Seq[Int] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(VersionPrefix))
+        .map(_.stripPrefix(VersionPrefix).toInt)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Read the sink AS OF a committed generation — the same
+    * manifest-scoped visibility as [[readBack]], keyed on the
+    * retained `_MANIFEST.v<gen>` snapshot instead of the live
+    * manifest. Later appends never mutate an existing snapshot, so
+    * an AS-OF read is repeatable forever.
+    */
+  def readBackAsOf(spark: SparkSession, path: String, version: Int,
+      schema: StructType = Schema): DataFrame = {
+    val manifest = Paths.get(path, s"$VersionPrefix$version")
+    require(Files.exists(manifest),
+      s"no committed generation $version under $path " +
+        s"(have: ${versions(path).mkString(",")})")
+    val files = Files.readAllLines(manifest).asScala
+      .filter(_.nonEmpty)
+      .map(_.split("\t")(0))
+      .map(f => Paths.get(path, f).toString)
+      .toSeq
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).option("sep", "\t").csv(files: _*)
+  }
+
   /** Test hook: when set, the writer for partition 0 throws on its
     * first task attempt (after writing some rows), exercising the
     * abort + re-attempt path. Mirrors [[graft] FaultInjector]].
@@ -154,9 +200,19 @@ class GraftSinkBatchWrite(schema: StructType, path: String)
       else Seq.empty[String]
     val lines = (existing ++ msgs.map(m => s"${m.finalName}\t${m.rows}"))
       .sorted
+    // publish the retained generation snapshot FIRST (atomic, never
+    // rewritten — the time-travel contract), then flip the live
+    // manifest: a crash between the two leaves the old live state
+    // plus an orphaned snapshot, never a live manifest without its
+    // snapshot
+    val gen = GraftSink.versions(path).lastOption.getOrElse(0) + 1
+    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val tmpVer = Paths.get(path, s".${GraftSink.VersionPrefix}$gen-$jobTag")
+    Files.write(tmpVer, bytes)
+    Files.move(tmpVer, Paths.get(path, s"${GraftSink.VersionPrefix}$gen"),
+      StandardCopyOption.ATOMIC_MOVE)
     val tmpManifest = Paths.get(path, s".${GraftSink.ManifestName}-$jobTag")
-    Files.write(tmpManifest,
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(tmpManifest, bytes)
     Files.move(tmpManifest, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

@@ -187,4 +187,45 @@ class SourcesV2Spec extends SparkSpec {
       .map(_.getName).filter(_.startsWith(".tmp-"))
     assert(stray.isEmpty, s"aborted attempt left temps: ${stray.toSeq}")
   }
+
+  test("dsv2 sink time travel: appends never rewrite a committed " +
+      "snapshot, and every generation reads back as-of exactly") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_tt_spec").toString
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "n_chars")
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    write(Seq((1L, 10L), (2L, 20L)))
+    assert(GraftSink.versions(dir) == Seq(1))
+    val v1Bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, s"${GraftSink.VersionPrefix}1"))
+    val v1Before = GraftSink.readBackAsOf(spark, dir, 1, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    write(Seq((3L, 30L)))
+    assert(GraftSink.versions(dir) == Seq(1, 2))
+    // the committed snapshot is byte-identical after the append,
+    // and the as-of read is repeatable
+    assert(java.util.Arrays.equals(v1Bytes,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"${GraftSink.VersionPrefix}1"))))
+    assert(GraftSink.readBackAsOf(spark, dir, 1, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == v1Before)
+    assert(v1Before == Seq((1L, 10L), (2L, 20L)))
+    assert(GraftSink.readBackAsOf(spark, dir, 2, schema)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the live manifest equals the latest generation
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // asking for an uncommitted generation fails loudly
+    intercept[IllegalArgumentException] {
+      GraftSink.readBackAsOf(spark, dir, 3, schema)
+    }
+  }
 }
