@@ -57,6 +57,8 @@ object SparkEntry {
     "q_funnel_time" -> ((s, d) => Stats.funnelTime(s, d)),
     "q_shard_rebalance" -> ((s, d) => Layout.shardRebalance(s, d)),
     "q_time_travel" -> ((s, d) => sources.Formats.timeTravel(s, d)),
+    "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
+    "q_cross_corr" -> ((s, d) => Stats.crossCorr(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1763,6 +1765,64 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+    // rolling retention: distinct (user, day), per-user min cohort,
+    // conditional D+N flags, no window
+    "q_rolling_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1),
+        |flags AS (
+        |  SELECT days.user_id, d0,
+        |    max(CASE WHEN day = d0 + 1 THEN 1 ELSE 0 END) AS r1,
+        |    max(CASE WHEN day = d0 + 7 THEN 1 ELSE 0 END) AS r7
+        |  FROM days JOIN f ON f.user_id = days.user_id
+        |  GROUP BY 1, 2)
+        |SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(r1) AS BIGINT) AS d1_retained,
+        |  CAST(sum(r7) AS BIGINT) AS d7_retained,
+        |  round(CAST(sum(r1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS d1_rate,
+        |  round(CAST(sum(r7) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS d7_rate
+        |FROM flags GROUP BY 1""".stripMargin,
+    // lead-lag CCF: the acf pairing discipline with two series and
+    // a two-sided lag grid
+    "q_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |mom AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM daily),
+        |m2 AS (
+        |  SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS denx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS deny
+        |  FROM mom),
+        |lags AS (SELECT CAST(range AS INT) AS lag FROM range(-7, 8)),
+        |pairs AS (
+        |  SELECT l.lag,
+        |    CAST(round((CAST(d1.x AS DOUBLE) - m.xbar) *
+        |      (CAST(d2.y AS DOUBLE) - m.ybar), 6) AS DECIMAL(28,6)) AS t,
+        |    m.denx, m.deny
+        |  FROM daily d1 CROSS JOIN lags l
+        |  JOIN daily d2 ON d2.day = d1.day + l.lag
+        |  CROSS JOIN m2 m)
+        |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+        |  CASE WHEN max(denx) > 0 AND max(deny) > 0 THEN
+        |    round(CAST(sum(t) AS DOUBLE) / sqrt(max(denx) * max(deny)), 6)
+        |  END AS ccf
+        |FROM pairs GROUP BY 1""".stripMargin,
     // split-order audit: one (customer, day) groupBy over exact cents
     "q_split_orders" ->
       """SELECT o_custkey,

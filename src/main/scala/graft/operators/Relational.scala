@@ -2145,6 +2145,41 @@ object Relational {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** DAY-N ROLLING RETENTION by signup-day cohort — the growth
+    * dashboard's classic triangle reduced to its D1/D7 columns: for
+    * each cohort day (a user's first active day), the share of users
+    * active again EXACTLY N days later. One scan collapses the corpus
+    * to distinct (user, day) pairs; the cohort day is a per-user min;
+    * the D+N flags are conditional aggregates over the user's own
+    * (bounded) day set — no window, no self-join, O(#cohort-days)
+    * rows out.
+    */
+  def rollingRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+      .localCheckpoint()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
+    val flags = days.join(first, "user_id")
+      .groupBy(col("user_id"), col("d0"))
+      .agg(
+        max(when(col("day") === date_add(col("d0"), 1), 1L).otherwise(0L))
+          .as("r1"),
+        max(when(col("day") === date_add(col("d0"), 7), 1L).otherwise(0L))
+          .as("r7"))
+    flags.groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1")).as("d1_retained"),
+        sum(col("r7")).as("d7_retained"))
+      .select(col("cohort_day"), col("n_users"),
+        col("d1_retained"), col("d7_retained"),
+        round(col("d1_retained").cast("double")
+          / col("n_users").cast("double"), 6).as("d1_rate"),
+        round(col("d7_retained").cast("double")
+          / col("n_users").cast("double"), 6).as("d7_rate"))
+  }
+
   /** HITS HUB/AUTHORITY SCORES over the bipartite customer→part
     * purchase graph (Kleinberg 1999) — the mutual-reinforcement
     * ranking co-purchase analytics uses where PageRank's single

@@ -2034,6 +2034,63 @@ object Stats {
           round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
 
+  /** CROSS-CORRELATION (lead-lag CCF) between the daily click and
+    * purchase count series at lags −7..7 — the question `q_acf`
+    * can't ask: does click volume LEAD purchases (positive-lag peak)
+    * or echo them? Same disciplines as the ACF: ONE conditional
+    * daily rollup for BOTH series, full-series means/denominators
+    * from exact integer moments, per-(lag, day) calendar-join pairs
+    * whose centered products round 6 and sum IN DECIMAL (gaps drop
+    * the pair in both engines), zero-variance null guard on either
+    * side. The corpus-sized work is the one daily groupBy; the CCF
+    * grid is O(#days × #lags).
+    */
+  def crossCorr(spark: SparkSession, sfDir: String, maxLag: Int = 7)
+      : DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .localCheckpoint()
+    val mom = daily.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(d380)).as("sxx"),
+        sum((col("y") * col("y")).cast(d380)).as("syy"))
+      .withColumn("xbar",
+        col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("ybar",
+        col("sy").cast("double") / col("n").cast("double"))
+      .withColumn("denx", col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+          / col("n").cast("double"))
+      .withColumn("deny", col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+          / col("n").cast("double"))
+      .select("xbar", "ybar", "denx", "deny")
+    val lagDf = spark.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    daily.select(col("day"), col("x"))
+      .crossJoin(broadcast(lagDf))
+      .join(daily.select(col("day").as("day2"), col("y").as("y2")),
+        col("day2") === date_add(col("day"), col("lag")))
+      .crossJoin(broadcast(mom))
+      .withColumn("t",
+        round((col("x").cast("double") - col("xbar")) *
+          (col("y2").cast("double") - col("ybar")), 6)
+          .cast(DecimalType(28, 6)))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t")).as("num"),
+        max(col("denx")).as("dx"), max(col("deny")).as("dy"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round(col("num").cast("double") / sqrt(col("dx") * col("dy")),
+            6)).as("ccf"))
+  }
+
   /** CALIBRATION / RELIABILITY report + ECE/MCE for a [0,1]-scaled
     * score against a binary outcome — the evaluation leg [[auc]]
     * (ranking) and [[lift]] (decile response) don't cover: does the

@@ -700,6 +700,31 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("email").getAs[Double]("attribution") == 0.333333)
   }
 
+  test("rolling retention: planted cohorts pin D1/D7 exactly and a " +
+      "same-day repeat never counts as retained") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_retention").toString
+    val t = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    Seq(
+      // u1: day 1 + day 2 (D1) + day 8 (D7)
+      (1L, t(1, 8), 1L, "view"), (2L, t(2, 8), 1L, "view"),
+      (3L, t(8, 8), 1L, "view"),
+      // u2: day 1 twice (same-day repeat only — retained nowhere)
+      (4L, t(1, 9), 2L, "view"), (5L, t(1, 18), 2L, "view"),
+      // u3: day 2 cohort, back day 3 (D1 only)
+      (6L, t(2, 9), 3L, "view"), (7L, t(3, 9), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.rollingRetention(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out == Map(
+      "2024-02-01" -> ((2L, 1L, 1L, 0.5, 0.5)),
+      "2024-02-02" -> ((1L, 1L, 0L, 1.0, 0.0))))
+  }
+
   test("HITS: a planted bipartite graph replays the two normalized " +
       "rounds bit-exactly, with degrees recounted") {
     import spark.implicits._

@@ -986,6 +986,31 @@ class StatsSpec extends SparkSpec {
     assert(out == Map("A" -> ((200L, 4L)), "B" -> ((100L, 2L))))
   }
 
+  test("cross-correlation: a planted one-day-lead corpus peaks at " +
+      "lag +1 and the lag grid is two-sided") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ccf").toString
+    // clicks spike on days 3/7/11; purchases spike one day LATER
+    val t = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    val rows = (1 to 14).flatMap { d =>
+      val clicks = if (Set(3, 7, 11)(d)) 9 else 1
+      val buys = if (Set(4, 8, 12)(d)) 9 else 1
+      (1 to clicks).map(i => (d * 100L + i, t(d, 8), 1L, "click")) ++
+        (1 to buys).map(i => (d * 1000L + i, t(d, 9), 1L, "purchase"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.crossCorr(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("ccf")).toMap
+    assert(out.keySet == (-7L to 7L).toSet)
+    val best = out.maxBy(_._2)
+    assert(best._1 == 1L, s"peak at ${best._1}, want +1: $out")
+    assert(best._2 > 0.8)
+    // the echo direction is anti-correlated or near zero, never the peak
+    assert(out(-1L) < out(1L))
+  }
+
   test("funnel time: planted journeys pin the per-step gaps, out-of-order " +
       "pairs are excluded, single-value quantiles are the value") {
     import spark.implicits._
