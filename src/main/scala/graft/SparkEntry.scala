@@ -59,6 +59,8 @@ object SparkEntry {
     "q_time_travel" -> ((s, d) => sources.Formats.timeTravel(s, d)),
     "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
     "q_cross_corr" -> ((s, d) => Stats.crossCorr(s, d)),
+    "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
+    "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1765,6 +1767,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+    // vacuum: the post-clean manifest read-back must equal the plain
+    // source rollup — strays were never reader-visible
+    "q_vacuum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    // PR curve: lift's decile bucketing, suffix sums over the 10-row
+    // frame, integer F1 identity 2*TP/(pred + all_pos)
+    "q_pr_curve" -> {
+      val probs = (1 to 9).map(j => (j / 10.0).toString).mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS score,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events),
+         |cuts AS (SELECT quantile_cont(score, [$probs]) AS cs FROM ev),
+         |b AS (SELECT 1 + len(list_filter(cs, c -> c < score)) AS bucket,
+         |        count(*) AS n, sum(y) AS pos
+         |      FROM ev CROSS JOIN cuts GROUP BY 1),
+         |t AS (SELECT sum(pos) AS all_pos FROM b),
+         |s AS (SELECT bucket, n, pos,
+         |        sum(n) OVER (ORDER BY bucket DESC
+         |          ROWS UNBOUNDED PRECEDING) AS pred,
+         |        sum(pos) OVER (ORDER BY bucket DESC
+         |          ROWS UNBOUNDED PRECEDING) AS tp
+         |      FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS threshold_bucket,
+         |  CAST(pred AS BIGINT) AS pred, CAST(tp AS BIGINT) AS tp,
+         |  round(CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE), 6) AS prec,
+         |  CASE WHEN all_pos > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE), 6)
+         |  END AS rec,
+         |  round(2.0 * CAST(tp AS DOUBLE)
+         |    / CAST(pred + all_pos AS DOUBLE), 6) AS f1
+         |FROM s CROSS JOIN t""".stripMargin
+    },
     // rolling retention: distinct (user, day), per-user min cohort,
     // conditional D+N flags, no window
     "q_rolling_retention" ->

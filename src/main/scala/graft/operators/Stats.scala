@@ -2034,6 +2034,52 @@ object Stats {
           round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
 
+  /** PRECISION-RECALL OPERATING CURVE at the ten score-decile
+    * thresholds — the evaluation leg between `q_auc` (one ranking
+    * number), `q_lift` (per-decile response), and `q_confusion` (one
+    * operating point): at every decile cut t, predict positive when
+    * score lands in decile ≥ t and report precision/recall/F1. Each
+    * row buckets ONCE against the broadcast KLL decile cuts (exact
+    * regime ⇒ quantile_cont, the `q_lift` contract), so threshold
+    * sweeping costs nothing extra: predicted-positive and TP counts
+    * are SUFFIX SUMS over the bounded 10-row bucket frame (the
+    * `q_yoy_growth` window discipline), and F1 avoids rounded-ratio
+    * compounding via the integer identity F1 = 2·TP/(pred + all_pos).
+    */
+  def prCurve(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame = {
+    import graft.functions.KllSketch.{bucket_below, kll_quantiles}
+    val probs = (1 to 9).map(_ / 10.0)
+    val ev = Tables.events(spark, sfDir)
+      .select(money(col("value")).cast("double").as("score"),
+        (col("event_type") === posType).as("y"))
+    val cuts = ev.agg(
+      kll_quantiles(col("score"), 65536, probs).as("cuts"))
+    val buckets = ev.crossJoin(broadcast(cuts))
+      .select(bucket_below(col("cuts"), col("score")).cast("long")
+        .as("bucket"), col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint()
+    val tot = buckets.agg(sum(col("pos")).as("all_pos"))
+    val wSuf = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    buckets
+      .withColumn("pred", sum(col("n")).over(wSuf))
+      .withColumn("tp", sum(col("pos")).over(wSuf))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket").cast("long").as("threshold_bucket"),
+        col("pred"), col("tp"),
+        round(col("tp").cast("double") / col("pred").cast("double"), 6)
+          .as("prec"),
+        when(col("all_pos") > 0,
+          round(col("tp").cast("double") / col("all_pos").cast("double"),
+            6)).as("rec"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("pred") + col("all_pos")).cast("double"), 6).as("f1"))
+  }
+
   /** CROSS-CORRELATION (lead-lag CCF) between the daily click and
     * purchase count series at lags −7..7 — the question `q_acf`
     * can't ask: does click volume LEAD purchases (positive-lag peak)

@@ -517,4 +517,45 @@ object Formats {
           col("sum_chars"))
     }.reduce(_ unionByName _)
   }
+
+  /** VACUUM — the maintenance twin of `q_time_travel`: two committed
+    * generations plus two PLANTED crash leftovers (an uncommitted
+    * temp, an unreferenced stray part), then
+    * `GraftSink.vacuum(keepGenerations = 1)` deletes the strays and
+    * expires generation 1's snapshot. The answer is the post-vacuum
+    * manifest read-back rolled up — the hash gate proves vacuum
+    * deleted NOTHING the manifest references (strays were invisible
+    * to readers all along, so the oracle is the plain source rollup);
+    * the spec pins the stray deletion and retention counts.
+    */
+  def vacuumedStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import java.nio.file.{Files, Paths}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_vacuum").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: Column => Column): DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    half(col("doc_id") <= _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    half(col("doc_id") > _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    // planted crash leftovers: an aborted task temp and a stray part
+    Files.write(Paths.get(dir, ".tmp-orphan"),
+      "-1\t-1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "part-stray.tsv"),
+      "-2\t-2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.sources.v2.GraftSink.vacuum(dir, keepGenerations = 1)
+    graft.sources.v2.GraftSink.readBack(spark, dir, schema)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+  }
 }

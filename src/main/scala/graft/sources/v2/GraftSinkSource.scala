@@ -143,6 +143,42 @@ object GraftSink {
       spark.read.schema(schema).option("sep", "\t").csv(files: _*)
   }
 
+  /** VACUUM: delete files the live manifest does not reference
+    * (crash temps, aborted parts, foreign strays) and EXPIRE
+    * generation snapshots beyond the newest `keepGenerations` —
+    * the lakehouse maintenance twin of time travel. Manifests are
+    * merge-on-append, so the live list is a superset of every
+    * generation's list: vacuum can never orphan an as-of read that
+    * is still within retention (expired generations fail loudly at
+    * read time instead). Single concurrent writer per directory —
+    * the sink's standing contract. Returns
+    * (data files deleted, generation manifests expired).
+    */
+  def vacuum(path: String, keepGenerations: Int = Int.MaxValue)
+      : (Int, Int) = {
+    val dir = Paths.get(path)
+    val live = Paths.get(path, ManifestName)
+    require(Files.exists(live), s"no committed manifest under $path")
+    val referenced = Files.readAllLines(live).asScala
+      .filter(_.nonEmpty).map(_.split("\t")(0)).toSet
+    val expire = versions(path).dropRight(keepGenerations).toSet
+    val GenName = (VersionPrefix.replace(".", "\\.") + "(\\d+)").r
+    var dataDeleted = 0
+    var manifestsExpired = 0
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case ManifestName => ()
+        case GenName(g) =>
+          if (expire(g.toInt)) { Files.delete(p); manifestsExpired += 1 }
+        case name if !referenced(name) =>
+          Files.delete(p); dataDeleted += 1
+        case _ => ()
+      }
+    } finally s.close()
+    (dataDeleted, manifestsExpired)
+  }
+
   /** Test hook: when set, the writer for partition 0 throws on its
     * first task attempt (after writing some rows), exercising the
     * abort + re-attempt path. Mirrors [[graft] FaultInjector]].

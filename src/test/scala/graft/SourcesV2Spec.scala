@@ -228,4 +228,42 @@ class SourcesV2Spec extends SparkSpec {
       GraftSink.readBackAsOf(spark, dir, 3, schema)
     }
   }
+
+  test("dsv2 sink vacuum: strays and expired snapshots go, every " +
+      "referenced file and retained generation stays") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_vac_spec").toString
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "n_chars")
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    write(Seq((1L, 10L)))
+    write(Seq((2L, 20L)))
+    Files.write(Paths.get(dir, ".tmp-orphan"), "x".getBytes)
+    Files.write(Paths.get(dir, "part-stray.tsv"), "y".getBytes)
+    val before = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val (data, mans) = GraftSink.vacuum(dir, keepGenerations = 1)
+    assert(data == 2, s"deleted $data strays, planted 2")
+    assert(mans == 1, s"expired $mans manifests, want generation 1 only")
+    assert(!Files.exists(Paths.get(dir, ".tmp-orphan")))
+    assert(!Files.exists(Paths.get(dir, "part-stray.tsv")))
+    // retention: generation 2 survives and reads; generation 1 is gone
+    assert(GraftSink.versions(dir) == Seq(2))
+    intercept[IllegalArgumentException] {
+      GraftSink.readBackAsOf(spark, dir, 1, schema)
+    }
+    // the live read-back is untouched byte-for-byte
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+    assert(GraftSink.readBackAsOf(spark, dir, 2, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+    // idempotent: a second vacuum finds nothing to do
+    assert(GraftSink.vacuum(dir, keepGenerations = 1) == ((0, 0)))
+  }
 }
