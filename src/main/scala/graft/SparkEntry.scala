@@ -61,6 +61,7 @@ object SparkEntry {
     "q_cross_corr" -> ((s, d) => Stats.crossCorr(s, d)),
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
+    "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -3157,6 +3158,36 @@ object SparkEntry {
         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*), 6) AS avg_nll
         |FROM allp GROUP BY 1""".stripMargin,
+    // Kneser-Ney: exact-count model tables; d = 3/4 multiplies
+    // through to a ratio of EXACT INTEGERS, so the NLL is a
+    // difference of lns of integers (the perplexity discipline — a
+    // composite-double P measured a 1-ulp round-6 straddle at sf0.1)
+    "text_kneser_ney" ->
+      """WITH bw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM bw)),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT a, sum(c_ab) AS c_a, count(*) AS n1f
+        |        FROM cab GROUP BY 1),
+        |cont AS (SELECT b, count(*) AS n1b FROM cab GROUP BY 1),
+        |types AS (SELECT count(*) AS tt FROM cab),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    round(ln(CAST(x.c_a * t.tt * 4 AS DOUBLE))
+        |      - ln(CAST(greatest(c.c_ab * 4 - 3, 0) * t.tt
+        |          + x.n1f * n.n1b * 3 AS DOUBLE)), 6) AS nll
+        |  FROM big g
+        |  JOIN cab c ON c.a = g.a AND c.b = g.b
+        |  JOIN ctx x ON x.a = g.a
+        |  JOIN cont n ON n.b = g.b
+        |  CROSS JOIN types t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS nll_sum
+        |FROM scored GROUP BY 1""".stripMargin,
     // Zipf fit: top-k rank-frequency OLS on rounded lns, DECIMAL
     // moments, fixed IEEE dag for slope/intercept/r2
     "q_zipf_fit" ->

@@ -1164,4 +1164,79 @@ object TextAnalysis {
 
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     repetitionOver(Tables.documents(spark, sfDir))
+
+  /** Bigram KNESER–NEY scoring (interpolated, absolute discount
+    * d = 3/4 — DYADIC, exact in both engines) — the principled
+    * smoothing upgrade over [[perplexityBigram]]'s Stupid Backoff
+    * (Kneser & Ney 1995; Chen & Goodman 1999 measured interpolated
+    * KN the best classical n-gram smoother): P(b|a) =
+    * (max(c(ab)−d, 0) + d·N1+(a·)·P_cont(b)) / c(a·), with the
+    * CONTINUATION probability P_cont(b) = N1+(·b)/T — "how many
+    * contexts does b FOLLOW", not "how often does b occur" (the fix
+    * for high-count single-context words: 'Francisco' is frequent
+    * but follows only 'San', so its continuation mass is tiny).
+    *
+    * Determinism: every model statistic is an exact integer count; P
+    * is ONE fixed IEEE dag on their double casts, identical in both
+    * engines; each bigram's NLL rounds to 6 decimals and sums IN
+    * DECIMAL (the perplexity discipline). Scored on its own training
+    * corpus every c(ab) ≥ 1, so P > 0 with no OOV branch
+    * ([[lmPersisted]] owns the out-of-corpus case for the family).
+    * Scale shape: count tables shuffle on word / word-pair and grow
+    * with the VOCABULARY; scoring is the array-side bigram fan-out
+    * joined against them; per-doc reduce. Doc-leading tokens are not
+    * bigram events and are not scored.
+    */
+  def kneserNey(spark: SparkSession, sfDir: String): DataFrame =
+    kneserNeyOver(Tables.documents(spark, sfDir))
+
+  /** Same operator over any (doc_id, text) frame (planted specs). */
+  def kneserNeyOver(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    val big = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val ctx = cab.groupBy("a")
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1f"))
+    val cont = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val types = cab.agg(count(lit(1)).as("tt"))
+    // P multiplied through by 4·tt turns the whole formula into a
+    // ratio of EXACT INTEGERS (d = 3/4 ⇒ 4P·c_a·tt =
+    // (4c_ab−3)·tt + 3·n1f·n1b), so the NLL is a difference of lns
+    // of integers — the perplexity discipline; a composite-double P
+    // measured a 1-ulp round-6 straddle at sf0.1
+    val d190 = DecimalType(19, 0)
+    big.join(cab, Seq("a", "b"))
+      .join(ctx, "a")
+      .join(cont, "b")
+      .crossJoin(broadcast(types))
+      .withColumn("kn_num",
+        greatest(col("c_ab") * 4 - 3, lit(0L)).cast(d190)
+          * col("tt").cast(d190)
+          + col("n1f").cast(d190) * col("n1b").cast(d190) * 3)
+      .withColumn("kn_den",
+        col("c_a").cast(d190) * col("tt").cast(d190) * 4)
+      .select(col("doc_id"),
+        round(log(col("kn_den").cast("double"))
+          - log(col("kn_num").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll")).as("s"))
+      // the per-doc total is the EXACT DECIMAL sum (double-cast once
+      // for rendering) rather than a rounded average: sum/24 at sf0.1
+      // landed exactly on a half at the 6th decimal, where
+      // BigDecimal-of-double (Spark) and multiply-based rounding
+      // (DuckDB) legitimately disagree — the one boundary the round-6
+      // contract cannot absorb
+      .select(col("doc_id"), col("n_bigrams"),
+        col("s").cast("double").as("nll_sum"))
+  }
 }

@@ -550,4 +550,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getBoolean(5), s"greedy-green doc not flagged: $r")
     assert(r.getDouble(3) > 0.9, s"green_frac ${r.getDouble(3)}")
   }
+
+  test("Kneser-Ney: a hand-computed corpus pins every bigram " +
+      "probability through the integer-ratio dag") {
+    import spark.implicits._
+    // 'a b a b a c': c(ab)=2 c(ba)=2 c(ac)=1; c(a.)=3 c(b.)=2;
+    // N1+(a.)=2 N1+(b.)=1; N1+(.a)=N1+(.b)=N1+(.c)=1; T=3
+    // P(b|a) = 21/36, P(a|b) = 18/24, P(c|a) = 9/36
+    val out = TextAnalysis.kneserNeyOver(
+      Seq((1L, "a b a b a c")).toDF("doc_id", "text")).head()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (BigDecimal(r6(math.log(36.0) - math.log(21.0))) * 2 +
+      BigDecimal(r6(math.log(24.0) - math.log(18.0))) * 2 +
+      BigDecimal(r6(math.log(36.0) - math.log(9.0)))).toDouble
+    assert(out.getLong(1) == 5L)
+    assert(out.getDouble(2) == want,
+      s"nll_sum ${out.getDouble(2)} != $want")
+  }
 }
