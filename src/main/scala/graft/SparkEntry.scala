@@ -62,6 +62,7 @@ object SparkEntry {
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
+    "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -1768,6 +1769,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
+    // interpolation: IGNORE-NULLS bracket windows over each user's
+    // own calendar span; half-up integer division in micro-dollars
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1 HAVING count(*) >= 2),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.day, d.cents
+        |      FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        |w AS (
+        |  SELECT user_id, day, cents,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER pre AS pd,
+        |    last_value(cents IGNORE NULLS) OVER pre AS pv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER post AS nd,
+        |    first_value(cents IGNORE NULLS) OVER post AS nv
+        |  FROM j
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING),
+        |    post AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN cents IS NOT NULL THEN cents * 100
+        |    ELSE (2 * ((pv * (nd - pd) + (nv - pv) * (day - pd)) * 100)
+        |      + (nd - pd)) // (2 * (nd - pd)) END AS value_micro,
+        |  cents IS NOT NULL AS observed
+        |FROM w""".stripMargin,
     // vacuum: the post-clean manifest read-back must equal the plain
     // source rollup — strays were never reader-visible
     "q_vacuum" ->

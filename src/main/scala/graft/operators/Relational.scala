@@ -1131,6 +1131,58 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** LINEAR INTERPOLATION across per-user gap days — the resample
+    * step [[gapFill]]'s zero-fill can't do (a balance or rate between
+    * two observations is BETWEEN them, not zero): each user's daily
+    * purchase total, observed days exact, missing days between the
+    * user's first and last observation linearly interpolated between
+    * the bracketing observations. prev/next ride two IGNORE-NULLS
+    * windows over the user's own calendar span (bounded by the
+    * corpus month, the q_yoy discipline — never corpus-sized); the
+    * interpolated value is ONE fixed IEEE dag on exact cents and
+    * integer day distances, rounded 6. Only users with ≥ 2 observed
+    * days interpolate; grid endpoints are observed, so interior
+    * brackets always exist.
+    */
+  def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum((money(col("value")) * 100).cast("long")).as("cents"))
+      .localCheckpoint()
+    val span = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val grid = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("k", datediff(col("day"), col("pd")).cast("long"))
+      .withColumn("n", datediff(col("nd"), col("pd")).cast("long"))
+      // micro-dollar units (cents × 100) via HALF-UP INTEGER division
+      // — a rounded double here lands on exact decimal halves
+      // whenever the gap length divides the cent delta (the
+      // text_kneser_ney straddle class, pre-empted): micro =
+      // (pv + (nv−pv)·k/n)·100 = ((pv·n + Δ·k)·100 + n/2)/n, all
+      // exact BIGINT
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents") * 100)
+          .otherwise(expr(
+            "(2 * ((pv * n + (nv - pv) * k) * 100) + n) div (2 * n)"))
+          .as("value_micro"),
+        col("cents").isNotNull.as("observed"))
+  }
+
   /** Fixed-width value histogram per event type — the numeric-binning
     * primitive (monitoring distributions, feature bucketing). The bin
     * id is floor(value/step): one IEEE division + floor, identical in

@@ -700,6 +700,28 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("email").getAs[Double]("attribution") == 0.333333)
   }
 
+  test("interpolate: planted gaps fill linearly in exact micro-dollars, " +
+      "observed days stay exact, singletons are excluded") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_interp").toString
+    val t = (d: Int) => java.sql.Timestamp.valueOf(f"2024-02-$d%02d 09:00:00")
+    Seq(
+      (1L, t(1), 1L, "purchase", 1.00),   // 100 cents
+      (2L, t(4), 1L, "purchase", 4.00),   // 400 cents, 2-day gap
+      (3L, t(2), 2L, "purchase", 9.99),   // singleton user: excluded
+      (4L, t(1), 3L, "view", 5.0))        // non-purchase: ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.interpolate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      (1L, "2024-02-01") -> ((10000L, true)),
+      (1L, "2024-02-02") -> ((20000L, false)),  // 100+300/3 = 200 cents
+      (1L, "2024-02-03") -> ((30000L, false)),
+      (1L, "2024-02-04") -> ((40000L, true))))
+  }
+
   test("rolling retention: planted cohorts pin D1/D7 exactly and a " +
       "same-day repeat never counts as retained") {
     import spark.implicits._
