@@ -63,6 +63,8 @@ object SparkEntry {
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
+    "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
+    "q_slo_burn" -> ((s, d) => Relational.sloBurn(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_json_props" -> ((s, d) => Relational.jsonProps(s, d)),
     "q_running_window" -> ((s, d) => Relational.runningWindow(s, d)),
@@ -6439,6 +6441,39 @@ object SparkEntry {
         |      FROM documents)""".stripMargin,
     // lead-byte frame deltas segment each media item into scenes; the
     // lag + running-sum windows are per-doc (bounded), mirrored exactly
+    // keyframes: the shared scene segmentation folded to per-scene
+    // first frames, signature joined back at the key frame
+    "mm_keyframes" -> (mmSceneCtes + "\n" +
+      """        |k AS (SELECT doc_id, scene_id, min(frame_idx) AS key_frame,
+        |        count(*) AS scene_len
+        |      FROM s GROUP BY 1, 2)
+        |SELECT k.doc_id, CAST(k.scene_id AS BIGINT) AS scene_id,
+        |  CAST(k.key_frame AS BIGINT) AS key_frame,
+        |  CAST(k.scene_len AS BIGINT) AS scene_len,
+        |  substring(fr.frame_hex, 1, 16) AS key_hex
+        |FROM k JOIN fr ON fr.doc_id = k.doc_id
+        |  AND fr.frame_idx = k.key_frame""".stripMargin),
+    // SLO burn: exact integer alert predicates (budget = 1/20),
+    // micro-unit burn rates by half-up integer division
+    "q_slo_burn" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hour, n, errs,
+        |    sum(n) OVER win AS n6, sum(errs) OVER win AS e6
+        |  FROM h
+        |  WINDOW win AS (ORDER BY hour
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+        |  CAST(n AS BIGINT) AS n, CAST(errs AS BIGINT) AS errs,
+        |  CAST((2 * (20 * errs * 1000000) + n) // (2 * n) AS BIGINT)
+        |    AS burn1h_micro,
+        |  CAST((2 * (20 * e6 * 1000000) + n6) // (2 * n6) AS BIGINT)
+        |    AS burn6h_micro,
+        |  errs * 20 > n AND e6 * 20 > n6 AS page
+        |FROM w""".stripMargin,
     "mm_scenes" -> (mmSceneCtes + "\n" +
       """        |g AS (SELECT doc_id, scene_id, count(*) AS flen FROM s GROUP BY 1, 2)
         |SELECT doc_id, CAST(max(scene_id) AS BIGINT) AS n_scenes,

@@ -255,6 +255,25 @@ object Multimodal {
         .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** KEYFRAME SELECTION — the storyboard/thumbnail step downstream
+    * of [[scenes]]: each scene's representative frame is its FIRST
+    * frame (the cut frame — the standard cheap keyframe rule), with
+    * the scene length and the frame's signature prefix for the
+    * downstream thumbnail/decode job. One bounded per-media window
+    * (the shared segmentation) + one (doc, scene) aggregate — the
+    * argmin rides `min(struct(frame_idx, frame_hex))`, never a
+    * per-scene window.
+    */
+  def keyframes(spark: SparkSession, sfDir: String, tau: Long = 32)
+      : DataFrame =
+    sceneFrames(spark, sfDir, tau)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(struct(col("frame_idx"), col("frame_hex"))).as("k"),
+        count(lit(1)).as("scene_len"))
+      .select(col("doc_id"), col("scene_id").cast("long").as("scene_id"),
+        col("k.frame_idx").as("key_frame"), col("scene_len"),
+        substring(col("k.frame_hex"), 1, 16).as("key_hex"))
+
   /** CAPTION↔SCENE alignment — the cross-modal pairing step (the
     * CLIP-style "which text goes with which shot") that turns the §2.F
     * plumbing into a pipeline: each media item's text yields one

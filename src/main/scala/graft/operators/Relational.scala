@@ -2197,6 +2197,38 @@ object Relational {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** SLO BURN-RATE ALERTING — the Google-SRE multi-window error
+    * budget monitor: per hour, the error-event share against a 5%
+    * budget, as a FAST window (the hour itself) and a SLOW 6-hour
+    * trailing window; a page fires only when BOTH burn above 1× (the
+    * fast window catches the spike, the slow window confirms it is
+    * not a blip). Alert predicates are EXACT INTEGER comparisons
+    * (20·errors > events — budget 1/20 never touches a float); burn
+    * rates are integer micro-units by half-up division (the
+    * q_interpolate discipline). The corpus work is ONE hourly
+    * rollup; the trailing window rides the calendar-bounded hourly
+    * frame (the q_yoy discipline).
+    */
+  def sloBurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+    val w6 = Window.orderBy(col("hour")).rowsBetween(-5, 0)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("e6", sum(col("errs")).over(w6))
+      .select(date_format(col("hour"), TsFmt).as("hour"),
+        col("n"), col("errs"),
+        expr("(2 * (20 * errs * 1000000) + n) div (2 * n)")
+          .as("burn1h_micro"),
+        expr("(2 * (20 * e6 * 1000000) + n6) div (2 * n6)")
+          .as("burn6h_micro"),
+        (col("errs") * 20 > col("n") && col("e6") * 20 > col("n6"))
+          .as("page"))
+  }
+
   /** DAY-N ROLLING RETENTION by signup-day cohort — the growth
     * dashboard's classic triangle reduced to its D1/D7 columns: for
     * each cohort day (a user's first active day), the share of users

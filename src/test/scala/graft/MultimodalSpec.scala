@@ -135,4 +135,27 @@ class MultimodalSpec extends SparkSpec {
     // an oversize-bucket cap of 1 suppresses every candidate
     assert(Multimodal.embedDedupOver(feat, 0.9, 1).isEmpty)
   }
+
+  test("keyframes: one representative per scene, lengths telescope to " +
+      "the scene report, and every keyframe opens its scene") {
+    val kf = Multimodal.keyframes(spark, sf).cache()
+    val sc = Multimodal.scenes(spark, sf).cache()
+    // per doc: #keyframes == n_scenes, sum(scene_len) == n_frames
+    val agg = kf.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), sum(col("scene_len")).as("f"),
+        min(col("key_frame")).as("kf0"))
+    val j = agg.join(sc, "doc_id")
+    assert(j.filter(col("k") =!= col("n_scenes")
+      || col("f") =!= col("n_frames")).isEmpty)
+    // scene 1's keyframe is frame 0 (the first cut is always a cut)
+    assert(kf.filter(col("scene_id") === 1 && col("key_frame") =!= 0)
+      .isEmpty)
+    // keyframes are strictly increasing with scene id within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("scene_id"))
+    assert(kf.withColumn("prev", lag(col("key_frame"), 1).over(w))
+      .filter(col("prev").isNotNull && col("key_frame") <= col("prev"))
+      .isEmpty)
+    kf.unpersist(); sc.unpersist()
+  }
 }

@@ -700,6 +700,36 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("email").getAs[Double]("attribution") == 0.333333)
   }
 
+  test("SLO burn: a one-hour spike diluted by the slow window does not " +
+      "page; a sustained burn pages on both windows") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_slo").toString
+    val t = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    var id = 0L
+    def hour(d: Int, h: Int, ok: Int, err: Int) =
+      (1 to ok).map { _ => id += 1; (id, t(d, h), 1L, "view") } ++
+        (1 to err).map { _ => id += 1; (id, t(d, h), 1L, "error") }
+    val rows =
+      // day 1: five big clean hours, then a 10%-error spike hour —
+      // fast window burns (2x) but the slow window dilutes below 1x
+      (0 to 4).flatMap(h => hour(1, h, 200, 0)) ++
+        hour(1, 5, 18, 2) ++
+        // day 2: six straight hours at 10% errors — both windows burn
+        (0 to 5).flatMap(h => hour(2, h, 18, 2))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.sloBurn(spark, dir).collect()
+      .map(r => r.getString(0).substring(0, 13) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val spike = out("2024-03-01 05")
+    assert(spike._1 == 2000000L, s"fast burn $spike")     // 2.0x
+    assert(!spike._3, s"diluted spike paged: $spike")      // slow < 1x
+    val sustained = out("2024-03-02 05")
+    assert(sustained._1 == 2000000L && sustained._2 == 2000000L)
+    assert(sustained._3, s"sustained burn did not page: $sustained")
+  }
+
   test("interpolate: planted gaps fill linearly in exact micro-dollars, " +
       "observed days stay exact, singletons are excluded") {
     import spark.implicits._
