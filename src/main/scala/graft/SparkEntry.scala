@@ -6456,22 +6456,35 @@ object SparkEntry {
     // SLO burn: exact integer alert predicates (budget = 1/20),
     // micro-unit burn rates by half-up integer division
     "q_slo_burn" ->
-      """WITH h AS (
+      """WITH b0 AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b0),
+        |h AS (
         |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
         |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT spine.hour, coalesce(n, 0) AS n,
+        |    coalesce(errs, 0) AS errs
+        |  FROM spine LEFT JOIN h USING (hour)),
         |w AS (
         |  SELECT hour, n, errs,
         |    sum(n) OVER win AS n6, sum(errs) OVER win AS e6
-        |  FROM h
+        |  FROM d
         |  WINDOW win AS (ORDER BY hour
         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
         |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
         |  CAST(n AS BIGINT) AS n, CAST(errs AS BIGINT) AS errs,
-        |  CAST((2 * (20 * errs * 1000000) + n) // (2 * n) AS BIGINT)
-        |    AS burn1h_micro,
-        |  CAST((2 * (20 * e6 * 1000000) + n6) // (2 * n6) AS BIGINT)
-        |    AS burn6h_micro,
+        |  CASE WHEN n > 0 THEN
+        |    CAST((2 * (20 * errs * 1000000) + n) // (2 * n) AS BIGINT)
+        |  ELSE 0 END AS burn1h_micro,
+        |  CASE WHEN n6 > 0 THEN
+        |    CAST((2 * (20 * e6 * 1000000) + n6) // (2 * n6) AS BIGINT)
+        |  ELSE 0 END AS burn6h_micro,
         |  errs * 20 > n AND e6 * 20 > n6 AS page
         |FROM w""".stripMargin,
     "mm_scenes" -> (mmSceneCtes + "\n" +

@@ -434,24 +434,6 @@ object Quality {
         round(col("madd").cast("double") / 9.0, 6).as("mad"))
   }
 
-  /** SURVIVORSHIP (golden-record construction) over the near-dup
-    * clusters — the MDM step after matching: `dedup_clusters` GROUPS
-    * the corpus (connected components over verified near-dup pairs);
-    * this MERGES each multi-member cluster into one best record by
-    * per-FIELD rules (the Talend/Informatica survivorship pattern):
-    * id = min doc_id, text from the LONGEST member (ties to the
-    * smaller id), lang and source by CLUSTER MODE (ties to the
-    * alphabetically first value). Singletons need no merging and are
-    * dropped.
-    *
-    * Scale shape: every rule is a pure partial-aggregated
-    * aggregation — argmax via `max(struct(n_chars, −doc_id))`, mode
-    * via `min(struct(−cnt, value))` over the per-(cluster, value)
-    * count frame — NO per-cluster windows, so one hot cluster is one
-    * aggregation key, never one task. The cluster assignment itself
-    * rides the banded/df-capped candidate path `dedup_clusters`
-    * already runs at 100 TB.
-    */
   /** SPLIT-ORDER AUDIT — the procurement-fraud screen beside
     * `q_benford`'s digit test: multiple orders by the SAME customer
     * on the SAME day (the pattern of splitting one purchase into
@@ -475,6 +457,24 @@ object Quality {
         round(col("max_single").cast("double")
           / col("day_cents").cast("double"), 6).as("largest_share"))
 
+  /** SURVIVORSHIP (golden-record construction) over the near-dup
+    * clusters — the MDM step after matching: `dedup_clusters` GROUPS
+    * the corpus (connected components over verified near-dup pairs);
+    * this MERGES each multi-member cluster into one best record by
+    * per-FIELD rules (the Talend/Informatica survivorship pattern):
+    * id = min doc_id, text from the LONGEST member (ties to the
+    * smaller id), lang and source by CLUSTER MODE (ties to the
+    * alphabetically first value). Singletons need no merging and are
+    * dropped.
+    *
+    * Scale shape: every rule is a pure partial-aggregated
+    * aggregation — argmax via `max(struct(n_chars, −doc_id))`, mode
+    * via `min(struct(−cnt, value))` over the per-(cluster, value)
+    * count frame — NO per-cluster windows, so one hot cluster is one
+    * aggregation key, never one task. The cluster assignment itself
+    * rides the banded/df-capped candidate path `dedup_clusters`
+    * already runs at 100 TB.
+    */
   def survivorship(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Dedup.clusters(spark, sfDir)
       .join(Tables.documents(spark, sfDir)

@@ -2210,21 +2210,35 @@ object Relational {
     * frame (the q_yoy discipline).
     */
   def sloBurn(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables.events(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("errs"))
+    // the slow window must be TIME-based: densify onto the calendar
+    // spine (the gapFill trick) so ROWS 5 PRECEDING is exactly six
+    // calendar hours — over the sparse rollup it would skip silent
+    // hours and page on stale errors across a gap
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val dense = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .join(hourly, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("errs"), lit(0L)).as("errs"))
     val w6 = Window.orderBy(col("hour")).rowsBetween(-5, 0)
-    hourly
+    dense
       .withColumn("n6", sum(col("n")).over(w6))
       .withColumn("e6", sum(col("errs")).over(w6))
       .select(date_format(col("hour"), TsFmt).as("hour"),
         col("n"), col("errs"),
-        expr("(2 * (20 * errs * 1000000) + n) div (2 * n)")
-          .as("burn1h_micro"),
-        expr("(2 * (20 * e6 * 1000000) + n6) div (2 * n6)")
-          .as("burn6h_micro"),
+        when(col("n") > 0,
+          expr("(2 * (20 * errs * 1000000) + n) div (2 * n)"))
+          .otherwise(0L).as("burn1h_micro"),
+        when(col("n6") > 0,
+          expr("(2 * (20 * e6 * 1000000) + n6) div (2 * n6)"))
+          .otherwise(0L).as("burn6h_micro"),
         (col("errs") * 20 > col("n") && col("e6") * 20 > col("n6"))
           .as("page"))
   }

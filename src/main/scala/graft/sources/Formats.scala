@@ -489,13 +489,24 @@ object Formats {
     * both generations: v1 ≡ the lower half, v2 ≡ the whole corpus,
     * recomputed from the source split rule.
     */
-  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (doc_id, n_chars) schema the time-travel/vacuum stores
+    * serialize. */
+  private val TwoGenSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Shared scaffold for `q_time_travel` and `q_vacuum`: commit the
+    * id-lower document half as generation 1, append the rest as
+    * generation 2, return the store dir. ONE definition so the two
+    * gated keys' split rule can never drift.
+    */
+  private def writeTwoGenerations(spark: SparkSession, sfDir: String,
+      prefix: String): String = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, StructField}
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("n_chars", LongType)))
-    val dir = graft.TempDirs.create("graft_time_travel").toString
+    val dir = graft.TempDirs.create(prefix).toString
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     val thr = docs.agg(
@@ -509,8 +520,14 @@ object Formats {
     half(col("doc_id") > _)
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", dir).mode("append").save()
+    dir
+  }
+
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_time_travel")
     graft.sources.v2.GraftSink.versions(dir).map { v =>
-      graft.sources.v2.GraftSink.readBackAsOf(spark, dir, v, schema)
+      graft.sources.v2.GraftSink.readBackAsOf(spark, dir, v, TwoGenSchema)
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_chars")).as("sum_chars"))
         .select(lit(v.toLong).as("version"), col("n_rows"),
@@ -529,33 +546,16 @@ object Formats {
     * the spec pins the stray deletion and retention counts.
     */
   def vacuumedStore(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, StructField}
     import java.nio.file.{Files, Paths}
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("n_chars", LongType)))
-    val dir = graft.TempDirs.create("graft_vacuum").toString
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-    val thr = docs.agg(
-      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
-        .cast("long").as("t"))
-    def half(pred: Column => Column): DataFrame =
-      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
-    half(col("doc_id") <= _)
-      .write.format("graft.sources.v2.GraftSinkSource")
-      .option("path", dir).mode("append").save()
-    half(col("doc_id") > _)
-      .write.format("graft.sources.v2.GraftSinkSource")
-      .option("path", dir).mode("append").save()
+    val dir = writeTwoGenerations(spark, sfDir, "graft_vacuum")
     // planted crash leftovers: an aborted task temp and a stray part
     Files.write(Paths.get(dir, ".tmp-orphan"),
       "-1\t-1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.write(Paths.get(dir, "part-stray.tsv"),
       "-2\t-2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     graft.sources.v2.GraftSink.vacuum(dir, keepGenerations = 1)
-    graft.sources.v2.GraftSink.readBack(spark, dir, schema)
+    graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
       .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
   }
 }

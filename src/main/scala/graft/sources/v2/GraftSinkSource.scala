@@ -156,6 +156,13 @@ object GraftSink {
     */
   def vacuum(path: String, keepGenerations: Int = Int.MaxValue)
       : (Int, Int) = {
+    // the latest snapshot must always survive: generation numbers
+    // derive from the newest retained snapshot, so expiring ALL of
+    // them would let a later commit REUSE an expired number with
+    // different content — silently breaking the never-rewritten /
+    // loud-expired-read contract
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1, got $keepGenerations")
     val dir = Paths.get(path)
     val live = Paths.get(path, ManifestName)
     require(Files.exists(live), s"no committed manifest under $path")
@@ -236,21 +243,24 @@ class GraftSinkBatchWrite(schema: StructType, path: String)
       else Seq.empty[String]
     val lines = (existing ++ msgs.map(m => s"${m.finalName}\t${m.rows}"))
       .sorted
-    // publish the retained generation snapshot FIRST (atomic, never
-    // rewritten — the time-travel contract), then flip the live
-    // manifest: a crash between the two leaves the old live state
-    // plus an orphaned snapshot, never a live manifest without its
-    // snapshot
+    // flip the LIVE manifest first, then publish the retained
+    // generation snapshot (atomic, never rewritten — the time-travel
+    // contract): a crash between the two loses that one snapshot
+    // while live readers see a normal commit, so an EXISTING snapshot
+    // can never list files the live manifest does not — the invariant
+    // vacuum's "never orphan a retained as-of read" rests on. (The
+    // reverse order would let a crashed job publish a phantom
+    // "committed" generation whose files vacuum later deletes.)
     val gen = GraftSink.versions(path).lastOption.getOrElse(0) + 1
     val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    val tmpVer = Paths.get(path, s".${GraftSink.VersionPrefix}$gen-$jobTag")
-    Files.write(tmpVer, bytes)
-    Files.move(tmpVer, Paths.get(path, s"${GraftSink.VersionPrefix}$gen"),
-      StandardCopyOption.ATOMIC_MOVE)
     val tmpManifest = Paths.get(path, s".${GraftSink.ManifestName}-$jobTag")
     Files.write(tmpManifest, bytes)
     Files.move(tmpManifest, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    val tmpVer = Paths.get(path, s".${GraftSink.VersionPrefix}$gen-$jobTag")
+    Files.write(tmpVer, bytes)
+    Files.move(tmpVer, Paths.get(path, s"${GraftSink.VersionPrefix}$gen"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -265,5 +265,11 @@ class SourcesV2Spec extends SparkSpec {
       .as[(Long, Long)].collect().sorted.toSeq == before)
     // idempotent: a second vacuum finds nothing to do
     assert(GraftSink.vacuum(dir, keepGenerations = 1) == ((0, 0)))
+    // expiring ALL generations is rejected — generation numbers
+    // derive from the newest snapshot, so a full expiry would let a
+    // later commit reuse an expired number with different content
+    intercept[IllegalArgumentException] {
+      GraftSink.vacuum(dir, keepGenerations = 0)
+    }
   }
 }
