@@ -62,6 +62,7 @@ object SparkEntry {
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
+    "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
     "q_slo_burn" -> ((s, d) => Relational.sloBurn(s, d)),
@@ -3715,6 +3716,38 @@ object SparkEntry {
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    // cluster topics: cluster-tf x corpus-idf over multi-member
+    // clusters, (score DESC, word) total rank
+    "text_cluster_topics" ->
+      s"""WITH $clusterCtes,
+        |multi AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM clusters GROUP BY 1 HAVING count(*) > 1),
+        |mem AS (
+        |  SELECT c.cluster_id, m.n_members, c.doc_id
+        |  FROM clusters c JOIN multi m USING (cluster_id)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents),
+        |ctf AS (
+        |  SELECT mem.cluster_id, mem.n_members, tok.word,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok JOIN mem USING (doc_id) GROUP BY 1, 2, 3),
+        |df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT cluster_id, n_members, word, tf,
+        |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  FROM ctf JOIN df USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY score DESC, word) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT cluster_id, n_members, word, tf, score, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
     // survivorship: per multi-member cluster, window-free argmax
     // (longest text, ties to smaller id) and mode (ties to the
     // alphabetically first value) via max-count join-backs

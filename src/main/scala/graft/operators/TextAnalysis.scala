@@ -1165,6 +1165,46 @@ object TextAnalysis {
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     repetitionOver(Tables.documents(spark, sfDir))
 
+  /** TOPIC LABELS per near-dup cluster — the last step of the MDM
+    * chain (`q_entity_match` finds pairs, `dedup_clusters` groups,
+    * `q_survivorship` merges records, THIS names the cluster): each
+    * multi-member cluster's top-k terms by cluster-tf × corpus-idf
+    * (the [[tfidf]] smoothed formula with the cluster as the
+    * "document"). The cluster token rollup touches only the
+    * multi-member clusters' docs (a semi-join against the small
+    * multi-member frame); ranking rides the bounded TopKPerKey heaps
+    * on (score DESC, word) — never a hot-cluster window; the corpus
+    * df/N statistics are the tfidf tables unchanged.
+    */
+  def clusterTopics(spark: SparkSession, sfDir: String, k: Int = 3)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = Dedup.clusters(spark, sfDir)
+    val multi = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    val members = clusters.join(broadcast(multi), "cluster_id")
+    val tok = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), WordSplit), w => w =!= ""))
+          .as("word"))
+    val ctf = tok.join(members, "doc_id")
+      .groupBy(col("cluster_id"), col("n_members"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = ctf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)), 6))
+    graft.plans.TopKPerKey(scored, Seq("cluster_id"),
+        Seq(("score", true), ("word", false)), k)
+      .select(col("cluster_id"), col("n_members"), col("word"),
+        col("tf"), col("score"), col("rnk"))
+  }
+
   /** Bigram KNESER–NEY scoring (interpolated, absolute discount
     * d = 3/4 — DYADIC, exact in both engines) — the principled
     * smoothing upgrade over [[perplexityBigram]]'s Stupid Backoff

@@ -551,6 +551,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.9, s"green_frac ${r.getDouble(3)}")
   }
 
+  test("cluster topics: every label occurs in its own cluster's text, " +
+      "ranks are dense top-3, and only multi-member clusters surface") {
+    import graft.operators.Dedup
+    val topics = TextAnalysis.clusterTopics(spark, sf).cache()
+    assert(topics.count() > 0)
+    assert(topics.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty)
+    // dense per-cluster ranks starting at 1
+    val perC = topics.groupBy("cluster_id")
+      .agg(count(lit(1)).as("k"), min(col("rnk")).as("lo"),
+        max(col("rnk")).as("hi"))
+    assert(perC.filter(col("lo") =!= 1 || col("hi") =!= col("k")).isEmpty)
+    // membership counts match the cluster assignment, all > 1
+    val mc = Dedup.clusters(spark, sf).groupBy("cluster_id")
+      .agg(count(lit(1)).as("m"))
+    assert(topics.join(mc, "cluster_id")
+      .filter(col("n_members") =!= col("m") || col("m") < 2).isEmpty)
+    // every topic word really occurs in a member doc of its cluster
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(
+        filter(split(col("text"), graft.operators.TextMapReduce.WordSplit),
+          w => w =!= "")).as("word"))
+      .join(Dedup.clusters(spark, sf), "doc_id")
+      .select("cluster_id", "word").distinct()
+    assert(topics.select("cluster_id", "word")
+      .join(tok, Seq("cluster_id", "word"), "left_anti").isEmpty)
+    topics.unpersist()
+  }
+
   test("Kneser-Ney: a hand-computed corpus pins every bigram " +
       "probability through the integer-ratio dag") {
     import spark.implicits._
