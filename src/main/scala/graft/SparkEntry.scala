@@ -63,6 +63,7 @@ object SparkEntry {
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
+    "q_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
     "q_slo_burn" -> ((s, d) => Relational.sloBurn(s, d)),
@@ -3611,6 +3612,53 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // threshold sweep: ONE pair-stats pass priced at five integer
+    // thresholds; the grid left-join reports empty thresholds as 0
+    "q_dedup_sweep" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT doc_a, doc_b, n_common, x.n AS n_a, y.n AS n_b
+        |  FROM pairs JOIN cnt x ON doc_a = x.doc_id
+        |  JOIN cnt y ON doc_b = y.doc_id),
+        |g AS (SELECT CAST(unnest(range(5, 10)) AS BIGINT) AS t10),
+        |kept AS (
+        |  SELECT t10, doc_a, doc_b FROM base, g
+        |  WHERE 10 * n_common >= t10 * (n_a + n_b - n_common)),
+        |byt AS (
+        |  SELECT t10, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(DISTINCT greatest(doc_a, doc_b)) AS BIGINT)
+        |      AS n_dropped_greedy
+        |  FROM kept GROUP BY 1),
+        |aff AS (
+        |  SELECT t10, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+        |  FROM (SELECT t10, doc_a AS d FROM kept
+        |        UNION ALL SELECT t10, doc_b FROM kept)
+        |  GROUP BY 1)
+        |SELECT g.t10, CAST(g.t10 AS DOUBLE) / 10.0 AS threshold,
+        |  coalesce(n_pairs, 0) AS n_pairs,
+        |  coalesce(n_docs_affected, 0) AS n_docs_affected,
+        |  coalesce(n_dropped_greedy, 0) AS n_dropped_greedy
+        |FROM g LEFT JOIN byt USING (t10) LEFT JOIN aff USING (t10)""".stripMargin,
     // same candidate CTEs as dedup_ngram_jaccard; the verifier divides
     // by min(|A|,|B|) instead of the union (subset/quote detection)
     "dedup_containment" ->

@@ -660,6 +660,45 @@ object Dedup {
           .otherwise(lit(0.0)).as("recall"))
   }
 
+  /** DEDUP THRESHOLD SWEEP — the tuning report the near-dup family's
+    * threshold parameter deserves (0.5 is a convention, not a law):
+    * ONE pair-stats pass (the shared df-capped candidate path), then
+    * per threshold t ∈ {0.5..0.9} the pair count, the distinct docs
+    * touched, and the greedy drop-count upper bound (distinct max-id
+    * doc over kept pairs — what min-id canonical dedup would remove
+    * if every pair were its own cluster). Threshold predicates are
+    * EXACT INTEGERS (10·|∩| ≥ t10·|∪|) — no float boundary can
+    * reclassify a pair; empty thresholds still report 0 (the grid
+    * left-join, no silent truncation). The sweep costs ONE candidate
+    * verification regardless of how many thresholds it prices.
+    */
+  def dedupSweep(spark: SparkSession, sfDir: String,
+      maxDf: Long = DefaultMaxDf): DataFrame = {
+    val base = pairStats(docShingles(spark, sfDir), maxDf)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"))
+      .localCheckpoint()
+    val grid = spark.range(5, 10).select(col("id").as("t10"))
+    val kept = base.crossJoin(broadcast(grid))
+      .filter(col("n_common") * 10 >=
+        col("t10") * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("t10"), col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val byT = kept.groupBy("t10")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(greatest(col("doc_a"), col("doc_b")))
+          .as("n_dropped_greedy"))
+    val aff = kept.select(col("t10"), col("doc_a").as("d"))
+      .unionByName(kept.select(col("t10"), col("doc_b").as("d")))
+      .groupBy("t10").agg(countDistinct(col("d")).as("n_docs_affected"))
+    grid.join(byT, Seq("t10"), "left").join(aff, Seq("t10"), "left")
+      .select(col("t10"),
+        (col("t10").cast("double") / 10.0).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        coalesce(col("n_dropped_greedy"), lit(0L)).as("n_dropped_greedy"))
+  }
+
   /** Canonicalized exact dedup: normalize text (lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim) BEFORE the
     * md5 group — catches the formatting/casing/punctuation variants

@@ -537,4 +537,22 @@ class DedupSpec extends SparkSpec {
     assert(s.getLong(2) >= s.getLong(3) && s.getDouble(4) >= 1.0)
     c.unpersist()
   }
+
+  test("dedup sweep: pair counts are monotone in the threshold, the " +
+      "0.5 row agrees with dedup_ngram_jaccard, and drops <= affected") {
+    val rows = Dedup.dedupSweep(spark, sf)
+      .orderBy("t10").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+    // monotone non-increasing as the threshold tightens
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) <= a.getLong(2), s"pairs not monotone: $a $b")
+        assert(b.getLong(3) <= a.getLong(3))
+      case _ => ()
+    }
+    // the 0.5 row is exactly the gated near-dup pair count
+    assert(rows.head.getLong(2) == Dedup.ngramJaccard(spark, sf).count())
+    // greedy drops can never exceed docs touched
+    rows.foreach(r => assert(r.getLong(4) <= r.getLong(3), r.toString))
+  }
 }
