@@ -64,6 +64,7 @@ object SparkEntry {
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
     "q_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
+    "q_anon_sweep" -> ((s, d) => Quality.anonSweep(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
     "q_slo_burn" -> ((s, d) => Relational.sloBurn(s, d)),
@@ -3612,6 +3613,26 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // anonymity k-sweep: one class rollup priced at four k's; the
+    // suppressed share in integer micro-units
+    "q_anon_sweep" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(sum(class_size) AS BIGINT) AS n_total FROM cls),
+        |g AS (SELECT CAST(unnest([2, 5, 10, 20]) AS BIGINT) AS k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS n_suppressed,
+        |  CAST((2 * (sum(CASE WHEN class_size < k THEN class_size
+        |        ELSE 0 END) * 1000000) + n_total) // (2 * n_total)
+        |    AS BIGINT) AS suppressed_micro
+        |FROM cls CROSS JOIN g CROSS JOIN t
+        |GROUP BY k, n_total""".stripMargin,
     // threshold sweep: ONE pair-stats pass priced at five integer
     // thresholds; the grid left-join reports empty thresholds as 0
     "q_dedup_sweep" ->

@@ -299,6 +299,40 @@ object Quality {
         (col("level") === -1L).as("suppressed"))
   }
 
+  /** ANONYMITY K-SWEEP — the release-policy tuning report beside
+    * [[kAnonymity]]'s fixed-k audit (what does each candidate k COST
+    * in suppression?): ONE equivalence-class rollup priced at
+    * k ∈ {2, 5, 10, 20} — per k the violating-class count, the
+    * records those classes hold (what suppression would delete), and
+    * the suppressed share in integer micro-units by half-up division
+    * (the q_interpolate discipline). The sweep is the `q_dedup_sweep`
+    * grid shape: integer predicates over a broadcast k-grid, one
+    * corpus pass no matter how many k's are priced.
+    */
+  def anonSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000).cast("long").as("bal_band")
+    val classes = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"), band)
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("class_size"))
+      .localCheckpoint()
+    val tot = classes.agg(sum(col("class_size")).as("n_total"))
+    val grid = classes.sparkSession.range(2, 21)
+      .filter(col("id").isin(2L, 5L, 10L, 20L)).select(col("id").as("k"))
+    classes.crossJoin(broadcast(grid))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < col("k"), 1L).otherwise(0L))
+          .as("n_violating"),
+        sum(when(col("class_size") < col("k"), col("class_size"))
+          .otherwise(0L)).as("n_suppressed"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_classes"), col("n_violating"),
+        col("n_suppressed"),
+        expr("(2 * (n_suppressed * 1000000) + n_total) div (2 * n_total)")
+          .as("suppressed_micro"))
+  }
+
   def kAnonymity(spark: SparkSession, sfDir: String,
       k: Int = 5, l: Int = 3): DataFrame = {
     val band = floor(col("c_acctbal") / 1000).cast("long").as("bal_band")

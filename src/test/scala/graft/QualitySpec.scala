@@ -380,6 +380,24 @@ class QualitySpec extends SparkSpec {
     assert(r.getDouble(5) == 0.5)
   }
 
+  test("anon sweep: suppression costs are monotone in k and agree with " +
+      "a direct recount at k = 5") {
+    val rows = Quality.anonSweep(spark, sf).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L, 10L, 20L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) >= a.getLong(2), s"violating not monotone")
+        assert(b.getLong(3) >= a.getLong(3), s"suppressed not monotone")
+      case _ => ()
+    }
+    // k = 5 agrees with the fixed-k audit's violating classes
+    val audit5 = Quality.kAnonymity(spark, sf, k = 5)
+      .filter(!col("k_anonymous"))
+    assert(rows(1).getLong(2) == audit5.count())
+    assert(rows(1).getLong(3) ==
+      audit5.agg(sum(col("class_size"))).head().getLong(0))
+  }
+
   test("survivorship: golden records carry the cluster min id, the " +
       "longest member (ties to smaller id), and modal fields") {
     import graft.operators.Dedup
