@@ -65,6 +65,7 @@ object SparkEntry {
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
     "q_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
     "q_anon_sweep" -> ((s, d) => Quality.anonSweep(s, d)),
+    "q_mahalanobis" -> ((s, d) => Stats.mahalanobis(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
     "q_slo_burn" -> ((s, d) => Relational.sloBurn(s, d)),
@@ -3613,6 +3614,45 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // Mahalanobis: exact decimal moments -> one IEEE covariance dag,
+    // per-row d2 rounded 6, (d2 DESC, event_id) total rank
+    "q_mahalanobis" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    (epoch_us(ts) // 1000000) % 86400 AS y
+        |  FROM events),
+        |m0 AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM ev GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, sx / n AS mx, sy / n AS my,
+        |    sxx / n - (sx / n) * (sx / n) AS vxx,
+        |    syy / n - (sy / n) * (sy / n) AS vyy,
+        |    sxy / n - (sx / n) * (sy / n) AS vxy
+        |  FROM m0),
+        |md AS (
+        |  SELECT *, vxx * vyy - vxy * vxy AS det FROM m),
+        |s AS (
+        |  SELECT ev.event_type, event_id, x, y,
+        |    round(((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+        |        * vyy
+        |      - 2.0 * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my)
+        |        * vxy
+        |      + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my)
+        |        * vxx) / det, 6) AS d2
+        |  FROM ev JOIN md USING (event_type) WHERE det <> 0),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY d2 DESC, event_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT event_type, event_id, x AS cents, CAST(y AS BIGINT)
+        |    AS sec_of_day, d2, rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
     // anonymity k-sweep: one class rollup priced at four k's; the
     // suppressed share in integer micro-units
     "q_anon_sweep" ->

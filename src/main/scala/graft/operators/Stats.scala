@@ -2080,6 +2080,63 @@ object Stats {
           (col("pred") + col("all_pos")).cast("double"), 6).as("f1"))
   }
 
+  /** MAHALANOBIS OUTLIERS per event type over the (value,
+    * time-of-day) plane — the MULTIVARIATE leg of the anomaly family
+    * (`q_anomaly_zscore`/`_mad` score one dimension; a $900 purchase
+    * is normal at noon and an outlier at 4am only under the joint
+    * distribution): per-type exact decimal moments (n, Σx, Σy, Σx²,
+    * Σy², Σxy over cents and seconds-into-day) → the 2×2 population
+    * covariance and its inverse as ONE fixed IEEE dag (the
+    * q_regression discipline, det-guarded) → per-row squared
+    * Mahalanobis distance rounded 6 → top-5 per type on the bounded
+    * TopKPerKey heaps with event_id tie-break. One moment scan + one
+    * scored scan against the broadcast #types-row moment frame.
+    */
+  def mahalanobis(spark: SparkSession, sfDir: String, k: Int = 5)
+      : DataFrame = {
+    val d384 = DecimalType(38, 4)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        (money(col("value")) * 100).cast("long").as("x"),
+        (expr("unix_micros(ts) div 1000000") % 86400L).as("y"))
+    val mom = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+        sum((col("x") * col("x")).cast(d384)).as("sxx0"),
+        sum((col("y") * col("y")).cast(d384)).as("syy0"),
+        sum((col("x") * col("y")).cast(d384)).as("sxy0"))
+      .select(col("event_type"),
+        col("n0").cast("double").as("n"),
+        col("sx0").cast("double").as("sx"),
+        col("sy0").cast("double").as("sy"),
+        col("sxx0").cast("double").as("sxx"),
+        col("syy0").cast("double").as("syy"),
+        col("sxy0").cast("double").as("sxy"))
+      .withColumn("mx", col("sx") / col("n"))
+      .withColumn("my", col("sy") / col("n"))
+      .withColumn("vxx", col("sxx") / col("n") - col("mx") * col("mx"))
+      .withColumn("vyy", col("syy") / col("n") - col("my") * col("my"))
+      .withColumn("vxy", col("sxy") / col("n") - col("mx") * col("my"))
+      .withColumn("det",
+        col("vxx") * col("vyy") - col("vxy") * col("vxy"))
+      .select("event_type", "mx", "my", "vxx", "vyy", "vxy", "det")
+    val scored = ev.join(broadcast(mom), "event_type")
+      .filter(col("det") =!= 0.0)
+      .withColumn("dx", col("x").cast("double") - col("mx"))
+      .withColumn("dy", col("y").cast("double") - col("my"))
+      .withColumn("d2", round(
+        (col("dx") * col("dx") * col("vyy")
+          - lit(2.0) * col("dx") * col("dy") * col("vxy")
+          + col("dy") * col("dy") * col("vxx")) / col("det"), 6))
+    graft.plans.TopKPerKey(
+        scored.select(col("event_type"), col("event_id"), col("x"),
+          col("y"), col("d2")),
+        Seq("event_type"), Seq(("d2", true), ("event_id", false)), k)
+      .select(col("event_type"), col("event_id"),
+        col("x").as("cents"), col("y").as("sec_of_day"),
+        col("d2"), col("rnk"))
+  }
+
   /** CROSS-CORRELATION (lead-lag CCF) between the daily click and
     * purchase count series at lags −7..7 — the question `q_acf`
     * can't ask: does click volume LEAD purchases (positive-lag peak)

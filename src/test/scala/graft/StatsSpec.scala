@@ -986,6 +986,42 @@ class StatsSpec extends SparkSpec {
     assert(out == Map("A" -> ((200L, 4L)), "B" -> ((100L, 2L))))
   }
 
+  test("Mahalanobis: a planted joint outlier ranks first and its d2 " +
+      "replays the covariance dag exactly") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_mahala").toString
+    // six points on a loose square + one joint outlier: high value AT
+    // AN UNUSUAL TIME — each marginal alone is less extreme
+    val pts = Seq(
+      (1L, 100L, 36000L), (2L, 200L, 36100L), (3L, 100L, 36200L),
+      (4L, 200L, 36300L), (5L, 150L, 36050L), (6L, 150L, 36250L),
+      (7L, 400L, 14400L))
+    pts.map { case (id, cents, sec) =>
+      (id, java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 4, 1, 0, 0, 0).plusSeconds(sec)),
+        1L, "t", cents.toDouble / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.mahalanobis(spark, dir).orderBy("rnk").collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(1) == 7L, s"outlier not rank 1: ${out.head}")
+    // replay the moment -> covariance -> distance dag in Scala
+    val n = pts.length.toDouble
+    val sx = pts.map(_._2).sum.toDouble; val sy = pts.map(_._3).sum.toDouble
+    val sxx = pts.map(p => p._2 * p._2).sum.toDouble
+    val syy = pts.map(p => p._3 * p._3).sum.toDouble
+    val sxy = pts.map(p => p._2 * p._3).sum.toDouble
+    val mx = sx / n; val my = sy / n
+    val vxx = sxx / n - mx * mx; val vyy = syy / n - my * my
+    val vxy = sxy / n - mx * my
+    val det = vxx * vyy - vxy * vxy
+    val (dx, dy) = (400.0 - mx, 14400.0 - my)
+    val want = BigDecimal(
+      (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / det)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("d2") == want)
+  }
+
   test("cross-correlation: a planted one-day-lead corpus peaks at " +
       "lag +1 and the lag grid is two-sided") {
     import spark.implicits._
