@@ -66,6 +66,8 @@ object SparkEntry {
     "q_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
     "q_anon_sweep" -> ((s, d) => Quality.anonSweep(s, d)),
     "q_mahalanobis" -> ((s, d) => Stats.mahalanobis(s, d)),
+    "q_target_encoding" -> ((s, d) => Stats.targetEncoding(s, d)),
+    "q_woe_iv" -> ((s, d) => Stats.woeIv(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
     "q_slo_burn" -> ((s, d) => Relational.sloBurn(s, d)),
@@ -3614,6 +3616,55 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // LOO target encoding: exact brand sums, one IEEE dag per row,
+    // md5 1/16 output sample
+    "q_target_encoding" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, p.p_brand,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |b AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_c,
+        |        CAST(sum(cents) AS BIGINT) AS s_c
+        |      FROM li GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+        |        CAST(sum(s_c) AS BIGINT) AS s FROM b)
+        |SELECT l_orderkey, l_linenumber, li.p_brand, cents,
+        |  round((CAST(s_c - cents AS DOUBLE)
+        |    + 20.0 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / CAST(n_c - 1 + 20 AS DOUBLE), 6) AS enc_loo
+        |FROM li JOIN b USING (p_brand) CROSS JOIN g
+        |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |  || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'""".stripMargin,
+    // WoE/IV: integer-ratio ln differences, round-6 IV terms summed
+    // in decimal
+    "q_woe_iv" ->
+      """WITH cats AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_good,
+        |    CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_bad
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS gt,
+        |        CAST(sum(n_bad) AS BIGINT) AS bt,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM cats),
+        |terms AS (
+        |  SELECT o_orderpriority, n_good, n_bad,
+        |    round(ln(CAST((n_good + 1) * (bt + k) AS DOUBLE))
+        |      - ln(CAST((n_bad + 1) * (gt + k) AS DOUBLE)), 6) AS woe,
+        |    CAST(round((CAST(n_good + 1 AS DOUBLE) / CAST(gt + k AS DOUBLE)
+        |      - CAST(n_bad + 1 AS DOUBLE) / CAST(bt + k AS DOUBLE))
+        |      * (round(ln(CAST((n_good + 1) * (bt + k) AS DOUBLE))
+        |        - ln(CAST((n_bad + 1) * (gt + k) AS DOUBLE)), 6)), 6)
+        |      AS DECIMAL(18,6)) AS iv_term
+        |  FROM cats CROSS JOIN t),
+        |iv AS (SELECT sum(iv_term) AS ivd FROM terms)
+        |SELECT o_orderpriority, n_good, n_bad, woe,
+        |  CAST(iv_term AS DOUBLE) AS iv_term,
+        |  round(CAST(ivd AS DOUBLE), 6) AS iv
+        |FROM terms CROSS JOIN iv""".stripMargin,
     // Mahalanobis: exact decimal moments -> one IEEE covariance dag,
     // per-row d2 rounded 6, (d2 DESC, event_id) total rank
     "q_mahalanobis" ->

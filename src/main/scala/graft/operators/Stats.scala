@@ -2080,6 +2080,82 @@ object Stats {
           (col("pred") + col("all_pos")).cast("double"), 6).as("f1"))
   }
 
+  /** LEAVE-ONE-OUT TARGET ENCODING of part brand by line revenue —
+    * the feature-store categorical encoder with the leakage guard
+    * built in (a row's own target never leaks into its feature — the
+    * `q_pit_features` discipline applied to aggregation instead of
+    * time): enc_i = (S_c − x_i + m·μ)/(n_c − 1 + m) with smoothing
+    * m = 20 toward the global mean (the standard shrinkage against
+    * rare categories). Brand sums are exact decimal; the encoding is
+    * ONE IEEE dag per row against the broadcast brand frame; output
+    * is the deterministic md5 1/16 row sample (the `q_det_sample`
+    * convention — per-row encodings at corpus scale stay a sample,
+    * the model-training consumer reads the full projection).
+    */
+  def targetEncoding(spark: SparkSession, sfDir: String,
+      smoothing: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val byBrand = li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_c"), sum(col("cents")).as("s_c"))
+    val glob = byBrand.agg(sum(col("n_c")).as("n"),
+      sum(col("s_c")).as("s"))
+    li.filter(substring(md5(concat(col("l_orderkey").cast("string"),
+        lit("-"), col("l_linenumber").cast("string"))), 1, 1) === "0")
+      .join(broadcast(byBrand), "p_brand")
+      .crossJoin(broadcast(glob))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+        col("cents"),
+        round(((col("s_c") - col("cents")).cast("double")
+          + lit(smoothing.toDouble) *
+            (col("s").cast("double") / col("n").cast("double")))
+          / (col("n_c") - 1 + smoothing).cast("double"), 6)
+          .as("enc_loo"))
+  }
+
+  /** WEIGHT OF EVIDENCE + INFORMATION VALUE of order priority
+    * predicting fulfilled status — the credit-scoring feature screen
+    * (Siddiqi's IV bands: < 0.02 useless, > 0.5 suspicious): per
+    * category WoE = ln(share_good/share_bad) with +1 Laplace
+    * smoothing, expressed as a DIFFERENCE OF LNs OF EXACT INTEGERS
+    * (ln((g_c+1)·(B+K)) − ln((b_c+1)·(G+K)) — the text_kneser_ney
+    * integer-ratio discipline, no composite-double ln input), and
+    * IV = Σ (share_good − share_bad)·WoE with per-category terms
+    * rounded 6 and summed IN DECIMAL. One corpus groupBy; everything
+    * after lives on the #categories-row frame.
+    */
+  def woeIv(spark: SparkSession, sfDir: String): DataFrame = {
+    val cats = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+        .as("n_good"),
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L))
+          .as("n_bad"))
+      .localCheckpoint()
+    val tot = cats.agg(sum(col("n_good")).as("gt"),
+      sum(col("n_bad")).as("bt"), count(lit(1)).as("k"))
+    val terms = cats.crossJoin(broadcast(tot))
+      .withColumn("woe", round(
+        log(((col("n_good") + 1) * (col("bt") + col("k"))).cast("double"))
+          - log(((col("n_bad") + 1) * (col("gt") + col("k")))
+            .cast("double")), 6))
+      .withColumn("iv_term", round(
+        ((col("n_good") + 1).cast("double")
+          / (col("gt") + col("k")).cast("double")
+          - (col("n_bad") + 1).cast("double")
+            / (col("bt") + col("k")).cast("double")) * col("woe"), 6)
+        .cast(DecimalType(18, 6)))
+      .localCheckpoint()
+    val iv = terms.agg(sum(col("iv_term")).as("ivd"))
+    terms.crossJoin(broadcast(iv))
+      .select(col("o_orderpriority"), col("n_good"), col("n_bad"),
+        col("woe"), col("iv_term").cast("double").as("iv_term"),
+        round(col("ivd").cast("double"), 6).as("iv"))
+  }
+
   /** MAHALANOBIS OUTLIERS per event type over the (value,
     * time-of-day) plane — the MULTIVARIATE leg of the anomaly family
     * (`q_anomaly_zscore`/`_mad` score one dimension; a $900 purchase

@@ -986,6 +986,69 @@ class StatsSpec extends SparkSpec {
     assert(out == Map("A" -> ((200L, 4L)), "B" -> ((100L, 2L))))
   }
 
+  test("target encoding: a planted brand replays the LOO+shrinkage dag " +
+      "and a row's own target never enters its feature") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // order keys whose md5("<ok>-1") leads with '0' survive the 1/16
+    // output sample; one non-sampled row still counts in the moments
+    val sampled = Iterator.from(1)
+      .map(_.toLong).filter(ok => md5hex(s"$ok-1").startsWith("0"))
+      .take(3).toSeq
+    val unsampled = Iterator.from(1)
+      .map(_.toLong).filterNot(ok => md5hex(s"$ok-1").startsWith("0"))
+      .take(1).toSeq
+    val dir = TempDirs.create("graft_tenc").toString
+    val rows = sampled.zip(Seq(1.00, 2.00, 3.00))
+      .map { case (ok, v) => (ok, 1, 1L, v) } ++
+      unsampled.map(ok => (ok, 1, 1L, 6.00))
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "B1")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Stats.targetEncoding(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("enc_loo")).toMap
+    assert(out.keySet == sampled.toSet,
+      s"sample filter drifted: ${out.keySet} vs $sampled")
+    val sAll = 100L + 200L + 300L + 600L
+    val mu = sAll.toDouble / 4.0
+    def want(x: Long): Double = BigDecimal(
+      ((sAll - x).toDouble + 20.0 * mu) / (4 - 1 + 20).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    sampled.zip(Seq(100L, 200L, 300L)).foreach { case (ok, x) =>
+      assert(out(ok) == want(x), s"ok=$ok")
+    }
+    // leakage check: encodings differ per row because each excludes
+    // its own target — equal-target rows would collide, these don't
+    assert(out.values.toSet.size == 3)
+  }
+
+  test("WoE/IV: category recounts match, WoE replays the integer-ratio " +
+      "ln difference, and IV is the decimal term sum") {
+    val rows = Stats.woeIv(spark, sf).collect()
+    assert(rows.length == 5)
+    val o = Tables.orders(spark, sf)
+    val gt = o.filter(col("o_orderstatus") === "F").count()
+    val bt = o.filter(col("o_orderstatus") =!= "F").count()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var ivSum = BigDecimal(0)
+    rows.foreach { r =>
+      val (g, b) = (r.getLong(1), r.getLong(2))
+      val woe = r6(math.log(((g + 1) * (bt + 5)).toDouble)
+        - math.log(((b + 1) * (gt + 5)).toDouble))
+      assert(r.getAs[Double]("woe") == woe)
+      val term = r6(((g + 1).toDouble / (gt + 5) -
+        (b + 1).toDouble / (bt + 5)) * woe)
+      assert(r.getAs[Double]("iv_term") == term)
+      ivSum += BigDecimal(term)
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Double]("iv") == r6(ivSum.toDouble)))
+  }
+
   test("Mahalanobis: a planted joint outlier ranks first and its d2 " +
       "replays the covariance dag exactly") {
     import spark.implicits._
