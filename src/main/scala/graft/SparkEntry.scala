@@ -67,6 +67,7 @@ object SparkEntry {
     "q_anon_sweep" -> ((s, d) => Quality.anonSweep(s, d)),
     "q_mahalanobis" -> ((s, d) => Stats.mahalanobis(s, d)),
     "q_target_encoding" -> ((s, d) => Stats.targetEncoding(s, d)),
+    "q_ship_lag" -> ((s, d) => Stats.shipLag(s, d)),
     "q_woe_iv" -> ((s, d) => Stats.woeIv(s, d)),
     "q_interpolate" -> ((s, d) => Relational.interpolate(s, d)),
     "mm_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
@@ -3616,6 +3617,20 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // ship lag: exact integer day gaps; exact-regime KLL ==
+    // quantile_cont
+    "q_ship_lag" ->
+      """WITH lag0 AS (
+        |  SELECT o_orderpriority,
+        |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(lag) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_days,
+        |  round(quantile_cont(CAST(lag AS DOUBLE), 0.5), 6) AS p50_days,
+        |  round(quantile_cont(CAST(lag AS DOUBLE), 0.9), 6) AS p90_days
+        |FROM lag0 GROUP BY 1""".stripMargin,
     // LOO target encoding: exact brand sums, one IEEE dag per row,
     // md5 1/16 output sample
     "q_target_encoding" ->

@@ -2080,6 +2080,33 @@ object Stats {
           (col("pred") + col("all_pos")).cast("double"), 6).as("f1"))
   }
 
+  /** ORDER-TO-SHIP LAG per order priority — the supply-chain SLA
+    * readout (does URGENT actually ship faster?): per line, the
+    * integer day gap shipdate − orderdate; per priority the exact
+    * mean (decimal sums, one IEEE division rounded 6) and p50/p90
+    * via the exact-regime KLL (the `q_funnel_time` contract —
+    * quantile_cont-identical at gate SFs, mergeable ±ε beyond). One
+    * join + one partial-agg scan, O(#priorities) rows out.
+    */
+  def shipLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.KllSketch.kll_quantiles
+    val lag0 = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag"))
+    lag0.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("lag")).as("s"),
+        kll_quantiles(col("lag").cast("double"), 65536, Seq(0.5, 0.9))
+          .as("q"))
+      .select(col("o_orderpriority"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_days"),
+        round(element_at(col("q"), 1), 6).as("p50_days"),
+        round(element_at(col("q"), 2), 6).as("p90_days"))
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING of part brand by line revenue —
     * the feature-store categorical encoder with the leakage guard
     * built in (a row's own target never leaks into its feature — the
