@@ -1,12 +1,13 @@
 package graft.sources.v2
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths,
+  StandardCopyOption, StandardOpenOption}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -28,19 +29,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * single authorized attempt per partition (Spark's commit
   * coordinator) contributes a commit message; and the job-level
   * `commit` publishes atomically — temp files rename to final parts
-  * and a `_MANIFEST` lists exactly the committed files. Readers go
-  * THROUGH the manifest ([[GraftSink.readBack]]), so uncommitted or
-  * orphaned files are invisible by construction. This is the
-  * Hadoop-committer pattern restated in DSv2 terms; on a real cluster
-  * the renames are same-filesystem moves on the shared store, and at
-  * 100 TB the payoff is that task retries and speculative attempts
-  * never double-write a row (a spec injects a first-attempt writer
-  * failure and pins the output identical).
+  * and the commit point is an atomic CREATE-IF-ABSENT of the next
+  * `_MANIFEST.v<gen>` snapshot ([[GraftSink.commitAppend]]). Readers
+  * go THROUGH the newest committed snapshot ([[GraftSink.readBack]]),
+  * so uncommitted or orphaned files are invisible by construction.
+  * This is the Hadoop-committer pattern restated in DSv2 terms; on a
+  * real cluster the renames are same-filesystem moves on the shared
+  * store, and at 100 TB the payoff is that task retries and
+  * speculative attempts never double-write a row (a spec injects a
+  * first-attempt writer failure and pins the output identical).
+  *
+  * MULTI-WRITER: commits use optimistic concurrency. Each committer
+  * computes its lines against the head generation it read, then
+  * attempts the `CREATE_NEW` publish of `<head+1>`; a loser (another
+  * writer won that generation number) re-reads the new head, re-merges
+  * its append, and retries — so N concurrent append jobs serialize
+  * into N generations whose final state equals SOME serial order
+  * (appends commute; a spec interleaves two writers and pins it).
+  * Non-append commits (copy-on-write deletes) use strict
+  * compare-and-swap instead: [[GraftSink.commitReplace]] refuses to
+  * publish over a moved head, surfacing the conflict loudly.
   *
   * Rows serialize as TSV (schema-driven: long/int/string/decimal/
   * double; nulls rejected loudly — the sink's declared demo schema is
   * non-null). Free-text strings must not carry tabs/newlines; the
-  * writer enforces it per value.
+  * writer enforces it per value. Each committed file's manifest entry
+  * also carries per-column MIN/MAX for every numeric column
+  * (`name<TAB>rows<TAB>col=min..max;…`), so selective reads can prune
+  * files by zonemap before opening them ([[GraftSink.readBackWhere]]).
   */
 class GraftSinkSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -72,37 +88,34 @@ object GraftSink {
 
   val ManifestName = "_MANIFEST"
 
-  /** Read a committed sink directory back — ONLY the manifest-listed
-    * files, never a directory listing: uncommitted temps and orphans
-    * are invisible, which is the sink's visibility contract. `schema`
-    * must match what the writing job serialized (the sink is
-    * schema-driven; the default is the declared rollup schema).
-    */
-  def readBack(spark: SparkSession, path: String,
-      schema: StructType = Schema): DataFrame = {
-    val manifest = Paths.get(path, ManifestName)
-    require(Files.exists(manifest), s"no committed manifest under $path")
-    val files = Files.readAllLines(manifest).asScala
-      .filter(_.nonEmpty)
-      .map(_.split("\t")(0))
-      .map(f => Paths.get(path, f).toString)
-      .toSeq
-    // A committed empty write publishes a manifest listing no files;
-    // csv() with an empty path list errors, so honor the visibility
-    // contract with an explicitly empty frame instead.
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).option("sep", "\t").csv(files: _*)
-  }
-
-  /** Retained snapshot prefix: every commit also publishes its
-    * manifest as `_MANIFEST.v<gen>` (atomic, never rewritten), so any
-    * past committed state stays readable — TIME TRAVEL, the
-    * Delta/Iceberg snapshot contract in its smallest honest form.
+  /** Retained snapshot prefix: every commit publishes its manifest as
+    * `_MANIFEST.v<gen>` via atomic create-if-absent — the snapshot IS
+    * the commit point, is never rewritten, and any past committed
+    * state stays readable — TIME TRAVEL, the Delta/Iceberg snapshot
+    * contract in its smallest honest form.
     */
   val VersionPrefix = "_MANIFEST.v"
+
+  // strict name shape: a foreign file or crash temp whose name merely
+  // STARTS with the prefix (e.g. "_MANIFEST.vtmp") must be invisible,
+  // not a NumberFormatException that takes down commit/vacuum/reads
+  private val GenName =
+    ("^" + java.util.regex.Pattern.quote(VersionPrefix) + "(\\d+)$").r
+
+  /** Manifest lines beginning with `#` are transaction markers
+    * (`#txn<TAB><id>`), not file entries — the idempotence ledger for
+    * streaming epoch commits. Everything that treats lines as files
+    * must go through [[dataLines]].
+    */
+  private def marker(txn: String): String = s"#txn\t$txn"
+
+  private def dataLines(lines: Seq[String]): Seq[String] =
+    lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  private def fileOf(entry: String): String = entry.split("\t")(0)
+
+  private def readLines(p: Path): Seq[String] =
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
 
   /** Committed generations under `path`, ascending (1-based). */
   def versions(path: String): Seq[Int] = {
@@ -112,18 +125,63 @@ object GraftSink {
       val s = Files.list(dir)
       try s.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.startsWith(VersionPrefix))
-        .map(_.stripPrefix(VersionPrefix).toInt)
+        .flatMap { n => n match {
+          case GenName(g) => Some(g.toInt)
+          case _ => None
+        }}
         .toSeq.sorted
       finally s.close()
     }
   }
 
+  /** The committed HEAD: (generation, manifest lines) of the newest
+    * retained snapshot — the reader-side source of truth under
+    * concurrent writers (the live `_MANIFEST` is an advisory pointer
+    * refreshed after each commit, racy only cosmetically). Falls back
+    * to the legacy live manifest for pre-snapshot directories.
+    */
+  def head(path: String): (Int, Seq[String]) =
+    versions(path).lastOption match {
+      case Some(g) => (g, readLines(Paths.get(path, s"$VersionPrefix$g")))
+      case None =>
+        val live = Paths.get(path, ManifestName)
+        if (Files.exists(live)) (0, readLines(live)) else (0, Seq.empty)
+    }
+
+  private def readFiles(spark: SparkSession, path: String,
+      files: Seq[String], schema: StructType): DataFrame =
+    // A committed empty write publishes a manifest listing no files;
+    // csv() with an empty path list errors, so honor the visibility
+    // contract with an explicitly empty frame instead.
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).option("sep", "\t")
+        .csv(files.map(f => Paths.get(path, f).toString): _*)
+
+  /** Read a committed sink directory back — ONLY the files listed by
+    * the head snapshot, never a directory listing: uncommitted temps
+    * and orphans are invisible, which is the sink's visibility
+    * contract. `schema` must match what the writing job serialized
+    * (the sink is schema-driven; the default is the declared rollup
+    * schema).
+    */
+  def readBack(spark: SparkSession, path: String,
+      schema: StructType = Schema): DataFrame = {
+    val (gen, lines) = head(path)
+    require(gen > 0 || lines.nonEmpty || Files.exists(
+        Paths.get(path, ManifestName)),
+      s"no committed manifest under $path")
+    readFiles(spark, path, dataLines(lines).map(fileOf), schema)
+  }
+
   /** Read the sink AS OF a committed generation — the same
     * manifest-scoped visibility as [[readBack]], keyed on the
-    * retained `_MANIFEST.v<gen>` snapshot instead of the live
-    * manifest. Later appends never mutate an existing snapshot, so
-    * an AS-OF read is repeatable forever.
+    * retained `_MANIFEST.v<gen>` snapshot instead of the head.
+    * Later appends never mutate an existing snapshot, so an AS-OF
+    * read is repeatable forever (until retention expires it, which
+    * fails loudly here instead of answering wrong).
     */
   def readBackAsOf(spark: SparkSession, path: String, version: Int,
       schema: StructType = Schema): DataFrame = {
@@ -131,27 +189,224 @@ object GraftSink {
     require(Files.exists(manifest),
       s"no committed generation $version under $path " +
         s"(have: ${versions(path).mkString(",")})")
-    val files = Files.readAllLines(manifest).asScala
-      .filter(_.nonEmpty)
-      .map(_.split("\t")(0))
-      .map(f => Paths.get(path, f).toString)
-      .toSeq
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).option("sep", "\t").csv(files: _*)
+    readFiles(spark, path,
+      dataLines(readLines(manifest)).map(fileOf), schema)
   }
 
-  /** VACUUM: delete files the live manifest does not reference
-    * (crash temps, aborted parts, foreign strays) and EXPIRE
-    * generation snapshots beyond the newest `keepGenerations` —
-    * the lakehouse maintenance twin of time travel. Manifests are
-    * merge-on-append, so the live list is a superset of every
-    * generation's list: vacuum can never orphan an as-of read that
-    * is still within retention (expired generations fail loudly at
-    * read time instead). Single concurrent writer per directory —
-    * the sink's standing contract. Returns
+  // ------------------------------------------------------------------
+  // Optimistic-concurrency commit protocol
+  // ------------------------------------------------------------------
+
+  /** Test hook: runs ONCE immediately before the next snapshot
+    * publish attempt — a spec uses it to interleave a competing
+    * writer's full commit between a committer's head read and its
+    * CREATE_NEW, forcing the lose-and-retry path deterministically.
+    */
+  val beforePublish =
+    new java.util.concurrent.atomic.AtomicReference[Runnable](null)
+
+  /** Atomic create-if-absent of `_MANIFEST.v<gen>` — THE commit
+    * point. Exactly one concurrent committer can win a generation
+    * number; everyone else observes `FileAlreadyExistsException` and
+    * decides (retry for commutative appends, abort for replaces).
+    */
+  private def publish(path: String, gen: Int, lines: Seq[String])
+      : Boolean = {
+    val h = beforePublish.getAndSet(null)
+    if (h != null) h.run()
+    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    try {
+      Files.write(Paths.get(path, s"$VersionPrefix$gen"), bytes,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      true
+    } catch { case _: FileAlreadyExistsException => false }
+  }
+
+  /** Refresh the advisory live `_MANIFEST` pointer to the newest
+    * snapshot's bytes (atomic temp+rename). Two racing refreshers can
+    * momentarily leave it one generation stale — harmless, because
+    * every reader and committer resolves through [[head]]; the
+    * pointer exists for humans and legacy pre-snapshot dirs.
+    */
+  private def refreshLive(path: String): Unit =
+    versions(path).lastOption.foreach { g =>
+      val bytes = Files.readAllBytes(Paths.get(path, s"$VersionPrefix$g"))
+      val tmp = Paths.get(path,
+        s".$ManifestName-refresh-${java.util.UUID.randomUUID().toString.substring(0, 8)}")
+      Files.write(tmp, bytes)
+      Files.move(tmp, Paths.get(path, ManifestName),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** APPEND-commit `entries` (manifest data lines for already-renamed
+    * final part files) on top of whatever head exists at publish
+    * time, retrying on contention — appends commute, so the final
+    * state equals a serial order regardless of interleaving.
+    *
+    * `txn` is an idempotency key: the commit also writes a
+    * `#txn<TAB>id` marker line, and a later commit carrying an id the
+    * head already holds is SKIPPED (returns -1) — exactly-once for
+    * streaming epoch replays.
+    *
+    * Returns the committed generation, or -1 for an idempotent skip.
+    */
+  def commitAppend(path: String, entries: Seq[String],
+      txn: Option[String] = None): Int = {
+    Files.createDirectories(Paths.get(path))
+    var attempts = 0
+    var out = Int.MinValue
+    while (out == Int.MinValue) {
+      val (parent, lines0) = head(path)
+      if (txn.exists(t => lines0.contains(marker(t)))) out = -1
+      else {
+        val lines = (lines0 ++ entries ++ txn.map(marker)).sorted
+        if (publish(path, parent + 1, lines)) {
+          refreshLive(path)
+          out = parent + 1
+        } else {
+          attempts += 1
+          require(attempts < 256,
+            s"sink commit contention not resolving under $path")
+        }
+      }
+    }
+    out
+  }
+
+  /** REPLACE-commit: publish `lines` as the complete next manifest,
+    * but ONLY if the head is still `expectedParent` — strict
+    * compare-and-swap for non-commutative commits (copy-on-write
+    * deletes, compactions). A moved head means the files this commit
+    * was computed from are no longer the live set; retrying blindly
+    * could resurrect deleted rows, so the conflict surfaces loudly
+    * and the caller recomputes.
+    */
+  def commitReplace(path: String, lines: Seq[String],
+      expectedParent: Int): Int = {
+    val gen = expectedParent + 1
+    if (!publish(path, gen, lines.sorted))
+      throw new java.util.ConcurrentModificationException(
+        s"generation $gen was committed concurrently under $path; " +
+          "recompute the replace against the new head")
+    refreshLive(path)
+    gen
+  }
+
+  // ------------------------------------------------------------------
+  // Per-file column statistics → zonemap-pruned reads
+  // ------------------------------------------------------------------
+
+  /** Parse a manifest data entry's stats segment
+    * (`col=min..max;col=min..max`) — empty for zero-row files,
+    * absent entirely for pre-stats manifests (both mean "no pruning
+    * information: must read the file").
+    */
+  def statsOf(entry: String): Map[String, (BigDecimal, BigDecimal)] = {
+    val parts = entry.split("\t")
+    if (parts.length < 3 || parts(2).isEmpty) Map.empty
+    else parts(2).split(";").iterator.map { kv =>
+      val eq = kv.indexOf('=')
+      val range = kv.substring(eq + 1)
+      val dd = range.indexOf("..")
+      (kv.substring(0, eq),
+        (BigDecimal(range.substring(0, dd)),
+          BigDecimal(range.substring(dd + 2))))
+    }.toMap
+  }
+
+  /** Zonemap file pruning: (files whose `[min,max]` for `column`
+    * overlaps `[lo,hi]` — plus files carrying no stats, which must be
+    * read —, total files listed). The head manifest is the only thing
+    * opened; at 100 TB this is the difference between touching every
+    * part and touching the handful a selective predicate can hit.
+    */
+  def filesFor(path: String, column: String, lo: BigDecimal,
+      hi: BigDecimal): (Seq[String], Int) = {
+    val entries = dataLines(head(path)._2)
+    val kept = entries.filter { e =>
+      statsOf(e).get(column) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => true
+      }
+    }.map(fileOf)
+    (kept, entries.size)
+  }
+
+  /** Read only the files a `column BETWEEN lo AND hi` predicate can
+    * touch (manifest zonemap pruning), then apply the predicate
+    * exactly — content-identical to filtering the full read-back, a
+    * fraction of the IO when the layout is range-clustered on
+    * `column` (write with `repartitionByRange` to get that).
+    */
+  def readBackWhere(spark: SparkSession, path: String, column: String,
+      lo: BigDecimal, hi: BigDecimal,
+      schema: StructType = Schema): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (files, _) = filesFor(path, column, lo, hi)
+    val dt = schema(column).dataType
+    readFiles(spark, path, files, schema)
+      .filter(col(column) >= lit(lo.underlying).cast(dt)
+        && col(column) <= lit(hi.underlying).cast(dt))
+  }
+
+  // ------------------------------------------------------------------
+  // Row-level delete (copy-on-write)
+  // ------------------------------------------------------------------
+
+  /** ROW-LEVEL DELETE, copy-on-write: files containing matches are
+    * rewritten without the matching rows (through the sink's own
+    * serializer, so stats/format stay uniform); untouched files are
+    * carried over by reference; the swap commits as ONE
+    * compare-and-swap generation ([[commitReplace]]) — so time travel
+    * still serves every pre-delete snapshot, and retention expiry +
+    * [[vacuum]] later reclaims the replaced files once no retained
+    * generation references them. The per-file match count is a
+    * bounded driver read (one row per live data file).
+    *
+    * Returns (rows deleted, files rewritten, committed generation —
+    * unchanged head when nothing matched).
+    */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+      schema: StructType = Schema): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val (parent, lines) = head(path)
+    val entries = dataLines(lines)
+    if (entries.isEmpty) return (0L, 0, parent)
+    val df = readFiles(spark, path, entries.map(fileOf), schema)
+      .withColumn("__file", col("_metadata.file_name"))
+    val hits = df.groupBy("__file")
+      .agg(sum(when(pred, lit(1L)).otherwise(lit(0L))).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affected = entries.map(fileOf).filter(f => hits.getOrElse(f, 0L) > 0L)
+    val deleted = affected.map(hits).sum
+    if (deleted == 0L) return (0L, 0, parent)
+    // survivors of ONLY the affected files rewrite through a side-dir
+    // sink append (same TSV serializer, same stats), then move in
+    // under their job-unique part names
+    val side = graft.TempDirs.create("graft_sink_cow").toString
+    df.filter(col("__file").isin(affected: _*) && !pred).drop("__file")
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", side).mode("append").save()
+    val sideEntries = dataLines(head(side)._2)
+    sideEntries.foreach { e =>
+      Files.move(Paths.get(side, fileOf(e)), Paths.get(path, fileOf(e)),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val affectedSet = affected.toSet
+    val newLines = lines.filterNot(l => affectedSet(fileOf(l))) ++ sideEntries
+    (deleted, affected.size, commitReplace(path, newLines, parent))
+  }
+
+  /** VACUUM: delete files NO RETAINED generation references (crash
+    * temps, aborted parts, foreign strays, and — after a row-level
+    * delete — replaced pre-delete files once their snapshots expire)
+    * and EXPIRE generation snapshots beyond the newest
+    * `keepGenerations`. The referenced set is the UNION over every
+    * retained snapshot's file list — with copy-on-write deletes the
+    * head is no longer a superset of older generations, so vacuum
+    * must protect everything any surviving as-of read can ask for
+    * (expired generations fail loudly at read time instead). Returns
     * (data files deleted, generation manifests expired).
     */
   def vacuum(path: String, keepGenerations: Int = Int.MaxValue)
@@ -164,12 +419,17 @@ object GraftSink {
     require(keepGenerations >= 1,
       s"keepGenerations must be >= 1, got $keepGenerations")
     val dir = Paths.get(path)
+    val vs = versions(path)
     val live = Paths.get(path, ManifestName)
-    require(Files.exists(live), s"no committed manifest under $path")
-    val referenced = Files.readAllLines(live).asScala
-      .filter(_.nonEmpty).map(_.split("\t")(0)).toSet
-    val expire = versions(path).dropRight(keepGenerations).toSet
-    val GenName = (VersionPrefix.replace(".", "\\.") + "(\\d+)").r
+    require(vs.nonEmpty || Files.exists(live),
+      s"no committed manifest under $path")
+    val expire = vs.dropRight(keepGenerations).toSet
+    val retained = vs.filterNot(expire)
+    val referenced: Set[String] =
+      (if (retained.nonEmpty)
+        retained.flatMap(g =>
+          dataLines(readLines(Paths.get(path, s"$VersionPrefix$g"))))
+      else dataLines(readLines(live))).map(fileOf).toSet
     var dataDeleted = 0
     var manifestsExpired = 0
     val s = Files.list(dir)
@@ -183,6 +443,7 @@ object GraftSink {
         case _ => ()
       }
     } finally s.close()
+    refreshLive(path)
     (dataDeleted, manifestsExpired)
   }
 
@@ -204,23 +465,25 @@ class GraftSinkTable(schema: StructType, path: String)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftSinkBatchWrite(info.schema(), path)
+          new GraftSinkBatchWrite(info.schema(), path,
+            Option(info.options().get("txn")))
       }
     }
 }
 
 /** Job-level commit: rename every task's temp to its job-unique
-  * final part name, then publish the manifest by writing a temp file
-  * and ATOMIC_MOVE-ing it into place — readers key off the manifest,
-  * so the commit really is all-or-nothing at that one rename (a
-  * driver crash mid-publish leaves either the old manifest or the
-  * new one, never a truncated half). Part names carry a per-job tag,
-  * so a second append job can never clobber an earlier job's parts,
-  * and the new manifest lists old + new files (single concurrent
-  * writer per directory — the usual non-catalog table contract).
+  * final part name, then publish through the optimistic-concurrency
+  * snapshot protocol ([[GraftSink.commitAppend]] — atomic
+  * create-if-absent of the next generation, lose-and-retry on
+  * contention). Part names carry a per-job tag, so a second append
+  * job can never clobber an earlier job's parts, and concurrent
+  * append jobs serialize into consecutive generations. An optional
+  * `txn` write option makes the whole job commit idempotent
+  * (streaming epoch replays publish nothing the second time — their
+  * already-renamed parts are deleted on the skip).
   */
-class GraftSinkBatchWrite(schema: StructType, path: String)
-    extends BatchWrite {
+class GraftSinkBatchWrite(schema: StructType, path: String,
+    txn: Option[String]) extends BatchWrite {
   Files.createDirectories(Paths.get(path))
 
   private val jobTag =
@@ -235,32 +498,13 @@ class GraftSinkBatchWrite(schema: StructType, path: String)
       Files.move(Paths.get(path, m.tmpName), Paths.get(path, m.finalName),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    val manifest = Paths.get(path, GraftSink.ManifestName)
-    val existing =
-      if (Files.exists(manifest))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifest)).asScala.filter(_.nonEmpty).toSeq
-      else Seq.empty[String]
-    val lines = (existing ++ msgs.map(m => s"${m.finalName}\t${m.rows}"))
-      .sorted
-    // flip the LIVE manifest first, then publish the retained
-    // generation snapshot (atomic, never rewritten — the time-travel
-    // contract): a crash between the two loses that one snapshot
-    // while live readers see a normal commit, so an EXISTING snapshot
-    // can never list files the live manifest does not — the invariant
-    // vacuum's "never orphan a retained as-of read" rests on. (The
-    // reverse order would let a crashed job publish a phantom
-    // "committed" generation whose files vacuum later deletes.)
-    val gen = GraftSink.versions(path).lastOption.getOrElse(0) + 1
-    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    val tmpManifest = Paths.get(path, s".${GraftSink.ManifestName}-$jobTag")
-    Files.write(tmpManifest, bytes)
-    Files.move(tmpManifest, manifest, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val tmpVer = Paths.get(path, s".${GraftSink.VersionPrefix}$gen-$jobTag")
-    Files.write(tmpVer, bytes)
-    Files.move(tmpVer, Paths.get(path, s"${GraftSink.VersionPrefix}$gen"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val entries = msgs.map(m => s"${m.finalName}\t${m.rows}\t${m.stats}")
+    val gen = GraftSink.commitAppend(path, entries.toSeq, txn)
+    // idempotent replay (txn already committed): this attempt's parts
+    // were never published — remove them now rather than waiting for
+    // vacuum
+    if (gen < 0)
+      msgs.foreach(m => Files.deleteIfExists(Paths.get(path, m.finalName)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -268,8 +512,8 @@ class GraftSinkBatchWrite(schema: StructType, path: String)
       .foreach(m => Files.deleteIfExists(Paths.get(path, m.tmpName)))
 }
 
-case class GraftSinkCommit(tmpName: String, finalName: String, rows: Long)
-    extends WriterCommitMessage
+case class GraftSinkCommit(tmpName: String, finalName: String, rows: Long,
+    stats: String) extends WriterCommitMessage
 
 class GraftSinkWriterFactory(schema: StructType, path: String,
     jobTag: String) extends DataWriterFactory {
@@ -315,6 +559,25 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
       }
     }
 
+  // numeric accessors for the per-file min/max zonemap (null slot =
+  // non-numeric column, no stats tracked)
+  private val numOf: Array[InternalRow => java.math.BigDecimal] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType => (r: InternalRow) =>
+          java.math.BigDecimal.valueOf(r.getLong(i))
+        case IntegerType => (r: InternalRow) =>
+          java.math.BigDecimal.valueOf(r.getInt(i).toLong)
+        case DoubleType => (r: InternalRow) =>
+          java.math.BigDecimal.valueOf(r.getDouble(i))
+        case d: DecimalType => (r: InternalRow) =>
+          r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+        case _ => null
+      }
+    }
+  private val mins = new Array[java.math.BigDecimal](schema.fields.length)
+  private val maxs = new Array[java.math.BigDecimal](schema.fields.length)
+
   override def write(row: InternalRow): Unit = {
     if (GraftSink.failFirstAttempt.get() && partitionId == 0 && rows == 1
         && org.apache.spark.TaskContext.get() != null
@@ -326,6 +589,11 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
     while (i < fieldOf.length) {
       if (i > 0) sb.append('\t')
       sb.append(fieldOf(i)(row))
+      if (numOf(i) != null) {
+        val v = numOf(i)(row)
+        if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v
+        if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v
+      }
       i += 1
     }
     sb.append('\n')
@@ -335,7 +603,13 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftSinkCommit(tmpName, f"part-$jobTag-$partitionId%05d.tsv", rows)
+    val stats = schema.fields.indices.iterator
+      .filter(i => mins(i) != null)
+      .map(i => s"${schema.fields(i).name}=" +
+        s"${mins(i).toPlainString}..${maxs(i).toPlainString}")
+      .mkString(";")
+    GraftSinkCommit(tmpName, f"part-$jobTag-$partitionId%05d.tsv", rows,
+      stats)
   }
 
   override def abort(): Unit = {

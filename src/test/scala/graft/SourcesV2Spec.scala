@@ -272,4 +272,194 @@ class SourcesV2Spec extends SparkSpec {
       GraftSink.vacuum(dir, keepGenerations = 0)
     }
   }
+
+  test("dsv2 sink concurrency: a writer losing the generation race " +
+      "retries and merges — final state equals the serialized order") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_race").toString
+    val g0 = GraftSink.commitAppend(dir, Seq("part-base-00000.tsv\t1"))
+    assert(g0 == 1)
+    // interleave: writer B commits COMPLETELY between writer A's head
+    // read and A's CREATE_NEW publish attempt — the classic
+    // lost-update window, forced deterministically via the hook
+    GraftSink.beforePublish.set(() =>
+      GraftSink.commitAppend(dir, Seq("part-b-00000.tsv\t2")))
+    val gA = GraftSink.commitAppend(dir, Seq("part-a-00000.tsv\t3"))
+    // B stole generation 2; A lost, re-read B's head, and won 3
+    assert(gA == 3, s"loser should retry into generation 3, got $gA")
+    assert(GraftSink.versions(dir) == Seq(1, 2, 3))
+    val headFiles = GraftSink.head(dir)._2.map(_.split("\t")(0))
+    assert(headFiles.sorted ==
+      Seq("part-a-00000.tsv", "part-b-00000.tsv", "part-base-00000.tsv"),
+      s"merged head lost an append: $headFiles")
+    // B's intermediate snapshot shows exactly the serialized prefix
+    assert(GraftSink.head(dir)._1 == 3)
+  }
+
+  test("dsv2 sink concurrency: N threads' appends all serialize — " +
+      "every entry exactly once, generations strictly append-only") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_stress").toString
+    val threads = 8
+    val perThread = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          (0 until perThread).foreach { i =>
+            GraftSink.commitAppend(dir, Seq(f"part-t$t-$i%03d.tsv\t1"))
+          }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val total = threads * perThread
+    assert(GraftSink.versions(dir) == (1 to total),
+      "every commit must win exactly one generation")
+    val head = GraftSink.head(dir)._2.map(_.split("\t")(0))
+    assert(head.size == total && head.distinct.size == total,
+      s"head must list each of the $total appends exactly once")
+    // append-only monotonicity: every generation's files are a subset
+    // of its successor's
+    import scala.jdk.CollectionConverters._
+    val gens = GraftSink.versions(dir).map(v =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(dir,
+        s"${GraftSink.VersionPrefix}$v")).asScala
+        .filter(_.nonEmpty).map(_.split("\t")(0)).toSet)
+    gens.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "a later generation dropped an earlier file")
+    case _ => () }
+  }
+
+  test("dsv2 sink concurrency: a replace commit over a moved head " +
+      "fails loudly instead of resurrecting deleted rows") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_cas").toString
+    val parent = GraftSink.commitAppend(dir, Seq("part-x-00000.tsv\t1"))
+    // the head moves after the replacer computed its new manifest
+    GraftSink.commitAppend(dir, Seq("part-y-00000.tsv\t1"))
+    intercept[java.util.ConcurrentModificationException] {
+      GraftSink.commitReplace(dir, Seq("part-z-00000.tsv\t1"), parent)
+    }
+    // nothing was published by the failed replace
+    assert(GraftSink.head(dir)._2.map(_.split("\t")(0)).sorted ==
+      Seq("part-x-00000.tsv", "part-y-00000.tsv"))
+  }
+
+  test("dsv2 sink txn: a replayed epoch commit is skipped — " +
+      "exactly-once under duplicate delivery, parts cleaned up") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_txn").toString
+    def write(rows: Seq[(Long, Long)], txn: String): Unit =
+      rows.toDF("doc_id", "n_chars")
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).option("txn", txn).mode("append").save()
+    write(Seq((1L, 10L)), "epoch-0")
+    write(Seq((2L, 20L)), "epoch-1")
+    // duplicate delivery of epoch-1 (a restarted stream replaying its
+    // last batch): the commit must publish NOTHING new
+    val before = GraftSink.head(dir)
+    write(Seq((2L, 20L)), "epoch-1")
+    assert(GraftSink.head(dir) == before,
+      "replayed txn advanced the head")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == Seq((1L, 10L), (2L, 20L)))
+    // the replay's orphaned parts were removed, not left for vacuum
+    val strays = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("part-") &&
+        !GraftSink.head(dir)._2.exists(_.startsWith(n)))
+    assert(strays.isEmpty, s"replay left orphaned parts: ${strays.toSeq}")
+    // direct API agrees: same txn → -1, new txn → next generation
+    assert(GraftSink.commitAppend(dir, Seq("part-dup.tsv\t1"),
+      Some("epoch-1")) == -1)
+    assert(GraftSink.commitAppend(dir, Nil, Some("epoch-2")) == 3)
+  }
+
+  test("dsv2 sink zonemap: a range-clustered layout prunes files by " +
+      "manifest stats — fewer files opened, identical content") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_zm").toString
+    (1L to 400L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val (kept, total) = GraftSink.filesFor(dir, "doc_id",
+      BigDecimal(30), BigDecimal(70))
+    assert(total == 8, s"expected 8 range files, listed $total")
+    assert(kept.size < total,
+      s"zonemap pruned nothing: ${kept.size} of $total files kept")
+    val pruned = GraftSink.readBackWhere(spark, dir, "doc_id",
+      BigDecimal(30), BigDecimal(70), schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(pruned == (30L to 70L).map(i => (i, i * 10L)),
+      "pruned read lost or invented rows")
+    // stats honesty: every file's manifest min/max brackets its rows
+    val byFile = spark.read.schema(schema).option("sep", "\t")
+      .csv(new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath): _*)
+      .withColumn("f", col("_metadata.file_name"))
+      .groupBy("f").agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    GraftSink.head(dir)._2.filterNot(_.startsWith("#")).foreach { e =>
+      val f = e.split("\t")(0)
+      val st = GraftSink.statsOf(e)("doc_id")
+      assert(st == ((BigDecimal(byFile(f)._1), BigDecimal(byFile(f)._2))),
+        s"manifest stats for $f disagree with file content")
+    }
+  }
+
+  test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
+      "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_del").toString
+    // two range-disjoint files: ids 1..50 and 51..100
+    (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartitionByRange(2, col("doc_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val preGen = GraftSink.versions(dir).max
+    val preFiles = GraftSink.head(dir)._2.map(_.split("\t")(0)).toSet
+    // the predicate only hits the low file — the high file must be
+    // carried over BY REFERENCE, not rewritten
+    val (deleted, rewritten, gen) =
+      GraftSink.deleteWhere(spark, dir, col("doc_id") <= 25L, schema)
+    assert(deleted == 25L && rewritten == 1 && gen == preGen + 1,
+      s"got (deleted=$deleted, rewritten=$rewritten, gen=$gen)")
+    val postFiles = GraftSink.head(dir)._2.map(_.split("\t")(0)).toSet
+    assert((preFiles intersect postFiles).size == 1,
+      "the unmatched file should survive by reference")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq == (26L to 100L),
+      "live read must exclude exactly the deleted rows")
+    // time travel: the pre-delete generation still serves everything
+    assert(GraftSink.readBackAsOf(spark, dir, preGen, schema).count() == 100)
+    // a delete matching nothing commits nothing
+    assert(GraftSink.deleteWhere(spark, dir, col("doc_id") < 0L, schema)
+      == ((0L, 0, gen)))
+    // retention expiry + vacuum reclaims the replaced pre-delete file
+    val replaced = (preFiles -- postFiles).head
+    assert(Files.exists(Paths.get(dir, replaced)),
+      "replaced file must survive while its snapshot is retained")
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    assert(!Files.exists(Paths.get(dir, replaced)),
+      "vacuum must reclaim the replaced file once its snapshot expired")
+    intercept[IllegalArgumentException] {
+      GraftSink.readBackAsOf(spark, dir, preGen, schema)
+    }
+    assert(GraftSink.readBack(spark, dir, schema).count() == 75)
+  }
 }
