@@ -60,6 +60,8 @@ object SparkEntry {
     "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
     "q_cross_corr" -> ((s, d) => Stats.crossCorr(s, d)),
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
+    "q_sink_skip" -> ((s, d) => sources.Formats.sinkSkipRollup(s, d)),
+    "q_sink_delete" -> ((s, d) => sources.Formats.sinkDeleteReport(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
@@ -523,6 +525,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.curateFromFiles(s, d)),
     "stream_restart" ->
       ((s, d) => graft.streaming.EventStreams.dedupRestartFromFiles(s, d)),
+    "stream_graft_sink" ->
+      ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
     "stream_merge" ->
       ((s, d) => graft.streaming.EventStreams.mergeStreamFromFiles(s, d)),
     "q_partition_prune" ->
@@ -1819,6 +1823,32 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+    // zonemap-pruned sink read: pruning by manifest min/max must be
+    // content-invisible — the rollup over the kept files equals the
+    // same selective rollup computed at the source (bottom eighth of
+    // the user-id span; both spans non-negative so DIV ≡ //)
+    "q_sink_skip" ->
+      """WITH b AS (SELECT min(user_id) AS lo,
+        |    min(user_id) + (max(user_id) - min(user_id)) // 8 AS hi
+        |  FROM events),
+        |r AS (SELECT user_id, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value
+        |FROM r, b WHERE user_id BETWEEN lo AND hi""".stripMargin,
+    // copy-on-write delete: 'before' = the pre-delete snapshot served
+    // as-of (time travel must survive the delete), 'after' = the live
+    // head minus every doc_id % 3 = 0 row
+    "q_sink_delete" ->
+      """SELECT 'before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'after', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
     // PR curve: lift's decile bucketing, suffix sums over the 10-row
     // frame, integer F1 identity 2*TP/(pred + all_pos)
     "q_pr_curve" -> {
@@ -2338,6 +2368,13 @@ object SparkEntry {
     // add nothing for a duplicate corpus copy, so the manifest-read
     // sink equals the single-copy table (stream_dedup's oracle)
     "stream_restart" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  user_id, event_type, value
+        |FROM events""".stripMargin,
+    // exactly-once into the custom DSv2 sink: recovery emits nothing
+    // new AND a replayed epoch's txn commit publishes nothing — any
+    // double shows up as extra rows against the single-copy table
+    "stream_graft_sink" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  user_id, event_type, value
         |FROM events""".stripMargin,

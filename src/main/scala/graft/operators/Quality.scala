@@ -329,6 +329,10 @@ object Quality {
       .crossJoin(broadcast(tot))
       .select(col("k"), col("n_classes"), col("n_violating"),
         col("n_suppressed"),
+        // half-up integer division: numerator is non-negative by
+        // construction (suppressed counts ≥ 0) — the precondition the
+        // shared idiom requires (see Relational.interpolate's
+        // PRECONDITION note on Spark div vs DuckDB //)
         expr("(2 * (n_suppressed * 1000000) + n_total) div (2 * n_total)")
           .as("suppressed_micro"))
   }

@@ -1174,7 +1174,15 @@ object Relational {
       // whenever the gap length divides the cent delta (the
       // text_kneser_ney straddle class, pre-empted): micro =
       // (pv + (nv−pv)·k/n)·100 = ((pv·n + Δ·k)·100 + n/2)/n, all
-      // exact BIGINT
+      // exact BIGINT.
+      // PRECONDITION (shared by every (2a+n) div (2n) site — also
+      // sloBurn and Quality.anonSweep): the numerator must be
+      // NON-NEGATIVE. Spark's `div` truncates toward zero while
+      // DuckDB's `//` floors, so a negative numerator (e.g. a
+      // refund-valued purchase making a daily cents sum negative)
+      // would diverge from the oracle by one micro-unit. Gate data is
+      // strictly positive; a dataset with refunds needs the floor-safe
+      // pmod formulation in BOTH engines before this gate can hold.
       .select(col("user_id"), col("day"),
         when(col("cents").isNotNull, col("cents") * 100)
           .otherwise(expr(
@@ -2233,6 +2241,9 @@ object Relational {
       .withColumn("e6", sum(col("errs")).over(w6))
       .select(date_format(col("hour"), TsFmt).as("hour"),
         col("n"), col("errs"),
+        // half-up integer division: numerator is non-negative by
+        // construction (error counts ≥ 0) — the precondition the
+        // shared idiom requires (see interpolate's PRECONDITION note)
         when(col("n") > 0,
           expr("(2 * (20 * errs * 1000000) + n) div (2 * n)"))
           .otherwise(0L).as("burn1h_micro"),

@@ -558,4 +558,76 @@ object Formats {
     graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
       .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
   }
+
+  /** ZONEMAP-PRUNED sink read (`q_sink_skip`): the per-user rollup
+    * lands in the sink RANGE-CLUSTERED on `user_id`
+    * (`repartitionByRange`, so each part file owns a disjoint id
+    * range and its manifest min/max stats are tight), then a
+    * selective read of the bottom eighth of the id span goes through
+    * [[graft.sources.v2.GraftSink.readBackWhere]] — the manifest
+    * zonemap keeps only the files the predicate can touch BEFORE any
+    * file opens. The hash gate proves pruning changed nothing
+    * (content ≡ filtering the full read-back, recomputed by the
+    * oracle from the source); the files-opened < files-listed
+    * invariant is spec-pinned. At 100 TB this is the sink-native form
+    * of `q_zonemap_skip`: data skipping priced at one manifest read.
+    */
+  def sinkSkipRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
+    val dir = graft.TempDirs.create("graft_sink_skip").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+      .repartitionByRange(8, col("user_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n", LongType),
+      StructField("sum_value", DecimalType(18, 2))))
+    // ONE bounded 1-row driver read fixes the deterministic selective
+    // range: the bottom eighth of the id span (both spans are
+    // non-negative, so Spark DIV ≡ DuckDB //)
+    val b = ev.agg(min(col("user_id")).as("lo"),
+      (min(col("user_id"))
+        + expr("(max(user_id) - min(user_id)) DIV 8")).as("hi"))
+      .collect()(0)
+    graft.sources.v2.GraftSink.readBackWhere(spark, dir, "user_id",
+        BigDecimal(b.getLong(0)), BigDecimal(b.getLong(1)), schema)
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("total_value"))
+  }
+
+  /** ROW-LEVEL DELETE on the sink (`q_sink_delete`): the two-
+    * generation document store from `q_time_travel`'s scaffold, then
+    * [[graft.sources.v2.GraftSink.deleteWhere]] erases every
+    * `doc_id % 3 = 0` row copy-on-write — only files containing
+    * matches rewrite (through the sink's own serializer), untouched
+    * files carry over by reference, and the swap commits as one
+    * compare-and-swap generation. The answer reads BOTH sides of the
+    * delete: the pre-delete snapshot AS OF its generation (time
+    * travel must still serve it bit-for-bit) and the live post-delete
+    * head — one SQL recomputes both from the source and the delete
+    * rule, so a resurrection, an over-delete, or a damaged snapshot
+    * all hash-fail. This is `q_gdpr_delete`'s erasure report turned
+    * into a COMMITTED erasure of a sink table.
+    */
+  def sinkDeleteReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_delete")
+    val preGen = graft.sources.v2.GraftSink.versions(dir).max
+    graft.sources.v2.GraftSink.deleteWhere(spark, dir,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    def roll(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("sum_chars"))
+    roll(graft.sources.v2.GraftSink.readBackAsOf(spark, dir, preGen,
+      TwoGenSchema), "before")
+      .unionByName(roll(graft.sources.v2.GraftSink.readBack(spark, dir,
+        TwoGenSchema), "after"))
+  }
 }

@@ -873,6 +873,85 @@ object EventStreams {
           col("user_id"), col("event_type"), col("value"))
     }
 
+  /** Streaming dedup EXACTLY-ONCE into the custom DSv2 GraftSink
+    * (`stream_graft_sink`) — `stream_restart`'s recovery gate
+    * retargeted at the sink's own generation-commit protocol instead
+    * of Spark's built-in parquet sink. Each micro-batch commits
+    * through `foreachBatch` with a per-epoch `txn` idempotency key:
+    * the sink's manifest ledger skips a replayed epoch wholesale, so
+    * at-least-once batch delivery becomes exactly-once visibility.
+    * The key exercises all three legs: (1) run 1 streams the corpus
+    * into the sink and stops; (2) a full duplicate copy lands and a
+    * restarted query over the same checkpoint recovers state and
+    * emits nothing new; (3) a DUPLICATE DELIVERY of epoch 0 is then
+    * fired straight at the sink with epoch 0's txn id — the ledger
+    * must publish nothing, or the read-back doubles and the hash
+    * gate fails. The answer is the manifest-scoped read-back, gated
+    * against the single-copy batch oracle (stream_dedup's SQL).
+    */
+  def dedupToGraftSink(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      val path = s"$sfDir/events.parquet"
+      val raw = spark.read.parquet(path)
+      val feed = graft.TempDirs.create("graft_stream_gsink_src")
+      val ckpt = graft.TempDirs.create("graft_stream_gsink_ckpt")
+      val out = graft.TempDirs.create("graft_stream_gsink_out").toString
+      def events = {
+        val s0 = spark.readStream.schema(raw.schema).parquet(feed.toString)
+        raw.schema("ts").dataType match {
+          case LongType => s0.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")))
+          case _ => s0
+        }
+      }
+      // TSV-serializable shape: the event-time formats to a string,
+      // doubles round-trip exactly (Double.toString ∘ parseDouble = id)
+      def shape(df: DataFrame): DataFrame = df.select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id", LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def runOnce(): Unit = {
+        val q = dedupStream(events).writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            shape(batch).write.format("graft.sources.v2.GraftSinkSource")
+              .option("path", out).option("txn", s"epoch-$id")
+              .mode("append").save()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      java.nio.file.Files.createSymbolicLink(
+        feed.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
+      runOnce()
+      // the duplicate copy lands only AFTER the restart boundary
+      java.nio.file.Files.createSymbolicLink(
+        feed.resolve("events_b.parquet"), java.nio.file.Paths.get(path))
+      runOnce()
+      // leg 3 — duplicate DELIVERY of a whole committed epoch: replay
+      // epoch 0's payload (its batch twin) with epoch 0's txn id; the
+      // manifest ledger must skip the commit or the hash gate doubles
+      val batchTwin = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      shape(batchTwin).dropDuplicates("event_id")
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", out).option("txn", "epoch-0")
+        .mode("append").save()
+      graft.sources.v2.GraftSink.readBack(spark, out, sinkSchema)
+    }
+
   /** Streaming ingest-time curation (`stream_curate`): the stateless
     * Gopher-keep + language-prediction gate
     * (TextAnalysis.curateGateOver) run in APPEND mode over a

@@ -971,6 +971,36 @@ class StatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("Holt-Winters: a type with EXACTLY one season of training days " +
+      "is kept at seed state — forecast(h) = l0 + s0[h] = y_h") {
+    // the ==7 boundary the oracle's recursion defines: the seed row
+    // (t=7) IS tmax, so the type survives with zero fold steps and
+    // the h-step forecast collapses to the h-th training value —
+    // l0 + h·0 + (y_h − l0). Spark's size(arr) >= 7 filter must
+    // agree, else the gate diverges exactly at the boundary.
+    import spark.implicits._
+    val dir = TempDirs.create("graft_hw_boundary").toString
+    var id = 0L
+    def burst(day: Int, n: Int, typ: String) = (0 until n).map { _ =>
+      id += 1
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 08:00:00"),
+        1L, typ, 1.0, "{}")
+    }
+    // steady spans all 20 days → cut = Jan 14; boundary trains on
+    // Jan 7..13 (exactly 7 days, y = 1..7) and holds out Jan 14..20
+    val rows = (1 to 20).flatMap(d => burst(d, 1, "steady")) ++
+      (7 to 13).flatMap(d => burst(d, d - 6, "boundary")) ++
+      (14 to 20).flatMap(d => burst(d, 2, "boundary"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.holtWinters(spark, dir, horizon = 7).cache()
+    val fc = out.filter(col("event_type") === "boundary")
+      .select("forecast").as[Double].collect().sorted.toSeq
+    assert(fc == (1 to 7).map(_.toDouble),
+      s"seed-state forecast must replay the training season, got $fc")
+    out.unpersist()
+  }
+
   test("weighted median: planted histograms pin the half-weight cut " +
       "and the even-split lower-median tie rule") {
     import spark.implicits._
