@@ -44,6 +44,22 @@ object CatalystExprs {
     * array<long>. Codegen: a static kernel call inside the fused
     * stage (see ExprKernels).
     */
+  /** Decode-stub media feature kernel — [w, h, f0..f7] from the
+    * binary payload in ONE pass ([[ExprKernels.mediaFeatures]]): the
+    * `mm_features` hot path as a codegen'd expression instead of a
+    * Dataset `mapPartitions` boundary, so the decode stays inside
+    * whole-stage codegen with no per-row encoder round-trip.
+    */
+  case class MediaFeatures(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.mediaFeatures(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.mediaFeatures($c);")
+    override protected def withNewChildInternal(c: Expression): MediaFeatures = copy(child = c)
+  }
+
   case class XxHashArray(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
@@ -355,6 +371,8 @@ object CatalystExprs {
     asCol(WordNGrams(expression(words), n))
   def xxhash_array(arr: Column): Column =
     asCol(XxHashArray(expression(arr)))
+  def media_features(payload: Column): Column =
+    asCol(MediaFeatures(expression(payload)))
   def md5_prefix_array(arr: Column): Column =
     asCol(Md5PrefixArray(expression(arr)))
   def minhash_sig_cw(hashes: Column, as: Array[Long], bs: Array[Long],

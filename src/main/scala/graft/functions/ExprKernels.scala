@@ -90,6 +90,29 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** `mm_features` decode kernel over the raw binary payload — ONE
+    * pass emits [width, height, f0..f7]: width/height from the
+    * first/last byte (`(b & 0x7f) + 1`, 1 for an empty payload), the
+    * 8 features as stride-sampled signed bytes / 128
+    * (Multimodal.decodeStub's contract, spec-pinned equal). Packed as
+    * one array so the projection splits it without re-decoding; a
+    * real image codec slots in here unchanged.
+    */
+  def mediaFeatures(payload: Array[Byte]): ArrayData = {
+    val out = new Array[Double](10)
+    val n = payload.length
+    out(0) = (if (n == 0) 0 else payload(0) & 0x7f) + 1.0
+    out(1) = (if (n == 0) 0 else payload(n - 1) & 0x7f) + 1.0
+    if (n > 0) {
+      var i = 0
+      while (i < 8) {
+        out(2 + i) = payload(i * n / 8).toDouble / 128.0
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   def xxhashArray(arr: ArrayData): ArrayData = {
     val out = new Array[Long](arr.numElements())
     var i = 0

@@ -135,17 +135,13 @@ object Multimodal {
           col("dup_ratio") <= maxDupRatio)
   }
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
-      height: Int, features: Array[Double])
-
-  /** STUB decode: a real deployment calls an image codec here
-    * (per-partition, batched, executor-local). The fake is
-    * deterministic on the payload bytes so tests are stable; the
-    * mapPartitions plumbing (iterator-in/iterator-out, no
-    * per-row setup cost) is the production shape.
+  /** STUB decode — the REFERENCE implementation of the kernel
+    * contract ([[graft.functions.ExprKernels.mediaFeatures]] is the
+    * codegen-resident twin; a spec pins them equal). A real
+    * deployment swaps an image codec into the kernel; the fake is
+    * deterministic on the payload bytes so tests are stable.
     */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+  private[graft] def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
     val w = 1 + (payload.headOption.getOrElse(0: Byte) & 0x7f)
     val h = 1 + (payload.lastOption.getOrElse(0: Byte) & 0x7f)
     val feats = Array.tabulate(8) { i =>
@@ -155,28 +151,27 @@ object Multimodal {
     (w, h, feats)
   }
 
-  /** Partition-wise feature extraction over media batches.
-    *
-    * The fixed-width feature vector is projected to scalar `f0..f7`
-    * doubles at the edge: a flat schema every engine (and the driver's
-    * pandas sort) can order and hash, while the extraction itself still
-    * moves one array per row between stages.
+  /** Feature extraction over media payloads — the decode kernel as a
+    * CODEGEN'D EXPRESSION ([[graft.functions.CatalystExprs.media_features]]):
+    * one pass emits the packed [w, h, f0..f7] array inside whole-stage
+    * codegen, and the projection splits it into the flat scalar schema
+    * every engine (and the driver's pandas sort) can order and hash.
+    * This replaced the earlier `Dataset.mapPartitions` plumbing — same
+    * kernel contract ([[decodeStub]], spec-pinned equal), but no
+    * encoder round-trip per media item and no codegen fence around the
+    * decode; a real image codec slots into the kernel unchanged.
     */
-  def features(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val raw = mediaTable(spark, sfDir).as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition init (codec handles, model weights) goes here
-        rows.map { r =>
-          val (w, h, f) = decodeStub(r.payload)
-          FeatureRow(r.doc_id, r.payload.length.toLong, w, h, f)
-        }
-      }
-      .toDF()
-    raw.select(
-      Seq(col("doc_id"), col("n_bytes"), col("width"), col("height")) ++
-        (0 until 8).map(i => col("features")(i).as(s"f$i")): _*)
-  }
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        graft.functions.CatalystExprs.media_features(col("payload"))
+          .as("wf"))
+      .select(
+        Seq(col("doc_id"), col("n_bytes"),
+          col("wf")(0).cast("int").as("width"),
+          col("wf")(1).cast("int").as("height")) ++
+          (0 until 8).map(i => col("wf")(i + 2).as(s"f$i")): _*)
 
   /** Aspect-preserving resize PLANNING — the dims/letterbox math that
     * fronts every image-normalization stage (fit the decoded w×h into

@@ -28,6 +28,32 @@ class MultimodalSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty)
   }
 
+  test("feature extraction: the codegen'd kernel replays the reference " +
+      "decode stub byte-for-byte, including the empty payload") {
+    // the expression path (ExprKernels.mediaFeatures inside
+    // whole-stage codegen) and the documented reference stub must be
+    // THE SAME function — this is what licenses swapping a real codec
+    // into the kernel without touching the operator
+    val got = Multimodal.features(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val want = Multimodal.mediaTable(spark, sf)
+      .select(col("doc_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> Multimodal.decodeStub(r.getAs[Array[Byte]](1)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, r) =>
+      val (w, h, f) = want(id)
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"dims diverge at $id")
+      (0 until 8).foreach(i =>
+        assert(r.getDouble(4 + i) == f(i), s"f$i diverges at $id"))
+    }
+    // and the edge the corpus never exercises: an empty payload
+    val (w0, h0, f0) = Multimodal.decodeStub(Array.empty[Byte])
+    val k = graft.functions.ExprKernels.mediaFeatures(Array.empty[Byte])
+    assert(k.getDouble(0) == w0.toDouble && k.getDouble(1) == h0.toDouble)
+    (0 until 8).foreach(i => assert(k.getDouble(2 + i) == f0(i)))
+  }
+
   test("scene segmentation: counts conserve frames, scenes bounded by " +
       "frames, tau=255 collapses every item to one scene") {
     val s = Multimodal.scenes(spark, sf).cache()
