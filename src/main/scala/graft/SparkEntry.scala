@@ -49,6 +49,10 @@ object SparkEntry {
     "q_top_paths" -> ((s, d) => Relational.topPaths(s, d)),
     "q_abc_class" -> ((s, d) => Relational.abcClass(s, d)),
     "q_hits" -> ((s, d) => Relational.hitsScores(s, d)),
+    // rows-gated: the stop test is data-adaptive (L1 fixed point), so
+    // the round count — and with it the exact scores — is not a fixed
+    // unroll DuckDB can replay; q_hits gates the 2-round trajectory
+    "q_hits_converged" -> ((s, d) => Relational.hitsConverged(s, d)),
     "q_weighted_median" -> ((s, d) => Stats.weightedMedian(s, d)),
     "q_survivorship" -> ((s, d) => Quality.survivorship(s, d)),
     "q_theil_index" -> ((s, d) => Stats.theilIndex(s, d)),
@@ -397,6 +401,8 @@ object SparkEntry {
     "dedup_span_clean" -> ((s, d) => Dedup.spanClean(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+    // rows-gated: convergence-mode twin — see q_hits_converged's note
+    "q_pagerank_converged" -> ((s, d) => Dedup.pageRankConverged(s, d)),
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),

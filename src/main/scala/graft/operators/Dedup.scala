@@ -734,7 +734,33 @@ object Dedup {
     * pr = 0.15 (teleport only) in both.
     */
   def pageRank(spark: SparkSession, sfDir: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    pageRankRunFull(spark, sfDir, iters, eps = None)._1
+
+  /** CONVERGENCE-MODE PageRank (`q_pagerank_converged`): instead of a
+    * fixed unroll, iterate until the L1 delta between successive
+    * score vectors is ≤ `eps` (default 0 — an EXACT fixed point on
+    * the round-9 decimal lattice every step quantizes to) with a
+    * round cap, so answer quality stops being round-count-defined.
+    * Each iteration adds ONE bounded 1-row driver read (the L1
+    * scalar) on top of the fixed variant's per-round cost; the output
+    * carries the rounds actually run and the convergence flag. The
+    * fixed-round `q_pagerank` stays the DuckDB-gated twin (its oracle
+    * is the 3-round unroll); this key is rows-gated, and its spec
+    * pins the fixed-point certificate — running ONE more round from
+    * the converged vector moves L1 by ≤ eps — plus agreement with the
+    * fixed-round twin's trajectory.
+    */
+  def pageRankConverged(spark: SparkSession, sfDir: String,
+      eps: Double = 0.0, maxIters: Int = 30): DataFrame = {
+    val (out, iters, converged) =
+      pageRankRunFull(spark, sfDir, maxIters, Some(eps))
+    out.select(col("doc_id"), col("pagerank"), col("deg"),
+      lit(iters.toLong).as("n_iters"), lit(converged).as("converged"))
+  }
+
+  private def pageRankRunFull(spark: SparkSession, sfDir: String,
+      maxIters: Int, eps: Option[Double]): (DataFrame, Int, Boolean) = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
     // The edge set and degrees are re-read every iteration: compute
@@ -750,7 +776,9 @@ object Dedup {
     val deg = sym.groupBy("doc_a").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var pr = docs.select(col("doc_id"), lit(1.0).as("pr")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var itersRun = 0
+    var converged = false
+    while (itersRun < maxIters && !converged) {
       val contrib = sym
         .join(deg, "doc_a")
         .join(pr.select(col("doc_id").as("doc_a"), col("pr")), "doc_a")
@@ -759,15 +787,27 @@ object Dedup {
             .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("s"))
-      pr = docs.join(contrib, Seq("doc_id"), "left")
+      val next = docs.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           round(lit(0.15) + lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)),
             9).as("pr"))
         .localCheckpoint()
+      itersRun += 1
+      eps.foreach { e =>
+        // ONE bounded 1-row driver read per round: the L1 step size
+        val l1 = next.join(
+            pr.select(col("doc_id"), col("pr").as("prev")), "doc_id")
+          .agg(coalesce(sum(abs(col("pr") - col("prev"))), lit(0.0)))
+          .first().getDouble(0)
+        if (l1 <= e) converged = true
+      }
+      pr = next
     }
-    pr.join(deg.select(col("doc_a").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+    (pr.join(deg.select(col("doc_a").as("doc_id"), col("deg")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("pr").as("pagerank"),
-        coalesce(col("deg"), lit(0L)).as("deg"))
+        coalesce(col("deg"), lit(0L)).as("deg")),
+      itersRun, converged)
   }
 
   /** Per-node triangle counts over the near-dup graph — the third

@@ -2310,7 +2310,30 @@ object Relational {
     * Scores exist only for nodes on edges (an unsold part has no
     * authority to rank).
     */
-  def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+  def hitsScores(spark: SparkSession, sfDir: String): DataFrame =
+    hitsRun(spark, sfDir, maxRounds = 2, eps = None)._1
+
+  /** CONVERGENCE-MODE HITS (`q_hits_converged`): instead of the fixed
+    * two mutual-update rounds, iterate full (authority, hub) rounds
+    * until the L1 delta between successive authority vectors is ≤
+    * `eps` (scores are L1-normalized each half-step, so eps is a
+    * fraction of total mass; default 1e-6 — one ppm of mass still
+    * moving, the point where further rounds change no ranking; the
+    * exact round-9 lattice fixed point sits a few rounds further and
+    * eps=0 reaches it) with a round cap. One bounded 1-row driver
+    * read per round prices the stop test. `q_hits` stays the
+    * DuckDB-gated twin (its oracle is the 2-round unroll); this key
+    * is rows-gated with the fixed-point certificate spec-pinned.
+    */
+  def hitsConverged(spark: SparkSession, sfDir: String,
+      eps: Double = 1e-6, maxRounds: Int = 12): DataFrame = {
+    val (out, rounds, converged) = hitsRun(spark, sfDir, maxRounds, Some(eps))
+    out.select(col("kind"), col("node_id"), col("score"), col("deg"),
+      lit(rounds.toLong).as("n_rounds"), lit(converged).as("converged"))
+  }
+
+  private[graft] def hitsRun(spark: SparkSession, sfDir: String,
+      maxRounds: Int, eps: Option[Double]): (DataFrame, Int, Boolean) = {
     val d289 = DecimalType(28, 9)
     val edges = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
@@ -2333,21 +2356,40 @@ object Relational {
             .as("s"))
         .localCheckpoint()
     }
-    val h0 = edges.select(col("u").as("node")).distinct()
+    var h = edges.select(col("u").as("node")).distinct()
       .select(col("node"), lit(1.0).as("s"))
-    val a1 = halfStep(h0, "u", "p")
-    val h1 = halfStep(a1, "p", "u")
-    val a2 = halfStep(h1, "u", "p")
-    val h2 = halfStep(a2, "p", "u")
+    var a: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val a2 = halfStep(h, "u", "p")
+      val h2 = halfStep(a2, "p", "u")
+      rounds += 1
+      eps.foreach { e =>
+        if (a != null) {
+          // ONE bounded 1-row driver read per round: the authority
+          // vector's L1 step (both sides are the same node set — every
+          // part with a sale — so the inner join is total)
+          val l1 = a2.join(a.select(col("node"), col("s").as("prev")),
+              "node")
+            .agg(coalesce(sum(abs(col("s") - col("prev"))), lit(0.0)))
+            .first().getDouble(0)
+          if (l1 <= e) converged = true
+        }
+      }
+      a = a2
+      h = h2
+    }
     val pDeg = edges.groupBy(col("p").as("node"))
       .agg(count(lit(1)).as("deg"))
     val uDeg = edges.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
-    a2.join(pDeg, "node")
+    (a.join(pDeg, "node")
       .select(lit("part").as("kind"), col("node").as("node_id"),
         col("s").as("score"), col("deg"))
-      .unionByName(h2.join(uDeg, "node")
+      .unionByName(h.join(uDeg, "node")
         .select(lit("cust").as("kind"), col("node").as("node_id"),
-          col("s").as("score"), col("deg")))
+          col("s").as("score"), col("deg"))),
+      rounds, converged)
   }
 }

@@ -358,6 +358,26 @@ class DedupSpec extends SparkSpec {
     assert(pr.exceptAll(again).isEmpty && again.exceptAll(pr).isEmpty)
   }
 
+  test("pagerank converged: the stop test fires at a true fixed point — " +
+      "one more fixed-round unroll changes nothing") {
+    val out = Dedup.pageRankConverged(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    val head = out.select("n_iters", "converged").first()
+    val n = head.getLong(0).toInt
+    assert(head.getBoolean(1), s"did not converge within the cap ($n)")
+    // the certificate, measured independently through the public
+    // fixed-round API: iteration n and n+1 produce IDENTICAL score
+    // vectors (eps = 0 stops only on the exact round-9 lattice point)
+    val atN = Dedup.pageRank(spark, sf, iters = n)
+    val atN1 = Dedup.pageRank(spark, sf, iters = n + 1)
+    assert(atN.exceptAll(atN1).isEmpty && atN1.exceptAll(atN).isEmpty,
+      "converged flag lied: one more round still moves scores")
+    // and the converged output IS the fixed-round result at n
+    val scores = out.select("doc_id", "pagerank", "deg")
+    assert(scores.exceptAll(atN).isEmpty && atN.exceptAll(scores).isEmpty)
+    out.unpersist()
+  }
+
   test("triangles: degree-ordered wedge count equals the brute-force " +
       "id-ordered enumeration") {
     val tri = Dedup.triangles(spark, sf).cache()

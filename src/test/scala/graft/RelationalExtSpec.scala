@@ -777,6 +777,33 @@ class RelationalExtSpec extends SparkSpec {
       "2024-02-02" -> ((1L, 1L, 0L, 1.0, 0.0))))
   }
 
+  test("HITS converged: the stop test fires where the independent " +
+      "fixed unrolls measure an L1 step within eps, and mass stays 1") {
+    val eps = 1e-6
+    val out = Relational.hitsConverged(spark, sf, eps = eps).cache()
+    val head = out.select("n_rounds", "converged").first()
+    val n = head.getLong(0).toInt
+    assert(head.getBoolean(1), s"did not converge within the cap ($n)")
+    // scores are L1-normalized per side every half-step
+    val mass = out.groupBy("kind").agg(sum(col("score")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mass.size == 2 && mass.values.forall(m => math.abs(m - 1.0) < 1e-5),
+      s"per-side L1 mass drifted: $mass")
+    // the certificate, measured independently via fixed unrolls: the
+    // authority vectors of rounds n-1 and n are within eps in L1
+    val aN = Relational.hitsRun(spark, sf, maxRounds = n, eps = None)._1
+      .filter(col("kind") === "part")
+      .select(col("node_id"), col("score"))
+    val aPrev = Relational.hitsRun(spark, sf, maxRounds = n - 1, eps = None)._1
+      .filter(col("kind") === "part")
+      .select(col("node_id"), col("score").as("prev"))
+    val l1 = aN.join(aPrev, "node_id")
+      .agg(coalesce(sum(abs(col("score") - col("prev"))), lit(0.0)))
+      .first().getDouble(0)
+    assert(l1 <= eps, s"stop test fired at round $n but measured L1=$l1")
+    out.unpersist()
+  }
+
   test("HITS: a planted bipartite graph replays the two normalized " +
       "rounds bit-exactly, with degrees recounted") {
     import spark.implicits._
