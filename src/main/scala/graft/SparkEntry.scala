@@ -66,6 +66,10 @@ object SparkEntry {
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
     "q_sink_skip" -> ((s, d) => sources.Formats.sinkSkipRollup(s, d)),
     "q_sink_delete" -> ((s, d) => sources.Formats.sinkDeleteReport(s, d)),
+    "q_sink_compact" -> ((s, d) => sources.Formats.sinkCompactReport(s, d)),
+    "q_sink_merge" -> ((s, d) => sources.Formats.sinkMergeReport(s, d)),
+    "q_sink_cluster" -> ((s, d) => sources.Formats.sinkClusterRollup(s, d)),
+    "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
@@ -1844,6 +1848,54 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  CAST(sum(sv) AS DOUBLE) AS total_value
         |FROM r, b WHERE user_id BETWEEN lo AND hi""".stripMargin,
+    // compaction is content-invisible: the post-compaction read-back
+    // equals the plain source rollup, at generation 3 (two appends +
+    // the one CAS rewrite)
+    "q_sink_compact" ->
+      """SELECT CAST(3 AS BIGINT) AS generation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    // committed MERGE: every doc_id % 5 = 0 row updated (+1000),
+    // three planted rows (11+22+33 = 66 chars) inserted; the updated
+    // keys' mass isolated so resurrection or a missed update shows
+    "q_sink_merge" ->
+      """SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars
+        |      + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END)
+        |    + 66 AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |    ELSE 0 END) AS BIGINT) AS sum_updated
+        |FROM documents""".stripMargin,
+    // clustering maintenance is content-invisible: the post-cluster
+    // zonemap-pruned read equals q_sink_skip's selective rollup
+    "q_sink_cluster" ->
+      """WITH b AS (SELECT min(user_id) AS lo,
+        |    min(user_id) + (max(user_id) - min(user_id)) // 8 AS hi
+        |  FROM events),
+        |r AS (SELECT user_id, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value
+        |FROM r, b WHERE user_id BETWEEN lo AND hi""".stripMargin,
+    // the manifest-only audit trail: gen 1 = the id-lower half,
+    // gen 2 = everything, gen 3 = the committed %3 erasure; no txn
+    // markers in this batch-only scaffold
+    "q_sink_history" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS generation,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_txn
+        |FROM documents, t WHERE doc_id <= mid
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), 0 FROM documents
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), 0
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
     // copy-on-write delete: 'before' = the pre-delete snapshot served
     // as-of (time travel must survive the delete), 'after' = the live
     // head minus every doc_id % 3 = 0 row

@@ -630,4 +630,116 @@ object Formats {
       .unionByName(roll(graft.sources.v2.GraftSink.readBack(spark, dir,
         TwoGenSchema), "after"))
   }
+
+  /** COMPACTION on the sink (`q_sink_compact`): the two-generation
+    * document store (every append leaves its own task-sized parts —
+    * the small-file problem in miniature), then `GraftSink.compact`
+    * bin-packs everything below the row target into ONE rewrite job
+    * and swaps via a compare-and-swap generation. The hash gate
+    * proves compaction is content-invisible (read-back ≡ the plain
+    * source rollup, with the committed generation number pinned);
+    * the spec pins the actual file-count drop, the surviving
+    * time-travel read, and vacuum's reclamation of the replaced
+    * smalls. At 100 TB this is the maintenance loop that keeps
+    * streaming appends from degrading every future read.
+    */
+  def sinkCompactReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_compact")
+    graft.sources.v2.GraftSink.compact(spark, dir,
+      targetRows = Long.MaxValue, TwoGenSchema)
+    graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(3L).as("generation"), col("n_rows"), col("sum_chars"))
+  }
+
+  /** MERGE (upsert) on the sink (`q_sink_merge`): the full document
+    * store, then one committed MERGE — every `doc_id % 5 = 0` row
+    * updated (+1000 chars) and three planted new rows appended — in
+    * ONE compare-and-swap generation through
+    * `GraftSink.mergeUpsert`. The answer re-aggregates the merged
+    * read-back, with the updated keys' mass isolated in its own
+    * column, so a missed update, a resurrected old row, or a lost
+    * insert all hash-fail against the source-side recomputation.
+    */
+  def sinkMergeReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft_sink_merge_store").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    docs.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val updates = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"))
+      .unionByName(mx.select(
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("mx"))
+        // mx*10 + k ≡ k (mod 5), k ∈ {1,2,3}: a planted insert can
+        // never collide with the %5 update predicate at any SF
+        .select((col("mx") * 10L + col("k")).as("doc_id"),
+          (col("k") * 11L).as("n_chars")))
+    graft.sources.v2.GraftSink.mergeUpsert(spark, dir, updates, "doc_id",
+      TwoGenSchema)
+    graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("doc_id") % 5 === 0, col("n_chars"))
+          .otherwise(lit(0L))).as("sum_updated"))
+  }
+
+  /** CLUSTERING maintenance on the sink (`q_sink_cluster`): the
+    * per-user rollup lands HASH-scrambled (every part spans the full
+    * id range — the manifest zonemap prunes nothing), then
+    * `GraftSink.cluster` rewrites it range-clustered on `user_id` in
+    * one compare-and-swap generation, and the SAME selective
+    * `readBackWhere` as `q_sink_skip` answers — identical oracle, but
+    * here the pruning only works BECAUSE the maintenance ran (the
+    * spec pins zero-skip before vs real skip after). The
+    * append-scrambled → clustered transition is exactly what a
+    * streaming-ingest table needs periodically at 100 TB.
+    */
+  def sinkClusterRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
+    val dir = graft.TempDirs.create("graft_sink_cluster_store").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+      .repartition(8) // hash-scrambled: zonemap useless by design
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n", LongType),
+      StructField("sum_value", DecimalType(18, 2))))
+    graft.sources.v2.GraftSink.cluster(spark, dir, "user_id", 8, schema)
+    val b = ev.agg(min(col("user_id")).as("lo"),
+      (min(col("user_id"))
+        + expr("(max(user_id) - min(user_id)) DIV 8")).as("hi"))
+      .collect()(0)
+    graft.sources.v2.GraftSink.readBackWhere(spark, dir, "user_id",
+        BigDecimal(b.getLong(0)), BigDecimal(b.getLong(1)), schema)
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("total_value"))
+  }
+
+  /** DESCRIBE HISTORY on the sink (`q_sink_history`): the
+    * two-generation store plus a committed row-level delete leaves a
+    * 3-generation audit trail; `GraftSink.history` reconstructs it
+    * from the manifests alone — no data file opens. The gated columns
+    * are the layout-independent ones (generation, rows listed, txn
+    * markers), recomputed by the oracle from the split + delete
+    * rules; the file-delta columns (layout-dependent) are spec-pinned
+    * on a planted store instead.
+    */
+  def sinkHistoryReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_history")
+    graft.sources.v2.GraftSink.deleteWhere(spark, dir,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    graft.sources.v2.GraftSink.history(spark, dir)
+      .select(col("generation"), col("n_rows"), col("n_txn"))
+  }
 }

@@ -388,14 +388,163 @@ object GraftSink {
     df.filter(col("__file").isin(affected: _*) && !pred).drop("__file")
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
-    val sideEntries = dataLines(head(side)._2)
-    sideEntries.foreach { e =>
-      Files.move(Paths.get(side, fileOf(e)), Paths.get(path, fileOf(e)),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    val sideEntries = adoptSideFiles(side, path)
     val affectedSet = affected.toSet
     val newLines = lines.filterNot(l => affectedSet(fileOf(l))) ++ sideEntries
     (deleted, affected.size, commitReplace(path, newLines, parent))
+  }
+
+  /** Adopt a side-directory sink write's committed parts into `path`:
+    * move every head-listed part in under its job-unique name (atomic,
+    * refuses to clobber) and hand back the manifest entries — the
+    * shared rewrite step of every copy-on-write maintenance commit
+    * (delete, compact, cluster, merge).
+    */
+  private def adoptSideFiles(side: String, path: String): Seq[String] = {
+    val entries = dataLines(head(side)._2)
+    entries.foreach { e =>
+      Files.move(Paths.get(side, fileOf(e)), Paths.get(path, fileOf(e)),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    entries
+  }
+
+  /** COMPACTION: bin-pack the head's small files (listed rows <
+    * `targetRows` — planned from the manifest alone, no file opens)
+    * into ~targetRows parts via ONE rewrite job, carry the already-
+    * large files by reference, and swap with ONE compare-and-swap
+    * generation. Content-invariant (the gate hashes it); time travel
+    * still serves the pre-compaction layout; retention expiry +
+    * [[vacuum]] reclaims the replaced smalls. The small-file problem
+    * is THE steady-state cost of streaming/epoch appends at 100 TB —
+    * this is the maintenance loop that keeps reads O(right-sized
+    * files). Returns (files before, files after, generation).
+    */
+  def compact(spark: SparkSession, path: String, targetRows: Long,
+      schema: StructType = Schema): (Int, Int, Int) = {
+    val (parent, lines) = head(path)
+    val entries = dataLines(lines)
+    val small = entries.filter(_.split("\t")(1).toLong < targetRows)
+    if (small.size <= 1) return (entries.size, entries.size, parent)
+    val totalRows = small.map(_.split("\t")(1).toLong).sum
+    val nBins = math.max(1,
+      math.ceil(totalRows.toDouble / targetRows).toInt)
+    val side = graft.TempDirs.create("graft_sink_compact").toString
+    readFiles(spark, path, small.map(fileOf), schema)
+      .repartition(nBins)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", side).mode("append").save()
+    val sideEntries = adoptSideFiles(side, path)
+    val smallSet = small.map(fileOf).toSet
+    val newLines = lines.filterNot(l => smallSet(fileOf(l))) ++ sideEntries
+    val gen = commitReplace(path, newLines, parent)
+    (entries.size, entries.size - small.size + sideEntries.size, gen)
+  }
+
+  /** CLUSTERING maintenance: rewrite the ENTIRE live content
+    * range-clustered on `column` (`repartitionByRange` into `nFiles`
+    * parts, so each part owns a disjoint range and its manifest
+    * min/max stats are tight), committed as ONE compare-and-swap
+    * generation. This is what turns an append-scrambled table — every
+    * file spanning the full key range, zonemap useless — into one
+    * where [[readBackWhere]] actually skips files. Returns the
+    * committed generation.
+    */
+  def cluster(spark: SparkSession, path: String, column: String,
+      nFiles: Int, schema: StructType = Schema): Int = {
+    import org.apache.spark.sql.functions.col
+    val (parent, lines) = head(path)
+    val entries = dataLines(lines)
+    val side = graft.TempDirs.create("graft_sink_cluster").toString
+    readFiles(spark, path, entries.map(fileOf), schema)
+      .repartitionByRange(nFiles, col(column))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", side).mode("append").save()
+    val sideEntries = adoptSideFiles(side, path)
+    val old = entries.map(fileOf).toSet
+    commitReplace(path,
+      lines.filterNot(l => old(fileOf(l))) ++ sideEntries, parent)
+  }
+
+  /** MERGE (upsert), committed: rows of `updates` REPLACE same-`key`
+    * rows in the store, keys the store has never seen APPEND — the
+    * Delta/Iceberg MERGE INTO shape in the sink's own terms.
+    * Copy-on-write like [[deleteWhere]]: only files holding a matched
+    * key rewrite (their unmatched rows survive alongside ALL update
+    * rows in the rewrite job), untouched files carry by reference,
+    * and the whole merge is ONE compare-and-swap generation — readers
+    * see pre- or post-merge state, never a mix. `updates` must be
+    * key-unique (checked loudly with one bounded aggregate: two rows
+    * for one key would make the merged state order-dependent).
+    * Returns (rows replaced, rows inserted, committed generation).
+    */
+  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, schema: StructType = Schema): (Long, Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val u = updates.localCheckpoint()
+    val dup = u.agg((count(lit(1)) - countDistinct(col(key))).as("d"))
+      .first().getLong(0)
+    require(dup == 0L, s"updates carry $dup duplicate '$key' rows")
+    val (parent, lines) = head(path)
+    val entries = dataLines(lines)
+    val base = readFiles(spark, path, entries.map(fileOf), schema)
+      .withColumn("__file", col("_metadata.file_name"))
+    val keys = u.select(col(key))
+    // bounded driver reads: one row per live data file + two scalars
+    val hitByFile = base.join(keys, key, "left_semi")
+      .groupBy("__file").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affected = entries.map(fileOf).filter(f => hitByFile.contains(f))
+    val replaced = hitByFile.values.sum
+    val inserted = u.join(
+        base.select(col(key)).distinct(), Seq(key), "left_anti")
+      .count()
+    val side = graft.TempDirs.create("graft_sink_merge").toString
+    val survivors =
+      if (affected.isEmpty)
+        base.filter(lit(false)).drop("__file")
+      else base.filter(col("__file").isin(affected: _*))
+        .join(keys, Seq(key), "left_anti").drop("__file")
+    survivors.unionByName(u.select(schema.fieldNames.map(col): _*))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", side).mode("append").save()
+    val sideEntries = adoptSideFiles(side, path)
+    val affectedSet = affected.toSet
+    val gen = commitReplace(path,
+      lines.filterNot(l => affectedSet(fileOf(l))) ++ sideEntries, parent)
+    (replaced, inserted, gen)
+  }
+
+  /** DESCRIBE HISTORY: one row per retained generation, computed from
+    * the manifests alone (no data file opens) — generation number,
+    * rows listed, rows added/removed vs the parent generation, files
+    * listed, and txn markers carried. The observability surface every
+    * audit of an append/delete/compact/merge trail starts from.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(path)
+    def rowsOf(lines: Seq[String]): Long =
+      dataLines(lines).map(_.split("\t")(1).toLong).sum
+    val rows = vs.map { g =>
+      val lines = readLines(Paths.get(path, s"$VersionPrefix$g"))
+      (g, lines)
+    }
+    val out = rows.zipWithIndex.map { case ((g, lines), i) =>
+      val cur = dataLines(lines)
+      val prev = if (i == 0) Seq.empty
+        else dataLines(rows(i - 1)._2)
+      val prevSet = prev.map(fileOf).toSet
+      val curSet = cur.map(fileOf).toSet
+      val addedRows = cur.filterNot(e => prevSet(fileOf(e)))
+        .map(_.split("\t")(1).toLong).sum
+      val removedRows = prev.filterNot(e => curSet(fileOf(e)))
+        .map(_.split("\t")(1).toLong).sum
+      (g.toLong, rowsOf(lines), addedRows, removedRows,
+        cur.size.toLong, lines.count(_.startsWith("#")).toLong)
+    }
+    import spark.implicits._
+    out.toDF("generation", "n_rows", "rows_added", "rows_removed",
+      "n_files", "n_txn")
   }
 
   /** VACUUM: delete files NO RETAINED generation references (crash

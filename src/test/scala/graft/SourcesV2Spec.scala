@@ -417,6 +417,144 @@ class SourcesV2Spec extends SparkSpec {
     }
   }
 
+  test("dsv2 sink compact: small files bin-pack into fewer parts, " +
+      "content and time travel survive, vacuum reclaims the smalls") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_cpt").toString
+    // 8 small parts of 25 rows each, two appends of 4
+    (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartition(4).write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    (101L to 200L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartition(4).write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val before = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val (nBefore, nAfter, gen) =
+      GraftSink.compact(spark, dir, targetRows = 100L, schema)
+    assert(nBefore == 8 && nAfter < 8 && gen == 3,
+      s"got (before=$nBefore, after=$nAfter, gen=$gen)")
+    assert(GraftSink.head(dir)._2.count(!_.startsWith("#")) == nAfter)
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == before,
+      "compaction changed content")
+    // a large file (>= target) is never rewritten: compacting again
+    // with the same target finds at most one small bin — no-op
+    assert(GraftSink.compact(spark, dir, targetRows = 100L, schema)
+      ._3 <= gen + 1)
+    // pre-compaction snapshot still serves; expiry reclaims smalls
+    assert(GraftSink.readBackAsOf(spark, dir, 2, schema).count() == 200)
+    val (reclaimed, _) = GraftSink.vacuum(dir, keepGenerations = 1)
+    assert(reclaimed >= 8 - nAfter,
+      s"vacuum reclaimed only $reclaimed replaced files")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+  }
+
+  test("dsv2 sink merge: updates replace in place, inserts append, " +
+      "unmatched files carry by reference, one CAS generation") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_mrg").toString
+    // two range-disjoint files: 1..50, 51..100
+    (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartitionByRange(2, col("doc_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val preFiles = GraftSink.head(dir)._2.map(_.split("\t")(0)).toSet
+    // updates touch ONLY the low file (ids 10, 20) + one insert (999)
+    val updates = Seq((10L, 1000L), (20L, 2000L), (999L, 9990L))
+      .toDF("doc_id", "n_chars")
+    val (replaced, inserted, gen) =
+      GraftSink.mergeUpsert(spark, dir, updates, "doc_id", schema)
+    assert(replaced == 2L && inserted == 1L && gen == 2,
+      s"got (replaced=$replaced, inserted=$inserted, gen=$gen)")
+    val postFiles = GraftSink.head(dir)._2.map(_.split("\t")(0)).toSet
+    assert((preFiles intersect postFiles).size == 1,
+      "the untouched high file must survive by reference")
+    val got = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 101)
+    assert(got(10L) == 1000L && got(20L) == 2000L && got(999L) == 9990L)
+    assert(got(11L) == 11L && got(60L) == 60L,
+      "non-matched rows must survive the rewrite untouched")
+    // time travel still serves the pre-merge state
+    assert(GraftSink.readBackAsOf(spark, dir, 1, schema)
+      .as[(Long, Long)].collect().toMap.apply(10L) == 10L)
+    // duplicate update keys are rejected loudly, nothing committed
+    intercept[IllegalArgumentException] {
+      GraftSink.mergeUpsert(spark, dir,
+        Seq((5L, 1L), (5L, 2L)).toDF("doc_id", "n_chars"), "doc_id", schema)
+    }
+    assert(GraftSink.versions(dir).max == 2)
+  }
+
+  test("dsv2 sink cluster: a hash-scrambled store prunes nothing, the " +
+      "clustered rewrite prunes for real, content identical") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_clu").toString
+    (1L to 400L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartition(8) // hash-scrambled: every file spans the range
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val (keptBefore, totBefore) =
+      GraftSink.filesFor(dir, "doc_id", BigDecimal(30), BigDecimal(70))
+    assert(totBefore == 8 && keptBefore.size == 8,
+      "hash layout should defeat the zonemap entirely")
+    val before = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    GraftSink.cluster(spark, dir, "doc_id", 8, schema)
+    val (keptAfter, totAfter) =
+      GraftSink.filesFor(dir, "doc_id", BigDecimal(30), BigDecimal(70))
+    assert(totAfter == 8 && keptAfter.size < 8,
+      s"clustering should enable pruning, kept ${keptAfter.size}/8")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq == before,
+      "clustering changed content")
+    assert(GraftSink.readBackWhere(spark, dir, "doc_id",
+        BigDecimal(30), BigDecimal(70), schema)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (30L to 70L).map(i => (i, i)))
+  }
+
+  test("dsv2 sink history: the manifest-only audit trail reports rows, " +
+      "file deltas, and txn markers per generation") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_hist").toString
+    def write(rows: Seq[(Long, Long)], txn: Option[String]): Unit = {
+      val w = rows.toDF("doc_id", "n_chars").coalesce(1)
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir)
+      txn.fold(w)(t => w.option("txn", t)).mode("append").save()
+    }
+    write((1L to 10L).map(i => (i, i)), None)
+    write((11L to 15L).map(i => (i, i)), Some("epoch-0"))
+    GraftSink.deleteWhere(spark, dir, col("doc_id") <= 3L, schema)
+    val h = GraftSink.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (n_rows, rows_added, rows_removed, n_files, n_txn)
+    assert(h(1L) == ((10L, 10L, 0L, 1L, 0L)))
+    assert(h(2L) == ((15L, 5L, 0L, 2L, 1L)))
+    // the delete rewrote the 10-row file into a 7-row file
+    assert(h(3L) == ((12L, 7L, 10L, 2L, 1L)))
+  }
+
   test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
       "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
     import graft.sources.v2.GraftSink
