@@ -70,6 +70,7 @@ object SparkEntry {
     "q_sink_merge" -> ((s, d) => sources.Formats.sinkMergeReport(s, d)),
     "q_sink_cluster" -> ((s, d) => sources.Formats.sinkClusterRollup(s, d)),
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
+    "q_sink_changes" -> ((s, d) => sources.Formats.sinkChangesReport(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
@@ -1896,6 +1897,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, CAST(count(*) AS BIGINT), 0
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // CDC windows over the 3-generation scaffold: 1->2 inserts the
+    // upper half, 2->3 deletes the %3 rows; rewrite survivors cancel
+    // multiset-wise so the file layout never leaks into the answer
+    "q_sink_changes" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT '1->2' AS window, 'insert' AS action,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, t WHERE doc_id > mid
+        |UNION ALL
+        |SELECT '2->3', 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // copy-on-write delete: 'before' = the pre-delete snapshot served
     // as-of (time travel must survive the delete), 'after' = the live
     // head minus every doc_id % 3 = 0 row

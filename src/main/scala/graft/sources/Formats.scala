@@ -742,4 +742,31 @@ object Formats {
     graft.sources.v2.GraftSink.history(spark, dir)
       .select(col("generation"), col("n_rows"), col("n_txn"))
   }
+
+  /** INCREMENTAL READ / CDC on the sink (`q_sink_changes`): the
+    * 3-generation scaffold (append lower half → append rest →
+    * committed %3 delete), consumed as CHANGES — `readChanges(1, 2)`
+    * must surface exactly the appended upper half as inserts, and
+    * `readChanges(2, 3)` exactly the erased %3 rows as deletes, with
+    * every copy-on-write survivor cancelling multiset-wise no matter
+    * which files the delete happened to rewrite (the file-level
+    * layout never leaks into the row-level answer — that invariance
+    * IS what the hash gate proves). This is how a downstream training
+    * pipeline consumes a 100 TB store: manifest-delta cost, not
+    * table-scan cost.
+    */
+  def sinkChangesReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_changes")
+    graft.sources.v2.GraftSink.deleteWhere(spark, dir,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    def roll(fromGen: Int, toGen: Int): DataFrame =
+      graft.sources.v2.GraftSink.readChanges(spark, dir, fromGen, toGen,
+          TwoGenSchema)
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(s"$fromGen->$toGen").as("window"), col("action"),
+          col("n_rows"), col("sum_chars"))
+    roll(1, 2).unionByName(roll(2, 3))
+  }
 }

@@ -515,6 +515,38 @@ object GraftSink {
     (replaced, inserted, gen)
   }
 
+  /** INCREMENTAL READ (CDC): the row-level changes between two
+    * committed generations, computed from the MANIFEST DELTA — files
+    * carried by reference between the snapshots contribute NOTHING,
+    * so the cost scales with what changed, not with the table (the
+    * whole point of consuming a 100 TB store incrementally). Rows of
+    * files the newer snapshot added, minus rows of files it removed,
+    * cancel multiset-wise: a copy-on-write rewrite's survivors vanish,
+    * leaving exactly the inserted rows (action `insert`) and the
+    * deleted/replaced-away rows (action `delete`); an upsert surfaces
+    * as delete(old) + insert(new). Both diffs are distributed
+    * `exceptAll`s over the changed files only.
+    */
+  def readChanges(spark: SparkSession, path: String, fromGen: Int,
+      toGen: Int, schema: StructType = Schema): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromGen < toGen, s"need fromGen < toGen, got $fromGen..$toGen")
+    def filesOf(g: Int): Seq[String] = {
+      val m = Paths.get(path, s"$VersionPrefix$g")
+      require(Files.exists(m),
+        s"no committed generation $g under $path " +
+          s"(have: ${versions(path).mkString(",")})")
+      dataLines(readLines(m)).map(fileOf)
+    }
+    val from = filesOf(fromGen).toSet
+    val to = filesOf(toGen).toSet
+    val added = readFiles(spark, path, (to -- from).toSeq.sorted, schema)
+    val removed = readFiles(spark, path, (from -- to).toSeq.sorted, schema)
+    added.exceptAll(removed).withColumn("action", lit("insert"))
+      .unionByName(
+        removed.exceptAll(added).withColumn("action", lit("delete")))
+  }
+
   /** DESCRIBE HISTORY: one row per retained generation, computed from
     * the manifests alone (no data file opens) — generation number,
     * rows listed, rows added/removed vs the parent generation, files

@@ -555,6 +555,42 @@ class SourcesV2Spec extends SparkSpec {
     assert(h(3L) == ((12L, 7L, 10L, 2L, 1L)))
   }
 
+  test("dsv2 sink changes: an upsert surfaces as delete(old) + " +
+      "insert(new), rewrite survivors cancel, appends are pure inserts") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_cdc").toString
+    (1L to 20L).map(i => (i, i)).toDF("doc_id", "n_chars").coalesce(1)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    (21L to 30L).map(i => (i, i)).toDF("doc_id", "n_chars").coalesce(1)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    GraftSink.mergeUpsert(spark, dir,
+      Seq((5L, 500L), (99L, 990L)).toDF("doc_id", "n_chars"),
+      "doc_id", schema)
+    def changes(a: Int, b: Int): Set[(Long, Long, String)] =
+      GraftSink.readChanges(spark, dir, a, b, schema)
+        .as[(Long, Long, String)].collect().toSet
+    // pure append: every upper row an insert, nothing deleted
+    assert(changes(1, 2) == (21L to 30L).map(i => (i, i, "insert")).toSet)
+    // the upsert: old row out, new row in, insert appended; the 19
+    // co-resident rewrite survivors and the untouched file cancel
+    assert(changes(2, 3) == Set((5L, 5L, "delete"), (5L, 500L, "insert"),
+      (99L, 990L, "insert")))
+    // windows compose: 1->3 equals the multiset of both steps' net
+    assert(changes(1, 3) == (21L to 30L).map(i => (i, i, "insert")).toSet
+      ++ Set((5L, 5L, "delete"), (5L, 500L, "insert"),
+        (99L, 990L, "insert")))
+    // a same-generation window is rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftSink.readChanges(spark, dir, 2, 2, schema)
+    }
+  }
+
   test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
       "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
     import graft.sources.v2.GraftSink
