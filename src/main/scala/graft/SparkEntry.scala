@@ -538,6 +538,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupRestartFromFiles(s, d)),
     "stream_graft_sink" ->
       ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
+    "stream_dim_join" ->
+      ((s, d) => graft.streaming.EventStreams.dimJoinFromFiles(s, d)),
     "stream_merge" ->
       ((s, d) => graft.streaming.EventStreams.mergeStreamFromFiles(s, d)),
     "q_partition_prune" ->
@@ -2446,6 +2448,14 @@ object SparkEntry {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  user_id, event_type, value
         |FROM events""".stripMargin,
+    // stream-static broadcast enrichment: the accumulated
+    // complete-mode rollup equals the batch join, exactly
+    "stream_dim_join" ->
+      """SELECT c_mktsegment, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // exactly-once into the custom DSv2 sink: recovery emits nothing
     // new AND a replayed epoch's txn commit publishes nothing — any
     // double shows up as extra rows against the single-copy table

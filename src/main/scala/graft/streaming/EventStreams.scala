@@ -689,6 +689,45 @@ object EventStreams {
     }
   }
 
+  /** STREAM–STATIC enrichment join (`stream_dim_join`) — the
+    * production shape every streaming ingest runs before anything
+    * else: the event stream joined to a BROADCAST dimension table
+    * (customers keyed on user_id), then a complete-mode rollup per
+    * (segment, event_type). The dim side is a plain batch DataFrame —
+    * Structured Streaming re-plans it per micro-batch, the broadcast
+    * keeps every batch shuffle-free on the stream side, and no state
+    * store is involved (the join is stateless; only the downstream
+    * aggregate carries state). maxFilesPerTrigger=1 forces the rollup
+    * to accumulate across batches, so cross-batch additivity is
+    * what's gated, not a single-batch degenerate case.
+    */
+  def dimJoinFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dir = graft.TempDirs.create("graft_stream_dim_src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val joined = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"))
+    val name = nextSinkName("graft_stream_dim")
+    withSink(spark, name) {
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainMemorySink(spark, name)
+        .select(col("c_mktsegment"), col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"))
+    }
+  }
+
   case class BandRow(doc_id: Long, band: Int, sig: String)
 
   /** Streaming INCREMENTAL near-dup detection — the state-store twin

@@ -544,4 +544,27 @@ class StreamingSpec extends SparkSpec {
       .isEmpty)
     got.unpersist()
   }
+
+  test("stream-static dim join: the accumulated complete-mode rollup " +
+      "equals the batch join, and the dim side broadcasts") {
+    val got = graft.streaming.EventStreams.dimJoinFromFiles(spark, sf)
+      .cache()
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sum_value"))
+      .select("c_mktsegment", "event_type", "n", "sum_value")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-accumulated rollup diverged from the batch join")
+    // the enrichment join must be broadcast on the batch twin's plan
+    // (the same plan shape each micro-batch re-plans)
+    val plan = want.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim join did not broadcast:\n$plan")
+    got.unpersist()
+  }
 }
