@@ -204,6 +204,8 @@ object SparkEntry {
     "q_kruskal" -> ((s, d) => Stats.kruskal(s, d)),
     "q_ttest_paired" -> ((s, d) => Stats.ttestPaired(s, d)),
     "q_ewma_chart" -> ((s, d) => Stats.ewmaChart(s, d)),
+    "q_cusum" -> ((s, d) => Stats.cusum(s, d)),
+    "q_ipw_ate" -> ((s, d) => Stats.ipwAte(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -1899,6 +1901,67 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, CAST(count(*) AS BIGINT), 0
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // CUSUM via the prefix-sum closed form S_t = P_t - min(0, min P),
+    // all integer micro-units, k = the half-up daily-mean target
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS errs
+        |  FROM events GROUP BY 1),
+        |k AS (
+        |  SELECT (2 * (sum(errs) * 1000000) + count(*))
+        |    // (2 * count(*)) AS k_micro
+        |  FROM daily),
+        |p AS (
+        |  SELECT day, errs, k_micro,
+        |    sum(errs * 1000000 - k_micro)
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pp
+        |  FROM daily, k),
+        |s AS (
+        |  SELECT day, errs, k_micro,
+        |    pp - least(CAST(0 AS BIGINT),
+        |      min(pp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |      AS s_micro
+        |  FROM p)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, errs,
+        |  CAST(s_micro AS BIGINT) AS s_micro,
+        |  s_micro > k_micro * 2 AS alarm
+        |FROM s""".stripMargin,
+    // stratified ATE: empirical per-segment propensity collapses IPW
+    // to stratum means; all means half-up micro-divisions of decimal
+    // sums, the overall a sign-safe half-up integer dot product
+    "q_ipw_ate" ->
+      """WITH y AS (
+        |  SELECT c_mktsegment AS segment, (user_id % 2 = 0) AS treated,
+        |    CAST(value AS DECIMAL(18,2)) AS y
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE event_type = 'purchase'),
+        |cells AS (
+        |  SELECT segment, treated, count(*) AS n,
+        |    (2 * (CAST(sum(y) * 100 AS BIGINT) * 10000) + count(*))
+        |      // (2 * count(*)) AS mean_micro
+        |  FROM y GROUP BY 1, 2),
+        |strata AS (
+        |  SELECT segment, CAST(sum(n) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN treated THEN mean_micro ELSE 0 END)
+        |      AS BIGINT) AS mt_micro,
+        |    CAST(sum(CASE WHEN NOT treated THEN mean_micro ELSE 0 END)
+        |      AS BIGINT) AS mc_micro
+        |  FROM cells GROUP BY 1 HAVING count(*) = 2)
+        |SELECT segment, n_s, mt_micro, mc_micro,
+        |  mt_micro - mc_micro AS ate_s_micro
+        |FROM strata
+        |UNION ALL
+        |SELECT '__overall', CAST(sum(n_s) AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(CASE WHEN sum(n_s * (mt_micro - mc_micro)) >= 0
+        |    THEN (2 * sum(n_s * (mt_micro - mc_micro)) + sum(n_s))
+        |      // (2 * sum(n_s))
+        |    ELSE -((2 * (-sum(n_s * (mt_micro - mc_micro))) + sum(n_s))
+        |      // (2 * sum(n_s)))
+        |  END AS BIGINT)
+        |FROM strata""".stripMargin,
     // CDC windows over the 3-generation scaffold: 1->2 inserts the
     // upper half, 2->3 deletes the %3 rows; rewrite survivors cancel
     // multiset-wise so the file layout never leaks into the answer

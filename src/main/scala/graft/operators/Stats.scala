@@ -2843,4 +2843,92 @@ object Stats {
         when(den =!= 0.0 && deny =!= 0.0,
           round(num / sqrt(den * deny), 6)).as("corr_ln"))
   }
+
+  /** CUSUM control chart (`q_cusum`) over the daily error count — the
+    * SEQUENTIAL change detector the EWMA/zscore family lacks: small
+    * persistent shifts accumulate until the one-sided cumulative sum
+    * S_t = max(0, S_{t-1} + (x_t − k)) crosses h. The recursion is
+    * NOT a window function, but its closed form is: with prefix sums
+    * P_t of (x_t − k) and P_0 = 0, S_t = P_t − min(0, min_{j≤t} P_j)
+    * — two ordinary cumulative windows, no recursion, which is what
+    * makes it one scan at any scale AND DuckDB-replayable. All
+    * arithmetic in integer micro-units (k is the half-up global mean
+    * — non-negative numerator, the shared idiom's precondition), so
+    * both engines are bit-identical. Alarm when S > h = hFactor · k.
+    */
+  def cusum(spark: SparkSession, sfDir: String,
+      hFactor: Int = 2): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val days = ev.select(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("errs0"))
+    val daily = days.join(errs, Seq("day"), "left")
+      .select(col("day"), coalesce(col("errs0"), lit(0L)).as("errs"))
+      .localCheckpoint() // consumed twice: the 1-row mean + the scan
+    val k = daily.agg(
+      expr("(2 * (sum(errs) * 1000000) + count(*)) div (2 * count(*))")
+        .as("k_micro"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(k))
+      .withColumn("p", sum(col("errs") * 1000000L - col("k_micro")).over(w))
+      .withColumn("s_micro",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("errs"),
+        col("s_micro"),
+        (col("s_micro") > col("k_micro") * hFactor).as("alarm"))
+  }
+
+  /** Stratified ATE (`q_ipw_ate`) — the standardization / inverse-
+    * propensity estimator with an EMPIRICAL propensity per stratum
+    * (market segment), where IPW algebra collapses to the stratum
+    * means: ATE = Σ_s (n_s / N) · (ȳ_treat,s − ȳ_ctrl,s). Treatment
+    * is the deterministic user_id % 2 split (the q_ab_test assignment
+    * convention). Every mean is the half-up integer micro-unit
+    * division of a DECIMAL sum (non-negative purchase values — the
+    * shared idiom's precondition), the overall ATE one more integer
+    * dot product over the ≤ #segments-row frame — bit-identical in
+    * both engines, two partial-agg shuffles total. Strata missing an
+    * arm are excluded from both the per-stratum rows and the overall
+    * weight (the Neyman degenerate-cell discipline).
+    */
+  def ipwAte(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val y = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("user_id") % 2 === 0).as("treated"),
+        col("value").cast(d182).as("y"))
+    val cells = y.groupBy("segment", "treated")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .withColumn("mean_micro",
+        expr("(2 * (CAST(sy * 100 AS BIGINT) * 10000) + n) div (2 * n)"))
+    val strata = cells.groupBy("segment")
+      .agg(count(lit(1)).as("arms"), sum(col("n")).as("n_s"),
+        sum(when(col("treated"), col("mean_micro")).otherwise(lit(0L)))
+          .as("mt_micro"),
+        sum(when(!col("treated"), col("mean_micro")).otherwise(lit(0L)))
+          .as("mc_micro"))
+      .filter(col("arms") === 2)
+      .select(col("segment"), col("n_s"),
+        col("mt_micro"), col("mc_micro"),
+        (col("mt_micro") - col("mc_micro")).as("ate_s_micro"))
+      .localCheckpoint() // consumed twice: per-stratum rows + overall
+    val overall = strata.agg(
+      expr("""(CASE WHEN sum(n_s * (mt_micro - mc_micro)) >= 0
+        |  THEN (2 * sum(n_s * (mt_micro - mc_micro)) + sum(n_s))
+        |    div (2 * sum(n_s))
+        |  ELSE -((2 * (-sum(n_s * (mt_micro - mc_micro))) + sum(n_s))
+        |    div (2 * sum(n_s)))
+        |END)""".stripMargin.replace("\n", " ")).as("ate_s_micro"),
+      sum(col("n_s")).as("n_s"))
+      .select(lit("__overall").as("segment"), col("n_s"),
+        lit(0L).as("mt_micro"), lit(0L).as("mc_micro"),
+        col("ate_s_micro"))
+    strata.unionByName(overall)
+  }
 }

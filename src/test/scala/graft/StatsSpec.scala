@@ -1001,6 +1001,72 @@ class StatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("CUSUM: the prefix-sum closed form replays the sequential " +
+      "max(0, S+x-k) recursion exactly, and a planted shift alarms") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_cusum").toString
+    // 10 quiet days (1 error/day), then a 5-day burst of 7/day: the
+    // shift must accumulate into an alarm the per-day zscore missed
+    var id = 0L
+    val rows = (1 to 15).flatMap { d =>
+      val nerr = if (d <= 10) 1 else 7
+      (0 until nerr).map { _ => id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 08:00:00"),
+          1L, "error", 1.0, "{}")
+      } :+ { id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00"),
+          1L, "view", 1.0, "{}") }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.cusum(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // replay the SEQUENTIAL recursion in Scala — the closed form's
+    // correctness certificate
+    val errs = (1 to 15).map(d => if (d <= 10) 1L else 7L)
+    val kMicro = (2L * (errs.sum * 1000000L) + 15L) / (2L * 15L)
+    var s = 0L
+    errs.zipWithIndex.foreach { case (e, i) =>
+      s = math.max(0L, s + e * 1000000L - kMicro)
+      val day = f"2024-03-${i + 1}%02d"
+      val (gotE, gotS, gotA) = out(day)
+      assert(gotE == e && gotS == s,
+        s"$day: closed form S=$gotS, recursion S=$s")
+      assert(gotA == (s > kMicro * 2), s"$day alarm diverged")
+    }
+    // the burst really alarms and the quiet head really does not
+    assert(out("2024-03-02")._3 == false && out("2024-03-13")._3 == true)
+  }
+
+  test("IPW ATE: planted strata pin the stratum means, the sign-safe " +
+      "negative overall, and the missing-arm exclusion") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ipw").toString
+    // seg A: treated (even uid 2) mean 1.00, control (uid 1) mean 3.00
+    //   -> ate -2.00; seg B: treated-only (uid 4) -> excluded
+    Seq((1L, 1L, 3.00), (2L, 1L, 3.00),
+        (3L, 2L, 1.00), (4L, 2L, 1.00),
+        (5L, 4L, 9.00))
+      .map { case (e, u, v) =>
+        (e, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), u,
+          "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "A"), (2L, "A"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Stats.ipwAte(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(!out.contains("B"), "a stratum missing an arm must drop")
+    assert(out("A") == ((4L, 1000000L, 3000000L, -2000000L)))
+    // overall = A alone: -2.00 exactly, half-up AWAY from zero on the
+    // negated positive — the floor-vs-truncate divergence class the
+    // sign-safe formulation exists for
+    assert(out("__overall") == ((4L, 0L, 0L, -2000000L)))
+  }
+
   test("weighted median: planted histograms pin the half-weight cut " +
       "and the even-split lower-median tie rule") {
     import spark.implicits._
