@@ -71,6 +71,7 @@ object SparkEntry {
     "q_sink_cluster" -> ((s, d) => sources.Formats.sinkClusterRollup(s, d)),
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
     "q_sink_changes" -> ((s, d) => sources.Formats.sinkChangesReport(s, d)),
+    "q_sink_evolve" -> ((s, d) => sources.Formats.sinkEvolveRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
@@ -1901,6 +1902,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, CAST(count(*) AS BIGINT), 0
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // sink schema evolution: day-1 files (no lang column) surface as
+    // 'unknown' under the evolved read, upgraded files keep theirs —
+    // the same cutoff CASE as the parquet twin, on the sink's store
+    "q_sink_evolve" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT CASE WHEN doc_id <= mid THEN 'unknown' ELSE lang END
+        |    AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, t
+        |GROUP BY 1""".stripMargin,
     // CUSUM via the prefix-sum closed form S_t = P_t - min(0, min P),
     // all integer micro-units, k = the half-up daily-mean target
     "q_cusum" ->

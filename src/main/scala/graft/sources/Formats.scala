@@ -743,6 +743,45 @@ object Formats {
       .select(col("generation"), col("n_rows"), col("n_txn"))
   }
 
+  /** SCHEMA EVOLUTION on the sink (`q_sink_evolve`): generation 1
+    * serializes (doc_id, n_chars) — the producer's day-1 schema —
+    * and generation 2 appends (doc_id, n_chars, lang) after the
+    * upgrade. `GraftSink.readBackEvolved` serves BOTH under the
+    * evolved schema: the sink's positional TSV surfaces the old
+    * files' missing trailing column as null (the CSV PERMISSIVE
+    * contract) and the declared default normalizes it — the same
+    * cutoff-CASE oracle shape as the parquet `q_schema_evolution`,
+    * now on the sink's own store with its manifest visibility.
+    */
+  def sinkEvolveRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val dir = graft.TempDirs.create("graft_sink_evolve").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("lang"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: Column => Column): DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    half(col("doc_id") <= _).drop("lang") // day-1 producer: two columns
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    half(col("doc_id") > _) // upgraded producer: appended lang column
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val evolved = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_chars", LongType),
+      StructField("lang", StringType)))
+    graft.sources.v2.GraftSink.readBackEvolved(spark, dir, evolved,
+        Map("lang" -> lit("unknown")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** INCREMENTAL READ / CDC on the sink (`q_sink_changes`): the
     * 3-generation scaffold (append lower half → append rest →
     * committed %3 delete), consumed as CHANGES — `readChanges(1, 2)`

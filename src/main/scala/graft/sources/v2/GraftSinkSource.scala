@@ -515,6 +515,23 @@ object GraftSink {
     (replaced, inserted, gen)
   }
 
+  /** SCHEMA EVOLUTION read: the sink is schema-driven and positional
+    * (TSV), so evolution means APPENDING columns — newer files carry
+    * more fields, older files' missing trailing fields surface as
+    * null under the evolved schema (the CSV reader's PERMISSIVE
+    * contract), and per-column `defaults` normalize them. Old readers
+    * keep working too (extra trailing fields are ignored under the
+    * old schema) — the two-way compatibility a long-lived 100 TB
+    * store needs across producer upgrades.
+    */
+  def readBackEvolved(spark: SparkSession, path: String,
+      schema: StructType, defaults: Map[String, Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    defaults.foldLeft(readBack(spark, path, schema)) {
+      case (df, (c, d)) => df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+
   /** INCREMENTAL READ (CDC): the row-level changes between two
     * committed generations, computed from the MANIFEST DELTA — files
     * carried by reference between the snapshots contribute NOTHING,

@@ -591,6 +591,36 @@ class SourcesV2Spec extends SparkSpec {
     }
   }
 
+  test("dsv2 sink evolve: appended columns default on old files, old " +
+      "readers still serve new files — two-way compatibility") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = graft.TempDirs.create("graft_sink_evo").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    Seq((3L, 30L, "en"), (4L, 40L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val oldSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val evolved = StructType(oldSchema.fields :+
+      StructField("lang", StringType))
+    // the evolved reader: old rows take the default, new keep theirs
+    val got = GraftSink.readBackEvolved(spark, dir, evolved,
+        Map("lang" -> lit("unknown")))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L, "unknown"), (2L, 20L, "unknown"),
+      (3L, 30L, "en"), (4L, 40L, "fr")))
+    // the day-1 reader: the appended trailing column is invisible,
+    // every row (old AND new files) still serves
+    assert(GraftSink.readBack(spark, dir, oldSchema)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
   test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
       "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
     import graft.sources.v2.GraftSink
