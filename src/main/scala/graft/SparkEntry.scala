@@ -72,6 +72,7 @@ object SparkEntry {
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
     "q_sink_changes" -> ((s, d) => sources.Formats.sinkChangesReport(s, d)),
     "q_sink_evolve" -> ((s, d) => sources.Formats.sinkEvolveRollup(s, d)),
+    "q_sink_zorder" -> ((s, d) => sources.Formats.sinkZorderRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
     "text_cluster_topics" -> ((s, d) => TextAnalysis.clusterTopics(s, d)),
@@ -1902,6 +1903,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, CAST(count(*) AS BIGINT), 0
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // z-order clustering is content-invisible: both dimensions'
+    // selective reads (bottom eighth of each span) equal the
+    // source-side rollups
+    "q_sink_zorder" ->
+      """WITH b AS (SELECT min(doc_id) AS lo_d,
+        |    min(doc_id) + (max(doc_id) - min(doc_id)) // 8 AS hi_d,
+        |    min(n_chars) AS lo_c,
+        |    min(n_chars) + (max(n_chars) - min(n_chars)) // 8 AS hi_c
+        |  FROM documents)
+        |SELECT 'doc_id' AS dim, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, b WHERE doc_id BETWEEN lo_d AND hi_d
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents, b WHERE n_chars BETWEEN lo_c AND hi_c""".stripMargin,
     // sink schema evolution: day-1 files (no lang column) surface as
     // 'unknown' under the evolved read, upgraded files keep theirs —
     // the same cutoff CASE as the parquet twin, on the sink's store

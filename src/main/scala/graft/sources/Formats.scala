@@ -782,6 +782,49 @@ object Formats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Z-ORDER clustering on the sink (`q_sink_zorder`): the document
+    * store lands hash-scrambled, then ONE compare-and-swap rewrite
+    * range-clusters it on the Morton interleave of (doc_id, n_chars)
+    * (`Layout.mortonZ`, dims shifted into 11 bits off a 1-row
+    * min/max read) — after which the manifest zonemap prunes on BOTH
+    * raw columns at once, the thing single-column clustering cannot
+    * do. The gate answers the SAME selective read on each dimension
+    * (bottom eighth of each span) through `readBackWhere`, so
+    * content-invariance and dual-dimension service are one hash; the
+    * spec pins kept < total on both dims after (and = total before).
+    */
+  def sinkZorderRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft_sink_zorder").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    docs.repartition(8) // hash-scrambled on purpose
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    // ONE bounded 1-row driver read: spans for the 11-bit dim shifts
+    // and the two selective windows
+    val b = docs.agg(
+      min(col("doc_id")).as("lo_d"), max(col("doc_id")).as("hi_d"),
+      min(col("n_chars")).as("lo_c"), max(col("n_chars")).as("hi_c"))
+      .first()
+    def shiftFor(mx: Long): Int =
+      math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - 11)
+    val z = graft.operators.Layout.mortonZ(
+      shiftright(col("doc_id"), shiftFor(b.getLong(1))),
+      shiftright(col("n_chars"), shiftFor(b.getLong(3))))
+    graft.sources.v2.GraftSink.clusterByExpr(spark, dir, z, 16,
+      TwoGenSchema)
+    def window(lo: Long, hi: Long): (BigDecimal, BigDecimal) =
+      (BigDecimal(lo), BigDecimal(lo + (hi - lo) / 8))
+    def roll(dim: String, w: (BigDecimal, BigDecimal)): DataFrame =
+      graft.sources.v2.GraftSink.readBackWhere(spark, dir, dim,
+          w._1, w._2, TwoGenSchema)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(dim).as("dim"), col("n_rows"), col("sum_chars"))
+    roll("doc_id", window(b.getLong(0), b.getLong(1)))
+      .unionByName(roll("n_chars", window(b.getLong(2), b.getLong(3))))
+  }
+
   /** INCREMENTAL READ / CDC on the sink (`q_sink_changes`): the
     * 3-generation scaffold (append lower half → append rest →
     * committed %3 delete), consumed as CHANGES — `readChanges(1, 2)`

@@ -451,13 +451,22 @@ object GraftSink {
     * committed generation.
     */
   def cluster(spark: SparkSession, path: String, column: String,
+      nFiles: Int, schema: StructType = Schema): Int =
+    clusterByExpr(spark, path,
+      org.apache.spark.sql.functions.col(column), nFiles, schema)
+
+  /** Cluster on a COMPUTED key (e.g. a Morton/Z-order interleave of
+    * two columns): the key orders the rewrite, the manifest stats
+    * stay per-RAW-column — so a space-filling-curve key makes the
+    * zonemap prune on EVERY interleaved dimension at once.
+    */
+  def clusterByExpr(spark: SparkSession, path: String, key: Column,
       nFiles: Int, schema: StructType = Schema): Int = {
-    import org.apache.spark.sql.functions.col
     val (parent, lines) = head(path)
     val entries = dataLines(lines)
     val side = graft.TempDirs.create("graft_sink_cluster").toString
     readFiles(spark, path, entries.map(fileOf), schema)
-      .repartitionByRange(nFiles, col(column))
+      .repartitionByRange(nFiles, key)
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)

@@ -621,6 +621,37 @@ class SourcesV2Spec extends SparkSpec {
       Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
   }
 
+  test("dsv2 sink zorder: the Morton-key rewrite prunes on BOTH raw " +
+      "dimensions at once, content identical") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_zo").toString
+    // two INDEPENDENT dims: id 1..1024, chars = bit-reversed-ish id
+    val rows = (1L to 1024L).map(i => (i, (i * 389L) % 1024L))
+    rows.toDF("doc_id", "n_chars").repartition(8)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    def kept(dim: String): Int =
+      GraftSink.filesFor(dir, dim, BigDecimal(0), BigDecimal(120))._1.size
+    assert(kept("doc_id") == 8 && kept("n_chars") == 8,
+      "hash layout should defeat both dims")
+    val z = graft.operators.Layout.mortonZ(col("doc_id"), col("n_chars"))
+    GraftSink.clusterByExpr(spark, dir, z, 16, schema)
+    val (kd, kc) = (kept("doc_id"), kept("n_chars"))
+    assert(kd < 16 && kc < 16,
+      s"z-order should prune both dims, kept doc_id=$kd n_chars=$kc /16")
+    val got = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == rows.sorted, "z-order rewrite changed content")
+    assert(GraftSink.readBackWhere(spark, dir, "n_chars",
+        BigDecimal(0), BigDecimal(120), schema)
+      .as[(Long, Long)].collect().toSet ==
+      rows.filter(_._2 <= 120).toSet)
+  }
+
   test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
       "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
     import graft.sources.v2.GraftSink
