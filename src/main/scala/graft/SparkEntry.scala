@@ -208,6 +208,8 @@ object SparkEntry {
     "q_ewma_chart" -> ((s, d) => Stats.ewmaChart(s, d)),
     "q_cusum" -> ((s, d) => Stats.cusum(s, d)),
     "q_ipw_ate" -> ((s, d) => Stats.ipwAte(s, d)),
+    "q_spearman" -> ((s, d) => Stats.spearman(s, d)),
+    "q_mcnemar" -> ((s, d) => Stats.mcnemar(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -1960,6 +1962,67 @@ object SparkEntry {
         |  CAST(s_micro AS BIGINT) AS s_micro,
         |  s_micro > k_micro * 2 AS alarm
         |FROM s""".stripMargin,
+    // Spearman on doubled tie-averaged ranks: u2 = 2*rank_min+ties-1
+    // keeps every moment an exact BIGINT, rho one shared IEEE dag
+    "q_spearman" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + count(*) OVER (PARTITION BY event_type, x) - 1 AS u2,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1 AS v2
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(u2) AS BIGINT) AS su, CAST(sum(v2) AS BIGINT) AS sv,
+        |    CAST(sum(u2 * v2) AS BIGINT) AS suv,
+        |    CAST(sum(u2 * u2) AS BIGINT) AS suu,
+        |    CAST(sum(v2 * v2) AS BIGINT) AS svv
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n0 AS n_days,
+        |  CASE WHEN CAST(n0 AS DOUBLE) * suu - CAST(su AS DOUBLE) * su <> 0
+        |        AND CAST(n0 AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv <> 0
+        |    THEN round((CAST(n0 AS DOUBLE) * suv
+        |        - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / sqrt((CAST(n0 AS DOUBLE) * suu - CAST(su AS DOUBLE) * su)
+        |        * (CAST(n0 AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)), 6)
+        |  END AS rho
+        |FROM m""".stripMargin,
+    // McNemar: only the discordant per-user (before, after) click
+    // pairs matter; chi2 = (b-c)^2/(b+c) in exact integers + one IEEE
+    "q_mcnemar" ->
+      """WITH mid AS (
+        |  SELECT CAST(min(ts) AS DATE)
+        |    + (date_diff('day', CAST(min(ts) AS DATE),
+        |        CAST(max(ts) AS DATE)) // 2) * INTERVAL 1 DAY AS mid
+        |  FROM events),
+        |pairs AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click'
+        |      AND CAST(ts AS DATE) < mid THEN 1 ELSE 0 END) AS before,
+        |    max(CASE WHEN event_type = 'click'
+        |      AND CAST(ts AS DATE) >= mid THEN 1 ELSE 0 END) AS after
+        |  FROM events, mid GROUP BY 1),
+        |d AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN before = 1 AND after = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN before = 0 AND after = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM pairs)
+        |SELECT b, c,
+        |  CASE WHEN b + c > 0 THEN
+        |    round(CAST((b - c) * (b - c) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN b + c > 0 THEN
+        |    round(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE), 6) END AS chi2_cc
+        |FROM d""".stripMargin,
     // stratified ATE: empirical per-segment propensity collapses IPW
     // to stratum means; all means half-up micro-divisions of decimal
     // sums, the overall a sign-safe half-up integer dot product

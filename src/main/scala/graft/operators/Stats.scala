@@ -2881,6 +2881,92 @@ object Stats {
         (col("s_micro") > col("k_micro") * hFactor).as("alarm"))
   }
 
+  /** Spearman rank correlation (`q_spearman`) between daily volume
+    * and daily revenue per event type — the monotone-association
+    * measure Pearson's r misses on nonlinear-but-ordered pairs.
+    * Tie-averaged ranks DOUBLED to stay integer (u2 = 2·rank_min +
+    * ties − 1, the (min+max) midpoint without a division), so every
+    * moment is an exact BIGINT sum and the final rho is ONE shared
+    * IEEE dag — bit-identical in both engines, the priceElasticity
+    * discipline on ranks. Two windows + one partial-agg moment
+    * shuffle; #types rows out.
+    */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(col("value").cast(d182)).as("sv"))
+      .select(col("event_type"), col("x"),
+        (col("sv") * 100).cast("long").as("y"))
+    val wx = Window.partitionBy("event_type").orderBy("x")
+    val wxt = Window.partitionBy("event_type", "x")
+    val wy = Window.partitionBy("event_type").orderBy("y")
+    val wyt = Window.partitionBy("event_type", "y")
+    val ranked = daily
+      .withColumn("u2",
+        lit(2L) * rank().over(wx) + count(lit(1)).over(wxt) - lit(1L))
+      .withColumn("v2",
+        lit(2L) * rank().over(wy) + count(lit(1)).over(wyt) - lit(1L))
+    val m = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("u2")).as("su"), sum(col("v2")).as("sv"),
+        sum(col("u2") * col("v2")).as("suv"),
+        sum(col("u2") * col("u2")).as("suu"),
+        sum(col("v2") * col("v2")).as("svv"))
+    val n = col("n0").cast("double")
+    val num = n * col("suv").cast("double") -
+      col("su").cast("double") * col("sv").cast("double")
+    val du = n * col("suu").cast("double") -
+      col("su").cast("double") * col("su").cast("double")
+    val dv = n * col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double")
+    m.select(col("event_type"), col("n0").as("n_days"),
+      when(du =!= 0.0 && dv =!= 0.0,
+        round(num / sqrt(du * dv), 6)).as("rho"))
+  }
+
+  /** McNemar's test (`q_mcnemar`) for paired binary outcomes — did
+    * per-user click behavior CHANGE between the observation window's
+    * halves (the before/after design chi-square independence cannot
+    * answer)? Each user contributes one (before, after) pair; only
+    * the discordant counts b = (1,0) and c = (0,1) matter:
+    * χ² = (b−c)²/(b+c), plus the continuity-corrected variant.
+    * Integer counts end-to-end, one IEEE division each — the window
+    * midpoint from ONE bounded 1-row read, both engines bit-identical.
+    */
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val mid = ev.agg(
+      expr("date_add(to_date(min(ts)), CAST(datediff(to_date(max(ts)), " +
+        "to_date(min(ts))) div 2 AS INT))").as("mid"))
+    val pairs = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "click"
+          && to_date(col("ts")) < col("mid"), 1L).otherwise(0L))
+          .as("before"),
+        max(when(col("event_type") === "click"
+          && to_date(col("ts")) >= col("mid"), 1L).otherwise(0L))
+          .as("after"))
+    val d = pairs.agg(
+      sum(when(col("before") === 1L && col("after") === 0L, 1L)
+        .otherwise(0L)).as("b"),
+      sum(when(col("before") === 0L && col("after") === 1L, 1L)
+        .otherwise(0L)).as("c"))
+    d.select(col("b"), col("c"),
+      when(col("b") + col("c") > 0,
+        round(((col("b") - col("c")) * (col("b") - col("c")))
+          .cast("double") / (col("b") + col("c")).cast("double"), 6))
+        .as("chi2"),
+      when(col("b") + col("c") > 0,
+        round(((abs(col("b") - col("c")) - 1)
+          * (abs(col("b") - col("c")) - 1)).cast("double")
+          / (col("b") + col("c")).cast("double"), 6))
+        .as("chi2_cc"))
+  }
+
   /** Stratified ATE (`q_ipw_ate`) — the standardization / inverse-
     * propensity estimator with an EMPIRICAL propensity per stratum
     * (market segment), where IPW algebra collapses to the stratum

@@ -1067,6 +1067,50 @@ class StatsSpec extends SparkSpec {
     assert(out("__overall") == ((4L, 0L, 0L, -2000000L)))
   }
 
+  test("Spearman: planted ties replay the doubled average-rank rule " +
+      "and the hand-computed rho") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_spearman").toString
+    // one type, 4 days: x = (1,2,2,3) events, y strictly increasing
+    // -> doubled avg ranks u2 = (2,5,5,8), v2 = (2,4,6,8);
+    //    rho = 72 / sqrt(72*80) = 0.948683 (6dp)
+    var id = 0L
+    val rows = Seq((1, 1, 0.10), (2, 2, 0.20), (3, 2, 0.30), (4, 3, 0.40))
+      .flatMap { case (d, nx, v) =>
+        (1 to nx).map { j => id += 1
+          (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"),
+            1L, "view", if (j == 1) v * 100 else 0.0, "{}")
+        }
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.spearman(spark, dir).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 4L)
+    assert(out(0).getDouble(2) == 0.948683,
+      s"rho = ${out(0).getDouble(2)}, want 0.948683")
+  }
+
+  test("McNemar: planted discordant pairs pin b, c and both chi2 forms") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_mcnemar").toString
+    // span 01..11 -> mid = 06; pairs: u1,u2 (1,0); u3 (0,1); u4 (1,1);
+    // u5 (0,0) -> b=2, c=1, chi2 = 1/3, cc = 0/3
+    def e(id: Long, d: Int, u: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"),
+        u, t, 1.0, "{}")
+    val rows = Seq(
+      e(1, 1, 9L, "view"), e(2, 11, 9L, "view"), // pin the span
+      e(3, 2, 1L, "click"), e(4, 3, 2L, "click"),
+      e(5, 8, 3L, "click"),
+      e(6, 2, 4L, "click"), e(7, 9, 4L, "click"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.mcnemar(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L,
+      s"(b,c) = (${r.getLong(0)},${r.getLong(1)}), want (2,1)")
+    assert(r.getDouble(2) == 0.333333 && r.getDouble(3) == 0.0)
+  }
+
   test("weighted median: planted histograms pin the half-weight cut " +
       "and the even-split lower-median tie rule") {
     import spark.implicits._
