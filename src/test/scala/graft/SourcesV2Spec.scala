@@ -346,6 +346,44 @@ class SourcesV2Spec extends SparkSpec {
       Seq("part-x-00000.tsv", "part-y-00000.tsv"))
   }
 
+  test("dsv2 sink concurrency: two REAL Spark write jobs racing into " +
+      "one directory both commit, content is the exact union") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_race2").toString
+    // the full DSv2 path (tasks -> temps -> renames -> snapshot CAS)
+    // from two driver threads at once, several rounds to give the
+    // generation race real chances to fire
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = (0 until 5).foreach { i =>
+          val base = (t * 5 + i) * 1000L
+          (base + 1 to base + 100).map(j => (j, j))
+            .toDF("doc_id", "n_chars").repartition(2)
+            .write.format("graft.sources.v2.GraftSinkSource")
+            .option("path", dir).mode("append").save()
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    assert(GraftSink.versions(dir) == (1 to 10),
+      s"10 jobs must win 10 generations, got ${GraftSink.versions(dir)}")
+    val got = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = (0 until 10).flatMap { k =>
+      (k * 1000L + 1 to k * 1000L + 100).map(j => (j, j)) }.sorted
+    assert(got == want, "concurrent jobs lost or duplicated rows")
+    // no stray temps survive the races
+    val stray = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp-"))
+    assert(stray.isEmpty, s"leftover temps: ${stray.toSeq}")
+  }
+
   test("dsv2 sink txn: a replayed epoch commit is skipped — " +
       "exactly-once under duplicate delivery, parts cleaned up") {
     import graft.sources.v2.GraftSink
