@@ -646,11 +646,14 @@ object Formats {
   def sinkCompactReport(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = writeTwoGenerations(spark, sfDir, "graft_sink_compact")
-    graft.sources.v2.GraftSink.compact(spark, dir,
+    val (_, _, gen) = graft.sources.v2.GraftSink.compact(spark, dir,
       targetRows = Long.MaxValue, TwoGenSchema)
+    // the gate pins the generation compact() actually COMMITTED (a
+    // silent no-op would surface as generation 2 and hash-fail)
     graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
       .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
-      .select(lit(3L).as("generation"), col("n_rows"), col("sum_chars"))
+      .select(lit(gen.toLong).as("generation"), col("n_rows"),
+        col("sum_chars"))
   }
 
   /** MERGE (upsert) on the sink (`q_sink_merge`): the full document

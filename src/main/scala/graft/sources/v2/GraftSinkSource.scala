@@ -215,11 +215,23 @@ object GraftSink {
     val h = beforePublish.getAndSet(null)
     if (h != null) h.run()
     val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    // CONTENT-atomic claim: the snapshot's bytes land in a hidden temp
+    // first, then createLink atomically materializes the final name —
+    // it fails with FileAlreadyExistsException if another committer
+    // won, and a reader can never observe a created-but-unwritten or
+    // truncated snapshot (the torn-manifest hole a plain
+    // CREATE_NEW-then-write would open: head() would serve the empty
+    // file as committed truth and a retrying loser would merge onto
+    // it, silently dropping the winner's files).
+    val tmp = Paths.get(path,
+      s".$VersionPrefix$gen-claim-${java.util.UUID.randomUUID().toString.substring(0, 8)}")
+    Files.write(tmp, bytes, StandardOpenOption.CREATE_NEW,
+      StandardOpenOption.WRITE)
     try {
-      Files.write(Paths.get(path, s"$VersionPrefix$gen"), bytes,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      Files.createLink(Paths.get(path, s"$VersionPrefix$gen"), tmp)
       true
     } catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Refresh the advisory live `_MANIFEST` pointer to the newest
@@ -242,7 +254,10 @@ object GraftSink {
   /** APPEND-commit `entries` (manifest data lines for already-renamed
     * final part files) on top of whatever head exists at publish
     * time, retrying on contention — appends commute, so the final
-    * state equals a serial order regardless of interleaving.
+    * state equals a serial order regardless of interleaving. (The
+    * reference applies the same detect-and-reissue discipline to
+    * failed WORKERS — schedule.go:44's failChannel requeue; here the
+    * contended resource is the commit slot instead of the worker.)
     *
     * `txn` is an idempotency key: the commit also writes a
     * `#txn<TAB>id` marker line, and a later commit carrying an id the
@@ -285,6 +300,16 @@ object GraftSink {
   def commitReplace(path: String, lines: Seq[String],
       expectedParent: Int): Int = {
     val gen = expectedParent + 1
+    // the CAS must verify the head really is the expected parent, not
+    // merely that the target number is unclaimed: after retention
+    // expiry deleted _MANIFEST.v<gen>, a stale replacer could
+    // otherwise "win" a generation BELOW the live head — reported as
+    // committed, invisible to every head() read
+    val cur = versions(path).lastOption.getOrElse(0)
+    if (cur != expectedParent)
+      throw new java.util.ConcurrentModificationException(
+        s"head moved: expected generation $expectedParent under $path, " +
+          s"found $cur; recompute the replace against the new head")
     if (!publish(path, gen, lines.sorted))
       throw new java.util.ConcurrentModificationException(
         s"generation $gen was committed concurrently under $path; " +
@@ -575,9 +600,12 @@ object GraftSink {
 
   /** DESCRIBE HISTORY: one row per retained generation, computed from
     * the manifests alone (no data file opens) — generation number,
-    * rows listed, rows added/removed vs the parent generation, files
-    * listed, and txn markers carried. The observability surface every
-    * audit of an append/delete/compact/merge trail starts from.
+    * rows listed, rows added/removed vs the parent generation (NULL
+    * for the oldest retained generation when its parent was expired:
+    * attributing its whole content as an append would falsify the
+    * audit trail), files listed, and txn markers carried. The
+    * observability surface every audit of an
+    * append/delete/compact/merge trail starts from.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     val vs = versions(path)
@@ -589,14 +617,21 @@ object GraftSink {
     }
     val out = rows.zipWithIndex.map { case ((g, lines), i) =>
       val cur = dataLines(lines)
-      val prev = if (i == 0) Seq.empty
-        else dataLines(rows(i - 1)._2)
-      val prevSet = prev.map(fileOf).toSet
+      // deltas are only knowable against a PRESENT parent: gen 1's
+      // parent is the empty store; an expired parent means unknown
+      val prev: Option[Seq[String]] =
+        if (i > 0) Some(dataLines(rows(i - 1)._2))
+        else if (g == 1) Some(Seq.empty)
+        else None
       val curSet = cur.map(fileOf).toSet
-      val addedRows = cur.filterNot(e => prevSet(fileOf(e)))
-        .map(_.split("\t")(1).toLong).sum
-      val removedRows = prev.filterNot(e => curSet(fileOf(e)))
-        .map(_.split("\t")(1).toLong).sum
+      val addedRows = prev.map { pr =>
+        val prevSet = pr.map(fileOf).toSet
+        cur.filterNot(e => prevSet(fileOf(e)))
+          .map(_.split("\t")(1).toLong).sum
+      }
+      val removedRows = prev.map(
+        _.filterNot(e => curSet(fileOf(e)))
+          .map(_.split("\t")(1).toLong).sum)
       (g.toLong, rowsOf(lines), addedRows, removedRows,
         cur.size.toLong, lines.count(_.startsWith("#")).toLong)
     }
@@ -613,11 +648,18 @@ object GraftSink {
     * retained snapshot's file list — with copy-on-write deletes the
     * head is no longer a superset of older generations, so vacuum
     * must protect everything any surviving as-of read can ask for
-    * (expired generations fail loudly at read time instead). Returns
-    * (data files deleted, generation manifests expired).
+    * (expired generations fail loudly at read time instead).
+    *
+    * CONCURRENT WRITERS: an in-flight commit's files (renamed parts
+    * and task temps) are unreferenced until its snapshot publishes,
+    * so a concurrent vacuum could destroy them. `minAgeMs` is the
+    * Delta/Iceberg answer — only unreferenced files OLDER than the
+    * horizon are deleted; run vacuum with a horizon comfortably above
+    * the longest job duration (tests use 0 on quiesced directories).
+    * Returns (data files deleted, generation manifests expired).
     */
-  def vacuum(path: String, keepGenerations: Int = Int.MaxValue)
-      : (Int, Int) = {
+  def vacuum(path: String, keepGenerations: Int = Int.MaxValue,
+      minAgeMs: Long = 0L): (Int, Int) = {
     // the latest snapshot must always survive: generation numbers
     // derive from the newest retained snapshot, so expiring ALL of
     // them would let a later commit REUSE an expired number with
@@ -639,13 +681,15 @@ object GraftSink {
       else dataLines(readLines(live))).map(fileOf).toSet
     var dataDeleted = 0
     var manifestsExpired = 0
+    val horizon = System.currentTimeMillis() - minAgeMs
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq.foreach { p =>
       p.getFileName.toString match {
         case ManifestName => ()
         case GenName(g) =>
           if (expire(g.toInt)) { Files.delete(p); manifestsExpired += 1 }
-        case name if !referenced(name) =>
+        case name if !referenced(name)
+            && Files.getLastModifiedTime(p).toMillis <= horizon =>
           Files.delete(p); dataDeleted += 1
         case _ => ()
       }
@@ -743,7 +787,14 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
       val get: InternalRow => String = f.dataType match {
         case LongType => r => r.getLong(i).toString
         case IntegerType => r => r.getInt(i).toString
-        case DoubleType => r => r.getDouble(i).toString
+        case DoubleType => r => {
+          // the CSV read-back parses "NaN"/"Inf"/"-Inf" by default;
+          // Double.toString's "Infinity" would silently null out
+          val d = r.getDouble(i)
+          if (d == Double.PositiveInfinity) "Inf"
+          else if (d == Double.NegativeInfinity) "-Inf"
+          else d.toString
+        }
         case StringType => r => {
           val s = r.getUTF8String(i).toString
           // CR matters too: the CSV read-back treats a bare \r as a
@@ -775,8 +826,16 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
           java.math.BigDecimal.valueOf(r.getLong(i))
         case IntegerType => (r: InternalRow) =>
           java.math.BigDecimal.valueOf(r.getInt(i).toLong)
-        case DoubleType => (r: InternalRow) =>
-          java.math.BigDecimal.valueOf(r.getDouble(i))
+        case DoubleType => (r: InternalRow) => {
+          // NaN never satisfies a BETWEEN and ±Inf sits outside any
+          // finite window, so excluding non-finite values from the
+          // min/max keeps range pruning SOUND — and BigDecimal.valueOf
+          // would throw on them, killing the write task
+          val d = r.getDouble(i)
+          if (java.lang.Double.isFinite(d))
+            java.math.BigDecimal.valueOf(d)
+          else null
+        }
         case d: DecimalType => (r: InternalRow) =>
           r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
         case _ => null
@@ -798,8 +857,10 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
       sb.append(fieldOf(i)(row))
       if (numOf(i) != null) {
         val v = numOf(i)(row)
-        if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v
-        if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v
+        if (v != null) {
+          if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v
+        }
       }
       i += 1
     }

@@ -690,6 +690,57 @@ class SourcesV2Spec extends SparkSpec {
       rows.filter(_._2 <= 120).toSet)
   }
 
+  test("dsv2 sink hardening: retention-age vacuum guard, below-head " +
+      "replace rejection, expired-parent history nulls, non-finite " +
+      "doubles write and round-trip") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val dir = graft.TempDirs.create("graft_sink_hard").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("v", DoubleType)))
+    // non-finite doubles: the write must succeed (stats skip them —
+    // sound for range pruning) and NaN/±Inf must round-trip the TSV
+    Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+        (4L, Double.NegativeInfinity), (5L, 4.5))
+      .toDF("doc_id", "v").coalesce(1)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val back = GraftSink.readBack(spark, dir, schema)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(back(2L).isNaN && back(3L).isPosInfinity
+      && back(4L).isNegInfinity && back(1L) == 1.5 && back(5L) == 4.5)
+    // stats tracked only the finite values, so a window covering them
+    // keeps the file and the filter still excludes the non-finite rows
+    val st = GraftSink.head(dir)._2.filterNot(_.startsWith("#"))
+      .map(GraftSink.statsOf).head
+    assert(st("v") == ((BigDecimal(1.5), BigDecimal(4.5))),
+      s"stats must span only the finite values, got ${st("v")}")
+    // a young unreferenced stray survives an age-guarded vacuum and
+    // falls to an immediate one
+    Files.write(Paths.get(dir, "part-stray.tsv"), "9\t9.0\n".getBytes)
+    assert(GraftSink.vacuum(dir, minAgeMs = 3600L * 1000)._1 == 0,
+      "age guard must protect a young unreferenced file")
+    assert(GraftSink.vacuum(dir)._1 == 1)
+    // below-head replace after retention expiry is rejected loudly
+    GraftSink.commitAppend(dir, Seq("part-g2-00000.tsv\t0"))
+    GraftSink.commitAppend(dir, Seq("part-g3-00000.tsv\t0"))
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftSink.commitReplace(dir, Seq("part-evil.tsv\t0"),
+        expectedParent = 1)
+    }
+    assert(GraftSink.versions(dir) == Seq(3),
+      "the stale replace must not publish anything")
+    // history after expiry: the oldest retained generation's deltas
+    // are NULL, never misattributed as one giant append
+    val h = GraftSink.history(spark, dir).collect()
+    assert(h.length == 1 && h(0).getLong(0) == 3L)
+    assert(h(0).isNullAt(2) && h(0).isNullAt(3),
+      "expired-parent deltas must be null")
+  }
+
   test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
       "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
     import graft.sources.v2.GraftSink
