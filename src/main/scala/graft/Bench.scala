@@ -102,7 +102,9 @@ object Bench {
     }
     val floor: Map[String, Double] = names.map { n =>
       val cur = byName(n)
-      val old = prevFloor.getOrElse(n, Double.MaxValue)
+      // a recorded -1 means "failed that run" — treat as absent, or a
+      // one-off environment failure would poison the floor forever
+      val old = prevFloor.get(n).filter(_ >= 0).getOrElse(Double.MaxValue)
       n -> (if (cur < 0) (if (old == Double.MaxValue) -1.0 else old)
         else math.min(cur, old))
     }.toMap

@@ -210,6 +210,7 @@ object SparkEntry {
     "q_ipw_ate" -> ((s, d) => Stats.ipwAte(s, d)),
     "q_spearman" -> ((s, d) => Stats.spearman(s, d)),
     "q_mcnemar" -> ((s, d) => Stats.mcnemar(s, d)),
+    "q_partial_corr" -> ((s, d) => Stats.partialCorr(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -1993,6 +1994,63 @@ object SparkEntry {
         |        * (CAST(n0 AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)), 6)
         |  END AS rho
         |FROM m""".stripMargin,
+    // partial correlation: one exact-BIGINT moment pass, three
+    // pairwise r's and the r_xy.z composition as one shared IEEE dag
+    "q_partial_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |wz AS (
+        |  SELECT event_type, x, y,
+        |    CAST(date_diff('day',
+        |      min(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS z
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz,
+        |    CAST(sum(y * z) AS BIGINT) AS syz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz
+        |  FROM wz GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, n0,
+        |    CASE WHEN CAST(n0 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |          AND CAST(n0 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |      THEN (CAST(n0 AS DOUBLE) * sxy
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / sqrt((CAST(n0 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |          * (CAST(n0 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |    END AS rxy,
+        |    CASE WHEN CAST(n0 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |          AND CAST(n0 AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz > 0
+        |      THEN (CAST(n0 AS DOUBLE) * sxz
+        |          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |        / sqrt((CAST(n0 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |          * (CAST(n0 AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+        |    END AS rxz,
+        |    CASE WHEN CAST(n0 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |          AND CAST(n0 AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz > 0
+        |      THEN (CAST(n0 AS DOUBLE) * syz
+        |          - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |        / sqrt((CAST(n0 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+        |          * (CAST(n0 AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+        |    END AS ryz
+        |  FROM m)
+        |SELECT event_type, n0 AS n_days,
+        |  round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  CASE WHEN rxz IS NOT NULL AND ryz IS NOT NULL
+        |        AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+        |    THEN round((rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |  END AS r_xy_z
+        |FROM r""".stripMargin,
     // McNemar: only the discordant per-user (before, after) click
     // pairs matter; chi2 = (b-c)^2/(b+c) in exact integers + one IEEE
     "q_mcnemar" ->

@@ -2927,6 +2927,60 @@ object Stats {
         round(num / sqrt(du * dv), 6)).as("rho"))
   }
 
+  /** Partial correlation (`q_partial_corr`) between daily volume and
+    * daily revenue CONTROLLING for the time trend — the confounder
+    * check plain correlation can't make: two series that both grow
+    * over the window correlate spuriously, and r_xy·z removes the
+    * shared drift (z = day index). All three pairwise r's come from
+    * ONE exact-BIGINT moment pass (counts, cents, day offsets — the
+    * q_spearman integer discipline), the partial is one shared IEEE
+    * dag; degenerate variances and |r| = 1 controls null-guarded.
+    */
+  def partialCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("value").cast(d182)) * 100).cast("long").as("y"))
+    val withZ = daily
+      .withColumn("z",
+        datediff(col("day"),
+          min(col("day")).over(Window.partitionBy("event_type")))
+          .cast("long"))
+    val m = withZ.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"))
+    val n = col("n0").cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column): Column = {
+      val num = n * sab.cast("double") -
+        sa.cast("double") * sb.cast("double")
+      val da = n * saa.cast("double") - sa.cast("double") * sa.cast("double")
+      val db = n * sbb.cast("double") - sb.cast("double") * sb.cast("double")
+      when(da > 0.0 && db > 0.0, num / sqrt(da * db))
+    }
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    m.select(col("event_type"), col("n0").as("n_days"),
+      round(rxy, 6).as("r_xy"),
+      round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      when(rxz.isNotNull && ryz.isNotNull
+          && (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz) > 0.0,
+        round((rxy - rxz * ryz)
+          / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6))
+        .as("r_xy_z"))
+  }
+
   /** McNemar's test (`q_mcnemar`) for paired binary outcomes — did
     * per-user click behavior CHANGE between the observation window's
     * halves (the before/after design chi-square independence cannot

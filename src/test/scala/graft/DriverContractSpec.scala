@@ -19,6 +19,24 @@ class DriverContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("the rows-only set is EXACTLY the declared no-oracle keys — " +
+      "an accidentally dropped oracle cannot silently weaken a gate") {
+    val declared = Set(
+      // sketch/hash internals DuckDB cannot reproduce
+      "agg_welford", "q_approx_distinct", "text_compression",
+      // SRP/PQ/Lloyd/IRLS families (recall/accuracy floors spec-pinned)
+      "ann_ivfpq", "ann_persisted_pq", "ann_pq", "dedup_semantic",
+      "q_embed_kmeans", "q_embed_pca", "q_linear_probe",
+      "q_probe_mislabel", "stream_kmeans",
+      // data-adaptive stopping (round count not a fixed unroll; the
+      // fixed-round twins gate the trajectories)
+      "q_hits_converged", "q_pagerank_converged")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == declared,
+      s"undeclared rows-only keys: ${actual -- declared}; " +
+        s"stale declarations: ${declared -- actual}")
+  }
+
   test("SURVEY §2 tables list exactly the registered query keys " +
       "(coverage checklist cannot drift from the registry)") {
     val lines = scala.io.Source.fromFile("SURVEY.md")("UTF-8")

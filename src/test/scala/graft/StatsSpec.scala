@@ -1090,6 +1090,52 @@ class StatsSpec extends SparkSpec {
       s"rho = ${out(0).getDouble(2)}, want 0.948683")
   }
 
+  test("partial correlation: a planted shared-trend pair collapses " +
+      "under the z-control, and a pure trend null-guards") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_pcorr").toString
+    var id = 0L
+    // type 'shared': x and y BOTH ride the day trend plus independent
+    // parity wiggles — raw r_xy is high only through z; type 'pure':
+    // x IS the trend (r_xz = 1 -> the partial must null-guard)
+    def burst(d: Int, n: Int, typ: String, v: Double) =
+      (1 to n).map { j => id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"),
+          1L, typ, if (j == 1) v else 0.0, "{}")
+      }
+    val rows = (1 to 8).flatMap(d =>
+      burst(d, d + (d % 2), "shared", (d * 10 + ((d / 2) % 2)).toDouble)) ++
+      (1 to 8).flatMap(d => burst(d, d, "pure", (d * 10).toDouble))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.partialCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // 'pure': x = d exactly -> r_xz = 1, (1 - r_xz^2) = 0 -> guarded
+    assert(out("pure").getDouble(3) == 1.0 && out("pure").isNullAt(5),
+      "a perfect trend control must null-guard the partial")
+    // 'shared': replay the dag from the same integer moments in Scala
+    val xs = (1 to 8).map(d => (d + d % 2).toDouble)
+    val ys = (1 to 8).map(d => (d * 10 + ((d / 2) % 2)) * 100.0)
+    val zs = (0 to 7).map(_.toDouble)
+    def r(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val num = n * a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum
+      val da = n * a.map(v => v * v).sum - a.sum * a.sum
+      val db = n * b.map(v => v * v).sum - b.sum * b.sum
+      num / math.sqrt(da * db)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (rxy, rxz, ryz) = (r(xs, ys), r(xs, zs), r(ys, zs))
+    val want = r6((rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+    assert(out("shared").getDouble(5) == want,
+      s"partial = ${out("shared").getDouble(5)}, replay says $want")
+    // and the control genuinely matters: raw r_xy far from partial
+    assert(math.abs(out("shared").getDouble(2) - want) > 0.2,
+      "the planted pair should decorrelate once the trend is removed")
+  }
+
   test("McNemar: planted discordant pairs pin b, c and both chi2 forms") {
     import spark.implicits._
     val dir = TempDirs.create("graft_mcnemar").toString
