@@ -741,6 +741,35 @@ class SourcesV2Spec extends SparkSpec {
       "expired-parent deltas must be null")
   }
 
+  test("dsv2 sink txn x maintenance: the idempotence ledger survives " +
+      "compaction — a replayed epoch still publishes nothing") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_txncpt").toString
+    def write(rows: Seq[(Long, Long)], txn: String): Unit =
+      rows.toDF("doc_id", "n_chars").repartition(2)
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).option("txn", txn).mode("append").save()
+    write((1L to 50L).map(i => (i, i)), "epoch-0")
+    write((51L to 100L).map(i => (i, i)), "epoch-1")
+    // the maintenance rewrite must CARRY the txn marker lines — they
+    // are the exactly-once ledger, not file entries
+    GraftSink.compact(spark, dir, targetRows = 1000L, schema)
+    val head = GraftSink.head(dir)._2
+    assert(head.count(_.startsWith("#txn")) == 2,
+      s"compact dropped txn markers: $head")
+    // a post-compaction replay of either epoch publishes nothing
+    val gen = GraftSink.versions(dir).max
+    write((1L to 50L).map(i => (i, i)), "epoch-0")
+    write((51L to 100L).map(i => (i, i)), "epoch-1")
+    assert(GraftSink.versions(dir).max == gen,
+      "replayed epochs committed after compaction")
+    assert(GraftSink.readBack(spark, dir, schema).count() == 100)
+  }
+
   test("dsv2 sink delete: copy-on-write rewrites only matching files, " +
       "time travel keeps the pre-delete snapshot, vacuum reclaims it") {
     import graft.sources.v2.GraftSink
