@@ -211,6 +211,8 @@ object SparkEntry {
     "q_spearman" -> ((s, d) => Stats.spearman(s, d)),
     "q_mcnemar" -> ((s, d) => Stats.mcnemar(s, d)),
     "q_partial_corr" -> ((s, d) => Stats.partialCorr(s, d)),
+    "q_cohort_ltv" -> ((s, d) => Relational.cohortLtv(s, d)),
+    "q_interarrival" -> ((s, d) => Relational.interarrival(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -1994,6 +1996,44 @@ object SparkEntry {
         |        * (CAST(n0 AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)), 6)
         |  END AS rho
         |FROM m""".stripMargin,
+    // LTV triangle: integer epoch-week index, exact decimal cents,
+    // the cumulative a window over the bounded (cohort x age) frame
+    "q_cohort_ltv" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) // 7 AS m,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(m) AS cohort_m FROM p GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort_m, p.m - f.cohort_m AS age,
+        |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |    CAST(sum(v) * 100 AS BIGINT) AS rev_cents
+        |  FROM p JOIN f ON p.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_m, age, n_users, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM cells""".stripMargin,
+    // inter-purchase day gaps over DISTINCT purchase days, share in
+    // half-up integer micro-units (non-negative numerator)
+    "q_interarrival" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |gaps AS (
+        |  SELECT CAST(date_diff('day',
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day), day)
+        |    AS BIGINT) AS gap_days
+        |  FROM days),
+        |g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+        |t AS (SELECT count(*) AS n_total FROM g)
+        |SELECT gap_days, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  (2 * (count(*) * 1000000) + n_total) // (2 * n_total)
+        |    AS share_micro
+        |FROM g, t GROUP BY gap_days, n_total""".stripMargin,
     // partial correlation: one exact-BIGINT moment pass, three
     // pairwise r's and the r_xy.z composition as one shared IEEE dag
     "q_partial_corr" ->

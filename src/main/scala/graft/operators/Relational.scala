@@ -2310,6 +2310,68 @@ object Relational {
     * Scores exist only for nodes on edges (an unsold part has no
     * authority to rank).
     */
+  /** Cohort LTV triangle (`q_cohort_ltv`) — the revenue companion to
+    * `q_cohort`'s retention triangle: users grouped by first-purchase
+    * WEEK (the corpus spans ~a month, so weekly cohorts give a real
+    * triangle), revenue accumulated per cohort-age, and the running
+    * CUMULATIVE LTV per cohort (the curve a growth team actually
+    * projects from). Week index kept as the exact integer epoch-day
+    * div 7 so ages are integer subtraction, revenue in exact decimal
+    * cents, the cumulative a window sum over the bounded
+    * (cohort × age) triangle — nothing floating anywhere.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        // epoch-week: non-negative post-1970, so div ≡ DuckDB //
+        expr("CAST(datediff(to_date(date_trunc('DAY', ts)), " +
+          "DATE '1970-01-01') AS BIGINT) div 7").as("m"),
+        col("value").cast(d182).as("v"))
+    val firstM = purchases.groupBy("user_id")
+      .agg(min(col("m")).as("cohort_m"))
+    val cells = purchases.join(firstM, "user_id")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        (sum(col("v")) * 100).cast("long").as("rev_cents"))
+    val w = Window.partitionBy("cohort_m").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_m"), col("age"), col("n_users"),
+        col("rev_cents"), col("cum_rev_cents"))
+  }
+
+  /** Inter-purchase gap distribution (`q_interarrival`) — the
+    * inter-arrival histogram behind churn/replenishment models: per
+    * user the day gaps between consecutive purchase DAYS (distinct
+    * days, so a burst counts once), then the corpus-wide gap
+    * histogram with the share in integer micro-units (half-up on a
+    * non-negative numerator — the shared idiom's precondition). One
+    * window pass + one bounded-domain groupBy (gaps ≤ the window
+    * span in days).
+    */
+  def interarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val gaps = days
+      .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)))
+      .filter(col("gap").isNotNull)
+      .select(col("gap").cast("long").as("gap_days"))
+      .localCheckpoint() // consumed twice: cells + the 1-row total
+    val tot = gaps.agg(count(lit(1)).as("n_total"))
+    gaps.groupBy("gap_days")
+      .agg(count(lit(1)).as("n_gaps"))
+      .crossJoin(broadcast(tot))
+      .select(col("gap_days"), col("n_gaps"),
+        expr("(2 * (n_gaps * 1000000) + n_total) div (2 * n_total)")
+          .as("share_micro"))
+  }
+
   def hitsScores(spark: SparkSession, sfDir: String): DataFrame =
     hitsRun(spark, sfDir, maxRounds = 2, eps = None)._1
 

@@ -777,6 +777,52 @@ class RelationalExtSpec extends SparkSpec {
       "2024-02-02" -> ((1L, 1L, 0L, 1.0, 0.0))))
   }
 
+  test("cohort LTV: a planted two-cohort store pins cells, cumulative " +
+      "telescoping, and distinct-user counting") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ltv").toString
+    // cohort A (week of Jan 1): u1 buys w0 (1.00+2.00) and w1 (4.00);
+    // cohort B (week of Jan 8): u2 buys w1 (8.00)
+    Seq(
+      (1L, "2024-01-01 08:00:00", 1L, 1.00),
+      (2L, "2024-01-02 08:00:00", 1L, 2.00),
+      (3L, "2024-01-08 08:00:00", 1L, 4.00),
+      (4L, "2024-01-08 09:00:00", 2L, 8.00))
+      .map { case (e, ts, u, v) =>
+        (e, java.sql.Timestamp.valueOf(ts), u, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.cohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val weekA = out.keys.map(_._1).min
+    assert(out(weekA -> 0L) == ((1L, 300L, 300L)))
+    assert(out(weekA -> 1L) == ((1L, 400L, 700L)),
+      "cumulative must telescope within the cohort")
+    assert(out((weekA + 1) -> 0L) == ((1L, 800L, 800L)))
+    assert(out.size == 3)
+  }
+
+  test("interarrival: same-day bursts collapse, gaps and micro-shares " +
+      "replay exactly") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_gap").toString
+    // u1: days 1, 1(burst), 3, 10 -> gaps 2, 7; u2: days 1, 3 -> gap 2
+    Seq((1L, 1), (2L, 1), (3L, 3), (4L, 10))
+      .map { case (e, d) => (e, java.sql.Timestamp.valueOf(
+        f"2024-01-$d%02d 08:00:00"), 1L, "purchase", 1.0, "{}") } ++
+      Seq((5L, 1), (6L, 3)).map { case (e, d) =>
+        (e, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"),
+          2L, "purchase", 1.0, "{}") } match { case rows =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val out = Relational.interarrival(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 3 gaps total: two 2-day (share 2/3 -> 666667 half-up), one 7-day
+    assert(out == Map(2L -> ((2L, 666667L)), 7L -> ((1L, 333333L))))
+  }
+
   test("HITS converged: the stop test fires where the independent " +
       "fixed unrolls measure an L1 step within eps, and mass stays 1") {
     val eps = 1e-6
