@@ -77,6 +77,19 @@ class GraftSinkSource extends TableProvider {
 }
 
 object GraftSink {
+  /** SCALE CEILING, stated honestly: the design keeps ONE manifest
+    * line per data file, read whole on the driver — right-sized files
+    * (see [[compact]]) put a 100 TB table at 10⁴–10⁵ entries, a
+    * few-MB manifest and driver maps to match; the maintenance ops'
+    * "one row per live file" driver reads are bounded by the same
+    * number. Past that, the evolution path is the one Delta/Iceberg
+    * took — manifest LISTS (a manifest of manifests, partition-
+    * sharded) — which changes only [[head]]/[[readFiles]] plumbing,
+    * not the commit protocol: the create-if-absent snapshot claim,
+    * the CAS replace, the txn ledger, and the zonemap entries all
+    * carry over per shard.
+    */
+
   /** The sink table's declared schema: a per-(user, event_type)
     * rollup — every field TSV-safe.
     */
