@@ -213,6 +213,10 @@ object SparkEntry {
     "q_partial_corr" -> ((s, d) => Stats.partialCorr(s, d)),
     "q_cohort_ltv" -> ((s, d) => Relational.cohortLtv(s, d)),
     "q_interarrival" -> ((s, d) => Relational.interarrival(s, d)),
+    "q_rolling_corr" -> ((s, d) => Stats.rollingCorr(s, d)),
+    "q_hhi" -> ((s, d) => Stats.hhi(s, d)),
+    "q_new_vs_returning" -> ((s, d) => Relational.newVsReturning(s, d)),
+    "q_pareto" -> ((s, d) => Relational.pareto(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -1996,6 +2000,95 @@ object SparkEntry {
         |        * (CAST(n0 AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)), 6)
         |  END AS rho
         |FROM m""".stripMargin,
+    // 7-day rolling correlation: five cumulative BIGINT moment
+    // windows, per-day r one shared IEEE dag, guarded under a full
+    // window and on zero variance
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, x, y,
+        |    CAST(count(*) OVER w AS BIGINT) AS n7,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x, y,
+        |  CASE WHEN n7 = 7
+        |      AND CAST(n7 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        |      AND CAST(n7 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+        |    THEN round((CAST(n7 AS DOUBLE) * sxy
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n7 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(n7 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS r7
+        |FROM m""".stripMargin,
+    // HHI: per-segment micro shares (half-up) + the overall index as
+    // exact BIGINT sums with one final IEEE division
+    "q_hhi" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot,
+        |    CAST(sum(rev_cents * rev_cents) AS BIGINT) AS sq
+        |  FROM seg)
+        |SELECT segment, rev_cents,
+        |  (2 * (rev_cents * 1000000) + tot) // (2 * tot) AS share_micro
+        |FROM seg, t
+        |UNION ALL
+        |SELECT '__overall', tot,
+        |  CAST(round(round(CAST(sq AS DOUBLE)
+        |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+        |    * 1000000, 0) AS BIGINT)
+        |FROM t""".stripMargin,
+    // daily new vs returning: first-seen day per user, conditional
+    // rollup over distinct (user, day) activity
+    "q_new_vs_returning" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |wf AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM act)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS returning_users
+        |FROM wf GROUP BY day""".stripMargin,
+    // Pareto: top ceil(n/5) purchasers' revenue share, id tiebreak so
+    // the rank boundary is deterministic, half-up micro share
+    "q_pareto" ->
+      """WITH rev AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |rk AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, user_id) AS rnk
+        |  FROM rev),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM rev)
+        |SELECT n_users, CAST(count(*) AS BIGINT) AS top_k,
+        |  CAST(sum(cents) AS BIGINT) AS top_cents, total_cents,
+        |  (2 * (CAST(sum(cents) AS BIGINT) * 1000000) + total_cents)
+        |    // (2 * total_cents) AS share_micro
+        |FROM rk, t WHERE rnk <= (n_users + 4) // 5
+        |GROUP BY n_users, total_cents""".stripMargin,
     // LTV triangle: integer epoch-week index, exact decimal cents,
     // the cumulative a window over the bounded (cohort x age) frame
     "q_cohort_ltv" ->

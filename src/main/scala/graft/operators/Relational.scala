@@ -2310,6 +2310,58 @@ object Relational {
     * Scores exist only for nodes on edges (an unsold part has no
     * authority to rank).
     */
+  /** Daily NEW vs RETURNING split (`q_new_vs_returning`) — the growth
+    * dashboard's first row: each active day a user is either brand
+    * new (this is their first-seen day) or returning. One distinct
+    * (user, day) activity pass, first-seen day as a min-window, then
+    * a conditional rollup — exact integers end-to-end, two shuffles.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .distinct()
+    val withFirst = act.withColumn("first_day",
+      min(col("day")).over(Window.partitionBy("user_id")))
+    withFirst.groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("returning_users"))
+  }
+
+  /** Pareto concentration (`q_pareto`) — what share of revenue the
+    * top 20% of purchasers carry (the 80/20 check): users ranked by
+    * exact cent totals (id tiebreak so the boundary is deterministic
+    * in both engines), cutoff k = ⌈n/5⌉ by integer arithmetic, the
+    * top-k share in half-up integer micro-units. One rollup + one
+    * rank window + two bounded 1-row aggregates.
+    */
+  def pareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val rev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg((sum(col("value").cast(d182)) * 100).cast("long")
+        .as("cents"))
+    val ranked = rev.withColumn("rnk",
+      row_number().over(
+        Window.orderBy(col("cents").desc, col("user_id"))))
+    val tot = rev.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).as("total_cents"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rnk") <= expr("(n_users + 4) div 5"))
+      .groupBy(col("n_users"), col("total_cents"))
+      .agg(count(lit(1)).as("top_k"), sum(col("cents")).as("top_cents"))
+      .select(col("n_users"), col("top_k"), col("top_cents"),
+        col("total_cents"),
+        expr("(2 * (top_cents * 1000000) + total_cents) " +
+          "div (2 * total_cents)").as("share_micro"))
+  }
+
   /** Cohort LTV triangle (`q_cohort_ltv`) — the revenue companion to
     * `q_cohort`'s retention triangle: users grouped by first-purchase
     * WEEK (the corpus spans ~a month, so weekly cohorts give a real

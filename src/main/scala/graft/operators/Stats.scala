@@ -2927,6 +2927,76 @@ object Stats {
         round(num / sqrt(du * dv), 6)).as("rho"))
   }
 
+  /** 7-day ROLLING correlation (`q_rolling_corr`) between daily
+    * volume and revenue per type — the stability monitor a point
+    * correlation can't give (a relationship that holds on average
+    * can invert for a week). Per-row products of exact integers
+    * (counts × cents) feed five cumulative-window BIGINT moments;
+    * each day's r is one shared IEEE dag over its own trailing
+    * 7 rows, guarded below a full window and on zero variance.
+    */
+  def rollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("value").cast(d182)) * 100).cast("long").as("y"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    val m = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sx", sum(col("x")).over(w7))
+      .withColumn("sy", sum(col("y")).over(w7))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w7))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w7))
+      .withColumn("syy", sum(col("y") * col("y")).over(w7))
+    val n = col("n7").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("x"), col("y"),
+      when(col("n7") === 7 && dx > 0.0 && dy > 0.0,
+        round(num / sqrt(dx * dy), 6)).as("r7"))
+  }
+
+  /** Revenue concentration (`q_hhi`) — the Herfindahl–Hirschman index
+    * over market segments: per-segment shares in half-up integer
+    * micro-units, the index itself Σ revᵢ² / (Σ rev)² with BOTH sums
+    * exact BIGINTs and ONE final IEEE division — the
+    * antitrust-grade concentration number plus the share table it
+    * summarizes, bit-identical in both engines.
+    */
+  def hhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val seg = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg((sum(col("value").cast(d182)) * 100).cast("long")
+        .as("rev_cents"))
+      .localCheckpoint() // consumed twice: shares + the 1-row totals
+    val tot = seg.agg(sum(col("rev_cents")).as("tot"),
+      sum(col("rev_cents") * col("rev_cents")).as("sq"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("rev_cents"),
+        expr("(2 * (rev_cents * 1000000) + tot) div (2 * tot)")
+          .as("share_micro"))
+      .unionByName(tot.select(lit("__overall").as("segment"),
+        col("tot").as("rev_cents"),
+        // round(,6)·1e6 is integer-valued but carries float epsilon —
+        // re-round at 0 before the cast or truncation flips the lsd
+        round(round(col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6)
+          * 1000000, 0).cast("long").as("share_micro")))
+  }
+
   /** Partial correlation (`q_partial_corr`) between daily volume and
     * daily revenue CONTROLLING for the time trend — the confounder
     * check plain correlation can't make: two series that both grow

@@ -823,6 +823,41 @@ class RelationalExtSpec extends SparkSpec {
     assert(out == Map(2L -> ((2L, 666667L)), 7L -> ((1L, 333333L))))
   }
 
+  test("new vs returning: the first-seen day is new exactly once, " +
+      "same-day repeats collapse") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_nvr").toString
+    // u1 active d1, d1(repeat), d2; u2 active d2 only
+    Seq((1L, 1, 1L), (2L, 1, 1L), (3L, 2, 1L), (4L, 2, 2L))
+      .map { case (e, d, u) => (e, java.sql.Timestamp.valueOf(
+        f"2024-01-$d%02d 08:00:00"), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.newVsReturning(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("2024-01-01" -> ((1L, 0L)),
+      "2024-01-02" -> ((1L, 1L))))
+  }
+
+  test("pareto: the ceil(n/5) cutoff and the id tiebreak at the rank " +
+      "boundary are deterministic") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_pareto").toString
+    // 6 users -> k = ceil(6/5) = 2; users 3 and 4 TIE at 30.00: the
+    // id tiebreak must put user 3 in and user 4 out
+    Seq((1L, 1L, 50.00), (2L, 2L, 40.00), (3L, 3L, 30.00),
+        (4L, 4L, 30.00), (5L, 5L, 20.00), (6L, 6L, 10.00))
+      .map { case (e, u, v) => (e, java.sql.Timestamp.valueOf(
+        "2024-01-01 08:00:00"), u, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Relational.pareto(spark, dir).collect()(0)
+    // top 2 = 50 + 40 = 9000 cents of 18000 -> exactly 500000 micro
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L
+      && r.getLong(2) == 9000L && r.getLong(3) == 18000L
+      && r.getLong(4) == 500000L, s"got $r")
+  }
+
   test("HITS converged: the stop test fires where the independent " +
       "fixed unrolls measure an L1 step within eps, and mass stays 1") {
     val eps = 1e-6

@@ -1136,6 +1136,47 @@ class StatsSpec extends SparkSpec {
       "the planted pair should decorrelate once the trend is removed")
   }
 
+  test("rolling correlation: a planted linear pair locks r7 = 1 on " +
+      "full windows and nulls under them") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_rollcorr").toString
+    var id = 0L
+    // x = d events, y = d dollars: perfectly linear -> every FULL
+    // 7-day window has r7 = 1.0; days 1..6 are under-windowed
+    val rows = (1 to 10).flatMap { d =>
+      (1 to d).map { j => id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"),
+          1L, "view", if (j == 1) d.toDouble else 0.0, "{}") }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.rollingCorr(spark, dir).collect()
+      .map(r => r.getString(1) -> Option(r.get(4))).toMap
+    (1 to 6).foreach(d =>
+      assert(out(f"2024-01-$d%02d").isEmpty, s"day $d must null-guard"))
+    (7 to 10).foreach(d =>
+      assert(out(f"2024-01-$d%02d").contains(1.0), s"day $d r7 != 1"))
+  }
+
+  test("HHI: two planted segments pin the micro shares and the index") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_hhi").toString
+    // A: 30.00, B: 10.00 -> shares 750000/250000 micro;
+    // HHI = (3000^2 + 1000^2) / 4000^2 = 0.625
+    Seq((1L, 1L, 30.00), (2L, 2L, 10.00))
+      .map { case (e, u, v) => (e, java.sql.Timestamp.valueOf(
+        "2024-01-01 08:00:00"), u, "purchase", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Stats.hhi(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("A") == ((3000L, 750000L)))
+    assert(out("B") == ((1000L, 250000L)))
+    assert(out("__overall") == ((4000L, 625000L)))
+  }
+
   test("McNemar: planted discordant pairs pin b, c and both chi2 forms") {
     import spark.implicits._
     val dir = TempDirs.create("graft_mcnemar").toString
