@@ -553,6 +553,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
     "stream_dim_join" ->
       ((s, d) => graft.streaming.EventStreams.dimJoinFromFiles(s, d)),
+    "stream_late_drop" ->
+      ((s, d) => graft.streaming.EventStreams.lateDropFromFiles(s, d)),
     "stream_merge" ->
       ((s, d) => graft.streaming.EventStreams.mergeStreamFromFiles(s, d)),
     "q_partition_prune" ->
@@ -2797,6 +2799,24 @@ object SparkEntry {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  user_id, event_type, value
         |FROM events""".stripMargin,
+    // watermark late-drop accounting: only the LATER half's hourly
+    // windows finalized below wm = max(ts)-2h emit; the entire
+    // earlier half arrives beyond the watermark and contributes
+    // nothing; open head windows emit nothing
+    "stream_late_drop" ->
+      """WITH t AS (
+        |  SELECT CAST(min(ts) AS DATE)
+        |    + (date_diff('day', CAST(min(ts) AS DATE),
+        |        CAST(max(ts) AS DATE)) // 2) * INTERVAL 1 DAY AS cutoff
+        |  FROM events),
+        |a AS (SELECT ts FROM events, t WHERE CAST(ts AS DATE) >= cutoff),
+        |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM a)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+        |GROUP BY 1""".stripMargin,
     // stream-static broadcast enrichment: the accumulated
     // complete-mode rollup equals the batch join, exactly
     "stream_dim_join" ->

@@ -781,6 +781,68 @@ object EventStreams {
     * with a forced mtime (the source processes oldest-first, so fixed
     * mtimes fix batch order).
     */
+  /** WATERMARK LATE-DATA DROP (`stream_late_drop`) — the one
+    * watermark semantic no other key gates directly: what happens to
+    * data that arrives AFTER the watermark passed it. The feed is the
+    * corpus split at its midpoint day with the LATER half landing
+    * first (mtime-ordered, the stream_merge device): batch 1
+    * advances the watermark to max(ts) − 2h, then batch 2 delivers
+    * the ENTIRE earlier half — every row of it is now beyond the
+    * watermark and must be dropped wholesale. The append-mode hourly
+    * counts that emerge are therefore exactly the LATER half's
+    * windows finalized below the watermark — late rows contribute
+    * NOTHING, open windows at the head emit nothing — and ONE SQL
+    * reproduces that from the split rule and the watermark
+    * arithmetic. At 100 TB this is the semantic that bounds state:
+    * the engine is ALLOWED to forget, and this key pins exactly what
+    * forgetting means.
+    */
+  def lateDropFromFiles(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.withNanosAsLong(spark) {
+      val raw0 = spark.read.parquet(s"$sfDir/events.parquet")
+      def normalize(df: DataFrame): DataFrame =
+        raw0.schema("ts").dataType match {
+          case LongType => df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")))
+          case _ => df
+        }
+      val raw = normalize(raw0).select(col("event_id"), col("ts"))
+      val cut = raw.agg(
+        expr("date_add(to_date(min(ts)), CAST(datediff(to_date(max(ts))," +
+          " to_date(min(ts))) div 2 AS INT))").as("cutoff"))
+      val late = raw.crossJoin(broadcast(cut))
+        .filter(to_date(col("ts")) < col("cutoff")).drop("cutoff")
+      val fresh = raw.crossJoin(broadcast(cut))
+        .filter(to_date(col("ts")) >= col("cutoff")).drop("cutoff")
+      val feed = graft.TempDirs.create("graft_stream_late_src")
+      val ckpt = graft.TempDirs.create("graft_stream_late_ckpt")
+      val out = graft.TempDirs.create("graft_stream_late_out")
+      // the LATER half arrives FIRST — a full run over it commits the
+      // advanced watermark into the checkpoint (a trailing no-data
+      // micro-batch finalizes its closed windows); only THEN does the
+      // earlier half land, entirely beyond the recovered watermark
+      dumpFeedFile(feed, fresh, "a.parquet", 1000000000000L)
+      def runOnce(): Unit = {
+        val counts = spark.readStream.schema(
+            spark.read.parquet(feed.resolve("a.parquet").toString).schema)
+          .parquet(feed.toString)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+        val q = counts.writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce()
+      dumpFeedFile(feed, late, "b.parquet", 1000000060000L)
+      runOnce()
+      spark.read.parquet(out.toString)
+        .select(date_format(col("window.start"),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"))
+    }
+
   private def dumpFeedFile(feed: java.nio.file.Path, df: DataFrame,
       name: String, mtimeMs: Long): Unit = {
     val tmp = feed.resolve(s"${name}_tmp")
