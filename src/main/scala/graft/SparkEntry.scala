@@ -217,6 +217,8 @@ object SparkEntry {
     "q_hhi" -> ((s, d) => Stats.hhi(s, d)),
     "q_new_vs_returning" -> ((s, d) => Relational.newVsReturning(s, d)),
     "q_pareto" -> ((s, d) => Relational.pareto(s, d)),
+    "q_churn_risk" -> ((s, d) => Relational.churnRisk(s, d)),
+    "q_weekend_effect" -> ((s, d) => Relational.weekendEffect(s, d)),
     "q_outlier_iqr" -> ((s, d) => Stats.outlierIqr(s, d)),
     "q_calibration" -> ((s, d) => Stats.calibration(s, d)),
     "q_simpson" -> ((s, d) => Stats.simpson(s, d)),
@@ -2053,6 +2055,59 @@ object SparkEntry {
         |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
         |    * 1000000, 0) AS BIGINT)
         |FROM t""".stripMargin,
+    // churn risk: last-active day per user vs the final-week cutoff,
+    // shares in half-up micro units (non-negative numerator)
+    "q_churn_risk" ->
+      """WITH la AS (
+        |  SELECT user_id, max(CAST(date_trunc('day', ts) AS DATE))
+        |    AS last_day
+        |  FROM events GROUP BY 1),
+        |cut AS (
+        |  SELECT max(CAST(date_trunc('day', ts) AS DATE))
+        |    - INTERVAL 6 DAY AS cutoff
+        |  FROM events)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN last_day < cutoff THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_at_risk,
+        |  (2 * (CAST(sum(CASE WHEN last_day < cutoff THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 1000000) + CAST(count(*) AS BIGINT))
+        |    // (2 * CAST(count(*) AS BIGINT)) AS risk_micro
+        |FROM la JOIN customer c ON la.user_id = c.c_custkey, cut
+        |GROUP BY 1""".stripMargin,
+    // weekend effect: daily cents exact, half-up micro means per
+    // dow class, integer-subtraction effect; DuckDB dow 0=Sunday vs
+    // Spark 1=Sunday -> shift +1
+    "q_weekend_effect" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, cents,
+        |    (dayofweek(day) + 1) IN (1, 7) AS is_weekend
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wk_days,
+        |    CAST(sum(CASE WHEN NOT is_weekend THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS wd_days,
+        |    CAST(sum(CASE WHEN is_weekend THEN cents ELSE 0 END)
+        |      AS BIGINT) AS wk_cents,
+        |    CAST(sum(CASE WHEN NOT is_weekend THEN cents ELSE 0 END)
+        |      AS BIGINT) AS wd_cents
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, wk_days, wd_days,
+        |  (2 * (wk_cents * 10000) + wk_days) // (2 * wk_days)
+        |    AS wk_mean_micro,
+        |  (2 * (wd_cents * 10000) + wd_days) // (2 * wd_days)
+        |    AS wd_mean_micro,
+        |  (2 * (wk_cents * 10000) + wk_days) // (2 * wk_days)
+        |    - ((2 * (wd_cents * 10000) + wd_days) // (2 * wd_days))
+        |    AS effect_micro
+        |FROM m""".stripMargin,
     // daily new vs returning: first-seen day per user, conditional
     // rollup over distinct (user, day) activity
     "q_new_vs_returning" ->

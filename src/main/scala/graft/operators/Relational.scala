@@ -2310,6 +2310,66 @@ object Relational {
     * Scores exist only for nodes on edges (an unsold part has no
     * authority to rank).
     */
+  /** Churn-risk snapshot (`q_churn_risk`) — per market segment, the
+    * share of ever-active users whose LAST activity predates the
+    * final week of the window: one last-active rollup, one segment
+    * join, shares in half-up integer micro-units off a 1-row cutoff
+    * (the list a retention team actually pages through, summarized).
+    */
+  def churnRisk(spark: SparkSession, sfDir: String): DataFrame = {
+    val lastActive = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(to_date(date_trunc("DAY", col("ts")))).as("last_day"))
+    val cut = Tables.events(spark, sfDir)
+      .agg(date_sub(max(to_date(date_trunc("DAY", col("ts")))), 6)
+        .as("cutoff"))
+    lastActive
+      .join(Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .crossJoin(broadcast(cut))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("last_day") < col("cutoff"), 1L).otherwise(0L))
+          .as("n_at_risk"))
+      .select(col("segment"), col("n_users"), col("n_at_risk"),
+        expr("(2 * (n_at_risk * 1000000) + n_users) div (2 * n_users)")
+          .as("risk_micro"))
+  }
+
+  /** Weekend effect (`q_weekend_effect`) — per event type, weekday vs
+    * weekend daily revenue means and their difference: the
+    * seasonality sanity check behind staffing/campaign timing. Daily
+    * cents are exact; each mean is the half-up micro division; the
+    * effect is a plain integer subtraction. Spark's dayofweek is
+    * 1=Sunday while DuckDB's is 0=Sunday — the oracle shifts +1 (the
+    * q_seasonal_decompose convention).
+    */
+  def weekendEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg((sum(col("value").cast(d182)) * 100).cast("long").as("cents"))
+      .withColumn("is_weekend",
+        dayofweek(col("day")).isin(1, 7)) // 1=Sunday, 7=Saturday
+    daily.groupBy("event_type")
+      .agg(
+        sum(when(col("is_weekend"), 1L).otherwise(0L)).as("wk_days"),
+        sum(when(!col("is_weekend"), 1L).otherwise(0L)).as("wd_days"),
+        sum(when(col("is_weekend"), col("cents")).otherwise(0L))
+          .as("wk_cents"),
+        sum(when(!col("is_weekend"), col("cents")).otherwise(0L))
+          .as("wd_cents"))
+      .select(col("event_type"), col("wk_days"), col("wd_days"),
+        expr("(2 * (wk_cents * 10000) + wk_days) div (2 * wk_days)")
+          .as("wk_mean_micro"),
+        expr("(2 * (wd_cents * 10000) + wd_days) div (2 * wd_days)")
+          .as("wd_mean_micro"))
+      .withColumn("effect_micro",
+        col("wk_mean_micro") - col("wd_mean_micro"))
+  }
+
   /** Daily NEW vs RETURNING split (`q_new_vs_returning`) — the growth
     * dashboard's first row: each active day a user is either brand
     * new (this is their first-seen day) or returning. One distinct

@@ -839,6 +839,27 @@ class RelationalExtSpec extends SparkSpec {
       "2024-01-02" -> ((1L, 1L))))
   }
 
+  test("churn risk: the final-week cutoff splits planted last-active " +
+      "days exactly (the corpus case is degenerate-zero)") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_churn").toString
+    // window ends Jan 20 -> cutoff Jan 14; u1 last active Jan 13 (at
+    // risk), u2 Jan 14 (exactly the cutoff: NOT at risk), u3 Jan 20
+    Seq((1L, 13, 1L), (2L, 14, 2L), (3L, 20, 3L), (4L, 2, 1L))
+      .map { case (e, d, u) => (e, java.sql.Timestamp.valueOf(
+        f"2024-01-$d%02d 08:00:00"), u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Relational.churnRisk(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("A") == ((2L, 1L, 500000L)),
+      s"cutoff-day user must NOT be at risk: ${out("A")}")
+    assert(out("B") == ((1L, 0L, 0L)))
+  }
+
   test("pareto: the ceil(n/5) cutoff and the id tiebreak at the rank " +
       "boundary are deterministic") {
     import spark.implicits._
