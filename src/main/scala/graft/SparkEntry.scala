@@ -72,6 +72,7 @@ object SparkEntry {
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
     "q_sink_changes" -> ((s, d) => sources.Formats.sinkChangesReport(s, d)),
     "q_sink_evolve" -> ((s, d) => sources.Formats.sinkEvolveRollup(s, d)),
+    "q_sink_rollback" -> ((s, d) => sources.Formats.sinkRollbackReport(s, d)),
     "q_sink_zorder" -> ((s, d) => sources.Formats.sinkZorderRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
@@ -2330,6 +2331,18 @@ object SparkEntry {
         |FROM documents
         |UNION ALL
         |SELECT 'after', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // rollback/restore: the restored head (gen 4) must equal the FULL
+    // corpus — the bad %3 delete undone — while the bad generation
+    // (gen 3) stays servable as-of for audit
+    "q_sink_rollback" ->
+      """SELECT 'restored' AS phase, CAST(4 AS BIGINT) AS generation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'bad_asof', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
     // PR curve: lift's decile bucketing, suffix sums over the 10-row

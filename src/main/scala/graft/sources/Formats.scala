@@ -828,6 +828,36 @@ object Formats {
       .unionByName(roll("n_chars", window(b.getLong(2), b.getLong(3))))
   }
 
+  /** ROLLBACK / RESTORE on the sink (`q_sink_rollback`): the
+    * two-generation store takes a BAD commit (the %3 copy-on-write
+    * delete — generation 3), then `GraftSink.rollback` restores
+    * generation 2 as a NEW generation 4: a verbatim manifest copy,
+    * files carried by reference, CAS-committed. The answer reads the
+    * restored head (must equal the FULL corpus — the delete undone)
+    * and the bad generation AS OF its snapshot (history is an audit
+    * trail, not an eraser: the bad state stays reproducible), each
+    * with its generation number pinned — a restore that silently
+    * lands on the wrong parent, loses rows, or destroys the bad
+    * snapshot all hash-fail. This is the "bad deploy, roll it back"
+    * lifecycle step every production table eventually needs.
+    */
+  def sinkRollbackReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_rollback")
+    val goodGen = graft.sources.v2.GraftSink.versions(dir).max
+    graft.sources.v2.GraftSink.deleteWhere(spark, dir,
+      col("doc_id") % 3 === 0, TwoGenSchema) // the bad commit (gen 3)
+    val restored = graft.sources.v2.GraftSink.rollback(dir, goodGen)
+    def roll(df: DataFrame, phase: String, gen: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(phase).as("phase"), lit(gen.toLong).as("generation"),
+          col("n_rows"), col("sum_chars"))
+    roll(graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema),
+        "restored", restored)
+      .unionByName(roll(graft.sources.v2.GraftSink.readBackAsOf(spark, dir,
+        goodGen + 1, TwoGenSchema), "bad_asof", goodGen + 1))
+  }
+
   /** INCREMENTAL READ / CDC on the sink (`q_sink_changes`): the
     * 3-generation scaffold (append lower half → append rest →
     * committed %3 delete), consumed as CHANGES — `readChanges(1, 2)`

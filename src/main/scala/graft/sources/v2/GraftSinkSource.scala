@@ -653,6 +653,33 @@ object GraftSink {
       "n_files", "n_txn")
   }
 
+  /** ROLLBACK (RESTORE): publish a NEW generation whose manifest is a
+    * verbatim copy of retained generation `toGen`'s — the
+    * Delta/Iceberg RESTORE shape. Data files carry by reference (while
+    * `toGen` is retained, [[vacuum]] protects every file it lists, so
+    * nothing needs copying); the bad generations stay in history for
+    * audit and time travel; and the restore itself is a strict
+    * compare-and-swap ([[commitReplace]]) that refuses to publish over
+    * a head that moved since the caller decided to restore. Verbatim
+    * includes `toGen`'s txn ledger: epochs committed AFTER `toGen`
+    * lose their idempotency markers along with their data, so a
+    * streaming replay re-delivers exactly what the restore
+    * un-committed — at-least-once across a restore, never silent loss.
+    * Restoring a generation that retention already expired fails
+    * loudly here (its file set may be gone), same contract as an
+    * expired as-of read. Returns the committed generation.
+    */
+  def rollback(path: String, toGen: Int): Int = {
+    val (parent, _) = head(path)
+    require(toGen != parent,
+      s"generation $toGen is already the head of $path")
+    val m = Paths.get(path, s"$VersionPrefix$toGen")
+    require(Files.exists(m),
+      s"no committed generation $toGen under $path " +
+        s"(have: ${versions(path).mkString(",")})")
+    commitReplace(path, readLines(m), parent)
+  }
+
   /** VACUUM: delete files NO RETAINED generation references (crash
     * temps, aborted parts, foreign strays, and — after a row-level
     * delete — replaced pre-delete files once their snapshots expire)

@@ -815,4 +815,42 @@ class SourcesV2Spec extends SparkSpec {
     }
     assert(GraftSink.readBack(spark, dir, schema).count() == 75)
   }
+
+  test("dsv2 sink rollback: restore is a verbatim CAS copy of the " +
+      "target snapshot — head equals it, bad gens stay auditable, " +
+      "no-op and expired targets refuse") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_rb").toString
+    def put(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong)).toDF("doc_id", "n_chars")
+        .coalesce(1).write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    put(1 to 50)   // gen 1
+    put(51 to 100) // gen 2
+    GraftSink.deleteWhere(spark, dir, col("doc_id") <= 25L, schema) // gen 3
+    // restore gen 2: new generation, verbatim manifest bytes
+    val gen = GraftSink.rollback(dir, 2)
+    assert(gen == 4, s"restore must publish a NEW generation, got $gen")
+    assert(GraftSink.versions(dir) == Seq(1, 2, 3, 4))
+    def lines(g: Int) = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, s"${GraftSink.VersionPrefix}$g"))
+    assert(lines(4) == lines(2), "restore must be a VERBATIM copy")
+    assert(GraftSink.readBack(spark, dir, schema).count() == 100,
+      "the restored head must serve the pre-delete content")
+    // the bad generation stays servable for audit
+    assert(GraftSink.readBackAsOf(spark, dir, 3, schema).count() == 75)
+    // restoring the head itself is a refused no-op
+    intercept[IllegalArgumentException] { GraftSink.rollback(dir, 4) }
+    // unknown target refuses
+    intercept[IllegalArgumentException] { GraftSink.rollback(dir, 99) }
+    // retention expiry makes an old target un-restorable, loudly
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    intercept[IllegalArgumentException] { GraftSink.rollback(dir, 2) }
+    // and the restored head still serves everything after the vacuum
+    assert(GraftSink.readBack(spark, dir, schema).count() == 100)
+  }
 }
