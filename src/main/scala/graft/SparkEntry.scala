@@ -73,6 +73,7 @@ object SparkEntry {
     "q_sink_changes" -> ((s, d) => sources.Formats.sinkChangesReport(s, d)),
     "q_sink_evolve" -> ((s, d) => sources.Formats.sinkEvolveRollup(s, d)),
     "q_sink_rollback" -> ((s, d) => sources.Formats.sinkRollbackReport(s, d)),
+    "q_sink_delete_mor" -> ((s, d) => sources.Formats.sinkDeleteMorReport(s, d)),
     "q_sink_zorder" -> ((s, d) => sources.Formats.sinkZorderRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
     "text_kneser_ney" -> ((s, d) => TextAnalysis.kneserNey(s, d)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_mutual_info" -> ((s, d) => Relational.mutualInfo(s, d)),
     "q_group_rare" -> ((s, d) => Relational.groupRare(s, d)),
     "q_yoy_growth" -> ((s, d) => Relational.yoyGrowth(s, d)),
+    "q_backlog" -> ((s, d) => Relational.backlog(s, d)),
     "q_compact_files" -> ((s, d) => Layout.compactFiles(s, d)),
     // rows-gated: Lloyd layouts are not DuckDB-reproducible
     "q_embed_kmeans" -> ((s, d) => Similarity.embedKmeans(s, d)),
@@ -171,6 +173,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
+    "q_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Relational.anomalyZscore(s, d)),
     "q_regression" -> ((s, d) => Relational.regression(s, d)),
@@ -522,6 +525,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.sessionWindowFromFiles(s, d)),
     "stream_purchase_click" ->
       ((s, d) => graft.streaming.EventStreams.purchaseClicksFromFiles(s, d)),
+    "stream_outer_join" ->
+      ((s, d) => graft.streaming.EventStreams.purchaseClickOuterFromFiles(s, d)),
     "stream_dedup" ->
       ((s, d) => graft.streaming.EventStreams.dedupFromFiles(s, d)),
     "stream_theta" ->
@@ -2333,6 +2338,22 @@ object SparkEntry {
         |SELECT 'after', CAST(count(*) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // merge-on-read delete: 'before' = pre-delete as-of, 'mid' = only
+    // the %3 vectors applied (as-of gen 3), 'after' = the live head
+    // with the %5 union vectors on top — no data file rewritten
+    "q_sink_delete_mor" ->
+      """SELECT 'before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'mid', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'after', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0"""
+        .stripMargin,
     // rollback/restore: the restored head (gen 4) must equal the FULL
     // corpus — the bad %3 delete undone — while the bad generation
     // (gen 3) stays servable as-of for audit
@@ -2605,6 +2626,17 @@ object SparkEntry {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
+    // stream-stream LEFT OUTER interval join: the outer-null rows the
+    // watermark's state eviction emits must equal the batch LEFT JOIN
+    "stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+        |  COALESCE(c.event_id, -1) AS click_id,
+        |  COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), 'never') AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
     "q_json_props" ->
@@ -3352,6 +3384,36 @@ object SparkEntry {
         |  round(CAST(rev - lag(rev, 12) OVER (ORDER BY month) AS DOUBLE)
         |    / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE), 6) AS yoy
         |FROM monthly""".stripMargin,
+    // open-order backlog via the delta trick: +1 in the open month,
+    // −1 in the close month (last line shipped), running difference
+    // over the month axis; money decimal until the final cast
+    "q_backlog" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderdate, o_totalprice, last_ship
+        |      FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey),
+        |op AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(count(*) AS BIGINT) AS n_open,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v_open
+        |       FROM o GROUP BY 1),
+        |cl AS (SELECT strftime(last_ship, '%Y-%m') AS month,
+        |         CAST(count(*) AS BIGINT) AS n_close,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v_close
+        |       FROM o WHERE last_ship IS NOT NULL GROUP BY 1),
+        |mm AS (SELECT COALESCE(op.month, cl.month) AS month,
+        |         COALESCE(n_open, 0) AS n_open,
+        |         COALESCE(v_open, CAST(0 AS DECIMAL(18,2))) AS v_open,
+        |         COALESCE(n_close, 0) AS n_close,
+        |         COALESCE(v_close, CAST(0 AS DECIMAL(18,2))) AS v_close
+        |       FROM op FULL JOIN cl ON op.month = cl.month)
+        |SELECT month,
+        |  CAST(sum(n_open) OVER w - sum(n_close) OVER w AS BIGINT)
+        |    AS backlog_orders,
+        |  CAST(sum(v_open) OVER w - sum(v_close) OVER w AS DOUBLE)
+        |    AS backlog_value
+        |FROM mm WINDOW w AS (ORDER BY month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // compaction must move bytes, never change content: the re-read
     // of the compacted copy equals the source projection
     "q_compact_files" ->
@@ -3523,6 +3585,26 @@ object SparkEntry {
         |        AS DECIMAL(18,6))) AS DOUBLE)
         |      / CAST(sum(tf) AS DOUBLE), 6) AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
+    // KL(source ‖ corpus) in ln-expanded form: per-(source,word)
+    // c·(ln c − ln t_s − ln c_w + ln t) terms rounded to 6 and summed
+    // IN DECIMAL, one final division per source (perplexity discipline)
+    "q_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |sw AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s FROM sw GROUP BY 1),
+        |w AS (SELECT word, CAST(sum(c) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sw)
+        |SELECT sw.source, t_s AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(sum(CAST(round(c * (ln(CAST(c AS DOUBLE))
+        |      - ln(CAST(t_s AS DOUBLE)) - ln(CAST(c_w AS DOUBLE))
+        |      + ln(CAST(t AS DOUBLE))), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(t_s AS DOUBLE), 6) AS kl
+        |FROM sw JOIN s USING (source) JOIN w USING (word), tot
+        |GROUP BY sw.source, t_s""".stripMargin,
     // PMI in ln-expanded form (counts never multiply), five ln terms in
     // one fixed-order IEEE expression both sides, round-6 absorbs ulps
     "text_collocations" ->

@@ -1104,6 +1104,44 @@ object Relational {
           col("rev_prev_year").cast("double"), 6).as("yoy"))
   }
 
+  /** Open-order BACKLOG time series (`q_backlog`): how many orders —
+    * and how much order value — were placed but not yet fully shipped
+    * as of each month end. An order closes when its LAST line ships
+    * (max l_shipdate); orders with no lines never close. The interval-
+    * stabbing question ("how many intervals cover T?") is answered
+    * WITHOUT a point-in-time join: each order contributes a +1 delta
+    * in its open month and a −1 in its close month, and backlog(m) is
+    * the running difference of the two monthly delta series — two
+    * aggregations plus one cumulative window over the calendar-bounded
+    * month axis, instead of months × orders join work. At 100 TB the
+    * delta trick is the difference between a linear pass and a
+    * quadratic stab. Money stays decimal until the final report cast.
+    */
+  def backlog(spark: SparkSession, sfDir: String): DataFrame = {
+    val lastShip = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    val o = Tables.orders(spark, sfDir)
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderdate"), col("o_totalprice"), col("last_ship"))
+    val opens = o
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_open"), sum(money(col("o_totalprice"))).as("v_open"))
+    val closes = o.filter(col("last_ship").isNotNull)
+      .groupBy(date_format(col("last_ship"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_close"), sum(money(col("o_totalprice"))).as("v_close"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opens.join(closes, Seq("month"), "full_outer")
+      .na.fill(0L, Seq("n_open", "n_close"))
+      .select(col("month"),
+        (sum(col("n_open")).over(w) - sum(col("n_close")).over(w))
+          .as("backlog_orders"),
+        (sum(coalesce(col("v_open"), money(lit(0)))).over(w)
+          - sum(coalesce(col("v_close"), money(lit(0)))).over(w))
+          .cast("double").as("backlog_value"))
+  }
+
   /** Time-series gap filling: the hourly rollup joined onto a dense
     * calendar SPINE (every hour between the corpus min and max ×
     * every event type), missing cells zero-filled — the resample

@@ -654,6 +654,50 @@ object TextAnalysis {
         round(log(col("n_tokens"))
           - col("tlt_sum").cast("double") / col("n_tokens"), 6).as("entropy"))
 
+  /** Per-source distribution drift (`q_source_divergence`): KL(source
+    * ‖ corpus) over unigram word distributions — the mixture-curation
+    * signal for "which source reads least like the rest of the
+    * corpus" (a spiking KL flags scrapes gone bad or templated spam
+    * before they pollute a training mix; the lexical twin of
+    * `q_drift_psi`'s numeric drift).
+    *
+    * KL = Σ_w p_sw·ln(p_sw/p_w) expanded so only per-(source,word)
+    * terms ever sum: c_sw·(ln c_sw − ln t_s − ln c_w + ln t), each
+    * rounded to 6 decimals and summed IN DECIMAL (the perplexity
+    * discipline), one final division per source. Every source word is
+    * a corpus word, so no zero-probability guard is needed. Plan: one
+    * explode → one (source,word) count; corpus word counts and
+    * per-source totals REUSE that frame (two small shuffles over the
+    * distinct vocab, never the token stream); the 1-row corpus total
+    * and the #sources-row totals broadcast. No corpus-global state
+    * beyond those — map-side scalable at 100 TB.
+    */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDivergenceOver(Tables.documents(spark, sfDir))
+
+  def sourceDivergenceOver(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"),
+        explode(filter(split(col("text"), WordSplit), w => w =!= ""))
+          .as("word"))
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bySource = sw.groupBy("source").agg(sum(col("c")).as("t_s"))
+    val byWord = sw.groupBy("word").agg(sum(col("c")).as("c_w"))
+    val total = sw.agg(sum(col("c")).as("t"))
+    sw.join(byWord, "word")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("t_s"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(round(col("c") * (log(col("c")) - log(col("t_s"))
+            - log(col("c_w")) + log(col("t"))), 6)
+          .cast(DecimalType(18, 6))).as("term_sum"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("n_types"),
+        round(col("term_sum").cast("double") / col("t_s"), 6).as("kl"))
+  }
+
   /** Gopher-style quality rules (the MassiveText filter set, distinct
     * from the C4 word-repetition filters): word-count bounds, mean
     * word length bounds, symbol-to-word ratio, alphabetic-word

@@ -828,6 +828,41 @@ object Formats {
       .unionByName(roll("n_chars", window(b.getLong(2), b.getLong(3))))
   }
 
+  /** MERGE-ON-READ DELETE on the sink (`q_sink_delete_mor`): the
+    * two-generation document store, then TWO
+    * [[graft.sources.v2.GraftSink.deleteWhereMor]] erasures —
+    * `doc_id % 3 = 0` (gen 3), then `doc_id % 5 = 0` (gen 4, which
+    * must REPLACE the first delete's vectors with union vectors on
+    * the files both hit). No data file is rewritten: each commit
+    * writes only per-file delete-vector sidecars plus `#dv` manifest
+    * markers, so the delete costs O(rows deleted) regardless of file
+    * sizes — the deletion-vector half of the Delta/Iceberg trade,
+    * beside `q_sink_delete`'s copy-on-write half. The answer reads
+    * three snapshots — pre-delete AS OF, mid AS OF (only %3 applied),
+    * and the live head (%3 and %5) — against one source-side SQL, so
+    * an under-masked read, a resurrected row, or a union that loses
+    * either vector all hash-fail; the no-rewrite invariant is
+    * spec-pinned.
+    */
+  def sinkDeleteMorReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_mor")
+    val preGen = graft.sources.v2.GraftSink.versions(dir).max
+    graft.sources.v2.GraftSink.deleteWhereMor(spark, dir,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    graft.sources.v2.GraftSink.deleteWhereMor(spark, dir,
+      col("doc_id") % 5 === 0, TwoGenSchema)
+    def roll(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("sum_chars"))
+    roll(graft.sources.v2.GraftSink.readBackAsOf(spark, dir, preGen,
+      TwoGenSchema), "before")
+      .unionByName(roll(graft.sources.v2.GraftSink.readBackAsOf(spark, dir,
+        preGen + 1, TwoGenSchema), "mid"))
+      .unionByName(roll(graft.sources.v2.GraftSink.readBack(spark, dir,
+        TwoGenSchema), "after"))
+  }
+
   /** ROLLBACK / RESTORE on the sink (`q_sink_rollback`): the
     * two-generation store takes a BAD commit (the %3 copy-on-write
     * delete — generation 3), then `GraftSink.rollback` restores

@@ -116,14 +116,51 @@ object GraftSink {
     ("^" + java.util.regex.Pattern.quote(VersionPrefix) + "(\\d+)$").r
 
   /** Manifest lines beginning with `#` are transaction markers
-    * (`#txn<TAB><id>`), not file entries — the idempotence ledger for
-    * streaming epoch commits. Everything that treats lines as files
-    * must go through [[dataLines]].
+    * (`#txn<TAB><id>`) or delete-vector references
+    * (`#dv<TAB><datafile><TAB><dvfile><TAB><rows>`), not file entries.
+    * Everything that treats lines as files must go through
+    * [[dataLines]].
     */
   private def marker(txn: String): String = s"#txn\t$txn"
 
+  private def dvMarker(file: String, dvFile: String, rows: Long): String =
+    s"#dv\t$file\t$dvFile\t$rows"
+
+  /** The snapshot's delete vectors: data file → (dv file, rows marked
+    * deleted). At most one DV per data file per snapshot (a later
+    * merge-on-read delete writes the UNION as a fresh DV and replaces
+    * the marker).
+    */
+  private[v2] def dvOf(lines: Seq[String]): Map[String, (String, Long)] =
+    lines.iterator.filter(_.startsWith("#dv\t")).map { l =>
+      val p = l.split("\t")
+      p(1) -> ((p(2), p(3).toLong))
+    }.toMap
+
+  /** Drop `#dv` markers referring to data files in `files` — every
+    * copy-on-write rewrite path must call this for the files it
+    * replaces, or a stale DV would point at a dead file.
+    */
+  private def dropDvFor(lines: Seq[String], files: Set[String]): Seq[String] =
+    lines.filterNot { l =>
+      l.startsWith("#dv\t") && files(l.split("\t")(1))
+    }
+
   private def dataLines(lines: Seq[String]): Seq[String] =
     lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** Restrict manifest lines to the data entries of `files` plus
+    * their `#dv` markers — the sub-manifest every partial read
+    * (zonemap-kept files, CDC-changed files, compaction smalls) hands
+    * to [[readVisible]] so delete vectors ride along with the files
+    * they mask.
+    */
+  private def restrict(lines: Seq[String], files: Set[String]): Seq[String] =
+    lines.filter { l =>
+      if (l.startsWith("#dv\t")) files(l.split("\t")(1))
+      else if (l.startsWith("#")) false
+      else l.nonEmpty && files(fileOf(l))
+    }
 
   private def fileOf(entry: String): String = entry.split("\t")(0)
 
@@ -173,12 +210,86 @@ object GraftSink {
       spark.read.schema(schema).option("sep", "\t")
         .csv(files.map(f => Paths.get(path, f).toString): _*)
 
+  /** The snapshot's VISIBLE rows as raw (`__file`, `value`) text
+    * lines: every line of every listed data file, minus the lines
+    * each file's delete vector masks. DVs hold deleted line CONTENT —
+    * a deterministic predicate matches every copy of an identical
+    * line, so content is a position-free exact encoding of the
+    * deleted multiset and ONE distributed anti-join applies all
+    * vectors (the DV side is small — it lists only deleted rows — so
+    * Spark broadcasts it). Both sides are single scans: all data
+    * files in one text read, all DV files in another, the dv-file →
+    * data-file attribution joined back through the marker map.
+    */
+  private def visibleLines(spark: SparkSession, path: String,
+      lines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = dataLines(lines).map(fileOf)
+    if (files.isEmpty)
+      return spark.range(0)
+        .select(lit("").as("__file"), lit("").as("value"))
+    val data = spark.read
+      .text(files.map(f => Paths.get(path, f).toString): _*)
+      .select(col("_metadata.file_name").as("__file"), col("value"))
+    val dvs = dvOf(lines).filter { case (f, _) => files.contains(f) }
+    if (dvs.isEmpty) data
+    else {
+      import spark.implicits._
+      val tag = dvs.toSeq.map { case (f, (dvf, _)) => (dvf, f) }
+        .toDF("__dvf", "__file")
+      val del = spark.read
+        .text(dvs.values.map(v => Paths.get(path, v._1).toString)
+          .toSeq.distinct: _*)
+        .select(col("_metadata.file_name").as("__dvf"), col("value"))
+        .join(broadcast(tag), "__dvf")
+        .select("__file", "value")
+      data.join(del, Seq("__file", "value"), "left_anti")
+    }
+  }
+
+  /** DV-aware parsed read of the files a sub-manifest lists. With no
+    * delete vectors this is the plain CSV-source path; with vectors,
+    * the raw visible lines parse through `from_csv` — the same
+    * Univocity dialect the CSV source uses, so doubles, decimals and
+    * Inf/NaN round identically on both paths.
+    */
+  private def readVisible(spark: SparkSession, path: String,
+      lines: Seq[String], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (dvOf(lines).isEmpty)
+      readFiles(spark, path, dataLines(lines).map(fileOf), schema)
+    else
+      visibleLines(spark, path, lines)
+        .select(from_csv(col("value"), schema, Map("sep" -> "\t")).as("__r"))
+        .select(schema.fieldNames.map(n => col(s"__r.$n")).toSeq: _*)
+  }
+
+  /** [[readVisible]] keeping the provenance `__file` column — the
+    * shape every copy-on-write maintenance op (delete, merge,
+    * compact) plans its affected-file set from.
+    */
+  private def visibleWithFile(spark: SparkSession, path: String,
+      lines: Seq[String], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (dvOf(lines).isEmpty)
+      readFiles(spark, path, dataLines(lines).map(fileOf), schema)
+        .withColumn("__file", col("_metadata.file_name"))
+        .select((schema.fieldNames.map(col).toSeq :+ col("__file")): _*)
+    else
+      visibleLines(spark, path, lines)
+        .select(col("__file"),
+          from_csv(col("value"), schema, Map("sep" -> "\t")).as("__r"))
+        .select((schema.fieldNames.map(n => col(s"__r.$n")).toSeq
+          :+ col("__file")): _*)
+  }
+
   /** Read a committed sink directory back — ONLY the files listed by
     * the head snapshot, never a directory listing: uncommitted temps
     * and orphans are invisible, which is the sink's visibility
-    * contract. `schema` must match what the writing job serialized
-    * (the sink is schema-driven; the default is the declared rollup
-    * schema).
+    * contract; rows masked by delete vectors are subtracted on read
+    * (merge-on-read). `schema` must match what the writing job
+    * serialized (the sink is schema-driven; the default is the
+    * declared rollup schema).
     */
   def readBack(spark: SparkSession, path: String,
       schema: StructType = Schema): DataFrame = {
@@ -186,7 +297,7 @@ object GraftSink {
     require(gen > 0 || lines.nonEmpty || Files.exists(
         Paths.get(path, ManifestName)),
       s"no committed manifest under $path")
-    readFiles(spark, path, dataLines(lines).map(fileOf), schema)
+    readVisible(spark, path, lines, schema)
   }
 
   /** Read the sink AS OF a committed generation — the same
@@ -202,8 +313,7 @@ object GraftSink {
     require(Files.exists(manifest),
       s"no committed generation $version under $path " +
         s"(have: ${versions(path).mkString(",")})")
-    readFiles(spark, path,
-      dataLines(readLines(manifest)).map(fileOf), schema)
+    readVisible(spark, path, readLines(manifest), schema)
   }
 
   // ------------------------------------------------------------------
@@ -381,9 +491,13 @@ object GraftSink {
       lo: BigDecimal, hi: BigDecimal,
       schema: StructType = Schema): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val lines = head(path)._2
+    // zonemap stats include later-DV-deleted rows, so the kept set is
+    // a superset of what the visible predicate can touch — pruning
+    // stays sound under merge-on-read deletes
     val (files, _) = filesFor(path, column, lo, hi)
     val dt = schema(column).dataType
-    readFiles(spark, path, files, schema)
+    readVisible(spark, path, restrict(lines, files.toSet), schema)
       .filter(col(column) >= lit(lo.underlying).cast(dt)
         && col(column) <= lit(hi.underlying).cast(dt))
   }
@@ -411,8 +525,10 @@ object GraftSink {
     val (parent, lines) = head(path)
     val entries = dataLines(lines)
     if (entries.isEmpty) return (0L, 0, parent)
-    val df = readFiles(spark, path, entries.map(fileOf), schema)
-      .withColumn("__file", col("_metadata.file_name"))
+    // visible rows only: rows a delete vector already masks neither
+    // match again nor survive into the rewrite (the rewrite PURGES
+    // the affected files' vectors physically)
+    val df = visibleWithFile(spark, path, lines, schema)
     val hits = df.groupBy("__file")
       .agg(sum(when(pred, lit(1L)).otherwise(lit(0L))).as("hits"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -428,7 +544,96 @@ object GraftSink {
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
     val affectedSet = affected.toSet
-    val newLines = lines.filterNot(l => affectedSet(fileOf(l))) ++ sideEntries
+    val newLines = dropDvFor(
+      lines.filterNot(l => affectedSet(fileOf(l))), affectedSet) ++
+      sideEntries
+    (deleted, affected.size, commitReplace(path, newLines, parent))
+  }
+
+  /** ROW-LEVEL DELETE, merge-on-read: instead of rewriting the
+    * affected files ([[deleteWhere]]'s copy-on-write), write one
+    * DELETE VECTOR per affected file — a sidecar listing the deleted
+    * line content — and commit only new `#dv` manifest markers via
+    * compare-and-swap. No data file is rewritten or dropped, so the
+    * commit costs O(rows deleted) IO regardless of file sizes: the
+    * right half of the Delta/Iceberg deletion-vector trade (cheap
+    * deletes, a small per-read anti-join) against copy-on-write's
+    * cheap reads. A second MoR delete on an already-vectored file
+    * replaces its marker with a fresh UNION vector; any later
+    * copy-on-write rewrite (delete/merge/compact/cluster) purges the
+    * vectors physically and drops the markers. Time travel still
+    * serves every pre-delete snapshot — vectors are referenced by
+    * marker, and [[vacuum]] protects every retained generation's DV
+    * files. Returns (rows deleted, files vectored, committed
+    * generation — unchanged head when nothing matched).
+    */
+  def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
+      schema: StructType = Schema): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val (parent, lines) = head(path)
+    val entries = dataLines(lines)
+    if (entries.isEmpty) return (0L, 0, parent)
+    val dvs = dvOf(lines)
+    // visible rows carrying their raw line: the vector stores line
+    // CONTENT, exact because a deterministic predicate matches every
+    // copy of an identical line
+    val matched = visibleLines(spark, path, lines)
+      .select(Seq(col("__file"), col("value"),
+        from_csv(col("value"), schema, Map("sep" -> "\t")).as("__r")) : _*)
+      .select(Seq(col("__file"), col("value")) ++
+        schema.fieldNames.map(n => col(s"__r.$n")): _*)
+      .filter(pred).select("__file", "value").localCheckpoint()
+    // bounded driver read: one row per affected file
+    val hits = matched.groupBy("__file").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deleted = hits.values.sum
+    if (deleted == 0L) return (0L, 0, parent)
+    val affected = entries.map(fileOf).filter(hits.contains)
+    // fresh vector per affected file = matched lines ∪ the file's old
+    // vector (distinct — old-masked rows were invisible, so the union
+    // is disjoint; distinct also collapses duplicate matched copies,
+    // which content semantics make redundant)
+    val oldDv = affected.filter(dvs.contains)
+    val newDv = {
+      val m = matched.distinct()
+      if (oldDv.isEmpty) m
+      else {
+        import spark.implicits._
+        val tag = oldDv.map(f => (dvs(f)._1, f)).toDF("__dvf", "__file")
+        m.unionByName(spark.read
+          .text(oldDv.map(f => Paths.get(path, dvs(f)._1).toString)
+            .distinct: _*)
+          .select(col("_metadata.file_name").as("__dvf"), col("value"))
+          .join(broadcast(tag), "__dvf").select("__file", "value"))
+          .distinct()
+      }
+    }
+    // ONE distributed job writes every vector: partitioned text write
+    // (a file's lines land in a single task → a single part), then
+    // per-file adoption under job-unique names — no driver-side data
+    // write under a fresh subdir: the datasource writer refuses a
+    // pre-existing path, and TempDirs.create makes one
+    val dvDir = Paths.get(
+      graft.TempDirs.create("graft_sink_dv").toString, "out").toString
+    newDv.repartition(col("__file"))
+      .write.partitionBy("__file").text(dvDir)
+    val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val markers = affected.zipWithIndex.map { case (f, i) =>
+      val pdir = Paths.get(dvDir, s"__file=$f")
+      val s = Files.list(pdir)
+      val parts =
+        try s.iterator().asScala.filter(
+          _.getFileName.toString.startsWith("part-")).toSeq
+        finally s.close()
+      require(parts.size == 1,
+        s"expected one delete-vector part for $f, got ${parts.size}")
+      val dvName = s"dv-$jobTag-$i.tsv"
+      Files.move(parts.head, Paths.get(path, dvName),
+        StandardCopyOption.ATOMIC_MOVE)
+      dvMarker(f, dvName,
+        hits(f) + dvs.get(f).map(_._2).getOrElse(0L))
+    }
+    val newLines = dropDvFor(lines, affected.toSet) ++ markers
     (deleted, affected.size, commitReplace(path, newLines, parent))
   }
 
@@ -468,13 +673,16 @@ object GraftSink {
     val nBins = math.max(1,
       math.ceil(totalRows.toDouble / targetRows).toInt)
     val side = graft.TempDirs.create("graft_sink_compact").toString
-    readFiles(spark, path, small.map(fileOf), schema)
+    val smallSet = small.map(fileOf).toSet
+    // visible rows only: compacting a delete-vectored small file
+    // purges its vector physically (marker dropped below)
+    readVisible(spark, path, restrict(lines, smallSet), schema)
       .repartition(nBins)
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
-    val smallSet = small.map(fileOf).toSet
-    val newLines = lines.filterNot(l => smallSet(fileOf(l))) ++ sideEntries
+    val newLines = dropDvFor(
+      lines.filterNot(l => smallSet(fileOf(l))), smallSet) ++ sideEntries
     val gen = commitReplace(path, newLines, parent)
     (entries.size, entries.size - small.size + sideEntries.size, gen)
   }
@@ -501,16 +709,17 @@ object GraftSink {
   def clusterByExpr(spark: SparkSession, path: String, key: Column,
       nFiles: Int, schema: StructType = Schema): Int = {
     val (parent, lines) = head(path)
-    val entries = dataLines(lines)
     val side = graft.TempDirs.create("graft_sink_cluster").toString
-    readFiles(spark, path, entries.map(fileOf), schema)
+    // a full rewrite purges every delete vector physically
+    readVisible(spark, path, lines, schema)
       .repartitionByRange(nFiles, key)
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
-    val old = entries.map(fileOf).toSet
+    val old = dataLines(lines).map(fileOf).toSet
     commitReplace(path,
-      lines.filterNot(l => old(fileOf(l))) ++ sideEntries, parent)
+      dropDvFor(lines.filterNot(l => old(fileOf(l))), old) ++ sideEntries,
+      parent)
   }
 
   /** MERGE (upsert), committed: rows of `updates` REPLACE same-`key`
@@ -534,8 +743,7 @@ object GraftSink {
     require(dup == 0L, s"updates carry $dup duplicate '$key' rows")
     val (parent, lines) = head(path)
     val entries = dataLines(lines)
-    val base = readFiles(spark, path, entries.map(fileOf), schema)
-      .withColumn("__file", col("_metadata.file_name"))
+    val base = visibleWithFile(spark, path, lines, schema)
     val keys = u.select(col(key))
     // bounded driver reads: one row per live data file + two scalars
     val hitByFile = base.join(keys, key, "left_semi")
@@ -558,7 +766,8 @@ object GraftSink {
     val sideEntries = adoptSideFiles(side, path)
     val affectedSet = affected.toSet
     val gen = commitReplace(path,
-      lines.filterNot(l => affectedSet(fileOf(l))) ++ sideEntries, parent)
+      dropDvFor(lines.filterNot(l => affectedSet(fileOf(l))),
+        affectedSet) ++ sideEntries, parent)
     (replaced, inserted, gen)
   }
 
@@ -595,17 +804,30 @@ object GraftSink {
       toGen: Int, schema: StructType = Schema): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(fromGen < toGen, s"need fromGen < toGen, got $fromGen..$toGen")
-    def filesOf(g: Int): Seq[String] = {
+    def linesOf(g: Int): Seq[String] = {
       val m = Paths.get(path, s"$VersionPrefix$g")
       require(Files.exists(m),
         s"no committed generation $g under $path " +
           s"(have: ${versions(path).mkString(",")})")
-      dataLines(readLines(m)).map(fileOf)
+      readLines(m)
     }
-    val from = filesOf(fromGen).toSet
-    val to = filesOf(toGen).toSet
-    val added = readFiles(spark, path, (to -- from).toSeq.sorted, schema)
-    val removed = readFiles(spark, path, (from -- to).toSeq.sorted, schema)
+    val fromLines = linesOf(fromGen)
+    val toLines = linesOf(toGen)
+    val from = dataLines(fromLines).map(fileOf).toSet
+    val to = dataLines(toLines).map(fileOf).toSet
+    // a file counts as changed if it entered/left the list OR its
+    // delete-vector marker moved (a merge-on-read delete changes rows
+    // without touching the file list); carried files with unchanged
+    // vectors still contribute nothing — the cost stays proportional
+    // to what changed
+    val dvFrom = dvOf(fromLines)
+    val dvTo = dvOf(toLines)
+    val changed = ((to -- from) ++ (from -- to)) ++
+      (from & to).filter(f => dvFrom.get(f) != dvTo.get(f))
+    val added = readVisible(spark, path,
+      restrict(toLines, to & changed), schema)
+    val removed = readVisible(spark, path,
+      restrict(fromLines, from & changed), schema)
     added.exceptAll(removed).withColumn("action", lit("insert"))
       .unionByName(
         removed.exceptAll(added).withColumn("action", lit("delete")))
@@ -613,7 +835,7 @@ object GraftSink {
 
   /** DESCRIBE HISTORY: one row per retained generation, computed from
     * the manifests alone (no data file opens) — generation number,
-    * rows listed, rows added/removed vs the parent generation (NULL
+    * visible rows, rows added/removed vs the parent generation (NULL
     * for the oldest retained generation when its parent was expired:
     * attributing its whole content as an append would falsify the
     * audit trail), files listed, and txn markers carried. The
@@ -622,31 +844,37 @@ object GraftSink {
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     val vs = versions(path)
-    def rowsOf(lines: Seq[String]): Long =
-      dataLines(lines).map(_.split("\t")(1).toLong).sum
+    // accounting is in VISIBLE rows per file (listed minus delete-
+    // vectored): a merge-on-read delete surfaces as rows_removed even
+    // though the file list is unchanged, and a rewritten DV'd file's
+    // removal is not overstated by its already-masked rows
+    def visMap(lines: Seq[String]): Map[String, Long] = {
+      val dv = dvOf(lines)
+      dataLines(lines).map { e =>
+        val f = fileOf(e)
+        f -> (e.split("\t")(1).toLong - dv.get(f).map(_._2).getOrElse(0L))
+      }.toMap
+    }
     val rows = vs.map { g =>
       val lines = readLines(Paths.get(path, s"$VersionPrefix$g"))
       (g, lines)
     }
     val out = rows.zipWithIndex.map { case ((g, lines), i) =>
-      val cur = dataLines(lines)
+      val cur = visMap(lines)
       // deltas are only knowable against a PRESENT parent: gen 1's
       // parent is the empty store; an expired parent means unknown
-      val prev: Option[Seq[String]] =
-        if (i > 0) Some(dataLines(rows(i - 1)._2))
-        else if (g == 1) Some(Seq.empty)
+      val prev: Option[Map[String, Long]] =
+        if (i > 0) Some(visMap(rows(i - 1)._2))
+        else if (g == 1) Some(Map.empty[String, Long])
         else None
-      val curSet = cur.map(fileOf).toSet
-      val addedRows = prev.map { pr =>
-        val prevSet = pr.map(fileOf).toSet
-        cur.filterNot(e => prevSet(fileOf(e)))
-          .map(_.split("\t")(1).toLong).sum
-      }
-      val removedRows = prev.map(
-        _.filterNot(e => curSet(fileOf(e)))
-          .map(_.split("\t")(1).toLong).sum)
-      (g.toLong, rowsOf(lines), addedRows, removedRows,
-        cur.size.toLong, lines.count(_.startsWith("#")).toLong)
+      val addedRows = prev.map(pr => cur.iterator.map { case (f, n) =>
+        math.max(0L, n - pr.getOrElse(f, 0L))
+      }.sum)
+      val removedRows = prev.map(pr => pr.iterator.map { case (f, n) =>
+        math.max(0L, n - cur.getOrElse(f, 0L))
+      }.sum)
+      (g.toLong, cur.values.sum, addedRows, removedRows,
+        cur.size.toLong, lines.count(_.startsWith("#txn\t")).toLong)
     }
     import spark.implicits._
     out.toDF("generation", "n_rows", "rows_added", "rows_removed",
@@ -714,11 +942,16 @@ object GraftSink {
       s"no committed manifest under $path")
     val expire = vs.dropRight(keepGenerations).toSet
     val retained = vs.filterNot(expire)
+    // the referenced set spans data files AND delete-vector sidecars
+    // of every retained snapshot — a DV is as load-bearing as the
+    // file it masks (deleting one would resurrect rows)
+    def refsOf(lines: Seq[String]): Seq[String] =
+      dataLines(lines).map(fileOf) ++ dvOf(lines).values.map(_._1)
     val referenced: Set[String] =
       (if (retained.nonEmpty)
         retained.flatMap(g =>
-          dataLines(readLines(Paths.get(path, s"$VersionPrefix$g"))))
-      else dataLines(readLines(live))).map(fileOf).toSet
+          refsOf(readLines(Paths.get(path, s"$VersionPrefix$g"))))
+      else refsOf(readLines(live))).toSet
     var dataDeleted = 0
     var manifestsExpired = 0
     val horizon = System.currentTimeMillis() - minAgeMs

@@ -329,6 +329,61 @@ object EventStreams {
       date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join behind the driver's batch
+    * hash gate (`stream_outer_join`): purchases keep flowing even when
+    * no click preceded them — the unmatched row emits with NULL click
+    * columns only once the watermark PROVES no admissible click can
+    * still arrive (state eviction emits it; an inner join never
+    * exercises that path). The far-future sentinel must pass BOTH
+    * side's filters: each watermark node sits above its filter, so a
+    * filtered-out sentinel would never advance the watermark and the
+    * tail purchases' outer rows would sit in state forever. Outer
+    * nulls normalize (click_id → −1, c_ts → 'never') so the drained
+    * sink gates bit-for-bit against the batch LEFT JOIN oracle —
+    * which also proves no purchase emitted BOTH matched and
+    * null-matched rows (the double-emit failure outer state eviction
+    * risks).
+    */
+  def purchaseClickOuterFromFiles(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val drained = graft.Tables.withNanosAsLong(spark) {
+      val (raw, dir, events) = eventFeed(spark, sfDir, "graft_stream_ojoin")
+      val purchases = events.filter(col("event_type") === "purchase"
+          || col("user_id") === -1L)
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = events.filter(col("event_type") === "click"
+          || col("user_id") === -1L)
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"),
+        "left_outer")
+      val name = nextSinkName("graft_stream_ojoin")
+      withSink(spark, name) {
+        val q = joined.writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, raw, dir)
+          q.processAllAvailable()
+        } finally q.stop()
+        drainMemorySink(spark, name)
+      }
+    }
+    drained
+      .filter(col("p_user") =!= -1L)
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          lit("never")).as("c_ts"))
+  }
+
   /** Streaming exact-dedup behind the driver's batch hash gate: the
     * file stream is fed TWO copies of the events parquet (two symlinks
     * to the same file), so `dropDuplicatesWithinWatermark` has real

@@ -853,4 +853,120 @@ class SourcesV2Spec extends SparkSpec {
     // and the restored head still serves everything after the vacuum
     assert(GraftSink.readBack(spark, dir, schema).count() == 100)
   }
+
+  test("dsv2 sink merge-on-read delete: vectors mask rows without " +
+      "rewriting files, a second delete unions, CoW purges, vacuum " +
+      "protects then reclaims") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_mor").toString
+    // two range-disjoint files (1..50, 51..100) plus a planted
+    // DUPLICATE row (doc_id 10 twice): content-keyed vectors must
+    // delete every copy of a matched line together
+    ((1L to 100L) :+ 10L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartitionByRange(2, col("doc_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val preGen = GraftSink.versions(dir).max
+    val files0 = GraftSink.head(dir)._2.filterNot(_.startsWith("#"))
+      .map(_.split("\t")(0)).toSet
+    // delete ids <= 25: hits only the low file; 26 rows (10 is doubled)
+    val (d1, v1, g1) =
+      GraftSink.deleteWhereMor(spark, dir, col("doc_id") <= 25L, schema)
+    assert(d1 == 26L && v1 == 1 && g1 == preGen + 1,
+      s"got (deleted=$d1, vectored=$v1, gen=$g1)")
+    val lines1 = GraftSink.head(dir)._2
+    val files1 = lines1.filterNot(_.startsWith("#"))
+      .map(_.split("\t")(0)).toSet
+    assert(files1 == files0, "MoR delete must rewrite NO data files")
+    val dv1 = lines1.filter(_.startsWith("#dv\t"))
+    assert(dv1.size == 1 && dv1.head.split("\t")(3) == "26",
+      s"expected one 26-row vector marker, got $dv1")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq == (26L to 100L))
+    assert(GraftSink.readBackAsOf(spark, dir, preGen, schema).count() == 101)
+    // CDC across the MoR delete: exactly the 26 masked rows, as deletes
+    val ch = GraftSink.readChanges(spark, dir, preGen, g1, schema)
+      .groupBy("action").count().as[(String, Long)].collect().toMap
+    assert(ch == Map("delete" -> 26L), s"got $ch")
+    // second delete on the SAME file: marker replaced with the union
+    val (d2, _, g2) =
+      GraftSink.deleteWhereMor(spark, dir, col("doc_id") === 30L, schema)
+    assert(d2 == 1L)
+    val lines2 = GraftSink.head(dir)._2
+    val dv2 = lines2.filter(_.startsWith("#dv\t"))
+    assert(dv2.size == 1 && dv2.head.split("\t")(3) == "27",
+      s"union vector must carry 27 rows, got $dv2")
+    assert(dv2.head.split("\t")(2) != dv1.head.split("\t")(2),
+      "the union must be a FRESH vector file, not an in-place edit")
+    assert(GraftSink.readBack(spark, dir, schema).count() == 74)
+    // the g1 snapshot still reads through its OLD vector
+    assert(GraftSink.readBackAsOf(spark, dir, g1, schema).count() == 75)
+    // history accounts in visible rows: the two MoR gens remove 26 + 1
+    val h = GraftSink.history(spark, dir)
+      .select("generation", "n_rows", "rows_removed")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(_._2).toSeq == Seq(101L, 75L, 74L))
+    assert(h.drop(1).map(_._3).toSeq == Seq(26L, 1L))
+    // vacuum with full retention protects BOTH vector files
+    GraftSink.vacuum(dir)
+    assert(GraftSink.readBackAsOf(spark, dir, g1, schema).count() == 75)
+    assert(GraftSink.readBack(spark, dir, schema).count() == 74)
+    // a copy-on-write delete now purges the vectors physically
+    val (d3, r3, g3) =
+      GraftSink.deleteWhere(spark, dir, col("doc_id") === 40L, schema)
+    assert(d3 == 1L && r3 == 1 && g3 == g2 + 1)
+    val lines3 = GraftSink.head(dir)._2
+    assert(!lines3.exists(_.startsWith("#dv\t")),
+      "the rewrite must drop the rewritten file's vector marker")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      ((26L to 100L).filterNot(i => i == 30L || i == 40L)),
+      "MoR-masked rows must stay deleted through the CoW rewrite")
+    // retention expiry reclaims the replaced vector files
+    val dvFiles = (dv1 ++ dv2).map(_.split("\t")(2))
+    dvFiles.foreach(f => assert(Files.exists(Paths.get(dir, f))))
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    dvFiles.foreach(f => assert(!Files.exists(Paths.get(dir, f)),
+      s"expired vector $f must be vacuumed"))
+    assert(GraftSink.readBack(spark, dir, schema).count() == 73)
+  }
+
+  test("dsv2 sink merge-on-read plan: the vector subtraction is a " +
+      "BROADCAST anti-join and zonemap pruning still skips files") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_morplan").toString
+    (1L to 1000L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    GraftSink.deleteWhereMor(spark, dir, col("doc_id") % 10 === 0L, schema)
+    // the DV side lists only deleted rows — tiny next to the data, so
+    // the anti-join must broadcast, never shuffle the 100 TB side
+    val plan = GraftSink.readBack(spark, dir, schema)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin")
+        && plan.contains("LeftAnti"),
+      s"expected a broadcast LEFT ANTI vector subtraction, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the vector subtraction must never sort-merge the data side")
+    // zonemap pruning composes with vectors: a selective range opens
+    // fewer files than listed, and the visible content is exact
+    val (kept, listed) =
+      GraftSink.filesFor(dir, "doc_id", BigDecimal(1), BigDecimal(100))
+    assert(kept.size < listed, s"kept=${kept.size} listed=$listed")
+    val got = GraftSink.readBackWhere(spark, dir, "doc_id",
+        BigDecimal(1), BigDecimal(100), schema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(got == (1L to 100L).filterNot(_ % 10 == 0),
+      "pruned visible read must equal the filtered full read")
+  }
 }
