@@ -415,6 +415,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => IncrementalDedup.incrementalExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.ngramContainment(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_metrics" -> ((s, d) => Dedup.dedupMetrics(s, d)),
@@ -4258,6 +4259,45 @@ object SparkEntry {
         |  CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
         |FROM pairs JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    // inter-source duplication matrix over the SAME verified jaccard
+    // pairs; mean via round-6 decimal sum, one final division
+    "q_source_overlap" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |  FROM pairs JOIN cnt x ON doc_a = x.doc_id
+        |              JOIN cnt y ON doc_b = y.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.5),
+        |lab AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b, jaccard
+        |  FROM jp JOIN documents da ON jp.doc_a = da.doc_id
+        |          JOIN documents db ON jp.doc_b = db.doc_id)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+        |FROM lab GROUP BY 1, 2""".stripMargin,
     // ship lag: exact integer day gaps; exact-regime KLL ==
     // quantile_cont
     "q_ship_lag" ->

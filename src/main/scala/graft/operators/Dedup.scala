@@ -104,6 +104,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
 
+  /** Inter-source DUPLICATION MATRIX (`q_source_overlap`): which
+    * sources copy from which — the verified near-dup pairs rolled up
+    * to (source, source) cells with pair counts and mean Jaccard.
+    * A hot off-diagonal cell means one scrape mirrors another (count
+    * the corpus once, not twice in the training mix); a hot diagonal
+    * means a source is internally boilerplate-heavy. Rides the SAME
+    * capped candidate generation as `dedup_ngram_jaccard` (shared
+    * `pairStats` — no new quadratic surface), then two doc→source
+    * joins and one #sources²-bounded rollup; the mean follows the
+    * round-6 decimal-sum discipline so the gate hashes it exactly.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    ngramJaccard(spark, sfDir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("jsum"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        round(col("jsum").cast("double") / col("n_pairs"), 6)
+          .as("mean_jaccard"))
+  }
+
   /** Exact n-gram CONTAINMENT near-dup pairs — |∩| / min(|A|,|B|) ≥
     * threshold. Containment is the subset/quote detector Jaccard
     * misses: a short document fully embedded in a long one has
