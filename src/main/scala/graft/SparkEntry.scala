@@ -590,6 +590,8 @@ object SparkEntry {
     "q_probe_mislabel" -> ((s, d) => Stats.probeMislabel(s, d)),
     "q_schema_evolution" ->
       ((s, d) => graft.sources.Formats.mergedSchemaDocs(s, d)),
+    "q_partition_overwrite" ->
+      ((s, d) => graft.sources.Formats.partitionOverwriteRollup(s, d)),
     "q_jsonl_corrupt" ->
       ((s, d) => graft.sources.Formats.jsonlCorrupt(s, d)),
     // SQL-authored plans through the registered custom expressions —
@@ -3045,6 +3047,27 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents CROSS JOIN c
         |GROUP BY 1""".stripMargin,
+    // dynamic partition overwrite: refreshed types (click/view) carry
+    // the full range, every other partition keeps the stale cutoff
+    // content — lost partitions or an un-refreshed type hash-fail
+    "q_partition_overwrite" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |             CAST(max(ts) AS DATE) AS hi FROM events),
+        |cut AS (SELECT lo + CAST((hi - lo) // 2 AS INTEGER) AS cd FROM b),
+        |r AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(value AS DECIMAL(18,2))) AS v
+        |      FROM events GROUP BY 1, 2),
+        |eff AS (
+        |  SELECT event_type, day, n, v FROM r
+        |  WHERE event_type IN ('click', 'view')
+        |  UNION ALL
+        |  SELECT event_type, day, n, v FROM r CROSS JOIN cut
+        |  WHERE event_type NOT IN ('click', 'view') AND day < cd)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM eff GROUP BY 1""".stripMargin,
     // the pruned partitioned-layout read must equal the plain scan
     "q_partition_prune" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

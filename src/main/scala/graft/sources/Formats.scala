@@ -323,6 +323,46 @@ object Formats {
           .cast("double").as("sum_value"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (`q_partition_overwrite`) — the
+    * refresh idiom every partitioned 100 TB table lives by: v1 lands
+    * a STALE per-(type, day) rollup (days below the corpus-midpoint
+    * cutoff) for every event type, `partitionBy(event_type)`; the
+    * refresh recomputes the FULL-range rollup for click+view only and
+    * overwrites with `partitionOverwriteMode=dynamic` — Spark replaces
+    * ONLY the partitions present in the incoming frame. A static
+    * overwrite would have dropped every other type's partition
+    * wholesale, so the gate's split-brain read-back (refreshed types
+    * full-range, the rest stale, recomputed by the oracle with the
+    * same cutoff CASE) proves the dynamic semantics: lost stale
+    * partitions OR an un-refreshed click/view both hash-fail.
+    */
+  def partitionOverwriteRollup(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.Tables.events(spark, sfDir)
+    val rollup = ev.groupBy(col("event_type"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v"))
+    // deterministic midpoint cutoff, ONE bounded 1-row read
+    val cut = ev.agg(date_add(min(col("ts")).cast("date"),
+        expr("CAST(datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE)) DIV 2 AS INT)"))
+        .as("cd")).head().getDate(0)
+    val dir = graft.TempDirs.create("graft_part_overwrite").toString
+    rollup.filter(col("day") < lit(cut))
+      .write.partitionBy("event_type")
+      .mode(SaveMode.Overwrite).parquet(dir)
+    rollup.filter(col("event_type").isin("click", "view"))
+      .write.partitionBy("event_type")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+  }
+
   /** Parquet schema EVOLUTION across ingest days — the drift every
     * long-lived 100 TB corpus accumulates: day 1 was written before
     * the `source` column existed; day 2 carries it. `mergeSchema`
