@@ -61,6 +61,7 @@ object SparkEntry {
     "q_funnel_time" -> ((s, d) => Stats.funnelTime(s, d)),
     "q_shard_rebalance" -> ((s, d) => Layout.shardRebalance(s, d)),
     "q_time_travel" -> ((s, d) => sources.Formats.timeTravel(s, d)),
+    "q_sink_sharded" -> ((s, d) => sources.Formats.sinkShardedReport(s, d)),
     "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
     "q_cross_corr" -> ((s, d) => Stats.crossCorr(s, d)),
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
@@ -1810,6 +1811,20 @@ object SparkEntry {
     // time travel: generation 1 = the id-lower half, generation 2 =
     // everything; the sink's retained snapshots must reproduce both
     "q_time_travel" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, t WHERE doc_id <= mid
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM documents""".stripMargin,
+    // sharded manifests: the same two snapshots, now served THROUGH
+    // @shard reference resolution — same oracle as q_time_travel
+    "q_sink_sharded" ->
       """WITH t AS (
         |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
         |    AS mid

@@ -543,7 +543,8 @@ object Formats {
     * gated keys' split rule can never drift.
     */
   private def writeTwoGenerations(spark: SparkSession, sfDir: String,
-      prefix: String): String = {
+      prefix: String, writerOpts: Map[String, String] = Map.empty)
+      : String = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     val dir = graft.TempDirs.create(prefix).toString
@@ -556,11 +557,36 @@ object Formats {
       docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
     half(col("doc_id") <= _)
       .write.format("graft.sources.v2.GraftSinkSource")
-      .option("path", dir).mode("append").save()
+      .option("path", dir).options(writerOpts).mode("append").save()
     half(col("doc_id") > _)
       .write.format("graft.sources.v2.GraftSinkSource")
-      .option("path", dir).mode("append").save()
+      .option("path", dir).options(writerOpts).mode("append").save()
     dir
+  }
+
+  /** SHARDED MANIFESTS on the sink (`q_sink_sharded`): the same
+    * two-generation store committed with `shardThreshold=2`, so BOTH
+    * appends spill their inline entries into immutable `_SHARD.*`
+    * files and the manifests hold `@shard` references — the
+    * Delta/Iceberg manifest-LIST shape that keeps manifest growth
+    * O(1) per commit on a 10⁶-file table. The gate replays
+    * `q_time_travel`'s oracle over the sharded store: both snapshots
+    * served THROUGH shard resolution must equal the inline store's
+    * answers bit-for-bit (a dropped shard, a double-resolved ref, or
+    * an entry lost in the spill all hash-fail); the O(1) manifest
+    * shape and the shard vacuum lifecycle are spec-pinned.
+    */
+  def sinkShardedReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_sharded",
+      Map("shardThreshold" -> "2"))
+    graft.sources.v2.GraftSink.versions(dir).map { v =>
+      graft.sources.v2.GraftSink.readBackAsOf(spark, dir, v, TwoGenSchema)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("sum_chars"))
+    }.reduce(_ unionByName _)
   }
 
   def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {

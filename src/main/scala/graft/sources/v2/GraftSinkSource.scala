@@ -77,17 +77,20 @@ class GraftSinkSource extends TableProvider {
 }
 
 object GraftSink {
-  /** SCALE CEILING, stated honestly: the design keeps ONE manifest
-    * line per data file, read whole on the driver — right-sized files
-    * (see [[compact]]) put a 100 TB table at 10⁴–10⁵ entries, a
-    * few-MB manifest and driver maps to match; the maintenance ops'
-    * "one row per live file" driver reads are bounded by the same
-    * number. Past that, the evolution path is the one Delta/Iceberg
-    * took — manifest LISTS (a manifest of manifests, partition-
-    * sharded) — which changes only [[head]]/[[readFiles]] plumbing,
-    * not the commit protocol: the create-if-absent snapshot claim,
-    * the CAS replace, the txn ledger, and the zonemap entries all
-    * carry over per shard.
+  /** SCALE STORY: below [[DefaultShardThreshold]] inline entries the
+    * design keeps ONE manifest line per data file, read whole on the
+    * driver — right-sized files (see [[compact]]) put a 100 TB table
+    * at 10⁴–10⁵ entries, a few-MB manifest and driver maps to match.
+    * ABOVE it, commits spill their inline data entries into immutable
+    * `_SHARD.*` files and the manifest holds `@shard` references —
+    * the Delta/Iceberg manifest-LIST shape: an append then writes
+    * O(new entries) bytes and carries the parent's shards BY
+    * REFERENCE, so manifest growth per commit is O(1) refs instead of
+    * O(table files) rewritten lines. The commit protocol is untouched
+    * (create-if-absent snapshot claim, CAS replace, txn ledger, DV
+    * markers — all stay inline in the manifest); only line
+    * RESOLUTION ([[resolved]]) learns to follow references, and
+    * [[vacuum]] protects every retained generation's shards.
     */
 
   /** The sink table's declared schema: a per-(user, event_type)
@@ -146,8 +149,59 @@ object GraftSink {
       l.startsWith("#dv\t") && files(l.split("\t")(1))
     }
 
+  /** Entries-per-manifest ceiling before a commit spills its inline
+    * data entries into a `_SHARD.*` file — large enough that every
+    * test-scale table stays inline (the sharded path has its own
+    * gate + spec), small enough that a real 100 TB table's manifests
+    * stay O(shards) lines.
+    */
+  val DefaultShardThreshold: Int = 65536
+
+  private val ShardRef = "@shard\t"
+  private val ShardFilePrefix = "_SHARD."
+
+  /** Resolve `@shard<TAB><file>` references to the data entries the
+    * shard holds — shard files are immutable and hold ONLY data
+    * lines, so resolution is a flatMap; markers (`#txn`, `#dv`) stay
+    * inline in the manifest and pass through untouched. Every READER
+    * resolves; writers work on raw lines so parent shards carry by
+    * reference.
+    */
+  private def resolved(path: String, lines: Seq[String]): Seq[String] =
+    if (!lines.exists(_.startsWith(ShardRef))) lines
+    else lines.flatMap { l =>
+      if (l.startsWith(ShardRef))
+        readLines(Paths.get(path, l.split("\t")(1)))
+      else Seq(l)
+    }
+
+  /** The shard files a raw manifest references. */
+  private def shardsOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(ShardRef)).map(_.split("\t")(1))
+
+  /** Spill a manifest's inline data entries into a fresh immutable
+    * shard once they exceed `threshold` — the O(1)-growth append
+    * step: markers and the parent's existing `@shard` refs stay
+    * inline, the new shard absorbs the inline tail.
+    */
+  private def spill(path: String, lines: Seq[String], threshold: Int)
+      : Seq[String] = {
+    val (inline, rest) = lines.partition(l =>
+      l.nonEmpty && !l.startsWith("#") && !l.startsWith(ShardRef))
+    if (inline.size <= threshold) lines
+    else {
+      val name = ShardFilePrefix +
+        java.util.UUID.randomUUID().toString.substring(0, 16)
+      Files.write(Paths.get(path, name),
+        inline.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      rest :+ s"$ShardRef$name\t${inline.size}"
+    }
+  }
+
   private def dataLines(lines: Seq[String]): Seq[String] =
-    lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+    lines.filter(l =>
+      l.nonEmpty && !l.startsWith("#") && !l.startsWith(ShardRef))
 
   /** Restrict manifest lines to the data entries of `files` plus
     * their `#dv` markers — the sub-manifest every partial read
@@ -297,7 +351,7 @@ object GraftSink {
     require(gen > 0 || lines.nonEmpty || Files.exists(
         Paths.get(path, ManifestName)),
       s"no committed manifest under $path")
-    readVisible(spark, path, lines, schema)
+    readVisible(spark, path, resolved(path, lines), schema)
   }
 
   /** Read the sink AS OF a committed generation — the same
@@ -313,7 +367,7 @@ object GraftSink {
     require(Files.exists(manifest),
       s"no committed generation $version under $path " +
         s"(have: ${versions(path).mkString(",")})")
-    readVisible(spark, path, readLines(manifest), schema)
+    readVisible(spark, path, resolved(path, readLines(manifest)), schema)
   }
 
   // ------------------------------------------------------------------
@@ -390,7 +444,8 @@ object GraftSink {
     * Returns the committed generation, or -1 for an idempotent skip.
     */
   def commitAppend(path: String, entries: Seq[String],
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None,
+      shardThreshold: Int = DefaultShardThreshold): Int = {
     Files.createDirectories(Paths.get(path))
     var attempts = 0
     var out = Int.MinValue
@@ -398,7 +453,11 @@ object GraftSink {
       val (parent, lines0) = head(path)
       if (txn.exists(t => lines0.contains(marker(t)))) out = -1
       else {
-        val lines = (lines0 ++ entries ++ txn.map(marker)).sorted
+        // raw parent lines: existing @shard refs carry BY REFERENCE —
+        // an append above the threshold spills only its own inline
+        // tail, so manifest work stays O(new entries), never O(table)
+        val lines = spill(path,
+          (lines0 ++ entries ++ txn.map(marker)).sorted, shardThreshold)
         if (publish(path, parent + 1, lines)) {
           refreshLive(path)
           out = parent + 1
@@ -421,7 +480,8 @@ object GraftSink {
     * and the caller recomputes.
     */
   def commitReplace(path: String, lines: Seq[String],
-      expectedParent: Int): Int = {
+      expectedParent: Int,
+      shardThreshold: Int = DefaultShardThreshold): Int = {
     val gen = expectedParent + 1
     // the CAS must verify the head really is the expected parent, not
     // merely that the target number is unclaimed: after retention
@@ -433,7 +493,7 @@ object GraftSink {
       throw new java.util.ConcurrentModificationException(
         s"head moved: expected generation $expectedParent under $path, " +
           s"found $cur; recompute the replace against the new head")
-    if (!publish(path, gen, lines.sorted))
+    if (!publish(path, gen, spill(path, lines.sorted, shardThreshold)))
       throw new java.util.ConcurrentModificationException(
         s"generation $gen was committed concurrently under $path; " +
           "recompute the replace against the new head")
@@ -471,7 +531,7 @@ object GraftSink {
     */
   def filesFor(path: String, column: String, lo: BigDecimal,
       hi: BigDecimal): (Seq[String], Int) = {
-    val entries = dataLines(head(path)._2)
+    val entries = dataLines(resolved(path, head(path)._2))
     val kept = entries.filter { e =>
       statsOf(e).get(column) match {
         case Some((mn, mx)) => !(mx < lo || mn > hi)
@@ -491,7 +551,7 @@ object GraftSink {
       lo: BigDecimal, hi: BigDecimal,
       schema: StructType = Schema): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val lines = head(path)._2
+    val lines = resolved(path, head(path)._2)
     // zonemap stats include later-DV-deleted rows, so the kept set is
     // a superset of what the visible predicate can touch — pruning
     // stays sound under merge-on-read deletes
@@ -522,7 +582,8 @@ object GraftSink {
   def deleteWhere(spark: SparkSession, path: String, pred: Column,
       schema: StructType = Schema): (Long, Int, Int) = {
     import org.apache.spark.sql.functions._
-    val (parent, lines) = head(path)
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
     val entries = dataLines(lines)
     if (entries.isEmpty) return (0L, 0, parent)
     // visible rows only: rows a delete vector already masks neither
@@ -570,7 +631,8 @@ object GraftSink {
   def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
       schema: StructType = Schema): (Long, Int, Int) = {
     import org.apache.spark.sql.functions._
-    val (parent, lines) = head(path)
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
     val entries = dataLines(lines)
     if (entries.isEmpty) return (0L, 0, parent)
     val dvs = dvOf(lines)
@@ -644,7 +706,7 @@ object GraftSink {
     * (delete, compact, cluster, merge).
     */
   private def adoptSideFiles(side: String, path: String): Seq[String] = {
-    val entries = dataLines(head(side)._2)
+    val entries = dataLines(resolved(side, head(side)._2))
     entries.foreach { e =>
       Files.move(Paths.get(side, fileOf(e)), Paths.get(path, fileOf(e)),
         StandardCopyOption.ATOMIC_MOVE)
@@ -665,7 +727,8 @@ object GraftSink {
     */
   def compact(spark: SparkSession, path: String, targetRows: Long,
       schema: StructType = Schema): (Int, Int, Int) = {
-    val (parent, lines) = head(path)
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
     val entries = dataLines(lines)
     val small = entries.filter(_.split("\t")(1).toLong < targetRows)
     if (small.size <= 1) return (entries.size, entries.size, parent)
@@ -708,7 +771,8 @@ object GraftSink {
     */
   def clusterByExpr(spark: SparkSession, path: String, key: Column,
       nFiles: Int, schema: StructType = Schema): Int = {
-    val (parent, lines) = head(path)
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
     val side = graft.TempDirs.create("graft_sink_cluster").toString
     // a full rewrite purges every delete vector physically
     readVisible(spark, path, lines, schema)
@@ -741,7 +805,8 @@ object GraftSink {
     val dup = u.agg((count(lit(1)) - countDistinct(col(key))).as("d"))
       .first().getLong(0)
     require(dup == 0L, s"updates carry $dup duplicate '$key' rows")
-    val (parent, lines) = head(path)
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
     val entries = dataLines(lines)
     val base = visibleWithFile(spark, path, lines, schema)
     val keys = u.select(col(key))
@@ -809,7 +874,7 @@ object GraftSink {
       require(Files.exists(m),
         s"no committed generation $g under $path " +
           s"(have: ${versions(path).mkString(",")})")
-      readLines(m)
+      resolved(path, readLines(m))
     }
     val fromLines = linesOf(fromGen)
     val toLines = linesOf(toGen)
@@ -856,7 +921,8 @@ object GraftSink {
       }.toMap
     }
     val rows = vs.map { g =>
-      val lines = readLines(Paths.get(path, s"$VersionPrefix$g"))
+      val lines = resolved(path,
+        readLines(Paths.get(path, s"$VersionPrefix$g")))
       (g, lines)
     }
     val out = rows.zipWithIndex.map { case ((g, lines), i) =>
@@ -905,7 +971,7 @@ object GraftSink {
     require(Files.exists(m),
       s"no committed generation $toGen under $path " +
         s"(have: ${versions(path).mkString(",")})")
-    commitReplace(path, readLines(m), parent)
+    commitReplace(path, readLines(m), parent, Int.MaxValue)
   }
 
   /** VACUUM: delete files NO RETAINED generation references (crash
@@ -942,11 +1008,15 @@ object GraftSink {
       s"no committed manifest under $path")
     val expire = vs.dropRight(keepGenerations).toSet
     val retained = vs.filterNot(expire)
-    // the referenced set spans data files AND delete-vector sidecars
-    // of every retained snapshot — a DV is as load-bearing as the
-    // file it masks (deleting one would resurrect rows)
-    def refsOf(lines: Seq[String]): Seq[String] =
-      dataLines(lines).map(fileOf) ++ dvOf(lines).values.map(_._1)
+    // the referenced set spans data files, delete-vector sidecars AND
+    // manifest shards of every retained snapshot — a DV or shard is
+    // as load-bearing as the files it masks/lists (deleting either
+    // would resurrect rows or lose the listing)
+    def refsOf(raw: Seq[String]): Seq[String] = {
+      val lines = resolved(path, raw)
+      dataLines(lines).map(fileOf) ++ dvOf(lines).values.map(_._1) ++
+        shardsOf(raw)
+    }
     val referenced: Set[String] =
       (if (retained.nonEmpty)
         retained.flatMap(g =>
@@ -990,7 +1060,9 @@ class GraftSinkTable(schema: StructType, path: String)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(info.schema(), path,
-            Option(info.options().get("txn")))
+            Option(info.options().get("txn")),
+            Option(info.options().get("shardThreshold")).map(_.toInt)
+              .getOrElse(GraftSink.DefaultShardThreshold))
       }
     }
 }
@@ -1007,7 +1079,9 @@ class GraftSinkTable(schema: StructType, path: String)
   * already-renamed parts are deleted on the skip).
   */
 class GraftSinkBatchWrite(schema: StructType, path: String,
-    txn: Option[String]) extends BatchWrite {
+    txn: Option[String],
+    shardThreshold: Int = GraftSink.DefaultShardThreshold)
+    extends BatchWrite {
   Files.createDirectories(Paths.get(path))
 
   private val jobTag =
@@ -1023,7 +1097,7 @@ class GraftSinkBatchWrite(schema: StructType, path: String,
         StandardCopyOption.ATOMIC_MOVE)
     }
     val entries = msgs.map(m => s"${m.finalName}\t${m.rows}\t${m.stats}")
-    val gen = GraftSink.commitAppend(path, entries.toSeq, txn)
+    val gen = GraftSink.commitAppend(path, entries.toSeq, txn, shardThreshold)
     // idempotent replay (txn already committed): this attempt's parts
     // were never published — remove them now rather than waiting for
     // vacuum

@@ -969,4 +969,58 @@ class SourcesV2Spec extends SparkSpec {
     assert(got == (1L to 100L).filterNot(_ % 10 == 0),
       "pruned visible read must equal the filtered full read")
   }
+
+  test("dsv2 sink sharded manifests: appends spill to immutable " +
+      "shards carried by reference, the head stays O(shards) lines, " +
+      "every reader resolves, a rewrite re-inlines and vacuum " +
+      "reclaims the old shards") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_shard").toString
+    def put(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong)).toDF("doc_id", "n_chars")
+        .repartition(2).write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).option("shardThreshold", "4")
+        .mode("append").save()
+    // 6 appends × 2 files = 12 entries; threshold 4 forces periodic
+    // spills — the head must list FAR fewer lines than entries
+    (0 until 6).foreach(i => put(i * 10 + 1 to i * 10 + 10))
+    val raw = GraftSink.head(dir)._2
+    val inline = raw.count(l => !l.startsWith("#") && !l.startsWith("@"))
+    val shards = raw.filter(_.startsWith("@shard\t"))
+    assert(shards.nonEmpty, "appends above the threshold must shard")
+    assert(inline <= 4, s"inline tail must stay under the threshold, " +
+      s"got $inline of ${raw.size} lines")
+    assert(raw.size < 12, s"the head must stay O(shards), got ${raw.size}")
+    // every reader resolves references
+    assert(GraftSink.readBack(spark, dir, schema).count() == 60)
+    assert(GraftSink.readBackAsOf(spark, dir, 3, schema).count() == 30)
+    assert(GraftSink.history(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("n_rows"))
+      .head().getLong(0) == 60)
+    assert(GraftSink.readChanges(spark, dir, 5, 6, schema).count() == 10)
+    // zonemap pruning composes with shard resolution
+    assert(GraftSink.readBackWhere(spark, dir, "doc_id",
+      BigDecimal(1), BigDecimal(10), schema).count() == 10)
+    // merge-on-read deletes resolve too
+    val (d, _, _) =
+      GraftSink.deleteWhereMor(spark, dir, col("doc_id") % 10 === 0L, schema)
+    assert(d == 6L)
+    assert(GraftSink.readBack(spark, dir, schema).count() == 54)
+    // a full rewrite resolves, re-packs, and abandons the old shards;
+    // retention expiry then reclaims them (they were still protecting
+    // the pre-rewrite snapshots until now)
+    val shardFiles = shards.map(_.split("\t")(1))
+    shardFiles.foreach(f => assert(Files.exists(Paths.get(dir, f))))
+    GraftSink.compact(spark, dir, targetRows = Long.MaxValue, schema)
+    assert(GraftSink.readBack(spark, dir, schema).count() == 54)
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    shardFiles.foreach(f => assert(!Files.exists(Paths.get(dir, f)),
+      s"expired shard $f must be vacuumed"))
+    assert(GraftSink.readBack(spark, dir, schema).count() == 54)
+  }
 }
