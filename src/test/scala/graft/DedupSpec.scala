@@ -575,4 +575,23 @@ class DedupSpec extends SparkSpec {
     // greedy drops can never exceed docs touched
     rows.foreach(r => assert(r.getLong(4) <= r.getLong(3), r.toString))
   }
+
+  test("source overlap: a cross-source duplicate lands in ONE " +
+      "normalized (least, greatest) cell and unrelated docs stay out") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_src_overlap").toString
+    val dup = "alpha beta gamma delta epsilon"
+    Seq((1L, dup, "web"), (2L, dup, "books"),
+        (3L, "zeta eta theta iota kappa", "books"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    // one pair, sources normalized lexically: (books, web), jaccard 1
+    assert(got.toSeq == Seq((("books", "web"), (1L, 1.0))),
+      s"got ${got.toSeq}")
+  }
 }

@@ -947,4 +947,30 @@ class RelationalExtSpec extends SparkSpec {
     assert(math.abs(a2.values.sum - 1.0) < 1e-6)
     assert(math.abs(h2.values.sum - 1.0) < 1e-6)
   }
+
+  test("backlog: a no-line order never closes, a same-month close " +
+      "nets zero, and the last-ship rule closes on the final line") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_backlog_spec").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq((1L, ts("2024-01-05"), 10.0), // closes 2024-03 (last line)
+        (2L, ts("2024-01-10"), 20.0), // NO lineitem: never closes
+        (3L, ts("2024-02-01"), 30.0)) // opens and closes in 2024-02
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // order 1 has an early and a late line: the ORDER closes when its
+    // LAST line ships, so February must still carry it
+    Seq((1L, ts("2024-02-15")), (1L, ts("2024-03-10")),
+        (3L, ts("2024-02-20")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.backlog(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("2024-01", 2L, 30.0),  // 1 and 2 open
+      ("2024-02", 2L, 30.0),  // 3 opened AND closed; 1 still open
+      ("2024-03", 1L, 20.0)), // 1 closed; only the line-less 2 remains
+      s"got ${got.toSeq}")
+  }
 }

@@ -596,4 +596,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getDouble(2) == want,
       s"nll_sum ${out.getDouble(2)} != $want")
   }
+
+  test("source divergence: corpus-identical sources sit at the same " +
+      "planted KL and the skewed source carries ln 2 exactly") {
+    import spark.implicits._
+    // sources A and B are the SAME distribution {a, b}; C is pure {c}.
+    // corpus: a:2 b:2 c:4 of 8 → KL(A)=KL(B)=ln2 (each word 2× over-
+    // represented), KL(C)=ln2 (c at p=1 vs corpus 1/2) — all terms
+    // pass through the round-6 decimal-sum chain, so the report is
+    // exactly round(ln 2, 6)
+    val docs = Seq(
+      (1L, "a b", "A"), (2L, "a b", "B"), (3L, "c c c c", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.sourceDivergenceOver(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .sortBy(_._1)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("A", 2L, ln2), ("B", 2L, ln2),
+      ("C", 4L, ln2)), s"got ${got.toSeq}")
+  }
 }
