@@ -175,6 +175,7 @@ object SparkEntry {
     "text_gopher" -> ((s, d) => TextAnalysis.gopherFilters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.entropy(s, d)),
     "q_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
+    "text_naive_bayes" -> ((s, d) => TextAnalysis.naiveBayes(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Relational.anomalyZscore(s, d)),
     "q_regression" -> ((s, d) => Relational.regression(s, d)),
@@ -3624,6 +3625,58 @@ object SparkEntry {
         |        AS DECIMAL(18,6))) AS DOUBLE)
         |      / CAST(sum(tf) AS DOUBLE), 6) AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
+    // multinomial NB, ln-expanded: per-(doc,word,class) Laplace terms
+    // round-6 decimal-summed with the prior; argmax on the EXACT
+    // decimal score with the class-name tiebreak
+    "text_naive_bayes" ->
+      """WITH c AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents),
+        |tr AS (SELECT doc_id, lang, text FROM documents, c
+        |       WHERE doc_id <= mid),
+        |te AS (SELECT doc_id, lang, text FROM documents, c
+        |       WHERE doc_id > mid),
+        |trtok AS (
+        |  SELECT lang AS cls,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM tr),
+        |twc AS (SELECT cls, word, CAST(count(*) AS BIGINT) AS c_wc
+        |        FROM trtok GROUP BY 1, 2),
+        |tc AS (SELECT cls, CAST(sum(c_wc) AS BIGINT) AS t_c
+        |       FROM twc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS vv FROM twc),
+        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |pr AS (
+        |  SELECT tr.lang AS cls, t_c,
+        |    CAST(round(ln(CAST(count(*) AS DOUBLE))
+        |      - ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior
+        |  FROM tr JOIN tc ON tc.cls = tr.lang CROSS JOIN ntr
+        |  GROUP BY 1, 2, n),
+        |tetok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+        |  FROM te),
+        |tw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c_dw
+        |       FROM tetok GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT tw.doc_id, pr.cls,
+        |    sum(CAST(round(c_dw * (ln(CAST(COALESCE(c_wc, 0) + 1 AS DOUBLE))
+        |      - ln(CAST(t_c + vv AS DOUBLE))), 6) AS DECIMAL(18,6)))
+        |      + any_value(prior) AS s
+        |  FROM tw CROSS JOIN pr CROSS JOIN v
+        |  LEFT JOIN twc ON twc.cls = pr.cls AND twc.word = tw.word
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, cls,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s DESC, cls) AS rk
+        |  FROM sc)
+        |SELECT te.lang AS true_lang, p.cls AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pred p JOIN te ON te.doc_id = p.doc_id
+        |WHERE rk = 1
+        |GROUP BY 1, 2""".stripMargin,
     // KL(source ‖ corpus) in ln-expanded form: per-(source,word)
     // c·(ln c − ln t_s − ln c_w + ln t) terms rounded to 6 and summed
     // IN DECIMAL, one final division per source (perplexity discipline)

@@ -654,6 +654,70 @@ object TextAnalysis {
         round(log(col("n_tokens"))
           - col("tlt_sum").cast("double") / col("n_tokens"), 6).as("entropy"))
 
+  /** Trained NAIVE BAYES language classifier (`text_naive_bayes`) —
+    * the learnable counterpart to `text_langid`'s fixed n-gram
+    * heuristic, and the repo's train/apply supervised-text loop:
+    * multinomial NB with Laplace α=1 trained on the id-lower corpus
+    * half, applied to the upper half, reported as the (true,
+    * predicted) confusion matrix. All probability math is ln-expanded
+    * so only per-(doc, word, class) terms ever sum —
+    * `c_dw·(ln(c_wc+1) − ln(t_c+V))` — each rounded to 6 decimals and
+    * summed IN DECIMAL with the prior `ln n_c − ln n` term (the
+    * perplexity discipline), making the per-(doc, class) score EXACT
+    * and the argmax (score desc, class asc) bit-deterministic in both
+    * engines. Plan: train counts are one (class, word) aggregation;
+    * scoring is test-doc-word pairs × the #classes-row broadcast,
+    * left-joined to train counts on (class, word) — linear in tokens
+    * × classes, no per-doc state, map-side scalable at 100 TB.
+    */
+  def naiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the corpus-midpoint split every two-phase scaffold uses; one
+    // bounded 1-row read
+    val mid = docs.agg(floor((min(col("doc_id")) + max(col("doc_id")))
+      / lit(2.0)).cast("long")).head().getLong(0)
+    val train = docs.filter(col("doc_id") <= mid)
+    val test = docs.filter(col("doc_id") > mid)
+    def tok(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      col("lang"), explode(filter(split(col("text"), WordSplit),
+        w => w =!= "")).as("word"))
+    val trainWc = tok(train).groupBy(col("lang").as("cls"), col("word"))
+      .agg(count(lit(1)).as("c_wc"))
+      .localCheckpoint()
+    val classTotals = trainWc.groupBy("cls").agg(sum(col("c_wc")).as("t_c"))
+    // two bounded scalars: train vocab size (the Laplace denominator)
+    // and the train doc count (the prior denominator)
+    val v = trainWc.select(countDistinct(col("word"))).head().getLong(0)
+    val nTrain = train.count()
+    val priors = train.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+      .join(classTotals, "cls")
+      .select(col("cls"), col("t_c"),
+        round(log(col("n_c")) - log(lit(nTrain.toDouble)), 6)
+          .cast(DecimalType(18, 6)).as("prior"))
+    val testWc = tok(test).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c_dw"))
+    val scores = testWc
+      .crossJoin(broadcast(priors))
+      .join(trainWc, Seq("cls", "word"), "left")
+      .withColumn("term",
+        round(col("c_dw") * (log(coalesce(col("c_wc"), lit(0L)) + lit(1L))
+          - log(col("t_c") + lit(v))), 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"), col("cls"), col("prior"))
+      .agg(sum(col("term")).as("tsum"))
+      .select(col("doc_id"), col("cls"),
+        (col("tsum") + col("prior")).as("s"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").desc, col("cls"))
+    scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(test.select(col("doc_id"), col("lang").as("true_lang")),
+        "doc_id")
+      .groupBy(col("true_lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-source distribution drift (`q_source_divergence`): KL(source
     * ‖ corpus) over unigram word distributions — the mixture-curation
     * signal for "which source reads least like the rest of the

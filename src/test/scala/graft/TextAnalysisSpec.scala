@@ -597,6 +597,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"nll_sum ${out.getDouble(2)} != $want")
   }
 
+  test("naive bayes: a distinctive word classifies, and an all-unseen " +
+      "doc lands on the EXACT decimal tie broken by class name") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_nb_spec").toString
+    // ids 0..3 → mid 1: train = {0: aa 'alpha alpha', 1: bb 'beta
+    // beta'} (symmetric priors, totals, vocab), test = {2, 3}
+    Seq((0L, "alpha alpha", "aa"), (1L, "beta beta", "bb"),
+        (2L, "alpha", "aa"), (3L, "gamma", "bb"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.naiveBayes(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // doc 2's 'alpha' is class evidence → aa; doc 3's 'gamma' is
+    // unseen by BOTH classes, every ln term and the priors are
+    // symmetric → the decimal scores TIE exactly and the class-name
+    // order must deterministically pick 'aa'
+    assert(got.toSeq == Seq(("aa", "aa", 1L), ("bb", "aa", 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("source divergence: corpus-identical sources sit at the same " +
       "planted KL and the skewed source carries ln 2 exactly") {
     import spark.implicits._
