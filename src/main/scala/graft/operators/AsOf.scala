@@ -93,6 +93,71 @@ object AsOf {
           .cast("double").as("attributed_value"))
   }
 
+  /** SHAPLEY channel attribution (`q_shapley_attribution`) —
+    * completes the attribution trio beside last-touch
+    * ([[attributionLastTouchOver]]) and the Markov removal-effect
+    * model: each converted user's credit splits over the channel
+    * types they touched STRICTLY BEFORE their first purchase, by the
+    * exact Shapley value of the coalition game
+    * v(S) = |{converted users whose channel set ⊆ S}|.
+    *
+    * Exactness discipline: channel sets are ≤ 2^n for n = distinct
+    * pre-purchase channel types (4 here), so after ONE user-keyed
+    * window pass + ONE bounded aggregation (≤ 2^n rows — the same
+    * bounded-driver-materialization budget as the #types² Markov
+    * matrix), the Shapley sum φ_i·n! = Σ_S |S|!(n−1−|S|)!·[v(S∪i) −
+    * v(S)] is computed in INTEGER arithmetic; the only double is the
+    * final φ = num/n!, derived identically in both engines from the
+    * same integers. Users who purchase with no prior channel touch
+    * are unattributable and excluded (the deterministic rule the
+    * oracle mirrors).
+    */
+  def shapleyAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    shapleyAttributionOver(Tables.events(spark, sfDir))
+
+  def shapleyAttributionOver(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    // one user-keyed shuffle: the sorted distinct channel set strictly
+    // before the first purchase, then ≤ 2^n exact-set counts
+    val sets = ev.filter(col("event_type") =!= "purchase")
+      .join(firstPurchase, "user_id")
+      .filter(col("ts") < col("p_ts"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("chans"))
+      .groupBy(concat_ws(",", col("chans")).as("set_key"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded driver read: at most 2^n exact coalition rows
+    val exact = sets.collect()
+      .map(r => r.getString(0).split(",").toSeq -> r.getLong(1)).toMap
+    val channels = exact.keys.flatten.toSeq.distinct.sorted
+    val n = channels.size
+    val idx = channels.zipWithIndex.toMap
+    val exactMask: Map[Int, Long] = exact.toSeq
+      .map { case (chans, c) => chans.map(idx).map(1 << _).sum -> c }
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sum }
+    def v(mask: Int): Long = exactMask.iterator
+      .collect { case (m, c) if (m & mask) == m => c }.sum
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val rows = channels.map { ch =>
+      val i = idx(ch)
+      val num = (0 until (1 << n)).iterator
+        .filter(mask => (mask & (1 << i)) == 0)
+        .map { mask =>
+          val s = Integer.bitCount(mask)
+          fact(s) * fact(n - 1 - s) * (v(mask | (1 << i)) - v(mask))
+        }.sum
+      (ch, num)
+    }
+    import spark.implicits._
+    rows.toDF("channel", "shapley_num")
+      .select(col("channel"), col("shapley_num"),
+        round(col("shapley_num").cast("double") / lit(fact(n).toDouble), 6)
+          .as("shapley"))
+  }
+
   /** POINT-IN-TIME FEATURE BACKFILL — the feature-store pattern
     * behind every training-set join ("the model may only see what
     * existed at prediction time"): for each purchase, the user's
