@@ -183,6 +183,7 @@ object SparkEntry {
     "q_profile" -> ((s, d) => Relational.profile(s, d)),
     "q_asof_nearest" -> ((s, d) => AsOf.nearestClick(s, d)),
     "q_attribution" -> ((s, d) => AsOf.attributionLastTouch(s, d)),
+    "q_shapley_attribution" -> ((s, d) => AsOf.shapleyAttribution(s, d)),
     "q_variant_props" -> ((s, d) => Relational.variantProps(s, d)),
     "q_hint_join" -> ((s, d) => Relational.hintJoin(s, d)),
     "q_session_window" -> ((s, d) => Relational.sessionWindowBuiltin(s, d)),
@@ -5876,6 +5877,49 @@ object SparkEntry {
         |  count(*) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
         |FROM w WHERE side = 1 GROUP BY 1""".stripMargin,
+    // exact Shapley channel attribution: coalition game v(S) =
+    // |{converted users whose pre-purchase channel set ⊆ S}|; ≤ 2^n
+    // subset masks (n = distinct pre-purchase channels), φ·n! in
+    // INTEGER arithmetic, the one double the final φ = num/n!
+    "q_shapley_attribution" ->
+      """WITH fp AS MATERIALIZED (
+        |  SELECT user_id, min(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |pre AS MATERIALIZED (
+        |  SELECT DISTINCT e.user_id, e.event_type
+        |  FROM events e JOIN fp USING (user_id)
+        |  WHERE e.event_type <> 'purchase' AND e.ts < fp.p_ts),
+        |chi AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS i
+        |  FROM (SELECT DISTINCT event_type FROM pre)),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS INT) AS n FROM chi),
+        |umask AS MATERIALIZED (
+        |  SELECT p.user_id, CAST(sum(1 << c.i) AS BIGINT) AS mask
+        |  FROM pre p JOIN chi c USING (event_type) GROUP BY 1),
+        |emask AS MATERIALIZED (
+        |  SELECT mask, count(*) AS cnt FROM umask GROUP BY 1),
+        |masks AS MATERIALIZED (
+        |  SELECT CAST(range AS BIGINT) AS mask FROM range(0, 4096)
+        |  WHERE range < (1 << (SELECT n FROM nn))),
+        |v AS MATERIALIZED (
+        |  SELECT m.mask, CAST(coalesce(sum(e.cnt), 0) AS BIGINT) AS v
+        |  FROM masks m LEFT JOIN emask e ON (e.mask & m.mask) = e.mask
+        |  GROUP BY 1),
+        |shap AS (
+        |  SELECT c.event_type AS channel,
+        |    CAST(sum(factorial(bit_count(m.mask)) *
+        |             factorial((SELECT n FROM nn) - 1 - bit_count(m.mask)) *
+        |             (vi.v - v0.v)) AS BIGINT) AS shapley_num
+        |  FROM chi c
+        |  JOIN masks m ON (m.mask & (1 << c.i)) = 0
+        |  JOIN v v0 ON v0.mask = m.mask
+        |  JOIN v vi ON vi.mask = (m.mask | (1 << c.i))
+        |  GROUP BY 1)
+        |SELECT channel, shapley_num,
+        |  round(CAST(shapley_num AS DOUBLE) /
+        |        CAST(factorial((SELECT n FROM nn)) AS DOUBLE), 6) AS shapley
+        |FROM shap""".stripMargin,
     // Poisson bootstrap: ONE md5 per event (h0), per-replicate affine
     // (a·h0+b) mod 2^31−1 (products < 2^62 — overflow-free BIGINT in
     // both engines), weights vs CDF cut points floor(P(X<=k)·M31);

@@ -160,6 +160,42 @@ object GraftSink {
   private val ShardRef = "@shard\t"
   private val ShardFilePrefix = "_SHARD."
 
+  /** Persisted table-metadata marker `#conf<TAB>shardThreshold<TAB><n>`.
+    * Without it the threshold would be a per-WRITE option, and any
+    * replace commit (delete / compact / cluster / merge pass
+    * fully-RESOLVED lines) would silently re-inline a sharded table's
+    * manifest — an O(table-files) manifest rewrite undoing the
+    * O(1)-growth shape. The marker rides [[resolved]] and every
+    * maintenance op's file-keyed filters untouched, an explicit
+    * non-default threshold on a later commit updates it, and the
+    * DEFAULT threshold defers to it — "sharded at N" is a property of
+    * the TABLE, not of whichever writer committed last.
+    */
+  private val ConfRef = "#conf\tshardThreshold\t"
+
+  private def confThreshold(lines: Seq[String]): Option[Int] =
+    lines.collectFirst {
+      case l if l.startsWith(ConfRef) => l.substring(ConfRef.length).toInt
+    }
+
+  /** (lines to publish, effective threshold): an explicit non-default
+    * parameter wins and persists itself as the table's `#conf` marker;
+    * the default defers to the persisted marker. `Int.MaxValue` is the
+    * verbatim sentinel ([[rollback]]): publish exactly these lines,
+    * never spill, touch no metadata — a restored manifest keeps its
+    * own marker byte-identically.
+    */
+  private def withConf(lines: Seq[String], passed: Int): (Seq[String], Int) =
+    if (passed == Int.MaxValue) (lines, passed)
+    else {
+      val eff =
+        if (passed != DefaultShardThreshold) passed
+        else confThreshold(lines).getOrElse(DefaultShardThreshold)
+      val base = lines.filterNot(_.startsWith(ConfRef))
+      if (eff == DefaultShardThreshold) (base, eff)
+      else (base :+ s"$ConfRef$eff", eff)
+    }
+
   /** Resolve `@shard<TAB><file>` references to the data entries the
     * shard holds — shard files are immutable and hold ONLY data
     * lines, so resolution is a flatMap; markers (`#txn`, `#dv`) stay
@@ -297,7 +333,11 @@ object GraftSink {
         .select(col("_metadata.file_name").as("__dvf"), col("value"))
         .join(broadcast(tag), "__dvf")
         .select("__file", "value")
-      data.join(del, Seq("__file", "value"), "left_anti")
+      // explicit hint: the DV side is bounded by deleted rows (small by
+      // the MoR design), but above autoBroadcastJoinThreshold an
+      // UNHINTED anti-join would silently degrade to a sort-merge over
+      // the full data side — the exact plan the contract forbids
+      data.join(broadcast(del), Seq("__file", "value"), "left_anti")
     }
   }
 
@@ -456,8 +496,9 @@ object GraftSink {
         // raw parent lines: existing @shard refs carry BY REFERENCE —
         // an append above the threshold spills only its own inline
         // tail, so manifest work stays O(new entries), never O(table)
-        val lines = spill(path,
-          (lines0 ++ entries ++ txn.map(marker)).sorted, shardThreshold)
+        val (withMeta, eff) =
+          withConf(lines0 ++ entries ++ txn.map(marker), shardThreshold)
+        val lines = spill(path, withMeta.sorted, eff)
         if (publish(path, parent + 1, lines)) {
           refreshLive(path)
           out = parent + 1
@@ -493,7 +534,8 @@ object GraftSink {
       throw new java.util.ConcurrentModificationException(
         s"head moved: expected generation $expectedParent under $path, " +
           s"found $cur; recompute the replace against the new head")
-    if (!publish(path, gen, spill(path, lines.sorted, shardThreshold)))
+    val (withMeta, eff) = withConf(lines, shardThreshold)
+    if (!publish(path, gen, spill(path, withMeta.sorted, eff)))
       throw new java.util.ConcurrentModificationException(
         s"generation $gen was committed concurrently under $path; " +
           "recompute the replace against the new head")
@@ -681,7 +723,13 @@ object GraftSink {
       .write.partitionBy("__file").text(dvDir)
     val jobTag = java.util.UUID.randomUUID().toString.substring(0, 8)
     val markers = affected.zipWithIndex.map { case (f, i) =>
-      val pdir = Paths.get(dvDir, s"__file=$f")
+      // the partitioned writer URL-escapes partition VALUES in its
+      // directory names (space, '%', ':', …); reconstruct through the
+      // SAME encoder, or an adopted data-file name carrying one of
+      // those characters would make the Files.list below throw
+      // NoSuchFileException mid-commit
+      val pdir = Paths.get(dvDir, "__file=" + org.apache.spark.sql
+        .catalyst.catalog.ExternalCatalogUtils.escapePathName(f))
       val s = Files.list(pdir)
       val parts =
         try s.iterator().asScala.filter(

@@ -62,6 +62,43 @@ class FunctionsSpec extends SparkSpec {
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
 
+  test("shapley attribution: planted two-channel game pins the exact " +
+      "values, post-purchase touches and unattributables are excluded, " +
+      "and efficiency holds on the real corpus") {
+    import spark.implicits._
+    val base = new java.sql.Timestamp(1705320000000L)
+    def t(offSec: Long) = new java.sql.Timestamp(base.getTime + offSec * 1000)
+    // u1 {click}, u2 {view}, u3 {click,view} — all convert; u4
+    // converts with NO prior touch (unattributable, excluded); u5
+    // clicks but never converts (not in the game); u1's view AFTER
+    // the purchase must not count
+    val planted = Seq(
+      (1L, 1L, "click", t(-100)), (2L, 1L, "purchase", t(0)),
+      (3L, 1L, "view", t(50)),
+      (4L, 2L, "view", t(-100)), (5L, 2L, "purchase", t(0)),
+      (6L, 3L, "click", t(-100)), (7L, 3L, "view", t(-50)),
+      (8L, 3L, "purchase", t(0)),
+      (9L, 4L, "purchase", t(0)),
+      (10L, 5L, "click", t(-100))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = AsOf.shapleyAttributionOver(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // v({c})=1, v({v})=1, v({c,v})=3; φ_c·2! = (1−0) + (3−1) = 3
+    assert(got == Map("click" -> ((3L, 1.5)), "view" -> ((3L, 1.5))))
+    // real corpus: efficiency axiom — Σφ equals the converted-user
+    // count v(N) exactly (integer numerators sum to v(N)·n!)
+    val real = AsOf.shapleyAttribution(spark, sf).collect()
+    val n = real.length
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val ev = Tables.events(spark, sf)
+    val vFull = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      .join(ev.filter(col("event_type") =!= "purchase"), Seq("user_id"))
+      .filter(col("ts") < col("p_ts"))
+      .select("user_id").distinct().count()
+    assert(real.map(_.getLong(1)).sum == vFull * fact(n))
+  }
+
   test("pit features: strictly-before frame, same-instant id tie rule, " +
       "decimal prior value, day span") {
     import spark.implicits._

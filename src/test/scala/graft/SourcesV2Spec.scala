@@ -1011,6 +1011,19 @@ class SourcesV2Spec extends SparkSpec {
       GraftSink.deleteWhereMor(spark, dir, col("doc_id") % 10 === 0L, schema)
     assert(d == 6L)
     assert(GraftSink.readBack(spark, dir, schema).count() == 54)
+    // the threshold is TABLE metadata, not a per-write option: the MoR
+    // delete above committed through commitReplace with the DEFAULT
+    // threshold, and the persisted `#conf` marker must have made it
+    // re-spill at 4 instead of silently re-inlining all 12 entries —
+    // the O(table-files) manifest collapse a replace op used to cause
+    val rawAfter = GraftSink.head(dir)._2
+    assert(rawAfter.contains("#conf\tshardThreshold\t4"),
+      "the shard threshold must persist in the manifest as table metadata")
+    assert(rawAfter.exists(_.startsWith("@shard\t")),
+      "a replace commit on a sharded table must stay sharded")
+    assert(rawAfter.count(l =>
+        !l.startsWith("#") && !l.startsWith("@")) <= 4,
+      "a replace commit must re-spill at the persisted threshold")
     // a full rewrite resolves, re-packs, and abandons the old shards;
     // retention expiry then reclaims them (they were still protecting
     // the pre-rewrite snapshots until now)
@@ -1022,5 +1035,41 @@ class SourcesV2Spec extends SparkSpec {
     shardFiles.foreach(f => assert(!Files.exists(Paths.get(dir, f)),
       s"expired shard $f must be vacuumed"))
     assert(GraftSink.readBack(spark, dir, schema).count() == 54)
+  }
+
+  test("dsv2 sink merge-on-read delete survives adopted data-file " +
+      "names the partitioned writer URL-escapes") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_escape").toString
+    (1L to 20L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .coalesce(1).write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    // adoptSideFiles carries file names VERBATIM, so a foreign ingest
+    // can hand the manifest a name containing '=' — a character the
+    // DV writer's partition directory will escape as %3D; simulate by
+    // renaming the data file and CAS-committing the patched entry
+    val (parent, lines) = GraftSink.head(dir)
+    val entry = lines.find(l => !l.startsWith("#")).get
+    val old = entry.split("\t")(0)
+    val hostile = "adopted=verbatim.tsv"
+    Files.move(Paths.get(dir, old), Paths.get(dir, hostile),
+      StandardCopyOption.ATOMIC_MOVE)
+    val patched = lines.map(l =>
+      if (l == entry) hostile + entry.substring(old.length) else l)
+    GraftSink.commitReplace(dir, patched, parent)
+    // pre-fix this threw NoSuchFileException: the DV job wrote its
+    // part under __file=adopted%3Dverbatim.tsv but the adopter listed
+    // the UNESCAPED directory
+    val (d, nf, _) =
+      GraftSink.deleteWhereMor(spark, dir, col("doc_id") % 2 === 0L, schema)
+    assert(d == 10L && nf == 1)
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      (1L to 20L).filterNot(_ % 2 == 0))
   }
 }
