@@ -66,12 +66,14 @@ object SparkEntry {
     "q_cross_corr" -> ((s, d) => Stats.crossCorr(s, d)),
     "q_vacuum" -> ((s, d) => sources.Formats.vacuumedStore(s, d)),
     "q_sink_skip" -> ((s, d) => sources.Formats.sinkSkipRollup(s, d)),
+    "q_sink_bloom" -> ((s, d) => sources.Formats.sinkBloomRollup(s, d)),
     "q_sink_delete" -> ((s, d) => sources.Formats.sinkDeleteReport(s, d)),
     "q_sink_compact" -> ((s, d) => sources.Formats.sinkCompactReport(s, d)),
     "q_sink_merge" -> ((s, d) => sources.Formats.sinkMergeReport(s, d)),
     "q_sink_cluster" -> ((s, d) => sources.Formats.sinkClusterRollup(s, d)),
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
     "q_sink_changes" -> ((s, d) => sources.Formats.sinkChangesReport(s, d)),
+    "q_cdc_apply" -> ((s, d) => sources.Formats.cdcApplyReport(s, d)),
     "q_sink_evolve" -> ((s, d) => sources.Formats.sinkEvolveRollup(s, d)),
     "q_sink_rollback" -> ((s, d) => sources.Formats.sinkRollbackReport(s, d)),
     "q_sink_delete_mor" -> ((s, d) => sources.Formats.sinkDeleteMorReport(s, d)),
@@ -1894,6 +1896,23 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  CAST(sum(sv) AS DOUBLE) AS total_value
         |FROM r, b WHERE user_id BETWEEN lo AND hi""".stripMargin,
+    // bloom file-skipping is content-invisible: the hit probe equals
+    // the source recompute at the min id, the miss probe (min − 1,
+    // below the span) is the zero-mass row
+    "q_sink_bloom" ->
+      """WITH b AS (SELECT min(user_id) AS lo FROM events),
+        |r AS (SELECT user_id, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT 'hit' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum(sv), 0) AS DOUBLE) AS total_value
+        |FROM r, b WHERE user_id = lo
+        |UNION ALL
+        |SELECT 'miss', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(n), 0) AS BIGINT),
+        |  CAST(coalesce(sum(sv), 0) AS DOUBLE)
+        |FROM r, b WHERE user_id = lo - 1""".stripMargin,
     // compaction is content-invisible: the post-compaction read-back
     // equals the plain source rollup, at generation 3 (two appends +
     // the one CAS rewrite)
@@ -2348,6 +2367,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // copy-on-write delete: 'before' = the pre-delete snapshot served
+    // incremental CDC apply: base snapshot + signed deltas must land
+    // on the final state — the per-type rollup minus user_id % 7 = 0
+    "q_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value
+        |FROM r WHERE user_id % 7 <> 0 GROUP BY 1""".stripMargin,
     // as-of (time travel must survive the delete), 'after' = the live
     // head minus every doc_id % 3 = 0 row
     "q_sink_delete" ->

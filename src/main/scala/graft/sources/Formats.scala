@@ -638,6 +638,53 @@ object Formats {
     * invariant is spec-pinned. At 100 TB this is the sink-native form
     * of `q_zonemap_skip`: data skipping priced at one manifest read.
     */
+  /** BLOOM FILE-SKIPPING on the sink (`q_sink_bloom`): the user
+    * rollup written HASH-SCRAMBLED (repartition on the key's hash, so
+    * every file spans the full id range and the zonemap prunes
+    * NOTHING — the layout where min/max stats are useless and a point
+    * lookup would otherwise open every file), then
+    * [[graft.sources.v2.GraftSink.buildBloom]] commits a per-file
+    * bloom sidecar and [[graft.sources.v2.GraftSink.readBackBloomEq]]
+    * opens ONLY bloom-positive files, planned from one bounded
+    * O(#files) sidecar read. The answer folds a present key (the
+    * minimum user id — hit) and an absent key (min − 1, below the id
+    * span — zero-mass miss) through one aggregate each, so a false
+    * negative (dropped hit), a broken probe, or content damage all
+    * hash-fail against the source recompute; files-opened <
+    * files-listed and post-build-append coverage are spec-pinned.
+    */
+  def sinkBloomRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
+    val dir = graft.TempDirs.create("graft_sink_bloom_q").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+      .repartition(8, xxhash64(col("user_id")))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n", LongType),
+      StructField("sum_value", DecimalType(18, 2))))
+    graft.sources.v2.GraftSink.buildBloom(spark, dir, "user_id", schema)
+    // ONE bounded 1-row driver read fixes the deterministic probes
+    val lo = ev.agg(min(col("user_id"))).collect()(0).getLong(0)
+    def probe(v: Long, phase: String): DataFrame =
+      graft.sources.v2.GraftSink.readBackBloomEq(spark, dir, "user_id",
+          v.toString, schema)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n")), lit(0L)).as("n_events"),
+          coalesce(sum(col("sum_value")).cast("double"), lit(0.0))
+            .as("total_value"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("n_events"),
+          col("total_value"))
+    probe(lo, "hit").unionByName(probe(lo - 1, "miss"))
+  }
+
   def sinkSkipRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
@@ -984,5 +1031,54 @@ object Formats {
         .select(lit(s"$fromGen->$toGen").as("window"), col("action"),
           col("n_rows"), col("sum_chars"))
     roll(1, 2).unionByName(roll(2, 3))
+  }
+
+  /** INCREMENTAL CDC APPLY (`q_cdc_apply`) — the CONSUMER side of
+    * `q_sink_changes`: a downstream per-event-type aggregate is
+    * maintained from the sink's change feed alone — ONE base snapshot
+    * read (generation 1) plus each generation window's delta rows,
+    * signed +1 for inserts / −1 for deletes and folded through ONE
+    * grouped aggregation. No generation after the base is ever read
+    * in full: the deltas come from [[graft.sources.v2.GraftSink
+    * .readChanges]], whose cost is proportional to the files (or
+    * delete-vector moves) that actually changed — the incremental-
+    * view-maintenance loop a 100 TB table needs (re-aggregating the
+    * head every refresh re-reads the world). Generation 3's change is
+    * a MERGE-ON-READ delete — a pure delete-vector move that touches
+    * no file list — so the gate also proves DV deltas feed the
+    * downstream correctly. The hash gate recomputes the final state
+    * from the source: a wrong sign, a missed window, or a double-
+    * applied delta all hash-fail.
+    */
+  def cdcApplyReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dir = graft.TempDirs.create("graft_cdc_apply").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    val roll = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+    def put(df: DataFrame): Unit =
+      df.write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    put(roll.filter(col("user_id") % 2 === 0))
+    put(roll.filter(col("user_id") % 2 =!= 0))
+    graft.sources.v2.GraftSink.deleteWhereMor(spark, dir,
+      col("user_id") % 7 === 0)
+    val head = graft.sources.v2.GraftSink.versions(dir).max
+    val base = graft.sources.v2.GraftSink.readBackAsOf(spark, dir, 1)
+      .withColumn("sign", lit(1L))
+    val feed = (2 to head).map { g =>
+      graft.sources.v2.GraftSink.readChanges(spark, dir, g - 1, g)
+        .withColumn("sign",
+          when(col("action") === "insert", lit(1L)).otherwise(lit(-1L)))
+        .drop("action")
+    }.foldLeft(base)(_ unionByName _)
+    feed.groupBy("event_type")
+      .agg(sum(col("sign")).as("n_keys"),
+        sum(col("sign") * col("n")).as("n_events"),
+        sum(col("sign") * col("sum_value")).cast("double").as("total_value"))
   }
 }

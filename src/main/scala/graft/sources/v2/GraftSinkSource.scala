@@ -605,6 +605,114 @@ object GraftSink {
   }
 
   // ------------------------------------------------------------------
+  // Bloom file-skipping index (equality predicates)
+  // ------------------------------------------------------------------
+
+  /** Bloom index sidecar prefix + its manifest marker
+    * `#bloomidx<TAB><col><TAB><file><TAB><bits><TAB><hashes>`. Zonemap
+    * min/max stats only prune when the layout is range-clustered on
+    * the predicate column; a POINT lookup on a scattered
+    * high-cardinality key (the "find this user/doc across the table"
+    * shape) touches every file under zonemaps alone. The bloom index
+    * is the Delta/Iceberg file-skipping complement: one ~8 KB bitset
+    * per data file in ONE parquet sidecar, probed at PLANNING time
+    * with a bounded O(#files) driver read — never a data-file open.
+    */
+  // no leading underscore: Hadoop's hidden-file filter drops `_`/`.`
+  // prefixed paths even when named explicitly, so an `_BLOOMIDX.*`
+  // sidecar would read back as schema-less (the `dv-*` naming rule)
+  private val BloomFilePrefix = "bloomidx-"
+  private val BloomRef = "#bloomidx\t"
+
+  private[v2] def bloomOf(lines: Seq[String])
+      : Map[String, (String, Int, Int)] =
+    lines.iterator.filter(_.startsWith(BloomRef)).map { l =>
+      val p = l.split("\t")
+      p(1) -> ((p(2), p(3).toInt, p(4).toInt))
+    }.toMap
+
+  /** Build (or rebuild) the bloom file-skipping index for `column`:
+    * ONE distributed pass over the VISIBLE rows groups per-file
+    * bitsets (values are hashed in their STRING form — probe with the
+    * same form), the index lands as ONE parquet sidecar adopted under
+    * a fresh `_BLOOMIDX.*` name, and the marker swap is a CAS commit
+    * carrying the parent's data lines BY REFERENCE (O(1) manifest
+    * work, shard refs untouched). Files appended AFTER the build are
+    * absent from the sidecar and [[readBackBloomEq]] scans them
+    * unconditionally — coverage degrades to a scan, never to a false
+    * negative. [[vacuum]] protects every retained generation's
+    * sidecar like a DV. Returns the committed generation.
+    */
+  def buildBloom(spark: SparkSession, path: String, column: String,
+      schema: StructType = Schema, numBits: Int = 65536,
+      numHashes: Int = 3): Int = {
+    import org.apache.spark.sql.functions.col
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
+    val idx = visibleWithFile(spark, path, lines, schema)
+      .groupBy("__file")
+      .agg(graft.functions.BloomFilter.bloom_filter(
+        col(column).cast("string"), numBits, numHashes).as("bits"))
+    val side = Paths.get(
+      graft.TempDirs.create("graft_sink_bloomidx").toString, "out")
+    idx.coalesce(1).write.parquet(side.toString)
+    val s = Files.list(side)
+    val part =
+      try s.iterator().asScala.filter(
+        _.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    require(part.size == 1,
+      s"expected one bloom index part, got ${part.size}")
+    val name = BloomFilePrefix +
+      java.util.UUID.randomUUID().toString.substring(0, 16) + ".parquet"
+    Files.move(part.head, Paths.get(path, name),
+      StandardCopyOption.ATOMIC_MOVE)
+    commitReplace(path,
+      lines0.filterNot(_.startsWith(s"$BloomRef$column\t")) :+
+        s"$BloomRef$column\t$name\t$numBits\t$numHashes",
+      parent)
+  }
+
+  /** The files a `column = value` probe must open: bloom-positive
+    * covered files plus every file the index has never seen (post-
+    * build appends). Returns (kept, listed) for plan audits.
+    */
+  def bloomFilesFor(spark: SparkSession, path: String, column: String,
+      value: String): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lines0 = head(path)._2
+    val files = dataLines(resolved(path, lines0)).map(fileOf)
+    bloomOf(lines0).get(column) match {
+      case None => (files, files.size)
+      case Some((bfile, bits, hashes)) =>
+        // bounded driver read: one boolean per indexed file
+        val probed = spark.read
+          .parquet(Paths.get(path, bfile).toString)
+          .select(col("__file"),
+            graft.functions.BloomFilter.bloom_might_contain(
+              col("bits"), lit(value), bits, hashes).as("m"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        (files.filter(f => probed.getOrElse(f, true)), files.size)
+    }
+  }
+
+  /** Read only the files a `column = value` point predicate can touch
+    * (bloom file-skipping), then apply the predicate exactly —
+    * content-identical to filtering the full read-back (no false
+    * negatives: a present value's file always probes positive, and
+    * unindexed files are always read). The string `value` probes the
+    * bitset; the row filter compares in the column's own type.
+    */
+  def readBackBloomEq(spark: SparkSession, path: String, column: String,
+      value: String, schema: StructType = Schema): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lines = resolved(path, head(path)._2)
+    val (files, _) = bloomFilesFor(spark, path, column, value)
+    readVisible(spark, path, restrict(lines, files.toSet), schema)
+      .filter(col(column) === lit(value).cast(schema(column).dataType))
+  }
+
+  // ------------------------------------------------------------------
   // Row-level delete (copy-on-write)
   // ------------------------------------------------------------------
 
@@ -1056,14 +1164,16 @@ object GraftSink {
       s"no committed manifest under $path")
     val expire = vs.dropRight(keepGenerations).toSet
     val retained = vs.filterNot(expire)
-    // the referenced set spans data files, delete-vector sidecars AND
-    // manifest shards of every retained snapshot — a DV or shard is
-    // as load-bearing as the files it masks/lists (deleting either
-    // would resurrect rows or lose the listing)
+    // the referenced set spans data files, delete-vector sidecars,
+    // manifest shards AND bloom-index sidecars of every retained
+    // snapshot — a DV or shard is as load-bearing as the files it
+    // masks/lists (deleting either would resurrect rows or lose the
+    // listing); a bloom sidecar must live as long as any retained
+    // snapshot's reads may plan through it
     def refsOf(raw: Seq[String]): Seq[String] = {
       val lines = resolved(path, raw)
       dataLines(lines).map(fileOf) ++ dvOf(lines).values.map(_._1) ++
-        shardsOf(raw)
+        shardsOf(raw) ++ bloomOf(lines).values.map(_._1)
     }
     val referenced: Set[String] =
       (if (retained.nonEmpty)

@@ -1037,6 +1037,66 @@ class SourcesV2Spec extends SparkSpec {
     assert(GraftSink.readBack(spark, dir, schema).count() == 54)
   }
 
+  test("dsv2 sink bloom index: point probes open fewer files than " +
+      "listed, post-build appends stay covered by scan, MoR deletes " +
+      "mask probed rows, vacuum protects then reclaims the sidecar") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_bloom_spec").toString
+    // hash-scrambled layout: every file spans the id range, zonemaps
+    // prune nothing — the bloom index is the only possible pruner
+    (1L to 400L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartition(8, xxhash64(col("doc_id")))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    GraftSink.buildBloom(spark, dir, "doc_id", schema)
+    val bloomFile = GraftSink.head(dir)._2
+      .find(_.startsWith("#bloomidx\t")).get.split("\t")(2)
+    // present key: found exactly, and the probe opened < listed files
+    val (kept, listed) = GraftSink.bloomFilesFor(spark, dir, "doc_id", "7")
+    assert(listed == 8 && kept.size < listed,
+      s"bloom must prune: kept=${kept.size} of $listed")
+    assert(GraftSink.readBackBloomEq(spark, dir, "doc_id", "7", schema)
+      .as[(Long, Long)].collect().toSeq == Seq((7L, 7L)))
+    // absent key: zero rows, and (at 65536 bits over 50 ids/file) the
+    // probe prunes at least one file
+    val (keptMiss, _) = GraftSink.bloomFilesFor(spark, dir, "doc_id", "9999")
+    assert(keptMiss.size < listed)
+    assert(GraftSink.readBackBloomEq(spark, dir, "doc_id", "9999", schema)
+      .isEmpty)
+    // a post-build append is NOT in the sidecar: its file must be
+    // scanned unconditionally — coverage degrades to a scan, never to
+    // a false negative
+    Seq((1001L, 1L)).toDF("doc_id", "n_chars")
+      .coalesce(1).write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val (kept2, listed2) = GraftSink.bloomFilesFor(spark, dir, "doc_id", "1001")
+    assert(listed2 == 9 && kept2.size < listed2,
+      "covered bloom-negative files still prune after an append")
+    assert(GraftSink.readBackBloomEq(spark, dir, "doc_id", "1001", schema)
+      .as[(Long, Long)].collect().toSeq == Seq((1001L, 1L)))
+    // a MoR delete masks the row even when the (now stale) bloom
+    // still probes its file positive — blooms only ever prune
+    GraftSink.deleteWhereMor(spark, dir, col("doc_id") === 7L, schema)
+    assert(GraftSink.readBackBloomEq(spark, dir, "doc_id", "7", schema)
+      .isEmpty)
+    // the sidecar is load-bearing for every retained generation…
+    GraftSink.vacuum(dir, keepGenerations = 3)
+    assert(Files.exists(Paths.get(dir, bloomFile)),
+      "vacuum must protect a retained generation's bloom sidecar")
+    // …and reclaimable once a rebuild supersedes it everywhere
+    GraftSink.buildBloom(spark, dir, "doc_id", schema)
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    assert(!Files.exists(Paths.get(dir, bloomFile)),
+      "a superseded unreferenced bloom sidecar must be reclaimed")
+    assert(GraftSink.readBackBloomEq(spark, dir, "doc_id", "8", schema)
+      .as[(Long, Long)].collect().toSeq == Seq((8L, 8L)))
+  }
+
   test("dsv2 sink merge-on-read delete survives adopted data-file " +
       "names the partitioned writer URL-escapes") {
     import graft.sources.v2.GraftSink
