@@ -565,6 +565,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupRestartFromFiles(s, d)),
     "stream_graft_sink" ->
       ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
+    "stream_sink_tail" ->
+      ((s, d) => graft.streaming.EventStreams.sinkTail(s, d)),
     "stream_dim_join" ->
       ((s, d) => graft.streaming.EventStreams.dimJoinFromFiles(s, d)),
     "stream_late_drop" ->
@@ -2981,6 +2983,16 @@ object SparkEntry {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  user_id, event_type, value
         |FROM events""".stripMargin,
+    // the streaming tail re-aggregated must equal the full source
+    // rollup: a restart duplicate doubles it, a missed window starves
+    "stream_sink_tail" ->
+      """WITH r AS (SELECT user_id, event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value
+        |FROM r GROUP BY 1""".stripMargin,
     // the stateless streaming curation gate: batch-union-equals-batch,
     // so the oracle is simply the same gopher-keep + langid-argmax
     // composition over the full documents table

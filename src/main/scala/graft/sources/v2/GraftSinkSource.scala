@@ -257,6 +257,23 @@ object GraftSink {
   private def readLines(p: Path): Seq[String] =
     Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
 
+  /** (data files, delete-vector map) of a committed generation — gen 0
+    * is the empty store. The streaming tail plans its windows from
+    * this; an expired (vacuumed) offset fails loudly rather than
+    * silently re-reading the world.
+    */
+  private[v2] def tailState(path: String, gen: Int)
+      : (Set[String], Map[String, (String, Long)]) = {
+    if (gen == 0) return (Set.empty, Map.empty)
+    val m = Paths.get(path, s"$VersionPrefix$gen")
+    require(Files.exists(m),
+      s"no committed generation $gen under $path " +
+        s"(have: ${versions(path).mkString(",")}) — an expired offset " +
+        "cannot re-plan; reset the stream's checkpoint")
+    val lines = resolved(path, readLines(m))
+    (dataLines(lines).map(fileOf).toSet, dvOf(lines))
+  }
+
   /** Committed generations under `path`, ascending (1-based). */
   def versions(path: String): Seq[Int] = {
     val dir = Paths.get(path)
@@ -1208,11 +1225,13 @@ object GraftSink {
 }
 
 class GraftSinkTable(schema: StructType, path: String)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -1223,6 +1242,139 @@ class GraftSinkTable(schema: StructType, path: String)
               .getOrElse(GraftSink.DefaultShardThreshold))
       }
     }
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            new GraftSinkTailStream(schema, path)
+        }
+    }
+}
+
+/** STREAMING TAIL of the sink (`readStream.format(...GraftSinkSource)`)
+  * — the Delta/Iceberg streaming-source shape: committed generations
+  * ARE the offsets, so a micro-batch is exactly the data files the
+  * window's commits appended, planned from the manifests alone
+  * (reference: the lab's master feeds workers exactly the new splits;
+  * here the snapshot protocol replaces the master). Exactly-once
+  * falls out of the commit protocol on BOTH ends: offsets name
+  * immutable generations, and a restarted query re-plans the same
+  * window to the same files. APPEND-ONLY tailing by contract: a
+  * replace commit inside the window (delete/compact/cluster/merge —
+  * files removed or a delete-vector moved) fails the stream LOUDLY
+  * instead of silently re-emitting rewritten rows — tailing a table
+  * under rewrite needs CDC semantics ([[GraftSink.readChanges]]), not
+  * a tail. At 100 TB the tail never lists data files it already
+  * emitted: planning cost is O(new files) per batch.
+  */
+class GraftSinkTailStream(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.{InputPartition,
+    PartitionReader, PartitionReaderFactory}
+
+  private case class GenOffset(gen: Int) extends Offset {
+    override def json(): String = gen.toString
+  }
+
+  override def initialOffset(): Offset = GenOffset(0)
+  override def latestOffset(): Offset =
+    GenOffset(GraftSink.versions(path).lastOption.getOrElse(0))
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].gen
+    val e = end.asInstanceOf[GenOffset].gen
+    if (e <= s) return Array.empty
+    val from = GraftSink.tailState(path, s)
+    val to = GraftSink.tailState(path, e)
+    val removed = from._1 -- to._1
+    require(removed.isEmpty,
+      s"generation window $s..$e under $path removed files " +
+        s"${removed.take(3).mkString(",")}…: the streaming tail is " +
+        "append-only; a replace commit needs CDC (readChanges), not a tail")
+    val dvMoved = (from._1 & to._1).filter(f => from._2.get(f) != to._2.get(f))
+    require(dvMoved.isEmpty,
+      s"generation window $s..$e under $path moved delete vectors on " +
+        s"${dvMoved.take(3).mkString(",")}…: merge-on-read deletes need " +
+        "CDC (readChanges), not a tail")
+    (to._1 -- from._1).toArray.sorted
+      .map(f => GraftSinkTailPartition(Paths.get(path, f).toString)
+        : InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftSinkTailReaderFactory(schema)
+}
+
+/** Top-level and schema-only: the factory ships to executors, so it
+  * must not capture the (non-serializable, driver-side) stream.
+  */
+case class GraftSinkTailReaderFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new GraftSinkTailReader(schema,
+      partition.asInstanceOf[GraftSinkTailPartition].file)
+}
+
+case class GraftSinkTailPartition(file: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Executor-side TSV reader: the exact inverse of [[GraftSinkWriter]]'s
+  * field serializers (Inf/-Inf spellings included), so a tailed row is
+  * bit-identical to its batch read-back.
+  */
+class GraftSinkTailReader(schema: StructType, file: String)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val lines = Files.newBufferedReader(
+    Paths.get(file), StandardCharsets.UTF_8)
+  private var row: InternalRow = _
+
+  private val parse: Array[String => Any] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case LongType => (s: String) => java.lang.Long.parseLong(s)
+        case IntegerType => (s: String) => java.lang.Integer.parseInt(s)
+        case DoubleType => (s: String) => s match {
+          case "Inf" => Double.PositiveInfinity
+          case "-Inf" => Double.NegativeInfinity
+          case _ => java.lang.Double.parseDouble(s)
+        }
+        case StringType => (s: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case d: DecimalType => (s: String) =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(s), d.precision, d.scale)
+        case other => throw new IllegalArgumentException(
+          s"graft sink tail does not parse $other (column ${f.name})")
+      }
+    }
+
+  override def next(): Boolean = {
+    val l = lines.readLine()
+    if (l == null) { row = null; false }
+    else {
+      val parts = l.split("\t", -1)
+      require(parts.length == parse.length,
+        s"malformed sink line in $file: ${parts.length} fields, " +
+          s"expected ${parse.length}")
+      row = InternalRow.fromSeq(
+        parts.iterator.zipWithIndex.map { case (p, i) => parse(i)(p) }.toSeq)
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
 }
 
 /** Job-level commit: rename every task's temp to its job-unique

@@ -1029,6 +1029,52 @@ object EventStreams {
           col("user_id"), col("event_type"), col("value"))
     }
 
+  /** STREAMING TAIL of the DSv2 sink (`stream_sink_tail`) — the READ
+    * twin of `stream_graft_sink`'s write leg and the Delta/Iceberg
+    * streaming-source shape: `readStream.format(GraftSinkSource)`
+    * tails committed GENERATIONS as offsets, each micro-batch exactly
+    * the files the window's commits appended (planned from manifests
+    * alone, O(new files) per batch — the tail never re-lists what it
+    * already emitted). The key exercises the restart contract: run 1
+    * tails generation 1 and stops; generation 2 commits; a restarted
+    * query over the SAME checkpoint emits ONLY generation 2's rows
+    * (offsets name immutable generations, so recovery re-plans the
+    * same window to the same files — duplicates or gaps double or
+    * starve the hash). The answer re-aggregates the tailed output and
+    * gates against the full source rollup.
+    */
+  def sinkTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = graft.TempDirs.create("graft_stream_tail_tbl").toString
+    val ckpt = graft.TempDirs.create("graft_stream_tail_ckpt").toString
+    val out = graft.TempDirs.create("graft_stream_tail_out").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    val roll = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+    def put(df: DataFrame): Unit =
+      df.write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.GraftSinkSource")
+        .schema(graft.sources.v2.GraftSink.Schema)
+        .option("path", dir).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    put(roll.filter(col("user_id") % 2 === 0))
+    runOnce()
+    // the second generation lands only AFTER the restart boundary
+    put(roll.filter(col("user_id") % 2 =!= 0))
+    runOnce()
+    spark.read.parquet(out).groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("total_value"))
+  }
+
   /** Streaming dedup EXACTLY-ONCE into the custom DSv2 GraftSink
     * (`stream_graft_sink`) — `stream_restart`'s recovery gate
     * retargeted at the sink's own generation-commit protocol instead

@@ -567,4 +567,48 @@ class StreamingSpec extends SparkSpec {
       s"dim join did not broadcast:\n$plan")
     got.unpersist()
   }
+
+  test("sink tail: generations are offsets — a restarted query emits " +
+      "only the new window, and a replace commit fails the tail loudly") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_tail_tbl").toString
+    val ckpt = graft.TempDirs.create("graft_tail_ckpt").toString
+    val out = graft.TempDirs.create("graft_tail_out").toString
+    def put(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong)).toDF("doc_id", "n_chars")
+        .coalesce(2).write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.GraftSinkSource")
+        .schema(schema).option("path", dir).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    put(1 to 10)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 10)
+    // restart boundary: the second generation lands afterwards, and
+    // the recovered query must emit EXACTLY its rows — no re-emission
+    // of generation 1, no gap
+    put(11 to 20)
+    runOnce()
+    val ids = spark.read.parquet(out).as[(Long, Long)].collect()
+      .map(_._1).sorted.toSeq
+    assert(ids == (1L to 20L), s"tail must be exactly-once, got $ids")
+    // a replace commit (copy-on-write delete rewrites files) breaks
+    // the append-only tail contract: the stream must fail LOUDLY, not
+    // silently re-emit rewritten rows
+    GraftSink.deleteWhere(spark, dir, col("doc_id") === 5L, schema)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(e.getMessage.contains("append-only")
+        || Option(e.getCause).exists(_.getMessage.contains("append-only")),
+      s"expected the append-only contract failure, got: ${e.getMessage}")
+  }
 }
