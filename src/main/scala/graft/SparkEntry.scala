@@ -223,6 +223,11 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, d) => Relational.cohortLtv(s, d)),
     "q_interarrival" -> ((s, d) => Relational.interarrival(s, d)),
     "q_rolling_corr" -> ((s, d) => Stats.rollingCorr(s, d)),
+    "q_mann_kendall" -> ((s, d) => Stats.mannKendall(s, d)),
+    "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
+    "q_theil_sen" -> ((s, d) => Stats.theilSen(s, d)),
+    "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
+    "q_levene" -> ((s, d) => Stats.levene(s, d)),
     "q_hhi" -> ((s, d) => Stats.hhi(s, d)),
     "q_new_vs_returning" -> ((s, d) => Relational.newVsReturning(s, d)),
     "q_pareto" -> ((s, d) => Relational.pareto(s, d)),
@@ -2080,6 +2085,180 @@ object SparkEntry {
         |      / sqrt((CAST(n7 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
         |        * (CAST(n7 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
         |  END AS r7
+        |FROM m""".stripMargin,
+    // Mann–Kendall: integer S + tie-corrected Var(S) from the
+    // calendar-bounded pair join; one IEEE division+sqrt at the end
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(tc) AS BIGINT) AS n0,
+        |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS tc
+        |    FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |v AS (
+        |  SELECT t.event_type, t.n0, s.s,
+        |    n0 * (n0 - 1) * (2 * n0 + 5) - tie_term AS var18
+        |  FROM ties t JOIN s ON t.event_type = s.event_type)
+        |SELECT event_type, n0 AS n_days, s, var18,
+        |  CASE WHEN var18 > 0 AND s <> 0
+        |    THEN round((CAST(s AS DOUBLE)
+        |        - (CASE WHEN s > 0 THEN 1.0
+        |            WHEN s < 0 THEN -1.0 ELSE 0.0 END))
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+        |    ELSE 0.0 END AS z
+        |FROM v""".stripMargin,
+    // Kendall τ-b: BIGINT concordance/discordance + tie-pair counts,
+    // one IEEE sqrt at the end
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = -1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT event_type, CAST(sum(tc) AS BIGINT) AS n0r,
+        |    CAST(sum(tc * (tc - 1) / 2) AS BIGINT) AS t_x
+        |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS tc
+        |    FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (
+        |  SELECT event_type, CAST(sum(tc * (tc - 1) / 2) AS BIGINT) AS t_y
+        |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS tc
+        |    FROM daily GROUP BY 1, 2) GROUP BY 1)
+        |SELECT tx.event_type, n0r AS n_days, nc, nd,
+        |  CASE WHEN (n0r * (n0r - 1)) // 2 - t_x > 0
+        |      AND (n0r * (n0r - 1)) // 2 - t_y > 0
+        |    THEN round(CAST(nc - nd AS DOUBLE)
+        |      / sqrt(CAST((n0r * (n0r - 1)) // 2 - t_x AS DOUBLE)
+        |        * CAST((n0r * (n0r - 1)) // 2 - t_y AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM tx JOIN ty ON tx.event_type = ty.event_type
+        |  JOIN cd ON tx.event_type = cd.event_type""".stripMargin,
+    // Theil–Sen: exact-integer slope divisions, lower-median ORDER
+    // STATISTIC (element selection, never interpolation)
+    "q_theil_sen" ->
+      """WITH daily0 AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, y,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS t
+        |  FROM daily0),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.t < b.t),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM slopes)
+        |SELECT event_type, m AS n_pairs,
+        |  round(slope, 6) AS slope_cents_per_day
+        |FROM r WHERE rn = (m + 1) // 2""".stripMargin,
+    // runs test: exact-half median, classical drop-equal rule, one
+    // lag window, integer moments into one final IEEE dag
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, quantile_cont(y, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |sg AS (
+        |  SELECT d.event_type, d.day,
+        |    CASE WHEN CAST(d.y AS DOUBLE) > m.med THEN 1 ELSE 0 END AS s
+        |  FROM daily d JOIN med m ON d.event_type = m.event_type
+        |  WHERE CAST(d.y AS DOUBLE) <> m.med),
+        |b AS (
+        |  SELECT event_type, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |runs AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(count(*) - sum(s) AS BIGINT) AS n2,
+        |    CAST(sum(brk) AS BIGINT) AS runs
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n_used, n1, n2, runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0
+        |      AND 2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |        * (2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |          - CAST(n1 + n2 AS DOUBLE))
+        |        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - 1.0)) > 0
+        |    THEN round((CAST(runs AS DOUBLE)
+        |        - (1.0 + 2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |            / CAST(n1 + n2 AS DOUBLE)))
+        |      / sqrt(2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |        * (2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |          - CAST(n1 + n2 AS DOUBLE))
+        |        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
+        |  END AS z
+        |FROM runs""".stripMargin,
+    // Brown–Forsythe: doubled-integer deviations from each group's
+    // exact-half median, decimal moments, ANOVA term discipline
+    "q_levene" ->
+      """WITH y AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(quantile_cont(y, 0.5) * 2.0 AS BIGINT) AS med2
+        |  FROM y GROUP BY 1),
+        |d2 AS (
+        |  SELECT y.event_type, abs(2 * y.y - m.med2) AS d2
+        |  FROM y JOIN med m ON y.event_type = m.event_type),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+        |    CAST(sum(CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS q_g
+        |  FROM d2 GROUP BY 1),
+        |gt AS (
+        |  SELECT *, CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS ssg_t
+        |  FROM g),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(ssg_t) AS DECIMAL(38,6)) AS ssg_d,
+        |    CAST(sum(s_g) AS DOUBLE) AS s_tot,
+        |    CAST(sum(q_g) AS DOUBLE) AS q_tot
+        |  FROM gt)
+        |SELECT k, n,
+        |  CASE WHEN k > 1 AND q_tot - CAST(ssg_d AS DOUBLE) > 0
+        |    THEN round((CAST(n - k AS DOUBLE)
+        |        * (CAST(ssg_d AS DOUBLE)
+        |          - s_tot * s_tot / CAST(n AS DOUBLE)))
+        |      / (CAST(k - 1 AS DOUBLE)
+        |        * (q_tot - CAST(ssg_d AS DOUBLE))), 6)
+        |  END AS f_bf
         |FROM m""".stripMargin,
     // HHI: per-segment micro shares (half-up) + the overall index as
     // exact BIGINT sums with one final IEEE division

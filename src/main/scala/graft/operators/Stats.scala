@@ -3141,4 +3141,263 @@ object Stats {
         col("ate_s_micro"))
     strata.unionByName(overall)
   }
+
+  // ------------------------------------------------------------------
+  // Trend / rank-concordance shelf over the per-type daily series
+  // ------------------------------------------------------------------
+
+  /** The shared daily series every trend test below consumes: per
+    * (event_type, day) the exact revenue in integer CENTS (`y`), the
+    * event count (`x`), and the epoch-day index (`t`). Bounded by the
+    * CALENDAR per type — at 100 TB the groupBy partial-aggregates the
+    * corpus down to #types × #days rows before anything pairwise
+    * happens, so the pair joins below cost days² per type (a
+    * calendar², never a corpus², quantity).
+    */
+  private[graft] def dailySeries(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val d182 = DecimalType(18, 2)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("value").cast(d182)) * 100).cast("long").as("y"))
+      .withColumn("t",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long"))
+      .localCheckpoint() // consumed by both sides of the pair join
+  }
+
+  /** MANN–KENDALL monotonic-trend test (`q_mann_kendall`) on each
+    * type's daily revenue — the distribution-free "is this metric
+    * drifting" alarm run before fitting any forecast (Mann '45,
+    * Kendall '75, the hydrology standard): S = Σ_{i<j} sign(y_j −
+    * y_i) over the day-ordered series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, and the
+    * continuity-corrected z = (S ∓ 1)/√Var.
+    *
+    * Everything before the final z is INTEGER-exact in both engines:
+    * S is a BIGINT sum of sign() over the calendar-bounded pair join
+    * (self-join keyed on event_type, day <), the tie term a BIGINT
+    * fold over y-value groups, and the one IEEE division+sqrt runs on
+    * identical exact inputs — bit-identical, rounded to 6.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame =
+    mannKendallOver(dailySeries(spark, sfDir))
+
+  /** Same operator over any (event_type, day, y) frame — a planted
+    * strictly-increasing series pins S = n(n−1)/2, and a planted tie
+    * block pins the tie-corrected variance.
+    */
+  private[graft] def mannKendallOver(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("y").as("y2"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy("event_type")
+      .agg(sum(col("tc")).as("n0"),
+        sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .as("tie_term"))
+    val n = col("n0").cast("long")
+    ties.join(s, Seq("event_type"))
+      .select(col("event_type"), n.as("n_days"), col("s"),
+        (n * (n - 1) * (lit(2) * n + 5) - col("tie_term")).as("var18"))
+      .withColumn("z",
+        when(col("var18") > 0 && col("s") =!= 0,
+          round((col("s").cast("double") -
+            signum(col("s")).cast("double")) /
+            sqrt(col("var18").cast("double") / 18.0), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** KENDALL τ-b rank concordance (`q_kendall_tau`) between each
+    * type's daily volume (count) and daily revenue (cents) — the
+    * tie-robust companion to `q_spearman` on the same two series
+    * (Kendall '38; τ-b is what scipy/pandas report): over all day
+    * pairs i<j, C counts sign(x_j−x_i)·sign(y_j−y_i) = +1, D counts
+    * −1, and τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) with n₀ = n(n−1)/2 and
+    * n₁/n₂ the tie-pair counts per x/y value group.
+    *
+    * C, D and all tie counts are BIGINT-exact from the
+    * calendar-bounded pair join (one shuffle keyed event_type); the
+    * single IEEE sqrt+division runs on identical integers in both
+    * engines. A planted perfect-concordance series pins τ = 1 and a
+    * planted tie block pins the n₁/n₂ correction.
+    */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame =
+    kendallTauOver(dailySeries(spark, sfDir))
+
+  private[graft] def kendallTauOver(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val prod = signum(col("x2") - col("x1")).cast("long") *
+      signum(col("y2") - col("y1")).cast("long")
+    val cd = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(when(prod === 1L, 1L).otherwise(0L)).as("nc"),
+        sum(when(prod === -1L, 1L).otherwise(0L)).as("nd"))
+    def tiePairs(c: String): DataFrame = daily
+      .groupBy(col("event_type"), col(c))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy("event_type")
+      .agg(sum(col("tc")).as("n0r"),
+        sum(col("tc") * (col("tc") - 1) / 2).cast("long").as(s"t_$c"))
+    val n = col("n0r").cast("long")
+    val denomX = (n * (n - 1) / 2).cast("long") - col("t_x")
+    tiePairs("x").join(tiePairs("y").drop("n0r"), Seq("event_type"))
+      .join(cd, Seq("event_type"))
+      .select(col("event_type"), n.as("n_days"), col("nc"), col("nd"),
+        when(denomX > 0 &&
+            (n * (n - 1) / 2).cast("long") - col("t_y") > 0,
+          round((col("nc") - col("nd")).cast("double") /
+            sqrt(denomX.cast("double") *
+              ((n * (n - 1) / 2).cast("long") - col("t_y"))
+                .cast("double")), 6)).as("tau_b"))
+  }
+
+  /** THEIL–SEN robust trend slope (`q_theil_sen`) of each type's
+    * daily revenue — the median of all pairwise slopes (Theil '50,
+    * Sen '68): up to 29.3% contamination cannot move it, which is why
+    * ops dashboards fit it next to OLS on spiky series. The slope set
+    * is the calendar-bounded pair join; each slope is ONE double
+    * division of exact integers (Δcents / Δdays — bit-identical in
+    * both engines), and the median is the LOWER-median ORDER
+    * STATISTIC (element ⌈m/2⌉ of the day-pair-ordered slopes) —
+    * element SELECTION, never interpolation, so both engines pick the
+    * same stored double. The rank window partitions by event_type:
+    * days²-per-type rows, a calendar² bound, never corpus-sized.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenOver(dailySeries(spark, sfDir))
+
+  private[graft] def theilSenOver(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("t").as("t1"),
+      col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("t").as("t2"),
+      col("y").as("y2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("t1") < col("t2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+    val w = Window.partitionBy("event_type").orderBy("slope")
+    slopes
+      .withColumn("r", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("r") === ((col("m") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        round(col("slope"), 6).as("slope_cents_per_day"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST (`q_runs_test`) for serial randomness
+    * of each type's daily revenue around its own median — the "is
+    * this series streaky or random" check run before trusting i.i.d.
+    * assumptions (control-chart prelude): days above/below the median
+    * form a binary sequence, R = number of runs, and under
+    * randomness E[R] = 1 + 2n₁n₂/N, Var[R] = 2n₁n₂(2n₁n₂−N) /
+    * (N²(N−1)); z = (R − E)/√Var.
+    *
+    * The median of integer cents interpolates to an exact half (both
+    * engines' quantile_cont/percentile produce the identical
+    * integer-or-half double); days equal to the median are DROPPED
+    * (the classical rule), the run count is one lag window over the
+    * calendar-bounded per-type series, and the final z dag runs on
+    * exact BIGINTs — bit-identical, rounded to 6.
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame =
+    runsTestOver(dailySeries(spark, sfDir))
+
+  /** Same operator over any (event_type, day, y) frame — a planted
+    * perfectly-alternating series pins R = N, and a planted
+    * two-block series pins R = 2.
+    */
+  private[graft] def runsTestOver(daily: DataFrame): DataFrame = {
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(y, 0.5D)").as("med"))
+    val signed = daily.join(broadcast(med), Seq("event_type"))
+      .filter(col("y").cast("double") =!= col("med"))
+      .select(col("event_type"), col("day"),
+        (col("y").cast("double") > col("med")).cast("long").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val runs = signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_used"), sum(col("s")).as("n1"),
+        (count(lit(1)) - sum(col("s"))).as("n2"),
+        sum(col("brk")).as("runs"))
+    val nn = col("n1").cast("double") * col("n2").cast("double")
+    val nTot = (col("n1") + col("n2")).cast("double")
+    val mu = lit(1.0) + lit(2.0) * nn / nTot
+    val variance = lit(2.0) * nn * (lit(2.0) * nn - nTot) /
+      (nTot * nTot * (nTot - 1.0))
+    runs.select(col("event_type"), col("n_used"), col("n1"), col("n2"),
+      col("runs"),
+      when(col("n1") > 0 && col("n2") > 0 && variance > 0,
+        round((col("runs").cast("double") - mu) / sqrt(variance), 6))
+        .as("z"))
+  }
+
+  /** BROWN–FORSYTHE LEVENE TEST (`q_levene`) for homogeneity of
+    * variance across the event types' value distributions — the
+    * gatekeeper assumption check in front of `q_anova` (pooled-
+    * variance F assumes equal spreads; Brown–Forsythe '74 is the
+    * median-centered robust form): per-row deviations d = |y − med_g|
+    * from each GROUP's median feed a one-way ANOVA F on d.
+    *
+    * Exactness discipline: deviations are DOUBLED into integers
+    * (d2 = |2y − 2·med_g| is BIGINT because the median of integer
+    * cents is an integer or an exact half — the scale factor cancels
+    * in F), per-group moments Σd2 / Σd2² accumulate as DECIMAL(38,0)
+    * (BIGINT² sums overflow at corpus scale), and the F statistic is
+    * one shared IEEE dag over the ≤#types-row moment frame. One
+    * partial-aggregated shuffle for the medians, one for the moments.
+    */
+  def levene(spark: SparkSession, sfDir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    val d380 = DecimalType(38, 0)
+    val y = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast(d182) * 100).cast("long").as("y"))
+    val med = y.groupBy("event_type")
+      .agg(expr("percentile(y, 0.5D)").as("med"))
+      .select(col("event_type"),
+        (col("med") * 2.0).cast("long").as("med2"))
+    val d2 = y.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        abs(lit(2L) * col("y") - col("med2")).as("d2"))
+    val g = d2.groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("d2").cast(d380)).as("s_g"),
+        sum((col("d2").cast(DecimalType(19, 0)) *
+          col("d2").cast(DecimalType(19, 0))).cast(d380)).as("q_g"))
+      // the ANOVA term discipline: each group's s²/n lands as an IEEE
+      // value on exact inputs, rounded and summed IN DECIMAL so the
+      // cross-group sum has one deterministic value in both engines
+      .withColumn("ssg_t",
+        round(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double"), 6).cast(DecimalType(38, 6)))
+    val m = g.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("n_g")).cast("long").as("n"),
+      sum(col("ssg_t")).as("ssg_d"),
+      sum(col("s_g")).cast("double").as("s_tot"),
+      sum(col("q_g")).cast("double").as("q_tot"))
+    val ssg = col("ssg_d").cast("double")
+    val ssb = ssg - col("s_tot") * col("s_tot") / col("n").cast("double")
+    val ssw = col("q_tot") - ssg
+    m.select(col("k"), col("n"),
+      when(col("k") > 1 && ssw > 0,
+        round(((col("n") - col("k")).cast("double") * ssb) /
+          ((col("k") - 1).cast("double") * ssw), 6)).as("f_bf"))
+  }
 }

@@ -1569,4 +1569,118 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getLong(6).toDouble - nReq) <= 1 +
       0.01 * nReq) // sigma is rounded in the report
   }
+
+  /** One event per (type, day) carrying the whole day's value — the
+    * planted daily series the trend-test specs below share.
+    */
+  private def plantDaily(dirTag: String,
+      series: Seq[(String, Seq[Double])]): String = {
+    import spark.implicits._
+    val dir = TempDirs.create(dirTag).toString
+    var id = 0L
+    val rows = series.flatMap { case (tpe, ys) =>
+      ys.zipWithIndex.map { case (v, i) => id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 08:00:00"),
+          1L, tpe, v, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("Mann–Kendall: a strictly increasing series pins S = n(n-1)/2 " +
+      "and the continuity-corrected z; an all-tie series zeroes out") {
+    val dir = plantDaily("graft_mk", Seq(
+      "up" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      "flat" -> Seq(2.0, 2.0, 2.0, 2.0)))
+    val out = Stats.mannKendall(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = out("up")
+    assert(up.getLong(1) == 5L && up.getLong(2) == 10L)
+    assert(up.getLong(3) == 5L * 4 * 15) // no ties: var18 = n(n-1)(2n+5)
+    val z = BigDecimal(9.0 / math.sqrt(300.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(up.getDouble(4) == z, s"z = ${up.getDouble(4)}, want $z")
+    // all-tie: S = 0, tie_term swallows the whole variance, z pinned 0
+    val flat = out("flat")
+    assert(flat.getLong(2) == 0L && flat.getLong(3) == 0L &&
+      flat.getDouble(4) == 0.0)
+  }
+
+  test("Kendall tau-b: the spearman plant (one x tie) pins C=5, D=0 " +
+      "and the tie-corrected denominator") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_ktau").toString
+    // x = events/day (1,2,2,3), y strictly increasing: pairs (2,3)
+    // tie on x -> C=5, D=0, n1=1 tie pair, n2=0
+    var id = 0L
+    val rows = Seq((1, 1, 0.10), (2, 2, 0.20), (3, 2, 0.30), (4, 3, 0.40))
+      .flatMap { case (d, nx, v) =>
+        (1 to nx).map { j => id += 1
+          (id, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00"),
+            1L, "view", if (j == 1) v * 100 else 0.0, "{}")
+        }
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.kendallTau(spark, dir).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 5L && r.getLong(3) == 0L)
+    val tau = BigDecimal(5.0 / math.sqrt(5.0 * 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == tau, s"tau_b = ${r.getDouble(4)}, want $tau")
+  }
+
+  test("Theil–Sen: the lower-median ORDER STATISTIC picks the planted " +
+      "middle slope, untouched by the extreme pair") {
+    val dir = plantDaily("graft_ts", Seq(
+      "s" -> Seq(1.0, 2.0, 4.0, 8.0)))
+    // slopes (cents/day): 100,150,200,233.33,300,400 -> element
+    // (6+1) div 2 = 3 of the sorted set = 200
+    val r = Stats.theilSen(spark, dir).collect()(0)
+    assert(r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 200.0, s"slope = ${r.getDouble(2)}")
+  }
+
+  test("runs test: a perfectly alternating series pins R = N and a " +
+      "two-block series pins R = 2, symmetric z") {
+    val dir = plantDaily("graft_runs", Seq(
+      "alt" -> Seq(2.0, 1.0, 2.0, 1.0, 2.0, 1.0),
+      "block" -> Seq(2.0, 2.0, 2.0, 1.0, 1.0, 1.0)))
+    val out = Stats.runsTest(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z0 = BigDecimal(2.0 / math.sqrt(1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val alt = out("alt")
+    assert(alt.getLong(1) == 6L && alt.getLong(2) == 3L &&
+      alt.getLong(3) == 3L && alt.getLong(4) == 6L)
+    assert(alt.getDouble(5) == z0, s"z = ${alt.getDouble(5)}, want $z0")
+    val blk = out("block")
+    assert(blk.getLong(4) == 2L && blk.getDouble(5) == -z0)
+  }
+
+  test("Brown–Forsythe Levene: planted two-group deviations replay " +
+      "the doubled-integer moments and the hand-built F dag") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_levene").toString
+    var id = 0L
+    val rows = Seq(("a", 1.00), ("a", 3.00), ("a", 3.50),
+      ("b", 1.00), ("b", 5.00)).map { case (t, v) => id += 1
+        (id, java.sql.Timestamp.valueOf("2024-01-05 08:00:00"), 1L, t,
+          v, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.levene(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    // group a: med 300 -> d2 = (400, 0, 100); group b: med 300 ->
+    // d2 = (400, 400); replay the exact engine dag
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ssg = (r6(500.0 * 500.0 / 3.0) + r6(320000.0)).toDouble
+    val ssb = ssg - 1300.0 * 1300.0 / 5.0
+    val ssw = 490000.0 - ssg
+    val f = r6(3.0 * ssb / (1.0 * ssw)).toDouble
+    assert(r.getDouble(2) == f, s"f_bf = ${r.getDouble(2)}, want $f")
+  }
 }
