@@ -76,6 +76,9 @@ object SparkEntry {
     "q_cdc_apply" -> ((s, d) => sources.Formats.cdcApplyReport(s, d)),
     "q_sink_evolve" -> ((s, d) => sources.Formats.sinkEvolveRollup(s, d)),
     "q_sink_rollback" -> ((s, d) => sources.Formats.sinkRollbackReport(s, d)),
+    "q_sink_constraints" ->
+      ((s, d) => sources.Formats.sinkConstraintsReport(s, d)),
+    "q_sink_clone" -> ((s, d) => sources.Formats.sinkCloneReport(s, d)),
     "q_sink_delete_mor" -> ((s, d) => sources.Formats.sinkDeleteMorReport(s, d)),
     "q_sink_zorder" -> ((s, d) => sources.Formats.sinkZorderRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
@@ -572,6 +575,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
     "stream_sink_tail" ->
       ((s, d) => graft.streaming.EventStreams.sinkTail(s, d)),
+    "stream_sink_cdc" ->
+      ((s, d) => graft.streaming.EventStreams.sinkCdc(s, d)),
     "stream_dim_join" ->
       ((s, d) => graft.streaming.EventStreams.dimJoinFromFiles(s, d)),
     "stream_late_drop" ->
@@ -2596,6 +2601,23 @@ object SparkEntry {
         |SELECT 'bad_asof', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    // persisted CHECK constraints: both halves pass validation, the
+    // live marker count rides the output
+    "q_sink_constraints" ->
+      """SELECT CAST(2 AS BIGINT) AS n_checks,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    // shallow clone: parent diverges by the %3 CoW delete, the clone
+    // by the three planted rows (the q_sink_merge no-collision rule)
+    "q_sink_clone" ->
+      """SELECT 'parent' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT 'clone', CAST(count(*) + 3 AS BIGINT),
+        |  CAST(sum(n_chars) + 66 AS BIGINT)
+        |FROM documents""".stripMargin,
     // PR curve: lift's decile bucketing, suffix sums over the 10-row
     // frame, integer F1 identity 2*TP/(pred + all_pos)
     "q_pr_curve" -> {
@@ -3172,6 +3194,17 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  CAST(sum(sv) AS DOUBLE) AS total_value
         |FROM r GROUP BY 1""".stripMargin,
+    // the CDC stream sign-folds to the post-delete state: appends,
+    // the %7 DV-delta deletes, and the compaction's cancelling
+    // insert/delete pairs compose to the filtered rollup
+    "stream_sink_cdc" ->
+      """WITH r AS (SELECT user_id, event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value
+        |FROM r WHERE user_id % 7 <> 0 GROUP BY 1""".stripMargin,
     // the stateless streaming curation gate: batch-union-equals-batch,
     // so the oracle is simply the same gopher-keep + langid-argmax
     // composition over the full documents table

@@ -1081,4 +1081,86 @@ object Formats {
         sum(col("sign") * col("n")).as("n_events"),
         sum(col("sign") * col("sum_value")).cast("double").as("total_value"))
   }
+
+  /** PERSISTED CHECK CONSTRAINTS on the sink (`q_sink_constraints`):
+    * generation 1 holds the id-lower document half, then TWO
+    * constraints commit as `#check` table metadata
+    * (`GraftSink.addConstraint` — each validates all existing rows
+    * first), and the id-upper half appends THROUGH the constrained
+    * DSv2 write path, where every task validates each row against the
+    * driver-bound Catalyst predicates before serializing it. The gate
+    * re-aggregates the read-back with the live constraint COUNT read
+    * from the manifest — so a dropped marker, a write that bypassed
+    * validation, or a lost row all hash-fail. The violation path
+    * (writes fail loudly, generation unchanged, temps cleaned; a
+    * racing constraint commit aborts the publish) is spec-pinned.
+    */
+  def sinkConstraintsReport(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft_sink_checks").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    half(col("doc_id") <= _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    graft.sources.v2.GraftSink.addConstraint(spark, dir,
+      "chars_nonneg", "n_chars >= 0", TwoGenSchema)
+    graft.sources.v2.GraftSink.addConstraint(spark, dir,
+      "id_nonneg", "doc_id >= 0", TwoGenSchema)
+    half(col("doc_id") > _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val nChecks = graft.sources.v2.GraftSink.checksOf(
+      graft.sources.v2.GraftSink.head(dir)._2).size.toLong
+    graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(nChecks).as("n_checks"), col("n_rows"), col("sum_chars"))
+  }
+
+  /** SHALLOW CLONE on the sink (`q_sink_clone`): the full document
+    * store commits as the PARENT table, `GraftSink.cloneShallow`
+    * publishes a zero-copy CLONE (the clone's manifest lists the
+    * parent's files by name through a `#parent` marker — no data
+    * bytes move), then the two tables DIVERGE: three planted rows
+    * append to the CLONE and a copy-on-write delete rewrites the
+    * PARENT. The gate reads BOTH sides back and re-aggregates — a
+    * clone that sees the parent's delete, a parent that sees the
+    * clone's append, or a resolution path that drops inherited files
+    * all hash-fail against the source-side reconstruction. Zero-copy
+    * itself (no data files under the clone dir at clone time) is
+    * spec-pinned.
+    */
+  def sinkCloneReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parent = graft.TempDirs.create("graft_sink_clone_p").toString
+    val clone = graft.TempDirs.create("graft_sink_clone_c").toString + "/t"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    docs.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", parent).mode("append").save()
+    graft.sources.v2.GraftSink.cloneShallow(parent, clone)
+    // diverge the clone: the q_sink_merge planted-row rule (mx*10+k
+    // cannot collide with any doc_id at any SF)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    mx.select(explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("mx"))
+      .select((col("mx") * 10L + col("k")).as("doc_id"),
+        (col("k") * 11L).as("n_chars"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", clone).mode("append").save()
+    // diverge the parent: CoW delete of the %3 rows
+    graft.sources.v2.GraftSink.deleteWhere(spark, parent,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    def roll(dir: String, side: String): DataFrame =
+      graft.sources.v2.GraftSink.readBack(spark, dir, TwoGenSchema)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(side).as("side"), col("n_rows"), col("sum_chars"))
+    roll(parent, "parent").unionByName(roll(clone, "clone"))
+  }
 }

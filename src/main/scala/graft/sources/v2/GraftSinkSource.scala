@@ -72,7 +72,13 @@ class GraftSinkSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graft sink needs option 'path'")
-    new GraftSinkTable(schema, path)
+    // mode=cdc: the streaming CHANGE FEED — the table's schema grows
+    // the trailing `action` column (insert/delete) the CDC reader
+    // emits; the caller's schema stays the DATA schema
+    val cdc = "cdc".equalsIgnoreCase(properties.get("mode"))
+    if (cdc) new GraftSinkTable(schema.add("action", StringType), path,
+      cdcDataSchema = Some(schema))
+    else new GraftSinkTable(schema, path)
   }
 }
 
@@ -178,6 +184,55 @@ object GraftSink {
       case l if l.startsWith(ConfRef) => l.substring(ConfRef.length).toInt
     }
 
+  /** SHALLOW-CLONE parent marker `#parent<TAB><absolute path>` — a
+    * cloned table's manifest lists the parent's data/DV/shard file
+    * NAMES by reference, and this marker tells every file open where
+    * to fall back when a name is not local (clone-of-clone carries
+    * the whole chain). Names are job-unique UUIDs, so local-first
+    * resolution can never shadow a parent file.
+    */
+  private val ParentRef = "#parent\t"
+
+  private[v2] def parentsOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(ParentRef)).map(_.substring(ParentRef.length))
+
+  /** Resolve a manifest-listed file name to the directory that
+    * actually holds it: the table's own dir first (every file a
+    * write under THIS table produced), then the `#parent` chain (a
+    * shallow clone's inherited files). A name found nowhere resolves
+    * locally so the downstream open fails with the honest
+    * no-such-file error — which is exactly what a vacuumed-away
+    * parent file must surface as (the Delta shallow-clone caveat:
+    * vacuum on the PARENT invalidates clones; the clone's own vacuum
+    * only ever deletes local files).
+    */
+  private def resolveFile(path: String, parents: Seq[String],
+      f: String): String = {
+    val local = Paths.get(path, f)
+    if (parents.isEmpty || Files.exists(local)) local.toString
+    else parents.map(p => Paths.get(p, f)).find(Files.exists(_))
+      .map(_.toString).getOrElse(local.toString)
+  }
+
+  /** CHECK-constraint marker `#check<TAB><name><TAB><sql expr>` —
+    * persisted TABLE metadata, like `#conf`: every write that starts
+    * after the constraint commit validates each row against the
+    * parsed expression and fails the job on a violation (SQL CHECK
+    * semantics: only an expression that evaluates to FALSE violates;
+    * NULL/unknown passes). Constraints ride every replace op's marker
+    * passthrough and are inherited by shallow clones.
+    */
+  private val CheckRef = "#check\t"
+
+  /** The table's persisted CHECK constraints: (name, sql expression),
+    * in manifest order.
+    */
+  def checksOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith(CheckRef)).map { l =>
+      val p = l.split("\t", 3)
+      (p(1), p(2))
+    }
+
   /** (lines to publish, effective threshold): an explicit non-default
     * parameter wins and persists itself as the table's `#conf` marker;
     * the default defers to the persisted marker. `Int.MaxValue` is the
@@ -248,6 +303,9 @@ object GraftSink {
   private def restrict(lines: Seq[String], files: Set[String]): Seq[String] =
     lines.filter { l =>
       if (l.startsWith("#dv\t")) files(l.split("\t")(1))
+      // a clone's #parent chain must survive into every sub-manifest,
+      // or a partial read of inherited files could not resolve them
+      else if (l.startsWith(ParentRef)) true
       else if (l.startsWith("#")) false
       else l.nonEmpty && files(fileOf(l))
     }
@@ -263,16 +321,19 @@ object GraftSink {
     * silently re-reading the world.
     */
   private[v2] def tailState(path: String, gen: Int)
-      : (Set[String], Map[String, (String, Long)]) = {
-    if (gen == 0) return (Set.empty, Map.empty)
+      : (Set[String], Map[String, (String, Long)], Seq[String]) = {
+    if (gen == 0) return (Set.empty, Map.empty, Seq.empty)
     val m = Paths.get(path, s"$VersionPrefix$gen")
     require(Files.exists(m),
       s"no committed generation $gen under $path " +
         s"(have: ${versions(path).mkString(",")}) — an expired offset " +
         "cannot re-plan; reset the stream's checkpoint")
     val lines = resolved(path, readLines(m))
-    (dataLines(lines).map(fileOf).toSet, dvOf(lines))
+    (dataLines(lines).map(fileOf).toSet, dvOf(lines), parentsOf(lines))
   }
+
+  private[v2] def resolveTailFile(path: String, parents: Seq[String],
+      f: String): String = resolveFile(path, parents, f)
 
   /** Committed generations under `path`, ascending (1-based). */
   def versions(path: String): Seq[Int] = {
@@ -306,7 +367,8 @@ object GraftSink {
     }
 
   private def readFiles(spark: SparkSession, path: String,
-      files: Seq[String], schema: StructType): DataFrame =
+      parents: Seq[String], files: Seq[String], schema: StructType)
+      : DataFrame =
     // A committed empty write publishes a manifest listing no files;
     // csv() with an empty path list errors, so honor the visibility
     // contract with an explicitly empty frame instead.
@@ -315,7 +377,7 @@ object GraftSink {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).option("sep", "\t")
-        .csv(files.map(f => Paths.get(path, f).toString): _*)
+        .csv(files.map(f => resolveFile(path, parents, f)): _*)
 
   /** The snapshot's VISIBLE rows as raw (`__file`, `value`) text
     * lines: every line of every listed data file, minus the lines
@@ -331,12 +393,13 @@ object GraftSink {
   private def visibleLines(spark: SparkSession, path: String,
       lines: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    val parents = parentsOf(lines)
     val files = dataLines(lines).map(fileOf)
     if (files.isEmpty)
       return spark.range(0)
         .select(lit("").as("__file"), lit("").as("value"))
     val data = spark.read
-      .text(files.map(f => Paths.get(path, f).toString): _*)
+      .text(files.map(f => resolveFile(path, parents, f)): _*)
       .select(col("_metadata.file_name").as("__file"), col("value"))
     val dvs = dvOf(lines).filter { case (f, _) => files.contains(f) }
     if (dvs.isEmpty) data
@@ -345,7 +408,7 @@ object GraftSink {
       val tag = dvs.toSeq.map { case (f, (dvf, _)) => (dvf, f) }
         .toDF("__dvf", "__file")
       val del = spark.read
-        .text(dvs.values.map(v => Paths.get(path, v._1).toString)
+        .text(dvs.values.map(v => resolveFile(path, parents, v._1))
           .toSeq.distinct: _*)
         .select(col("_metadata.file_name").as("__dvf"), col("value"))
         .join(broadcast(tag), "__dvf")
@@ -368,7 +431,8 @@ object GraftSink {
       lines: Seq[String], schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     if (dvOf(lines).isEmpty)
-      readFiles(spark, path, dataLines(lines).map(fileOf), schema)
+      readFiles(spark, path, parentsOf(lines), dataLines(lines).map(fileOf),
+        schema)
     else
       visibleLines(spark, path, lines)
         .select(from_csv(col("value"), schema, Map("sep" -> "\t")).as("__r"))
@@ -383,7 +447,8 @@ object GraftSink {
       lines: Seq[String], schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     if (dvOf(lines).isEmpty)
-      readFiles(spark, path, dataLines(lines).map(fileOf), schema)
+      readFiles(spark, path, parentsOf(lines), dataLines(lines).map(fileOf),
+        schema)
         .withColumn("__file", col("_metadata.file_name"))
         .select((schema.fieldNames.map(col).toSeq :+ col("__file")): _*)
     else
@@ -704,7 +769,7 @@ object GraftSink {
       case Some((bfile, bits, hashes)) =>
         // bounded driver read: one boolean per indexed file
         val probed = spark.read
-          .parquet(Paths.get(path, bfile).toString)
+          .parquet(resolveFile(path, parentsOf(lines0), bfile))
           .select(col("__file"),
             graft.functions.BloomFilter.bloom_might_contain(
               col("bits"), lit(value), bits, hashes).as("m"))
@@ -830,8 +895,8 @@ object GraftSink {
         import spark.implicits._
         val tag = oldDv.map(f => (dvs(f)._1, f)).toDF("__dvf", "__file")
         m.unionByName(spark.read
-          .text(oldDv.map(f => Paths.get(path, dvs(f)._1).toString)
-            .distinct: _*)
+          .text(oldDv.map(f => resolveFile(path, parentsOf(lines),
+            dvs(f)._1)).distinct: _*)
           .select(col("_metadata.file_name").as("__dvf"), col("value"))
           .join(broadcast(tag), "__dvf").select("__file", "value"))
           .distinct()
@@ -1147,6 +1212,119 @@ object GraftSink {
     commitReplace(path, readLines(m), parent, Int.MaxValue)
   }
 
+  // ------------------------------------------------------------------
+  // Shallow clone (zero-copy CREATE TABLE ... CLONE)
+  // ------------------------------------------------------------------
+
+  /** SHALLOW CLONE: publish a NEW table at `clonePath` whose first
+    * generation lists the parent head's data files, delete vectors
+    * and bloom sidecars BY NAME — zero data bytes copied, O(manifest)
+    * work (the Delta `CREATE TABLE ... SHALLOW CLONE` shape). The
+    * clone then evolves INDEPENDENTLY: its appends/deletes/compactions
+    * write local files and never touch the parent; CoW rewrites
+    * progressively localize it. Reads resolve inherited names through
+    * the `#parent` chain (clone-of-clone carries the whole chain), so
+    * a clone costs nothing until it diverges.
+    *
+    * Inherited: the parent's resolved file list, DV markers, `#conf`
+    * shard threshold, `#check` constraints, bloom markers. NOT
+    * inherited: the parent's `#txn` ledger (a clone is a new table —
+    * the parent's streaming epochs must not suppress the clone's own
+    * appends) and the parent's history (the clone starts at
+    * generation 1).
+    *
+    * CAVEAT (same as Delta): `vacuum` on the PARENT may reclaim files
+    * the clone still references; those clone reads then fail loudly
+    * with no-such-file. The clone's own vacuum only ever deletes
+    * files under the clone's directory, so it can never hurt the
+    * parent. Returns the clone's committed generation (always 1).
+    */
+  def cloneShallow(parentPath: String, clonePath: String): Int = {
+    val (pGen, pLines0) = head(parentPath)
+    require(pGen > 0 || pLines0.nonEmpty,
+      s"nothing committed under $parentPath to clone")
+    Files.createDirectories(Paths.get(clonePath))
+    require(versions(clonePath).isEmpty &&
+        !Files.exists(Paths.get(clonePath, ManifestName)),
+      s"$clonePath already holds a committed table")
+    val pLines = resolved(parentPath, pLines0)
+    val parentAbs =
+      Paths.get(parentPath).toAbsolutePath.normalize.toString
+    // local-first resolution order: this parent, then ITS chain
+    val chain = (parentAbs +: parentsOf(pLines)).distinct
+    val lines = pLines.filterNot(l =>
+      l.startsWith("#txn\t") || l.startsWith(ParentRef)) ++
+      chain.map(p => s"$ParentRef$p")
+    val (withMeta, eff) = withConf(lines, DefaultShardThreshold)
+    if (!publish(clonePath, 1, spill(clonePath, withMeta.sorted, eff)))
+      throw new FileAlreadyExistsException(
+        s"$clonePath was committed concurrently")
+    refreshLive(clonePath)
+    1
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints (persisted table metadata, write-enforced)
+  // ------------------------------------------------------------------
+
+  /** Parse a constraint's SQL against `schema` and return the BOUND
+    * Catalyst expression the write path evaluates per row — parsed,
+    * analyzed (type coercion, function resolution) and reference-
+    * bound DRIVER-side, then shipped to every task: the production
+    * shape (Delta's CHECK enforcement is an operator over the write),
+    * never a per-row re-parse.
+    */
+  private[v2] def boundCheck(spark: SparkSession, schema: StructType,
+      sql: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.QueryPlanningTracker
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val analyzed = spark.sessionState.analyzer.executeAndCheck(
+      Filter(parsed, LocalRelation(attrs)), new QueryPlanningTracker)
+    val cond = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(throw new IllegalArgumentException(
+        s"constraint did not analyze to a filter: $sql"))
+    BindReferences.bindReference(cond, attrs)
+  }
+
+  /** ADD a persisted CHECK constraint: validate every EXISTING
+    * visible row first (one distributed pass — SQL CHECK semantics:
+    * only FALSE violates, NULL passes), then CAS-commit the
+    * `#check` marker. Every write job STARTING after this commit
+    * validates each row against the expression and fails loudly on a
+    * violation; a write racing this commit fails its own publish with
+    * a metadata conflict instead of committing un-validated rows.
+    * Returns the committed generation.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String, schema: StructType = Schema): Int = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        !exprSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint name/expression must be TSV-safe")
+    val (parent, lines0) = head(path)
+    require(!checksOf(lines0).exists(_._1 == name),
+      s"constraint '$name' already exists under $path")
+    boundCheck(spark, schema, exprSql) // fail fast on an unparsable expr
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val bad = readBack(spark, path, schema)
+      .filter(not(coalesce(expr(exprSql), lit(true)))).count()
+    require(bad == 0L,
+      s"cannot add constraint '$name': $bad existing rows violate $exprSql")
+    commitReplace(path, lines0 :+ s"$CheckRef$name\t$exprSql", parent)
+  }
+
+  /** DROP a persisted CHECK constraint by name (CAS commit). */
+  def dropConstraint(path: String, name: String): Int = {
+    val (parent, lines0) = head(path)
+    require(checksOf(lines0).exists(_._1 == name),
+      s"no constraint '$name' under $path")
+    commitReplace(path,
+      lines0.filterNot(_.startsWith(s"$CheckRef$name\t")), parent)
+  }
+
   /** VACUUM: delete files NO RETAINED generation references (crash
     * temps, aborted parts, foreign strays, and — after a row-level
     * delete — replaced pre-delete files once their snapshots expire)
@@ -1224,7 +1402,8 @@ object GraftSink {
   val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
-class GraftSinkTable(schema: StructType, path: String)
+class GraftSinkTable(schema: StructType, path: String,
+    cdcDataSchema: Option[StructType] = None)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = s"graft_sink($path)"
@@ -1250,7 +1429,13 @@ class GraftSinkTable(schema: StructType, path: String)
           override def readSchema(): StructType = schema
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-            new GraftSinkTailStream(schema, path)
+            cdcDataSchema match {
+              // CDC: the change-feed stream (signed insert/delete
+              // rows, replace-commit safe); the reader parses the
+              // DATA schema and appends the action column itself
+              case Some(data) => new GraftSinkCdcStream(data, path)
+              case None => new GraftSinkTailStream(schema, path)
+            }
         }
     }
 }
@@ -1307,8 +1492,8 @@ class GraftSinkTailStream(schema: StructType, path: String)
         s"${dvMoved.take(3).mkString(",")}…: merge-on-read deletes need " +
         "CDC (readChanges), not a tail")
     (to._1 -- from._1).toArray.sorted
-      .map(f => GraftSinkTailPartition(Paths.get(path, f).toString)
-        : InputPartition)
+      .map(f => GraftSinkTailPartition(
+        GraftSink.resolveTailFile(path, to._3, f)): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1377,6 +1562,166 @@ class GraftSinkTailReader(schema: StructType, file: String)
   override def close(): Unit = lines.close()
 }
 
+/** STREAMING CHANGE FEED of the sink (`readStream` with `mode=cdc`) —
+  * the CDC twin of [[GraftSinkTailStream]] that stays alive across
+  * REPLACE commits (the tail fails loudly on them by contract): each
+  * micro-batch emits the row-level delta between the window's
+  * endpoint generations as (row, action) with action ∈
+  * {insert, delete} — the Delta Change Data Feed shape, planned from
+  * the MANIFEST DIFF alone, O(changed files) partitions per batch.
+  *
+  * Multiset semantics for SIGN-FOLD consumers (`q_cdc_apply`'s +1/−1
+  * discipline): an appended file emits its visible rows as inserts, a
+  * removed file emits its formerly-visible rows as deletes, and a
+  * moved delete vector emits (new DV − old DV) content as deletes. A
+  * copy-on-write rewrite's SURVIVORS therefore emit as BOTH insert
+  * (new file) and delete (old file) and cancel exactly in any signed
+  * fold — noisier than [[GraftSink.readChanges]]' batch `exceptAll`
+  * (which cancels them before emitting) but identical after folding,
+  * and it keeps the planner manifest-only: nothing is read twice,
+  * nothing is diffed driver-side. Offsets are committed generations,
+  * so restarts re-plan identical windows (exactly-once), and an
+  * expired (vacuumed) offset fails loudly.
+  */
+class GraftSinkCdcStream(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.InputPartition
+
+  private case class GenOffset(gen: Int) extends Offset {
+    override def json(): String = gen.toString
+  }
+
+  override def initialOffset(): Offset = GenOffset(0)
+  override def latestOffset(): Offset =
+    GenOffset(GraftSink.versions(path).lastOption.getOrElse(0))
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].gen
+    val e = end.asInstanceOf[GenOffset].gen
+    if (e <= s) return Array.empty
+    val (fromFiles, fromDv, fromParents) = GraftSink.tailState(path, s)
+    val (toFiles, toDv, toParents) = GraftSink.tailState(path, e)
+    def at(parents: Seq[String], f: String): String =
+      GraftSink.resolveTailFile(path, parents, f)
+    val inserts = (toFiles -- fromFiles).toSeq.sorted.map { f =>
+      // a file born with a vector in this window emits only its
+      // visible rows
+      GraftSinkCdcPartition(at(toParents, f),
+        toDv.get(f).map(v => at(toParents, v._1)).toSeq, "insert")
+    }
+    val deletes = (fromFiles -- toFiles).toSeq.sorted.map { f =>
+      // rows the old vector already masked were not visible at `s`,
+      // so they must not emit as deletes now
+      GraftSinkCdcPartition(at(fromParents, f),
+        fromDv.get(f).map(v => at(fromParents, v._1)).toSeq, "delete")
+    }
+    val dvMoved = (fromFiles & toFiles)
+      .filter(f => fromDv.get(f) != toDv.get(f)).toSeq.sorted.map { f =>
+        // vectors only grow (a second MoR delete commits the union;
+        // a shrink can only happen via rewrite, which drops the file
+        // and lands in the branches above)
+        require(toDv.contains(f),
+          s"delete vector vanished from carried file $f in window " +
+            s"$s..$e under $path — not a union move")
+        GraftSinkCdcPartition(at(toParents, toDv(f)._1),
+          fromDv.get(f).map(v => at(fromParents, v._1)).toSeq, "delete")
+      }
+    (inserts ++ deletes ++ dvMoved).map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    GraftSinkCdcReaderFactory(schema)
+}
+
+/** One CDC partition: emit `primary`'s lines minus `masks`' lines
+  * (content subtraction — the DV semantics), each tagged `action`.
+  */
+case class GraftSinkCdcPartition(primary: String, masks: Seq[String],
+    action: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+case class GraftSinkCdcReaderFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftSinkCdcPartition]
+    new GraftSinkCdcReader(schema, p.primary, p.masks, p.action)
+  }
+}
+
+/** Executor-side CDC reader: [[GraftSinkTailReader]]'s TSV parse with
+  * a line-content mask (the partition's delete vectors, bounded by
+  * deleted rows) and a constant trailing `action` column. Masking by
+  * content drops EVERY copy of an identical line — the same multiset
+  * semantics the batch read path's anti-join applies.
+  */
+class GraftSinkCdcReader(schema: StructType, primary: String,
+    masks: Seq[String], action: String)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val mask: java.util.HashSet[String] = {
+    val m = new java.util.HashSet[String]()
+    masks.foreach { f =>
+      val r = Files.newBufferedReader(Paths.get(f), StandardCharsets.UTF_8)
+      try {
+        var l = r.readLine()
+        while (l != null) { if (l.nonEmpty) m.add(l); l = r.readLine() }
+      } finally r.close()
+    }
+    m
+  }
+  private val lines = Files.newBufferedReader(
+    Paths.get(primary), StandardCharsets.UTF_8)
+  private val actionValue =
+    org.apache.spark.unsafe.types.UTF8String.fromString(action)
+  private var row: InternalRow = _
+
+  private val parse: Array[String => Any] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case LongType => (s: String) => java.lang.Long.parseLong(s)
+        case IntegerType => (s: String) => java.lang.Integer.parseInt(s)
+        case DoubleType => (s: String) => s match {
+          case "Inf" => Double.PositiveInfinity
+          case "-Inf" => Double.NegativeInfinity
+          case _ => java.lang.Double.parseDouble(s)
+        }
+        case StringType => (s: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case d: DecimalType => (s: String) =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(s), d.precision, d.scale)
+        case other => throw new IllegalArgumentException(
+          s"graft sink cdc does not parse $other (column ${f.name})")
+      }
+    }
+
+  override def next(): Boolean = {
+    var l = lines.readLine()
+    while (l != null && mask.contains(l)) l = lines.readLine()
+    if (l == null) { row = null; false }
+    else {
+      val parts = l.split("\t", -1)
+      require(parts.length == parse.length,
+        s"malformed sink line in $primary: ${parts.length} fields, " +
+          s"expected ${parse.length}")
+      row = InternalRow.fromSeq(
+        parts.iterator.zipWithIndex.map { case (p, i) => parse(i)(p) }
+          .toSeq :+ actionValue)
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}
+
 /** Job-level commit: rename every task's temp to its job-unique
   * final part name, then publish through the optimistic-concurrency
   * snapshot protocol ([[GraftSink.commitAppend]] — atomic
@@ -1397,11 +1742,36 @@ class GraftSinkBatchWrite(schema: StructType, path: String,
   private val jobTag =
     java.util.UUID.randomUUID().toString.substring(0, 8)
 
+  /** The table's CHECK constraints as of JOB START — parsed, analyzed
+    * and bound on the driver (this constructor runs at write
+    * planning), shipped to every task for per-row enforcement. The
+    * job commit re-reads the set and refuses to publish if it moved.
+    */
+  private val checksAtStart: Seq[(String, String)] =
+    GraftSink.checksOf(GraftSink.head(path)._2)
+  private val boundChecks
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    checksAtStart.map { case (n, sql) =>
+      (n, GraftSink.boundCheck(SparkSession.active, schema, sql))
+    }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new GraftSinkWriterFactory(schema, path, jobTag)
+      : DataWriterFactory =
+    new GraftSinkWriterFactory(schema, path, jobTag, boundChecks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftSinkCommit])
+    // metadata conflict: a constraint added or dropped while this job
+    // ran means its rows were validated against a stale set — abort
+    // the publish (cleaning this job's temps) instead of committing
+    // un-validated rows
+    if (GraftSink.checksOf(GraftSink.head(path)._2).toSet
+        != checksAtStart.toSet) {
+      msgs.foreach(m => Files.deleteIfExists(Paths.get(path, m.tmpName)))
+      throw new java.util.ConcurrentModificationException(
+        s"CHECK constraints changed under $path during the write; " +
+          "rerun the job against the new constraint set")
+    }
     msgs.foreach { m =>
       Files.move(Paths.get(path, m.tmpName), Paths.get(path, m.finalName),
         StandardCopyOption.ATOMIC_MOVE)
@@ -1424,14 +1794,31 @@ case class GraftSinkCommit(tmpName: String, finalName: String, rows: Long,
     stats: String) extends WriterCommitMessage
 
 class GraftSinkWriterFactory(schema: StructType, path: String,
-    jobTag: String) extends DataWriterFactory {
+    jobTag: String,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)]
+      = Seq.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new GraftSinkWriter(schema, path, jobTag, partitionId, taskId)
+    new GraftSinkWriter(schema, path, jobTag, partitionId, taskId, checks)
 }
 
 class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)]
+      = Seq.empty)
+    extends DataWriter[InternalRow] {
+
+  // CHECK predicates compiled ONCE per writer from the driver-bound
+  // expressions (codegen'd where possible). SQL CHECK semantics: a
+  // NULL/unknown evaluation passes, only FALSE violates — hence the
+  // IsNull-OR wrap.
+  private val checkPreds = checks.map { case (n, e) =>
+    import org.apache.spark.sql.catalyst.expressions.{IsNull, Or, Predicate}
+    val p = Predicate.create(Or(IsNull(e), e))
+    p.initialize(partitionId)
+    (n, p)
+  }.toArray
 
   private val tmpName = f".tmp-$jobTag-$partitionId%05d-$taskId"
   private val out = Files.newBufferedWriter(
@@ -1506,6 +1893,14 @@ class GraftSinkWriter(schema: StructType, path: String, jobTag: String,
         && org.apache.spark.TaskContext.get() != null
         && org.apache.spark.TaskContext.get().attemptNumber() == 0) {
       throw new RuntimeException("injected first-attempt sink failure")
+    }
+    var c = 0
+    while (c < checkPreds.length) {
+      if (!checkPreds(c)._2.eval(row))
+        throw new IllegalArgumentException(
+          s"CHECK constraint '${checkPreds(c)._1}' violated by a row " +
+            s"in partition $partitionId")
+      c += 1
     }
     var i = 0
     val sb = new StringBuilder

@@ -1075,6 +1075,64 @@ object EventStreams {
         sum(col("sum_value")).cast("double").as("total_value"))
   }
 
+  /** STREAMING CHANGE FEED of the sink (`stream_sink_cdc`,
+    * `readStream` with `mode=cdc`) — the CDC stream that stays alive
+    * across the REPLACE commits the append-only tail refuses by
+    * contract: each micro-batch emits the manifest-diff delta between
+    * its endpoint generations as signed (row, action) changes. The
+    * key drives the full lifecycle across THREE restart boundaries —
+    * run 1 consumes two append generations (insert partitions), a
+    * MERGE-ON-READ delete then moves a delete vector and run 2 emits
+    * exactly the newly-masked rows as deletes (the DV-delta
+    * partition), and a full COMPACTION rewrite then swaps every file
+    * and run 3's insert+delete pairs must cancel EXACTLY in the
+    * signed fold (the rewrite-survivor contract). The answer
+    * sign-folds the feed per event type and gates against the
+    * post-delete source recompute — a missed window, a wrong sign, a
+    * double-emitted survivor, or a DV mask applied to the wrong side
+    * all hash-fail.
+    */
+  def sinkCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = graft.TempDirs.create("graft_stream_cdc_tbl").toString
+    val ckpt = graft.TempDirs.create("graft_stream_cdc_ckpt").toString
+    val out = graft.TempDirs.create("graft_stream_cdc_out").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    val roll = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("sv").cast(DecimalType(18, 2)).as("sum_value"))
+    def put(df: DataFrame): Unit =
+      df.write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.v2.GraftSinkSource")
+        .schema(graft.sources.v2.GraftSink.Schema)
+        .option("path", dir).option("mode", "cdc").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    put(roll.filter(col("user_id") % 2 === 0))
+    put(roll.filter(col("user_id") % 2 =!= 0))
+    runOnce() // window 0→2: append partitions
+    graft.sources.v2.GraftSink.deleteWhereMor(spark, dir,
+      col("user_id") % 7 === 0)
+    runOnce() // window 2→3: delete-vector delta partitions
+    graft.sources.v2.GraftSink.compact(spark, dir,
+      targetRows = Long.MaxValue)
+    runOnce() // window 3→4: rewrite — insert/delete pairs must cancel
+    spark.read.parquet(out)
+      .withColumn("sign",
+        when(col("action") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .groupBy("event_type")
+      .agg(sum(col("sign")).as("n_keys"),
+        sum(col("sign") * col("n")).as("n_events"),
+        sum(col("sign") * col("sum_value")).cast("double")
+          .as("total_value"))
+  }
+
   /** Streaming dedup EXACTLY-ONCE into the custom DSv2 GraftSink
     * (`stream_graft_sink`) — `stream_restart`'s recovery gate
     * retargeted at the sink's own generation-commit protocol instead

@@ -1132,4 +1132,174 @@ class SourcesV2Spec extends SparkSpec {
       .as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
       (1L to 20L).filterNot(_ % 2 == 0))
   }
+
+  private val DocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  private def putDocs(dir: String, rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "n_chars").repartition(1)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+  }
+
+  test("dsv2 sink constraints: existing violations block the add, a " +
+      "violating write publishes nothing, drop re-opens the gate") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_check_spec").toString
+    putDocs(dir, Seq((1L, 10L), (2L, 20L)))
+    val g1 = GraftSink.versions(dir).max
+    // existing data violates -> the add itself must refuse to commit
+    intercept[IllegalArgumentException] {
+      GraftSink.addConstraint(spark, dir, "big", "n_chars >= 15", DocSchema)
+    }
+    assert(GraftSink.versions(dir).max == g1, "failed add published")
+    GraftSink.addConstraint(spark, dir, "nonneg", "n_chars >= 0", DocSchema)
+    val g2 = GraftSink.versions(dir).max
+    // a violating write fails the JOB: head unchanged, temps cleaned
+    intercept[Exception] { putDocs(dir, Seq((3L, -5L))) }
+    assert(GraftSink.versions(dir).max == g2,
+      "violating write moved the head")
+    val s = Files.list(Paths.get(dir))
+    val stray =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".tmp-")).toSeq
+      finally s.close()
+    assert(stray.isEmpty, s"leftover temps: $stray")
+    // a valid write still passes through the constrained path
+    putDocs(dir, Seq((3L, 5L)))
+    assert(GraftSink.readBack(spark, dir, DocSchema).count() == 3)
+    // drop re-opens
+    GraftSink.dropConstraint(dir, "nonneg")
+    putDocs(dir, Seq((4L, -1L)))
+    assert(GraftSink.readBack(spark, dir, DocSchema).count() == 4)
+  }
+
+  test("dsv2 sink constraints: a constraint committed MID-JOB aborts " +
+      "the publish as a metadata conflict, cleaning the job's temps") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_check_race").toString
+    putDocs(dir, Seq((1L, 10L)))
+    // drive the DSv2 BatchWrite by hand so a constraint can land
+    // between task completion and the job commit
+    val bw = new graft.sources.v2.GraftSinkBatchWrite(DocSchema, dir, None)
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(2L, 20L))
+    val msg = w.commit()
+    GraftSink.addConstraint(spark, dir, "nonneg", "n_chars >= 0", DocSchema)
+    val gAfterAdd = GraftSink.versions(dir).max
+    intercept[java.util.ConcurrentModificationException] {
+      bw.commit(Array(msg))
+    }
+    assert(GraftSink.versions(dir).max == gAfterAdd,
+      "conflicted job still published")
+    val s = Files.list(Paths.get(dir))
+    val stray =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".tmp-")).toSeq
+      finally s.close()
+    assert(stray.isEmpty, s"leftover temps: $stray")
+    assert(GraftSink.readBack(spark, dir, DocSchema).count() == 1)
+  }
+
+  test("dsv2 sink shallow clone: zero data copied, both sides diverge " +
+      "independently, constraints inherit, vacuum stays local, " +
+      "clone-of-clone resolves the chain") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import graft.sources.v2.GraftSink
+    val parent = graft.TempDirs.create("graft_clone_parent").toString
+    putDocs(parent, (1L to 6L).map(i => (i, i * 10L)))
+    GraftSink.addConstraint(spark, parent, "nonneg", "n_chars >= 0",
+      DocSchema)
+    val clone = graft.TempDirs.create("graft_clone_c").toString + "/t"
+    GraftSink.cloneShallow(parent, clone)
+    // ZERO-COPY: the clone directory holds manifests only
+    val s0 = Files.list(Paths.get(clone))
+    val names =
+      try s0.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s0.close()
+    assert(names.forall(_.startsWith("_MANIFEST")),
+      s"clone dir holds data files: $names")
+    def ids(dir: String): Seq[Long] =
+      GraftSink.readBack(spark, dir, DocSchema)
+        .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(ids(clone) == (1L to 6L), "clone content != parent content")
+    // the parent's CHECK constraint is table metadata the clone keeps
+    intercept[Exception] { putDocs(clone, Seq((9L, -1L))) }
+    // diverge: append to the clone, CoW-delete on the parent
+    putDocs(clone, Seq((7L, 70L)))
+    GraftSink.deleteWhere(spark, parent, col("doc_id") === 1L, DocSchema)
+    assert(ids(parent) == (2L to 6L), "parent lost more than the delete")
+    assert(ids(clone) == (1L to 7L),
+      "the parent's delete leaked into the clone")
+    // merge-on-read delete ON the clone: vector local, data inherited
+    GraftSink.deleteWhereMor(spark, clone, col("doc_id") === 2L, DocSchema)
+    assert(ids(clone) == Seq(1L, 3L, 4L, 5L, 6L, 7L))
+    assert(ids(parent) == (2L to 6L), "the clone's MoR delete leaked")
+    // vacuum on the clone deletes only local files — the parent's
+    // inherited files survive and both sides still read
+    GraftSink.vacuum(clone, keepGenerations = 1, minAgeMs = 0L)
+    assert(ids(clone) == Seq(1L, 3L, 4L, 5L, 6L, 7L))
+    assert(ids(parent) == (2L to 6L))
+    // clone-of-clone: the #parent CHAIN resolves files living in the
+    // grandparent, the parent, and locally
+    val clone2 = graft.TempDirs.create("graft_clone_c2").toString + "/t"
+    GraftSink.cloneShallow(clone, clone2)
+    assert(ids(clone2) == Seq(1L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("dsv2 sink cdc stream: append windows emit inserts, a DV move " +
+      "emits exactly the newly-masked rows as deletes, and a rewrite " +
+      "window's insert/delete pairs cancel") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_cdc_spec").toString
+    putDocs(dir, (1L to 4L).map(i => (i, i * 10L)))
+    putDocs(dir, (5L to 8L).map(i => (i, i * 10L)))
+    GraftSink.deleteWhereMor(spark, dir,
+      col("doc_id").isin(2L, 6L), DocSchema)
+    GraftSink.compact(spark, dir, targetRows = Long.MaxValue, DocSchema)
+    assert(GraftSink.versions(dir) == (1 to 4))
+    val stream = new graft.sources.v2.GraftSinkCdcStream(DocSchema, dir)
+    def window(s: Int, e: Int): Seq[(Long, String)] = {
+      val rf = stream.createReaderFactory()
+      stream.planInputPartitions(stream.deserializeOffset(s.toString),
+        stream.deserializeOffset(e.toString)).toSeq.flatMap { p =>
+        val r = rf.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        while (r.next()) {
+          val row = r.get()
+          buf += ((row.getLong(0), row.getUTF8String(2).toString))
+        }
+        r.close()
+        buf.toSeq
+      }
+    }
+    // append windows: pure inserts of every committed row
+    assert(window(0, 2).sorted ==
+      (1L to 8L).map(i => (i, "insert")).sorted)
+    // the DV move emits exactly the newly-masked rows as deletes
+    assert(window(2, 3).sorted == Seq((2L, "delete"), (6L, "delete")))
+    // the compaction window swaps every file: the survivors' insert
+    // and delete multisets must be identical (they cancel in a fold)
+    val w34 = window(3, 4)
+    val ins = w34.filter(_._2 == "insert").map(_._1).sorted
+    val del = w34.filter(_._2 == "delete").map(_._1).sorted
+    assert(ins == Seq(1L, 3L, 4L, 5L, 7L, 8L), s"inserts: $ins")
+    assert(del == ins, "rewrite survivors must cancel exactly")
+    // composing every window sign-folds to the visible head state
+    val fold = (window(0, 2) ++ window(2, 3) ++ w34)
+      .groupBy(_._1).view.mapValues(_.map(v =>
+        if (v._2 == "insert") 1 else -1).sum).toMap
+    assert(fold.filter(_._2 != 0).keys.toSeq.sorted ==
+      Seq(1L, 3L, 4L, 5L, 7L, 8L))
+  }
 }
