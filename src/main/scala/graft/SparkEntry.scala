@@ -442,6 +442,10 @@ object SparkEntry {
     // rows-gated: convergence-mode twin — see q_hits_converged's note
     "q_pagerank_converged" -> ((s, d) => Dedup.pageRankConverged(s, d)),
     "q_triangles" -> ((s, d) => Dedup.triangles(s, d)),
+    "q_clustering_coeff" -> ((s, d) => Dedup.clusteringCoeff(s, d)),
+    "q_assortativity" -> ((s, d) => Dedup.assortativity(s, d)),
+    "q_cochran_q" -> ((s, d) => Stats.cochranQ(s, d)),
+    "q_kfold" -> ((s, d) => Pipeline.kfoldAssign(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
     "q_kcore" -> ((s, d) => Dedup.kcore(s, d)),
@@ -2091,6 +2095,44 @@ object SparkEntry {
         |        * (CAST(n7 AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
         |  END AS r7
         |FROM m""".stripMargin,
+    // Cochran's Q: per-user binary blocks, all-integer moments,
+    // R(k-R)=0 self-cancels constant rows, one IEEE division
+    "q_cochran_q" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x3
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+        |    CAST(sum(x3) AS BIGINT) AS c3,
+        |    CAST(sum(x1 + x2 + x3) AS BIGINT) AS n_succ,
+        |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sum_r2
+        |  FROM b)
+        |SELECT CAST(3 AS BIGINT) AS k, n_users, n_succ,
+        |  CAST(2 AS BIGINT) AS dof,
+        |  CASE WHEN 3 * n_succ - sum_r2 > 0
+        |    THEN round(CAST(2 * (3 * (c1*c1 + c2*c2 + c3*c3)
+        |        - n_succ * n_succ) AS DOUBLE)
+        |      / CAST(3 * n_succ - sum_r2 AS DOUBLE), 6)
+        |  END AS q
+        |FROM a""".stripMargin,
+    // group-aware k-fold: fold is a pure md5 function of the user id
+    // (no user straddles folds), per-fold balance audit
+    "q_kfold" ->
+      """SELECT CAST('0x' || substring(md5('kfold1:'
+        |    || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 5 AS fold,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+        |    AS purchase_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // Mann–Kendall: integer S + tie-corrected Var(S) from the
     // calendar-bounded pair join; one IEEE division+sqrt at the end
     "q_mann_kendall" ->
@@ -5033,6 +5075,47 @@ object SparkEntry {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |GROUP BY doc_id""".stripMargin,
+    // global transitivity: id-oriented triangle count, wedge fold
+    // over the symmetric-degree frame, one division
+    "q_clustering_coeff" ->
+      s"""WITH $edgeCtes,
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+        |  JOIN edges e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+        |  FROM sym GROUP BY 1),
+        |w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges
+        |  FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+        |SELECT n_edges, wedges AS n_wedges, t AS n_triangles,
+        |  CASE WHEN wedges > 0
+        |    THEN round(3.0 * CAST(t AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+        |  END AS global_cc
+        |FROM ne, w, tri""".stripMargin,
+    // Newman assortativity: symmetric listing makes x/y identically
+    // distributed, three BIGINT moments, one IEEE dag
+    "q_assortativity" ->
+      s"""WITH $edgeCtes,
+        |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+        |  FROM sym GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(dx.d) AS BIGINT) AS sx,
+        |    CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+        |    CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx
+        |  FROM sym s
+        |  JOIN deg dx ON s.a = dx.id JOIN deg dy ON s.b = dy.id)
+        |SELECT m AS n_edges_directed,
+        |  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |  END AS r
+        |FROM m""".stripMargin,
     "dedup_spans" -> {
       val gram10 = (0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")
       s"""WITH words AS (

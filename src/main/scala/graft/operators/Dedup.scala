@@ -1296,4 +1296,96 @@ object Dedup {
         col("c.start").cast("long").as("start"),
         col("c.chunk_len").cast("long").as("chunk_len"),
         md5(expr("substring(text, c.start, c.chunk_len)")).as("chunk_hash"))
+
+  /** GLOBAL CLUSTERING COEFFICIENT of the near-dup graph
+    * (`q_clustering_coeff`) — the one-number transitivity summary
+    * (Watts–Strogatz): C = 3·triangles / wedges, the probability that
+    * two neighbors of a node are themselves connected. Read next to
+    * `q_triangles` (per-node memberships) it separates a dup corpus
+    * of tight mutual CLIQUES (C → 1: safe to collapse clusters) from
+    * CHAINS of borderline pairs (C → 0: collapsing over-merges).
+    *
+    * Triangles use [[triangles]]' degree-ordered orientation (hub
+    * wedge fan-out bounded O(√m) per node); wedges are one integer
+    * fold Σ d(d−1)/2 over the degree frame; both ride ONE
+    * localCheckpointed edge set. The single division is the only IEEE
+    * step. Output: edges, wedges, triangles, C.
+    */
+  def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringCoeffOver(
+      ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint())
+
+  /** Same operator over any canonical (doc_a < doc_b) edge frame — a
+    * planted clique-plus-pendant pins T, wedges and C by hand.
+    */
+  private[graft] def clusteringCoeffOver(e: DataFrame): DataFrame = {
+    val deg = e.select(col("doc_a").as("id"))
+      .unionByName(e.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // consumed by the orientation AND the wedges
+    val withRanks = e
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+    val ra = struct(col("da").as("d"), col("doc_a").as("id"))
+    val rb = struct(col("db").as("d"), col("doc_b").as("id"))
+    val d = withRanks.select(
+      when(ra < rb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(ra < rb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(ra < rb, rb).otherwise(ra).as("dst_rank"))
+    val tri = d.as("e1").join(d.as("e2"),
+        col("e1.src") === col("e2.src")
+          && col("e1.dst_rank") < col("e2.dst_rank"))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(d.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
+        "left_semi")
+      .agg(count(lit(1)).as("t"))
+    val wedges = deg.agg(
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("wedges").as("n_wedges"),
+        col("t").as("n_triangles"),
+        when(col("wedges") > 0,
+          round(lit(3.0) * col("t").cast("double") /
+            col("wedges").cast("double"), 6)).as("global_cc"))
+  }
+
+  /** DEGREE ASSORTATIVITY of the near-dup graph (`q_assortativity`) —
+    * Newman's r: the Pearson correlation of endpoint degrees over the
+    * SYMMETRIC directed edge list ("do heavy dup hubs link to other
+    * hubs or to leaves?"); assortative dup graphs (r > 0) mean hub
+    * templates cluster together — one canonical pick collapses them —
+    * while disassortative ones (r < 0) are hub-and-spoke template
+    * pollution. The symmetric listing makes x and y identically
+    * distributed (Sx = Sy, Σx² = Σy²), so r = (mΣxy − Sx²)/(mΣx² −
+    * Sx²) — three BIGINT moments from ONE shuffle over the
+    * degree-joined edges, one IEEE dag, zero-variance null-guarded.
+    */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityOver(
+      ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint())
+
+  /** Same operator over any canonical edge frame — a planted star
+    * pins the textbook r = −1.
+    */
+  private[graft] def assortativityOver(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = sym.groupBy(col("doc_a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val m = sym
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("dx")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("dy")), "doc_b")
+      .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+    val num = col("m").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val den = col("m").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    m.select(col("m").as("n_edges_directed"),
+      when(den > 0, round(num / den, 6)).as("r"))
+  }
 }

@@ -1030,4 +1030,33 @@ object Pipeline {
       ("r1", half(col("doc_id") <= _)),
       ("r2", half(col("doc_id") > _).unionByName(poison))), dir)
   }
+
+  /** Deterministic GROUP-AWARE k-FOLD assignment (`q_kfold`) — the
+    * cross-validation splitter next to [[leakageSafeSplit]]'s
+    * train/eval cut: every USER's events land in exactly one of k
+    * folds (fold = 48-bit md5 of the user id mod k — a pure function
+    * of the GROUP key, so no user ever straddles folds and the
+    * assignment is identical across engines, reruns and cluster
+    * sizes; the evaluation loop's no-leakage precondition by
+    * construction, never by shuffle-and-hope). The report is the
+    * balance audit a split ships with: per-fold users, events and
+    * exact purchase cents — a skewed fold shows up as a lopsided row.
+    * ONE scan, one partial-agg shuffle; a spec pins the within-±20%
+    * user balance and the user→fold functional dependency.
+    */
+  def kfoldAssign(spark: SparkSession, sfDir: String, k: Int = 5)
+      : DataFrame = {
+    val d182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.events(spark, sfDir)
+      .withColumn("fold",
+        conv(substring(md5(concat(lit("kfold1:"),
+          col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+          % k)
+      .groupBy("fold")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        (sum(when(col("event_type") === "purchase",
+          col("value").cast(d182)).otherwise(lit(0).cast(d182))) * 100)
+          .cast("long").as("purchase_cents"))
+  }
 }

@@ -3400,4 +3400,42 @@ object Stats {
         round(((col("n") - col("k")).cast("double") * ssb) /
           ((col("k") - 1).cast("double") * ssw), 6)).as("f_bf"))
   }
+
+  /** COCHRAN'S Q TEST (`q_cochran_q`) — k related binary samples: did
+    * users engage DIFFERENTLY across the click/view/purchase actions,
+    * with each USER as their own matched block (the k-sample
+    * generalization of McNemar, exactly as `q_kruskal` generalizes
+    * `q_mannwhitney`)? Q = (k−1)·[k·ΣC_j² − N²] / [k·ΣR_i − ΣR_i²]
+    * with C_j the per-action user counts, R_i each user's action
+    * count, N = ΣR_i — all BIGINT-exact from ONE conditional-agg scan
+    * to the per-user block frame and one re-aggregate; blocks with
+    * R_i = 0 or k self-cancel in the denominator (R(k−R) = 0), the
+    * textbook all-same exclusion for free. One IEEE division, χ²(k−1)
+    * reference. A planted 3-user table replays the hand-computed Q.
+    */
+  def cochranQ(spark: SparkSession, sfDir: String): DataFrame =
+    cochranQOver(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")))
+
+  private[graft] def cochranQOver(df: DataFrame): DataFrame = {
+    val types = Seq("click", "view", "purchase")
+    val binaries = types.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"x_$t"))
+    val blocks = df
+      .filter(col("event_type").isin(types.map(t => t: Any): _*))
+      .groupBy("user_id")
+      .agg(binaries.head, binaries.tail: _*)
+    val r = types.map(t => col(s"x_$t")).reduce(_ + _)
+    val aggs = types.map(t => sum(col(s"x_$t")).as(s"c_$t")) ++
+      Seq(sum(r).as("n_succ"), sum(r * r).as("sum_r2"))
+    val agg = blocks.agg(count(lit(1)).as("n_users"), aggs: _*)
+    val k = lit(types.size.toLong)
+    val sumC2 = types.map(t => col(s"c_$t") * col(s"c_$t")).reduce(_ + _)
+    val num = (k - 1) * (k * sumC2 - col("n_succ") * col("n_succ"))
+    val den = k * col("n_succ") - col("sum_r2")
+    agg.select(k.as("k"), col("n_users"), col("n_succ"),
+      (k - 1).as("dof"),
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+        .as("q"))
+  }
 }

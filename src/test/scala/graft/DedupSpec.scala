@@ -594,4 +594,34 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((("books", "web"), (1L, 1.0))),
       s"got ${got.toSeq}")
   }
+
+  test("clustering coefficient: a clique-plus-pendant pins triangles, " +
+      "wedges and C = 3T/W by hand") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (6 edges, 4 triangles) + pendant 4-5:
+    // degrees (3,3,3,4,1) -> wedges = 3+3+3+6+0 = 15, C = 12/15 = 0.8
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val r = Dedup.clusteringCoeffOver(e).collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 15L &&
+      r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.8, s"C = ${r.getDouble(3)}")
+    // a pure chain has no triangles: C pins to 0
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusteringCoeffOver(chain).collect()(0)
+    assert(c.getLong(2) == 0L && c.getDouble(3) == 0.0)
+  }
+
+  test("assortativity: a star graph pins the textbook r = -1, a " +
+      "regular graph null-guards on zero degree variance") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = Dedup.assortativityOver(star).collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0, s"r = ${r.getDouble(1)}")
+    // a 4-cycle is 2-regular: zero degree variance -> NULL guard
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("doc_a", "doc_b")
+    assert(Dedup.assortativityOver(cyc).collect()(0).isNullAt(1))
+  }
 }

@@ -562,4 +562,27 @@ class PipelineSpec extends SparkSpec {
         r.getBoolean(3), r.getLong(4))).toSet
     assert(ledger == Set(("e", 0L, 0L, true, 0L)), s"ledger=$ledger")
   }
+
+  test("k-fold: fold is a pure function of the user (no straddle), " +
+      "folds are balanced, and totals conserve") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val folds = graft.operators.Pipeline.kfoldAssign(spark, sf).cache()
+    assert(folds.count() == 5, "expected exactly 5 folds")
+    // conservation: fold event counts partition the corpus
+    assert(folds.agg(sum("n_events")).head.getLong(0) == ev.count())
+    // no straddle: per-fold distinct users partition the user set
+    assert(folds.agg(sum("n_users")).head.getLong(0) ==
+      ev.select("user_id").distinct.count())
+    // balance: md5-uniform assignment keeps every fold within a few
+    // binomial standard deviations of the even share (±3σ, floor 3
+    // users — the spec SF has few users, so the absolute floor does
+    // the work there; at real user counts the relative bound bites)
+    val users = ev.select("user_id").distinct.count().toDouble
+    val off = folds.select(max(abs(col("n_users") - lit(users / 5.0))))
+      .head.getDouble(0)
+    val sigma = math.sqrt(users * 0.2 * 0.8)
+    assert(off <= math.max(3.0, 3.0 * sigma), s"fold imbalance $off")
+    folds.unpersist()
+  }
 }

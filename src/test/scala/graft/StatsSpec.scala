@@ -1683,4 +1683,22 @@ class StatsSpec extends SparkSpec {
     val f = r6(3.0 * ssb / (1.0 * ssw)).toDouble
     assert(r.getDouble(2) == f, s"f_bf = ${r.getDouble(2)}, want $f")
   }
+
+  test("Cochran's Q: a planted 3-user block table replays the " +
+      "hand-computed Q and the all-same self-cancellation") {
+    import spark.implicits._
+    // u1 did all three (R=3: cancels in the denominator), u2 only
+    // click (R=1), u3 click+view (R=2): C=(3,2,1), N=6, sumR2=14
+    // -> Q = 2*(3*14' ...) = 2*(3*(9+4+1)-36)/(18-14) = 12/4 = 3.0
+    val df = Seq(
+      (1L, "click"), (1L, "view"), (1L, "purchase"),
+      (2L, "click"),
+      (3L, "click"), (3L, "view"),
+      (3L, "error") // non-member action types must be ignored
+    ).toDF("user_id", "event_type")
+    val r = Stats.cochranQOver(df).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L &&
+      r.getLong(2) == 6L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 3.0, s"q = ${r.getDouble(4)}")
+  }
 }
