@@ -445,6 +445,8 @@ object SparkEntry {
     "q_clustering_coeff" -> ((s, d) => Dedup.clusteringCoeff(s, d)),
     "q_assortativity" -> ((s, d) => Dedup.assortativity(s, d)),
     "q_cochran_q" -> ((s, d) => Stats.cochranQ(s, d)),
+    "q_friedman" -> ((s, d) => Stats.friedman(s, d)),
+    "q_page_hinkley" -> ((s, d) => Stats.pageHinkley(s, d)),
     "q_kfold" -> ((s, d) => Pipeline.kfoldAssign(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
@@ -2121,6 +2123,70 @@ object SparkEntry {
         |      / CAST(3 * n_succ - sum_r2 AS DOUBLE), 6)
         |  END AS q
         |FROM a""".stripMargin,
+    // Friedman: doubled within-block ranks, tie-corrected Q in
+    // doubled units (all BIGINT), one IEEE division
+    "q_friedman" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |  FROM daily),
+        |c0 AS (SELECT d.*, count(*) OVER (PARTITION BY day) AS k_day
+        |  FROM daily d),
+        |complete AS (SELECT c0.*, kk.k FROM c0, kk WHERE k_day = kk.k),
+        |ranked AS (
+        |  SELECT event_type, k,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY y)
+        |      + count(*) OVER (PARTITION BY day, y) - 1 AS u
+        |  FROM complete),
+        |pt AS (
+        |  SELECT event_type, CAST(max(k) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS r2,
+        |    CAST(sum(u * u) AS BIGINT) AS a4t
+        |  FROM ranked GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(max(k) AS BIGINT) AS k, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum((r2 - n * (k + 1)) * (r2 - n * (k + 1)))
+        |      AS BIGINT) AS s4,
+        |    CAST(sum(a4t) AS BIGINT) AS a4
+        |  FROM pt)
+        |SELECT k, n AS n_blocks, k - 1 AS dof,
+        |  CASE WHEN a4 - n * k * (k + 1) * (k + 1) > 0
+        |    THEN round(CAST((k - 1) * s4 AS DOUBLE)
+        |      / CAST(a4 - n * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+        |  END AS q
+        |FROM m""".stripMargin,
+    // Page–Hinkley: per-day deviation from the RUNNING mean, rounded
+    // and accumulated in decimal; PH = m - running min
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d1 AS (
+        |  SELECT event_type, day, y,
+        |    CAST(count(*) OVER w AS BIGINT) AS t,
+        |    CAST(sum(y) OVER w AS BIGINT) AS s
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |d2 AS (
+        |  SELECT event_type, day,
+        |    CAST(round(CAST(y AS DOUBLE)
+        |      - CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS dev
+        |  FROM d1),
+        |d3 AS (
+        |  SELECT event_type, day, sum(dev) OVER w AS m
+        |  FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |d4 AS (
+        |  SELECT event_type, day, m, min(m) OVER w AS m_min
+        |  FROM d3 WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(m AS DOUBLE) AS m,
+        |  CAST(m - m_min AS DOUBLE) AS ph,
+        |  (CAST(m - m_min AS DOUBLE) > 1000000.0) AS alarm
+        |FROM d4""".stripMargin,
     // group-aware k-fold: fold is a pure md5 function of the user id
     // (no user straddles folds), per-fold balance audit
     "q_kfold" ->

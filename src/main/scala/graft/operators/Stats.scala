@@ -3438,4 +3438,91 @@ object Stats {
       when(den > 0, round(num.cast("double") / den.cast("double"), 6))
         .as("q"))
   }
+
+  /** FRIEDMAN TEST (`q_friedman`) — k related samples by RANK with
+    * each DAY as its own matched block: do the event types' daily
+    * revenues carry a consistent ordering across days? The
+    * nonparametric two-way layout completing the family —
+    * `q_kruskal` ranks independent groups, `q_cochran_q` matches
+    * binary blocks, Friedman matches CONTINUOUS blocks. Within-block
+    * ranks use the DOUBLED average-rank idiom (u = 2·rank + ties − 1,
+    * the `q_spearman` integer recipe), and the tie-corrected
+    * statistic Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C) clears its
+    * /4s by working in doubled units: Q = (k−1)·S4/(A4 − C4) with
+    * S4 = Σ_j(R2_j − n(k+1))², A4 = Σu², C4 = nk(k+1)² — ALL BIGINT,
+    * one IEEE division. Incomplete blocks (a day missing a type)
+    * drop, the textbook complete-design rule. The block rank window
+    * partitions by day: k rows per task, never corpus-sized.
+    */
+  def friedman(spark: SparkSession, sfDir: String): DataFrame =
+    friedmanOver(dailySeries(spark, sfDir)
+      .select(col("event_type"), col("day"), col("y")))
+
+  /** Same operator over any (event_type, day, y) frame — a planted
+    * consistent-ordering table pins the hand-computed Q = 4.
+    */
+  private[graft] def friedmanOver(daily: DataFrame): DataFrame = {
+    val k = daily.agg(countDistinct(col("event_type")).as("k"))
+    val complete = daily
+      .withColumn("k_day",
+        count(lit(1)).over(Window.partitionBy("day")))
+      .crossJoin(broadcast(k))
+      .filter(col("k_day") === col("k"))
+    val wd = Window.partitionBy("day").orderBy("y")
+    val wdt = Window.partitionBy("day", "y")
+    val ranked = complete.withColumn("u",
+      lit(2L) * rank().over(wd) + count(lit(1)).over(wdt) - lit(1L))
+    val perType = ranked.groupBy("event_type")
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n"),
+        sum(col("u")).as("r2"), sum(col("u") * col("u")).as("a4t"))
+    val m = perType.agg(max(col("k")).as("k"), max(col("n")).as("n"),
+      sum((col("r2") - col("n") * (col("k") + 1)) *
+        (col("r2") - col("n") * (col("k") + 1))).as("s4"),
+      sum(col("a4t")).as("a4"))
+    val c4 = col("n") * col("k") * (col("k") + 1) * (col("k") + 1)
+    m.select(col("k"), col("n").as("n_blocks"),
+      (col("k") - 1).as("dof"),
+      when(col("a4") - c4 > 0,
+        round(((col("k") - 1) * col("s4")).cast("double") /
+          (col("a4") - c4).cast("double"), 6)).as("q"))
+  }
+
+  /** PAGE–HINKLEY DRIFT DETECTOR (`q_page_hinkley`) — the sequential
+    * mean-shift alarm run over each type's daily revenue (the online
+    * counterpart to `q_changepoint`'s retrospective split and
+    * `q_cusum`'s known-target chart — PH needs NO target: it tracks
+    * deviations from the series' own RUNNING mean): m_T =
+    * Σ_{t≤T}(x_t − x̄_t), PH_T = m_T − min_{s≤T} m_s, alarm when
+    * PH_T > λ. Each deviation is ONE IEEE dag on exact integers
+    * (cents minus a running integer sum divided by t), ROUNDED 6 AND
+    * ACCUMULATED IN DECIMAL through the running sum and running min
+    * (the chi²/ANOVA term discipline — raw double accumulation would
+    * be partition-order lore; decimal sums have one value), so both
+    * engines walk the identical path. λ = 10⁶ micro-units of the
+    * daily scale; calendar-bounded windows per type.
+    */
+  def pageHinkley(spark: SparkSession, sfDir: String,
+      lambda: Double = 1000000.0): DataFrame = {
+    val daily = dailySeries(spark, sfDir)
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d186 = DecimalType(18, 6)
+    val dev = daily
+      .withColumn("t",
+        count(lit(1)).over(Window.partitionBy("event_type")
+          .orderBy("day")))
+      .withColumn("s", sum(col("y")).over(Window.partitionBy("event_type")
+        .orderBy("day")))
+      .withColumn("dev",
+        round(col("y").cast("double") -
+          col("s").cast("double") / col("t").cast("double"), 6)
+          .cast(d186))
+    val m = dev.withColumn("m", sum(col("dev")).over(wRun))
+      .withColumn("m_min", min(col("m")).over(wRun))
+      .withColumn("ph", col("m") - col("m_min"))
+    m.select(col("event_type"), col("day").cast("string").as("day"),
+      col("m").cast("double").as("m"),
+      col("ph").cast("double").as("ph"),
+      (col("ph").cast("double") > lambda).as("alarm"))
+  }
 }

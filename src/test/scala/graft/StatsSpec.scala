@@ -1701,4 +1701,35 @@ class StatsSpec extends SparkSpec {
       r.getLong(2) == 6L && r.getLong(3) == 2L)
     assert(r.getDouble(4) == 3.0, s"q = ${r.getDouble(4)}")
   }
+
+  test("Friedman: a consistent ordering across blocks pins the " +
+      "hand-computed Q, and incomplete blocks drop") {
+    import spark.implicits._
+    // 3 types, days 1-2 with the SAME ordering a < b < c:
+    // doubled rank sums R2 = (4, 8, 12), S4 = 32, A4 = 112, C4 = 96
+    // -> Q = 2*32/16 = 4.0; day 3 misses type c -> the block drops
+    val daily = Seq(
+      ("a", 1, 10L), ("b", 1, 20L), ("c", 1, 30L),
+      ("a", 2, 11L), ("b", 2, 21L), ("c", 2, 31L),
+      ("a", 3, 12L), ("b", 3, 22L))
+      .map { case (t, d, y) => (t, java.sql.Date.valueOf(f"2024-01-0$d"), y) }
+      .toDF("event_type", "day", "y")
+    val r = Stats.friedmanOver(daily).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L &&
+      r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 4.0, s"q = ${r.getDouble(3)}")
+  }
+
+  test("Page–Hinkley: a flat series stays at PH = 0 until the level " +
+      "shift, then alarms past lambda") {
+    val dir = plantDaily("graft_ph", Seq(
+      "s" -> Seq(0.10, 0.10, 0.10, 0.50)))
+    // cents 10,10,10,50: deviations from the running mean are
+    // 0,0,0,30 -> m = (0,0,0,30), running min 0, ph = (0,0,0,30)
+    val out = Stats.pageHinkley(spark, dir, lambda = 20.0).collect()
+      .sortBy(_.getString(1))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.0, 0.0, 0.0, 30.0))
+    assert(out.map(_.getBoolean(4)).toSeq ==
+      Seq(false, false, false, true))
+  }
 }
