@@ -477,6 +477,7 @@ object SparkEntry {
     // eval harness over the gated brute/IVF pair
     "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
+    "q_ndcg" -> ((s, d) => Similarity.ndcgAt10(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
@@ -1131,8 +1132,13 @@ object SparkEntry {
     * every float a single division of integers (no cross-query
     * averaging; a double mean would be merge-order-sensitive).
     */
-  private val retrievalMetricsOracle =
-    s"""WITH $ivfAssignCtes,
+  /** ONE copy of the ANN-eval CTE chain (4-probe IVF result list +
+    * exact brute-force truth, both top-10 over the first 20 query
+    * vectors) — shared by the q_retrieval_metrics and q_ndcg oracles
+    * so the two eval keys can never describe different retrievals.
+    */
+  private val annEvalCtes =
+    s"""$ivfAssignCtes,
         |probes AS (SELECT vec_id AS query_id, cid FROM ranked
         |           WHERE crank <= 4 AND vec_id < 20),
         |cand AS (
@@ -1158,7 +1164,39 @@ object SparkEntry {
         |                 e.vec_id) AS BIGINT) AS rnk
         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |    WHERE q.vec_id < 20)
-        |  WHERE rnk <= 10),
+        |  WHERE rnk <= 10)""".stripMargin
+
+  /** Binary-gain NDCG@10: the literal decimal weight table (computed
+    * ONCE in [[graft.operators.Similarity.NdcgWeights]] and
+    * interpolated verbatim into both engines) joined on the approx
+    * rank, summed in decimal, one division by the literal IDCG.
+    */
+  private val ndcgOracle = {
+    val wValues = graft.operators.Similarity.NdcgWeights
+      .map { case (r, bd) =>
+        s"($r, CAST(${bd.underlying.toPlainString} AS DECIMAL(18,12)))"
+      }.mkString(", ")
+    val idcg = graft.operators.Similarity.NdcgIdcg.underlying.toPlainString
+    s"""WITH $annEvalCtes,
+        |w(wrnk, w) AS (VALUES $wValues),
+        |dcg AS (
+        |  SELECT a.query_id, sum(w.w) AS dcg
+        |  FROM ivfres a
+        |  JOIN brute b ON a.query_id = b.query_id
+        |    AND a.neighbor_id = b.neighbor_id
+        |  JOIN w ON w.wrnk = a.rnk
+        |  GROUP BY 1)
+        |SELECT q.query_id,
+        |  CAST(coalesce(d.dcg, CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
+        |    AS dcg,
+        |  round(CAST(coalesce(d.dcg, CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
+        |    / CAST(CAST($idcg AS DECIMAL(18,12)) AS DOUBLE), 6) AS ndcg
+        |FROM (SELECT DISTINCT query_id FROM brute) q
+        |LEFT JOIN dcg d ON d.query_id = q.query_id""".stripMargin
+  }
+
+  private val retrievalMetricsOracle =
+    s"""WITH $annEvalCtes,
         |hits AS (
         |  SELECT b.query_id, count(*) AS n_hits
         |  FROM brute b JOIN ivfres a
@@ -7746,6 +7784,7 @@ object SparkEntry {
     "q_rrf_fusion" -> rrfOracle,
     "q_mmr_diversify" -> mmrOracle,
     "q_retrieval_metrics" -> retrievalMetricsOracle,
+    "q_ndcg" -> ndcgOracle,
     "ann_ivf_filtered" -> annIvfFilteredOracle,
     // range search: the annIvf candidate replay with the threshold
     // predicate instead of a rank tail; the cosine column is the same

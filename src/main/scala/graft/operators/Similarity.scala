@@ -1048,6 +1048,55 @@ object Similarity {
         col("rr"))
   }
 
+  /** The binary-gain DCG rank weights 1/log2(r+1) for r = 1..10 as
+    * 12-place DECIMAL LITERALS — computed once here and interpolated
+    * verbatim into BOTH engines' plans (the `q_benford` literal-table
+    * discipline), so NDCG needs no runtime libm log in either engine:
+    * weights sum exactly in decimal, and the one division happens on
+    * identical exact inputs.
+    */
+  private[graft] val NdcgWeights: Seq[(Long, BigDecimal)] =
+    (1 to 10).map { r =>
+      val w = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+      (r.toLong, BigDecimal(w).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    }
+
+  private[graft] val NdcgIdcg: BigDecimal = NdcgWeights.map(_._2).sum
+
+  /** NDCG@10 of the IVF retrieval against the exact brute-force truth
+    * (`q_ndcg`) — the RANK-AWARE retrieval score completing the eval
+    * family (`q_retrieval_metrics` reports recall and MRR, both blind
+    * to WHERE in the list the misses sit; NDCG discounts each hit by
+    * its position, which is what ranking regressions actually move).
+    * Binary gains (a result is relevant iff the exact top-10 contains
+    * it), DCG = Σ_hits w(rank) with [[NdcgWeights]]' literal decimal
+    * weights summed IN DECIMAL, IDCG the literal weight total, and
+    * ndcg ONE division of exact decimals. Per-query rows, no
+    * cross-query averaging (the retrievalMetrics discipline).
+    */
+  def ndcgAt10(spark: SparkSession, sfDir: String, nQueries: Int = 20)
+      : DataFrame = {
+    import spark.implicits._
+    val truth = annTopkBrute(spark, sfDir, 10, nQueries)
+    val approx = annIvf(spark, sfDir, 10, nQueries)
+    val d1812 = org.apache.spark.sql.types.DecimalType(18, 12)
+    val w = NdcgWeights.toDF("wrnk", "w")
+      .select(col("wrnk"), col("w").cast(d1812).as("w"))
+    val dcg = approx
+      .join(truth.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .join(broadcast(w), col("rnk") === col("wrnk"))
+      .groupBy("query_id").agg(sum(col("w")).as("dcg"))
+    truth.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(BigDecimal(0)).cast(d1812))
+          .cast("double").as("dcg"),
+        round(coalesce(col("dcg"), lit(BigDecimal(0)).cast(d1812))
+          .cast("double") /
+          lit(NdcgIdcg).cast(d1812).cast("double"), 6).as("ndcg"))
+  }
+
   /** HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR'09): a lexical arm (distinct-word Jaccard between the
     * query document and every corpus document — the posting-list

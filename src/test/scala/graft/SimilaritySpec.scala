@@ -670,4 +670,26 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("NDCG@10: literal weights need no runtime log, bounds hold, " +
+      "and full recall is exactly ndcg = 1") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // the literal table IS the definition: w(1) = 1 and the IDCG
+    // total matches the closed form sum(1/log2(r+1))
+    assert(Similarity.NdcgWeights.head._2 == BigDecimal("1.000000000000"))
+    assert(Similarity.NdcgIdcg > BigDecimal("4.54") &&
+      Similarity.NdcgIdcg < BigDecimal("4.55"))
+    val ndcg = Similarity.ndcgAt10(spark, sf).cache()
+    val rm = Similarity.retrievalMetrics(spark, sf)
+    assert(ndcg.filter(col("ndcg") < 0.0 || col("ndcg") > 1.0).isEmpty)
+    // binary-gain identity: every result relevant <=> DCG = IDCG,
+    // regardless of within-list order; zero hits <=> ndcg = 0
+    val j = ndcg.join(rm, "query_id")
+    assert(j.filter((col("recall") === 1.0) =!= (col("ndcg") === 1.0))
+      .isEmpty)
+    assert(j.filter((col("n_hits") === 0L) =!= (col("ndcg") === 0.0))
+      .isEmpty)
+    ndcg.unpersist()
+  }
 }
