@@ -447,6 +447,7 @@ object SparkEntry {
     "q_cochran_q" -> ((s, d) => Stats.cochranQ(s, d)),
     "q_friedman" -> ((s, d) => Stats.friedman(s, d)),
     "q_page_hinkley" -> ((s, d) => Stats.pageHinkley(s, d)),
+    "q_croston" -> ((s, d) => Stats.croston(s, d)),
     "q_kfold" -> ((s, d) => Pipeline.kfoldAssign(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
@@ -2161,6 +2162,34 @@ object SparkEntry {
         |      / CAST(3 * n_succ - sum_r2 AS DOUBLE), 6)
         |  END AS q
         |FROM a""".stripMargin,
+    // Croston: intermittent-demand fold in the ewma dyadic shape,
+    // size and interval smoothed only at demand points
+    "q_croston" ->
+      """WITH RECURSIVE dem AS (
+        |  SELECT l_partkey AS part,
+        |    CAST((year(o_orderdate) - 1995) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT part, m, qty,
+        |    row_number() OVER (PARTITION BY part ORDER BY m) AS rn,
+        |    count(*) OVER (PARTITION BY part) AS n
+        |  FROM dem),
+        |rec AS (
+        |  SELECT part, rn, n, m AS prev, CAST(qty AS DOUBLE) AS z,
+        |    CAST(1.0 AS DOUBLE) AS p
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.part, s.rn, s.n, s.m,
+        |    (CAST(s.qty AS DOUBLE) + 3.0 * r.z) / 4.0,
+        |    (CAST(s.m - r.prev AS DOUBLE) + 3.0 * r.p) / 4.0
+        |  FROM rec r JOIN seq s ON s.part = r.part AND s.rn = r.rn + 1)
+        |SELECT part AS l_partkey, CAST(n AS BIGINT) AS n_demands,
+        |  round(z, 6) AS z, round(p, 6) AS p,
+        |  round(z / p, 6) AS forecast
+        |FROM rec WHERE rn = n""".stripMargin,
     // Friedman: doubled within-block ranks, tie-corrected Q in
     // doubled units (all BIGINT), one IEEE division
     "q_friedman" ->

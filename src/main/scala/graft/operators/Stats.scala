@@ -3525,4 +3525,57 @@ object Stats {
       col("ph").cast("double").as("ph"),
       (col("ph").cast("double") > lambda).as("alarm"))
   }
+
+  /** CROSTON'S METHOD (`q_croston`) — the INTERMITTENT-demand
+    * forecaster (Croston '72, the spare-parts/slow-mover standard)
+    * the smooth-series family (`q_holt_forecast`, `q_forecast_snaive`)
+    * mis-handles: when most months sell NOTHING, smoothing the raw
+    * series drags the level toward zero and then overshoots on every
+    * spike. Croston smooths two series that only update AT demand
+    * points — demand SIZE z and inter-demand INTERVAL p — and
+    * forecasts z/p per month.
+    *
+    * λ = 1/4 updates in the `q_ewma_chart` dyadic shape
+    * ((x + 3z)/4 — both engines execute the identical IEEE sequence,
+    * so the recursion is bit-exact); init z = first demand, p = 1.
+    * The corpus-sized work is ONE partial-agg rollup to (part, month)
+    * demand cells; each part's fold runs over its own
+    * CALENDAR-BOUNDED month sequence (≤ #months entries — an
+    * `aggregate` HOF, the ewma recipe, parts parallelized across the
+    * cluster). Oracle = per-part recursive CTE.
+    */
+  def croston(spark: SparkSession, sfDir: String): DataFrame =
+    crostonOver(
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey").as("part"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("m"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty")))
+
+  /** Same operator over any (part, m, qty) demand-cell frame — a
+    * planted 3-demand sequence replays the fold by hand.
+    */
+  private[graft] def crostonOver(dem: DataFrame): DataFrame = {
+    val folded = dem.groupBy("part")
+      .agg(count(lit(1)).as("n_demands"),
+        sort_array(collect_list(struct(col("m"), col("qty")))).as("arr"))
+      .withColumn("st", expr(
+        """aggregate(
+          |  arr,
+          |  named_struct('z', CAST(0.0 AS DOUBLE),
+          |    'p', CAST(1.0 AS DOUBLE), 'prev', CAST(-1 AS BIGINT)),
+          |  (st, e) -> IF(st.prev < 0,
+          |    named_struct('z', CAST(e.qty AS DOUBLE),
+          |      'p', CAST(1.0 AS DOUBLE), 'prev', e.m),
+          |    named_struct(
+          |      'z', (CAST(e.qty AS DOUBLE) + 3.0D * st.z) / 4.0D,
+          |      'p', (CAST(e.m - st.prev AS DOUBLE) + 3.0D * st.p) / 4.0D,
+          |      'prev', e.m)))""".stripMargin.trim))
+    folded.select(col("part").as("l_partkey"), col("n_demands"),
+      round(col("st.z"), 6).as("z"),
+      round(col("st.p"), 6).as("p"),
+      round(col("st.z") / col("st.p"), 6).as("forecast"))
+  }
 }

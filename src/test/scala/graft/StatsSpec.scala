@@ -1732,4 +1732,21 @@ class StatsSpec extends SparkSpec {
     assert(out.map(_.getBoolean(4)).toSeq ==
       Seq(false, false, false, true))
   }
+
+  test("Croston: a planted intermittent sequence replays the " +
+      "size/interval fold by hand") {
+    import spark.implicits._
+    // demands at months (0,2,3), sizes (8,4,12):
+    //   init        z = 8,                    p = 1
+    //   m=2 (gap 2) z = (4+24)/4  = 7,        p = (2+3)/4    = 1.25
+    //   m=3 (gap 1) z = (12+21)/4 = 8.25,     p = (1+3.75)/4 = 1.1875
+    val dem = Seq((1L, 0L, 8L), (1L, 2L, 4L), (1L, 3L, 12L))
+      .toDF("part", "m", "qty")
+    val r = Stats.crostonOver(dem).collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 8.25 && r.getDouble(3) == 1.1875)
+    val want = BigDecimal(8.25 / 1.1875)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == want, s"forecast = ${r.getDouble(4)}")
+  }
 }
