@@ -448,6 +448,7 @@ object SparkEntry {
     "q_friedman" -> ((s, d) => Stats.friedman(s, d)),
     "q_page_hinkley" -> ((s, d) => Stats.pageHinkley(s, d)),
     "q_croston" -> ((s, d) => Stats.croston(s, d)),
+    "q_tost" -> ((s, d) => Stats.tost(s, d)),
     "q_kfold" -> ((s, d) => Pipeline.kfoldAssign(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
@@ -6457,6 +6458,34 @@ object SparkEntry {
         |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
         |  round(((sea + seb) * (sea + seb)) /
         |        ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)), 6) AS df
+        |FROM d""".stripMargin,
+    // TOST equivalence: the ab_test moment pass, two one-sided
+    // statistics against the ±0.25 literal margin, z=1.645 verdict
+    "q_tost" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+        |          CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS ss
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |a AS (SELECT n AS na, s AS sa, ss AS ssa FROM m
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM m
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT *, sa / na AS ma, sb / nb AS mb,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+        |        (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+        |      FROM a CROSS JOIN b),
+        |d AS (SELECT *, sqrt(va / na + vb / nb) AS se FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CAST(0.25 AS DOUBLE) AS margin,
+        |  round(((ma - mb) + 0.25) / se, 6) AS t_lower,
+        |  round((0.25 - (ma - mb)) / se, 6) AS t_upper,
+        |  (((ma - mb) + 0.25) / se > 1.645
+        |    AND (0.25 - (ma - mb)) / se > 1.645) AS equivalent
         |FROM d""".stripMargin,
     // chi2: full R×C grid including zero cells, per-cell terms
     // rounded 6 and summed IN DECIMAL, then single IEEE ops for V

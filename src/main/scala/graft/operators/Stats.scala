@@ -501,6 +501,56 @@ object Stats {
         round(col("t"), 6).as("t_stat"), round(col("df"), 6).as("df"))
   }
 
+  /** TOST EQUIVALENCE TEST (`q_tost`) — two one-sided Welch t-tests
+    * (Schuirmann '87, the regulatory bioequivalence standard) asking
+    * the question [[abTest]] cannot: not "do the means DIFFER" but
+    * "are they equivalent WITHIN ±margin" — the readout a no-regression
+    * launch review actually needs (an insignificant difference test
+    * is NOT evidence of equivalence; TOST is). Both one-sided
+    * statistics t_lower = (d + m)/se and t_upper = (m − d)/se ride
+    * the SAME exact decimal moment pass as abTest (one
+    * conditional-agg scan, a 1-row broadcast cross), the margin is a
+    * fixed literal, and equivalence is declared when BOTH exceed the
+    * z₀.₀₅ = 1.645 literal (large-sample critical value — df here is
+    * in the thousands). One IEEE dag per statistic, rounded 6.
+    */
+  def tost(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "view",
+      margin: Double = 0.25): DataFrame = {
+    val m = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), money(col("value")).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+      .select(col("event_type"), col("n").cast("double").as("n"),
+        col("s").cast("double").as("s"), col("ss").cast("double").as("ss"))
+    val a = m.filter(col("event_type") === typeA)
+      .select(col("n").as("na"), col("s").as("sa"), col("ss").as("ssa"))
+    val b = m.filter(col("event_type") === typeB)
+      .select(col("n").as("nb"), col("s").as("sb"), col("ss").as("ssb"))
+    a.crossJoin(broadcast(b))
+      .withColumn("ma", col("sa") / col("na"))
+      .withColumn("mb", col("sb") / col("nb"))
+      .withColumn("va",
+        (col("ssa") - col("na") * col("ma") * col("ma")) / (col("na") - 1))
+      .withColumn("vb",
+        (col("ssb") - col("nb") * col("mb") * col("mb")) / (col("nb") - 1))
+      .withColumn("se", sqrt(col("va") / col("na") + col("vb") / col("nb")))
+      .withColumn("t_lower",
+        ((col("ma") - col("mb")) + lit(margin)) / col("se"))
+      .withColumn("t_upper",
+        (lit(margin) - (col("ma") - col("mb"))) / col("se"))
+      .select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        lit(margin).as("margin"),
+        round(col("t_lower"), 6).as("t_lower"),
+        round(col("t_upper"), 6).as("t_upper"),
+        (col("t_lower") > 1.645 && col("t_upper") > 1.645)
+          .as("equivalent"))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al. 2013,
     * "Improving the Sensitivity of Online Controlled Experiments by
     * Utilizing Pre-Experiment Data") — the industry-standard

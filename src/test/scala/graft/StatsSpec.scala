@@ -1749,4 +1749,31 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(4) == want, s"forecast = ${r.getDouble(4)}")
   }
+
+  test("TOST: planted equal-mean arms inside the margin declare " +
+      "equivalence with the hand-built one-sided statistics") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_tost").toString
+    val rows = Seq(("click", 1.00), ("click", 1.20),
+      ("view", 1.02), ("view", 1.18)).zipWithIndex.map {
+        case ((t, v), i) =>
+          (i.toLong + 1, java.sql.Timestamp.valueOf("2024-01-05 08:00:00"),
+            1L, t, v, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.tost(spark, dir).collect()(0)
+    // replay the dag: va = .02, vb = .0128, d = 0,
+    // se = sqrt(.0164/2... ) computed with the engine's own op order
+    val (ma, mb) = (2.2 / 2.0, 2.2 / 2.0)
+    val va = (2.44 - 2.0 * ma * ma) / 1.0
+    val vb = (2.4328 - 2.0 * mb * mb) / 1.0
+    val se = math.sqrt(va / 2.0 + vb / 2.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(5) == r6(((ma - mb) + 0.25) / se))
+    assert(r.getDouble(6) == r6((0.25 - (ma - mb)) / se))
+    assert(r.getBoolean(7), "equal means within margin must be equivalent")
+  }
 }
