@@ -449,6 +449,9 @@ object SparkEntry {
     "q_page_hinkley" -> ((s, d) => Stats.pageHinkley(s, d)),
     "q_croston" -> ((s, d) => Stats.croston(s, d)),
     "q_tost" -> ((s, d) => Stats.tost(s, d)),
+    "q_nelson_aalen" -> ((s, d) => Stats.nelsonAalen(s, d)),
+    "q_jonckheere" -> ((s, d) => Stats.jonckheere(s, d)),
+    "mm_vad" -> ((s, d) => Multimodal.vad(s, d)),
     "q_kfold" -> ((s, d) => Pipeline.kfoldAssign(s, d)),
     "q_graph_jaccard" -> ((s, d) => Dedup.graphJaccard(s, d)),
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
@@ -6459,6 +6462,118 @@ object SparkEntry {
         |  round(((sea + seb) * (sea + seb)) /
         |        ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1)), 6) AS df
         |FROM d""".stripMargin,
+    // Nelson–Aalen: the KM life table, hazard increments d/n and
+    // d/n² rounded 9 and cumulated in decimal
+    "q_nelson_aalen" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS d0
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS dp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |obs AS (
+        |  SELECT f.user_id,
+        |    CASE WHEN dp IS NOT NULL AND dp - d0 <= 7
+        |         THEN CAST(dp - d0 AS BIGINT) ELSE 7 END AS t,
+        |    (dp IS NULL OR dp - d0 > 7) AS censored
+        |  FROM f LEFT JOIN p ON f.user_id = p.user_id),
+        |tot AS (SELECT count(*) AS n_users FROM obs),
+        |byt AS (
+        |  SELECT t,
+        |    sum(CASE WHEN censored THEN 0 ELSE 1 END) AS n_events,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT t, n_events, n_censored,
+        |    n_users - coalesce(sum(n_events + n_censored)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (
+        |  SELECT t, n_risk, n_events, n_censored,
+        |    CAST(CASE WHEN n_events > 0
+        |      THEN round(CAST(n_events AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE), 9)
+        |      ELSE 0.0 END AS DECIMAL(18,9)) AS hterm,
+        |    CAST(CASE WHEN n_events > 0
+        |      THEN round(CAST(n_events AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)), 9)
+        |      ELSE 0.0 END AS DECIMAL(18,9)) AS vterm
+        |  FROM risk)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CAST(sum(hterm) OVER w AS DOUBLE) AS cum_hazard,
+        |  CAST(sum(vterm) OVER w AS DOUBLE) AS var_hazard
+        |FROM terms
+        |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW)""".stripMargin,
+    // Jonckheere: doubled MW counts over weekday-ordered groups,
+    // exact null moments, one IEEE dag
+    "q_jonckheere" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(sum(y) AS BIGINT) AS y,
+        |    CAST(dayofweek(day) + 1 AS BIGINT) AS wd
+        |  FROM (
+        |    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |      CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |    FROM events GROUP BY 1, 2)
+        |  GROUP BY day),
+        |u AS (
+        |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 2
+        |    WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS u2
+        |  FROM daily a JOIN daily b ON a.wd < b.wd),
+        |sizes AS (
+        |  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |    CAST(sum(n_i * n_i) AS BIGINT) AS sn2,
+        |    CAST(sum(n_i * n_i * (2 * n_i + 3)) AS BIGINT) AS sn23,
+        |    CAST(count(*) AS BIGINT) AS n_groups
+        |  FROM (SELECT wd, CAST(count(*) AS BIGINT) AS n_i
+        |    FROM daily GROUP BY 1))
+        |SELECT n AS n_days, n_groups, u2,
+        |  CASE WHEN n * n * (2 * n + 3) - sn23 > 0
+        |    THEN round((CAST(u2 AS DOUBLE) - (n * n - sn2) / 2)
+        |      / (2.0 * sqrt(CAST(n * n * (2 * n + 3) - sn23 AS DOUBLE)
+        |        / 72.0)), 6)
+        |  END AS z
+        |FROM sizes, u""".stripMargin,
+    // VAD: stub byte-sum energy per frame, silence threshold,
+    // longest run by gaps-and-islands, one integer division
+    "mm_vad" ->
+      """WITH fr AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(hex(encode(text)),
+        |      CAST(frame_idx * 64 + 1 AS INT), 64) AS fh
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)
+        |        AS n_frames
+        |    FROM documents),
+        |    LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
+        |en AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_sum(list_transform(range(0, length(fh) // 2),
+        |      i -> CAST('0x' || substr(fh, CAST(i * 2 + 1 AS INT), 2)
+        |        AS BIGINT))) AS energy
+        |  FROM fr),
+        |sil AS (
+        |  SELECT doc_id, frame_idx,
+        |    frame_idx - row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY frame_idx) AS isl
+        |  FROM en WHERE energy < 3100),
+        |runs AS (SELECT doc_id, isl, count(*) AS run
+        |  FROM sil GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_silence,
+        |    CAST(sum(run) AS BIGINT) AS n_silent
+        |  FROM runs GROUP BY 1),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM en GROUP BY 1)
+        |SELECT nf.doc_id, n_frames,
+        |  CAST(coalesce(n_silent, 0) AS BIGINT) AS n_silent,
+        |  CAST(coalesce(longest_silence, 0) AS BIGINT) AS longest_silence,
+        |  round(CAST(n_frames - coalesce(n_silent, 0) AS DOUBLE)
+        |    / CAST(n_frames AS DOUBLE), 6) AS speech_ratio
+        |FROM nf LEFT JOIN agg ON nf.doc_id = agg.doc_id""".stripMargin,
     // TOST equivalence: the ab_test moment pass, two one-sided
     // statistics against the ±0.25 literal margin, z=1.645 verdict
     "q_tost" ->

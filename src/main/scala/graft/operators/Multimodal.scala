@@ -56,6 +56,50 @@ object Multimodal {
         hex(expr(s"substring(payload, frame_idx * $FrameBytes + 1, $FrameBytes)")))
       .select("doc_id", "frame_idx", "n_frames", "frame_hex")
 
+  /** VOICE-ACTIVITY / SILENCE SEGMENTATION over the frame stream
+    * (`mm_vad`) — the audio-preprocessing step every speech pipeline
+    * runs before transcription (skip silent windows, bill only
+    * speech): per frame an ENERGY score (here the stub byte-sum over
+    * the 32-byte window — the §2.F decode-stub convention; a real
+    * corpus plugs RMS of decoded PCM into the same shape), silence =
+    * energy below the threshold, and per item the silent-frame count
+    * plus the LONGEST silent run via gaps-and-islands (frame_idx −
+    * silent-rank is constant within a run — the q_sequence_match
+    * discipline) inside PER-MEDIA windows bounded by frames-per-item.
+    * speech_ratio is one integer division, rounded 6.
+    */
+  def vad(spark: SparkSession, sfDir: String, tau: Long = 3100)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = frames(spark, sfDir)
+      // the LAST frame of a payload that is not a 32-multiple is
+      // short: fold only over the bytes the frame actually has
+      .withColumn("energy", expr(
+        """aggregate(
+          |  transform(sequence(0, CAST(length(frame_hex) / 2 AS INT) - 1),
+          |    i -> CAST(conv(substring(frame_hex, i * 2 + 1, 2), 16, 10)
+          |      AS BIGINT)),
+          |  0L, (a, x) -> a + x)""".stripMargin.trim))
+      .withColumn("silent", col("energy") < tau)
+    val silentRuns = fr.filter(col("silent"))
+      .withColumn("isl", col("frame_idx") -
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy("frame_idx")))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(max(col("run")).as("longest_silence"),
+        sum(col("run")).as("n_silent"))
+    fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(silentRuns, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("longest_silence"), lit(0L)).as("longest_silence"),
+        round((col("n_frames") - coalesce(col("n_silent"), lit(0L)))
+          .cast("double") / col("n_frames").cast("double"), 6)
+          .as("speech_ratio"))
+  }
+
   /** Chunk-level media dedup: two payloads are near-dups when they
     * share ≥ `minShared` distinct fixed-size frames. The join keys on
     * the frame fingerprint — a linear keyed shuffle, no pairwise

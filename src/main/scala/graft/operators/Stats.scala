@@ -1668,6 +1668,27 @@ object Stats {
     */
   def survivalKm(spark: SparkSession, sfDir: String,
       horizon: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("t"))
+    riskTable(spark, sfDir, horizon)
+      .withColumn("lnterm",
+        when(col("n_events") > 0,
+          round(log(greatest(col("n_risk") - col("n_events"), lit(1L)))
+            - log(col("n_risk")), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
+      .withColumn("survival",
+        round(exp(sum(col("lnterm")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")), 6))
+      .select(col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** The shared time-to-first-purchase LIFE TABLE (`q_survival_km` /
+    * `q_nelson_aalen`): per event-time t, deaths (first purchases),
+    * censorings (horizon reached), and the at-risk count as the
+    * running complement — one per-user scan, one #times-row frame.
+    */
+  private def riskTable(spark: SparkSession, sfDir: String,
+      horizon: Int): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val first = ev.groupBy(col("user_id"))
       .agg(to_date(min(col("ts"))).as("d0"))
@@ -1684,23 +1705,45 @@ object Stats {
     val byT = obs.groupBy("t")
       .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_events"),
         sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
-    val w = Window.orderBy(col("t"))
     val prior = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byT.crossJoin(broadcast(tot))
       .withColumn("n_risk", col("n_users") -
         coalesce(sum(col("n_events") + col("n_censored")).over(prior),
           lit(0L)))
-      .withColumn("lnterm",
+  }
+
+  /** NELSON–AALEN CUMULATIVE HAZARD (`q_nelson_aalen`) — the
+    * estimator the survival pair was missing: where [[survivalKm]]
+    * multiplies survival fractions, Nelson–Aalen SUMS the hazard
+    * increments H(t) = Σ_{t_i ≤ t} d_i/n_i (better small-sample
+    * behavior, and the additive form is what hazard-ratio eyeballing
+    * reads); the variance estimate Σ d_i/n_i² rides the same pass.
+    * Each increment is ONE division of exact integers ROUNDED 9 and
+    * cumulated IN DECIMAL (the KM lnterm discipline), so the running
+    * sums have one deterministic value in both engines. Same life
+    * table, same 1-row broadcast, #times-row frame.
+    */
+  def nelsonAalen(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame = {
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d189 = DecimalType(18, 9)
+    riskTable(spark, sfDir, horizon)
+      .withColumn("hterm",
         when(col("n_events") > 0,
-          round(log(greatest(col("n_risk") - col("n_events"), lit(1L)))
-            - log(col("n_risk")), 6))
-          .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
-      .withColumn("survival",
-        round(exp(sum(col("lnterm")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")), 6))
-      .select(col("t"), col("n_risk"), col("n_events"),
-        col("n_censored"), col("survival"))
+          round(col("n_events").cast("double") /
+            col("n_risk").cast("double"), 9))
+          .otherwise(lit(0.0)).cast(d189))
+      .withColumn("vterm",
+        when(col("n_events") > 0,
+          round(col("n_events").cast("double") /
+            (col("n_risk").cast("double") * col("n_risk").cast("double")),
+            9))
+          .otherwise(lit(0.0)).cast(d189))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        sum(col("hterm")).over(cum).cast("double").as("cum_hazard"),
+        sum(col("vterm")).over(cum).cast("double").as("var_hazard"))
   }
 
   /** PEARSON χ² INDEPENDENCE TEST + CRAMÉR'S V over the lang ×
@@ -3574,6 +3617,47 @@ object Stats {
       col("m").cast("double").as("m"),
       col("ph").cast("double").as("ph"),
       (col("ph").cast("double") > lambda).as("alarm"))
+  }
+
+  /** JONCKHEERE–TERPSTRA ORDERED-ALTERNATIVE TEST (`q_jonckheere`) —
+    * does daily revenue trend MONOTONICALLY across the week
+    * (Mon ≤ Tue ≤ … ≤ Sun)? The k-sample test with an ORDERED
+    * alternative `q_kruskal` throws away (Kruskal is omnibus — any
+    * difference; Jonckheere gains power when the hypothesis is a
+    * direction): J = Σ over group pairs g₁ < g₂ of Mann–Whitney
+    * counts #{y > x}. DOUBLED to stay integer through ties
+    * (2·[y>x] + [y=x] — the spearman midpoint idiom), null moments
+    * μ = (N² − Σnᵢ²)/4 and σ² = [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72 from
+    * exact BIGINTs, z = (2J − 2μ)/(2σ) one IEEE dag. The pair join
+    * runs over the CALENDAR-bounded daily frame (days², never
+    * corpus²); groups are weekday indices, ordered by construction.
+    */
+  def jonckheere(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailySeries(spark, sfDir)
+      .groupBy(col("day"))
+      .agg(sum(col("y")).as("y"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+      .localCheckpoint()
+    val a = daily.select(col("wd").as("w1"), col("y").as("y1"))
+    val b = daily.select(col("wd").as("w2"), col("y").as("y2"))
+    val u2 = a.crossJoin(b).filter(col("w1") < col("w2"))
+      .agg(sum(when(col("y2") > col("y1"), 2L)
+        .when(col("y2") === col("y1"), 1L).otherwise(0L)).as("u2"))
+    val sizes = daily.groupBy("wd").agg(count(lit(1)).as("n_i"))
+      .agg(sum(col("n_i")).as("n"),
+        sum(col("n_i") * col("n_i")).as("sn2"),
+        sum(col("n_i") * col("n_i") * (lit(2L) * col("n_i") + 3L))
+          .as("sn23"),
+        count(lit(1)).cast("long").as("n_groups"))
+    val mu2 = (col("n") * col("n") - col("sn2")) / 2 // = 2μ, exact
+    val var72 = col("n") * col("n") * (lit(2L) * col("n") + 3L) -
+      col("sn23")
+    sizes.crossJoin(broadcast(u2))
+      .select(col("n").as("n_days"), col("n_groups"), col("u2"),
+        when(var72 > 0,
+          round((col("u2") - mu2).cast("double") /
+            (lit(2.0) * sqrt(var72.cast("double") / 72.0)), 6))
+          .as("z"))
   }
 
   /** CROSTON'S METHOD (`q_croston`) — the INTERMITTENT-demand

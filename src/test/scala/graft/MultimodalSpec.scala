@@ -184,4 +184,27 @@ class MultimodalSpec extends SparkSpec {
       .isEmpty)
     kf.unpersist(); sc.unpersist()
   }
+
+  test("vad: planted silent/speech frames pin the run segmentation " +
+      "and the all-speech null path") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_mm_vad").toString
+    // doc 1: [32 spaces][32 'z'][32 spaces] -> silent, speech, silent
+    //   (space energy 32*32=1024 < 3100; 'z' energy 32*122=3904)
+    // doc 2: 64 'z' -> all speech, left-join null path
+    val docs = Seq(
+      (1L, " " * 32 + "z" * 32 + " " * 32, "en", "web", 96L),
+      (2L, "z" * 64, "en", "web", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.vad(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 3L && d1.getLong(2) == 2L &&
+      d1.getLong(3) == 1L)
+    assert(d1.getDouble(4) == 0.333333, s"ratio = ${d1.getDouble(4)}")
+    val d2 = out(2L)
+    assert(d2.getLong(2) == 0L && d2.getLong(3) == 0L &&
+      d2.getDouble(4) == 1.0)
+  }
 }

@@ -1776,4 +1776,40 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(6) == r6((0.25 - (ma - mb)) / se))
     assert(r.getBoolean(7), "equal means within margin must be equivalent")
   }
+
+  test("Nelson–Aalen: the cumulative hazard is nondecreasing, rides " +
+      "the same life table as KM, and exp(-H) brackets S") {
+    import org.apache.spark.sql.functions._
+    val na = Stats.nelsonAalen(spark, sf).cache()
+    val km = Stats.survivalKm(spark, sf)
+    // same life table rows (t, n_risk, n_events)
+    assert(na.select("t", "n_risk", "n_events").exceptAll(
+      km.select("t", "n_risk", "n_events")).isEmpty)
+    val rows = na.orderBy("t").collect()
+    val hs = rows.map(_.getDouble(4))
+    assert(hs.sliding(2).forall { case Array(a, b) => b >= a case _ => true },
+      "cumulative hazard must be nondecreasing")
+    // exp(-H) >= S pointwise (the classical inequality), both in (0,1]
+    val j = na.join(km.select(col("t"), col("survival")), "t")
+      .select(exp(-col("cum_hazard")).as("eh"), col("survival"))
+      .collect()
+    assert(j.forall(r => r.getDouble(0) >= r.getDouble(1) - 1e-9 &&
+      r.getDouble(0) <= 1.0 && r.getDouble(1) <= 1.0))
+    na.unpersist()
+  }
+
+  test("Jonckheere: a strictly increasing week of singleton groups " +
+      "pins U2 and the hand-built z") {
+    // 2024-01-01 is a Monday: six singleton weekday groups, y strictly
+    // increasing with wd -> every pair concordant: U2 = 2*15 = 30
+    val dir = plantDaily("graft_jt", Seq(
+      "s" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)))
+    val r = Stats.jonckheere(spark, dir).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L &&
+      r.getLong(2) == 30L)
+    val mu2 = (36.0 - 6.0) / 2
+    val z = BigDecimal((30.0 - mu2) / (2.0 * math.sqrt(510.0 / 72.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == z, s"z = ${r.getDouble(3)}, want $z")
+  }
 }
