@@ -525,6 +525,8 @@ object SparkEntry {
     // E. Text analysis
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_burstiness" -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "text_hapax" -> ((s, d) => TextAnalysis.hapax(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_blocklist" -> ((s, d) => TextAnalysis.blocklist(s, d)),
@@ -7985,6 +7987,42 @@ object SparkEntry {
          |    AS share
          |FROM assign CROSS JOIN t
          |GROUP BY cid, t.total""".stripMargin,
+    // burstiness: three BIGINT moments per word over per-doc counts,
+    // zeros included via the D denominator, one shared IEEE dag
+    "text_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents),
+        |pd AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents),
+        |m AS (SELECT word, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(c) AS BIGINT) AS n_occ,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM pd GROUP BY 1)
+        |SELECT word, n_docs, n_occ,
+        |  round(((CAST(sq AS DOUBLE)
+        |      - CAST(n_occ AS DOUBLE) * CAST(n_occ AS DOUBLE)
+        |        / CAST(d AS DOUBLE)) / CAST(d AS DOUBLE))
+        |    / (CAST(n_occ AS DOUBLE) / CAST(d AS DOUBLE)), 6) AS vmr
+        |FROM m, dd WHERE n_occ >= 10
+        |ORDER BY vmr DESC, word LIMIT 20""".stripMargin,
+    // hapax rate: per-source vocabulary vs once-words, one division
+    "text_hapax" ->
+      """WITH pw AS (
+        |  SELECT source, word, count(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |        x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+        |FROM pw GROUP BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,

@@ -1387,4 +1387,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         col("s").cast("double").as("nll_sum"))
   }
+
+  /** WORD BURSTINESS (`text_burstiness`) — Church & Gale's
+    * variance-to-mean ratio over per-document counts: content words
+    * BURST (an article about llamas says "llama" twenty times; the
+    * corpus-wide Poisson model says two), function words don't — so
+    * VMR ≫ 1 separates topical vocabulary from glue, the signal
+    * keyword extraction and stop-list induction actually rest on
+    * (`text_tfidf` weighs rarity; burstiness weighs CLUMPING, an
+    * orthogonal axis). VMR computed over ALL documents (zeros
+    * included) from three exact BIGINT moments per word — n_docs,
+    * Σc, Σc² — one partial-agg shuffle keyed on the word, one shared
+    * IEEE dag, df floor n_occ ≥ 10 (a rare word's VMR is noise),
+    * global top-k via TakeOrderedAndProject (per-partition heaps,
+    * never a global sort), vmr-then-word total order.
+    */
+  def burstiness(spark: SparkSession, sfDir: String, k: Int = 20)
+      : DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("d"))
+    val tok = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), TextMapReduce.WordSplit),
+        w => w =!= "")).as("word"))
+    val perDoc = tok.groupBy("word", "doc_id").agg(count(lit(1)).as("c"))
+    val m = perDoc.groupBy("word")
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"),
+        sum(col("c") * col("c")).as("sq"))
+      .crossJoin(broadcast(nDocs))
+    val dd = col("d").cast("double")
+    val mean = col("n_occ").cast("double") / dd
+    val vr = (col("sq").cast("double") -
+      col("n_occ").cast("double") * col("n_occ").cast("double") / dd) / dd
+    m.filter(col("n_occ") >= 10)
+      .select(col("word"), col("n_docs"), col("n_occ"),
+        round(vr / mean, 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("word"))
+      .limit(k)
+  }
+
+  /** HAPAX LEGOMENA rate per source (`text_hapax`) — the share of
+    * each source's vocabulary occurring exactly once: the Zipf-tail
+    * health check beside `text_vocab_growth`/`q_zipf_fit` (a
+    * template-generated or deduplicated-to-death source shows a
+    * collapsed hapax rate; natural text sits near half its
+    * vocabulary). Two partial-agg shuffles — (source, word) counts,
+    * then per-source vocabulary/hapax totals — and one integer
+    * division, rounded 6.
+    */
+  def hapax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_rate"))
 }

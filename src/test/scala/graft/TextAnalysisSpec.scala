@@ -639,4 +639,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", 2L, ln2), ("B", 2L, ln2),
       ("C", 4L, ln2)), s"got ${got.toSeq}")
   }
+
+  test("burstiness: a word clumped in one doc scores VMR = 9 over a " +
+      "10-doc corpus, an evenly spread word scores 0") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val dir = TempDirs.create("graft_burst").toString
+    // doc 1 carries all ten "bursty"; every doc carries one "flat"
+    val docs = (1L to 10L).map { i =>
+      val t = if (i == 1) ("bursty " * 10) + "flat" else "flat"
+      (i, t, "en", "web", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.burstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // bursty: D=10, n_occ=10, sq=100 -> mean 1, var 9, VMR 9
+    assert(out("bursty") == ((1L, 10L, 9.0)), s"got ${out.get("bursty")}")
+    // flat: one per doc -> var 0, VMR 0
+    assert(out("flat") == ((10L, 10L, 0.0)), s"got ${out.get("flat")}")
+  }
+
+  test("hapax: a planted source pins vocab, once-words and the rate") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val dir = TempDirs.create("graft_hapax").toString
+    Seq((1L, "alpha alpha beta", "en", "s1", 16L),
+      (2L, "gamma gamma delta epsilon", "en", "s2", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.hapax(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out("s1") == ((2L, 1L, 0.5)))
+    assert(out("s2") == ((3L, 2L, 0.666667)))
+  }
 }
