@@ -483,6 +483,8 @@ object SparkEntry {
     "q_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
     "q_retrieval_metrics" -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     "q_ndcg" -> ((s, d) => Similarity.ndcgAt10(s, d)),
+    "q_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
+    "q_capture_recapture" -> ((s, d) => Dedup.captureRecapture(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
@@ -1249,6 +1251,42 @@ object SparkEntry {
         |        sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
         |      FROM c),"""
+      .stripMargin
+
+  /** ONE copy of the SimHash candidate chain (md5 token hashes →
+    * 48-bit majority vote → 12-bit pigeonhole chunks → Hamming-ready
+    * candidates) — shared by the dedup_simhash oracle and
+    * q_capture_recapture so the two keys can never describe
+    * different detectors. `sx_`-prefixed to compose with
+    * [[edgeCtes]] in one WITH list.
+    */
+  private val simhashPairCtes =
+    """sx_toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |                       x -> x <> '')) AS t
+      |  FROM documents),
+      |sx_th AS (SELECT doc_id,
+      |         CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) AS h
+      |       FROM sx_toks),
+      |sx_bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN 2 * sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END)
+      |           >= count(*)
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bv
+      |  FROM sx_th CROSS JOIN (SELECT CAST(unnest(range(0, 48)) AS INT) AS j)
+      |  GROUP BY doc_id, j),
+      |sx_sh AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS h48 FROM sx_bits
+      |       GROUP BY doc_id),
+      |sx_ck AS (SELECT doc_id, h48, c,
+      |         (h48 >> CAST(c * 12 AS INT)) & 4095 AS cval
+      |       FROM sx_sh CROSS JOIN
+      |         (SELECT CAST(unnest(range(0, 4)) AS INT) AS c)),
+      |sx_cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    x.h48 AS ha, y.h48 AS hb
+      |  FROM sx_ck x JOIN sx_ck y
+      |    ON x.c = y.c AND x.cval = y.cval AND x.doc_id < y.doc_id)"""
       .stripMargin
 
   private val edgeCtes =
@@ -5070,32 +5108,50 @@ object SparkEntry {
     // 4×12-bit pigeonhole chunks, Hamming ≤ 3 verify — every stage
     // integer-exact on both engines
     "dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
-        |                       x -> x <> '')) AS t
-        |  FROM documents),
-        |th AS (SELECT doc_id,
-        |         CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) AS h
-        |       FROM toks),
-        |bits AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN 2 * sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END)
-        |           >= count(*)
-        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bv
-        |  FROM th CROSS JOIN (SELECT CAST(unnest(range(0, 48)) AS INT) AS j)
-        |  GROUP BY doc_id, j),
-        |sh AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS h48 FROM bits
-        |       GROUP BY doc_id),
-        |ck AS (SELECT doc_id, h48, c, (h48 >> CAST(c * 12 AS INT)) & 4095 AS cval
-        |       FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS c)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |    x.h48 AS ha, y.h48 AS hb
-        |  FROM ck x JOIN ck y
-        |    ON x.c = y.c AND x.cval = y.cval AND x.doc_id < y.doc_id)
+      s"""WITH $simhashPairCtes
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+        |FROM sx_cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    // capture-recapture: two independent detectors' pair counts +
+    // overlap, Chapman's corrected estimate, implied recalls
+    "q_capture_recapture" ->
+      s"""WITH $edgeCtes,
+        |$simhashPairCtes,
+        |sx_pairs AS (
+        |  SELECT doc_a, doc_b FROM sx_cand
+        |  WHERE bit_count(xor(ha, hb)) <= 3),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_jaccard FROM edges),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_simhash
+        |  FROM sx_pairs),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+        |  FROM edges e JOIN sx_pairs s
+        |    ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b)
+        |SELECT n_jaccard, n_simhash, n_both,
+        |  round(CAST(n_jaccard + 1 AS DOUBLE)
+        |    * CAST(n_simhash + 1 AS DOUBLE)
+        |    / CAST(n_both + 1 AS DOUBLE) - 1.0, 6) AS chapman_est,
+        |  CASE WHEN n_simhash > 0
+        |    THEN round(CAST(n_both AS DOUBLE)
+        |      / CAST(n_simhash AS DOUBLE), 6) END AS recall_jaccard,
+        |  CASE WHEN n_jaccard > 0
+        |    THEN round(CAST(n_both AS DOUBLE)
+        |      / CAST(n_jaccard AS DOUBLE), 6) END AS recall_simhash
+        |FROM n1, n2, b""".stripMargin,
+    // recall@k curve: max(rank_t, rank_a) histogram, per-k bounded
+    // cumulative, exact integer division
+    "q_recall_curve" ->
+      s"""WITH $annEvalCtes,
+        |hits AS (
+        |  SELECT greatest(b.rnk, a.rnk) AS mk
+        |  FROM brute b JOIN ivfres a
+        |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        |ks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k)
+        |SELECT k,
+        |  CAST(sum(CASE WHEN mk IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  round(CAST(sum(CASE WHEN mk IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / (20.0 * CAST(k AS DOUBLE)), 6) AS recall_at_k
+        |FROM ks LEFT JOIN hits ON mk <= k
+        |GROUP BY k""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
     // cluster topics: cluster-tf x corpus-idf over multi-member

@@ -1351,6 +1351,41 @@ object Dedup {
             col("wedges").cast("double"), 6)).as("global_cc"))
   }
 
+  /** CAPTURE–RECAPTURE DEDUP COVERAGE (`q_capture_recapture`) —
+    * Lincoln–Petersen/Chapman over TWO independent near-dup
+    * detectors: the n-gram Jaccard pairs and the SimHash pairs each
+    * "capture" a sample of the true duplicate-pair population; the
+    * overlap estimates how many pairs BOTH methods miss — the
+    * wildlife-census trick applied to the question every dedup
+    * deployment asks ("how much duplication is left after my
+    * detector ran?") that neither method can answer about itself.
+    * Chapman's bias-corrected estimate N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * plus each method's implied recall m/n_other — three bounded
+    * 1-row aggregates over the two already-gated pair pipelines, one
+    * IEEE dag each, rounded 6.
+    */
+  def captureRecapture(spark: SparkSession, sfDir: String): DataFrame = {
+    val j = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val s = simhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val n1 = j.agg(count(lit(1)).as("n_jaccard"))
+    val n2 = s.agg(count(lit(1)).as("n_simhash"))
+    val m = j.join(s, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .select(col("n_jaccard"), col("n_simhash"), col("n_both"),
+        round((col("n_jaccard") + 1).cast("double") *
+          (col("n_simhash") + 1).cast("double") /
+          (col("n_both") + 1).cast("double") - 1.0, 6).as("chapman_est"),
+        when(col("n_simhash") > 0,
+          round(col("n_both").cast("double") /
+            col("n_simhash").cast("double"), 6)).as("recall_jaccard"),
+        when(col("n_jaccard") > 0,
+          round(col("n_both").cast("double") /
+            col("n_jaccard").cast("double"), 6)).as("recall_simhash"))
+  }
+
   /** DEGREE ASSORTATIVITY of the near-dup graph (`q_assortativity`) —
     * Newman's r: the Pearson correlation of endpoint degrees over the
     * SYMMETRIC directed edge list ("do heavy dup hubs link to other

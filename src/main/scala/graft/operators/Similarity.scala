@@ -1097,6 +1097,36 @@ object Similarity {
           lit(NdcgIdcg).cast(d1812).cast("double"), 6).as("ndcg"))
   }
 
+  /** RECALL@k CURVE (`q_recall_curve`) — recall as a FUNCTION of the
+    * cut-off, k = 1..10, the tuning view a single recall@10 number
+    * hides (is the index good at 3 and terrible at 10, or uniformly
+    * degraded? — the answer decides nprobe vs k budgets). A truth
+    * pair counts at cut-off k when BOTH its ranks fit: the
+    * (query, neighbor) join collapses to a max(rank_truth,
+    * rank_approx) histogram, and each k's hit count is one bounded
+    * cumulative over that ≤k²-row frame — no per-k re-join. recall@k
+    * = hits/(nQueries·k) is exact integer division, rounded 6.
+    */
+  def recallCurve(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 20): DataFrame = {
+    val truth = annTopkBrute(spark, sfDir, k, nQueries)
+    val approx = annIvf(spark, sfDir, k, nQueries)
+    val hits = truth
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rt"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("ra")), Seq("query_id", "neighbor_id"))
+      .select(greatest(col("rt"), col("ra")).as("mk"))
+    val ks = truth.sparkSession.range(1, k + 1)
+      .select(col("id").as("k"))
+    ks.join(hits, col("mk") <= col("k"), "left")
+      .groupBy("k")
+      .agg(sum(when(col("mk").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("k"), col("hits"),
+        round(col("hits").cast("double") /
+          (lit(nQueries.toDouble) * col("k").cast("double")), 6)
+          .as("recall_at_k"))
+  }
+
   /** HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR'09): a lexical arm (distinct-word Jaccard between the
     * query document and every corpus document — the posting-list

@@ -624,4 +624,17 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_a", "doc_b")
     assert(Dedup.assortativityOver(cyc).collect()(0).isNullAt(1))
   }
+
+  test("capture-recapture: the overlap bounds hold and Chapman's " +
+      "estimate dominates both single-method counts") {
+    val r = Dedup.captureRecapture(spark, sf).collect()(0)
+    val (n1, n2, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(m <= math.min(n1, n2), "overlap cannot exceed either sample")
+    assert(m > 0, "the two detectors must agree on SOME pairs at this SF")
+    // Chapman's estimate can never fall below either observed count
+    assert(r.getDouble(3) >= math.max(n1, n2) - 1.0)
+    // implied recalls are probabilities
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
 }

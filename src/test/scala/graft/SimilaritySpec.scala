@@ -692,4 +692,20 @@ class SimilaritySpec extends SparkSpec {
       .isEmpty)
     ndcg.unpersist()
   }
+
+  test("recall curve: hits are nondecreasing in k and the k=10 point " +
+      "reconciles with retrieval_metrics' total") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val rc = Similarity.recallCurve(spark, sf).orderBy("k").collect()
+    assert(rc.length == 10)
+    val hits = rc.map(_.getLong(1))
+    assert(hits.sliding(2).forall { case Array(a, b) => b >= a
+      case _ => true }, "hits@k must be nondecreasing")
+    val total = Similarity.retrievalMetrics(spark, sf)
+      .agg(sum("n_hits")).head.getLong(0)
+    assert(hits.last == total,
+      s"hits@10 = ${hits.last}, retrieval_metrics total = $total")
+    assert(rc.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
 }
