@@ -528,6 +528,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_burstiness" -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "text_fightin_words" -> ((s, d) => TextAnalysis.fightinWords(s, d)),
+    "q_sprt" -> ((s, d) => Stats.sprt(s, d)),
     "text_hapax" -> ((s, d) => TextAnalysis.hapax(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
@@ -8043,6 +8045,62 @@ object SparkEntry {
          |    AS share
          |FROM assign CROSS JOIN t
          |GROUP BY cid, t.total""".stripMargin,
+    // SPRT: integers x decimal literals (no runtime log), cumulative
+    // decimal walk, literal bounds
+    "q_sprt" -> {
+      val w1 = graft.operators.Stats.SprtW1.underlying.toPlainString
+      val w0 = graft.operators.Stats.SprtW0.underlying.toPlainString
+      val b = graft.operators.Stats.SprtBound.underlying.toPlainString
+      s"""WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS f
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, CAST(sum(s) OVER w AS BIGINT) AS cs,
+        |    CAST(sum(f) OVER w AS BIGINT) AS cf
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (
+        |  SELECT day, cs, cf,
+        |    cs * CAST($w1 AS DECIMAL(24,12))
+        |      + cf * CAST($w0 AS DECIMAL(24,12)) AS llr
+        |  FROM c)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, cs AS n_success,
+        |  cf AS n_failure, CAST(llr AS DOUBLE) AS llr,
+        |  CASE WHEN llr >= CAST($b AS DECIMAL(24,12)) THEN 'accept_h1'
+        |       WHEN llr <= -CAST($b AS DECIMAL(24,12)) THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM l""".stripMargin
+    },
+    // fightin' words: four integer-argument lns per word, z rounded 6
+    "text_fightin_words" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |counts AS (
+        |  SELECT word,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y1,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y2
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(y1) AS BIGINT) AS n1,
+        |    CAST(sum(y2) AS BIGINT) AS n2,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM counts)
+        |SELECT word, y1, y2,
+        |  round((ln(CAST(y1 + 1 AS DOUBLE))
+        |      - ln(CAST(n1 + v - y1 - 1 AS DOUBLE))
+        |      - ln(CAST(y2 + 1 AS DOUBLE))
+        |      + ln(CAST(n2 + v - y2 - 1 AS DOUBLE)))
+        |    / sqrt(1.0 / CAST(y1 + 1 AS DOUBLE)
+        |      + 1.0 / CAST(y2 + 1 AS DOUBLE)), 6) AS z
+        |FROM counts, tot""".stripMargin,
     // burstiness: three BIGINT moments per word over per-doc counts,
     // zeros included via the D denominator, one shared IEEE dag
     "text_burstiness" ->

@@ -3619,6 +3619,66 @@ object Stats {
       (col("ph").cast("double") > lambda).as("alarm"))
   }
 
+  /** Wald SPRT literals (p₀ = 0.19 vs p₁ = 0.21 purchase share,
+    * α = β = 0.05): per-success/per-failure log-likelihood-ratio
+    * increments and the symmetric decision bound ln(19), all as
+    * 12-place DECIMALS computed once and interpolated into BOTH
+    * engines' plans (the NDCG literal-table discipline — no runtime
+    * libm in either engine; the walk itself is integers × literals).
+    */
+  private[graft] val SprtW1: BigDecimal =
+    BigDecimal(math.log(0.21 / 0.19))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  private[graft] val SprtW0: BigDecimal =
+    BigDecimal(math.log(0.79 / 0.81))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  private[graft] val SprtBound: BigDecimal =
+    BigDecimal(math.log(19.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  /** WALD'S SPRT (`q_sprt`) — the SEQUENTIAL probability-ratio test
+    * (Wald '45): monitor the purchase share day by day and STOP the
+    * moment the evidence crosses a bound, instead of fixing n in
+    * advance (`q_power_mde`'s world) — the always-valid-inference
+    * shape modern experimentation platforms run. Each day's
+    * cumulative LLR is s_t·ln(p₁/p₀) + f_t·ln(q₁/q₀) — exact
+    * integers times the [[SprtW1]]/[[SprtW0]] decimal literals,
+    * summed IN DECIMAL, compared to the ±ln((1−β)/α) literal bounds:
+    * the entire walk is decimal-exact in both engines, no runtime
+    * log anywhere. One partial-agg rollup to the calendar-bounded
+    * daily frame, one cumulative window.
+    */
+  def sprt(spark: SparkSession, sfDir: String): DataFrame = {
+    // Spark's decimal-multiply precision cap would silently SHRINK a
+    // wide product's scale to 6 (allowPrecisionLoss); keeping the
+    // count at (13,0) and the literal at (13,12) makes the product
+    // (27,12) — exact, no loss, and 10¹³ cumulative events per SPRT
+    // stream is far beyond any monitored experiment
+    val dCnt = DecimalType(13, 0)
+    val dW = DecimalType(13, 12)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("s"),
+        sum(when(col("event_type") === "purchase", 0L).otherwise(1L))
+          .as("f"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bound = lit(SprtBound).cast(DecimalType(24, 12))
+    daily
+      .withColumn("cs", sum(col("s")).over(w))
+      .withColumn("cf", sum(col("f")).over(w))
+      .withColumn("llr",
+        col("cs").cast(dCnt) * lit(SprtW1).cast(dW) +
+          col("cf").cast(dCnt) * lit(SprtW0).cast(dW))
+      .select(col("day").cast("string").as("day"),
+        col("cs").as("n_success"), col("cf").as("n_failure"),
+        col("llr").cast("double").as("llr"),
+        when(col("llr") >= bound, "accept_h1")
+          .when(col("llr") <= -bound, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** JONCKHEERE–TERPSTRA ORDERED-ALTERNATIVE TEST (`q_jonckheere`) —
     * does daily revenue trend MONOTONICALLY across the week
     * (Mon ≤ Tue ≤ … ≤ Sun)? The k-sample test with an ORDERED

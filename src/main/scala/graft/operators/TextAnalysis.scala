@@ -1425,6 +1425,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** "FIGHTIN' WORDS" LOG-ODDS (`text_fightin_words`) — Monroe,
+    * Colaresi & Quinn '08, the corpus-comparison standard that fixes
+    * what raw frequency ratios and tf-idf both get wrong when
+    * contrasting two sources (rare words explode ratios; frequent
+    * words drown differences): the Dirichlet-smoothed (α = 1)
+    * log-odds delta δ_w = ln((y₁+1)/(n₁+V−y₁−1)) −
+    * ln((y₂+1)/(n₂+V−y₂−1)) with variance 1/(y₁+1) + 1/(y₂+1),
+    * z-scored — the ranking that surfaces what source A
+    * CHARACTERISTICALLY says that B doesn't. All four ln arguments
+    * are exact integers (one conditional-agg scan to the per-word
+    * pair counts, one 1-row broadcast of totals/vocab), z rounded 6
+    * (absorbing ≤1-ulp libm drift, the tfidf discipline).
+    */
+  def fightinWords(spark: SparkSession, sfDir: String,
+      srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"),
+        explode(filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "")).as("word"))
+      .groupBy("word")
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("y1"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("y2"))
+      .localCheckpoint() // consumed by the totals AND the per-word dag
+    val tot = counts.agg(sum(col("y1")).as("n1"), sum(col("y2")).as("n2"),
+      count(lit(1)).as("v"))
+    val delta =
+      log((col("y1") + 1).cast("double")) -
+        log((col("n1") + col("v") - col("y1") - 1).cast("double")) -
+        log((col("y2") + 1).cast("double")) +
+        log((col("n2") + col("v") - col("y2") - 1).cast("double"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("word"), col("y1"), col("y2"),
+        round(delta / sqrt(lit(1.0) / (col("y1") + 1).cast("double") +
+          lit(1.0) / (col("y2") + 1).cast("double")), 6).as("z"))
+  }
+
   /** HAPAX LEGOMENA rate per source (`text_hapax`) — the share of
     * each source's vocabulary occurring exactly once: the Zipf-tail
     * health check beside `text_vocab_growth`/`q_zipf_fit` (a

@@ -1812,4 +1812,36 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(3) == z, s"z = ${r.getDouble(3)}, want $z")
   }
+
+  test("SPRT: the literal walk crosses the upper bound on a planted " +
+      "pure-success day and retreats to continue") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_sprt").toString
+    var id = 0L
+    // day 1: 100 purchases -> llr = 100*w1 ~ 10.0 >= ln(19): accept_h1
+    // day 2: +300 clicks  -> llr ~ 10.0 - 7.5 = 2.5 < ln(19): continue
+    val rows =
+      (1 to 100).map { _ => id += 1
+        (id, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 1L,
+          "purchase", 1.0, "{}")
+      } ++ (1 to 300).map { _ => id += 1
+        (id, java.sql.Timestamp.valueOf("2024-01-02 08:00:00"), 1L,
+          "click", 1.0, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.sprt(spark, dir).collect().sortBy(_.getString(0))
+    assert(out(0).getString(4) == "accept_h1")
+    assert(out(1).getString(4) == "continue")
+    // the walk is the exact decimal literal arithmetic
+    val want1 = (BigDecimal(100) * Stats.SprtW1).toDouble
+    assert(out(0).getDouble(3) == want1, s"llr = ${out(0).getDouble(3)}")
+    val want2 =
+      (BigDecimal(100) * Stats.SprtW1 + BigDecimal(300) * Stats.SprtW0)
+        .toDouble
+    assert(out(1).getDouble(3) == want2)
+    assert(Stats.SprtW1 > 0 && Stats.SprtW0 < 0 &&
+      Stats.SprtBound > BigDecimal("2.94") &&
+      Stats.SprtBound < BigDecimal("2.95"))
+  }
 }

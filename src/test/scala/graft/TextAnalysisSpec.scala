@@ -674,4 +674,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s1") == ((2L, 1L, 0.5)))
     assert(out("s2") == ((3L, 2L, 0.666667)))
   }
+
+  test("fightin' words: a planted two-source contrast replays the " +
+      "smoothed log-odds z by hand") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val dir = TempDirs.create("graft_fw").toString
+    Seq((1L, "apple apple apple banana", "en", "src0", 24L),
+      (2L, "banana banana cherry", "en", "src1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.fightinWords(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // apple: y=(3,0), n1=4, n2=3, V=3
+    //   delta = ln4 - ln3 - ln1 + ln5, var = 1/4 + 1/1
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zApple = r6((math.log(4.0) - math.log(3.0) - math.log(1.0) +
+      math.log(5.0)) / math.sqrt(1.0 / 4.0 + 1.0 / 1.0))
+    assert(out("apple")._1 == 3L && out("apple")._2 == 0L)
+    assert(out("apple")._3 == zApple, s"z = ${out("apple")._3}")
+    // src0-characteristic words score positive, src1's negative
+    assert(out("apple")._3 > 0 && out("cherry")._3 < 0)
+  }
 }
