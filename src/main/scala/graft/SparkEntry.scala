@@ -530,6 +530,8 @@ object SparkEntry {
     "text_burstiness" -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "text_fightin_words" -> ((s, d) => TextAnalysis.fightinWords(s, d)),
     "q_sprt" -> ((s, d) => Stats.sprt(s, d)),
+    "q_isotonic" -> ((s, d) => Stats.isotonic(s, d)),
+    "q_user_entropy" -> ((s, d) => Relational.userEntropy(s, d)),
     "text_hapax" -> ((s, d) => TextAnalysis.hapax(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_readability" -> ((s, d) => TextAnalysis.readability(s, d)),
@@ -8045,6 +8047,57 @@ object SparkEntry {
          |    AS share
          |FROM assign CROSS JOIN t
          |GROUP BY cid, t.total""".stripMargin,
+    // isotonic: calibration binning, exact cumulative integers, the
+    // minimax PAV identity over the <=10^3 bounded lattice
+    "q_isotonic" ->
+      """WITH mm AS (
+        |  SELECT min(CAST(value AS DECIMAL(18,2))) AS mn,
+        |    max(CAST(value AS DECIMAL(18,2))) AS mx
+        |  FROM events),
+        |binned AS (
+        |  SELECT CASE WHEN mx > mn
+        |      THEN least(CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) - mn
+        |          AS DOUBLE) / CAST(mx - mn AS DOUBLE) * 10) AS BIGINT), 9)
+        |      ELSE 0 END AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM events CROSS JOIN mm GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+        |  FROM binned WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fit AS (
+        |  SELECT k, max(m) AS fit FROM (
+        |    SELECT ks.bin AS k, lo.i, min(
+        |      CAST(hi.pj - lo.p0 AS DOUBLE)
+        |        / CAST(hi.nj - lo.n0 AS DOUBLE)) AS m
+        |    FROM (SELECT bin FROM cum) ks
+        |    JOIN (SELECT bin AS i, cp - n_pos AS p0, cn - n AS n0
+        |          FROM cum) lo ON lo.i <= ks.bin
+        |    JOIN (SELECT bin AS j, cp AS pj, cn AS nj FROM cum) hi
+        |      ON hi.j >= ks.bin
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.bin, b.n, b.n_pos,
+        |  round(CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate,
+        |  round(f.fit, 6) AS fit
+        |FROM binned b JOIN fit f ON b.bin = f.k""".stripMargin,
+    // per-user Shannon entropy: integer-argument lns rounded 6 and
+    // summed in decimal, H = ln n - sum(c ln c)/n
+    "q_user_entropy" ->
+      """SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - CAST(sum(CAST(CAST(c AS DECIMAL(12,0))
+        |        * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |        AS DECIMAL(30,6))) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
     // SPRT: integers x decimal literals (no runtime log), cumulative
     // decimal walk, literal bounds
     "q_sprt" -> {

@@ -2604,4 +2604,32 @@ object Relational {
           col("s").as("score"), col("deg"))),
       rounds, converged)
   }
+
+  /** PER-USER BEHAVIORAL ENTROPY (`q_user_entropy`) — the Shannon
+    * entropy of each user's action mix, the one-number behavioral-
+    * diversity feature (H = 0: a single-action bot or scraper;
+    * H → ln k: a uniformly engaged human) that feeds bot filtering
+    * and segmentation next to `q_rfm`'s magnitude view. Computed as
+    * H = ln n − (Σ cᵢ·ln cᵢ)/n so every ln argument is an exact
+    * INTEGER count: each ln rounds to 6 and multiplies its exact
+    * count INTO DECIMAL (the perplexity discipline — the per-user
+    * sum has one deterministic value), one division and one final
+    * rounding. Two partial-agg shuffles, no window.
+    */
+  def userEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast(DecimalType(12, 0)) *
+          round(log(col("c").cast("double")), 6).cast(d186))
+          .cast(DecimalType(30, 6))).as("clnc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")) -
+          col("clnc").cast("double") / col("n_events").cast("double"), 6)
+          .as("entropy"))
+  }
 }

@@ -3619,6 +3619,63 @@ object Stats {
       (col("ph").cast("double") > lambda).as("alarm"))
   }
 
+  /** ISOTONIC CALIBRATION (`q_isotonic`) — pool-adjacent-violators
+    * over the ten fixed-width score bins (`q_calibration`'s binning):
+    * the monotone conversion-vs-score fit production calibrators
+    * (Platt's rival) actually deploy, here via the EXACT MINIMAX
+    * identity fit_k = max_{i≤k} min_{j≥k} avg(i..j) (Barlow et al.
+    * '72) instead of the sequential PAV sweep — every candidate
+    * average is ONE division of exact cumulative integers, and the
+    * min/max lattice runs over the ≤10³ combinations of a
+    * BIN-BOUNDED frame (never corpus-sized; the corpus work is the
+    * one binning scan). The fit is provably the isotonic least-
+    * squares solution; a planted violator spec pins the pooling and
+    * the monotonicity invariant.
+    */
+  def isotonic(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame =
+    isotonicOver(Tables.events(spark, sfDir)
+      .select(money(col("value")).as("v"),
+        (col("event_type") === posType).as("y")))
+
+  private[graft] def isotonicOver(scored: DataFrame): DataFrame = {
+    val mm = scored.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binned = scored.crossJoin(broadcast(mm))
+      .select(col("y"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double") * 10).cast("long"),
+            lit(9L))).otherwise(lit(0L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+      .localCheckpoint()
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("n_pos")).over(w))
+      .localCheckpoint()
+    val lo = cum.select(col("bin").as("i"),
+      (col("cp") - col("n_pos")).as("p0"), (col("cn") - col("n")).as("n0"))
+    val hi = cum.select(col("bin").as("j"),
+      col("cp").as("pj"), col("cn").as("nj"))
+    val ks = cum.select(col("bin").as("k"))
+    val fit = ks
+      .join(lo, col("i") <= col("k"))
+      .join(hi, col("j") >= col("k"))
+      .select(col("k"), col("i"),
+        ((col("pj") - col("p0")).cast("double") /
+          (col("nj") - col("n0")).cast("double")).as("avg_ij"))
+      .groupBy("k", "i").agg(min(col("avg_ij")).as("m"))
+      .groupBy("k").agg(max(col("m")).as("fit"))
+    binned.join(fit, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round(col("fit"), 6).as("fit"))
+  }
+
   /** Wald SPRT literals (p₀ = 0.19 vs p₁ = 0.21 purchase share,
     * α = β = 0.05): per-success/per-failure log-likelihood-ratio
     * increments and the symmetric decision bound ln(19), all as

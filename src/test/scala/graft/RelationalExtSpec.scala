@@ -973,4 +973,29 @@ class RelationalExtSpec extends SparkSpec {
       ("2024-03", 1L, 20.0)), // 1 closed; only the line-less 2 remains
       s"got ${got.toSeq}")
   }
+
+  test("user entropy: a uniform two-action user pins ln 2, a " +
+      "single-action user pins 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.create("graft_uentropy").toString
+    var id = 0L
+    val rows =
+      Seq(("click", 1L), ("click", 1L), ("view", 1L), ("view", 1L),
+        ("click", 2L), ("click", 2L), ("click", 2L)).map {
+        case (t, u) => id += 1
+          (id, java.sql.Timestamp.valueOf("2024-01-05 08:00:00"), u, t,
+            1.0, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Relational.userEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // u1: counts (2,2) -> H = ln4 - (2*r6(ln2)*2)/4, rounded 6 = ln 2
+    assert(out(1L)._1 == 4L && out(1L)._2 == 2L)
+    assert(out(1L)._3 == 0.693147, s"H = ${out(1L)._3}")
+    // u2: one action type -> H = ln3 - 3*r6(ln3)/3 = 0 after rounding
+    assert(out(2L)._2 == 1L && out(2L)._3 == 0.0, s"H = ${out(2L)._3}")
+  }
 }

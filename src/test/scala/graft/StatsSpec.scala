@@ -1844,4 +1844,26 @@ class StatsSpec extends SparkSpec {
       Stats.SprtBound > BigDecimal("2.94") &&
       Stats.SprtBound < BigDecimal("2.95"))
   }
+
+  test("isotonic: the minimax fit pools a planted violator pair and " +
+      "leaves the monotone tail untouched") {
+    import spark.implicits._
+    // 10 equal bins, rates (.1,.3,.2,.4,...,1.0): PAV pools bins 1-2
+    // to .25, everything else is already isotonic
+    val rates = Seq(0.1, 0.3, 0.2, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    val rows = rates.zipWithIndex.flatMap { case (r, b) =>
+      val pos = math.round(r * 10).toInt
+      (1 to 10).map(i => (BigDecimal(b).setScale(2), i <= pos))
+    }
+    val scored = rows.toDF("v", "y")
+      .select(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .as("v"), col("y"))
+    val out = Stats.isotonicOver(scored).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(0L) == 0.1 && out(1L) == 0.25 && out(2L) == 0.25 &&
+      out(3L) == 0.4 && out(9L) == 1.0, s"fit = $out")
+    val fits = (0L to 9L).map(out)
+    assert(fits.sliding(2).forall { case Seq(a, b) => b >= a
+      case _ => true }, "isotonic fit must be nondecreasing")
+  }
 }
