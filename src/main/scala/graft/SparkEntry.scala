@@ -531,6 +531,8 @@ object SparkEntry {
     "text_fightin_words" -> ((s, d) => TextAnalysis.fightinWords(s, d)),
     "q_sprt" -> ((s, d) => Stats.sprt(s, d)),
     "q_isotonic" -> ((s, d) => Stats.isotonic(s, d)),
+    "q_wasserstein" -> ((s, d) => Stats.wasserstein(s, d)),
+    "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
     "q_user_entropy" -> ((s, d) => Relational.userEntropy(s, d)),
     "text_hapax" -> ((s, d) => TextAnalysis.hapax(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -8047,6 +8049,70 @@ object SparkEntry {
          |    AS share
          |FROM assign CROSS JOIN t
          |GROUP BY cid, t.total""".stripMargin,
+    // Wasserstein-1: exact integer EMD over the cent-domain histogram
+    "q_wasserstein" ->
+      """WITH hist AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na_v,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb_v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT v, CAST(sum(na_v) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(nb_v) OVER w AS BIGINT) AS cb,
+        |    lead(v) OVER (ORDER BY v) - v AS dv
+        |  FROM hist WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+        |    CAST(sum(nb_v) AS BIGINT) AS n_b FROM hist)
+        |SELECT n_a, n_b,
+        |  round(CAST(sum(CAST(abs(CAST(ca AS DECIMAL(19,0)) * n_b
+        |      - CAST(cb AS DECIMAL(19,0)) * n_a) AS DECIMAL(38,0)) * dv)
+        |    AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |    AS w1_cents
+        |FROM c CROSS JOIN tot WHERE dv IS NOT NULL
+        |GROUP BY n_a, n_b""".stripMargin,
+    // decision stump: decile thresholds, x ln x impurity terms in
+    // decimal, exact-decimal argmax with smallest-threshold ties
+    "q_decision_stump" -> {
+      def clnc(c: String): String =
+        s"""CASE WHEN $c > 0
+          | THEN CAST(CAST($c AS DECIMAL(12,0))
+          |   * CAST(round(ln(CAST($c AS DOUBLE)), 6) AS DECIMAL(18,6))
+          |   AS DECIMAL(30,6))
+          | ELSE CAST(0 AS DECIMAL(30,6)) END""".stripMargin
+          .replace("\n", " ")
+      s"""WITH scored AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    (event_type = 'purchase') AS y
+        |  FROM events),
+        |thr AS (
+        |  SELECT DISTINCT unnest(quantile_cont(v,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS t
+        |  FROM scored),
+        |byt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN CAST(v AS DOUBLE) <= t THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_l,
+        |    CAST(sum(CASE WHEN CAST(v AS DOUBLE) <= t AND y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS p_l
+        |  FROM scored CROSS JOIN thr GROUP BY 1),
+        |g AS (
+        |  SELECT t, n, n_l, n - n_l AS n_r,
+        |    ${clnc("n")} - ${clnc("p")} - ${clnc("(n - p)")}
+        |      - (${clnc("n_l")} - ${clnc("p_l")}
+        |        - ${clnc("(n_l - p_l)")}
+        |        + ${clnc("(n - n_l)")} - ${clnc("(p - p_l)")}
+        |        - ${clnc("((n - n_l) - (p - p_l))")}) AS gain_n
+        |  FROM byt)
+        |SELECT t AS threshold_cents, n, n_l, n_r,
+        |  round(CAST(gain_n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS gain_nats
+        |FROM g ORDER BY gain_n DESC, t ASC LIMIT 1""".stripMargin
+    },
     // isotonic: calibration binning, exact cumulative integers, the
     // minimax PAV identity over the <=10^3 bounded lattice
     "q_isotonic" ->

@@ -3619,6 +3619,57 @@ object Stats {
       (col("ph").cast("double") > lambda).as("alarm"))
   }
 
+  /** 1-D WASSERSTEIN / EARTH-MOVER'S DISTANCE (`q_wasserstein`)
+    * between two event types' value distributions — the
+    * distributional distance with UNITS (`q_ks_test`'s D is a
+    * unitless sup-gap; W₁ answers "HOW MANY CENTS of probability
+    * mass must move", which is what drift SEVERITY triage needs):
+    * W₁ = ∫|F_a − F_b| dv, EXACT over the integer-cent domain as
+    * Σ_v |cumA·n_b − cumB·n_a|·Δv / (n_a·n_b) — every term a
+    * DECIMAL(38,0) product of exact counts and the gap to the next
+    * distinct value, one division at the end.
+    *
+    * Scale shape: the corpus partial-aggregates to the per-(type,
+    * cent) VALUE HISTOGRAM (the `q_weighted_median` domain-bounded
+    * discipline — the cumulative runs over the PRICE DOMAIN, never
+    * corpus rows); one ordered window over that domain, one 1-row
+    * result.
+    */
+  def wasserstein(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "view"): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val hist = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select((money(col("value")) * 100).cast("long").as("v"),
+        col("event_type"))
+      .groupBy("v")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .as("na_v"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("nb_v"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = hist
+      .withColumn("ca", sum(col("na_v")).over(w))
+      .withColumn("cb", sum(col("nb_v")).over(w))
+      .withColumn("dv", lead(col("v"), 1).over(Window.orderBy("v"))
+        - col("v"))
+    val tot = hist.agg(sum(col("na_v")).as("n_a"),
+      sum(col("nb_v")).as("n_b"))
+    terms.filter(col("dv").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (abs(col("ca").cast(DecimalType(19, 0)) * col("n_b") -
+          col("cb").cast(DecimalType(19, 0)) * col("n_a"))
+          .cast(d380) * col("dv")).cast(d380).as("term"))
+      .groupBy("n_a", "n_b")
+      .agg(sum(col("term")).as("w1_scaled"))
+      .select(col("n_a"), col("n_b"),
+        round(col("w1_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("w1_cents"))
+  }
+
   /** ISOTONIC CALIBRATION (`q_isotonic`) — pool-adjacent-violators
     * over the ten fixed-width score bins (`q_calibration`'s binning):
     * the monotone conversion-vs-score fit production calibrators
@@ -3674,6 +3725,60 @@ object Stats {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("rate"),
         round(col("fit"), 6).as("fit"))
+  }
+
+  /** DECISION STUMP (`q_decision_stump`) — the best single
+    * information-gain split of the purchase label on the value
+    * column, i.e. depth-1 of every tree learner and the
+    * feature-quality probe (`q_woe_iv` scores a FIXED binning; the
+    * stump SEARCHES the split): candidate thresholds are the nine
+    * inner deciles, and for each the split's impurity is computed in
+    * x·ln x form so every ln argument is an exact INTEGER count —
+    * each term rounds to 6 and lands IN DECIMAL, so gain·n is
+    * decimal-EXACT and the argmax over the 9-row frame is a
+    * deterministic decimal comparison (never a float argmax), ties
+    * to the smallest threshold. One decile pass + ONE conditional-agg
+    * scan fanned ×9 against the broadcast threshold array.
+    */
+  def decisionStump(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    val d306 = DecimalType(30, 6)
+    def clnc(c: Column): Column =
+      when(c > 0, (c.cast(DecimalType(12, 0)) *
+        round(log(c.cast("double")), 6).cast(d186)).cast(d306))
+        .otherwise(lit(0).cast(d306))
+    val scored = Tables.events(spark, sfDir)
+      .select((money(col("value")) * 100).cast("long").as("v"),
+        (col("event_type") === posType).as("y"))
+    val thr = scored.agg(expr(
+      "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("ts"))
+      .select(explode(col("ts")).as("t")).distinct()
+    val byT = scored.crossJoin(broadcast(thr))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("v").cast("double") <= col("t"), 1L).otherwise(0L))
+          .as("n_l"),
+        sum(when(col("v").cast("double") <= col("t") && col("y"), 1L)
+          .otherwise(0L)).as("p_l"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("p_r", col("p") - col("p_l"))
+    // gain·n in decimal: [n ln n − p ln p − q ln q] − Σ_sides (same)
+    val gainN =
+      clnc(col("n")) - clnc(col("p")) - clnc(col("n") - col("p")) -
+        (clnc(col("n_l")) - clnc(col("p_l")) -
+          clnc(col("n_l") - col("p_l")) +
+          clnc(col("n_r")) - clnc(col("p_r")) -
+          clnc(col("n_r") - col("p_r")))
+    byT.withColumn("gain_n", gainN)
+      .orderBy(col("gain_n").desc, col("t").asc)
+      .limit(1)
+      .select(col("t").as("threshold_cents"), col("n"),
+        col("n_l"), col("n_r"),
+        round(col("gain_n").cast("double") / col("n").cast("double"), 6)
+          .as("gain_nats"))
   }
 
   /** Wald SPRT literals (p₀ = 0.19 vs p₁ = 0.21 purchase share,

@@ -1866,4 +1866,43 @@ class StatsSpec extends SparkSpec {
     assert(fits.sliding(2).forall { case Seq(a, b) => b >= a
       case _ => true }, "isotonic fit must be nondecreasing")
   }
+
+  /** Shared planter: one parquet events dir from (type, value) rows. */
+  private def plantEvents(tag: String, rows: Seq[(String, Double)])
+      : String = {
+    import spark.implicits._
+    val dir = TempDirs.create(tag).toString
+    var id = 0L
+    rows.map { case (t, v) => id += 1
+      (id, java.sql.Timestamp.valueOf("2024-01-05 08:00:00"), 1L, t, v,
+        "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("Wasserstein: two shifted point masses pin W1 = the shift, " +
+      "identical distributions pin 0") {
+    val d1 = plantEvents("graft_w1a",
+      Seq(("click", 1.00), ("view", 2.00)))
+    val r1 = Stats.wasserstein(spark, d1).collect()(0)
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 1L)
+    assert(r1.getDouble(2) == 100.0, s"w1 = ${r1.getDouble(2)}")
+    val d2 = plantEvents("graft_w1b",
+      Seq(("click", 1.00), ("click", 3.00), ("view", 1.00),
+        ("view", 3.00)))
+    assert(Stats.wasserstein(spark, d2).collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("decision stump: a perfectly separable plant picks the median " +
+      "threshold and earns the full ln 2 of gain") {
+    val dir = plantEvents("graft_stump",
+      (1 to 10).map(i => (if (i >= 6) "purchase" else "click",
+        i.toDouble)))
+    val r = Stats.decisionStump(spark, dir).collect()(0)
+    // values 100..1000 cents; the 0.5 decile = 550 splits 5/5 cleanly
+    assert(r.getDouble(0) == 550.0, s"t = ${r.getDouble(0)}")
+    assert(r.getLong(1) == 10L && r.getLong(2) == 5L && r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 0.693147, s"gain = ${r.getDouble(4)}")
+  }
 }
