@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sink_constraints" ->
       ((s, d) => sources.Formats.sinkConstraintsReport(s, d)),
     "q_sink_clone" -> ((s, d) => sources.Formats.sinkCloneReport(s, d)),
+    "q_sink_tag" -> ((s, d) => sources.Formats.sinkTagReport(s, d)),
     "q_sink_delete_mor" -> ((s, d) => sources.Formats.sinkDeleteMorReport(s, d)),
     "q_sink_zorder" -> ((s, d) => sources.Formats.sinkZorderRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
@@ -2832,6 +2833,20 @@ object SparkEntry {
       """SELECT CAST(2 AS BIGINT) AS n_checks,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    // generation tags: the tagged gen-1 half survives a retention
+    // vacuum that expires its untagged sibling
+    "q_sink_tag" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT 'tagged' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, t WHERE doc_id <= mid
+        |UNION ALL
+        |SELECT 'head', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents""".stripMargin,
     // shallow clone: parent diverges by the %3 CoW delete, the clone
     // by the three planted rows (the q_sink_merge no-collision rule)

@@ -1124,6 +1124,29 @@ object Formats {
       .select(lit(nChecks).as("n_checks"), col("n_rows"), col("sum_chars"))
   }
 
+  /** GENERATION TAGS on the sink (`q_sink_tag`): tag generation 1
+    * "baseline" (a `#tag` head marker, CAS-committed), then vacuum
+    * with keepGenerations = 1 — retention expires the UNTAGGED middle
+    * generation but the Iceberg tag semantic EXEMPTS the named one,
+    * so the tagged read still serves the id-lower half while the head
+    * serves the full corpus. The gate is the exemption itself:
+    * without it the tagged manifest would be deleted and the read
+    * would throw instead of hashing.
+    */
+  def sinkTagReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = writeTwoGenerations(spark, sfDir, "graft_sink_tag")
+    graft.sources.v2.GraftSink.addTag(dir, "baseline", 1)
+    graft.sources.v2.GraftSink.vacuum(dir, keepGenerations = 1)
+    def roll(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("sum_chars"))
+    roll(graft.sources.v2.GraftSink.readBackTag(spark, dir, "baseline",
+      TwoGenSchema), "tagged")
+      .unionByName(roll(graft.sources.v2.GraftSink.readBack(spark, dir,
+        TwoGenSchema), "head"))
+  }
+
   /** SHALLOW CLONE on the sink (`q_sink_clone`): the full document
     * store commits as the PARENT table, `GraftSink.cloneShallow`
     * publishes a zero-copy CLONE (the clone's manifest lists the

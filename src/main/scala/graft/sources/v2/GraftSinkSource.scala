@@ -1325,6 +1325,62 @@ object GraftSink {
       lines0.filterNot(_.startsWith(s"$CheckRef$name\t")), parent)
   }
 
+  // ------------------------------------------------------------------
+  // Generation tags (named snapshot refs, retention-exempt)
+  // ------------------------------------------------------------------
+
+  /** Tag marker `#tag<TAB><name><TAB><generation>` — a NAMED snapshot
+    * ref (the Iceberg tag shape): "the v2024.08 audit snapshot" as
+    * table metadata instead of a generation number in a runbook.
+    * Tags ride the head like `#check`/`#conf`, [[vacuum]] EXEMPTS a
+    * tagged generation from retention expiry (the whole point of
+    * naming it), and dropping the tag releases it.
+    */
+  private val TagRef = "#tag\t"
+
+  def tagsOf(lines: Seq[String]): Map[String, Int] =
+    lines.filter(_.startsWith(TagRef)).map { l =>
+      val p = l.split("\t")
+      p(1) -> p(2).toInt
+    }.toMap
+
+  /** TAG a retained generation by name (CAS commit). Re-tagging an
+    * existing name moves it — loudly visible in history as its own
+    * commit, like every metadata change here.
+    */
+  def addTag(path: String, name: String, gen: Int): Int = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "tag name must be TSV-safe")
+    val (parent, lines0) = head(path)
+    require(Files.exists(Paths.get(path, s"$VersionPrefix$gen")),
+      s"no committed generation $gen under $path " +
+        s"(have: ${versions(path).mkString(",")})")
+    commitReplace(path,
+      lines0.filterNot(_.startsWith(s"$TagRef$name\t")) :+
+        s"$TagRef$name\t$gen", parent)
+  }
+
+  /** DROP a tag by name (CAS commit) — the tagged generation becomes
+    * an ordinary snapshot again, reclaimable by retention.
+    */
+  def dropTag(path: String, name: String): Int = {
+    val (parent, lines0) = head(path)
+    require(tagsOf(lines0).contains(name), s"no tag '$name' under $path")
+    commitReplace(path,
+      lines0.filterNot(_.startsWith(s"$TagRef$name\t")), parent)
+  }
+
+  /** Read the table AS OF a named tag — [[readBackAsOf]] through the
+    * head's tag map.
+    */
+  def readBackTag(spark: SparkSession, path: String, name: String,
+      schema: StructType = Schema): DataFrame = {
+    val tags = tagsOf(head(path)._2)
+    require(tags.contains(name),
+      s"no tag '$name' under $path (have: ${tags.keys.mkString(",")})")
+    readBackAsOf(spark, path, tags(name), schema)
+  }
+
   /** VACUUM: delete files NO RETAINED generation references (crash
     * temps, aborted parts, foreign strays, and — after a row-level
     * delete — replaced pre-delete files once their snapshots expire)
@@ -1357,7 +1413,11 @@ object GraftSink {
     val live = Paths.get(path, ManifestName)
     require(vs.nonEmpty || Files.exists(live),
       s"no committed manifest under $path")
-    val expire = vs.dropRight(keepGenerations).toSet
+    // TAGGED generations are retention-exempt (the Iceberg tag
+    // semantic): a named snapshot stays readable until the tag is
+    // dropped, however deep the keepGenerations horizon cuts
+    val tagged = tagsOf(head(path)._2).values.toSet
+    val expire = vs.dropRight(keepGenerations).toSet -- tagged
     val retained = vs.filterNot(expire)
     // the referenced set spans data files, delete-vector sidecars,
     // manifest shards AND bloom-index sidecars of every retained

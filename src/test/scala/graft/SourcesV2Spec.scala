@@ -1257,6 +1257,37 @@ class SourcesV2Spec extends SparkSpec {
     assert(ids(clone2) == Seq(1L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("dsv2 sink tags: a tagged generation survives retention " +
+      "vacuum, re-tagging moves the exemption, drop releases it") {
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_tags").toString
+    putDocs(dir, Seq((1L, 10L)))
+    putDocs(dir, Seq((2L, 20L)))
+    putDocs(dir, Seq((3L, 30L)))
+    GraftSink.addTag(dir, "keep", 1) // gen 4 (a metadata commit)
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    // retention kept the head (4) AND the tagged snapshot (1);
+    // untagged 2 and 3 expired
+    assert(GraftSink.versions(dir) == Seq(1, 4),
+      s"versions = ${GraftSink.versions(dir)}")
+    assert(GraftSink.readBackTag(spark, dir, "keep", DocSchema)
+      .count() == 1)
+    // re-tagging MOVES the exemption: gen 1 becomes reclaimable
+    GraftSink.addTag(dir, "keep", 4) // gen 5
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    assert(GraftSink.versions(dir) == Seq(4, 5))
+    assert(GraftSink.readBackTag(spark, dir, "keep", DocSchema)
+      .count() == 3)
+    // dropping the tag releases the snapshot to retention
+    GraftSink.dropTag(dir, "keep") // gen 6
+    GraftSink.vacuum(dir, keepGenerations = 1)
+    assert(GraftSink.versions(dir) == Seq(6))
+    // tagging an uncommitted generation fails loudly
+    intercept[IllegalArgumentException] {
+      GraftSink.addTag(dir, "nope", 99)
+    }
+  }
+
   test("dsv2 sink cdc stream: append windows emit inserts, a DV move " +
       "emits exactly the newly-masked rows as deletes, and a rewrite " +
       "window's insert/delete pairs cancel") {
