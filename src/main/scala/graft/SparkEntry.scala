@@ -533,6 +533,8 @@ object SparkEntry {
     "q_sprt" -> ((s, d) => Stats.sprt(s, d)),
     "q_isotonic" -> ((s, d) => Stats.isotonic(s, d)),
     "q_wasserstein" -> ((s, d) => Stats.wasserstein(s, d)),
+    "q_overdispersion" -> ((s, d) => Stats.overdispersion(s, d)),
+    "q_t_closeness" -> ((s, d) => Quality.tCloseness(s, d)),
     "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
     "q_user_entropy" -> ((s, d) => Relational.userEntropy(s, d)),
     "text_hapax" -> ((s, d) => TextAnalysis.hapax(s, d)),
@@ -8064,6 +8066,87 @@ object SparkEntry {
          |    AS share
          |FROM assign CROSS JOIN t
          |GROUP BY cid, t.total""".stripMargin,
+    // overdispersion: exact per-user count moments, one IEEE dag,
+    // NB parameters null-guarded at var <= mean
+    "q_overdispersion" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |    FROM events GROUP BY 1))
+        |SELECT n_users,
+        |  round(CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean,
+        |  round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0),
+        |    6) AS variance,
+        |  round(((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0))
+        |    / (CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+        |    AS dispersion,
+        |  CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      / (CAST(n_users AS DOUBLE) - 1.0)
+        |      > CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    THEN round((CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      / ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / CAST(n_users AS DOUBLE)) / (CAST(n_users AS DOUBLE) - 1.0)
+        |        - CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+        |  END AS nb_r,
+        |  CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      / (CAST(n_users AS DOUBLE) - 1.0)
+        |      > CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    THEN round((CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      / ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |          / CAST(n_users AS DOUBLE))
+        |        / (CAST(n_users AS DOUBLE) - 1.0)), 6)
+        |  END AS nb_p
+        |FROM m""".stripMargin,
+    // t-closeness: exact cross-multiplied variational distance per
+    // QI class vs the global sensitive distribution, zero cells kept
+    "q_t_closeness" ->
+      """WITH obs AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        |cell AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS c_v
+        |  FROM obs GROUP BY 1, 2, 3, 4),
+        |global AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS g_v
+        |  FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM obs),
+        |classes AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(sum(c_v) AS BIGINT) AS n_class
+        |  FROM cell GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.bal_band,
+        |    cl.n_class, t.big_n,
+        |    CAST(abs(CAST(coalesce(ce.c_v, 0) AS DECIMAL(19,0)) * t.big_n
+        |      - CAST(g.g_v AS DECIMAL(19,0)) * cl.n_class)
+        |      AS DECIMAL(38,0)) AS term
+        |  FROM classes cl CROSS JOIN global g
+        |  LEFT JOIN cell ce ON ce.c_nationkey = cl.c_nationkey
+        |    AND ce.c_mktsegment = cl.c_mktsegment
+        |    AND ce.bal_band = cl.bal_band
+        |    AND ce.o_orderpriority = g.o_orderpriority
+        |  CROSS JOIN tot t)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_mktsegment AS segment, bal_band,
+        |  n_class AS class_size,
+        |  round(CAST(sum(term) AS DOUBLE)
+        |    / (2.0 * CAST(n_class AS DOUBLE) * CAST(big_n AS DOUBLE)), 6)
+        |    AS tvd,
+        |  (round(CAST(sum(term) AS DOUBLE)
+        |    / (2.0 * CAST(n_class AS DOUBLE) * CAST(big_n AS DOUBLE)), 6)
+        |    <= 0.3) AS t_close
+        |FROM grid
+        |GROUP BY 1, 2, 3, 4, big_n""".stripMargin,
     // Wasserstein-1: exact integer EMD over the cent-domain histogram
     "q_wasserstein" ->
       """WITH hist AS (

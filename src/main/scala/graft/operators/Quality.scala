@@ -358,6 +358,64 @@ object Quality {
         (col("l_div") >= l).as("l_diverse"))
   }
 
+  /** T-CLOSENESS AUDIT (`q_t_closeness`) — the third rung of the
+    * re-identification ladder (Li, Li & Venkatasubramanian '07):
+    * k-anonymity bounds CLASS SIZE, l-diversity bounds DISTINCT
+    * sensitive values, but a class can pass both while its sensitive
+    * DISTRIBUTION still leaks ("all 5 priorities present, but 96%
+    * URGENT says plenty"). t-closeness bounds the distance between
+    * each equivalence class's sensitive distribution and the global
+    * one — for a categorical attribute, the VARIATIONAL distance
+    * ½Σ|p_c − p_g|, computed EXACTLY by cross-multiplication:
+    * Σ_v |c_v·N − g_v·n| / (2·n·N) where every term is a
+    * DECIMAL(38,0) product of exact counts. Same (nation, segment,
+    * balance-band) classes as [[kAnonymity]], one sensitive-histogram
+    * shuffle + a #values-bounded broadcast join, one division.
+    */
+  def tCloseness(spark: SparkSession, sfDir: String,
+      t: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val band = floor(col("c_acctbal") / 1000).cast("long").as("bal_band")
+    val obs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        band)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+    val cell = obs.groupBy("c_nationkey", "c_mktsegment", "bal_band",
+      "o_orderpriority").agg(count(lit(1)).as("c_v"))
+    val global = obs.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("g_v"))
+    val tot = obs.agg(count(lit(1)).as("big_n"))
+    // the full class x value grid (zero cells included: a priority a
+    // class never shows still contributes |0·N − g_v·n|)
+    val classes = cell.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(sum(col("c_v")).as("n_class"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cell,
+        Seq("c_nationkey", "c_mktsegment", "bal_band", "o_orderpriority"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("n_class"), col("big_n"),
+        abs(coalesce(col("c_v"), lit(0L)).cast(DecimalType(19, 0)) *
+          col("big_n") -
+          col("g_v").cast(DecimalType(19, 0)) * col("n_class"))
+          .cast(DecimalType(38, 0)).as("term"))
+    grid.groupBy("c_nationkey", "c_mktsegment", "bal_band", "n_class",
+      "big_n")
+      .agg(sum(col("term")).as("l1_scaled"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"), col("bal_band"),
+        col("n_class").as("class_size"),
+        round(col("l1_scaled").cast("double") /
+          (lit(2.0) * col("n_class").cast("double") *
+            col("big_n").cast("double")), 6).as("tvd"),
+        (round(col("l1_scaled").cast("double") /
+          (lit(2.0) * col("n_class").cast("double") *
+            col("big_n").cast("double")), 6) <= t).as("t_close"))
+  }
+
   /** Differentially-private release of per-(lang, source) corpus
     * statistics — the third leg of the governance family after the
     * [[kAnonymity]] audit and [[anonGeneralize]] remediation. Two

@@ -3619,6 +3619,36 @@ object Stats {
       (col("ph").cast("double") > lambda).as("alarm"))
   }
 
+  /** OVERDISPERSION / NEGATIVE-BINOMIAL FIT (`q_overdispersion`) —
+    * method-of-moments on per-user event counts: a Poisson world has
+    * var = mean; real user activity is OVERDISPERSED (a few power
+    * users, many lurkers), and the dispersion index D = var/mean with
+    * the implied NB parameters (r = mean²/(var − mean),
+    * p = mean/var) is the one-line diagnosis that decides whether
+    * rate models/alarms can assume Poisson at all (the corpus twin of
+    * `text_burstiness`' per-word VMR). Exact BIGINT moments (n, Σc,
+    * Σc²) off one per-user rollup; mean/var/D/r/p one shared IEEE
+    * dag, NB parameters null-guarded when var ≤ mean (under- or
+    * equi-dispersed: no NB fit exists).
+    */
+  def overdispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("sq"))
+    val n = col("n_users").cast("double")
+    val mean = col("s").cast("double") / n
+    val variance = (col("sq").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / n) / (n - 1.0)
+    m.select(col("n_users"),
+      round(mean, 6).as("mean"),
+      round(variance, 6).as("variance"),
+      round(variance / mean, 6).as("dispersion"),
+      when(variance > mean,
+        round(mean * mean / (variance - mean), 6)).as("nb_r"),
+      when(variance > mean, round(mean / variance, 6)).as("nb_p"))
+  }
+
   /** 1-D WASSERSTEIN / EARTH-MOVER'S DISTANCE (`q_wasserstein`)
     * between two event types' value distributions — the
     * distributional distance with UNITS (`q_ks_test`'s D is a

@@ -436,4 +436,28 @@ class QualitySpec extends SparkSpec {
     }
     out.unpersist(); clusters.unpersist(); j.unpersist()
   }
+
+  test("t-closeness: planted skewed classes pin the exact variational " +
+      "distance and the uniform class passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.create("graft_tclose").toString
+    // three single-customer classes (distinct nations): A all-URGENT,
+    // B all-LOW, C balanced; global = (3U, 3L) -> TVD .5/.5/0
+    Seq((1L, 1, "SEG", 100.0), (2L, 2, "SEG", 100.0),
+      (3L, 3, "SEG", 100.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "URGENT"), (2L, 1L, "URGENT"),
+      (3L, 2L, "LOW"), (4L, 2L, "LOW"),
+      (5L, 3L, "URGENT"), (6L, 3L, "LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Quality.tCloseness(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == ((0.5, false)), s"A = ${out(1L)}")
+    assert(out(2L) == ((0.5, false)), s"B = ${out(2L)}")
+    assert(out(3L) == ((0.0, true)), s"C = ${out(3L)}")
+  }
 }

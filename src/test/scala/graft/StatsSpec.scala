@@ -1905,4 +1905,37 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) == 10L && r.getLong(2) == 5L && r.getLong(3) == 5L)
     assert(r.getDouble(4) == 0.693147, s"gain = ${r.getDouble(4)}")
   }
+
+  test("overdispersion: planted count pairs pin the NB moments and " +
+      "the equidispersed null guard") {
+    // users with (1, 5) events: mean 3, var 8, D = 8/3, r = 9/5, p = 3/8
+    import spark.implicits._
+    val dir = TempDirs.create("graft_od2").toString
+    var id = 0L
+    val rows = (Seq((1L, 1)) ++ Seq((2L, 5))).flatMap { case (u, k) =>
+      (1 to k).map { _ => id += 1
+        (id, java.sql.Timestamp.valueOf("2024-01-05 08:00:00"), u,
+          "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.overdispersion(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 3.0 &&
+      r.getDouble(2) == 8.0)
+    assert(r.getDouble(3) == 2.666667)
+    assert(r.getDouble(4) == 1.8 && r.getDouble(5) == 0.375)
+    // equidispersed plant: var = mean -> NB fit null-guards
+    val dir2 = TempDirs.create("graft_od3").toString
+    id = 0L
+    (Seq((1L, 1)) ++ Seq((2L, 3))).flatMap { case (u, k) =>
+      (1 to k).map { _ => id += 1
+        (id, java.sql.Timestamp.valueOf("2024-01-05 08:00:00"), u,
+          "click", 1.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = Stats.overdispersion(spark, dir2).collect()(0)
+    assert(r2.getDouble(3) == 1.0 && r2.isNullAt(4) && r2.isNullAt(5))
+  }
 }
