@@ -486,6 +486,9 @@ object SparkEntry {
     "q_ndcg" -> ((s, d) => Similarity.ndcgAt10(s, d)),
     "q_recall_curve" -> ((s, d) => Similarity.recallCurve(s, d)),
     "q_capture_recapture" -> ((s, d) => Dedup.captureRecapture(s, d)),
+    "q_lsh_scurve" -> ((s, d) => Dedup.lshScurve(s, d)),
+    "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
+    "q_ess" -> ((s, d) => Pipeline.effectiveSampleSize(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
@@ -8318,6 +8321,59 @@ object SparkEntry {
         |    / sqrt(1.0 / CAST(y1 + 1 AS DOUBLE)
         |      + 1.0 / CAST(y2 + 1 AS DOUBLE)), 6) AS z
         |FROM counts, tot""".stripMargin,
+    // LSH S-curve: exponentiation by squaring, no libm pow
+    "q_lsh_scurve" ->
+      """WITH g AS (
+        |  SELECT CAST(unnest(range(1, 20)) AS DOUBLE) / 20.0 AS s),
+        |p AS (
+        |  SELECT s, (1.0 - (s * s) * (s * s)) AS u FROM g),
+        |q AS (
+        |  SELECT s, ((u * u) * (u * u)) AS u4, u FROM p),
+        |r AS (
+        |  SELECT s, ((u4 * u4) * (u4 * u4)) AS u16, u4 FROM q)
+        |SELECT round(s, 2) AS s,
+        |  round(1.0 - u16 * u16, 6) AS p_candidate
+        |FROM r""".stripMargin,
+    // novelty: first-seen shingle per 3-gram (groupBy-min), exact
+    // per-doc ratio
+    "text_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)])) AS s
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |        x -> x <> '') AS w
+        |    FROM documents)),
+        |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS novelty
+        |FROM sh JOIN f USING (s)
+        |GROUP BY 1""".stripMargin,
+    // Kish ESS: exact decimal moments, one dag
+    "q_ess" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS DOUBLE)
+        |    * CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(n_chars AS DECIMAL(19,0))
+        |      * CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS DOUBLE), 6) AS ess,
+        |  round(CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS DOUBLE)
+        |    * CAST(CAST(sum(CAST(n_chars AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(n_chars AS DECIMAL(19,0))
+        |      * CAST(n_chars AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS ess_ratio
+        |FROM documents GROUP BY 1""".stripMargin,
     // burstiness: three BIGINT moments per word over per-doc counts,
     // zeros included via the D denominator, one shared IEEE dag
     "text_burstiness" ->

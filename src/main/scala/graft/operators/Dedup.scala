@@ -1351,6 +1351,36 @@ object Dedup {
             col("wedges").cast("double"), 6)).as("global_cc"))
   }
 
+  /** LSH S-CURVE (`q_lsh_scurve`) — the banding TUNING TABLE every
+    * LSH deployment consults before picking (bands, rows): the
+    * probability a pair at Jaccard similarity s becomes a candidate
+    * under b bands of r rows is P(s) = 1 − (1 − s^r)^b, evaluated
+    * here for the repo's own 32×4 banding over a fixed s grid. Both
+    * powers are EXPONENTIATION BY SQUARING spelled out as plain
+    * multiplications (s⁴ = (s²)²; x³² = five squarings) — identical
+    * IEEE sequences in both engines, no libm pow anywhere; the grid
+    * is a 19-row literal explode. Read next to the MEASURED recall
+    * specs in DedupSpec: the curve is the theory the measurements
+    * validate.
+    */
+  def lshScurve(spark: SparkSession, sfDir: String,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    require(bands == 32 && rows == 4,
+      "the spelled-out squaring chain below is the 32x4 banding")
+    val grid = spark.range(1, 20)
+      .select((col("id").cast("double") / 20.0).as("s"))
+    val s2 = col("s") * col("s")
+    val s4 = s2 * s2
+    val u = lit(1.0) - s4 // (1 - s^r)
+    val u2 = u * u
+    val u4 = u2 * u2
+    val u8 = u4 * u4
+    val u16 = u8 * u8
+    val u32 = u16 * u16
+    grid.select(round(col("s"), 2).as("s"),
+      round(lit(1.0) - u32, 6).as("p_candidate"))
+  }
+
   /** CAPTURE–RECAPTURE DEDUP COVERAGE (`q_capture_recapture`) —
     * Lincoln–Petersen/Chapman over TWO independent near-dup
     * detectors: the n-gram Jaccard pairs and the SimHash pairs each

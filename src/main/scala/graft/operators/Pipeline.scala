@@ -1031,6 +1031,35 @@ object Pipeline {
       ("r2", half(col("doc_id") > _).unionByName(poison))), dir)
   }
 
+  /** EFFECTIVE SAMPLE SIZE of the length-weighted mix (`q_ess`) —
+    * Kish's ESS = (Σw)²/Σw² per source with w = n_chars: when a
+    * weighted sampler ([[weightedSample]], the mix_* family) draws
+    * proportional to length, a source whose mass sits in a few huge
+    * documents contributes far fewer EFFECTIVE documents than its
+    * count suggests — ESS/n is the one-number alarm ("this source is
+    * 10k docs but statistically 900"). Exact DECIMAL(38,0) moments
+    * (w up to 2³¹ squares past BIGINT at corpus scale), one IEEE dag,
+    * rounded 6. One partial-agg shuffle.
+    */
+  def effectiveSampleSize(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars").cast("long").as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(d380)).as("sw"),
+        sum((col("w").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          col("w").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+          .cast(d380)).as("sw2"))
+      .select(col("source"), col("n_docs"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double"), 6).as("ess"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double") / col("n_docs").cast("double"), 6)
+          .as("ess_ratio"))
+  }
+
   /** Deterministic GROUP-AWARE k-FOLD assignment (`q_kfold`) — the
     * cross-validation splitter next to [[leakageSafeSplit]]'s
     * train/eval cut: every USER's events land in exactly one of k

@@ -1425,6 +1425,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** INGEST NOVELTY CURVE (`text_novelty`) — per document, the share
+    * of its distinct 3-gram shingles seen in NO earlier document
+    * (doc_id order = ingest order): the signal curriculum ordering
+    * and incremental-crawl budgeting read ("is the new crawl still
+    * teaching the corpus anything?"), and the per-DOC counterpart of
+    * `q_vocab_growth`'s corpus curve. Each shingle's FIRST document
+    * is one groupBy-min (no cumulative re-scan — the vocab_growth
+    * recipe); novelty = first-seen shingles / distinct shingles, an
+    * exact integer division. Two partial-agg shuffles + one join
+    * keyed on the shingle.
+    */
+  def novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text")))).as("s"))
+      .localCheckpoint()
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
+
   /** "FIGHTIN' WORDS" LOG-ODDS (`text_fightin_words`) — Monroe,
     * Colaresi & Quinn '08, the corpus-comparison standard that fixes
     * what raw frequency ratios and tf-idf both get wrong when

@@ -625,6 +625,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.assortativityOver(cyc).collect()(0).isNullAt(1))
   }
 
+  test("LSH S-curve: the squaring chain replays the closed form, " +
+      "monotone from ~0 to ~1") {
+    val out = Dedup.lshScurve(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    def closed(s: Double): Double = {
+      val s2 = s * s; val s4 = s2 * s2
+      val u = 1.0 - s4
+      val u2 = u * u; val u4 = u2 * u2; val u8 = u4 * u4
+      val u16 = u8 * u8
+      BigDecimal(1.0 - u16 * u16)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0.5) == closed(0.5), s"P(.5) = ${out(0.5)}")
+    assert(out(0.05) < 0.001 && out(0.95) > 0.999)
+    val ps = out.toSeq.sortBy(_._1).map(_._2)
+    assert(ps.sliding(2).forall { case Seq(a, b) => b >= a
+      case _ => true }, "the S-curve must be monotone")
+  }
+
   test("capture-recapture: the overlap bounds hold and Chapman's " +
       "estimate dominates both single-method counts") {
     val r = Dedup.captureRecapture(spark, sf).collect()(0)

@@ -585,4 +585,26 @@ class PipelineSpec extends SparkSpec {
     assert(off <= math.max(3.0, 3.0 * sigma), s"fold imbalance $off")
     folds.unpersist()
   }
+
+  test("effective sample size: equal weights pin ESS = n, a planted " +
+      "whale collapses it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.create("graft_ess").toString
+    // s1: three equal docs -> ESS = 3; s2: a whale among minnows ->
+    // ESS = (1+1+98)^2 / (1+1+9604) = 10000/9606
+    Seq((1L, "x", "en", "s1", 10L), (2L, "x", "en", "s1", 10L),
+      (3L, "x", "en", "s1", 10L),
+      (4L, "x", "en", "s2", 1L), (5L, "x", "en", "s2", 1L),
+      (6L, "x", "en", "s2", 98L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Pipeline.effectiveSampleSize(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("s1") == ((3L, 3.0, 1.0)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("s2")._2 == r6(10000.0 / 9606.0), s"got ${out("s2")}")
+  }
 }

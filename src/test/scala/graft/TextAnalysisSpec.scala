@@ -698,4 +698,20 @@ class TextAnalysisSpec extends SparkSpec {
     // src0-characteristic words score positive, src1's negative
     assert(out("apple")._3 > 0 && out("cherry")._3 < 0)
   }
+
+  test("novelty: the first document is all-novel, a later overlap " +
+      "scores exactly its fresh-shingle share") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val dir = TempDirs.create("graft_novelty").toString
+    // doc1 {a b c, b c d}; doc2 {a b c, b c e} -> 1 of 2 novel
+    Seq((1L, "a b c d", "en", "s", 7L), (2L, "a b c e", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+  }
 }
