@@ -228,6 +228,7 @@ object SparkEntry {
     "q_interarrival" -> ((s, d) => Relational.interarrival(s, d)),
     "q_rolling_corr" -> ((s, d) => Stats.rollingCorr(s, d)),
     "q_mann_kendall" -> ((s, d) => Stats.mannKendall(s, d)),
+    "q_seasonal_mk" -> ((s, d) => Stats.seasonalMannKendall(s, d)),
     "q_kendall_tau" -> ((s, d) => Stats.kendallTau(s, d)),
     "q_theil_sen" -> ((s, d) => Stats.theilSen(s, d)),
     "q_runs_test" -> ((s, d) => Stats.runsTest(s, d)),
@@ -2353,6 +2354,41 @@ object SparkEntry {
         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
         |    ELSE 0.0 END AS z
         |FROM v""".stripMargin,
+    // seasonal MK: same-weekday pairs only, per-season BIGINT
+    // moments summed across seasons, one IEEE z
+    "q_seasonal_mk" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 1
+        |      AS BIGINT) AS wd,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.wd = b.wd
+        |      AND a.day < b.day
+        |  GROUP BY 1),
+        |seas AS (
+        |  SELECT event_type, wd, CAST(sum(tc) AS BIGINT) AS n_wd,
+        |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, wd, y, CAST(count(*) AS BIGINT) AS tc
+        |    FROM daily GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, CAST(sum(n_wd) AS BIGINT) AS n0,
+        |    CAST(sum(n_wd * (n_wd - 1) * (2 * n_wd + 5) - tie_term)
+        |      AS BIGINT) AS var18
+        |  FROM seas GROUP BY 1)
+        |SELECT v.event_type, n0 AS n_days, s.s AS s, var18,
+        |  CASE WHEN var18 > 0 AND s.s <> 0
+        |    THEN round((CAST(s.s AS DOUBLE)
+        |        - (CASE WHEN s.s > 0 THEN 1.0
+        |            WHEN s.s < 0 THEN -1.0 ELSE 0.0 END))
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+        |    ELSE 0.0 END AS z
+        |FROM v JOIN s ON v.event_type = s.event_type""".stripMargin,
     // Kendall τ-b: BIGINT concordance/discordance + tie-pair counts,
     // one IEEE sqrt at the end
     "q_kendall_tau" ->

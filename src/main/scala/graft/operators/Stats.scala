@@ -3309,6 +3309,48 @@ object Stats {
           .otherwise(lit(0.0)))
   }
 
+  /** SEASONAL MANN–KENDALL (`q_seasonal_mk`, Hirsch & Slack '84) —
+    * the trend test for series with a WEEKLY cycle the plain
+    * [[mannKendall]] mistakes for noise (weekend dips swamp a slow
+    * drift): S and Var(S) computed WITHIN each weekday season
+    * (Monday compares only to other Mondays) and summed across
+    * seasons — the cycle never enters a comparison, so a true drift
+    * surfaces with the seasonal variance stripped out. All-BIGINT
+    * per-season moments off the same calendar-bounded pair join
+    * (restricted to same-weekday pairs), one IEEE z at the end.
+    */
+  def seasonalMannKendall(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val daily = dailySeries(spark, sfDir)
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val a = daily.select(col("event_type"), col("wd"),
+      col("day").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("wd"),
+      col("day").as("d2"), col("y").as("y2"))
+    val s = a.join(b, Seq("event_type", "wd"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("y2") - col("y1")).cast("long")).as("s"))
+    val seasons = daily.groupBy(col("event_type"), col("wd"), col("y"))
+      .agg(count(lit(1)).as("tc"))
+      .groupBy("event_type", "wd")
+      .agg(sum(col("tc")).as("n_wd"),
+        sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+          .as("tie_term"))
+      .groupBy("event_type")
+      .agg(sum(col("n_wd")).as("n0"),
+        sum(col("n_wd") * (col("n_wd") - 1) *
+          (lit(2) * col("n_wd") + 5) - col("tie_term")).as("var18"))
+    seasons.join(s, Seq("event_type"))
+      .select(col("event_type"), col("n0").as("n_days"), col("s"),
+        col("var18"),
+        when(col("var18") > 0 && col("s") =!= 0,
+          round((col("s").cast("double") -
+            signum(col("s")).cast("double")) /
+            sqrt(col("var18").cast("double") / 18.0), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** KENDALL τ-b rank concordance (`q_kendall_tau`) between each
     * type's daily volume (count) and daily revenue (cents) — the
     * tie-robust companion to `q_spearman` on the same two series

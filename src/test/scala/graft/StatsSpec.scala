@@ -1608,6 +1608,21 @@ class StatsSpec extends SparkSpec {
       flat.getDouble(4) == 0.0)
   }
 
+  test("seasonal Mann-Kendall: a weekly alternation with a slow drift " +
+      "pins S = one concordance per weekday season") {
+    // two weeks, alternating 5/1 pattern + 1 per week: every weekday
+    // season is the increasing pair (x, x+1) -> S = 7, var18 = 7*18
+    val pat = Seq(5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0)
+    val dir = plantDaily("graft_smk", Seq(
+      "s" -> (pat ++ pat.map(_ + 1.0))))
+    val r = Stats.seasonalMannKendall(spark, dir).collect()(0)
+    assert(r.getLong(1) == 14L && r.getLong(2) == 7L &&
+      r.getLong(3) == 126L)
+    val z = BigDecimal(6.0 / math.sqrt(126.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == z, s"z = ${r.getDouble(4)}, want $z")
+  }
+
   test("Kendall tau-b: the spearman plant (one x tie) pins C=5, D=0 " +
       "and the tie-corrected denominator") {
     import spark.implicits._
