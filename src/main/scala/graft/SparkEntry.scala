@@ -80,6 +80,8 @@ object SparkEntry {
       ((s, d) => sources.Formats.sinkConstraintsReport(s, d)),
     "q_sink_clone" -> ((s, d) => sources.Formats.sinkCloneReport(s, d)),
     "q_sink_tag" -> ((s, d) => sources.Formats.sinkTagReport(s, d)),
+    "q_sink_publish" ->
+      ((s, d) => sources.Formats.sinkPublishReport(s, d)),
     "q_sink_delete_mor" -> ((s, d) => sources.Formats.sinkDeleteMorReport(s, d)),
     "q_sink_zorder" -> ((s, d) => sources.Formats.sinkZorderRollup(s, d)),
     "q_pr_curve" -> ((s, d) => Stats.prCurve(s, d)),
@@ -2875,6 +2877,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+    // branch WAP: before = the pre-publish lower half, after = the
+    // branch state (full corpus minus the staged %7 audit delete)
+    "q_sink_publish" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT 'before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, t WHERE doc_id <= mid
+        |UNION ALL
+        |SELECT 'after', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
     // generation tags: the tagged gen-1 half survives a retention
     // vacuum that expires its untagged sibling
     "q_sink_tag" ->

@@ -1147,6 +1147,52 @@ object Formats {
         TwoGenSchema), "head"))
   }
 
+  /** BRANCH WRITE–AUDIT–PUBLISH on the sink (`q_sink_publish`):
+    * the id-lower half commits as the PARENT, a shallow-clone BRANCH
+    * stages the upper half PLUS an audit-fix CoW delete (the %7
+    * rows), and `GraftSink.publishClone` fast-forwards the parent to
+    * the branch state in one CAS commit — the Iceberg WAP workflow
+    * where the audit queries the STAGED TABLE (full history, joins,
+    * anything readBack can ask), not just the incoming batch
+    * (pipeline_wap's pre-write audit). The gate reads the parent
+    * before (as-of its pre-publish generation) and after — a publish
+    * that leaks early, drops the branch delete, or loses inherited
+    * rows hash-fails. Divergence refusal and branch-file adoption
+    * are spec-pinned.
+    */
+  def sinkPublishReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parent = graft.TempDirs.create("graft_sink_wapb_p").toString
+    val branch = graft.TempDirs.create("graft_sink_wapb_b").toString + "/t"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    half(col("doc_id") <= _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", parent).mode("append").save()
+    graft.sources.v2.GraftSink.cloneShallow(parent, branch)
+    half(col("doc_id") > _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", branch).mode("append").save()
+    // the audit's fix, staged ON THE BRANCH: drop the %7 rows
+    graft.sources.v2.GraftSink.deleteWhere(spark, branch,
+      col("doc_id") % 7 === 0, TwoGenSchema)
+    val preGen = graft.sources.v2.GraftSink.versions(parent).max
+    graft.sources.v2.GraftSink.publishClone(parent, branch)
+    def roll(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("sum_chars"))
+    roll(graft.sources.v2.GraftSink.readBackAsOf(spark, parent, preGen,
+      TwoGenSchema), "before")
+      .unionByName(roll(graft.sources.v2.GraftSink.readBack(spark, parent,
+        TwoGenSchema), "after"))
+  }
+
   /** SHALLOW CLONE on the sink (`q_sink_clone`): the full document
     * store commits as the PARENT table, `GraftSink.cloneShallow`
     * publishes a zero-copy CLONE (the clone's manifest lists the

@@ -1239,6 +1239,17 @@ object GraftSink {
     * files under the clone's directory, so it can never hurt the
     * parent. Returns the clone's committed generation (always 1).
     */
+  /** `#parentgen<TAB><gen>` — the parent generation a shallow clone
+    * was taken from: [[publishClone]]'s fast-forward precondition.
+    */
+  private val ParentGenRef = "#parentgen\t"
+
+  private def parentGenOf(lines: Seq[String]): Option[Int] =
+    lines.collectFirst {
+      case l if l.startsWith(ParentGenRef) =>
+        l.substring(ParentGenRef.length).toInt
+    }
+
   def cloneShallow(parentPath: String, clonePath: String): Int = {
     val (pGen, pLines0) = head(parentPath)
     require(pGen > 0 || pLines0.nonEmpty,
@@ -1253,14 +1264,68 @@ object GraftSink {
     // local-first resolution order: this parent, then ITS chain
     val chain = (parentAbs +: parentsOf(pLines)).distinct
     val lines = pLines.filterNot(l =>
-      l.startsWith("#txn\t") || l.startsWith(ParentRef)) ++
-      chain.map(p => s"$ParentRef$p")
+      l.startsWith("#txn\t") || l.startsWith(ParentRef) ||
+        l.startsWith(ParentGenRef)) ++
+      chain.map(p => s"$ParentRef$p") :+ s"$ParentGenRef$pGen"
     val (withMeta, eff) = withConf(lines, DefaultShardThreshold)
     if (!publish(clonePath, 1, spill(clonePath, withMeta.sorted, eff)))
       throw new FileAlreadyExistsException(
         s"$clonePath was committed concurrently")
     refreshLive(clonePath)
     1
+  }
+
+  /** PUBLISH A CLONE back onto its parent — the BRANCH leg of
+    * write-audit-publish (the Iceberg WAP workflow on the sink's own
+    * terms): stage every change on a [[cloneShallow]] branch, audit
+    * the staged TABLE with full query power (not just the incoming
+    * batch — cross-batch invariants, joins against history, anything
+    * [[readBack]] can ask), then FAST-FORWARD the parent to the
+    * branch state in ONE CAS commit. The precondition is strict: the
+    * parent head must still be the generation the clone was taken
+    * from (`#parentgen`) — a moved parent means the branch no longer
+    * fast-forwards and the caller must rebase (re-clone), surfaced
+    * loudly, never merged silently.
+    *
+    * Mechanics: branch-LOCAL files (appends, CoW rewrites, DV
+    * sidecars, bloom sidecars written on the branch) move into the
+    * parent directory under their job-unique names; files the branch
+    * still carries by reference already live there. The published
+    * manifest is the branch head minus its `#parent`/`#parentgen`
+    * chain entries for THIS parent (a grandparent chain survives —
+    * clone-of-clone publishes keep resolving). The branch is
+    * CONSUMED: its manifests stay for audit but its local files have
+    * moved. Returns the parent's committed generation.
+    */
+  def publishClone(parentPath: String, clonePath: String): Int = {
+    val (pGen, _) = head(parentPath)
+    val cLines = resolved(clonePath, head(clonePath)._2)
+    val recorded = parentGenOf(cLines).getOrElse(
+      throw new IllegalArgumentException(
+        s"$clonePath carries no #parentgen marker — not a clone"))
+    if (pGen != recorded)
+      throw new java.util.ConcurrentModificationException(
+        s"parent $parentPath moved to generation $pGen since the " +
+          s"branch was taken at $recorded; re-clone and replay")
+    val parentAbs =
+      Paths.get(parentPath).toAbsolutePath.normalize.toString
+    // adopt branch-local files: every referenced name that exists
+    // under the branch dir moves to the parent (UUID/job-tagged names
+    // cannot clobber)
+    val names = dataLines(cLines).map(fileOf) ++
+      dvOf(cLines).values.map(_._1) ++ bloomOf(cLines).values.map(_._1)
+    names.foreach { f =>
+      val local = Paths.get(clonePath, f)
+      if (Files.exists(local))
+        Files.move(local, Paths.get(parentPath, f),
+          StandardCopyOption.ATOMIC_MOVE)
+    }
+    val published = cLines.filterNot { l =>
+      l.startsWith(ParentGenRef) ||
+        (l.startsWith(ParentRef) &&
+          l.substring(ParentRef.length) == parentAbs)
+    }
+    commitReplace(parentPath, published, pGen)
   }
 
   // ------------------------------------------------------------------

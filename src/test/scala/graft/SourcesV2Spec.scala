@@ -1288,6 +1288,40 @@ class SourcesV2Spec extends SparkSpec {
     }
   }
 
+  test("dsv2 sink branch publish: the branch state fast-forwards onto " +
+      "the parent, local files adopt, divergence refuses") {
+    import spark.implicits._
+    import graft.sources.v2.GraftSink
+    val parent = graft.TempDirs.create("graft_wapb_p").toString
+    putDocs(parent, (1L to 4L).map(i => (i, i * 10L)))
+    val branch = graft.TempDirs.create("graft_wapb_b").toString + "/t"
+    GraftSink.cloneShallow(parent, branch)
+    putDocs(branch, Seq((5L, 50L), (6L, 60L)))
+    GraftSink.deleteWhere(spark, branch, col("doc_id") === 2L, DocSchema)
+    val preGen = GraftSink.versions(parent).max
+    GraftSink.publishClone(parent, branch)
+    def ids(dir: String): Seq[Long] =
+      GraftSink.readBack(spark, dir, DocSchema)
+        .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(ids(parent) == Seq(1L, 3L, 4L, 5L, 6L),
+      "publish must deliver the branch state exactly")
+    // the pre-publish snapshot still serves (time travel intact)
+    assert(GraftSink.readBackAsOf(spark, parent, preGen, DocSchema)
+      .count() == 4)
+    // divergence: the parent moves after a second branch is taken;
+    // the fast-forward must refuse, publishing nothing
+    val b2 = graft.TempDirs.create("graft_wapb_b2").toString + "/t"
+    GraftSink.cloneShallow(parent, b2)
+    putDocs(b2, Seq((7L, 70L)))
+    putDocs(parent, Seq((9L, 90L))) // the parent moves
+    val headBefore = GraftSink.versions(parent).max
+    intercept[java.util.ConcurrentModificationException] {
+      GraftSink.publishClone(parent, b2)
+    }
+    assert(GraftSink.versions(parent).max == headBefore)
+    assert(ids(parent) == Seq(1L, 3L, 4L, 5L, 6L, 9L))
+  }
+
   test("dsv2 sink cdc stream: append windows emit inserts, a DV move " +
       "emits exactly the newly-masked rows as deletes, and a rewrite " +
       "window's insert/delete pairs cancel") {
