@@ -539,6 +539,7 @@ object SparkEntry {
     "q_sprt" -> ((s, d) => Stats.sprt(s, d)),
     "q_isotonic" -> ((s, d) => Stats.isotonic(s, d)),
     "q_wasserstein" -> ((s, d) => Stats.wasserstein(s, d)),
+    "q_cvm" -> ((s, d) => Stats.cramerVonMises(s, d)),
     "q_overdispersion" -> ((s, d) => Stats.overdispersion(s, d)),
     "q_t_closeness" -> ((s, d) => Quality.tCloseness(s, d)),
     "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
@@ -8202,6 +8203,36 @@ object SparkEntry {
         |    <= 0.3) AS t_close
         |FROM grid
         |GROUP BY 1, 2, 3, 4, big_n""".stripMargin,
+    // Cramér–von Mises: pooled-weighted squared cdf gaps in exact
+    // decimal over the same cent-domain histogram
+    "q_cvm" ->
+      """WITH hist AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na_v,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb_v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT v, na_v, nb_v,
+        |    CAST(sum(na_v) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(nb_v) OVER w AS BIGINT) AS cb
+        |  FROM hist WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+        |    CAST(sum(nb_v) AS BIGINT) AS n_b FROM hist)
+        |SELECT n_a, n_b,
+        |  round(CAST(sum(CAST(na_v + nb_v AS DECIMAL(19,0))
+        |      * CAST((CAST(ca AS DECIMAL(19,0)) * n_b
+        |          - CAST(cb AS DECIMAL(19,0)) * n_a)
+        |        * (CAST(ca AS DECIMAL(19,0)) * n_b
+        |          - CAST(cb AS DECIMAL(19,0)) * n_a) AS DECIMAL(38,0)))
+        |    AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)),
+        |    6) AS t_cvm
+        |FROM c CROSS JOIN tot GROUP BY n_a, n_b""".stripMargin,
     // Wasserstein-1: exact integer EMD over the cent-domain histogram
     "q_wasserstein" ->
       """WITH hist AS (

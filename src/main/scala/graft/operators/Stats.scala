@@ -3742,6 +3742,52 @@ object Stats {
           .as("w1_cents"))
   }
 
+  /** TWO-SAMPLE CRAMÉR–VON MISES (`q_cvm`) — the INTEGRATED
+    * distribution test completing the distance trio: `q_ks_test`
+    * reads the single worst cdf gap (sensitive to one sharp
+    * divergence, blind to broad mild ones), `q_wasserstein` weighs
+    * gaps by cents moved, CvM squares and sums the gap over EVERY
+    * pooled observation — the all-round power default. T = nm/N² ·
+    * Σ_pooled (F_a − F_b)², cross-multiplied to the EXACT integer
+    * form Σ w_v·(ca·m − cb·n)² / (n·m·N²): every term a
+    * DECIMAL(38,0) product over the same cent-domain histogram
+    * scaffold as Wasserstein (one partial-agg pass, one
+    * domain-bounded window), one division at the end.
+    */
+  def cramerVonMises(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "view"): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val hist = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select((money(col("value")) * 100).cast("long").as("v"),
+        col("event_type"))
+      .groupBy("v")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .as("na_v"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("nb_v"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("ca", sum(col("na_v")).over(w))
+      .withColumn("cb", sum(col("nb_v")).over(w))
+    val tot = hist.agg(sum(col("na_v")).as("n_a"),
+      sum(col("nb_v")).as("n_b"))
+    val gap = col("ca").cast(DecimalType(19, 0)) * col("n_b") -
+      col("cb").cast(DecimalType(19, 0)) * col("n_a")
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        ((col("na_v") + col("nb_v")).cast(DecimalType(19, 0)) *
+          (gap * gap).cast(d380)).cast(d380).as("term"))
+      .groupBy("n_a", "n_b")
+      .agg(sum(col("term")).as("t_scaled"))
+      .select(col("n_a"), col("n_b"),
+        round(col("t_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            (col("n_a") + col("n_b")).cast("double") *
+            (col("n_a") + col("n_b")).cast("double")), 6).as("t_cvm"))
+  }
+
   /** ISOTONIC CALIBRATION (`q_isotonic`) — pool-adjacent-violators
     * over the ten fixed-width score bins (`q_calibration`'s binning):
     * the monotone conversion-vs-score fit production calibrators

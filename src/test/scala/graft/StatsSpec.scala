@@ -1909,6 +1909,21 @@ class StatsSpec extends SparkSpec {
     assert(Stats.wasserstein(spark, d2).collect()(0).getDouble(2) == 0.0)
   }
 
+  test("Cramér–von Mises: disjoint point masses pin T = 1/4, " +
+      "identical distributions pin 0") {
+    val d1 = plantEvents("graft_cvm_a",
+      Seq(("click", 1.00), ("view", 2.00)))
+    // pooled point v=100: gap² = 1, weight 1; v=200: gap 0
+    // T = 1 / (1*1*2*2) = 0.25
+    val r = Stats.cramerVonMises(spark, d1).collect()(0)
+    assert(r.getDouble(2) == 0.25, s"T = ${r.getDouble(2)}")
+    val d2 = plantEvents("graft_cvm_b",
+      Seq(("click", 1.00), ("click", 3.00), ("view", 1.00),
+        ("view", 3.00)))
+    assert(Stats.cramerVonMises(spark, d2).collect()(0)
+      .getDouble(2) == 0.0)
+  }
+
   test("decision stump: a perfectly separable plant picks the median " +
       "threshold and earns the full ln 2 of gain") {
     val dir = plantEvents("graft_stump",
