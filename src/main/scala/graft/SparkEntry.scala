@@ -540,6 +540,8 @@ object SparkEntry {
     "q_isotonic" -> ((s, d) => Stats.isotonic(s, d)),
     "q_wasserstein" -> ((s, d) => Stats.wasserstein(s, d)),
     "q_cvm" -> ((s, d) => Stats.cramerVonMises(s, d)),
+    "q_brier" -> ((s, d) => Stats.brier(s, d)),
+    "text_diversity" -> ((s, d) => TextAnalysis.diversity(s, d)),
     "q_overdispersion" -> ((s, d) => Stats.overdispersion(s, d)),
     "q_t_closeness" -> ((s, d) => Quality.tCloseness(s, d)),
     "q_decision_stump" -> ((s, d) => Stats.decisionStump(s, d)),
@@ -8203,6 +8205,74 @@ object SparkEntry {
         |    <= 0.3) AS t_close
         |FROM grid
         |GROUP BY 1, 2, 3, 4, big_n""".stripMargin,
+    // Brier decomposition: calibration bins, per-bin REL/RES terms
+    // rounded 6 and summed in decimal, UNC on exact totals
+    "q_brier" ->
+      """WITH mm AS (
+        |  SELECT min(CAST(value AS DECIMAL(18,2))) AS mn,
+        |    max(CAST(value AS DECIMAL(18,2))) AS mx
+        |  FROM events),
+        |binned AS (
+        |  SELECT CASE WHEN mx > mn
+        |      THEN least(CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) - mn
+        |          AS DOUBLE) / CAST(mx - mn AS DOUBLE) * 10) AS BIGINT), 9)
+        |      ELSE 0 END AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    max(mn) AS mn, max(mx) AS mx
+        |  FROM events CROSS JOIN mm GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(n_pos) AS BIGINT) AS tp FROM binned),
+        |terms AS (
+        |  SELECT tn, tp,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      * ((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - CAST(mn AS DOUBLE)) / CAST(mx - mn AS DOUBLE)
+        |        - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - CAST(mn AS DOUBLE)) / CAST(mx - mn AS DOUBLE)
+        |        - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(tn AS DOUBLE), 6) AS DECIMAL(18,6)) AS rel_t,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      / CAST(tn AS DOUBLE), 6) AS DECIMAL(18,6)) AS res_t
+        |  FROM binned CROSS JOIN tot)
+        |SELECT tn AS n,
+        |  round(CAST(sum(rel_t) AS DOUBLE), 6) AS reliability,
+        |  round(CAST(sum(res_t) AS DOUBLE), 6) AS resolution,
+        |  round((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |    * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+        |    AS uncertainty,
+        |  round(CAST(sum(rel_t) AS DOUBLE) - CAST(sum(res_t) AS DOUBLE)
+        |    + (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+        |    AS brier
+        |FROM terms GROUP BY tn, tp""".stripMargin,
+    // Simpson diversity: exact integer 1 - sum(c^2)/n^2 per source
+    "text_diversity" ->
+      """WITH pw AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+        |        x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  round(1.0 - CAST(CAST(sum(CAST(c AS DECIMAL(19,0))
+        |      * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE)
+        |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+        |    AS simpson,
+        |  round(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(c AS DECIMAL(19,0))
+        |      * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS DOUBLE), 6)
+        |    AS effective_vocab
+        |FROM pw GROUP BY 1""".stripMargin,
     // Cramér–von Mises: pooled-weighted squared cdf gaps in exact
     // decimal over the same cent-domain histogram
     "q_cvm" ->

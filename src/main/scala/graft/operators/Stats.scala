@@ -3742,6 +3742,60 @@ object Stats {
           .as("w1_cents"))
   }
 
+  /** BRIER SCORE DECOMPOSITION (`q_brier`, Murphy '73) — the
+    * calibration family's SCORE to go with `q_calibration`'s
+    * diagnostics and `q_isotonic`'s fix: over the same ten
+    * fixed-width bins, BS = REL − RES + UNC splits the forecast's
+    * quality into reliability (how far bin confidence sits from bin
+    * outcome — what recalibration can remove), resolution (how much
+    * the bins separate outcomes — what only a better model buys) and
+    * the outcome's own uncertainty ȳ(1−ȳ). Bin moments are exact
+    * (counts + the decimal value sums), each bin's REL/RES term is
+    * one IEEE dag rounded 6 and summed IN DECIMAL (the ANOVA
+    * discipline), UNC one dag on exact totals.
+    */
+  def brier(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame = {
+    val scored = Tables.events(spark, sfDir)
+      .select(money(col("value")).as("v"),
+        (col("event_type") === posType).as("y"))
+    val mm = scored.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val binned = scored.crossJoin(broadcast(mm))
+      .select(col("y"), col("v"), col("mn"), col("mx"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double") * 10).cast("long"),
+            lit(9L))).otherwise(lit(0L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("v")).as("sv"), max(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+      .localCheckpoint()
+    val tot = binned.agg(sum(col("n")).as("tn"),
+      sum(col("n_pos")).as("tp"))
+    val d186 = DecimalType(18, 6)
+    val conf = (col("sv").cast("double") / col("n").cast("double") -
+      col("mn").cast("double")) /
+      (col("mx") - col("mn")).cast("double")
+    val acc = col("n_pos").cast("double") / col("n").cast("double")
+    val ybar = col("tp").cast("double") / col("tn").cast("double")
+    val terms = binned.crossJoin(broadcast(tot))
+      .select(col("tn"), col("tp"),
+        round(col("n").cast("double") * (conf - acc) * (conf - acc) /
+          col("tn").cast("double"), 6).cast(d186).as("rel_t"),
+        round(col("n").cast("double") * (acc - ybar) * (acc - ybar) /
+          col("tn").cast("double"), 6).cast(d186).as("res_t"))
+    terms.groupBy("tn", "tp")
+      .agg(sum(col("rel_t")).as("rel_d"), sum(col("res_t")).as("res_d"))
+      .select(col("tn").cast("long").as("n"),
+        round(col("rel_d").cast("double"), 6).as("reliability"),
+        round(col("res_d").cast("double"), 6).as("resolution"),
+        round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"),
+        round(col("rel_d").cast("double") - col("res_d").cast("double") +
+          ybar * (lit(1.0) - ybar), 6).as("brier"))
+  }
+
   /** TWO-SAMPLE CRAMÉR–VON MISES (`q_cvm`) — the INTEGRATED
     * distribution test completing the distance trio: `q_ks_test`
     * reads the single worst cdf gap (sensitive to one sharp

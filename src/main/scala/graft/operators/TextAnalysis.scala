@@ -1425,6 +1425,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** SIMPSON LEXICAL DIVERSITY per source (`text_diversity`) — the
+    * probability two tokens drawn from a source are DIFFERENT words,
+    * 1 − Σ(c/n)², computed as the EXACT integer form
+    * 1 − Σc²/n² (no ln, no float accumulation — the rational the
+    * entropy family can't give): a template-generated source repeats
+    * its few words and collapses toward 0, natural text sits high;
+    * read beside `text_hapax` (tail health) this is the HEAD
+    * concentration. Also emits the effective vocabulary n²/Σc² (the
+    * Hill number of order 2). Two partial-agg shuffles, one division.
+    */
+  def diversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum((col("c").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          col("c").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+          .cast(d380)).as("sc2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(lit(1.0) - col("sc2").cast("double") /
+          (col("n_tokens").cast("double") *
+            col("n_tokens").cast("double")), 6).as("simpson"),
+        round(col("n_tokens").cast("double") *
+          col("n_tokens").cast("double") / col("sc2").cast("double"), 6)
+          .as("effective_vocab"))
+  }
+
   /** INGEST NOVELTY CURVE (`text_novelty`) — per document, the share
     * of its distinct 3-gram shingles seen in NO earlier document
     * (doc_id order = ingest order): the signal curriculum ordering

@@ -1924,6 +1924,20 @@ class StatsSpec extends SparkSpec {
       .getDouble(2) == 0.0)
   }
 
+  test("Brier decomposition: the Murphy identity re-adds and the " +
+      "resolution bound holds") {
+    val r = Stats.brier(spark, sf).collect()(0)
+    val (rel, res, unc, bs) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(rel >= 0 && res >= 0 && unc > 0 && unc <= 0.25 + 1e-9)
+    // BS = REL - RES + UNC (each part independently rounded: one ulp
+    // of re-rounding slack)
+    assert(math.abs(bs - (rel - res + unc)) < 2e-6,
+      s"bs=$bs rel=$rel res=$res unc=$unc")
+    // resolution can never exceed the outcome's own uncertainty
+    assert(res <= unc + 1e-9)
+  }
+
   test("decision stump: a perfectly separable plant picks the median " +
       "threshold and earns the full ln 2 of gain") {
     val dir = plantEvents("graft_stump",

@@ -714,4 +714,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L, 1.0)))
     assert(out(2L) == ((2L, 1L, 0.5)))
   }
+
+  test("Simpson diversity: a planted source pins the exact rational " +
+      "and its Hill-number twin") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val dir = TempDirs.create("graft_tdiv").toString
+    // "a a b": n=3, sum c^2 = 5 -> simpson = 1 - 5/9, eff = 9/5
+    Seq((1L, "a a b", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.diversity(spark, dir).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.444444, s"simpson = ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.8, s"eff = ${r.getDouble(4)}")
+  }
 }
