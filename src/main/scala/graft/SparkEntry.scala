@@ -541,6 +541,8 @@ object SparkEntry {
     "q_wasserstein" -> ((s, d) => Stats.wasserstein(s, d)),
     "q_cvm" -> ((s, d) => Stats.cramerVonMises(s, d)),
     "q_brier" -> ((s, d) => Stats.brier(s, d)),
+    "q_hill_tail" -> ((s, d) => Stats.hillTail(s, d)),
+    "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
     "text_diversity" -> ((s, d) => TextAnalysis.diversity(s, d)),
     "q_overdispersion" -> ((s, d) => Stats.overdispersion(s, d)),
     "q_t_closeness" -> ((s, d) => Quality.tCloseness(s, d)),
@@ -8205,6 +8207,60 @@ object SparkEntry {
         |    <= 0.3) AS t_close
         |FROM grid
         |GROUP BY 1, 2, 3, 4, big_n""".stripMargin,
+    // Hill tail index: top-(k+1) cents, integer-argument lns rounded
+    // into decimal, one division
+    "q_hill_tail" ->
+      """WITH top AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |  ORDER BY v DESC LIMIT 101),
+        |xk AS (SELECT CAST(min(v) AS BIGINT) AS xk FROM top)
+        |SELECT CAST(count(*) AS BIGINT) AS k_used, xk AS x_k,
+        |  CASE WHEN CAST(sum(CAST(round(ln(CAST(v AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6))
+        |      - CAST(round(ln(CAST(xk AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE) > 0
+        |    THEN round(CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(CAST(round(ln(CAST(v AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6))
+        |        - CAST(round(ln(CAST(xk AS DOUBLE)), 6) AS DECIMAL(18,6)))
+        |        AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM top CROSS JOIN xk WHERE v > xk
+        |GROUP BY xk""".stripMargin,
+    // L-moments: tied-block closed-form rank sums over the value
+    // histogram, exact decimal A2/B, one shared dag
+    "q_lmoments" ->
+      """WITH hist AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |blocks AS (
+        |  SELECT event_type, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS r
+        |  FROM hist),
+        |m AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS b,
+        |    CAST(sum(CAST(v AS DECIMAL(19,0))
+        |      * CAST((2 * r - c - 1) * c AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS a2
+        |  FROM blocks GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(b AS DOUBLE) / CAST(n AS DOUBLE), 6) AS l1_cents,
+        |  round(CAST(a2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    - CAST(b AS DOUBLE) / CAST(n AS DOUBLE), 6) AS l2_cents,
+        |  CASE WHEN CAST(b AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |    THEN round((CAST(a2 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      - CAST(b AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS l_cv
+        |FROM m""".stripMargin,
     // Brier decomposition: calibration bins, per-bin REL/RES terms
     // rounded 6 and summed in decimal, UNC on exact totals
     "q_brier" ->

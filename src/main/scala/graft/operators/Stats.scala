@@ -3742,6 +3742,88 @@ object Stats {
           .as("w1_cents"))
   }
 
+  /** HILL TAIL-INDEX (`q_hill_tail`, Hill '75) — the heavy-tail
+    * diagnosis on the top-k order statistics of purchase value:
+    * α̂ = k / Σ_{i≤k} ln(x_i / x_{(k)}), the standard "how Pareto is
+    * this tail" estimator (α ≤ 2 means infinite variance — means and
+    * z-tests stop meaning anything, the reason `q_mannwhitney`-style
+    * rank methods exist). The top-(k+1) cents ride a bounded
+    * TakeOrdered (per-partition heaps, never a global sort); each
+    * ln argument is an exact INTEGER cent value, each ln rounds to 6
+    * into DECIMAL (the perplexity discipline), one division. Ties at
+    * the k-boundary are absorbed by the value-ordered cutoff: the
+    * k-th ORDER STATISTIC is a value, not a row pick.
+    */
+  def hillTail(spark: SparkSession, sfDir: String, k: Int = 100,
+      posType: String = "purchase"): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    val top = Tables.events(spark, sfDir)
+      .filter(col("event_type") === posType)
+      .select((money(col("value")) * 100).cast("long").as("v"))
+      .orderBy(col("v").desc)
+      .limit(k + 1)
+    val xk = top.agg(min(col("v")).as("xk"))
+    top.crossJoin(broadcast(xk))
+      .filter(col("v") > col("xk"))
+      .select(
+        (round(log(col("v").cast("double")), 6).cast(d186) -
+          round(log(col("xk").cast("double")), 6).cast(d186)).as("lnr"),
+        col("xk"))
+      .groupBy("xk")
+      .agg(count(lit(1)).as("k_used"), sum(col("lnr")).as("s"))
+      .select(col("k_used"), col("xk").as("x_k"),
+        when(col("s").cast("double") > 0,
+          round(col("k_used").cast("double") / col("s").cast("double"), 6))
+          .as("alpha"))
+  }
+
+  /** L-MOMENTS (`q_lmoments`, Hosking '90) — the order-statistic
+    * moment system that stays FINITE and robust where conventional
+    * skewness/kurtosis explode on heavy tails (one whale order moves
+    * classical skewness arbitrarily; L-moments are bounded): λ₁
+    * (mean), λ₂ (L-scale, half the mean absolute difference between
+    * two random draws) and the L-CV ratio τ = λ₂/λ₁, per event type.
+    *
+    * NEVER a global sort: the corpus partial-aggregates to the
+    * per-(type, cent) VALUE HISTOGRAM and each tied block's rank-sum
+    * contribution Σ(r−1) = (2R−c−1)·c/2 is a CLOSED FORM of the
+    * block's cumulative position (order-free under ties — equal
+    * values contribute identically however they'd be ordered), so
+    * A = Σx(r−1) and B = Σx are exact DECIMAL integers off one
+    * domain-bounded window; λ₂ = 2A/(n(n−1)) − B/n is one shared
+    * IEEE dag.
+    */
+  def lMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val hist = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (money(col("value")) * 100).cast("long").as("v"))
+      .groupBy("event_type", "v")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = hist
+      .withColumn("r", sum(col("c")).over(w)) // block END position
+      // DOUBLED rank sum over the block's positions R-c+1..R:
+      // 2*sum(rank-1) = (2R - c - 1)*c — integer, no division
+      .withColumn("sr2",
+        ((lit(2L) * col("r") - col("c") - 1L).cast(DecimalType(19, 0)) *
+          col("c")).cast(d380))
+    val m = blocks.groupBy("event_type")
+      .agg(sum(col("c")).as("n"),
+        sum((col("v").cast(DecimalType(19, 0)) * col("c")).cast(d380))
+          .as("b"),
+        sum((col("v").cast(DecimalType(19, 0)) * col("sr2")).cast(d380))
+          .as("a2"))
+    val n = col("n").cast("double")
+    val l1 = col("b").cast("double") / n
+    val l2 = col("a2").cast("double") / (n * (n - 1.0)) -
+      col("b").cast("double") / n
+    m.select(col("event_type"), col("n"),
+      round(l1, 6).as("l1_cents"), round(l2, 6).as("l2_cents"),
+      when(l1 > 0, round(l2 / l1, 6)).as("l_cv"))
+  }
+
   /** BRIER SCORE DECOMPOSITION (`q_brier`, Murphy '73) — the
     * calibration family's SCORE to go with `q_calibration`'s
     * diagnostics and `q_isotonic`'s fix: over the same ten

@@ -1924,6 +1924,37 @@ class StatsSpec extends SparkSpec {
       .getDouble(2) == 0.0)
   }
 
+  test("Hill tail index: planted dyadic tail replays the rounded-ln " +
+      "chain exactly") {
+    val dir = plantEvents("graft_hill",
+      Seq(("purchase", 8.00), ("purchase", 4.00), ("purchase", 2.00),
+        ("purchase", 1.00)))
+    val r = Stats.hillTail(spark, dir, k = 3).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 100L)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val s = (r6(math.log(800.0)) - r6(math.log(100.0))) +
+      (r6(math.log(400.0)) - r6(math.log(100.0))) +
+      (r6(math.log(200.0)) - r6(math.log(100.0)))
+    val alpha = BigDecimal(3.0 / s.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == alpha, s"alpha = ${r.getDouble(2)}")
+  }
+
+  test("L-moments: planted pairs pin l2 = half the mean absolute " +
+      "difference, tied blocks close-form correctly") {
+    val dir = plantEvents("graft_lmom",
+      Seq(("click", 1.00), ("click", 1.00), ("click", 3.00)))
+    val r = Stats.lMoments(spark, dir).collect()(0)
+    assert(r.getLong(1) == 3L)
+    // l1 = 500/3, l2 = 1400/6 - 500/3 (= E|X-Y|/2 = (400/3)/2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == r6(500.0 / 3.0))
+    assert(r.getDouble(3) ==
+      r6(1400.0 / (3.0 * 2.0) - 500.0 / 3.0), s"l2 = ${r.getDouble(3)}")
+  }
+
   test("Brier decomposition: the Murphy identity re-adds and the " +
       "resolution bound holds") {
     val r = Stats.brier(spark, sf).collect()(0)
