@@ -542,6 +542,8 @@ object SparkEntry {
     "q_cvm" -> ((s, d) => Stats.cramerVonMises(s, d)),
     "q_brier" -> ((s, d) => Stats.brier(s, d)),
     "q_hill_tail" -> ((s, d) => Stats.hillTail(s, d)),
+    "q_mean_excess" -> ((s, d) => Stats.meanExcess(s, d)),
+    "q_qq" -> ((s, d) => Stats.qqPoints(s, d)),
     "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
     "text_diversity" -> ((s, d) => TextAnalysis.diversity(s, d)),
     "q_overdispersion" -> ((s, d) => Stats.overdispersion(s, d)),
@@ -8228,6 +8230,40 @@ object SparkEntry {
         |  END AS alpha
         |FROM top CROSS JOIN xk WHERE v > xk
         |GROUP BY xk""".stripMargin,
+    // mean excess: decile thresholds, exact cent excess sums, one
+    // division per threshold
+    "q_mean_excess" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |thr AS (
+        |  SELECT DISTINCT unnest(quantile_cont(v,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS u
+        |  FROM v)
+        |SELECT u AS threshold_cents, CAST(count(*) AS BIGINT) AS n_excess,
+        |  round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) - u, 6)
+        |    AS mean_excess_cents
+        |FROM v CROSS JOIN thr WHERE CAST(v AS DOUBLE) > u
+        |GROUP BY u""".stripMargin,
+    // QQ points: vigintile quantiles of both arms, one subtraction
+    "q_qq" ->
+      """WITH la AS (
+        |  SELECT quantile_cont(
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      [0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,0.5,
+        |       0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95]) AS l
+        |  FROM events WHERE event_type = 'click'),
+        |lb AS (
+        |  SELECT quantile_cont(
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      [0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,0.5,
+        |       0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95]) AS l
+        |  FROM events WHERE event_type = 'view'),
+        |idx AS (SELECT CAST(unnest(range(1, 20)) AS INT) AS i)
+        |SELECT CAST(i * 5 AS BIGINT) AS pct,
+        |  la.l[i] AS q_a, lb.l[i] AS q_b,
+        |  round(la.l[i] - lb.l[i], 6) AS diff
+        |FROM idx CROSS JOIN la CROSS JOIN lb""".stripMargin,
     // L-moments: tied-block closed-form rank sums over the value
     // histogram, exact decimal A2/B, one shared dag
     "q_lmoments" ->

@@ -3777,6 +3777,60 @@ object Stats {
           .as("alpha"))
   }
 
+  /** MEAN-EXCESS FUNCTION (`q_mean_excess`) — e(u) = E[X−u | X>u]
+    * over the nine decile thresholds of purchase value: the
+    * peaks-over-threshold diagnostic read NEXT TO [[hillTail]] (a
+    * mean-excess that grows linearly in u is the Pareto signature
+    * and its slope estimates ξ/(1−ξ); flat = exponential tail, the
+    * insurance/SRE heavy-tail triage). Each threshold's excess count
+    * and exact cent excess sum come from ONE conditional-agg scan
+    * fanned ×9 against the broadcast decile array (the decision-stump
+    * shape); e(u) is one integer division, rounded 6.
+    */
+  def meanExcess(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame = {
+    val v = Tables.events(spark, sfDir)
+      .filter(col("event_type") === posType)
+      .select((money(col("value")) * 100).cast("long").as("v"))
+    val thr = v.agg(expr(
+      "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("ts"))
+      .select(explode(col("ts")).as("u")).distinct()
+    v.crossJoin(broadcast(thr))
+      .filter(col("v").cast("double") > col("u"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_excess"),
+        sum(col("v")).as("sv"))
+      .select(col("u").as("threshold_cents"), col("n_excess"),
+        round(col("sv").cast("double") / col("n_excess").cast("double") -
+          col("u"), 6).as("mean_excess_cents"))
+  }
+
+  /** QQ POINTS (`q_qq`) — the quantile-quantile comparison between
+    * two event types' value distributions at the 19 vigintiles: the
+    * VISUAL distribution diagnostic behind every "are these shaped
+    * alike" judgement (`q_ks_test` summarizes to one number; the QQ
+    * table shows WHERE the shapes diverge — tails vs body).
+    * Both engines' interpolated quantiles agree exactly on integer
+    * cents (the percentile/quantile_cont half-exactness), the diff
+    * is one subtraction — 19 rows, two percentile passes.
+    */
+  def qqPoints(spark: SparkSession, sfDir: String,
+      typeA: String = "click", typeB: String = "view"): DataFrame = {
+    val fr = (1 to 19).map(i => i / 20.0)
+    val arr = fr.map(f => s"${f}D").mkString(",")
+    def qs(t: String, as: String): DataFrame =
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .select((money(col("value")) * 100).cast("long").as("v"))
+        .agg(expr(s"percentile(v, array($arr))").as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", as)))
+    qs(typeA, "q_a").join(qs(typeB, "q_b"), "i")
+      .select(((col("i") + 1).cast("long") * 5).as("pct"),
+        col("q_a"), col("q_b"),
+        round(col("q_a") - col("q_b"), 6).as("diff"))
+  }
+
   /** L-MOMENTS (`q_lmoments`, Hosking '90) — the order-statistic
     * moment system that stays FINITE and robust where conventional
     * skewness/kurtosis explode on heavy tails (one whale order moves

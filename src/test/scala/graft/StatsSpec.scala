@@ -1955,6 +1955,25 @@ class StatsSpec extends SparkSpec {
       r6(1400.0 / (3.0 * 2.0) - 500.0 / 3.0), s"l2 = ${r.getDouble(3)}")
   }
 
+  test("mean excess: a planted uniform ladder pins e(550) = 250, and " +
+      "QQ diffs vanish on identical arms") {
+    val dir = plantEvents("graft_me",
+      (1 to 10).map(i => ("purchase", i.toDouble)) ++
+        (1 to 10).flatMap(i =>
+          Seq(("click", i.toDouble), ("view", i.toDouble))))
+    val me = Stats.meanExcess(spark, dir).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // median threshold 550: excess {600..1000}, mean 800, e = 250
+    assert(me(550.0) == ((5L, 250.0)), s"got ${me.get(550.0)}")
+    // identical click/view arms: every QQ diff is exactly 0
+    val qq = Stats.qqPoints(spark, dir).collect()
+    assert(qq.length == 19)
+    assert(qq.forall(_.getDouble(3) == 0.0), "identical arms must match")
+    val qa = qq.sortBy(_.getLong(0)).map(_.getDouble(1))
+    assert(qa.sliding(2).forall { case Array(a, b) => b >= a
+      case _ => true }, "quantiles must be nondecreasing")
+  }
+
   test("Brier decomposition: the Murphy identity re-adds and the " +
       "resolution bound holds") {
     val r = Stats.brier(spark, sf).collect()(0)
