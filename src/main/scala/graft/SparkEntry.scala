@@ -543,6 +543,8 @@ object SparkEntry {
     "q_brier" -> ((s, d) => Stats.brier(s, d)),
     "q_hill_tail" -> ((s, d) => Stats.hillTail(s, d)),
     "q_mean_excess" -> ((s, d) => Stats.meanExcess(s, d)),
+    "q_p_chart" -> ((s, d) => Stats.pChart(s, d)),
+    "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
     "q_qq" -> ((s, d) => Stats.qqPoints(s, d)),
     "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
     "text_diversity" -> ((s, d) => TextAnalysis.diversity(s, d)),
@@ -8230,6 +8232,73 @@ object SparkEntry {
         |  END AS alpha
         |FROM top CROSS JOIN xk WHERE v > xk
         |GROUP BY xk""".stripMargin,
+    // p-chart: exact daily counts, varying-n 3-sigma limits, one
+    // shared dag per day
+    "q_p_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(pos) AS BIGINT) AS tp FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n, pos,
+        |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+        |  round(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+        |    + 3.0 * sqrt((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      / CAST(n AS DOUBLE)), 6) AS ucl,
+        |  round(greatest(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+        |    - 3.0 * sqrt((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |      / CAST(n AS DOUBLE)), 0.0), 6) AS lcl,
+        |  (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      > CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+        |        + 3.0 * sqrt((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |          * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |          / CAST(n AS DOUBLE))
+        |    OR CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      < CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)
+        |        - 3.0 * sqrt((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |          * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+        |          / CAST(n AS DOUBLE))) AS out_of_control
+        |FROM daily CROSS JOIN tot""".stripMargin,
+    // XYZ: per-part monthly-demand CV against the calendar span
+    // (zero months count), literal class thresholds on the rounded CV
+    "q_xyz_class" ->
+      """WITH dem AS (
+        |  SELECT l_partkey AS part,
+        |    CAST((year(o_orderdate) - 1995) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    l_quantity
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |span AS (SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS n_months
+        |  FROM dem),
+        |pm AS (
+        |  SELECT part, m, CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM dem GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT part, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS sq
+        |  FROM pm GROUP BY 1)
+        |SELECT part AS l_partkey, n_months, s AS total_qty,
+        |  round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE))
+        |      / CAST(n_months AS DOUBLE))
+        |    / (CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE)), 6) AS cv,
+        |  CASE WHEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE))
+        |        / CAST(n_months AS DOUBLE))
+        |      / (CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE)), 6) < 0.5
+        |      THEN 'X'
+        |    WHEN round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE))
+        |        / CAST(n_months AS DOUBLE))
+        |      / (CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE)), 6) <= 1.0
+        |      THEN 'Y'
+        |    ELSE 'Z' END AS xyz
+        |FROM agg CROSS JOIN span""".stripMargin,
     // mean excess: decile thresholds, exact cent excess sums, one
     // division per threshold
     "q_mean_excess" ->

@@ -3777,6 +3777,75 @@ object Stats {
           .as("alpha"))
   }
 
+  /** p-CHART (`q_p_chart`) — the attribute CONTROL CHART for daily
+    * conversion (purchase share): centerline p̄ from the whole
+    * window, per-day 3σ limits p̄ ± 3√(p̄(1−p̄)/n_t) that WIDEN on
+    * thin days (the varying-subgroup-size form — fixed limits
+    * false-alarm low-traffic days), out-of-control flags where the
+    * day's share exits. Completes the SPC pair with `q_ewma_chart`
+    * (EWMA catches small sustained drifts; the p-chart catches
+    * day-sized shocks in a RATE). Counts exact; p̂/limits one shared
+    * IEEE dag per day on exact integers, rounded 6; one
+    * calendar-bounded rollup + a 1-row broadcast.
+    */
+  def pChart(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === posType, 1L).otherwise(0L))
+          .as("pos"))
+      .localCheckpoint()
+    val tot = daily.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+    val pbar = col("tp").cast("double") / col("tn").cast("double")
+    val phat = col("pos").cast("double") / col("n").cast("double")
+    val sigma = sqrt(pbar * (lit(1.0) - pbar) / col("n").cast("double"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("day").cast("string").as("day"), col("n"), col("pos"),
+        round(phat, 6).as("p_hat"),
+        round(pbar + lit(3.0) * sigma, 6).as("ucl"),
+        round(greatest(pbar - lit(3.0) * sigma, lit(0.0)), 6).as("lcl"),
+        (phat > pbar + lit(3.0) * sigma ||
+          phat < pbar - lit(3.0) * sigma).as("out_of_control"))
+  }
+
+  /** XYZ DEMAND-VARIABILITY CLASSIFICATION (`q_xyz_class`) — the
+    * inventory-policy companion to `q_abc_class` (ABC ranks by
+    * VALUE; XYZ ranks by PREDICTABILITY — together they give the
+    * 9-cell stocking matrix): per part, the coefficient of variation
+    * of monthly demand, X below 0.5 (forecast it), Y to 1.0 (buffer
+    * it), Z above (make-to-order). Months with zero demand COUNT
+    * (the calendar-span denominator — skipping them would call an
+    * intermittent part predictable); exact BIGINT moments over the
+    * (part, month) cells against the calendar-derived month count,
+    * CV one shared IEEE dag, class from rounded-CV thresholds so the
+    * boundary is the same literal in both engines.
+    */
+  def xyzClass(spark: SparkSession, sfDir: String): DataFrame = {
+    val dem = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("part"),
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("m"),
+        col("l_quantity"))
+    val span = dem.agg((max(col("m")) - min(col("m")) + 1).as("n_months"))
+    val m = dem.groupBy("part", "m")
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+      .groupBy("part")
+      .agg(sum(col("q")).as("s"), sum(col("q") * col("q")).as("sq"))
+      .crossJoin(broadcast(span))
+    val nm = col("n_months").cast("double")
+    val mean = col("s").cast("double") / nm
+    val variance = (col("sq").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nm) / nm
+    val cv = round(sqrt(variance) / mean, 6)
+    m.select(col("part").as("l_partkey"), col("n_months"),
+      col("s").as("total_qty"), cv.as("cv"),
+      when(cv < 0.5, "X").when(cv <= 1.0, "Y").otherwise("Z")
+        .as("xyz"))
+  }
+
   /** MEAN-EXCESS FUNCTION (`q_mean_excess`) — e(u) = E[X−u | X>u]
     * over the nine decile thresholds of purchase value: the
     * peaks-over-threshold diagnostic read NEXT TO [[hillTail]] (a

@@ -1974,6 +1974,50 @@ class StatsSpec extends SparkSpec {
       case _ => true }, "quantiles must be nondecreasing")
   }
 
+  test("p-chart: a planted rate shock exits the varying-n limits, " +
+      "quiet days stay inside") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_pchart").toString
+    var id = 0L
+    // days 1-2: 36/100 purchases; day 3: 78/100 -> pbar = .5,
+    // limits .35/.65: only day 3 is out of control
+    val rows = Seq((1, 36), (2, 36), (3, 78)).flatMap { case (d, pos) =>
+      (1 to 100).map { j => id += 1
+        (id, java.sql.Timestamp.valueOf(f"2024-01-0$d%d 08:00:00"), 1L,
+          if (j <= pos) "purchase" else "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Stats.pChart(spark, dir).collect().sortBy(_.getString(0))
+    assert(out.map(_.getBoolean(6)).toSeq == Seq(false, false, true))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sig = math.sqrt(0.5 * (1.0 - 0.5) / 100.0)
+    assert(out(0).getDouble(4) == r6(0.5 + 3.0 * sig))
+    assert(out(0).getDouble(5) == r6(0.5 - 3.0 * sig))
+  }
+
+  test("XYZ class: constant demand is X, a single-month spike lands " +
+      "exactly on the Y boundary") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_xyz").toString
+    Seq((1L, 1L, java.sql.Timestamp.valueOf("1995-01-15 00:00:00")),
+      (2L, 1L, java.sql.Timestamp.valueOf("1995-02-15 00:00:00")))
+      .toDF("o_orderkey", "o_custkey_x", "o_orderdate")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // part 1 sells 10 both months (cv 0 -> X); part 2 only in month 0
+    // (mean 5, sd 5 -> cv exactly 1.0 -> Y by the <= boundary)
+    Seq((1L, 1L, 10L), (2L, 1L, 10L), (1L, 2L, 10L))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Stats.xyzClass(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    assert(out(1L) == ((0.0, "X")), s"got ${out.get(1L)}")
+    assert(out(2L) == ((1.0, "Y")), s"got ${out.get(2L)}")
+  }
+
   test("Brier decomposition: the Murphy identity re-adds and the " +
       "resolution bound holds") {
     val r = Stats.brier(spark, sf).collect()(0)
