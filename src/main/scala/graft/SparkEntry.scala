@@ -544,6 +544,7 @@ object SparkEntry {
     "q_hill_tail" -> ((s, d) => Stats.hillTail(s, d)),
     "q_mean_excess" -> ((s, d) => Stats.meanExcess(s, d)),
     "q_p_chart" -> ((s, d) => Stats.pChart(s, d)),
+    "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
     "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
     "q_qq" -> ((s, d) => Stats.qqPoints(s, d)),
     "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
@@ -8232,6 +8233,55 @@ object SparkEntry {
         |  END AS alpha
         |FROM top CROSS JOIN xk WHERE v > xk
         |GROUP BY xk""".stripMargin,
+    // Durbin-Watson: OLS from exact moments, residual square terms
+    // rounded 6 and decimal-summed, one final division
+    "q_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2, 4),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM daily GROUP BY 1),
+        |fit AS (
+        |  SELECT event_type, n0,
+        |    round((CAST(n0 AS DOUBLE) * sty
+        |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * stt
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6) AS slope,
+        |    CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - ((CAST(n0 AS DOUBLE) * sty
+        |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) * stt
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+        |        * CAST(st AS DOUBLE) / CAST(n0 AS DOUBLE) AS a,
+        |    (CAST(n0 AS DOUBLE) * sty
+        |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * stt
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+        |  FROM m),
+        |res AS (
+        |  SELECT d.event_type, f.n0, f.slope, d.day,
+        |    CAST(d.y AS DOUBLE) - (f.a + f.b * CAST(d.t AS DOUBLE)) AS e
+        |  FROM daily d JOIN fit f ON d.event_type = f.event_type),
+        |terms AS (
+        |  SELECT event_type, n0, slope,
+        |    CAST(round(e * e, 6) AS DECIMAL(24,6)) AS den_t,
+        |    coalesce(CAST(round((e - lag(e) OVER w)
+        |      * (e - lag(e) OVER w), 6) AS DECIMAL(24,6)),
+        |      CAST(0 AS DECIMAL(24,6))) AS num_t
+        |  FROM res WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, n0 AS n_days, slope,
+        |  CASE WHEN CAST(sum(den_t) AS DOUBLE) > 0
+        |    THEN round(CAST(sum(num_t) AS DOUBLE)
+        |      / CAST(sum(den_t) AS DOUBLE), 6)
+        |  END AS dw
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     // p-chart: exact daily counts, varying-n 3-sigma limits, one
     // shared dag per day
     "q_p_chart" ->

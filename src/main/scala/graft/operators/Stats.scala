@@ -3777,6 +3777,53 @@ object Stats {
           .as("alpha"))
   }
 
+  /** DURBIN–WATSON TEST (`q_durbin_watson`) — serial correlation of
+    * the residuals from the daily-revenue-on-time OLS fit, per event
+    * type: the regression-diagnostics companion to `q_regression`
+    * (a trend fit whose residuals autocorrelate has understated
+    * standard errors — every inference off it is too confident; DW ≈
+    * 2 clean, → 0 positive drag, → 4 alternation). The OLS
+    * coefficients come from exact BIGINT moments (the q_regression
+    * discipline); each residual is ONE IEEE dag on exact integers;
+    * the Σ(e_t − e_{t−1})² and Σe_t² terms round to 6 and sum IN
+    * DECIMAL (order-free), one division at the end. Calendar-bounded
+    * per-type windows.
+    */
+  def durbinWatson(spark: SparkSession, sfDir: String): DataFrame = {
+    val d246 = DecimalType(24, 6)
+    val daily = dailySeries(spark, sfDir)
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+    val n = col("n0").cast("double")
+    val b = (n * col("sty").cast("double") -
+      col("st").cast("double") * col("sy").cast("double")) /
+      (n * col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double"))
+    val withFit = daily.join(broadcast(
+      m.select(col("event_type"), col("n0"), round(b, 6).as("slope"),
+        (col("sy").cast("double") / n - b *
+          col("st").cast("double") / n).as("a"), b.as("b"))),
+      Seq("event_type"))
+      .withColumn("e",
+        col("y").cast("double") - (col("a") + col("b") *
+          col("t").cast("double")))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = withFit
+      .withColumn("d", col("e") - lag(col("e"), 1).over(w))
+      .select(col("event_type"), col("n0"), col("slope"),
+        round(col("e") * col("e"), 6).cast(d246).as("den_t"),
+        coalesce(round(col("d") * col("d"), 6).cast(d246),
+          lit(0).cast(d246)).as("num_t"))
+    terms.groupBy("event_type", "n0", "slope")
+      .agg(sum(col("num_t")).as("num"), sum(col("den_t")).as("den"))
+      .select(col("event_type"), col("n0").as("n_days"), col("slope"),
+        when(col("den").cast("double") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("dw"))
+  }
+
   /** p-CHART (`q_p_chart`) — the attribute CONTROL CHART for daily
     * conversion (purchase share): centerline p̄ from the whole
     * window, per-day 3σ limits p̄ ± 3√(p̄(1−p̄)/n_t) that WIDEN on

@@ -1974,6 +1974,19 @@ class StatsSpec extends SparkSpec {
       case _ => true }, "quantiles must be nondecreasing")
   }
 
+  test("Durbin–Watson: a planted alternation pins dw = 3.4 and a " +
+      "perfect line null-guards on zero residuals") {
+    val dir = plantDaily("graft_dw", Seq(
+      "alt" -> Seq(2.0, 0.0, 2.0, 0.0),
+      "line" -> Seq(1.0, 2.0, 3.0, 4.0)))
+    val out = Stats.durbinWatson(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // alt: e = (40,-120,120,-40) cents -> num 108800, den 32000
+    assert(out("alt").getDouble(3) == 3.4,
+      s"dw = ${out("alt").getDouble(3)}")
+    assert(out("line").isNullAt(3), "zero residuals must null-guard")
+  }
+
   test("p-chart: a planted rate shock exits the varying-n limits, " +
       "quiet days stay inside") {
     import spark.implicits._
