@@ -1340,8 +1340,11 @@ object Dedup {
       .join(d.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
         "left_semi")
       .agg(count(lit(1)).as("t"))
+    // one integer fold end-to-end: sum(deg*(deg-1)) is even by
+    // construction, and `div` keeps the halving in BIGINT (Column `/`
+    // is IEEE double division — loses exactness past 2^53)
     val wedges = deg.agg(
-      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("wedges"))
+      expr("sum(deg * (deg - 1)) div 2").as("wedges"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
     ne.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
       .select(col("n_edges"), col("wedges").as("n_wedges"),

@@ -2127,6 +2127,53 @@ object Stats {
           round(col("num").cast("double") / col("den"), 6)).as("acf"))
   }
 
+  /** LJUNG–BOX PORTMANTEAU TEST (`q_ljung_box`) — the lag-h
+    * autocorrelation omnibus that completes the regression-diagnostics
+    * leg [[durbinWatson]] opened: DW sees lag 1 only; Ljung–Box asks
+    * "is there ANY serial correlation through lag h" via
+    * Q_h = n(n+2) Σ_{k≤h} r_k²/(n−k), χ²(h) under the white-noise
+    * null. One row per h = 1..maxLag — the full portmanteau table a
+    * forecaster reads top-to-bottom (q_stat vs the χ² critical value
+    * at df = h).
+    *
+    * Determinism discipline: r_k comes from [[acfOver]]'s exact
+    * pipeline (decimal moments, products rounded 6 and summed in
+    * decimal); each Q term r_k²/(n−k) is rounded 12 into
+    * DECIMAL(20,12) and the cumulative sum runs IN DECIMAL over the
+    * bounded maxLag-row frame (a window over ≤14 rows, not data);
+    * n(n+2) multiplies as DECIMAL(12,0) so the product stays exact
+    * under the 38-precision cap. Corpus-sized work is the ONE daily
+    * rollup acfOver already pays — everything here is rollup-sized.
+    */
+  def ljungBox(spark: SparkSession, sfDir: String, maxLag: Int = 14)
+      : DataFrame =
+    ljungBoxOver(Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(money(col("o_totalprice"))).as("y")), maxLag)
+
+  /** Same operator over any (day: date, y: decimal(18,2)) daily
+    * frame — a planted alternating series pins the huge-Q signal, a
+    * constant series pins the zero-variance null guard (q_stat NULL,
+    * never a divide-by-zero).
+    */
+  private[graft] def ljungBoxOver(daily0: DataFrame, maxLag: Int)
+      : DataFrame = {
+    val daily = daily0.localCheckpoint()
+    val r = acfOver(daily, maxLag)
+    val nDf = daily.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.crossJoin(broadcast(nDf))
+      .withColumn("term",
+        round(col("acf") * col("acf") /
+          (col("n") - col("lag")).cast("double"), 12)
+          .cast(DecimalType(20, 12)))
+      .withColumn("qsum", sum(col("term")).over(wCum))
+      .select(col("lag"), col("n").cast("long").as("n"), col("acf"),
+        round((col("n") * (col("n") + 2)).cast(DecimalType(12, 0))
+          .multiply(col("qsum")).cast("double"), 6).as("q_stat"))
+  }
+
   /** PRECISION-RECALL OPERATING CURVE at the ten score-decile
     * thresholds — the evaluation leg between `q_auc` (one ranking
     * number), `q_lift` (per-decile response), and `q_confusion` (one

@@ -72,13 +72,13 @@ object TextMapReduce {
       .toDF("word", "cnt")
   }
 
-  /** ii.go: word → (distinct-doc count, comma-joined sorted docs).
-    * Single shuffle: per-document dedup happens in the array domain
-    * before the explode, cross-document dedup inside `collect_set` —
-    * no separate `distinct` pass.
+  /** ii.go semantics over any DataFrame with `source` and `text`
+    * columns — including the reference's own Project Gutenberg books
+    * (source = filename), which is exactly what test-ii.sh feeds it
+    * (see TextMapReduceSpec's golden-diff replay).
     */
-  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def invertedIndexOver(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         explode(array_distinct(split(col("text"), WordSplit))).as("word"))
       .filter(col("word") =!= "")
@@ -87,6 +87,14 @@ object TextMapReduce {
       .select(col("word"),
         size(col("srcs")).cast("long").as("n_docs"),
         array_join(array_sort(col("srcs")), ",").as("docs"))
+
+  /** ii.go: word → (distinct-doc count, comma-joined sorted docs).
+    * Single shuffle: per-document dedup happens in the array domain
+    * before the explode, cross-document dedup inside `collect_set` —
+    * no separate `distinct` pass.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    invertedIndexOver(Tables.documents(spark, sfDir).select("source", "text"))
 
   /** Map-only job (the framework with nReduce=0 → identity reduce):
     * distributed grep over documents.

@@ -563,16 +563,33 @@ object GraftSink {
     * head already holds is SKIPPED (returns -1) — exactly-once for
     * streaming epoch replays.
     *
+    * `expectedChecks` (when given) is verified against the SAME head
+    * snapshot the publish builds on, INSIDE the CAS loop: if the
+    * `#check` constraint set on the head this commit would extend
+    * differs from the set the write job validated its rows against,
+    * the commit throws instead of publishing — atomically with the
+    * publish, so a constraint committed mid-job can never share a
+    * history with rows that were never validated against it (a
+    * check before the loop would be check-then-act: the set could
+    * move between the check and the winning publish).
+    *
     * Returns the committed generation, or -1 for an idempotent skip.
     */
   def commitAppend(path: String, entries: Seq[String],
       txn: Option[String] = None,
-      shardThreshold: Int = DefaultShardThreshold): Int = {
+      shardThreshold: Int = DefaultShardThreshold,
+      expectedChecks: Option[Set[(String, String)]] = None): Int = {
     Files.createDirectories(Paths.get(path))
     var attempts = 0
     var out = Int.MinValue
     while (out == Int.MinValue) {
       val (parent, lines0) = head(path)
+      expectedChecks.foreach { exp =>
+        if (checksOf(lines0).toSet != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"CHECK constraints changed under $path during the write; " +
+              "rerun the job against the new constraint set")
+      }
       if (txn.exists(t => lines0.contains(marker(t)))) out = -1
       else {
         // raw parent lines: existing @shard refs carry BY REFERENCE —
@@ -1230,7 +1247,9 @@ object GraftSink {
     * shard threshold, `#check` constraints, bloom markers. NOT
     * inherited: the parent's `#txn` ledger (a clone is a new table —
     * the parent's streaming epochs must not suppress the clone's own
-    * appends) and the parent's history (the clone starts at
+    * appends), the parent's `#tag` refs (their generation numbers
+    * index the parent's history, meaningless on the clone's own
+    * generation line) and the parent's history (the clone starts at
     * generation 1).
     *
     * CAVEAT (same as Delta): `vacuum` on the PARENT may reclaim files
@@ -1263,8 +1282,14 @@ object GraftSink {
       Paths.get(parentPath).toAbsolutePath.normalize.toString
     // local-first resolution order: this parent, then ITS chain
     val chain = (parentAbs +: parentsOf(pLines)).distinct
+    // NOT inherited alongside #txn: the parent's #tag markers — a
+    // tag's generation number indexes the PARENT's history, so on the
+    // clone it would resolve against the clone's own generations
+    // (wrong snapshot, or a no-such-generation failure) and exempt
+    // the wrong numbers from the clone's vacuum
     val lines = pLines.filterNot(l =>
-      l.startsWith("#txn\t") || l.startsWith(ParentRef) ||
+      l.startsWith("#txn\t") || l.startsWith(TagRef) ||
+        l.startsWith(ParentRef) ||
         l.startsWith(ParentGenRef)) ++
       chain.map(p => s"$ParentRef$p") :+ s"$ParentGenRef$pGen"
     val (withMeta, eff) = withConf(lines, DefaultShardThreshold)
@@ -1309,23 +1334,42 @@ object GraftSink {
           s"branch was taken at $recorded; re-clone and replay")
     val parentAbs =
       Paths.get(parentPath).toAbsolutePath.normalize.toString
-    // adopt branch-local files: every referenced name that exists
-    // under the branch dir moves to the parent (UUID/job-tagged names
-    // cannot clobber)
+    // adopt branch-local files by COPY, not move: until commitReplace
+    // succeeds the branch directory must keep the ONLY authoritative
+    // copy of its staged data — a move followed by a failed CAS would
+    // leave the files unreferenced in the parent, where a later
+    // vacuum(parent) silently destroys them (UUID/job-tagged names
+    // cannot clobber; REPLACE_EXISTING makes a crashed earlier
+    // attempt's identical leftover harmless)
     val names = dataLines(cLines).map(fileOf) ++
       dvOf(cLines).values.map(_._1) ++ bloomOf(cLines).values.map(_._1)
-    names.foreach { f =>
+    val staged = names.flatMap { f =>
       val local = Paths.get(clonePath, f)
-      if (Files.exists(local))
-        Files.move(local, Paths.get(parentPath, f),
-          StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(local)) {
+        Files.copy(local, Paths.get(parentPath, f),
+          StandardCopyOption.REPLACE_EXISTING)
+        Some((local, Paths.get(parentPath, f)))
+      } else None
     }
     val published = cLines.filterNot { l =>
       l.startsWith(ParentGenRef) ||
         (l.startsWith(ParentRef) &&
           l.substring(ParentRef.length) == parentAbs)
     }
-    commitReplace(parentPath, published, pGen)
+    val gen =
+      try commitReplace(parentPath, published, pGen)
+      catch {
+        case e: Throwable =>
+          // CAS lost (parent moved) or publish crashed: the staged
+          // parent copies are unreferenced — remove them; the branch
+          // still holds every byte and can rebase
+          staged.foreach { case (_, p) => Files.deleteIfExists(p) }
+          throw e
+      }
+    // publish committed: the branch's local copies are now redundant
+    // (the parent manifest references the adopted names)
+    staged.foreach { case (l, _) => Files.deleteIfExists(l) }
+    gen
   }
 
   // ------------------------------------------------------------------
@@ -1886,10 +1930,13 @@ class GraftSinkBatchWrite(schema: StructType, path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftSinkCommit])
-    // metadata conflict: a constraint added or dropped while this job
-    // ran means its rows were validated against a stale set — abort
-    // the publish (cleaning this job's temps) instead of committing
-    // un-validated rows
+    // metadata-conflict fast-fail: a constraint added or dropped while
+    // this job ran means its rows were validated against a stale set.
+    // This pre-check only saves renaming files that are about to be
+    // discarded — the AUTHORITATIVE check runs inside commitAppend's
+    // CAS loop against the very head being published onto, so a
+    // constraint racing past this point still aborts the publish
+    // atomically (no check-then-act window).
     if (GraftSink.checksOf(GraftSink.head(path)._2).toSet
         != checksAtStart.toSet) {
       msgs.foreach(m => Files.deleteIfExists(Paths.get(path, m.tmpName)))
@@ -1902,7 +1949,17 @@ class GraftSinkBatchWrite(schema: StructType, path: String,
         StandardCopyOption.ATOMIC_MOVE)
     }
     val entries = msgs.map(m => s"${m.finalName}\t${m.rows}\t${m.stats}")
-    val gen = GraftSink.commitAppend(path, entries.toSeq, txn, shardThreshold)
+    val gen =
+      try GraftSink.commitAppend(path, entries.toSeq, txn, shardThreshold,
+        expectedChecks = Some(checksAtStart.toSet))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // nothing was published — this job's renamed parts are
+          // unreferenced; remove them rather than waiting for vacuum
+          msgs.foreach(m =>
+            Files.deleteIfExists(Paths.get(path, m.finalName)))
+          throw e
+      }
     // idempotent replay (txn already committed): this attempt's parts
     // were never published — remove them now rather than waiting for
     // vacuum

@@ -85,6 +85,77 @@ class TextMapReduceSpec extends SparkSpec {
     assert(theCount == direct)
   }
 
+  // ----------------------------------------------------------------
+  // The reference's OWN acceptance tests, replayed verbatim: test-wc.sh
+  // and test-ii.sh run the two jobs over ALL pg-*.txt books and diff a
+  // shell pipeline's tail against a checked-in golden file. Same
+  // computation, same pipeline semantics, byte-equal against the same
+  // golden files — the full parity evidence, not a spot check.
+  // ----------------------------------------------------------------
+
+  private val RefMain = "/root/reference/src/main"
+
+  private def refBooks = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(RefMain)).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("pg-") && n.endsWith(".txt"))
+      .toSeq.sorted
+  }
+
+  private def goldenLines(name: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(RefMain, name)).asScala.toSeq
+  }
+
+  test("golden replay: test-wc.sh's full pipeline diffs clean vs mr-testout.txt") {
+    // test-wc.sh:2-3 — wc over pg-*.txt, then
+    //   sort -n -k2 mrtmp.wcseq | tail -10 | diff - mr-testout.txt
+    // mrtmp lines are "word: count"; sort -n -k2 orders by the count
+    // numerically with GNU sort's whole-line last-resort tie-break,
+    // and tail keeps the 10 largest. Reproduced distributedly: a
+    // top-10 by (cnt, line) via TakeOrderedAndProject, never a global
+    // collect.
+    val paths = refBooks.map(n => s"$RefMain/$n")
+    assert(paths.nonEmpty)
+    val books = spark.read.text(paths: _*).withColumnRenamed("value", "text")
+    val tail10 = TextMapReduce.wordCountOver(books)
+      .select(concat(col("word"), lit(": "), col("cnt")).as("line"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("line").desc)
+      .limit(10)
+      .collect().map(_.getString(0)).reverse.toSeq
+    assert(tail10 == goldenLines("mr-testout.txt"))
+  }
+
+  test("golden replay: test-ii.sh's full pipeline diffs clean vs mr-challenge.txt") {
+    // test-ii.sh:2-3 — ii over pg-*.txt, then
+    //   sort -k1,1 mrtmp.iiseq | sort -snk2,2 | grep -v '16'
+    //     | tail -10 | diff - mr-challenge.txt
+    // Lines are "word: count doc1,doc2,…". The stable numeric re-sort
+    // keeps the within-count order alphabetical by word ("word:"
+    // byte order == word order: ':' sorts below every letter, so the
+    // prefix rule is preserved). grep -v '16' drops every line
+    // containing the substring "16" — with 16 input books that is
+    // precisely the words present in ALL of them (doc names carry no
+    // digits), leaving the count-15 tier as the tail.
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    val paths = refBooks.map(n => s"$RefMain/$n")
+    val books = spark.read.text(paths: _*)
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("source"),
+        col("value").as("text"))
+    val tail10 = TextMapReduce.invertedIndexOver(books)
+      .select(concat(col("word"), lit(": "), col("n_docs"), lit(" "),
+        col("docs")).as("line"), col("n_docs"), col("word"))
+      .filter(!col("line").contains("16"))
+      .orderBy(col("n_docs").desc, col("word").desc)
+      .limit(10)
+      .collect().map(_.getString(0)).reverse.toSeq
+    assert(tail10 == goldenLines("mr-challenge.txt"))
+  }
+
   test("topWords is count-desc, word-asc and bounded") {
     val t = TextMapReduce.topWords(spark, sf, 10).collect()
     assert(t.length <= 10)
