@@ -545,6 +545,7 @@ object SparkEntry {
     "q_mean_excess" -> ((s, d) => Stats.meanExcess(s, d)),
     "q_p_chart" -> ((s, d) => Stats.pChart(s, d)),
     "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
+    "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
     "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
     "q_qq" -> ((s, d) => Stats.qqPoints(s, d)),
     "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
@@ -8282,6 +8283,51 @@ object SparkEntry {
         |      / CAST(sum(den_t) AS DOUBLE), 6)
         |  END AS dw
         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    // Ljung-Box: q_acf's exact r_k pipeline extended with the
+    // portmanteau cumulation — terms rounded 12 into DECIMAL(20,12),
+    // summed in decimal over the bounded lag frame, n(n+2) multiplied
+    // as DECIMAL(12,0) to stay under the 38-precision cap
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1),
+        |mom AS (
+        |  SELECT count(*) AS n, sum(y) AS s,
+        |    sum(CAST(y * y AS DECIMAL(38,4))) AS ss FROM daily),
+        |m2 AS (
+        |  SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS den
+        |  FROM mom),
+        |lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 15)),
+        |pairs AS (
+        |  SELECT l.lag,
+        |    CAST(round((CAST(d1.y AS DOUBLE) - m.xbar) *
+        |      (CAST(d2.y AS DOUBLE) - m.xbar), 6) AS DECIMAL(28,6)) AS t,
+        |    m.den
+        |  FROM daily d1 CROSS JOIN lags l
+        |  JOIN daily d2 ON d2.day = d1.day + l.lag
+        |  CROSS JOIN m2 m),
+        |r AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag,
+        |    CASE WHEN max(den) > 0 THEN
+        |      round(CAST(sum(t) AS DOUBLE) / max(den), 6) END AS acf
+        |  FROM pairs GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |terms AS (
+        |  SELECT r.lag, r.acf, nn.n,
+        |    CAST(round(r.acf * r.acf * CAST(nn.n * (nn.n + 2) AS DOUBLE)
+        |      / CAST(nn.n - r.lag AS DOUBLE), 6)
+        |      AS DECIMAL(24,6)) AS term
+        |  FROM r CROSS JOIN nn),
+        |cum AS (
+        |  SELECT lag, n, acf,
+        |    sum(term) OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS qsum
+        |  FROM terms)
+        |SELECT lag, n, acf, CAST(qsum AS DOUBLE) AS q_stat
+        |FROM cum""".stripMargin,
     // p-chart: exact daily counts, varying-n 3-sigma limits, one
     // shared dag per day
     "q_p_chart" ->

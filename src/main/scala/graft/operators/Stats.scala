@@ -2164,14 +2164,18 @@ object Stats {
     val wCum = Window.orderBy(col("lag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.crossJoin(broadcast(nDf))
+      // amplify BEFORE rounding: n(n+2) ~ millions, so a per-term
+      // round at raw r²/(n−k) scale would let 1e-12 rounding lore
+      // surface in the 6-decimal Q; rounding the fully-scaled term to
+      // 6 and summing IN DECIMAL is the chi²/ANOVA discipline
       .withColumn("term",
-        round(col("acf") * col("acf") /
-          (col("n") - col("lag")).cast("double"), 12)
-          .cast(DecimalType(20, 12)))
+        round(col("acf") * col("acf") *
+          (col("n") * (col("n") + 2)).cast("double") /
+          (col("n") - col("lag")).cast("double"), 6)
+          .cast(DecimalType(24, 6)))
       .withColumn("qsum", sum(col("term")).over(wCum))
       .select(col("lag"), col("n").cast("long").as("n"), col("acf"),
-        round((col("n") * (col("n") + 2)).cast(DecimalType(12, 0))
-          .multiply(col("qsum")).cast("double"), 6).as("q_stat"))
+        col("qsum").cast("double").as("q_stat"))
   }
 
   /** PRECISION-RECALL OPERATING CURVE at the ten score-decile

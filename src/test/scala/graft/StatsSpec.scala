@@ -505,6 +505,24 @@ class StatsSpec extends SparkSpec {
     assert(const(1L).getAs[Long]("n_pairs") == 5)
   }
 
+  test("ljung-box: alternating series pins the exact portmanteau walk; " +
+      "constant series null-guards") {
+    import spark.implicits._
+    def daily(ys: Seq[Double]) = ys.zipWithIndex.toDF("y", "i")
+      .select(date_add(lit("2024-01-01").cast("date"), col("i")).as("day"),
+        col("y").cast("decimal(18,2)").as("y"))
+    // same planted series as the acf spec: r = (-0.9, 0.8, -0.7),
+    // n = 10, n(n+2) = 120 -> Q walks 120*(0.81/9) = 10.8, +120*(0.64/8)
+    // = 20.4, +120*(0.49/7) = 28.8 — every step an exact decimal
+    val alt = Stats.ljungBoxOver(daily(Seq.tabulate(10)(i => (i % 2) * 10.0)), 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        r.getAs[Double]("q_stat")).toMap
+    assert(alt(1L) == 10.8 && alt(2L) == 20.4 && alt(3L) == 28.8)
+    // zero variance -> acf null -> the Q walk stays null, never NaN
+    val const = Stats.ljungBoxOver(daily(Seq.fill(6)(4.0)), 2).collect()
+    assert(const.forall(r => r.isNullAt(r.fieldIndex("q_stat"))))
+  }
+
   test("calibration: perfectly-calibrated corpus pins ECE = 0, " +
       "anti-calibrated pins gap 1, constant score null-guards") {
     import spark.implicits._
