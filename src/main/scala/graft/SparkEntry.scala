@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sink_bloom" -> ((s, d) => sources.Formats.sinkBloomRollup(s, d)),
     "q_sink_delete" -> ((s, d) => sources.Formats.sinkDeleteReport(s, d)),
     "q_sink_compact" -> ((s, d) => sources.Formats.sinkCompactReport(s, d)),
+    "q_sink_optimize" -> ((s, d) => sources.Formats.sinkOptimizeReport(s, d)),
     "q_sink_merge" -> ((s, d) => sources.Formats.sinkMergeReport(s, d)),
     "q_sink_cluster" -> ((s, d) => sources.Formats.sinkClusterRollup(s, d)),
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
@@ -2048,6 +2049,38 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+    // OPTIMIZE planner: the decision reproduced as a CASE over the
+    // pinned per-store inputs (file count, dispersion verdict,
+    // declared-dimension count); generation 2 iff a rewrite committed;
+    // rollups content-derived — every branch's effect in one hash
+    "q_sink_optimize" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |b AS (SELECT min(doc_id) AS lo,
+        |    min(doc_id) + (max(doc_id) - min(doc_id)) // 8 AS hi
+        |  FROM d),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM d),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS sel_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS sel_chars
+        |  FROM d, b WHERE doc_id BETWEEN lo AND hi),
+        |m AS (SELECT * FROM (VALUES
+        |    ('tiny_files', 32, true, 1),
+        |    ('scrambled_1d', 8, true, 1),
+        |    ('scrambled_2d', 8, true, 2),
+        |    ('clustered', 8, false, 1))
+        |  AS t(store, n_files, dispersed, n_dims))
+        |SELECT m.store,
+        |  CASE WHEN m.n_files > 16 THEN 'compact'
+        |       WHEN m.dispersed AND m.n_dims >= 2 THEN 'zorder'
+        |       WHEN m.dispersed THEN 'cluster'
+        |       ELSE 'none' END AS decision,
+        |  CAST(m.n_files AS BIGINT) AS n_files,
+        |  m.dispersed,
+        |  CAST(CASE WHEN m.n_files > 16 OR m.dispersed THEN 2 ELSE 1 END
+        |    AS BIGINT) AS generation,
+        |  f.n_rows, f.sum_chars, s.sel_rows, s.sel_chars
+        |FROM m, f, s""".stripMargin,
     // committed MERGE: every doc_id % 5 = 0 row updated (+1000),
     // three planted rows (11+22+33 = 66 chars) inserted; the updated
     // keys' mass isolated so resurrection or a missed update shows

@@ -941,6 +941,65 @@ object Formats {
       .unionByName(roll("n_chars", window(b.getLong(2), b.getLong(3))))
   }
 
+  /** OPTIMIZE planner on the sink (`q_sink_optimize`): FOUR planted
+    * stores, one per branch of [[graft.sources.v2.GraftSink.optimize]]'s
+    * pinned decision matrix — 32 tiny files (→ compact), 8
+    * hash-scrambled files with one declared dimension (→ cluster),
+    * the same with two declared dimensions (→ z-order), and 8
+    * range-clustered files (→ none: rewriting a healthy table is the
+    * failure mode OPTIMIZE exists to avoid). Each store runs the
+    * planner, which decides from ONE bounded manifest read and
+    * executes its choice; the row reports decision + decision inputs
+    * (file count, dispersion verdict) + committed generation + full
+    * and doc_id-selective read-back rollups. The oracle reproduces
+    * the decision as a SQL CASE over the same pinned inputs and the
+    * rollups from the source table — a wrong branch, a planner that
+    * rewrites the healthy store, a lost row in any executed rewrite,
+    * or an under-pruned selective read all hash-fail. The spec
+    * additionally pins the physical effects (file counts shrink,
+    * zonemaps prune) per branch.
+    */
+  def sinkOptimizeReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.v2.GraftSink
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    // one bounded 1-row read shared by every store's selective window
+    val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .first()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val selHi = lo + (hi - lo) / 8 // integer div, mirrored by // in SQL
+    def plant(name: String, parts: Int, scrambled: Boolean): String = {
+      val dir = graft.TempDirs.create(s"graft_sink_opt_$name").toString
+      val laid = if (scrambled) docs.repartition(parts)
+        else docs.repartitionByRange(parts, col("doc_id"))
+      laid.write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+      dir
+    }
+    def run(store: String, parts: Int, scrambled: Boolean,
+        dims: Seq[String]): DataFrame = {
+      val dir = plant(store, parts, scrambled)
+      val rep = GraftSink.optimize(spark, dir, dims, 8, TwoGenSchema)
+      val full = GraftSink.readBack(spark, dir, TwoGenSchema)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      val sel = GraftSink.readBackWhere(spark, dir, "doc_id",
+          BigDecimal(lo), BigDecimal(selHi), TwoGenSchema)
+        .agg(count(lit(1)).as("sel_rows"), sum(col("n_chars")).as("sel_chars"))
+      full.crossJoin(broadcast(sel)).select(
+        lit(store).as("store"), lit(rep.decision).as("decision"),
+        lit(rep.nFilesBefore.toLong).as("n_files"),
+        lit(rep.dispersed).as("dispersed"),
+        lit(rep.generation.toLong).as("generation"),
+        col("n_rows"), col("sum_chars"), col("sel_rows"), col("sel_chars"))
+    }
+    run("tiny_files", 32, scrambled = true, Seq("doc_id"))
+      .unionByName(run("scrambled_1d", 8, scrambled = true, Seq("doc_id")))
+      .unionByName(run("scrambled_2d", 8, scrambled = true,
+        Seq("doc_id", "n_chars")))
+      .unionByName(run("clustered", 8, scrambled = false, Seq("doc_id")))
+  }
+
   /** MERGE-ON-READ DELETE on the sink (`q_sink_delete_mor`): the
     * two-generation document store, then TWO
     * [[graft.sources.v2.GraftSink.deleteWhereMor]] erasures —

@@ -1041,6 +1041,102 @@ object GraftSink {
       parent)
   }
 
+  // ------------------------------------------------------------------
+  // OPTIMIZE planner — the maintenance twin of q_join_preflight
+  // ------------------------------------------------------------------
+
+  /** More live files than this and the table is in the small-file
+    * regime: OPTIMIZE picks compaction first (a file-count stand-in
+    * for the byte-sized budget a production table property carries —
+    * the JoinPlanner.BroadcastRowLimit convention).
+    */
+  val CompactFileBudget = 16
+
+  /** A declared access dimension whose files span, on average, more
+    * than this fraction of the global range is DISPERSED: the zonemap
+    * prunes nothing and the table needs (re-)clustering. Scrambled
+    * layouts read ≈ 1.0 here, freshly range-clustered ones ≈ 1/nFiles
+    * — the threshold sits far from both.
+    */
+  val DispersionThreshold = 0.5
+
+  final case class OptimizeReport(decision: String, nFilesBefore: Int,
+      dispersed: Boolean, generation: Int)
+
+  /** OPTIMIZE (`q_sink_optimize`): ONE bounded head-manifest read
+    * computes the table's layout health — live file count and, per
+    * declared access dimension in `dims`, the average zonemap
+    * span-fraction — then picks the maintenance action from a pinned
+    * decision matrix and EXECUTES it:
+    *
+    *   - `nFiles > CompactFileBudget`            → COMPACT ([[compact]])
+    *   - dispersed on ≥ 2 declared dims          → Z-ORDER
+    *     ([[clusterByExpr]] on the Morton interleave, dims shifted
+    *     into 11 bits off the manifest's own global stats)
+    *   - dispersed on 1 declared dim             → CLUSTER ([[cluster]])
+    *   - otherwise                               → NONE (no commit —
+    *     rewriting a healthy table is the failure mode OPTIMIZE
+    *     exists to avoid)
+    *
+    * The planner never touches data to DECIDE — at 100 TB the whole
+    * pre-flight is an O(#files) manifest scan on the driver, and the
+    * decision is reproduced by the gate as a SQL CASE over the same
+    * inputs, so a wrong branch hash-fails. `dims` is the table's
+    * declared clustering-dimension list (the Delta/Iceberg
+    * table-property shape); numeric dims only for the z-order leg.
+    */
+  def optimize(spark: SparkSession, path: String, dims: Seq[String],
+      targetFiles: Int = 8, schema: StructType = Schema): OptimizeReport = {
+    val (parent, lines0) = head(path)
+    val lines = resolved(path, lines0)
+    val entries = dataLines(lines)
+    val nFiles = entries.size
+    def spansOf(dim: String) = entries.flatMap(e => statsOf(e).get(dim))
+    def avgSpanFrac(dim: String): Double = {
+      val spans = spansOf(dim)
+      if (spans.isEmpty) 1.0 // no stats anywhere: must assume dispersed
+      else {
+        val lo = spans.map(_._1).min
+        val hi = spans.map(_._2).max
+        val width = hi - lo
+        if (width.signum == 0) 0.0
+        else (spans.map(s => (s._2 - s._1) / width).sum /
+          spans.size).toDouble
+      }
+    }
+    val dispersed =
+      dims.nonEmpty && dims.map(avgSpanFrac).max > DispersionThreshold
+    val decision =
+      if (nFiles > CompactFileBudget) "compact"
+      else if (dispersed && dims.size >= 2) "zorder"
+      else if (dispersed) "cluster"
+      else "none"
+    val gen = decision match {
+      case "compact" =>
+        val totalRows = entries.map(_.split("\t")(1).toLong).sum
+        compact(spark, path,
+          math.max(1L, (totalRows + targetFiles - 1) / targetFiles),
+          schema)._3
+      case "zorder" =>
+        // dim shifts into 11 bits from the manifest's OWN global max —
+        // still zero data reads to plan
+        def shiftFor(dim: String): Int = {
+          val mx = spansOf(dim).map(_._2).max.toLong
+          math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - 11)
+        }
+        import org.apache.spark.sql.functions.{col, shiftright}
+        val Seq(d1, d2) = dims.take(2)
+        clusterByExpr(spark, path,
+          graft.operators.Layout.mortonZ(
+            shiftright(col(d1), shiftFor(d1)),
+            shiftright(col(d2), shiftFor(d2))),
+          targetFiles, schema)
+      case "cluster" => cluster(spark, path, dims.head, targetFiles, schema)
+      case _ => parent
+    }
+    OptimizeReport(decision, nFiles, dispersed, gen)
+  }
+
   /** MERGE (upsert), committed: rows of `updates` REPLACE same-`key`
     * rows in the store, keys the store has never seen APPEND — the
     * Delta/Iceberg MERGE INTO shape in the sink's own terms.

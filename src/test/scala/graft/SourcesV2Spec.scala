@@ -566,6 +566,70 @@ class SourcesV2Spec extends SparkSpec {
       (30L to 70L).map(i => (i, i)))
   }
 
+  test("dsv2 sink optimize: every branch of the decision matrix fires " +
+      "on its planted store and executes the right maintenance") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    def plant(name: String, parts: Int, scrambled: Boolean): String = {
+      val dir = graft.TempDirs.create(s"graft_sink_opt_spec_$name").toString
+      val df = (1L to 400L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      (if (scrambled) df.repartition(parts)
+        else df.repartitionByRange(parts, org.apache.spark.sql.functions
+          .col("doc_id")))
+        .write.format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).mode("append").save()
+      dir
+    }
+    def content(dir: String) = GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = (1L to 400L).map(i => (i, i))
+
+    // compact branch: 32 tiny files -> decision compact, file count
+    // shrinks to the target, content identical
+    val a = plant("tiny", 32, scrambled = true)
+    val ra = GraftSink.optimize(spark, a, Seq("doc_id"), 8, schema)
+    assert(ra.decision == "compact" && ra.nFilesBefore == 32 &&
+      ra.generation == 2)
+    assert(GraftSink.filesFor(a, "doc_id", BigDecimal(1),
+      BigDecimal(400))._2 <= 8, "compact should shrink the file count")
+    assert(content(a) == want)
+
+    // cluster branch: scrambled + one declared dim -> zonemap prunes
+    // only AFTER the executed rewrite
+    val c = plant("scat1", 8, scrambled = true)
+    assert(GraftSink.filesFor(c, "doc_id", BigDecimal(30),
+      BigDecimal(70))._1.size == 8)
+    val rc = GraftSink.optimize(spark, c, Seq("doc_id"), 8, schema)
+    assert(rc.decision == "cluster" && rc.dispersed && rc.generation == 2)
+    assert(GraftSink.filesFor(c, "doc_id", BigDecimal(30),
+      BigDecimal(70))._1.size < 8, "cluster branch must enable pruning")
+    assert(content(c) == want)
+
+    // zorder branch: two declared dims -> prunes on BOTH afterwards
+    val z = plant("scat2", 8, scrambled = true)
+    val rz = GraftSink.optimize(spark, z, Seq("doc_id", "n_chars"), 8,
+      schema)
+    assert(rz.decision == "zorder" && rz.generation == 2)
+    assert(GraftSink.filesFor(z, "doc_id", BigDecimal(1),
+      BigDecimal(50))._1.size < 8)
+    assert(GraftSink.filesFor(z, "n_chars", BigDecimal(1),
+      BigDecimal(50))._1.size < 8)
+    assert(content(z) == want)
+
+    // none branch: a healthy range-clustered store is NOT rewritten —
+    // no new generation, manifest untouched
+    val n = plant("healthy", 8, scrambled = false)
+    val genBefore = GraftSink.versions(n).max
+    val rn = GraftSink.optimize(spark, n, Seq("doc_id"), 8, schema)
+    assert(rn.decision == "none" && !rn.dispersed &&
+      rn.generation == genBefore)
+    assert(GraftSink.versions(n).max == genBefore,
+      "optimize must not commit on the healthy store")
+  }
+
   test("dsv2 sink history: the manifest-only audit trail reports rows, " +
       "file deltas, and txn markers per generation") {
     import graft.sources.v2.GraftSink
