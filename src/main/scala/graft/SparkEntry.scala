@@ -616,6 +616,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupRestartFromFiles(s, d)),
     "stream_graft_sink" ->
       ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
+    "stream_sink_wap" ->
+      ((s, d) => graft.streaming.EventStreams.sinkWap(s, d)),
     "stream_sink_tail" ->
       ((s, d) => graft.streaming.EventStreams.sinkTail(s, d)),
     "stream_sink_cdc" ->
@@ -2935,6 +2937,20 @@ object SparkEntry {
         |SELECT 'after', CAST(count(*) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    // streaming WAP: epochs stage on a branch, the clean audit
+    // fast-forwards the parent from the lower half to the full corpus
+    "stream_sink_wap" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM documents)
+        |SELECT 'before' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, true AS audit_pass
+        |FROM documents, t WHERE doc_id <= mid
+        |UNION ALL
+        |SELECT 'after', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT), true
+        |FROM documents""".stripMargin,
     // generation tags: the tagged gen-1 half survives a retention
     // vacuum that expires its untagged sibling
     "q_sink_tag" ->

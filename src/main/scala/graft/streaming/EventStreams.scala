@@ -1212,6 +1212,86 @@ object EventStreams {
       graft.sources.v2.GraftSink.readBack(spark, out, sinkSchema)
     }
 
+  /** STREAMING WRITE–AUDIT–PUBLISH (`stream_sink_wap`) — the
+    * production streaming ingest gate, composing `stream_graft_sink`
+    * (foreachBatch + txn-ledger exactly-once epochs) with
+    * `q_sink_publish` (shallow-clone branch, publishClone
+    * fast-forward): epochs stream into a BRANCH of the parent table,
+    * the audit queries the STAGED TABLE with full power (cross-epoch
+    * duplicate check against the whole history, not just the incoming
+    * batch), and only a clean audit fast-forwards the parent — one
+    * CAS commit, readers never see a partially-ingested or
+    * un-audited state. A dirty epoch QUARANTINES the branch: nothing
+    * publishes, the parent head is untouched, and the staged rows
+    * stay on the branch for forensics (spec-pinned via `dirty`).
+    *
+    * At 100 TB this is the shape streaming ingest needs: per-epoch
+    * commits land on branch manifests (O(new files) each, the
+    * exactly-once ledger riding the same CAS), the audit is one
+    * distributed pass over the staged table, and the publish moves
+    * no data bytes that the branch didn't already write.
+    */
+  def sinkWap(spark: SparkSession, sfDir: String,
+      dirty: Option[DataFrame] = None): DataFrame = {
+    import graft.sources.v2.GraftSink
+    val parent = graft.TempDirs.create("graft_stream_wap_p").toString
+    val branch = graft.TempDirs.create("graft_stream_wap_b").toString + "/t"
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("n_chars", LongType)))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val thr = docs.agg(
+      floor((min(col("doc_id")) + max(col("doc_id"))) / lit(2.0))
+        .cast("long").as("t"))
+    def half(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : DataFrame =
+      docs.crossJoin(broadcast(thr)).filter(pred(col("t"))).drop("t")
+    // the parent's published baseline: the id-lower half
+    half(col("doc_id") <= _)
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", parent).mode("append").save()
+    GraftSink.cloneShallow(parent, branch)
+    // the feed: the upper half in two files (⇒ two epochs under
+    // maxFilesPerTrigger=1), plus an optional planted dirty epoch
+    val feed = graft.TempDirs.create("graft_stream_wap_src").toString
+    val ckpt = graft.TempDirs.create("graft_stream_wap_ckpt").toString
+    half(col("doc_id") > _).repartition(2).write
+      .mode("overwrite").parquet(feed)
+    dirty.foreach(_.select(col("doc_id").cast("long"),
+      col("n_chars").cast("long")).write.mode("append").parquet(feed))
+    val q = spark.readStream.schema(sinkSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.format("graft.sources.v2.GraftSinkSource")
+          .option("path", branch).option("txn", s"epoch-$id")
+          .mode("append").save()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // the AUDIT, over the staged TABLE (inherited baseline + every
+    // streamed epoch): key uniqueness across the WHOLE history and a
+    // per-row sanity rule — cross-epoch invariants a batch-local
+    // check cannot see
+    val a = GraftSink.readBack(spark, branch, sinkSchema)
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+        sum(when(col("n_chars") <= 0L, 1L).otherwise(0L)).as("bad"))
+      .first()
+    val auditPass = a.getLong(0) == a.getLong(1) && a.getLong(2) == 0L
+    val preGen = GraftSink.versions(parent).max
+    if (auditPass) GraftSink.publishClone(parent, branch)
+    def roll(df: DataFrame, phase: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(phase).as("phase"), col("n_rows"), col("sum_chars"),
+          lit(auditPass).as("audit_pass"))
+    roll(GraftSink.readBackAsOf(spark, parent, preGen, sinkSchema),
+        "before")
+      .unionByName(roll(GraftSink.readBack(spark, parent, sinkSchema),
+        "after"))
+  }
+
   /** Streaming ingest-time curation (`stream_curate`): the stateless
     * Gopher-keep + language-prediction gate
     * (TextAnalysis.curateGateOver) run in APPEND mode over a

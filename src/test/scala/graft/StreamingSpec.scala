@@ -378,6 +378,27 @@ class StreamingSpec extends SparkSpec {
       "stream and batch near-dup assignments diverge")
   }
 
+  test("streaming WAP: a dirty epoch quarantines the branch — the " +
+      "parent publishes nothing, the staged rows survive for forensics") {
+    import spark.implicits._
+    // a planted dirty epoch: n_chars <= 0 trips the audit's per-row
+    // sanity rule (the doc_id cannot collide with any corpus id)
+    val dirty = Seq((-1L, -5L)).toDF("doc_id", "n_chars")
+    val out = EventStreams.sinkWap(spark, sf, dirty = Some(dirty))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("before").getBoolean(3) && !out("after").getBoolean(3),
+      "the audit must fail on the dirty epoch")
+    // publish refused: parent head == parent baseline, byte for byte
+    assert(out("after").getLong(1) == out("before").getLong(1) &&
+      out("after").getLong(2) == out("before").getLong(2),
+      "a dirty branch must never fast-forward the parent")
+    // and the clean path still publishes (the gated key's regime)
+    val clean = EventStreams.sinkWap(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(clean("after").getBoolean(3) &&
+      clean("after").getLong(1) > clean("before").getLong(1))
+  }
+
   test("streaming CDC apply equals the one-shot batch merge") {
     val got = EventStreams.mergeStreamFromFiles(spark, sf)
     val want = graft.operators.Relational.mergeUpsert(spark, sf)
