@@ -503,6 +503,7 @@ object SparkEntry {
     "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
     "ann_index_stats" -> ((s, d) => AnnIndex.indexStats(s, d)),
+    "ann_maintain" -> ((s, d) => AnnIndex.annMaintain(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "pipeline_shard_write" -> ((s, d) => Pipeline.shardWrite(s, d)),
@@ -8172,6 +8173,46 @@ object SparkEntry {
     "ann_persisted" -> annIvfOracle,
     // index health from the deterministic assignment: per-cell
     // occupancy + share, the q_skew_report twin for the vector store
+    // index maintenance: the rebuild-vs-append decision (FAISS √n
+    // cells rule + hot-cell share) reproduced as a CASE over the same
+    // occupancy statistics, computed here over the id-lower build half
+    "ann_maintain" ->
+      """WITH t AS (
+        |  SELECT CAST(floor((min(vec_id) + max(vec_id)) / 2.0) AS BIGINT)
+        |    AS mid
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |half AS (SELECT e.* FROM embeddings e, t WHERE e.vec_id <= t.mid),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        c.cv) DESC, c.cid) AS crank
+        |  FROM half e CROSS JOIN cent c),
+        |occ AS (
+        |  SELECT cid, CAST(count(*) AS BIGINT) AS nv
+        |  FROM ranked WHERE crank = 1 GROUP BY cid),
+        |s AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(max(nv) AS BIGINT) AS hot FROM occ),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |  FROM embeddings e, t WHERE e.vec_id > t.mid),
+        |x AS (
+        |  SELECT s.n, mm.m, CAST(16 AS BIGINT) AS cells,
+        |    CAST(s.hot AS DOUBLE) / CAST(s.n AS DOUBLE) AS hs,
+        |    CAST(floor(sqrt(CAST(s.n + mm.m AS DOUBLE))) AS BIGINT)
+        |      AS target
+        |  FROM s, mm)
+        |SELECT
+        |  CASE WHEN cells < target // 2 OR hs > 0.5
+        |    THEN 'rebuild' ELSE 'append' END AS decision,
+        |  n AS n_before, m AS m_batch, cells AS cells_before,
+        |  round(hs, 9) AS hot_share,
+        |  CASE WHEN cells < target // 2 OR hs > 0.5
+        |    THEN greatest(cells, target) ELSE cells END AS cells_after,
+        |  n + m AS n_after
+        |FROM x""".stripMargin,
     "ann_index_stats" ->
       s"""WITH $ivfAssignCtes,
          |t AS (SELECT count(*) AS total FROM assign)

@@ -191,6 +191,95 @@ object AnnIndex {
           9).as("share"))
   }
 
+  /** Rebuild when the hottest cell holds more than this share of the
+    * index — occupancy this skewed means the coarse quantizer no
+    * longer matches the data distribution, and probe latency (per-cell
+    * cost) has a fat tail no append can fix.
+    */
+  val RebuildHotShare = 0.5
+
+  final case class MaintainReport(decision: String, nBefore: Long,
+      mBatch: Long, cellsBefore: Long, hotShare: Double,
+      cellsAfter: Long, nAfter: Long)
+
+  /** INDEX MAINTENANCE LOOP (`ann_maintain`) — `q_sink_optimize`'s
+    * twin for the vector store: ONE bounded pass over the persisted
+    * index (the `ann_index_stats` occupancy aggregate, |codes|→|cells|
+    * partial-agg) plus the batch size decides, against FAISS's √n
+    * cells rule, whether the incoming batch can APPEND under the
+    * frozen codebook or the index must REBUILD:
+    *
+    *   - `cells < ⌊√(n+m)⌋ / 2` (badly undersized for the grown
+    *     corpus — per-cell scan cost has outrun the √n optimum), or
+    *     hottest-cell share > [[RebuildHotShare]] (quantizer no
+    *     longer fits the distribution)  → REBUILD at
+    *     `max(cells, ⌊√(n+m)⌋)` cells — and the retrain reads the
+    *     index's own exact payload, never the raw corpus (the
+    *     artifact-only discipline end to end),
+    *   - otherwise → APPEND ([[appendIvf]]: assignment against the
+    *     frozen persisted centroids, new cell-partitioned parts).
+    *
+    * The decision inputs and the post-state (cells/codes counts read
+    * back from the artifacts) are reproduced by the gate as a SQL
+    * CASE over the same statistics — a wrong branch, a rebuild that
+    * loses vectors, or an append that silently retrains all
+    * hash-fail. The skew-forced rebuild branch is spec-planted.
+    */
+  def maintainIvf(spark: SparkSession, dir: String, batch: DataFrame)
+      : MaintainReport = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    // ONE bounded occupancy pass: total vectors + hottest cell
+    val occ = codes.groupBy("cid").agg(count(lit(1)).as("nv"))
+      .agg(sum(col("nv")).as("n"), max(col("nv")).as("hot")).first()
+    val n = occ.getLong(0)
+    val hot = occ.getLong(1)
+    val cells = spark.read.parquet(s"$dir/centroids").count()
+    val m = batch.count()
+    val hotShare = hot.toDouble / n.toDouble
+    val target = math.floor(math.sqrt((n + m).toDouble)).toLong
+    val decision =
+      if (cells < target / 2 || hotShare > RebuildHotShare) "rebuild"
+      else "append"
+    if (decision == "rebuild") {
+      // the retrain corpus is the index's OWN exact payload + batch;
+      // localCheckpoint materializes it BEFORE buildIvf overwrites
+      // the very files it was read from
+      val full = codes.select(col("vec_id"), col("v"), col("norm"))
+        .unionByName(batch.select(col("vec_id"), col("v"), col("norm")))
+        .localCheckpoint()
+      buildIvf(full, dir, cells = math.max(cells, target).toInt)
+    } else appendIvf(spark, batch, dir)
+    MaintainReport(decision, n, m, cells, hotShare,
+      spark.read.parquet(s"$dir/centroids").count(),
+      spark.read.parquet(s"$dir/codes").count())
+  }
+
+  /** Gated entry: build over the id-lower half at the standard 16
+    * cells, maintain with the upper half as the incoming batch, and
+    * report decision + decision inputs + artifact-read post-state in
+    * one row.
+    */
+  def annMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Similarity.vecs(spark, sfDir)
+    val mid = all.agg(
+      floor((min(col("vec_id")) + max(col("vec_id"))) / lit(2.0))
+        .cast("long")).first().getLong(0)
+    val dir = TempDirs.create("graft_ann_maintain").toString
+    buildIvf(all.filter(col("vec_id") <= mid), dir)
+    val rep = maintainIvf(spark, dir,
+      all.filter(col("vec_id") > mid)
+        .select(col("vec_id"), col("v"), col("norm")))
+    val spark0 = all.sparkSession
+    spark0.range(1).select(
+      lit(rep.decision).as("decision"),
+      lit(rep.nBefore).as("n_before"),
+      lit(rep.mBatch).as("m_batch"),
+      lit(rep.cellsBefore).as("cells_before"),
+      round(lit(rep.hotShare), 9).as("hot_share"),
+      lit(rep.cellsAfter).as("cells_after"),
+      lit(rep.nAfter).as("n_after"))
+  }
+
   // ---- IVF-PQ: trained codebooks + 64-bit codes (rows-gated) --------
 
   /** Build the IVF-PQ index: train the coarse + per-subspace Lloyd

@@ -34,6 +34,68 @@ class AnnIndexSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("maintenance loop: a skewed store forces the rebuild branch, an " +
+      "undersized store rebuilds at the sqrt-n target, a healthy store " +
+      "appends under the frozen codebook") {
+    import spark.implicits._
+    def mk(vecs: Seq[(Long, Seq[Double])]) = vecs
+      .toDF("vec_id", "v")
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+
+    // SKEW-FORCED REBUILD: 4 centroid seeds (ids 0..3), then 56 more
+    // vectors all nearly parallel to seed 0 — hottest cell share ≈
+    // 57/60 >> 0.5 while cells=4 is NOT undersized (⌊√64⌋/2 = 4)
+    val skewSeed = Seq[(Long, Seq[Double])](
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0)), (3L, Seq(1.0, 1.0, 1.0)))
+    val hotTail = (4L to 59L).map(i =>
+      (i, Seq(1.0, 0.001 * i, 0.0)))
+    val dirS = TempDirs.create("graft_ann_maint_skew").toString
+    AnnIndex.buildIvf(mk(skewSeed ++ hotTail), dirS, cells = 4)
+    val batchS = mk(Seq((100L, Seq(1.0, 0.01, 0.0)),
+      (101L, Seq(1.0, 0.02, 0.0)), (102L, Seq(1.0, 0.03, 0.0)),
+      (103L, Seq(1.0, 0.04, 0.0))))
+    val rs = AnnIndex.maintainIvf(spark, dirS, batchS)
+    assert(rs.decision == "rebuild", s"skew must force rebuild: $rs")
+    assert(rs.hotShare > AnnIndex.RebuildHotShare)
+    assert(rs.nAfter == 64, "the rebuild lost or duplicated vectors")
+    assert(rs.cellsAfter == math.max(4L,
+      math.floor(math.sqrt(64.0)).toLong))
+
+    // SIZE-FORCED REBUILD: 4 cells over 40 vectors, then a 360-vector
+    // batch — ⌊√400⌋/2 = 10 > 4 ⇒ rebuild at 20 cells even though
+    // occupancy is balanced
+    val spread = (0L to 39L).map(i =>
+      (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.5)))
+    val dirU = TempDirs.create("graft_ann_maint_under").toString
+    AnnIndex.buildIvf(mk(spread), dirU, cells = 4)
+    val bigBatch = mk((100L to 459L).map(i =>
+      (i, Seq(math.cos(i * 0.3), math.sin(i * 0.3), -0.5))))
+    val ru = AnnIndex.maintainIvf(spark, dirU, bigBatch)
+    assert(ru.decision == "rebuild" && ru.cellsAfter == 20L &&
+      ru.nAfter == 400L, s"undersized store must rebuild at √n: $ru")
+
+    // HEALTHY APPEND: balanced occupancy, adequately-sized — the
+    // codebook stays frozen (cells unchanged) and the appended index
+    // answers exactly like one full build (the appendIvf contract)
+    val dirH = TempDirs.create("graft_ann_maint_healthy").toString
+    AnnIndex.buildIvf(mk(spread), dirH, cells = 4)
+    val smallBatch = mk((100L to 109L).map(i =>
+      (i, Seq(math.cos(i * 0.3), math.sin(i * 0.3), -0.5))))
+    val rh = AnnIndex.maintainIvf(spark, dirH, smallBatch)
+    assert(rh.decision == "append" && rh.cellsAfter == 4L &&
+      rh.nAfter == 50L, s"healthy store must append: $rh")
+    val dirFull = TempDirs.create("graft_ann_maint_full").toString
+    AnnIndex.buildIvf(mk(spread).unionByName(smallBatch)
+      .localCheckpoint(), dirFull, cells = 4)
+    val q = mk(spread.take(3)).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qnorm"))
+    val a = AnnIndex.queryIvf(spark, dirH, q, k = 5)
+    val b = AnnIndex.queryIvf(spark, dirFull, q, k = 5)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "append drifted from the one-shot build")
+  }
+
   test("query plans are artifact-only: no corpus re-encode, and the " +
       "cell-partitioned codes store prunes via dynamic partition pruning") {
     val all = corpus()
