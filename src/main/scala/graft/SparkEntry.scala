@@ -462,6 +462,9 @@ object SparkEntry {
     "q_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
     "q_kcore" -> ((s, d) => Dedup.kcore(s, d)),
     "q_label_prop" -> ((s, d) => Dedup.labelProp(s, d)),
+    // rows-gated by design (convergence-dependent round count; the
+    // fixed-round twin above carries the DuckDB hash gate)
+    "q_label_prop_converged" -> ((s, d) => Dedup.labelPropConverged(s, d)),
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
     "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "q_anon_generalize" -> ((s, d) => Quality.anonGeneralize(s, d)),

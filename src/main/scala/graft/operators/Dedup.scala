@@ -1044,38 +1044,104 @@ object Dedup {
     labelPropOver(e, seeds, iters)
   }
 
+  /** One spread round: the still-unlabeled neighbors of the labeled
+    * set vote (count desc, label asc — a total order), tagged with
+    * the round number. ONE definition shared by the fixed-round and
+    * convergence-mode variants so the vote rule can never drift.
+    */
+  private def lpRound(sym: DataFrame, labeled: DataFrame,
+      i: Long): DataFrame = {
+    val votes = sym
+      .join(labeled.select(col("doc_id").as("doc_a"), col("label")),
+        "doc_a")
+      .select(col("doc_b").as("doc_id"), col("label"))
+      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("doc_id", "label").agg(count(lit(1)).as("c"))
+    votes
+      .groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("doc_id"), col("m.l").as("label"), lit(i).as("rnd"))
+  }
+
+  private def lpSym(e: DataFrame): DataFrame =
+    e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+
+  private def lpFinish(nodes: DataFrame, labeled: DataFrame): DataFrame =
+    nodes
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), lit("unlabeled")).as("label"),
+        coalesce(col("rnd"), lit(-1L)).as("rnd"))
+
   /** Same spread over any canonical edge list + (doc_id, label) seed
     * set — planted chain/tie specs pin the vote and clamp rules.
     */
   def labelPropOver(e: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
-    val sym = e.unionByName(
-        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    val sym = lpSym(e)
     val nodes = sym.select(col("doc_a").as("doc_id")).distinct()
       .localCheckpoint()
     var labeled = seeds
       .select(col("doc_id"), col("label"), lit(0L).as("rnd"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      val votes = sym
-        .join(labeled.select(col("doc_id").as("doc_a"), col("label")),
-          "doc_a")
-        .select(col("doc_b").as("doc_id"), col("label"))
-        .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
-        .groupBy("doc_id", "label").agg(count(lit(1)).as("c"))
-      val picked = votes
-        .groupBy("doc_id")
-        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("doc_id"), col("m.l").as("label"),
-          lit(i.toLong).as("rnd"))
-      labeled = labeled.unionByName(picked).localCheckpoint()
+      labeled = labeled.unionByName(lpRound(sym, labeled, i.toLong))
+        .localCheckpoint()
     }
-    nodes
-      .join(labeled, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), lit("unlabeled")).as("label"),
-        coalesce(col("rnd"), lit(-1L)).as("rnd"))
+    lpFinish(nodes, labeled)
+  }
+
+  /** CONVERGENCE-MODE label propagation (`q_label_prop_converged`):
+    * iterate until NO label changes — the loop is monotone (seed
+    * clamping: a round only EXTENDS the labeled set), so "no changes"
+    * is exactly "this round labeled nobody new", read as ONE bounded
+    * 1-row driver count per round on top of the fixed variant's
+    * per-round O(E) cost, with a round cap. The output carries the
+    * rounds actually run and the convergence flag; the fixed-round
+    * `q_label_prop` stays the DuckDB-gated twin (its oracle is the
+    * unrolled CTE), this key is rows-gated and its spec pins the
+    * fixed-point CERTIFICATE — one more round from the converged
+    * state labels nothing — plus agreement with the twin's
+    * trajectory on every round it shares.
+    */
+  def labelPropConverged(spark: SparkSession, sfDir: String,
+      maxIters: Int = 30): DataFrame = {
+    val e = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    val nodes0 = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id"))).distinct()
+    val seeds = nodes0.filter(col("doc_id") % 4 === 0)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("lang").as("label"))
+    labelPropConvergedOver(e, seeds, maxIters)
+  }
+
+  private[graft] def labelPropConvergedOver(e: DataFrame,
+      seeds: DataFrame, maxIters: Int): DataFrame = {
+    val sym = lpSym(e)
+    val nodes = sym.select(col("doc_a").as("doc_id")).distinct()
+      .localCheckpoint()
+    var labeled = seeds
+      .select(col("doc_id"), col("label"), lit(0L).as("rnd"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val picked = lpRound(sym, labeled, (rounds + 1).toLong)
+        .localCheckpoint()
+      rounds += 1
+      // ONE bounded 1-row driver read per round: the newly-labeled
+      // count — zero means the monotone spread reached its fixed point
+      if (picked.count() == 0L) converged = true
+      else labeled = labeled.unionByName(picked).localCheckpoint()
+    }
+    lpFinish(nodes, labeled)
+      .select(col("doc_id"), col("label"), col("rnd"),
+        lit(rounds.toLong).as("n_rounds"), lit(converged).as("converged"))
   }
 
   // ---- Exact-substring (suffix-style) dedup --------------------------

@@ -492,6 +492,51 @@ class DedupSpec extends SparkSpec {
       "no label ever propagated on the real corpus")
   }
 
+  test("label propagation converged: the stop fires at the monotone " +
+      "fixed point, certifies it, and agrees with the fixed-round twin") {
+    import spark.implicits._
+    // a 5-chain off one seed converges in exactly 5 productive rounds
+    // + 1 empty detection round; the isolated pair stays unlabeled
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val seeds = Seq((0L, "en")).toDF("doc_id", "label")
+    val out = Dedup.labelPropConvergedOver(edges, seeds, 30).cache()
+    val rows = out.collect()
+    assert(rows.forall(_.getBoolean(4)), "cap hit before convergence")
+    val nRounds = rows.head.getLong(3)
+    assert(nRounds == 6L,
+      s"5-chain: 5 spread rounds + 1 empty detection round, got $nRounds")
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2)))).toMap
+    (0 to 5).foreach(i =>
+      assert(byId(i.toLong) == (("en", i.toLong)), s"chain wrong at $i"))
+    assert(byId(20L)._1 == "unlabeled" && byId(21L)._1 == "unlabeled")
+    // the CERTIFICATE: one more round from the converged label set
+    // labels nobody — replay the fixed variant past the fixed point
+    val replay = Dedup.labelPropOver(edges, seeds, nRounds.toInt + 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId.forall { case (id, v) => replay(id) == v },
+      "the converged state is not a fixed point")
+    // trajectory agreement with the fixed-round twin on shared rounds
+    val twin = Dedup.labelPropOver(edges, seeds, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId.filter(_._2._2 <= 3L).forall {
+      case (id, v) => twin(id) == v })
+    out.unpersist()
+    // real corpus: converges under the cap and matches the gated
+    // 3-round twin on every rnd ≤ 3 label
+    val real = Dedup.labelPropConverged(spark, sf).cache()
+    assert(real.head().getBoolean(4), "real corpus hit the round cap")
+    val fixed = Dedup.labelProp(spark, sf)
+      .select(col("doc_id"), col("label").as("l3"), col("rnd").as("r3"))
+    val drift = real.filter(col("rnd").between(0L, 3L))
+      .join(fixed, "doc_id")
+      .filter(col("label") =!= col("l3") || col("rnd") =!= col("r3"))
+    assert(drift.isEmpty, "converged run drifted from the fixed twin")
+    real.unpersist()
+  }
+
   test("containment catches the planted subset pair that jaccard misses") {
     import spark.implicits._
     val small = (1 to 20).map(i => s"sub_$i")
