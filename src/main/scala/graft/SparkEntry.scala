@@ -551,6 +551,8 @@ object SparkEntry {
     "q_p_chart" -> ((s, d) => Stats.pChart(s, d)),
     "q_durbin_watson" -> ((s, d) => Stats.durbinWatson(s, d)),
     "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
+    "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
+    "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
     "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
     "q_qq" -> ((s, d) => Stats.qqPoints(s, d)),
     "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
@@ -8421,6 +8423,90 @@ object SparkEntry {
         |  FROM terms)
         |SELECT lag, n, acf, CAST(qsum AS DOUBLE) AS q_stat
         |FROM cum""".stripMargin,
+    // Jarque-Bera: exact cent means, per-row deviation dags with
+    // d^2/d^3/d^4 rounded 6 and decimal-summed, fixed S/K/JB dag
+    "q_jarque_bera" ->
+      """WITH y AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |m1 AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s
+        |  FROM y GROUP BY 1),
+        |mu AS (SELECT grp, n,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM m1),
+        |d AS (
+        |  SELECT y.grp, mu.n, CAST(y.y AS DOUBLE) - mu.mu AS d
+        |  FROM y JOIN mu USING (grp)),
+        |a AS (
+        |  SELECT grp, max(n) AS n,
+        |    sum(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS m2,
+        |    sum(CAST(round(d * d * d, 6) AS DECIMAL(38,6))) AS m3,
+        |    sum(CAST(round(d * d * d * d, 6) AS DECIMAL(38,6))) AS m4
+        |  FROM d GROUP BY 1)
+        |SELECT grp AS event_type, n,
+        |  CASE WHEN CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |    round((CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * sqrt(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |  END AS skewness,
+        |  CASE WHEN CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |    round((CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 6)
+        |  END AS kurt_excess,
+        |  CASE WHEN CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |    round(CAST(n AS DOUBLE) / 6.0 *
+        |      (((CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * sqrt(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))))
+        |        * ((CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * sqrt(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))))
+        |       + ((CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+        |         * ((CAST(m4 AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+        |         / 4.0), 6)
+        |  END AS jb
+        |FROM a""".stripMargin,
+    // Grubbs: exact cent moments, max|d| over per-row IEEE doubles
+    // (no summation), outlier recovered as max y at the max deviation
+    "q_grubbs" ->
+      """WITH y AS (
+        |  SELECT event_type AS grp,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS s,
+        |    sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0))) AS q
+        |  FROM y GROUP BY 1),
+        |mm AS (
+        |  SELECT grp, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+        |          CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n - 1 AS DOUBLE)) END AS sd
+        |  FROM m),
+        |dev AS (
+        |  SELECT y.grp, y.y, abs(CAST(y.y AS DOUBLE) - mm.mu) AS absd
+        |  FROM y JOIN mm USING (grp)),
+        |mx AS (SELECT grp, max(absd) AS maxd FROM dev GROUP BY 1),
+        |o AS (
+        |  SELECT dev.grp, CAST(max(dev.y) AS BIGINT) AS outlier_cents
+        |  FROM dev JOIN mx ON dev.grp = mx.grp AND dev.absd = mx.maxd
+        |  GROUP BY 1)
+        |SELECT mm.grp AS event_type, mm.n,
+        |  round(mm.mu, 6) AS mean_cents,
+        |  CASE WHEN mm.sd > 0 THEN round(mm.sd, 6) END AS sd_cents,
+        |  CASE WHEN mm.sd > 0 THEN round(mx.maxd / mm.sd, 6) END AS g,
+        |  o.outlier_cents
+        |FROM mm JOIN mx USING (grp) JOIN o USING (grp)""".stripMargin,
     // p-chart: exact daily counts, varying-n 3-sigma limits, one
     // shared dag per day
     "q_p_chart" ->

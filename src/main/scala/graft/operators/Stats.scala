@@ -3587,6 +3587,107 @@ object Stats {
           ((col("k") - 1).cast("double") * ssw), 6)).as("f_bf"))
   }
 
+  /** JARQUE–BERA NORMALITY TEST (`q_jarque_bera`) — the classical
+    * skewness/kurtosis omnibus per event type, the parametric
+    * counterpart to [[lMoments]] (which exists precisely because
+    * these moments explode on heavy tails — reporting both is how an
+    * analyst SEES that): S = m₃/m₂^{3/2}, excess K = m₄/m₂² − 3,
+    * JB = n/6·(S² + K²/4), χ²(2) under normality.
+    *
+    * Two passes (the ANOVA discipline): pass 1 rolls exact BIGINT
+    * cent sums to per-type means; pass 2 computes each row's
+    * deviation ONCE as an IEEE double on exact inputs and its
+    * d²/d³/d⁴ terms rounded 6 and summed IN DECIMAL — cross-row sums
+    * have one deterministic value in both engines regardless of
+    * partitioning. The final S/K/JB dag is a fixed IEEE expression
+    * on those decimal sums, null-guarded at zero variance.
+    */
+  def jarqueBera(spark: SparkSession, sfDir: String): DataFrame =
+    jarqueBeraOver(Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"),
+        (money(col("value")) * 100).cast("long").as("y")))
+
+  /** Same operator over any (grp, y: long) frame — a planted
+    * symmetric two-point corpus pins S = 0 / K = −2 exactly, a
+    * constant corpus pins the zero-variance null guard.
+    */
+  private[graft] def jarqueBeraOver(df: DataFrame): DataFrame = {
+    val d386 = DecimalType(38, 6)
+    val m1 = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      .select(col("grp"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mu"))
+      .localCheckpoint()
+    val dd = df.join(broadcast(m1), "grp")
+      .withColumn("d", col("y").cast("double") - col("mu"))
+    val a = dd.groupBy("grp").agg(
+      max(col("n")).as("n"),
+      sum(round(col("d") * col("d"), 6).cast(d386)).as("m2"),
+      sum(round(col("d") * col("d") * col("d"), 6).cast(d386)).as("m3"),
+      sum(round(col("d") * col("d") * col("d") * col("d"), 6).cast(d386))
+        .as("m4"))
+    val nd = col("n").cast("double")
+    val v = col("m2").cast("double") / nd
+    val skew = (col("m3").cast("double") / nd) / (v * sqrt(v))
+    val kurt = (col("m4").cast("double") / nd) / (v * v) - lit(3.0)
+    a.select(col("grp").as("event_type"), col("n"),
+      when(v > 0, round(skew, 6)).as("skewness"),
+      when(v > 0, round(kurt, 6)).as("kurt_excess"),
+      when(v > 0, round(nd / lit(6.0) *
+        (skew * skew + kurt * kurt / lit(4.0)), 6)).as("jb"))
+  }
+
+  /** GRUBBS' OUTLIER TEST (`q_grubbs`) — the single-most-extreme-point
+    * test per event type, completing the outlier family's inferential
+    * leg (`q_outlier_iqr` fences, `q_anomaly_zscore`/`q_anomaly_mad`
+    * hunt pointwise; Grubbs asks "is the WORST point statistically
+    * surprising" with one number an alert can threshold):
+    * G = max|y − ȳ|/s against the t-based critical value at n.
+    *
+    * Exact BIGINT/DECIMAL cent moments in one pass give ȳ and s; the
+    * max deviation is a pure max over per-row IEEE doubles on exact
+    * inputs (no summation — shuffle-order-proof by construction);
+    * the offending VALUE is recovered deterministically as the
+    * largest y among rows achieving the max (double equality on an
+    * identical dag, the symmetric-tie rule both engines replay).
+    */
+  def grubbs(spark: SparkSession, sfDir: String): DataFrame =
+    grubbsOver(Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"),
+        (money(col("value")) * 100).cast("long").as("y")))
+
+  /** Same operator over any (grp, y: long) frame — a planted corpus
+    * with one far point pins G and the recovered outlier; a
+    * symmetric ±d tie pins the larger-y tie rule; a constant corpus
+    * pins the null guard. */
+  private[graft] def grubbsOver(df: DataFrame): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val m = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast(d380).as("s"),
+        sum((col("y").cast(DecimalType(19, 0)) *
+          col("y").cast(DecimalType(19, 0))).cast(d380)).as("q"))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sd",
+        when(col("n") > 1,
+          sqrt((col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) /
+            (col("n") - 1).cast("double"))))
+      .localCheckpoint()
+    val dev = df.join(broadcast(m.select("grp", "mu")), "grp")
+      .withColumn("absd", abs(col("y").cast("double") - col("mu")))
+    val mx = dev.groupBy("grp").agg(max(col("absd")).as("maxd"))
+    val outlier = dev.join(broadcast(mx), "grp")
+      .filter(col("absd") === col("maxd"))
+      .groupBy("grp").agg(max(col("y")).as("outlier_cents"))
+    m.join(mx, "grp").join(outlier, "grp")
+      .select(col("grp").as("event_type"), col("n"),
+        round(col("mu"), 6).as("mean_cents"),
+        when(col("sd") > 0, round(col("sd"), 6)).as("sd_cents"),
+        when(col("sd") > 0, round(col("maxd") / col("sd"), 6)).as("g"),
+        col("outlier_cents"))
+  }
+
   /** COCHRAN'S Q TEST (`q_cochran_q`) — k related binary samples: did
     * users engage DIFFERENTLY across the click/view/purchase actions,
     * with each USER as their own matched block (the k-sample

@@ -505,6 +505,39 @@ class StatsSpec extends SparkSpec {
     assert(const(1L).getAs[Long]("n_pairs") == 5)
   }
 
+  test("jarque-bera: symmetric two-point corpus pins S=0, K=-2, JB=n/6; " +
+      "constant corpus null-guards") {
+    import spark.implicits._
+    def run(ys: Seq[Long]) = Stats.jarqueBeraOver(
+      ys.map(("a", _)).toDF("grp", "y")).collect().head
+    // {0,10}×3: mean 5, d=±5 -> m2=150, m3=0, m4=3750 ->
+    // S=0, K=625/625-3=-2, JB = 6/6*(0 + 4/4) = 1
+    val sym = run(Seq(0L, 10L, 0L, 10L, 0L, 10L))
+    assert(sym.getAs[Double]("skewness") == 0.0)
+    assert(sym.getAs[Double]("kurt_excess") == -2.0)
+    assert(sym.getAs[Double]("jb") == 1.0)
+    val const = run(Seq(4L, 4L, 4L))
+    assert(const.isNullAt(const.fieldIndex("skewness")) &&
+      const.isNullAt(const.fieldIndex("jb")))
+  }
+
+  test("grubbs: the far point is recovered with its G; symmetric ties " +
+      "break to the larger value; constant corpus null-guards") {
+    import spark.implicits._
+    def run(ys: Seq[Long]) = Stats.grubbsOver(
+      ys.map(("a", _)).toDF("grp", "y")).collect().head
+    // [0,0,0,0,100]: mean 20, s²=2000, maxd=80 -> G=80/√2000
+    val far = run(Seq(0L, 0L, 0L, 0L, 100L))
+    assert(far.getAs[Long]("outlier_cents") == 100L)
+    assert(math.abs(far.getAs[Double]("g") - 80.0 / math.sqrt(2000.0))
+      < 1e-6)
+    // symmetric ±5 tie -> the larger value wins deterministically
+    val tie = run(Seq(0L, 10L))
+    assert(tie.getAs[Long]("outlier_cents") == 10L)
+    val const = run(Seq(4L, 4L, 4L))
+    assert(const.isNullAt(const.fieldIndex("g")))
+  }
+
   test("ljung-box: alternating series pins the exact portmanteau walk; " +
       "constant series null-guards") {
     import spark.implicits._
