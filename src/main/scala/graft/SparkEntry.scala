@@ -553,6 +553,9 @@ object SparkEntry {
     "q_ljung_box" -> ((s, d) => Stats.ljungBox(s, d)),
     "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
+    "q_cronbach" -> ((s, d) => Stats.cronbach(s, d)),
+    "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
+    "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
     "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
     "q_qq" -> ((s, d) => Stats.qqPoints(s, d)),
     "q_lmoments" -> ((s, d) => Stats.lMoments(s, d)),
@@ -1047,6 +1050,53 @@ object SparkEntry {
     * rank -> cell assignment) shared by the two IVF answers and the
     * index-health report.
     */
+  /** Cronbach oracle, generated over the fixed item list so the
+    * five-item moment plumbing and the fixed-order variance fold can
+    * never drift from the Spark side's literal type list.
+    */
+  private val cronbachOracle: String = {
+    val ts = Seq("click", "error", "purchase", "signup", "view")
+    val pivots = ts.map(t =>
+      s"    sum(CASE WHEN event_type = '$t' THEN y ELSE 0 END) AS x_$t")
+      .mkString(",\n")
+    val moments = ts.map(t =>
+      s"""    CAST(sum(x_$t) AS DECIMAL(38,0)) AS s_$t,
+         |    sum(CAST(CAST(x_$t AS DECIMAL(19,0)) *
+         |      CAST(x_$t AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS q_$t"""
+        .stripMargin).mkString(",\n")
+    val tot = ts.map(t => s"x_$t").mkString(" + ")
+    def v(s: String, q: String) =
+      s"(CAST($q AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE)" +
+        s" / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+    val sumItemVar = ts.map(t => s"(${v(s"s_$t", s"q_$t")})")
+      .mkString(" + ")
+    val totalVar = v("s_tot", "q_tot")
+    s"""WITH y AS (
+       |  SELECT user_id, event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+       |  FROM events
+       |  WHERE event_type IN (${ts.map(t => s"'$t'").mkString(", ")})),
+       |u AS (
+       |  SELECT user_id,
+       |$pivots
+       |  FROM y GROUP BY 1),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |$moments,
+       |    CAST(sum($tot) AS DECIMAL(38,0)) AS s_tot,
+       |    sum(CAST(CAST($tot AS DECIMAL(19,0)) *
+       |      CAST($tot AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS q_tot
+       |  FROM u)
+       |SELECT n AS n_users, CAST(${ts.size} AS BIGINT) AS k_items,
+       |  $sumItemVar AS sum_item_var,
+       |  $totalVar AS total_var,
+       |  CASE WHEN n > 1 AND $totalVar > 0 THEN
+       |    round(${ts.size}.0 / ${ts.size - 1}.0 *
+       |      (1.0 - ($sumItemVar) / ($totalVar)), 6)
+       |  END AS alpha
+       |FROM m""".stripMargin
+  }
+
   private val ivfAssignCtes =
     """cent AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -8473,6 +8523,58 @@ object SparkEntry {
         |         / 4.0), 6)
         |  END AS jb
         |FROM a""".stripMargin,
+    // Cronbach's alpha: generated over the fixed item list (see
+    // cronbachOracle) — exact moments, fixed-order variance fold
+    "q_cronbach" -> cronbachOracle,
+    // pairwise post-hoc contrasts: the ANOVA MSW recipe + a bounded
+    // k-row self-join; SE/t single IEEE dags on exact moments
+    "q_tukey_contrasts" ->
+      """WITH m AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) *
+        |      CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT grp, n, s,
+        |    CAST(round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS ssw_t
+        |  FROM m),
+        |g AS (SELECT CAST(sum(ssw_t) AS DOUBLE) AS ssw,
+        |    CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS k FROM t)
+        |SELECT a.grp AS type_a, b.grp AS type_b,
+        |  a.n AS na, b.n AS nb,
+        |  round(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS mean_diff,
+        |  CASE WHEN g.tn > g.k AND g.ssw / CAST(g.tn - g.k AS DOUBLE) > 0
+        |    THEN round(sqrt(g.ssw / CAST(g.tn - g.k AS DOUBLE)
+        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+        |      6) END AS se,
+        |  CASE WHEN g.tn > g.k AND g.ssw / CAST(g.tn - g.k AS DOUBLE) > 0
+        |    THEN round((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |      / sqrt(g.ssw / CAST(g.tn - g.k AS DOUBLE)
+        |        * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+        |      6) END AS t_stat
+        |FROM t a JOIN t b ON a.grp < b.grp CROSS JOIN g""".stripMargin,
+    // two-sample Poisson rate test vs the click baseline: exact
+    // counts, z = (n1-n2)/sqrt(n1+n2), shared exposure cancels
+    "q_poisson_rate" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT n AS n_base FROM c WHERE event_type = 'click')
+        |SELECT c.event_type, c.n AS n_type, b.n_base,
+        |  CASE WHEN b.n_base > 0 THEN
+        |    round(CAST(c.n AS DOUBLE) / CAST(b.n_base AS DOUBLE), 6)
+        |  END AS rate_ratio,
+        |  CASE WHEN c.n + b.n_base > 0 THEN
+        |    round(CAST(c.n - b.n_base AS DOUBLE)
+        |      / sqrt(CAST(c.n + b.n_base AS DOUBLE)), 6)
+        |  END AS z
+        |FROM c, b WHERE c.event_type <> 'click'""".stripMargin,
     // Grubbs: exact cent moments, max|d| over per-row IEEE doubles
     // (no summation), outlier recovered as max y at the max deviation
     "q_grubbs" ->

@@ -3587,6 +3587,154 @@ object Stats {
           ((col("k") - 1).cast("double") * ssw), 6)).as("f_bf"))
   }
 
+  /** CRONBACH'S ALPHA (`q_cronbach`) — internal-consistency
+    * reliability with each event TYPE as an item and each user's
+    * per-type cent total as the item score (the engagement-scale
+    * question: do the five activity axes move together enough to
+    * justify one composite "engagement" number?):
+    * α = k/(k−1)·(1 − Σᵢvarᵢ/var_total).
+    *
+    * ONE conditional-aggregate scan pivots events to the per-user
+    * item frame (absent items score 0 — the complete-design rule,
+    * users with no events at all are outside the instrument); item
+    * and total variances come from exact BIGINT/DECIMAL moments and
+    * divide once each in a fixed IEEE dag. Population: users with
+    * ≥ 1 event.
+    */
+  def cronbach(spark: SparkSession, sfDir: String): DataFrame =
+    cronbachOver(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (money(col("value")) * 100).cast("long").as("y")))
+
+  /** Same operator over any (user_id, event_type, y: long) frame — a
+    * planted perfectly-correlated corpus pins α = k/(k−1)·(1−1/k)…
+    * = 1 exactly; independent single-item users pin the low end;
+    * a zero-total-variance corpus null-guards. */
+  private[graft] def cronbachOver(df: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val d380 = DecimalType(38, 0)
+    val items = types.map(t =>
+      sum(when(col("event_type") === t, col("y")).otherwise(0L))
+        .as(s"x_$t"))
+    val users = df
+      .filter(col("event_type").isin(types.map(t => t: Any): _*))
+      .groupBy("user_id")
+      .agg(items.head, items.tail: _*)
+    val tot = types.map(t => col(s"x_$t")).reduce(_ + _)
+    val aggs =
+      types.flatMap(t => Seq(
+        sum(col(s"x_$t")).cast(d380).as(s"s_$t"),
+        sum((col(s"x_$t").cast(DecimalType(19, 0)) *
+          col(s"x_$t").cast(DecimalType(19, 0))).cast(d380))
+          .as(s"q_$t"))) ++ Seq(
+        sum(tot).cast(d380).as("s_tot"),
+        sum((tot.cast(DecimalType(19, 0)) * tot.cast(DecimalType(19, 0)))
+          .cast(d380)).as("q_tot"),
+        count(lit(1)).as("n"))
+    val m = users.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def sampleVar(s: Column, q: Column): Column =
+      (q.cast("double") - s.cast("double") * s.cast("double") / nd) /
+        (nd - lit(1.0))
+    // the cross-item sum of variances follows the ANOVA term
+    // discipline in spirit, but with k = 5 FIXED items the sum is a
+    // fixed-order dag (left fold over the literal type list) both
+    // engines replay — no nondeterministic ordering to absorb
+    val sumItemVar = types.map(t =>
+      sampleVar(col(s"s_$t"), col(s"q_$t"))).reduce(_ + _)
+    val totalVar = sampleVar(col("s_tot"), col("q_tot"))
+    val k = lit(types.size.toDouble)
+    m.select(col("n").cast("long").as("n_users"),
+      lit(types.size.toLong).as("k_items"),
+      // RAW doubles: at ~1e9 magnitude a 6-decimal round sits at the
+      // double's precision limit, where the two engines' round
+      // semantics (exact-BigDecimal vs scaled-multiply) visibly
+      // diverge — the identical dag is bit-stable, the round isn't
+      sumItemVar.as("sum_item_var"),
+      totalVar.as("total_var"),
+      when(col("n") > 1 && totalVar > 0,
+        round(k / (k - lit(1.0)) * (lit(1.0) - sumItemVar / totalVar),
+          6)).as("alpha"))
+  }
+
+  /** PAIRWISE POST-HOC CONTRASTS (`q_tukey_contrasts`) — the step
+    * AFTER a significant `q_anova`: which of the k(k−1)/2 type pairs
+    * actually differ? Each contrast reports the mean difference, its
+    * pooled standard error SE = √(MSW·(1/nᵢ+1/nⱼ)) from the SAME
+    * within-group mean square the ANOVA computed (one shared recipe —
+    * the Tukey-HSD arithmetic up to the studentized-range table,
+    * which is the caller's lookup), and the t-ratio. Moments come
+    * from ONE partial-agg scan; the k-row frame self-joins (type_a <
+    * type_b) into the bounded contrast table.
+    */
+  def tukeyContrasts(spark: SparkSession, sfDir: String): DataFrame =
+    tukeyContrastsOver(Tables.events(spark, sfDir)
+      .select(col("event_type").as("grp"), money(col("value")).as("v")))
+
+  /** Same operator over any (grp, v: decimal(18,2)) frame — a
+    * hand-computed 3-group plant pins every contrast; a constant
+    * corpus pins the zero-MSW null guard. */
+  private[graft] def tukeyContrastsOver(df: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 4)
+    val m = df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(d38)).as("ss"))
+      // per-group SSW term: the exact ANOVA discipline (IEEE on exact
+      // inputs, rounded 6, summed IN DECIMAL)
+      .withColumn("ssw_t",
+        round(col("ss").cast("double") - col("s").cast("double")
+          * col("s").cast("double") / col("n").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+      .localCheckpoint()
+    val g = m.agg(sum(col("ssw_t")).as("ssw"), sum(col("n")).as("tn"),
+      count(lit(1)).as("k"))
+    val msw = col("ssw").cast("double") /
+      (col("tn") - col("k")).cast("double")
+    val a = m.select(col("grp").as("type_a"), col("n").as("na"),
+      (col("s").cast("double") / col("n").cast("double")).as("ma"))
+    val b = m.select(col("grp").as("type_b"), col("n").as("nb"),
+      (col("s").cast("double") / col("n").cast("double")).as("mb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .crossJoin(broadcast(g))
+      .select(col("type_a"), col("type_b"),
+        col("na"), col("nb"),
+        round(col("ma") - col("mb"), 6).as("mean_diff"),
+        when(col("tn") > col("k") && msw > 0,
+          round(sqrt(msw * (lit(1.0) / col("na").cast("double") +
+            lit(1.0) / col("nb").cast("double"))), 6)).as("se"),
+        when(col("tn") > col("k") && msw > 0,
+          round((col("ma") - col("mb")) /
+            sqrt(msw * (lit(1.0) / col("na").cast("double") +
+              lit(1.0) / col("nb").cast("double"))), 6)).as("t_stat"))
+  }
+
+  /** TWO-SAMPLE POISSON RATE TEST (`q_poisson_rate`) — each event
+    * type's count against the `click` baseline under the SAME
+    * exposure window (the shared corpus span, so exposure cancels):
+    * the classic conditional test z = (n₁−n₂)/√(n₁+n₂) — exact
+    * integer counts, one square root — plus the rate ratio. This is
+    * the count-data twin of `q_ab_test` (which compares MEANS): "are
+    * errors arriving at a different RATE than clicks" is a rate
+    * question, not a mean question.
+    */
+  def poissonRate(spark: SparkSession, sfDir: String,
+      baseline: String = "click"): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val base = counts.filter(col("event_type") === baseline)
+      .select(col("n").as("n_base"))
+    counts.filter(col("event_type") =!= baseline)
+      .crossJoin(broadcast(base))
+      .select(col("event_type"), col("n").as("n_type"), col("n_base"),
+        when(col("n_base") > 0,
+          round(col("n").cast("double") / col("n_base").cast("double"),
+            6)).as("rate_ratio"),
+        when(col("n") + col("n_base") > 0,
+          round((col("n") - col("n_base")).cast("double") /
+            sqrt((col("n") + col("n_base")).cast("double")), 6)).as("z"))
+  }
+
   /** JARQUE–BERA NORMALITY TEST (`q_jarque_bera`) — the classical
     * skewness/kurtosis omnibus per event type, the parametric
     * counterpart to [[lMoments]] (which exists precisely because

@@ -505,6 +505,61 @@ class StatsSpec extends SparkSpec {
     assert(const(1L).getAs[Long]("n_pairs") == 5)
   }
 
+  test("cronbach: perfectly-correlated items pin alpha = 1; zero total " +
+      "variance null-guards") {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    // every item score = 100·user -> item vars V each, total var 25V
+    // -> alpha = 5/4·(1 − 5V/25V) = 1 exactly
+    val perfect = (1L to 4L).flatMap(u => types.map(t => (u, t, 100L * u)))
+      .toDF("user_id", "event_type", "y")
+    val p = Stats.cronbachOver(perfect).collect().head
+    assert(p.getAs[Double]("alpha") == 1.0, s"alpha != 1: $p")
+    assert(p.getAs[Long]("n_users") == 4L && p.getAs[Long]("k_items") == 5L)
+    // identical users -> total variance 0 -> null, never NaN
+    val flat = (1L to 3L).flatMap(u => types.map(t => (u, t, 100L)))
+      .toDF("user_id", "event_type", "y")
+    val f = Stats.cronbachOver(flat).collect().head
+    assert(f.isNullAt(f.fieldIndex("alpha")))
+  }
+
+  test("tukey contrasts: hand-computed two-group contrast pins diff/SE/t; " +
+      "constant corpus null-guards") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double)]) = Stats.tukeyContrastsOver(
+      rows.toDF("grp", "v0")
+        .select(col("grp"), col("v0").cast("decimal(18,2)").as("v")))
+      .collect()
+    // a={0,4} (mean 2, ssw 8), b={10,14} (mean 12, ssw 8):
+    // MSW = 16/2 = 8, se = sqrt(8·(1/2+1/2)) = 2.828427,
+    // t = -10/2.828427 = -3.535534
+    val out = run(Seq("a" -> 0.0, "a" -> 4.0, "b" -> 10.0, "b" -> 14.0))
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("type_a") == "a" &&
+      r.getAs[String]("type_b") == "b")
+    assert(r.getAs[Double]("mean_diff") == -10.0)
+    assert(r.getAs[Double]("se") == 2.828427)
+    assert(r.getAs[Double]("t_stat") == -3.535534)
+    val const = run(Seq("a" -> 2.0, "a" -> 2.0, "b" -> 2.0, "b" -> 2.0))
+    assert(const.head.isNullAt(const.head.fieldIndex("t_stat")))
+  }
+
+  test("poisson rate: z and ratio replay the exact counts; the baseline " +
+      "row is excluded") {
+    val out = Stats.poissonRate(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getString(0) != "click"))
+    val counts = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val n1 = r.getAs[Long]("n_type"); val n2 = r.getAs[Long]("n_base")
+      assert(n1 == counts(r.getString(0)) && n2 == counts("click"))
+      val z = BigDecimal((n1 - n2).toDouble / math.sqrt((n1 + n2).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("z") == z)
+    }
+  }
+
   test("jarque-bera: symmetric two-point corpus pins S=0, K=-2, JB=n/6; " +
       "constant corpus null-guards") {
     import spark.implicits._
