@@ -554,6 +554,8 @@ object SparkEntry {
     "q_jarque_bera" -> ((s, d) => Stats.jarqueBera(s, d)),
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
     "q_cronbach" -> ((s, d) => Stats.cronbach(s, d)),
+    "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
+    "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
     "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
     "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
@@ -8526,6 +8528,84 @@ object SparkEntry {
     // Cronbach's alpha: generated over the fixed item list (see
     // cronbachOracle) — exact moments, fixed-order variance fold
     "q_cronbach" -> cronbachOracle,
+    // Theil's U2: exact-cent squared errors on the common lag-7/lag-1
+    // calendar-joined day set, one division + sqrt
+    "q_theil_u" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CASE WHEN CAST(sum(CAST((d1.y - d.y) * (d1.y - d.y)
+        |      AS DECIMAL(38,0))) AS DOUBLE) > 0 THEN
+        |    round(sqrt(CAST(sum(CAST((d7.y - d.y) * (d7.y - d.y)
+        |        AS DECIMAL(38,0))) AS DOUBLE)
+        |      / CAST(sum(CAST((d1.y - d.y) * (d1.y - d.y)
+        |        AS DECIMAL(38,0))) AS DOUBLE)), 6)
+        |  END AS u2
+        |FROM daily d
+        |JOIN daily d7 ON d7.event_type = d.event_type
+        |  AND d7.day = d.day - 7
+        |JOIN daily d1 ON d1.event_type = d.event_type
+        |  AND d1.day = d.day - 1
+        |GROUP BY 1""".stripMargin,
+    // Cook's distance: the durbin-watson fit dag + leverage, SSE the
+    // rounded-6 decimal sum, rank on the RAW D with day tie-break
+    "q_cooks_distance" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2, 4),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM daily GROUP BY 1),
+        |fit AS (
+        |  SELECT event_type, n0,
+        |    CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - ((CAST(n0 AS DOUBLE) * sty
+        |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) * stt
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+        |        * CAST(st AS DOUBLE) / CAST(n0 AS DOUBLE) AS a,
+        |    (CAST(n0 AS DOUBLE) * sty
+        |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * stt
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+        |    CAST(st AS DOUBLE) / CAST(n0 AS DOUBLE) AS tbar,
+        |    CAST(stt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n0 AS DOUBLE) AS s_tt
+        |  FROM m),
+        |res AS (
+        |  SELECT d.event_type, d.day, f.n0,
+        |    CAST(d.y AS DOUBLE) - (f.a + f.b * CAST(d.t AS DOUBLE)) AS e,
+        |    1.0 / CAST(f.n0 AS DOUBLE)
+        |      + (CAST(d.t AS DOUBLE) - f.tbar)
+        |        * (CAST(d.t AS DOUBLE) - f.tbar) / f.s_tt AS h
+        |  FROM daily d JOIN fit f USING (event_type)),
+        |ss AS (
+        |  SELECT event_type,
+        |    sum(CAST(round(e * e, 6) AS DECIMAL(24,6))) AS sse
+        |  FROM res GROUP BY 1),
+        |sc AS (
+        |  SELECT r.event_type, r.day, r.e, r.h,
+        |    e * e * h / (2.0 * (CAST(s.sse AS DOUBLE)
+        |      / CAST(r.n0 - 2 AS DOUBLE)) * (1.0 - h) * (1.0 - h)) AS dc,
+        |    row_number() OVER (PARTITION BY r.event_type
+        |      ORDER BY e * e * h / (2.0 * (CAST(s.sse AS DOUBLE)
+        |        / CAST(r.n0 - 2 AS DOUBLE)) * (1.0 - h) * (1.0 - h))
+        |        DESC, r.day) AS rnk
+        |  FROM res r JOIN ss s USING (event_type)
+        |  WHERE r.n0 > 2 AND CAST(s.sse AS DOUBLE) > 0)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(rnk AS BIGINT) AS rnk, round(dc, 6) AS cooks_d,
+        |  round(h, 6) AS leverage, round(e, 6) AS resid
+        |FROM sc WHERE rnk <= 3""".stripMargin,
     // pairwise post-hoc contrasts: the ANOVA MSW recipe + a bounded
     // k-row self-join; SE/t single IEEE dags on exact moments
     "q_tukey_contrasts" ->

@@ -4124,6 +4124,116 @@ object Stats {
           .as("dw"))
   }
 
+  /** THEIL'S U₂ FORECAST SKILL (`q_theil_u`) — the scale-free "does
+    * my forecaster beat the random walk" number per type:
+    * U₂ = √(Σ(ŷ−y)² / Σ(y_naive−y)²) with seasonal-naive (lag 7) as
+    * the model arm and naive (lag 1) as the benchmark, evaluated on
+    * the COMMON day set where both lags exist (the calendar join —
+    * gaps drop the day from BOTH sums rather than mis-aligning
+    * either). U₂ < 1 = the weekly structure is real; this is the
+    * one-number companion to `q_forecast_eval`'s MAE table. Squared
+    * errors are exact-integer cent differences squared in
+    * DECIMAL(38,0); one division + one sqrt at the end.
+    */
+  def theilU(spark: SparkSession, sfDir: String): DataFrame =
+    theilUOver(dailySeries(spark, sfDir)
+      .select(col("event_type"), col("day"), col("y")))
+
+  /** Same operator over any (event_type, day, y: long) daily frame —
+    * a planted exact-weekly series pins U₂ = 0 (seasonal-naive
+    * perfect), a planted random-walk-like series pins U₂ > 1. */
+  private[graft] def theilUOver(daily: DataFrame): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val lag7 = daily.select(col("event_type").as("et7"),
+      col("day").as("d7"), col("y").as("y7"))
+    val lag1 = daily.select(col("event_type").as("et1"),
+      col("day").as("d1"), col("y").as("y1"))
+    daily
+      .join(lag7, col("et7") === col("event_type") &&
+        col("d7") === date_sub(col("day"), 7))
+      .join(lag1, col("et1") === col("event_type") &&
+        col("d1") === date_sub(col("day"), 1))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(((col("y7") - col("y")) * (col("y7") - col("y")))
+          .cast(d380)).as("sse_model"),
+        sum(((col("y1") - col("y")) * (col("y1") - col("y")))
+          .cast(d380)).as("sse_naive"))
+      .select(col("event_type"), col("n_eval"),
+        when(col("sse_naive").cast("double") > 0,
+          round(sqrt(col("sse_model").cast("double") /
+            col("sse_naive").cast("double")), 6)).as("u2"))
+  }
+
+  /** COOK'S DISTANCE (`q_cooks_distance`) — the influence diagnostic
+    * completing the regression-diagnostics trio (`q_durbin_watson`
+    * tests residual correlation, `q_ljung_box` its lag-h omnibus;
+    * Cook's D asks WHICH days single-handedly steer the daily-revenue
+    * trend fit): for the per-type y-vs-t OLS, leverage
+    * h_t = 1/n + (t−t̄)²/Stt and D_t = e²h/(p·s²·(1−h)²) with p = 2,
+    * s² = SSE/(n−2) — the top-3 days per type by D are the ones to
+    * audit before trusting the slope.
+    *
+    * The SAME exact-BIGINT fit dag as `q_durbin_watson` (one moment
+    * pass, broadcast back); residual/leverage/D are per-row IEEE dags
+    * on exact integers, SSE the rounded-6 decimal sum; ranking is on
+    * the RAW D (identical dag in both engines), day tie-break.
+    */
+  def cooksDistance(spark: SparkSession, sfDir: String,
+      topK: Int = 3): DataFrame =
+    cooksDistanceOver(dailySeries(spark, sfDir), topK)
+
+  /** Same operator over any (event_type, day, y, t) daily frame — a
+    * planted on-line series with one far point pins that point at
+    * rank 1 with the hand-computed D. */
+  private[graft] def cooksDistanceOver(daily: DataFrame,
+      topK: Int): DataFrame = {
+    val d246 = DecimalType(24, 6)
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+    val n = col("n0").cast("double")
+    val b = (n * col("sty").cast("double") -
+      col("st").cast("double") * col("sy").cast("double")) /
+      (n * col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double"))
+    val fit = m.select(col("event_type"), col("n0"),
+      (col("sy").cast("double") / n - b *
+        col("st").cast("double") / n).as("a"), b.as("b"),
+      (col("st").cast("double") / n).as("tbar"),
+      (col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double") / n)
+        .as("s_tt"))
+    val withE = daily.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e",
+        col("y").cast("double") - (col("a") + col("b") *
+          col("t").cast("double")))
+      .withColumn("h",
+        lit(1.0) / col("n0").cast("double") +
+          (col("t").cast("double") - col("tbar")) *
+          (col("t").cast("double") - col("tbar")) / col("s_tt"))
+      .localCheckpoint()
+    val sse = withE.groupBy(col("event_type").as("et2"))
+      .agg(sum(round(col("e") * col("e"), 6).cast(d246)).as("sse"))
+    val s2 = col("sse").cast("double") / (col("n0") - 2).cast("double")
+    val dcook = col("e") * col("e") * col("h") /
+      (lit(2.0) * s2 * (lit(1.0) - col("h")) * (lit(1.0) - col("h")))
+    val scored = withE
+      .join(broadcast(sse), col("et2") === col("event_type")).drop("et2")
+      .filter(col("n0") > 2 && col("sse").cast("double") > 0)
+      .withColumn("dc", dcook)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("dc").desc, col("day"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("rnk").cast("long").as("rnk"),
+        round(col("dc"), 6).as("cooks_d"),
+        round(col("h"), 6).as("leverage"),
+        round(col("e"), 6).as("resid"))
+  }
+
   /** p-CHART (`q_p_chart`) — the attribute CONTROL CHART for daily
     * conversion (purchase share): centerline p̄ from the whole
     * window, per-day 3σ limits p̄ ± 3√(p̄(1−p̄)/n_t) that WIDEN on

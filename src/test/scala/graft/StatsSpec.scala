@@ -505,6 +505,48 @@ class StatsSpec extends SparkSpec {
     assert(const(1L).getAs[Long]("n_pairs") == 5)
   }
 
+  test("theil u2: an exact-weekly series pins u2 = 0, a pure trend " +
+      "pins u2 = 7 (naive wins)") {
+    import spark.implicits._
+    def daily(ys: Seq[Long]) = ys.zipWithIndex
+      .map { case (y, i) => ("a", i, y) }.toDF("event_type", "i", "y")
+      .select(col("event_type"),
+        date_add(lit("2024-01-01").cast("date"), col("i")).as("day"),
+        col("y"))
+    // period-7 pattern: y(t-7) = y(t) on every evaluable day -> 0
+    val weekly = Stats.theilUOver(
+      daily(Seq.tabulate(21)(i => ((i % 7) + 1) * 100L))).collect().head
+    assert(weekly.getAs[Long]("n_eval") == 14L)
+    assert(weekly.getAs[Double]("u2") == 0.0)
+    // pure trend y = 100t: model err 700 vs naive err 100 per day
+    val trend = Stats.theilUOver(
+      daily(Seq.tabulate(21)(i => i * 100L))).collect().head
+    assert(trend.getAs[Double]("u2") == 7.0)
+  }
+
+  test("cooks distance: the far-off-line day ranks first by a wide " +
+      "margin, leverage stays in [1/n, 1]") {
+    import spark.implicits._
+    // 11 days on y = 100t exactly, except day 5 spiked to 5000
+    val rows = Seq.tabulate(11)(i =>
+      ("a", i, if (i == 5) 5000L else i * 100L))
+    val daily = rows.toDF("event_type", "i", "y")
+      .select(col("event_type"),
+        date_add(lit("2024-01-01").cast("date"), col("i")).as("day"),
+        col("y"), (lit(19723L) + col("i")).as("t"))
+    val out = Stats.cooksDistanceOver(daily, 3)
+      .orderBy("rnk").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("day") == "2024-01-06",
+      s"spike day must rank 1: ${out.toSeq}")
+    assert(out(0).getAs[Double]("cooks_d") >
+      5.0 * out(1).getAs[Double]("cooks_d"))
+    out.foreach { r =>
+      val h = r.getAs[Double]("leverage")
+      assert(h >= 1.0 / 11.0 - 1e-6 && h <= 1.0) // h is rounded to 6dp
+    }
+  }
+
   test("cronbach: perfectly-correlated items pin alpha = 1; zero total " +
       "variance null-guards") {
     import spark.implicits._
