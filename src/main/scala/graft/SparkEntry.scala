@@ -555,6 +555,8 @@ object SparkEntry {
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
     "q_cronbach" -> ((s, d) => Stats.cronbach(s, d)),
     "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
+    "q_order_to_ship" -> ((s, d) => Relational.orderToShip(s, d)),
+    "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
     "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
@@ -8160,6 +8162,57 @@ object SparkEntry {
         |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_raw,
         |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS mean_winsor
         |FROM w GROUP BY 1""".stripMargin,
+    // order-to-ship lead time: exact integer day diffs, one division,
+    // integer-exact median
+    "q_order_to_ship" ->
+      """WITH d AS (
+        |  SELECT o.o_orderpriority,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_days,
+        |  quantile_cont(d, 0.5) AS median_days,
+        |  CAST(max(d) AS BIGINT) AS max_days
+        |FROM d GROUP BY 1""".stripMargin,
+    // ANN recall report: both arms are the already-gated pipelines;
+    // the trade the index makes, measured, as a first-class query
+    "ann_recall_report" ->
+      s"""WITH $ivfAssignCtes,
+         |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+         |           WHERE crank <= 4 AND vec_id < 20),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.query_id),
+         |ivf AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT cand.query_id, cand.vec_id,
+         |      row_number() OVER (PARTITION BY cand.query_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                        CAST(e.embedding AS DOUBLE[])) DESC,
+         |                 cand.vec_id) AS rnk
+         |    FROM cand
+         |    JOIN embeddings e ON cand.vec_id = e.vec_id
+         |    JOIN embeddings q ON cand.query_id = q.vec_id)
+         |  WHERE rnk <= 10),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                        CAST(e.embedding AS DOUBLE[])) DESC,
+         |                 e.vec_id) AS rnk
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 20)
+         |  WHERE rnk <= 10)
+         |SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(i.neighbor_id) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY 1""".stripMargin,
     "ann_topk_brute" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -690,6 +690,32 @@ object Relational {
         sum(when(critical, 0L).otherwise(1L)).as("low_count"))
   }
 
+  /** ORDER-TO-SHIP LEAD TIME (`q_order_to_ship`) — the fulfilment
+    * latency distribution per order priority (does URGENT actually
+    * ship faster?): per-lineitem days from order date to ship date,
+    * rolled to n / mean / exact median / max per priority. Day diffs
+    * are exact integers (no timestamp arithmetic survives into the
+    * hash); the mean is one IEEE division of exact sums; the median
+    * is `percentile` on integers (== quantile_cont — halves exact).
+    * One fact-side join on the order key (the Q3/Q12 shuffle shape,
+    * AQE-skew-safe) and one partial-agg rollup.
+    */
+  def orderToShip(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("od")).cast("long").as("d"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("d")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_days"),
+        expr("percentile(d, 0.5D)").as("median_days"),
+        max(col("d")).as("max_days"))
+
   /** TPC-H Q13-shape customer order-count distribution: LEFT OUTER
     * join so order-less customers appear as c_count = 0, then the
     * histogram over counts. Two aggregations, each one shuffle.

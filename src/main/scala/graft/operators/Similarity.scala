@@ -88,6 +88,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** ANN RECALL REPORT (`ann_recall_report`) — the measured
+    * approximate-vs-exact trade as a FIRST-CLASS gated operator
+    * (`q_dedup_metrics`' twin for similarity search): per query, how
+    * many of the brute-force exact top-k does the IVF index return?
+    * The per-key recall floors the ann_* specs pin live in test code;
+    * this key makes the same evaluation a query a user can run on
+    * THEIR corpus before trusting the index — the documented answer
+    * to "why IVF(-PQ) and not a graph index at 100 TB" is a measured
+    * number, not an assertion. Both arms are the already-gated
+    * operators (one definition each — the report can never drift
+    * from what it evaluates); the join is k·nQueries-bounded.
+    */
+  def annRecallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val ivf = annIvf(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val brute = annTopkBrute(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_true"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"),
+          6).as("recall"))
+  }
+
   /** HARD-NEGATIVE mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors whose label DIFFERS
     * from the query's — the "looks alike, isn't" pairs a contrastive

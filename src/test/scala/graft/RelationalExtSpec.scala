@@ -998,4 +998,31 @@ class RelationalExtSpec extends SparkSpec {
     // u2: one action type -> H = ln3 - 3*r6(ln3)/3 = 0 after rounding
     assert(out(2L)._2 == 1L && out(2L)._3 == 0.0, s"H = ${out(2L)._3}")
   }
+
+  test("order-to-ship: per-priority rollup re-derives from the raw join, " +
+      "median bounded by max") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.orderToShip(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("median_days") <=
+        r.getAs[Long]("max_days").toDouble)
+    }
+    // the priority buckets partition the joined fact exactly
+    val joined = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(rows.map(_.getAs[Long]("n_items")).sum == joined.count())
+    // spot-recompute one priority's mean from first principles
+    val p = rows.head.getAs[String]("o_orderpriority")
+    val ds = joined.filter(col("o_orderpriority") === p)
+      .select(datediff(to_date(col("l_shipdate")),
+        to_date(col("o_orderdate"))).cast("long"))
+      .collect().map(_.getLong(0))
+    val want = BigDecimal(ds.sum.toDouble / ds.length.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getAs[Double]("avg_days") == want)
+    out.unpersist()
+  }
 }

@@ -115,6 +115,33 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("ann_recall_report replays the IVF-vs-brute agreement exactly " +
+      "and floors the mean recall") {
+    import org.apache.spark.sql.functions._
+    val rep = Similarity.annRecallReport(spark, sf).cache()
+    val rows = rep.collect()
+    assert(rows.length == 20 && rows.forall(_.getAs[Long]("n_true") == 10L))
+    rows.foreach { r =>
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+      assert(rc == BigDecimal(r.getAs[Long]("n_hits").toDouble / 10.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // independent recount: the report's hits == the actual overlap
+    val ivf = Similarity.annIvf(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = Similarity.annTopkBrute(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    val direct = brute.intersect(ivf).groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_hits") == direct.getOrElse(r.getLong(0), 0L)))
+    // the measured IVF trade on this corpus stays above the floor
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.5, f"mean IVF recall@10 collapsed: $mean%.3f")
+    rep.unpersist()
+  }
+
   test("ann_lsh recall vs brute-force truth is measured and pinned") {
     // sf0.01: enough vectors that banding actually has room to miss —
     // this is the measured-recall floor that makes the ANN operator
