@@ -555,8 +555,13 @@ object SparkEntry {
     "q_grubbs" -> ((s, d) => Stats.grubbs(s, d)),
     "q_cronbach" -> ((s, d) => Stats.cronbach(s, d)),
     "q_theil_u" -> ((s, d) => Stats.theilU(s, d)),
+    "q_mcc" -> ((s, d) => Stats.mcc(s, d)),
+    "q_log_loss" -> ((s, d) => Stats.logLoss(s, d)),
     "q_order_to_ship" -> ((s, d) => Relational.orderToShip(s, d)),
     "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
+    "q_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(s, d)),
+    "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
     "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
@@ -8162,6 +8167,90 @@ object SparkEntry {
         |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_raw,
         |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS mean_winsor
         |FROM w GROUP BY 1""".stripMargin,
+    // MCC + balanced metrics: exact DECIMAL(38,0) products, the
+    // sqrt(a)*sqrt(b) split mirrored (sqrt(a*b) would need 76 digits)
+    "q_mcc" ->
+      """WITH base AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM (SELECT (CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) >= 200.0) AS p,
+        |          (event_type = 'purchase') AS y
+        |        FROM events)),
+        |x AS (
+        |  SELECT tp, fp, fn, tn,
+        |    CAST(CAST(tp AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0))
+        |      - CAST(CAST(fp AS DECIMAL(19,0)) * CAST(fn AS DECIMAL(19,0))
+        |        AS DECIMAL(38,0)) AS num,
+        |    CAST(CAST(tp + fp AS DECIMAL(19,0)) *
+        |      CAST(tp + fn AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS d1,
+        |    CAST(CAST(tn + fp AS DECIMAL(19,0)) *
+        |      CAST(tn + fn AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS d2,
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS tpr,
+        |    CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) AS tnr
+        |  FROM base)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN CAST(d1 AS DOUBLE) > 0 AND CAST(d2 AS DOUBLE) > 0 THEN
+        |    round(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))), 6)
+        |  END AS mcc,
+        |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+        |    round((tpr + tnr) / 2.0, 6) END AS balanced_acc,
+        |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+        |    round(tpr + tnr - 1.0, 6) END AS youden_j
+        |FROM x""".stripMargin,
+    // binned log loss: the calibration bin scaffold, ln of exact
+    // ratios rounded 6 and multiplied into decimal (perplexity
+    // discipline), 0*ln0 sides exact zero in both engines
+    "q_log_loss" ->
+      """WITH sc AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    (event_type = 'purchase') AS y FROM events),
+        |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM sc),
+        |b AS (
+        |  SELECT CASE WHEN mx > mn THEN
+        |      least(CAST(floor(CAST(v - mn AS DOUBLE)
+        |        / CAST(mx - mn AS DOUBLE) * 10) AS BIGINT), 9)
+        |    ELSE 0 END AS bin, y
+        |  FROM sc CROSS JOIN mm),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT sum(
+        |      CASE WHEN pos > 0 THEN
+        |        CAST(CAST(pos AS DECIMAL(18,0)) *
+        |          CAST(round(ln(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |            AS DECIMAL(9,6)) AS DECIMAL(28,6))
+        |      ELSE CAST(0 AS DECIMAL(28,6)) END
+        |      + CASE WHEN n - pos > 0 THEN
+        |        CAST(CAST(n - pos AS DECIMAL(18,0)) *
+        |          CAST(round(ln(1.0 - CAST(pos AS DOUBLE)
+        |            / CAST(n AS DOUBLE)), 6) AS DECIMAL(9,6))
+        |          AS DECIMAL(28,6))
+        |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS s,
+        |    CAST(sum(n) AS BIGINT) AS tn, CAST(sum(pos) AS BIGINT) AS tp
+        |  FROM g)
+        |SELECT tn AS n,
+        |  round(-CAST(s AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS ll_model,
+        |  round(-CAST(
+        |      CASE WHEN tp > 0 THEN
+        |        CAST(CAST(tp AS DECIMAL(18,0)) *
+        |          CAST(round(ln(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+        |            AS DECIMAL(9,6)) AS DECIMAL(28,6))
+        |      ELSE CAST(0 AS DECIMAL(28,6)) END
+        |      + CASE WHEN tn - tp > 0 THEN
+        |        CAST(CAST(tn - tp AS DECIMAL(18,0)) *
+        |          CAST(round(ln(1.0 - CAST(tp AS DOUBLE)
+        |            / CAST(tn AS DOUBLE)), 6) AS DECIMAL(9,6))
+        |          AS DECIMAL(28,6))
+        |      ELSE CAST(0 AS DECIMAL(28,6)) END AS DOUBLE)
+        |    / CAST(tn AS DOUBLE), 6) AS ll_base
+        |FROM t""".stripMargin,
     // order-to-ship lead time: exact integer day diffs, one division,
     // integer-exact median
     "q_order_to_ship" ->
@@ -8176,6 +8265,151 @@ object SparkEntry {
         |  quantile_cont(d, 0.5) AS median_days,
         |  CAST(max(d) AS BIGINT) AS max_days
         |FROM d GROUP BY 1""".stripMargin,
+    // Cohen's kappa of the heuristic lang predictor vs gold labels:
+    // exact integer contingency + marginal products, one division
+    "q_cohens_kappa" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM (SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(w, x -> x IN ('el','los','que','y','una'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(w, x -> x IN ('le','les','et','une','des'))) AS BIGINT) AS s_fr
+        |    FROM (SELECT doc_id,
+        |            list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |              x -> x <> '') AS w
+        |          FROM documents))),
+        |cells AS (
+        |  SELECT p.pred_lang, d.lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |ag AS (SELECT CAST(coalesce(sum(CASE WHEN pred_lang = lang
+        |    THEN c END), 0) AS BIGINT) AS n_agree FROM cells),
+        |r AS (SELECT pred_lang AS k, CAST(sum(c) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1),
+        |cl AS (SELECT lang AS k, CAST(sum(c) AS BIGINT) AS cl
+        |  FROM cells GROUP BY 1),
+        |rc AS (SELECT CAST(coalesce(sum(CAST(CAST(r.r AS DECIMAL(19,0))
+        |    * CAST(cl.cl AS DECIMAL(19,0)) AS DECIMAL(38,0))), 0)
+        |    AS DECIMAL(38,0)) AS rc
+        |  FROM r JOIN cl USING (k))
+        |SELECT nn.n, ag.n_agree,
+        |  round(CAST(ag.n_agree AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+        |    AS po,
+        |  round(CAST(rc.rc AS DOUBLE)
+        |    / CAST(CAST(CAST(nn.n AS DECIMAL(19,0))
+        |      * CAST(nn.n AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE),
+        |    6) AS pe,
+        |  CASE WHEN CAST(CAST(CAST(nn.n AS DECIMAL(19,0))
+        |      * CAST(nn.n AS DECIMAL(19,0)) AS DECIMAL(38,0)) - rc.rc
+        |      AS DOUBLE) <> 0.0 THEN
+        |    round(CAST(CAST(CAST(nn.n AS DECIMAL(19,0))
+        |        * CAST(ag.n_agree AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |        - rc.rc AS DOUBLE)
+        |      / CAST(CAST(CAST(nn.n AS DECIMAL(19,0))
+        |        * CAST(nn.n AS DECIMAL(19,0)) AS DECIMAL(38,0)) - rc.rc
+        |        AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM nn, ag, rc""".stripMargin,
+    // simplified silhouette: the csim dag spelled as dot/√/√ exactly
+    // as Spark computes it (list_cosine_similarity folds differently),
+    // per-row s rounded 6 into decimal, one division per cell
+    "q_silhouette" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |r AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |      / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])))
+        |      / sqrt(list_dot_product(c.cv, c.cv)) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |rk AS (
+        |  SELECT vec_id, cid, csim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cid) AS crank
+        |  FROM r),
+        |p AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN crank = 1 THEN cid END) AS own_cid,
+        |    max(CASE WHEN crank = 1 THEN csim END) AS sim1,
+        |    max(CASE WHEN crank = 2 THEN csim END) AS sim2
+        |  FROM rk WHERE crank <= 2 GROUP BY 1),
+        |s AS (
+        |  SELECT own_cid,
+        |    CASE WHEN greatest(1.0 - sim1, 1.0 - sim2) > 0 THEN
+        |      CAST(round(((1.0 - sim2) - (1.0 - sim1))
+        |        / greatest(1.0 - sim1, 1.0 - sim2), 6) AS DECIMAL(9,6))
+        |    ELSE CAST(0 AS DECIMAL(9,6)) END AS sv
+        |  FROM p)
+        |SELECT CAST(own_cid AS BIGINT) AS cid,
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  round(CAST(sum(sv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_silhouette
+        |FROM s GROUP BY 1""".stripMargin,
+    // adjusted Rand index: doubled pair counts x(x-1) stay integral,
+    // decimal products, two final IEEE divisions
+    "q_rand_index" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        c.cv) DESC, c.cid) AS crank
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+        |cont AS (
+        |  SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS c
+        |  FROM assign a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+        |x AS (
+        |  SELECT CAST(sum(CAST(CAST(c AS DECIMAL(19,0))
+        |      * CAST(c - 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sij,
+        |    CAST(sum(c) AS BIGINT) AS n
+        |  FROM cont),
+        |aa AS (
+        |  SELECT CAST(sum(CAST(CAST(a AS DECIMAL(19,0))
+        |      * CAST(a - 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sa
+        |  FROM (SELECT cid, CAST(sum(c) AS BIGINT) AS a
+        |        FROM cont GROUP BY 1)),
+        |bb AS (
+        |  SELECT CAST(sum(CAST(CAST(b AS DECIMAL(19,0))
+        |      * CAST(b - 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sb
+        |  FROM (SELECT label, CAST(sum(c) AS BIGINT) AS b
+        |        FROM cont GROUP BY 1)),
+        |f AS (
+        |  SELECT x.n, x.sij, aa.sa, bb.sb,
+        |    CAST(CAST(x.n AS DECIMAL(19,0)) * CAST(x.n - 1 AS DECIMAL(19,0))
+        |      AS DECIMAL(38,0)) AS n2
+        |  FROM x, aa, bb)
+        |SELECT n, CAST(sij AS BIGINT) AS sum_cij2,
+        |  CAST(sa AS BIGINT) AS sum_a2, CAST(sb AS BIGINT) AS sum_b2,
+        |  round((CAST(n2 AS DOUBLE) + 2.0 * CAST(sij AS DOUBLE)
+        |    - CAST(sa AS DOUBLE) - CAST(sb AS DOUBLE))
+        |    / CAST(n2 AS DOUBLE), 6) AS ri,
+        |  CASE WHEN abs(CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)
+        |      - 2.0 * (CAST(CAST(CAST(sa AS DECIMAL(19,0))
+        |          * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+        |        / CAST(n2 AS DOUBLE))) > 0.0 THEN
+        |    round((2.0 * CAST(sij AS DOUBLE)
+        |        - 2.0 * (CAST(CAST(CAST(sa AS DECIMAL(19,0))
+        |            * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE)))
+        |      / (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)
+        |        - 2.0 * (CAST(CAST(CAST(sa AS DECIMAL(19,0))
+        |            * CAST(sb AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+        |          / CAST(n2 AS DOUBLE))), 6)
+        |  END AS ari
+        |FROM f""".stripMargin,
     // ANN recall report: both arms are the already-gated pipelines;
     // the trade the index makes, measured, as a first-class query
     "ann_recall_report" ->

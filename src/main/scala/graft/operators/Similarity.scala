@@ -88,6 +88,105 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** SIMPLIFIED SILHOUETTE (`q_silhouette`) — clustering-quality
+    * score per IVF cell, the evaluation the clustering family
+    * (IVF/SemDeDup/k-means) ships without: for every vector,
+    * a = cosine distance to its OWN centroid and b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [0,1] here (own
+    * centroid is the argmax by construction, so b ≥ a) — the
+    * centroid-based simplification that runs in O(n·cells) where full
+    * silhouette's O(n²) cannot exist at corpus scale. One broadcast
+    * cross join ranks the 16-centroid codebook per vector; own/next
+    * similarities pivot from ranks 1–2; per-row s rounds 6 into
+    * DECIMAL and the per-cell mean divides once (cross-row double
+    * sums are partition lore — the ANOVA discipline).
+    */
+  def silhouette(spark: SparkSession, sfDir: String,
+      cells: Int = IvfCells): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val cent = ivfCentroids(all, cells)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val ranked = all.join(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
+      .select(col("vec_id"), col("cid"), col("csim"),
+        row_number().over(byVec).as("crank"))
+      .filter(col("crank") <= 2)
+    val pivoted = ranked.groupBy("vec_id")
+      .agg(max(when(col("crank") === 1, col("cid"))).as("own_cid"),
+        max(when(col("crank") === 1, col("csim"))).as("sim1"),
+        max(when(col("crank") === 2, col("csim"))).as("sim2"))
+    val a = lit(1.0) - col("sim1")
+    val b = lit(1.0) - col("sim2")
+    pivoted
+      .withColumn("s",
+        when(greatest(a, b) > 0,
+          round((b - a) / greatest(a, b), 6))
+          .otherwise(lit(0.0)).cast(org.apache.spark.sql.types
+            .DecimalType(9, 6)))
+      .groupBy("own_cid")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("s")).as("ssum"))
+      .select(col("own_cid").cast("long").as("cid"), col("n_vectors"),
+        round(col("ssum").cast("double") /
+          col("n_vectors").cast("double"), 6).as("mean_silhouette"))
+  }
+
+  /** ADJUSTED RAND INDEX (`q_rand_index`) — external clustering
+    * validation: how well do the IVF cells recover the embeddings'
+    * GOLD labels? Pair-counting over the cell × label contingency —
+    * ΣC(n_ij,2), row/column pair sums, RI and the chance-corrected
+    * ARI — every count an exact integer (C(x,2) = x(x−1) div 2 stays
+    * integral), products in DECIMAL(38,0) (pair-sum products reach
+    * n⁴/8 — BIGINT wraps at corpus scale), TWO final IEEE divisions.
+    * The contingency is |cells|×|labels|-bounded after one
+    * partial-agg shuffle; nothing else scales with the corpus.
+    */
+  def randIndex(spark: SparkSession, sfDir: String,
+      cells: Int = IvfCells): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val assign = centroidRanks(all.select("vec_id", "v", "norm"),
+        ivfCentroids(all.select("vec_id", "v", "norm"), cells))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val cont = all.select(col("vec_id"), col("label"))
+      .join(assign, "vec_id")
+      .groupBy("cid", "label").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // DOUBLED pair counts x(x−1) — stays integral with no halving
+    // (the q_spearman doubled-rank recipe applied to pair counting)
+    def p2(x: Column): Column =
+      (x.cast(DT(19, 0)) * (x - 1).cast(DT(19, 0))).cast(DT(38, 0))
+    val cij = cont.agg(sum(p2(col("c"))).as("sij"), sum(col("c")).as("n"))
+    val ai = cont.groupBy("cid").agg(sum(col("c")).as("a"))
+      .agg(sum(p2(col("a"))).as("sa"))
+    val bj = cont.groupBy("label").agg(sum(col("c")).as("b"))
+      .agg(sum(p2(col("b"))).as("sb"))
+    val sijD = col("sij").cast("double")
+    val saD = col("sa").cast("double")
+    val sbD = col("sb").cast("double")
+    val n2D = col("n2").cast("double")
+    // E2 = 2·Sa·Sb/N2 (4× the expected-pair term in doubled units)
+    val e2 = lit(2.0) * (col("sa").cast(DT(19, 0))
+      .multiply(col("sb").cast(DT(19, 0))).cast(DT(38, 0))
+      .cast("double") / n2D)
+    cij.crossJoin(broadcast(ai)).crossJoin(broadcast(bj))
+      .withColumn("n2", p2(col("n")))
+      .select(col("n").cast("long").as("n"),
+        col("sij").cast("long").as("sum_cij2"),
+        col("sa").cast("long").as("sum_a2"),
+        col("sb").cast("long").as("sum_b2"),
+        // RI = (N2 + 2Sij − Sa − Sb)/N2 — doubled units cancel
+        round((n2D + lit(2.0) * sijD - saD - sbD) / n2D, 6).as("ri"),
+        // ARI = (2Sij − 2SaSb/N2)/(Sa + Sb − 2SaSb/N2)
+        when(abs(saD + sbD - e2) > lit(0.0),
+          round((lit(2.0) * sijD - e2) / (saD + sbD - e2), 6)).as("ari"))
+  }
+
   /** ANN RECALL REPORT (`ann_recall_report`) — the measured
     * approximate-vs-exact trade as a FIRST-CLASS gated operator
     * (`q_dedup_metrics`' twin for similarity search): per query, how

@@ -948,6 +948,117 @@ object Stats {
           round((lit(2.0) * col("tp")) /
             (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
 
+  /** MATTHEWS CORRELATION + BALANCED OPERATING METRICS (`q_mcc`) —
+    * the class-imbalance-safe summary of the SAME operating point
+    * `q_confusion` gates (precision/recall/F1 all ignore TN; on a
+    * 95/5 corpus a trivial majority classifier scores F1 ≈ 0 but its
+    * uselessness only shows in MCC ≈ 0 / balanced accuracy ≈ 0.5):
+    * MCC = (tp·tn − fp·fn)/(√((tp+fp)(tp+fn))·√((tn+fp)(tn+fn))),
+    * balanced accuracy (TPR+TNR)/2, Youden's J = TPR+TNR−1. The
+    * numerator and each √-argument stay exact DECIMAL(38,0) (n⁴
+    * would wrap BIGINT at corpus scale — and a single √(a·b) would
+    * need 76 digits, hence the √a·√b split, mirrored verbatim in the
+    * oracle); everything else is one conditional-agg scan.
+    */
+  def mcc(spark: SparkSession, sfDir: String,
+      posType: String = "purchase", threshold: Double = 200.0)
+      : DataFrame =
+    mccOver(Tables.events(spark, sfDir)
+      .select(money(col("value")).cast("double").as("score"),
+        (col("event_type") === posType).as("y")), threshold)
+
+  /** Same operator over any (score, y) frame — the hand-tallied
+    * confusion plant pins MCC/balanced-acc/J; a degenerate all-one-
+    * class corpus pins the null guards. */
+  private[graft] def mccOver(scored: DataFrame,
+      threshold: Double): DataFrame = {
+    val d380 = DecimalType(38, 0)
+    val d190 = DecimalType(19, 0)
+    val base = scored
+      .select(col("y"), (col("score") >= threshold).as("p"))
+      .agg(
+        sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+    val num = (col("tp").cast(d190) * col("tn").cast(d190)).cast(d380)
+      .minus((col("fp").cast(d190) * col("fn").cast(d190)).cast(d380))
+    val d1 = ((col("tp") + col("fp")).cast(d190) *
+      (col("tp") + col("fn")).cast(d190)).cast(d380)
+    val d2 = ((col("tn") + col("fp")).cast(d190) *
+      (col("tn") + col("fn")).cast(d190)).cast(d380)
+    val tpr = col("tp").cast("double") / (col("tp") + col("fn"))
+      .cast("double")
+    val tnr = col("tn").cast("double") / (col("tn") + col("fp"))
+      .cast("double")
+    base.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(d1.cast("double") > 0 && d2.cast("double") > 0,
+        round(num.cast("double") /
+          (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 6))
+        .as("mcc"),
+      when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+        round((tpr + tnr) / lit(2.0), 6)).as("balanced_acc"),
+      when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+        round(tpr + tnr - lit(1.0), 6)).as("youden_j"))
+  }
+
+  /** BINNED LOG LOSS / CROSS-ENTROPY (`q_log_loss`) — the proper
+    * scoring rule the eval family reported only in its ln-free form
+    * (`q_brier`): over the SAME equal-width 10-bin scaffold as
+    * `q_calibration`, score the in-sample binned predictor
+    * p̂ = bin positive share, LL = −(1/N)·Σ_bins[pos·ln p̂ +
+    * neg·ln(1−p̂)], against the no-information baseline that predicts
+    * the global rate everywhere — the gap is the information the
+    * score actually carries (LL_model ≤ LL_base by Jensen, spec-
+    * pinned). Every ln argument is an exact integer ratio; each ln
+    * rounds 6 and multiplies into DECIMAL (the perplexity
+    * discipline), zero-count sides contribute exact 0 (the 0·ln 0
+    * convention, identical in both engines by construction).
+    */
+  def logLoss(spark: SparkSession, sfDir: String,
+      posType: String = "purchase"): DataFrame =
+    logLossOver(Tables.events(spark, sfDir)
+      .select(money(col("value")).as("v"),
+        (col("event_type") === posType).as("y")))
+
+  /** Same operator over any (v: decimal(18,2), y) frame — a planted
+    * perfectly-separated corpus pins LL_model = 0, a constant score
+    * pins LL_model = LL_base. */
+  private[graft] def logLossOver(scored: DataFrame): DataFrame = {
+    val d286 = DecimalType(28, 6)
+    val mm = scored.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bins = scored.crossJoin(broadcast(mm))
+      .select(col("y"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double") * 10).cast("long"),
+            lit(9L))).otherwise(lit(0L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint()
+    def nll(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      val neg = n - pos
+      (when(pos > 0, pos.cast(DecimalType(18, 0))
+          .multiply(round(log(p), 6).cast(DecimalType(9, 6))).cast(d286))
+        .otherwise(lit(0).cast(d286))) +
+        (when(neg > 0, neg.cast(DecimalType(18, 0))
+          .multiply(round(log(lit(1.0) - p), 6).cast(DecimalType(9, 6)))
+          .cast(d286))
+        .otherwise(lit(0).cast(d286)))
+    }
+    val model = bins.select(nll(col("pos"), col("n")).as("t"),
+        col("n"), col("pos"))
+      .agg(sum(col("t")).as("s"), sum(col("n")).as("tn"),
+        sum(col("pos")).as("tp"))
+    model.select(col("tn").cast("long").as("n"),
+      round(-col("s").cast("double") / col("tn").cast("double"), 6)
+        .as("ll_model"),
+      round(-nll(col("tp"), col("tn")).cast("double") /
+        col("tn").cast("double"), 6).as("ll_base"))
+  }
+
   /** SPLIT-CONFORMAL prediction intervals per event type — the
     * distribution-free uncertainty wrapper (Vovk; Lei et al. JASA'18)
     * around any point predictor: fit on a train split, take the

@@ -178,6 +178,63 @@ object TextAnalysis {
       .select(col("doc_id") +: langScores(col("w")): _*)
       .withColumn("pred_lang", predLang)
 
+  /** COHEN'S KAPPA (`q_cohens_kappa`) — chance-corrected agreement
+    * between the heuristic language predictor ([[langId]]) and the
+    * corpus's gold `lang` labels: the labeler-quality number every
+    * weak-supervision pipeline reports before trusting a cheap
+    * classifier at scale (raw accuracy flatters any predictor that
+    * parrots the majority class; κ subtracts the agreement chance
+    * would produce). κ = (N·Σn_kk − Σr_k·c_k)/(N² − Σr_k·c_k) — exact
+    * integers end to end (marginal products in DECIMAL(38,0)), ONE
+    * final IEEE division; gold labels outside the predictor's
+    * four-language range (e.g. zh) count as disagreements, exactly as
+    * they should. The contingency is |langs|²-bounded after one
+    * partial-agg shuffle.
+    */
+  def cohensKappa(spark: SparkSession, sfDir: String): DataFrame =
+    cohensKappaOver(
+      langId(spark, sfDir).select(col("doc_id"), col("pred_lang")),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")))
+
+  /** Same operator over any (doc_id, pred_lang) × (doc_id, lang)
+    * pair — planted perfect-agreement (κ = 1), chance-level, and
+    * constant-predictor (κ ≤ 0) corpora pin the correction. */
+  private[graft] def cohensKappaOver(pred: DataFrame,
+      gold: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val cells = pred.join(gold, "doc_id")
+      .groupBy("pred_lang", "lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = cells.agg(sum(col("c")).as("n"))
+    val agree = cells.agg(coalesce(
+      sum(when(col("pred_lang") === col("lang"), col("c"))), lit(0L))
+      .as("n_agree"))
+    val r = cells.groupBy("pred_lang").agg(sum(col("c")).as("r"))
+      .select(col("pred_lang").as("k"), col("r"))
+    val cl = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
+      .select(col("lang").as("k"), col("cl"))
+    val rc = r.join(cl, "k")
+      .agg(coalesce(sum((col("r").cast(DT(19, 0)) *
+        col("cl").cast(DT(19, 0))).cast(DT(38, 0))),
+        lit(0).cast(DT(38, 0))).as("rc"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(rc))
+      .select(col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 6)
+          .as("po"),
+        round(col("rc").cast("double") /
+          (col("n").cast(DT(19, 0)) * col("n").cast(DT(19, 0)))
+            .cast(DT(38, 0)).cast("double"), 6).as("pe"),
+        when((col("n").cast(DT(19, 0)) * col("n").cast(DT(19, 0)))
+            .cast(DT(38, 0)).minus(col("rc")).cast("double") =!= 0.0,
+          round((col("n").cast(DT(19, 0)).multiply(
+              col("n_agree").cast(DT(19, 0))).cast(DT(38, 0))
+              .minus(col("rc"))).cast("double") /
+            (col("n").cast(DT(19, 0)) * col("n").cast(DT(19, 0)))
+              .cast(DT(38, 0)).minus(col("rc")).cast("double"), 6))
+          .as("kappa"))
+  }
+
   /** C4-style repetition/quality filters: per-doc word statistics —
     * total words, hottest-word count, words occurring ≥2 times,
     * frequency-weighted mean word length — and the keep verdict

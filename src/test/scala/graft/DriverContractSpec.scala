@@ -30,7 +30,8 @@ class DriverContractSpec extends SparkSpec {
       "q_probe_mislabel", "stream_kmeans",
       // data-adaptive stopping (round count not a fixed unroll; the
       // fixed-round twins gate the trajectories)
-      "q_hits_converged", "q_pagerank_converged")
+      "q_hits_converged", "q_pagerank_converged",
+      "q_label_prop_converged")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declared,
       s"undeclared rows-only keys: ${actual -- declared}; " +

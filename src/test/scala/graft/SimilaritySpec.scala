@@ -142,6 +142,61 @@ class SimilaritySpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("silhouette: per-cell scores stay in [0,1], every vector is " +
+      "scored once, and cells partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.silhouette(spark, sf).collect()
+    assert(out.length == 16)
+    val total = out.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      // own centroid is the argmax -> b >= a -> s in [0, 1]
+      assert(s >= 0.0 && s <= 1.0, s"silhouette out of range: $s")
+    }
+  }
+
+  test("rand index: doubled pair sums recount from a direct " +
+      "contingency, RI in [0,1], ARI <= 1") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CatalystExprs.dot_product
+    val out = Similarity.randIndex(spark, sf).collect().head
+    val n = out.getAs[Long]("n")
+    assert(n == Tables.embeddings(spark, sf).count())
+    // independent recount of the contingency through the same
+    // assignment rule
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val cent = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm")).collect()
+    val vecs = all.collect()
+    def cos(a: collection.Seq[Double], b: collection.Seq[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / math.sqrt(a.map(x => x * x).sum) /
+        math.sqrt(b.map(x => x * x).sum)
+    }
+    val assign = vecs.map { r =>
+      val v = r.getAs[collection.Seq[Double]]("v")
+      val best = cent.map(c =>
+        (cos(v, c.getAs[collection.Seq[Double]]("cv")), c.getInt(0)))
+        .sortBy(p => (-p._1, p._2)).head._2
+      (best, r.getAs[Number]("label").longValue)
+    }
+    val cont = assign.groupBy(identity).map(_._2.length.toLong)
+    def p2(xs: Iterable[Long]) = xs.map(x => x * (x - 1)).sum
+    assert(out.getAs[Long]("sum_cij2") == p2(cont))
+    assert(out.getAs[Long]("sum_a2") ==
+      p2(assign.groupBy(_._1).map(_._2.length.toLong)))
+    assert(out.getAs[Long]("sum_b2") ==
+      p2(assign.groupBy(_._2).map(_._2.length.toLong)))
+    val ri = out.getAs[Double]("ri")
+    assert(ri >= 0.0 && ri <= 1.0)
+    assert(out.getAs[Double]("ari") <= 1.0)
+  }
+
   test("ann_lsh recall vs brute-force truth is measured and pinned") {
     // sf0.01: enough vectors that banding actually has room to miss —
     // this is the measured-recall floor that makes the ANN operator

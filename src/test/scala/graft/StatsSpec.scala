@@ -505,6 +505,40 @@ class StatsSpec extends SparkSpec {
     assert(const(1L).getAs[Long]("n_pairs") == 5)
   }
 
+  test("mcc: the hand-tallied confusion pins MCC/balanced-acc/J; a " +
+      "one-class corpus null-guards") {
+    import spark.implicits._
+    def run(rows: Seq[(Double, Boolean)]) = Stats.mccOver(
+      rows.toDF("score", "y"), 3.0).collect().head
+    // tp=2 fp=1 fn=1 tn=2 -> MCC = 3/9, balanced = 2/3, J = 1/3
+    val r = run(Seq((5.0, true), (5.0, true), (5.0, false),
+      (1.0, true), (1.0, false), (1.0, false)))
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("tn") == 2)
+    assert(r.getAs[Double]("mcc") == 0.333333)
+    assert(r.getAs[Double]("balanced_acc") == 0.666667)
+    assert(r.getAs[Double]("youden_j") == 0.333333)
+    val oneClass = run(Seq((5.0, true), (1.0, true)))
+    assert(oneClass.isNullAt(oneClass.fieldIndex("mcc")) &&
+      oneClass.isNullAt(oneClass.fieldIndex("balanced_acc")))
+  }
+
+  test("log loss: perfect separation pins ll_model = 0 < ll_base; a " +
+      "constant score collapses model onto base") {
+    import spark.implicits._
+    def run(rows: Seq[(Double, Boolean)]) = Stats.logLossOver(
+      rows.toDF("v0", "y").select(col("v0").cast("decimal(18,2)").as("v"),
+        col("y"))).collect().head
+    // low scores all negative, high all positive -> every bin pure
+    val sep = run(Seq((0.0, false), (1.0, false), (9.0, true),
+      (10.0, true)))
+    assert(sep.getAs[Double]("ll_model") == 0.0)
+    assert(sep.getAs[Double]("ll_base") > 0.6) // ln 2 ≈ 0.693
+    // constant score: one bin = the global rate -> model == base
+    val const = run(Seq((5.0, true), (5.0, false), (5.0, false)))
+    assert(const.getAs[Double]("ll_model") ==
+      const.getAs[Double]("ll_base"))
+  }
+
   test("theil u2: an exact-weekly series pins u2 = 0, a pure trend " +
       "pins u2 = 7 (naive wins)") {
     import spark.implicits._

@@ -6,6 +6,32 @@ import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("cohens kappa: perfect agreement pins 1, a constant predictor " +
+      "over a balanced gold pins 0") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def run(pred: Seq[(Long, String)], gold: Seq[(Long, String)]) =
+      TextAnalysis.cohensKappaOver(pred.toDF("doc_id", "pred_lang"),
+        gold.toDF("doc_id", "lang")).collect().head
+    val perfect = run(
+      Seq(1L -> "en", 2L -> "de", 3L -> "en", 4L -> "fr"),
+      Seq(1L -> "en", 2L -> "de", 3L -> "en", 4L -> "fr"))
+    assert(perfect.getAs[Double]("po") == 1.0 &&
+      perfect.getAs[Double]("kappa") == 1.0)
+    // constant 'en' vs 50/50 gold: po = pe = 0.5 -> kappa = 0
+    val const = run(
+      Seq(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "en"),
+      Seq(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de"))
+    assert(const.getAs[Double]("po") == 0.5 &&
+      const.getAs[Double]("pe") == 0.5 &&
+      const.getAs[Double]("kappa") == 0.0)
+    // gold labels outside the predictor's range count as disagreement
+    val zh = run(
+      Seq(1L -> "en", 2L -> "en"),
+      Seq(1L -> "en", 2L -> "zh"))
+    assert(zh.getAs[Long]("n_agree") == 1L)
+  }
+
   test("token counts are positive and bpe >= ws for word text") {
     val t = TextAnalysis.tokens(spark, sf).cache()
     assert(t.count() == 500)
