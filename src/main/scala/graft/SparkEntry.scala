@@ -465,6 +465,7 @@ object SparkEntry {
     // rows-gated by design (convergence-dependent round count; the
     // fixed-round twin above carries the DuckDB hash gate)
     "q_label_prop_converged" -> ((s, d) => Dedup.labelPropConverged(s, d)),
+    "q_modularity" -> ((s, d) => Dedup.modularity(s, d)),
     "q_gdpr_delete" -> ((s, d) => Quality.gdprDelete(s, d)),
     "q_k_anonymity" -> ((s, d) => Quality.kAnonymity(s, d)),
     "q_anon_generalize" -> ((s, d) => Quality.anonGeneralize(s, d)),
@@ -5357,6 +5358,34 @@ object SparkEntry {
         |GROUP BY k""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    // lang-partition modularity over the near-dup graph: per-community
+    // IEEE terms on exact integers rounded 6, decimal-summed Q
+    "q_modularity" ->
+      s"""WITH $edgeCtes,
+         |el AS (
+         |  SELECT e.doc_a, e.doc_b, da.lang AS la, db.lang AS lb
+         |  FROM edges e
+         |  JOIN documents da ON e.doc_a = da.doc_id
+         |  JOIN documents db ON e.doc_b = db.doc_id),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+         |win AS (SELECT la AS lang, CAST(count(*) AS BIGINT) AS e_w
+         |  FROM el WHERE la = lb GROUP BY 1),
+         |dg AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_c FROM
+         |  (SELECT la AS lang FROM el UNION ALL SELECT lb FROM el)
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT dg.lang,
+         |    CAST(coalesce(win.e_w, 0) AS BIGINT) AS e_within, dg.d_c,
+         |    CAST(round(CAST(coalesce(win.e_w, 0) AS DOUBLE)
+         |        / CAST(mm.m AS DOUBLE)
+         |      - (CAST(dg.d_c AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+         |        * (CAST(dg.d_c AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)),
+         |      6) AS DECIMAL(18,6)) AS term_d
+         |  FROM dg LEFT JOIN win USING (lang) CROSS JOIN mm),
+         |q AS (SELECT round(CAST(sum(term_d) AS DOUBLE), 6) AS q FROM t)
+         |SELECT t.lang, t.e_within, t.d_c,
+         |  CAST(t.term_d AS DOUBLE) AS term, q.q
+         |FROM t, q""".stripMargin,
     // cluster topics: cluster-tf x corpus-idf over multi-member
     // clusters, (score DESC, word) total rank
     "text_cluster_topics" ->

@@ -1044,6 +1044,63 @@ object Dedup {
     labelPropOver(e, seeds, iters)
   }
 
+  /** PARTITION MODULARITY (`q_modularity`) — Newman's Q of the
+    * LANGUAGE partition over the near-dup graph: do near-duplicates
+    * stay within a language (high Q — per-language curation is safe)
+    * or cross languages (low Q — translated/templated mirrors that a
+    * per-language dedup pass would MISS)? Q = Σ_c [e_c/m −
+    * (d_c/2m)²] over the gold lang communities — unlike the
+    * connected-components partition (edge-closed by definition, every
+    * edge internal), a label partition makes Q a real diagnostic.
+    *
+    * One edge scan joins both endpoint labels; within-counts and
+    * degree sums partial-agg to the |langs|-bounded frame; each
+    * community term is one IEEE dag on exact integers rounded 6 and
+    * summed IN DECIMAL (the ANOVA discipline). Per-community rows
+    * carry the shared Q (the anova broadcast shape).
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame =
+    modularityOver(
+      ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")))
+
+  /** Same operator over any canonical edge list + (doc_id, lang)
+    * label frame — a planted two-community graph with one cross edge
+    * pins Q = 0.21875 exactly. */
+  private[graft] def modularityOver(e: DataFrame,
+      lang: DataFrame): DataFrame = {
+    val el = e
+      .join(lang.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+        "doc_a")
+      .join(lang.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+        "doc_b")
+      .localCheckpoint()
+    val mm = el.agg(count(lit(1)).as("m"))
+    val win = el.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lang")).agg(count(lit(1)).as("e_w"))
+    val dg = el.select(col("la").as("lang"))
+      .unionByName(el.select(col("lb").as("lang")))
+      .groupBy("lang").agg(count(lit(1)).as("d_c"))
+    val terms = dg.join(win, Seq("lang"), "left")
+      .crossJoin(broadcast(mm))
+      .select(col("lang"),
+        coalesce(col("e_w"), lit(0L)).as("e_within"), col("d_c"),
+        round(coalesce(col("e_w"), lit(0L)).cast("double") /
+          col("m").cast("double") -
+          (col("d_c").cast("double") / (lit(2L) * col("m"))
+            .cast("double")) *
+          (col("d_c").cast("double") / (lit(2L) * col("m"))
+            .cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("term_d"))
+      .localCheckpoint()
+    val q = terms.agg(round(sum(col("term_d")).cast("double"), 6).as("q"))
+    terms.crossJoin(broadcast(q))
+      .select(col("lang"), col("e_within"), col("d_c"),
+        col("term_d").cast("double").as("term"), col("q"))
+  }
+
   /** One spread round: the still-unlabeled neighbors of the labeled
     * set vote (count desc, label asc — a total order), tagged with
     * the round number. ONE definition shared by the fixed-round and

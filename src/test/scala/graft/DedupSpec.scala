@@ -537,6 +537,28 @@ class DedupSpec extends SparkSpec {
     real.unpersist()
   }
 
+  test("modularity: the planted two-community graph pins Q = 0.21875; " +
+      "terms cover every labeled community") {
+    import spark.implicits._
+    // A = {1,2,3} chained, B = {4,5}, one cross edge 3-4: m = 4,
+    // e_A=2 d_A=5, e_B=1 d_B=3 -> Q = (2/4 - (5/8)^2) + (1/4 - (3/8)^2)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val labels = Seq(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b",
+      5L -> "b").toDF("doc_id", "lang")
+    val out = Dedup.modularityOver(edges, labels).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    assert(out("a").getAs[Long]("e_within") == 2L &&
+      out("a").getAs[Long]("d_c") == 5L)
+    assert(out("b").getAs[Long]("e_within") == 1L &&
+      out("b").getAs[Long]("d_c") == 3L)
+    assert(out("a").getAs[Double]("q") == 0.21875)
+    // real corpus: Q defined, every lang with an endpoint has a row
+    val real = Dedup.modularity(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(r => !r.isNullAt(4)))
+  }
+
   test("containment catches the planted subset pair that jaccard misses") {
     import spark.implicits._
     val small = (1 to 20).map(i => s"sub_$i")
