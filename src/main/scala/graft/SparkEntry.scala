@@ -70,6 +70,7 @@ object SparkEntry {
     "q_sink_delete" -> ((s, d) => sources.Formats.sinkDeleteReport(s, d)),
     "q_sink_compact" -> ((s, d) => sources.Formats.sinkCompactReport(s, d)),
     "q_sink_optimize" -> ((s, d) => sources.Formats.sinkOptimizeReport(s, d)),
+    "q_sink_analyze" -> ((s, d) => sources.Formats.sinkAnalyzeReport(s, d)),
     "q_sink_merge" -> ((s, d) => sources.Formats.sinkMergeReport(s, d)),
     "q_sink_cluster" -> ((s, d) => sources.Formats.sinkClusterRollup(s, d)),
     "q_sink_history" -> ((s, d) => sources.Formats.sinkHistoryReport(s, d)),
@@ -562,6 +563,7 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Similarity.annRecallReport(s, d)),
     "q_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(s, d)),
+    "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
@@ -2116,6 +2118,22 @@ object SparkEntry {
       """SELECT CAST(3 AS BIGINT) AS generation,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    // ANALYZE: the persisted #colstats markers read back from the
+    // manifest must equal the source-side recomputation
+    "q_sink_analyze" ->
+      """SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS ndv,
+        |  CAST(min(doc_id) AS VARCHAR) AS mn,
+        |  CAST(max(doc_id) AS VARCHAR) AS mx,
+        |  CAST(1 AS BIGINT) AS at_generation
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT CAST(n_chars AS BIGINT)) AS BIGINT),
+        |  CAST(min(CAST(n_chars AS BIGINT)) AS VARCHAR),
+        |  CAST(max(CAST(n_chars AS BIGINT)) AS VARCHAR),
+        |  CAST(1 AS BIGINT)
         |FROM documents""".stripMargin,
     // OPTIMIZE planner: the decision reproduced as a CASE over the
     // pinned per-store inputs (file count, dispersion verdict,
@@ -8294,6 +8312,26 @@ object SparkEntry {
         |  quantile_cont(d, 0.5) AS median_days,
         |  CAST(max(d) AS BIGINT) AS max_days
         |FROM d GROUP BY 1""".stripMargin,
+    // vocabulary coverage: head-ranked under the (cnt desc, word)
+    // total order, exact token mass, one division per k
+    "text_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM w WHERE word <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+        |r AS (SELECT word, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+        |  FROM wc),
+        |ks AS (SELECT * FROM (VALUES (10), (100), (1000)) AS t(k))
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS covered_tokens,
+        |  tot.total AS total_tokens,
+        |  round(CAST(coalesce(sum(r.cnt), 0) AS DOUBLE)
+        |    / CAST(tot.total AS DOUBLE), 6) AS coverage
+        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rnk <= ks.k
+        |GROUP BY ks.k, tot.total""".stripMargin,
     // Cohen's kappa of the heuristic lang predictor vs gold labels:
     // exact integer contingency + marginal products, one division
     "q_cohens_kappa" ->

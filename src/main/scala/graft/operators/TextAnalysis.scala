@@ -178,6 +178,39 @@ object TextAnalysis {
       .select(col("doc_id") +: langScores(col("w")): _*)
       .withColumn("pred_lang", predLang)
 
+  /** VOCABULARY COVERAGE CURVE (`text_vocab_coverage`) — what share
+    * of the corpus's TOKEN MASS do the top-10/100/1000 words cover?
+    * The tokenizer-budget number (`q_vocab_growth` asks how fast NEW
+    * types appear; this asks how much a FIXED vocabulary buys —
+    * natural language covers most mass with a tiny head, and a corpus
+    * whose curve flattens has a template/boilerplate injection
+    * problem). The vocabulary never globally sorts: the head is a
+    * bounded orderBy+limit (TakeOrderedAndProject — partial top-k per
+    * partition, single bounded merge) under the total (cnt desc,
+    * word) order; ranks and cumulative shares live on that ≤1000-row
+    * frame. Exact integer token counts, one division per k.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+      ks: Seq[Long] = Seq(10L, 100L, 1000L)): DataFrame = {
+    val wc = TextMapReduce.wordCount(spark, sfDir).localCheckpoint()
+    val tot = wc.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word"))
+    val ranked = wc.orderBy(col("cnt").desc, col("word"))
+      .limit(ks.max.toInt)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    import spark.implicits._
+    ks.toDF("k").crossJoin(broadcast(tot))
+      .join(ranked, col("rnk") <= col("k"), "left")
+      .groupBy("k", "total")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_tokens"))
+      .select(col("k"), col("covered_tokens"),
+        col("total").as("total_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("total").cast("double"), 6).as("coverage"))
+  }
+
   /** COHEN'S KAPPA (`q_cohens_kappa`) — chance-corrected agreement
     * between the heuristic language predictor ([[langId]]) and the
     * corpus's gold `lang` labels: the labeler-quality number every

@@ -1183,6 +1183,35 @@ object Formats {
       .select(lit(nChecks).as("n_checks"), col("n_rows"), col("sum_chars"))
   }
 
+  /** ANALYZE TABLE on the sink (`q_sink_analyze`): the document store
+    * commits, [[graft.sources.v2.GraftSink.analyze]] computes
+    * per-column row count / exact NDV / min / max in ONE distributed
+    * pass and CAS-commits them as `#colstats` manifest markers, and
+    * the answer is read back FROM THE MANIFEST ALONE — the
+    * cost-based-planner handshake (`q_join_preflight` prices a join
+    * from query-time statistics; ANALYZE is how those numbers become
+    * table metadata a planner consults without scanning). The stats
+    * carry the generation they were computed at, so a later write
+    * makes them visibly stale instead of silently wrong
+    * (spec-pinned). A wrong persisted NDV/min/max hash-fails against
+    * the source-side recomputation.
+    */
+  def sinkAnalyzeReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.v2.GraftSink
+    val dir = graft.TempDirs.create("graft_sink_analyze").toString
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    GraftSink.analyze(spark, dir, TwoGenSchema)
+    val stats = GraftSink.colStatsOf(GraftSink.head(dir)._2)
+    import spark.implicits._
+    stats.map(s => (s.column, s.nRows, s.ndv, s.min, s.max,
+        s.atGeneration.toLong))
+      .toDF("column", "n_rows", "ndv", "mn", "mx", "at_generation")
+  }
+
   /** GENERATION TAGS on the sink (`q_sink_tag`): tag generation 1
     * "baseline" (a `#tag` head marker, CAS-committed), then vacuum
     * with keepGenerations = 1 — retention expires the UNTAGGED middle

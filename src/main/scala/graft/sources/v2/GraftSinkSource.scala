@@ -1565,6 +1565,60 @@ object GraftSink {
         s"$TagRef$name\t$gen", parent)
   }
 
+  // ------------------------------------------------------------------
+  // ANALYZE — persisted table-level column statistics
+  // ------------------------------------------------------------------
+
+  /** `#colstats<TAB>col<TAB>n<TAB>ndv<TAB>min<TAB>max<TAB>gen` —
+    * table-level column statistics persisted in the manifest (the
+    * ANALYZE TABLE output a cost-based planner consults without
+    * touching data). `gen` records the generation the stats were
+    * computed AT, so a reader can tell stale stats from fresh ones —
+    * the staleness check every CBO needs before trusting an NDV.
+    */
+  private val ColStatsRef = "#colstats\t"
+
+  final case class ColStats(column: String, nRows: Long, ndv: Long,
+      min: String, max: String, atGeneration: Int)
+
+  def colStatsOf(lines: Seq[String]): Seq[ColStats] =
+    lines.filter(_.startsWith(ColStatsRef)).map { l =>
+      val p = l.split("\t")
+      ColStats(p(1), p(2).toLong, p(3).toLong, p(4), p(5), p(6).toInt)
+    }
+
+  /** ANALYZE the live table: ONE distributed pass computes per-column
+    * row count, exact NDV, and min/max over the VISIBLE rows, then
+    * CAS-commits the `#colstats` markers (replacing any previous
+    * set). Exact `countDistinct` is the gate-SF regime; at 100 TB the
+    * production swap is the theta-sketch NDV (`agg_theta`) — same
+    * marker format, one flag of accuracy metadata away. Returns the
+    * committed generation; the stats record the generation they were
+    * computed at, so later writes make them visibly stale rather than
+    * silently wrong.
+    */
+  def analyze(spark: SparkSession, path: String,
+      schema: StructType = Schema): Int = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, max, min}
+    val (parent, lines0) = head(path)
+    val df = readBack(spark, path, schema)
+    val aggs = schema.fields.flatMap(f => Seq(
+      countDistinct(col(f.name)).as(s"ndv_${f.name}"),
+      min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+      max(col(f.name)).cast("string").as(s"mx_${f.name}")))
+    val r = df.agg(count(lit(1)).as("n"), aggs: _*).first()
+    val n = r.getLong(r.fieldIndex("n"))
+    val statLines = schema.fields.map { f =>
+      s"$ColStatsRef${f.name}\t$n\t" +
+        s"${r.getLong(r.fieldIndex(s"ndv_${f.name}"))}\t" +
+        s"${r.getString(r.fieldIndex(s"mn_${f.name}"))}\t" +
+        s"${r.getString(r.fieldIndex(s"mx_${f.name}"))}\t$parent"
+    }
+    commitReplace(path,
+      lines0.filterNot(_.startsWith(ColStatsRef)) ++ statLines, parent)
+  }
+
   /** DROP a tag by name (CAS commit) — the tagged generation becomes
     * an ordinary snapshot again, reclaimable by retention.
     */

@@ -566,6 +566,41 @@ class SourcesV2Spec extends SparkSpec {
       (30L to 70L).map(i => (i, i)))
   }
 
+  test("dsv2 sink analyze: persisted colstats match the data, go " +
+      "visibly stale after a write, and refresh on re-analyze") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_analyze_spec").toString
+    (1L to 100L).map(i => (i, i * 2)).toDF("doc_id", "n_chars")
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    GraftSink.analyze(spark, dir, schema)
+    val s1 = GraftSink.colStatsOf(GraftSink.head(dir)._2)
+      .map(s => s.column -> s).toMap
+    assert(s1("doc_id").nRows == 100 && s1("doc_id").ndv == 100 &&
+      s1("doc_id").min == "1" && s1("doc_id").max == "100")
+    assert(s1("n_chars").max == "200" && s1("n_chars").atGeneration == 1)
+    // a later append moves the head past the stats' generation —
+    // stale is VISIBLE, never silently wrong
+    Seq((200L, 999L)).toDF("doc_id", "n_chars")
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    val s2 = GraftSink.colStatsOf(GraftSink.head(dir)._2)
+    assert(s2.forall(_.atGeneration < GraftSink.versions(dir).max),
+      "stats must read as stale after the append")
+    // re-analyze refreshes in one CAS commit
+    GraftSink.analyze(spark, dir, schema)
+    val s3 = GraftSink.colStatsOf(GraftSink.head(dir)._2)
+      .map(s => s.column -> s).toMap
+    assert(s3("doc_id").nRows == 101 && s3("doc_id").max == "200" &&
+      s3("n_chars").max == "999")
+    assert(GraftSink.colStatsOf(GraftSink.head(dir)._2).size == 2,
+      "re-analyze must replace, not accumulate, stat lines")
+  }
+
   test("dsv2 sink optimize: every branch of the decision matrix fires " +
       "on its planted store and executes the right maintenance") {
     import graft.sources.v2.GraftSink

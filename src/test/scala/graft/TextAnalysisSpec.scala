@@ -6,6 +6,23 @@ import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("vocab coverage: monotone in k, bounded by 1, and the top-10 " +
+      "mass recounts from the word-count head") {
+    import graft.operators.{TextAnalysis, TextMapReduce}
+    val out = TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(10L, 100L, 1000L))
+    val cov = Seq(10L, 100L, 1000L).map(out(_).getAs[Double]("coverage"))
+    assert(cov == cov.sorted && cov.forall(c => c > 0.0 && c <= 1.0))
+    assert(out(10L).getAs[Long]("total_tokens") ==
+      out(1000L).getAs[Long]("total_tokens"))
+    // independent recount of the k=10 head mass
+    val top10 = TextMapReduce.wordCount(spark, sf)
+      .orderBy(col("cnt").desc, col("word")).limit(10)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(out(10L).getAs[Long]("covered_tokens") == top10)
+  }
+
   test("cohens kappa: perfect agreement pins 1, a constant predictor " +
       "over a balanced gold pins 0") {
     import spark.implicits._
