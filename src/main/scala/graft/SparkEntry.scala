@@ -564,6 +564,7 @@ object SparkEntry {
     "q_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
     "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "text_rake" -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
@@ -8312,6 +8313,50 @@ object SparkEntry {
         |  quantile_cont(d, 0.5) AS median_days,
         |  CAST(max(d) AS BIGINT) AS max_days
         |FROM d GROUP BY 1""".stripMargin,
+    // RAKE keywords: islands-trick phrase assembly (pos - row_number
+    // is shift-invariant, so 0- vs 1-based positions group alike),
+    // deg/freq rounded 6 into decimal, decimal phrase sums, top-20
+    "text_rake" -> {
+      val stops = graft.operators.TextAnalysis.RakeStops
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.s.w AS word, u.s.p AS pos
+         |  FROM (SELECT doc_id,
+         |      regexp_split_to_array(lower(text), '[^\\p{L}]+') AS w
+         |    FROM documents),
+         |    unnest([{'w': w[i], 'p': i}
+         |            for i in range(1, len(w) + 1)]) AS u(s)
+         |  WHERE u.s.w <> ''),
+         |ns AS (
+         |  SELECT doc_id, pos, word,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS island
+         |  FROM toks WHERE word NOT IN ($stops)),
+         |ph AS (
+         |  SELECT doc_id, island,
+         |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS len
+         |  FROM ns GROUP BY 1, 2
+         |  HAVING count(*) <= 4),
+         |mem AS (SELECT unnest(string_split(phrase, ' ')) AS word, len
+         |  FROM ph),
+         |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(len) AS BIGINT) AS deg FROM mem GROUP BY 1),
+         |wsc AS (SELECT word,
+         |    CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS wscore
+         |  FROM ws),
+         |pt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(max(len) AS BIGINT) AS n_words FROM ph GROUP BY 1),
+         |psc AS (
+         |  SELECT pt.phrase, pt.n_occ, pt.n_words,
+         |    sum(wsc.wscore) AS score_d
+         |  FROM pt, unnest(string_split(pt.phrase, ' ')) AS u(word)
+         |  JOIN wsc ON wsc.word = u.word
+         |  GROUP BY 1, 2, 3)
+         |SELECT phrase, n_occ, n_words, CAST(score_d AS DOUBLE) AS score
+         |FROM psc ORDER BY score_d DESC, phrase LIMIT 20""".stripMargin
+    },
     // vocabulary coverage: head-ranked under the (cnt desc, word)
     // total order, exact token mass, one division per k
     "text_vocab_coverage" ->

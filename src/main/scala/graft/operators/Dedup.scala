@@ -1244,6 +1244,12 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
+      // materialize ONCE: both the occurrence count and the join back
+      // consume this frame, and the substring+xxhash64 projection IS
+      // the operator's dominant cost — recomputing it doubled the
+      // wall time (measured ~1.7 s -> the 1.42 s floor came from a
+      // cached-footer run; this makes the single-hash-pass structural)
+      .localCheckpoint()
     // positions are per-(doc,i) unique, so count-by-hash = total
     // corpus occurrences of the k-gram (within-doc repeats included);
     // partial aggregation keeps hot hashes from funneling raw rows

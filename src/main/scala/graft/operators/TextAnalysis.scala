@@ -178,6 +178,79 @@ object TextAnalysis {
       .select(col("doc_id") +: langScores(col("w")): _*)
       .withColumn("pred_lang", predLang)
 
+  /** The fixed English delimiter list RAKE splits candidate phrases
+    * on — ONE definition interpolated into both the Spark plan and
+    * the DuckDB oracle, so the phrase boundaries can never drift.
+    */
+  val RakeStops: Seq[String] = Seq("the", "a", "an", "of", "and", "to",
+    "in", "is", "it", "that", "as", "for", "on", "with", "was", "are",
+    "be", "by", "this", "or", "at", "from", "not", "but")
+
+  /** RAKE KEYWORD EXTRACTION (`text_rake`, Rose et al. 2010) — the
+    * unsupervised keyword-phrase extractor curation pipelines use for
+    * topic tagging without a model: candidate phrases are maximal
+    * runs of non-stopword tokens (capped at 4 words, the RAKE
+    * convention), each word scores deg/freq (deg = Σ phrase length
+    * over its phrases — within-phrase co-occurrence including self),
+    * a phrase scores the sum of its words' scores, top-k phrases by
+    * (score, phrase) total order.
+    *
+    * Distributed shape: phrase assembly is the ISLANDS trick — one
+    * per-document window assigns `pos − row_number()` so consecutive
+    * non-stop tokens share an island id (per-doc windows are bounded
+    * by document length, never corpus-keyed) — then everything is
+    * keyed partial-agg shuffles on word/phrase. Word scores are
+    * exact-integer ratios rounded 6 into DECIMAL; the phrase score is
+    * a DECIMAL sum (order-free), so the rank is engine-exact; the
+    * final top-k is a bounded TakeOrderedAndProject.
+    */
+  def rakeKeywords(spark: SparkSession, sfDir: String, k: Int = 20,
+      maxLen: Int = 4): DataFrame =
+    rakeOver(Tables.documents(spark, sfDir), k, maxLen)
+
+  /** Same operator over any (doc_id, text) frame — a planted corpus
+    * with a repeated two-word phrase pins the deg/freq scores and the
+    * stopword phrase boundaries by hand. */
+  private[graft] def rakeOver(docs: DataFrame, k: Int,
+      maxLen: Int): DataFrame = {
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), TextMapReduce.WordSplit))
+          .as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val ns = toks.filter(!col("word").isin(RakeStops: _*))
+      .withColumn("island", col("pos") - row_number().over(w))
+    val ph = ns.groupBy("doc_id", "island")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("word")))), s => s.getField("word")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= maxLen)
+      .localCheckpoint()
+    val wsc = ph
+      .select(explode(split(col("phrase"), " ")).as("word"), col("len"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("word"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+          .cast(d186).as("wscore"))
+    ph.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max(col("len")).as("n_words"))
+      .select(col("phrase"), col("n_occ"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wsc, "word")
+      .groupBy("phrase", "n_occ", "n_words")
+      .agg(sum(col("wscore")).as("score_d"))
+      .orderBy(col("score_d").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_occ"),
+        col("n_words").cast("long").as("n_words"),
+        col("score_d").cast("double").as("score"))
+  }
+
   /** VOCABULARY COVERAGE CURVE (`text_vocab_coverage`) — what share
     * of the corpus's TOKEN MASS do the top-10/100/1000 words cover?
     * The tokenizer-budget number (`q_vocab_growth` asks how fast NEW
@@ -199,7 +272,6 @@ object TextAnalysis {
     val ranked = wc.orderBy(col("cnt").desc, col("word"))
       .limit(ks.max.toInt)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .localCheckpoint()
     import spark.implicits._
     ks.toDF("k").crossJoin(broadcast(tot))
       .join(ranked, col("rnk") <= col("k"), "left")

@@ -189,6 +189,27 @@ class PlanSpec extends SparkSpec {
     assert(!met.contains("CartesianProduct"), s"cartesian in metrics:\n$met")
   }
 
+  test("round-15 operators keep the bounded-plan discipline: rake's " +
+      "only window is doc-partitioned, vocab coverage's head is a " +
+      "bounded top-k, modularity and theil-u never go cartesian") {
+    import graft.operators.{Stats, TextAnalysis}
+    val rake = plan(TextAnalysis.rakeKeywords(spark, sf))
+    // the islands window must be keyed on doc_id — a corpus-global
+    // window would funnel the token stream through one task
+    val rakeWindows = rake.linesIterator
+      .filter(_.contains("Window")).mkString("\n")
+    assert(!rakeWindows.contains("partitionBy=[]"),
+      s"unpartitioned window in rake plan:\n$rakeWindows")
+    assert(!rake.contains("CartesianProduct"))
+    val vc = plan(TextAnalysis.vocabCoverage(spark, sf))
+    assert(vc.contains("TakeOrderedAndProject"),
+      s"vocab head is not a bounded top-k:\n$vc")
+    val mod = plan(graft.operators.Dedup.modularity(spark, sf))
+    assert(!mod.contains("CartesianProduct"))
+    val tu = plan(Stats.theilU(spark, sf))
+    assert(!tu.contains("CartesianProduct"))
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection

@@ -6,6 +6,33 @@ import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("rake: the planted corpus pins deg/freq phrase scores by hand, " +
+      "and no phrase ever contains a stopword") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // tokens: deep learning [is the] best deep learning method
+    // deg/freq: deep 6/2=3, learning 3, best 4/1=4, method 4
+    // phrases: "deep learning" = 6, "best deep learning method" = 14
+    val docs = Seq((1L, "Deep learning is the best deep learning method"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeOver(docs, 10, 4).collect()
+    assert(out.length == 2, out.toSeq.toString)
+    assert(out(0).getString(0) == "best deep learning method" &&
+      out(0).getAs[Double]("score") == 14.0 &&
+      out(0).getAs[Long]("n_words") == 4L)
+    assert(out(1).getString(0) == "deep learning" &&
+      out(1).getAs[Double]("score") == 6.0 &&
+      out(1).getAs[Long]("n_occ") == 1L)
+    // real corpus: top-20, stopword-free phrases, capped length
+    val real = TextAnalysis.rakeKeywords(spark, sf).collect()
+    assert(real.length == 20)
+    real.foreach { r =>
+      val ws = r.getString(0).split(" ")
+      assert(ws.length <= 4 &&
+        ws.forall(w => !TextAnalysis.RakeStops.contains(w)))
+    }
+  }
+
   test("vocab coverage: monotone in k, bounded by 1, and the top-10 " +
       "mass recounts from the word-count head") {
     import graft.operators.{TextAnalysis, TextMapReduce}
