@@ -567,6 +567,8 @@ object SparkEntry {
     "text_rake" -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
+    "q_breusch_pagan" -> ((s, d) => Stats.breuschPagan(s, d)),
+    "q_median_test" -> ((s, d) => Stats.medianTest(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
     "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
     "q_xyz_class" -> ((s, d) => Stats.xyzClass(s, d)),
@@ -8299,6 +8301,118 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(28,6)) END AS DOUBLE)
         |    / CAST(tn AS DOUBLE), 6) AS ll_base
         |FROM t""".stripMargin,
+    // Breusch-Pagan: the shared y-vs-t fit dag, aux moments of e^2
+    // rounded 6 and decimal-summed, n-scaled product-moment R^2
+    "q_breusch_pagan" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS t
+        |  FROM events GROUP BY 1, 2, 4),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(t * y) AS BIGINT) AS sty,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM daily GROUP BY 1),
+        |fit AS (
+        |  SELECT event_type, n0, st, stt,
+        |    CAST(sy AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - ((CAST(n0 AS DOUBLE) * sty
+        |          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE) * stt
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+        |        * CAST(st AS DOUBLE) / CAST(n0 AS DOUBLE) AS a,
+        |    (CAST(n0 AS DOUBLE) * sty
+        |        - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) * stt
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+        |  FROM m),
+        |r AS (
+        |  SELECT d.event_type, f.n0, f.st, f.stt, d.t,
+        |    CAST(d.y AS DOUBLE) - (f.a + f.b * CAST(d.t AS DOUBLE)) AS e
+        |  FROM daily d JOIN fit f USING (event_type)),
+        |aux AS (
+        |  SELECT event_type, max(n0) AS n0, max(st) AS st,
+        |    max(stt) AS stt,
+        |    sum(CAST(round(e * e, 6) AS DECIMAL(38,6))) AS su,
+        |    sum(CAST(round(CAST(t AS DOUBLE) * (e * e), 6)
+        |      AS DECIMAL(38,6))) AS stu,
+        |    sum(CAST(round((e * e) * (e * e), 6) AS DECIMAL(38,6)))
+        |      AS suu
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n0 AS n_days,
+        |  CASE WHEN n0 > 2
+        |      AND CAST(n0 AS DOUBLE) * CAST(stt AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0
+        |      AND CAST(n0 AS DOUBLE) * CAST(suu AS DOUBLE)
+        |        - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0 THEN
+        |    round((CAST(n0 AS DOUBLE) * CAST(stu AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+        |      * (CAST(n0 AS DOUBLE) * CAST(stu AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+        |      / ((CAST(n0 AS DOUBLE) * CAST(stt AS DOUBLE)
+        |          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |        * (CAST(n0 AS DOUBLE) * CAST(suu AS DOUBLE)
+        |          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), 6)
+        |  END AS r2_aux,
+        |  CASE WHEN n0 > 2
+        |      AND CAST(n0 AS DOUBLE) * CAST(stt AS DOUBLE)
+        |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0
+        |      AND CAST(n0 AS DOUBLE) * CAST(suu AS DOUBLE)
+        |        - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0 THEN
+        |    round(CAST(n0 AS DOUBLE)
+        |      * ((CAST(n0 AS DOUBLE) * CAST(stu AS DOUBLE)
+        |          - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+        |        * (CAST(n0 AS DOUBLE) * CAST(stu AS DOUBLE)
+        |          - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+        |        / ((CAST(n0 AS DOUBLE) * CAST(stt AS DOUBLE)
+        |            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |          * (CAST(n0 AS DOUBLE) * CAST(suu AS DOUBLE)
+        |            - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))), 6)
+        |  END AS bp
+        |FROM aux""".stripMargin,
+    // Mood's median test: one exact integer-cent grand median, k x 2
+    // contingency, the crosstab chi^2 term discipline
+    "q_median_test" ->
+      """WITH y AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |med AS (SELECT quantile_cont(y, 0.5) AS gm FROM y),
+        |cells AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN CAST(y AS DOUBLE) > med.gm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |  FROM y, med GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(n_above) AS BIGINT) AS ta,
+        |    CAST(count(*) AS BIGINT) AS k FROM cells),
+        |t AS (
+        |  SELECT c.event_type, tot.k, tot.tn, tot.ta,
+        |    CAST(round((CAST(c.n_above AS DOUBLE)
+        |        - CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |          / CAST(tot.tn AS DOUBLE))
+        |      * (CAST(c.n_above AS DOUBLE)
+        |        - CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |          / CAST(tot.tn AS DOUBLE))
+        |      / (CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |        / CAST(tot.tn AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    + CAST(round((CAST(c.n - c.n_above AS DOUBLE)
+        |        - CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
+        |          / CAST(tot.tn AS DOUBLE))
+        |      * (CAST(c.n - c.n_above AS DOUBLE)
+        |        - CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
+        |          / CAST(tot.tn AS DOUBLE))
+        |      / (CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
+        |        / CAST(tot.tn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t2
+        |  FROM cells c, tot)
+        |SELECT k AS k_groups, tn AS n, ta AS n_above_total,
+        |  k - 1 AS df,
+        |  CASE WHEN ta > 0 AND ta < tn THEN
+        |    round(CAST(sum(t2) AS DOUBLE), 6) END AS chi2
+        |FROM t GROUP BY 1, 2, 3, 4""".stripMargin,
     // order-to-ship lead time: exact integer day diffs, one division,
     // integer-exact median
     "q_order_to_ship" ->

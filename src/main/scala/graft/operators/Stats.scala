@@ -4345,6 +4345,117 @@ object Stats {
         round(col("e"), 6).as("resid"))
   }
 
+  /** BREUSCH–PAGAN HETEROSCEDASTICITY TEST (`q_breusch_pagan`,
+    * Koenker's studentized form) — the fourth leg of the regression
+    * diagnostics: `q_durbin_watson` tests residual serial correlation,
+    * `q_ljung_box` its lag-h omnibus, `q_cooks_distance` influence;
+    * BP asks whether the residual VARIANCE drifts with the regressor
+    * (heteroscedasticity ⇒ the OLS standard errors under the other
+    * three are wrong too): regress e² on t, BP = n·R² ~ χ²(1).
+    *
+    * The same exact-BIGINT y-vs-t fit dag as DW/Cook's; the auxiliary
+    * moments Σe², Σt·e², Σe⁴ are per-row IEEE terms on exact inputs
+    * rounded 6 and summed IN DECIMAL; R² is the n-scaled product-
+    * moment form — one fixed dag, null-guarded when e² is constant.
+    */
+  def breuschPagan(spark: SparkSession, sfDir: String): DataFrame =
+    breuschPaganOver(dailySeries(spark, sfDir))
+
+  /** Same operator over any (event_type, day, y, t) daily frame — a
+    * fanning-residual plant pins BP > 0, a perfect line and a
+    * constant-magnitude residual pattern both null-guard (e² constant
+    * ⇒ the aux regression has no variance to explain). */
+  private[graft] def breuschPaganOver(daily: DataFrame): DataFrame = {
+    val d386 = DecimalType(38, 6)
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+    val n = col("n0").cast("double")
+    val b = (n * col("sty").cast("double") -
+      col("st").cast("double") * col("sy").cast("double")) /
+      (n * col("stt").cast("double") -
+        col("st").cast("double") * col("st").cast("double"))
+    val fit = m.select(col("event_type"), col("n0"), col("st"),
+      col("stt"),
+      (col("sy").cast("double") / n - b *
+        col("st").cast("double") / n).as("a"), b.as("b"))
+    val aux = daily.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e",
+        col("y").cast("double") - (col("a") + col("b") *
+          col("t").cast("double")))
+      .withColumn("u", col("e") * col("e"))
+      .groupBy("event_type")
+      .agg(max(col("n0")).as("n0"), max(col("st")).as("st"),
+        max(col("stt")).as("stt"),
+        sum(round(col("u"), 6).cast(d386)).as("su"),
+        sum(round(col("t").cast("double") * col("u"), 6).cast(d386))
+          .as("stu"),
+        sum(round(col("u") * col("u"), 6).cast(d386)).as("suu"))
+    val nd = col("n0").cast("double")
+    val num = nd * col("stu").cast("double") -
+      col("st").cast("double") * col("su").cast("double")
+    val d1 = nd * col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double")
+    val d2 = nd * col("suu").cast("double") -
+      col("su").cast("double") * col("su").cast("double")
+    aux.select(col("event_type"), col("n0").as("n_days"),
+      when(col("n0") > 2 && d1 > 0 && d2 > 0,
+        round(num * num / (d1 * d2), 6)).as("r2_aux"),
+      when(col("n0") > 2 && d1 > 0 && d2 > 0,
+        round(nd * (num * num / (d1 * d2)), 6)).as("bp"))
+  }
+
+  /** MOOD'S MEDIAN TEST (`q_median_test`) — the k-sample location
+    * test on nothing but above/below-the-grand-median counts, the
+    * most assumption-free member of the nonparametric family
+    * (`q_kruskal` needs ranks; this survives gross outliers and
+    * heavy censoring untouched): χ² over the k×2 contingency of
+    * per-type counts above vs not-above the pooled median. The grand
+    * median is ONE exact integer-cent `percentile` (== quantile_cont
+    * on ints); cells are a conditional-agg scan; expecteds and the
+    * χ² terms follow the `q_crosstab_chi2` discipline (per-cell
+    * (o−e)²/e rounded 6, DECIMAL-summed).
+    */
+  def medianTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    val y = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (money(col("value")) * 100).cast("long").as("y"))
+      .localCheckpoint()
+    val med = y.agg(expr("percentile(y, 0.5D)").as("gm"))
+    val cells = y.crossJoin(broadcast(med))
+      .select(col("event_type"),
+        (col("y").cast("double") > col("gm")).as("above"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("n_above"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("n")).as("tn"),
+      sum(col("n_above")).as("ta"), count(lit(1)).as("k"))
+    val withT = cells.crossJoin(broadcast(tot))
+    def term(o: Column, e: Column): Column =
+      round((o.cast("double") - e) * (o.cast("double") - e) / e, 6)
+        .cast(d186)
+    val ea = col("n").cast("double") * col("ta").cast("double") /
+      col("tn").cast("double")
+    val eb = col("n").cast("double") *
+      (col("tn") - col("ta")).cast("double") / col("tn").cast("double")
+    val terms = withT.select(col("event_type"), col("n"), col("n_above"),
+      col("k"), col("tn"), col("ta"),
+      (term(col("n_above"), ea) +
+        term(col("n") - col("n_above"), eb)).as("t2"))
+    terms
+      .groupBy("k", "tn", "ta")
+      .agg(sum(col("t2")).as("chi2d"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("tn").cast("long").as("n"),
+        col("ta").cast("long").as("n_above_total"),
+        (col("k") - 1).cast("long").as("df"),
+        when(col("ta") > 0 && col("ta") < col("tn"),
+          round(col("chi2d").cast("double"), 6)).as("chi2"))
+  }
+
   /** p-CHART (`q_p_chart`) — the attribute CONTROL CHART for daily
     * conversion (purchase share): centerline p̄ from the whole
     * window, per-day 3σ limits p̄ ± 3√(p̄(1−p̄)/n_t) that WIDEN on

@@ -505,6 +505,49 @@ class StatsSpec extends SparkSpec {
     assert(const(1L).getAs[Long]("n_pairs") == 5)
   }
 
+  test("breusch-pagan: fanning residuals score BP > 0 with r2 in (0,1]; " +
+      "constant-magnitude residuals null-guard (no aux variance)") {
+    import spark.implicits._
+    def daily(ys: Seq[Long]) = ys.zipWithIndex
+      .map { case (y, i) => ("a", i, y) }.toDF("event_type", "i", "y")
+      .select(col("event_type"),
+        date_add(lit("2024-01-01").cast("date"), col("i")).as("day"),
+        col("y"), (lit(100L) + col("i")).as("t"))
+    // residual magnitude grows with t: heteroscedastic by design
+    val fan = Stats.breuschPaganOver(daily(
+      Seq.tabulate(20)(i => 100L * i +
+        (if (i % 2 == 0) 1L else -1L) * 10L * i))).collect().head
+    val r2 = fan.getAs[Double]("r2_aux")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2_aux out of range: $r2")
+    assert(fan.getAs[Double]("bp") > 2.0, s"fanning must score: $fan")
+    // alternating +-c around a line: near-constant e^2 -> BP ~ 0
+    // (the fitted slope absorbs a sliver, so the guard sees tiny
+    // but nonzero aux variance — the score, not the null, says clean)
+    val flat = Stats.breuschPaganOver(daily(
+      Seq.tabulate(20)(i => 100L * i +
+        (if (i % 2 == 0) 5L else -5L)))).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("bp")) ||
+      flat.getAs[Double]("bp") < 0.5,
+      s"homoscedastic plant must score ~0: $flat")
+    // a PERFECT line: every residual 0 -> no aux variance -> null
+    val line = Stats.breuschPaganOver(daily(
+      Seq.tabulate(20)(i => 100L * i))).collect().head
+    assert(line.isNullAt(line.fieldIndex("bp")),
+      s"zero residuals must null-guard: $line")
+  }
+
+  test("median test: the chi2 recounts from the cells, df = k-1, and " +
+      "the split sides cover the corpus") {
+    val out = Stats.medianTest(spark, sf).collect().head
+    val k = out.getAs[Long]("k_groups")
+    assert(out.getAs[Long]("df") == k - 1)
+    val n = out.getAs[Long]("n")
+    val ta = out.getAs[Long]("n_above_total")
+    assert(ta > 0 && ta < n)
+    assert(out.getAs[Double]("chi2") >= 0.0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
   test("mcc: the hand-tallied confusion pins MCC/balanced-acc/J; a " +
       "one-class corpus null-guards") {
     import spark.implicits._
