@@ -568,6 +568,7 @@ object SparkEntry {
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_breusch_pagan" -> ((s, d) => Stats.breuschPagan(s, d)),
+    "q_logrank" -> ((s, d) => Stats.logrank(s, d)),
     "q_median_test" -> ((s, d) => Stats.medianTest(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
     "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
@@ -8373,6 +8374,84 @@ object SparkEntry {
         |            - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))), 6)
         |  END AS bp
         |FROM aux""".stripMargin,
+    // log-rank: md5-parity arms over the shared life-table scaffold,
+    // hypergeometric O-E and V terms rounded 6 and decimal-summed
+    "q_logrank" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS d0
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS dp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |obs AS (
+        |  SELECT CASE WHEN CAST('0x' ||
+        |      substring(md5('exp:'||f.user_id), 1, 8) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN p.dp IS NOT NULL
+        |        AND date_diff('day', f.d0, p.dp) <= 7
+        |      THEN CAST(date_diff('day', f.d0, p.dp) AS BIGINT)
+        |      ELSE CAST(7 AS BIGINT) END AS t,
+        |    (p.dp IS NULL OR date_diff('day', f.d0, p.dp) > 7)
+        |      AS censored
+        |  FROM f LEFT JOIN p USING (user_id)),
+        |at AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_arm
+        |  FROM obs GROUP BY 1),
+        |byt AS (
+        |  SELECT arm, t,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM obs GROUP BY 1, 2),
+        |times AS (SELECT DISTINCT t FROM byt),
+        |ra AS (
+        |  SELECT times.t, a.n_arm
+        |    - CAST(coalesce(sum(b.d + b.c), 0) AS BIGINT) AS nr_a
+        |  FROM times
+        |  CROSS JOIN (SELECT n_arm FROM at WHERE arm = 'A') a
+        |  LEFT JOIN byt b ON b.arm = 'A' AND b.t < times.t
+        |  GROUP BY times.t, a.n_arm),
+        |rb AS (
+        |  SELECT times.t, a.n_arm
+        |    - CAST(coalesce(sum(b.d + b.c), 0) AS BIGINT) AS nr_b
+        |  FROM times
+        |  CROSS JOIN (SELECT n_arm FROM at WHERE arm = 'B') a
+        |  LEFT JOIN byt b ON b.arm = 'B' AND b.t < times.t
+        |  GROUP BY times.t, a.n_arm),
+        |j AS (
+        |  SELECT times.t, ra.nr_a, rb.nr_b,
+        |    CAST(coalesce(da.d, 0) AS BIGINT) AS d_a,
+        |    CAST(coalesce(db.d, 0) AS BIGINT) AS d_b,
+        |    ra.nr_a + rb.nr_b AS n,
+        |    CAST(coalesce(da.d, 0) + coalesce(db.d, 0) AS BIGINT) AS d
+        |  FROM times
+        |  JOIN ra ON ra.t = times.t
+        |  JOIN rb ON rb.t = times.t
+        |  LEFT JOIN (SELECT t, d FROM byt WHERE arm = 'A') da
+        |    ON da.t = times.t
+        |  LEFT JOIN (SELECT t, d FROM byt WHERE arm = 'B') db
+        |    ON db.t = times.t
+        |  WHERE coalesce(da.d, 0) + coalesce(db.d, 0) > 0
+        |    AND ra.nr_a + rb.nr_b > 1),
+        |terms AS (
+        |  SELECT d_a, d,
+        |    CAST(round(CAST(d_a AS DOUBLE)
+        |      - CAST(d AS DOUBLE) * CAST(nr_a AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS oe,
+        |    CAST(round(CAST(d AS DOUBLE)
+        |      * (CAST(nr_a AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(nr_a AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS vt
+        |  FROM j)
+        |SELECT CAST(sum(d_a) AS BIGINT) AS d_a_total,
+        |  CAST(sum(d) AS BIGINT) AS d_total,
+        |  round(CAST(sum(oe) AS DOUBLE), 6) AS o_minus_e,
+        |  round(CAST(sum(vt) AS DOUBLE), 6) AS variance,
+        |  CASE WHEN CAST(sum(vt) AS DOUBLE) > 0 THEN
+        |    round(CAST(sum(oe) AS DOUBLE) * CAST(sum(oe) AS DOUBLE)
+        |      / CAST(sum(vt) AS DOUBLE), 6) END AS chi2
+        |FROM terms""".stripMargin,
     // Mood's median test: one exact integer-cent grand median, k x 2
     // contingency, the crosstab chi^2 term discipline
     "q_median_test" ->

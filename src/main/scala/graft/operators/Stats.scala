@@ -1824,6 +1824,112 @@ object Stats {
           lit(0L)))
   }
 
+  /** LOG-RANK TEST (`q_logrank`, Mantel–Cox) — the two-arm SURVIVAL
+    * comparison completing the family (`q_survival_km` draws one
+    * curve, `q_nelson_aalen` its hazard; log-rank asks the A/B
+    * question on TIME-TO-CONVERT that `q_ab_test` cannot: arms with
+    * identical conversion RATES can still convert at different
+    * SPEEDS, and censoring poisons any naive mean-duration test):
+    * arms are the md5-parity split (the `q_ab_srm` assignment —
+    * deterministic in both engines), per event-time t the arm-A
+    * observed deaths d_A vs hypergeometric expectation
+    * E = d·n_A/n and variance V = d·(n_A/n)(1−n_A/n)(n−d)/(n−1),
+    * χ² = (Σ(d_A−E))²/ΣV with per-time O−E and V terms rounded 6
+    * and summed IN DECIMAL over the O(horizon) life table.
+    *
+    * Same two per-user partial-agg scans as the shared life table,
+    * now arm-keyed; the grouped table is 2×horizon rows; at-risk
+    * counts come from per-arm prior-row windows over that bounded
+    * frame, never a corpus window.
+    */
+  def logrank(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("dp"))
+    val obs = first.join(purch, Seq("user_id"), "left")
+      .withColumn("dt", datediff(col("dp"), col("d0")).cast("long"))
+      .select(
+        when(conv(substring(md5(concat(lit("exp:"), col("user_id"))),
+          1, 8), 16, 10).cast("long") % 2 === 0, "A").otherwise("B")
+          .as("arm"),
+        when(col("dt").isNotNull && col("dt") <= horizon, col("dt"))
+          .otherwise(horizon.toLong).as("t"),
+        (col("dt").isNull || col("dt") > horizon).as("censored"))
+    logrankFromObs(obs)
+  }
+
+  /** Same test over any (arm: "A"/"B", t: long, censored) frame — a
+    * hand-computed two-time planted table pins O−E = 0.75,
+    * V = 0.5875, χ² = 0.957447 exactly. */
+  private[graft] def logrankFromObs(obs: DataFrame): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    val armTot = obs.groupBy("arm").agg(count(lit(1)).as("n_arm"))
+      .localCheckpoint()
+    val byT = obs.groupBy("arm", "t")
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+      .localCheckpoint()
+    // one row per observed time with both arms' counts (a time may
+    // exist in one arm only — that arm's at-risk is its total minus
+    // everything that left strictly before t, recounted per time
+    // below so absent times still get the correct risk set)
+    val times = byT.select(col("t")).distinct()
+    val armA = byT.filter(col("arm") === "A")
+      .select(col("t").as("ta"), col("d").as("d_a"))
+    val armB = byT.filter(col("arm") === "B")
+      .select(col("t").as("tb"), col("d").as("d_b"))
+    // per-arm at-risk AT EVERY observed time: arm total minus prior
+    // departures — recomputed from the obs rollup so a time absent in
+    // one arm still gets that arm's correct risk count
+    val depart = byT.select(col("arm"), col("t"),
+      (col("d") + col("c")).as("out"))
+    def riskAt(arm: String, alias: String): DataFrame =
+      times.join(depart.filter(col("arm") === arm)
+          .select(col("t").as("t2"), col("out")),
+        col("t2") < col("t"), "left")
+        .groupBy("t")
+        .agg(coalesce(sum(col("out")), lit(0L)).as("gone"))
+        .crossJoin(broadcast(armTot.filter(col("arm") === arm)
+          .select(col("n_arm"))))
+        .select(col("t").as(s"t_$alias"),
+          (col("n_arm") - col("gone")).as(s"nr_$alias"))
+    val joined = times
+      .join(riskAt("A", "a"), col("t") === col("t_a"))
+      .join(riskAt("B", "b"), col("t") === col("t_b"))
+      .join(armA, col("t") === col("ta"), "left")
+      .join(armB, col("t") === col("tb"), "left")
+      .select(col("t"), col("nr_a"), col("nr_b"),
+        coalesce(col("d_a"), lit(0L)).as("d_a"),
+        coalesce(col("d_b"), lit(0L)).as("d_b"))
+      .withColumn("n", col("nr_a") + col("nr_b"))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .filter(col("d") > 0 && col("n") > 1)
+    val e = col("d").cast("double") * col("nr_a").cast("double") /
+      col("n").cast("double")
+    val v = col("d").cast("double") *
+      (col("nr_a").cast("double") / col("n").cast("double")) *
+      (lit(1.0) - col("nr_a").cast("double") / col("n").cast("double")) *
+      (col("n") - col("d")).cast("double") /
+      (col("n") - 1).cast("double")
+    val terms = joined.select(
+      round(col("d_a").cast("double") - e, 6).cast(d186).as("oe"),
+      round(v, 6).cast(d186).as("vt"),
+      col("d_a"), col("d"))
+    terms.agg(sum(col("d_a")).as("d_a_total"), sum(col("d")).as("d_total"),
+        sum(col("oe")).as("oe_sum"), sum(col("vt")).as("v_sum"))
+      .select(col("d_a_total"), col("d_total"),
+        round(col("oe_sum").cast("double"), 6).as("o_minus_e"),
+        round(col("v_sum").cast("double"), 6).as("variance"),
+        when(col("v_sum").cast("double") > 0,
+          round(col("oe_sum").cast("double") *
+            col("oe_sum").cast("double") /
+            col("v_sum").cast("double"), 6)).as("chi2"))
+  }
+
   /** NELSON–AALEN CUMULATIVE HAZARD (`q_nelson_aalen`) — the
     * estimator the survival pair was missing: where [[survivalKm]]
     * multiplies survival fractions, Nelson–Aalen SUMS the hazard

@@ -536,6 +536,26 @@ class StatsSpec extends SparkSpec {
       s"zero residuals must null-guard: $line")
   }
 
+  test("logrank: the hand-computed two-time table pins O-E, V, and " +
+      "chi2 exactly; the real md5-parity arms stay finite") {
+    import spark.implicits._
+    // A: deaths {1,1}, censored {2}; B: death {2}, censored {2,2}
+    // t=1: nr=(3,3), d_a=2, d=2 -> OE=1, V=0.4
+    // t=2: nr=(1,3), d_a=0, d=1 -> OE=-0.25, V=0.1875
+    val obs = Seq(("A", 1L, false), ("A", 1L, false), ("A", 2L, true),
+      ("B", 2L, false), ("B", 2L, true), ("B", 2L, true))
+      .toDF("arm", "t", "censored")
+    val r = Stats.logrankFromObs(obs).collect().head
+    assert(r.getAs[Long]("d_a_total") == 2L &&
+      r.getAs[Long]("d_total") == 3L)
+    assert(r.getAs[Double]("o_minus_e") == 0.75)
+    assert(r.getAs[Double]("variance") == 0.5875)
+    assert(r.getAs[Double]("chi2") == 0.957447)
+    val real = Stats.logrank(spark, sf).collect().head
+    assert(real.getAs[Double]("chi2") >= 0.0)
+    assert(real.getAs[Long]("d_total") >= real.getAs[Long]("d_a_total"))
+  }
+
   test("median test: the chi2 recounts from the cells, df = k-1, and " +
       "the split sides cover the corpus") {
     val out = Stats.medianTest(spark, sf).collect().head
