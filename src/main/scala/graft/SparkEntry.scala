@@ -569,6 +569,7 @@ object SparkEntry {
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_breusch_pagan" -> ((s, d) => Stats.breuschPagan(s, d)),
     "q_logrank" -> ((s, d) => Stats.logrank(s, d)),
+    "q_gumbel_return" -> ((s, d) => Stats.gumbelReturn(s, d)),
     "q_median_test" -> ((s, d) => Stats.medianTest(s, d)),
     "q_tukey_contrasts" -> ((s, d) => Stats.tukeyContrasts(s, d)),
     "q_poisson_rate" -> ((s, d) => Stats.poissonRate(s, d)),
@@ -8374,6 +8375,78 @@ object SparkEntry {
         |            - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))), 6)
         |  END AS bp
         |FROM aux""".stripMargin,
+    // Gumbel return levels: weekly block maxima, method-of-moments
+    // fit, every constant ONE Scala literal interpolated verbatim
+    "q_gumbel_return" -> {
+      val c1 = graft.operators.Stats.GumbelC1
+      val gam = graft.operators.Stats.GumbelGamma
+      val (y4, y12, y52) = (graft.operators.Stats.GumbelY4,
+        graft.operators.Stats.GumbelY12, graft.operators.Stats.GumbelY52)
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |wk AS (
+         |  SELECT event_type, date_trunc('week', day) AS wk,
+         |    CAST(max(y) AS BIGINT) AS m
+         |  FROM daily GROUP BY 1, 2),
+         |mom AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(m) AS DECIMAL(38,0)) AS s,
+         |    sum(CAST(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+         |      AS DECIMAL(38,0))) AS q
+         |  FROM wk GROUP BY 1)
+         |SELECT event_type, n AS n_blocks,
+         |  CASE WHEN n > 1 AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) > 0 THEN
+         |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - $gam * (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1), 6)
+         |  END AS mu,
+         |  CASE WHEN n > 1 AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) > 0 THEN
+         |    round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) - 1.0)) * $c1, 6)
+         |  END AS beta,
+         |  CASE WHEN n > 1 AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) > 0 THEN
+         |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - $gam * (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1))
+         |      + (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1) * $y4, 6)
+         |  END AS level_4w,
+         |  CASE WHEN n > 1 AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) > 0 THEN
+         |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - $gam * (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1))
+         |      + (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1) * $y12, 6)
+         |  END AS level_12w,
+         |  CASE WHEN n > 1 AND (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1.0) > 0 THEN
+         |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - $gam * (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1))
+         |      + (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+         |          * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) - 1.0)) * $c1) * $y52, 6)
+         |  END AS level_52w
+         |FROM mom""".stripMargin
+    },
     // log-rank: md5-parity arms over the shared life-table scaffold,
     // hypergeometric O-E and V terms rounded 6 and decimal-summed
     "q_logrank" ->

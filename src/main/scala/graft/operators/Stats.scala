@@ -1824,6 +1824,68 @@ object Stats {
           lit(0L)))
   }
 
+  /** GUMBEL RETURN LEVELS (`q_gumbel_return`) — the block-maxima
+    * extreme-value leg completing the heavy-tail family
+    * (`q_hill_tail` fits the tail exponent, `q_mean_excess` the POT
+    * signature, `q_lmoments` robust moments; EVT block maxima answer
+    * the capacity question directly: "what weekly revenue peak do we
+    * exceed once a quarter / once a year?"): weekly maxima of daily
+    * revenue per type, Gumbel fitted by method of moments
+    * (β = s·√6/π, μ = x̄ − γ·β), return level
+    * x_T = μ − β·ln(−ln(1−1/T)) at T = 4/12/52 weeks.
+    *
+    * Every constant (√6/π, Euler–Mascheroni γ, the ln-ln factors) is
+    * computed ONCE in Scala and interpolated as the SAME literal into
+    * both engines (the literal-table discipline — zero runtime libm
+    * in the cross-engine dag); moments are exact integer cents; the
+    * block frame is O(#weeks), a calendar rollup.
+    */
+  def gumbelReturn(spark: SparkSession, sfDir: String): DataFrame =
+    gumbelReturnOver(dailySeries(spark, sfDir))
+
+  /** Same operator over any (event_type, day, y) daily frame — a
+    * planted two-block series replays the moment fit by hand; a
+    * constant series pins the zero-variance null guard; return
+    * levels are monotone in T by construction (y_T increasing). */
+  private[graft] def gumbelReturnOver(daily: DataFrame): DataFrame = {
+    val wk = daily
+      .groupBy(col("event_type"),
+        date_trunc("week", col("day")).as("wk"))
+      .agg(max(col("y")).as("m"))
+    val d380 = DecimalType(38, 0)
+    val mom = wk.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("m")).cast(d380).as("s"),
+        sum((col("m").cast(DecimalType(19, 0)) *
+          col("m").cast(DecimalType(19, 0))).cast(d380)).as("q"))
+    val nd = col("n").cast("double")
+    val mean = col("s").cast("double") / nd
+    val variance = (col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nd) /
+      (nd - lit(1.0))
+    val beta = sqrt(variance) * lit(GumbelC1)
+    val mu = mean - lit(GumbelGamma) * beta
+    def level(yT: Double): Column = mu + beta * lit(yT)
+    mom.select(col("event_type"), col("n").as("n_blocks"),
+      when(col("n") > 1 && variance > 0, round(mu, 6)).as("mu"),
+      when(col("n") > 1 && variance > 0, round(beta, 6)).as("beta"),
+      when(col("n") > 1 && variance > 0, round(level(GumbelY4), 6))
+        .as("level_4w"),
+      when(col("n") > 1 && variance > 0, round(level(GumbelY12), 6))
+        .as("level_12w"),
+      when(col("n") > 1 && variance > 0, round(level(GumbelY52), 6))
+        .as("level_52w"))
+  }
+
+  /** The Gumbel literals, computed once and interpolated verbatim
+    * into both engines (see [[gumbelReturn]]). */
+  private[graft] val GumbelC1: Double = math.sqrt(6.0) / math.Pi
+  private[graft] val GumbelGamma: Double = 0.5772156649015329
+  private[graft] def gumbelY(t: Int): Double =
+    -math.log(-math.log(1.0 - 1.0 / t))
+  private[graft] val GumbelY4: Double = gumbelY(4)
+  private[graft] val GumbelY12: Double = gumbelY(12)
+  private[graft] val GumbelY52: Double = gumbelY(52)
+
   /** LOG-RANK TEST (`q_logrank`, Mantel–Cox) — the two-arm SURVIVAL
     * comparison completing the family (`q_survival_km` draws one
     * curve, `q_nelson_aalen` its hazard; log-rank asks the A/B

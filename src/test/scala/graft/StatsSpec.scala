@@ -536,6 +536,32 @@ class StatsSpec extends SparkSpec {
       s"zero residuals must null-guard: $line")
   }
 
+  test("gumbel return levels: the two-block plant replays the moment " +
+      "fit, levels are T-monotone, constant blocks null-guard") {
+    import spark.implicits._
+    def daily(ys: Seq[Long]) = ys.zipWithIndex
+      .map { case (y, i) => ("a", i, y) }.toDF("event_type", "i", "y")
+      .select(col("event_type"),
+        date_add(lit("2024-01-01").cast("date"), col("i") * 7).as("day"),
+        col("y"))
+    // one day per week -> each day is its own block: m = {0, 12}
+    val out = Stats.gumbelReturnOver(daily(Seq(0L, 12L))).collect().head
+    val sd = math.sqrt(72.0)
+    val beta = sd * Stats.GumbelC1
+    val mu = 6.0 - Stats.GumbelGamma * beta
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_blocks") == 2L)
+    assert(out.getAs[Double]("mu") == r6(mu))
+    assert(out.getAs[Double]("beta") == r6(beta))
+    assert(out.getAs[Double]("level_4w") == r6(mu + beta * Stats.GumbelY4))
+    assert(out.getAs[Double]("level_4w") < out.getAs[Double]("level_12w"))
+    assert(out.getAs[Double]("level_12w") < out.getAs[Double]("level_52w"))
+    val const = Stats.gumbelReturnOver(daily(Seq(5L, 5L, 5L))).collect()
+      .head
+    assert(const.isNullAt(const.fieldIndex("beta")))
+  }
+
   test("logrank: the hand-computed two-time table pins O-E, V, and " +
       "chi2 exactly; the real md5-parity arms stay finite") {
     import spark.implicits._
