@@ -1105,9 +1105,13 @@ object GraftSink {
       }
     }
     val dispersed =
-      dims.nonEmpty && dims.map(avgSpanFrac).max > DispersionThreshold
+      dims.nonEmpty && nFiles > 0 &&
+        dims.map(avgSpanFrac).max > DispersionThreshold
     val decision =
-      if (nFiles > CompactFileBudget) "compact"
+      // an empty table has nothing to lay out — "no stats" must not
+      // read as "dispersed" and trigger a pointless rewrite commit
+      if (nFiles == 0) "none"
+      else if (nFiles > CompactFileBudget) "compact"
       else if (dispersed && dims.size >= 2) "zorder"
       else if (dispersed) "cluster"
       else "none"
@@ -1609,6 +1613,9 @@ object GraftSink {
       max(col(f.name)).cast("string").as(s"mx_${f.name}")))
     val r = df.agg(count(lit(1)).as("n"), aggs: _*).first()
     val n = r.getLong(r.fieldIndex("n"))
+    // an empty table has no min/max to persist — recording literal
+    // "null" strings would poison later numeric parses; no commit
+    if (n == 0L) return parent
     val statLines = schema.fields.map { f =>
       s"$ColStatsRef${f.name}\t$n\t" +
         s"${r.getLong(r.fieldIndex(s"ndv_${f.name}"))}\t" +
