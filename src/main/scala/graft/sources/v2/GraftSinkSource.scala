@@ -584,14 +584,19 @@ object GraftSink {
     var out = Int.MinValue
     while (out == Int.MinValue) {
       val (parent, lines0) = head(path)
-      expectedChecks.foreach { exp =>
-        if (checksOf(lines0).toSet != exp)
-          throw new java.util.ConcurrentModificationException(
-            s"CHECK constraints changed under $path during the write; " +
-              "rerun the job against the new constraint set")
-      }
+      // idempotent-replay check FIRST: an epoch the head already
+      // holds must skip even if the constraint set moved since — its
+      // rows were validated against the set in force when it
+      // originally committed, and failing a no-op replay would crash
+      // a correct streaming restart
       if (txn.exists(t => lines0.contains(marker(t)))) out = -1
       else {
+        expectedChecks.foreach { exp =>
+          if (checksOf(lines0).toSet != exp)
+            throw new java.util.ConcurrentModificationException(
+              s"CHECK constraints changed under $path during the " +
+                "write; rerun the job against the new constraint set")
+        }
         // raw parent lines: existing @shard refs carry BY REFERENCE —
         // an append above the threshold spills only its own inline
         // tail, so manifest work stays O(new entries), never O(table)

@@ -415,6 +415,19 @@ class SourcesV2Spec extends SparkSpec {
     assert(GraftSink.commitAppend(dir, Seq("part-dup.tsv\t1"),
       Some("epoch-1")) == -1)
     assert(GraftSink.commitAppend(dir, Nil, Some("epoch-2")) == 3)
+    // a replayed epoch must skip idempotently EVEN IF the constraint
+    // set moved since it originally committed (its rows were
+    // validated against the set in force back then; crashing a
+    // correct streaming restart would be the real bug) — while a NEW
+    // commit carrying the stale set still aborts atomically
+    GraftSink.addConstraint(spark, dir, "pos", "n_chars > 0", schema)
+    assert(GraftSink.commitAppend(dir, Seq("part-x.tsv\t1"),
+      Some("epoch-2"), expectedChecks = Some(Set.empty)) == -1,
+      "replay must skip before the constraint comparison")
+    intercept[java.util.ConcurrentModificationException] {
+      GraftSink.commitAppend(dir, Seq("part-y.tsv\t1"),
+        Some("epoch-9"), expectedChecks = Some(Set.empty))
+    }
   }
 
   test("dsv2 sink zonemap: a range-clustered layout prunes files by " +
