@@ -8543,22 +8543,29 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS k FROM cells),
         |t AS (
         |  SELECT c.event_type, tot.k, tot.tn, tot.ta,
-        |    CAST(round((CAST(c.n_above AS DOUBLE)
-        |        - CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
-        |          / CAST(tot.tn AS DOUBLE))
-        |      * (CAST(c.n_above AS DOUBLE)
-        |        - CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
-        |          / CAST(tot.tn AS DOUBLE))
-        |      / (CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
-        |        / CAST(tot.tn AS DOUBLE)), 6) AS DECIMAL(18,6))
-        |    + CAST(round((CAST(c.n - c.n_above AS DOUBLE)
-        |        - CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
-        |          / CAST(tot.tn AS DOUBLE))
-        |      * (CAST(c.n - c.n_above AS DOUBLE)
-        |        - CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
-        |          / CAST(tot.tn AS DOUBLE))
-        |      / (CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
-        |        / CAST(tot.tn AS DOUBLE)), 6) AS DECIMAL(18,6)) AS t2
+        |    CASE WHEN CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |        / CAST(tot.tn AS DOUBLE) > 0 THEN
+        |      CAST(round((CAST(c.n_above AS DOUBLE)
+        |          - CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |            / CAST(tot.tn AS DOUBLE))
+        |        * (CAST(c.n_above AS DOUBLE)
+        |          - CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |            / CAST(tot.tn AS DOUBLE))
+        |        / (CAST(c.n AS DOUBLE) * CAST(tot.ta AS DOUBLE)
+        |          / CAST(tot.tn AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END
+        |    + CASE WHEN CAST(c.n AS DOUBLE)
+        |        * CAST(tot.tn - tot.ta AS DOUBLE)
+        |        / CAST(tot.tn AS DOUBLE) > 0 THEN
+        |      CAST(round((CAST(c.n - c.n_above AS DOUBLE)
+        |          - CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
+        |            / CAST(tot.tn AS DOUBLE))
+        |        * (CAST(c.n - c.n_above AS DOUBLE)
+        |          - CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
+        |            / CAST(tot.tn AS DOUBLE))
+        |        / (CAST(c.n AS DOUBLE) * CAST(tot.tn - tot.ta AS DOUBLE)
+        |          / CAST(tot.tn AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END AS t2
         |  FROM cells c, tot)
         |SELECT k AS k_groups, tn AS n, ta AS n_above_total,
         |  k - 1 AS df,
@@ -9201,12 +9208,12 @@ object SparkEntry {
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2)
         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_eval,
-        |  CASE WHEN CAST(sum(CAST((d1.y - d.y) * (d1.y - d.y)
-        |      AS DECIMAL(38,0))) AS DOUBLE) > 0 THEN
-        |    round(sqrt(CAST(sum(CAST((d7.y - d.y) * (d7.y - d.y)
-        |        AS DECIMAL(38,0))) AS DOUBLE)
-        |      / CAST(sum(CAST((d1.y - d.y) * (d1.y - d.y)
-        |        AS DECIMAL(38,0))) AS DOUBLE)), 6)
+        |  CASE WHEN CAST(sum(CAST(d1.y - d.y AS DECIMAL(19,0))
+        |      * CAST(d1.y - d.y AS DECIMAL(19,0))) AS DOUBLE) > 0 THEN
+        |    round(sqrt(CAST(sum(CAST(d7.y - d.y AS DECIMAL(19,0))
+        |        * CAST(d7.y - d.y AS DECIMAL(19,0))) AS DOUBLE)
+        |      / CAST(sum(CAST(d1.y - d.y AS DECIMAL(19,0))
+        |        * CAST(d1.y - d.y AS DECIMAL(19,0))) AS DOUBLE)), 6)
         |  END AS u2
         |FROM daily d
         |JOIN daily d7 ON d7.event_type = d.event_type

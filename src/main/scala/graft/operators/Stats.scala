@@ -1111,31 +1111,28 @@ object Stats {
     val cal = ev.filter(col("split") === "cal")
       .join(broadcast(mu), "event_type")
       .select(col("event_type"), abs(col("v") - col("mu")).as("r"))
-    // histogram-sized, referenced by the totals and the cumulative
-    // pass — eager, so the calibration split scans ONCE
-    val hist = cal.groupBy("event_type", "r")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val nCal = hist.groupBy("event_type").agg(sum(col("c")).as("n_cal"))
-      // k = ceil((n_cal + 1) * 0.9): exact integer form
-      .withColumn("k",
-        floor(((col("n_cal") + 1) * 9 + lit(9.0)) / lit(10.0)).cast("long"))
-    // cumulative count over the per-type residual HISTOGRAM (bounded
-    // by the cent domain, never corpus-sized)
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("r"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val sel = hist
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .join(broadcast(nCal.select(col("event_type"), col("k"))),
-        "event_type")
-      .filter(col("cum") >= col("k"))
-      .groupBy("event_type")
-      .agg(min(col("r")).as("qhat"))
-    // every type with calibration data KEEPS its row: a split too
+    // ONE pass over the calibration split builds the per-type
+    // residual HISTOGRAM (bounded by the cent domain, never
+    // corpus-sized); the per-type total n_cal, the rank threshold
+    // k = ceil((n_cal + 1) * 0.9) (exact integer form) and the
+    // selected quantile all fold into one window + one groupBy over
+    // that histogram — no second histogram scan, no extra join.
+    // Every type with calibration data KEEPS its row: a split too
     // small for the rank (k > n_cal) surfaces as qhat = null in the
     // report — never a silently vanished type the reader can't tell
     // from "no events"
-    val qhat = nCal.join(sel, Seq("event_type"), "left")
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    val qhat = cal.groupBy("event_type", "r")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_cal", sum(col("c")).over(wAll))
+      .withColumn("k",
+        floor(((col("n_cal") + 1) * 9 + lit(9.0)) / lit(10.0)).cast("long"))
+      .groupBy("event_type")
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        min(when(col("cum") >= col("k"), col("r"))).as("qhat"))
       .localCheckpoint()
     val test = ev.filter(col("split") === "test")
       .join(broadcast(mu.select(col("event_type"), col("mu"))),
@@ -4422,11 +4419,17 @@ object Stats {
     * a planted exact-weekly series pins U₂ = 0 (seasonal-naive
     * perfect), a planted random-walk-like series pins U₂ > 1. */
   private[graft] def theilUOver(daily: DataFrame): DataFrame = {
-    val d380 = DecimalType(38, 0)
+    val d190 = DecimalType(19, 0)
     val lag7 = daily.select(col("event_type").as("et7"),
       col("day").as("d7"), col("y").as("y7"))
     val lag1 = daily.select(col("event_type").as("et1"),
       col("day").as("d1"), col("y").as("y1"))
+    // cast each diff to DECIMAL(19,0) BEFORE squaring (the
+    // mcc/gumbel/grubbs exact-product discipline): a raw LongType
+    // square wraps silently at large magnitude where the oracle's
+    // BIGINT multiply raises — the decimal product is exact at (38,0)
+    def sq(a: Column, b: Column): Column =
+      (a - b).cast(d190) * (a - b).cast(d190)
     daily
       .join(lag7, col("et7") === col("event_type") &&
         col("d7") === date_sub(col("day"), 7))
@@ -4434,10 +4437,8 @@ object Stats {
         col("d1") === date_sub(col("day"), 1))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_eval"),
-        sum(((col("y7") - col("y")) * (col("y7") - col("y")))
-          .cast(d380)).as("sse_model"),
-        sum(((col("y1") - col("y")) * (col("y1") - col("y")))
-          .cast(d380)).as("sse_naive"))
+        sum(sq(col("y7"), col("y"))).as("sse_model"),
+        sum(sq(col("y1"), col("y"))).as("sse_naive"))
       .select(col("event_type"), col("n_eval"),
         when(col("sse_naive").cast("double") > 0,
           round(sqrt(col("sse_model").cast("double") /
@@ -4602,9 +4603,15 @@ object Stats {
     val tot = cells.agg(sum(col("n")).as("tn"),
       sum(col("n_above")).as("ta"), count(lit(1)).as("k"))
     val withT = cells.crossJoin(broadcast(tot))
+    // the (o−e)²/e term itself is guarded on e > 0, not just the
+    // final chi2 column: on a degenerate corpus (ta = 0 or ta = tn)
+    // the expected count is 0 and an unguarded term is Infinity —
+    // Spark's decimal cast nulls it while the oracle's round(inf)
+    // errors, crashing the gate instead of hash-comparing
     def term(o: Column, e: Column): Column =
-      round((o.cast("double") - e) * (o.cast("double") - e) / e, 6)
-        .cast(d186)
+      when(e > 0,
+        round((o.cast("double") - e) * (o.cast("double") - e) / e, 6))
+        .otherwise(lit(0d)).cast(d186)
     val ea = col("n").cast("double") * col("ta").cast("double") /
       col("tn").cast("double")
     val eb = col("n").cast("double") *

@@ -257,26 +257,29 @@ object TextAnalysis {
     * types appear; this asks how much a FIXED vocabulary buys —
     * natural language covers most mass with a tiny head, and a corpus
     * whose curve flattens has a template/boilerplate injection
-    * problem). The vocabulary never globally sorts: the head is a
-    * bounded orderBy+limit (TakeOrderedAndProject — partial top-k per
-    * partition, single bounded merge) under the total (cnt desc,
-    * word) order; ranks and cumulative shares live on that ≤1000-row
-    * frame. Exact integer token counts, one division per k.
+    * problem). The vocabulary never globally sorts: each k's head is
+    * a bounded orderBy+limit (TakeOrderedAndProject — partial top-k
+    * per partition, single bounded merge) under the total (cnt desc,
+    * word) order, collapsed to one covered-mass row — no window, no
+    * single-partition stage. Exact integer token counts, one
+    * division per k.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String,
       ks: Seq[Long] = Seq(10L, 100L, 1000L)): DataFrame = {
     val wc = TextMapReduce.wordCount(spark, sfDir).localCheckpoint()
     val tot = wc.agg(sum(col("cnt")).as("total"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("word"))
-    val ranked = wc.orderBy(col("cnt").desc, col("word"))
-      .limit(ks.max.toInt)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-    import spark.implicits._
-    ks.toDF("k").crossJoin(broadcast(tot))
-      .join(ranked, col("rnk") <= col("k"), "left")
-      .groupBy("k", "total")
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_tokens"))
+    // no window anywhere: each k's head is its own bounded
+    // orderBy+limit (TakeOrderedAndProject — partial top-k per
+    // partition, single bounded merge) over the CHECKPOINTED counts,
+    // collapsed to one covered-mass row; |ks| bounded passes over a
+    // vocabulary-sized frame beats a rank column that would need a
+    // single-partition window
+    val byK = ks.map { k =>
+      wc.orderBy(col("cnt").desc, col("word")).limit(k.toInt)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("covered_tokens"))
+        .select(lit(k).as("k"), col("covered_tokens"))
+    }.reduce(_ unionAll _)
+    byK.crossJoin(broadcast(tot))
       .select(col("k"), col("covered_tokens"),
         col("total").as("total_tokens"),
         round(col("covered_tokens").cast("double") /

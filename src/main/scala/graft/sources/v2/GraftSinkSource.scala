@@ -1104,9 +1104,14 @@ object GraftSink {
         val lo = spans.map(_._1).min
         val hi = spans.map(_._2).max
         val width = hi - lo
-        if (width.signum == 0) 0.0
-        else (spans.map(s => (s._2 - s._1) / width).sum /
-          spans.size).toDouble
+        // a file that carries NO zonemap for the dim counts as fully
+        // dispersed (frac 1.0) — dropping it from the average would
+        // let a mostly-stats-less store read as healthy off a tiny
+        // stats-bearing minority
+        val missing = (nFiles - spans.size).toDouble
+        if (width.signum == 0) missing / nFiles
+        else (spans.map(s => (s._2 - s._1) / width).sum.toDouble +
+          missing) / nFiles
       }
     }
     val dispersed =
@@ -1465,10 +1470,27 @@ object GraftSink {
       try commitReplace(parentPath, published, pGen)
       catch {
         case e: Throwable =>
-          // CAS lost (parent moved) or publish crashed: the staged
-          // parent copies are unreferenced — remove them; the branch
-          // still holds every byte and can rebase
-          staged.foreach { case (_, p) => Files.deleteIfExists(p) }
+          // CAS lost (parent moved) or publish crashed: remove ONLY
+          // staged copies the CURRENT parent manifest does not
+          // reference — a racing publisher of the SAME branch may
+          // have just committed these very UUID names, and deleting
+          // them would orphan its published data. If the head cannot
+          // be re-read, delete nothing: leftovers are harmless
+          // (REPLACE_EXISTING on the next attempt) but a wrong delete
+          // is data loss.
+          val liveNow: Option[Set[String]] =
+            try {
+              val now = resolved(parentPath, head(parentPath)._2)
+              Some((dataLines(now).map(fileOf) ++
+                dvOf(now).values.map(_._1) ++
+                bloomOf(now).values.map(_._1)).toSet)
+            } catch { case _: Throwable => None }
+          liveNow.foreach { live =>
+            staged.foreach { case (_, p) =>
+              if (!live.contains(p.getFileName.toString))
+                Files.deleteIfExists(p)
+            }
+          }
           throw e
       }
     // publish committed: the branch's local copies are now redundant
@@ -1590,10 +1612,39 @@ object GraftSink {
   final case class ColStats(column: String, nRows: Long, ndv: Long,
       min: String, max: String, atGeneration: Int)
 
+  /** Escape a persisted stat value: the manifest line format is
+    * tab-separated, so a raw tab/newline inside a string column's
+    * min/max would corrupt the line (colStatsOf splits on \t and the
+    * trailing generation field would mis-parse).
+    */
+  private def escStat(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private def unescStat(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't'  => b.append('\t')
+          case 'n'  => b.append('\n')
+          case 'r'  => b.append('\r')
+          case '\\' => b.append('\\')
+          case o    => b.append(o)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   def colStatsOf(lines: Seq[String]): Seq[ColStats] =
     lines.filter(_.startsWith(ColStatsRef)).map { l =>
       val p = l.split("\t")
-      ColStats(p(1), p(2).toLong, p(3).toLong, p(4), p(5), p(6).toInt)
+      ColStats(p(1), p(2).toLong, p(3).toLong,
+        unescStat(p(4)), unescStat(p(5)), p(6).toInt)
     }
 
   /** ANALYZE the live table: ONE distributed pass computes per-column
@@ -1621,12 +1672,18 @@ object GraftSink {
     // an empty table has no min/max to persist — recording literal
     // "null" strings would poison later numeric parses; no commit
     if (n == 0L) return parent
-    val statLines = schema.fields.map { f =>
-      s"$ColStatsRef${f.name}\t$n\t" +
+    val statLines = schema.fields.flatMap { f =>
+      val mnI = r.fieldIndex(s"mn_${f.name}")
+      val mxI = r.fieldIndex(s"mx_${f.name}")
+      // an all-NULL column (n > 0 but no non-null value) has no
+      // min/max — skip its stats row rather than persist the literal
+      // string "null" a later numeric parse would choke on
+      if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+      else Some(s"$ColStatsRef${f.name}\t$n\t" +
         s"${r.getLong(r.fieldIndex(s"ndv_${f.name}"))}\t" +
-        s"${r.getString(r.fieldIndex(s"mn_${f.name}"))}\t" +
-        s"${r.getString(r.fieldIndex(s"mx_${f.name}"))}\t$parent"
-    }
+        s"${escStat(r.getString(mnI))}\t" +
+        s"${escStat(r.getString(mxI))}\t$parent")
+    }.toSeq
     commitReplace(path,
       lines0.filterNot(_.startsWith(ColStatsRef)) ++ statLines, parent)
   }
