@@ -444,6 +444,7 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) => Dedup.spanDedup(s, d)),
     "dedup_span_clean" -> ((s, d) => Dedup.spanClean(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
+    "dedup_substring_span" -> ((s, d) => Dedup.substringSpans(s, d)),
     "q_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
     // rows-gated: convergence-mode twin — see q_hits_converged's note
     "q_pagerank_converged" -> ((s, d) => Dedup.pageRankConverged(s, d)),
@@ -565,6 +566,7 @@ object SparkEntry {
     "q_cohens_kappa" -> ((s, d) => TextAnalysis.cohensKappa(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "text_rake" -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
+    "text_unigram_lm" -> ((s, d) => TextAnalysis.unigramLm(s, d)),
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_breusch_pagan" -> ((s, d) => Stats.breuschPagan(s, d)),
@@ -1533,6 +1535,66 @@ object SparkEntry {
       |      i -> s[i] || '|' || s[i + 1])) AS pair
       |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
       |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+
+  /** One greedy longest-match segmentation pass as a recursive CTE:
+    * per word, advance pos by the LONGEST `vocab` piece matching at
+    * pos (single-char fallback) — the DuckDB twin of
+    * TextAnalysis.unigramLmOver's codegen'd HOF segmenter.
+    */
+  private def unigramSegCte(name: String, vocab: String): String =
+    s"""$name AS (
+       |  SELECT w, n, CAST(1 AS BIGINT) AS pos,
+       |    CAST(NULL AS VARCHAR) AS piece
+       |  FROM uwords
+       |  UNION ALL
+       |  SELECT w, n, pos + length(pc) AS pos, pc AS piece FROM (
+       |    SELECT s.w, s.n, s.pos, coalesce(
+       |      (SELECT v.piece FROM $vocab v
+       |       WHERE v.piece = substr(s.w, CAST(s.pos AS INT),
+       |         length(v.piece))
+       |       ORDER BY length(v.piece) DESC, v.piece LIMIT 1),
+       |      substr(s.w, CAST(s.pos AS INT), 1)) AS pc
+       |    FROM $name s WHERE s.pos <= length(s.w)))""".stripMargin
+
+  // unigram-LM trainer twin: seed top-40 substring candidates, two
+  // segment→score→prune rounds (keep 12, then 8), final segmentation
+  // with mass accounting — every step exact integer/string arithmetic
+  private val unigramLmOracle: String =
+    s"""WITH RECURSIVE uwords AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                                  x -> x <> '')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY 1),
+       |cands AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |    SELECT n, unnest(flatten(list_transform([2, 3, 4], L ->
+       |      list_transform(generate_series(1, greatest(length(w) - L + 1, 0)),
+       |        i -> substr(w, CAST(i AS INT), CAST(L AS INT)))))) AS piece
+       |    FROM uwords)
+       |  GROUP BY 1),
+       |vocab0 AS (SELECT piece FROM cands ORDER BY cnt DESC, piece LIMIT 40),
+       |${unigramSegCte("seg1", "vocab0")},
+       |vocab1 AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(sum(n) AS BIGINT) AS u FROM seg1
+       |    WHERE piece IS NOT NULL AND length(piece) >= 2 GROUP BY 1)
+       |  ORDER BY u DESC, piece LIMIT 12),
+       |${unigramSegCte("seg2", "vocab1")},
+       |vocab2 AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(sum(n) AS BIGINT) AS u FROM seg2
+       |    WHERE piece IS NOT NULL AND length(piece) >= 2 GROUP BY 1)
+       |  ORDER BY u DESC, piece LIMIT 8),
+       |${unigramSegCte("seg3", "vocab2")},
+       |fin AS (
+       |  SELECT piece, CAST(sum(n) AS BIGINT) AS n_tokens FROM seg3
+       |  WHERE piece IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM fin)
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mass_share
+       |FROM fin, tot""".stripMargin
 
   // document re-encode under the learned merges (shared by bpe_apply
   // and q_pack_bins_bpe): wrapped domain words, the three replaces in
@@ -5622,6 +5684,37 @@ object SparkEntry {
         |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
         |  CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    // maximal cross-doc shared spans: 32-gram anchor matches on one
+    // alignment diagonal (ia - ib) at consecutive ia merge into the
+    // exact span extent; the oracle joins raw substrings where Spark
+    // joins the 8-byte xxhash64 (collision-free at the gated SFs);
+    // occurrence cap 2..32 mirrors the hot-gram fan-out bound
+    "dedup_substring_span" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    substr(text, CAST(i AS INT), 32) AS g FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, length(text) - 31)) AS i
+        |    FROM documents WHERE length(text) >= 32)),
+        |keep AS (
+        |  SELECT g FROM pos GROUP BY g
+        |  HAVING count(*) >= 2 AND count(*) <= 32),
+        |anch AS (SELECT pos.doc_id, pos.i, pos.g
+        |         FROM pos JOIN keep USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+        |  FROM anch a JOIN anch b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, ia - ib AS diag, ia,
+        |    ia - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, CAST(min(ia) AS BIGINT) AS start_a,
+        |  CAST(min(ia) - diag AS BIGINT) AS start_b,
+        |  CAST(max(ia) - min(ia) + 32 AS BIGINT) AS len
+        |FROM runs GROUP BY doc_a, doc_b, diag, grp
+        |HAVING max(ia) - min(ia) + 32 >= 48""".stripMargin,
     // neighbor-set Jaccard over the shared symmetric edge set; the
     // wedge join canonicalizes each pair a<b
     "q_graph_jaccard" ->
@@ -8632,6 +8725,10 @@ object SparkEntry {
     },
     // vocabulary coverage: head-ranked under the (cnt desc, word)
     // total order, exact token mass, one division per k
+    // unigram-LM trainer: greedy longest-match segmentation is exact
+    // string arithmetic, so the whole seed→segment→prune→segment loop
+    // hash-gates through the unrolled recursive-CTE twin
+    "text_unigram_lm" -> unigramLmOracle,
     "text_vocab_coverage" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word

@@ -1276,6 +1276,83 @@ object Dedup {
         coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
   }
 
+  /** MAXIMAL cross-document duplicated-span DELIMITATION
+    * (`dedup_substring_span`) — the variable-length completion of
+    * [[substringDedup]]: that key detects which characters sit inside
+    * SOME duplicated k-gram; this one reports, per document PAIR, the
+    * exact maximal shared spans as (doc_a, doc_b, start_a, start_b,
+    * len) — the published exact-substring training-data dedup output
+    * (suffix-array dedup reports maximal repeated spans; a fixed-k
+    * detector alone only flags them). The suffix-array-free
+    * distributed formulation: a shared span of length L ≥ k between
+    * two documents appears as L−k+1 k-gram matches on ONE alignment
+    * diagonal (ia − ib constant), at CONSECUTIVE ia — so grouping
+    * matches by (pair, diagonal) and merging consecutive runs
+    * (gaps-and-islands) recovers the maximal span and its exact
+    * extent in both documents.
+    *
+    * Plan shape at 100 TB: the SAME single hash pass as
+    * [[substringDedup]] — one explode emits (doc, pos, xxhash64(gram))
+    * with the raw gram never leaving its scan task; a
+    * document-frequency-style OCCURRENCE CAP (2 ≤ corpus occurrences
+    * ≤ maxOcc, partial-aggregated) bounds the anchor self-join's
+    * fan-out to maxOcc² per gram — corpus-wide boilerplate grams
+    * (licence headers) are dropped rather than exploded, the
+    * `pairStats` hot-shingle discipline. The run merge shuffles once
+    * on (pair, diagonal) — fine-grained keys, no skew pile-up. The
+    * gate joins on the 8-byte hash while the DuckDB oracle joins raw
+    * substrings: a collision can only conjure a span, and the oracle
+    * confirms zero at the gated SFs (the [[substringDedup]]
+    * collision argument, ≈ n²/2⁶⁵).
+    */
+  def substringSpans(spark: SparkSession, sfDir: String, k: Int = 32,
+      maxOcc: Int = 32, minLen: Int = 48): DataFrame =
+    substringSpansOver(Tables.documents(spark, sfDir), k, maxOcc, minLen)
+
+  /** Same operator over any (doc_id, text) frame — planted
+    * shared-sentence specs pin the exact (start_a, start_b, len)
+    * arithmetic and the maximality of the merged runs.
+    */
+  private[graft] def substringSpansOver(documents: DataFrame, k: Int,
+      maxOcc: Int, minLen: Int): DataFrame = {
+    val spark = documents.sparkSession
+    val pos = documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
+      // ONE substring+xxhash64 pass feeds both the occurrence count
+      // and the anchor join — the substringDedup single-hash-pass
+      // discipline
+      .localCheckpoint()
+    val keep = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= maxOcc)
+      .select("h")
+    val anchored = pos.join(keep, "h")
+    val pairs = anchored
+      .select(col("h"), col("doc_id").as("doc_a"), col("i").as("ia"))
+      .join(anchored.select(col("h"), col("doc_id").as("doc_b"),
+        col("i").as("ib")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    // consecutive ia on one (pair, diagonal) share (ia − row_number):
+    // each island is one maximal shared span
+    val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"),
+      col("diag")).orderBy(col("ia"))
+    pairs
+      .withColumn("grp", col("ia") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min(col("ia")).as("sa"), max(col("ia")).as("ea"))
+      .filter(col("ea") - col("sa") + lit(k) >= minLen)
+      .select(col("doc_a"), col("doc_b"),
+        col("sa").cast("long").as("start_a"),
+        (col("sa") - col("diag")).cast("long").as("start_b"),
+        (col("ea") - col("sa") + lit(k)).cast("long").as("len"))
+  }
+
   // ── md5-MinHash signature family ────────────────────────────────
   // ONE recipe for every MinHash consumer: the streaming near-dup
   // path (EventStreams.nearDupStream) and fuzzy decontamination

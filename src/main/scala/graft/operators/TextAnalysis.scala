@@ -286,6 +286,115 @@ object TextAnalysis {
           col("total").cast("double"), 6).as("coverage"))
   }
 
+  /** UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINER
+    * (`text_unigram_lm`) — BPE's twin and the trainer modern
+    * multilingual pipelines actually run (Kudo 2018): seed a large
+    * candidate vocabulary from corpus substrings, then iteratively
+    * (1) segment the corpus with the current vocabulary, (2) score
+    * each piece by the token mass it actually claims, (3) PRUNE the
+    * weakest pieces — keeping the alphabet as the always-available
+    * fallback — until the vocabulary meets its budget. This is the
+    * hard-EM (Viterbi-flavored) variant with a deterministic
+    * longest-match-first segmenter: greedy longest match is exact
+    * integer/string arithmetic in both engines, which is what lets
+    * the whole train loop hash-gate against the DuckDB oracle
+    * (an unrolled recursive-CTE twin) — a float Viterbi would be
+    * partition lore. Output: the final vocabulary (surviving
+    * multi-char pieces + fallback alphabet) with each piece's exact
+    * claimed token count and corpus mass share — the tie-in to
+    * `text_vocab_coverage`'s fixed-budget question.
+    *
+    * Scale shape (the `bpeMergesOver` discipline): the 100 TB corpus
+    * is scanned ONCE into the unique-word table (vocabulary-sized,
+    * weighted); every train pass iterates over that table, never the
+    * corpus. Driver state is bounded by construction: the seed
+    * candidate list (seedSize rows) and one pruned piece list per
+    * round (pruneSizes rows) — collected exactly like BPE's
+    * nMerges-row merge table. Each segmentation pass broadcasts the
+    * current vocabulary INSIDE the plan as an array literal and runs
+    * as ONE codegen'd HOF projection (aggregate over character
+    * positions) — no per-row driver work, no shuffle beyond the
+    * piece-count partial agg.
+    */
+  def unigramLm(spark: SparkSession, sfDir: String,
+      seedSize: Int = 40, pruneSizes: Seq[Int] = Seq(12, 8),
+      maxPieceLen: Int = 4): DataFrame =
+    unigramLmOver(Tables.documents(spark, sfDir), seedSize, pruneSizes,
+      maxPieceLen)
+
+  /** Same trainer over any documents-shaped frame — planted-corpus
+    * specs pin the greedy segmentation, the prune order, and the
+    * final mass accounting against a naive reference implementation.
+    */
+  private[graft] def unigramLmOver(docs: DataFrame, seedSize: Int,
+      pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame = {
+    // trainer domain = the BPE trainer's: [a-z]+ words of length ≥ 2,
+    // weighted by corpus frequency (pieces are then [a-z]+ by
+    // construction — safe to inline as literals)
+    val words = docs
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // seed candidates: every substring of length 2..maxPieceLen of
+    // every word occurrence, weighted — one explode + one partial-agg
+    // shuffle; top-seedSize by (mass, piece) is the bounded collect
+    val candExpr = (2 to maxPieceLen).map(l =>
+      s"transform(sequence(1, greatest(length(w) - ${l - 1}, 1)), " +
+        s"i -> if(i + ${l - 1} <= length(w), substring(w, i, $l), null))")
+      .mkString("filter(flatten(array(", ", ", ")), p -> p is not null)")
+    val vocab0 = words
+      .select(col("n"), explode(expr(candExpr)).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .collect().map(_.getString(0)).toSeq
+    // greedy longest-match segmentation as ONE codegen'd HOF over the
+    // word's character positions: pieces sorted longest-first (ties
+    // lexicographic — unreachable for equal-length matches, which are
+    // identical strings), try_element_at(filter(...), 1) IS the
+    // longest match, single chars the implicit fallback alphabet
+    def segTokens(vocab: Seq[String]): Column =
+      if (vocab.isEmpty)
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+      else {
+        val arr = vocab.sortBy(p => (-p.length, p))
+          .map(p => s"'$p'").mkString("array(", ", ", ")")
+        // try_element_at: NULL (→ the single-char fallback) when no
+        // piece matches, where element_at would raise on the empty
+        // filter result
+        val m = s"coalesce(try_element_at(filter($arr, " +
+          s"v -> substring(w, i, length(v)) = v), 1), substring(w, i, 1))"
+        expr(s"aggregate(sequence(1, length(w)), " +
+          s"named_struct('p', 1, 'out', cast(array() as array<string>)), " +
+          s"(acc, i) -> if(i != acc.p, acc, " +
+          s"named_struct('p', acc.p + length($m), " +
+          s"'out', array_append(acc.out, $m))), " +
+          s"acc -> acc.out)")
+      }
+    // the EM-prune loop: segment → claimed-mass scores → keep the top
+    // pruneSizes(r) pieces; each round is one vocabulary-table pass +
+    // one bounded collect
+    val vocab = pruneSizes.foldLeft(vocab0) { (v, m) =>
+      words.select(col("n"), explode(segTokens(v)).as("piece"))
+        .filter(length(col("piece")) >= 2)
+        .groupBy("piece").agg(sum(col("n")).as("u"))
+        .orderBy(col("u").desc, col("piece")).limit(m)
+        .collect().map(_.getString(0)).toSeq
+    }
+    // final segmentation with the surviving vocabulary; eager because
+    // both the piece counts and the 1-row total consume it
+    val fin = words.select(col("n"), explode(segTokens(vocab)).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("n_tokens"))
+      .localCheckpoint()
+    val tot = fin.agg(sum(col("n_tokens")).as("t"))
+    fin.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t").cast("double"), 6)
+          .as("mass_share"))
+  }
+
   /** COHEN'S KAPPA (`q_cohens_kappa`) — chance-corrected agreement
     * between the heuristic language predictor ([[langId]]) and the
     * corpus's gold `lang` labels: the labeler-quality number every

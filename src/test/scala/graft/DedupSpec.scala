@@ -331,6 +331,44 @@ class DedupSpec extends SparkSpec {
       s"hot-shingle spans wrong: ${r.take(5).mkString(", ")}")
   }
 
+  test("substring spans: planted shared runs are delimited maximally " +
+      "per pair and diagonal; sub-minLen and over-cap grams yield " +
+      "nothing") {
+    import spark.implicits._
+    def blocks(prefix: Char, n: Int): String =
+      (0 until n).map(i => f"$prefix$i%02d").mkString
+    val sharedA = blocks('S', 20).take(60)
+    val sharedB = blocks('T', 17).take(50)
+    val sharedC = blocks('U', 14).take(40) // ≥ k but < minLen 48
+    // sentinels ('!' vs '?') stop any match from extending past the
+    // planted runs; distinct prefixes keep filler 32-grams unique
+    val u1 = blocks('A', 10) + "!"
+    val u2 = blocks('B', 12) + "!"
+    val u3 = blocks('C', 14) + "?"
+    val u4 = blocks('D', 16) + "?"
+    val base = Seq(
+      (1L, u1 + sharedA + "!" + u2 + sharedB + "!" + blocks('E', 10)),
+      (2L, u3 + sharedA + "?" + u4 + sharedB + "?" + blocks('F', 10)),
+      (3L, blocks('G', 10) + "!" + sharedC + "!" + blocks('H', 10)),
+      (4L, blocks('I', 10) + "?" + sharedC + "?" + blocks('J', 10)))
+    // 50 docs sharing a 50-char boilerplate block: its grams occur
+    // 50 > maxOcc=32 times — the hot-gram cap must drop them all
+    val hot = blocks('K', 17).take(50)
+    val docs = (base ++ (10L until 60L).map(d => (d,
+      hot + ('0' + (d - 10)).toChar +
+        (0 until 12).map(i => f"$d%02d$i%02d").mkString)))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringSpansOver(docs, 32, 32, 48).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    val sB1 = u1.length + sharedA.length + 1 + u2.length
+    val sB2 = u3.length + sharedA.length + 1 + u4.length
+    val expect = Set(
+      (1L, 2L, (u1.length + 1).toLong, (u3.length + 1).toLong, 60L),
+      (1L, 2L, (sB1 + 1).toLong, (sB2 + 1).toLong, 50L))
+    assert(r == expect, s"spans $r != $expect")
+  }
+
   test("simhash pairs are within the hamming bound and ordered") {
     val s = Dedup.simhash(spark, sf, 3).cache()
     assert(s.filter(col("hamming") > 3).isEmpty)

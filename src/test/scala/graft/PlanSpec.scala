@@ -210,6 +210,59 @@ class PlanSpec extends SparkSpec {
     assert(!tu.contains("CartesianProduct"))
   }
 
+  test("round-15 additions keep the plan discipline: recall report and " +
+      "index stats never go cartesian, maintenance decision and the " +
+      "regression-diagnostics omnibus rank on per-type windows only") {
+    import graft.operators.{AnnIndex, Similarity, Stats}
+    // ann_recall_report: brute truth × IVF probe — both sides bounded
+    // query batches; any cartesian or corpus-keyed window here would
+    // be the 100 TB killer this report exists to measure around
+    val rr = plan(Similarity.annRecallReport(spark, sf))
+    assert(!rr.contains("CartesianProduct"), s"cartesian in recall:\n$rr")
+    val rrWin = rr.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!rrWin.contains("partitionBy=[]"),
+      s"unpartitioned window in recall report:\n$rrWin")
+    val ist = plan(AnnIndex.indexStats(spark, sf))
+    assert(!ist.contains("CartesianProduct"), s"cartesian in stats:\n$ist")
+    val mnt = plan(AnnIndex.annMaintain(spark, sf))
+    assert(!mnt.contains("CartesianProduct"), s"cartesian in maintain:\n$mnt")
+    // the new stats omnibus keys: one moment pass + broadcast back,
+    // never a cartesian, never a global window
+    for ((name, df) <- Seq(
+        "ljung_box" -> Stats.ljungBox(spark, sf),
+        "cooks_distance" -> Stats.cooksDistance(spark, sf),
+        "breusch_pagan" -> Stats.breuschPagan(spark, sf),
+        "median_test" -> Stats.medianTest(spark, sf),
+        "gumbel_return" -> Stats.gumbelReturn(spark, sf),
+        "logrank" -> Stats.logrank(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+      val w = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+      assert(!w.contains("partitionBy=[]"),
+        s"unpartitioned window in $name:\n$w")
+    }
+  }
+
+  test("round-16 additions keep the plan discipline: substring spans " +
+      "partial-aggregate on the gram hash and window only per " +
+      "(pair, diagonal); the unigram trainer's corpus passes stay " +
+      "window-free") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val sp = plan(Dedup.substringSpans(spark, sf))
+    assert(!sp.contains("CartesianProduct"), s"cartesian in spans:\n$sp")
+    assert(sp.contains("HashAggregate"),
+      s"no partial aggregate on the gram hash:\n$sp")
+    val spWin = sp.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!spWin.contains("partitionBy=[]"),
+      s"unpartitioned window in spans:\n$spWin")
+    val ug = plan(TextAnalysis.unigramLm(spark, sf))
+    // the 1-row total joins as a broadcast nested-loop, never a
+    // cartesian over the piece table
+    assert(!ug.contains("CartesianProduct"),
+      s"cartesian in unigram trainer:\n$ug")
+    assert(!ug.contains("Window"), s"window in unigram trainer:\n$ug")
+  }
+
   test("wordcount whole-stage codegen covers the tokenize+agg path") {
     // AQE's toString hides codegen stage markers pre-execution;
     // disable it for this single inspection

@@ -1434,6 +1434,99 @@ class SourcesV2Spec extends SparkSpec {
     assert(ids(parent) == Seq(1L, 3L, 4L, 5L, 6L, 9L))
   }
 
+  test("dsv2 sink publish race: two publishers of the same branch — " +
+      "the loser's cleanup must not delete files the winner's " +
+      "committed manifest references") {
+    import spark.implicits._
+    import graft.sources.v2.GraftSink
+    val parent = graft.TempDirs.create("graft_pubrace_p").toString
+    putDocs(parent, (1L to 4L).map(i => (i, i * 10L)))
+    val branch = graft.TempDirs.create("graft_pubrace_b").toString + "/t"
+    GraftSink.cloneShallow(parent, branch)
+    putDocs(branch, Seq((5L, 50L), (6L, 60L)))
+    // the crash-retry twin: two concurrent publishes of the SAME
+    // branch stage identical UUID-named copies into the parent; the
+    // loser's CAS-failure cleanup used to delete them unconditionally,
+    // orphaning the data the winner's manifest had just committed
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(_ => pool.submit(new Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          barrier.await()
+          try { GraftSink.publishClone(parent, branch); None }
+          catch { case t: Throwable => Some(t) }
+        }
+      }))
+      val outcomes = fs.map(_.get())
+      // exactly one commit wins; the loser fails (CME at the precheck
+      // or the CAS — or a copy race if the winner already reclaimed
+      // the branch-local files mid-flight; the exception class is
+      // interleaving-dependent, the data invariant below is not)
+      assert(outcomes.count(_.isEmpty) == 1,
+        s"exactly one publisher must win: $outcomes")
+    } finally pool.shutdown()
+    // the decisive check: every file the committed manifest references
+    // still exists — a lost update here is silent data destruction
+    assert(GraftSink.readBack(spark, parent, DocSchema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "published branch rows must survive the losing publisher's cleanup")
+  }
+
+  test("dsv2 sink optimize: files without zonemap stats count as " +
+      "dispersed — a mostly-stats-less store cannot read healthy off " +
+      "its stats-bearing minority") {
+    import spark.implicits._
+    import graft.sources.v2.GraftSink
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_opt_nostats").toString
+    (1L to 400L).map(i => (i, i)).toDF("doc_id", "n_chars")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("doc_id"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", dir).mode("append").save()
+    // fully-stats'd range-clustered store reads healthy
+    assert(GraftSink.optimize(spark, dir, Seq("doc_id"), 8, schema)
+      .decision == "none")
+    // strip the stats segment from 7 of the 8 data entries (the
+    // pre-stats manifest shape statsOf documents) via a CAS commit
+    val (gen, lines) = GraftSink.head(dir)
+    var stripped = 0
+    val rewritten = lines.map { l =>
+      val p = l.split("\t")
+      if (!l.startsWith("#") && p.length >= 3 && stripped < 7) {
+        stripped += 1; s"${p(0)}\t${p(1)}\t"
+      } else l
+    }
+    assert(stripped == 7)
+    GraftSink.commitReplace(dir, rewritten, gen)
+    // 7 of 8 files now carry no pruning information for the declared
+    // dim: the store MUST read dispersed and execute the rewrite
+    val r = GraftSink.optimize(spark, dir, Seq("doc_id"), 8, schema)
+    assert(r.decision == "cluster" && r.dispersed,
+      s"stats-less files must count as dispersed, got $r")
+    import spark.implicits._
+    assert(GraftSink.readBack(spark, dir, schema)
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      (1L to 400L).map(i => (i, i)),
+      "the executed rewrite must preserve content")
+  }
+
+  test("dsv2 sink colstats: escaped tab/newline/backslash min/max " +
+      "values round-trip through the manifest line parse") {
+    import graft.sources.v2.GraftSink
+    // the exact bytes analyze() persists for min = "a\tb\nc" and
+    // max = "z\\w": tab -> \t, newline -> \n, backslash -> \\
+    val line = "#colstats\tc\t5\t3\t" + "a\\tb\\nc" + "\t" + "z\\\\w" + "\t7"
+    val s = GraftSink.colStatsOf(Seq(line))
+    assert(s.size == 1)
+    assert(s.head == GraftSink.ColStats("c", 5L, 3L, "a\tb\nc", "z\\w", 7),
+      s"parsed $s")
+  }
+
   test("dsv2 sink cdc stream: append windows emit inserts, a DV move " +
       "emits exactly the newly-masked rows as deletes, and a rewrite " +
       "window's insert/delete pairs cancel") {

@@ -222,6 +222,63 @@ class TextAnalysisSpec extends SparkSpec {
       s"merge counts increased: ${real.mkString(",")}")
   }
 
+  test("unigram-lm trainer matches a naive reference: substring seed, " +
+      "greedy longest-match segmentation, prune rounds, mass " +
+      "accounting") {
+    import spark.implicits._
+    val text = ("hello help hell yelp jelly " * 3 +
+      "banana bandana anagram lo " * 2).trim
+    val docs = Seq((1L, text, "en", "spec", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seed = 10; val prunes = Seq(4, 2); val maxLen = 3
+    val got = TextAnalysis.unigramLmOver(docs, seed, prunes, maxLen)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(_._1)
+
+    // naive reference: same seed → greedy longest-first segmentation →
+    // claimed-mass prune → final accounting, on plain Scala maps
+    val wf: Map[String, Long] = text.split("\\s+")
+      .filter(w => w.length >= 2 && w.matches("[a-z]+"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    def topN(m: Map[String, Long], n: Int): Seq[String] =
+      m.toSeq.sortBy { case (p, c) => (-c, p) }.take(n).map(_._1)
+    def seg(w: String, v: Seq[String]): Seq[String] = {
+      val sorted = v.sortBy(p => (-p.length, p))
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val m = sorted.find(p => w.regionMatches(i, p, 0, p.length))
+          .getOrElse(w.substring(i, i + 1))
+        out += m; i += m.length
+      }
+      out.result()
+    }
+    val cands = wf.toSeq.flatMap { case (w, c) =>
+      for (l <- 2 to maxLen; i <- 0 to w.length - l)
+        yield (w.substring(i, i + l), c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    var vocab = topN(cands, seed)
+    for (m <- prunes) {
+      val u = wf.toSeq.flatMap { case (w, c) =>
+        seg(w, vocab).filter(_.length >= 2).map(_ -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      vocab = topN(u, m)
+    }
+    val fin = wf.toSeq.flatMap { case (w, c) => seg(w, vocab).map(_ -> c) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val t = fin.values.sum
+    val expect = fin.toSeq.map { case (p, c) =>
+      (p, p.length.toLong, c, BigDecimal(c.toDouble / t)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the prune rounds must bite: at most prunes.last multi-char
+    // pieces survive, and the fallback alphabet is always present
+    assert(got.count(_._2 >= 2) <= prunes.last)
+    assert(got.exists(_._2 == 1L))
+  }
+
   test("bpe apply: planted merges encode docs to hand-computed token " +
       "counts, out-of-domain words are one unknown apiece") {
     import spark.implicits._
