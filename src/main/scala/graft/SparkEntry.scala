@@ -500,6 +500,7 @@ object SparkEntry {
     "text_novelty" -> ((s, d) => TextAnalysis.novelty(s, d)),
     "q_ess" -> ((s, d) => Pipeline.effectiveSampleSize(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
+    "ann_ivf_nsw" -> ((s, d) => Similarity.annIvfNsw(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
@@ -1133,6 +1134,42 @@ object SparkEntry {
     s"""WITH $ivfAssignCtes,
         |probes AS (SELECT vec_id AS query_id, cid FROM ranked
         |           WHERE crank <= 4 AND vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+        |               cand.vec_id) AS BIGINT) AS rnk
+        |  FROM cand
+        |  JOIN embeddings e ON cand.vec_id = e.vec_id
+        |  JOIN embeddings q ON cand.query_id = q.vec_id)
+        |WHERE rnk <= 10""".stripMargin
+
+  // NSW-refined IVF: degree-3 exact-cosine centroid graph, probe set
+  // expanded with the entry cell's neighbors, otherwise the ann_ivf
+  // candidate/rank dag verbatim
+  private val annIvfNswOracle =
+    s"""WITH $ivfAssignCtes,
+        |cgraph AS (
+        |  SELECT cid, nid FROM (
+        |    SELECT a.cid, b.cid AS nid,
+        |      row_number() OVER (PARTITION BY a.cid
+        |        ORDER BY list_cosine_similarity(a.cv, b.cv) DESC,
+        |                 b.cid) AS gr
+        |    FROM cent a JOIN cent b ON a.cid <> b.cid)
+        |  WHERE gr <= 3),
+        |probes0 AS (SELECT vec_id AS query_id, cid, crank FROM ranked
+        |            WHERE crank <= 4 AND vec_id < 20),
+        |hop AS (
+        |  SELECT p.query_id, g.nid AS cid
+        |  FROM probes0 p JOIN cgraph g USING (cid) WHERE p.crank = 1),
+        |probes AS (
+        |  SELECT DISTINCT query_id, cid FROM (
+        |    SELECT query_id, cid FROM probes0
+        |    UNION ALL SELECT query_id, cid FROM hop)),
         |cand AS (
         |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
         |  WHERE a.vec_id <> p.query_id)
@@ -8993,6 +9030,7 @@ object SparkEntry {
     // IVF oracle: same deterministic codebook (vec_id < 16), same
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,
+    "ann_ivf_nsw" -> annIvfNswOracle,
     // persisted IVF index stores EXACT vectors cell-partitioned, so
     // the build -> artifacts -> query round trip answers identically
     // to the one-shot ann_ivf — the same SQL gates both

@@ -354,6 +354,74 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** Centroid-graph degree for the NSW probe expansion. */
+  val NswDegree = 3
+
+  /** GRAPH-REFINED IVF search (`ann_ivf_nsw`) — the navigable-small-
+    * world idea applied at the layer where it stays 100 TB-shaped:
+    * over the CENTROIDS, not the corpus. `ann_recall_report` measured
+    * plain IVF at mean recall@10 ≈ 0.90 with a weak tail (0.3–0.7 on
+    * 4 of 20 queries at sf0.1) — those are queries whose true
+    * neighbors live in cells the query's own top-`IvfProbes` ranking
+    * misses. The NSW fix: build a degree-bounded exact-cosine
+    * neighbor graph over the cells²-bounded codebook (the navigable
+    * layer), and expand each query's probe set with the graph
+    * neighbors of its ENTRY cell (one greedy hop from the entry
+    * point, the HNSW layer-descent step). Candidates are a strict
+    * SUPERSET of [[annIvf]]'s, so per-query recall can only improve —
+    * the comparative spec pins that theorem plus the measured floor.
+    *
+    * Why not a corpus-level HNSW at 100 TB: the graph there is
+    * O(n·degree) mutable state with pointer-chasing traversals that
+    * don't partition; the centroid graph is O(√n·degree) rows,
+    * broadcastable, rebuilt in one bounded pass after every
+    * `ann_maintain` rebuild. Scale shape otherwise identical to
+    * [[annIvf]]: broadcast codebook + graph, one corpus assignment
+    * pass, cell-pruned candidates, bounded TopKPerKey rank tail.
+    */
+  def annIvfNsw(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val cent = ivfCentroids(all, IvfCells)
+    // the navigable layer: per centroid, its NswDegree nearest other
+    // centroids by exact cosine — cells × degree rows, broadcastable
+    val c2 = cent.select(col("cid").as("nid"), col("cv").as("nv"),
+      col("cnorm").as("nnorm"))
+    val cpairs = cent.join(broadcast(c2), col("cid") =!= col("nid"))
+      .withColumn("gcos",
+        dot_product(col("cv"), col("nv")) / col("cnorm") / col("nnorm"))
+    val graph = graft.plans.TopKPerKey(
+        cpairs.select(col("cid"), col("nid"), col("gcos")),
+        Seq("cid"), Seq(("gcos", true), ("nid", false)), NswDegree)
+      .select(col("cid"), col("nid"))
+    val ranked = centroidRanks(all, cent)
+      .filter(col("crank") === 1 ||
+        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
+    val probes0 = ranked.filter(col("crank") <= IvfProbes
+        && col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cid"), col("crank"))
+    // one NSW hop: the entry cell's graph neighbors join the probe set
+    val hop = probes0.filter(col("crank") === 1)
+      .join(broadcast(graph), "cid")
+      .select(col("query_id"), col("nid").as("cid"))
+    val probes = probes0.select("query_id", "cid").unionByName(hop)
+      .distinct()
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val scored = cand
+      .join(all, "vec_id")
+      .join(broadcast(queryBatch(all, nQueries)), "query_id")
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+  }
+
   /** RANGE (radius) search — the other retrieval primitive every
     * production vector store exposes next to top-k (FAISS
     * `range_search`, pgvector `WHERE embedding <=> q < r`): ALL

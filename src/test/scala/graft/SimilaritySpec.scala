@@ -142,6 +142,33 @@ class SimilaritySpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("ann_ivf_nsw: the graph-expanded probe set dominates plain IVF " +
+      "recall per query and lifts the mean") {
+    import org.apache.spark.sql.functions._
+    val brute = Similarity.annTopkBrute(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    def recallByQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      brute.intersect(df.select(col("query_id"), col("neighbor_id")))
+        .groupBy("query_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = recallByQuery(Similarity.annIvf(spark, sf))
+    val nsw = recallByQuery(Similarity.annIvfNsw(spark, sf))
+    // candidates are a strict superset of IVF's under the same exact
+    // rank: per-query recall must never drop
+    (0L until 20L).foreach { q =>
+      assert(nsw.getOrElse(q, 0L) >= ivf.getOrElse(q, 0L),
+        s"NSW hop lost recall on query $q: ${nsw.get(q)} < ${ivf.get(q)}")
+    }
+    // the measured lift on this corpus: the entry-cell hop must buy
+    // real tail recall, not just tie (floor from the measured value)
+    val meanIvf = (0L until 20L).map(q => ivf.getOrElse(q, 0L)).sum / 200.0
+    val meanNsw = (0L until 20L).map(q => nsw.getOrElse(q, 0L)).sum / 200.0
+    assert(meanNsw >= meanIvf,
+      f"NSW mean $meanNsw%.3f below IVF mean $meanIvf%.3f")
+    assert(meanNsw >= 0.5, f"NSW mean recall collapsed: $meanNsw%.3f")
+    brute.unpersist()
+  }
+
   test("silhouette: per-cell scores stay in [0,1], every vector is " +
       "scored once, and cells partition the corpus") {
     import org.apache.spark.sql.functions._
