@@ -81,6 +81,8 @@ object SparkEntry {
     "q_sink_constraints" ->
       ((s, d) => sources.Formats.sinkConstraintsReport(s, d)),
     "q_sink_clone" -> ((s, d) => sources.Formats.sinkCloneReport(s, d)),
+    "q_sink_branch_diff" ->
+      ((s, d) => sources.Formats.sinkBranchDiffReport(s, d)),
     "q_sink_tag" -> ((s, d) => sources.Formats.sinkTagReport(s, d)),
     "q_sink_publish" ->
       ((s, d) => sources.Formats.sinkPublishReport(s, d)),
@@ -217,6 +219,9 @@ object SparkEntry {
     "q_ab_srm" -> ((s, d) => Stats.abSrm(s, d)),
     "q_bootstrap_diff" -> ((s, d) => Stats.bootstrapDiff(s, d)),
     "q_mannwhitney" -> ((s, d) => Stats.mannWhitney(s, d)),
+    "q_cliffs_delta" -> ((s, d) => Stats.cliffsDelta(s, d)),
+    "q_fdr_by" -> ((s, d) => Stats.fdrBy(s, d)),
+    "q_seasonal_strength" -> ((s, d) => Stats.seasonalStrength(s, d)),
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
@@ -501,6 +506,7 @@ object SparkEntry {
     "q_ess" -> ((s, d) => Pipeline.effectiveSampleSize(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_ivf_nsw" -> ((s, d) => Similarity.annIvfNsw(s, d)),
+    "q_embed_mauve" -> ((s, d) => Similarity.embedMauve(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
@@ -568,6 +574,7 @@ object SparkEntry {
     "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "text_rake" -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
     "text_unigram_lm" -> ((s, d) => TextAnalysis.unigramLm(s, d)),
+    "text_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_breusch_pagan" -> ((s, d) => Stats.breuschPagan(s, d)),
@@ -1594,10 +1601,10 @@ object SparkEntry {
        |    FROM $name s WHERE s.pos <= length(s.w)))""".stripMargin
 
   // unigram-LM trainer twin: seed top-40 substring candidates, two
-  // segment→score→prune rounds (keep 12, then 8), final segmentation
-  // with mass accounting — every step exact integer/string arithmetic
-  private val unigramLmOracle: String =
-    s"""WITH RECURSIVE uwords AS (
+  // segment→score→prune rounds (keep 12, then 8) — every step exact
+  // integer/string arithmetic; shared by the trainer and apply gates
+  private val unigramTrainCtes: String =
+    s"""uwords AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
        |                                  x -> x <> '')) AS w
@@ -1624,7 +1631,10 @@ object SparkEntry {
        |    SELECT piece, CAST(sum(n) AS BIGINT) AS u FROM seg2
        |    WHERE piece IS NOT NULL AND length(piece) >= 2 GROUP BY 1)
        |  ORDER BY u DESC, piece LIMIT 8),
-       |${unigramSegCte("seg3", "vocab2")},
+       |${unigramSegCte("seg3", "vocab2")}""".stripMargin
+
+  private val unigramLmOracle: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
        |fin AS (
        |  SELECT piece, CAST(sum(n) AS BIGINT) AS n_tokens FROM seg3
        |  WHERE piece IS NOT NULL GROUP BY 1),
@@ -1632,6 +1642,36 @@ object SparkEntry {
        |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, n_tokens,
        |  round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mass_share
        |FROM fin, tot""".stripMargin
+
+  // apply twin: per-word token stats from the SAME final segmentation,
+  // joined to per-doc domain words; out-of-domain words one unknown
+  // apiece, domain-word-free docs kept via the [NULL] unnest
+  private val unigramApplyOracle: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |wstats AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS w_tok,
+       |    CAST(sum(CASE WHEN length(piece) >= 2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS w_multi
+       |  FROM seg3 WHERE piece IS NOT NULL GROUP BY 1),
+       |dw AS (
+       |  SELECT doc_id, n_words,
+       |    unnest(CASE WHEN len(dws) = 0
+       |      THEN [CAST(NULL AS VARCHAR)] ELSE dws END) AS w
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(ws) AS BIGINT) AS n_words,
+       |      list_filter(ws, x -> length(x) >= 2
+       |        AND regexp_matches(x, '^[a-z]+$$')) AS dws
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(text, '\\s+'),
+       |                        x -> x <> '') AS ws
+       |          FROM documents)))
+       |SELECT doc_id, n_words,
+       |  CAST(n_words - count(w) + coalesce(sum(w_tok), 0) AS BIGINT)
+       |    AS n_tokens,
+       |  CAST(coalesce(sum(w_multi), 0) AS BIGINT) AS n_multi
+       |FROM dw LEFT JOIN wstats USING (w)
+       |GROUP BY 1, 2""".stripMargin
 
   // document re-encode under the learned merges (shared by bpe_apply
   // and q_pack_bins_bpe): wrapped domain words, the three replaces in
@@ -3163,6 +3203,35 @@ object SparkEntry {
         |SELECT 'clone', CAST(count(*) + 3 AS BIGINT),
         |  CAST(sum(n_chars) + 66 AS BIGINT)
         |FROM documents""".stripMargin,
+    // three-way branch diff: base = the pre-divergence snapshot
+    // (= documents), parent = CoW delete of %3 rows, branch = +3
+    // planted rows; classify per key against all three presences
+    "q_sink_branch_diff" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS m FROM docs),
+        |branch AS (
+        |  SELECT doc_id, n_chars FROM docs
+        |  UNION ALL
+        |  SELECT m * 10 + k, CAST(k * 11 AS BIGINT)
+        |  FROM mx, (VALUES (1), (2), (3)) t(k)),
+        |parent AS (SELECT doc_id, n_chars FROM docs WHERE doc_id % 3 <> 0),
+        |j AS (SELECT b.n_chars AS bn, p.n_chars AS pn, o.n_chars AS onn
+        |      FROM branch b
+        |      FULL JOIN parent p ON b.doc_id = p.doc_id
+        |      FULL JOIN docs o ON coalesce(b.doc_id, p.doc_id) = o.doc_id)
+        |SELECT CASE
+        |    WHEN onn IS NOT NULL AND pn IS NOT NULL AND bn IS NOT NULL
+        |      THEN 'common'
+        |    WHEN onn IS NULL AND bn IS NOT NULL THEN 'added_on_branch'
+        |    WHEN onn IS NULL AND pn IS NOT NULL THEN 'added_on_parent'
+        |    WHEN pn IS NULL AND bn IS NULL THEN 'removed_on_both'
+        |    WHEN pn IS NULL THEN 'removed_on_parent'
+        |    ELSE 'removed_on_branch' END AS change,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(coalesce(bn, pn, onn)) AS BIGINT) AS sum_chars
+        |FROM j GROUP BY 1""".stripMargin,
     // PR curve: lift's decile bucketing, suffix sums over the 10-row
     // frame, integer F1 identity 2*TP/(pred + all_pos)
     "q_pr_curve" -> {
@@ -7477,6 +7546,42 @@ object SparkEntry {
         |                  (2.0 * sqrt(varu)), 6)
         |  END AS z_stat
         |FROM v""".stripMargin,
+    // Cliff's delta: the Mann-Whitney histogram dag up to the doubled
+    // tie-credited 2U, then (2U - na*nb)/(na*nb) and the Romano
+    // magnitude CASE on the same raw double
+    "q_cliffs_delta" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+        |    event_type
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT score,
+        |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |          AS a,
+        |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b
+        |      FROM ev GROUP BY 1),
+        |c AS (SELECT score, a, b,
+        |        coalesce(sum(b) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumb
+        |      FROM h),
+        |m AS (SELECT sum(a) AS na, sum(b) AS nb,
+        |        sum(CAST(a AS DECIMAL(19,0)) *
+        |            CAST(2 * cumb + b AS DECIMAL(19,0))) AS u2
+        |      FROM c),
+        |r AS (SELECT na, nb,
+        |        (2.0 * round(CAST(u2 AS DOUBLE) / 2.0, 1)
+        |          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS raw
+        |      FROM m)
+        |SELECT 'purchase' AS type_a, 'click' AS type_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN round(raw, 6) END AS delta,
+        |  CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS VARCHAR)
+        |       WHEN abs(raw) < 0.147 THEN 'negligible'
+        |       WHEN abs(raw) < 0.33 THEN 'small'
+        |       WHEN abs(raw) < 0.474 THEN 'medium'
+        |       ELSE 'large' END AS magnitude
+        |FROM r""".stripMargin,
     // BH: per-hour Welch z (the q_ab_test moment dag), two-sided p via
     // the A&S 26.2.17 polynomial (identical literals, z pre-rounded),
     // step-up on the 24-row family with (p, slice) rank tie-break
@@ -7525,6 +7630,63 @@ object SparkEntry {
         |  CAST(p_rank AS BIGINT) AS p_rank, bh_crit,
         |  (p IS NOT NULL AND p_rank <= kstar) AS reject
         |FROM w CROSS JOIN k""".stripMargin,
+    // BY: the BH dag with the harmonic c(m) shrink — c(m) is the same
+    // left fold in both engines (0-init in Spark, no-init list_reduce
+    // here; 0 + 1/1 is exact so every association matches)
+    "q_fdr_by" ->
+      """WITH ev AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS slice, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT slice, event_type, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(v) AS DOUBLE) AS s,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS ss
+        |      FROM ev GROUP BY 1, 2),
+        |a AS (SELECT slice, n AS na, s AS sa, ss AS ssa FROM m
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT slice, n AS nb, s AS sb, ss AS ssb FROM m
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT a.slice, na, nb, sa / na AS ma, sb / nb AS mb,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+        |        (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+        |      FROM a JOIN b ON a.slice = b.slice),
+        |d AS (SELECT *, va / na + vb / nb AS se2 FROM c),
+        |zz AS (SELECT slice, CAST(na AS BIGINT) AS n_a,
+        |        CAST(nb AS BIGINT) AS n_b,
+        |        CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |             THEN round((ma - mb) / sqrt(se2), 6) END AS z_stat
+        |      FROM d),
+        |p0 AS (SELECT *, abs(z_stat) AS az,
+        |        1.0 / (1.0 + 0.2316419 * abs(z_stat)) AS t FROM zz),
+        |pz AS (SELECT slice, n_a, n_b, z_stat,
+        |        CASE WHEN z_stat IS NOT NULL THEN
+        |          round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az)) *
+        |            (((((1.330274429 * t - 1.821255978) * t
+        |              + 1.781477937) * t - 0.356563782) * t
+        |              + 0.319381530) * t), 6)
+        |        END AS p
+        |      FROM p0),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY p ASC NULLS LAST, slice) AS p_rank FROM pz),
+        |fam AS (SELECT count(p) AS fm FROM r),
+        |w AS (SELECT r.*, fm,
+        |        CASE WHEN fm > 0 THEN list_reduce(
+        |          list_transform(generate_series(1, CAST(fm AS INT)),
+        |            i -> 1.0 / CAST(i AS DOUBLE)), (x, y) -> x + y)
+        |        END AS cm
+        |      FROM r CROSS JOIN fam),
+        |w2 AS (SELECT w.*,
+        |        CASE WHEN fm > 0 THEN
+        |          round(CAST(p_rank AS DOUBLE) * 0.05 /
+        |            (CAST(fm AS DOUBLE) * cm), 6)
+        |        END AS by_crit
+        |      FROM w),
+        |k AS (SELECT coalesce(max(CASE WHEN p <= by_crit
+        |          THEN p_rank END), 0) AS kstar FROM w2)
+        |SELECT slice, n_a, n_b, z_stat, p,
+        |  CAST(p_rank AS BIGINT) AS p_rank, cm AS c_m, by_crit,
+        |  (p IS NOT NULL AND p_rank <= kstar) AS reject
+        |FROM w2 CROSS JOIN k""".stripMargin,
     // QTE: per-arm quantile_cont twins the exact-regime KLL (the
     // q_ks_test cutpoint contract); diffs on the unrounded doubles
     "q_qte" -> {
@@ -8200,6 +8362,46 @@ object SparkEntry {
         |  round((CAST(s AS DOUBLE) / n_days)
         |    / (CAST(s_all AS DOUBLE) / n_all), 6) AS seasonal_index
         |FROM bd JOIN o ON bd.event_type = o.event_type""".stripMargin,
+    // seasonal strength: Σ(y − m_dow)² expanded to exact per-dow
+    // moments (SS_d − S_d²/n_d), the 7 cell terms rounded 6 and
+    // DECIMAL-summed (the ANOVA cross-group discipline), one
+    // per-type moment row for var(y)
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(y) AS BIGINT) AS s,
+        |    sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS ss
+        |  FROM daily GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    sum(CAST(round(CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(nd AS DOUBLE), 6) AS DECIMAL(38,6))) AS ss_resid
+        |  FROM bd GROUP BY 1),
+        |o AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(y) AS BIGINT) AS s_all,
+        |    sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS ss_all
+        |  FROM daily GROUP BY 1)
+        |SELECT o.event_type, n_all AS n_days,
+        |  round(CAST(ss_all AS DOUBLE)
+        |    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |      / CAST(n_all AS DOUBLE), 6) AS ss_total,
+        |  round(CAST(ss_resid AS DOUBLE), 6) AS ss_resid,
+        |  CASE WHEN CAST(ss_all AS DOUBLE)
+        |      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |        / CAST(n_all AS DOUBLE) > 0 THEN
+        |    round(greatest(0.0, 1.0 - CAST(ss_resid AS DOUBLE)
+        |      / (CAST(ss_all AS DOUBLE)
+        |        - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |          / CAST(n_all AS DOUBLE))), 6)
+        |  END AS seasonal_strength
+        |FROM o JOIN r ON o.event_type = r.event_type""".stripMargin,
     // seasonal anomaly: the decompose index dag UNROUNDED, adj = y/idx,
     // then the q_anomaly_mad robust-z recipe on the calendar rollup
     // with (|rz| desc, day) rank — mirrored divisions token-for-token
@@ -8766,6 +8968,7 @@ object SparkEntry {
     // string arithmetic, so the whole seed→segment→prune→segment loop
     // hash-gates through the unrolled recursive-CTE twin
     "text_unigram_lm" -> unigramLmOracle,
+    "text_unigram_apply" -> unigramApplyOracle,
     "text_vocab_coverage" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word
@@ -9031,6 +9234,42 @@ object SparkEntry {
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_nsw" -> annIvfNswOracle,
+    // MAUVE frontier: shared IVF cell quantization, even/odd corpus
+    // sides, per-cell p*ln(p/r) terms rounded 6 and DECIMAL-summed,
+    // lambda grid as double literals
+    "q_embed_mauve" ->
+      (s"""WITH $ivfAssignCtes,
+        |sides AS (
+        |  SELECT cid,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pc,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qc
+        |  FROM assign GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pc) AS BIGINT) AS tp,
+        |        CAST(sum(qc) AS BIGINT) AS tq FROM sides),
+        |lam AS (SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE)),
+        |        (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE))) t(l)),
+        |terms AS (
+        |  SELECT l,
+        |    CASE WHEN pc > 0 THEN CAST(round(
+        |      (CAST(pc AS DOUBLE) / CAST(tp AS DOUBLE))
+        |      * ln((CAST(pc AS DOUBLE) / CAST(tp AS DOUBLE))
+        |        / (l * (CAST(pc AS DOUBLE) / CAST(tp AS DOUBLE))
+        |          + (CAST(1.0 AS DOUBLE) - l)
+        |            * (CAST(qc AS DOUBLE) / CAST(tq AS DOUBLE)))), 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS tp_,
+        |    CASE WHEN qc > 0 THEN CAST(round(
+        |      (CAST(qc AS DOUBLE) / CAST(tq AS DOUBLE))
+        |      * ln((CAST(qc AS DOUBLE) / CAST(tq AS DOUBLE))
+        |        / (l * (CAST(pc AS DOUBLE) / CAST(tp AS DOUBLE))
+        |          + (CAST(1.0 AS DOUBLE) - l)
+        |            * (CAST(qc AS DOUBLE) / CAST(tq AS DOUBLE)))), 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS tq_
+        |  FROM sides CROSS JOIN tot CROSS JOIN lam)
+        |SELECT l AS mix_lambda, CAST(sum(tp_) AS DOUBLE) AS kl_p_mix,
+        |  CAST(sum(tq_) AS DOUBLE) AS kl_q_mix
+        |FROM terms GROUP BY 1""").stripMargin,
     // persisted IVF index stores EXACT vectors cell-partitioned, so
     // the build -> artifacts -> query round trip answers identically
     // to the one-shot ann_ivf — the same SQL gates both

@@ -354,6 +354,55 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** MAUVE-STYLE DIVERGENCE FRONTIER (`q_embed_mauve`, Pillutla et
+    * al. 2021) — the modern open-ended-generation eval, re-expressed
+    * at corpus scale: quantize both distributions into the SHARED
+    * IVF cell space (the paper's k-means quantization; here the
+    * already-gated coarse codebook), then trace the divergence
+    * frontier KL(P‖R_λ), KL(Q‖R_λ) against mixtures R_λ = λP +
+    * (1−λ)Q over a λ grid. P = even vec_ids, Q = odd (the
+    * deterministic corpus split standing in for model-vs-human text;
+    * the operator takes any two sides that share the cell space).
+    * Mode collapse shows as KL(Q‖R) exploding at low λ; distribution
+    * drift as both arms lifting.
+    *
+    * Scale shape: ONE corpus assignment pass (shared centroidRanks
+    * dag) into a cells×2 histogram — everything after is a 16-row
+    * frame per λ. Determinism: exact integer cell counts, per-cell
+    * p·ln(p/r) terms rounded 6 and DECIMAL-summed (the ANOVA
+    * cross-cell discipline), λ and 1−λ as double literals mirrored
+    * into the oracle; a p=0 cell contributes exactly 0 and r ≥ λp
+    * keeps every evaluated log argument finite.
+    */
+  def embedMauve(spark: SparkSession, sfDir: String,
+      lambdas: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val all = vecs(spark, sfDir)
+    val sides = centroidRanks(all, ivfCentroids(all, IvfCells))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+      .groupBy("cid")
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("pc"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("qc"))
+      .localCheckpoint()
+    val tot = sides.agg(sum(col("pc")).as("tp"), sum(col("qc")).as("tq"))
+    lambdas.map { lam =>
+      val p = col("pc").cast("double") / col("tp").cast("double")
+      val q = col("qc").cast("double") / col("tq").cast("double")
+      val r = lit(lam) * p + lit(1.0 - lam) * q
+      sides.crossJoin(broadcast(tot))
+        .select(
+          when(col("pc") > 0, round(p * log(p / r), 6))
+            .otherwise(lit(0d)).cast(d186).as("tp_"),
+          when(col("qc") > 0, round(q * log(q / r), 6))
+            .otherwise(lit(0d)).cast(d186).as("tq_"))
+        .agg(sum(col("tp_")).as("sp"), sum(col("tq_")).as("sq"))
+        .select(lit(lam).as("mix_lambda"),
+          col("sp").cast("double").as("kl_p_mix"),
+          col("sq").cast("double").as("kl_q_mix"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Centroid-graph degree for the NSW probe expansion. */
   val NswDegree = 3
 

@@ -1504,6 +1504,61 @@ object Stats {
           .as("seasonal_index"))
   }
 
+  /** SEASONAL STRENGTH (`q_seasonal_strength`) — Hyndman's FPP
+    * decomposition-strength measure F_s = max(0, 1 −
+    * var(remainder)/var(y)) for the day-of-week component: the ONE
+    * number that says whether [[seasonalDecompose]]'s indices are
+    * worth applying (F_s near 0 → `q_seasonal_anomaly`'s adjustment
+    * is noise; near 1 → a raw-count monitor will page every
+    * weekend). Entirely exact-moment arithmetic: Σ(y − m_d)² expands
+    * to Σ_d (SS_d − S_d²/n_d) — exact integer moments per day-of-week
+    * cell, ONE division each, the 7 per-type cell terms rounded 6 and
+    * DECIMAL-summed (the ANOVA cross-group discipline — a raw double
+    * sum across cells would be partition lore); var(y) is the single
+    * per-type moment row. One calendar-sized rollup after the daily
+    * scan, a 7-row and a 1-row aggregate per type.
+    */
+  def seasonalStrength(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalStrengthOver(Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("y")))
+
+  /** Same operator over any (event_type, day, y: long) daily frame —
+    * a planted pure-weekly series pins F_s = 1 (zero within-dow
+    * variance), a planted dow-free series pins F_s near 0. */
+  private[graft] def seasonalStrengthOver(daily0: DataFrame): DataFrame = {
+    val d386 = DecimalType(38, 6)
+    val daily = daily0.localCheckpoint()
+    val byDow = daily
+      .groupBy(col("event_type"),
+        dayofweek(col("day")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("y")).as("s"),
+        sum((col("y").cast(DecimalType(19, 0)) *
+          col("y").cast(DecimalType(19, 0)))).as("ss"))
+    val resid = byDow
+      .select(col("event_type"),
+        round(col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("nd").cast("double"), 6).cast(d386).as("term"))
+      .groupBy("event_type").agg(sum(col("term")).as("ss_resid"))
+    val overall = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_all"), sum(col("y")).as("s_all"),
+        sum((col("y").cast(DecimalType(19, 0)) *
+          col("y").cast(DecimalType(19, 0)))).as("ss_all"))
+    val ssy = col("ss_all").cast("double") -
+      col("s_all").cast("double") * col("s_all").cast("double") /
+        col("n_all").cast("double")
+    overall.join(resid, "event_type")
+      .select(col("event_type"), col("n_all").cast("long").as("n_days"),
+        round(ssy, 6).as("ss_total"),
+        round(col("ss_resid").cast("double"), 6).as("ss_resid"),
+        when(ssy > 0,
+          round(greatest(lit(0.0),
+            lit(1.0) - col("ss_resid").cast("double") / ssy), 6))
+          .as("seasonal_strength"))
+  }
+
   /** SEASONALITY-ADJUSTED ANOMALY DETECTION — the alerting operator
     * the decomposition exists to enable: a Saturday dip that is
     * normal for Saturdays should not page anyone, and a raw-count
@@ -2154,6 +2209,40 @@ object Stats {
             (lit(2.0) * sqrt(col("varu"))), 6)).as("z_stat"))
   }
 
+  /** CLIFF'S DELTA (`q_cliffs_delta`) — the ordinal EFFECT SIZE the
+    * Mann-Whitney test needs next to its p-value (a significant U on
+    * a big corpus can be a trivially small effect; δ says HOW MUCH
+    * one group stochastically dominates): δ = (#(a>b) − #(a<b))/(n_a
+    * n_b) ∈ [−1, 1], with the Romano et al. magnitude labels
+    * (0.147/0.33/0.474). Derived EXACTLY from the already-gated
+    * [[mannWhitney]] dag: the doubled tie-credited U statistic gives
+    * #(a>b) − #(a<b) = 2U − n_a·n_b (half-tie credits cancel), and
+    * u_stat's round(·, 1) is exact on the half-integer domain, so
+    * 2·u_stat reconstructs the exact integer 2U — one division, one
+    * identical-dag threshold CASE; no new shuffle beyond the shared
+    * histogram pass.
+    */
+  def cliffsDelta(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame =
+    cliffsDeltaOver(Tables.events(spark, sfDir), typeA, typeB)
+
+  /** Same operator over any (event_type, value) frame — planted
+    * disjoint (δ=±1), identical (δ=0) and interleaved corpora pin the
+    * dominance arithmetic by hand. */
+  def cliffsDeltaOver(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame = {
+    val mw = mannWhitneyOver(events, typeA, typeB)
+    val nd = col("n_a").cast("double") * col("n_b").cast("double")
+    val raw = (lit(2.0) * col("u_stat") - nd) / nd
+    mw.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(raw, 6)).as("delta"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("string"))
+        .when(abs(raw) < 0.147, "negligible")
+        .when(abs(raw) < 0.33, "small")
+        .when(abs(raw) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
   /** The Φ tail polynomial (Abramowitz & Stegun 26.2.17) as a fixed
     * Column dag: two-sided p = 2·φ(|z|)·poly(t), t = 1/(1+0.2316419·|z|).
     * Every coefficient is the SAME literal in the DuckDB oracle and
@@ -2197,6 +2286,70 @@ object Stats {
     * planted one-strong-effect family pins k* and the reject set. */
   def fdrBhOver(events: DataFrame, typeA: String, typeB: String,
       alpha: Double): DataFrame = {
+    val ranked = rankedSliceP(events, typeA, typeB)
+    val fam = ranked.agg(count(col("p")).as("m"))
+    val withM = ranked.crossJoin(broadcast(fam))
+      .withColumn("bh_crit",
+        round(col("rank").cast("double") * lit(alpha) /
+          col("m").cast("double"), 6))
+    val kstar = withM
+      .agg(coalesce(max(when(col("p") <= col("bh_crit"), col("rank"))),
+        lit(0)).as("kstar"))
+    withM.crossJoin(broadcast(kstar))
+      .select(col("slice"), col("n_a"), col("n_b"), col("z_stat"),
+        col("p"), col("rank").cast("long").as("p_rank"), col("bh_crit"),
+        (col("p").isNotNull && col("rank") <= col("kstar")).as("reject"))
+  }
+
+  /** BENJAMINI–YEKUTIELI step-up (`q_fdr_by`) — BH's dependency-safe
+    * sibling: under ARBITRARY p-value dependence (BH assumes
+    * independence/PRDS; hourly slices of one event stream are exactly
+    * the correlated case) the criticals shrink by the harmonic factor
+    * c(m) = Σ 1/i. The SAME Welch-z family and (p, slice) step-up
+    * rank as [[fdrBh]]; c(m) is ONE left-fold over sequence(1, m)
+    * with the identical fold order in both engines (0 + 1/1 + 1/2 +
+    * … — initial-zero-exact, so DuckDB's no-init list_reduce
+    * associates identically), making the whole report hash-exact.
+    * The planted spec pins BY ⊆ BH rejections (c(m) ≥ 1).
+    */
+  def fdrBy(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click",
+      alpha: Double = 0.05): DataFrame =
+    fdrByOver(Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("slice"),
+        col("event_type"), col("value")), typeA, typeB, alpha)
+
+  def fdrByOver(events: DataFrame, typeA: String, typeB: String,
+      alpha: Double): DataFrame = {
+    val ranked = rankedSliceP(events, typeA, typeB)
+    val fam = ranked.agg(count(col("p")).as("m"))
+    val withM = ranked.crossJoin(broadcast(fam))
+      .withColumn("cm",
+        when(col("m") > 0, expr("aggregate(sequence(1, cast(m as int)), " +
+          // 1.0D: a plain 1.0 literal is DECIMAL and its division
+          // rounds at decimal scale — the fold must stay pure double
+          "cast(0.0 as double), (acc, i) -> acc + 1.0D / i)")))
+      .withColumn("by_crit",
+        when(col("m") > 0,
+          round(col("rank").cast("double") * lit(alpha) /
+            (col("m").cast("double") * col("cm")), 6)))
+    val kstar = withM
+      .agg(coalesce(max(when(col("p") <= col("by_crit"), col("rank"))),
+        lit(0)).as("kstar"))
+    withM.crossJoin(broadcast(kstar))
+      .select(col("slice"), col("n_a"), col("n_b"), col("z_stat"),
+        col("p"), col("rank").cast("long").as("p_rank"),
+        col("cm").as("c_m"), col("by_crit"),
+        (col("p").isNotNull && col("rank") <= col("kstar")).as("reject"))
+  }
+
+  /** The shared FDR front half: per-slice Welch z (the `q_ab_test`
+    * moment dag), two-sided p via the A&S 26.2.17 polynomial, and
+    * the (p, slice) step-up rank — family-sized and eager so BH and
+    * BY consume one snapshot.
+    */
+  private def rankedSliceP(events: DataFrame, typeA: String,
+      typeB: String): DataFrame = {
     val m0 = events
       .filter(col("event_type").isin(typeA, typeB))
       .select(col("slice"), col("event_type"),
@@ -2227,23 +2380,10 @@ object Stats {
       .withColumn("p", when(col("z").isNotNull, normalP2(col("z"))))
       .select(col("slice"), col("na").cast("long").as("n_a"),
         col("nb").cast("long").as("n_b"), col("z").as("z_stat"), col("p"))
-    // family-sized from here: rank by (p, slice), BH step-up
-    val ranked = z
-      .withColumn("rank", row_number().over(
+    // family-sized from here: rank by (p, slice), step-up
+    z.withColumn("rank", row_number().over(
         Window.orderBy(col("p").asc_nulls_last, col("slice"))))
       .localCheckpoint()
-    val fam = ranked.agg(count(col("p")).as("m"))
-    val withM = ranked.crossJoin(broadcast(fam))
-      .withColumn("bh_crit",
-        round(col("rank").cast("double") * lit(alpha) /
-          col("m").cast("double"), 6))
-    val kstar = withM
-      .agg(coalesce(max(when(col("p") <= col("bh_crit"), col("rank"))),
-        lit(0)).as("kstar"))
-    withM.crossJoin(broadcast(kstar))
-      .select(col("slice"), col("n_a"), col("n_b"), col("z_stat"),
-        col("p"), col("rank").cast("long").as("p_rank"), col("bh_crit"),
-        (col("p").isNotNull && col("rank") <= col("kstar")).as("reject"))
   }
 
   /** QUANTILE TREATMENT EFFECTS — the distributional readout beside

@@ -328,59 +328,8 @@ object TextAnalysis {
     */
   private[graft] def unigramLmOver(docs: DataFrame, seedSize: Int,
       pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame = {
-    // trainer domain = the BPE trainer's: [a-z]+ words of length ≥ 2,
-    // weighted by corpus frequency (pieces are then [a-z]+ by
-    // construction — safe to inline as literals)
-    val words = docs
-      .select(explode(wsTokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    // seed candidates: every substring of length 2..maxPieceLen of
-    // every word occurrence, weighted — one explode + one partial-agg
-    // shuffle; top-seedSize by (mass, piece) is the bounded collect
-    val candExpr = (2 to maxPieceLen).map(l =>
-      s"transform(sequence(1, greatest(length(w) - ${l - 1}, 1)), " +
-        s"i -> if(i + ${l - 1} <= length(w), substring(w, i, $l), null))")
-      .mkString("filter(flatten(array(", ", ", ")), p -> p is not null)")
-    val vocab0 = words
-      .select(col("n"), explode(expr(candExpr)).as("piece"))
-      .groupBy("piece").agg(sum(col("n")).as("cnt"))
-      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
-      .collect().map(_.getString(0)).toSeq
-    // greedy longest-match segmentation as ONE codegen'd HOF over the
-    // word's character positions: pieces sorted longest-first (ties
-    // lexicographic — unreachable for equal-length matches, which are
-    // identical strings), try_element_at(filter(...), 1) IS the
-    // longest match, single chars the implicit fallback alphabet
-    def segTokens(vocab: Seq[String]): Column =
-      if (vocab.isEmpty)
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-      else {
-        val arr = vocab.sortBy(p => (-p.length, p))
-          .map(p => s"'$p'").mkString("array(", ", ", ")")
-        // try_element_at: NULL (→ the single-char fallback) when no
-        // piece matches, where element_at would raise on the empty
-        // filter result
-        val m = s"coalesce(try_element_at(filter($arr, " +
-          s"v -> substring(w, i, length(v)) = v), 1), substring(w, i, 1))"
-        expr(s"aggregate(sequence(1, length(w)), " +
-          s"named_struct('p', 1, 'out', cast(array() as array<string>)), " +
-          s"(acc, i) -> if(i != acc.p, acc, " +
-          s"named_struct('p', acc.p + length($m), " +
-          s"'out', array_append(acc.out, $m))), " +
-          s"acc -> acc.out)")
-      }
-    // the EM-prune loop: segment → claimed-mass scores → keep the top
-    // pruneSizes(r) pieces; each round is one vocabulary-table pass +
-    // one bounded collect
-    val vocab = pruneSizes.foldLeft(vocab0) { (v, m) =>
-      words.select(col("n"), explode(segTokens(v)).as("piece"))
-        .filter(length(col("piece")) >= 2)
-        .groupBy("piece").agg(sum(col("n")).as("u"))
-        .orderBy(col("u").desc, col("piece")).limit(m)
-        .collect().map(_.getString(0)).toSeq
-    }
+    val words = unigramWords(docs)
+    val vocab = trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen)
     // final segmentation with the surviving vocabulary; eager because
     // both the piece counts and the 1-row total consume it
     val fin = words.select(col("n"), explode(segTokens(vocab)).as("piece"))
@@ -393,6 +342,118 @@ object TextAnalysis {
         col("n_tokens").cast("long").as("n_tokens"),
         round(col("n_tokens").cast("double") / col("t").cast("double"), 6)
           .as("mass_share"))
+  }
+
+  /** Trainer domain = the BPE trainer's: [a-z]+ words of length ≥ 2,
+    * weighted by corpus frequency (pieces are then [a-z]+ by
+    * construction — safe to inline as literals). Eager: every train
+    * pass and the apply join iterate this vocabulary-sized frame.
+    */
+  private def unigramWords(docs: DataFrame): DataFrame = docs
+    .select(explode(wsTokens(col("text"))).as("w"))
+    .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z]+$"))
+    .groupBy("w").agg(count(lit(1)).as("n"))
+    .localCheckpoint()
+
+  /** Greedy longest-match segmentation of column `w` as ONE codegen'd
+    * HOF over the word's character positions: pieces sorted
+    * longest-first (ties lexicographic — unreachable for equal-length
+    * matches, which are identical strings), try_element_at(filter(
+    * ...), 1) IS the longest match, single chars the implicit
+    * fallback alphabet. try_element_at: NULL (→ the fallback) when no
+    * piece matches, where element_at would raise on the empty filter
+    * result.
+    */
+  private def segTokens(vocab: Seq[String]): Column =
+    if (vocab.isEmpty)
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    else {
+      val arr = vocab.sortBy(p => (-p.length, p))
+        .map(p => s"'$p'").mkString("array(", ", ", ")")
+      val m = s"coalesce(try_element_at(filter($arr, " +
+        s"v -> substring(w, i, length(v)) = v), 1), substring(w, i, 1))"
+      expr(s"aggregate(sequence(1, length(w)), " +
+        s"named_struct('p', 1, 'out', cast(array() as array<string>)), " +
+        s"(acc, i) -> if(i != acc.p, acc, " +
+        s"named_struct('p', acc.p + length($m), " +
+        s"'out', array_append(acc.out, $m))), " +
+        s"acc -> acc.out)")
+    }
+
+  /** The seed→segment→score→prune loop, returning the surviving
+    * multi-char vocabulary. Driver state = the bounded seed/prune
+    * lists; every pass iterates the vocabulary-sized word table.
+    */
+  private def trainUnigramVocab(words: DataFrame, seedSize: Int,
+      pruneSizes: Seq[Int], maxPieceLen: Int): Seq[String] = {
+    // seed candidates: every substring of length 2..maxPieceLen of
+    // every word occurrence, weighted — one explode + one partial-agg
+    // shuffle; top-seedSize by (mass, piece) is the bounded collect
+    val candExpr = (2 to maxPieceLen).map(l =>
+      s"transform(sequence(1, greatest(length(w) - ${l - 1}, 1)), " +
+        s"i -> if(i + ${l - 1} <= length(w), substring(w, i, $l), null))")
+      .mkString("filter(flatten(array(", ", ", ")), p -> p is not null)")
+    val vocab0 = words
+      .select(col("n"), explode(expr(candExpr)).as("piece"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .collect().map(_.getString(0)).toSeq
+    // the EM-prune loop: segment → claimed-mass scores → keep the top
+    // pruneSizes(r) pieces; each round is one vocabulary-table pass +
+    // one bounded collect
+    pruneSizes.foldLeft(vocab0) { (v, m) =>
+      words.select(col("n"), explode(segTokens(v)).as("piece"))
+        .filter(length(col("piece")) >= 2)
+        .groupBy("piece").agg(sum(col("n")).as("u"))
+        .orderBy(col("u").desc, col("piece")).limit(m)
+        .collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  /** UNIGRAM APPLY (`text_unigram_apply`) — close the trainer's
+    * train→apply loop exactly like [[bpeApply]] closes BPE's: encode
+    * every document with the trained unigram vocabulary and report
+    * per doc `n_words` (all whitespace words), `n_tokens` (one atomic
+    * unknown per out-of-domain word + segment length per domain
+    * word), and `n_multi` (multi-char pieces claimed — the
+    * compression the vocabulary bought; [[vocabCoverage]] asks the
+    * same fixed-budget question at the corpus level).
+    *
+    * Scale shape — train once, SEGMENT ONCE: the per-word token
+    * counts are computed on the vocabulary-sized unique-word table
+    * (one HOF pass), and the corpus pass is a words-explode JOIN
+    * against that table — the 100 TB corpus never runs the segmenter,
+    * it joins a vocabulary-sized dimension.
+    */
+  def unigramApply(spark: SparkSession, sfDir: String,
+      seedSize: Int = 40, pruneSizes: Seq[Int] = Seq(12, 8),
+      maxPieceLen: Int = 4): DataFrame =
+    unigramApplyOver(Tables.documents(spark, sfDir), seedSize,
+      pruneSizes, maxPieceLen)
+
+  private[graft] def unigramApplyOver(docs: DataFrame, seedSize: Int,
+      pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame = {
+    val words = unigramWords(docs)
+    val vocab = trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen)
+    // per-word token stats, computed ONCE on the unique-word table
+    val wstats = words.select(col("w"), explode(segTokens(vocab)).as("piece"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("w_tok"),
+        sum(when(length(col("piece")) >= 2, 1L).otherwise(0L)).as("w_multi"))
+    val dw = docs
+      .select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_words"),
+        explode_outer(filter(wsTokens(col("text")),
+          w => length(w) >= 2 && w.rlike("^[a-z]+$"))).as("w"))
+    dw.join(wstats, Seq("w"), "left")
+      .groupBy("doc_id", "n_words")
+      .agg(count(col("w")).as("n_dom"),
+        coalesce(sum(col("w_tok")), lit(0L)).as("dom_tok"),
+        coalesce(sum(col("w_multi")), lit(0L)).as("n_multi"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - col("n_dom") + col("dom_tok"))
+          .cast("long").as("n_tokens"),
+        col("n_multi").cast("long").as("n_multi"))
   }
 
   /** COHEN'S KAPPA (`q_cohens_kappa`) — chance-corrected agreement

@@ -1320,4 +1320,60 @@ object Formats {
         .select(lit(side).as("side"), col("n_rows"), col("sum_chars"))
     roll(parent, "parent").unionByName(roll(clone, "clone"))
   }
+
+  /** BRANCH DIFF (`q_sink_branch_diff`) — the Nessie/lakeFS "compare
+    * branches" operation over the sink's clone machinery, done the
+    * way merges need it: THREE-WAY against the base snapshot the
+    * branch was taken at (a two-table diff cannot tell "added on
+    * branch" from "removed on parent"). Parent and branch diverge
+    * (planted appends on the branch, a copy-on-write delete on the
+    * parent — the [[sinkCloneReport]] divergence recipe); the base
+    * comes back through time travel at the pre-divergence
+    * generation; every key classifies as common / added_on_branch /
+    * removed_on_parent (and the symmetric classes when they occur)
+    * via ONE full outer join chain on the key — the review a
+    * write-audit-publish gate reads before a merge. At 100 TB the
+    * joins shuffle each side once on the key; a manifest-level file
+    * diff prunes files the zero-copy clone still shares by name
+    * before any row is read.
+    */
+  def sinkBranchDiffReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parent = graft.TempDirs.create("graft_sink_bdiff_p").toString
+    val branch = graft.TempDirs.create("graft_sink_bdiff_b").toString + "/t"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    docs.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", parent).mode("append").save()
+    val baseGen = graft.sources.v2.GraftSink.versions(parent).max
+    graft.sources.v2.GraftSink.cloneShallow(parent, branch)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    mx.select(explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("mx"))
+      .select((col("mx") * 10L + col("k")).as("doc_id"),
+        (col("k") * 11L).as("n_chars"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", branch).mode("append").save()
+    graft.sources.v2.GraftSink.deleteWhere(spark, parent,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    val base = graft.sources.v2.GraftSink
+      .readBackAsOf(spark, parent, baseGen, TwoGenSchema)
+      .select(col("doc_id"), col("n_chars").as("on"))
+    val p = graft.sources.v2.GraftSink.readBack(spark, parent, TwoGenSchema)
+      .select(col("doc_id"), col("n_chars").as("pn"))
+    val b = graft.sources.v2.GraftSink.readBack(spark, branch, TwoGenSchema)
+      .select(col("doc_id"), col("n_chars").as("bn"))
+    b.join(p, Seq("doc_id"), "full").join(base, Seq("doc_id"), "full")
+      .select(
+        when(col("on").isNotNull && col("pn").isNotNull
+          && col("bn").isNotNull, "common")
+          .when(col("on").isNull && col("bn").isNotNull, "added_on_branch")
+          .when(col("on").isNull && col("pn").isNotNull, "added_on_parent")
+          .when(col("pn").isNull && col("bn").isNull, "removed_on_both")
+          .when(col("pn").isNull, "removed_on_parent")
+          .otherwise("removed_on_branch").as("change"),
+        coalesce(col("bn"), col("pn"), col("on")).as("nc"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("nc")).cast("long").as("sum_chars"))
+  }
 }

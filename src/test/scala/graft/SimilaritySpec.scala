@@ -169,6 +169,25 @@ class SimilaritySpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("embed mauve: the divergence frontier behaves — KL(P||R) falls " +
+      "and KL(Q||R) rises as the mixture leans toward P") {
+    val r = Similarity.embedMauve(spark, sf).orderBy("mix_lambda").collect()
+    assert(r.length == 3)
+    // per-cell terms round at 6 decimals, so totals near 0 carry up
+    // to 16e-6 of rounding slack
+    val eps = 2e-5
+    r.foreach { row =>
+      assert(row.getAs[Double]("kl_p_mix") >= -eps)
+      assert(row.getAs[Double]("kl_q_mix") >= -eps)
+    }
+    def kp(i: Int) = r(i).getAs[Double]("kl_p_mix")
+    def kq(i: Int) = r(i).getAs[Double]("kl_q_mix")
+    assert(kp(0) >= kp(1) - eps && kp(1) >= kp(2) - eps,
+      s"KL(P||R) not decreasing in lambda: ${kp(0)}, ${kp(1)}, ${kp(2)}")
+    assert(kq(0) <= kq(1) + eps && kq(1) <= kq(2) + eps,
+      s"KL(Q||R) not increasing in lambda: ${kq(0)}, ${kq(1)}, ${kq(2)}")
+  }
+
   test("silhouette: per-cell scores stay in [0,1], every vector is " +
       "scored once, and cells partition the corpus") {
     import org.apache.spark.sql.functions._

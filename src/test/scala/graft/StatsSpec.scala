@@ -972,6 +972,95 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(p - 0.05) < 2e-4, s"p=$p")
   }
 
+  test("cliffs delta: planted dominance arithmetic (disjoint = ±1, " +
+      "identical = 0) and magnitude labels") {
+    import spark.implicits._
+    def cd(a: Seq[Double], b: Seq[Double]) = Stats.cliffsDeltaOver(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("event_type", "value"),
+      "a", "b").head
+    val up = cd(Seq(10, 11, 12), Seq(1, 2, 3))
+    assert(up.getAs[Double]("delta") == 1.0 &&
+      up.getAs[String]("magnitude") == "large")
+    val down = cd(Seq(1, 2, 3), Seq(10, 11, 12))
+    assert(down.getAs[Double]("delta") == -1.0 &&
+      down.getAs[String]("magnitude") == "large")
+    val same = cd(Seq(1, 2, 3), Seq(1, 2, 3))
+    assert(same.getAs[Double]("delta") == 0.0 &&
+      same.getAs[String]("magnitude") == "negligible")
+    // hand case: a = {3, 5}, b = {1, 4}: #(a>b)=3, #(a<b)=1, nm=4
+    val hand = cd(Seq(3, 5), Seq(1, 4))
+    assert(hand.getAs[Double]("delta") == 0.5 &&
+      hand.getAs[String]("magnitude") == "large")
+    // corpus: delta in [-1, 1] and consistent with the U it derives from
+    val real = Stats.cliffsDelta(spark, sf).head
+    val d = real.getAs[Double]("delta")
+    assert(d >= -1.0 && d <= 1.0)
+  }
+
+  test("BY step-up: the harmonic shrink makes BY rejections a subset " +
+      "of BH's, and c(m) is the exact harmonic number") {
+    import spark.implicits._
+    val rows =
+      (1 to 20).flatMap(i => Seq((1L, "a", 100.0 + i % 3),
+        (1L, "b", 1.0 + i % 3))) ++
+      (2L to 4L).flatMap(s => (1 to 20).flatMap(i =>
+        Seq((s, "a", 10.0 + i % 5), (s, "b", 10.0 + i % 5))))
+    val df = rows.toDF("slice", "event_type", "value")
+    val by = Stats.fdrByOver(df, "a", "b", 0.05).cache()
+    val bh = Stats.fdrBhOver(df, "a", "b", 0.05)
+    val byRej = by.filter(col("reject")).select("slice")
+      .collect().map(_.getLong(0)).toSet
+    val bhRej = bh.filter(col("reject")).select("slice")
+      .collect().map(_.getLong(0)).toSet
+    assert(byRej.subsetOf(bhRej), s"BY $byRej not within BH $bhRej")
+    assert(byRej == Set(1L), s"planted strong effect must survive BY: $byRej")
+    // c(4) = 1 + 1/2 + 1/3 + 1/4 exactly (same left fold)
+    val cm = by.select("c_m").head.getDouble(0)
+    assert(cm == (((0.0 + 1.0) + 1.0 / 2) + 1.0 / 3) + 1.0 / 4, s"c_m=$cm")
+    // BY criticals sit strictly below BH's at every rank
+    val crits = by.select("p_rank", "by_crit").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bh.select("p_rank", "bh_crit").collect().foreach { r =>
+      assert(crits(r.getLong(0)) < r.getDouble(1))
+    }
+    by.unpersist()
+    // real corpus: 24 slices, reject flags consistent with kstar rule
+    val real = Stats.fdrBy(spark, sf).cache()
+    assert(real.count() == 24)
+    assert(real.filter(col("reject") && col("p").isNull).isEmpty)
+    real.unpersist()
+  }
+
+  test("seasonal strength: a pure day-of-week signal scores 1, a " +
+      "dow-free ramp scores low, the report stays in [0,1] on the " +
+      "corpus") {
+    import spark.implicits._
+    import java.sql.Date
+    // 4 exact weeks: y depends ONLY on dow -> within-dow variance 0
+    val pure = (0 until 28).map(i =>
+      ("t", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        10L + (i % 7) * 5L)).toDF("event_type", "day", "y")
+    val ps = Stats.seasonalStrengthOver(pure).head
+    assert(ps.getAs[Double]("seasonal_strength") == 1.0 &&
+      ps.getAs[Double]("ss_resid") == 0.0)
+    // a linear ramp has most variance WITHIN dow cells -> low strength
+    val ramp = (0 until 28).map(i =>
+      ("t", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        i.toLong)).toDF("event_type", "day", "y")
+    assert(Stats.seasonalStrengthOver(ramp).head
+      .getAs[Double]("seasonal_strength") < 0.2)
+    val r = Stats.seasonalStrength(spark, sf).cache()
+    assert(r.count() ==
+      Tables.events(spark, sf).select("event_type").distinct.count())
+    r.collect().foreach { row =>
+      val s = row.getAs[Double]("seasonal_strength")
+      assert(s >= 0.0 && s <= 1.0, s"strength $s out of range")
+      assert(row.getAs[Double]("ss_resid") <=
+        row.getAs[Double]("ss_total") + 1e-6)
+    }
+    r.unpersist()
+  }
+
   test("seasonal anomaly: top-k per type with sound rank bookkeeping " +
       "and the adjustment really divides by the decompose index") {
     val r = Stats.seasonalAnomaly(spark, sf).cache()

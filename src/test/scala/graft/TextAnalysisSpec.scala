@@ -222,6 +222,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"merge counts increased: ${real.mkString(",")}")
   }
 
+  // ── naive unigram-LM reference (shared by trainer + apply specs) ──
+  private def ugWordFreq(text: String): Map[String, Long] =
+    text.split("\\s+")
+      .filter(w => w.length >= 2 && w.matches("[a-z]+"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+
+  private def ugTopN(m: Map[String, Long], n: Int): Seq[String] =
+    m.toSeq.sortBy { case (p, c) => (-c, p) }.take(n).map(_._1)
+
+  private def ugSeg(w: String, v: Seq[String]): Seq[String] = {
+    val sorted = v.sortBy(p => (-p.length, p))
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val m = sorted.find(p => w.regionMatches(i, p, 0, p.length))
+        .getOrElse(w.substring(i, i + 1))
+      out += m; i += m.length
+    }
+    out.result()
+  }
+
+  private def ugTrain(wf: Map[String, Long], seed: Int,
+      prunes: Seq[Int], maxLen: Int): Seq[String] = {
+    val cands = wf.toSeq.flatMap { case (w, c) =>
+      for (l <- 2 to maxLen; i <- 0 to w.length - l)
+        yield (w.substring(i, i + l), c)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    prunes.foldLeft(ugTopN(cands, seed)) { (vocab, m) =>
+      val u = wf.toSeq.flatMap { case (w, c) =>
+        ugSeg(w, vocab).filter(_.length >= 2).map(_ -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      ugTopN(u, m)
+    }
+  }
+
   test("unigram-lm trainer matches a naive reference: substring seed, " +
       "greedy longest-match segmentation, prune rounds, mass " +
       "accounting") {
@@ -238,34 +273,9 @@ class TextAnalysisSpec extends SparkSpec {
 
     // naive reference: same seed → greedy longest-first segmentation →
     // claimed-mass prune → final accounting, on plain Scala maps
-    val wf: Map[String, Long] = text.split("\\s+")
-      .filter(w => w.length >= 2 && w.matches("[a-z]+"))
-      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
-    def topN(m: Map[String, Long], n: Int): Seq[String] =
-      m.toSeq.sortBy { case (p, c) => (-c, p) }.take(n).map(_._1)
-    def seg(w: String, v: Seq[String]): Seq[String] = {
-      val sorted = v.sortBy(p => (-p.length, p))
-      val out = Seq.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val m = sorted.find(p => w.regionMatches(i, p, 0, p.length))
-          .getOrElse(w.substring(i, i + 1))
-        out += m; i += m.length
-      }
-      out.result()
-    }
-    val cands = wf.toSeq.flatMap { case (w, c) =>
-      for (l <- 2 to maxLen; i <- 0 to w.length - l)
-        yield (w.substring(i, i + l), c)
-    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
-    var vocab = topN(cands, seed)
-    for (m <- prunes) {
-      val u = wf.toSeq.flatMap { case (w, c) =>
-        seg(w, vocab).filter(_.length >= 2).map(_ -> c) }
-        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
-      vocab = topN(u, m)
-    }
-    val fin = wf.toSeq.flatMap { case (w, c) => seg(w, vocab).map(_ -> c) }
+    val wf = ugWordFreq(text)
+    val vocab = ugTrain(wf, seed, prunes, maxLen)
+    val fin = wf.toSeq.flatMap { case (w, c) => ugSeg(w, vocab).map(_ -> c) }
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
     val t = fin.values.sum
     val expect = fin.toSeq.map { case (p, c) =>
@@ -277,6 +287,36 @@ class TextAnalysisSpec extends SparkSpec {
     // pieces survive, and the fallback alphabet is always present
     assert(got.count(_._2 >= 2) <= prunes.last)
     assert(got.exists(_._2 == 1L))
+  }
+
+  test("unigram apply: per-doc token accounting matches the naive " +
+      "reference; out-of-domain words one unknown apiece, empty docs " +
+      "all zeros") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "hello help hello zz9 a jelly",
+      2L -> "yelp hello banana",
+      3L -> "")
+    val docs = texts.toSeq.map { case (id, t) =>
+      (id, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val seed = 8; val prunes = Seq(4, 2); val maxLen = 3
+    val got = TextAnalysis.unigramApplyOver(docs, seed, prunes, maxLen)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val wf = ugWordFreq(texts.values.mkString(" "))
+    val vocab = ugTrain(wf, seed, prunes, maxLen)
+    texts.foreach { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val dom = ws.filter(w => w.length >= 2 && w.matches("[a-z]+"))
+      val toks = dom.map(w => ugSeg(w, vocab))
+      val expect = (ws.size.toLong,
+        (ws.size - dom.size + toks.map(_.size).sum).toLong,
+        toks.map(_.count(_.length >= 2)).sum.toLong)
+      assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
+    }
+    assert(got(3L) == ((0L, 0L, 0L)))
   }
 
   test("bpe apply: planted merges encode docs to hand-computed token " +
