@@ -83,6 +83,8 @@ object SparkEntry {
     "q_sink_clone" -> ((s, d) => sources.Formats.sinkCloneReport(s, d)),
     "q_sink_branch_diff" ->
       ((s, d) => sources.Formats.sinkBranchDiffReport(s, d)),
+    "q_sink_merge_branch" ->
+      ((s, d) => sources.Formats.sinkMergeBranchReport(s, d)),
     "q_sink_tag" -> ((s, d) => sources.Formats.sinkTagReport(s, d)),
     "q_sink_publish" ->
       ((s, d) => sources.Formats.sinkPublishReport(s, d)),
@@ -222,6 +224,9 @@ object SparkEntry {
     "q_cliffs_delta" -> ((s, d) => Stats.cliffsDelta(s, d)),
     "q_fdr_by" -> ((s, d) => Stats.fdrBy(s, d)),
     "q_seasonal_strength" -> ((s, d) => Stats.seasonalStrength(s, d)),
+    "q_km_ci" -> ((s, d) => Stats.survivalKmCi(s, d)),
+    "q_retention_halflife" -> ((s, d) => Relational.retentionHalflife(s, d)),
+    "q_lsh_param_planner" -> ((s, d) => Dedup.lshParamPlanner(s, d)),
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
@@ -530,6 +535,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Pipeline.stratifiedSample(s, d)),
     "q_decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_decontaminate_fuzzy" -> ((s, d) => Pipeline.decontaminateFuzzy(s, d)),
+    "q_decontaminate_sweep" -> ((s, d) => Pipeline.decontaminateSweep(s, d)),
     "q_pack_bins" -> ((s, d) => Pipeline.packBins(s, d)),
     "q_pack_bins_bpe" -> ((s, d) => Pipeline.packBinsBpe(s, d)),
     "q_shard_assign" -> ((s, d) => Pipeline.shardAssign(s, d)),
@@ -3232,6 +3238,43 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(coalesce(bn, pn, onn)) AS BIGINT) AS sum_chars
         |FROM j GROUP BY 1""".stripMargin,
+    // three-way merge: branch-only changes apply, parent-only keep,
+    // both-changed keys are conflicts (parent wins); 'merged' row
+    // re-aggregates the resolved table
+    "q_sink_merge_branch" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS m FROM docs),
+        |branch AS (
+        |  SELECT doc_id, n_chars FROM docs WHERE doc_id <> 9
+        |  UNION ALL SELECT CAST(9 AS BIGINT), CAST(999 AS BIGINT)
+        |  UNION ALL SELECT m * 10 + k, CAST(k * 11 AS BIGINT)
+        |  FROM mx, (VALUES (1), (2), (3)) t(k)),
+        |parent AS (SELECT doc_id, n_chars FROM docs WHERE doc_id % 3 <> 0),
+        |j AS (SELECT b.n_chars AS bn, p.n_chars AS pn, o.n_chars AS onn
+        |      FROM branch b
+        |      FULL JOIN parent p ON b.doc_id = p.doc_id
+        |      FULL JOIN docs o ON coalesce(b.doc_id, p.doc_id) = o.doc_id),
+        |r AS (SELECT
+        |    CASE WHEN NOT (bn IS DISTINCT FROM onn)
+        |           AND NOT (pn IS DISTINCT FROM onn) THEN 'unchanged'
+        |         WHEN (bn IS DISTINCT FROM onn)
+        |           AND (pn IS DISTINCT FROM onn) THEN 'conflict'
+        |         WHEN bn IS DISTINCT FROM onn THEN 'applied_branch'
+        |         ELSE 'parent_only' END AS action,
+        |    CASE WHEN (bn IS DISTINCT FROM onn)
+        |           AND NOT (pn IS DISTINCT FROM onn) THEN bn
+        |         ELSE pn END AS res,
+        |    coalesce(bn, pn, onn) AS nc
+        |  FROM j)
+        |SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1
+        |UNION ALL
+        |SELECT 'merged', CAST(count(res) AS BIGINT),
+        |  CAST(sum(res) AS BIGINT)
+        |FROM r""".stripMargin,
     // PR curve: lift's decile bucketing, suffix sums over the 10-row
     // frame, integer F1 identity 2*TP/(pred + all_pos)
     "q_pr_curve" -> {
@@ -5192,6 +5235,63 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    // LSH banding planner: the ngram candidate-pair dag unfiltered,
+    // exact integer jaccard bucketing, the Scala-computed literal
+    // probability grid (zero runtime pow), decimal-summed costs
+    "q_lsh_param_planner" -> {
+      val values = graft.operators.Dedup.LshPlannerTable
+        .map { case (b, r, k, fp, p, q) =>
+          s"($b, $r, $k, $fp, CAST($p AS DOUBLE), CAST($q AS DOUBLE))"
+        }.mkString(", ")
+      s"""WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          for i in range(1, len(w) - 1)])) AS s
+        |  FROM words),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN rare r ON a.s = r.s JOIN sh b ON b.s = a.s
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT least((n_common * 20) // (x.n + y.n - n_common), 19)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs JOIN cnt x ON doc_a = x.doc_id
+        |              JOIN cnt y ON doc_b = y.doc_id
+        |  GROUP BY 1),
+        |probs AS (SELECT * FROM (VALUES $values)
+        |          t(bands, rows_per_band, bucket, is_fp, p, q)),
+        |terms AS (
+        |  SELECT bands, rows_per_band,
+        |    CASE WHEN is_fp THEN CAST(round(CAST(n_pairs AS DOUBLE) * p, 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS fp_t,
+        |    CASE WHEN NOT is_fp THEN CAST(round(CAST(n_pairs AS DOUBLE) * q, 6)
+        |      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS fn_t
+        |  FROM probs JOIN hist USING (bucket)),
+        |agg AS (SELECT bands, rows_per_band, sum(fp_t) AS fp,
+        |        sum(fn_t) AS fn FROM terms GROUP BY 1, 2),
+        |c AS (SELECT *, fp + 10 * fn AS cost FROM agg),
+        |m AS (SELECT cost AS mc, bands AS mb FROM c
+        |      ORDER BY cost, bands LIMIT 1)
+        |SELECT CAST(bands AS BIGINT) AS bands,
+        |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        |  CAST(fp AS DOUBLE) AS fp_pairs, CAST(fn AS DOUBLE) AS fn_pairs,
+        |  CAST(cost AS DOUBLE) AS cost,
+        |  (cost = mc AND bands = mb) AS chosen
+        |FROM c CROSS JOIN m""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH words AS (
         |  SELECT doc_id,
@@ -6422,6 +6522,38 @@ object SparkEntry {
          |FROM sh JOIN bench USING (g)
          |WHERE doc_id >= 20
          |GROUP BY doc_id""".stripMargin
+    },
+    // decontamination sweep: the q_decontaminate leg per n-gram size,
+    // flagged-doc counts and rates over the shared word arrays
+    "q_decontaminate_sweep" -> {
+      def leg(n: Int): String = {
+        val gram = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""SELECT CAST($n AS BIGINT) AS n_gram,
+           |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs_flagged,
+           |  CAST(count(*) AS BIGINT) AS n_hits,
+           |  round(CAST(count(DISTINCT s.doc_id) AS DOUBLE)
+           |    / CAST((SELECT count(*) FROM words WHERE doc_id >= 20)
+           |        AS DOUBLE), 6) AS flag_rate
+           |FROM (
+           |  SELECT doc_id, unnest(list_distinct([$gram
+           |    for i in range(1, len(w) - ${n - 2})])) AS g
+           |  FROM words) s
+           |JOIN (
+           |  SELECT DISTINCT g FROM (
+           |    SELECT unnest(list_distinct([$gram
+           |      for i in range(1, len(w) - ${n - 2})])) AS g
+           |    FROM words WHERE doc_id < 20)) b USING (g)
+           |WHERE s.doc_id >= 20""".stripMargin
+      }
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '') AS w
+         |  FROM documents)
+         |${leg(4)}
+         |UNION ALL
+         |${leg(8)}
+         |UNION ALL
+         |${leg(13)}""".stripMargin
     },
     "q_pack_bins" ->
       """WITH d AS (
@@ -8239,6 +8371,117 @@ object SparkEntry {
         |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
         |          AND CURRENT ROW) AS DOUBLE)), 6) AS survival
         |FROM terms""".stripMargin,
+    // retention half-life: pooled r_k with horizon-aware denominators
+    // (span histogram + suffix sums), ln points rounded 6 into
+    // DECIMAL, exact OLS moments, one IEEE slope, -ln2/slope
+    "q_retention_halflife" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM days GROUP BY 1),
+        |mx AS (SELECT max(day) AS mend FROM days),
+        |num AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS num FROM (
+        |    SELECT DISTINCT days.user_id,
+        |      CAST(days.day - f.d0 AS BIGINT) AS k
+        |    FROM days JOIN f ON days.user_id = f.user_id)
+        |  WHERE k >= 1 AND k <= 14 GROUP BY 1),
+        |spans AS (
+        |  SELECT CAST(mend - d0 AS BIGINT) AS span,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM f CROSS JOIN mx GROUP BY 1),
+        |grid AS (SELECT CAST(unnest(generate_series(1, 14)) AS BIGINT)
+        |         AS k),
+        |den AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS den
+        |  FROM grid JOIN spans ON span >= k GROUP BY 1),
+        |curve AS (
+        |  SELECT num.k,
+        |    CAST(round(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM num JOIN den ON num.k = den.k
+        |  WHERE num > 0 AND den > 0),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT)
+        |      AS sk,
+        |    CAST(sum(k * k) AS BIGINT) AS skk, sum(y) AS sy,
+        |    sum(y * CAST(k AS DECIMAL(2,0))) AS sky
+        |  FROM curve)
+        |SELECT n AS n_points,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+        |      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sky AS DOUBLE)
+        |      - CAST(sk AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+        |        - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)), 6)
+        |  END AS decay_slope,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+        |      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) > 0
+        |    AND (CAST(n AS DOUBLE) * CAST(sky AS DOUBLE)
+        |      - CAST(sk AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+        |        - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) < 0 THEN
+        |    round(CAST(0.6931471805599453 AS DOUBLE)
+        |      / -((CAST(n AS DOUBLE) * CAST(sky AS DOUBLE)
+        |        - CAST(sk AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+        |          - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))), 6)
+        |  END AS half_life_days
+        |FROM m""".stripMargin,
+    // KM + Greenwood bands: the survival dag plus d/(n(n-d)) terms
+    // rounded 12 and DECIMAL-cumulated along the calendar curve
+    "q_km_ci" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS d0
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS dp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |obs AS (
+        |  SELECT f.user_id,
+        |    CASE WHEN dp IS NOT NULL AND dp - d0 <= 7
+        |         THEN CAST(dp - d0 AS BIGINT) ELSE 7 END AS t,
+        |    (dp IS NULL OR dp - d0 > 7) AS censored
+        |  FROM f LEFT JOIN p ON f.user_id = p.user_id),
+        |tot AS (SELECT count(*) AS n_users FROM obs),
+        |byt AS (
+        |  SELECT t,
+        |    sum(CASE WHEN censored THEN 0 ELSE 1 END) AS n_events,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT t, n_events, n_censored,
+        |    n_users - coalesce(sum(n_events + n_censored)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (
+        |  SELECT t, n_risk, n_events, n_censored,
+        |    CAST(CASE WHEN n_events > 0
+        |      THEN round(ln(greatest(n_risk - n_events, 1)) - ln(n_risk), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS lnterm,
+        |    CAST(CASE WHEN n_events > 0
+        |      THEN round(CAST(n_events AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE)
+        |          * CAST(greatest(n_risk - n_events, 1) AS DOUBLE)), 12)
+        |      ELSE 0.0 END AS DECIMAL(18,12)) AS gwterm
+        |  FROM risk),
+        |curve AS (
+        |  SELECT t, n_risk, n_events, n_censored,
+        |    exp(CAST(sum(lnterm) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS s,
+        |    CAST(sum(gwterm) OVER (ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS gw
+        |  FROM terms)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  round(s, 6) AS survival,
+        |  round(s * sqrt(gw), 6) AS se,
+        |  round(greatest(s - 1.96 * (s * sqrt(gw)), 0.0), 6) AS ci_lo,
+        |  round(least(s + 1.96 * (s * sqrt(gw)), 1.0), 6) AS ci_hi
+        |FROM curve""".stripMargin,
     // Holt smoothing with alpha=beta=1/2: every level/trend state an
     // exactly-representable binary fraction, so the WITH RECURSIVE
     // walk replays the Spark aggregate-fold bit-for-bit (identical

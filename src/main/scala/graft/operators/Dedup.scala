@@ -1572,6 +1572,72 @@ object Dedup {
     * specs in DedupSpec: the curve is the theory the measurements
     * validate.
     */
+  /** The LSH planner's literal probability grid: for every (bands,
+    * rows) factorization of the 128-perm signature and every 0.05
+    * jaccard bucket (midpoint s), the banding collision probability
+    * p = 1 − (1 − s^r)^b and its complement — computed ONCE here in
+    * Scala and interpolated into BOTH engines (the SPRT/NDCG
+    * literal-table discipline: zero runtime pow anywhere).
+    * `is_fp` marks buckets below the target threshold τ = 0.7.
+    */
+  val LshPlannerTau = 0.7
+  val LshPlannerConfigs: Seq[(Int, Int)] =
+    Seq(1, 2, 4, 8, 16, 32, 64, 128).map(r => (128 / r, r))
+  val LshPlannerTable: Seq[(Int, Int, Int, Boolean, Double, Double)] =
+    for {
+      (b, r) <- LshPlannerConfigs
+      bucket <- 0 until 20
+    } yield {
+      val s = (bucket + 0.5) / 20.0
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      (b, r, bucket, s < LshPlannerTau, p, 1.0 - p)
+    }
+
+  /** LSH BANDING PLANNER (`q_lsh_param_planner`) — choose (bands,
+    * rows) for the 128-perm MinHash family against THIS corpus's
+    * measured similarity distribution, not the textbook curve alone:
+    * the df-capped `pairStats` pass yields the candidate-pair jaccard
+    * HISTOGRAM (0.05 buckets, exact integer bucketing (20·|∩|) div
+    * |∪|); each config's expected false-candidate count (verify cost)
+    * and expected missed-pair count (recall cost) are the histogram
+    * weighted by the literal probability grid, per-bucket terms
+    * rounded 6 and DECIMAL-summed; cost = fp + 10·fn in exact
+    * decimal; the chosen row is the (cost, bands) struct-min.
+    * `q_lsh_scurve` plots one config's curve; this PICKS the config —
+    * the knob `bandingFor` hard-codes, justified by data.
+    */
+  def lshParamPlanner(spark: SparkSession, sfDir: String,
+      maxDf: Long = DefaultMaxDf, fnWeight: Int = 10): DataFrame = {
+    import spark.implicits._
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hist = pairStats(docShingles(spark, sfDir), maxDf)
+      .select(least(expr("(n_common * 20) div (n_a + n_b - n_common)"),
+        lit(19L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val probs = LshPlannerTable
+      .toDF("bands", "rows_per_band", "bucket", "is_fp", "p", "q")
+    val agg = probs.join(hist, "bucket")
+      .select(col("bands"), col("rows_per_band"),
+        when(col("is_fp"),
+          round(col("n_pairs").cast("double") * col("p"), 6))
+          .otherwise(lit(0d)).cast(d186).as("fp_t"),
+        when(!col("is_fp"),
+          round(col("n_pairs").cast("double") * col("q"), 6))
+          .otherwise(lit(0d)).cast(d186).as("fn_t"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum(col("fp_t")).as("fp"), sum(col("fn_t")).as("fn"))
+      .withColumn("cost", col("fp") + lit(fnWeight) * col("fn"))
+    val best = agg.agg(min(struct(col("cost"), col("bands"))).as("m"))
+    agg.crossJoin(broadcast(best))
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("fp").cast("double").as("fp_pairs"),
+        col("fn").cast("double").as("fn_pairs"),
+        col("cost").cast("double").as("cost"),
+        (col("cost") === col("m.cost") &&
+          col("bands") === col("m.bands")).as("chosen"))
+  }
+
   def lshScurve(spark: SparkSession, sfDir: String,
       bands: Int = 32, rows: Int = 4): DataFrame = {
     require(bands == 32 && rows == 4,

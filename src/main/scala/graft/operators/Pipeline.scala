@@ -197,6 +197,44 @@ object Pipeline {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** DECONTAMINATION SWEEP (`q_decontaminate_sweep`) — the n-gram
+    * SIZE sensitivity report published contamination analyses run
+    * before fixing a single n (GPT-3 used 13-grams, later surveys
+    * sweep down to 8 and below; a short n catches paraphrases but
+    * floods on common phrases, a long n misses everything but exact
+    * copies): for each n in the grid, how many corpus documents the
+    * exact n-gram gate flags, total hits, and the flag rate. One
+    * tokenize pass feeds every leg (the word arrays checkpoint);
+    * per leg it is the `q_decontaminate` shape verbatim — per-doc
+    * distinct grams, the bench side (an eval suite — small by
+    * definition) broadcast, corpus never shuffled.
+    */
+  def decontaminateSweep(spark: SparkSession, sfDir: String,
+      nBench: Long = 20, ns: Seq[Int] = Seq(4, 8, 13)): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        filter(split(col("text"), TextMapReduce.WordSplit),
+          w => w =!= "").as("w"))
+      .localCheckpoint()
+    val corpusDocs = words.filter(col("doc_id") >= nBench)
+      .agg(count(lit(1)).as("n_corpus"))
+    ns.map { n =>
+      val sh = words.select(col("doc_id"),
+        explode(graft.functions.CatalystExprs.word_ngrams(col("w"), n))
+          .as("g"))
+      val bench = sh.filter(col("doc_id") < nBench).select("g").distinct()
+      sh.filter(col("doc_id") >= nBench)
+        .join(broadcast(bench), "g")
+        .agg(countDistinct(col("doc_id")).as("n_docs_flagged"),
+          count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(corpusDocs))
+        .select(lit(n.toLong).as("n_gram"),
+          col("n_docs_flagged"), col("n_hits"),
+          round(col("n_docs_flagged").cast("double") /
+            col("n_corpus").cast("double"), 6).as("flag_rate"))
+    }.reduce(_ unionAll _)
+  }
+
   /** FUZZY decontamination — the near-duplicate complement to the
     * exact 13-gram gate above: a lightly paraphrased benchmark answer
     * shares almost no 13-grams with the original but keeps ~all of

@@ -2353,6 +2353,80 @@ object Relational {
           / col("n_users").cast("double"), 6).as("d7_rate"))
   }
 
+  /** RETENTION HALF-LIFE (`q_retention_halflife`) — fit the pooled
+    * retention curve r_k (share of users active exactly k days after
+    * their first day, k = 1..14) to an exponential decay and report
+    * the half-life in days: the ONE growth number a D1/D7 table
+    * ([[rollingRetention]]) doesn't give — how fast engagement decays
+    * between the landmarks. Right-truncation handled the only honest
+    * way: user u enters day-k's DENOMINATOR only if the data horizon
+    * extends k days past u's first day (else short cohorts fake
+    * decay). Log-linear OLS on (k, ln r_k): the ln points round 6
+    * into DECIMAL, the OLS moments are exact decimal/integer sums
+    * (Σk, Σk², Σy, Σky with k as a DECIMAL(2,0) exact factor), the
+    * slope ONE IEEE expression on exact aggregates, half-life
+    * −ln2/slope with ln 2 as a shared literal.
+    *
+    * Scale shape: one distinct-(user, day) scan, per-user firsts, a
+    * bounded offsets frame (≤ maxK per user), and the denominator via
+    * a CALENDAR-sized span histogram + suffix sums — no user × grid
+    * join survives to corpus scale.
+    */
+  def retentionHalflife(spark: SparkSession, sfDir: String,
+      maxK: Int = 14): DataFrame =
+    retentionHalflifeOver(Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day")), maxK)
+
+  /** Same operator over any (user_id, day) activity frame — a planted
+    * exact-halving cohort (r_k = 2^−k) pins slope = −ln 2 and
+    * half-life = 1.0 day. */
+  private[graft] def retentionHalflifeOver(activity: DataFrame,
+      maxK: Int): DataFrame = {
+    val spark = activity.sparkSession
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val days = activity
+      .select(col("user_id"), col("day"))
+      .distinct()
+      .localCheckpoint()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
+      .localCheckpoint()
+    val mx = days.agg(max(col("day")).as("mend"))
+    val num = days.join(first, "user_id")
+      .select(col("user_id"),
+        datediff(col("day"), col("d0")).cast("long").as("k"))
+      .filter(col("k") >= 1 && col("k") <= maxK)
+      .distinct()
+      .groupBy("k").agg(count(lit(1)).as("num"))
+    // denominator: span histogram (calendar-sized) + suffix sums
+    val spans = first.crossJoin(broadcast(mx))
+      .select(datediff(col("mend"), col("d0")).cast("long").as("span"))
+      .groupBy("span").agg(count(lit(1)).as("c"))
+    val grid = spark.range(1, maxK + 1).select(col("id").as("k"))
+    val den = grid.join(spans, col("span") >= col("k"))
+      .groupBy("k").agg(sum(col("c")).as("den"))
+    val curve = num.join(den, "k")
+      .filter(col("num") > 0 && col("den") > 0)
+      .select(col("k"),
+        round(log(col("num").cast("double") / col("den").cast("double")),
+          6).cast(d186).as("y"))
+    val m = curve.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+      sum(col("k") * col("k")).as("skk"), sum(col("y")).as("sy"),
+      sum(col("y") * col("k").cast(DecimalType(2, 0))).as("sky"))
+    val nD = col("n").cast("double")
+    val skD = col("sk").cast("double")
+    val slope = (nD * col("sky").cast("double") -
+      skD * col("sy").cast("double")) /
+      (nD * col("skk").cast("double") - skD * skD)
+    val ln2 = 0.6931471805599453
+    m.select(col("n").cast("long").as("n_points"),
+      when(col("n") >= 2 && nD * col("skk").cast("double") -
+        skD * skD > 0, round(slope, 6)).as("decay_slope"),
+      when(col("n") >= 2 && nD * col("skk").cast("double") -
+        skD * skD > 0 && slope < 0,
+        round(lit(ln2) / -slope, 6)).as("half_life_days"))
+  }
+
   /** HITS HUB/AUTHORITY SCORES over the bipartite customer→part
     * purchase graph (Kleinberg 1999) — the mutual-reinforcement
     * ranking co-purchase analytics uses where PageRank's single

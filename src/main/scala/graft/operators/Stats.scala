@@ -1845,6 +1845,46 @@ object Stats {
         col("n_censored"), col("survival"))
   }
 
+  /** KM WITH GREENWOOD CONFIDENCE BANDS (`q_km_ci`) — the survival
+    * curve nobody should read without its uncertainty: Greenwood's
+    * variance Var(S) = S²·Σ_{u≤t} d_u/(n_u(n_u−d_u)) and the plain
+    * 95% band clamped to [0,1] (the thin-tail steps where n_risk has
+    * collapsed are exactly where the point estimate lies the most).
+    * Same life table, same ln-expanded S; the Greenwood terms round
+    * at 12 decimals (they live at 1e-5 scale — 6 would truncate
+    * them to noise) and cumulate IN DECIMAL along the
+    * calendar-bounded curve; the terminal n = d step rides the same
+    * greatest(n−d, 1) clamp as S itself.
+    */
+  def survivalKmCi(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    riskTable(spark, sfDir, horizon)
+      .withColumn("lnterm",
+        when(col("n_events") > 0,
+          round(log(greatest(col("n_risk") - col("n_events"), lit(1L)))
+            - log(col("n_risk")), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
+      .withColumn("gwterm",
+        when(col("n_events") > 0,
+          round(col("n_events").cast("double") /
+            (col("n_risk").cast("double") *
+              greatest(col("n_risk") - col("n_events"), lit(1L))
+                .cast("double")), 12))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 12)))
+      .withColumn("s", exp(sum(col("lnterm")).over(w).cast("double")))
+      .withColumn("se",
+        col("s") * sqrt(sum(col("gwterm")).over(w).cast("double")))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        round(col("s"), 6).as("survival"),
+        round(col("se"), 6).as("se"),
+        round(greatest(col("s") - lit(1.96) * col("se"), lit(0.0)), 6)
+          .as("ci_lo"),
+        round(least(col("s") + lit(1.96) * col("se"), lit(1.0)), 6)
+          .as("ci_hi"))
+  }
+
   /** The shared time-to-first-purchase LIFE TABLE (`q_survival_km` /
     * `q_nelson_aalen`): per event-time t, deaths (first purchases),
     * censorings (horizon reached), and the at-risk count as the

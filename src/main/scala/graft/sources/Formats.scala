@@ -1376,4 +1376,81 @@ object Formats {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("nc")).cast("long").as("sum_chars"))
   }
+
+  /** THREE-WAY MERGE (`q_sink_merge_branch`) — the operation
+    * [[sinkBranchDiffReport]] exists to feed (lakeFS merge, Delta
+    * branch fold-in): keys changed only on the branch apply onto the
+    * parent, keys changed only on the parent keep the parent's state,
+    * keys changed on BOTH sides are CONFLICTS — counted, parent wins,
+    * never silently applied. The planted divergence adds a genuine
+    * conflict (the branch MODIFIES a key the parent deleted) on top
+    * of the clone-report recipe. The merge EXECUTES: the resolved
+    * table commits through the sink and the report's 'merged' row
+    * re-aggregates the committed store — a merge that mis-applies a
+    * class hash-fails on either the action counts or the readback.
+    * Per-key work is the same full-outer-join chain as the diff; the
+    * resolved write is one sink append.
+    */
+  def sinkMergeBranchReport(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parent = graft.TempDirs.create("graft_sink_bmerge_p").toString
+    val branch = graft.TempDirs.create("graft_sink_bmerge_b").toString + "/t"
+    val merged = graft.TempDirs.create("graft_sink_bmerge_m").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    docs.write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", parent).mode("append").save()
+    val baseGen = graft.sources.v2.GraftSink.versions(parent).max
+    graft.sources.v2.GraftSink.cloneShallow(parent, branch)
+    // branch: 3 planted adds + a MODIFY of doc_id 9 (delete + re-add)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    mx.select(explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("mx"))
+      .select((col("mx") * 10L + col("k")).as("doc_id"),
+        (col("k") * 11L).as("n_chars"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", branch).mode("append").save()
+    graft.sources.v2.GraftSink.deleteWhere(spark, branch,
+      col("doc_id") === 9L, TwoGenSchema)
+    import spark.implicits._
+    Seq((9L, 999L)).toDF("doc_id", "n_chars")
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", branch).mode("append").save()
+    // parent: CoW delete of the %3 keys (9 included → the conflict)
+    graft.sources.v2.GraftSink.deleteWhere(spark, parent,
+      col("doc_id") % 3 === 0, TwoGenSchema)
+    val base = graft.sources.v2.GraftSink
+      .readBackAsOf(spark, parent, baseGen, TwoGenSchema)
+      .select(col("doc_id"), col("n_chars").as("on"))
+    val p = graft.sources.v2.GraftSink.readBack(spark, parent, TwoGenSchema)
+      .select(col("doc_id"), col("n_chars").as("pn"))
+    val b = graft.sources.v2.GraftSink.readBack(spark, branch, TwoGenSchema)
+      .select(col("doc_id"), col("n_chars").as("bn"))
+    val bch = !(col("bn") <=> col("on"))
+    val pch = !(col("pn") <=> col("on"))
+    val resolved = b.join(p, Seq("doc_id"), "full")
+      .join(base, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(!bch && !pch, "unchanged")
+          .when(bch && pch, "conflict")
+          .when(bch, "applied_branch")
+          .otherwise("parent_only").as("action"),
+        // conflict → parent wins; branch-only change → branch value
+        when(bch && !pch, col("bn")).otherwise(col("pn")).as("res"),
+        coalesce(col("bn"), col("pn"), col("on")).as("nc"))
+      .localCheckpoint()
+    resolved.filter(col("res").isNotNull)
+      .select(col("doc_id"), col("res").as("n_chars"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", merged).mode("append").save()
+    val actions = resolved.groupBy("action")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("nc")).cast("long").as("sum_chars"))
+    val mergedRoll = graft.sources.v2.GraftSink
+      .readBack(spark, merged, TwoGenSchema)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(lit("merged").as("action"), col("n_rows"), col("sum_chars"))
+    actions.unionByName(mergedRoll)
+  }
 }

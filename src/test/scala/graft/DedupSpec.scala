@@ -761,4 +761,22 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("lsh param planner: exactly one chosen config, it carries the " +
+      "minimal cost, and fp/fn move monotonically with band count") {
+    val r = Dedup.lshParamPlanner(spark, sf).orderBy("bands").collect()
+    assert(r.length == 8)
+    assert(r.count(_.getAs[Boolean]("chosen")) == 1)
+    val chosen = r.find(_.getAs[Boolean]("chosen")).get
+    assert(chosen.getAs[Double]("cost") ==
+      r.map(_.getAs[Double]("cost")).min)
+    // more bands (fewer rows per band) -> looser filter: fp can only
+    // grow, fn can only shrink
+    assert(r.sliding(2).forall(w =>
+      w(0).getAs[Double]("fp_pairs") <= w(1).getAs[Double]("fp_pairs") + 1e-9),
+      "fp not non-decreasing in bands")
+    assert(r.sliding(2).forall(w =>
+      w(0).getAs[Double]("fn_pairs") >= w(1).getAs[Double]("fn_pairs") - 1e-9),
+      "fn not non-increasing in bands")
+  }
 }

@@ -201,6 +201,26 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains(23L) && !got.contains(0L), s"false flag: $got")
   }
 
+  test("decontamination sweep: flagged docs are non-increasing in n, " +
+      "and the 13-gram leg agrees with the single-n gate") {
+    import org.apache.spark.sql.functions.col
+    val r = Pipeline.decontaminateSweep(spark, sf).orderBy("n_gram")
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(4L, 8L, 13L))
+    // a longer n can only flag a subset of what a shorter n flags
+    assert(r.sliding(2).forall { w =>
+      w(0).getLong(1) >= w(1).getLong(1)
+    }, s"flag counts not non-increasing: ${r.mkString(", ")}")
+    // the n=13 leg IS q_decontaminate's flagged-doc set size
+    val direct = Pipeline.decontaminate(spark, sf).count()
+    assert(r.last.getLong(1) == direct,
+      s"13-gram leg ${r.last.getLong(1)} != q_decontaminate $direct")
+    r.foreach { row =>
+      val rate = row.getAs[Double]("flag_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("fuzzy decontamination: a paraphrased benchmark doc that defeats " +
       "the exact 13-gram gate is still flagged; clean docs are not") {
     import spark.implicits._

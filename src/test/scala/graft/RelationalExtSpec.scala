@@ -1025,4 +1025,30 @@ class RelationalExtSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("avg_days") == want)
     out.unpersist()
   }
+
+  test("retention half-life: a planted exact-halving cohort pins " +
+      "slope -ln2 and half-life 1.0 under horizon-aware denominators") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(k: Int): Date =
+      Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(k))
+    // 64 users first active on day 0; user u active on day k iff
+    // u < 64/2^k -> r_k = 2^-k exactly for k = 1..6
+    val rows = for {
+      u <- 0 until 64
+      k <- 0 to 6
+      if u < (64 >> k)
+    } yield (u.toLong, d(k))
+    val r = Relational.retentionHalflifeOver(
+      rows.toDF("user_id", "day"), 6).head
+    assert(r.getLong(0) == 6, s"n_points ${r.getLong(0)}")
+    assert(math.abs(r.getDouble(1) + 0.6931471805599453) < 1e-4,
+      s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-4,
+      s"half-life ${r.getDouble(2)}")
+    // corpus: the report exists and null-guards honestly (the flat
+    // synthetic retention yields no decay -> no half-life)
+    val real = Relational.retentionHalflife(spark, sf).head
+    assert(real.getLong(0) >= 1)
+  }
 }

@@ -1827,6 +1827,42 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("KM Greenwood bands: the CI brackets the curve, se replays the " +
+      "direct Greenwood recomputation, and survival matches the plain " +
+      "KM key") {
+    val ci = Stats.survivalKmCi(spark, sf, horizon = 7)
+      .orderBy("t").collect()
+    val km = Stats.survivalKm(spark, sf, horizon = 7)
+      .orderBy("t").collect()
+    assert(ci.length == km.length)
+    ci.zip(km).foreach { case (c, k) =>
+      assert(c.getDouble(4) == k.getDouble(4),
+        s"survival drifted from the plain key at t=${c.getLong(0)}")
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var lnSum = BigDecimal(0)
+    var gwSum = BigDecimal(0)
+    ci.foreach { r =>
+      val (nRisk, d) = (r.getLong(1), r.getLong(2))
+      if (d > 0) {
+        lnSum += BigDecimal(r6(math.log(math.max(nRisk - d, 1L).toDouble)
+          - math.log(nRisk.toDouble)))
+        gwSum += BigDecimal(r12(d.toDouble /
+          (nRisk.toDouble * math.max(nRisk - d, 1L).toDouble)))
+      }
+      val s = math.exp(lnSum.toDouble)
+      val se = s * math.sqrt(gwSum.toDouble)
+      assert(r.getDouble(5) == r6(se), s"se mismatch at t=${r.getLong(0)}")
+      assert(r.getDouble(6) <= r.getDouble(4) &&
+        r.getDouble(4) <= r.getDouble(7),
+        s"CI does not bracket survival at t=${r.getLong(0)}")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("Lorenz/Gini: two-level rank matches the window replay, and " +
       "planted extremes hit the closed forms") {
     import spark.implicits._
