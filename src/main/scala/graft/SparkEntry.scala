@@ -227,6 +227,8 @@ object SparkEntry {
     "q_km_ci" -> ((s, d) => Stats.survivalKmCi(s, d)),
     "q_retention_halflife" -> ((s, d) => Relational.retentionHalflife(s, d)),
     "q_lsh_param_planner" -> ((s, d) => Dedup.lshParamPlanner(s, d)),
+    "q_msprt" -> ((s, d) => Stats.msprt(s, d)),
+    "q_event_study" -> ((s, d) => Stats.eventStudy(s, d)),
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
@@ -7762,6 +7764,103 @@ object SparkEntry {
         |  CAST(p_rank AS BIGINT) AS p_rank, bh_crit,
         |  (p IS NOT NULL AND p_rank <= kstar) AS reject
         |FROM w CROSS JOIN k""".stripMargin,
+    // event study: md5 user split, event date min+15, exact decimal
+    // daily moments per (rel_day, group), one shared IEEE dag for
+    // means/baseline/delta
+    "q_event_study" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    substring(md5('es1:' || CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' AS grp
+        |  FROM events),
+        |t0 AS (SELECT min(day) + 15 AS t0 FROM ev),
+        |daily AS (
+        |  SELECT CAST(day - t0 AS BIGINT) AS rel, grp,
+        |    count(*) AS n, sum(v) AS s
+        |  FROM ev CROSS JOIN t0
+        |  WHERE day - t0 >= -7 AND day - t0 <= 7
+        |  GROUP BY 1, 2),
+        |cell AS (
+        |  SELECT rel,
+        |    sum(CASE WHEN grp THEN n END) AS nt,
+        |    sum(CASE WHEN grp THEN s END) AS st,
+        |    sum(CASE WHEN NOT grp THEN n END) AS nc,
+        |    sum(CASE WHEN NOT grp THEN s END) AS sc
+        |  FROM daily GROUP BY 1),
+        |pre AS (
+        |  SELECT sum(CASE WHEN grp THEN n END) AS pnt,
+        |    sum(CASE WHEN grp THEN s END) AS pst,
+        |    sum(CASE WHEN NOT grp THEN n END) AS pnc,
+        |    sum(CASE WHEN NOT grp THEN s END) AS psc
+        |  FROM daily WHERE rel < 0)
+        |SELECT rel AS rel_day,
+        |  CAST(coalesce(nt, 0) AS BIGINT) AS n_treat,
+        |  CAST(coalesce(nc, 0) AS BIGINT) AS n_ctrl,
+        |  CASE WHEN nt > 0 AND nc > 0 THEN
+        |    round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) END AS diff,
+        |  CASE WHEN nt > 0 AND nc > 0 AND pnt > 0 AND pnc > 0 THEN
+        |    round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      - (CAST(pst AS DOUBLE) / CAST(pnt AS DOUBLE)
+        |        - CAST(psc AS DOUBLE) / CAST(pnc AS DOUBLE)), 6)
+        |  END AS delta
+        |FROM cell CROSS JOIN pre""".stripMargin,
+    // mSPRT: cumulative hourly decimal moments, the Welch theta/se dag
+    // per look, the closed-form normal-mixture LR, running-min 1/LR
+    "q_msprt" ->
+      """WITH ev AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS h, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |hm AS (SELECT h, event_type, count(*) AS n, sum(v) AS s,
+        |        sum(CAST(v * v AS DECIMAL(38,4))) AS ss
+        |      FROM ev GROUP BY 1, 2),
+        |g AS (SELECT h,
+        |        sum(CASE WHEN event_type = 'purchase' THEN n END) AS na0,
+        |        sum(CASE WHEN event_type = 'purchase' THEN s END) AS sa0,
+        |        sum(CASE WHEN event_type = 'purchase' THEN ss END) AS ssa0,
+        |        sum(CASE WHEN event_type = 'click' THEN n END) AS nb0,
+        |        sum(CASE WHEN event_type = 'click' THEN s END) AS sb0,
+        |        sum(CASE WHEN event_type = 'click' THEN ss END) AS ssb0
+        |      FROM hm GROUP BY 1),
+        |c AS (SELECT h,
+        |        CAST(sum(coalesce(na0, 0)) OVER w AS DOUBLE) AS na,
+        |        CAST(sum(sa0) OVER w AS DOUBLE) AS sa,
+        |        CAST(sum(ssa0) OVER w AS DOUBLE) AS ssa,
+        |        CAST(sum(coalesce(nb0, 0)) OVER w AS DOUBLE) AS nb,
+        |        CAST(sum(sb0) OVER w AS DOUBLE) AS sb,
+        |        CAST(sum(ssb0) OVER w AS DOUBLE) AS ssb
+        |      FROM g WINDOW w AS (ORDER BY h ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT h, na, nb,
+        |        (sa / na) - (sb / nb) AS theta,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) / na
+        |          + (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) / nb
+        |          AS se2
+        |      FROM c),
+        |l AS (SELECT h, na, nb, theta, se2,
+        |        CASE WHEN na > 1 AND nb > 1 AND se2 > 0 THEN
+        |          sqrt(se2 / (se2 + 0.25))
+        |            * exp(theta * theta * 0.25
+        |              / (2.0 * se2 * (se2 + 0.25)))
+        |        END AS lam
+        |      FROM d),
+        |p AS (SELECT *, min(CASE WHEN lam IS NOT NULL
+        |          THEN least(1.0, 1.0 / lam) END)
+        |        OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS pav
+        |      FROM l)
+        |SELECT h AS look_hour, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |       THEN round(theta, 6) END AS theta_hat,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |       THEN round(lam, 6) END AS mixture_lr,
+        |  round(pav, 6) AS p_always_valid,
+        |  (pav <= 0.05) AS stopped
+        |FROM p""".stripMargin,
     // BY: the BH dag with the harmonic c(m) shrink — c(m) is the same
     // left fold in both engines (0-init in Spark, no-init list_reduce
     // here; 0 + 1/1 is exact so every association matches)

@@ -2383,6 +2383,143 @@ object Stats {
         (col("p").isNotNull && col("rank") <= col("kstar")).as("reject"))
   }
 
+  /** EVENT STUDY (`q_event_study`) — the per-period generalization of
+    * `q_did`'s single difference-in-differences number: δ_t =
+    * (ȳᵀ_t − ȳᶜ_t) − (ȳᵀ_pre − ȳᶜ_pre) for every day t in a window
+    * around the treatment date, the plot every causal claim gets
+    * judged by (pre-period δ_t ≉ 0 means parallel trends fail and
+    * the DiD estimate is junk; the post-period profile shows effect
+    * DYNAMICS a single pooled number averages away). Treatment is the
+    * deterministic md5 user split (the `q_det_sample` idiom), the
+    * event date min(day)+15 — a null experiment whose flat profile
+    * IS the parallel-trends validation; the planted spec drives a
+    * real effect through the Over variant. Exact decimal daily
+    * moments per (rel_day, group); means, the baseline and δ are one
+    * shared IEEE dag on exact sums; window-bounded frames after one
+    * corpus groupBy.
+    */
+  def eventStudy(spark: SparkSession, sfDir: String,
+      win: Int = 7): DataFrame =
+    eventStudyOver(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value")), win)
+
+  private[graft] def eventStudyOver(events: DataFrame, win: Int)
+      : DataFrame = {
+    val ev = events
+      .select(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"),
+        money(col("value")).as("v"))
+      .withColumn("grp",
+        substring(md5(concat(lit("es1:"),
+          col("user_id").cast("string"))), 1, 1) < lit("8"))
+    val t0 = ev.agg(date_add(min(col("day")), 15).as("t0"))
+    val daily = ev.crossJoin(broadcast(t0))
+      .withColumn("rel", datediff(col("day"), col("t0")).cast("long"))
+      .filter(col("rel") >= -win && col("rel") <= win)
+      .groupBy("rel", "grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .localCheckpoint()
+    val cell = daily.groupBy("rel").agg(
+      sum(when(col("grp"), col("n"))).as("nt"),
+      sum(when(col("grp"), col("s"))).as("st"),
+      sum(when(!col("grp"), col("n"))).as("nc"),
+      sum(when(!col("grp"), col("s"))).as("sc"))
+    val pre = daily.filter(col("rel") < 0).agg(
+      sum(when(col("grp"), col("n"))).as("pnt"),
+      sum(when(col("grp"), col("s"))).as("pst"),
+      sum(when(!col("grp"), col("n"))).as("pnc"),
+      sum(when(!col("grp"), col("s"))).as("psc"))
+    val diffRaw = col("st").cast("double") / col("nt").cast("double") -
+      col("sc").cast("double") / col("nc").cast("double")
+    val base = col("pst").cast("double") / col("pnt").cast("double") -
+      col("psc").cast("double") / col("pnc").cast("double")
+    val cellOk = col("nt") > 0 && col("nc") > 0
+    val preOk = col("pnt") > 0 && col("pnc") > 0
+    cell.crossJoin(broadcast(pre))
+      .select(col("rel").as("rel_day"),
+        coalesce(col("nt"), lit(0L)).cast("long").as("n_treat"),
+        coalesce(col("nc"), lit(0L)).cast("long").as("n_ctrl"),
+        when(cellOk, round(diffRaw, 6)).as("diff"),
+        when(cellOk && preOk, round(diffRaw - base, 6)).as("delta"))
+  }
+
+  /** MIXTURE SPRT / ALWAYS-VALID p-VALUES (`q_msprt`, Robbins 1970;
+    * the Optimizely "peeking-safe" machinery) — the sequential
+    * experimentation guardrail beside the fixed-n `q_ab_test` and
+    * the simple-alternative `q_sprt`: a dashboard refreshed hourly
+    * IS a sequential test, and the fixed-n p-value lies under
+    * peeking. The mixture likelihood ratio against H₀: θ = 0 with a
+    * N(0, τ²) prior has the closed form Λ_n = √(se²/(se²+τ²)) ·
+    * exp(θ̂²τ²/(2se²(se²+τ²))), and p_n = min(1, running-min 1/Λ) is
+    * valid at EVERY look simultaneously. Looks = cumulative hourly
+    * cuts: per-hour exact decimal moments cumulate through a
+    * calendar-bounded window (24 rows), the Welch θ̂/se dag runs on
+    * the cumulative moments, τ is a literal, exp/sqrt the
+    * established identical-dag libm calls. Output per look: the
+    * stats, Λ, the always-valid p, and the α = 0.05 stop flag.
+    */
+  def msprt(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click",
+      tau: Double = 0.5): DataFrame =
+    msprtOver(Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("h"), col("event_type"),
+        col("value")), typeA, typeB, tau)
+
+  /** Same operator over any (h, event_type, value) look frame — the
+    * planted spec pins stop-on-separation, never-stop-on-null, and
+    * the always-valid p's monotone non-increase across looks. */
+  private[graft] def msprtOver(events: DataFrame, typeA: String,
+      typeB: String, tau: Double): DataFrame = {
+    val hourly = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("h"), col("event_type"), money(col("value")).as("v"))
+      .groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+    val wCum = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hourly
+      .groupBy("h")
+      .agg(
+        sum(when(col("event_type") === typeA, col("n"))).as("na0"),
+        sum(when(col("event_type") === typeA, col("s"))).as("sa0"),
+        sum(when(col("event_type") === typeA, col("ss"))).as("ssa0"),
+        sum(when(col("event_type") === typeB, col("n"))).as("nb0"),
+        sum(when(col("event_type") === typeB, col("s"))).as("sb0"),
+        sum(when(col("event_type") === typeB, col("ss"))).as("ssb0"))
+      .select(col("h"),
+        sum(coalesce(col("na0"), lit(0L))).over(wCum)
+          .cast("double").as("na"),
+        sum(col("sa0")).over(wCum).cast("double").as("sa"),
+        sum(col("ssa0")).over(wCum).cast("double").as("ssa"),
+        sum(coalesce(col("nb0"), lit(0L))).over(wCum)
+          .cast("double").as("nb"),
+        sum(col("sb0")).over(wCum).cast("double").as("sb"),
+        sum(col("ssb0")).over(wCum).cast("double").as("ssb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("ssa") - col("na") * ma * ma) / (col("na") - 1)
+    val vb = (col("ssb") - col("nb") * mb * mb) / (col("nb") - 1)
+    val se2 = va / col("na") + vb / col("nb")
+    val theta = ma - mb
+    val t2 = lit(tau * tau)
+    val lam = sqrt(se2 / (se2 + t2)) *
+      exp(theta * theta * t2 / (lit(2.0) * se2 * (se2 + t2)))
+    val ok = col("na") > 1 && col("nb") > 1 && se2 > 0
+    val stepped = cum
+      .withColumn("lam", when(ok, lam))
+      .withColumn("invl",
+        when(ok, least(lit(1.0), lit(1.0) / col("lam"))))
+      .withColumn("p_always",
+        min(col("invl")).over(wCum))
+    stepped.select(col("h").as("look_hour"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(ok, round(theta, 6)).as("theta_hat"),
+      when(ok, round(col("lam"), 6)).as("mixture_lr"),
+      round(col("p_always"), 6).as("p_always_valid"),
+      (col("p_always") <= 0.05).as("stopped"))
+  }
+
   /** The shared FDR front half: per-slice Welch z (the `q_ab_test`
     * moment dag), two-sided p via the A&S 26.2.17 polynomial, and
     * the (p, slice) step-up rank — family-sized and eager so BH and

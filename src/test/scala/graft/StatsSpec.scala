@@ -1031,6 +1031,66 @@ class StatsSpec extends SparkSpec {
     real.unpersist()
   }
 
+  test("mSPRT: always-valid p never increases across looks, a planted " +
+      "separation stops, identical arms never do") {
+    import spark.implicits._
+    def mk(a: Seq[Double], b: Seq[Double]) = {
+      val rows = (for { h <- 0 until 10; v <- a } yield (h.toLong, "a", v)) ++
+        (for { h <- 0 until 10; v <- b } yield (h.toLong, "b", v))
+      Stats.msprtOver(rows.toDF("h", "event_type", "value"), "a", "b", 0.5)
+        .orderBy("look_hour").collect()
+    }
+    val sep = mk(Seq(10.0, 10.5, 11.0, 9.5), Seq(1.0, 1.5, 0.5, 1.2))
+    assert(sep.last.getAs[Boolean]("stopped"),
+      "a 9-unit planted separation must stop the test")
+    val ps = sep.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.sliding(2).forall(w => w(1) <= w(0) + 1e-12),
+      s"always-valid p increased: ${ps.mkString(", ")}")
+    val nul = mk(Seq(5.0, 6.0, 4.0, 5.5), Seq(5.0, 6.0, 4.0, 5.5))
+    assert(nul.forall(r => !r.getAs[Boolean]("stopped")),
+      "identical arms must never stop")
+    assert(nul.forall(_.getAs[Double]("p_always_valid") == 1.0))
+    // corpus: one row per look, p in (0, 1]
+    val real = Stats.msprt(spark, sf).collect()
+    assert(real.length == 24)
+    real.foreach { r =>
+      val p = r.getAs[Double]("p_always_valid")
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
+  test("event study: a planted post-period treatment lift reads as " +
+      "delta = lift after the event and exactly 0 before") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def treated(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"es1:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) < '8'
+    }
+    def ts(day: Int): Timestamp = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 5, 1).plusDays(day).atStartOfDay)
+    // every user active days 0..22; the operator's event date lands at
+    // day 15; treated users gain +10 from day 15 on
+    val rows = for { u <- 0L until 40L; day <- 0 to 22 } yield
+      (u, ts(day), if (day >= 15 && treated(u)) 20.0 else 10.0)
+    val r = Stats.eventStudyOver(rows.toDF("user_id", "ts", "value"), 7)
+      .orderBy("rel_day").collect()
+    assert(r.length == 15)
+    r.foreach { row =>
+      val rel = row.getLong(0)
+      val delta = row.getAs[Double]("delta")
+      if (rel < 0) assert(delta == 0.0, s"pre-period delta $delta at $rel")
+      else assert(delta == 10.0, s"post-period delta $delta at $rel")
+      assert(row.getLong(1) > 0 && row.getLong(2) > 0)
+    }
+    // corpus null experiment: the window fills and deltas are defined
+    val real = Stats.eventStudy(spark, sf).collect()
+    assert(real.length == 15)
+    assert(real.forall(x => !x.isNullAt(x.fieldIndex("delta"))))
+  }
+
   test("seasonal strength: a pure day-of-week signal scores 1, a " +
       "dow-free ramp scores low, the report stays in [0,1] on the " +
       "corpus") {
