@@ -229,6 +229,9 @@ object SparkEntry {
     "q_lsh_param_planner" -> ((s, d) => Dedup.lshParamPlanner(s, d)),
     "q_msprt" -> ((s, d) => Stats.msprt(s, d)),
     "q_event_study" -> ((s, d) => Stats.eventStudy(s, d)),
+    "q_holm" -> ((s, d) => Stats.holm(s, d)),
+    "q_funnel_ci" -> ((s, d) => Relational.funnelCi(s, d)),
+    "q_bloom_planner" -> ((s, d) => Relational.bloomPlanner(s, d)),
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
@@ -514,6 +517,7 @@ object SparkEntry {
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_ivf_nsw" -> ((s, d) => Similarity.annIvfNsw(s, d)),
     "q_embed_mauve" -> ((s, d) => Similarity.embedMauve(s, d)),
+    "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_persisted_range" -> ((s, d) => AnnIndex.annPersistedRange(s, d)),
     "q_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
@@ -7807,6 +7811,123 @@ object SparkEntry {
         |        - CAST(psc AS DOUBLE) / CAST(pnc AS DOUBLE)), 6)
         |  END AS delta
         |FROM cell CROSS JOIN pre""".stripMargin,
+    // bloom sizing planner: exact distinct n, per-p Scala-literal
+    // constants, ceil on the identical product double
+    "q_bloom_planner" -> {
+      val ln2 = math.log(2.0)
+      val legs = Seq(0.1, 0.01, 0.001).map { p =>
+        val bpk = -math.log(p) / (ln2 * ln2)
+        val k = math.max(1L, math.round(-math.log(p) / ln2))
+        s"""SELECT CAST($p AS DOUBLE) AS target_fpp, n AS n_keys,
+           |  round(CAST($bpk AS DOUBLE), 6) AS bits_per_key,
+           |  CAST(ceil(CAST(n AS DOUBLE) * CAST($bpk AS DOUBLE))
+           |    AS BIGINT) AS bits,
+           |  CAST($k AS BIGINT) AS n_hashes,
+           |  (CAST(ceil(CAST(n AS DOUBLE) * CAST($bpk AS DOUBLE))
+           |    AS BIGINT) + 7) // 8 AS bytes
+           |FROM k""".stripMargin
+      }
+      s"""WITH k AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         |           FROM documents)
+         |${legs.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // funnel + Wilson bands: per-user step flags, 1-row exact counts,
+    // the Wilson dag with z^2 mirrored as the same Scala literal
+    "q_funnel_ci" -> {
+      val z = 1.96; val z2 = z * z
+      def wilson(k: String, n: String): (String, String, String) = {
+        val nD = s"CAST($n AS DOUBLE)"
+        val ph = s"(CAST($k AS DOUBLE) / $nD)"
+        val denom = s"(1.0 + CAST($z2 AS DOUBLE) / $nD)"
+        val center = s"($ph + CAST($z2 AS DOUBLE) / (2.0 * $nD))"
+        val half = s"(CAST($z AS DOUBLE) * sqrt($ph * (1.0 - $ph) / $nD" +
+          s" + CAST($z2 AS DOUBLE) / (4.0 * $nD * $nD)))"
+        (s"round($ph, 6)",
+          s"round(($center - $half) / $denom, 6)",
+          s"round(($center + $half) / $denom, 6)")
+      }
+      val (rc, lc, hc) = wilson("n_click", "n_view")
+      val (rp, lp, hp) = wilson("n_purch", "n_click")
+      s"""WITH f AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         |  FROM events GROUP BY 1),
+         |k AS (SELECT
+         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_view,
+         |    CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click,
+         |    CAST(sum(CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_purch
+         |  FROM f)
+         |SELECT '1_view' AS step, n_view AS n_users,
+         |  CAST(NULL AS DOUBLE) AS conv_rate,
+         |  CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+         |FROM k
+         |UNION ALL
+         |SELECT '2_click', n_click,
+         |  CASE WHEN n_view > 0 THEN $rc END,
+         |  CASE WHEN n_view > 0 THEN $lc END,
+         |  CASE WHEN n_view > 0 THEN $hc END
+         |FROM k
+         |UNION ALL
+         |SELECT '3_purchase', n_purch,
+         |  CASE WHEN n_click > 0 THEN $rp END,
+         |  CASE WHEN n_click > 0 THEN $lp END,
+         |  CASE WHEN n_click > 0 THEN $hp END
+         |FROM k""".stripMargin
+    },
+    // Holm step-down: the BH p-value dag, per-rank alpha/(m-k+1)
+    // criticals, cumulative-AND stop (a later small p cannot resurrect
+    // the walk after the first failure)
+    "q_holm" ->
+      """WITH ev AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS slice, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT slice, event_type, CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(sum(v) AS DOUBLE) AS s,
+        |        CAST(sum(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS ss
+        |      FROM ev GROUP BY 1, 2),
+        |a AS (SELECT slice, n AS na, s AS sa, ss AS ssa FROM m
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT slice, n AS nb, s AS sb, ss AS ssb FROM m
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT a.slice, na, nb, sa / na AS ma, sb / nb AS mb,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+        |        (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+        |      FROM a JOIN b ON a.slice = b.slice),
+        |d AS (SELECT *, va / na + vb / nb AS se2 FROM c),
+        |zz AS (SELECT slice, CAST(na AS BIGINT) AS n_a,
+        |        CAST(nb AS BIGINT) AS n_b,
+        |        CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |             THEN round((ma - mb) / sqrt(se2), 6) END AS z_stat
+        |      FROM d),
+        |p0 AS (SELECT *, abs(z_stat) AS az,
+        |        1.0 / (1.0 + 0.2316419 * abs(z_stat)) AS t FROM zz),
+        |pz AS (SELECT slice, n_a, n_b, z_stat,
+        |        CASE WHEN z_stat IS NOT NULL THEN
+        |          round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az)) *
+        |            (((((1.330274429 * t - 1.821255978) * t
+        |              + 1.781477937) * t - 0.356563782) * t
+        |              + 0.319381530) * t), 6)
+        |        END AS p
+        |      FROM p0),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY p ASC NULLS LAST, slice) AS p_rank FROM pz),
+        |fam AS (SELECT count(p) AS fm FROM r),
+        |w AS (SELECT r.*, round(0.05 / CAST(fm - p_rank + 1 AS DOUBLE), 6)
+        |        AS holm_crit
+        |      FROM r CROSS JOIN fam)
+        |SELECT slice, n_a, n_b, z_stat, p,
+        |  CAST(p_rank AS BIGINT) AS p_rank, holm_crit,
+        |  (min(CASE WHEN p IS NOT NULL AND p <= holm_crit
+        |       THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY p_rank ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)) = 1 AS reject
+        |FROM w""".stripMargin,
     // mSPRT: cumulative hourly decimal moments, the Welch theta/se dag
     // per look, the closed-form normal-mixture LR, running-min 1/LR
     "q_msprt" ->
@@ -9576,6 +9697,23 @@ object SparkEntry {
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_nsw" -> annIvfNswOracle,
+    // embedding outliers: own-centroid cosine (explicit /norm/cnorm
+    // divisions over list_dot_product), bottom-k per cell
+    "q_embed_outliers" ->
+      (s"""WITH $ivfAssignCtes,
+        |sc AS (
+        |  SELECT a.cid, a.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |      / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])))
+        |      / sqrt(list_dot_product(c.cv, c.cv)) AS cos
+        |  FROM assign a
+        |  JOIN embeddings e ON a.vec_id = e.vec_id
+        |  JOIN cent c ON a.cid = c.cid)
+        |SELECT CAST(cid AS BIGINT) AS cid, vec_id, cos, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cid
+        |    ORDER BY cos ASC, vec_id) AS BIGINT) AS rnk FROM sc)
+        |WHERE rnk <= 3""").stripMargin,
     // MAUVE frontier: shared IVF cell quantization, even/odd corpus
     // sides, per-cell p*ln(p/r) terms rounded 6 and DECIMAL-summed,
     // lambda grid as double literals

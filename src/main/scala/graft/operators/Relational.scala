@@ -953,6 +953,98 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("converted_users"))
   }
 
+  /** BLOOM FILTER SIZING PLANNER (`q_bloom_planner`) — the knob
+    * behind `q_sink_bloom`'s sidecars and `q_bloom_join`'s pruning,
+    * planned instead of guessed: for each target false-positive rate,
+    * the optimal bits m = ⌈n·(−ln p/ln²2)⌉ and hash count
+    * k = round(−ln p/ln 2) for THIS table's key cardinality — the
+    * memory-vs-precision menu a 100 TB deployment prices before
+    * committing sidecar bytes. n is one exact distinct count; the
+    * per-p constants (−ln p/ln²2 bits-per-key, the integer k) are
+    * Scala literals mirrored into the oracle (zero runtime ln);
+    * ceil on the identical product double is exact in both engines.
+    */
+  def bloomPlanner(spark: SparkSession, sfDir: String,
+      fpps: Seq[Double] = Seq(0.1, 0.01, 0.001)): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .localCheckpoint()
+    val ln2 = math.log(2.0)
+    fpps.map { p =>
+      val bitsPerKey = -math.log(p) / (ln2 * ln2)
+      val k = math.max(1L, math.round(-math.log(p) / ln2))
+      cnt.select(lit(p).as("target_fpp"),
+          col("n").cast("long").as("n_keys"),
+          round(lit(bitsPerKey), 6).as("bits_per_key"),
+          ceil(col("n").cast("double") * lit(bitsPerKey)).as("bits"),
+          lit(k).as("n_hashes"))
+        .withColumn("bytes", expr("(bits + 7) div 8"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** FUNNEL WITH WILSON CONFIDENCE BANDS (`q_funnel_ci`) — the
+    * view→click→purchase user funnel with a 95% Wilson interval on
+    * each step's conversion rate: the uncertainty a small late-funnel
+    * denominator hides (a "60% checkout rate" on 20 users spans
+    * ~[39%, 78%] — Wilson stays honest near 0/1 and small n where the
+    * naive Wald band collapses). One conditional-agg scan to per-user
+    * step flags, a 1-row count frame, and the Wilson dag (z = 1.96
+    * with z² precomputed ONCE in Scala and mirrored into the oracle)
+    * on exact integer counts — three rows out.
+    */
+  def funnelCi(spark: SparkSession, sfDir: String): DataFrame =
+    funnelCiOver(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")))
+
+  /** Same operator over any (user_id, event_type) frame — the planted
+    * spec replays the Wilson dag by hand on small known counts. */
+  private[graft] def funnelCiOver(events: DataFrame): DataFrame = {
+    val z = 1.96
+    val z2 = z * z
+    val flags = events
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+    val counts = flags.agg(
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("v") === 1 && col("c") === 1, 1L).otherwise(0L))
+        .as("n_click"),
+      sum(when(col("v") === 1 && col("c") === 1 && col("p") === 1, 1L)
+        .otherwise(0L)).as("n_purch"))
+      .localCheckpoint()
+    def wilson(k: Column, n: Column): (Column, Column, Column) = {
+      val nD = n.cast("double")
+      val ph = k.cast("double") / nD
+      val denom = lit(1.0) + lit(z2) / nD
+      val center = ph + lit(z2) / (lit(2.0) * nD)
+      val half = lit(z) * sqrt(ph * (lit(1.0) - ph) / nD +
+        lit(z2) / (lit(4.0) * nD * nD))
+      (round(ph, 6),
+        round((center - half) / denom, 6),
+        round((center + half) / denom, 6))
+    }
+    val (rc, lc, hc) = wilson(col("n_click"), col("n_view"))
+    val (rp, lp, hp) = wilson(col("n_purch"), col("n_click"))
+    counts.select(lit("1_view").as("step"),
+        col("n_view").as("n_users"),
+        lit(null).cast("double").as("conv_rate"),
+        lit(null).cast("double").as("ci_lo"),
+        lit(null).cast("double").as("ci_hi"))
+      .unionAll(counts.select(lit("2_click").as("step"),
+        col("n_click").as("n_users"),
+        when(col("n_view") > 0, rc).as("conv_rate"),
+        when(col("n_view") > 0, lc).as("ci_lo"),
+        when(col("n_view") > 0, hc).as("ci_hi")))
+      .unionAll(counts.select(lit("3_purchase").as("step"),
+        col("n_purch").as("n_users"),
+        when(col("n_click") > 0, rp).as("conv_rate"),
+        when(col("n_click") > 0, lp).as("ci_lo"),
+        when(col("n_click") > 0, hp).as("ci_hi")))
+  }
+
   /** RFM segmentation — recency / frequency / monetary quartiles per
     * customer, the classic warehouse customer-scoring analytic. One
     * aggregation pass builds the three measures; each quartile is an

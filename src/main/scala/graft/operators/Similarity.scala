@@ -403,6 +403,35 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** EMBEDDING OUTLIERS (`q_embed_outliers`) — per IVF cell, the k
+    * vectors FARTHEST from their own centroid (lowest cosine): the
+    * curation pass that surfaces corrupt/off-manifold embeddings
+    * before they poison near-dup thresholds and retrieval evals
+    * (SemDeDup-style pipelines drop exactly these). One assignment
+    * pass (the shared centroidRanks dag), one broadcast-codebook
+    * cosine projection, and a bounded [[graft.plans.TopKPerKey]]
+    * heap ASCENDING on cosine — k rows per cell per partition into
+    * the merge, never a cell-keyed window. The cosine is the
+    * dot_product left fold over the explicit /norm/cnorm divisions,
+    * bit-identical to the oracle's list_dot_product spelling.
+    */
+  def embedOutliers(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val cent = ivfCentroids(all, IvfCells)
+    val own = centroidRanks(all, cent).filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val scored = own.join(all, "vec_id")
+      .join(broadcast(cent), "cid")
+      .withColumn("cos",
+        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
+    graft.plans.TopKPerKey(
+        scored.select(col("cid"), col("vec_id"), col("cos")),
+        Seq("cid"), Seq(("cos", false), ("vec_id", false)), k)
+      .select(col("cid").cast("long").as("cid"), col("vec_id"),
+        col("cos"), col("rnk"))
+  }
+
   /** Centroid-graph degree for the NSW probe expansion. */
   val NswDegree = 3
 

@@ -2520,6 +2520,45 @@ object Stats {
       (col("p_always") <= 0.05).as("stopped"))
   }
 
+  /** HOLM STEP-DOWN (`q_holm`) — the FWER member completing the
+    * multiple-testing family (BH/BY control the false-discovery
+    * RATE; Holm controls the probability of ANY false positive —
+    * uniformly more powerful than plain Bonferroni at the same
+    * guarantee, assumption-free): walk the p-values in ascending
+    * order against α/(m−k+1) and STOP at the first failure — every
+    * later hypothesis is retained regardless of its own p (the
+    * step-down semantics a naive per-row comparison gets wrong).
+    * Same Welch-z family and (p, slice) rank as [[fdrBh]]; the stop
+    * is a cumulative window AND over the calendar-bounded family.
+    */
+  def holm(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click",
+      alpha: Double = 0.05): DataFrame =
+    holmOver(Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("slice"),
+        col("event_type"), col("value")), typeA, typeB, alpha)
+
+  /** Same operator over any (slice, event_type, value) frame — the
+    * planted family pins the step-down stop and Holm ⊆ BH. */
+  def holmOver(events: DataFrame, typeA: String, typeB: String,
+      alpha: Double): DataFrame = {
+    val ranked = rankedSliceP(events, typeA, typeB)
+    val fam = ranked.agg(count(col("p")).as("m"))
+    val wCum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.crossJoin(broadcast(fam))
+      .withColumn("crit",
+        round(lit(alpha) / (col("m") - col("rank") + 1)
+          .cast("double"), 6))
+      .withColumn("pass",
+        when(col("p").isNotNull && col("p") <= col("crit"), 1L)
+          .otherwise(0L))
+      .withColumn("reject", min(col("pass")).over(wCum) === 1L)
+      .select(col("slice"), col("n_a"), col("n_b"), col("z_stat"),
+        col("p"), col("rank").cast("long").as("p_rank"),
+        col("crit").as("holm_crit"), col("reject"))
+  }
+
   /** The shared FDR front half: per-slice Welch z (the `q_ab_test`
     * moment dag), two-sided p via the A&S 26.2.17 polynomial, and
     * the (p, slice) step-up rank — family-sized and eager so BH and

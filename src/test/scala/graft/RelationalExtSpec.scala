@@ -1051,4 +1051,61 @@ class RelationalExtSpec extends SparkSpec {
     val real = Relational.retentionHalflife(spark, sf).head
     assert(real.getLong(0) >= 1)
   }
+
+  test("funnel CI: hand-replayed Wilson bands on planted counts; the " +
+      "interval always brackets the rate and respects [0, 1]") {
+    import spark.implicits._
+    // 4 viewers, 3 click, 1 purchases
+    val rows = Seq(
+      (1L, "view"), (1L, "click"), (1L, "purchase"),
+      (2L, "view"), (2L, "click"),
+      (3L, "view"), (3L, "click"),
+      (4L, "view"))
+    val r = Relational.funnelCiOver(rows.toDF("user_id", "event_type"))
+      .orderBy("step").collect()
+    assert(r.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 3L, 1L))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def wilson(k: Long, n: Long): (Double, Double, Double) = {
+      val z = 1.96; val z2 = z * z
+      val nD = n.toDouble; val ph = k.toDouble / nD
+      val denom = 1.0 + z2 / nD
+      val center = ph + z2 / (2.0 * nD)
+      val half = z * math.sqrt(ph * (1.0 - ph) / nD + z2 / (4.0 * nD * nD))
+      (r6(ph), r6((center - half) / denom), r6((center + half) / denom))
+    }
+    val (rc, lc, hc) = wilson(3, 4)
+    assert(r(1).getDouble(2) == rc && r(1).getDouble(3) == lc &&
+      r(1).getDouble(4) == hc, s"click step ${r(1)}")
+    val (rp, lp, hp) = wilson(1, 3)
+    assert(r(2).getDouble(2) == rp && r(2).getDouble(3) == lp &&
+      r(2).getDouble(4) == hp, s"purchase step ${r(2)}")
+    // corpus: bands bracket the rate and stay in [0, 1]
+    Relational.funnelCi(spark, sf).filter(col("conv_rate").isNotNull)
+      .collect().foreach { row =>
+      assert(row.getDouble(3) <= row.getDouble(2) &&
+        row.getDouble(2) <= row.getDouble(4))
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("bloom planner: bits replay ceil(n * bits_per_key) exactly, " +
+      "cost grows as fpp tightens, hash counts are the textbook 3/7/10") {
+    val r = Relational.bloomPlanner(spark, sf)
+      .orderBy(col("target_fpp").desc).collect()
+    assert(r.length == 3)
+    val ln2 = math.log(2.0)
+    r.zip(Seq(0.1, 0.01, 0.001)).foreach { case (row, p) =>
+      val n = row.getLong(1)
+      val bpk = -math.log(p) / (ln2 * ln2)
+      assert(row.getLong(3) == math.ceil(n.toDouble * bpk).toLong,
+        s"bits mismatch at fpp $p")
+      assert(row.getLong(5) == (row.getLong(3) + 7) / 8)
+    }
+    assert(r.map(_.getLong(3)).toSeq == r.map(_.getLong(3)).sorted.toSeq,
+      "bits must grow as fpp tightens")
+    assert(r.map(_.getLong(4)).toSeq == Seq(3L, 7L, 10L))
+  }
 }

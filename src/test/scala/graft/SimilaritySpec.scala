@@ -169,6 +169,23 @@ class SimilaritySpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("embed outliers: per-cell ranks are complete and cosine rises " +
+      "with rank — the flagged rows are each cell's farthest members") {
+    val r = Similarity.embedOutliers(spark, sf).cache()
+    val byCell = r.orderBy("cid", "rnk").collect().groupBy(_.getLong(0))
+    assert(byCell.nonEmpty)
+    byCell.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).toSeq == (1L to rows.length),
+        s"rank gap in cell ${rows.head.getLong(0)}")
+      assert(rows.sliding(2).forall(w =>
+        w.length < 2 || w(0).getDouble(2) <= w(1).getDouble(2)),
+        s"cosine not ascending in cell ${rows.head.getLong(0)}")
+      assert(rows.forall(x =>
+        x.getDouble(2) >= -1.0 - 1e-9 && x.getDouble(2) <= 1.0 + 1e-9))
+    }
+    r.unpersist()
+  }
+
   test("embed mauve: the divergence frontier behaves — KL(P||R) falls " +
       "and KL(Q||R) rises as the mixture leans toward P") {
     val r = Similarity.embedMauve(spark, sf).orderBy("mix_lambda").collect()

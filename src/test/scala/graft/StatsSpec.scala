@@ -1031,6 +1031,36 @@ class StatsSpec extends SparkSpec {
     real.unpersist()
   }
 
+  test("Holm step-down: the planted strong effect is rejected, Holm " +
+      "rejections are a subset of BH's, and the walk stops at the " +
+      "first failure") {
+    import spark.implicits._
+    val rows =
+      (1 to 20).flatMap(i => Seq((1L, "a", 100.0 + i % 3),
+        (1L, "b", 1.0 + i % 3))) ++
+      (2L to 4L).flatMap(s => (1 to 20).flatMap(i =>
+        Seq((s, "a", 10.0 + i % 5), (s, "b", 10.0 + i % 5))))
+    val df = rows.toDF("slice", "event_type", "value")
+    val hm = Stats.holmOver(df, "a", "b", 0.05).cache()
+    val hmRej = hm.filter(col("reject")).select("slice")
+      .collect().map(_.getLong(0)).toSet
+    assert(hmRej == Set(1L), s"Holm rejected $hmRej")
+    val bhRej = Stats.fdrBhOver(df, "a", "b", 0.05)
+      .filter(col("reject")).select("slice")
+      .collect().map(_.getLong(0)).toSet
+    assert(hmRej.subsetOf(bhRej))
+    // step-down semantics: reject flags are a PREFIX of the rank walk
+    val flags = hm.orderBy("p_rank").collect().map(_.getAs[Boolean]("reject"))
+    assert(!flags.sliding(2).exists(w => !w(0) && w(1)),
+      s"rejections not a rank prefix: ${flags.mkString(",")}")
+    hm.unpersist()
+    // corpus: 24 slices, criticals rise with rank (alpha/(m-k+1))
+    val real = Stats.holm(spark, sf).orderBy("p_rank").collect()
+    assert(real.length == 24)
+    assert(real.sliding(2).forall(w =>
+      w(0).getAs[Double]("holm_crit") <= w(1).getAs[Double]("holm_crit")))
+  }
+
   test("mSPRT: always-valid p never increases across looks, a planted " +
       "separation stops, identical arms never do") {
     import spark.implicits._
