@@ -232,6 +232,23 @@ object SparkEntry {
     "q_holm" -> ((s, d) => Stats.holm(s, d)),
     "q_funnel_ci" -> ((s, d) => Relational.funnelCi(s, d)),
     "q_bloom_planner" -> ((s, d) => Relational.bloomPlanner(s, d)),
+    // value-distribution DRIFT between the month's halves: the gated
+    // KS machinery verbatim over time-relabeled arms — the monitoring
+    // twin of q_ks_test (arms = windows, not event types); the KLL
+    // cutpoint grid, histogram CDFs and exact-integer D all reused
+    "stream_msprt" ->
+      ((s, d) => graft.streaming.EventStreams.msprtFromFiles(s, d)),
+    "q_data_drift_ks" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, dayofmonth, when}
+      // at_value dropped: the KLL cutpoint and quantile_cont can sit
+      // one ULP apart at a .5 rounding boundary (hit here at sf0.01);
+      // D and the grid index are integer-count-exact regardless
+      Stats.ksTestOver(
+        Tables.events(s, d).select(
+          when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2")
+            .as("event_type"),
+          col("value")), "h1", "h2").drop("at_value")
+    }),
     "q_crosstab_chi2" -> ((s, d) => Stats.crosstabChi2(s, d)),
     "q_anova" -> ((s, d) => Stats.anova(s, d)),
     "q_acf" -> ((s, d) => Stats.acf(s, d)),
@@ -1591,6 +1608,59 @@ object SparkEntry {
       |      i -> s[i] || '|' || s[i + 1])) AS pair
       |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
       |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+
+  private val msprtOracle: String =
+      """WITH ev AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS h, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |hm AS (SELECT h, event_type, count(*) AS n, sum(v) AS s,
+        |        sum(CAST(v * v AS DECIMAL(38,4))) AS ss
+        |      FROM ev GROUP BY 1, 2),
+        |g AS (SELECT h,
+        |        sum(CASE WHEN event_type = 'purchase' THEN n END) AS na0,
+        |        sum(CASE WHEN event_type = 'purchase' THEN s END) AS sa0,
+        |        sum(CASE WHEN event_type = 'purchase' THEN ss END) AS ssa0,
+        |        sum(CASE WHEN event_type = 'click' THEN n END) AS nb0,
+        |        sum(CASE WHEN event_type = 'click' THEN s END) AS sb0,
+        |        sum(CASE WHEN event_type = 'click' THEN ss END) AS ssb0
+        |      FROM hm GROUP BY 1),
+        |c AS (SELECT h,
+        |        CAST(sum(coalesce(na0, 0)) OVER w AS DOUBLE) AS na,
+        |        CAST(sum(sa0) OVER w AS DOUBLE) AS sa,
+        |        CAST(sum(ssa0) OVER w AS DOUBLE) AS ssa,
+        |        CAST(sum(coalesce(nb0, 0)) OVER w AS DOUBLE) AS nb,
+        |        CAST(sum(sb0) OVER w AS DOUBLE) AS sb,
+        |        CAST(sum(ssb0) OVER w AS DOUBLE) AS ssb
+        |      FROM g WINDOW w AS (ORDER BY h ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT h, na, nb,
+        |        (sa / na) - (sb / nb) AS theta,
+        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) / na
+        |          + (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) / nb
+        |          AS se2
+        |      FROM c),
+        |l AS (SELECT h, na, nb, theta, se2,
+        |        CASE WHEN na > 1 AND nb > 1 AND se2 > 0 THEN
+        |          sqrt(se2 / (se2 + 0.25))
+        |            * exp(theta * theta * 0.25
+        |              / (2.0 * se2 * (se2 + 0.25)))
+        |        END AS lam
+        |      FROM d),
+        |p AS (SELECT *, min(CASE WHEN lam IS NOT NULL
+        |          THEN least(1.0, 1.0 / lam) END)
+        |        OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS pav
+        |      FROM l)
+        |SELECT h AS look_hour, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |       THEN round(theta, 6) END AS theta_hat,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+        |       THEN round(lam, 6) END AS mixture_lr,
+        |  round(pav, 6) AS p_always_valid,
+        |  (pav <= 0.05) AS stopped
+        |FROM p""".stripMargin
 
   /** One greedy longest-match segmentation pass as a recursive CTE:
     * per word, advance pos by the LONGEST `vocab` piece matching at
@@ -7930,58 +8000,11 @@ object SparkEntry {
         |FROM w""".stripMargin,
     // mSPRT: cumulative hourly decimal moments, the Welch theta/se dag
     // per look, the closed-form normal-mixture LR, running-min 1/LR
-    "q_msprt" ->
-      """WITH ev AS (
-        |  SELECT CAST(hour(ts) AS BIGINT) AS h, event_type,
-        |    CAST(value AS DECIMAL(18,2)) AS v
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
-        |hm AS (SELECT h, event_type, count(*) AS n, sum(v) AS s,
-        |        sum(CAST(v * v AS DECIMAL(38,4))) AS ss
-        |      FROM ev GROUP BY 1, 2),
-        |g AS (SELECT h,
-        |        sum(CASE WHEN event_type = 'purchase' THEN n END) AS na0,
-        |        sum(CASE WHEN event_type = 'purchase' THEN s END) AS sa0,
-        |        sum(CASE WHEN event_type = 'purchase' THEN ss END) AS ssa0,
-        |        sum(CASE WHEN event_type = 'click' THEN n END) AS nb0,
-        |        sum(CASE WHEN event_type = 'click' THEN s END) AS sb0,
-        |        sum(CASE WHEN event_type = 'click' THEN ss END) AS ssb0
-        |      FROM hm GROUP BY 1),
-        |c AS (SELECT h,
-        |        CAST(sum(coalesce(na0, 0)) OVER w AS DOUBLE) AS na,
-        |        CAST(sum(sa0) OVER w AS DOUBLE) AS sa,
-        |        CAST(sum(ssa0) OVER w AS DOUBLE) AS ssa,
-        |        CAST(sum(coalesce(nb0, 0)) OVER w AS DOUBLE) AS nb,
-        |        CAST(sum(sb0) OVER w AS DOUBLE) AS sb,
-        |        CAST(sum(ssb0) OVER w AS DOUBLE) AS ssb
-        |      FROM g WINDOW w AS (ORDER BY h ROWS BETWEEN
-        |        UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |d AS (SELECT h, na, nb,
-        |        (sa / na) - (sb / nb) AS theta,
-        |        (ssa - na * (sa / na) * (sa / na)) / (na - 1) / na
-        |          + (ssb - nb * (sb / nb) * (sb / nb)) / (nb - 1) / nb
-        |          AS se2
-        |      FROM c),
-        |l AS (SELECT h, na, nb, theta, se2,
-        |        CASE WHEN na > 1 AND nb > 1 AND se2 > 0 THEN
-        |          sqrt(se2 / (se2 + 0.25))
-        |            * exp(theta * theta * 0.25
-        |              / (2.0 * se2 * (se2 + 0.25)))
-        |        END AS lam
-        |      FROM d),
-        |p AS (SELECT *, min(CASE WHEN lam IS NOT NULL
-        |          THEN least(1.0, 1.0 / lam) END)
-        |        OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
-        |          AND CURRENT ROW) AS pav
-        |      FROM l)
-        |SELECT h AS look_hour, CAST(na AS BIGINT) AS n_a,
-        |  CAST(nb AS BIGINT) AS n_b,
-        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
-        |       THEN round(theta, 6) END AS theta_hat,
-        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0
-        |       THEN round(lam, 6) END AS mixture_lr,
-        |  round(pav, 6) AS p_always_valid,
-        |  (pav <= 0.05) AS stopped
-        |FROM p""".stripMargin,
+    "q_msprt" -> msprtOracle,
+    // the streaming twin maintains the same per-(hour, arm) moments in
+    // the state store; the drained state runs the same tail, so the
+    // batch oracle gates the full streaming path
+    "stream_msprt" -> msprtOracle,
     // BY: the BH dag with the harmonic c(m) shrink — c(m) is the same
     // left fold in both engines (0-init in Spark, no-init list_reduce
     // here; 0 + 1/1 is exact so every association matches)
@@ -8097,6 +8120,48 @@ object SparkEntry {
          |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
          |  END AS d_stat,
          |  CAST(j AS BIGINT) AS at_grid, round(c, 6) AS at_value
+         |FROM scored ORDER BY num DESC, j LIMIT 1""".stripMargin
+    },
+    // time-drift KS: the q_ks_test dag verbatim with arms = month
+    // halves (day <= 15 vs rest)
+    "q_data_drift_ks" -> {
+      val probs = (1 to 31).map(j => (j / 32.0).toString).mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END
+         |    AS event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+         |  FROM events),
+         |qs AS (SELECT quantile_cont(v, [$probs]) AS qs FROM ev),
+         |counts AS (
+         |  SELECT event_type,
+         |    1 + len(list_filter(qs, c -> c < v)) AS b, count(*) AS cnt
+         |  FROM ev CROSS JOIN qs GROUP BY 1, 2),
+         |ns AS (SELECT
+         |    sum(CASE WHEN event_type = 'h1' THEN cnt END) AS na,
+         |    sum(CASE WHEN event_type = 'h2' THEN cnt END) AS nb
+         |  FROM counts),
+         |grid AS (SELECT j, qs[j] AS c FROM qs,
+         |         (SELECT unnest(generate_series(1, 31)) AS j)),
+         |cum AS (
+         |  SELECT g.j, g.c,
+         |    coalesce(sum(CASE WHEN event_type = 'h1' THEN cnt END), 0)
+         |      AS ka,
+         |    coalesce(sum(CASE WHEN event_type = 'h2' THEN cnt END), 0)
+         |      AS kb
+         |  FROM grid g JOIN counts x ON x.b <= g.j GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT j, c, ka, kb, na, nb,
+         |    abs(CAST(ka AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+         |      - CAST(kb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)))
+         |      AS num
+         |  FROM cum CROSS JOIN ns)
+         |SELECT 'h1' AS type_a, 'h2' AS type_b,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CASE WHEN na > 0 AND nb > 0
+         |       THEN round(CAST(num AS DOUBLE)
+         |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+         |  END AS d_stat,
+         |  CAST(j AS BIGINT) AS at_grid
          |FROM scored ORDER BY num DESC, j LIMIT 1""".stripMargin
     },
     // histogram AUC: per-score pos/neg counts, cumulative negatives

@@ -2469,13 +2469,22 @@ object Stats {
     * planted spec pins stop-on-separation, never-stop-on-null, and
     * the always-valid p's monotone non-increase across looks. */
   private[graft] def msprtOver(events: DataFrame, typeA: String,
-      typeB: String, tau: Double): DataFrame = {
-    val hourly = events
+      typeB: String, tau: Double): DataFrame =
+    msprtFromHourly(events
       .filter(col("event_type").isin(typeA, typeB))
       .select(col("h"), col("event_type"), money(col("value")).as("v"))
       .groupBy("h", "event_type")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss")),
+      typeA, typeB, tau)
+
+  /** The mSPRT tail over an already-aggregated (h, event_type, n, s,
+    * ss) look frame — shared by the batch key and `stream_msprt`,
+    * whose state store maintains exactly these moments across
+    * micro-batches.
+    */
+  private[graft] def msprtFromHourly(hourly: DataFrame, typeA: String,
+      typeB: String, tau: Double): DataFrame = {
     val wCum = Window.orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = hourly

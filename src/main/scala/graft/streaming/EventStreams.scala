@@ -426,6 +426,40 @@ object EventStreams {
     * mixed/partial results.
     */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
+  /** STREAMING ALWAYS-VALID A/B (`stream_msprt`) — the `q_msprt`
+    * mixture-SPRT with its look moments MAINTAINED by the state
+    * store instead of recomputed: per-(hour, arm) exact decimal
+    * moments aggregate across micro-batches (maxFilesPerTrigger=1
+    * forces a genuine cross-batch state carry), and the drained
+    * state feeds the SAME mSPRT tail the batch key runs — so the
+    * batch oracle gates the whole streaming path end-to-end. This is
+    * the deployment shape: the experiment dashboard's state is
+    * incremental, and every refresh reads a p-value that is valid
+    * DESPITE being read continuously.
+    */
+  def msprtFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(hour(col("ts")).cast("long").as("h"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    val dir = graft.TempDirs.create("graft_stream_msprt_src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val agg = stream.groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+    val name = nextSinkName("graft_stream_msprt")
+    withSink(spark, name) {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.Stats.msprtFromHourly(
+        drainMemorySink(spark, name), "purchase", "click", 0.5)
+    }
+  }
+
   private def nextSinkName(prefix: String): String =
     s"${prefix}_${sinkCounter.incrementAndGet()}"
 

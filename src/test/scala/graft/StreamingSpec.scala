@@ -632,4 +632,12 @@ class StreamingSpec extends SparkSpec {
         || Option(e.getCause).exists(_.getMessage.contains("append-only")),
       s"expected the append-only contract failure, got: ${e.getMessage}")
   }
+
+  test("stream msprt: the state-store moments drained through the " +
+      "shared tail equal the batch always-valid report exactly") {
+    val st = graft.streaming.EventStreams.msprtFromFiles(spark, sf)
+    val bt = graft.operators.Stats.msprt(spark, sf)
+    assert(st.exceptAll(bt).isEmpty && bt.exceptAll(st).isEmpty,
+      "streaming mSPRT drifted from the batch key")
+  }
 }
