@@ -546,6 +546,9 @@ object SparkEntry {
     "ann_index_stats" -> ((s, d) => AnnIndex.indexStats(s, d)),
     "ann_maintain" -> ((s, d) => AnnIndex.annMaintain(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "q_dup_token_waste" -> ((s, d) => Dedup.dupTokenWaste(s, d)),
+    "q_post_stratified" -> ((s, d) => Stats.postStratified(s, d)),
+    "q_power_curve" -> ((s, d) => Stats.powerCurve(s, d)),
     "pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "pipeline_shard_write" -> ((s, d) => Pipeline.shardWrite(s, d)),
     "pipeline_shard_append" -> ((s, d) => Pipeline.shardAppend(s, d)),
@@ -1608,6 +1611,65 @@ object SparkEntry {
       |      i -> s[i] || '|' || s[i + 1])) AS pair
       |    FROM (SELECT n, string_split(trim(enc, '<>'), '><') AS s FROM w2))
       |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+
+  // post-stratification: exact decimal (hour, arm) cell moments,
+  // pooled stratum weights, mean terms rounded 6 / variance terms
+  // rounded 12 DECIMAL-summed, naive Welch from the same moments
+  private val postStratOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(hour(ts) AS BIGINT) AS h,
+      |    substring(md5('ps1:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |      AS grp,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |cell AS (
+      |  SELECT h, grp, count(*) AS n, sum(v) AS s,
+      |    sum(CAST(v * v AS DECIMAL(38,4))) AS ss
+      |  FROM ev GROUP BY 1, 2),
+      |strat AS (SELECT h, CAST(sum(n) AS BIGINT) AS nh
+      |          FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS ntot FROM strat),
+      |terms AS (
+      |  SELECT grp, n, s, ss,
+      |    CAST(round((CAST(nh AS DOUBLE) / CAST(ntot AS DOUBLE))
+      |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS tm,
+      |    CAST(CASE WHEN n > 1 THEN
+      |      round((CAST(nh AS DOUBLE) / CAST(ntot AS DOUBLE))
+      |        * (CAST(nh AS DOUBLE) / CAST(ntot AS DOUBLE))
+      |        * ((CAST(ss AS DOUBLE) - CAST(n AS DOUBLE)
+      |            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |          / (CAST(n AS DOUBLE) - 1))
+      |        / CAST(n AS DOUBLE), 12)
+      |      ELSE 0.0 END AS DECIMAL(18,12)) AS tv
+      |  FROM cell JOIN strat USING (h) CROSS JOIN tot),
+      |arm AS (
+      |  SELECT grp, CAST(sum(n) AS BIGINT) AS na, sum(s) AS sa,
+      |    sum(ss) AS ssa, sum(tm) AS m_strat, sum(tv) AS v_strat
+      |  FROM terms GROUP BY 1),
+      |t AS (SELECT na AS nt, sa AS st, ssa AS sst,
+      |        m_strat AS mt, v_strat AS vt FROM arm WHERE grp),
+      |c AS (SELECT na AS nc, sa AS sc, ssa AS ssc,
+      |        m_strat AS mc, v_strat AS vc FROM arm WHERE NOT grp)
+      |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+      |  round(CAST(mt AS DOUBLE) - CAST(mc AS DOUBLE), 6) AS diff_strat,
+      |  round(sqrt(CAST(vt AS DOUBLE) + CAST(vc AS DOUBLE)), 6)
+      |    AS se_strat,
+      |  round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+      |    - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS diff_naive,
+      |  CASE WHEN nt > 1 AND nc > 1 THEN
+      |    round(sqrt(
+      |      (CAST(sst AS DOUBLE) - CAST(nt AS DOUBLE)
+      |        * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+      |        * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)))
+      |      / (CAST(nt AS DOUBLE) - 1) / CAST(nt AS DOUBLE)
+      |      + (CAST(ssc AS DOUBLE) - CAST(nc AS DOUBLE)
+      |        * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+      |        * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))
+      |      / (CAST(nc AS DOUBLE) - 1) / CAST(nc AS DOUBLE)), 6)
+      |  END AS se_naive
+      |FROM t CROSS JOIN c""".stripMargin
 
   private val msprtOracle: String =
       """WITH ev AS (
@@ -5725,6 +5787,28 @@ object SparkEntry {
         |GROUP BY k""".stripMargin,
     "dedup_clusters" ->
       s"WITH $clusterCtes\nSELECT doc_id, cluster_id FROM clusters",
+    // duplication token waste: the gated cluster closure joined to one
+    // tokenize projection, exact integer token mass, one division
+    "q_dup_token_waste" ->
+      s"""WITH $clusterCtes,
+         |toks AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT c.doc_id, c.cluster_id, t.n_tokens,
+         |        c.doc_id <> c.cluster_id AS dup
+         |      FROM clusters c JOIN toks t ON c.doc_id = t.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN dup THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS dup_tokens,
+         |  round(CAST(sum(CASE WHEN dup THEN n_tokens ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(sum(n_tokens) AS DOUBLE), 6) AS waste_share
+         |FROM j""".stripMargin,
     // lang-partition modularity over the near-dup graph: per-community
     // IEEE terms on exact integers rounded 6, decimal-summed Q
     "q_modularity" ->
@@ -8001,6 +8085,56 @@ object SparkEntry {
     // mSPRT: cumulative hourly decimal moments, the Welch theta/se dag
     // per look, the closed-form normal-mixture LR, running-min 1/LR
     "q_msprt" -> msprtOracle,
+    "q_post_stratified" -> postStratOracle,
+    // power curve: the q_power_mde pilot moments, one-sided A&S tail
+    // (no post-round factor-2 division — the q_cronbach boundary
+    // trap), power as a raw identical-dag double
+    "q_power_curve" -> {
+      def leg(r: Double): String =
+        s"""SELECT CAST($r AS DOUBLE) AS lift_rel,
+           |  CASE WHEN se > 0 THEN round(mean * CAST($r AS DOUBLE), 6)
+           |    END AS delta,
+           |  CASE WHEN se > 0 THEN xr END AS z_effect,
+           |  CASE WHEN se > 0 THEN
+           |    CASE WHEN xr >= 0 THEN 1.0 - tl ELSE tl END
+           |  END AS power
+           |FROM (
+           |  SELECT se, mean, xr,
+           |    round(0.3989422804014327 * exp(-0.5 * abs(xr) * abs(xr))
+           |      * (((((1.330274429 * t - 1.821255978) * t
+           |        + 1.781477937) * t - 0.356563782) * t
+           |        + 0.319381530) * t), 6) AS tl
+           |  FROM (
+           |    SELECT se, mean, xr,
+           |      1.0 / (1.0 + 0.2316419 * abs(xr)) AS t
+           |    FROM (SELECT se, mean,
+           |        round(mean * CAST($r AS DOUBLE) / se - 1.959964, 6)
+           |          AS xr
+           |      FROM base)))""".stripMargin
+      s"""WITH pu AS (
+         |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m,
+         |    CASE WHEN CAST('0x' || substring(md5('exp:'||user_id), 1, 8)
+         |        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+         |  FROM events GROUP BY user_id),
+         |mom AS (
+         |  SELECT variant, count(*) AS n, sum(m) AS s,
+         |    sum(CAST(m * m AS DECIMAL(38,4))) AS ss
+         |  FROM pu GROUP BY 1),
+         |a AS (SELECT CAST(n AS DOUBLE) AS na, CAST(s AS DOUBLE) AS sa,
+         |        CAST(ss AS DOUBLE) AS ssa FROM mom WHERE variant = 'A'),
+         |b AS (SELECT CAST(n AS DOUBLE) AS nb, CAST(s AS DOUBLE) AS sb,
+         |        CAST(ss AS DOUBLE) AS ssb FROM mom WHERE variant = 'B'),
+         |d AS (
+         |  SELECT na, nb, (sa + sb) / (na + nb) AS mean,
+         |    ((ssa + ssb) - (na + nb) * ((sa + sb) / (na + nb))
+         |      * ((sa + sb) / (na + nb))) / (na + nb - 1) AS varp
+         |  FROM a CROSS JOIN b),
+         |base AS (
+         |  SELECT mean, sqrt(varp) * sqrt(1.0 / na + 1.0 / nb) AS se
+         |  FROM d)
+         |${Seq(0.005, 0.01, 0.02, 0.05).map(leg).mkString("\nUNION ALL\n")}
+         |""".stripMargin
+    },
     // the streaming twin maintains the same per-(hour, arm) moments in
     // the state store; the drained state runs the same tail, so the
     // batch oracle gates the full streaming path

@@ -221,6 +221,35 @@ object Dedup {
       ngramJaccard(spark, sfDir, threshold).select(col("doc_a"), col("doc_b")),
       maxIters)
 
+  /** DUPLICATION TOKEN WASTE (`q_dup_token_waste`) — the compute bill
+    * duplication actually costs: every non-canonical member of a
+    * near-dup cluster is token mass a training run pays for twice
+    * (the headline number of the dedup papers — "X% of the tokens are
+    * repeats"). One row: corpus docs/tokens, dup docs/tokens (cluster
+    * members that are not their cluster's canonical min-id), and the
+    * waste share — exact integer token counts off the gated
+    * [[clusters]] assignment joined to one tokenize projection, one
+    * final division.
+    */
+  def dupTokenWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+    clusters(spark, sfDir).join(toks, "doc_id")
+      .withColumn("dup", col("doc_id") =!= col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("dup"), col("n_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("n_docs"), col("n_dup_docs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        col("dup_tokens").cast("long").as("dup_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("waste_share"))
+  }
+
   /** Same clustering over MinHash-LSH verified pairs — the 100 TB
     * path: candidate edges come from the banded signature join, never
     * an all-pairs shingle self-join.

@@ -2283,6 +2283,75 @@ object Stats {
         .otherwise("large").as("magnitude"))
   }
 
+  /** POWER CURVE (`q_power_curve`) — `q_power_mde` inverted: that key
+    * answers "what lift is detectable at 80% power"; this one answers
+    * "what power do we have at the lifts the business actually asks
+    * about" (0.5/1/2/5%), the go/no-go table an experiment review
+    * reads. Power = Φ(δ/se − z₀.₀₂₅) via the ONE-SIDED A&S 26.2.17
+    * tail (the [[normalP2]] polynomial without its two-sided factor —
+    * a factor-2 division AFTER rounding would sit exactly on the
+    * half-up boundary, the q_cronbach trap): the effect-z pre-rounds
+    * to 6, the tail rounds to 6, and power = 1 − tail (or tail for a
+    * negative effect-z) stays a RAW identical-dag double. Pilot
+    * moments are the `q_power_mde` per-user metric and md5 arm split,
+    * exact decimal sums, one 1-row frame crossed with the literal
+    * lift grid.
+    */
+  def powerCurve(spark: SparkSession, sfDir: String,
+      lifts: Seq[Double] = Seq(0.005, 0.01, 0.02, 0.05)): DataFrame = {
+    val za = 1.959964
+    def tail1(z: Column): Column = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+      val poly = ((((lit(1.330274429) * t - lit(1.821255978)) * t
+        + lit(1.781477937)) * t - lit(0.356563782)) * t
+        + lit(0.319381530)) * t
+      round(lit(0.3989422804014327) * exp(lit(-0.5) * z * z) * poly, 6)
+    }
+    val base = abPilotMoments(spark, sfDir)
+      .withColumn("se", sqrt(col("varp")) *
+        sqrt(lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      .localCheckpoint()
+    lifts.map { r =>
+      val xr = round(col("mean") * lit(r) / col("se") - lit(za), 6)
+      val ok = col("se") > 0
+      base.select(lit(r).as("lift_rel"),
+        when(ok, round(col("mean") * lit(r), 6)).as("delta"),
+        when(ok, xr).as("z_effect"),
+        when(ok, when(xr >= 0, lit(1.0) - tail1(abs(xr)))
+          .otherwise(tail1(abs(xr)))).as("power"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The `q_power_mde`/`q_power_curve` pilot-moment frame: per-user
+    * metric, md5 arm split, exact decimal sums → one row with
+    * (na, nb, mean, varp) as doubles.
+    */
+  private def abPilotMoments(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), money(col("value")).as("v"))
+      .groupBy("user_id").agg(sum(col("v")).as("m"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val mom = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum((col("m") * col("m")).cast(DecimalType(38, 4))).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = mom.filter(col("variant") === "A")
+      .select(col("n").cast("double").as("na"),
+        col("s").cast("double").as("sa"), col("ss").cast("double").as("ssa"))
+    val b = mom.filter(col("variant") === "B")
+      .select(col("n").cast("double").as("nb"),
+        col("s").cast("double").as("sb"), col("ss").cast("double").as("ssb"))
+    a.crossJoin(broadcast(b))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("mean", (col("sa") + col("sb")) / col("nn"))
+      .withColumn("varp",
+        ((col("ssa") + col("ssb"))
+          - col("nn") * col("mean") * col("mean")) / (col("nn") - 1))
+  }
+
   /** The Φ tail polynomial (Abramowitz & Stegun 26.2.17) as a fixed
     * Column dag: two-sided p = 2·φ(|z|)·poly(t), t = 1/(1+0.2316419·|z|).
     * Every coefficient is the SAME literal in the DuckDB oracle and
@@ -2441,6 +2510,80 @@ object Stats {
         coalesce(col("nc"), lit(0L)).cast("long").as("n_ctrl"),
         when(cellOk, round(diffRaw, 6)).as("diff"),
         when(cellOk && preOk, round(diffRaw - base, 6)).as("delta"))
+  }
+
+  /** POST-STRATIFIED A/B ESTIMATE (`q_post_stratified`) — the
+    * variance-reduction sibling of `q_cuped` that needs no
+    * pre-period covariate: re-weight each arm's hour-of-day stratum
+    * means by the POOLED stratum shares W_h = N_h/N (that pooling is
+    * what makes it post-stratification — each arm is corrected to
+    * the same composition, removing hour-mix imbalance from the
+    * contrast), with Var̂ = Σ W_h²·s²_h/n_h per arm. Reported beside
+    * the naive Welch diff/se from the SAME one-pass moments so the
+    * variance reduction is visible, not asserted. Determinism: exact
+    * decimal cell moments; per-stratum mean terms rounded 6 and
+    * variance terms rounded 12, both DECIMAL-summed across the
+    * 24-stratum frame (the ANOVA discipline); one IEEE dag for the
+    * final means/ses.
+    */
+  def postStratified(spark: SparkSession, sfDir: String): DataFrame =
+    postStratifiedOver(Tables.events(spark, sfDir)
+      .select(hour(col("ts")).cast("long").as("h"),
+        (substring(md5(concat(lit("ps1:"),
+          col("user_id").cast("string"))), 1, 1) < lit("8")).as("grp"),
+        col("value")))
+
+  /** Same estimator over any (h, grp, value) frame — the planted spec
+    * builds a mix-imbalanced null effect that fools the naive diff
+    * and is corrected to exactly 0 by post-stratification. */
+  private[graft] def postStratifiedOver(events: DataFrame): DataFrame = {
+    val d186 = DecimalType(18, 6)
+    val d1812 = DecimalType(18, 12)
+    val ev = events.select(col("h"), col("grp"), money(col("value")).as("v"))
+    val cell = ev.groupBy("h", "grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
+      .localCheckpoint()
+    val strat = cell.groupBy("h").agg(sum(col("n")).as("nh"))
+    val tot = strat.agg(sum(col("nh")).as("ntot"))
+    val nD = col("n").cast("double")
+    val xbar = col("s").cast("double") / nD
+    val s2 = (col("ss").cast("double") - nD * xbar * xbar) / (nD - 1)
+    val w = col("nh").cast("double") / col("ntot").cast("double")
+    val terms = cell.join(broadcast(strat), "h")
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("s"), col("ss"),
+        round(w * xbar, 6).cast(d186).as("tm"),
+        when(col("n") > 1, round(w * w * s2 / nD, 12))
+          .otherwise(lit(0d)).cast(d1812).as("tv"))
+    val byArm = terms.groupBy("grp")
+      .agg(sum(col("n")).as("na"), sum(col("s")).as("sa"),
+        sum(col("ss")).as("ssa"),
+        sum(col("tm")).as("m_strat"), sum(col("tv")).as("v_strat"))
+    val t = byArm.filter(col("grp")).select(
+      col("na").as("nt"), col("sa").as("st"), col("ssa").as("sst"),
+      col("m_strat").as("mt"), col("v_strat").as("vt"))
+    val c = byArm.filter(!col("grp")).select(
+      col("na").as("nc"), col("sa").as("sc"), col("ssa").as("ssc"),
+      col("m_strat").as("mc"), col("v_strat").as("vc"))
+    val ntD = col("nt").cast("double")
+    val ncD = col("nc").cast("double")
+    val mtN = col("st").cast("double") / ntD
+    val mcN = col("sc").cast("double") / ncD
+    val vtN = (col("sst").cast("double") - ntD * mtN * mtN) /
+      (ntD - 1) / ntD
+    val vcN = (col("ssc").cast("double") - ncD * mcN * mcN) /
+      (ncD - 1) / ncD
+    t.crossJoin(broadcast(c)).select(
+      col("nt").cast("long").as("n_treat"),
+      col("nc").cast("long").as("n_ctrl"),
+      round(col("mt").cast("double") - col("mc").cast("double"), 6)
+        .as("diff_strat"),
+      round(sqrt(col("vt").cast("double") + col("vc").cast("double")), 6)
+        .as("se_strat"),
+      round(mtN - mcN, 6).as("diff_naive"),
+      when(col("nt") > 1 && col("nc") > 1,
+        round(sqrt(vtN + vcN), 6)).as("se_naive"))
   }
 
   /** MIXTURE SPRT / ALWAYS-VALID p-VALUES (`q_msprt`, Robbins 1970;

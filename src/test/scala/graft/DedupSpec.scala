@@ -779,4 +779,19 @@ class DedupSpec extends SparkSpec {
       w(0).getAs[Double]("fn_pairs") >= w(1).getAs[Double]("fn_pairs") - 1e-9),
       "fn not non-increasing in bands")
   }
+
+  test("dup token waste: accounting reconciles with the cluster " +
+      "assignment and the tokenize projection") {
+    import org.apache.spark.sql.functions._
+    val r = Dedup.dupTokenWaste(spark, sf).head
+    val cl = Dedup.clusters(spark, sf).cache()
+    assert(r.getLong(0) == cl.count())
+    assert(r.getLong(1) ==
+      cl.filter(col("doc_id") =!= col("cluster_id")).count())
+    assert(r.getLong(3) <= r.getLong(2))
+    val want = BigDecimal(r.getLong(3).toDouble / r.getLong(2).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("waste_share") == want)
+    cl.unpersist()
+  }
 }

@@ -1031,6 +1031,37 @@ class StatsSpec extends SparkSpec {
     real.unpersist()
   }
 
+  test("post-stratification: a mix-imbalanced null effect fools the " +
+      "naive diff and corrects to exactly 0; the curve key's power " +
+      "rises with lift") {
+    import spark.implicits._
+    // stratum 1: treat-heavy (30 vs 10), everyone worth 10
+    // stratum 2: ctrl-heavy (10 vs 30), everyone worth 20
+    // per-stratum arm means are IDENTICAL -> true effect 0, but the
+    // naive pooled diff reads negative (treat overweights stratum 1)
+    val rows =
+      (1 to 30).map(_ => (1L, true, 10.0)) ++
+      (1 to 10).map(_ => (1L, false, 10.0)) ++
+      (1 to 10).map(_ => (2L, true, 20.0)) ++
+      (1 to 30).map(_ => (2L, false, 20.0))
+    val r = Stats.postStratifiedOver(rows.toDF("h", "grp", "value")).head
+    assert(r.getAs[Double]("diff_strat") == 0.0,
+      s"stratified diff ${r.getAs[Double]("diff_strat")}")
+    assert(r.getAs[Double]("diff_naive") < -4.9,
+      s"naive diff should read the mix bias: ${r.getAs[Double]("diff_naive")}")
+    // corpus: report exists, se columns positive
+    val real = Stats.postStratified(spark, sf).head
+    assert(real.getAs[Double]("se_strat") > 0 &&
+      real.getAs[Double]("se_naive") > 0)
+    // power curve: monotone in lift, inside (0, 1)
+    val pc = Stats.powerCurve(spark, sf).orderBy("lift_rel").collect()
+    assert(pc.length == 4)
+    val ps = pc.map(_.getAs[Double]("power"))
+    assert(ps.forall(p => p > 0.0 && p < 1.0))
+    assert(ps.sliding(2).forall(w => w(0) <= w(1) + 1e-12),
+      s"power not monotone in lift: ${ps.mkString(", ")}")
+  }
+
   test("Holm step-down: the planted strong effect is rejected, Holm " +
       "rejections are a subset of BH's, and the walk stops at the " +
       "first failure") {
