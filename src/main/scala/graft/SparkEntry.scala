@@ -607,6 +607,10 @@ object SparkEntry {
     "text_rake" -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
     "text_unigram_lm" -> ((s, d) => TextAnalysis.unigramLm(s, d)),
     "text_unigram_apply" -> ((s, d) => TextAnalysis.unigramApply(s, d)),
+    "text_unigram_coverage" ->
+      ((s, d) => TextAnalysis.unigramCoverage(s, d)),
+    "stream_funnel_ci" ->
+      ((s, d) => graft.streaming.EventStreams.funnelCiFromFiles(s, d)),
     "q_rand_index" -> ((s, d) => Similarity.randIndex(s, d)),
     "q_cooks_distance" -> ((s, d) => Stats.cooksDistance(s, d)),
     "q_breusch_pagan" -> ((s, d) => Stats.breuschPagan(s, d)),
@@ -1671,6 +1675,53 @@ object SparkEntry {
       |  END AS se_naive
       |FROM t CROSS JOIN c""".stripMargin
 
+  private val funnelCiOracle: String = {
+      val z = 1.96; val z2 = z * z
+      def wilson(k: String, n: String): (String, String, String) = {
+        val nD = s"CAST($n AS DOUBLE)"
+        val ph = s"(CAST($k AS DOUBLE) / $nD)"
+        val denom = s"(1.0 + CAST($z2 AS DOUBLE) / $nD)"
+        val center = s"($ph + CAST($z2 AS DOUBLE) / (2.0 * $nD))"
+        val half = s"(CAST($z AS DOUBLE) * sqrt($ph * (1.0 - $ph) / $nD" +
+          s" + CAST($z2 AS DOUBLE) / (4.0 * $nD * $nD)))"
+        (s"round($ph, 6)",
+          s"round(($center - $half) / $denom, 6)",
+          s"round(($center + $half) / $denom, 6)")
+      }
+      val (rc, lc, hc) = wilson("n_click", "n_view")
+      val (rp, lp, hp) = wilson("n_purch", "n_click")
+      s"""WITH f AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         |  FROM events GROUP BY 1),
+         |k AS (SELECT
+         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_view,
+         |    CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_click,
+         |    CAST(sum(CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_purch
+         |  FROM f)
+         |SELECT '1_view' AS step, n_view AS n_users,
+         |  CAST(NULL AS DOUBLE) AS conv_rate,
+         |  CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
+         |FROM k
+         |UNION ALL
+         |SELECT '2_click', n_click,
+         |  CASE WHEN n_view > 0 THEN $rc END,
+         |  CASE WHEN n_view > 0 THEN $lc END,
+         |  CASE WHEN n_view > 0 THEN $hc END
+         |FROM k
+         |UNION ALL
+         |SELECT '3_purchase', n_purch,
+         |  CASE WHEN n_click > 0 THEN $rp END,
+         |  CASE WHEN n_click > 0 THEN $lp END,
+         |  CASE WHEN n_click > 0 THEN $hp END
+         |FROM k""".stripMargin
+  }
+
   private val msprtOracle: String =
       """WITH ev AS (
         |  SELECT CAST(hour(ts) AS BIGINT) AS h, event_type,
@@ -1790,9 +1841,8 @@ object SparkEntry {
   // apply twin: per-word token stats from the SAME final segmentation,
   // joined to per-doc domain words; out-of-domain words one unknown
   // apiece, domain-word-free docs kept via the [NULL] unnest
-  private val unigramApplyOracle: String =
-    s"""WITH RECURSIVE $unigramTrainCtes,
-       |wstats AS (
+  private val unigramApplyCtes: String =
+    s"""wstats AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS w_tok,
        |    CAST(sum(CASE WHEN length(piece) >= 2 THEN 1 ELSE 0 END)
        |      AS BIGINT) AS w_multi
@@ -1809,13 +1859,38 @@ object SparkEntry {
        |    FROM (SELECT doc_id,
        |            list_filter(regexp_split_to_array(text, '\\s+'),
        |                        x -> x <> '') AS ws
-       |          FROM documents)))
-       |SELECT doc_id, n_words,
-       |  CAST(n_words - count(w) + coalesce(sum(w_tok), 0) AS BIGINT)
-       |    AS n_tokens,
-       |  CAST(coalesce(sum(w_multi), 0) AS BIGINT) AS n_multi
-       |FROM dw LEFT JOIN wstats USING (w)
-       |GROUP BY 1, 2""".stripMargin
+       |          FROM documents))),
+       |app AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(n_words - count(w) + coalesce(sum(w_tok), 0) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(coalesce(sum(w_multi), 0) AS BIGINT) AS n_multi
+       |  FROM dw LEFT JOIN wstats USING (w)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val unigramApplyOracle: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |$unigramApplyCtes
+       |SELECT doc_id, n_words, n_tokens, n_multi FROM app""".stripMargin
+
+  // coverage twin: the apply rows rolled up per language — the
+  // multilingual vocabulary-budget report (an en-trained unigram
+  // vocab claims little multi-piece mass outside its domain)
+  private val unigramCoverageOracle: String =
+    s"""WITH RECURSIVE $unigramTrainCtes,
+       |$unigramApplyCtes
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(a.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(a.n_multi) AS BIGINT) AS n_multi,
+       |  CASE WHEN sum(a.n_tokens) > 0 THEN
+       |    round(CAST(sum(a.n_multi) AS DOUBLE)
+       |      / CAST(sum(a.n_tokens) AS DOUBLE), 6) END AS multi_share,
+       |  CASE WHEN sum(a.n_words) > 0 THEN
+       |    round(CAST(sum(a.n_tokens) AS DOUBLE)
+       |      / CAST(sum(a.n_words) AS DOUBLE), 6) END AS token_fanout
+       |FROM app a JOIN documents d ON a.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
 
   // document re-encode under the learned merges (shared by bpe_apply
   // and q_pack_bins_bpe): wrapped domain words, the three replaces in
@@ -7987,52 +8062,8 @@ object SparkEntry {
     },
     // funnel + Wilson bands: per-user step flags, 1-row exact counts,
     // the Wilson dag with z^2 mirrored as the same Scala literal
-    "q_funnel_ci" -> {
-      val z = 1.96; val z2 = z * z
-      def wilson(k: String, n: String): (String, String, String) = {
-        val nD = s"CAST($n AS DOUBLE)"
-        val ph = s"(CAST($k AS DOUBLE) / $nD)"
-        val denom = s"(1.0 + CAST($z2 AS DOUBLE) / $nD)"
-        val center = s"($ph + CAST($z2 AS DOUBLE) / (2.0 * $nD))"
-        val half = s"(CAST($z AS DOUBLE) * sqrt($ph * (1.0 - $ph) / $nD" +
-          s" + CAST($z2 AS DOUBLE) / (4.0 * $nD * $nD)))"
-        (s"round($ph, 6)",
-          s"round(($center - $half) / $denom, 6)",
-          s"round(($center + $half) / $denom, 6)")
-      }
-      val (rc, lc, hc) = wilson("n_click", "n_view")
-      val (rp, lp, hp) = wilson("n_purch", "n_click")
-      s"""WITH f AS (
-         |  SELECT user_id,
-         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
-         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
-         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
-         |  FROM events GROUP BY 1),
-         |k AS (SELECT
-         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_view,
-         |    CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_click,
-         |    CAST(sum(CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1 ELSE 0
-         |      END) AS BIGINT) AS n_purch
-         |  FROM f)
-         |SELECT '1_view' AS step, n_view AS n_users,
-         |  CAST(NULL AS DOUBLE) AS conv_rate,
-         |  CAST(NULL AS DOUBLE) AS ci_lo, CAST(NULL AS DOUBLE) AS ci_hi
-         |FROM k
-         |UNION ALL
-         |SELECT '2_click', n_click,
-         |  CASE WHEN n_view > 0 THEN $rc END,
-         |  CASE WHEN n_view > 0 THEN $lc END,
-         |  CASE WHEN n_view > 0 THEN $hc END
-         |FROM k
-         |UNION ALL
-         |SELECT '3_purchase', n_purch,
-         |  CASE WHEN n_click > 0 THEN $rp END,
-         |  CASE WHEN n_click > 0 THEN $lp END,
-         |  CASE WHEN n_click > 0 THEN $hp END
-         |FROM k""".stripMargin
-    },
+    "q_funnel_ci" -> funnelCiOracle,
+    "stream_funnel_ci" -> funnelCiOracle,
     // Holm step-down: the BH p-value dag, per-rank alpha/(m-k+1)
     // criticals, cumulative-AND stop (a later small p cannot resurrect
     // the walk after the first failure)
@@ -9631,6 +9662,7 @@ object SparkEntry {
     // hash-gates through the unrolled recursive-CTE twin
     "text_unigram_lm" -> unigramLmOracle,
     "text_unigram_apply" -> unigramApplyOracle,
+    "text_unigram_coverage" -> unigramCoverageOracle,
     "text_vocab_coverage" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(text, '[^\p{L}]+')) AS word

@@ -998,16 +998,22 @@ object Relational {
 
   /** Same operator over any (user_id, event_type) frame — the planted
     * spec replays the Wilson dag by hand on small known counts. */
-  private[graft] def funnelCiOver(events: DataFrame): DataFrame = {
-    val z = 1.96
-    val z2 = z * z
-    val flags = events
+  private[graft] def funnelCiOver(events: DataFrame): DataFrame =
+    funnelCiFromFlags(events
       .groupBy("user_id")
       .agg(
         max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
         max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("p"))
+          .as("p")))
+
+  /** The funnel-CI tail over an already-aggregated per-user
+    * (v, c, p) flag frame — shared with `stream_funnel_ci`, whose
+    * state store maintains exactly these flags across micro-batches.
+    */
+  private[graft] def funnelCiFromFlags(flags: DataFrame): DataFrame = {
+    val z = 1.96
+    val z2 = z * z
     val counts = flags.agg(
       sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_view"),
       sum(when(col("v") === 1 && col("c") === 1, 1L).otherwise(0L))

@@ -431,6 +431,36 @@ object TextAnalysis {
     unigramApplyOver(Tables.documents(spark, sfDir), seedSize,
       pruneSizes, maxPieceLen)
 
+  /** UNIGRAM COVERAGE (`text_unigram_coverage`) — close the loop the
+    * way [[tokenizerCoverage]] closes BPE's: the apply rows rolled up
+    * per LANGUAGE, reporting multi-piece mass share and token fan-out
+    * — the multilingual vocabulary-budget signal (a vocab trained on
+    * this corpus's [a-z] domain claims little multi-piece mass in
+    * languages it never saw, which is exactly what drives
+    * per-language vocab sizing). One broadcast-dim join + a
+    * #langs-row rollup over the apply pass.
+    */
+  def unigramCoverage(spark: SparkSession, sfDir: String,
+      seedSize: Int = 40, pruneSizes: Seq[Int] = Seq(12, 8),
+      maxPieceLen: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ap = unigramApplyOver(docs, seedSize, pruneSizes, maxPieceLen)
+    ap.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("w"),
+        sum(col("n_tokens")).as("t"),
+        sum(col("n_multi")).as("m"))
+      .select(col("lang"), col("n_docs"),
+        col("w").cast("long").as("n_words"),
+        col("t").cast("long").as("n_tokens"),
+        col("m").cast("long").as("n_multi"),
+        when(col("t") > 0, round(col("m").cast("double") /
+          col("t").cast("double"), 6)).as("multi_share"),
+        when(col("w") > 0, round(col("t").cast("double") /
+          col("w").cast("double"), 6)).as("token_fanout"))
+  }
+
   private[graft] def unigramApplyOver(docs: DataFrame, seedSize: Int,
       pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame = {
     val words = unigramWords(docs)

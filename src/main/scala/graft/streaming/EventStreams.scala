@@ -460,6 +460,38 @@ object EventStreams {
     }
   }
 
+  /** STREAMING FUNNEL WITH WILSON BANDS (`stream_funnel_ci`) — the
+    * `q_funnel_ci` per-user step flags MAINTAINED by the state store
+    * (max-of-indicator aggregates compose across micro-batches, so a
+    * user's view in batch 1 and purchase in batch 3 still funnel);
+    * the drained flags run the SAME Wilson tail as the batch key, so
+    * the batch oracle gates the streaming path end-to-end — the live
+    * funnel dashboard shape.
+    */
+  def funnelCiFromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+    val dir = graft.TempDirs.create("graft_stream_funnel_src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1") // force a cross-BATCH state carry
+      .parquet(dir.toString)
+    val flags = stream.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+    val name = nextSinkName("graft_stream_funnel")
+    withSink(spark, name) {
+      val q = flags.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.Relational.funnelCiFromFlags(
+        drainMemorySink(spark, name))
+    }
+  }
+
   private def nextSinkName(prefix: String): String =
     s"${prefix}_${sinkCounter.incrementAndGet()}"
 

@@ -640,4 +640,12 @@ class StreamingSpec extends SparkSpec {
     assert(st.exceptAll(bt).isEmpty && bt.exceptAll(st).isEmpty,
       "streaming mSPRT drifted from the batch key")
   }
+
+  test("stream funnel ci: state-store per-user flags drained through " +
+      "the shared Wilson tail equal the batch key exactly") {
+    val st = graft.streaming.EventStreams.funnelCiFromFiles(spark, sf)
+    val bt = graft.operators.Relational.funnelCi(spark, sf)
+    assert(st.exceptAll(bt).isEmpty && bt.exceptAll(st).isEmpty,
+      "streaming funnel CI drifted from the batch key")
+  }
 }
