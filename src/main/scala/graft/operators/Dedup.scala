@@ -1276,9 +1276,14 @@ object Dedup {
       // materialize ONCE: both the occurrence count and the join back
       // consume this frame, and the substring+xxhash64 projection IS
       // the operator's dominant cost — recomputing it doubled the
-      // wall time (measured ~1.7 s -> the 1.42 s floor came from a
-      // cached-footer run; this makes the single-hash-pass structural)
-      .localCheckpoint()
+      // wall time (measured ~1.7 s vs the 1.42 s cached floor; this
+      // makes the single-hash-pass structural). DISK_ONLY persist,
+      // NOT localCheckpoint: the frame is one row per corpus
+      // CHARACTER (~20x corpus bytes) — at 100 TB it must neither
+      // compete with execution memory nor cut lineage (a lost
+      // executor under localCheckpoint aborts the job; under persist
+      // the lost blocks just recompute from the parquet scan)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // positions are per-(doc,i) unique, so count-by-hash = total
     // corpus occurrences of the k-gram (within-doc repeats included);
     // partial aggregation keeps hot hashes from funneling raw rows
@@ -1354,8 +1359,11 @@ object Dedup {
         xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
       // ONE substring+xxhash64 pass feeds both the occurrence count
       // and the anchor join — the substringDedup single-hash-pass
-      // discipline
-      .localCheckpoint()
+      // discipline; DISK_ONLY persist for the same 100 TB reasons
+      // (per-character frame: keep it off the execution-memory
+      // budget, keep lineage so executor loss recomputes instead of
+      // aborting)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val keep = pos.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= maxOcc)
       .select("h")

@@ -254,21 +254,107 @@ object GraftSink {
   /** Resolve `@shard<TAB><file>` references to the data entries the
     * shard holds — shard files are immutable and hold ONLY data
     * lines, so resolution is a flatMap; markers (`#txn`, `#dv`) stay
-    * inline in the manifest and pass through untouched. Every READER
-    * resolves; writers work on raw lines so parent shards carry by
-    * reference.
+    * inline in the manifest and pass through untouched. Shard names
+    * resolve through the `#parent` chain like data files, so a
+    * shallow clone carries the parent's shards BY REFERENCE. Full
+    * resolution is a READ-path cost (the scan must hold its file
+    * list anyway); PLANNERS fold [[foldEntryBatches]] instead — the
+    * [[fullResolves]] gauge keeps them honest.
     */
   private def resolved(path: String, lines: Seq[String]): Seq[String] =
     if (!lines.exists(_.startsWith(ShardRef))) lines
-    else lines.flatMap { l =>
-      if (l.startsWith(ShardRef))
-        readLines(Paths.get(path, l.split("\t")(1)))
-      else Seq(l)
+    else {
+      fullResolves.incrementAndGet()
+      val parents = parentsOf(lines)
+      lines.flatMap { l =>
+        if (l.startsWith(ShardRef))
+          readLines(Paths.get(
+            resolveFile(path, parents, l.split("\t")(1))))
+        else Seq(l)
+      }
     }
 
   /** The shard files a raw manifest references. */
   private def shardsOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(ShardRef)).map(_.split("\t")(1))
+
+  /** Test-visible gauges for the streaming-planner contract: the
+    * largest data-entry batch any [[foldEntryBatches]] call held at
+    * once (must stay O(shard threshold), never O(#files)), and the
+    * count of full-manifest [[resolved]] expansions of SHARDED
+    * manifests (a planner that only DECIDES must never pay one).
+    */
+  val peakEntryBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+  val fullResolves = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming fold over a raw manifest's DATA entries, one bounded
+    * batch at a time: the inline tail first (≤ the shard threshold
+    * by the [[spill]] invariant), then each `@shard` file's lines —
+    * the planner-side accessor that keeps driver memory
+    * O(max batch) instead of O(#files). This is the metadata lesson
+    * of the reference's single-point merge
+    * (master_splitmerge.go:1): at the 100 TB design point (~1e5
+    * right-sized files) the RESOLVED head is the new single-point
+    * bottleneck, so OPTIMIZE / compact / vacuum / publish plan from
+    * generation-range shards without ever concatenating them.
+    */
+  private[v2] def foldEntryBatches[A](path: String, raw: Seq[String],
+      z: A)(op: (A, Seq[String]) => A): A = {
+    val parents = parentsOf(raw)
+    def record(n: Int): Unit = {
+      var cur = peakEntryBatch.get()
+      while (n > cur && !peakEntryBatch.compareAndSet(cur, n))
+        cur = peakEntryBatch.get()
+    }
+    val inline = dataLines(raw)
+    record(inline.size)
+    var acc = op(z, inline)
+    raw.foreach { l =>
+      if (l.startsWith(ShardRef)) {
+        val batch = readLines(Paths.get(
+          resolveFile(path, parents, l.split("\t")(1))))
+        record(batch.size)
+        acc = op(acc, batch)
+      }
+    }
+    acc
+  }
+
+  /** Rebuild a raw manifest WITHOUT the data entries of `drop`,
+    * shard by shard: a shard no dropped file lives in carries by
+    * reference untouched (zero rewrite — a compaction's smalls
+    * cluster in the newest generations' shards, so a 100 TB table's
+    * old full-size shards never rewrite); a hit shard spills its
+    * survivors to a fresh immutable replacement (the old shard stays
+    * for older snapshots until retention + [[vacuum]] reclaim it).
+    * `#dv` markers of dropped files go with them. Driver memory
+    * stays O(one shard).
+    */
+  private def dropEntriesStreaming(path: String, raw: Seq[String],
+      drop: Set[String]): Seq[String] = {
+    val parents = parentsOf(raw)
+    raw.flatMap { l =>
+      if (l.startsWith(ShardRef)) {
+        val batch = readLines(Paths.get(
+          resolveFile(path, parents, l.split("\t")(1))))
+        val kept = batch.filterNot(e => drop(fileOf(e)))
+        if (kept.size == batch.size) Seq(l)
+        else if (kept.isEmpty) Seq.empty
+        else {
+          val name = ShardFilePrefix +
+            java.util.UUID.randomUUID().toString.substring(0, 16)
+          Files.write(Paths.get(path, name),
+            kept.mkString("\n").getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+          Seq(s"$ShardRef$name\t${kept.size}")
+        }
+      }
+      else if (l.startsWith("#dv\t") && drop(l.split("\t")(1))) Seq.empty
+      else if (l.nonEmpty && !l.startsWith("#") && drop(fileOf(l)))
+        Seq.empty
+      else Seq(l)
+    }
+  }
 
   /** Spill a manifest's inline data entries into a fresh immutable
     * shard once they exceed `threshold` — the O(1)-growth append
@@ -677,15 +763,26 @@ object GraftSink {
     */
   def filesFor(path: String, column: String, lo: BigDecimal,
       hi: BigDecimal): (Seq[String], Int) = {
-    val entries = dataLines(resolved(path, head(path)._2))
-    val kept = entries.filter { e =>
-      statsOf(e).get(column) match {
-        case Some((mn, mx)) => !(mx < lo || mn > hi)
-        case None => true
-      }
-    }.map(fileOf)
-    (kept, entries.size)
+    val (kept, total) = entriesFor(path, head(path)._2, column, lo, hi)
+    (kept.map(fileOf), total)
   }
+
+  /** [[filesFor]] keeping the full manifest ENTRIES of the kept
+    * files (so a sub-manifest assembles without a second pass),
+    * streamed in shard-sized batches — the prune itself never holds
+    * the resolved head: O(kept) output, O(shard) working memory.
+    */
+  private def entriesFor(path: String, raw: Seq[String], column: String,
+      lo: BigDecimal, hi: BigDecimal): (Seq[String], Int) =
+    foldEntryBatches(path, raw, (Vector.empty[String], 0)) {
+      case ((kept, n), batch) =>
+        (kept ++ batch.filter { e =>
+          statsOf(e).get(column) match {
+            case Some((mn, mx)) => !(mx < lo || mn > hi)
+            case None => true
+          }
+        }, n + batch.size)
+    }
 
   /** Read only the files a `column BETWEEN lo AND hi` predicate can
     * touch (manifest zonemap pruning), then apply the predicate
@@ -697,13 +794,20 @@ object GraftSink {
       lo: BigDecimal, hi: BigDecimal,
       schema: StructType = Schema): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val lines = resolved(path, head(path)._2)
+    val raw = head(path)._2
     // zonemap stats include later-DV-deleted rows, so the kept set is
     // a superset of what the visible predicate can touch — pruning
-    // stays sound under merge-on-read deletes
-    val (files, _) = filesFor(path, column, lo, hi)
+    // stays sound under merge-on-read deletes. The sub-manifest
+    // assembles from the streamed kept entries + their inline
+    // markers; the resolved head never materializes
+    val (keptEntries, _) = entriesFor(path, raw, column, lo, hi)
+    val keptSet = keptEntries.map(fileOf).toSet
+    val subManifest = raw.filter(l =>
+      l.startsWith(ParentRef) ||
+        (l.startsWith("#dv\t") && keptSet(l.split("\t")(1)))) ++
+      keptEntries
     val dt = schema(column).dataType
-    readVisible(spark, path, restrict(lines, files.toSet), schema)
+    readVisible(spark, path, subManifest, schema)
       .filter(col(column) >= lit(lo.underlying).cast(dt)
         && col(column) <= lit(hi.underlying).cast(dt))
   }
@@ -858,10 +962,11 @@ object GraftSink {
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
-    val affectedSet = affected.toSet
-    val newLines = dropDvFor(
-      lines.filterNot(l => affectedSet(fileOf(l))), affectedSet) ++
-      sideEntries
+    // manifest rebuild streams shard-by-shard: shards the delete never
+    // touched carry by reference, so the commit's manifest work is
+    // O(affected shards), not O(table)
+    val newLines =
+      dropEntriesStreaming(path, lines0, affected.toSet) ++ sideEntries
     (deleted, affected.size, commitReplace(path, newLines, parent))
   }
 
@@ -955,7 +1060,9 @@ object GraftSink {
       dvMarker(f, dvName,
         hits(f) + dvs.get(f).map(_._2).getOrElse(0L))
     }
-    val newLines = dropDvFor(lines, affected.toSet) ++ markers
+    // MoR never drops data entries — only the affected files' #dv
+    // markers swap (inline), so raw lines keep every shard ref as-is
+    val newLines = dropDvFor(lines0, affected.toSet) ++ markers
     (deleted, affected.size, commitReplace(path, newLines, parent))
   }
 
@@ -987,27 +1094,40 @@ object GraftSink {
     */
   def compact(spark: SparkSession, path: String, targetRows: Long,
       schema: StructType = Schema): (Int, Int, Int) = {
-    val (parent, lines0) = head(path)
-    val lines = resolved(path, lines0)
-    val entries = dataLines(lines)
-    val small = entries.filter(_.split("\t")(1).toLong < targetRows)
-    if (small.size <= 1) return (entries.size, entries.size, parent)
+    val (parent, raw) = head(path)
+    // STREAMING pre-flight: one generation-range pass over the
+    // manifest's entry batches collects ONLY the small files (the
+    // rewrite's inherent working set) — never the resolved head,
+    // which at the 100 TB design point is the driver's ceiling
+    val (nEntries, smallRev) =
+      foldEntryBatches(path, raw, (0, List.empty[String])) {
+        case ((n, acc), batch) =>
+          (n + batch.size, batch.foldLeft(acc)((a, e) =>
+            if (e.split("\t")(1).toLong < targetRows) e :: a else a))
+      }
+    val small = smallRev.reverse
+    if (small.size <= 1) return (nEntries, nEntries, parent)
     val totalRows = small.map(_.split("\t")(1).toLong).sum
     val nBins = math.max(1,
       math.ceil(totalRows.toDouble / targetRows).toInt)
     val side = graft.TempDirs.create("graft_sink_compact").toString
     val smallSet = small.map(fileOf).toSet
     // visible rows only: compacting a delete-vectored small file
-    // purges its vector physically (marker dropped below)
-    readVisible(spark, path, restrict(lines, smallSet), schema)
+    // purges its vector physically (marker dropped below). The
+    // sub-manifest is assembled from the collected small entries plus
+    // their inline markers — no full resolution
+    val subManifest = raw.filter(l =>
+      l.startsWith(ParentRef) ||
+        (l.startsWith("#dv\t") && smallSet(l.split("\t")(1)))) ++ small
+    readVisible(spark, path, subManifest, schema)
       .repartition(nBins)
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
-    val newLines = dropDvFor(
-      lines.filterNot(l => smallSet(fileOf(l))), smallSet) ++ sideEntries
+    val newLines =
+      dropEntriesStreaming(path, raw, smallSet) ++ sideEntries
     val gen = commitReplace(path, newLines, parent)
-    (entries.size, entries.size - small.size + sideEntries.size, gen)
+    (nEntries, nEntries - small.size + sideEntries.size, gen)
   }
 
   /** CLUSTERING maintenance: rewrite the ENTIRE live content
@@ -1031,18 +1151,21 @@ object GraftSink {
     */
   def clusterByExpr(spark: SparkSession, path: String, key: Column,
       nFiles: Int, schema: StructType = Schema): Int = {
-    val (parent, lines0) = head(path)
-    val lines = resolved(path, lines0)
+    val (parent, raw) = head(path)
     val side = graft.TempDirs.create("graft_sink_cluster").toString
-    // a full rewrite purges every delete vector physically
-    readVisible(spark, path, lines, schema)
+    // a full rewrite purges every delete vector physically; the READ
+    // resolves (the scan must hold its file list), but the new
+    // manifest is just the raw MARKERS (minus every #dv — all vectors
+    // pointed at replaced files) + the side entries: old data lines
+    // and shard refs fall out wholesale, O(inline + shards) work
+    readVisible(spark, path, resolved(path, raw), schema)
       .repartitionByRange(nFiles, key)
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
-    val old = dataLines(lines).map(fileOf).toSet
     commitReplace(path,
-      dropDvFor(lines.filterNot(l => old(fileOf(l))), old) ++ sideEntries,
+      raw.filter(l => l.startsWith("#") && !l.startsWith("#dv\t")) ++
+        sideEntries,
       parent)
   }
 
@@ -1092,26 +1215,59 @@ object GraftSink {
     */
   def optimize(spark: SparkSession, path: String, dims: Seq[String],
       targetFiles: Int = 8, schema: StructType = Schema): OptimizeReport = {
-    val (parent, lines0) = head(path)
-    val lines = resolved(path, lines0)
-    val entries = dataLines(lines)
-    val nFiles = entries.size
-    def spansOf(dim: String) = entries.flatMap(e => statsOf(e).get(dim))
+    val (parent, raw) = head(path)
+    // STREAMING decide: two generation-range passes over the entry
+    // batches — pass 1 the per-dim global extremes + counts + total
+    // rows, pass 2 the span fractions against the pass-1 widths —
+    // never the resolved head (O(#files) driver lines at 100 TB)
+    var nFiles = 0
+    var totalRows = 0L
+    val loB = scala.collection.mutable.Map.empty[String, BigDecimal]
+    val hiB = scala.collection.mutable.Map.empty[String, BigDecimal]
+    val statCnt = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    foldEntryBatches(path, raw, ()) { (_, batch) =>
+      batch.foreach { e =>
+        nFiles += 1
+        totalRows += e.split("\t")(1).toLong
+        val st = statsOf(e)
+        dims.foreach { d =>
+          st.get(d).foreach { case (mn, mx) =>
+            statCnt(d) += 1
+            loB(d) = loB.get(d).fold(mn)(_.min(mn))
+            hiB(d) = hiB.get(d).fold(mx)(_.max(mx))
+          }
+        }
+      }
+    }
+    val widths = dims.flatMap(d =>
+      loB.get(d).map(l => d -> (hiB(d) - l))).toMap
+    val fracSum = scala.collection.mutable.Map
+      .empty[String, BigDecimal].withDefaultValue(BigDecimal(0))
+    if (widths.values.exists(_.signum != 0))
+      foldEntryBatches(path, raw, ()) { (_, batch) =>
+        batch.foreach { e =>
+          val st = statsOf(e)
+          dims.foreach { d =>
+            widths.get(d).foreach { w =>
+              if (w.signum != 0)
+                st.get(d).foreach { case (mn, mx) =>
+                  fracSum(d) += (mx - mn) / w
+                }
+            }
+          }
+        }
+      }
     def avgSpanFrac(dim: String): Double = {
-      val spans = spansOf(dim)
-      if (spans.isEmpty) 1.0 // no stats anywhere: must assume dispersed
+      if (statCnt(dim) == 0) 1.0 // no stats anywhere: assume dispersed
       else {
-        val lo = spans.map(_._1).min
-        val hi = spans.map(_._2).max
-        val width = hi - lo
         // a file that carries NO zonemap for the dim counts as fully
         // dispersed (frac 1.0) — dropping it from the average would
         // let a mostly-stats-less store read as healthy off a tiny
         // stats-bearing minority
-        val missing = (nFiles - spans.size).toDouble
-        if (width.signum == 0) missing / nFiles
-        else (spans.map(s => (s._2 - s._1) / width).sum.toDouble +
-          missing) / nFiles
+        val missing = (nFiles - statCnt(dim)).toDouble
+        if (widths(dim).signum == 0) missing / nFiles
+        else (fracSum(dim).toDouble + missing) / nFiles
       }
     }
     val dispersed =
@@ -1127,7 +1283,6 @@ object GraftSink {
       else "none"
     val gen = decision match {
       case "compact" =>
-        val totalRows = entries.map(_.split("\t")(1).toLong).sum
         compact(spark, path,
           math.max(1L, (totalRows + targetFiles - 1) / targetFiles),
           schema)._3
@@ -1135,7 +1290,7 @@ object GraftSink {
         // dim shifts into 11 bits from the manifest's OWN global max —
         // still zero data reads to plan
         def shiftFor(dim: String): Int = {
-          val mx = spansOf(dim).map(_._2).max.toLong
+          val mx = hiB(dim).toLong
           math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(mx) - 11)
         }
         import org.apache.spark.sql.functions.{col, shiftright}
@@ -1194,10 +1349,9 @@ object GraftSink {
       .write.format("graft.sources.v2.GraftSinkSource")
       .option("path", side).mode("append").save()
     val sideEntries = adoptSideFiles(side, path)
-    val affectedSet = affected.toSet
     val gen = commitReplace(path,
-      dropDvFor(lines.filterNot(l => affectedSet(fileOf(l))),
-        affectedSet) ++ sideEntries, parent)
+      dropEntriesStreaming(path, lines0, affected.toSet) ++ sideEntries,
+      parent)
     (replaced, inserted, gen)
   }
 
@@ -1273,7 +1427,23 @@ object GraftSink {
     * append/delete/compact/merge trail starts from.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
-    val vs = versions(path)
+    val raws = versions(path).map(g =>
+      (g, readLines(Paths.get(path, s"$VersionPrefix$g"))))
+    // TWO REGIMES, one contract: a table that never sharded has
+    // every manifest inline — ≤ the shard threshold lines by the
+    // [[spill]] invariant — so driver accounting is bounded and
+    // cheap. A SHARDED table (the 100 TB regime) is exactly where
+    // per-generation file lists stop fitting the driver, so the
+    // accounting goes DISTRIBUTED: shard files read through Spark,
+    // deltas via a generation-shifted join — the metadata plane
+    // processed like the data plane.
+    if (raws.forall(!_._2.exists(_.startsWith(ShardRef))))
+      historyInline(spark, raws)
+    else historySharded(spark, path, raws)
+  }
+
+  private def historyInline(spark: SparkSession,
+      raws: Seq[(Int, Seq[String])]): DataFrame = {
     // accounting is in VISIBLE rows per file (listed minus delete-
     // vectored): a merge-on-read delete surfaces as rows_removed even
     // though the file list is unchanged, and a rewritten DV'd file's
@@ -1285,17 +1455,14 @@ object GraftSink {
         f -> (e.split("\t")(1).toLong - dv.get(f).map(_._2).getOrElse(0L))
       }.toMap
     }
-    val rows = vs.map { g =>
-      val lines = resolved(path,
-        readLines(Paths.get(path, s"$VersionPrefix$g")))
-      (g, lines)
-    }
-    val out = rows.zipWithIndex.map { case ((g, lines), i) =>
+    // only cur + prev live at once — never every generation's map
+    var prevMap: Map[String, Long] = Map.empty
+    val out = raws.zipWithIndex.map { case ((g, lines), i) =>
       val cur = visMap(lines)
       // deltas are only knowable against a PRESENT parent: gen 1's
       // parent is the empty store; an expired parent means unknown
       val prev: Option[Map[String, Long]] =
-        if (i > 0) Some(visMap(rows(i - 1)._2))
+        if (i > 0) Some(prevMap)
         else if (g == 1) Some(Map.empty[String, Long])
         else None
       val addedRows = prev.map(pr => cur.iterator.map { case (f, n) =>
@@ -1304,12 +1471,106 @@ object GraftSink {
       val removedRows = prev.map(pr => pr.iterator.map { case (f, n) =>
         math.max(0L, n - cur.getOrElse(f, 0L))
       }.sum)
+      prevMap = cur
       (g.toLong, cur.values.sum, addedRows, removedRows,
         cur.size.toLong, lines.count(_.startsWith("#txn\t")).toLong)
     }
     import spark.implicits._
     out.toDF("generation", "n_rows", "rows_added", "rows_removed",
       "n_files", "n_txn")
+  }
+
+  /** DESCRIBE HISTORY for the sharded regime: per generation the
+    * driver holds only the RAW manifest (O(inline + shards) lines);
+    * the per-file visible-row accounting runs in Spark over the
+    * shard files themselves, and the add/remove deltas come from a
+    * full-outer join of each generation's file set with its retained
+    * parent's. At 1e5 files × many retained generations nothing of
+    * that size ever sits on the driver.
+    */
+  private def historySharded(spark: SparkSession, path: String,
+      raws: Seq[(Int, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vs = raws.map(_._1)
+    val spine = raws.zipWithIndex.map { case ((g, raw), i) =>
+      (g.toLong, raw.count(_.startsWith("#txn\t")).toLong,
+        if (i > 0) "known" else if (g == 1) "empty" else "unknown")
+    }.toDF("generation", "n_txn", "parent_kind")
+    // shard files carry the entry lists; hard-link them under
+    // non-underscore names (Hadoop's hidden-file filter drops
+    // `_SHARD.*` paths even when named explicitly) and read them
+    // through Spark — a shard two generations share is read ONCE and
+    // attributed to both via the tiny (link, generation) table
+    val linkDir = graft.TempDirs.create("graft_sink_history")
+    val refs: Seq[(Long, String)] = raws.flatMap { case (g, raw) =>
+      val parents = parentsOf(raw)
+      shardsOf(raw).map(s => (g.toLong, resolveFile(path, parents, s)))
+    }
+    val linkOf = refs.map(_._2).distinct.zipWithIndex.map {
+      case (p, i) =>
+        val name = s"shard-$i.tsv"
+        val link = linkDir.resolve(name)
+        try Files.createLink(link, Paths.get(p))
+        catch { // cross-device: shards are bounded, copying is fine
+          case _: Exception => Files.copy(Paths.get(p), link)
+        }
+        p -> name
+    }.toMap
+    val linkGen = refs.map { case (g, p) => (linkOf(p), g) }
+      .toDF("__ln", "generation")
+    val shardEntries =
+      spark.read.text(linkOf.values.map(n =>
+          linkDir.resolve(n).toString).toSeq: _*)
+        .select(col("_metadata.file_name").as("__ln"), col("value"))
+        .join(broadcast(linkGen), "__ln")
+        .select(col("generation"), col("value").as("entry"))
+    // inline tails are ≤ the shard threshold per generation by the
+    // spill invariant — bounded, so they parallelize from the driver
+    val inline = raws.flatMap { case (g, raw) =>
+      dataLines(raw).map(e => (g.toLong, e))
+    }.toDF("generation", "entry")
+    val dv = raws.flatMap { case (g, raw) =>
+      dvOf(raw).iterator.map { case (f, (_, n)) => (g.toLong, f, n) }
+    }.toDF("generation", "file", "dv_rows")
+    val perFile = shardEntries.unionByName(inline)
+      .select(col("generation"),
+        split(col("entry"), "\t").getItem(0).as("file"),
+        split(col("entry"), "\t").getItem(1).cast("long").as("rows"))
+      .join(dv, Seq("generation", "file"), "left")
+      .select(col("generation"), col("file"),
+        (col("rows") - coalesce(col("dv_rows"), lit(0L))).as("vis"))
+    val base = perFile.groupBy("generation").agg(
+      sum(col("vis")).as("b_rows"), count(lit(1)).as("b_files"))
+    val prevDF = vs.zipWithIndex.collect {
+      case (g, i) if i > 0 => (g.toLong, vs(i - 1).toLong)
+    }.toDF("generation", "pg")
+    val curSide = perFile.join(broadcast(prevDF), Seq("generation"))
+      .select(col("generation"), col("file"), col("vis"))
+    val prevSide = broadcast(prevDF)
+      .join(perFile.select(col("generation").as("pg"), col("file"),
+        col("vis").as("pvis")), Seq("pg"))
+      .select(col("generation"), col("file"), col("pvis"))
+    val diff = curSide.join(prevSide, Seq("generation", "file"), "full")
+      .groupBy("generation").agg(
+        sum(greatest(coalesce(col("vis"), lit(0L)) -
+          coalesce(col("pvis"), lit(0L)), lit(0L))).as("d_add"),
+        sum(greatest(coalesce(col("pvis"), lit(0L)) -
+          coalesce(col("vis"), lit(0L)), lit(0L))).as("d_rem"))
+    spine.join(base, Seq("generation"), "left")
+      .join(diff, Seq("generation"), "left")
+      .select(col("generation"),
+        coalesce(col("b_rows"), lit(0L)).as("n_rows"),
+        when(col("parent_kind") === "empty",
+          coalesce(col("b_rows"), lit(0L)))
+          .when(col("parent_kind") === "known",
+            coalesce(col("d_add"), lit(0L))).as("rows_added"),
+        when(col("parent_kind") === "empty", lit(0L))
+          .when(col("parent_kind") === "known",
+            coalesce(col("d_rem"), lit(0L))).as("rows_removed"),
+        coalesce(col("b_files"), lit(0L)).as("n_files"),
+        col("n_txn"))
+      .orderBy(col("generation"))
   }
 
   /** ROLLBACK (RESTORE): publish a NEW generation whose manifest is a
@@ -1387,17 +1648,21 @@ object GraftSink {
     require(versions(clonePath).isEmpty &&
         !Files.exists(Paths.get(clonePath, ManifestName)),
       s"$clonePath already holds a committed table")
-    val pLines = resolved(parentPath, pLines0)
     val parentAbs =
       Paths.get(parentPath).toAbsolutePath.normalize.toString
     // local-first resolution order: this parent, then ITS chain
-    val chain = (parentAbs +: parentsOf(pLines)).distinct
+    val chain = (parentAbs +: parentsOf(pLines0)).distinct
     // NOT inherited alongside #txn: the parent's #tag markers — a
     // tag's generation number indexes the PARENT's history, so on the
     // clone it would resolve against the clone's own generations
     // (wrong snapshot, or a no-such-generation failure) and exempt
-    // the wrong numbers from the clone's vacuum
-    val lines = pLines.filterNot(l =>
+    // the wrong numbers from the clone's vacuum.
+    // RAW parent lines: the parent's `@shard` refs carry BY
+    // REFERENCE through the `#parent` chain like data files, so a
+    // clone of a 100 TB table is O(inline + shards) manifest lines —
+    // zero-copy for the metadata plane too, the same caveat as data
+    // (vacuum on the parent invalidates clones)
+    val lines = pLines0.filterNot(l =>
       l.startsWith("#txn\t") || l.startsWith(TagRef) ||
         l.startsWith(ParentRef) ||
         l.startsWith(ParentGenRef)) ++
@@ -1434,8 +1699,8 @@ object GraftSink {
     */
   def publishClone(parentPath: String, clonePath: String): Int = {
     val (pGen, _) = head(parentPath)
-    val cLines = resolved(clonePath, head(clonePath)._2)
-    val recorded = parentGenOf(cLines).getOrElse(
+    val cRaw = head(clonePath)._2
+    val recorded = parentGenOf(cRaw).getOrElse(
       throw new IllegalArgumentException(
         s"$clonePath carries no #parentgen marker — not a clone"))
     if (pGen != recorded)
@@ -1450,18 +1715,28 @@ object GraftSink {
     // leave the files unreferenced in the parent, where a later
     // vacuum(parent) silently destroys them (UUID/job-tagged names
     // cannot clobber; REPLACE_EXISTING makes a crashed earlier
-    // attempt's identical leftover harmless)
-    val names = dataLines(cLines).map(fileOf) ++
-      dvOf(cLines).values.map(_._1) ++ bloomOf(cLines).values.map(_._1)
-    val staged = names.flatMap { f =>
+    // attempt's identical leftover harmless). Names STREAM in
+    // shard-sized batches and only locally-present ones copy, so the
+    // publish costs O(branch divergence) — names the branch merely
+    // inherits (data files AND shards living in the parent dir)
+    // contribute one existence check each, never a copy
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[(Path, Path)]
+    def adopt(f: String): Unit = {
       val local = Paths.get(clonePath, f)
       if (Files.exists(local)) {
         Files.copy(local, Paths.get(parentPath, f),
           StandardCopyOption.REPLACE_EXISTING)
-        Some((local, Paths.get(parentPath, f)))
-      } else None
+        staged += ((local, Paths.get(parentPath, f)))
+      }
     }
-    val published = cLines.filterNot { l =>
+    foldEntryBatches(clonePath, cRaw, ())((_, batch) =>
+      batch.foreach(e => adopt(fileOf(e))))
+    (dvOf(cRaw).values.map(_._1) ++ bloomOf(cRaw).values.map(_._1) ++
+      shardsOf(cRaw)).foreach(adopt)
+    // RAW branch lines publish: shard refs the branch inherited or
+    // spilled locally both resolve under the parent after adoption
+    val published = cRaw.filterNot { l =>
       l.startsWith(ParentGenRef) ||
         (l.startsWith(ParentRef) &&
           l.substring(ParentRef.length) == parentAbs)
@@ -1480,10 +1755,14 @@ object GraftSink {
           // is data loss.
           val liveNow: Option[Set[String]] =
             try {
-              val now = resolved(parentPath, head(parentPath)._2)
-              Some((dataLines(now).map(fileOf) ++
-                dvOf(now).values.map(_._1) ++
-                bloomOf(now).values.map(_._1)).toSet)
+              val now = head(parentPath)._2
+              val s = scala.collection.mutable.HashSet.empty[String]
+              foldEntryBatches(parentPath, now, ())((_, batch) =>
+                batch.foreach(e => s += fileOf(e)))
+              dvOf(now).values.foreach(s += _._1)
+              bloomOf(now).values.foreach(s += _._1)
+              shardsOf(now).foreach(s += _)
+              Some(s.toSet)
             } catch { case _: Throwable => None }
           liveNow.foreach { live =>
             staged.foreach { case (_, p) =>
@@ -1753,16 +2032,23 @@ object GraftSink {
     // masks/lists (deleting either would resurrect rows or lose the
     // listing); a bloom sidecar must live as long as any retained
     // snapshot's reads may plan through it
-    def refsOf(raw: Seq[String]): Seq[String] = {
-      val lines = resolved(path, raw)
-      dataLines(lines).map(fileOf) ++ dvOf(lines).values.map(_._1) ++
-        shardsOf(raw) ++ bloomOf(lines).values.map(_._1)
+    // the referenced set streams in shard-sized batches per retained
+    // generation — a name a prior generation already contributed
+    // dedups into the ONE set (O(distinct live files): the inherent
+    // working set of an exact vacuum — ~4 MB of names at the 100 TB
+    // design point — never the O(#gens × #files) concatenation)
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    def addRefs(raw: Seq[String]): Unit = {
+      foldEntryBatches(path, raw, ())((_, batch) =>
+        batch.foreach(e => referenced += fileOf(e)))
+      dvOf(raw).values.foreach(referenced += _._1)
+      bloomOf(raw).values.foreach(referenced += _._1)
+      shardsOf(raw).foreach(referenced += _)
     }
-    val referenced: Set[String] =
-      (if (retained.nonEmpty)
-        retained.flatMap(g =>
-          refsOf(readLines(Paths.get(path, s"$VersionPrefix$g"))))
-      else refsOf(readLines(live))).toSet
+    if (retained.nonEmpty)
+      retained.foreach(g =>
+        addRefs(readLines(Paths.get(path, s"$VersionPrefix$g"))))
+    else addRefs(readLines(live))
     var dataDeleted = 0
     var manifestsExpired = 0
     val horizon = System.currentTimeMillis() - minAgeMs

@@ -273,4 +273,32 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"no codegen stages in:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("round-17: the substring families' per-character position " +
+      "frame persists DISK_ONLY with lineage intact — no " +
+      "localCheckpoint RDD scan (executor loss recomputes instead " +
+      "of aborting; the ~20x-corpus scratch stays off the execution-" +
+      "memory budget)") {
+    for (df <- Seq(Dedup.substringSpans(spark, sf),
+        Dedup.substringDedup(spark, sf))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("InMemoryRelation"),
+        s"position frame not persisted:\n$opt")
+      assert(opt.contains("StorageLevel(disk, 1 replicas)"),
+        s"position frame not DISK_ONLY:\n$opt")
+      assert(!opt.contains("LogicalRDD"),
+        s"lineage-cutting localCheckpoint back in the plan:\n$opt")
+    }
+  }
+
+  test("round-17 sink planner keys keep the plan discipline: the " +
+      "optimize report and the streaming write-audit-publish answer " +
+      "without cartesians (their 1-row scalar attaches broadcast)") {
+    val so = plan(graft.sources.Formats.sinkOptimizeReport(spark, sf))
+    assert(!so.contains("CartesianProduct"),
+      s"cartesian in the optimize report:\n$so")
+    val wap = plan(graft.streaming.EventStreams.sinkWap(spark, sf))
+    assert(!wap.contains("CartesianProduct"),
+      s"cartesian in the WAP readback:\n$wap")
+  }
 }

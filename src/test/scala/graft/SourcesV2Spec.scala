@@ -1572,4 +1572,102 @@ class SourcesV2Spec extends SparkSpec {
     assert(fold.filter(_._2 != 0).keys.toSeq.sorted ==
       Seq(1L, 3L, 4L, 5L, 7L, 8L))
   }
+
+  test("dsv2 sink planners stream generation-range shards: optimize " +
+      "decides, compact rewrites, history accounts and vacuum sweeps " +
+      "a sharded store from bounded entry batches — the resolved " +
+      "head NEVER materializes on the driver") {
+    import graft.sources.v2.GraftSink
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val dir = graft.TempDirs.create("graft_sink_streamplan").toString
+    // 4 appends × 16 files of 16 rows = 64 entries at threshold 8:
+    // each commit spills one 16-entry shard, the inline tail stays ≤ 8
+    (0 until 4).foreach { g =>
+      spark.range(g * 256, (g + 1) * 256)
+        .select(col("id").as("doc_id"), col("id").as("n_chars"))
+        .repartition(16).write
+        .format("graft.sources.v2.GraftSinkSource")
+        .option("path", dir).option("shardThreshold", "8")
+        .mode("append").save()
+    }
+    GraftSink.peakEntryBatch.set(0)
+    val resolves0 = GraftSink.fullResolves.get()
+    // OPTIMIZE: 64 files > CompactFileBudget → decides compact and
+    // EXECUTES it — decide phase folds entry batches, execute reads
+    // only the affected files' sub-manifest
+    val rep = GraftSink.optimize(spark, dir, Seq("doc_id"), 8, schema)
+    assert(rep.decision == "compact" && rep.nFilesBefore == 64)
+    // HISTORY on the sharded store: the distributed accounting path
+    // (shard files read through Spark, deltas via a gen-shifted join)
+    val h = GraftSink.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(h.toSeq == Seq(
+      (1L, 256L, 256L, 0L, 16L), (2L, 512L, 256L, 0L, 32L),
+      (3L, 768L, 256L, 0L, 48L), (4L, 1024L, 256L, 0L, 64L),
+      // the compaction generation: full file-level churn, same rows
+      (5L, 1024L, 1024L, 1024L, 8L)),
+      s"history mismatch: ${h.toSeq}")
+    // VACUUM: the referenced set streams per retained generation
+    val (dataDeleted, expired) = GraftSink.vacuum(dir, 1)
+    assert(expired == 4, s"expired=$expired")
+    assert(dataDeleted >= 64, s"dataDeleted=$dataDeleted")
+    assert(GraftSink.readBack(spark, dir, schema)
+      .agg(count(lit(1)), sum(col("n_chars"))).head() match {
+        case r => r.getLong(0) == 1024L && r.getLong(1) == 523776L
+      })
+    // THE CONTRACT: none of the above expanded a sharded manifest on
+    // the driver, and no streamed batch exceeded one commit's spill
+    // (16 entries) — at 1e5 files the planners would still hold
+    // O(shard) lines, not O(#files)
+    assert(GraftSink.fullResolves.get() == resolves0,
+      "a planner materialized the resolved head")
+    assert(GraftSink.peakEntryBatch.get() <= 16,
+      s"entry batch ballooned: ${GraftSink.peakEntryBatch.get()}")
+  }
+
+  test("dsv2 sink shallow clone carries parent shards BY REFERENCE " +
+      "and publishClone adopts only the branch divergence") {
+    import graft.sources.v2.GraftSink
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val parent = graft.TempDirs.create("graft_sink_cloneref_p").toString
+    val branch =
+      graft.TempDirs.create("graft_sink_cloneref_b").toString + "/t"
+    spark.range(0, 64)
+      .select(col("id").as("doc_id"), col("id").as("n_chars"))
+      .repartition(16).write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", parent).option("shardThreshold", "4")
+      .mode("append").save()
+    GraftSink.cloneShallow(parent, branch)
+    // zero-copy for METADATA too: the clone directory holds no local
+    // shard files — the parent's `@shard` refs resolve through the
+    // `#parent` chain
+    val cloneRaw = GraftSink.head(branch)._2
+    assert(cloneRaw.exists(_.startsWith("@shard\t")),
+      "clone must inherit the parent's shard refs by reference")
+    val s0 = Files.list(Paths.get(branch))
+    val local = try s0.iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_SHARD."))
+      .toSeq finally s0.close()
+    assert(local.isEmpty, s"clone localized shards: $local")
+    assert(GraftSink.readBack(spark, branch, schema).count() == 64)
+    // diverge the branch, then publish: only the divergence copies
+    spark.range(1000, 1016)
+      .select(col("id").as("doc_id"), col("id").as("n_chars"))
+      .write.format("graft.sources.v2.GraftSinkSource")
+      .option("path", branch).mode("append").save()
+    GraftSink.publishClone(parent, branch)
+    val back = GraftSink.readBack(spark, parent, schema)
+    assert(back.count() == 80)
+    assert(back.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head().getLong(0) == (0L until 64L).sum + (1000L until 1016L).sum)
+  }
 }
