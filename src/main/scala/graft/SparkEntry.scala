@@ -542,6 +542,7 @@ object SparkEntry {
     // artifacts only (exact IVF payload -> same oracle as ann_ivf;
     // the PQ variant is rows-gated like the rest of the Lloyd family)
     "ann_persisted" -> ((s, d) => AnnIndex.annPersisted(s, d)),
+    "ann_persisted_nsw" -> ((s, d) => AnnIndex.annPersistedNsw(s, d)),
     "ann_persisted_pq" -> ((s, d) => AnnIndex.annPersistedPq(s, d)),
     "ann_index_stats" -> ((s, d) => AnnIndex.indexStats(s, d)),
     "ann_maintain" -> ((s, d) => AnnIndex.annMaintain(s, d)),
@@ -9928,6 +9929,9 @@ object SparkEntry {
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_nsw" -> annIvfNswOracle,
+    // the persisted round trip serves exact payload through the same
+    // centroid/graph/rank dag — one oracle gates both keys
+    "ann_persisted_nsw" -> annIvfNswOracle,
     // embedding outliers: own-centroid cosine (explicit /norm/cnorm
     // divisions over list_dot_product), bottom-k per cell
     "q_embed_outliers" ->

@@ -130,6 +130,90 @@ object AnnIndex {
     queryIvf(spark, dir, Similarity.queryBatch(all, nQueries), k)
   }
 
+  // ---- NSW layer: persisted centroid graph (oracle-gated) -----------
+
+  /** Build the NAVIGABLE layer next to the centroids: per centroid
+    * its [[Similarity.NswDegree]] nearest other centroids by exact
+    * cosine, ONE #cells × degree parquet at `dir/nsw` — the
+    * serving-side twin of `ann_ivf_nsw`'s inline graph
+    * (Similarity.scala:466-478), built once per (re)build instead of
+    * per query. The pair ranking is the identical TopKPerKey
+    * ordering (gcos desc, nid asc), so the persisted graph cannot
+    * drift from the one-shot operator's.
+    */
+  def buildNsw(spark: SparkSession, dir: String): Unit = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val c2 = cent.select(col("cid").as("nid"), col("cv").as("nv"),
+      col("cnorm").as("nnorm"))
+    val cpairs = cent.join(broadcast(c2), col("cid") =!= col("nid"))
+      .withColumn("gcos",
+        dot_product(col("cv"), col("nv")) / col("cnorm") / col("nnorm"))
+    graft.plans.TopKPerKey(
+        cpairs.select(col("cid"), col("nid"), col("gcos")),
+        Seq("cid"), Seq(("gcos", true), ("nid", false)),
+        Similarity.NswDegree)
+      .select(col("cid"), col("nid"))
+      .write.mode("overwrite").parquet(s"$dir/nsw")
+  }
+
+  /** Serve NSW-refined top-k from artifacts ONLY: the [[queryIvf]]
+    * probe ranking expanded with the PERSISTED graph's neighbors of
+    * each query's entry cell (one greedy hop — the HNSW layer-descent
+    * step), then the same DPP-pruned codes join and bounded rank
+    * tail. Candidates are a strict superset of [[queryIvf]]'s, so
+    * per-query recall can only improve — and because centroids,
+    * graph, ranking and payload are all exact twins of
+    * [[Similarity.annIvfNsw]]'s dag, the round trip reproduces its
+    * oracle-checked answer bit-for-bit (the same DuckDB SQL gates
+    * both keys).
+    */
+  def queryIvfNsw(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = Similarity.IvfProbes): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val graph = spark.read.parquet(s"$dir/nsw")
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val ranked = queries.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("qv"), col("cv")) / col("qnorm") / col("cnorm"))
+      .select(col("query_id"), col("cid"),
+        row_number().over(byQ).as("crank"))
+      .filter(col("crank") <= nProbe)
+    val hop = ranked.filter(col("crank") === 1)
+      .join(broadcast(graph), "cid")
+      .select(col("query_id"), col("nid").as("cid"))
+    val probes = ranked.select("query_id", "cid")
+      .unionByName(hop).distinct()
+      .join(queries, "query_id")
+      .select(col("cid"), col("query_id"), col("qv"), col("qnorm"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val scored = codes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"))
+  }
+
+  /** Gated entry (`ann_persisted_nsw`): build the IVF artifacts AND
+    * the navigable layer into a run-scoped dir, then answer the
+    * standard first-20-query workload from the artifacts alone —
+    * `ann_ivf_nsw`'s oracle gates the round trip (exact payload,
+    * identical graph/probe/rank dag). The build → append → query
+    * lifecycle is spec-pinned in AnnIndexSpec like [[annPersisted]]'s.
+    */
+  def annPersistedNsw(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 20): DataFrame = {
+    val all = Similarity.vecs(spark, sfDir)
+    val dir = TempDirs.create("graft_ann_nsw").toString
+    buildIvf(all, dir)
+    buildNsw(spark, dir)
+    queryIvfNsw(spark, dir, Similarity.queryBatch(all, nQueries), k)
+  }
+
   /** Serve RANGE (radius) search from IVF artifacts ONLY — the
     * persisted twin of [[Similarity.annRangeSearch]], completing the
     * artifact store's query surface (top-k, filtered, and now

@@ -196,4 +196,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(oneShot.except(fromArtifacts).isEmpty
       && fromArtifacts.except(oneShot).isEmpty)
   }
+
+  test("persisted NSW layer: the round trip reproduces one-shot " +
+      "ann_ivf_nsw bit-for-bit, per-query recall dominates plain " +
+      "persisted IVF (probe superset), and build -> append -> query " +
+      "serves from the frozen graph like a full build") {
+    val res = AnnIndex.annPersistedNsw(spark, sf).cache()
+    assert(res.count() > 0)
+    val oneShot = Similarity.annIvfNsw(spark, sf)
+    assert(res.except(oneShot).isEmpty && oneShot.except(res).isEmpty)
+    // recall floor >= the plain persisted-IVF floor: same artifacts,
+    // brute-force truth, per-query hit counts
+    val all = corpus()
+    val dir = TempDirs.create("graft_ann_nsw_cmp").toString
+    AnnIndex.buildIvf(all, dir)
+    AnnIndex.buildNsw(spark, dir)
+    val brute = Similarity.annTopkBrute(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      brute.intersect(df.select(col("query_id"), col("neighbor_id")))
+        .groupBy("query_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = hits(AnnIndex.queryIvf(spark, dir, queries(all, 20)))
+    val nsw = hits(AnnIndex.queryIvfNsw(spark, dir, queries(all, 20)))
+    (0L until 20L).foreach { q =>
+      assert(nsw.getOrElse(q, 0L) >= plain.getOrElse(q, 0L),
+        s"persisted NSW lost recall on query $q")
+    }
+    val meanNsw = (0L until 20L).map(q => nsw.getOrElse(q, 0L)).sum / 200.0
+    assert(meanNsw >= 0.5, f"persisted NSW mean recall: $meanNsw%.3f")
+    brute.unpersist()
+    // lifecycle: build(half) + append(half) under the frozen codebook
+    // AND graph answers exactly like the full build (the centroid
+    // graph depends only on the codebook, which append never moves)
+    val mid = 100L
+    val dirIncr = TempDirs.create("graft_ann_nsw_incr").toString
+    AnnIndex.buildIvf(all.filter(col("vec_id") < mid), dirIncr)
+    AnnIndex.buildNsw(spark, dirIncr)
+    AnnIndex.appendIvf(spark, all.filter(col("vec_id") >= mid), dirIncr)
+    val incr = AnnIndex.queryIvfNsw(spark, dirIncr, queries(all, 10), k = 5)
+    val full = AnnIndex.queryIvfNsw(spark, dir, queries(all, 10), k = 5)
+    assert(incr.count() > 0)
+    assert(incr.except(full).isEmpty && full.except(incr).isEmpty)
+    res.unpersist()
+  }
 }
