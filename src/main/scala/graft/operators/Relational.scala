@@ -2742,29 +2742,56 @@ object Relational {
       lit(rounds.toLong).as("n_rounds"), lit(converged).as("converged"))
   }
 
+  /** Memoized HITS edge table per (session, sfDir): `q_hits`, the
+    * convergence-mode twin, and the certificate spec's fixed unrolls
+    * all iterate the IDENTICAL distinct (customer, part) graph, so
+    * one session builds it once — the graph is the train-once
+    * artifact here, exactly like the unigram vocabulary (at 100 TB a
+    * production HITS persists this edge list and every run reloads
+    * it).
+    */
+  private val hitsEdgeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def hitsEdges(spark: SparkSession, sfDir: String): DataFrame =
+    hitsEdgeMemo.computeIfAbsent((spark, sfDir), _ =>
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint())
+
   private[graft] def hitsRun(spark: SparkSession, sfDir: String,
       maxRounds: Int, eps: Option[Double]): (DataFrame, Int, Boolean) = {
     val d289 = DecimalType(28, 9)
-    val edges = Tables.lineitem(spark, sfDir)
-      .join(Tables.orders(spark, sfDir),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint()
-    // one normalized half-step: sum the 9-decimal scores of the
-    // opposite side IN DECIMAL, divide by the L1 total, round 9
-    def halfStep(scores: DataFrame, keyIn: String, keyOut: String)
-        : DataFrame = {
+    val edges = hitsEdges(spark, sfDir)
+    // one normalized half-step as ONE materialized job: edge join +
+    // decimal side-sums + broadcast-total normalization + (when a
+    // previous vector exists) the L1 delta column, all inside a
+    // single checkpoint — the loop's per-round cost is exactly two
+    // edge-join jobs plus one trivial 1-row agg over the checkpoint
+    // (the earlier shape paid separate raw/normalized/L1 jobs)
+    def halfStep(scores: DataFrame, keyIn: String, keyOut: String,
+        prev: Option[DataFrame]): DataFrame = {
       val raw = edges
         .join(scores.withColumnRenamed("node", keyIn), keyIn)
         .groupBy(col(keyOut).as("node"))
         .agg(sum(col("s").cast(d289)).as("raw"))
       val tot = raw.agg(sum(col("raw")).as("t"))
-      raw.crossJoin(broadcast(tot))
+      val norm = raw.crossJoin(broadcast(tot))
         .select(col("node"),
           round(col("raw").cast("double") / col("t").cast("double"), 9)
             .as("s"))
-        .localCheckpoint()
+      prev.fold(norm.withColumn("d", lit(null).cast("double"))) { p =>
+        // both vectors live on the same node set (every part with a
+        // sale), so the left join's null rows — none in practice —
+        // contribute exactly what the old inner-join sum did: nothing
+        norm.join(p.select(col("node"), col("s").as("prev")),
+            Seq("node"), "left")
+          .select(col("node"), col("s"), abs(col("s") - col("prev"))
+            .as("d"))
+      }.localCheckpoint()
     }
     var h = edges.select(col("u").as("node")).distinct()
       .select(col("node"), lit(1.0).as("s"))
@@ -2772,17 +2799,14 @@ object Relational {
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      val a2 = halfStep(h, "u", "p")
-      val h2 = halfStep(a2, "p", "u")
+      val a2 = halfStep(h, "u", "p", if (eps.isDefined) Option(a) else None)
+      val h2 = halfStep(a2, "p", "u", None)
       rounds += 1
       eps.foreach { e =>
         if (a != null) {
-          // ONE bounded 1-row driver read per round: the authority
-          // vector's L1 step (both sides are the same node set — every
-          // part with a sale — so the inner join is total)
-          val l1 = a2.join(a.select(col("node"), col("s").as("prev")),
-              "node")
-            .agg(coalesce(sum(abs(col("s") - col("prev"))), lit(0.0)))
+          // ONE bounded 1-row driver read per round, priced as a
+          // trivial agg over the already-checkpointed delta column
+          val l1 = a2.agg(coalesce(sum(col("d")), lit(0.0)))
             .first().getDouble(0)
           if (l1 <= e) converged = true
         }
