@@ -55,7 +55,14 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // optional subset (comma-separated keys) for targeted runs — the
+    // sf1 scaling measurement benches the ~20 hottest keys without
+    // paying a full-suite pass; the driver never sets this, so the
+    // per-round full bench is unchanged
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val runs: Seq[Seq[(String, Double)]] = (1 to nRuns).map { r =>
       names.map { n =>
         val t = run(n)
@@ -143,10 +150,12 @@ object Bench {
       "q9_product_profit", "q18_large_orders", "mr_wordcount",
       "dedup_ngram_jaccard", "dedup_minhash_lsh", "ann_topk_brute",
       "text_bm25", "q_pagerank", "q_bucketed_join", "stream_events_hourly")
+    // under SPARK_GRAFT_BENCH_ONLY the headline shrinks to the subset
+    // actually run; a FULL run still fails loudly on a renamed key
     val unknown = headline.filterNot(byName.contains)
-    require(unknown.isEmpty,
+    require(only.isDefined || unknown.isEmpty,
       s"headline names not in the registry: ${unknown.mkString(",")}")
-    val qs = jmap(headline.map(k => k -> byName(k)))
+    val qs = jmap(headline.filter(byName.contains).map(k => k -> byName(k)))
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"floor_total":$floorTotal,"n_regressions":${regressions.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
