@@ -533,6 +533,7 @@ object SparkEntry {
     "q_ess" -> ((s, d) => Pipeline.effectiveSampleSize(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "ann_ivf_nsw" -> ((s, d) => Similarity.annIvfNsw(s, d)),
+    "ann_adaptive_probe" -> ((s, d) => Similarity.annAdaptiveProbe(s, d)),
     "q_embed_mauve" -> ((s, d) => Similarity.embedMauve(s, d)),
     "q_embed_outliers" -> ((s, d) => Similarity.embedOutliers(s, d)),
     "ann_range_search" -> ((s, d) => Similarity.annRangeSearch(s, d)),
@@ -691,6 +692,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStreams.dedupToGraftSink(s, d)),
     "stream_sink_wap" ->
       ((s, d) => graft.streaming.EventStreams.sinkWap(s, d)),
+    "stream_sink_compact" ->
+      ((s, d) => graft.streaming.EventStreams.sinkCompactLoop(s, d)),
     "stream_sink_tail" ->
       ((s, d) => graft.streaming.EventStreams.sinkTail(s, d)),
     "stream_sink_cdc" ->
@@ -1191,6 +1194,59 @@ object SparkEntry {
         |  JOIN embeddings e ON cand.vec_id = e.vec_id
         |  JOIN embeddings q ON cand.query_id = q.vec_id)
         |WHERE rnk <= 10""".stripMargin
+
+  // adaptive-probe IVF: the margin rule replayed on the explicit-
+  // division cosine (the q_embed_outliers spelling — Spark's
+  // (dot/norm)/cnorm two-division dag, bit-identical in DuckDB),
+  // fixed-floor crank <= 4 OR csim >= best - 0.1, then the ann_ivf
+  // candidate/rank dag with n_probed riding along
+  private val annAdaptiveOracle =
+    """WITH cent AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16),
+        |cs AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |      / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])))
+        |      / sqrt(list_dot_product(c.cv, c.cv)) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |rk AS (
+        |  SELECT vec_id, cid, csim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cid) AS crank
+        |  FROM cs),
+        |assign AS (SELECT vec_id, cid FROM rk WHERE crank = 1),
+        |qc AS (SELECT vec_id AS query_id, cid, csim, crank FROM rk
+        |       WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT query_id, cid, csim, crank,
+        |      max(csim) OVER (PARTITION BY query_id) AS best
+        |    FROM qc)
+        |  WHERE crank <= 4 OR csim >= best - 0.1),
+        |np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
+        |       FROM probes GROUP BY 1),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a USING (cid)
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT t.query_id, t.vec_id AS neighbor_id, t.rnk, np.n_probed
+        |FROM (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[]))
+        |          / sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |              CAST(q.embedding AS DOUBLE[])))
+        |          / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |              CAST(e.embedding AS DOUBLE[]))) DESC,
+        |               cand.vec_id) AS BIGINT) AS rnk
+        |  FROM cand
+        |  JOIN embeddings e ON cand.vec_id = e.vec_id
+        |  JOIN embeddings q ON cand.query_id = q.vec_id) t
+        |JOIN np USING (query_id)
+        |WHERE t.rnk <= 10""".stripMargin
 
   // NSW-refined IVF: degree-3 exact-cosine centroid graph, probe set
   // expanded with the entry cell's neighbors, otherwise the ann_ivf
@@ -3399,6 +3455,27 @@ object SparkEntry {
         |SELECT 'after', CAST(count(*) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT), true
         |FROM documents""".stripMargin,
+    // streaming ingest + auto-compaction: the rollup from the source
+    // table, the (n_files, n_compactions) trajectory replayed as the
+    // maintenance recurrence (6 epochs x 2 files against the 8-file
+    // budget; past the budget the loop compacts to ONE file) in a
+    // recursive CTE — a skipped/spurious compaction or a wrong
+    // post-compaction layout lands on different integers
+    "stream_sink_compact" ->
+      """WITH RECURSIVE sim(e, f, c) AS (
+        |  SELECT 0, 0, 0
+        |  UNION ALL
+        |  SELECT e + 1,
+        |    CASE WHEN f + 2 > 8 THEN 1 ELSE f + 2 END,
+        |    CASE WHEN f + 2 > 8 THEN c + 1 ELSE c END
+        |  FROM sim WHERE e < 6),
+        |fin AS (SELECT f, c FROM sim WHERE e = 6)
+        |SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT)
+        |    AS sum_chars,
+        |  CAST(fin.f AS BIGINT) AS n_files,
+        |  CAST(fin.c AS BIGINT) AS n_compactions
+        |FROM documents, fin
+        |GROUP BY fin.f, fin.c""".stripMargin,
     // generation tags: the tagged gen-1 half survives a retention
     // vacuum that expires its untagged sibling
     "q_sink_tag" ->
@@ -9929,6 +10006,7 @@ object SparkEntry {
     // argmin assignment / 4-probe / within-cell exact rank
     "ann_ivf" -> annIvfOracle,
     "ann_ivf_nsw" -> annIvfNswOracle,
+    "ann_adaptive_probe" -> annAdaptiveOracle,
     // the persisted round trip serves exact payload through the same
     // centroid/graph/rank dag — one oracle gates both keys
     "ann_persisted_nsw" -> annIvfNswOracle,

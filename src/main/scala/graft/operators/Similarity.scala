@@ -500,6 +500,78 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
   }
 
+  /** ADAPTIVE-PROBE IVF (`ann_adaptive_probe`) — the documented
+    * answer to `ann_recall_report`'s residual tail (SURVEY records
+    * the 0.3-recall query whose true neighbors scatter over 8 of 16
+    * cells — a quantizer limit no FIXED budget reaches): the probe
+    * budget adapts PER QUERY with the closeness-margin rule
+    * production multiprobe uses — probe every cell whose
+    * query-centroid cosine sits within `margin` of that query's BEST
+    * cell. An equidistant (scattered) query widens its own probe
+    * set; a well-quantized one stays at the floor; and the fixed
+    * `IvfProbes` floor keeps every candidate set a strict SUPERSET
+    * of [[annIvf]]'s, so per-query recall can only improve (the NSW
+    * key's dominance theorem, spec-pinned). Cost stays IVF-shaped:
+    * the probe decision reads the bounded nQueries × cells ranked
+    * frame, candidates remain probed-cells-only, the rank tail is
+    * the bounded TopKPerKey heap. Hash-gated: the margin predicate
+    * compares the explicit-division cosine dag both engines compute
+    * bit-identically (the `q_embed_outliers` spelling), so the
+    * oracle replays the adaptive budget exactly; `n_probed` rides
+    * the output so the ADAPTIVITY itself is gated, not just ranks.
+    */
+  def annAdaptiveProbe(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 20, margin: Double = 0.1): DataFrame =
+    annAdaptiveProbeOver(vecs(spark, sfDir), IvfCells, IvfProbes, k,
+      nQueries, margin)
+
+  /** Same operator over any (vec_id, v, norm) frame with explicit
+    * cell/floor budgets — the planted spec proves the margin rule
+    * actually widens a scattered (equidistant) query while a
+    * well-quantized one stays at the floor.
+    */
+  private[graft] def annAdaptiveProbeOver(all: DataFrame, cells: Int,
+      probesFloor: Int, k: Int, nQueries: Int,
+      margin: Double): DataFrame = {
+    val cent = ivfCentroids(all, cells)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val ranked = all.join(broadcast(cent))
+      .withColumn("csim",
+        dot_product(col("v"), col("cv")) / col("norm") / col("cnorm"))
+      .select(col("vec_id"), col("cid"), col("csim"),
+        row_number().over(byVec).as("crank"))
+      // queries keep their FULL cell ranking (bounded: nQueries ×
+      // cells rows) — the margin rule needs every csim, not a prefix
+      .filter(col("crank") === 1 || col("vec_id") < nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
+    val byQ = Window.partitionBy(col("query_id"))
+    val qcells = ranked.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cid"), col("csim"),
+        col("crank"))
+    val probes = qcells
+      .withColumn("best", max(col("csim")).over(byQ))
+      .filter(col("crank") <= probesFloor ||
+        col("csim") >= col("best") - lit(margin))
+      .select(col("query_id"), col("cid"))
+    val nProbed = probes.groupBy("query_id")
+      .agg(count(lit(1)).as("n_probed"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val scored = cand.join(all, "vec_id")
+      .join(broadcast(queryBatch(all, nQueries)), "query_id")
+      .withColumn("cos",
+        dot_product(col("qv"), col("v")) / col("qnorm") / col("norm"))
+    graft.plans.TopKPerKey(
+        scored.select(col("query_id"), col("vec_id"), col("cos")),
+        Seq("query_id"), Seq(("cos", true), ("vec_id", false)), k)
+      .join(broadcast(nProbed), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("n_probed"))
+  }
+
   /** RANGE (radius) search — the other retrieval primitive every
     * production vector store exposes next to top-k (FAISS
     * `range_search`, pgvector `WHERE embedding <=> q < r`): ALL

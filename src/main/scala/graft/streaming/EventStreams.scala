@@ -1278,6 +1278,71 @@ object EventStreams {
       graft.sources.v2.GraftSink.readBack(spark, out, sinkSchema)
     }
 
+  /** STREAMING INGEST + AUTO-COMPACTION (`stream_sink_compact`) —
+    * the maintenance loop run WHERE small files are born: every
+    * epoch appends its micro-batch to the sink (per-epoch txn
+    * ledger), then ONE bounded history-row read prices the layout
+    * and, past `fileBudget` live files, compacts the store inside
+    * the same loop — the auto-OPTIMIZE production streaming tables
+    * schedule next to ingest (Delta auto-compaction), composing
+    * `stream_graft_sink`'s epoch protocol with `q_sink_compact`'s
+    * rewrite. Steady state at 100 TB: file count saw-tooths around
+    * the budget instead of growing with stream lifetime, readers CAS
+    * between layouts, and every compaction is content-invariant.
+    *
+    * Gate: the answer carries the final rollup PLUS the observed
+    * (n_files, n_compactions); the oracle replays the whole
+    * maintenance recurrence arithmetically (epochs × files-per-epoch
+    * against the budget in a recursive CTE) — a lost row, a skipped
+    * or spurious compaction, or a wrong post-compaction layout all
+    * hash-fail.
+    */
+  def sinkCompactLoop(spark: SparkSession, sfDir: String,
+      fileBudget: Int = 8, feedFiles: Int = 6,
+      filesPerEpoch: Int = 2): DataFrame = {
+    import graft.sources.v2.GraftSink
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val feed = graft.TempDirs.create("graft_stream_compact_src").toString
+    val ckpt = graft.TempDirs.create("graft_stream_compact_ckpt").toString
+    val out = graft.TempDirs.create("graft_stream_compact_out").toString
+    docs.repartition(feedFiles).write.mode("overwrite").parquet(feed)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val nCompactions = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // round-robin into a deterministic per-epoch file count — the
+        // small-file pressure the loop exists to manage
+        batch.repartition(filesPerEpoch)
+          .write.format("graft.sources.v2.GraftSinkSource")
+          .option("path", out).option("txn", s"epoch-$id")
+          .mode("append").save()
+        val live = GraftSink.history(spark, out)
+          .orderBy(col("generation").desc).limit(1)
+          .select("n_files").first().getLong(0)
+        if (live > fileBudget) {
+          GraftSink.compact(spark, out, Long.MaxValue, schema)
+          nCompactions.incrementAndGet()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val finalFiles = GraftSink.history(spark, out)
+      .orderBy(col("generation").desc).limit(1)
+      .select("n_files").first().getLong(0)
+    GraftSink.readBack(spark, out, schema)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(finalFiles).as("n_files"),
+        lit(nCompactions.get()).as("n_compactions"))
+  }
+
   /** STREAMING WRITE–AUDIT–PUBLISH (`stream_sink_wap`) — the
     * production streaming ingest gate, composing `stream_graft_sink`
     * (foreachBatch + txn-ledger exactly-once epochs) with

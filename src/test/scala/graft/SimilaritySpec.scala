@@ -169,6 +169,58 @@ class SimilaritySpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("ann_adaptive_probe: the margin rule widens scattered queries, " +
+      "keeps the fixed floor, and per-query recall dominates plain IVF") {
+    import org.apache.spark.sql.functions._
+    val res = Similarity.annAdaptiveProbe(spark, sf).cache()
+    // the floor: every query probes at least the fixed IvfProbes
+    // budget, so candidates are a superset of annIvf's
+    val probedByQ = res.select("query_id", "n_probed").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probedByQ.nonEmpty)
+    probedByQ.foreach { case (q, n) =>
+      assert(n >= Similarity.IvfProbes,
+        s"query $q probed $n < fixed floor ${Similarity.IvfProbes}")
+    }
+    // adaptivity proved on a planted corpus (the corpus-level margin
+    // firing is data-dependent): 3 axis centroids, a well-quantized
+    // query sits on its axis (floor-only probe set), a SCATTERED
+    // query sits exactly between two axes — the margin rule must
+    // widen it to both cells while leaving the aligned query alone
+    locally {
+      import spark.implicits._
+      val planted = Seq(
+        (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+        (2L, Seq(0.0, 0.0, 1.0)),
+        (3L, Seq(1.0, 1.0, 0.0)), // equidistant from cells 0 and 1
+        (4L, Seq(0.9, 0.1, 0.0)), (5L, Seq(0.1, 0.9, 0.0)),
+        (6L, Seq(0.0, 0.2, 0.9)))
+        .toDF("vec_id", "v")
+        .withColumn("norm", sqrt(graft.functions.CatalystExprs
+          .dot_product(col("v"), col("v"))))
+      val p = Similarity.annAdaptiveProbeOver(planted, cells = 3,
+          probesFloor = 1, k = 3, nQueries = 4, margin = 0.1)
+        .select("query_id", "n_probed").distinct()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(p(0L) == 1L, s"aligned query widened: ${p(0L)}")
+      assert(p(3L) == 2L, s"scattered query not widened: ${p(3L)}")
+    }
+    val brute = Similarity.annTopkBrute(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      brute.intersect(df.select(col("query_id"), col("neighbor_id")))
+        .groupBy("query_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = hits(Similarity.annIvf(spark, sf))
+    val ad = hits(res)
+    (0L until 20L).foreach { q =>
+      assert(ad.getOrElse(q, 0L) >= ivf.getOrElse(q, 0L),
+        s"adaptive probe lost recall on query $q")
+    }
+    brute.unpersist()
+    res.unpersist()
+  }
+
   test("embed outliers: per-cell ranks are complete and cosine rises " +
       "with rank — the flagged rows are each cell's farthest members") {
     val r = Similarity.embedOutliers(spark, sf).cache()

@@ -648,4 +648,21 @@ class StreamingSpec extends SparkSpec {
     assert(st.exceptAll(bt).isEmpty && bt.exceptAll(st).isEmpty,
       "streaming funnel CI drifted from the batch key")
   }
+
+  test("stream_sink_compact: the in-loop maintenance fires exactly " +
+      "when the budget is crossed, compacts content-invariantly, and " +
+      "the final layout matches the recurrence") {
+    import org.apache.spark.sql.functions._
+    val r = graft.streaming.EventStreams.sinkCompactLoop(spark, sf)
+      .first()
+    val docs = Tables.documents(spark, sf)
+      .agg(count(lit(1)), sum(col("n_chars"))).first()
+    // content-invariant across every epoch + the compaction
+    assert(r.getLong(0) == docs.getLong(0), "rows lost/duplicated")
+    assert(r.getLong(1) == docs.getLong(1), "chars lost/duplicated")
+    // 6 epochs x 2 files against the 8-file budget: one compaction at
+    // epoch 5 (10 > 8 -> 1 file), two more files land in epoch 6
+    assert(r.getLong(2) == 3L, s"final n_files = ${r.getLong(2)}")
+    assert(r.getLong(3) == 1L, s"n_compactions = ${r.getLong(3)}")
+  }
 }
