@@ -61,6 +61,11 @@ object Bench {
     // per-round full bench is unchanged
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // a subset run writing the default output would replace the FULL
+    // merged floor file with a subset-only floor map — silent loss of
+    // every other key's floor history
+    require(only.isEmpty || outPath != "BENCH_FULL.json",
+      "SPARK_GRAFT_BENCH_ONLY requires an explicit SPARK_GRAFT_BENCH_OUT")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val runs: Seq[Seq[(String, Double)]] = (1 to nRuns).map { r =>

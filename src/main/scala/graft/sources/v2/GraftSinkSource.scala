@@ -1725,9 +1725,27 @@ object GraftSink {
     def adopt(f: String): Unit = {
       val local = Paths.get(clonePath, f)
       if (Files.exists(local)) {
-        Files.copy(local, Paths.get(parentPath, f),
-          StandardCopyOption.REPLACE_EXISTING)
-        staged += ((local, Paths.get(parentPath, f)))
+        val target = Paths.get(parentPath, f)
+        // copy to a hidden temp, then ATOMIC_MOVE over the target: a
+        // direct REPLACE_EXISTING copy unlinks the target BEFORE
+        // reading a source a racing winner may be deleting right now
+        // (it reclaims branch-local copies after its commit) — a
+        // mid-copy NoSuchFileException would leave the winner's
+        // COMMITTED file destroyed. rename(2) replaces atomically, so
+        // the target is never missing; a vanished source means the
+        // winner already owns the name in the parent — skip it. A
+        // crashed temp is unreferenced and vacuum reclaims it.
+        val tmp = Paths.get(parentPath, s".adopt-$f-" +
+          java.util.UUID.randomUUID().toString.substring(0, 8))
+        try {
+          Files.copy(local, tmp)
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          staged += ((local, target))
+        } catch {
+          case _: java.nio.file.NoSuchFileException =>
+            Files.deleteIfExists(tmp)
+        }
       }
     }
     foldEntryBatches(clonePath, cRaw, ())((_, batch) =>

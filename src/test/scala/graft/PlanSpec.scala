@@ -300,5 +300,13 @@ class PlanSpec extends SparkSpec {
     val wap = plan(graft.streaming.EventStreams.sinkWap(spark, sf))
     assert(!wap.contains("CartesianProduct"),
       s"cartesian in the WAP readback:\n$wap")
+    // the adaptive-probe decision frame is bounded (nQueries x cells)
+    // and every window partitions; the corpus never meets a cartesian
+    val ap = plan(graft.operators.Similarity.annAdaptiveProbe(spark, sf))
+    assert(!ap.contains("CartesianProduct"),
+      s"cartesian in adaptive probe:\n$ap")
+    val apw = ap.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!apw.contains("partitionBy=[]"),
+      s"unpartitioned window in adaptive probe:\n$apw")
   }
 }
