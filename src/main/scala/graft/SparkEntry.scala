@@ -518,6 +518,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_knn_graph_scaled" -> ((s, d) => Similarity.knnGraphScaled(s, d)),
     "q_embed_pca" -> ((s, d) => Similarity.embedPca(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -920,6 +921,55 @@ object SparkEntry {
     * `pairs(vec_a, vec_b, cos)`; shared by the multiprobe key and the
     * knn-graph rank tail.
     */
+  /** The multi-probe SRP pipeline with the banding WIDTH derived
+    * from count(*) inside the query — the oracle twin of
+    * `Similarity.scaledPlanesPerBand`'s integer ladder
+    * (targetBucket << ppb >= n; floor 6, cap 24; pure integer
+    * comparisons so no log/ceil float boundary can diverge). The
+    * hyperplane family builds at the derived width through the same
+    * generic md5 construction.
+    */
+  private val srpScaledCtes: String = {
+    val ladder = (6 to 24)
+      .map(p => s"WHEN (CAST(32 AS BIGINT) << $p) >= n THEN $p")
+      .mkString(" ")
+    s"""cnt AS (SELECT count(*) AS n FROM embeddings),
+       |param AS (SELECT CASE $ladder ELSE 24 END AS ppb FROM cnt),
+       |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
+       |planes AS (
+       |  SELECT p, [CAST(('0x' || substring(md5('srp_' || p || '_' || i), 1, 8)) AS BIGINT)
+       |               / 4294967296.0 - 0.5 for i in range(0, 64)] AS pv
+       |  FROM (SELECT unnest(range(0, 8 * (SELECT ppb FROM param))) AS p)),
+       |dots AS (
+       |  SELECT vv.vec_id, CAST(pl.p // param.ppb AS INT) AS band,
+       |    CAST(pl.p % param.ppb AS INT) AS j,
+       |    list_dot_product(vv.v, pl.pv) AS dot
+       |  FROM vv CROSS JOIN planes pl CROSS JOIN param),
+       |main AS (
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY 1, 2),
+       |flips AS (
+       |  SELECT vec_id, band, j,
+       |    row_number() OVER (PARTITION BY vec_id, band ORDER BY abs(dot), j) AS r
+       |  FROM dots),
+       |codes AS (
+       |  SELECT DISTINCT vec_id, band, code FROM (
+       |    SELECT vec_id, band, code FROM main
+       |    UNION ALL
+       |    SELECT m.vec_id, m.band, xor(m.code, CAST(1 AS BIGINT) << f.j) AS code
+       |    FROM main m JOIN flips f
+       |      ON f.vec_id = m.vec_id AND f.band = m.band AND f.r <= 2)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM codes x JOIN codes y
+       |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
+       |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)""".stripMargin
+  }
+
   private val srpMultiProbeCtes: String =
     s"""${srpDotCtes(48, 6)},
        |main AS (
@@ -9977,6 +10027,22 @@ object SparkEntry {
     // ranked (cos DESC, dst) per source — rank-only output
     "q_knn_graph" ->
       s"""WITH $srpMultiProbeCtes,
+         |sym AS (
+         |  SELECT vec_a AS src, vec_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b, vec_a, cos FROM pairs)
+         |SELECT src, dst, rnk FROM (
+         |  SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS BIGINT) AS rnk
+         |  FROM sym)
+         |WHERE rnk <= 5""".stripMargin,
+    // the scaled twin: the identical graph dag over the width-derived
+    // SRP family — at the gate SFs the ladder lands on the tuned
+    // default, making this simultaneously an equality gate with
+    // q_knn_graph and a gate on the derivation plumbing itself
+    "q_knn_graph_scaled" ->
+      s"""WITH $srpScaledCtes,
          |sym AS (
          |  SELECT vec_a AS src, vec_b AS dst, cos FROM pairs
          |  UNION ALL

@@ -816,6 +816,43 @@ object Similarity {
       .select(col("src"), col("dst"), col("rnk"))
   }
 
+  /** Planner-scaled planes-per-band: the smallest width (≥ the tuned
+    * default, ≤ `cap`) whose 2^ppb buckets per band keep EXPECTED
+    * occupancy ≤ `targetBucket` — pure integer arithmetic
+    * (`targetBucket << ppb >= n`), so both engines derive the
+    * identical parameter with no log/ceil float boundary. This is
+    * the q_lsh_param_planner decision applied to the SRP family: at
+    * fixed banding, bucket occupancy grows ∝ n and within-bucket
+    * candidate pairs ∝ n² (measured: q_knn_graph exp 2.15 at sf1,
+    * BENCH_sf1.json); growing ppb with log₂(n) pins occupancy, so
+    * candidate load returns to ~linear while per-plane recall decays
+    * only geometrically in the margin (the S-curve trade
+    * q_lsh_scurve prices).
+    */
+  private[graft] def scaledPlanesPerBand(n: Long,
+      targetBucket: Long = 32L, floor: Int = DefaultMpPlanes,
+      cap: Int = 24): Int =
+    (floor to cap).find(p => (targetBucket << p) >= n).getOrElse(cap)
+
+  /** SCALED k-NN GRAPH (`q_knn_graph_scaled`) — [[knnGraph]] with the
+    * banding width derived from ONE bounded pre-flight count (the
+    * JoinPlanner convention: a cost-based planner reads statistics
+    * before picking a physical plan). At the gate SFs the ladder
+    * lands on the tuned default, so the oracle doubles as an
+    * equality gate with `q_knn_graph`; past ~2^11 vectors the width
+    * grows with log₂(n) and the candidate join stays ~linear — the
+    * committed fix for the one super-linear key in BENCH_sf1.json.
+    * Hash-gated generically: the oracle re-derives the SAME width
+    * from count(*) through an integer CASE ladder and builds the
+    * md5 hyperplane family at that width.
+    */
+  def knnGraphScaled(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val n = vecs(spark, sfDir).count() // ONE bounded pre-flight read
+    knnGraph(spark, sfDir, k, DefaultMpBands, scaledPlanesPerBand(n),
+      DefaultMpProbes)
+  }
+
   /** Scalar-quantized (SQ8) ANN — the MEMORY-bound scale path the
     * LSH/IVF variants don't cover: each dimension compresses to one
     * byte against per-dimension corpus [min, max] bounds, so the

@@ -169,6 +169,20 @@ class SimilaritySpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("q_knn_graph_scaled: the integer width ladder pins every " +
+      "boundary, and at the gate SF (where the ladder lands on the " +
+      "tuned default) the graph equals q_knn_graph exactly") {
+    assert(Similarity.scaledPlanesPerBand(500L) == 6)
+    assert(Similarity.scaledPlanesPerBand(2048L) == 6) // 32 << 6
+    assert(Similarity.scaledPlanesPerBand(2049L) == 7)
+    assert(Similarity.scaledPlanesPerBand(20000L) == 10) // the sf1 width
+    assert(Similarity.scaledPlanesPerBand(Long.MaxValue / 4) == 24)
+    val a = Similarity.knnGraphScaled(spark, sf)
+    val b = Similarity.knnGraph(spark, sf)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "scaled graph must equal the default-width graph at gate SF")
+  }
+
   test("ann_adaptive_probe: the margin rule widens scattered queries, " +
       "keeps the fixed floor, and per-query recall dominates plain IVF") {
     import org.apache.spark.sql.functions._
