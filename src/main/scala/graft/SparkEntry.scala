@@ -208,6 +208,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Stats.winsorize(s, d)),
     "q_forecast_snaive" -> ((s, d) => Stats.forecastSnaive(s, d)),
     "q_holt_forecast" -> ((s, d) => Stats.holtForecast(s, d)),
+    "q_forecast_theta" -> ((s, d) => Stats.forecastTheta(s, d)),
     "q_holt_winters" -> ((s, d) => Stats.holtWinters(s, d)),
     "q_forecast_eval" -> ((s, d) => Stats.forecastEval(s, d)),
     "q_seasonal_decompose" -> ((s, d) => Stats.seasonalDecompose(s, d)),
@@ -9094,6 +9095,61 @@ object SparkEntry {
         |fc AS (
         |  SELECT event_type, CAST(h AS BIGINT) AS h, l + h * b AS forecast
         |  FROM fin, (SELECT unnest(range(1, 8)) AS h)),
+        |hold AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(date_diff('day', cut, d.day) + 1 AS BIGINT) AS h,
+        |    d.y AS actual
+        |  FROM daily d CROSS JOIN c WHERE d.day >= cut)
+        |SELECT hold.event_type, day, actual,
+        |  round(forecast, 6) AS forecast,
+        |  round(abs(CAST(actual AS DOUBLE) - forecast), 6) AS abs_err,
+        |  round(avg(abs(CAST(actual AS DOUBLE) - forecast))
+        |    OVER (PARTITION BY hold.event_type), 6) AS mae
+        |FROM hold JOIN fc
+        |  ON fc.event_type = hold.event_type AND fc.h = hold.h"""
+        .stripMargin,
+    // theta method (Hyndman–Billah form): dyadic SES recursion +
+    // half the OLS drift from exact integer moments; the same
+    // train/holdout frame as holt
+    "q_forecast_theta" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT max(day) - 6 AS cut FROM daily),
+        |train AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    y
+        |  FROM daily CROSS JOIN c WHERE day < cut),
+        |n AS (SELECT event_type, max(t) AS tmax FROM train GROUP BY 1),
+        |ses AS (
+        |  SELECT event_type, t, CAST(y AS DOUBLE) AS l
+        |  FROM train WHERE t = 1
+        |  UNION ALL
+        |  SELECT tr.event_type, tr.t, (tr.y + ses.l) / 2.0 AS l
+        |  FROM ses JOIN train tr
+        |    ON tr.event_type = ses.event_type AND tr.t = ses.t + 1),
+        |fin AS (
+        |  SELECT ses.event_type, ses.l
+        |  FROM ses JOIN n ON n.event_type = ses.event_type
+        |    AND ses.t = n.tmax),
+        |mom AS (
+        |  SELECT event_type, count(*) AS n, sum(t) AS st, sum(y) AS sy,
+        |    sum(t * y) AS sty, sum(t * t) AS stt
+        |  FROM train GROUP BY 1),
+        |fit AS (
+        |  SELECT m.event_type, f.l,
+        |    CASE WHEN m.n * m.stt - m.st * m.st <> 0
+        |      THEN CAST(m.n * m.sty - m.st * m.sy AS DOUBLE)
+        |        / CAST(m.n * m.stt - m.st * m.st AS DOUBLE)
+        |      ELSE 0.0 END AS slope
+        |  FROM mom m JOIN fin f ON f.event_type = m.event_type),
+        |fc AS (
+        |  SELECT event_type, CAST(h AS BIGINT) AS h,
+        |    l + h * slope / 2.0 AS forecast
+        |  FROM fit, (SELECT unnest(range(1, 8)) AS h)),
         |hold AS (
         |  SELECT d.event_type, d.day,
         |    CAST(date_diff('day', cut, d.day) + 1 AS BIGINT) AS h,

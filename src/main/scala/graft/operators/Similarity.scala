@@ -647,6 +647,13 @@ object Similarity {
     * ≳0.97 from cos=0.5 up. (The previous 4×4 banding measured 0.44
     * recall against brute-force truth — an untrustworthy default.)
     *
+    * SCALE NOTE (measured, BENCH_sf1.json): ANY fixed banding makes
+    * bucket occupancy grow ∝ n and candidate pairs ∝ n² — past ~2¹¹
+    * vectors, wire `planesPerBand` to [[scaledPlanesPerBand]] (the
+    * integer count ladder `q_knn_graph_scaled` gates end-to-end:
+    * 473 s → 35 s at sf1). The fixed defaults here are the tuned
+    * GATE-SF operating point, not a scale invariant.
+    *
     * THE SELECTIVITY TRADE, quantified honestly: unrelated vectors
     * still agree on a plane with p≈0.5, so a 4-plane band passes
     * ~1/16 of random pairs and 16 bands pass ~64% of them — at a low

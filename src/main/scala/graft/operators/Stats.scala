@@ -1731,6 +1731,88 @@ object Stats {
         round(col("mae"), 6).as("mae"))
   }
 
+  /** THETA-METHOD FORECAST (`q_forecast_theta`) — the M3-competition
+    * winner (Assimakopoulos & Nikolopoulos 2000) in its
+    * Hyndman–Billah 2003 equivalent form: SES on the series plus
+    * HALF the least-squares drift — the third leg of the trend
+    * family (`q_holt_forecast` smooths the trend adaptively, snaive
+    * copies seasonality, theta splits the difference between SES's
+    * flat forecast and the full linear extrapolation, which is
+    * exactly why it won M3). α = 1/2 keeps the smoothing recursion
+    * power-of-two exact (the holt dyadic discipline — every level is
+    * a finite binary fraction of integer counts, bit-identical in
+    * both engines); the drift's OLS slope comes from exact integer
+    * moments (the q_regression discipline) with ONE IEEE division;
+    * forecast_h = l_n + h·b̂/2 is a fixed identical dag. Corpus work
+    * is the ONE daily groupBy; the recursion runs per type over the
+    * calendar-sized series (oracle = recursive CTE + the same moment
+    * arithmetic).
+    */
+  def forecastTheta(spark: SparkSession, sfDir: String,
+      horizon: Int = 7): DataFrame =
+    forecastThetaOver(
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("y")),
+      horizon)
+
+  /** Same operator over any (event_type, day, y) daily frame — the
+    * planted linear-series spec walks the dyadic SES levels and the
+    * exact half-drift forecasts.
+    */
+  private[graft] def forecastThetaOver(daily: DataFrame,
+      horizon: Int): DataFrame = {
+    val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
+    val withCut = daily.crossJoin(broadcast(cut))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = withCut.filter(col("day") < col("cut"))
+    // SES level: the dyadic fold l' = (y + l) / 2 over the sorted
+    // series (finite binary fractions — engine-exact)
+    val ses = train.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("arr"))
+      .select(col("event_type"), expr(
+        "aggregate(slice(arr, 2, size(arr) - 1), " +
+          "CAST(arr[0].y AS DOUBLE), (l, e) -> (e.y + l) / 2.0D)")
+        .as("l"))
+    // OLS slope on (t, y), t = 1..n: exact integer moments, one
+    // IEEE division; a single-point series null-guards to drift 0
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val mom = train
+      .withColumn("t", row_number().over(wt).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+    val fit = ses.join(mom, "event_type")
+      .select(col("event_type"), col("l"),
+        when(col("n") * col("stt") - col("st") * col("st") =!= 0L,
+          (col("n") * col("sty") - col("st") * col("sy")).cast("double")
+            / (col("n") * col("stt") - col("st") * col("st"))
+              .cast("double"))
+          .otherwise(lit(0.0)).as("slope"))
+    val fc = fit
+      .select(col("event_type"), col("l"), col("slope"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
+      .select(col("event_type"), col("h"),
+        (col("l") + col("h").cast("double") * col("slope") / lit(2.0))
+          .as("forecast"))
+    val hold = withCut.filter(col("day") >= col("cut"))
+      .select(col("event_type"), col("day"),
+        (datediff(col("day"), col("cut")) + 1).cast("long").as("h"),
+        col("y").as("actual"))
+    hold.join(fc, Seq("event_type", "h"))
+      .withColumn("abs_err", abs(col("actual").cast("double")
+        - col("forecast")))
+      .withColumn("mae", avg(col("abs_err")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("day"), col("actual"),
+        round(col("forecast"), 6).as("forecast"),
+        round(col("abs_err"), 6).as("abs_err"),
+        round(col("mae"), 6).as("mae"))
+  }
+
   /** HOLT–WINTERS additive triple smoothing (level + trend +
     * 7-day seasonality) — the model the decompose→evaluate loop
     * points at when `q_seasonal_decompose` shows indices far from 1

@@ -2606,4 +2606,30 @@ class StatsSpec extends SparkSpec {
     val r2 = Stats.overdispersion(spark, dir2).collect()(0)
     assert(r2.getDouble(3) == 1.0 && r2.isNullAt(4) && r2.isNullAt(5))
   }
+
+  test("theta forecast: a planted linear series walks the dyadic SES " +
+      "levels and the exact half-drift forecasts") {
+    import spark.implicits._
+    import java.sql.Date
+    // train days 1..4 carry counts 2,4,6,8 (slope exactly 2); the
+    // dyadic SES levels are 2, 3, 4.5, 6.25; theta forecast_h =
+    // 6.25 + h * 2 / 2 = 6.25 + h — all finite binary fractions
+    val daily = Seq(
+      ("a", Date.valueOf("2026-01-01"), 2L),
+      ("a", Date.valueOf("2026-01-02"), 4L),
+      ("a", Date.valueOf("2026-01-03"), 6L),
+      ("a", Date.valueOf("2026-01-04"), 8L),
+      ("a", Date.valueOf("2026-01-05"), 7L),
+      ("a", Date.valueOf("2026-01-06"), 9L))
+      .toDF("event_type", "day", "y")
+    val r = Stats.forecastThetaOver(daily, horizon = 2)
+      .orderBy("day").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("forecast") == 7.25)
+    assert(r(1).getAs[Double]("forecast") == 8.25)
+    assert(r(0).getAs[Long]("actual") == 7L)
+    assert(r(0).getAs[Double]("abs_err") == 0.25)
+    assert(r(1).getAs[Double]("abs_err") == 0.75)
+    assert(r(0).getAs[Double]("mae") == 0.5)
+  }
 }
