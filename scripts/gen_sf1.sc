@@ -46,8 +46,20 @@ val pa = spark.read.parquet(s"$src/part.parquet")
 copies(pa, (d, i) => d.withColumn("p_partkey", shift("p_partkey", i))).repartition(4).write.mode("overwrite").parquet(s"$dst/part.parquet")
 val su = spark.read.parquet(s"$src/supplier.parquet")
 copies(su, (d, i) => d.withColumn("s_suppkey", shift("s_suppkey", i))).repartition(2).write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+// events: the STREAMING keys impose two extra constraints —
+//   (1) copies must be TIME-SHIFTED (x10 copies of the same month
+//       re-cover the watermark window and mass-drop whole copies as
+//       late: the first measurement emitted ZERO join rows), making
+//       sf1 a 10x-LONGER stream with within-copy dynamics exact;
+//   (2) the table must land as ONE parquet FILE like the driver's
+//       (the stream keys symlink "$dir/events.parquet" into a feed
+//       dir, and FileStreamSource does NOT follow a directory
+//       symlink — a dir-shaped table feeds zero rows silently).
 val ev = spark.read.parquet(s"$src/events.parquet")
-copies(ev, (d, i) => d.withColumn("event_id", shift("event_id", i)).withColumn("user_id", shift("user_id", i))).repartition(16).write.mode("overwrite").parquet(s"$dst/events.parquet")
+copies(ev, (d, i) => d.withColumn("event_id", shift("event_id", i)).withColumn("user_id", shift("user_id", i)).withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 40} DAYS"))).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(s"$dst/events_dir.parquet")
+{ val part = new java.io.File(s"$dst/events_dir.parquet").listFiles.filter(_.getName.endsWith(".parquet")).head
+  java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dst/events.parquet"), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  new java.io.File(s"$dst/events_dir.parquet").listFiles.foreach(_.delete()); new java.io.File(s"$dst/events_dir.parquet").delete() }
 val doc = spark.read.parquet(s"$src/documents.parquet")
 def salt(i: Int) = if (i == 0) col("text") else { val sfx = ('a' + i).toChar; concat_ws(" ", expr(s"transform(split(text, ' '), w -> concat(w, 'q$sfx'))")) }
 copies(doc, (d, i) => d.withColumn("doc_id", shift("doc_id", i)).withColumn("text", salt(i)).withColumn("n_chars", length(col("text")).cast("long"))).repartition(8).write.mode("overwrite").parquet(s"$dst/documents.parquet")
