@@ -880,28 +880,46 @@ object SparkEntry {
     * cosine is spelled dot/na/nb — DIVISION ORDER MATTERS:
     * `list_cosine_similarity` divides by the norm product and drifts
     * in the last ulp. These CTEs are what moved the SRP family from
-    * rows-gated to hash-gated.
+    * rows-gated to hash-gated; the banding WIDTH (`ppb`) is derived
+    * inside the query from count(*) through the identical integer
+    * ladder as `Similarity.scaledPlanesPerBand` — the round-18
+    * family default.
     */
-  private def srpDotCtes(nPlanes: Int, planesPerBand: Int): String =
-    s"""vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The multi-probe SRP pipeline with the banding WIDTH derived
+    * from count(*) inside the query — the oracle twin of
+    * `Similarity.scaledPlanesPerBand`'s integer ladder
+    * (targetBucket << ppb >= n; floor 6, cap 24; pure integer
+    * comparisons so no log/ceil float boundary can diverge). The
+    * hyperplane family builds at the derived width through the same
+    * generic md5 construction.
+    */
+  private def srpScaledDotCtes(bands: Int, floor: Int): String = {
+    val ladder = (floor to 24)
+      .map(p => s"WHEN (CAST(32 AS BIGINT) << $p) >= n THEN $p")
+      .mkString(" ")
+    s"""cnt AS (SELECT count(*) AS n FROM embeddings),
+       |param AS (SELECT CASE $ladder ELSE 24 END AS ppb FROM cnt),
+       |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
        |planes AS (
        |  SELECT p, [CAST(('0x' || substring(md5('srp_' || p || '_' || i), 1, 8)) AS BIGINT)
        |               / 4294967296.0 - 0.5 for i in range(0, 64)] AS pv
-       |  FROM (SELECT unnest(range(0, $nPlanes)) AS p)),
+       |  FROM (SELECT unnest(range(0, $bands * (SELECT ppb FROM param))) AS p)),
        |dots AS (
-       |  SELECT vv.vec_id, CAST(pl.p // $planesPerBand AS INT) AS band,
-       |    CAST(pl.p % $planesPerBand AS INT) AS j,
+       |  SELECT vv.vec_id, CAST(pl.p // param.ppb AS INT) AS band,
+       |    CAST(pl.p % param.ppb AS INT) AS j,
        |    list_dot_product(vv.v, pl.pv) AS dot
-       |  FROM vv CROSS JOIN planes pl)""".stripMargin
+       |  FROM vv CROSS JOIN planes pl CROSS JOIN param)""".stripMargin
+  }
 
-  /** Single-probe banded SRP near-dup oracle (`Similarity.annLsh`
-    * shape): same-(band, code) candidates, exact-cosine verify at
-    * `threshold`. Shared by ann_lsh (τ=0.3) and dedup_embedding
-    * (τ=0.45).
+  /** Single-probe banded SRP oracle at the COUNT-DERIVED width — the
+    * `Similarity.annLsh` default since round 18: the same generic md5
+    * family, the width re-derived from count(*) through the identical
+    * integer ladder (floor = the tuned gate-SF width).
     */
-  private def srpLshOracle(bands: Int, ppb: Int, threshold: Double): String =
-    s"""WITH ${srpDotCtes(bands * ppb, ppb)},
+  private def srpScaledLshOracle(bands: Int, floor: Int,
+      threshold: Double): String =
+    s"""WITH ${srpScaledDotCtes(bands, floor)},
        |codes AS (
        |  SELECT vec_id, band,
        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
@@ -915,38 +933,8 @@ object SparkEntry {
        |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)
        |SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $threshold""".stripMargin
 
-  /** Multi-probe SRP pair CTEs (`Similarity.annLshMultiProbe`, 8×6+2):
-    * main code plus one-bit flips of the 2 lowest-|margin| planes
-    * (ties by plane index — the kernel's stable sort), DISTINCT codes
-    * per (vec, band) before the join, exact-cosine verify. Yields
-    * `pairs(vec_a, vec_b, cos)`; shared by the multiprobe key and the
-    * knn-graph rank tail.
-    */
-  /** The multi-probe SRP pipeline with the banding WIDTH derived
-    * from count(*) inside the query — the oracle twin of
-    * `Similarity.scaledPlanesPerBand`'s integer ladder
-    * (targetBucket << ppb >= n; floor 6, cap 24; pure integer
-    * comparisons so no log/ceil float boundary can diverge). The
-    * hyperplane family builds at the derived width through the same
-    * generic md5 construction.
-    */
   private val srpScaledCtes: String = {
-    val ladder = (6 to 24)
-      .map(p => s"WHEN (CAST(32 AS BIGINT) << $p) >= n THEN $p")
-      .mkString(" ")
-    s"""cnt AS (SELECT count(*) AS n FROM embeddings),
-       |param AS (SELECT CASE $ladder ELSE 24 END AS ppb FROM cnt),
-       |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vv),
-       |planes AS (
-       |  SELECT p, [CAST(('0x' || substring(md5('srp_' || p || '_' || i), 1, 8)) AS BIGINT)
-       |               / 4294967296.0 - 0.5 for i in range(0, 64)] AS pv
-       |  FROM (SELECT unnest(range(0, 8 * (SELECT ppb FROM param))) AS p)),
-       |dots AS (
-       |  SELECT vv.vec_id, CAST(pl.p // param.ppb AS INT) AS band,
-       |    CAST(pl.p % param.ppb AS INT) AS j,
-       |    list_dot_product(vv.v, pl.pv) AS dot
-       |  FROM vv CROSS JOIN planes pl CROSS JOIN param),
+    s"""${srpScaledDotCtes(8, 6)},
        |main AS (
        |  SELECT vec_id, band,
        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
@@ -970,31 +958,6 @@ object SparkEntry {
        |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
        |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)""".stripMargin
   }
-
-  private val srpMultiProbeCtes: String =
-    s"""${srpDotCtes(48, 6)},
-       |main AS (
-       |  SELECT vec_id, band,
-       |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS code
-       |  FROM dots GROUP BY 1, 2),
-       |flips AS (
-       |  SELECT vec_id, band, j,
-       |    row_number() OVER (PARTITION BY vec_id, band ORDER BY abs(dot), j) AS r
-       |  FROM dots),
-       |codes AS (
-       |  SELECT DISTINCT vec_id, band, code FROM (
-       |    SELECT vec_id, band, code FROM main
-       |    UNION ALL
-       |    SELECT m.vec_id, m.band, xor(m.code, CAST(1 AS BIGINT) << f.j) AS code
-       |    FROM main m JOIN flips f
-       |      ON f.vec_id = m.vec_id AND f.band = m.band AND f.r <= 2)),
-       |cand AS (
-       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM codes x JOIN codes y
-       |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
-       |pairs AS (
-       |  SELECT c.vec_a, c.vec_b, list_dot_product(a.v, b.v) / a.nrm / b.nrm AS cos
-       |  FROM cand c JOIN nn a ON a.vec_id = c.vec_a JOIN nn b ON b.vec_id = c.vec_b)""".stripMargin
 
   /** The batch MinHash-LSH replay (md5 Carter–Wegman signatures, 16×8
     * string band keys, exact distinct-shingle verify) through the
@@ -10073,16 +10036,19 @@ object SparkEntry {
         |WHERE rnk <= 5""".stripMargin,
     // SRP family, hash-gated via the md5-derived hyperplane replay:
     // every band code, probe flip, and verify cosine is bit-identical
-    // across engines (see srpDotCtes)
-    "ann_lsh" -> srpLshOracle(16, 4, 0.3),
-    "dedup_embedding" -> srpLshOracle(16, 4, 0.45),
+    // across engines (see srpScaledDotCtes); since round 18 every
+    // oracle
+    // re-derives the banding WIDTH from count(*) through the same
+    // integer ladder the Scala default runs (scaledPlanesPerBand)
+    "ann_lsh" -> srpScaledLshOracle(16, 4, 0.3),
+    "dedup_embedding" -> srpScaledLshOracle(16, 4, 0.45),
     "ann_lsh_multiprobe" ->
-      s"""WITH $srpMultiProbeCtes
+      s"""WITH $srpScaledCtes
          |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3""".stripMargin,
     // knn graph: the multiprobe pairs with NO threshold, symmetrized,
     // ranked (cos DESC, dst) per source — rank-only output
     "q_knn_graph" ->
-      s"""WITH $srpMultiProbeCtes,
+      s"""WITH $srpScaledCtes,
          |sym AS (
          |  SELECT vec_a AS src, vec_b AS dst, cos FROM pairs
          |  UNION ALL
@@ -11412,7 +11378,10 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     // media semantic near-dup: the same stub-feature CTE, mean-centered
-    // (dyadic-exact column sums), 8 sign bits bucket, centered cosine
+    // (dyadic-exact column sums), sign-bit bucket at the COUNT-DERIVED
+    // width (floor 8 = the tuned 2^8 gate point; extra bits replay the
+    // md5 'mmsrp_' hyperplanes in centered feature space), centered
+    // cosine verify
     "mm_embed_dedup" -> {
       val fCols = (0 until 8).map { i =>
         s"""  CASE WHEN length(text) = 0 THEN 0.0
@@ -11423,15 +11392,32 @@ object SparkEntry {
       val cs = (0 until 8).map(i => s"f$i - m$i AS c$i").mkString(", ")
       val bits = (0 until 8).map(i =>
         s"CASE WHEN f$i - m$i >= 0 THEN '1' ELSE '0' END").mkString(", ")
+      val ladder = (8 to 24)
+        .map(p => s"WHEN (CAST(32 AS BIGINT) << $p) >= n THEN $p")
+        .mkString(" ")
+      val cvec = (0 until 8).map(i => s"c.c$i").mkString("[", ", ", "]")
       val nrm = (0 until 8).map(i => s"c$i * c$i").mkString(" + ")
       val dot = (0 until 8).map(i => s"a.c$i * b.c$i").mkString(" + ")
-      s"""WITH feat AS (SELECT doc_id,
+      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+         |param AS (SELECT CASE $ladder ELSE 24 END AS nb FROM cnt),
+         |feat AS (SELECT doc_id,
          |$fCols
          |FROM documents),
          |m AS (SELECT $ms FROM feat),
-         |c AS (SELECT doc_id, $cs, concat($bits) AS bucket
+         |c AS (SELECT doc_id, $cs, concat($bits) AS b8
          |      FROM feat CROSS JOIN m),
-         |n AS (SELECT *, sqrt($nrm) AS nrm FROM c),
+         |mpl AS (
+         |  SELECT p, [CAST(('0x' || substring(md5('mmsrp_' || p || '_' || j), 1, 8)) AS BIGINT)
+         |               / 4294967296.0 - 0.5 for j in range(0, 8)] AS pv
+         |  FROM (SELECT unnest(range(8, (SELECT nb FROM param))) AS p)),
+         |xb AS (
+         |  SELECT c.doc_id,
+         |    string_agg(CASE WHEN list_dot_product($cvec, mpl.pv) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY mpl.p) AS xbits
+         |  FROM c CROSS JOIN mpl GROUP BY 1),
+         |n AS (SELECT c.*, c.b8 || coalesce(xb.xbits, '') AS bucket,
+         |        sqrt($nrm) AS nrm
+         |      FROM c LEFT JOIN xb ON xb.doc_id = c.doc_id),
          |nn AS (SELECT * FROM n WHERE nrm > 0),
          |ok AS (SELECT bucket FROM nn GROUP BY 1 HAVING count(*) <= 2000)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

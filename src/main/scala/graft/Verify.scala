@@ -27,7 +27,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // deterministic per-key scratch reclaim (see Bench): 471
+        // sequential writes in one session must not accumulate blocks
+        graft.operators.Scratch.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

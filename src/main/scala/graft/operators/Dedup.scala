@@ -460,7 +460,7 @@ object Dedup {
       .select(col("doc_id"),
         filter(split(col("text"), TextMapReduce.WordSplit), w => w =!= "")
           .as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(words)
     val posGrams = words
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(w) >= $spanWords
@@ -1284,6 +1284,9 @@ object Dedup {
       // executor under localCheckpoint aborts the job; under persist
       // the lost blocks just recompute from the parquet scan)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // ~20x-corpus-size scratch: reclaimed right after the caller's
+    // action instead of waiting on the ContextCleaner (Scratch)
+    Scratch.defer(pos)
     // positions are per-(doc,i) unique, so count-by-hash = total
     // corpus occurrences of the k-gram (within-doc repeats included);
     // partial aggregation keeps hot hashes from funneling raw rows
@@ -1364,6 +1367,7 @@ object Dedup {
       // budget, keep lineage so executor loss recomputes instead of
       // aborting)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    Scratch.defer(pos)
     val keep = pos.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= maxOcc)
       .select("h")

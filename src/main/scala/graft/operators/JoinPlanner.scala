@@ -91,6 +91,9 @@ object JoinPlanner {
     val ca = events.filter(col("event_type") === typeA)
       .groupBy("user_id").agg(count(lit(1)).as("ca"))
     val pre = preflightOf(ca, build)
+    // deferred AFTER the preflight collect: the cached build side
+    // still feeds the executed join below, then is reclaimed
+    Scratch.defer(build)
     val joined = pre.strategy match {
       case "broadcast" => fact.join(broadcast(build), "user_id")
       case "salt" => Relational.saltedJoin(fact, build, "user_id",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -383,22 +383,41 @@ object Multimodal {
     * identical / opposite-sign vectors pin bucketing and the τ cut. */
   private[graft] def embedDedupOver(feat0: DataFrame, tau: Double,
       maxBucket: Int): DataFrame = {
-    // the feature frame is consumed twice (means, then centering):
-    // persist so the decode pass runs once, not per consumer
+    // the feature frame is consumed three times (pre-flight count,
+    // means, then centering): persist so the decode pass runs once,
+    // not per consumer; deferred-released at the end of the body
     val feat = feat0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count-ladder bucket WIDTH (the round-18 SRP family default):
+    // 8 sign bits (2^8 buckets) is the tuned gate-SF point, but any
+    // fixed bucket count makes occupancy grow with n and the
+    // within-bucket pair join quadratic — past 2^8 buckets the extra
+    // bits come from md5-derived hyperplanes in the CENTERED feature
+    // space (the srp_ convention), so the oracle replays them exactly
+    val nBits = Similarity.scaledPlanesPerBand(feat.count(), floor = 8)
     val fs = (0 until 8).map(i => s"f$i")
     val means = feat.agg(
       avg(col(fs.head)).as("m0"),
       fs.tail.zipWithIndex.map { case (c, i) =>
         avg(col(c)).as(s"m${i + 1}")
       }: _*)
+    // extra-plane sign bit p: the bit-identical DotProduct kernel
+    // over array(c0..c7) and the literal plane (left-to-right fold =
+    // DuckDB list_dot_product)
+    def planeBit(p: Int): Column = {
+      val pv = (0 until 8).map(j =>
+        graft.functions.ExprKernels.md5Unit32(s"mmsrp_${p}_${j}") - 0.5)
+      when(graft.functions.CatalystExprs.dot_product(
+        array((0 until 8).map(i => col(s"c$i")): _*),
+        typedLit(pv)) >= 0, "1").otherwise("0")
+    }
     val centered = feat.crossJoin(broadcast(means))
       .select(Seq(col("doc_id")) ++ (0 until 8).map(i =>
         (col(s"f$i") - col(s"m$i")).as(s"c$i")): _*)
       .withColumn("bucket",
         concat((0 until 8).map(i =>
-          when(col(s"c$i") >= 0, "1").otherwise("0")): _*))
+          when(col(s"c$i") >= 0, "1").otherwise("0"))
+          ++ (8 until nBits).map(planeBit): _*))
       .withColumn("nrm",
         sqrt((0 until 8).map(i => col(s"c$i") * col(s"c$i"))
           .reduce(_ + _)))
@@ -410,11 +429,13 @@ object Multimodal {
     val keyed = centered.join(small, "bucket")
     val cos = (0 until 8).map(i => col(s"a.c$i") * col(s"b.c$i"))
       .reduce(_ + _) / (col("a.nrm") * col("b.nrm"))
-    keyed.as("a").join(keyed.as("b"),
+    val out = keyed.as("a").join(keyed.as("b"),
         col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .filter(cos >= tau)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.bucket").as("bucket"), round(cos, 6).as("cos_sim"))
+    Scratch.defer(feat)
+    out
   }
 }

@@ -338,12 +338,11 @@ object Pipeline {
           .cast("long") % nShards).as("shard"),
         col("n_tokens"))
     // pid is captured right after the range exchange and persisted, so
-    // both consumers read one deterministic snapshot of the slicing.
-    // Cache lifetime is the cache manager's: identical plans across
-    // calls share one entry per corpus (the docShingles convention)
-    val ranged = base.repartitionByRange(p, col("shard"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both consumers read one deterministic snapshot of the slicing;
+    // reclaimed after the caller's action (Scratch lifecycle)
+    val ranged = Scratch.persistDeferred(
+      base.repartitionByRange(p, col("shard"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
     val partials = ranged.groupBy("pid", "shard")
       .agg(sum(col("n_tokens")).as("t"))
     // offset of a (pid, shard) slice = same-shard tokens in lower pids
@@ -415,9 +414,9 @@ object Pipeline {
         md5(concat(lit("cap1"), col("doc_id").cast("string"))).as("ord"))
     val totals = base.agg(sum(col("n_tokens")).as("total"),
       countDistinct(col("source")).as("ns"))
-    val ranged = base.repartitionByRange(p, col("source"), col("ord"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = Scratch.persistDeferred(
+      base.repartitionByRange(p, col("source"), col("ord"))
+        .withColumn("pid", spark_partition_id()))
     val partials = ranged.groupBy("pid", "source")
       .agg(sum(col("n_tokens")).as("t"))
     val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
@@ -672,7 +671,7 @@ object Pipeline {
           % nBuckets).as("bucket"))
       .groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(tf)
     val rawCnt = tf.groupBy("bucket").agg(sum(col("tf")).as("c_raw"))
     val tgtCnt = tf.filter(col("lang") === "en")
       .groupBy("bucket").agg(sum(col("tf")).as("c_tgt"))
@@ -835,9 +834,9 @@ object Pipeline {
           w => w =!= "")).cast("double").as("x"))
     // both the rank branch and the offsets branch read `phased`;
     // persist so tokenize + KLL-cut + bucket run ONCE per corpus
-    val phased = quantileBucketsOver(vals, nPhases)
-      .withColumnRenamed("bucket", "phase")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val phased = Scratch.persistDeferred(
+      quantileBucketsOver(vals, nPhases)
+        .withColumnRenamed("bucket", "phase"))
     val wPhase = Window.partitionBy(col("phase"))
       .orderBy(col("h"), col("doc_id"))
     val pos = phased

@@ -572,11 +572,11 @@ object Quality {
     * already runs at 100 TB.
     */
   def survivorship(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Dedup.clusters(spark, sfDir)
-      .join(Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
-        "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = Scratch.persistDeferred(
+      Dedup.clusters(spark, sfDir)
+        .join(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+          "doc_id"))
     val base = d.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         min(col("doc_id")).as("canonical_id"),

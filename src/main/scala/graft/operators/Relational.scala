@@ -2009,9 +2009,9 @@ object Relational {
       .agg(min(struct(col("size"), col("p_partkey"))).as("m"))
       .select(col("price"), col("m.size").as("size"),
         col("m.p_partkey").as("p_partkey"))
-    val ranged = cand.repartitionByRange(p, col("price"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = Scratch.persistDeferred(
+      cand.repartitionByRange(p, col("price"))
+        .withColumn("pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = ranged.withColumn("lmin", min(col("size")).over(wLocal))
@@ -2207,10 +2207,9 @@ object Relational {
     val spark = perPart.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val d38 = DecimalType(38, 0)
-    val ranged = perPart
+    val ranged = Scratch.persistDeferred(perPart
       .repartitionByRange(p, col("cents").desc, col("l_partkey"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pid", spark_partition_id()))
     val wOff = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy("pid")
@@ -2351,10 +2350,10 @@ object Relational {
     */
   def stickiness(spark: SparkSession, sfDir: String,
       window: Int = 7): DataFrame = {
-    val pairs = Tables.events(spark, sfDir)
-      .select(to_date(date_trunc("DAY", col("ts"))).as("day"),
-        col("user_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Scratch.persistDeferred(
+      Tables.events(spark, sfDir)
+        .select(to_date(date_trunc("DAY", col("ts"))).as("day"),
+          col("user_id")).distinct())
     val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
     val grid = dau.select(col("day").as("d"))
     val wau = pairs.join(broadcast(grid),

@@ -39,7 +39,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
       // cast + norm computed once; bucket generation and the verify
-      // join both read the persisted copy instead of re-scanning
+      // join both read the persisted copy instead of re-scanning.
+      // INTENTIONALLY long-lived (not Scratch-deferred): the cache
+      // manager dedupes this plan per (session, sfDir), so the whole
+      // ANN family shares ONE corpus projection per serving session —
+      // the in-memory index every vector store keeps resident. The
+      // per-call scratch built ON it (ranked/pool frames) goes
+      // through the Scratch lifecycle instead.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The (query_id, qv, qnorm) projection of the first `nQueries`
@@ -279,10 +285,12 @@ object Similarity {
     // vector); only the slim (vec_id, cid, crank) rows that either
     // branch needs survive and persist, so assignment and probing
     // don't each recompute the cross join
-    val ranked = centroidRanks(all, ivfCentroids(all, IvfCells))
-      .filter(col("crank") === 1 ||
-        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call scratch: consumed by assignment and probing below,
+    // reclaimed after the caller's action (Scratch lifecycle)
+    val ranked = Scratch.persistDeferred(
+      centroidRanks(all, ivfCentroids(all, IvfCells))
+        .filter(col("crank") === 1 ||
+          (col("crank") <= IvfProbes && col("vec_id") < nQueries)))
     val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
     val probes = ranked.filter(col("crank") <= IvfProbes
         && col("vec_id") < nQueries)
@@ -325,10 +333,12 @@ object Similarity {
     val all = vecs(spark, sfDir)
     val labels = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"))
-    val ranked = centroidRanks(all, ivfCentroids(all, IvfCells))
-      .filter(col("crank") === 1 ||
-        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call scratch: consumed by assignment and probing below,
+    // reclaimed after the caller's action (Scratch lifecycle)
+    val ranked = Scratch.persistDeferred(
+      centroidRanks(all, ivfCentroids(all, IvfCells))
+        .filter(col("crank") === 1 ||
+          (col("crank") <= IvfProbes && col("vec_id") < nQueries)))
     val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
     val probes = ranked.filter(col("crank") <= IvfProbes
         && col("vec_id") < nQueries)
@@ -472,10 +482,10 @@ object Similarity {
         cpairs.select(col("cid"), col("nid"), col("gcos")),
         Seq("cid"), Seq(("gcos", true), ("nid", false)), NswDegree)
       .select(col("cid"), col("nid"))
-    val ranked = centroidRanks(all, cent)
-      .filter(col("crank") === 1 ||
-        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = Scratch.persistDeferred(
+      centroidRanks(all, cent)
+        .filter(col("crank") === 1 ||
+          (col("crank") <= IvfProbes && col("vec_id") < nQueries)))
     val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
     val probes0 = ranked.filter(col("crank") <= IvfProbes
         && col("vec_id") < nQueries)
@@ -544,7 +554,7 @@ object Similarity {
       // queries keep their FULL cell ranking (bounded: nQueries ×
       // cells rows) — the margin rule needs every csim, not a prefix
       .filter(col("crank") === 1 || col("vec_id") < nQueries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(ranked)
     val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
     val byQ = Window.partitionBy(col("query_id"))
     val qcells = ranked.filter(col("vec_id") < nQueries)
@@ -593,10 +603,12 @@ object Similarity {
   def annRangeSearch(spark: SparkSession, sfDir: String,
       tau: Double = 0.35, nQueries: Int = 20): DataFrame = {
     val all = vecs(spark, sfDir)
-    val ranked = centroidRanks(all, ivfCentroids(all, IvfCells))
-      .filter(col("crank") === 1 ||
-        (col("crank") <= IvfProbes && col("vec_id") < nQueries))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call scratch: consumed by assignment and probing below,
+    // reclaimed after the caller's action (Scratch lifecycle)
+    val ranked = Scratch.persistDeferred(
+      centroidRanks(all, ivfCentroids(all, IvfCells))
+        .filter(col("crank") === 1 ||
+          (col("crank") <= IvfProbes && col("vec_id") < nQueries)))
     val assign = ranked.filter(col("crank") === 1).select("vec_id", "cid")
     val probes = ranked.filter(col("crank") <= IvfProbes
         && col("vec_id") < nQueries)
@@ -648,11 +660,12 @@ object Similarity {
     * recall against brute-force truth — an untrustworthy default.)
     *
     * SCALE NOTE (measured, BENCH_sf1.json): ANY fixed banding makes
-    * bucket occupancy grow ∝ n and candidate pairs ∝ n² — past ~2¹¹
-    * vectors, wire `planesPerBand` to [[scaledPlanesPerBand]] (the
-    * integer count ladder `q_knn_graph_scaled` gates end-to-end:
-    * 473 s → 35 s at sf1). The fixed defaults here are the tuned
-    * GATE-SF operating point, not a scale invariant.
+    * bucket occupancy grow ∝ n and candidate pairs ∝ n² — measured
+    * exp 2.15 on the fixed-width knn graph at sf1, vs ~1.03 for the
+    * count-ladder width (473 s → 35 s). Since round 18 the ladder
+    * ([[scaledPlanesPerBand]]) IS the family default: every SRP
+    * entry point derives its width from one bounded pre-flight
+    * count unless an explicit width pins the tuned gate-SF point.
     *
     * THE SELECTIVITY TRADE, quantified honestly: unrelated vectors
     * still agree on a plane with p≈0.5, so a 4-plane band passes
@@ -670,6 +683,13 @@ object Similarity {
   val DefaultSrpBands = 16
   val DefaultPlanesPerBand = 4
 
+  /** Sentinel: "derive planesPerBand from the corpus count ladder"
+    * ([[scaledPlanesPerBand]]) — the family default since round 18.
+    * Pass an explicit width only to pin a fixed operating point
+    * (specs; recall-curve tuning).
+    */
+  val DerivedWidth = -1
+
   /** Banded SRP near-neighbor pairs: each band gets its own
     * `planesPerBand` hyperplanes (a slice of one seeded family); a
     * pair is a candidate when ANY band's sign-code agrees (standard
@@ -680,15 +700,23 @@ object Similarity {
   def annLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3,
       bands: Int = DefaultSrpBands,
-      planesPerBand: Int = DefaultPlanesPerBand): DataFrame = {
-    val fam = planesFor(bands * planesPerBand)
+      planesPerBand: Int = DerivedWidth): DataFrame = {
     val coded = vecs(spark, sfDir)
+    // count-ladder width by default (one bounded pre-flight count —
+    // the JoinPlanner convention): at the gate SFs the ladder lands
+    // on the tuned 4, past ~2^11 vectors it grows with log2(n) so
+    // bucket occupancy (and the candidate join) stays ~linear. The
+    // oracle re-derives the identical width from count(*).
+    val ppb =
+      if (planesPerBand != DerivedWidth) planesPerBand
+      else scaledPlanesPerBand(coded.count(), floor = DefaultPlanesPerBand)
+    val fam = planesFor(bands * ppb)
     val banded = coded.select(
         col("vec_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             srp_bucket(col("v"),
-              fam.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("code"))
+              fam.slice(b * ppb, (b + 1) * ppb)).as("code"))
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.code").as("code"))
     val cand = banded.as("x").join(banded.as("y"),
@@ -746,16 +774,21 @@ object Similarity {
   def annLshMultiProbe(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3,
       bands: Int = DefaultMpBands,
-      planesPerBand: Int = DefaultMpPlanes,
+      planesPerBand: Int = DerivedWidth,
       probes: Int = DefaultMpProbes): DataFrame = {
-    val fam = planesFor(bands * planesPerBand)
     val coded = vecs(spark, sfDir)
+    // count-ladder width by default (see annLsh): floor 6 keeps the
+    // gate SFs on the tuned 8x6+2 operating point exactly
+    val ppb =
+      if (planesPerBand != DerivedWidth) planesPerBand
+      else scaledPlanesPerBand(coded.count())
+    val fam = planesFor(bands * ppb)
     val banded = coded.select(
         col("vec_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             srp_probes(col("v"),
-              fam.slice(b * planesPerBand, (b + 1) * planesPerBand),
+              fam.slice(b * ppb, (b + 1) * ppb),
               probes).as("codes"))
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"),
@@ -803,7 +836,7 @@ object Similarity {
     */
   def knnGraph(spark: SparkSession, sfDir: String, k: Int = 5,
       bands: Int = DefaultMpBands,
-      planesPerBand: Int = DefaultMpPlanes,
+      planesPerBand: Int = DerivedWidth,
       probes: Int = DefaultMpProbes): DataFrame = {
     // −∞ threshold: keep every verified candidate pair; the top-k
     // cut is the selection, not a similarity floor
@@ -854,11 +887,11 @@ object Similarity {
     * md5 hyperplane family at that width.
     */
   def knnGraphScaled(spark: SparkSession, sfDir: String,
-      k: Int = 5): DataFrame = {
-    val n = vecs(spark, sfDir).count() // ONE bounded pre-flight read
-    knnGraph(spark, sfDir, k, DefaultMpBands, scaledPlanesPerBand(n),
-      DefaultMpProbes)
-  }
+      k: Int = 5): DataFrame =
+    // the count-ladder width became the FAMILY default in round 18,
+    // so the scaled twin is now definitionally the default graph;
+    // the key stays registered as the gate on that equality
+    knnGraph(spark, sfDir, k)
 
   /** Scalar-quantized (SQ8) ANN — the MEMORY-bound scale path the
     * LSH/IVF variants don't cover: each dimension compresses to one
@@ -1543,7 +1576,7 @@ object Similarity {
       .select(col("doc_id"),
         array_distinct(filter(split(col("text"), WordSplit), w => w =!= ""))
           .as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(words)
     val sizes = words.select(col("doc_id"), size(col("w")).as("nw"))
     val posting = words.select(col("doc_id"), explode(col("w")).as("word"))
     val qPosting = posting.filter(col("doc_id") < nQueries)
@@ -1620,7 +1653,7 @@ object Similarity {
         scored.select(col("query_id"), col("vec_id"), col("rel")),
         Seq("query_id"), Seq(("rel", true), ("vec_id", false)), poolK)
       .select(col("query_id"), col("vec_id"), col("rel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(pool)
     val pv = pool.join(all, "vec_id")
       .select(col("query_id"), col("vec_id"), col("v"), col("norm"))
     // candidate-first division order (da's norm divides first) —

@@ -590,7 +590,7 @@ object Stats {
         sum(col("y")).as("sy"),
         sum((col("x") * col("y")).cast(d38)).as("sxy"),
         sum((col("x") * col("x")).cast(d38)).as("sxx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(byV)
     val pooled = byV.agg(sum(col("n")).as("pn"),
         sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
         sum(col("sxy")).as("psxy"), sum(col("sxx")).as("psxx"))
@@ -688,10 +688,10 @@ object Stats {
       .withColumn("variant",
         when(conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
           16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
-    val mom = perUser.groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
-        sum((col("m") * col("m")).cast(DecimalType(38, 4))).as("ss"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = Scratch.persistDeferred(
+      perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+          sum((col("m") * col("m")).cast(DecimalType(38, 4))).as("ss")))
     val a = mom.filter(col("variant") === "A")
       .select(col("n").cast("double").as("na"),
         col("s").cast("double").as("sa"), col("ss").cast("double").as("ssa"))
@@ -1435,10 +1435,9 @@ object Stats {
     val spark = perCust.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val d19 = DecimalType(19, 0)
-    val ranged = perCust
+    val ranged = Scratch.persistDeferred(perCust
       .repartitionByRange(p, col("segment"), col("cents"), col("c_custkey"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pid", spark_partition_id()))
     val wOff = Window.partitionBy(col("segment")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy("pid", "segment")
@@ -1489,7 +1488,7 @@ object Stats {
       .groupBy(col("event_type"),
         to_date(date_trunc("DAY", col("ts"))).as("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(daily)
     val byDow = daily
       .groupBy(col("event_type"), dayofweek(col("day")).cast("long")
         .as("dow"))
@@ -1580,7 +1579,7 @@ object Stats {
       .groupBy(col("event_type"),
         to_date(date_trunc("DAY", col("ts"))).as("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(daily)
     val byDow = daily
       .groupBy(col("event_type"),
         dayofweek(col("day")).cast("long").as("dow"))
@@ -1696,8 +1695,8 @@ object Stats {
         to_date(date_trunc("DAY", col("ts"))).as("day"))
       .agg(count(lit(1)).as("y"))
     val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
-    val withCut = daily.crossJoin(broadcast(cut))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withCut = Scratch.persistDeferred(
+      daily.crossJoin(broadcast(cut)))
     val state = withCut.filter(col("day") < col("cut"))
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("y"))))
@@ -1764,8 +1763,8 @@ object Stats {
   private[graft] def forecastThetaOver(daily: DataFrame,
       horizon: Int): DataFrame = {
     val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
-    val withCut = daily.crossJoin(broadcast(cut))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withCut = Scratch.persistDeferred(
+      daily.crossJoin(broadcast(cut)))
     val train = withCut.filter(col("day") < col("cut"))
     // SES level: the dyadic fold l' = (y + l) / 2 over the sorted
     // series (finite binary fractions — engine-exact)
@@ -1838,8 +1837,8 @@ object Stats {
         to_date(date_trunc("DAY", col("ts"))).as("day"))
       .agg(count(lit(1)).as("y"))
     val cut = daily.agg(date_sub(max(col("day")), horizon - 1).as("cut"))
-    val withCut = daily.crossJoin(broadcast(cut))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withCut = Scratch.persistDeferred(
+      daily.crossJoin(broadcast(cut)))
     val state = withCut.filter(col("day") < col("cut"))
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("y"))))
@@ -2416,10 +2415,10 @@ object Stats {
       .withColumn("variant",
         when(conv(substring(md5(concat(lit("exp:"), col("user_id"))), 1, 8),
           16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
-    val mom = perUser.groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
-        sum((col("m") * col("m")).cast(DecimalType(38, 4))).as("ss"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = Scratch.persistDeferred(
+      perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+          sum((col("m") * col("m")).cast(DecimalType(38, 4))).as("ss")))
     val a = mom.filter(col("variant") === "A")
       .select(col("n").cast("double").as("na"),
         col("s").cast("double").as("sa"), col("ss").cast("double").as("ssa"))
@@ -3401,7 +3400,7 @@ object Stats {
       .groupBy(col("event_type"),
         to_date(date_trunc("DAY", col("ts"))).as("day"))
       .agg(count(lit(1)).as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(daily)
     val mom = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
         sum(col("y") * col("y")).as("ss"))

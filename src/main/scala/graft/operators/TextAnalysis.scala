@@ -1346,9 +1346,9 @@ object TextAnalysis {
       k: Int = 50): DataFrame = {
     val words = docs
       .select(filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
-    val ucnt = words.select(explode(col("w")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ucnt = Scratch.persistDeferred(
+      words.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")))
     val bcnt = words.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), " +
@@ -1356,7 +1356,7 @@ object TextAnalysis {
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cnt_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scratch.persistDeferred(bcnt)
     val nTot = ucnt.agg(sum(col("cnt")).as("n_uni"))
     val mTot = bcnt.agg(sum(col("cnt_ab")).as("m_bi"))
     bcnt

@@ -1702,6 +1702,9 @@ object EventStreams {
     dumpFeedFile(feed,
       withCut.filter(col("day") >= col("cut")).drop("cut"),
       "run2.parquet", 1000000060000L)
+    // both consumers (the limits collect, the two feed dumps) have
+    // run — the rollup's blocks are dead weight from here on
+    daily.unpersist(blocking = false)
     val stream = spark.readStream.schema(daily.schema)
       .option("maxFilesPerTrigger", "1") // force the cross-batch carry
       .parquet(feed.toString)
