@@ -30,7 +30,7 @@ object Similarity {
     dot_product(a, b) / sqrt(dot_product(a, a)) / sqrt(dot_product(b, b))
 
   /** (vec_id, v double[], norm) — norm precomputed once per vector. */
-  private[operators] def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       // native array cast (codegen'd), NOT transform(_.cast): a
