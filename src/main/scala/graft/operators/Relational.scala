@@ -2749,11 +2749,12 @@ object Relational {
     * production HITS persists this edge list and every run reloads
     * it).
     */
-  private val hitsEdgeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private[graft] val hitsEdgeMemo = new MemoCache[
+    (SparkSession, String), DataFrame](
+    capacity = 8, _._1)(MemoCache.freeLocalCheckpoint)
 
   private def hitsEdges(spark: SparkSession, sfDir: String): DataFrame =
-    hitsEdgeMemo.computeIfAbsent((spark, sfDir), _ =>
+    hitsEdgeMemo.getOrCompute((spark, sfDir))(
       Tables.lineitem(spark, sfDir)
         .join(Tables.orders(spark, sfDir),
           col("l_orderkey") === col("o_orderkey"))

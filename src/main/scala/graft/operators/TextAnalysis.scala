@@ -334,18 +334,19 @@ object TextAnalysis {
     * entry from a stopped session can never serve a later one;
     * planted-corpus `Over` variants bypass the memo entirely.
     */
-  private val ugTrainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Seq[Int], Int), (DataFrame, Seq[String])]()
+  private[graft] val ugTrainMemo = new MemoCache[
+    (SparkSession, String, Int, Seq[Int], Int), (DataFrame, Seq[String])](
+    capacity = 8, _._1)(v => MemoCache.freeLocalCheckpoint(v._1))
 
   private def trainedUnigram(spark: SparkSession, sfDir: String,
       seedSize: Int, pruneSizes: Seq[Int], maxPieceLen: Int)
       : (DataFrame, Seq[String]) =
-    ugTrainMemo.computeIfAbsent(
-      (spark, sfDir, seedSize, pruneSizes, maxPieceLen), _ => {
+    ugTrainMemo.getOrCompute(
+      (spark, sfDir, seedSize, pruneSizes, maxPieceLen)) {
         val words = unigramWords(Tables.documents(spark, sfDir))
         (words,
           trainUnigramVocab(words, seedSize, pruneSizes, maxPieceLen))
-      })
+      }
 
   /** Same trainer over any documents-shaped frame — planted-corpus
     * specs pin the greedy segmentation, the prune order, and the
@@ -490,18 +491,19 @@ object TextAnalysis {
     * materialization here (unlike the substring families' per-
     * character scratch): the frame is tiny and both keys re-read it.
     */
-  private val ugApplyMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Seq[Int], Int), DataFrame]()
+  private[graft] val ugApplyMemo = new MemoCache[
+    (SparkSession, String, Int, Seq[Int], Int), DataFrame](
+    capacity = 8, _._1)(MemoCache.freeLocalCheckpoint)
 
   private def unigramApplyShared(spark: SparkSession, sfDir: String,
       seedSize: Int, pruneSizes: Seq[Int], maxPieceLen: Int): DataFrame =
-    ugApplyMemo.computeIfAbsent(
-      (spark, sfDir, seedSize, pruneSizes, maxPieceLen), _ => {
+    ugApplyMemo.getOrCompute(
+      (spark, sfDir, seedSize, pruneSizes, maxPieceLen)) {
         val (words, vocab) =
           trainedUnigram(spark, sfDir, seedSize, pruneSizes, maxPieceLen)
         unigramApplyFrom(Tables.documents(spark, sfDir), words, vocab)
           .localCheckpoint()
-      })
+      }
 
   /** UNIGRAM COVERAGE (`text_unigram_coverage`) — close the loop the
     * way [[tokenizerCoverage]] closes BPE's: the apply rows rolled up
