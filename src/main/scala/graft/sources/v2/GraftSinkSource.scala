@@ -278,14 +278,21 @@ object GraftSink {
   private def shardsOf(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(ShardRef)).map(_.split("\t")(1))
 
-  /** Test-visible gauges for the streaming-planner contract: the
-    * largest data-entry batch any [[foldEntryBatches]] call held at
-    * once (must stay O(shard threshold), never O(#files)), and the
-    * count of full-manifest [[resolved]] expansions of SHARDED
-    * manifests (a planner that only DECIDES must never pay one).
+  /** Contract-test gauges for the streaming planner: the largest
+    * data-entry batch any [[foldEntryBatches]] call held at once
+    * (must stay O(shard threshold), never O(#files)), and the count
+    * of full-manifest [[resolved]] expansions of SHARDED manifests
+    * (a planner that only DECIDES must never pay one). Scoped
+    * private[graft] — gauges, NOT public API: state is
+    * process-global, so the contract test reads deltas around a
+    * single-threaded section (suites run sequentially in the forked
+    * test JVM; concurrent sink activity in a production JVM only
+    * makes the gauges conservative, never the planner wrong).
     */
-  val peakEntryBatch = new java.util.concurrent.atomic.AtomicInteger(0)
-  val fullResolves = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val peakEntryBatch =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val fullResolves =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming fold over a raw manifest's DATA entries, one bounded
     * batch at a time: the inline tail first (≤ the shard threshold
@@ -1697,6 +1704,12 @@ object GraftSink {
     * CONSUMED: its manifests stay for audit but its local files have
     * moved. Returns the parent's committed generation.
     */
+  /** Test-only race injection: runs between staging a `.adopt-*`
+    * temp and its atomic move (the race spec simulates a concurrent
+    * vacuum sweeping the unreferenced temp). No-op in production.
+    */
+  private[graft] var adoptRaceHook: Path => Unit = _ => ()
+
   def publishClone(parentPath: String, clonePath: String): Int = {
     val (pGen, _) = head(parentPath)
     val cRaw = head(clonePath)._2
@@ -1732,19 +1745,43 @@ object GraftSink {
         // (it reclaims branch-local copies after its commit) — a
         // mid-copy NoSuchFileException would leave the winner's
         // COMMITTED file destroyed. rename(2) replaces atomically, so
-        // the target is never missing; a vanished source means the
-        // winner already owns the name in the parent — skip it. A
-        // crashed temp is unreferenced and vacuum reclaims it.
-        val tmp = Paths.get(parentPath, s".adopt-$f-" +
-          java.util.UUID.randomUUID().toString.substring(0, 8))
-        try {
-          Files.copy(local, tmp)
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-          staged += ((local, target))
-        } catch {
-          case _: java.nio.file.NoSuchFileException =>
-            Files.deleteIfExists(tmp)
+        // the target is never missing. A NoSuchFileException has TWO
+        // causes with OPPOSITE correct responses: (a) the SOURCE
+        // vanished — the racing winner committed this name and
+        // reclaimed its branch copy, so the name is owned and the
+        // skip is sound; (b) the TMP vanished — e.g. a concurrent
+        // vacuum(parent) swept the unreferenced .adopt-* file — and
+        // skipping would publish a manifest entry whose only copy
+        // lives in the branch dir (data loss once the branch is
+        // reclaimed). Re-check the source to tell them apart: retry
+        // while it still exists, fail LOUDLY after bounded attempts
+        // rather than publish a dangling reference.
+        var attempts = 0
+        var done = false
+        while (!done) {
+          val tmp = Paths.get(parentPath, s".adopt-$f-" +
+            java.util.UUID.randomUUID().toString.substring(0, 8))
+          try {
+            Files.copy(local, tmp)
+            adoptRaceHook(tmp)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            staged += ((local, target))
+            done = true
+          } catch {
+            case e: java.nio.file.NoSuchFileException =>
+              Files.deleteIfExists(tmp)
+              if (!Files.exists(local)) done = true // winner owns f
+              else {
+                attempts += 1
+                if (attempts >= 3)
+                  throw new java.io.IOException(
+                    s"adopting $f into $parentPath failed $attempts " +
+                      "times with the source still present (tmp " +
+                      "swept by a concurrent vacuum?) — refusing to " +
+                      "publish a manifest entry without its file", e)
+              }
+          }
         }
       }
     }

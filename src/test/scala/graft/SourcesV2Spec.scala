@@ -1475,6 +1475,53 @@ class SourcesV2Spec extends SparkSpec {
       "published branch rows must survive the losing publisher's cleanup")
   }
 
+  test("dsv2 sink publish vs vacuum race: a swept .adopt temp " +
+      "RETRIES (source still present) instead of publishing a " +
+      "dangling manifest entry; persistent sweeps fail loudly") {
+    import spark.implicits._
+    import graft.sources.v2.GraftSink
+    val parent = graft.TempDirs.create("graft_adoptrace_p").toString
+    putDocs(parent, (1L to 3L).map(i => (i, i * 10L)))
+    val branch = graft.TempDirs.create("graft_adoptrace_b").toString + "/t"
+    GraftSink.cloneShallow(parent, branch)
+    putDocs(branch, Seq((5L, 50L)))
+    // a concurrent vacuum(parent, minAgeMs=0) sweeping the
+    // unreferenced temp between staging and the atomic move — the
+    // NoSuchFileException the old code conflated with "racing winner
+    // owns the name" and silently skipped, publishing a manifest
+    // entry whose only copy lived in the branch dir. Sweep each
+    // adoption ONCE: the retry must notice the source still exists
+    // and re-stage.
+    val swept = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sweptOnce = scala.collection.mutable.Set.empty[String]
+    GraftSink.adoptRaceHook = tmp => {
+      val key = tmp.getFileName.toString.dropRight(8)
+      if (sweptOnce.add(key)) {
+        java.nio.file.Files.delete(tmp)
+        swept.incrementAndGet()
+        ()
+      }
+    }
+    try GraftSink.publishClone(parent, branch)
+    finally GraftSink.adoptRaceHook = _ => ()
+    assert(swept.get() > 0, "the race hook never fired")
+    assert(GraftSink.readBack(spark, parent, DocSchema)
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L),
+      "retried adoptions must deliver the full branch state")
+    // a PERSISTENT sweeper (every attempt loses its temp) must fail
+    // the publish loudly — never commit a reference without a file
+    val b2 = graft.TempDirs.create("graft_adoptrace_b2").toString + "/t"
+    GraftSink.cloneShallow(parent, b2)
+    putDocs(b2, Seq((7L, 70L)))
+    GraftSink.adoptRaceHook = tmp => {
+      java.nio.file.Files.delete(tmp); ()
+    }
+    try intercept[java.io.IOException] {
+      GraftSink.publishClone(parent, b2)
+    } finally GraftSink.adoptRaceHook = _ => ()
+  }
+
   test("dsv2 sink optimize: files without zonemap stats count as " +
       "dispersed — a mostly-stats-less store cannot read healthy off " +
       "its stats-bearing minority") {
