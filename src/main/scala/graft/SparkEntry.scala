@@ -520,6 +520,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_knn_graph_scaled" -> ((s, d) => Similarity.knnGraphScaled(s, d)),
+    "q_knn_graph_upsert" -> ((s, d) => Similarity.knnGraphUpsert(s, d)),
     "q_embed_pca" -> ((s, d) => Similarity.embedPca(s, d)),
     "ann_lsh_multiprobe" -> ((s, d) => Similarity.annLshMultiProbe(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
@@ -10070,6 +10071,29 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT vec_b, vec_a, cos FROM pairs)
          |SELECT src, dst, rnk FROM (
+         |  SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS BIGINT) AS rnk
+         |  FROM sym)
+         |WHERE rnk <= 5""".stripMargin,
+    // upsert ≡ rebuild is the GATE: Spark answers through the
+    // incremental merge (stored base top-k ∪ delta-bucket edges);
+    // the oracle replays the FULL REBUILD at the same derived width,
+    // plus the refreshed flag (delta nodes and their bucket
+    // neighbors) pinning WHICH lists the upsert recomputed
+    "q_knn_graph_upsert" ->
+      s"""WITH $srpScaledCtes,
+         |sym AS (
+         |  SELECT vec_a AS src, vec_b AS dst, cos FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b, vec_a, cos FROM pairs),
+         |aff AS (
+         |  SELECT DISTINCT src FROM sym
+         |  WHERE dst >= (SELECT n - 100 FROM cnt))
+         |SELECT src, dst, rnk,
+         |  (src >= (SELECT n - 100 FROM cnt)
+         |    OR src IN (SELECT src FROM aff)) AS refreshed
+         |FROM (
          |  SELECT src, dst,
          |    CAST(row_number() OVER (PARTITION BY src
          |      ORDER BY cos DESC, dst) AS BIGINT) AS rnk

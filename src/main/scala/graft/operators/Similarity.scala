@@ -782,21 +782,7 @@ object Similarity {
     val ppb =
       if (planesPerBand != DerivedWidth) planesPerBand
       else scaledPlanesPerBand(coded.count())
-    val fam = planesFor(bands * ppb)
-    val banded = coded.select(
-        col("vec_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            srp_probes(col("v"),
-              fam.slice(b * ppb, (b + 1) * ppb),
-              probes).as("codes"))
-        }: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"),
-        explode(col("bk.codes")).as("code"))
-      // a vector can reach the same code via main and a probe of a
-      // twin band elsewhere; key set per (vec, band) is small — dedup
-      // before the join, not after the blowup
-      .distinct()
+    val banded = mpCodes(coded, bands, ppb, probes)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.code") === col("y.code")
           && col("x.vec_id") < col("y.vec_id"))
@@ -892,6 +878,113 @@ object Similarity {
     // so the scaled twin is now definitionally the default graph;
     // the key stays registered as the gate on that equality
     knnGraph(spark, sfDir, k)
+
+  /** The multi-probe (vec_id, band, code) key set: per band, the main
+    * sign code plus the `probes` lowest-|margin| one-bit flips,
+    * deduped before any join (a vector can reach one code via main
+    * and a probe elsewhere; the key set per (vec, band) is small —
+    * dedup before the blowup, not after). Shared by
+    * [[annLshMultiProbe]] and [[knnGraphUpsert]].
+    */
+  private def mpCodes(coded: DataFrame, bands: Int, ppb: Int,
+      probes: Int): DataFrame = {
+    val fam = planesFor(bands * ppb)
+    coded.select(
+        col("vec_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            srp_probes(col("v"),
+              fam.slice(b * ppb, (b + 1) * ppb),
+              probes).as("codes"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        explode(col("bk.codes")).as("code"))
+      .distinct()
+  }
+
+  /** INCREMENTAL k-NN GRAPH MAINTENANCE (`q_knn_graph_upsert`) — the
+    * `ann_maintain` discipline applied to the graph: at 100 TB nobody
+    * rebuilds the (most expensive measured sf1) graph per arriving
+    * batch. The last `nDelta` vectors play the appended delta; the
+    * base graph over the older corpus stands in for the stored
+    * artifact (built in-query so the key is self-contained, exactly
+    * like `ann_maintain` builds its lower-half index); the upsert
+    * then touches ONLY delta-involving buckets: new candidate edges
+    * are the (band, code) join of the DELTA key set against the full
+    * corpus — O(delta × occupancy), never a rebuild — and each
+    * affected node's top-k re-cuts over (stored top-k ∪ new edges).
+    *
+    * Why that equals the full rebuild (the theorem the gate checks):
+    * old-old edge scores are untouched, and an old edge outside a
+    * node's stored top-k is dominated by k stored edges that remain
+    * candidates — new edges can only displace downward, never
+    * resurrect — so top-k(stored ∪ delta) = top-k(all ∪ delta).
+    * Hash-gated against the FULL-REBUILD oracle at the same
+    * count-ladder width, so the equality is machine-checked, not
+    * asserted; `refreshed` rides the output (delta nodes and bucket
+    * neighbors of the delta) so the gate also pins WHICH lists the
+    * upsert recomputed. Width note: both phases band at the
+    * post-upsert corpus width (a production store re-bands lazily —
+    * at gate SFs the ladder step is delta-invariant).
+    */
+  def knnGraphUpsert(spark: SparkSession, sfDir: String, k: Int = 5,
+      nDelta: Long = 100L): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val n = all.count()
+    val cut = n - nDelta
+    val ppb = scaledPlanesPerBand(n)
+    val codes = Scratch.persistDeferred(
+      mpCodes(all, DefaultMpBands, ppb, DefaultMpProbes))
+    val joinOn = (x: String, y: String) =>
+      col(s"$x.band") === col(s"$y.band") &&
+        col(s"$x.code") === col(s"$y.code") &&
+        col(s"$x.vec_id") < col(s"$y.vec_id")
+    def verify(cand: DataFrame): DataFrame = {
+      val side = all.select(col("vec_id"), col("v"), col("norm"))
+      cand
+        .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
+          col("norm").as("na")), "vec_a")
+        .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("norm").as("nb")), "vec_b")
+        .withColumn("cos",
+          dot_product(col("va"), col("vb")) / col("na") / col("nb"))
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+    }
+    def directed(pairs: DataFrame): DataFrame = pairs
+      .select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cos").as("cos"))
+    // the stored artifact: base-corpus top-k (old-old edges only)
+    val baseCodes = codes.filter(col("vec_id") < cut)
+    val baseTopk = graft.plans.TopKPerKey(
+        directed(verify(
+          baseCodes.as("x").join(baseCodes.as("y"), joinOn("x", "y"))
+            .select(col("x.vec_id").as("vec_a"),
+              col("y.vec_id").as("vec_b"))
+            .distinct())),
+        Seq("src"), Seq(("cos", true), ("dst", false)), k)
+      .select(col("src"), col("dst"), col("cos"))
+    // the upsert: ONLY delta-involving candidate edges (either side
+    // in the delta) — the delta key set keys the join, so the cost is
+    // O(delta × bucket occupancy)
+    val deltaEdges = directed(verify(
+      codes.as("x").join(codes.as("y"),
+          joinOn("x", "y") &&
+            (col("x.vec_id") >= cut || col("y.vec_id") >= cut))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()))
+    val affected = deltaEdges.select(col("src")).distinct()
+      .withColumn("refreshed", lit(true))
+    graft.plans.TopKPerKey(
+        baseTopk.unionByName(deltaEdges),
+        Seq("src"), Seq(("cos", true), ("dst", false)), k)
+      .join(affected, Seq("src"), "left_outer")
+      .select(col("src"), col("dst"), col("rnk"),
+        coalesce(col("refreshed"), lit(false)).as("refreshed"))
+  }
 
   /** Scalar-quantized (SQ8) ANN — the MEMORY-bound scale path the
     * LSH/IVF variants don't cover: each dimension compresses to one

@@ -1308,6 +1308,20 @@ object EventStreams {
     val ckpt = graft.TempDirs.create("graft_stream_compact_ckpt").toString
     val out = graft.TempDirs.create("graft_stream_compact_out").toString
     docs.repartition(feedFiles).write.mode("overwrite").parquet(feed)
+    // the DuckDB oracle replays the maintenance recurrence from the
+    // REGISTRY constants (feedFiles epochs x filesPerEpoch appends vs
+    // the budget) — these checks turn the two assumptions that
+    // recurrence rests on into loud failures instead of silent gate
+    // divergence: (1) the feed write produced exactly one parquet
+    // part per epoch, (2) each epoch has enough rows that the
+    // round-robin repartition leaves no empty partition (an empty
+    // partition writes no file and breaks files-per-epoch)
+    val nFeedParts = {
+      val d = new java.io.File(feed)
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    require(nFeedParts == feedFiles,
+      s"feed wrote $nFeedParts parts, oracle recurrence assumes $feedFiles")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("n_chars", LongType)))
     val nCompactions = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1317,6 +1331,11 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // round-robin into a deterministic per-epoch file count — the
         // small-file pressure the loop exists to manage
+        val n = batch.count()
+        require(n >= filesPerEpoch,
+          s"epoch $id has $n rows < $filesPerEpoch — an empty " +
+            "round-robin partition would write fewer files than the " +
+            "oracle's recurrence assumes")
         batch.repartition(filesPerEpoch)
           .write.format("graft.sources.v2.GraftSinkSource")
           .option("path", out).option("txn", s"epoch-$id")

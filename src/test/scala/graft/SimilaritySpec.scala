@@ -169,6 +169,29 @@ class SimilaritySpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("knn-graph upsert equals the full rebuild (incremental-merge " +
+      "theorem) and refreshed marks exactly the delta-touched lists") {
+    import org.apache.spark.sql.functions.col
+    val up = Similarity.knnGraphUpsert(spark, sf, k = 5, nDelta = 100)
+      .cache()
+    val full = Similarity.knnGraph(spark, sf, k = 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(up) == key(full),
+      "the merged (stored top-k ∪ delta edges) ranks must be " +
+        "bit-equal to the full rebuild's")
+    // flag consistency (at 500 vectors a 100-vector delta touches
+    // every bucket — ppb=6 gives 64 codes/band — so refreshed=false
+    // only appears at larger corpora; the necessary conditions are
+    // still assertable): every delta node is refreshed, and any list
+    // that CONTAINS a delta neighbor must have been recomputed
+    assert(up.filter(col("src") >= 400 && !col("refreshed")).isEmpty)
+    assert(up.filter(col("dst") >= 400 && !col("refreshed")).isEmpty)
+    up.unpersist()
+    ()
+  }
+
   test("q_knn_graph_scaled: the integer width ladder pins every " +
       "boundary, and at the gate SF (where the ladder lands on the " +
       "tuned default) the graph equals q_knn_graph exactly") {
