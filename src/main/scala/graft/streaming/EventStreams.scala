@@ -232,13 +232,15 @@ object EventStreams {
           col("event_type"), col("value")).as[Event]
       val name = nextSinkName("graft_stream_sess")
       withSink(spark, name) {
-      val q = sessionize(events).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        appendSentinel(spark, raw, dir)
-        q.processAllAvailable()
-      } finally q.stop()
+      withScaledStateFor(spark, sfDir) {
+        val q = sessionize(events).writeStream
+          .format("memory").queryName(name).outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, raw, dir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       drainMemorySink(spark, name)
       }
     }
@@ -276,13 +278,15 @@ object EventStreams {
         .select(col("user_id"), col("s"), col("e"), col("n_events"))
       val name = nextSinkName("graft_stream_swin")
       withSink(spark, name) {
-        val q = sessions.writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          appendSentinel(spark, raw, dir)
-          q.processAllAvailable()
-        } finally q.stop()
+        withScaledStateFor(spark, sfDir) {
+          val q = sessions.writeStream
+            .format("memory").queryName(name).outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            appendSentinel(spark, raw, dir)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         drainMemorySink(spark, name)
       }
     }
@@ -316,9 +320,11 @@ object EventStreams {
       }
       val name = nextSinkName("graft_stream_join")
       withSink(spark, name) {
-        val q = purchaseClickJoin(events).writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        withScaledStateFor(spark, sfDir) {
+          val q = purchaseClickJoin(events).writeStream
+            .format("memory").queryName(name).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         drainMemorySink(spark, name)
       }
     }
@@ -365,13 +371,15 @@ object EventStreams {
         "left_outer")
       val name = nextSinkName("graft_stream_ojoin")
       withSink(spark, name) {
-        val q = joined.writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          appendSentinel(spark, raw, dir)
-          q.processAllAvailable()
-        } finally q.stop()
+        withScaledStateFor(spark, sfDir) {
+          val q = joined.writeStream
+            .format("memory").queryName(name).outputMode("append").start()
+          try {
+            q.processAllAvailable()
+            appendSentinel(spark, raw, dir)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         drainMemorySink(spark, name)
       }
     }
@@ -411,9 +419,11 @@ object EventStreams {
       }
       val name = nextSinkName("graft_stream_dedup")
       withSink(spark, name) {
-        val q = dedupStream(events).writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        withScaledStateFor(spark, sfDir) {
+          val q = dedupStream(events).writeStream
+            .format("memory").queryName(name).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         drainMemorySink(spark, name)
           .select(col("event_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
@@ -452,9 +462,11 @@ object EventStreams {
         sum((col("v") * col("v")).cast(DecimalType(38, 4))).as("ss"))
     val name = nextSinkName("graft_stream_msprt")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       graft.operators.Stats.msprtFromHourly(
         drainMemorySink(spark, name), "purchase", "click", 0.5)
     }
@@ -484,9 +496,11 @@ object EventStreams {
           .as("p"))
     val name = nextSinkName("graft_stream_funnel")
     withSink(spark, name) {
-      val q = flags.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = flags.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       graft.operators.Relational.funnelCiFromFlags(
         drainMemorySink(spark, name))
     }
@@ -494,6 +508,70 @@ object EventStreams {
 
   private def nextSinkName(prefix: String): String =
     s"${prefix}_${sinkCounter.incrementAndGet()}"
+
+  /** Sum of regular-file bytes under `p` (a file or a feed dir) — the
+    * input-size signal the state-partition derivation reads.
+    */
+  private def pathBytes(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) 0L
+    else if (Files.isRegularFile(p)) Files.size(p)
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    }
+  }
+
+  /** Run a stateful streaming query with a SIZE-DERIVED shuffle (=
+    * state-store) partition count instead of the session constant
+    * (guide §2: make partitioning scale-adaptive — derive from input
+    * size — rather than a constant tuned for either local mode or the
+    * cluster). Stateful operators pin their state partitioning to
+    * `spark.sql.shuffle.partitions` at FIRST query start and AQE never
+    * coalesces it, so a micro-batch over a small feed otherwise
+    * schedules — and checkpoints, one delta file each, a stream-stream
+    * join keeps FOUR stores per partition — dozens of near-empty state
+    * stores per trigger; across the 2–4 triggers the bounded feeds
+    * force, that fixed cost dominates the key. One state partition per
+    * `graft.stream.bytesPerStatePartition` bytes of feed (default
+    * 8 MiB, conf-overridable), capped at the session's parallelism so
+    * a large feed still fans out to every core: the gate SFs run a
+    * handful of stores, an sf10+ feed saturates the cap, and on a real
+    * cluster the cap IS the cluster's parallelism. Partitioning is
+    * internal to the state store — the emitted row set is identical —
+    * and the conf is restored after the body, so batch keys and the
+    * bench harness see the session value throughout.
+    */
+  private[graft] def scaledStatePartitions(spark: SparkSession,
+      feedBytes: Long): Int = {
+    val per = spark.conf.getOption("graft.stream.bytesPerStatePartition")
+      .map(_.toLong).getOrElse(8L << 20)
+    val cap = math.max(1, spark.sparkContext.defaultParallelism)
+    math.max(1L, math.min(cap.toLong, (feedBytes + per - 1) / per)).toInt
+  }
+
+  private[graft] def withScaledState[T](spark: SparkSession, feedBytes: Long)
+      (body: => T): T = {
+    val n = scaledStatePartitions(spark, feedBytes)
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** [[withScaledState]] sized from the session's events parquet —
+    * the feed every event-stream key symlinks or re-writes subsets of.
+    */
+  private def withScaledStateFor[T](spark: SparkSession, sfDir: String)
+      (body: => T): T =
+    withScaledState(spark,
+      pathBytes(java.nio.file.Paths.get(s"$sfDir/events.parquet")))(body)
 
   /** Materialize a memory-sink view and drop it immediately, spilling
     * through a per-run temp parquet: the memory sink already holds one
@@ -538,9 +616,11 @@ object EventStreams {
       val (_, _, events) = eventFeed(spark, sfDir, "graft_stream_src")
       val name = nextSinkName("graft_stream_hourly")
       withSink(spark, name) {
-        val q = hourlyCountsFull(events).writeStream
-          .format("memory").queryName(name).outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
+        withScaledStateFor(spark, sfDir) {
+          val q = hourlyCountsFull(events).writeStream
+            .format("memory").queryName(name).outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         drainMemorySink(spark, name)
       }
     }
@@ -582,9 +662,11 @@ object EventStreams {
         .agg(graft.functions.ThetaSketch.theta_sketch(col("uid"), 65536).as("sk"))
       val name = nextSinkName("graft_stream_theta")
       withSink(spark, name) {
-        val q = agg.writeStream
-          .format("memory").queryName(name).outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
+        withScaledStateFor(spark, sfDir) {
+          val q = agg.writeStream
+            .format("memory").queryName(name).outputMode("complete").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         drainMemorySink(spark, name)
           .select(col("event_type"),
             graft.functions.ThetaSketch.theta_estimate(col("sk"), 65536).as("users"))
@@ -617,9 +699,11 @@ object EventStreams {
         col("n_chars"), 8192, Seq(0.25, 0.5, 0.75)).as("qs"))
     val name = nextSinkName("graft_stream_kll")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       drainMemorySink(spark, name)
         .select(col("lang"),
           element_at(col("qs"), 1).as("p25"),
@@ -654,9 +738,11 @@ object EventStreams {
       graft.functions.CountMinSketch.count_min(col("event_type"), 4, 8192).as("sk"))
     val name = nextSinkName("graft_stream_cms")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       val sk = drainMemorySink(spark, name)
       // the final complete-mode sketch is ONE row; broadcast it over
       // the distinct item set so the wide cell array never shuffles
@@ -708,9 +794,11 @@ object EventStreams {
         sum(when(col("run") === 2, 1L).otherwise(0L)).as("n2"))
     val name = nextSinkName("graft_stream_drift")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // the drained final counts run the SAME psi projection as the
       // batch operator — one definition, one smoothing constant
       graft.operators.Pipeline.psiFromCounts(
@@ -757,9 +845,11 @@ object EventStreams {
         max(col("v")).as("mx"))
     val name = nextSinkName("graft_stream_moments")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       drainMemorySink(spark, name)
         .select(col("event_type"), col("n"),
           round(col("s1").cast("double") / col("n").cast("double"), 6)
@@ -800,9 +890,11 @@ object EventStreams {
       .agg(graft.functions.FreqItemsSketch.freq_items(col("word"), 64).as("sk"))
     val name = nextSinkName("graft_stream_topk")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       drainMemorySink(spark, name)
         .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
         .select(col("lang"), col("col.item").as("word"),
@@ -840,9 +932,11 @@ object EventStreams {
         sum(col("v")).as("sv"))
     val name = nextSinkName("graft_stream_dim")
     withSink(spark, name) {
-      val q = joined.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = joined.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       drainMemorySink(spark, name)
         .select(col("c_mktsegment"), col("event_type"), col("n"),
           col("sv").cast("double").as("sum_value"))
@@ -943,7 +1037,7 @@ object EventStreams {
       // micro-batch finalizes its closed windows); only THEN does the
       // earlier half land, entirely beyond the recovered watermark
       dumpFeedFile(feed, fresh, "a.parquet", 1000000000000L)
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withScaledStateFor(spark, sfDir) {
         val counts = spark.readStream.schema(
             spark.read.parquet(feed.resolve("a.parquet").toString).schema)
           .parquet(feed.toString)
@@ -994,9 +1088,11 @@ object EventStreams {
       .parquet(feed.toString)
     val name = nextSinkName("graft_stream_near_dup")
     withSink(spark, name) {
-      val q = nearDupStream(stream).writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(feed)) {
+        val q = nearDupStream(stream).writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       drainMemorySink(spark, name)
         .select(col("doc_id"), col("near_dup_of"))
     }
@@ -1074,7 +1170,7 @@ object EventStreams {
           case _ => s0
         }
       }
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withScaledStateFor(spark, sfDir) {
         val q = dedupStream(events).writeStream
           .format("parquet")
           .option("path", out.toString)
@@ -1245,7 +1341,7 @@ object EventStreams {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      def runOnce(): Unit = {
+      def runOnce(): Unit = withScaledStateFor(spark, sfDir) {
         val q = dedupStream(events).writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             shape(batch).write.format("graft.sources.v2.GraftSinkSource")
@@ -1499,9 +1595,12 @@ object EventStreams {
     val agg = stream.groupBy("event_type").agg(count(lit(1)).as("n"))
     val name = nextSinkName("graft_stream_obs")
     val (nRows, sumV, nPurch) = withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      val q = withScaledState(spark, pathBytes(dir)) {
+        val q0 = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q0.processAllAvailable() finally q0.stop()
+        q0
+      }
       // the sink rows are never read — drop the view NOW so the
       // success path honors the no-pinned-sink invariant too
       spark.catalog.dropTempView(name)
@@ -1571,9 +1670,11 @@ object EventStreams {
           org.apache.spark.sql.Encoders.product[TwsAlert])
       val name = nextSinkName("graft_stream_tws")
       withSink(spark, name) {
-        val q = alerts.toDF().writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        withScaledState(spark, pathBytes(dir)) {
+          val q = alerts.toDF().writeStream
+            .format("memory").queryName(name).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         drainMemorySink(spark, name)
           .select(col("user_id"), col("threshold"))
       }
@@ -1632,9 +1733,11 @@ object EventStreams {
       .toDF("cid", "buf")
     val name = nextSinkName("graft_stream_kmeans")
     withSink(spark, name) {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withScaledState(spark, pathBytes(dir)) {
+        val q = agg.writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       // k bounded rows of drained state -> refined centroids
       val rows = drainMemorySink(spark, name).collect().map { r =>
         val cid = r.getInt(0)
@@ -1740,9 +1843,11 @@ object EventStreams {
           org.apache.spark.sql.Encoders.product[EwmaOut])
       val name = nextSinkName("graft_stream_ewma")
       withSink(spark, name) {
-        val q = out.toDF().writeStream
-          .format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        withScaledState(spark, pathBytes(feed)) {
+          val q = out.toDF().writeStream
+            .format("memory").queryName(name).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         drainMemorySink(spark, name)
           .join(broadcast(lims
             .select(col("event_type"), col("hi"), col("lo"))), "event_type")

@@ -665,4 +665,28 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(2) == 3L, s"final n_files = ${r.getLong(2)}")
     assert(r.getLong(3) == 1L, s"n_compactions = ${r.getLong(3)}")
   }
+
+  test("scaled state partitions: one per 8 MiB of feed, floor 1, " +
+      "capped at the session parallelism, and the scoped conf is " +
+      "restored even when the body throws") {
+    val cap = spark.sparkContext.defaultParallelism
+    assert(EventStreams.scaledStatePartitions(spark, 0L) == 1)
+    assert(EventStreams.scaledStatePartitions(spark, 8L << 20) == 1)
+    assert(EventStreams.scaledStatePartitions(spark, (8L << 20) + 1) ==
+      math.min(2, cap))
+    assert(EventStreams.scaledStatePartitions(spark, Long.MaxValue / 2) ==
+      cap)
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    var inside = -1
+    EventStreams.withScaledState(spark, (8L << 20) * 3) {
+      inside = spark.conf.get(key).toInt
+    }
+    assert(inside == math.min(3, cap), s"scoped value was $inside")
+    assert(spark.conf.get(key) == before, "conf not restored")
+    intercept[RuntimeException] {
+      EventStreams.withScaledState(spark, 1L) { sys.error("boom") }
+    }
+    assert(spark.conf.get(key) == before, "conf not restored on throw")
+  }
 }
