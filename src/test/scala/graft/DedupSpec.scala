@@ -78,6 +78,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).isEmpty)
   }
 
+  test("ngram jaccard memo: repeat calls serve the identical " +
+      "checkpointed artifact, and its content equals the un-memoized " +
+      "pipeline") {
+    val a = Dedup.ngramJaccard(spark, sf, 0.5)
+    val b = Dedup.ngramJaccard(spark, sf, 0.5)
+    assert(a eq b, "second call re-trained instead of serving the memo")
+    val direct = Dedup.ngramJaccardOver(
+      Dedup.shinglesOf(Tables.documents(spark, sf)), 0.5)
+    assert(a.exceptAll(direct).isEmpty && direct.exceptAll(a).isEmpty,
+      "memoized pairs drifted from the direct pipeline")
+    // a different threshold is a different artifact, not a collision
+    assert(!(Dedup.ngramJaccard(spark, sf, 0.9) eq a))
+  }
+
   test("minhash LSH recalls every jaccard>=0.9 pair") {
     val truth = Dedup.ngramJaccard(spark, sf, 0.9)
       .select("doc_a", "doc_b")
