@@ -250,6 +250,25 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** CDC cut positions (array<int>) of a document — the
+    * content-defined-chunking boundary scan ([[ExprKernels.cdcCuts]]):
+    * one tight digest loop replacing the interpreted
+    * filter(sequence(…)) lambda that evaluated an md5 + hex-conv per
+    * character position. Codegen: one static kernel call, stays
+    * inside the fused stage.
+    */
+  case class CdcCuts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.cdcCuts(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.cdcCuts($c);")
+    override protected def withNewChildInternal(c: Expression): CdcCuts =
+      copy(child = c)
+  }
+
   /** Multi-probe SRP: array of 1 + nProbes bucket codes — the main
     * code plus single-bit flips of the lowest-|margin| planes
     * (Lv et al., "Multi-Probe LSH", VLDB'07, adapted to sign random
@@ -384,6 +403,8 @@ object CatalystExprs {
     asCol(BandKeyStrings(expression(sig), bands, rows))
   def simhash64(hashes: Column): Column =
     asCol(SimHash64(expression(hashes)))
+  def cdc_cuts(text: Column): Column =
+    asCol(CdcCuts(expression(text)))
   def dot_product(a: Column, b: Column): Column =
     asCol(DotProduct(expression(a), expression(b)))
   def mmr_pick(packed: Column, lam: Double, lamBar: Double, k: Int): Column =

@@ -482,6 +482,51 @@ object ExprKernels {
     s
   }
 
+  /** CDC cut positions of a document — EXACTLY the HOF formulation
+    * `filter(sequence(8, greatest(n, 8)), i -> i < n AND
+    *   conv(substring(md5(substring(text, i-7, 8)), 1, 6), 16, 10)
+    *     % 64 = 0)`
+    * the oracle replays: 1-based CHARACTER positions i in [8, n)
+    * where the first six hex digits of md5(text[i−7..i]) are ≡ 0
+    * (mod 64) — equivalently, the low 6 bits of the digest's THIRD
+    * byte are zero (the 24-bit hex prefix mod 64 is its last 6
+    * bits). The HOF form materializes an n-int sequence and runs an
+    * interpreted lambda (substring alloc + hex string + conv parse)
+    * per character; this kernel is one tight loop with a reused
+    * ThreadLocal digest. Pure-ASCII documents (the common case —
+    * byte count == char count) slide a window over the raw byte
+    * array with zero copies; multi-byte documents fall back to
+    * per-window codepoint slicing, same result.
+    */
+  def cdcCuts(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val md = Md5.get()
+    val n = s.numChars()
+    val out = new java.util.ArrayList[Integer]()
+    if (s.numBytes() == n) {
+      // ASCII fast path: chars are bytes, windows are byte slices
+      val bytes = s.getBytes
+      var i = 8
+      while (i < n) {
+        md.reset()
+        md.update(bytes, i - 8, 8)
+        if ((md.digest()(2) & 0x3f) == 0) out.add(i)
+        i += 1
+      }
+    } else {
+      var i = 8
+      while (i < n) {
+        md.reset()
+        val d = md.digest(s.substringSQL(i - 7, 8).getBytes)
+        if ((d(2) & 0x3f) == 0) out.add(i)
+        i += 1
+      }
+    }
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** DEFLATE'd byte length of a UTF-8 string (level 6, raw deflate).
     * The Deflater is allocated per call and `end()`ed — native zlib
     * memory does not ride the GC; a thread-local would save the

@@ -1538,16 +1538,20 @@ object Dedup {
         round(col("bytes_logical").cast("double")
           / col("bytes_stored"), 6).as("dedup_ratio"))
 
-  /** Same chunker over any (doc_id, text) frame (edit-shift specs). */
+  /** Same chunker over any (doc_id, text) frame (edit-shift specs).
+    * The boundary scan runs in the codegen'd [[CatalystExprs.cdc_cuts]]
+    * kernel — bit-identical to (and replacing) the interpreted
+    * `filter(sequence(8, greatest(n, 8)), i -> i < n AND
+    * conv(substring(md5(substring(text, i-7, 8)), 1, 6), 16, 10) % 64
+    * = 0)` HOF form the DuckDB oracle still replays (CatalystExprsSpec
+    * pins the equality per position).
+    */
   private[graft] def cdcChunksOver(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= 1)
-      .withColumn("cuts", expr(
-        """filter(sequence(8, greatest(n, 8)),
-          |  i -> i < n AND
-          |    conv(substring(md5(substring(text, i - 7, 8)), 1, 6), 16, 10)
-          |      % 64 = 0)""".stripMargin))
+      .withColumn("cuts",
+        graft.functions.CatalystExprs.cdc_cuts(col("text")))
       .withColumn("b", expr(
         "concat(array(0), cuts, array(n))"))
       .select(col("doc_id"), col("text"), explode(expr(

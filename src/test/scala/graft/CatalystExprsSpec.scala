@@ -120,6 +120,41 @@ class CatalystExprsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("cdc_cuts kernel equals the HOF md5-window formulation the " +
+      "oracle replays — ASCII fast path, multi-byte fallback, and " +
+      "short-document edge cases") {
+    import graft.functions.CatalystExprs.cdc_cuts
+    val docs = Seq(
+      "",
+      "short",
+      "exactly8",
+      "exactly9!",
+      ("the quick brown fox jumps over the lazy dog. " * 40),
+      ("héllo wörld — ünïcode beyond ascii; " * 50),
+      ("abc" * 300) // periodic text: many identical windows
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .filter(length(col("text")) >= 1)
+    val hof = docs
+      .withColumn("n", length(col("text")))
+      .withColumn("cuts", expr(
+        """filter(sequence(8, greatest(n, 8)),
+          |  i -> i < n AND
+          |    conv(substring(md5(substring(text, i - 7, 8)), 1, 6), 16, 10)
+          |      % 64 = 0)""".stripMargin))
+      .select(col("doc_id"), col("cuts"))
+    val kern = docs.select(col("doc_id"), cdc_cuts(col("text")).as("cuts"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val k = kern.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(h.keySet == k.keySet)
+    h.foreach { case (id, cuts) =>
+      assert(k(id) == cuts, s"doc $id: kernel ${k(id)} vs HOF $cuts")
+    }
+    // at least one non-trivial doc actually produced cuts, so the
+    // equality above is not vacuous
+    assert(h.values.exists(_.nonEmpty), "no cuts anywhere — weak corpus")
+  }
+
   test("minhash signature similarity approximates Jaccard (sanity)") {
     import graft.operators.Dedup
     // two 80%-overlapping shingle sets
