@@ -74,6 +74,25 @@ object Dedup {
     */
   val DefaultMaxDf: Long = 100L
 
+  /** Node budget under which an iterative graph operator's node-sized
+    * per-iteration frames (scores, degrees, labels, frontiers)
+    * broadcast (~4M nodes ≈ a few hundred MB built — the guide's
+    * comfortable broadcast range). The iteration loops read these
+    * frames through `localCheckpoint`, whose LogicalRDD reports
+    * UNKNOWN size stats, so the planner sort-merge-joined edges
+    * against a node vector every round; one bounded pre-flight count
+    * re-attaches the decision, and past the budget the shuffle shape
+    * stands (a web-scale node vector cannot ship to every executor).
+    */
+  private[graft] val GraphBroadcastNodeBudget = 4L * 1000 * 1000
+
+  /** Broadcast `df` when the graph's node count sits under the
+    * budget; identity otherwise. Partially applied once per operator
+    * call from the operator's own bounded pre-flight count.
+    */
+  private[graft] def graphSized(nNodes: Long)(df: DataFrame): DataFrame =
+    if (nNodes <= GraphBroadcastNodeBudget) broadcast(df) else df
+
   /** Memoized near-dup PAIR artifact per (session, sfDir, threshold,
     * maxDf) — the `hitsEdgeMemo` convention applied to the dup graph:
     * the verified pair list is the train-once artifact every graph
@@ -854,19 +873,27 @@ object Dedup {
       .localCheckpoint()
     val deg = sym.groupBy("doc_a").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // checkpointed frames report unknown size stats, so the planner
+    // sort-merge-joined every per-iteration node-sized frame; one
+    // bounded pre-flight count (parquet-metadata-only) re-attaches
+    // the broadcast decision the stats loss hid, with the sort-merge
+    // shape kept past the budget (a web-scale score vector cannot
+    // ship to every executor)
+    val sized = graphSized(docs.count()) _
     var pr = docs.select(col("doc_id"), lit(1.0).as("pr")).localCheckpoint()
     var itersRun = 0
     var converged = false
     while (itersRun < maxIters && !converged) {
       val contrib = sym
-        .join(deg, "doc_a")
-        .join(pr.select(col("doc_id").as("doc_a"), col("pr")), "doc_a")
+        .join(sized(deg), "doc_a")
+        .join(sized(pr.select(col("doc_id").as("doc_a"), col("pr"))),
+          "doc_a")
         .select(col("doc_b").as("doc_id"),
           round(col("pr") / col("deg"), 9)
             .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("s"))
-      val next = docs.join(contrib, Seq("doc_id"), "left")
+      val next = docs.join(sized(contrib), Seq("doc_id"), "left")
         .select(col("doc_id"),
           round(lit(0.15) + lit(0.85) * coalesce(col("s").cast("double"), lit(0.0)),
             9).as("pr"))
@@ -875,14 +902,14 @@ object Dedup {
       eps.foreach { e =>
         // ONE bounded 1-row driver read per round: the L1 step size
         val l1 = next.join(
-            pr.select(col("doc_id"), col("pr").as("prev")), "doc_id")
+            sized(pr.select(col("doc_id"), col("pr").as("prev"))), "doc_id")
           .agg(coalesce(sum(abs(col("pr") - col("prev"))), lit(0.0)))
           .first().getDouble(0)
         if (l1 <= e) converged = true
       }
       pr = next
     }
-    (pr.join(deg.select(col("doc_a").as("doc_id"), col("deg")),
+    (pr.join(sized(deg.select(col("doc_a").as("doc_id"), col("deg"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("pr").as("pagerank"),
         coalesce(col("deg"), lit(0L)).as("deg")),

@@ -2762,10 +2762,30 @@ object Relational {
         .distinct()
         .localCheckpoint())
 
+  /** Node budget under which a HITS score/degree vector broadcasts
+    * (~4M nodes ≈ a few hundred MB built — the guide's comfortable
+    * broadcast range). The per-round joins read score frames through
+    * `localCheckpoint`, whose LogicalRDD reports UNKNOWN size stats,
+    * so the planner sort-merge-joins 550k edges against a 20k-row
+    * score vector every half-step; re-attaching the size decision
+    * from one bounded pre-flight count restores the broadcast the
+    * stats loss hid. Past the budget the sort-merge shape stands — a
+    * web-scale score vector cannot ship to every executor.
+    */
+  private val HitsBroadcastNodeBudget = 4L * 1000 * 1000
+
   private[graft] def hitsRun(spark: SparkSession, sfDir: String,
       maxRounds: Int, eps: Option[Double]): (DataFrame, Int, Boolean) = {
     val d289 = DecimalType(28, 9)
     val edges = hitsEdges(spark, sfDir)
+    // ONE bounded pre-flight agg over the memoized edge frame prices
+    // the join strategy for every round (the scaledPlanesPerBand
+    // convention: derive the scale decision from the data, once)
+    val nNodes = edges
+      .agg(countDistinct(col("u")) + countDistinct(col("p")))
+      .first().getLong(0)
+    def sized(df: DataFrame): DataFrame =
+      if (nNodes <= HitsBroadcastNodeBudget) broadcast(df) else df
     // one normalized half-step as ONE materialized job: edge join +
     // decimal side-sums + broadcast-total normalization + (when a
     // previous vector exists) the L1 delta column, all inside a
@@ -2775,11 +2795,18 @@ object Relational {
     def halfStep(scores: DataFrame, keyIn: String, keyOut: String,
         prev: Option[DataFrame]): DataFrame = {
       val raw = edges
-        .join(scores.withColumnRenamed("node", keyIn), keyIn)
+        .join(sized(scores.withColumnRenamed("node", keyIn)), keyIn)
         .groupBy(col(keyOut).as("node"))
         .agg(sum(col("s").cast(d289)).as("raw"))
-      val tot = raw.agg(sum(col("raw")).as("t"))
-      val norm = raw.crossJoin(broadcast(tot))
+      // normalization total as ONE global window over the node-sized
+      // agg (a single-partition exchange of |nodes| rows inside the
+      // same job) — the previous crossJoin(broadcast(tot)) re-ran the
+      // whole edge join in the broadcast build thread, so every
+      // half-step paid the join twice (measured: the broadcast-build
+      // jobs dominated the converged key's event log). Decimal sum is
+      // exact either way; the rounded division is bit-identical.
+      val norm = raw
+        .withColumn("t", sum(col("raw")).over(Window.partitionBy()))
         .select(col("node"),
           round(col("raw").cast("double") / col("t").cast("double"), 9)
             .as("s"))
@@ -2787,7 +2814,7 @@ object Relational {
         // both vectors live on the same node set (every part with a
         // sale), so the left join's null rows — none in practice —
         // contribute exactly what the old inner-join sum did: nothing
-        norm.join(p.select(col("node"), col("s").as("prev")),
+        norm.join(sized(p.select(col("node"), col("s").as("prev"))),
             Seq("node"), "left")
           .select(col("node"), col("s"), abs(col("s") - col("prev"))
             .as("d"))
@@ -2818,10 +2845,10 @@ object Relational {
       .agg(count(lit(1)).as("deg"))
     val uDeg = edges.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
-    (a.join(pDeg, "node")
+    (a.join(sized(pDeg), "node")
       .select(lit("part").as("kind"), col("node").as("node_id"),
         col("s").as("score"), col("deg"))
-      .unionByName(h.join(uDeg, "node")
+      .unionByName(h.join(sized(uDeg), "node")
         .select(lit("cust").as("kind"), col("node").as("node_id"),
           col("s").as("score"), col("deg"))),
       rounds, converged)
