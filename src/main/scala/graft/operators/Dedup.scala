@@ -1019,13 +1019,17 @@ object Dedup {
         e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     val src = sym.agg(min(col("doc_a")).as("doc_id"))
+    // checkpointed frontier/settled frames lose size stats; one
+    // bounded pre-flight count re-attaches the broadcast decision
+    // (see GraphBroadcastNodeBudget)
+    val sized = graphSized(sym.select("doc_a").distinct().count()) _
     var dist = src.select(col("doc_id"), lit(0L).as("hop")).localCheckpoint()
     var frontier = dist.select("doc_id")
     for (i <- 1 to iters) {
       val next = sym
-        .join(frontier.select(col("doc_id").as("doc_a")), "doc_a")
+        .join(sized(frontier.select(col("doc_id").as("doc_a"))), "doc_a")
         .select(col("doc_b").as("doc_id")).distinct()
-        .join(dist, Seq("doc_id"), "left_anti")
+        .join(sized(dist), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(i.toLong).as("hop"))
         .localCheckpoint()
       dist = dist.unionByName(next).localCheckpoint()
@@ -1068,10 +1072,13 @@ object Dedup {
         e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     val nodes = sym.select(col("doc_a").as("id")).distinct().localCheckpoint()
+    // the survivor set is node-bounded but checkpoint-backed (unknown
+    // stats): one bounded count re-attaches the broadcast decision
+    val sized = graphSized(nodes.count()) _
     var alive = nodes
     def survivorDeg(a: DataFrame): DataFrame = sym
-      .join(a.select(col("id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(a.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .join(sized(a.select(col("id").as("doc_a"))), Seq("doc_a"), "left_semi")
+      .join(sized(a.select(col("id").as("doc_b"))), Seq("doc_b"), "left_semi")
       .groupBy("doc_a").agg(count(lit(1)).as("deg"))
     for (_ <- 1 to iters) {
       alive = survivorDeg(alive).filter(col("deg") >= k)
@@ -1182,12 +1189,12 @@ object Dedup {
     * convergence-mode variants so the vote rule can never drift.
     */
   private def lpRound(sym: DataFrame, labeled: DataFrame,
-      i: Long): DataFrame = {
+      i: Long, sized: DataFrame => DataFrame): DataFrame = {
     val votes = sym
-      .join(labeled.select(col("doc_id").as("doc_a"), col("label")),
+      .join(sized(labeled.select(col("doc_id").as("doc_a"), col("label"))),
         "doc_a")
       .select(col("doc_b").as("doc_id"), col("label"))
-      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(sized(labeled.select("doc_id")), Seq("doc_id"), "left_anti")
       .groupBy("doc_id", "label").agg(count(lit(1)).as("c"))
     votes
       .groupBy("doc_id")
@@ -1200,9 +1207,10 @@ object Dedup {
         e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
 
-  private def lpFinish(nodes: DataFrame, labeled: DataFrame): DataFrame =
+  private def lpFinish(nodes: DataFrame, labeled: DataFrame,
+      sized: DataFrame => DataFrame): DataFrame =
     nodes
-      .join(labeled, Seq("doc_id"), "left")
+      .join(sized(labeled), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), lit("unlabeled")).as("label"),
         coalesce(col("rnd"), lit(-1L)).as("rnd"))
@@ -1215,14 +1223,15 @@ object Dedup {
     val sym = lpSym(e)
     val nodes = sym.select(col("doc_a").as("doc_id")).distinct()
       .localCheckpoint()
+    val sized = graphSized(nodes.count()) _
     var labeled = seeds
       .select(col("doc_id"), col("label"), lit(0L).as("rnd"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      labeled = labeled.unionByName(lpRound(sym, labeled, i.toLong))
+      labeled = labeled.unionByName(lpRound(sym, labeled, i.toLong, sized))
         .localCheckpoint()
     }
-    lpFinish(nodes, labeled)
+    lpFinish(nodes, labeled, sized)
   }
 
   /** CONVERGENCE-MODE label propagation (`q_label_prop_converged`):
@@ -1257,13 +1266,14 @@ object Dedup {
     val sym = lpSym(e)
     val nodes = sym.select(col("doc_a").as("doc_id")).distinct()
       .localCheckpoint()
+    val sized = graphSized(nodes.count()) _
     var labeled = seeds
       .select(col("doc_id"), col("label"), lit(0L).as("rnd"))
       .localCheckpoint()
     var rounds = 0
     var converged = false
     while (rounds < maxIters && !converged) {
-      val picked = lpRound(sym, labeled, (rounds + 1).toLong)
+      val picked = lpRound(sym, labeled, (rounds + 1).toLong, sized)
         .localCheckpoint()
       rounds += 1
       // ONE bounded 1-row driver read per round: the newly-labeled
@@ -1271,7 +1281,7 @@ object Dedup {
       if (picked.count() == 0L) converged = true
       else labeled = labeled.unionByName(picked).localCheckpoint()
     }
-    lpFinish(nodes, labeled)
+    lpFinish(nodes, labeled, sized)
       .select(col("doc_id"), col("label"), col("rnd"),
         lit(rounds.toLong).as("n_rounds"), lit(converged).as("converged"))
   }
