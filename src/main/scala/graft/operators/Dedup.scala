@@ -118,8 +118,17 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Long = DefaultMaxDf): DataFrame =
     dupPairMemo.getOrCompute(
       (spark, sfDir, java.lang.Double.doubleToLongBits(threshold), maxDf))(
-      ngramJaccardOver(docShingles(spark, sfDir), threshold, maxDf)
+      jaccardFromStats(corpusPairStats(spark, sfDir, maxDf), threshold)
         .localCheckpoint())
+
+  private def jaccardFromStats(stats: DataFrame,
+      threshold: Double): DataFrame =
+    stats
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
 
   /** Same operator over an arbitrary (doc_id, sh) shingle frame.
     *
@@ -135,12 +144,7 @@ object Dedup {
     */
   def ngramJaccardOver(docs: DataFrame, threshold: Double,
       maxDf: Long = DefaultMaxDf): DataFrame =
-    pairStats(docs, maxDf)
-      .withColumn("jaccard",
-        col("n_common").cast("double")
-          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+    jaccardFromStats(pairStats(docs, maxDf), threshold)
 
   /** Inter-source DUPLICATION MATRIX (`q_source_overlap`): which
     * sources copy from which — the verified near-dup pairs rolled up
@@ -188,7 +192,12 @@ object Dedup {
     */
   def ngramContainment(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, maxDf: Long = DefaultMaxDf): DataFrame =
-    ngramContainmentOver(docShingles(spark, sfDir), threshold, maxDf)
+    corpusPairStats(spark, sfDir, maxDf)
+      .withColumn("containment",
+        col("n_common").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "containment")
 
   /** Same containment operator over an arbitrary (doc_id, sh) frame. */
   def ngramContainmentOver(docs: DataFrame, threshold: Double,
@@ -206,6 +215,23 @@ object Dedup {
     * over the FULL shingle sets (rare via the pair aggregation, hot
     * via the tiny per-doc hot arrays).
     */
+  /** Memoized, threshold-INDEPENDENT pair-stats artifact per
+    * (session, sfDir, maxDf): every exact near-dup consumer — the
+    * Jaccard and containment verifiers, the threshold sweep, the LSH
+    * parameter planner — reads the identical
+    * (doc_a, doc_b, n_common, n_a, n_b) frame and differs only in the
+    * filter/projection applied on top, so the candidate self-join
+    * (the expensive pass) runs once per session and corpus.
+    */
+  private[graft] val pairStatsMemo = new MemoCache[
+    (SparkSession, String, Long), DataFrame](
+    capacity = 8, _._1)(MemoCache.freeLocalCheckpoint)
+
+  private def corpusPairStats(spark: SparkSession, sfDir: String,
+      maxDf: Long): DataFrame =
+    pairStatsMemo.getOrCompute((spark, sfDir, maxDf))(
+      pairStats(docShingles(spark, sfDir), maxDf).localCheckpoint())
+
   private def pairStats(docs: DataFrame, maxDf: Long): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // one df aggregation feeds both the rare keying and the hot
@@ -772,10 +798,9 @@ object Dedup {
     */
   def dedupSweep(spark: SparkSession, sfDir: String,
       maxDf: Long = DefaultMaxDf): DataFrame = {
-    val base = pairStats(docShingles(spark, sfDir), maxDf)
+    val base = corpusPairStats(spark, sfDir, maxDf)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("n_a"), col("n_b"))
-      .localCheckpoint()
     val grid = spark.range(5, 10).select(col("id").as("t10"))
     val kept = base.crossJoin(broadcast(grid))
       .filter(col("n_common") * 10 >=
@@ -1711,7 +1736,7 @@ object Dedup {
       maxDf: Long = DefaultMaxDf, fnWeight: Int = 10): DataFrame = {
     import spark.implicits._
     val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val hist = pairStats(docShingles(spark, sfDir), maxDf)
+    val hist = corpusPairStats(spark, sfDir, maxDf)
       .select(least(expr("(n_common * 20) div (n_a + n_b - n_common)"),
         lit(19L)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))

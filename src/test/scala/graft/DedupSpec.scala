@@ -92,6 +92,18 @@ class DedupSpec extends SparkSpec {
     assert(!(Dedup.ngramJaccard(spark, sf, 0.9) eq a))
   }
 
+  test("pair-stats memo is shared across the exact near-dup " +
+      "consumers: containment, sweep, and planner add no new " +
+      "entries beyond the (corpus, maxDf) artifact") {
+    Dedup.ngramJaccard(spark, sf, 0.5) // seeds the stats artifact
+    val n0 = Dedup.pairStatsMemo.size
+    Dedup.ngramContainment(spark, sf).count()
+    Dedup.dedupSweep(spark, sf).count()
+    Dedup.lshParamPlanner(spark, sf).count()
+    assert(Dedup.pairStatsMemo.size == n0,
+      "a consumer re-trained its own pair stats instead of sharing")
+  }
+
   test("minhash LSH recalls every jaccard>=0.9 pair") {
     val truth = Dedup.ngramJaccard(spark, sf, 0.9)
       .select("doc_a", "doc_b")
