@@ -697,6 +697,34 @@ object Similarity {
     * threshold. The shuffle keys are (band, code) — linear in corpus
     * size, candidates deduped before the verify.
     */
+  /** Memoized UNFILTERED verified SRP pair artifacts per (session,
+    * sfDir, probe family, bands, width, probes) — the dupPairMemo
+    * convention lifted to the embedding side: every SRP consumer
+    * (ann_lsh at τ=0.3, dedup_embedding at τ=0.45, the multiprobe key
+    * at τ=0.3, the knn graph with no floor at all) runs the identical
+    * banded candidate join + exact-cosine verify and differs only in
+    * the threshold filter on top, so one session pays the join once
+    * per family and every key filters the checkpointed copy.
+    */
+  private[graft] val srpPairMemo = new MemoCache[
+    (SparkSession, String, String, Int, Int, Int), DataFrame](
+    capacity = 8, _._1)(MemoCache.freeLocalCheckpoint)
+
+  /** Exact-cosine verification of a canonical (vec_a < vec_b)
+    * candidate frame — shared by both SRP probe families.
+    */
+  private def verifyPairs(coded: DataFrame, cand: DataFrame): DataFrame = {
+    val side = coded.select(col("vec_id"), col("v"), col("norm"))
+    cand
+      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na")), "vec_a")
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("norm").as("nb")), "vec_b")
+      .withColumn("cos",
+        dot_product(col("va"), col("vb")) / col("na") / col("nb"))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   def annLsh(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3,
       bands: Int = DefaultSrpBands,
@@ -710,30 +738,26 @@ object Similarity {
     val ppb =
       if (planesPerBand != DerivedWidth) planesPerBand
       else scaledPlanesPerBand(coded.count(), floor = DefaultPlanesPerBand)
-    val fam = planesFor(bands * ppb)
-    val banded = coded.select(
-        col("vec_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            srp_bucket(col("v"),
-              fam.slice(b * ppb, (b + 1) * ppb)).as("code"))
-        }: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.code").as("code"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.code") === col("y.code")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    val side = coded.select(col("vec_id"), col("v"), col("norm"))
-    cand
-      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("norm").as("na")), "vec_a")
-      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("norm").as("nb")), "vec_b")
-      .withColumn("cos",
-        dot_product(col("va"), col("vb")) / col("na") / col("nb"))
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val pairs = srpPairMemo.getOrCompute(
+        (spark, sfDir, "single", bands, ppb, 0)) {
+      val fam = planesFor(bands * ppb)
+      val banded = coded.select(
+          col("vec_id"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              srp_bucket(col("v"),
+                fam.slice(b * ppb, (b + 1) * ppb)).as("code"))
+          }: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"),
+          col("bk.code").as("code"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.code") === col("y.code")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      verifyPairs(coded, cand).localCheckpoint()
+    }
+    pairs.filter(col("cos") >= threshold)
   }
 
   val DefaultMpBands = 8
@@ -782,27 +806,22 @@ object Similarity {
     val ppb =
       if (planesPerBand != DerivedWidth) planesPerBand
       else scaledPlanesPerBand(coded.count())
-    val banded = mpCodes(coded, bands, ppb, probes)
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.code") === col("y.code")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    val side = coded.select(col("vec_id"), col("v"), col("norm"))
-    val verified = cand
-      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("norm").as("na")), "vec_a")
-      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("norm").as("nb")), "vec_b")
-      .withColumn("cos",
-        dot_product(col("va"), col("vb")) / col("na") / col("nb"))
+    val verified = srpPairMemo.getOrCompute(
+        (spark, sfDir, "multi", bands, ppb, probes)) {
+      val banded = mpCodes(coded, bands, ppb, probes)
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.code") === col("y.code")
+            && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      verifyPairs(coded, cand).localCheckpoint()
+    }
     // −∞ means NO verify floor (the knn-graph caller keeps every
     // candidate); `cos >= -1.0` is NOT the absence of a filter — a
     // one-ulp-below-−1 rounding artifact would silently drop a pair
     // the unfiltered oracle keeps
-    (if (threshold.isNegInfinity) verified
-     else verified.filter(col("cos") >= threshold))
-      .select(col("vec_a"), col("vec_b"), col("cos"))
+    if (threshold.isNegInfinity) verified
+    else verified.filter(col("cos") >= threshold)
   }
 
   /** k-NN GRAPH construction — every node's top-k cosine neighbors

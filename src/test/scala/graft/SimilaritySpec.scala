@@ -942,4 +942,23 @@ class SimilaritySpec extends SparkSpec {
       s"hits@10 = ${hits.last}, retrieval_metrics total = $total")
     assert(rc.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
+
+  test("srp pair memo: the multiprobe consumers share one verified " +
+      "pair artifact per family, and thresholded views are filters " +
+      "over it") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    Similarity.annLshMultiProbe(spark, sf).count() // seeds the artifact
+    val n0 = Similarity.srpPairMemo.size
+    Similarity.knnGraph(spark, sf).count()
+    Similarity.knnGraphScaled(spark, sf).count()
+    assert(Similarity.srpPairMemo.size == n0,
+      "a multiprobe consumer re-ran the banded join instead of sharing")
+    // the thresholded view is a filter over the unfloored artifact
+    val floored = Similarity.annLshMultiProbe(spark, sf, threshold = 0.3)
+    val unfloored = Similarity.annLshMultiProbe(spark, sf,
+      threshold = Double.NegativeInfinity)
+    assert(floored.exceptAll(unfloored.filter(col("cos") >= 0.3)).isEmpty)
+    assert(unfloored.filter(col("cos") >= 0.3).exceptAll(floored).isEmpty)
+  }
 }
