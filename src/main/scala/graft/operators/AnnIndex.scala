@@ -42,6 +42,52 @@ import graft.functions.CatalystExprs.{dot_product, pq_adc, pq_adc_table}
   */
 object AnnIndex {
 
+  /** Memoized READ-ONLY artifact directories per (session, sfDir,
+    * cells) — the persisted-index keys' whole point is
+    * build-once/serve-many, yet each gated entry built its own copy
+    * of the identical index per call (four full builds per bench
+    * run). One session now builds each artifact family once and
+    * every serving key reads the shared store. Only the query/stats
+    * paths touch these dirs; the maintenance key (append/rebuild
+    * MUTATES its store) builds its own private copy as before.
+    * Eviction is a no-op on disk: the dirs are run-scoped
+    * ([[graft.TempDirs]]) and reclaimed at JVM exit, bounded by the
+    * memo capacity × one index per corpus.
+    */
+  private[graft] val ivfDirMemo = new MemoCache[
+    (SparkSession, String, Int), String](capacity = 4, _._1)(_ => ())
+  private[graft] val nswDirMemo = new MemoCache[
+    (SparkSession, String, Int), String](capacity = 4, _._1)(_ => ())
+  private[graft] val pqDirMemo = new MemoCache[
+    (SparkSession, String, Int), String](capacity = 4, _._1)(_ => ())
+
+  /** The shared read-only IVF store (build once per session+corpus). */
+  private[graft] def ivfArtifacts(spark: SparkSession, sfDir: String,
+      cells: Int = Similarity.IvfCells): String =
+    ivfDirMemo.getOrCompute((spark, sfDir, cells)) {
+      val dir = TempDirs.create("graft_ann_index").toString
+      buildIvf(Similarity.vecs(spark, sfDir), dir, cells)
+      dir
+    }
+
+  /** The shared IVF store with the NSW layer built beside it. */
+  private[graft] def nswArtifacts(spark: SparkSession, sfDir: String,
+      cells: Int = Similarity.IvfCells): String =
+    nswDirMemo.getOrCompute((spark, sfDir, cells)) {
+      val dir = ivfArtifacts(spark, sfDir, cells)
+      buildNsw(spark, dir)
+      dir
+    }
+
+  /** The shared read-only IVF-PQ store. */
+  private[graft] def pqArtifacts(spark: SparkSession, sfDir: String,
+      cells: Int = Similarity.IvfPqCells): String =
+    pqDirMemo.getOrCompute((spark, sfDir, cells)) {
+      val dir = TempDirs.create("graft_ann_pq_index").toString
+      buildIvfPq(Similarity.vecs(spark, sfDir), dir, cells)
+      dir
+    }
+
   // ---- IVF: exact vectors, cell-partitioned (oracle-gated) ----------
 
   /** Build the IVF index: coarse centroids (the deterministic first
@@ -64,6 +110,13 @@ object AnnIndex {
       .select(col("vec_id"), col("cid"))
     all.join(assign, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("norm"))
+      // cluster by cell before the partitioned write (guide §6: file
+      // sizing): without it every shuffle partition writes a sliver
+      // into every cell directory — task-count × cells tiny files
+      // that the serving reads then pay to list and open. One
+      // inverted list file per cell is the IVF store's natural
+      // layout (FAISS keeps one list per cell).
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -83,6 +136,7 @@ object AnnIndex {
       .select(col("vec_id"), col("cid"))
     batch.join(assign, "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("norm"))
+      .repartition(col("cid")) // one appended list file per cell
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -125,8 +179,7 @@ object AnnIndex {
   def annPersisted(spark: SparkSession, sfDir: String,
       k: Int = 10, nQueries: Int = 20): DataFrame = {
     val all = Similarity.vecs(spark, sfDir)
-    val dir = TempDirs.create("graft_ann_index").toString
-    buildIvf(all, dir)
+    val dir = ivfArtifacts(spark, sfDir)
     queryIvf(spark, dir, Similarity.queryBatch(all, nQueries), k)
   }
 
@@ -208,9 +261,7 @@ object AnnIndex {
   def annPersistedNsw(spark: SparkSession, sfDir: String,
       k: Int = 10, nQueries: Int = 20): DataFrame = {
     val all = Similarity.vecs(spark, sfDir)
-    val dir = TempDirs.create("graft_ann_nsw").toString
-    buildIvf(all, dir)
-    buildNsw(spark, dir)
+    val dir = nswArtifacts(spark, sfDir)
     queryIvfNsw(spark, dir, Similarity.queryBatch(all, nQueries), k)
   }
 
@@ -248,8 +299,7 @@ object AnnIndex {
   def annPersistedRange(spark: SparkSession, sfDir: String,
       tau: Double = 0.35, nQueries: Int = 20): DataFrame = {
     val all = Similarity.vecs(spark, sfDir)
-    val dir = TempDirs.create("graft_ann_range").toString
-    buildIvf(all, dir)
+    val dir = ivfArtifacts(spark, sfDir)
     queryIvfRange(spark, dir, Similarity.queryBatch(all, nQueries), tau)
   }
 
@@ -263,9 +313,7 @@ object AnnIndex {
     * corpus is never touched.
     */
   def indexStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val all = Similarity.vecs(spark, sfDir)
-    val dir = TempDirs.create("graft_ann_stats").toString
-    buildIvf(all, dir)
+    val dir = ivfArtifacts(spark, sfDir)
     val codes = spark.read.parquet(s"$dir/codes")
     val tot = codes.agg(count(lit(1)).as("total"))
     codes.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
@@ -395,6 +443,7 @@ object AnnIndex {
         col("vec_id"),
         pq_encode(col("v"), col("norm"), cb).as("code"),
         pq_recon_norm(col("code"), nrm2).as("xnorm"))
+      .repartition(col("cid")) // one code-list file per cell (see buildIvf)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -417,6 +466,7 @@ object AnnIndex {
         col("vec_id"),
         pq_encode(col("v"), col("norm"), cb).as("code"),
         pq_recon_norm(col("code"), nrm2).as("xnorm"))
+      .repartition(col("cid")) // one appended list file per cell
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -484,8 +534,7 @@ object AnnIndex {
   def annPersistedPq(spark: SparkSession, sfDir: String,
       k: Int = 10, nQueries: Int = 20, rerank: Int = 100): DataFrame = {
     val all = Similarity.vecs(spark, sfDir)
-    val dir = TempDirs.create("graft_ann_pq_index").toString
-    buildIvfPq(all, dir)
+    val dir = pqArtifacts(spark, sfDir)
     queryIvfPq(spark, dir, Similarity.queryBatch(all, nQueries), all, k,
       rerank)
   }
