@@ -1483,11 +1483,23 @@ object TextAnalysis {
     bpeMergesOver(docs, nMerges).collect()
       .sortBy(_.getLong(0)).map(_.getString(1)).toSeq
 
+  /** Memoized BPE train+encode artifact per (session, sfDir,
+    * nMerges) — the ugTrainMemo convention for the BPE family: the
+    * `bpe_apply` key, the shard writer, and the bin packer all
+    * consume the identical encoded corpus, and each call re-ran the
+    * merge training (a driver collect over nMerges pair-count
+    * rounds) plus the full encode pass.
+    */
+  private[graft] val bpeApplyMemo = new MemoCache[
+    (SparkSession, String, Int), DataFrame](
+    capacity = 4, _._1)(MemoCache.freeLocalCheckpoint)
+
   def bpeApply(spark: SparkSession, sfDir: String,
-      nMerges: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    bpeApplyOver(docs, trainedMerges(docs, nMerges))
-  }
+      nMerges: Int = 3): DataFrame =
+    bpeApplyMemo.getOrCompute((spark, sfDir, nMerges)) {
+      val docs = Tables.documents(spark, sfDir)
+      bpeApplyOver(docs, trainedMerges(docs, nMerges)).localCheckpoint()
+    }
 
   /** Encode any documents-shaped frame with an explicit rank-ordered
     * merge list ("a|b" pairs) — lets specs drive a planted corpus.
