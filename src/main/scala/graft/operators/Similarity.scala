@@ -210,7 +210,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val brute = truthTopk(spark, sfDir)
       .select(col("query_id"), col("neighbor_id"))
-    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+    brute.join(broadcast(ivf), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hits"))
       .select(col("query_id"), col("n_true"), col("n_hits"),
@@ -1582,19 +1582,23 @@ object Similarity {
       k: Int = 10, nQueries: Int = 20): DataFrame = {
     val truth = truthTopk(spark, sfDir, k, nQueries)
     val approx = ivfTopk(spark, sfDir, k, nQueries)
+    // every frame here is k x nQueries-bounded BY CONSTRUCTION (200
+    // rows at the defaults, at any corpus scale) but checkpoint-backed
+    // (unknown stats) - hint the broadcasts explicitly
     val hits = truth.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id")),
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     val rr = truth.filter(col("rnk") === 1)
       .select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"),
-        col("rnk").as("arnk")), Seq("query_id", "neighbor_id"), "left_outer")
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("arnk"))), Seq("query_id", "neighbor_id"),
+        "left_outer")
       .select(col("query_id"),
         coalesce(lit(1.0) / col("arnk"), lit(0.0)).as("rr"))
     truth.select(col("query_id")).distinct()
-      .join(hits, Seq("query_id"), "left_outer")
-      .join(rr, Seq("query_id"), "left_outer")
+      .join(broadcast(hits), Seq("query_id"), "left_outer")
+      .join(broadcast(rr), Seq("query_id"), "left_outer")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)).cast("double")
@@ -1637,12 +1641,12 @@ object Similarity {
     val w = NdcgWeights.toDF("wrnk", "w")
       .select(col("wrnk"), col("w").cast(d1812).as("w"))
     val dcg = approx
-      .join(truth.select(col("query_id"), col("neighbor_id")),
+      .join(broadcast(truth.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"))
       .join(broadcast(w), col("rnk") === col("wrnk"))
       .groupBy("query_id").agg(sum(col("w")).as("dcg"))
     truth.select("query_id").distinct()
-      .join(dcg, Seq("query_id"), "left_outer")
+      .join(broadcast(dcg), Seq("query_id"), "left_outer")
       .select(col("query_id"),
         coalesce(col("dcg"), lit(BigDecimal(0)).cast(d1812))
           .cast("double").as("dcg"),
@@ -1667,12 +1671,12 @@ object Similarity {
     val approx = ivfTopk(spark, sfDir, k, nQueries)
     val hits = truth
       .select(col("query_id"), col("neighbor_id"), col("rnk").as("rt"))
-      .join(approx.select(col("query_id"), col("neighbor_id"),
-        col("rnk").as("ra")), Seq("query_id", "neighbor_id"))
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("ra"))), Seq("query_id", "neighbor_id"))
       .select(greatest(col("rt"), col("ra")).as("mk"))
     val ks = truth.sparkSession.range(1, k + 1)
       .select(col("id").as("k"))
-    ks.join(hits, col("mk") <= col("k"), "left")
+    ks.join(broadcast(hits), col("mk") <= col("k"), "left")
       .groupBy("k")
       .agg(sum(when(col("mk").isNotNull, 1L).otherwise(0L)).as("hits"))
       .select(col("k"), col("hits"),
