@@ -1319,17 +1319,42 @@ object Similarity {
     * Rows-gated: Lloyd codebooks are not DuckDB-reproducible; the
     * planted-geometry and recall specs pin behavior instead.
     */
+  /** Target per-cluster occupancy for the COUNT-DERIVED codebook
+    * size: K = max([[SemClusters]], ⌈n / SemOccupancy⌉). Any fixed K
+    * makes cluster occupancy grow ∝ n and the within-cluster verify
+    * join quadratic — measured at sf1: 677 s at the fixed K=16 (exp
+    * ≈ 2.5), the operator's own doc already said "at 100 TB, K grows
+    * with the corpus" (SemDeDup runs 50k clusters on LAION) but the
+    * default never did. The gate SFs (n = 500 / 2000) land exactly
+    * on the tuned K=16, so gate outputs are unchanged; past that,
+    * occupancy — and with it per-cluster pair cost — is pinned.
+    */
+  val SemOccupancy = 128L
+
   def semDedup(spark: SparkSession, sfDir: String,
-      tau: Double = SemTau, kClusters: Int = SemClusters,
-      probes: Int = SemProbes): DataFrame =
-    semDedupOver(vecs(spark, sfDir), tau, kClusters, probes)
+      tau: Double = SemTau, kClusters: Int = DerivedWidth,
+      probes: Int = SemProbes): DataFrame = {
+    val all = vecs(spark, sfDir)
+    val k =
+      if (kClusters != DerivedWidth) kClusters
+      else { // ONE bounded pre-flight count (the ladder convention)
+        val n = all.count()
+        math.max(SemClusters.toLong,
+          (n + SemOccupancy - 1) / SemOccupancy).toInt
+      }
+    semDedupOver(all, tau, k, probes)
+  }
 
   /** Same operator over any (vec_id, v, norm) frame (specs plant
-    * geometry).
+    * geometry). The training sample scales with the requested
+    * codebook (≥ 4 vectors per centroid, never below the tuned
+    * [[SemSample]]) — still a bounded driver collect, the PQ
+    * codebook discipline.
     */
   def semDedupOver(all: DataFrame, tau: Double, kClusters: Int,
       probes: Int = SemProbes): DataFrame = {
-    val sample = all.filter(col("vec_id") < SemSample)
+    val sample = all
+      .filter(col("vec_id") < math.max(SemSample.toLong, 4L * kClusters))
       .orderBy("vec_id").select("v", "norm").collect()
       .map { r =>
         val n = r.getDouble(1)
