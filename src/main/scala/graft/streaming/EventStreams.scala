@@ -417,18 +417,26 @@ object EventStreams {
           timestamp_micros(expr("ts div 1000")))
         case _ => stream0
       }
-      val name = nextSinkName("graft_stream_dedup")
-      withSink(spark, name) {
-        withScaledStateFor(spark, sfDir) {
-          val q = dedupStream(events).writeStream
-            .format("memory").queryName(name).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        drainMemorySink(spark, name)
-          .select(col("event_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-            col("user_id"), col("event_type"), col("value"))
-      }
+      // PARQUET sink, not memory (stream_restart's shape): the
+      // deduped output is corpus-sized, and a memory sink pins one
+      // full driver copy of it — measured at the sf10 stream the 10M
+      // drained rows OOM the 4 GB bench JVM before any state does.
+      // The file sink streams each batch straight to disk through
+      // its manifest; rows are identical, the driver never holds
+      // them (guide §5: the driver should do almost no data work).
+      val out = graft.TempDirs.create("graft_stream_dedup_out")
+      val ckpt = graft.TempDirs.create("graft_stream_dedup_ckpt")
+      withScaledStateFor(spark, sfDir) { withRocksDbState(spark) {
+        val q = dedupStream(events).writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } }
+      spark.read.parquet(out.toString)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
     }
 
   /** Per-call memory-sink names: a fixed name would let two concurrent
@@ -572,6 +580,34 @@ object EventStreams {
       (body: => T): T =
     withScaledState(spark,
       pathBytes(java.nio.file.Paths.get(s"$sfDir/events.parquet")))(body)
+
+  /** Run a streaming query on the RocksDB state-store provider,
+    * restoring the session provider after — for operators whose keyed
+    * state grows WITH THE STREAM (exact dedup keeps one entry per
+    * event id inside the watermark; the near-dup bucket store keeps
+    * one per distinct band signature). The default HDFS-backed store
+    * holds its whole map ON-HEAP per partition: measured at the sf10
+    * stream (10M events, 171 MB feed), stream_dedup's state (~2×10M
+    * entries across both feed copies) OOMs the 4 GB bench JVM
+    * outright. RocksDB keeps state off-heap with disk spill — the
+    * store Structured Streaming ships for exactly this shape (and the
+    * one `transformWithState` already requires). Windowed/bounded-
+    * cardinality aggregations keep the default store: their state is
+    * O(windows × keys), and the HDFS store's in-memory map is faster
+    * at that size. Results are provider-independent (state backend is
+    * internal); the dedup keys' DuckDB gates re-pass under RocksDB.
+    */
+  private def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Materialize a memory-sink view and drop it immediately, spilling
     * through a per-run temp parquet: the memory sink already holds one
@@ -1088,11 +1124,11 @@ object EventStreams {
       .parquet(feed.toString)
     val name = nextSinkName("graft_stream_near_dup")
     withSink(spark, name) {
-      withScaledState(spark, pathBytes(feed)) {
+      withScaledState(spark, pathBytes(feed)) { withRocksDbState(spark) {
         val q = nearDupStream(stream).writeStream
           .format("memory").queryName(name).outputMode("complete").start()
         try q.processAllAvailable() finally q.stop()
-      }
+      } }
       drainMemorySink(spark, name)
         .select(col("doc_id"), col("near_dup_of"))
     }
@@ -1170,14 +1206,15 @@ object EventStreams {
           case _ => s0
         }
       }
-      def runOnce(): Unit = withScaledStateFor(spark, sfDir) {
+      def runOnce(): Unit =
+        withScaledStateFor(spark, sfDir) { withRocksDbState(spark) {
         val q = dedupStream(events).writeStream
           .format("parquet")
           .option("path", out.toString)
           .option("checkpointLocation", ckpt.toString)
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-      }
+      } }
       java.nio.file.Files.createSymbolicLink(
         feed.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
       runOnce()
@@ -1341,7 +1378,8 @@ object EventStreams {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      def runOnce(): Unit = withScaledStateFor(spark, sfDir) {
+      def runOnce(): Unit =
+        withScaledStateFor(spark, sfDir) { withRocksDbState(spark) {
         val q = dedupStream(events).writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             shape(batch).write.format("graft.sources.v2.GraftSinkSource")
@@ -1351,7 +1389,7 @@ object EventStreams {
           .option("checkpointLocation", ckpt.toString)
           .start()
         try q.processAllAvailable() finally q.stop()
-      }
+      } }
       java.nio.file.Files.createSymbolicLink(
         feed.resolve("events_a.parquet"), java.nio.file.Paths.get(path))
       runOnce()
