@@ -52,8 +52,10 @@ object Bench {
         // listener releases per-call persisted frames after the noop
         // write anyway, but the listener bus is async — an explicit
         // release pins "no block-manager growth across 471 keys"
-        // regardless of event-delivery timing (outside the timer:
-        // unpersist(blocking=false) bookkeeping isn't the query)
+        // regardless of event-delivery timing. NOTE: the finally runs
+        // before nanoTime() is read, so the release (cheap
+        // unpersist(blocking=false) bookkeeping) IS billed to the key
+        // — deliberately, since a real pipeline pays its own cleanup
         graft.operators.Scratch.release(spark)
       (System.nanoTime() - t0) / 1e9
     }
@@ -97,6 +99,12 @@ object Bench {
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val total = byName.values.filter(_ >= 0).sum
+    // the COLD map (run 1): the only per-key numbers that include every
+    // one-time session-artifact build — a memo consumer's best-of-3 is
+    // a warm filter over a checkpointed artifact, so a 2x slowdown in
+    // the build is invisible to `best`; run 1 pays it and reports it
+    val cold: Map[String, Double] = runs.head.toMap
+    val totalCold = cold.values.filter(_ >= 0).sum
 
     // the MERGED FLOOR: per-key min across every bench run ever
     // committed (carried in BENCH_FULL.json's "floor", seeded from
@@ -104,9 +112,18 @@ object Bench {
     // load reads ~10% above the historical floor — that's sampling
     // depth, not regression, so the floor is what regressions are
     // judged against AND what the committed artifact preserves.
-    val (prevFloor, prevFloorRuns): (Map[String, Double], Int) = {
+    // Floors are only comparable within one measurement methodology:
+    // the pre-r19 floors were best-of-83 minima accumulated under the
+    // leak-warm harness (runs 2-3 inherited run 1's corpus caches), a
+    // state a fresh cache-cold best-of-3 can never reach — 23 of the
+    // r18 driver flags were that methodology gap, not regressions. A
+    // floor file without this marker is archived once and the floor
+    // re-seeded from the current (clearCache) methodology.
+    val FloorMethod = "clearcache_cold_v2"
+    val (prevFloor, prevFloorCold, prevFloorRuns)
+        : (Map[String, Double], Map[String, Double], Int) = {
       val f = Paths.get(outPath)
-      if (!Files.exists(f)) (Map.empty, 0)
+      if (!Files.exists(f)) (Map.empty, Map.empty, 0)
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(f.toFile)
@@ -115,38 +132,62 @@ object Bench {
         // the sf0.1 floor it would silently undercut)
         if (root.has("sf") && root.get("sf").asText() != sfDir)
           throw new IllegalStateException("different sf; fresh floor")
-        val node = if (root.has("floor")) root.get("floor")
-          else root.get("best")
-        val m = scala.collection.mutable.Map[String, Double]()
-        if (node != null) {
-          val it = node.fields()
-          while (it.hasNext) { val e = it.next()
-            m(e.getKey) = e.getValue.asDouble() }
+        if (!root.has("floor_method")
+            || root.get("floor_method").asText() != FloorMethod) {
+          val arch = Paths.get(outPath + ".pre_" + FloorMethod)
+          if (!Files.exists(arch)) Files.copy(f, arch)
+          System.err.println(s"[bench] floor methodology changed; old " +
+            s"floors archived to $arch, floor re-seeded from this run")
+          throw new IllegalStateException("floor methodology reset")
+        }
+        def readMap(field: String): Map[String, Double] = {
+          val m = scala.collection.mutable.Map[String, Double]()
+          val node = root.get(field)
+          if (node != null) {
+            val it = node.fields()
+            while (it.hasNext) { val e = it.next()
+              m(e.getKey) = e.getValue.asDouble() }
+          }
+          m.toMap
         }
         val r = if (root.has("floor_runs")) root.get("floor_runs").asInt()
           else if (root.has("n_runs")) root.get("n_runs").asInt() else 0
-        (m.toMap, r)
-      } catch { case _: Exception => (Map.empty, 0) }
+        (readMap("floor"), readMap("floor_cold"), r)
+      } catch { case _: Exception => (Map.empty, Map.empty, 0) }
     }
-    val floor: Map[String, Double] = names.map { n =>
-      val cur = byName(n)
+    def mergeFloor(prev: Map[String, Double],
+        now: Map[String, Double]): Map[String, Double] = names.map { n =>
+      val cur = now.getOrElse(n, -1.0)
       // a recorded -1 means "failed that run" — treat as absent, or a
       // one-off environment failure would poison the floor forever
-      val old = prevFloor.get(n).filter(_ >= 0).getOrElse(Double.MaxValue)
+      val old = prev.get(n).filter(_ >= 0).getOrElse(Double.MaxValue)
       n -> (if (cur < 0) (if (old == Double.MaxValue) -1.0 else old)
         else math.min(cur, old))
     }.toMap
+    val floor = mergeFloor(prevFloor, byName)
+    val floorCold = mergeFloor(prevFloorCold, cold)
     val floorTotal = floor.values.filter(_ >= 0).sum
     // regression tracker: flag keys measurably above the floor BOTH
     // relatively (>1.5x) and absolutely (>0.5 s) — kills the
     // best-of-depth noise that masquerades as regression on sub-second
-    // keys while still catching a real structural slowdown
-    val regressions = names.filter { n =>
-      val cur = byName(n); val fl = prevFloor.getOrElse(n, -1.0)
-      cur >= 0 && fl >= 0 && cur > 1.5 * fl && cur - fl > 0.5
-    }.sortBy(n => prevFloor(n) - byName(n))
-    regressions.foreach(n => System.err.println(
+    // keys while still catching a real structural slowdown. Checked on
+    // BOTH arrays: `best` (warm steady state) and `cold` (run 1, the
+    // only array where a memo ARTIFACT BUILD regression is visible —
+    // a consumer key's warm best is a filter over the built artifact
+    // and stays flat no matter how slow the build got).
+    def flag(now: Map[String, Double], fl: Map[String, Double])
+        : Seq[String] = names.filter { n =>
+      val cur = now.getOrElse(n, -1.0); val f = fl.getOrElse(n, -1.0)
+      cur >= 0 && f >= 0 && cur > 1.5 * f && cur - f > 0.5
+    }
+    val regBest = flag(byName, prevFloor)
+    val regCold = flag(cold, prevFloorCold)
+    val regressions = (regBest ++ regCold).distinct
+      .sortBy(n => -(byName.getOrElse(n, 0.0)))
+    regBest.foreach(n => System.err.println(
       f"[bench] REGRESSION $n: ${byName(n)}%.2f s vs floor ${prevFloor(n)}%.2f s"))
+    regCold.foreach(n => System.err.println(
+      f"[bench] REGRESSION(cold) $n: ${cold(n)}%.2f s vs cold floor ${prevFloorCold(n)}%.2f s"))
 
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -154,14 +195,18 @@ object Bench {
     // the cumulative merged floor (the committed point of comparison)
     val fullJson =
       s"""{"sf":"$sfDir","n_queries":${names.size},"n_runs":$nRuns,
+         |"floor_method":"$FloorMethod",
          |"total_best":$total,
+         |"total_cold":$totalCold,
          |"floor_runs":${prevFloorRuns + nRuns},
          |"floor_total":$floorTotal,
          |"regressions":[${regressions.map("\"" + _ + "\"").mkString(",")}],
          |"runs":[${runs.map(r => jmap(r)).mkString(",")}],
          |"best":${jmap(names.map(n => n -> byName(n)))},
-         |"floor":${jmap(names.map(n => n -> floor(n)))}}""".stripMargin
-        .replace("\n", "")
+         |"cold":${jmap(names.map(n => n -> cold.getOrElse(n, -1.0)))},
+         |"floor":${jmap(names.map(n => n -> floor(n)))},
+         |"floor_cold":${jmap(names.map(n => n -> floorCold(n)))}}"""
+        .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outPath), fullJson)
     System.err.println(s"[bench] full per-query map -> $outPath")
 
@@ -177,7 +222,7 @@ object Bench {
     require(only.isDefined || unknown.isEmpty,
       s"headline names not in the registry: ${unknown.mkString(",")}")
     val qs = jmap(headline.filter(byName.contains).map(k => k -> byName(k)))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"floor_total":$floorTotal,"n_regressions":${regressions.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${names.size},"n_runs":$nRuns,"floor_total":$floorTotal,"n_regressions":${regressions.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -269,6 +269,42 @@ object CatalystExprs {
       copy(child = c)
   }
 
+  /** Gopher repetition counts (array<long> [top2, total2, dup5,
+    * total5]) over a whitespace token array
+    * ([[ExprKernels.gramStats]]): one tight per-document loop
+    * replacing the explode + two shuffled aggregations of the HOF
+    * form — every statistic is per-document, so nothing needs to
+    * leave the row. Codegen: one static kernel call, stays inside
+    * the fused stage.
+    */
+  case class GramStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.gramStats(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.gramStats($c);")
+    override protected def withNewChildInternal(c: Expression): GramStats =
+      copy(child = c)
+  }
+
+  /** Unordered pairs (a < b) of a sorted-distinct long array
+    * ([[ExprKernels.sortedPairs]]) — the basket pair expansion as one
+    * codegen'd kernel call.
+    */
+  case class SortedPairs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      ExprKernels.sortedPairs(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.ExprKernels.sortedPairs($c);")
+    override protected def withNewChildInternal(c: Expression): SortedPairs =
+      copy(child = c)
+  }
+
   /** Multi-probe SRP: array of 1 + nProbes bucket codes — the main
     * code plus single-bit flips of the lowest-|margin| planes
     * (Lv et al., "Multi-Probe LSH", VLDB'07, adapted to sign random
@@ -405,6 +441,10 @@ object CatalystExprs {
     asCol(SimHash64(expression(hashes)))
   def cdc_cuts(text: Column): Column =
     asCol(CdcCuts(expression(text)))
+  def gram_stats(words: Column): Column =
+    asCol(GramStats(expression(words)))
+  def sorted_pairs(arr: Column): Column =
+    asCol(SortedPairs(expression(arr)))
   def dot_product(a: Column, b: Column): Column =
     asCol(DotProduct(expression(a), expression(b)))
   def mmr_pick(packed: Column, lam: Double, lamBar: Double, k: Int): Column =

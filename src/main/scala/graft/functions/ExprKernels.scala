@@ -527,6 +527,89 @@ object ExprKernels {
     new GenericArrayData(arr)
   }
 
+  /** Gopher repetition counts over the whitespace token array in ONE
+    * tight pass — [top-2-gram count, total 2-gram occurrences,
+    * duplicated-5-gram occurrence count, total 5-gram occurrences].
+    * Replaces the explode(transform(sequence…array_join(slice…))) +
+    * two shuffled aggregations pipeline: every count is per-DOCUMENT,
+    * so nothing ever needed to leave the row. Gram identity is the
+    * space-joined token run, exactly the HOF form's `array_join(slice
+    * (w,i,n),' ')` — tokens are whitespace-split so the join is
+    * injective and UTF8String equality ≡ joined-string equality.
+    */
+  def gramStats(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    val out = new Array[Long](4)
+    if (len >= 2) {
+      val words = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var i = 0
+      while (i < len) { words(i) = arr.getUTF8String(i); i += 1 }
+      val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      def count(n: Int): java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, Array[Int]] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.unsafe.types.UTF8String, Array[Int]]()
+        var i = 0
+        while (i <= len - n) {
+          val parts =
+            new Array[org.apache.spark.unsafe.types.UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            parts(2 * j) = words(i + j)
+            if (j < n - 1) parts(2 * j + 1) = space
+            j += 1
+          }
+          val key = org.apache.spark.unsafe.types.UTF8String.concat(parts: _*)
+          val c = m.get(key)
+          if (c == null) m.put(key, Array(1)) else c(0) += 1
+          i += 1
+        }
+        m
+      }
+      val two = count(2)
+      var top2 = 0L
+      val it2 = two.values().iterator()
+      while (it2.hasNext) { val c = it2.next()(0); if (c > top2) top2 = c }
+      out(0) = top2
+      out(1) = (len - 1).toLong
+      if (len >= 5) {
+        val five = count(5)
+        var dup5 = 0L
+        val it5 = five.values().iterator()
+        while (it5.hasNext) { val c = it5.next()(0); if (c >= 2) dup5 += c }
+        out(2) = dup5
+        out(3) = (len - 4).toLong
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All unordered pairs (a < b) of a SORTED-DISTINCT long array as
+    * array<struct<a,b>> — the basket pair expansion done map-side in
+    * one tight loop instead of a self-join of the order-part
+    * incidence with itself (two extra scans + exchanges of the
+    * corpus-sized incidence; the blowup is Σ (basket choose 2) either
+    * way, bounded by lines-per-order).
+    */
+  def sortedPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, arr.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** DEFLATE'd byte length of a UTF-8 string (level 6, raw deflate).
     * The Deflater is allocated per call and `end()`ed — native zlib
     * memory does not ride the GC; a thread-local would save the

@@ -1093,20 +1093,56 @@ object Relational {
     * order-shaped fact), never corpus-quadratic; per-order distinct
     * parts first so multi-line items don't double-count.
     */
+  /** Shared BASKET artifacts per (session, corpus) — `q_market_basket`
+    * and `q_item_similarity` both start from the identical distinct
+    * (order, part) incidence and its unordered co-occurrence counts;
+    * before this memo each key re-scanned lineitem and self-joined
+    * the incidence with itself (the incidence subtree twice per key).
+    * `orderParts` is ONE partial-aggregated shuffle (collect_set
+    * dedups (order, part) and the set is sorted, so the kernel's
+    * a < b pairs are exactly the self-join's `part_a < part_b` rows);
+    * `basketPairCounts` explodes the pairs MAP-SIDE (codegen'd
+    * [[graft.functions.CatalystExprs.sorted_pairs]], bounded by
+    * lines-per-order) into one partial-aggregated count shuffle.
+    * Two shuffles total for the artifact both keys read, vs four per
+    * key before (guide §2.4 — remove shuffles outright; §1.2 — don't
+    * recompute).
+    */
+  private[graft] val orderPartsMemo = new MemoCache[
+    (SparkSession, String), DataFrame](
+    capacity = 8, _._1)(MemoCache.freeLocalCheckpoint)
+  private[graft] val basketPairMemo = new MemoCache[
+    (SparkSession, String), DataFrame](
+    capacity = 8, _._1)(MemoCache.freeLocalCheckpoint)
+
+  /** (l_orderkey, ps: sorted distinct parts) — one row per order. */
+  private def orderParts(spark: SparkSession, sfDir: String): DataFrame =
+    orderPartsMemo.getOrCompute((spark, sfDir))(
+      Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .localCheckpoint())
+
+  /** (pa, pb, n_ab) with pa < pb — co-order counts over all baskets. */
+  private def basketPairCounts(spark: SparkSession,
+      sfDir: String): DataFrame =
+    basketPairMemo.getOrCompute((spark, sfDir))(
+      orderParts(spark, sfDir)
+        .select(explode(
+          graft.functions.CatalystExprs.sorted_pairs(col("ps"))).as("pr"))
+        .select(col("pr.a").as("pa"), col("pr.b").as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint())
+
   def marketBasket(spark: SparkSession, sfDir: String,
-      minCount: Long = 2, topK: Int = 20): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        "l_orderkey")
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_orders"))
+      minCount: Long = 2, topK: Int = 20): DataFrame =
+    basketPairCounts(spark, sfDir)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_ab").as("n_orders"))
       .filter(col("n_orders") >= minCount)
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topK)
-  }
 
   /** Item-to-item collaborative similarity over order baskets — the
     * recommender primitive `marketBasket`'s global top pairs don't
@@ -1124,16 +1160,14 @@ object Relational {
     */
   def itemSimilarity(spark: SparkSession, sfDir: String,
       topK: Int = 3): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val freq = op.groupBy(col("l_partkey"))
+    // both artifacts come from the shared basket memos (see
+    // marketBasket): the incidence is never self-joined, the pair
+    // counts are computed once per session
+    val freq = orderParts(spark, sfDir)
+      .select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_part"))
-    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        "l_orderkey")
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb")
-      .agg(count(lit(1)).as("n_ab"))
+    val pairs = basketPairCounts(spark, sfDir)
     val sym = pairs.select(col("pa"), col("pb"), col("n_ab"))
       .unionAll(pairs.select(col("pb").as("pa"), col("pa").as("pb"),
         col("n_ab")))
@@ -2774,81 +2808,135 @@ object Relational {
     */
   private val HitsBroadcastNodeBudget = 4L * 1000 * 1000
 
-  private[graft] def hitsRun(spark: SparkSession, sfDir: String,
-      maxRounds: Int, eps: Option[Double]): (DataFrame, Int, Boolean) = {
-    val d289 = DecimalType(28, 9)
-    val edges = hitsEdges(spark, sfDir)
+  /** The memoized HITS TRAJECTORY per (session, corpus) — the
+    * hitsEdgeMemo convention one level up: the (a, h) score vectors
+    * are a deterministic function of the edge graph alone (eps only
+    * decides where a caller STOPS reading), so `q_hits` (2 rounds),
+    * `q_hits_converged` (rounds until the L1 test fires) and the
+    * certificate spec's fixed unrolls all read prefixes of ONE
+    * fixed-point iteration. Before this memo each caller re-ran the
+    * edge join 2×rounds times from round 1 — a production HITS
+    * maintains one score table and every consumer reads it.
+    *
+    * Round economy inside the trajectory: one half-step is ONE
+    * materialized job — the edge join + decimal side-sums
+    * checkpoint, with the L1-normalization total collected AS AN
+    * OBSERVED METRIC of that same job (`observe`: the CollectMetrics
+    * accumulator rides the checkpoint pass — zero extra jobs, zero
+    * extra scans, a 1-row driver value at ANY graph scale). This
+    * replaces r18's global window (which funneled the ENTIRE
+    * node-sized aggregate through one window task every half-step:
+    * bounded under the 4M budget, single-task at web scale) and the
+    * pre-r18 crossJoin(broadcast(tot)) (whose broadcast build thread
+    * re-ran the whole edge join). The decimal sum is exact in any
+    * order, and BigDecimal.doubleValue is the same correctly-rounded
+    * conversion Cast(decimal→double) performs, so the rounded
+    * division is bit-identical to the forms the oracle replays. The
+    * normalized projections stay lazy: every consumer re-runs one
+    * cheap narrow projection over its round's checkpoint.
+    */
+  private[graft] final class HitsTrajectory(spark: SparkSession,
+      sfDir: String) {
+    private val d289 = DecimalType(28, 9)
+    private[graft] val edges = hitsEdges(spark, sfDir)
     // ONE bounded pre-flight agg over the memoized edge frame prices
     // the join strategy for every round (the scaledPlanesPerBand
     // convention: derive the scale decision from the data, once)
-    val nNodes = edges
+    private val nNodes = edges
       .agg(countDistinct(col("u")) + countDistinct(col("p")))
       .first().getLong(0)
-    def sized(df: DataFrame): DataFrame =
+    private[graft] def sized(df: DataFrame): DataFrame =
       if (nNodes <= HitsBroadcastNodeBudget) broadcast(df) else df
-    // one normalized half-step as ONE materialized job: edge join +
-    // decimal side-sums + broadcast-total normalization + (when a
-    // previous vector exists) the L1 delta column, all inside a
-    // single checkpoint — the loop's per-round cost is exactly two
-    // edge-join jobs plus one trivial 1-row agg over the checkpoint
-    // (the earlier shape paid separate raw/normalized/L1 jobs)
-    def halfStep(scores: DataFrame, keyIn: String, keyOut: String,
-        prev: Option[DataFrame]): DataFrame = {
+
+    private def halfStep(scores: DataFrame, keyIn: String,
+        keyOut: String): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
       val raw = edges
         .join(sized(scores.withColumnRenamed("node", keyIn)), keyIn)
         .groupBy(col(keyOut).as("node"))
         .agg(sum(col("s").cast(d289)).as("raw"))
-      // normalization total as ONE global window over the node-sized
-      // agg (a single-partition exchange of |nodes| rows inside the
-      // same job) — the previous crossJoin(broadcast(tot)) re-ran the
-      // whole edge join in the broadcast build thread, so every
-      // half-step paid the join twice (measured: the broadcast-build
-      // jobs dominated the converged key's event log). Decimal sum is
-      // exact either way; the rounded division is bit-identical.
-      val norm = raw
-        .withColumn("t", sum(col("raw")).over(Window.partitionBy()))
-        .select(col("node"),
-          round(col("raw").cast("double") / col("t").cast("double"), 9)
-            .as("s"))
-      prev.fold(norm.withColumn("d", lit(null).cast("double"))) { p =>
-        // both vectors live on the same node set (every part with a
-        // sale), so the left join's null rows — none in practice —
-        // contribute exactly what the old inner-join sum did: nothing
-        norm.join(sized(p.select(col("node"), col("s").as("prev"))),
-            Seq("node"), "left")
-          .select(col("node"), col("s"), abs(col("s") - col("prev"))
-            .as("d"))
-      }.localCheckpoint()
+        .observe(obs, sum(col("raw")).as("t"))
+        .localCheckpoint()
+      val t = obs.get("t").asInstanceOf[java.math.BigDecimal]
+      raw.select(col("node"),
+        round(col("raw").cast("double") / lit(t.doubleValue), 9).as("s"))
     }
-    var h = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), lit(1.0).as("s"))
-    var a: DataFrame = null
+
+    // hs(k) = hub vector entering round k+1 (hs(0) = all-ones init);
+    // as(k-1) = authority vector after round k; l1s(k-2) = L1 step
+    // between as of rounds k-1 and k (defined from round 2)
+    private val hs = scala.collection.mutable.ArrayBuffer[DataFrame](
+      edges.select(col("u").as("node")).distinct()
+        .select(col("node"), lit(1.0).as("s")))
+    private val as = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    private val l1s = scala.collection.mutable.ArrayBuffer[Double]()
+
+    /** Extend the trajectory to `rounds` full rounds. */
+    def ensure(rounds: Int): Unit = synchronized {
+      while (as.length < rounds) {
+        val a2 = halfStep(hs.last, "u", "p")
+        val h2 = halfStep(a2, "p", "u")
+        if (as.nonEmpty) {
+          // ONE bounded 1-row driver read per extension round: both
+          // vectors are cheap projections over their checkpoints, so
+          // the L1 agg re-runs no edge join. Both vectors live on
+          // the same node set (every part with a sale), so the left
+          // join's null rows — none in practice — contribute exactly
+          // what an inner-join sum did: nothing (null abs-diff is
+          // skipped by sum).
+          val l1 = a2
+            .join(sized(as.last.select(col("node"), col("s").as("prev"))),
+              Seq("node"), "left")
+            .agg(coalesce(sum(abs(col("s") - col("prev"))), lit(0.0)))
+            .first().getDouble(0)
+          l1s += l1
+        }
+        as += a2
+        hs += h2
+      }
+    }
+    def a(round: Int): DataFrame = synchronized(as(round - 1))
+    def h(round: Int): DataFrame = synchronized(hs(round))
+    /** L1 step into `round` (≥ 2). */
+    def l1(round: Int): Double = synchronized(l1s(round - 2))
+    /** Evict hook: free every checkpointed round. */
+    private[graft] def release(): Unit = synchronized(
+      (as ++ hs).foreach(MemoCache.freeLocalCheckpoint))
+  }
+
+  private[graft] val hitsTrajMemo = new MemoCache[
+    (SparkSession, String), HitsTrajectory](
+    capacity = 4, _._1)(_.release())
+
+  private[graft] def hitsRun(spark: SparkSession, sfDir: String,
+      maxRounds: Int, eps: Option[Double]): (DataFrame, Int, Boolean) = {
+    val traj = hitsTrajMemo.getOrCompute((spark, sfDir))(
+      new HitsTrajectory(spark, sfDir))
     var rounds = 0
     var converged = false
-    while (rounds < maxRounds && !converged) {
-      val a2 = halfStep(h, "u", "p", if (eps.isDefined) Option(a) else None)
-      val h2 = halfStep(a2, "p", "u", None)
-      rounds += 1
-      eps.foreach { e =>
-        if (a != null) {
-          // ONE bounded 1-row driver read per round, priced as a
-          // trivial agg over the already-checkpointed delta column
-          val l1 = a2.agg(coalesce(sum(col("d")), lit(0.0)))
-            .first().getDouble(0)
-          if (l1 <= e) converged = true
+    eps match {
+      case None =>
+        traj.ensure(maxRounds)
+        rounds = maxRounds
+      case Some(e) =>
+        // identical stop semantics to the inline loop: the test fires
+        // after round k ≥ 2 on the L1 step between a_{k-1} and a_k
+        while (rounds < maxRounds && !converged) {
+          rounds += 1
+          traj.ensure(rounds)
+          if (rounds >= 2 && traj.l1(rounds) <= e) converged = true
         }
-      }
-      a = a2
-      h = h2
     }
-    val pDeg = edges.groupBy(col("p").as("node"))
+    val a = traj.a(rounds)
+    val h = traj.h(rounds)
+    val pDeg = traj.edges.groupBy(col("p").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val uDeg = edges.groupBy(col("u").as("node"))
+    val uDeg = traj.edges.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
-    (a.join(sized(pDeg), "node")
+    (a.join(traj.sized(pDeg), "node")
       .select(lit("part").as("kind"), col("node").as("node_id"),
         col("s").as("score"), col("deg"))
-      .unionByName(h.join(sized(uDeg), "node")
+      .unionByName(h.join(traj.sized(uDeg), "node")
         .select(lit("cust").as("kind"), col("node").as("node_id"),
           col("s").as("score"), col("deg"))),
       rounds, converged)

@@ -1353,12 +1353,29 @@ object Similarity {
     */
   def semDedupOver(all: DataFrame, tau: Double, kClusters: Int,
       probes: Int = SemProbes): DataFrame = {
+    // HASH-SPREAD training sample (the r18 ADVICE item): the former
+    // id-prefix sample (vec_id < m) trains the codebook on one
+    // contiguous id range — ids correlate with generation order, so
+    // the codebook under-represents the rest of the corpus and
+    // cluster occupancy skews (measured exp ≈ 1.2 at sf1, the hot
+    // cells carrying the quadratic verify join). Taking the m
+    // smallest xxhash64(vec_id) spreads the sample uniformly over
+    // the corpus at the same bounded size — orderBy+limit plans as a
+    // bounded TakeOrdered heap, never a global sort. The collected
+    // rows are re-sorted by vec_id on the driver so Lloyd's
+    // deterministic first-k init and scan order keep their id-order
+    // contract (the planted-geometry spec's seeding relies on it;
+    // when the sample bound covers the whole frame — every spec
+    // plant — the sample is bit-identical to the old one).
+    val m = math.max(SemSample.toLong, 4L * kClusters).toInt
     val sample = all
-      .filter(col("vec_id") < math.max(SemSample.toLong, 4L * kClusters))
-      .orderBy("vec_id").select("v", "norm").collect()
+      .select(col("vec_id"), col("v"), col("norm"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(m)
+      .collect()
+      .sortBy(_.getLong(0))
       .map { r =>
-        val n = r.getDouble(1)
-        r.getSeq[Double](0).toArray.map(_ / n)
+        val n = r.getDouble(2)
+        r.getSeq[Double](1).toArray.map(_ / n)
       }
     require(sample.length >= kClusters,
       s"corpus smaller than codebook: ${sample.length}")

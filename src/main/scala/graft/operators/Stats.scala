@@ -217,42 +217,72 @@ object Stats {
     * partition into the final merge, never a global sort).
     * Rows-gated; the planted-flip spec pins rank 1.
     */
-  def probeMislabel(spark: SparkSession, sfDir: String,
-      k: Int = 20, folds: Int = 3): DataFrame =
-    probeMislabelCross(
-      Tables.embeddings(spark, sfDir)
-        .filter(col("label").isin(0, 1))
-        .select(col("vec_id"),
-          (col("label") === 0).cast("int").as("y"),
-          col("embedding").cast("array<double>").as("x")),
-      k, folds)
+  /** Cross-fitted fold betas per (session, corpus, folds) — the
+    * ugTrainMemo convention applied to the probe family: the Newton
+    * cross-fit (folds × 8 driver-loop aggregate jobs) is the
+    * train-once artifact, the mislabel ranking is a cheap scoring
+    * pass over it. The betas are tiny driver arrays; nothing survives
+    * the session.
+    */
+  private[graft] val probeBetaMemo = new MemoCache[
+    (SparkSession, String, Int), Seq[Array[Double]]](
+    capacity = 4, _._1)(_ => ())
 
-  /** Cross-fitted mining over any (vec_id, y, x) frame. The
-    * fold-tagged frame persists for the whole cross-fit (like the
-    * `vecs()` corpus cache): every fold's fit AND the final scoring
-    * union read it, so without the cache the source would re-scan
-    * ~2x per fold.
+  def probeMislabel(spark: SparkSession, sfDir: String,
+      k: Int = 20, folds: Int = 3): DataFrame = {
+    val features = Tables.embeddings(spark, sfDir)
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"),
+        (col("label") === 0).cast("int").as("y"),
+        col("embedding").cast("array<double>").as("x"))
+    val betas = probeBetaMemo.getOrCompute((spark, sfDir, folds))(
+      trainFoldBetas(features, folds))
+    scoreFolds(features, betas, k)
+  }
+
+  /** Cross-fitted mining over any (vec_id, y, x) frame (the planted-
+    * flip spec path — un-memoized).
     */
   private[graft] def probeMislabelCross(features: DataFrame, k: Int,
-      folds: Int): DataFrame = {
+      folds: Int): DataFrame =
+    scoreFolds(features, trainFoldBetas(features, folds), k)
+
+  /** The train half of the cross-fit: one beta per fold, each fit on
+    * the OTHER folds. The fold-tagged frame persists for the whole
+    * cross-fit (like the `vecs()` corpus cache): every fold's fit
+    * reads it, so without the cache the source would re-scan ~2x per
+    * fold.
+    */
+  private[graft] def trainFoldBetas(features: DataFrame,
+      folds: Int): Seq[Array[Double]] = {
     require(folds >= 2, s"cross-fit needs >= 2 folds, got $folds")
     val feats = features.withColumn("fold",
       (md5Mod("fold", col("vec_id")) % folds).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val scored = (0 until folds).map { f =>
-          // doPersist=false: the fold filters read the outer cache —
-          // a second inner persist would hold ~2x the corpus in
-          // storage during each fold's Newton loop
-          val beta = fitBeta(feats.filter(col("fold") =!= f).drop("fold"),
-            8, ridge = 1.0, doPersist = false)._1
-          scoreWith(feats.filter(col("fold") === f).drop("fold"), beta)
-        }
-        .reduce(_ unionAll _)
-      // eager localCheckpoint materializes the k-row result and cuts
-      // its lineage to the cache, so the finally can release it
-      probeMislabelOver(scored, k).localCheckpoint()
-    } finally { feats.unpersist(); () }
+    try
+      (0 until folds).map { f =>
+        // doPersist=false: the fold filters read the outer cache —
+        // a second inner persist would hold ~2x the corpus in
+        // storage during each fold's Newton loop
+        fitBeta(feats.filter(col("fold") =!= f).drop("fold"),
+          8, ridge = 1.0, doPersist = false)._1
+      }
+    finally { feats.unpersist(); () }
+  }
+
+  /** The serve half: score each fold with its cross-fitted beta and
+    * rank — ONE codegen'd projection per fold plus the bounded top-k,
+    * no training jobs.
+    */
+  private def scoreFolds(features: DataFrame,
+      betas: Seq[Array[Double]], k: Int): DataFrame = {
+    val feats = features.withColumn("fold",
+      (md5Mod("fold", col("vec_id")) % betas.length).cast("int"))
+    val scored = betas.zipWithIndex.map { case (beta, f) =>
+        scoreWith(feats.filter(col("fold") === f).drop("fold"), beta)
+      }
+      .reduce(_ unionAll _)
+    probeMislabelOver(scored, k)
   }
 
   /** Ranking stage over any (vec_id, y, score) scored frame. */

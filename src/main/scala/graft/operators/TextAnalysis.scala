@@ -828,6 +828,17 @@ object TextAnalysis {
     * word / word-pair; scoring is two broadcast-or-shuffle joins
     * against tables that grow with the VOCABULARY, not the corpus.
     */
+  /** Persisted-LM artifact store per (session, corpus, minCount) —
+    * the `ivfDirMemo` convention lifted to the LM family: the model
+    * is the train-once artifact (a production LM is trained offline
+    * ONCE and every ingest batch scores against it), so one session
+    * builds the count tables once and every call serves from the
+    * parquet store. The store is a per-JVM TempDir — nothing survives
+    * the session.
+    */
+  private[graft] val lmDirMemo = new MemoCache[
+    (SparkSession, String, Long), String](capacity = 4, _._1)(_ => ())
+
   def lmPersisted(spark: SparkSession, sfDir: String,
       minCount: Long = 2): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -845,17 +856,21 @@ object TextAnalysis {
           "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
         .as("pr"))
       .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
-    // TRAIN: count tables from the id-lower half, persisted
-    val trainWords = wordArrays(half(col("doc_id") <= _))
-    val trainTok = trainWords.select(explode(col("w")).as("w"))
-    val dir = graft.TempDirs.create("graft_lm_store").toString
-    trainTok.groupBy("w").agg(count(lit(1)).as("cw"))
-      .write.mode("overwrite").parquet(s"$dir/uni")
-    bigrams(trainWords).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-      .write.mode("overwrite").parquet(s"$dir/big")
-    trainTok.agg(count(lit(1)).as("n_total"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // TRAIN once per (session, corpus, minCount): count tables from
+    // the id-lower half, persisted to the session store
+    val dir = lmDirMemo.getOrCompute((spark, sfDir, minCount)) {
+      val d = graft.TempDirs.create("graft_lm_store").toString
+      val trainWords = wordArrays(half(col("doc_id") <= _))
+      val trainTok = trainWords.select(explode(col("w")).as("w"))
+      trainTok.groupBy("w").agg(count(lit(1)).as("cw"))
+        .write.mode("overwrite").parquet(s"$d/uni")
+      bigrams(trainWords).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minCount)
+        .write.mode("overwrite").parquet(s"$d/big")
+      trainTok.agg(count(lit(1)).as("n_total"))
+        .write.mode("overwrite").parquet(s"$d/meta")
+      d
+    }
     // SERVE: held-out half scored from artifacts only
     scoreWithLm(half(col("doc_id") > _),
       spark.read.parquet(s"$dir/uni"),
@@ -1701,28 +1716,33 @@ object TextAnalysis {
     * and coalesce to 0 (no repetition evidence ⇒ keep).
     */
   def repetitionOver(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), wsTokens(col("text")).as("w"),
-        explode(typedLit(Seq(2, 5))).as("n"))
-      .select(col("doc_id"), col("n"),
-        explode(when(size(col("w")) >= col("n"),
-          transform(sequence(lit(1), size(col("w")) - col("n") + 1),
-            i => array_join(slice(col("w"), i, col("n")), " ")))
-          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
-    grams
-      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id", "n")
-      .agg(max(col("cnt")).as("top_cnt"),
-        sum(col("cnt")).as("total"),
-        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0))).as("dup_cnt"))
-      .groupBy("doc_id")
-      .agg(
-        round(coalesce(max(when(col("n") === 2,
-          col("top_cnt").cast("double") / col("total").cast("double"))),
-          lit(0.0)), 6).as("top2gram_frac"),
-        round(coalesce(max(when(col("n") === 5,
-          col("dup_cnt").cast("double") / col("total").cast("double"))),
-          lit(0.0)), 6).as("dup5gram_frac"))
+    // ONE codegen'd per-document kernel pass
+    // ([[graft.functions.CatalystExprs.gram_stats]]) replaces the
+    // explode(transform(sequence…array_join(slice…))) + two shuffled
+    // aggregations: every statistic here is per-DOCUMENT, so no gram
+    // row ever needed to leave its scan task (guide §4 — eliminate
+    // non-codegen expressions in the hot path; §2.4 — remove shuffles
+    // outright). Gram identity in the kernel is the identical
+    // space-joined token run; counts are exact integers, the
+    // fraction divisions and round(…, 6) are the same IEEE dag the
+    // HOF form computed — bit-identical, and the DuckDB oracle still
+    // replays the original explode+groupBy definition. Docs with
+    // fewer than 2 tokens emit no 2-gram and no 5-gram rows in the
+    // HOF form and are absent from its output — the size filter
+    // reproduces that; total5 = 0 (2 ≤ tokens < 5) falls to the
+    // coalesce'd 0.0 exactly as the missing n=5 group did.
+    val g = col("g")
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.CatalystExprs.gram_stats(col("w")).as("g"))
+      .select(col("doc_id"),
+        round(g.getItem(0).cast("double") / g.getItem(1).cast("double"), 6)
+          .as("top2gram_frac"),
+        round(when(g.getItem(3) > 0,
+          g.getItem(2).cast("double") / g.getItem(3).cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup5gram_frac"))
       .withColumn("keep",
         col("top2gram_frac") <= 0.20 && col("dup5gram_frac") <= 0.15)
   }

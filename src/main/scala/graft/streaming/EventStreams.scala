@@ -230,19 +230,26 @@ object EventStreams {
       val events = eventsDf
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Event]
-      val name = nextSinkName("graft_stream_sess")
-      withSink(spark, name) {
+      // PARQUET sink, not memory (the stream_dedup shape): the session
+      // output is corpus-sized — one session row per user-burst — and
+      // a memory sink pins one full driver copy of it (the wall
+      // stream_dedup hit at sf10; guide §5 — the driver should do
+      // almost no data work). The file sink streams each batch to
+      // disk through its manifest; the read-back is manifest-scoped.
+      val out = graft.TempDirs.create("graft_stream_sess_out")
+      val ckpt = graft.TempDirs.create("graft_stream_sess_ckpt")
       withScaledStateFor(spark, sfDir) {
         val q = sessionize(events).writeStream
-          .format("memory").queryName(name).outputMode("append").start()
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
         try {
           q.processAllAvailable()
           appendSentinel(spark, raw, dir)
           q.processAllAvailable()
         } finally q.stop()
       }
-      drainMemorySink(spark, name)
-      }
+      spark.read.parquet(out.toString)
     }
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("session_start"))
@@ -276,19 +283,22 @@ object EventStreams {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("s"), max(col("ts")).as("e"))
         .select(col("user_id"), col("s"), col("e"), col("n_events"))
-      val name = nextSinkName("graft_stream_swin")
-      withSink(spark, name) {
-        withScaledStateFor(spark, sfDir) {
-          val q = sessions.writeStream
-            .format("memory").queryName(name).outputMode("append").start()
-          try {
-            q.processAllAvailable()
-            appendSentinel(spark, raw, dir)
-            q.processAllAvailable()
-          } finally q.stop()
-        }
-        drainMemorySink(spark, name)
+      // parquet file sink for the corpus-sized session output — the
+      // stream_dedup shape (see sessionsFromFiles)
+      val out = graft.TempDirs.create("graft_stream_swin_out")
+      val ckpt = graft.TempDirs.create("graft_stream_swin_ckpt")
+      withScaledStateFor(spark, sfDir) {
+        val q = sessions.writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, raw, dir)
+          q.processAllAvailable()
+        } finally q.stop()
       }
+      spark.read.parquet(out.toString)
     }
     drained
       .filter(col("user_id") =!= -1L)
@@ -318,15 +328,19 @@ object EventStreams {
           timestamp_micros(expr("ts div 1000")))
         case _ => stream0
       }
-      val name = nextSinkName("graft_stream_join")
-      withSink(spark, name) {
-        withScaledStateFor(spark, sfDir) {
-          val q = purchaseClickJoin(events).writeStream
-            .format("memory").queryName(name).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        drainMemorySink(spark, name)
+      // parquet file sink: the join output is |purchases| ×
+      // matching-clicks — corpus-proportional, the exact driver-copy
+      // wall stream_dedup hit at sf10 (guide §5)
+      val out = graft.TempDirs.create("graft_stream_join_out")
+      val ckpt = graft.TempDirs.create("graft_stream_join_ckpt")
+      withScaledStateFor(spark, sfDir) {
+        val q = purchaseClickJoin(events).writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
       }
+      spark.read.parquet(out.toString)
     }
     drained.select(
       col("purchase_id"), col("p_user").as("user_id"),
@@ -369,19 +383,23 @@ object EventStreams {
           && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
           && col("c_ts") <= col("p_ts"),
         "left_outer")
-      val name = nextSinkName("graft_stream_ojoin")
-      withSink(spark, name) {
-        withScaledStateFor(spark, sfDir) {
-          val q = joined.writeStream
-            .format("memory").queryName(name).outputMode("append").start()
-          try {
-            q.processAllAvailable()
-            appendSentinel(spark, raw, dir)
-            q.processAllAvailable()
-          } finally q.stop()
-        }
-        drainMemorySink(spark, name)
+      // parquet file sink: the outer-join output is corpus-sized
+      // (every purchase emits at least one row) — see
+      // purchaseClicksFromFiles / sessionsFromFiles
+      val out = graft.TempDirs.create("graft_stream_ojoin_out")
+      val ckpt = graft.TempDirs.create("graft_stream_ojoin_ckpt")
+      withScaledStateFor(spark, sfDir) {
+        val q = joined.writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          appendSentinel(spark, raw, dir)
+          q.processAllAvailable()
+        } finally q.stop()
       }
+      spark.read.parquet(out.toString)
     }
     drained
       .filter(col("p_user") =!= -1L)

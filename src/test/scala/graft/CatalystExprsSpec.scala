@@ -155,6 +155,81 @@ class CatalystExprsSpec extends SparkSpec {
     assert(h.values.exists(_.nonEmpty), "no cuts anywhere — weak corpus")
   }
 
+  test("gram_stats kernel equals the explode+groupBy HOF formulation " +
+      "the oracle replays — short docs, unicode, heavy repetition, " +
+      "and the <2/<5-token edges") {
+    import graft.functions.CatalystExprs.gram_stats
+    val docs = Seq(
+      "",                        // 0 tokens: absent from both forms
+      "one",                     // 1 token: absent
+      "two words",               // exactly one 2-gram, no 5-gram
+      "a b c d",                 // 3 2-grams, no 5-gram
+      "a b c d e",               // first 5-gram appears
+      "x y x y x y x y x y",     // heavy 2-gram + 5-gram repetition
+      ("héllo wörld " * 20).trim, // unicode, repeated bigram
+      "a a a a a a a a",         // single-token runs
+      ("the quick brown fox jumps over the lazy dog " * 10).trim
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def ws(c: org.apache.spark.sql.Column) =
+      filter(split(c, "\\s+"), w => w =!= "")
+    // the original HOF pipeline, verbatim
+    val hof = docs
+      .select(col("doc_id"), ws(col("text")).as("w"),
+        explode(typedLit(Seq(2, 5))).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(when(size(col("w")) >= col("n"),
+          transform(sequence(lit(1), size(col("w")) - col("n") + 1),
+            i => array_join(slice(col("w"), i, col("n")), " ")))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0)))
+          .as("dup_cnt"))
+      .groupBy("doc_id")
+      .agg(coalesce(max(when(col("n") === 2, col("top_cnt"))), lit(0L))
+          .as("top2"),
+        coalesce(max(when(col("n") === 2, col("total"))), lit(0L))
+          .as("total2"),
+        coalesce(max(when(col("n") === 5, col("dup_cnt"))), lit(0L))
+          .as("dup5"),
+        coalesce(max(when(col("n") === 5, col("total"))), lit(0L))
+          .as("total5"))
+    val h = hof.collect().map(r => r.getLong(0) ->
+      Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val k = docs.select(col("doc_id"), ws(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), gram_stats(col("w")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h.keySet == k.keySet, s"doc sets differ: $h vs $k")
+    h.foreach { case (id, exp) =>
+      assert(k(id) == exp, s"doc $id: kernel ${k(id)} vs HOF $exp") }
+    assert(h.values.exists(v => v(2) > 0), "no dup 5-grams — weak corpus")
+  }
+
+  test("sorted_pairs kernel equals the incidence self-join pair set " +
+      "(a < b), empty below 2 elements") {
+    import graft.functions.CatalystExprs.sorted_pairs
+    val baskets = Seq(
+      (1L, Seq(3L, 7L, 9L, 20L)),
+      (2L, Seq(5L)),
+      (3L, Seq[Long]()),
+      (4L, Seq(1L, 2L))
+    ).toDF("ok", "ps")
+    val kern = baskets
+      .select(col("ok"), explode(sorted_pairs(col("ps"))).as("pr"))
+      .select(col("ok"), col("pr.a"), col("pr.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val op = baskets.select(col("ok"), explode(col("ps")).as("pk"))
+    val join = op.select(col("ok"), col("pk").as("a"))
+      .join(op.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kern == join, s"kernel $kern vs self-join $join")
+    assert(kern.size == 4 * 3 / 2 + 1)
+  }
+
   test("minhash signature similarity approximates Jaccard (sanity)") {
     import graft.operators.Dedup
     // two 80%-overlapping shingle sets

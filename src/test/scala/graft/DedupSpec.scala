@@ -328,16 +328,26 @@ class DedupSpec extends SparkSpec {
   test("substring dedup plan: occurrence count partial-aggregates on " +
       "the shingle hash; a corpus-wide hot shingle stays correct") {
     import spark.implicits._
-    // plan shape: the count side must be a hash aggregate keyed on h
-    // (map-side combine collapses a hot shingle to one row per task);
-    // the only window left is the per-doc gaps-and-islands fold
+    // plan shape (corpus path): the occurrence counts arrive
+    // PRE-AGGREGATED from the shared store with the c >= 2 filter
+    // pushed into the parquet scan; the only window left is the
+    // per-doc gaps-and-islands fold — never a window keyed on h
     val df = Dedup.substringDedup(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate(keys=[h#"),
-      s"no partial aggregate on the shingle hash:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(c,2)"),
+      s"count threshold not pushed to the store scan:\n$plan")
     val winOnH = plan.linesIterator
       .filter(l => l.contains("Window") && l.matches(""".*\[h#\d+L?\].*"""))
     assert(winOnH.isEmpty, s"window keyed on h: ${winOnH.mkString("; ")}")
+    // the spec/Over path still computes the counts inline: the hash
+    // aggregate keyed on h (map-side combine collapses a hot shingle
+    // to one row per task) must be in ITS plan
+    val overPlan = Dedup.substringDedupOver(
+        Tables.documents(spark, sf), 32)
+      .queryExecution.executedPlan.toString
+    assert(overPlan.contains("HashAggregate(keys=[h#"),
+      s"no partial aggregate on the shingle hash:\n$overPlan")
+    graft.operators.Scratch.release(spark)
     // planted boilerplate: ONE 40-char run shared by every doc (the
     // licence-header case: a single hash key carrying 64 × 9 hits) —
     // each doc reports exactly that span. The char after the boiler is

