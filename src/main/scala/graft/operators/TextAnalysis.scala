@@ -754,26 +754,69 @@ object TextAnalysis {
     * each count table (broadcast N); per-doc reduce. No corpus-global
     * state beyond the count tables themselves.
     */
-  def perplexityBigram(spark: SparkSession, sfDir: String,
-      minCount: Long = 2): DataFrame =
-    perplexityBigramOver(Tables.documents(spark, sfDir), minCount)
+  /** The word-level LM count tables per (session, corpus) —
+    * (UNPRUNED bigram counts, unigram counts, token total), the
+    * ugTrainMemo convention for the scoring LMs: `text_perplexity_
+    * bigram` and `text_kneser_ney` both count the identical corpus
+    * bigrams and differ only in smoothing; a production LM counts
+    * once and every scorer reloads the tables. The per-doc scoring
+    * fan-out stays per-call (it IS each query's work).
+    */
+  private[graft] val bigramStatsMemo = new MemoCache[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)](
+    capacity = 4, _._1)(v => {
+      MemoCache.freeLocalCheckpoint(v._1)
+      MemoCache.freeLocalCheckpoint(v._2)
+      MemoCache.freeLocalCheckpoint(v._3)
+    })
 
-  /** Same operator over any (doc_id, text) frame (planted specs). */
+  private def bigramStats(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    bigramStatsMemo.getOrCompute((spark, sfDir)) {
+      val words = wordArraysOf(Tables.documents(spark, sfDir))
+      val tok = words.select(col("doc_id"), explode(col("w")).as("w"))
+      (bigramsOf(words).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .localCheckpoint(),
+        tok.groupBy("w").agg(count(lit(1)).as("cw")).localCheckpoint(),
+        tok.agg(count(lit(1)).as("n_total")).localCheckpoint())
+    }
+
+  private def wordArraysOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+
+  private def bigramsOf(words: DataFrame): DataFrame = words
+    .filter(size(col("w")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+      .as("pr"))
+    .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+
+  def perplexityBigram(spark: SparkSession, sfDir: String,
+      minCount: Long = 2): DataFrame = {
+    val (cabAll, uni, tot) = bigramStats(spark, sfDir)
+    perplexityBigramFrom(Tables.documents(spark, sfDir),
+      cabAll.filter(col("c_ab") >= minCount), uni, tot)
+  }
+
+  /** Same operator over any (doc_id, text) frame (planted specs) —
+    * un-memoized: counts derive from the given frame.
+    */
   def perplexityBigramOver(docs: DataFrame, minCount: Long): DataFrame = {
-    val words = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
+    val words = wordArraysOf(docs)
     val tok = words.select(col("doc_id"), explode(col("w")).as("w"))
-    val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
-    val tot = tok.agg(count(lit(1)).as("n_total"))
-    val big = words.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
-        .as("pr"))
-      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
-    val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
+    perplexityBigramFrom(docs,
+      bigramsOf(words).groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minCount),
+      tok.groupBy("w").agg(count(lit(1)).as("cw")),
+      tok.agg(count(lit(1)).as("n_total")))
+  }
+
+  private def perplexityBigramFrom(docs: DataFrame, cab: DataFrame,
+      uni: DataFrame, tot: DataFrame): DataFrame = {
+    val words = wordArraysOf(docs)
+    val big = bigramsOf(words)
     // per-position NLL: leading token → unigram; seen bigram →
     // ln c(a) − ln c(ab); pruned bigram → ln N − ln c(b) + ln 2
     val lead = words.filter(size(col("w")) >= 1)
@@ -1813,21 +1856,28 @@ object TextAnalysis {
     * bigram events and are not scored.
     */
   def kneserNey(spark: SparkSession, sfDir: String): DataFrame =
-    kneserNeyOver(Tables.documents(spark, sfDir))
+    kneserNeyShared(spark, sfDir)
 
   /** Same operator over any (doc_id, text) frame (planted specs). */
-  def kneserNeyOver(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), WordSplit), w => w =!= "").as("w"))
-    val big = words.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
-        .as("pr"))
-      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
-    val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
+  def kneserNeyOver(docs: DataFrame): DataFrame =
+    kneserNeyFrom(docs,
+      bigramsOf(wordArraysOf(docs))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint())
+
+  /** Corpus path: the bigram count table comes from the shared
+    * [[bigramStats]] memo (text_perplexity_bigram counts the same
+    * corpus); the KN context/continuation tables derive from it per
+    * call — bounded aggs over the checkpoint.
+    */
+  private def kneserNeyShared(spark: SparkSession,
+      sfDir: String): DataFrame =
+    kneserNeyFrom(Tables.documents(spark, sfDir),
+      bigramStats(spark, sfDir)._1)
+
+  private def kneserNeyFrom(docs: DataFrame, cab: DataFrame): DataFrame = {
+    val words = wordArraysOf(docs)
+    val big = bigramsOf(words)
     val ctx = cab.groupBy("a")
       .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1f"))
     val cont = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
